@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector column functions (`Array[Float]` columns) built from
+  * higher-order functions (`zip_with`/`aggregate`) — codegen'd, no UDFs.
+  * Arithmetic is done in Double with a strict left-to-right fold so any SQL
+  * oracle computing `list_sum(list_transform(...))` sequentially reproduces
+  * the exact same IEEE result.
+  */
+object VectorFunctions {
+
+  /** Sequential left-fold sum of an array<double> column. */
+  private def seqSum(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column =
+    seqSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  def norm2(a: Column): Column =
+    sqrt(seqSum(transform(a, x => x.cast("double") * x.cast("double"))))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Cosine rounded to 6 dp — the canonical comparison/threshold form (keeps
+    * cross-engine float drift out of threshold decisions).
+    */
+  def cosineR(a: Column, b: Column): Column = round(cosine(a, b), 6)
+
+  /** Random-hyperplane LSH bucket id: sign bits of dot products against
+    * `planes` (a deterministic pseudo-random matrix derived from md5 — see
+    * Similarity.hyperplanes), packed into a long. Vectors in the same bucket
+    * are ANN candidates; cross-bucket pairs are pruned before any shuffle-
+    * heavy pairwise join. This is the scale path: at 100 TB the pairwise
+    * join only happens within buckets.
+    */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

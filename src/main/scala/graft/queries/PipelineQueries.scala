@@ -1,0 +1,294 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+/** Training-data pipeline operators over `documents` and `embeddings`:
+  * text analysis, deduplication (exact / n-gram Jaccard / MinHash-LSH /
+  * SimHash), and similarity search. Each has a DuckDB oracle mirroring the
+  * exact arithmetic (md5-based hashing, double-precision sequential folds,
+  * round-before-threshold) so results are engine-independent.
+  *
+  * Scale notes: all pairwise joins are pre-blocked (same `source` for text,
+  * LSH band-buckets for MinHash) so the shuffle key-space stays bounded; the
+  * only cross join is the fixed 10-query ANN probe, broadcast on the small
+  * side.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---- shared DuckDB SQL fragments (mirror TextFunctions exactly) ----
+  private val normSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
+  private val stopSql = TF.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+  private val hexHi = "('8','9','a','b','c','d','e','f')"
+
+  private def listLit(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** DuckDB: word-3-gram distinct shingles of the canonical tokens. */
+  private val shinglesSql =
+    "list_distinct(list_transform(range(1, greatest(len(tk)-2, 0)+1)," +
+      " i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))"
+
+  private val docBaseSql =
+    s"""WITH norm AS (SELECT doc_id, source, $normSql AS nt FROM documents),
+       |toks AS (SELECT doc_id, source, nt, string_split(nt, ' ') AS tk FROM norm),
+       |sh AS (SELECT doc_id, source, $shinglesSql AS sh FROM toks),
+       |ex AS (SELECT doc_id, source, CAST(len(sh) AS INTEGER) AS n, unnest(sh) AS s FROM sh)""".stripMargin
+
+  // DuckDB double dot-product over two float lists, sequential fold
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def normSqlV(a: String) =
+    s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+  private def cosSql(a: String, b: String) =
+    s"round(${dotSql(a, b)} / (${normSqlV(a)} * ${normSqlV(b)}), 6)"
+
+  val defs: Seq[QDef] = Seq(
+
+    // ---- token counting + quality signals ----
+    QDef("q_text_stats",
+      s"""WITH norm AS (SELECT doc_id, text, $normSql AS nt FROM documents)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN len(nt) = 0 THEN 0 ELSE len(string_split(nt, ' ')) END AS INTEGER) AS n_tokens,
+         |  CAST(len(text) AS INTEGER) AS n_chars,
+         |  round(CAST(len(regexp_replace(nt, ' ', '', 'g')) AS DOUBLE) /
+         |        greatest(CASE WHEN len(nt) = 0 THEN 0 ELSE len(string_split(nt, ' ')) END, 1), 4) AS mean_tok_len,
+         |  round(CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) /
+         |        greatest(len(text), 1), 4) AS punct_ratio,
+         |  round(CAST(len(list_filter(string_split(nt, ' '), x -> list_contains($stopSql, x))) AS DOUBLE) /
+         |        greatest(CASE WHEN len(nt) = 0 THEN 0 ELSE len(string_split(nt, ' ')) END, 1), 4) AS stopword_ratio
+         |FROM norm ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).cast("int").as("n_tokens"),
+        length(col("text")).cast("int").as("n_chars"),
+        TF.meanTokenLen(col("text")).as("mean_tok_len"),
+        TF.punctRatio(col("text")).as("punct_ratio"),
+        TF.stopwordRatio(col("text")).as("stopword_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // ---- composite quality score ----
+    QDef("q_text_quality",
+      s"""WITH norm AS (SELECT doc_id, text, $normSql AS nt FROM documents),
+         |m AS (SELECT doc_id,
+         |  CASE WHEN len(nt) = 0 THEN 0 ELSE len(string_split(nt, ' ')) END AS cnt,
+         |  round(CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) /
+         |        greatest(len(text), 1), 4) AS pr,
+         |  round(CAST(len(list_filter(string_split(nt, ' '), x -> list_contains($stopSql, x))) AS DOUBLE) /
+         |        greatest(CASE WHEN len(nt) = 0 THEN 0 ELSE len(string_split(nt, ' ')) END, 1), 4) AS sr
+         |  FROM norm)
+         |SELECT doc_id,
+         |  CAST(least(CAST(cnt AS BIGINT) * 100, 10000) * 5
+         |     + least(CAST(round(sr * 50000) AS BIGINT), 10000) * 3
+         |     + (10000 - least(CAST(round(pr * 100000) AS BIGINT), 10000)) * 2 AS BIGINT)
+         |    AS quality_bp
+         |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.qualityScoreBp(col("text")).as("quality_bp"))
+        .orderBy("doc_id")
+    },
+
+    // ---- language-ID heuristic (argmax of marker-token counts) ----
+    QDef("q_langid", {
+      val scores = TF.langMarkers.map { case (code, ms) =>
+        s"CAST(len(list_filter(tk, x -> list_contains(${listLit(ms)}, x))) AS INTEGER) AS s_$code"
+      }.mkString(",\n  ")
+      val codes = TF.langMarkers.map(_._1)
+      // first-max-wins over the ordered language list
+      val caseExpr = codes.init.zipWithIndex.map { case (c, i) =>
+        val rest = codes.drop(i + 1).map(o => s"s_$c >= s_$o").mkString(" AND ")
+        s"WHEN $rest THEN '$c'"
+      }.mkString("CASE ", " ", s" ELSE '${codes.last}' END")
+      s"""WITH toks AS (SELECT doc_id, lang, string_split($normSql, ' ') AS tk FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  $scores
+         |  FROM toks)
+         |SELECT doc_id, lang, $caseExpr AS lang_pred FROM sc ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), TF.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    // ---- document fingerprint (canonical-form md5) ----
+    QDef("q_fingerprint",
+      s"""SELECT doc_id, md5($normSql) AS fp FROM documents ORDER BY doc_id""") { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // ---- exact dedup: hash-groupBy stats ----
+    QDef("q_dedup_exact",
+      s"""WITH g AS (SELECT md5($normSql) AS h, count(*) AS cnt FROM documents GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(sum(cnt) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups
+         |FROM g""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(TF.fingerprint(col("text")).as("h"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("cnt")).cast("bigint").as("n_docs"),
+          sum(when(col("cnt") > 1, 1).otherwise(0)).cast("bigint").as("dup_groups"))
+    },
+
+    // ---- near-dup: word-3-gram Jaccard, blocked by source ----
+    QDef("q_dedup_ngram",
+      s"""$docBaseSql,
+         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    max(a.n) AS na, max(b.n) AS nb, count(*) AS i
+         |  FROM ex a JOIN ex b ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id, round(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
+         |FROM inter WHERE round(CAST(i AS DOUBLE) / (na + nb - i), 4) >= 0.3
+         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val sh = docs.select(col("doc_id"), col("source"),
+        TF.shingles(col("text"), 3).as("sh"))
+      val ex = sh.select(col("doc_id"), col("source"),
+        size(col("sh")).as("n"), explode(col("sh")).as("s"))
+      val a = ex.select(col("doc_id").as("a_id"), col("source").as("a_src"),
+        col("n").as("na"), col("s").as("a_s"))
+      val b = ex.select(col("doc_id").as("b_id"), col("source").as("b_src"),
+        col("n").as("nb"), col("s").as("b_s"))
+      a.join(b, col("a_src") === col("b_src") && col("a_s") === col("b_s") &&
+          col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(max(col("na")).as("na"), max(col("nb")).as("nb"), count(lit(1)).as("i"))
+        .withColumn("jaccard",
+          round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4))
+        .filter(col("jaccard") >= 0.3)
+        .select("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    },
+
+    // ---- near-dup at scale: MinHash + LSH banding, then exact verify ----
+    QDef("q_minhash_lsh",
+      s"""$docBaseSql,
+         |mh AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || s)) AS h
+         |  FROM ex, range(0, 12) r(i) GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // 3 AS band, string_agg(h, ',' ORDER BY i) AS sig
+         |  FROM mh GROUP BY doc_id, i // 3),
+         |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |inter AS (SELECT c.a_id, c.b_id, max(a.n) AS na, max(b.n) AS nb, count(*) AS i
+         |  FROM cand c JOIN ex a ON a.doc_id = c.a_id
+         |    JOIN ex b ON b.doc_id = c.b_id AND a.s = b.s
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id, round(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
+         |FROM inter WHERE round(CAST(i AS DOUBLE) / (na + nb - i), 4) >= 0.3
+         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val sh = docs.select(col("doc_id"), TF.shingles(col("text"), 3).as("sh"))
+      val ex = sh.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+      val mh = ex
+        .select(col("doc_id"), col("s"), explode(sequence(lit(0), lit(11))).as("i"))
+        .groupBy("doc_id", "i")
+        .agg(min(md5(concat(col("i").cast("string"), lit("|"), col("s")))).as("h"))
+      val bands = mh
+        .groupBy(col("doc_id"), (col("i") / 3).cast("int").as("band"))
+        .agg(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("i").as("i"), col("h").as("h")))),
+            x => x.getField("h"))).as("sig"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      val a = ex.select(col("doc_id").as("a_id"), col("n").as("na"), col("s").as("a_s"))
+      val b = ex.select(col("doc_id").as("b_id"), col("n").as("nb"), col("s").as("b_s"))
+      // the a_s === b_s filter is merged into the join condition by
+      // Catalyst's PushPredicateThroughJoin, so this stays an equi-join
+      cand.join(a, Seq("a_id")).join(b, Seq("b_id"))
+        .filter(col("a_s") === col("b_s"))
+        .groupBy("a_id", "b_id")
+        .agg(max(col("na")).as("na"), max(col("nb")).as("nb"), count(lit(1)).as("i"))
+        .withColumn("jaccard",
+          round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4))
+        .filter(col("jaccard") >= 0.3)
+        .select("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    },
+
+    // ---- SimHash document signatures (16-bit, md5-nibble hyperplanes) ----
+    QDef("q_simhash", {
+      val sums = (1 to 16).map(j =>
+        s"sum(CASE WHEN substr(h, $j, 1) IN $hexHi THEN 1 ELSE -1 END) AS s$j")
+        .mkString(",\n  ")
+      val bits = (1 to 16).map(j => s"(CASE WHEN s$j >= 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      s"""WITH tk AS (SELECT doc_id, md5(t) AS h FROM
+         |  (SELECT doc_id, unnest(string_split($normSql, ' ')) AS t FROM documents)),
+         |s AS (SELECT doc_id, $sums FROM tk GROUP BY doc_id)
+         |SELECT doc_id, $bits AS simhash FROM s ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+        .withColumn("h", md5(col("tok")))
+      val sums = (1 to 16).map(j =>
+        sum(when(substring(col("h"), j, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+          .otherwise(-1)).as(s"s$j"))
+      val agg = toks.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      agg.select(col("doc_id"),
+        concat((1 to 16).map(j =>
+          when(col(s"s$j") >= 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    // ---- vector norms (basic embedding op) ----
+    QDef("q_embed_norm",
+      s"""SELECT vec_id, round(${normSqlV("embedding")}, 6) AS norm
+         |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), round(VF.norm2(col("embedding")), 6).as("norm"))
+        .orderBy("vec_id")
+    },
+
+    // ---- embedding near-dup pairs above a cosine threshold ----
+    QDef("q_ann_pairs",
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cos
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4
+         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("cos", VF.cosineR(col("av"), col("bv")))
+        .filter(col("cos") >= 0.4)
+        .select("a_id", "b_id", "cos")
+        .orderBy("a_id", "b_id")
+    },
+
+    // ---- brute-force ANN top-k for a fixed probe set ----
+    QDef("q_ann_topk",
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |p AS (SELECT q_id, e.vec_id AS n_id, ${cosSql("qv", "e.embedding")} AS cos
+         |  FROM q, embeddings e WHERE e.vec_id <> q_id),
+         |r AS (SELECT q_id, n_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk FROM p)
+         |SELECT q_id, CAST(rk AS INTEGER) AS rk, n_id, cos FROM r
+         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val n = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+      broadcast(q).join(n, col("q_id") =!= col("n_id"))
+        .withColumn("cos", VF.cosineR(col("qv"), col("nv")))
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 5)
+        .select("q_id", "rk", "n_id", "cos")
+        .orderBy("q_id", "rk")
+    })
+}

@@ -1,0 +1,388 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.RelationalOps
+
+/** The relational operator surface (SURVEY.md §2.1/§2.3) as verifiable
+  * queries. Each query mirrors one reference pipeline operator or scalar
+  * expression, expressed Spark-first, with a DuckDB oracle.
+  *
+  * Determinism rules shared with the oracles:
+  *  - every query ends in a TOTAL order (ties broken by keys);
+  *  - money/double aggregates go through DECIMAL(18,2) (exact, order-
+  *    independent sums) and only then to DOUBLE, so both engines emit
+  *    identical IEEE values;
+  *  - integer sums/counts come out as BIGINT on both sides.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def money(c: Column): Column = round(sum(dec(c)).cast("double"), 2)
+
+  val defs: Seq[QDef] = Seq(
+
+    // ---- scan + project (TableScanNode / ProjectNode) ----
+    QDef("q_scan_project",
+      """SELECT o_orderkey, o_orderstatus, CAST(o_orderdate AS DATE) AS o_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderdate").cast("date").as("o_date"))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- filter (FilterNode; predicate pushed into the parquet scan) ----
+    QDef("q_filter",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_returnflag = 'A' AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "A" && col("l_quantity") < 10)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ---- map (MapNode: computed column) ----
+    QDef("q_map",
+      """SELECT l_orderkey, l_linenumber,
+        |  ROUND(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .withColumn("revenue",
+          round((dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double"), 4))
+        .select("l_orderkey", "l_linenumber", "revenue")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ---- groupBy + count (AggregateNode, hash_count_all) ----
+    QDef("q_groupby_count",
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---- ungrouped count (CountFilterNode: count as cardinality) ----
+    QDef("q_count_star",
+      "SELECT count(*) AS cnt FROM lineitem WHERE l_discount >= 0.05") { (s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_discount") >= 0.05)
+        .agg(count(lit(1)).as("cnt"))
+    },
+
+    // ---- richer aggregates (beyond the reference's count-only surface) ----
+    QDef("q_agg_stats",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
+        |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          sum(col("l_quantity").cast("bigint")).cast("bigint").as("sum_qty"),
+          money(col("l_extendedprice")).as("sum_price"),
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- orderBy + limit/offset (OrderByNode + FetchNode) ----
+    QDef("q_limit_offset",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 20 OFFSET 10""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .offset(10).limit(20)
+    },
+
+    // ---- top-k (OrderByWithLimitNode → TakeOrderedAndProject) ----
+    QDef("q_topk",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(15)
+    },
+
+    // ---- randomize([seed]) — deterministic shuffle via keyed hash ----
+    QDef("q_randomize",
+      """SELECT md5(concat_ws('_', CAST(l_orderkey AS VARCHAR),
+        |                          CAST(l_linenumber AS VARCHAR), '42')) AS rk,
+        |  l_orderkey, l_linenumber
+        |FROM lineitem ORDER BY rk, l_orderkey, l_linenumber LIMIT 50""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .withColumn("rk",
+          RelationalOps.randomizeKey(42L, col("l_orderkey"), col("l_linenumber")))
+        .select("rk", "l_orderkey", "l_linenumber")
+        .orderBy("rk", "l_orderkey", "l_linenumber")
+        .limit(50)
+    },
+
+    // ---- join: inner, multi-way (JoinNode; dims broadcast) ----
+    QDef("q_join_inner",
+      """SELECT n_name,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(money(col("l_extendedprice")).as("revenue"), count(lit(1)).as("cnt"))
+        .orderBy("n_name")
+    },
+
+    // ---- join: left outer ----
+    QDef("q_join_left",
+      """SELECT c_custkey, count(o_orderkey) AS order_cnt
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("order_cnt"))
+        .orderBy("c_custkey")
+    },
+
+    // ---- join: left semi (EXISTS) ----
+    QDef("q_join_semi",
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 48)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 48)
+      o.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    },
+
+    // ---- join: left anti (NOT EXISTS) ----
+    QDef("q_join_anti",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // ---- join: full outer ----
+    QDef("q_join_full",
+      """SELECT COALESCE(c.k, s.k) AS nationkey, c.cust_cnt, s.supp_cnt
+        |FROM (SELECT c_nationkey AS k, count(*) AS cust_cnt FROM customer GROUP BY 1) c
+        |FULL JOIN (SELECT s_nationkey AS k, count(*) AS supp_cnt FROM supplier GROUP BY 1) s
+        |  ON c.k = s.k
+        |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+      val cc = t(s, dir, "customer").groupBy(col("c_nationkey").as("ck"))
+        .agg(count(lit(1)).as("cust_cnt"))
+      val sc = t(s, dir, "supplier").groupBy(col("s_nationkey").as("sk"))
+        .agg(count(lit(1)).as("supp_cnt"))
+      cc.join(sc, col("ck") === col("sk"), "full_outer")
+        .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+          col("cust_cnt"), col("supp_cnt"))
+        .orderBy("nationkey")
+    },
+
+    // ---- isNull via outer join (IsNull expression) ----
+    QDef("q_is_null",
+      """SELECT c_custkey, c_name
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |WHERE o_orderkey IS NULL ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .filter(col("o_orderkey").isNull)
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // ---- unionAll (UnionAllNode) ----
+    QDef("q_union_all",
+      """SELECT * FROM (
+        |  SELECT c_custkey AS key, 'cust' AS src FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey AS key, 'supp' AS src FROM supplier
+        |) ORDER BY src, key""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").as("key"), lit("cust").as("src"))
+      val sp = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("key"), lit("supp").as("src"))
+      c.union(sp).orderBy("src", "key")
+    },
+
+    // ---- distinct ----
+    QDef("q_distinct",
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---- schema() pipeline-breaker (SchemaNode) ----
+    QDef("q_schema",
+      """SELECT * FROM (VALUES
+        |  ('l_discount','FLOAT'),('l_extendedprice','FLOAT'),
+        |  ('l_linenumber','INT32'),('l_linestatus','STRING'),
+        |  ('l_orderkey','INT64'),('l_partkey','INT64'),
+        |  ('l_quantity','FLOAT'),('l_returnflag','STRING'),
+        |  ('l_shipdate','DATE32'),('l_suppkey','INT64'),('l_tax','FLOAT')
+        |) AS t(field_name, field_type) ORDER BY field_name""".stripMargin) { (s, dir) =>
+      RelationalOps.schemaOf(t(s, dir, "lineitem")).orderBy("field_name")
+    },
+
+    // ---- between: int (inclusive both ends) ----
+    QDef("q_between_int",
+      """SELECT p_partkey, p_size FROM part
+        |WHERE p_size BETWEEN 10 AND 20 ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part")
+        .filter(RelationalOps.intBetween(col("p_size"), Some(10L), Some(20L)))
+        .select("p_partkey", "p_size")
+        .orderBy("p_partkey")
+    },
+
+    // ---- between: float (from-inclusive, to-EXCLUSIVE — reference
+    //      query_documentation.md:504) ----
+    QDef("q_between_float",
+      """SELECT l_returnflag, count(*) AS cnt FROM lineitem
+        |WHERE l_discount >= 0.03 AND l_discount < 0.06
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(RelationalOps.floatBetween(col("l_discount"), Some(0.03), Some(0.06)))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- between: date (inclusive both ends) ----
+    QDef("q_between_date",
+      """SELECT count(*) AS cnt,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+        |""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date")
+          .between(lit("1995-01-01").cast("date"), lit("1995-12-31").cast("date")))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("o_custkey")).cast("bigint").as("n_cust"))
+    },
+
+    // ---- in(column, {set}) ----
+    QDef("q_in_set",
+      """SELECT c_mktsegment, count(*) AS cnt FROM customer
+        |WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE','MACHINERY')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ---- like(column, pattern) — regex match, not SQL LIKE (reference
+    //      string_search.cpp uses RE2 partial match) ----
+    QDef("q_like_regex",
+      """SELECT p_partkey, p_name FROM part
+        |WHERE regexp_matches(p_name, '^(blue|cold) ')
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_name").rlike("^(blue|cold) "))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    },
+
+    // ---- at(input, position): 1-based char; past-end → '' ----
+    QDef("q_at",
+      """SELECT p_partkey, substring(p_name, 3, 1) AS ch3,
+        |  substring(p_brand, 20, 1) AS past_end
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          RelationalOps.at(col("p_name"), 3).as("ch3"),
+          RelationalOps.at(col("p_brand"), 20).as("past_end"))
+        .orderBy("p_partkey")
+    },
+
+    // ---- isoWeek(input) ----
+    QDef("q_isoweek",
+      """SELECT CAST(weekofyear(o_orderdate) AS INTEGER) AS wk, count(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY wk""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(RelationalOps.isoWeek(col("o_orderdate")).as("wk"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("wk")
+    },
+
+    // ---- nOf(k, {children}) threshold predicate ----
+    QDef("q_nof",
+      """SELECT l_linestatus, count(*) AS cnt FROM lineitem
+        |WHERE (CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END
+        |     + CASE WHEN l_discount < 0.03 THEN 1 ELSE 0 END
+        |     + CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END
+        |     + CASE WHEN l_shipdate >= TIMESTAMP '1995-07-01' THEN 1 ELSE 0 END) >= 2
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(RelationalOps.nOf(2, Seq(
+          col("l_quantity") > 25,
+          col("l_discount") < 0.03,
+          col("l_returnflag") === "N",
+          col("l_shipdate") >= to_timestamp(lit("1995-07-01")))))
+        .groupBy("l_linestatus").agg(count(lit(1)).as("cnt"))
+        .orderBy("l_linestatus")
+    },
+
+    // ---- event-time windowed aggregation (streaming-shaped, batch-run) ----
+    QDef("q_events_hour",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hr,
+        |  event_type, count(*) AS cnt,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hr"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), money(col("value")).as("sum_value"))
+        .orderBy("hr", "event_type")
+    },
+
+    // ---- semi-structured extraction from the events props JSON ----
+    QDef("q_events_json",
+      """SELECT user_id,
+        |  CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
+        |  count(*) AS cnt
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("bigint"))
+        .groupBy("user_id")
+        .agg(sum(col("k")).cast("bigint").as("k_sum"), count(lit(1)).as("cnt"))
+        .orderBy("user_id")
+    })
+}

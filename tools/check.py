@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL in
+DuckDB over the same parquet tables and diff against the Spark parquet dump
+produced by graft.Verify. Usage: check.py <sfDir> <verifyOutDir>"""
+import sys, os, json, hashlib
+import duckdb, pandas as pd
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df
+
+def h(df: pd.DataFrame) -> str:
+    return hashlib.md5(df.to_csv(index=False, float_format="%.10g").encode()).hexdigest()
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        spath = os.path.join(out_dir, name)
+        if not os.path.isdir(spath):
+            print(f"FAIL {name}: no spark output"); n_bad += 1; continue
+        try:
+            sdf = canon(pd.read_parquet(spath))
+        except Exception as e:
+            print(f"FAIL {name}: read spark: {e}"); n_bad += 1; continue
+        try:
+            odf = canon(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}"); n_bad += 1; continue
+        ok_schema = list(sdf.columns) == list(odf.columns)
+        ok_rows = len(sdf) == len(odf)
+        ok_hash = ok_schema and ok_rows and h(sdf) == h(odf)
+        if ok_hash:
+            print(f"ok   {name} rows={len(sdf)}"); n_ok += 1
+        else:
+            n_bad += 1
+            print(f"FAIL {name}: schema={ok_schema} rows={len(sdf)}/{len(odf)} hash={ok_hash}")
+            if ok_schema and ok_rows:
+                neq = (sdf.reset_index(drop=True) != odf.reset_index(drop=True))
+                cols = [c for c in sdf.columns if neq[c].any()]
+                print("  diff cols:", cols)
+                i = neq.any(axis=1).idxmax()
+                print("  first diff row", i)
+                print("  spark:", sdf.iloc[i].to_dict())
+                print("  duck :", odf.iloc[i].to_dict())
+            elif ok_schema:
+                print("  spark head:", sdf.head(3).to_dict("records"))
+                print("  duck  head:", odf.head(3).to_dict("records"))
+            else:
+                print("  spark cols:", list(sdf.columns))
+                print("  duck  cols:", list(odf.columns))
+                print("  spark dtypes:", dict(sdf.dtypes.astype(str)))
+                print("  duck  dtypes:", dict(odf.dtypes.astype(str)))
+    print(f"\n{n_ok} ok, {n_bad} fail of {n_ok+n_bad}")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
