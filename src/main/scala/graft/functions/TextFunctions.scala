@@ -106,14 +106,22 @@ object TextFunctions {
     }.getField("c")
   }
 
-  /** Word n-gram shingles of the canonical tokens, joined with ''. */
+  /** Word n-gram shingles of the canonical tokens, space-joined.
+    *
+    * Built from `zip_with` over shifted copies of the token array rather
+    * than a `transform(sequence(...))` lambda: any column referenced INSIDE
+    * a higher-order-function lambda is re-evaluated per element (the regex
+    * tokenization would run O(tokens) times per row); `zip_with` arguments
+    * are evaluated once. `concat` (not concat_ws) propagates the nulls that
+    * zip_with pads at the tail, which the final filter drops.
+    */
   def shingles(c: Column, n: Int): Column = {
     val toks = tokens(c)
-    array_distinct(
-      filter(
-        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-          i => when(size(toks) >= n,
-            concat_ws(" ", slice(toks, i + 1, lit(n)))).otherwise(lit(null))),
-        x => x.isNotNull))
+    val len = size(toks)
+    var acc: Column = toks
+    for (k <- 1 until n)
+      acc = zip_with(acc, slice(toks, lit(k + 1), greatest(len - k, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    array_distinct(filter(acc, x => x.isNotNull))
   }
 }

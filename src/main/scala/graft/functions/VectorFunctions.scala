@@ -11,15 +11,13 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Sequential left-fold sum of an array<double> column. */
-  private def seqSum(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd strict left-fold dot product (see [[VecDot]]). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(VecDot(GraftShims.expression(a), GraftShims.expression(b)))
+  }
 
-  def dot(a: Column, b: Column): Column =
-    seqSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
-
-  def norm2(a: Column): Column =
-    sqrt(seqSum(transform(a, x => x.cast("double") * x.cast("double"))))
+  def norm2(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm2(a) * norm2(b))

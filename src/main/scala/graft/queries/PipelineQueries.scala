@@ -152,12 +152,16 @@ object PipelineQueries {
       val docs = t(s, dir, "documents")
       val sh = docs.select(col("doc_id"), col("source"),
         TF.shingles(col("text"), 3).as("sh"))
+      // join on a 64-bit shingle hash instead of the string: same match
+      // semantics (collisions are ~2^-40 at this cardinality), much smaller
+      // shuffle payload at scale
       val ex = sh.select(col("doc_id"), col("source"),
         size(col("sh")).as("n"), explode(col("sh")).as("s"))
+        .withColumn("s64", xxhash64(col("s"))).drop("s")
       val a = ex.select(col("doc_id").as("a_id"), col("source").as("a_src"),
-        col("n").as("na"), col("s").as("a_s"))
+        col("n").as("na"), col("s64").as("a_s"))
       val b = ex.select(col("doc_id").as("b_id"), col("source").as("b_src"),
-        col("n").as("nb"), col("s").as("b_s"))
+        col("n").as("nb"), col("s64").as("b_s"))
       a.join(b, col("a_src") === col("b_src") && col("a_s") === col("b_s") &&
           col("a_id") < col("b_id"))
         .groupBy("a_id", "b_id")
@@ -190,22 +194,24 @@ object PipelineQueries {
       val docs = t(s, dir, "documents")
       val sh = docs.select(col("doc_id"), TF.shingles(col("text"), 3).as("sh"))
       val ex = sh.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
-      val mh = ex
-        .select(col("doc_id"), col("s"), explode(sequence(lit(0), lit(11))).as("i"))
-        .groupBy("doc_id", "i")
-        .agg(min(md5(concat(col("i").cast("string"), lit("|"), col("s")))).as("h"))
-      val bands = mh
-        .groupBy(col("doc_id"), (col("i") / 3).cast("int").as("band"))
-        .agg(concat_ws(",",
-          transform(array_sort(collect_list(struct(col("i").as("i"), col("h").as("h")))),
-            x => x.getField("h"))).as("sig"))
+      // single-pass minhash: all 12 signature slots as aggregate columns in
+      // one shuffle of width-12 rows (vs. exploding ×12 then re-grouping)
+      val mh = ex.groupBy("doc_id").agg(
+        min(md5(concat(lit("0|"), col("s")))).as("h0"),
+        (1 to 11).map(i => min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i")): _*)
+      val bands = mh.select(col("doc_id"),
+        explode(array((0 to 3).map(bd => struct(lit(bd).as("band"),
+          concat_ws(",", col(s"h${3 * bd}"), col(s"h${3 * bd + 1}"),
+            col(s"h${3 * bd + 2}")).as("sig"))): _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
-      val a = ex.select(col("doc_id").as("a_id"), col("n").as("na"), col("s").as("a_s"))
-      val b = ex.select(col("doc_id").as("b_id"), col("n").as("nb"), col("s").as("b_s"))
+      val exh = ex.withColumn("s64", xxhash64(col("s"))).drop("s")
+      val a = exh.select(col("doc_id").as("a_id"), col("n").as("na"), col("s64").as("a_s"))
+      val b = exh.select(col("doc_id").as("b_id"), col("n").as("nb"), col("s64").as("b_s"))
       // the a_s === b_s filter is merged into the join condition by
       // Catalyst's PushPredicateThroughJoin, so this stays an equi-join
       cand.join(a, Seq("a_id")).join(b, Seq("b_id"))
@@ -261,10 +267,12 @@ object PipelineQueries {
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4
          |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"))
-      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"))
+        .select(col("vec_id"), col("embedding"), VF.norm2(col("embedding")).as("nrm"))
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"), col("nrm").as("nb"))
       a.join(b, col("a_id") < col("b_id"))
-        .withColumn("cos", VF.cosineR(col("av"), col("bv")))
+        .withColumn("cos",
+          round(VF.dot(col("av"), col("bv")) / (col("na") * col("nb")), 6))
         .filter(col("cos") >= 0.4)
         .select("a_id", "b_id", "cos")
         .orderBy("a_id", "b_id")
@@ -280,12 +288,14 @@ object PipelineQueries {
          |SELECT q_id, CAST(rk AS INTEGER) AS rk, n_id, cos FROM r
          |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
       val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), VF.norm2(col("embedding")).as("nrm"))
       val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-      val n = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("nq"))
+      val n = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"), col("nrm").as("nn"))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
       broadcast(q).join(n, col("q_id") =!= col("n_id"))
-        .withColumn("cos", VF.cosineR(col("qv"), col("nv")))
+        .withColumn("cos",
+          round(VF.dot(col("qv"), col("nv")) / (col("nq") * col("nn")), 6))
         .withColumn("rk", row_number().over(w).cast("int"))
         .filter(col("rk") <= 5)
         .select("q_id", "rk", "n_id", "cos")
