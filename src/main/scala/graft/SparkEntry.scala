@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.queries.{PipelineQueries, QDef, RelationalQueries}
+import graft.queries.{PipelineQueries, QDef, RelationalQueries, SeqQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ import graft.queries.{PipelineQueries, QDef, RelationalQueries}
   */
 object SparkEntry {
 
-  def allDefs: Seq[QDef] = RelationalQueries.defs ++ PipelineQueries.defs
+  def allDefs: Seq[QDef] =
+    RelationalQueries.defs ++ PipelineQueries.defs ++ SeqQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

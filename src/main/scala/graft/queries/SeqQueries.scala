@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.seq.{Mutations, SeqPredicates, SequenceModel}
+import graft.trees.{LineageTree, PhyloTree}
+
+/** The genomic operator surface (SURVEY.md §1.3/§2.4) made verifiable on
+  * the generic test tables: deterministic "aligned sequences" are derived
+  * from `documents.text` (first 60 non-space chars of the canonical form)
+  * and diffed against a fixed reference string, so every sequence operator
+  * — mutations(), position predicates, profile distance, insertions()
+  * — runs through the real diff-representation machinery while a DuckDB
+  * oracle recomputes the same answer naively from the raw strings.
+  *
+  * Lineage and phylo operators run over the region→nation hierarchy as the
+  * tree (reference trees are broadcast-sized auxiliary structures; here the
+  * edge tables are the region/nation dims).
+  */
+object SeqQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Majority symbol per position over sf0.01 — plays the role of the
+    * reference genome (any constant works; majority minimizes diff density
+    * like the reference's local-reference adaptation,
+    * vertical_sequence_index.h:62-81).
+    */
+  val REF = "sartearaeeaaaeaoaeaaerarrerrreeeeaaeaeraraeartaraerraaaererr"
+
+  /** REF with 5 positions edited — the mutation-profile probe. */
+  val PROFILE: String = {
+    val b = REF.toCharArray
+    b(2) = 'z'; b(6) = 'q'; b(19) = 'x'; b(39) = 'k'; b(54) = 'm'
+    new String(b)
+  }
+
+  // sequence derivation, shared between Spark and oracle
+  private val normSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
+  private val seqSql = s"substr(regexp_replace($normSql, ' ', '', 'g'), 1, 60)"
+  private def seqCol = substring(
+    regexp_replace(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ", ""), 1, 60)
+
+  private def diffedDocs(s: SparkSession, dir: String, langFilter: Option[String]): DataFrame = {
+    val base = t(s, dir, "documents")
+    val f = langFilter.map(l => base.filter(col("lang") === l)).getOrElse(base)
+    SequenceModel.diff(
+      f.select(col("doc_id"), seqCol.as("seq")), "seq", REF)
+  }
+
+  val defs: Seq[QDef] = Seq(
+
+    // ---- mutations(minProportion) — the flagship genomic aggregation ----
+    QDef("q_seq_mutations",
+      s"""WITH seqs AS (SELECT doc_id, $seqSql AS seq FROM documents WHERE lang = 'en'),
+         |chars AS (SELECT doc_id, CAST(p AS INTEGER) AS p, substr(seq, p, 1) AS sym
+         |  FROM seqs, range(1, 61) r(p) WHERE p <= len(seq)),
+         |cov AS (SELECT p, count(*) AS coverage FROM chars GROUP BY p),
+         |muts AS (SELECT p, sym, count(*) AS cnt FROM chars
+         |  WHERE sym <> substr('$REF', p, 1) GROUP BY p, sym)
+         |SELECT m.p AS position, substr('$REF', m.p, 1) AS mutation_from,
+         |  m.sym AS mutation_to, CAST(m.cnt AS BIGINT) AS count,
+         |  CAST(c.coverage AS BIGINT) AS coverage,
+         |  round(CAST(m.cnt AS DOUBLE) / c.coverage, 4) AS proportion
+         |FROM muts m JOIN cov c ON m.p = c.p
+         |WHERE round(CAST(m.cnt AS DOUBLE) / c.coverage, 4) >= 0.05
+         |ORDER BY position, mutation_to""".stripMargin) { (s, dir) =>
+      Mutations.mutations(diffedDocs(s, dir, Some("en")), REF, 0.05)
+        .orderBy("position", "mutation_to")
+    },
+
+    // ---- nucleotideEquals (reference-match case) + hasMutation ----
+    QDef("q_seq_symbol_equals",
+      s"""WITH seqs AS (SELECT doc_id, $seqSql AS seq FROM documents)
+         |SELECT doc_id FROM seqs
+         |WHERE len(seq) >= 5 AND substr(seq, 5, 1) = 'e'
+         |  AND len(seq) >= 10 AND substr(seq, 10, 1) <> '${REF.charAt(9)}'
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      diffedDocs(s, dir, None)
+        .filter(SeqPredicates.symbolEquals(5, "e", REF) &&
+          SeqPredicates.hasMutation(10))
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
+    // ---- mutationProfile conservative distance ----
+    QDef("q_seq_profile",
+      s"""WITH seqs AS (SELECT doc_id, $seqSql AS seq FROM documents),
+         |d AS (SELECT doc_id, CAST(len(list_filter(range(1, len(seq) + 1),
+         |    p -> substr(seq, p, 1) <> substr('$PROFILE', p, 1))) AS INTEGER) AS dist
+         |  FROM seqs)
+         |SELECT doc_id, dist FROM d WHERE dist <= 45 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      diffedDocs(s, dir, None)
+        .withColumn("dist",
+          SeqPredicates.profileDistance(PROFILE, REF).cast("int"))
+        .filter(col("dist") <= 45)
+        .select("doc_id", "dist")
+        .orderBy("doc_id")
+    },
+
+    // ---- insertions(): per (position, inserted string) counts ----
+    QDef("q_seq_insertions",
+      s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS tk
+         |  FROM documents WHERE lang = 'en'),
+         |u AS (SELECT doc_id, unnest(tk) AS t, unnest(range(1, len(tk) + 1)) AS p FROM toks)
+         |SELECT CAST(p AS INTEGER) AS position, t AS inserted_symbols,
+         |  count(*) AS count
+         |FROM u WHERE len(t) >= 8 GROUP BY 1, 2
+         |ORDER BY position, inserted_symbols""".stripMargin) { (s, dir) =>
+      import graft.functions.{TextFunctions => TF}
+      t(s, dir, "documents").filter(col("lang") === "en")
+        .select(col("doc_id"), posexplode(TF.tokens(col("text"))))
+        .filter(length(col("col")) >= 8)
+        .groupBy((col("pos") + 1).cast("int").as("position"),
+          col("col").as("inserted_symbols"))
+        .agg(count(lit(1)).as("count"))
+        .orderBy("position", "inserted_symbols")
+    },
+
+    // ---- lineage(column, value, includeSublineages) over region→nation ----
+    QDef("q_lineage_filter",
+      """SELECT c_custkey FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_regionkey = 2
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region")
+      val cladeRoot = region.filter(col("r_regionkey") === 2)
+        .select("r_name").collect().head.getString(0)
+      // lineage-relation edge rows (broadcast-sized): REGION_k → root,
+      // NATION_i → its region
+      val regionEdges = region.select(col("r_name")).collect()
+        .map(r => (r.getString(0), Option("root"))).toSeq
+      val nationEdges = nation.join(region, col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_name"), col("r_name")).collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+      val tree = LineageTree.fromEdges(regionEdges ++ nationEdges :+ ("root" -> None))
+      val clade = tree.descendants(cladeRoot, LineageTree.DoNotFollow)
+      t(s, dir, "customer")
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin(clade.toSeq.sorted: _*))
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    },
+
+    // ---- mostRecentCommonAncestor over the 3-level phylo tree ----
+    QDef("q_phylo_mrca",
+      """SELECT CASE WHEN count(DISTINCT n_name) = 1 THEN min(n_name)
+        |            WHEN count(DISTINCT n_regionkey) = 1 THEN min(r_name)
+        |            ELSE 'root' END AS mrca_node,
+        |  CAST(count(DISTINCT n_name) AS BIGINT) AS node_count
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_acctbal > 9000""".stripMargin) { (s, dir) =>
+      val tree = regionNationTree(s, dir)
+      val names = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .select("n_name").distinct().collect().map(_.getString(0)).toSet
+      val (m, _) = tree.mrca(names)
+      import s.implicits._
+      Seq((m.getOrElse("root"), names.size.toLong)).toDF("mrca_node", "node_count")
+    },
+
+    // ---- phyloSubtree: Newick of the induced subtree ----
+    QDef("q_phylo_subtree",
+      """WITH sel AS (SELECT DISTINCT n_name, r_name
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 8000),
+        |g AS (SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS kids,
+        |  count(*) AS k FROM sel GROUP BY 1),
+        |e AS (SELECT CASE WHEN k = 1 THEN kids
+        |  ELSE '(' || kids || ')' || r_name END AS part FROM g)
+        |SELECT '(' || string_agg(part, ',' ORDER BY part) || ')root;' AS newick
+        |FROM e""".stripMargin) { (s, dir) =>
+      val tree = regionNationTree(s, dir)
+      val names = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 8000)
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .select("n_name").distinct().collect().map(_.getString(0)).toSet
+      import s.implicits._
+      Seq(tree.subtreeNewick(names, contractUnary = true)).toDF("newick")
+    })
+
+  private def regionNationTree(s: SparkSession, dir: String): PhyloTree = {
+    val nation = t(s, dir, "nation")
+    val region = t(s, dir, "region")
+    val regionEdges = region.select(col("r_name")).collect()
+      .map(r => (r.getString(0), "root")).toSeq
+    val nationEdges = nation.join(region, col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name"), col("r_name")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    PhyloTree.fromEdges(regionEdges ++ nationEdges)
+  }
+}

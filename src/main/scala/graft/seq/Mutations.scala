@@ -1,0 +1,77 @@
+package graft.seq
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The `mutations()` / `insertions()` pipeline-breakers over a diffed
+  * sequence DataFrame (reference: operators/mutations_node.cpp, §2.4 of
+  * SURVEY.md; query_documentation.md:186-244).
+  *
+  * Reproduces the reference's counting arithmetic exactly, expressed as
+  * DataFrame aggregations:
+  *  - explicit diff counts from the exploded muts arrays (O(|diffs|));
+  *  - coverage per position via the coverage-interval PREFIX-SUM trick
+  *    (mutations_node.cpp:63-136): +1 at cov_start, −1 at cov_end+1,
+  *    cumulative sum over the position axis — never a per-row-per-position
+  *    explode, so it survives a 100× scale-up;
+  *  - reference-symbol counts by subtraction (accumulateFinalCounts,
+  *    mutations_node.cpp:191-203).
+  */
+object Mutations {
+
+  /** Per (position, symbol≠ref[pos]) over the (already filtered) rows:
+    * count, coverage, proportion; emit rows with proportion ≥ minProportion.
+    * `genomeLength` bounds the position axis (= ref.length).
+    *
+    * The cumulative-sum window runs over a single partition of
+    * `genomeLength` rows — the position axis is genome-bounded (10^3..10^5),
+    * not data-bounded, so this is safe at any row count.
+    */
+  def mutations(filtered: DataFrame, ref: String, minProportion: Double): DataFrame = {
+    val spark = filtered.sparkSession
+    val genomeLength = ref.length
+    val rl = SequenceModel.refLit(ref)
+
+    val mutCounts = filtered.select(explode(col("muts")).as("m"))
+      .groupBy(col("m.pos").as("position"), col("m.sym").as("mutation_to"))
+      .agg(count(lit(1)).as("count"))
+
+    val deltas = filtered.select(col("cov_start").as("pos"), lit(1L).as("d"))
+      .union(filtered.select((col("cov_end") + 1).as("pos"), lit(-1L).as("d")))
+      .groupBy("pos").agg(sum("d").as("d"))
+
+    val positions = spark.range(1, genomeLength + 1)
+      .select(col("id").cast("int").as("pos"))
+    val w = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    val covRaw = positions.join(deltas, Seq("pos"), "left")
+      .na.fill(0, Seq("d"))
+      .withColumn("covraw", sum("d").over(w))
+
+    val missCounts = filtered.select(explode(col("missing")).as("pos"))
+      .groupBy("pos").agg(count(lit(1)).as("miss"))
+
+    val cov = covRaw.join(missCounts, Seq("pos"), "left")
+      .na.fill(0, Seq("miss"))
+      .select(col("pos"), (col("covraw") - col("miss")).as("coverage"))
+
+    mutCounts.join(cov, col("position") === col("pos")).drop("pos")
+      .select(
+        col("position"),
+        element_at(rl, col("position")).as("mutation_from"),
+        col("mutation_to"),
+        col("count").cast("bigint").as("count"),
+        col("coverage").cast("bigint").as("coverage"),
+        round(col("count").cast("double") / col("coverage"), 4).as("proportion"))
+      .filter(col("proportion") >= minProportion)
+  }
+
+  /** `insertions()`: per distinct (position, inserted string): count over
+    * the filtered set (reference: operators/insertions_node.cpp).
+    * Expects an `ins: array<struct<pos:int, ins:string>>` column.
+    */
+  def insertions(filtered: DataFrame, insCol: String = "ins"): DataFrame =
+    filtered.select(explode(col(insCol)).as("i"))
+      .groupBy(col("i.pos").as("position"), col("i.ins").as("inserted_symbols"))
+      .agg(count(lit(1)).as("count"))
+}

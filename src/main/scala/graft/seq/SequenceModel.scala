@@ -1,0 +1,98 @@
+package graft.seq
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The diffed sequence representation — the heart of the reference re-cast
+  * for Spark (reference: src/silo/storage/column/sequence_column.h:59-170,
+  * documentation/developer/sequence_storage.md):
+  * aligned sequences are stored as DIFFS against a reference genome, never
+  * as full strings. Per row:
+  *
+  *   cov_start:int, cov_end:int           covered [start..end] (1-based,
+  *                                        inclusive; ≙ HorizontalCoverageIndex)
+  *   muts: array<struct<pos:int,sym:string>>   positions differing from ref
+  *                                        (≙ vertical sequence index entries)
+  *   missing: array<int>                  interior missing (N) positions
+  *
+  * At 100 TB this is the dominant-case compression: rows matching the
+  * reference at a position are implicit. All downstream operators
+  * (mutations(), position predicates, profile distance) run in
+  * O(|diffs|) per row — never O(rows × positions).
+  */
+object SequenceModel {
+
+  /** Literal array<string> of the reference's 1-based symbols. */
+  def refLit(ref: String): Column = {
+    val arr = ref.map(_.toString)
+    array(arr.map(lit): _*)
+  }
+
+  /** Diff a raw aligned-sequence string column against `ref` at ingest
+    * (≙ the reference's diff-at-insert, sequence_column.h:196-203).
+    *
+    * Implementation note: built from `zip_with`/`filter` whose array
+    * arguments are evaluated once per row; the only per-element work is
+    * char compare against a foldable literal array. `offset` supports
+    * short reads placed inside a longer reference (input_format.md offset).
+    */
+  def diff(
+      df: DataFrame,
+      seqCol: String,
+      ref: String,
+      missingSyms: Set[String] = Set(),
+      offset: Column = lit(0)): DataFrame = {
+    val chars = split(col(seqCol), "")
+    val rl = refLit(ref)
+    val zipped = zip_with(chars, sequence(lit(1), size(chars)),
+      (s, p) => struct((p + offset).as("pos"), s.as("sym")))
+    val missLit = array(missingSyms.toSeq.sorted.map(lit): _*)
+    val muts = filter(zipped, x =>
+      x.getField("sym") =!= element_at(rl, x.getField("pos")) &&
+        !array_contains(missLit, x.getField("sym")))
+    val missing = transform(
+      filter(zipped, x => array_contains(missLit, x.getField("sym"))),
+      x => x.getField("pos"))
+    df.withColumn("cov_start", (offset + 1).cast("int"))
+      .withColumn("cov_end", (offset + length(col(seqCol))).cast("int"))
+      .withColumn("muts", muts)
+      .withColumn("missing", missing)
+      .drop(seqCol)
+  }
+
+  /** Reconstruct the full sequence string from the diffed representation
+    * (≙ reconstructNonNullSequences, exec_node/table_scan.cpp:19-39) —
+    * used only for `project(main)`-style output, after limit.
+    */
+  def reconstruct(ref: String, missingSym: String = "N"): Column = {
+    val rl = refLit(ref)
+    val positions = sequence(col("cov_start"), col("cov_end"))
+    // per-position lookup maps from the diff/missing arrays
+    val mutMap = map_from_entries(col("muts"))
+    val missMap = map_from_entries(
+      transform(col("missing"), p => struct(p, lit(missingSym))))
+    array_join(
+      zip_with(positions, positions,
+        (p, _) => coalesce(
+          element_at(missMap, p), element_at(mutMap, p), element_at(rl, p))),
+      "")
+  }
+
+  /** Vertical-index analog: `mut_index(pos, sym, cnt)` pre-aggregated table
+    * (reference: vertical_sequence_index.h:19-101). Persist alongside the
+    * main table; count-only groupBys over positions answer from here
+    * (≙ BitmapAggregationRewritePass routing).
+    */
+  def mutIndex(diffed: DataFrame): DataFrame =
+    diffed.select(explode(col("muts")).as("m"))
+      .groupBy(col("m.pos").as("pos"), col("m.sym").as("sym"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Insertion-index analog over an `ins: array<struct<pos,ins>>` column
+    * (reference: insertion_index.h:17-95).
+    */
+  def insIndex(diffed: DataFrame, insCol: String = "ins"): DataFrame =
+    diffed.select(explode(col(insCol)).as("i"))
+      .groupBy(col("i.pos").as("pos"), col("i.ins").as("ins"))
+      .agg(count(lit(1)).as("cnt"))
+}

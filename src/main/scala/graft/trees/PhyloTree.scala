@@ -1,0 +1,93 @@
+package graft.trees
+
+import scala.collection.mutable
+
+/** Rooted phylogenetic tree attached to a string column — broadcast-sized
+  * (reference: src/silo/common/phylo_tree.h, string_column.h:37,
+  * documentation/phylogenetic_queries.md). Drives `phyloDescendantOf`
+  * (filter), `mostRecentCommonAncestor` and `phyloSubtree`
+  * (pipeline-breakers; operators/most_recent_common_ancestor_node.cpp,
+  * phylo_subtree_node.cpp).
+  *
+  * Tree operations run on the driver over the broadcast structure; only
+  * the (small, distinct) filtered key set is collected — the row scan
+  * itself stays distributed.
+  */
+final case class PhyloTree(parent: Map[String, String], root: String) {
+
+  val children: Map[String, Seq[String]] = {
+    val m = mutable.Map.empty[String, mutable.ListBuffer[String]]
+    for ((c, p) <- parent.toSeq.sortBy(_._1)) m.getOrElseUpdate(p, mutable.ListBuffer.empty) += c
+    m.view.mapValues(_.toList.sorted).toMap
+  }
+
+  def contains(n: String): Boolean = n == root || parent.contains(n)
+
+  def pathToRoot(n: String): List[String] = {
+    val b = mutable.ListBuffer(n)
+    var cur = n
+    while (cur != root) { cur = parent(cur); b += cur }
+    b.toList
+  }
+
+  def depth(n: String): Int = pathToRoot(n).length - 1
+
+  def descendants(n: String): Set[String] = {
+    val out = mutable.Set(n)
+    val stack = mutable.Stack(n)
+    while (stack.nonEmpty)
+      children.getOrElse(stack.pop(), Nil).foreach { c => out += c; stack.push(c) }
+    out.toSet
+  }
+
+  /** MRCA of the in-tree subset of `names`; None if none are in the tree.
+    * Returns (mrca, missingCount) (reference MRCA node output fields:
+    * mrcaNode, missingNodeCount).
+    */
+  def mrca(names: Set[String]): (Option[String], Int) = {
+    val inTree = names.filter(contains)
+    val missing = names.size - inTree.size
+    if (inTree.isEmpty) return (None, missing)
+    val paths = inTree.map(pathToRoot(_).reverse) // root-first
+    val minLen = paths.map(_.length).min
+    var i = 0
+    var last = root
+    var stop = false
+    while (i < minLen && !stop) {
+      val heads = paths.map(_(i))
+      if (heads.size == 1) { last = heads.head; i += 1 } else stop = true
+    }
+    (Some(last), missing)
+  }
+
+  /** Newick string of the induced subtree of `names` rooted at the tree
+    * root. `contractUnary` splices out internal pass-through nodes (a
+    * non-selected internal node with exactly one child in the induced
+    * subtree); the root is never contracted (reference:
+    * phylo_subtree_node.cpp, contractUnaryNodes option). Children are
+    * emitted in sorted label order for determinism.
+    */
+  def subtreeNewick(names: Set[String], contractUnary: Boolean = true): String = {
+    val keep = names.filter(contains).flatMap(pathToRoot(_)).toSet + root
+    def emit(n: String, isRoot: Boolean): Option[String] = {
+      val kids = children.getOrElse(n, Nil).filter(keep)
+        .flatMap(c => emit(c, isRoot = false))
+      kids match {
+        case Nil => Some(n)
+        case one :: Nil if contractUnary && !isRoot && !names.contains(n) => Some(one)
+        case ks  => Some(ks.sorted.mkString("(", ",", s")$n"))
+      }
+    }
+    emit(root, isRoot = true).getOrElse(root) + ";"
+  }
+}
+
+object PhyloTree {
+  /** Build from (child, parent) edges; the unique parentless node is root. */
+  def fromEdges(edges: Seq[(String, String)]): PhyloTree = {
+    val parent = edges.toMap
+    val roots = (parent.values.toSet -- parent.keySet).toSeq
+    require(roots.size == 1, s"expected a single root, got $roots")
+    PhyloTree(parent, roots.head)
+  }
+}
