@@ -63,6 +63,16 @@ object RelationalOps {
     */
   def isoWeek(c: Column): Column = weekofyear(c)
 
+  /** `updateColumn(table, column, literal, filter)` — scalar column update
+    * (reference: database.h:77-88, query_engine/scalar_column_update.cpp;
+    * restricted there to INT32/FLOAT/DATE32/BOOL). Spark-first this is a
+    * conditional projection followed by a versioned rewrite
+    * (graft.sources.NdjsonIngest.appendVersion) — MERGE semantics without
+    * mutating files in place.
+    */
+  def updateColumn(df: DataFrame, column: String, value: Column, where: Column): DataFrame =
+    df.withColumn(column, when(where, value).otherwise(col(column)))
+
   /** `schema(input)` pipeline-breaker (reference:
     * operators/schema_node.cpp): rows of {fieldName, type} using the
     * reference's type vocabulary (database_schema.h:20-31).

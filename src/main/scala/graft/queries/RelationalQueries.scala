@@ -373,6 +373,37 @@ object RelationalQueries {
         .orderBy("hr", "event_type")
     },
 
+    // ---- gap-based sessionization (streaming-shaped, batch-run) ----
+    QDef("q_events_sessions",
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id, us,
+        |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+        |       THEN 1 ELSE 0 END AS new_s,
+        |  event_id FROM e),
+        |s AS (SELECT user_id, us,
+        |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  CAST(max(us) - min(us) AS BIGINT) AS duration_us
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val cum = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "events")
+        .withColumn("us", expr("unix_micros(ts)"))
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_s")).over(cum).cast("int"))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("us")) - min(col("us"))).cast("bigint").as("duration_us"))
+        .orderBy("user_id", "session_id")
+    },
+
     // ---- semi-structured extraction from the events props JSON ----
     QDef("q_events_json",
       """SELECT user_id,

@@ -119,6 +119,19 @@ object SeqQueries {
         .orderBy("position", "inserted_symbols")
     },
 
+    // ---- mut_index routing: count-only groupBy answered from the
+    //      pre-aggregated vertical-index table (≙ BitmapAggregationRewrite) ----
+    QDef("q_seq_mutindex",
+      s"""WITH seqs AS (SELECT doc_id, $seqSql AS seq FROM documents),
+         |chars AS (SELECT doc_id, CAST(p AS INTEGER) AS p, substr(seq, p, 1) AS sym
+         |  FROM seqs, range(1, 61) r(p) WHERE p <= len(seq))
+         |SELECT p AS pos, sym, count(*) AS cnt FROM chars
+         |WHERE sym <> substr('$REF', p, 1) GROUP BY p, sym
+         |ORDER BY pos, sym""".stripMargin) { (s, dir) =>
+      graft.seq.SequenceModel.mutIndex(diffedDocs(s, dir, None))
+        .orderBy("pos", "sym")
+    },
+
     // ---- lineage(column, value, includeSublineages) over region→nation ----
     QDef("q_lineage_filter",
       """SELECT c_custkey FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** NDJSON ingest → versioned parquet, the append path of the engine
+  * (reference: src/silo/append/ndjson_line_reader.h, table_inserter.h,
+  * documentation/incremental_preprocessing.md:1-40).
+  *
+  * Spark-first mapping:
+  *  - simdjson streaming parse → `spark.read.schema(...).json` (schema
+  *    ENFORCED, not inferred — inference would scan twice and admit drift);
+  *  - `.zst`/`.xz` transparent decompress → Spark/Hadoop codec handling;
+  *  - duplicate-primary-key abort → distributed groupBy-count assertion
+  *    (reference validates PK uniqueness the same way, table.h:57);
+  *  - atomic all-or-nothing append → write to a NEW version directory and
+  *    only then update the `latest` pointer (≙ DataVersion dirs,
+  *    database.h:89-96). Readers resolve the pointer per query, so a
+  *    half-written version is never visible — the Spark analog of the
+  *    reference's directory-watcher hot swap.
+  */
+object NdjsonIngest {
+
+  final case class DuplicatePrimaryKey(keys: Seq[String])
+    extends RuntimeException(s"duplicate primary keys: ${keys.mkString(", ")}")
+
+  /** Read NDJSON with an enforced schema; malformed lines fail the job
+    * (mode FAILFAST ≙ the reference's append abort-on-error).
+    */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+  /** Validate PK uniqueness; throws DuplicatePrimaryKey listing a sample. */
+  def validatePrimaryKey(df: DataFrame, pk: String): Unit = {
+    val dups = df.groupBy(col(pk)).count().filter(col("count") > 1)
+      .select(col(pk).cast("string")).limit(10)
+      .collect().map(_.getString(0)).toSeq
+    if (dups.nonEmpty) throw DuplicatePrimaryKey(dups)
+  }
+
+  /** Append a batch as a new table version. Returns the new version id.
+    * Partitioned/sorted writes: callers cluster by their range column first
+    * (≙ clustered ingestion buffering, table_inserter.h:28-40 — row-group
+    * min/max stats then give the same chunk-skipping effect).
+    */
+  def appendVersion(df: DataFrame, tableDir: String, pk: String): Long = {
+    validatePrimaryKey(df, pk)
+    val fs = new java.io.File(tableDir)
+    fs.mkdirs()
+    val existing = Option(fs.list()).getOrElse(Array())
+      .filter(_.startsWith("v")).map(_.drop(1).toLong)
+    val next = if (existing.isEmpty) 1L else existing.max + 1
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/v$next")
+    // atomic pointer flip: write tmp then rename
+    val tmp = new java.io.File(tableDir, ".latest.tmp")
+    java.nio.file.Files.writeString(tmp.toPath, s"v$next")
+    tmp.renameTo(new java.io.File(tableDir, "latest"))
+    next
+  }
+
+  /** Resolve the current version directory for reads. */
+  def latestPath(tableDir: String): String = {
+    val p = java.nio.file.Paths.get(tableDir, "latest")
+    s"$tableDir/${java.nio.file.Files.readString(p).trim}"
+  }
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators over the events stream shape.
+  *
+  * The reference is batch-append only (SURVEY.md §3.2) — this is the
+  * beyond-reference streaming layer: the same transformations run on a
+  * static DataFrame (batch backfill) or a `readStream` source (live),
+  * which is exactly Spark's unified-batch-streaming contract. Watermarks
+  * bound state; at scale the groupBy shuffles on (window, key) and state
+  * lives in the state store per partition.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts with a lateness watermark. Works on both batch
+    * and streaming inputs.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value"))
+
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class SessionOut(user_id: Long, n_events: Long, duration_ms: Long)
+
+  /** Gap-based sessionization with explicit keyed state
+    * (`flatMapGroupsWithState` + event-time timeout): a session closes when
+    * no event arrives within `gapMs` of the last one (watermark-driven).
+    */
+  def sessionize(ds: Dataset[Ev], gapMs: Long): Dataset[SessionOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, events: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.n, s.last - s.start))
+          } else {
+            val sorted = events.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, s.n, s.last - s.start)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

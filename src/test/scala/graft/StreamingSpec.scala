@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Ev
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("hourlyCounts runs identically on a batch DataFrame") {
+    val df = Seq(
+      (ts(5), "click", 1.0), (ts(10), "click", 2.0), (ts(20), "view", 3.0))
+      .toDF("ts", "event_type", "value")
+    val out = EventStreams.hourlyCounts(df)
+      .select(col("event_type"), col("cnt"), col("sum_value"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(out === Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
+  }
+
+  test("hourlyCounts over a stream emits finalized windows") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStreams.hourlyCounts(
+      mem.toDF.toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("hc")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(5), "click", 1.0), (ts(10), "click", 2.0))
+      q.processAllAvailable()
+      // watermark still inside the 10:00 window → nothing finalized
+      assert(spark.table("hc").count() === 0)
+      // push watermark past 11:10 to close the 10:00-11:00 window
+      mem.addData((Timestamp.valueOf("2024-01-01 11:30:00"), "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("hc")
+        .select(col("event_type"), col("cnt")).as[(String, Long)].collect().toSet
+      assert(rows === Set(("click", 2L)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions on gap and on timeout") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.sessionize(
+      mem.toDS.withWatermark("ts", "0 seconds").as[Ev], gapMs = 10 * 60 * 1000)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(1L, ts(0), "a"), Ev(1L, ts(5), "a"))
+      q.processAllAvailable()
+      // same session, still open
+      assert(spark.table("sess").count() === 0)
+      // 40 min later → gap closes the first session in-batch
+      mem.addData(Ev(1L, ts(45), "a"))
+      q.processAllAvailable()
+      val rows = spark.table("sess")
+        .as[EventStreams.SessionOut].collect().toSet
+      assert(rows.exists(s => s.user_id == 1L && s.n_events == 2L &&
+        s.duration_ms == 5 * 60 * 1000))
+    } finally q.stop()
+  }
+}
