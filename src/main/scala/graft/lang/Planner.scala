@@ -1,0 +1,455 @@
+package graft.lang
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.lang.Ast._
+import graft.operators.RelationalOps
+import graft.seq.{Ambiguity, Mutations, SeqPredicates}
+import graft.trees.{LineageTree, PhyloTree}
+
+/** SaneQL → DataFrame planner — the analog of the reference's
+  * `ast_to_query.cpp` (AST → QueryNode) except the target IR is a Catalyst
+  * logical plan: each pipeline function is one DataFrame transformation,
+  * name/type resolution errors surface at plan construction (≙ the
+  * reference's CHECK_SILO_QUERY errors), and Catalyst's optimizer replaces
+  * the reference's rewrite passes (planner.cpp:54-71).
+  */
+object Planner {
+
+  final case class QueryError(msg: String) extends RuntimeException(msg)
+
+  /** Per-table sequence binding: the table carries diffed sequence columns
+    * (cov_start/cov_end/muts/missing[, ins]) for sequence `name` against
+    * reference `ref`.
+    */
+  final case class SeqConfig(ref: String, name: String = "main")
+
+  final case class Catalog(
+      tables: Map[String, DataFrame],
+      sequences: Map[String, SeqConfig] = Map(),
+      lineageTrees: Map[String, LineageTree] = Map(),
+      phyloTrees: Map[String, PhyloTree] = Map())
+
+  def plan(query: String, catalog: Catalog): DataFrame =
+    new Planner(catalog).planTable(Parser.parse(query)).df
+}
+
+final class Planner(catalog: Planner.Catalog) {
+  import Planner._
+
+  /** A pipeline value: the frame plus its origin table while the pipeline
+    * is still "a table or direct filters of a table" (the reference's
+    * validity precondition for mutations/insertions/MRCA/phyloSubtree).
+    */
+  final case class Tbl(df: DataFrame, origin: Option[String])
+
+  private def err(msg: String): Nothing = throw QueryError(msg)
+
+  def planTable(e: Expr): Tbl = e match {
+    case Ident(name) =>
+      catalog.tables.get(name).map(Tbl(_, Some(name)))
+        .getOrElse(err(s"unknown table '$name'"))
+    case Call(fn, pos, named) => pipelineFn(fn, pos, named)
+    case other => err(s"expected a table expression, got $other")
+  }
+
+  private def arg(pos: Seq[Expr], named: Seq[(String, Expr)], idx: Int,
+      name: String): Option[Expr] =
+    pos.lift(idx).orElse(named.collectFirst { case (`name`, v) => v })
+
+  private def intArg(e: Expr, what: String): Long = e match {
+    case IntLit(v) => v
+    case _ => err(s"$what must be an integer literal")
+  }
+
+  private def identSet(e: Expr, what: String): Seq[String] = e match {
+    case SetLit(items) => items.map {
+      case Ident(n) => n
+      case other => err(s"$what must contain column names, got $other")
+    }
+    case Ident(n) => Seq(n)
+    case other => err(s"$what must be a set of column names, got $other")
+  }
+
+  // ---------------------------------------------------------------- pipeline
+  private def pipelineFn(fn: String, pos: Seq[Expr], named: Seq[(String, Expr)]): Tbl = {
+    def input: Tbl = planTable(pos.headOption.getOrElse(err(s"$fn needs an input table")))
+    fn match {
+      case "filter" =>
+        val in = input
+        val pred = arg(pos, named, 1, "predicate")
+          .getOrElse(err("filter needs a predicate"))
+        Tbl(in.df.filter(scalar(pred, in.df, Ambiguity.ModeNone)), in.origin)
+
+      case "groupBy" =>
+        val in = input
+        val aggs = arg(pos, named, 1, "aggregates")
+          .getOrElse(err("groupBy needs aggregates")) match {
+          case RecordLit(items) => items.map {
+            case (n, Call("count", Seq(), Seq())) => count(lit(1)).as(n)
+            case (n, other) => err(s"unsupported aggregate for '$n': $other " +
+              "(only count() is supported)")
+          }
+          case other => err(s"groupBy aggregates must be a record, got $other")
+        }
+        val cols = arg(pos, named, 2, "columns")
+          .map(identSet(_, "groupBy columns")).getOrElse(Nil)
+        cols.foreach(c => resolve(c, in.df))
+        val out =
+          if (cols.isEmpty) in.df.agg(aggs.head, aggs.tail: _*)
+          else in.df.groupBy(cols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        Tbl(out, None)
+
+      case "project" =>
+        val in = input
+        val cols = identSet(arg(pos, named, 1, "fields")
+          .getOrElse(err("project needs fields")), "project fields")
+        cols.foreach(c => resolve(c, in.df))
+        Tbl(in.df.select(cols.map(col): _*), None)
+
+      case "map" =>
+        val in = input
+        val items = arg(pos, named, 1, "expressions")
+          .getOrElse(err("map needs expressions")) match {
+          case RecordLit(it) => it
+          case other => err(s"map expects a record, got $other")
+        }
+        val out = items.foldLeft(in.df) { case (d, (n, v)) =>
+          d.withColumn(n, scalar(v, d, Ambiguity.ModeNone))
+        }
+        Tbl(out, None)
+
+      case "orderBy" =>
+        val in = input
+        val fields = arg(pos, named, 1, "fields")
+          .getOrElse(err("orderBy needs fields")) match {
+          case SetLit(items) => items
+          case single => Seq(single)
+        }
+        val sorts = fields.map {
+          case Ident(n) => resolve(n, in.df).asc
+          case Call("asc", Seq(Ident(n)), _)  => resolve(n, in.df).asc
+          case Call("desc", Seq(Ident(n)), _) => resolve(n, in.df).desc
+          case other => err(s"orderBy field must be name/asc(name)/desc(name), got $other")
+        }
+        Tbl(in.df.orderBy(sorts: _*), in.origin)
+
+      case "limit" =>
+        val in = input
+        val n = intArg(arg(pos, named, 1, "count").getOrElse(err("limit needs a count")), "limit")
+        if (n <= 0) err("limit must be positive")
+        Tbl(in.df.limit(n.toInt), in.origin)
+
+      case "offset" =>
+        val in = input
+        val n = intArg(arg(pos, named, 1, "count").getOrElse(err("offset needs a count")), "offset")
+        Tbl(in.df.offset(n.toInt), in.origin)
+
+      case "randomize" =>
+        val in = input
+        val seed = arg(pos, named, 1, "seed").map(intArg(_, "seed")).getOrElse(42L)
+        // deterministic shuffle: hash of full row content + seed (the
+        // reference hashes the row ordinal — Spark has no stable ordinal, so
+        // content-hash gives the same reproducibility guarantee)
+        val k = xxhash64(in.df.columns.map(col) :+ lit(seed): _*)
+        Tbl(in.df.orderBy(k), in.origin)
+
+      case "schema" =>
+        Tbl(RelationalOps.schemaOf(input.df).withColumnRenamed("field_name", "fieldName")
+          .withColumnRenamed("field_type", "type"), None)
+
+      case "unionAll" =>
+        val l = input
+        val r = planTable(pos.lift(1).getOrElse(err("unionAll needs two tables")))
+        if (l.df.schema.map(f => (f.name, f.dataType)) !=
+            r.df.schema.map(f => (f.name, f.dataType)))
+          err("unionAll requires identical schemas (names, types, order)")
+        Tbl(l.df.union(r.df), None)
+
+      case "join" =>
+        val l = input
+        val r = planTable(pos.lift(1).getOrElse(err("join needs two tables")))
+        val overlap = l.df.columns.toSet & r.df.columns.toSet
+        if (overlap.nonEmpty) err(s"join requires disjoint column names; shared: ${overlap.mkString(", ")}")
+        val onExpr = arg(pos, named, 2, "on").getOrElse(err("join needs an 'on' condition"))
+        val joined = l.df.crossJoin(r.df) // only for resolution; rebuilt below
+        val cond = scalar(onExpr, joined, Ambiguity.ModeNone)
+        val jt = arg(pos, named, 3, "type").map {
+          case StringLit(s) => s
+          case other => err(s"join type must be a string, got $other")
+        }.getOrElse("inner")
+        val sparkType = Map(
+          "inner" -> "inner", "left" -> "left_outer", "right" -> "right_outer",
+          "full" -> "full_outer", "leftSemi" -> "left_semi",
+          "rightSemi" -> "right_semi_swapped", "leftAnti" -> "left_anti",
+          "rightAnti" -> "right_anti_swapped")
+          .getOrElse(jt, err(s"unknown join type '$jt'"))
+        val out = sparkType match {
+          case "right_semi_swapped" => r.df.join(l.df, cond, "left_semi")
+          case "right_anti_swapped" => r.df.join(l.df, cond, "left_anti")
+          case t => l.df.join(r.df, cond, t)
+        }
+        Tbl(out, None)
+
+      case "mutations" | "aminoAcidMutations" =>
+        val in = input
+        val cfg = seqConfig(in, fn)
+        val minProp = arg(pos, named, 1, "minProportion") match {
+          case Some(FloatLit(v)) => v
+          case Some(IntLit(v)) => v.toDouble
+          case _ => err(s"$fn needs minProportion")
+        }
+        val base = Mutations.mutations(in.df, cfg.ref, minProp)
+          .select(
+            col("mutation_from").as("mutationFrom"),
+            col("mutation_to").as("mutationTo"),
+            col("position"),
+            lit(cfg.name).as("sequenceName"),
+            col("proportion"), col("coverage"), col("count"))
+        val fields = arg(pos, named, 3, "fields").map(identSet(_, "fields"))
+        Tbl(fields.map(fs => base.select(fs.map(col): _*)).getOrElse(base), None)
+
+      case "insertions" | "aminoAcidInsertions" =>
+        val in = input
+        val cfg = seqConfig(in, fn)
+        if (!in.df.columns.contains("ins")) err(s"$fn: table has no insertion data")
+        Tbl(Mutations.insertions(in.df)
+          .select(col("inserted_symbols").as("insertedSymbols"),
+            col("position"), lit(cfg.name).as("sequenceName"), col("count")), None)
+
+      case "mostRecentCommonAncestor" =>
+        val in = input
+        val (tree, column) = phyloOf(pos, named, in)
+        val names = distinctValues(in.df, column)
+        val (m, missing) = tree.mrca(names)
+        val spark = in.df.sparkSession
+        import spark.implicits._
+        Tbl(Seq((m.orNull, missing.toLong)).toDF("mrcaNode", "missingNodeCount"), None)
+
+      case "phyloSubtree" =>
+        val in = input
+        val (tree, column) = phyloOf(pos, named, in)
+        val contract = arg(pos, named, 2, "contractUnaryNodes").forall {
+          case BoolLit(b) => b
+          case _ => err("contractUnaryNodes must be a boolean")
+        }
+        val names = distinctValues(in.df, column)
+        val spark = in.df.sparkSession
+        import spark.implicits._
+        Tbl(Seq(tree.subtreeNewick(names, contract)).toDF("newick"), None)
+
+      case other =>
+        err(s"unknown pipeline function '$other'")
+    }
+  }
+
+  private def seqConfig(in: Tbl, fn: String): SeqConfig =
+    in.origin.flatMap(catalog.sequences.get)
+      .getOrElse(err(s"$fn is only valid on a table (or direct filters of one) " +
+        "with sequence data"))
+
+  private def phyloOf(pos: Seq[Expr], named: Seq[(String, Expr)], in: Tbl): (PhyloTree, String) = {
+    val column = arg(pos, named, 1, "column") match {
+      case Some(StringLit(s)) => s
+      case Some(Ident(s)) => s
+      case _ => err("expected a tree column name")
+    }
+    resolve(column, in.df)
+    (catalog.phyloTrees.getOrElse(column, err(s"column '$column' has no phylogenetic tree")), column)
+  }
+
+  private def distinctValues(df: DataFrame, column: String): Set[String] =
+    df.select(column).distinct().collect()
+      .flatMap(r => Option(r.getString(0))).toSet
+
+  // ---------------------------------------------------------------- scalars
+  private def resolve(name: String, df: DataFrame): Column =
+    if (df.columns.contains(name)) col(name)
+    else err(s"unknown column '$name' (have: ${df.columns.mkString(", ")})")
+
+  private def literal(e: Expr): Column = e match {
+    case IntLit(v) => if (v >= Int.MinValue && v <= Int.MaxValue) lit(v.toInt) else lit(v)
+    case FloatLit(v) => lit(v)
+    case StringLit(v) => lit(v)
+    case BoolLit(v) => lit(v)
+    case NullLit => lit(null)
+    case Cast(StringLit(s), "date") => to_date(lit(s))
+    case other => err(s"expected a literal, got $other")
+  }
+
+  private def scalar(e: Expr, df: DataFrame, mode: Ambiguity.Mode): Column = e match {
+    case Ident(n) => resolve(n, df)
+    case _: IntLit | _: FloatLit | _: StringLit | _: BoolLit | NullLit | _: Cast =>
+      literal(e)
+    case Not(x) => !scalar(x, df, Ambiguity.invert(mode))
+    case Binary("&&", l, r) => scalar(l, df, mode) && scalar(r, df, mode)
+    case Binary("||", l, r) => scalar(l, df, mode) || scalar(r, df, mode)
+    case Binary(op, Ident(n), r) =>
+      val c = resolve(n, df)
+      def rhs: Column = r match {
+        case Ident(m) => resolve(m, df) // column-to-column (join conditions)
+        case v => literal(v)
+      }
+      (op, r) match {
+        case ("=", NullLit)  => c.isNull
+        case ("<>", NullLit) => c.isNotNull
+        case ("=", _)  => c === rhs
+        case ("<>", _) => c =!= rhs
+        case ("<", _)  => c < rhs
+        case ("<=", _) => c <= rhs
+        case (">", _)  => c > rhs
+        case (">=", _) => c >= rhs
+        case _ => err(s"unsupported comparison $op")
+      }
+    case Binary(op, l, _) =>
+      err(s"left side of '$op' must be a column identifier, got $l")
+    case Call(fn, pos, named) => scalarFn(fn, pos, named, df, mode)
+    case other => err(s"unsupported expression $other")
+  }
+
+  private def stringItems(e: Expr): Seq[String] = e match {
+    case SetLit(items) => items.map {
+      case StringLit(s) => s
+      case other => err(s"expected string literals in set, got $other")
+    }
+    case other => err(s"expected a set, got $other")
+  }
+
+  private def scalarFn(fn: String, pos: Seq[Expr], named: Seq[(String, Expr)],
+      df: DataFrame, mode: Ambiguity.Mode): Column = {
+    def a(idx: Int, name: String): Option[Expr] = arg(pos, named, idx, name)
+    fn match {
+      case "at" =>
+        (a(0, "input"), a(1, "position")) match {
+          case (Some(Ident(c)), Some(IntLit(p))) =>
+            RelationalOps.at(resolve(c, df), p.toInt)
+          case _ => err("at(column, position) expects a column and an integer")
+        }
+      case "isoWeek" => a(0, "input") match {
+        case Some(Ident(c)) => RelationalOps.isoWeek(resolve(c, df))
+        case _ => err("isoWeek(column) expects a column")
+      }
+      case "between" =>
+        val c = a(0, "column") match {
+          case Some(Ident(n)) => resolve(n, df)
+          case _ => err("between(column, from, to) expects a column")
+        }
+        val from = a(1, "from").getOrElse(NullLit)
+        val to = a(2, "to").getOrElse(NullLit)
+        val dt = df.schema(a(0, "column").collect { case Ident(n) => n }.get).dataType
+        def bound(e: Expr): Option[Column] =
+          if (e == NullLit) None else Some(literal(e))
+        dt match {
+          case DoubleType | FloatType =>
+            // float between: from-inclusive, to-EXCLUSIVE (reference
+            // query_documentation.md:504)
+            bound(from).map(c >= _).getOrElse(lit(true)) &&
+              bound(to).map(c < _).getOrElse(lit(true))
+          case _ =>
+            bound(from).map(c >= _).getOrElse(lit(true)) &&
+              bound(to).map(c <= _).getOrElse(lit(true))
+        }
+      case "in" =>
+        (a(0, "column"), a(1, "values")) match {
+          case (Some(Ident(c)), Some(s)) =>
+            resolve(c, df).isin(stringItems(s): _*)
+          case _ => err("in(column, {values}) expects a column and a set")
+        }
+      case "like" =>
+        (a(0, "column"), a(1, "pattern")) match {
+          case (Some(Ident(c)), Some(StringLit(p))) => resolve(c, df).rlike(p)
+          case _ => err("like(column, pattern) expects a column and a regex string")
+        }
+      case "isNull" => a(0, "column") match {
+        case Some(Ident(c)) => resolve(c, df).isNull
+        case _ => err("isNull(column) expects a column")
+      }
+      case "nOf" =>
+        val k = a(0, "count").map(intArg(_, "nOf count"))
+          .getOrElse(err("nOf needs a count")).toInt
+        val children = a(1, "children") match {
+          case Some(SetLit(items)) => items.map(scalar(_, df, mode))
+          case _ => err("nOf needs a set of predicates")
+        }
+        val exactly = arg(pos, named, 2, "matchExactly").exists {
+          case BoolLit(b) => b
+          case _ => err("matchExactly must be a boolean")
+        }
+        RelationalOps.nOf(k, children, exactly)
+      case "maybe" => scalar(pos.headOption.getOrElse(err("maybe needs a child")),
+        df, Ambiguity.ModeMaybe)
+      case "exact" => scalar(pos.headOption.getOrElse(err("exact needs a child")),
+        df, Ambiguity.ModeExact)
+      case "nucleotideEquals" | "aminoAcidEquals" =>
+        val cfg = seqCfgForPredicate(fn)
+        val p = a(0, "position").map(intArg(_, "position"))
+          .getOrElse(err(s"$fn needs a position")).toInt
+        val sym = a(1, "symbol") match {
+          case Some(StringLit(s)) if s.length == 1 => s.head
+          case _ => err(s"$fn needs a single-character symbol")
+        }
+        val codes = if (fn == "nucleotideEquals") Ambiguity.nucCodesFor
+                    else Ambiguity.aaCodesFor
+        if (sym == '.') SeqPredicates.symbolEquals(p, ".", cfg.ref)
+        else SeqPredicates.symbolEqualsMode(p, sym, cfg.ref, codes, mode)
+      case "hasMutation" | "hasAAMutation" =>
+        val p = a(0, "position").map(intArg(_, "position"))
+          .getOrElse(err(s"$fn needs a position")).toInt
+        SeqPredicates.hasMutation(p)
+      case "insertionContains" | "aminoAcidInsertionContains" =>
+        val p = a(0, "position").map(intArg(_, "position"))
+          .getOrElse(err(s"$fn needs a position")).toInt
+        val v = a(1, "value") match {
+          case Some(StringLit(s)) => s
+          case _ => err(s"$fn needs a pattern string")
+        }
+        SeqPredicates.insertionContains(p, v)
+      case "lineage" =>
+        val column = a(0, "column") match {
+          case Some(Ident(c)) => c
+          case _ => err("lineage needs a column")
+        }
+        val value = a(1, "value") match {
+          case Some(StringLit(s)) => s
+          case _ => err("lineage needs a value string")
+        }
+        val includeSub = arg(pos, named, 2, "includeSublineages").exists {
+          case BoolLit(b) => b
+          case _ => err("includeSublineages must be a boolean")
+        }
+        val m = arg(pos, named, 3, "recombinantFollowingMode").map {
+          case StringLit("doNotFollow") => LineageTree.DoNotFollow
+          case StringLit("alwaysFollow") => LineageTree.AlwaysFollow
+          case StringLit("followIfFullyContainedInClade") => LineageTree.FollowIfFullyContained
+          case other => err(s"unknown recombinantFollowingMode $other")
+        }.getOrElse(LineageTree.DoNotFollow)
+        val tree = catalog.lineageTrees
+          .getOrElse(column, err(s"column '$column' has no lineage tree"))
+        val c = resolve(column, df)
+        if (!includeSub) c === value
+        else c.isin(tree.descendants(value, m).toSeq.sorted: _*)
+      case "phyloDescendantOf" =>
+        val column = a(0, "column") match {
+          case Some(Ident(c)) => c
+          case _ => err("phyloDescendantOf needs a column")
+        }
+        val node = a(1, "node") match {
+          case Some(StringLit(s)) => s
+          case _ => err("phyloDescendantOf needs a node name")
+        }
+        val tree = catalog.phyloTrees
+          .getOrElse(column, err(s"column '$column' has no phylogenetic tree"))
+        resolve(column, df).isin(tree.descendants(node).toSeq.sorted: _*)
+      case "count" => err("count() is only valid inside groupBy aggregates")
+      case other => err(s"unknown function '$other'")
+    }
+  }
+
+  /** Sequence predicates need the ref of the table being filtered; the
+    * single-sequence Catalog carries at most one distinct ref in round 1.
+    */
+  private def seqCfgForPredicate(fn: String): SeqConfig =
+    catalog.sequences.values.headOption
+      .getOrElse(err(s"$fn requires a table with sequence data"))
+}

@@ -373,6 +373,20 @@ object RelationalQueries {
         .orderBy("hr", "event_type")
     },
 
+    // ---- SaneQL front-end end-to-end: text → parse → plan → execute ----
+    QDef("q_saneql_pipeline",
+      """SELECT l_linestatus, count(*) AS cnt FROM lineitem
+        |WHERE l_returnflag = 'A' AND l_quantity < 10
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+      val catalog = graft.lang.Planner.Catalog(
+        tables = Tables.names.map(n => n -> Tables.load(s, dir, n)).toMap)
+      graft.lang.Planner.plan(
+        """lineitem
+          |  .filter(l_returnflag = 'A' && l_quantity < 10)
+          |  .groupBy({cnt := count()}, {l_linestatus})
+          |  .orderBy({l_linestatus})""".stripMargin, catalog)
+    },
+
     // ---- gap-based sessionization (streaming-shaped, batch-run) ----
     QDef("q_events_sessions",
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.lang.{Parser, Planner}
+import graft.lang.Planner.{Catalog, QueryError, SeqConfig}
+import graft.seq.SequenceModel
+import graft.trees.{LineageTree, PhyloTree}
+
+class SaneQLSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val meta = Seq(
+    ("k1", "Switzerland", 25, 0.9, "B.1.1.7", "n1"),
+    ("k2", "Switzerland", 40, 0.5, "B.1.1", "n2"),
+    ("k3", "Germany", 30, 0.7, "B.1.1.7", "n3"),
+    ("k4", "Germany", 55, 0.2, "XA", "n1"),
+    ("k5", "USA", 33, 0.95, "B.1", "n2"))
+    .toDF("primary_key", "country", "age", "qc_value", "pango_lineage", "tree_node")
+
+  val ref = "ACGTACGT"
+  lazy val seqTable = SequenceModel.diff(
+    Seq(("k1", "ACGTACGT"), ("k2", "TCGTACGT"), ("k3", "ACCTACGT"))
+      .toDF("primary_key", "seq"), "seq", ref, missingSyms = Set("N"))
+
+  lazy val lineageTree = LineageTree(Map(
+    "B.1" -> Seq("B"), "B.1.1" -> Seq("B.1"), "B.1.1.7" -> Seq("B.1.1"),
+    "XA" -> Seq("B.1.1.7", "B.1")))
+
+  lazy val phylo = PhyloTree.fromEdges(Seq(
+    "n1" -> "r1", "n2" -> "r1", "n3" -> "root", "r1" -> "root"))
+
+  lazy val catalog = Catalog(
+    tables = Map("default" -> meta, "seqs" -> seqTable),
+    sequences = Map("seqs" -> SeqConfig(ref)),
+    lineageTrees = Map("pango_lineage" -> lineageTree),
+    phyloTrees = Map("tree_node" -> phylo))
+
+  def run(q: String) = Planner.plan(q, catalog)
+
+  test("filter + groupBy count pipeline (the M0 slice)") {
+    val out = run("""default
+      .filter(country = 'Switzerland')
+      .groupBy({count := count()})""").as[Long].head()
+    assert(out === 2L)
+  }
+
+  test("grouped count with columns, null keys allowed") {
+    val out = run("default.groupBy({n := count()}, {country}).orderBy({country})")
+      .as[(String, Long)].collect()
+    assert(out.toSeq === Seq(("Germany", 2L), ("Switzerland", 2L), ("USA", 1L)))
+  }
+
+  test("project, map with literals/field refs/at, orderBy desc, limit/offset") {
+    val out = run("""default
+      .map({second := primary_key.at(2), cohort := 'A'})
+      .project({primary_key, second, cohort, age})
+      .orderBy({desc(age)})
+      .offset(1)
+      .limit(2)""").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("k2", "k5"))
+    assert(out.head.getString(1) === "2")
+    assert(out.head.getString(2) === "A")
+  }
+
+  test("comparisons, boolean algebra, between float asymmetry, in, like") {
+    assert(run("default.filter(age > 30 && qc_value <= 0.7)").count() === 2)
+    // float between: to-bound exclusive → 0.9 excluded
+    assert(run("default.filter(between(qc_value, 0.5, 0.9))").count() === 2)
+    assert(run("default.filter(in(country, {'USA','Germany'}))").count() === 3)
+    assert(run("default.filter(like(primary_key, 'k[12]'))").count() === 2)
+    assert(run("default.filter(!(country = 'USA'))").count() === 4)
+    assert(run("default.filter(country <> null)").count() === 5)
+  }
+
+  test("nOf threshold") {
+    assert(run(
+      "default.filter(nOf(2, {age > 30, qc_value > 0.6, country = 'Germany'}))")
+      .count() === 3)
+  }
+
+  test("lineage filter with and without sublineages; recombinant modes") {
+    assert(run("default.filter(lineage(pango_lineage, 'B.1.1', includeSublineages := false))")
+      .count() === 1)
+    assert(run("default.filter(lineage(pango_lineage, 'B.1.1', includeSublineages := true))")
+      .count() === 3) // k2 B.1.1 + k1,k3 B.1.1.7 — XA is recombinant, not followed
+    assert(run("""default.filter(lineage(pango_lineage, 'B.1.1',
+        includeSublineages := true, recombinantFollowingMode := 'alwaysFollow'))""")
+      .count() === 4) // + XA
+  }
+
+  test("phyloDescendantOf and MRCA/subtree pipeline-breakers") {
+    assert(run("default.filter(phyloDescendantOf(tree_node, 'r1'))").count() === 4)
+    val m = run("default.filter(country = 'Switzerland').mostRecentCommonAncestor('tree_node')")
+      .collect().head
+    assert(m.getString(0) === "r1")
+    assert(m.getLong(1) === 0L)
+    val nw = run("default.phyloSubtree('tree_node')").as[String].head()
+    assert(nw === "((n1,n2)r1,n3)root;")
+  }
+
+  test("sequence predicates and mutations() through SaneQL") {
+    assert(run("seqs.filter(nucleotideEquals(1, 'T'))").count() === 1)
+    assert(run("seqs.filter(nucleotideEquals(1, '.'))").count() === 2)
+    assert(run("seqs.filter(hasMutation(3))").count() === 1)
+    assert(run("seqs.filter(maybe(nucleotideEquals(1, 'W')))").count() === 3) // W={A,T}
+    val muts = run("seqs.mutations(minProportion := 0.1)")
+      .select("position", "mutationTo", "count").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(muts === Set((1, "T", 1L), (3, "C", 1L)))
+  }
+
+  test("join with disjoint columns; unionAll schema check") {
+    val other = Seq(("Switzerland", "CH"), ("Germany", "DE")).toDF("cname", "code")
+    val cat2 = catalog.copy(tables = catalog.tables + ("codes" -> other))
+    val out = Planner.plan(
+      "default.join(codes, country = cname, type := 'inner').project({primary_key, code})",
+      cat2)
+    assert(out.count() === 4)
+    intercept[QueryError] {
+      Planner.plan("default.unionAll(codes)", cat2)
+    }
+  }
+
+  test("resolution and syntax errors are typed") {
+    intercept[QueryError] { run("default.filter(nope = 1)") }
+    intercept[QueryError] { run("nosuchtable.limit(1)") }
+    intercept[QueryError] { run("default.groupBy({x := sum(age)})") }
+    intercept[QueryError] { run("default.mutations(minProportion := 0.1)") }
+    intercept[Parser.ParseError] { Parser.parse("default.filter(") }
+    intercept[Parser.ParseError] { Parser.parse("default.limit(1) extra") }
+    // named-before-positional rejection
+    intercept[Parser.ParseError] { Parser.parse("default.f(a := 1, 2)") }
+  }
+
+  test("randomize is deterministic per seed") {
+    val a = run("default.randomize(seed := 7)").collect().map(_.getString(0)).toSeq
+    val b = run("default.randomize(seed := 7)").collect().map(_.getString(0)).toSeq
+    val c = run("default.randomize(seed := 8)").collect().map(_.getString(0)).toSeq
+    assert(a === b)
+    assert(a !== c)
+  }
+}
