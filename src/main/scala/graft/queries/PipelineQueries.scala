@@ -250,6 +250,19 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- multimodal plumbing: opaque binary payload + derived features ----
+    QDef("q_multimodal_features",
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |  md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("blob", encode(col("text"), "UTF-8"))
+        .select(col("doc_id"),
+          octet_length(col("blob")).cast("int").as("byte_len"),
+          md5(col("text")).as("checksum"))
+        .orderBy("doc_id")
+    },
+
     // ---- vector norms (basic embedding op) ----
     QDef("q_embed_norm",
       s"""SELECT vec_id, round(${normSqlV("embedding")}, 6) AS norm
