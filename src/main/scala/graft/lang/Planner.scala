@@ -19,15 +19,16 @@ object Planner {
 
   final case class QueryError(msg: String) extends RuntimeException(msg)
 
-  /** Per-table sequence binding: the table carries diffed sequence columns
-    * (cov_start/cov_end/muts/missing[, ins]) for sequence `name` against
-    * reference `ref`.
+  /** One sequence bound to a table: diffed columns named
+    * `<prefix>cov_start/<prefix>cov_end/<prefix>muts/<prefix>missing`
+    * (and optionally `<prefix>ins`) against reference `ref`.
     */
-  final case class SeqConfig(ref: String, name: String = "main")
+  final case class SeqBinding(ref: String, prefix: String = "",
+      isAminoAcid: Boolean = false)
 
   final case class Catalog(
       tables: Map[String, DataFrame],
-      sequences: Map[String, SeqConfig] = Map(),
+      sequences: Map[String, Map[String, SeqBinding]] = Map(),
       lineageTrees: Map[String, LineageTree] = Map(),
       phyloTrees: Map[String, PhyloTree] = Map())
 
@@ -105,8 +106,17 @@ final class Planner(catalog: Planner.Catalog) {
         val in = input
         val cols = identSet(arg(pos, named, 1, "fields")
           .getOrElse(err("project needs fields")), "project fields")
-        cols.foreach(c => resolve(c, in.df))
-        Tbl(in.df.select(cols.map(col): _*), None)
+        val bindings = in.origin.flatMap(catalog.sequences.get).getOrElse(Map())
+        val exprs = cols.map { c =>
+          bindings.get(c) match {
+            // aligned sequence column: reconstruct from the diff
+            // representation (decompress-last — ≙ MapPullupPass motivation)
+            case Some(b) if !in.df.columns.contains(c) =>
+              graft.seq.SequenceModel.reconstruct(b.ref, prefix = b.prefix).as(c)
+            case _ => resolve(c, in.df)
+          }
+        }
+        Tbl(in.df.select(exprs: _*), None)
 
       case "map" =>
         val in = input
@@ -194,57 +204,96 @@ final class Planner(catalog: Planner.Catalog) {
 
       case "mutations" | "aminoAcidMutations" =>
         val in = input
-        val cfg = seqConfig(in, fn)
+        val wantAa = fn == "aminoAcidMutations"
+        val all = seqBindings(in, fn).filter(_._2.isAminoAcid == wantAa)
+        if (all.isEmpty) err(s"$fn: no ${if (wantAa) "amino acid" else "nucleotide"} sequences")
         val minProp = arg(pos, named, 1, "minProportion") match {
           case Some(FloatLit(v)) => v
           case Some(IntLit(v)) => v.toDouble
           case _ => err(s"$fn needs minProportion")
         }
-        val base = Mutations.mutations(in.df, cfg.ref, minProp)
-          .select(
-            col("mutation_from").as("mutationFrom"),
-            col("mutation_to").as("mutationTo"),
-            col("position"),
-            lit(cfg.name).as("sequenceName"),
-            col("proportion"), col("coverage"), col("count"))
+        val chosen = arg(pos, named, 2, "sequenceNames")
+          .map(identSet(_, "sequenceNames")) match {
+          case Some(names) =>
+            names.map(n => n -> all.getOrElse(n, err(s"unknown sequence '$n'")))
+          case None => all.toSeq.sortBy(_._1)
+        }
+        val base = chosen.map { case (name, b) =>
+          Mutations.mutations(in.df, b.ref, minProp, b.prefix)
+            .select(
+              col("mutation_from").as("mutationFrom"),
+              col("mutation_to").as("mutationTo"),
+              col("position"),
+              lit(name).as("sequenceName"),
+              col("proportion"), col("coverage"), col("count"))
+        }.reduce(_ union _)
         val fields = arg(pos, named, 3, "fields").map(identSet(_, "fields"))
         Tbl(fields.map(fs => base.select(fs.map(col): _*)).getOrElse(base), None)
 
       case "insertions" | "aminoAcidInsertions" =>
         val in = input
-        val cfg = seqConfig(in, fn)
-        if (!in.df.columns.contains("ins")) err(s"$fn: table has no insertion data")
-        Tbl(Mutations.insertions(in.df)
-          .select(col("inserted_symbols").as("insertedSymbols"),
-            col("position"), lit(cfg.name).as("sequenceName"), col("count")), None)
+        val wantAa = fn == "aminoAcidInsertions"
+        val all = seqBindings(in, fn).filter(_._2.isAminoAcid == wantAa)
+        val chosen = arg(pos, named, 1, "sequenceNames")
+          .map(identSet(_, "sequenceNames")) match {
+          case Some(names) =>
+            names.map(n => n -> all.getOrElse(n, err(s"unknown sequence '$n'")))
+          case None => all.toSeq.sortBy(_._1)
+        }
+        val withIns = chosen.filter { case (_, b) =>
+          in.df.columns.contains(s"${b.prefix}ins") }
+        if (withIns.isEmpty) err(s"$fn: table has no insertion data")
+        Tbl(withIns.map { case (name, b) =>
+          Mutations.insertions(in.df, s"${b.prefix}ins")
+            .select(col("inserted_symbols").as("insertedSymbols"),
+              col("position"), lit(name).as("sequenceName"), col("count"))
+        }.reduce(_ union _), None)
 
       case "mostRecentCommonAncestor" =>
         val in = input
         val (tree, column) = phyloOf(pos, named, in)
+        val printMissing = arg(pos, named, 2, "printNodesNotInTree").exists {
+          case BoolLit(b) => b
+          case _ => err("printNodesNotInTree must be a boolean")
+        }
         val names = distinctValues(in.df, column)
         val (m, missing) = tree.mrca(names)
         val spark = in.df.sparkSession
         import spark.implicits._
-        Tbl(Seq((m.orNull, missing.toLong)).toDF("mrcaNode", "missingNodeCount"), None)
+        if (printMissing) {
+          val missingNames = names.filterNot(tree.contains).toSeq.sorted
+          Tbl(Seq((m.orNull, missing.toLong, missingNames))
+            .toDF("mrcaNode", "missingNodeCount", "missingFromTree"), None)
+        } else
+          Tbl(Seq((m.orNull, missing.toLong)).toDF("mrcaNode", "missingNodeCount"), None)
 
       case "phyloSubtree" =>
         val in = input
         val (tree, column) = phyloOf(pos, named, in)
-        val contract = arg(pos, named, 2, "contractUnaryNodes").forall {
-          case BoolLit(b) => b
-          case _ => err("contractUnaryNodes must be a boolean")
-        }
+        val contract = arg(pos, named, 3, "contractUnaryNodes")
+          .orElse(named.collectFirst { case ("contractUnaryNodes", v) => v })
+          .forall {
+            case BoolLit(b) => b
+            case _ => err("contractUnaryNodes must be a boolean")
+          }
+        val printMissing = named.collectFirst {
+          case ("printNodesNotInTree", BoolLit(b)) => b
+        }.getOrElse(false)
         val names = distinctValues(in.df, column)
         val spark = in.df.sparkSession
         import spark.implicits._
-        Tbl(Seq(tree.subtreeNewick(names, contract)).toDF("newick"), None)
+        val nw = tree.subtreeNewick(names, contract)
+        if (printMissing) {
+          val missing = names.filterNot(tree.contains).toSeq.sorted
+          Tbl(Seq((nw, missing)).toDF("subtreeNewick", "nodesNotInTree"), None)
+        } else Tbl(Seq(nw).toDF("subtreeNewick"), None)
 
       case other =>
         err(s"unknown pipeline function '$other'")
     }
   }
 
-  private def seqConfig(in: Tbl, fn: String): SeqConfig =
+  private def seqBindings(in: Tbl, fn: String): Map[String, SeqBinding] =
     in.origin.flatMap(catalog.sequences.get)
       .getOrElse(err(s"$fn is only valid on a table (or direct filters of one) " +
         "with sequence data"))
@@ -358,12 +407,19 @@ final class Planner(catalog: Planner.Catalog) {
         }
       case "like" =>
         (a(0, "column"), a(1, "pattern")) match {
-          case (Some(Ident(c)), Some(StringLit(p))) => resolve(c, df).rlike(p)
+          case (Some(Ident(c)), Some(StringLit(p))) =>
+            if (df.schema(c).dataType != StringType)
+              err(s"the column '$c' is not of type string")
+            resolve(c, df).rlike(p)
           case _ => err("like(column, pattern) expects a column and a regex string")
         }
       case "isNull" => a(0, "column") match {
         case Some(Ident(c)) => resolve(c, df).isNull
         case _ => err("isNull(column) expects a column")
+      }
+      case "isNotNull" => a(0, "column") match {
+        case Some(Ident(c)) => resolve(c, df).isNotNull
+        case _ => err("isNotNull(column) expects a column")
       }
       case "nOf" =>
         val k = a(0, "count").map(intArg(_, "nOf count"))
@@ -382,29 +438,39 @@ final class Planner(catalog: Planner.Catalog) {
       case "exact" => scalar(pos.headOption.getOrElse(err("exact needs a child")),
         df, Ambiguity.ModeExact)
       case "nucleotideEquals" | "aminoAcidEquals" =>
-        val cfg = seqCfgForPredicate(fn)
+        val wantAa = fn == "aminoAcidEquals"
+        val b = bindingFor(fn, a(2, "sequenceName"), wantAa)
         val p = a(0, "position").map(intArg(_, "position"))
           .getOrElse(err(s"$fn needs a position")).toInt
         val sym = a(1, "symbol") match {
           case Some(StringLit(s)) if s.length == 1 => s.head
           case _ => err(s"$fn needs a single-character symbol")
         }
-        val codes = if (fn == "nucleotideEquals") Ambiguity.nucCodesFor
-                    else Ambiguity.aaCodesFor
-        if (sym == '.') SeqPredicates.symbolEquals(p, ".", cfg.ref)
-        else SeqPredicates.symbolEqualsMode(p, sym, cfg.ref, codes, mode)
+        if (p < 1 || p > b.ref.length) err(s"$fn: position $p out of range")
+        val codes = if (wantAa) Ambiguity.aaCodesFor else Ambiguity.nucCodesFor
+        if (sym == '.') SeqPredicates.symbolEquals(p, ".", b.ref, b.prefix)
+        else SeqPredicates.symbolEqualsMode(p, sym, b.ref, codes, mode, b.prefix)
       case "hasMutation" | "hasAAMutation" =>
+        val b = bindingFor(fn, a(1, "sequenceName"), fn == "hasAAMutation")
         val p = a(0, "position").map(intArg(_, "position"))
           .getOrElse(err(s"$fn needs a position")).toInt
-        SeqPredicates.hasMutation(p)
+        if (p < 1 || p > b.ref.length) err(s"$fn: position $p out of range")
+        SeqPredicates.hasMutation(p, b.prefix)
       case "insertionContains" | "aminoAcidInsertionContains" =>
+        val b = bindingFor(fn, a(2, "sequenceName"),
+          fn == "aminoAcidInsertionContains")
         val p = a(0, "position").map(intArg(_, "position"))
           .getOrElse(err(s"$fn needs a position")).toInt
         val v = a(1, "value") match {
           case Some(StringLit(s)) => s
           case _ => err(s"$fn needs a pattern string")
         }
-        SeqPredicates.insertionContains(p, v)
+        if (v.isEmpty)
+          err(s"the field 'value' in an $fn expression must not be an empty string")
+        if (!insertionPatternOk(v))
+          err(s"the field 'value' in the $fn expression does not contain a " +
+            s"valid pattern: \"$v\" (symbols, '.*', and escaped literals only)")
+        SeqPredicates.insertionContains(p, v, s"${b.prefix}ins")
       case "lineage" =>
         val column = a(0, "column") match {
           case Some(Ident(c)) => c
@@ -440,16 +506,50 @@ final class Planner(catalog: Planner.Catalog) {
         }
         val tree = catalog.phyloTrees
           .getOrElse(column, err(s"column '$column' has no phylogenetic tree"))
+        if (!tree.contains(node))
+          err(s"the node '$node' does not exist in the phylogenetic tree " +
+            s"of column '$column'")
         resolve(column, df).isin(tree.descendants(node).toSeq.sorted: _*)
       case "count" => err("count() is only valid inside groupBy aggregates")
       case other => err(s"unknown function '$other'")
     }
   }
 
-  /** Sequence predicates need the ref of the table being filtered; the
-    * single-sequence Catalog carries at most one distinct ref in round 1.
+  /** Insertion search patterns: sequence symbols, '.*' wildcards, and
+    * backslash-escaped literals only (reference: insertion_contains.cpp
+    * restricts to symbols + '.*').
     */
-  private def seqCfgForPredicate(fn: String): SeqConfig =
-    catalog.sequences.values.headOption
+  private def insertionPatternOk(v: String): Boolean = {
+    var i = 0
+    var ok = true
+    while (i < v.length && ok) {
+      if (v(i) == '\\' && i + 1 < v.length) i += 2
+      else if (v(i) == '.' && i + 1 < v.length && v(i + 1) == '*') i += 2
+      else if (v(i).isLetter || v(i) == '-') i += 1
+      else ok = false
+    }
+    ok
+  }
+
+  /** Sequence predicates resolve their binding by sequenceName; scalar
+    * context has no table origin, so the catalog's single sequence-bearing
+    * table is assumed (holds for the reference's `default`).
+    */
+  private def bindingFor(fn: String, nameArg: Option[Expr],
+      wantAa: Boolean): SeqBinding = {
+    val all = catalog.sequences.values.headOption
       .getOrElse(err(s"$fn requires a table with sequence data"))
+    nameArg match {
+      case Some(StringLit(n)) =>
+        all.getOrElse(n, err(s"unknown sequence '$n'"))
+      case Some(Ident(n)) =>
+        all.getOrElse(n, err(s"unknown sequence '$n'"))
+      case None =>
+        val pool = all.filter(_._2.isAminoAcid == wantAa)
+        if (pool.contains("main")) pool("main")
+        else if (pool.size == 1) pool.head._2
+        else err(s"$fn: ambiguous sequence, pass sequenceName")
+      case Some(other) => err(s"$fn: sequenceName must be a string, got $other")
+    }
+  }
 }

@@ -28,17 +28,17 @@ object Mutations {
     * `genomeLength` rows — the position axis is genome-bounded (10^3..10^5),
     * not data-bounded, so this is safe at any row count.
     */
-  def mutations(filtered: DataFrame, ref: String, minProportion: Double): DataFrame = {
+  def mutations(filtered: DataFrame, ref: String, minProportion: Double,
+      prefix: String = ""): DataFrame = {
     val spark = filtered.sparkSession
     val genomeLength = ref.length
-    val rl = SequenceModel.refLit(ref)
 
-    val mutCounts = filtered.select(explode(col("muts")).as("m"))
+    val mutCounts = filtered.select(explode(col(s"${prefix}muts")).as("m"))
       .groupBy(col("m.pos").as("position"), col("m.sym").as("mutation_to"))
       .agg(count(lit(1)).as("count"))
 
-    val deltas = filtered.select(col("cov_start").as("pos"), lit(1L).as("d"))
-      .union(filtered.select((col("cov_end") + 1).as("pos"), lit(-1L).as("d")))
+    val deltas = filtered.select(col(s"${prefix}cov_start").as("pos"), lit(1L).as("d"))
+      .union(filtered.select((col(s"${prefix}cov_end") + 1).as("pos"), lit(-1L).as("d")))
       .groupBy("pos").agg(sum("d").as("d"))
 
     val positions = spark.range(1, genomeLength + 1)
@@ -48,7 +48,7 @@ object Mutations {
       .na.fill(0, Seq("d"))
       .withColumn("covraw", sum("d").over(w))
 
-    val missCounts = filtered.select(explode(col("missing")).as("pos"))
+    val missCounts = filtered.select(explode(col(s"${prefix}missing")).as("pos"))
       .groupBy("pos").agg(count(lit(1)).as("miss"))
 
     val cov = covRaw.join(missCounts, Seq("pos"), "left")
@@ -58,7 +58,7 @@ object Mutations {
     mutCounts.join(cov, col("position") === col("pos")).drop("pos")
       .select(
         col("position"),
-        element_at(rl, col("position")).as("mutation_from"),
+        SequenceModel.refAt(ref, col("position")).as("mutation_from"),
         col("mutation_to"),
         col("count").cast("bigint").as("count"),
         col("coverage").cast("bigint").as("coverage"),

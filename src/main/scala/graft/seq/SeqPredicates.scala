@@ -17,16 +17,16 @@ import graft.seq.Ambiguity.Mode
   */
 object SeqPredicates {
 
-  private def covered(pos: Int): Column =
-    lit(pos) >= col("cov_start") && lit(pos) <= col("cov_end") &&
-      !array_contains(col("missing"), pos)
+  private def covered(pos: Int, p: String): Column =
+    lit(pos) >= col(s"${p}cov_start") && lit(pos) <= col(s"${p}cov_end") &&
+      !array_contains(col(s"${p}missing"), pos)
 
-  private def mutAt(pos: Int): Column =
-    exists(col("muts"), m => m.getField("pos") === pos)
+  private def mutAt(pos: Int, p: String): Column =
+    exists(col(s"${p}muts"), m => m.getField("pos") === pos)
 
-  private def mutAtIn(pos: Int, syms: Set[String]): Column = {
+  private def mutAtIn(pos: Int, syms: Set[String], p: String): Column = {
     val symsLit = array(syms.toSeq.sorted.map(lit): _*)
-    exists(col("muts"), m =>
+    exists(col(s"${p}muts"), m =>
       m.getField("pos") === pos && array_contains(symsLit, m.getField("sym")))
   }
 
@@ -36,17 +36,17 @@ object SeqPredicates {
     * The four cases of symbol_in_set.cpp:129-264 collapse to:
     * ref-symbol ∈ set → covered ∧ no-diff-outside-set; else → diff ∈ set.
     */
-  def symbolEquals(pos: Int, sym: String, ref: String): Column = {
+  def symbolEquals(pos: Int, sym: String, ref: String, prefix: String = ""): Column = {
     val s = if (sym == ".") ref.charAt(pos - 1).toString else sym
-    symbolInSet(pos, Set(s), ref)
+    symbolInSet(pos, Set(s), ref, prefix)
   }
 
   /** Symbol at `pos` is a member of `syms` (the SymbolInSet physical op). */
-  def symbolInSet(pos: Int, syms: Set[String], ref: String): Column = {
+  def symbolInSet(pos: Int, syms: Set[String], ref: String, prefix: String = ""): Column = {
     val refSym = ref.charAt(pos - 1).toString
-    val diffMatch = mutAtIn(pos, syms - refSym)
+    val diffMatch = mutAtIn(pos, syms - refSym, prefix)
     if (syms.contains(refSym))
-      diffMatch || (covered(pos) && !mutAt(pos))
+      diffMatch || (covered(pos, prefix) && !mutAt(pos, prefix))
     else diffMatch
   }
 
@@ -55,13 +55,14 @@ object SeqPredicates {
     */
   def symbolEqualsMode(
       pos: Int, sym: Char, ref: String,
-      codesFor: Map[Char, Set[Char]], mode: Mode): Column =
-    symbolInSet(pos, Ambiguity.matchingSymbols(codesFor, sym, mode).map(_.toString), ref)
+      codesFor: Map[Char, Set[Char]], mode: Mode, prefix: String = ""): Column =
+    symbolInSet(pos, Ambiguity.matchingSymbols(codesFor, sym, mode).map(_.toString),
+      ref, prefix)
 
   /** `hasMutation(position)`: symbol at pos ∉ {reference symbol, missing}
     * (reference: has_mutation.cpp:72-75).
     */
-  def hasMutation(pos: Int): Column = mutAt(pos)
+  def hasMutation(pos: Int, prefix: String = ""): Column = mutAt(pos, prefix)
 
   /** `insertionContains(position, regexValue)` over an
     * `ins: array<struct<pos,ins>>` column (reference:
@@ -83,23 +84,23 @@ object SeqPredicates {
     *            − #(muts at D with sym = profile[pos])     (diff repaired it)
     *            + #(muts outside D with profile[pos] ≠ skip) (new mismatch)
     */
-  def profileDistance(profile: String, ref: String, skip: Char = 'n'): Column = {
+  def profileDistance(profile: String, ref: String, skip: Char = 'n',
+      prefix: String = ""): Column = {
     require(profile.length == ref.length, "profile must span the reference")
     val dPositions = (1 to profile.length)
       .filter(p => profile(p - 1) != skip && profile(p - 1) != ref(p - 1))
     val dLit = array(dPositions.map(lit): _*)
-    val profLit = SequenceModel.refLit(profile)
     val skipLit = lit(skip.toString)
 
     val base = size(filter(dLit, p =>
-      p >= col("cov_start") && p <= col("cov_end")))
-    val missInD = size(filter(col("missing"), p => array_contains(dLit, p)))
-    val repaired = size(filter(col("muts"), m =>
+      p >= col(s"${prefix}cov_start") && p <= col(s"${prefix}cov_end")))
+    val missInD = size(filter(col(s"${prefix}missing"), p => array_contains(dLit, p)))
+    val repaired = size(filter(col(s"${prefix}muts"), m =>
       array_contains(dLit, m.getField("pos")) &&
-        m.getField("sym") === element_at(profLit, m.getField("pos"))))
-    val added = size(filter(col("muts"), m =>
+        m.getField("sym") === SequenceModel.refAt(profile, m.getField("pos"))))
+    val added = size(filter(col(s"${prefix}muts"), m =>
       !array_contains(dLit, m.getField("pos")) &&
-        element_at(profLit, m.getField("pos")) =!= skipLit))
+        SequenceModel.refAt(profile, m.getField("pos")) =!= skipLit))
     base - missInD - repaired + added
   }
 }

@@ -22,11 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object SequenceModel {
 
-  /** Literal array<string> of the reference's 1-based symbols. */
-  def refLit(ref: String): Column = {
-    val arr = ref.map(_.toString)
-    array(arr.map(lit): _*)
-  }
+  /** 1-based reference symbol at a (column) position — a `substr` over a
+    * single string literal. (An array<string> literal of genome length
+    * bloats every plan with 30k literal nodes and slows analysis; substr
+    * keeps the plan O(1).) Positions beyond the reference yield "".
+    */
+  def refAt(ref: String, pos: Column): Column =
+    lit(ref).substr(pos, lit(1))
 
   /** Diff a raw aligned-sequence string column against `ref` at ingest
     * (≙ the reference's diff-at-insert, sequence_column.h:196-203).
@@ -41,22 +43,22 @@ object SequenceModel {
       seqCol: String,
       ref: String,
       missingSyms: Set[String] = Set(),
-      offset: Column = lit(0)): DataFrame = {
+      offset: Column = lit(0),
+      prefix: String = ""): DataFrame = {
     val chars = split(col(seqCol), "")
-    val rl = refLit(ref)
     val zipped = zip_with(chars, sequence(lit(1), size(chars)),
       (s, p) => struct((p + offset).as("pos"), s.as("sym")))
     val missLit = array(missingSyms.toSeq.sorted.map(lit): _*)
     val muts = filter(zipped, x =>
-      x.getField("sym") =!= element_at(rl, x.getField("pos")) &&
+      x.getField("sym") =!= refAt(ref, x.getField("pos")) &&
         !array_contains(missLit, x.getField("sym")))
     val missing = transform(
       filter(zipped, x => array_contains(missLit, x.getField("sym"))),
       x => x.getField("pos"))
-    df.withColumn("cov_start", (offset + 1).cast("int"))
-      .withColumn("cov_end", (offset + length(col(seqCol))).cast("int"))
-      .withColumn("muts", muts)
-      .withColumn("missing", missing)
+    df.withColumn(s"${prefix}cov_start", (offset + 1).cast("int"))
+      .withColumn(s"${prefix}cov_end", (offset + length(col(seqCol))).cast("int"))
+      .withColumn(s"${prefix}muts", muts)
+      .withColumn(s"${prefix}missing", missing)
       .drop(seqCol)
   }
 
@@ -64,17 +66,17 @@ object SequenceModel {
     * (≙ reconstructNonNullSequences, exec_node/table_scan.cpp:19-39) —
     * used only for `project(main)`-style output, after limit.
     */
-  def reconstruct(ref: String, missingSym: String = "N"): Column = {
-    val rl = refLit(ref)
-    val positions = sequence(col("cov_start"), col("cov_end"))
+  def reconstruct(ref: String, missingSym: String = "N",
+      prefix: String = ""): Column = {
+    val positions = sequence(col(s"${prefix}cov_start"), col(s"${prefix}cov_end"))
     // per-position lookup maps from the diff/missing arrays
-    val mutMap = map_from_entries(col("muts"))
+    val mutMap = map_from_entries(col(s"${prefix}muts"))
     val missMap = map_from_entries(
-      transform(col("missing"), p => struct(p, lit(missingSym))))
+      transform(col(s"${prefix}missing"), p => struct(p, lit(missingSym))))
     array_join(
       zip_with(positions, positions,
         (p, _) => coalesce(
-          element_at(missMap, p), element_at(mutMap, p), element_at(rl, p))),
+          element_at(missMap, p), element_at(mutMap, p), refAt(ref, p))),
       "")
   }
 

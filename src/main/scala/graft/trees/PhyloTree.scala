@@ -90,4 +90,52 @@ object PhyloTree {
     require(roots.size == 1, s"expected a single root, got $roots")
     PhyloTree(parent, roots.head)
   }
+
+  /** Parse a Newick tree string: `subtree := leaf | '(' subtree (','
+    * subtree)* ')' [label]`, each optionally followed by `:length` (branch
+    * lengths are parsed and discarded — topology queries don't use them).
+    * Unlabeled internal nodes get synthetic `@k` names; an unlabeled root
+    * becomes "root" (reference trees: documentation/phylogenetic_queries.md,
+    * Newick/Auspice inputs).
+    */
+  def fromNewick(newick: String): PhyloTree = {
+    val s = newick.trim.stripSuffix(";")
+    var i = 0
+    var anon = 0
+    def readLabel(): String = {
+      val start = i
+      while (i < s.length && !",():;".contains(s(i))) i += 1
+      s.substring(start, i).trim
+    }
+    def skipLength(): Unit =
+      if (i < s.length && s(i) == ':') { i += 1; readLabel(); () }
+    val edges = Seq.newBuilder[(String, String)]
+    def node(): String = {
+      if (i < s.length && s(i) == '(') {
+        i += 1
+        val kids = Seq.newBuilder[String]
+        kids += node()
+        while (i < s.length && s(i) == ',') { i += 1; kids += node() }
+        require(i < s.length && s(i) == ')', s"unbalanced newick at $i")
+        i += 1
+        var label = readLabel()
+        if (label.isEmpty) { label = s"@$anon"; anon += 1 }
+        skipLength()
+        kids.result().foreach(k => edges += (k -> label))
+        label
+      } else {
+        val label = readLabel()
+        require(label.nonEmpty, s"empty leaf label at $i")
+        skipLength()
+        label
+      }
+    }
+    val top = node()
+    require(i >= s.length, s"trailing newick input at offset $i")
+    val root = if (top.startsWith("@")) "root" else top
+    val built = edges.result().map { case (c, p) =>
+      (c, if (p == top && top.startsWith("@")) root else p)
+    }
+    fromEdges(built)
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.lang.{Parser, Planner}
-import graft.lang.Planner.{Catalog, QueryError, SeqConfig}
+import graft.lang.Planner.{Catalog, QueryError, SeqBinding}
 import graft.seq.SequenceModel
 import graft.trees.{LineageTree, PhyloTree}
 
@@ -31,7 +31,7 @@ class SaneQLSpec extends SparkSpec {
 
   lazy val catalog = Catalog(
     tables = Map("default" -> meta, "seqs" -> seqTable),
-    sequences = Map("seqs" -> SeqConfig(ref)),
+    sequences = Map("seqs" -> Map("main" -> SeqBinding(ref))),
     lineageTrees = Map("pango_lineage" -> lineageTree),
     phyloTrees = Map("tree_node" -> phylo))
 
