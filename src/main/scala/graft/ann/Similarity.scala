@@ -1,0 +1,55 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => VF}
+
+/** Approximate nearest-neighbor search over embedding columns.
+  *
+  * Brute force (`q_ann_pairs`/`q_ann_topk`) is the exactness baseline; this
+  * is the 100 TB path: random-hyperplane LSH over L independent tables of
+  * k bits each. Candidates = same bucket in ANY table; exact cosine then
+  * verifies. Precision is 1.0 by construction (every candidate is
+  * verified); recall is the classic `1-(1-p^k)^L` with
+  * `p = 1 - θ/π` — tune (k, L) per threshold. The pairwise join only ever
+  * happens WITHIN buckets, so the shuffle key-space is bounded and no
+  * cross join survives at scale.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random unit hyperplanes (fixed seed → stable
+    * bucketing across runs/partitions).
+    */
+  def hyperplanes(dim: Int, bits: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Near-duplicate pairs at `threshold`, via (k-bit, L-table) LSH then
+    * exact verification.
+    */
+  def lshNearDupPairs(
+      emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int = 4, tables: Int = 8, threshold: Double = 0.4,
+      seed: Long = 42L): DataFrame = {
+    val buckets: Seq[Column] = (0 until tables).map { t =>
+      VF.lshBucket(col(vecCol), hyperplanes(dim, k, seed + t)).as(s"b$t")
+    }
+    val withB = emb.select((col(idCol) +: col(vecCol) +: buckets): _*)
+      .withColumn("nrm", VF.norm2(col(vecCol)))
+    // candidate pairs per table, unioned, deduped — each join is an
+    // equi-join on the bucket id (bounded key-space, no cross join)
+    val cand = (0 until tables).map { t =>
+      val a = withB.select(col(idCol).as("a_id"), col(vecCol).as("av"),
+        col("nrm").as("na"), col(s"b$t").as("bk"))
+      val b = withB.select(col(idCol).as("b_id"), col(vecCol).as("bv"),
+        col("nrm").as("nb"), col(s"b$t").as("bk"))
+      a.join(b, Seq("bk")).filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id", "av", "bv", "na", "nb")
+    }.reduce(_ union _).dropDuplicates("a_id", "b_id")
+    cand
+      .withColumn("cos", round(VF.dot(col("av"), col("bv")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+  }
+}

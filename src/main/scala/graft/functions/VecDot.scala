@@ -3,20 +3,30 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Dot product of two `array<float>` columns, accumulated in Double with a
-  * strict left-to-right fold — bit-identical to
-  * `aggregate(zip_with(a,b,(x,y)=>double(x)*double(y)), 0d, _+_)` and to a
-  * sequential SQL `list_sum(list_transform(...))`, but executed as a tight
-  * codegen'd loop (no per-element lambda dispatch). This is the hot inner
-  * kernel of brute-force ANN: at 100 TB the pairwise stage runs this
+/** Dot product of two numeric array columns (float or double elements),
+  * accumulated in Double with a strict left-to-right fold — bit-identical
+  * to `aggregate(zip_with(a,b,(x,y)=>double(x)*double(y)), 0d, _+_)` and to
+  * a sequential SQL `list_sum(list_transform(...))`, but executed as a
+  * tight codegen'd loop (no per-element lambda dispatch). This is the hot
+  * inner kernel of brute-force ANN: at 100 TB the pairwise stage runs this
   * billions of times, so it must live inside WholeStageCodegen.
   */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"VecDot expects array<float|double>, got $other")
+  }
+
+  private lazy val leftFloat = elemIsFloat(left)
+  private lazy val rightFloat = elemIsFloat(right)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -25,7 +35,9 @@ case class VecDot(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
-      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
       i += 1
     }
     s
@@ -36,11 +48,13 @@ case class VecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val getX = if (leftFloat) s"((double) $x.getFloat($i))" else s"$x.getDouble($i)"
+      val getY = if (rightFloat) s"((double) $y.getFloat($i))" else s"$y.getDouble($i)"
       s"""
          |int $n = Math.min($x.numElements(), $y.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |  $s += $getX * $getY;
          |}
          |${ev.value} = $s;
        """.stripMargin

@@ -291,6 +291,16 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // ---- ANN scale path: LSH-bucketed near-dup pairs (no SQL oracle —
+    //      bucketing uses JVM-seeded hyperplanes; exactness vs brute force
+    //      is asserted in SimilaritySpec instead) ----
+    QDef.noOracle("q_ann_lsh") { (s, dir) =>
+      graft.ann.Similarity.lshNearDupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64,
+        k = 4, tables = 8, threshold = 0.4)
+        .orderBy("a_id", "b_id")
+    },
+
     // ---- brute-force ANN top-k for a fixed probe set ----
     QDef("q_ann_topk",
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

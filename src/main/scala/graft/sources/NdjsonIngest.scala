@@ -59,6 +59,22 @@ object NdjsonIngest {
     next
   }
 
+  /** Range-clustered append (reference: clustered ingestion buffering,
+    * append/table_inserter.h:28-40, performance/README.md:37-57): rows are
+    * range-partitioned and sorted on `rangeCol` before the parquet write,
+    * so row-group min/max statistics give the same chunk-skipping effect
+    * the reference gets from coverage-clustered chunks — a range filter on
+    * `rangeCol` then prunes whole files/row-groups at scan time.
+    */
+  def appendClusteredVersion(
+      df: DataFrame, tableDir: String, pk: String,
+      rangeCol: String, numRanges: Int): Long = {
+    val clustered = df
+      .repartitionByRange(numRanges, col(rangeCol))
+      .sortWithinPartitions(rangeCol)
+    appendVersion(clustered, tableDir, pk)
+  }
+
   /** Resolve the current version directory for reads. */
   def latestPath(tableDir: String): String = {
     val p = java.nio.file.Paths.get(tableDir, "latest")
