@@ -193,7 +193,11 @@ object PipelineQueries {
          |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
       val sh = docs.select(col("doc_id"), TF.shingles(col("text"), 3).as("sh"))
+      // materialize the shingle explode once — it feeds the signature agg,
+      // the band self-join, AND both verification sides; without this the
+      // subtree re-executes 4x (at scale this is a persisted shingle table)
       val ex = sh.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+        .localCheckpoint()
       // single-pass minhash: all 12 signature slots as aggregate columns in
       // one shuffle of width-12 rows (vs. exploding ×12 then re-grouping)
       val mh = ex.groupBy("doc_id").agg(

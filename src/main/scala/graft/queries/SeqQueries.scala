@@ -119,6 +119,31 @@ object SeqQueries {
         .orderBy("position", "inserted_symbols")
     },
 
+    // ---- co-occurrence: map({s := main.at(p)}) + groupBy count — the
+    //      reference's BitmapAggregation benchmark workload, computed from
+    //      the diff representation (symbol at pos = mut sym, else ref if
+    //      covered, else null) without materializing sequences ----
+    QDef("q_seq_cooccurrence",
+      s"""WITH seqs AS (SELECT doc_id, $seqSql AS seq FROM documents),
+         |s AS (SELECT
+         |  CASE WHEN len(seq) >= 5 THEN substr(seq, 5, 1) END AS s5,
+         |  CASE WHEN len(seq) >= 40 THEN substr(seq, 40, 1) END AS s40
+         |  FROM seqs)
+         |SELECT s5, s40, count(*) AS cnt FROM s GROUP BY s5, s40
+         |ORDER BY s5 NULLS FIRST, s40 NULLS FIRST""".stripMargin) { (s, dir) =>
+      def symAt(p: Int): org.apache.spark.sql.Column = {
+        val m = filter(col("muts"), x => x.getField("pos") === p)
+        when(lit(p) >= col("cov_start") && lit(p) <= col("cov_end") &&
+            !array_contains(col("missing"), p),
+          coalesce(try_element_at(m, lit(1)).getField("sym"),
+            graft.seq.SequenceModel.refAt(REF, lit(p))))
+      }
+      diffedDocs(s, dir, None)
+        .groupBy(symAt(5).as("s5"), symAt(40).as("s40"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("s5", "s40")
+    },
+
     // ---- mut_index routing: count-only groupBy answered from the
     //      pre-aggregated vertical-index table (≙ BitmapAggregationRewrite) ----
     QDef("q_seq_mutindex",
