@@ -34,6 +34,20 @@ object Planner {
 
   def plan(query: String, catalog: Catalog): DataFrame =
     new Planner(catalog).planTable(Parser.parse(query)).df
+
+  /** `getFilteredBitmap` analog (reference: database.h:75 — parse a SaneQL
+    * PREDICATE, return the matching row-id set): the filter layer is
+    * independently addressable. The "bitmap" is the id column of the
+    * filtered frame — callers semi-join it against anything.
+    */
+  def filteredIds(table: String, predicate: String, idCol: String,
+      catalog: Catalog): DataFrame = {
+    val p = new Planner(catalog)
+    val df = catalog.tables.getOrElse(table,
+      throw QueryError(s"unknown table '$table'"))
+    val pred = p.predicate(Parser.parse(predicate), df)
+    df.filter(pred).select(idCol)
+  }
 }
 
 final class Planner(catalog: Planner.Catalog) {
@@ -46,6 +60,10 @@ final class Planner(catalog: Planner.Catalog) {
   final case class Tbl(df: DataFrame, origin: Option[String])
 
   private def err(msg: String): Nothing = throw QueryError(msg)
+
+  /** Expose predicate compilation for Planner.filteredIds. */
+  private[lang] def predicate(e: Expr, df: DataFrame): Column =
+    scalar(e, df, Ambiguity.ModeNone)
 
   def planTable(e: Expr): Tbl = e match {
     case Ident(name) =>

@@ -24,9 +24,10 @@ object Mutations {
     * count, coverage, proportion; emit rows with proportion ≥ minProportion.
     * `genomeLength` bounds the position axis (= ref.length).
     *
-    * The cumulative-sum window runs over a single partition of
-    * `genomeLength` rows — the position axis is genome-bounded (10^3..10^5),
-    * not data-bounded, so this is safe at any row count.
+    * Coverage uses a two-level distributed prefix sum over the position
+    * axis (bucketed windows + broadcast bucket offsets), so neither the row
+    * count nor the position-axis length ever funnels through a single
+    * partition.
     */
   def mutations(filtered: DataFrame, ref: String, minProportion: Double,
       prefix: String = ""): DataFrame = {
@@ -43,10 +44,27 @@ object Mutations {
 
     val positions = spark.range(1, genomeLength + 1)
       .select(col("id").cast("int").as("pos"))
-    val w = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
-    val covRaw = positions.join(deltas, Seq("pos"), "left")
+    // two-level cumulative sum: window partitioned by 64k-position buckets
+    // (parallel), plus a broadcast-joined running offset over the tiny
+    // bucket-totals table — no single-partition window even if the
+    // position axis grows far beyond genome scale
+    val bucketW = Window.partitionBy("bucket").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withBucket = positions.join(deltas, Seq("pos"), "left")
       .na.fill(0, Seq("d"))
-      .withColumn("covraw", sum("d").over(w))
+      .withColumn("bucket", (col("pos") / 65536).cast("int"))
+    val bucketTotals = withBucket.groupBy("bucket")
+      .agg(sum("d").as("bsum"))
+    val bucketOffsets = bucketTotals
+      .withColumn("offset",
+        coalesce(sum("bsum").over(
+          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("bucket", "offset")
+    val covRaw = withBucket
+      .withColumn("incum", sum("d").over(bucketW))
+      .join(broadcast(bucketOffsets), Seq("bucket"))
+      .withColumn("covraw", col("incum") + col("offset"))
 
     val missCounts = filtered.select(explode(col(s"${prefix}missing")).as("pos"))
       .groupBy("pos").agg(count(lit(1)).as("miss"))

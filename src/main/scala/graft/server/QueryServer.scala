@@ -92,10 +92,23 @@ final class QueryServer(catalog: Catalog, dataVersion: String, port: Int = 0) {
       if (ex.getRequestMethod != "POST") respond(ex, 405, """{"error":"POST only"}""")
       else {
         val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        val wantsArrow = Option(ex.getRequestHeaders.getFirst("Accept"))
+          .exists(_.contains("application/vnd.apache.arrow.stream"))
         try {
           val df = Planner.plan(body, catalog)
-          val out = toNdjson(df).mkString("", "\n", "\n")
-          respond(ex, 200, out, "application/x-ndjson")
+          if (wantsArrow && ArrowSink.supports(df.schema)) {
+            val bos = new java.io.ByteArrayOutputStream()
+            ArrowSink.write(df, bos)
+            val bytes = bos.toByteArray
+            ex.getResponseHeaders.set("Content-Type", "application/vnd.apache.arrow.stream")
+            ex.getResponseHeaders.set("data-version", dataVersion)
+            ex.sendResponseHeaders(200, bytes.length)
+            ex.getResponseBody.write(bytes)
+            ex.close()
+          } else {
+            val out = toNdjson(df).mkString("", "\n", "\n")
+            respond(ex, 200, out, "application/x-ndjson")
+          }
         } catch {
           case e @ (_: QueryError | _: Parser.ParseError | _: Lexer.LexError) =>
             respond(ex, 400,

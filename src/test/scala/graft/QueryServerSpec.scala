@@ -52,6 +52,35 @@ class QueryServerSpec extends SparkSpec {
       Seq("""{"primary_key":"k2","age":40}""", """{"primary_key":"k3","age":30}"""))
   }
 
+  test("Arrow IPC response when Accept requests it") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.ipc.ArrowStreamReader
+    val r = http.send(HttpRequest.newBuilder(url("/query"))
+      .POST(HttpRequest.BodyPublishers.ofString(
+        "default.project({primary_key, age}).orderBy({primary_key})"))
+      .header("Accept", "application/vnd.apache.arrow.stream").build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(r.statusCode() === 200)
+    assert(r.headers().firstValue("Content-Type").get()
+      === "application/vnd.apache.arrow.stream")
+    val alloc = new RootAllocator()
+    val reader = new ArrowStreamReader(
+      new java.io.ByteArrayInputStream(r.body()), alloc)
+    try {
+      val root = reader.getVectorSchemaRoot
+      assert(root.getSchema.getFields.size() === 2)
+      var rows = 0
+      val keys = scala.collection.mutable.ArrayBuffer[String]()
+      while (reader.loadNextBatch()) {
+        rows += root.getRowCount
+        val kv = root.getVector(0).asInstanceOf[org.apache.arrow.vector.VarCharVector]
+        (0 until root.getRowCount).foreach(i => keys += new String(kv.get(i), "UTF-8"))
+      }
+      assert(rows === 3)
+      assert(keys.toSeq === Seq("k1", "k2", "k3"))
+    } finally { reader.close(); alloc.close() }
+  }
+
   test("invalid query → 400 with typed message") {
     val r = post("/query", "default.filter(nope = 1)")
     assert(r.statusCode() === 400)

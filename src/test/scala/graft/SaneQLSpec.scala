@@ -132,6 +132,16 @@ class SaneQLSpec extends SparkSpec {
     intercept[Parser.ParseError] { Parser.parse("default.f(a := 1, 2)") }
   }
 
+  test("filteredIds: the filter layer is independently addressable") {
+    val ids = Planner.filteredIds("default",
+      "country = 'Switzerland' && age > 30", "primary_key", catalog)
+      .as[String].collect().toSet
+    assert(ids === Set("k2"))
+    intercept[QueryError] {
+      Planner.filteredIds("default", "nope = 1", "primary_key", catalog)
+    }
+  }
+
   test("randomize is deterministic per seed") {
     val a = run("default.randomize(seed := 7)").collect().map(_.getString(0)).toSeq
     val b = run("default.randomize(seed := 7)").collect().map(_.getString(0)).toSeq
