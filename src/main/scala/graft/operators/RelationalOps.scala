@@ -63,6 +63,23 @@ object RelationalOps {
     */
   def isoWeek(c: Column): Column = weekofyear(c)
 
+  /** Two-phase salted aggregation for skewed keys: counts/sums first
+    * aggregate on (key, salt) — spreading a hot key over `salts` reducers —
+    * then re-aggregate on the key alone. Use when one grouping key carries
+    * a disproportionate share of rows (AQE's skew handling covers joins,
+    * not aggregations). Supports the additive aggregates the engine uses
+    * (count via sum-of-partials).
+    */
+  def saltedCount(df: DataFrame, keyCols: Seq[String], salts: Int): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    salted
+      .groupBy((keyCols.map(col) :+ col("__salt")): _*)
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum("__partial").as("cnt"))
+  }
+
   /** `updateColumn(table, column, literal, filter)` — scalar column update
     * (reference: database.h:77-88, query_engine/scalar_column_update.cpp;
     * restricted there to INT32/FLOAT/DATE32/BOOL). Spark-first this is a

@@ -1,0 +1,41 @@
+package graft
+
+/** Physical-plan regression guards: the perf-critical plan shapes must not
+  * silently degrade (pushdown reaching parquet, dims broadcast, top-k not
+  * full-sorting). These assert on explain output at sf0.001.
+  */
+class PlanSpec extends SparkSpec {
+
+  def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, sfDir).queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+
+  test("filters are pushed into the parquet scan") {
+    val p = planOf("q_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag)"), p.take(500))
+    assert(p.contains("EqualTo(l_returnflag,A)"))
+    assert(p.contains("LessThan(l_quantity,10.0)"))
+  }
+
+  test("column pruning reaches the scan (ReadSchema is narrow)") {
+    val p = planOf("q_scan_project")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string,o_orderdate"))
+    assert(!p.contains("o_totalprice"))
+  }
+
+  test("dimension joins broadcast") {
+    val p = planOf("q_join_inner")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = planOf("q_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("the codegen vector kernel appears in the ANN plan") {
+    val p = planOf("q_ann_pairs")
+    assert(p.toLowerCase.contains("vecdot"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.seq.{SeqPredicates, SequenceModel}
+import graft.trees.LineageTree
+
+/** Property-based checks (raw scalacheck generators, deterministic seeds):
+  * randomized sequences must round-trip through the diff representation,
+  * and diff-space arithmetic must agree with naive string computation.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  val ref = "ACGTTGCAACGT"
+  val seqGen: Gen[String] = for {
+    n <- Gen.choose(1, ref.length)
+    cs <- Gen.listOfN(n, Gen.oneOf('A', 'C', 'G', 'T', 'N', '-'))
+  } yield cs.mkString
+
+  def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("diff → reconstruct round-trips arbitrary sequences") {
+    val seqs = samples(seqGen, 24)
+    val df = SequenceModel.diff(
+      seqs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "seq"),
+      "seq", ref, missingSyms = Set("N"))
+    val out = df.select($"id", SequenceModel.reconstruct(ref).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    seqs.zipWithIndex.foreach { case (s, i) =>
+      assert(out(i.toLong) === s, s"seq $s")
+    }
+  }
+
+  test("profileDistance agrees with naive mismatch counting") {
+    val profGen = Gen.listOfN(ref.length, Gen.oneOf('A', 'C', 'G', 'T', 'n')).map(_.mkString)
+    val profiles = samples(profGen, 4)
+    val seqs = samples(seqGen, 8)
+    profiles.foreach { profile =>
+      val df = SequenceModel.diff(
+        seqs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "seq"),
+        "seq", ref, missingSyms = Set("N"))
+      val out = df.select($"id",
+        SeqPredicates.profileDistance(profile, ref).as("d"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      seqs.zipWithIndex.foreach { case (s, i) =>
+        val naive = s.zipWithIndex.count { case (c, j) =>
+          c != 'N' && profile(j) != 'n' && c != profile(j)
+        }
+        assert(out(i.toLong) === naive, s"seq=$s profile=$profile")
+      }
+    }
+  }
+
+  test("lineage clades are monotone in the recombinant mode") {
+    val tree = LineageTree(Map(
+      "A" -> Seq("root"), "B" -> Seq("root"),
+      "A1" -> Seq("A"), "A2" -> Seq("A"), "B1" -> Seq("B"),
+      "X" -> Seq("A2", "B1"), "X1" -> Seq("X")))
+    Seq("A", "B", "A1", "A2", "B1", "X", "X1", "root").foreach { n =>
+      val none = tree.descendants(n, LineageTree.DoNotFollow)
+      val full = tree.descendants(n, LineageTree.FollowIfFullyContained)
+      val always = tree.descendants(n, LineageTree.AlwaysFollow)
+      assert(none.subsetOf(full), s"node $n")
+      assert(full.subsetOf(always), s"node $n")
+      assert(none.contains(n))
+    }
+  }
+
+  test("saltedCount equals plain groupBy count") {
+    import graft.operators.RelationalOps
+    val df = Seq.tabulate(500)(i => (if (i % 10 == 0) "hot" else s"k${i % 7}", i))
+      .toDF("k", "v")
+    val plain = df.groupBy("k").count().as[(String, Long)].collect().toMap
+    val salted = RelationalOps.saltedCount(df, Seq("k"), 8)
+      .as[(String, Long)].collect().toMap
+    assert(salted === plain)
+  }
+}

@@ -42,6 +42,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: watermarked dropDuplicates keeps first arrival") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = mem.toDF.toDF("ts", "fp")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("fp")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(0), "a"), (ts(1), "b"), (ts(2), "a"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup").select("fp").as[String].collect().sorted
+      assert(rows.toSeq === Seq("a", "b"))
+      mem.addData((ts(3), "a"), (ts(4), "c"))
+      q.processAllAvailable()
+      val rows2 = spark.table("dedup").select("fp").as[String].collect().sorted
+      assert(rows2.toSeq === Seq("a", "b", "c"))
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap and on timeout") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
