@@ -35,8 +35,11 @@ object Similarity {
     val buckets: Seq[Column] = (0 until tables).map { t =>
       VF.lshBucket(col(vecCol), hyperplanes(dim, k, seed + t)).as(s"b$t")
     }
+    // materialize once: the bucketed table feeds 2 join sides × L tables
+    // (at scale this is a persisted/bucketed index table)
     val withB = emb.select((col(idCol) +: col(vecCol) +: buckets): _*)
       .withColumn("nrm", VF.norm2(col(vecCol)))
+      .localCheckpoint()
     // candidate pairs per table, unioned, deduped — each join is an
     // equi-join on the bucket id (bounded key-space, no cross join)
     val cand = (0 until tables).map { t =>

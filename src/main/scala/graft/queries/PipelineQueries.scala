@@ -73,6 +73,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- BPE-ish subword token counting ----
+    QDef("q_text_bpe",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INTEGER)
+        |    AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.bpeTokenCount(col("text")).cast("int").as("bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
     // ---- composite quality score ----
     QDef("q_text_quality",
       s"""WITH norm AS (SELECT doc_id, text, $normSql AS nt FROM documents),

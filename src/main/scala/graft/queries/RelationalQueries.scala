@@ -373,6 +373,39 @@ object RelationalQueries {
         .orderBy("hr", "event_type")
     },
 
+    // ---- window function: rank within partition (beyond-reference) ----
+    QDef("q_window_rank",
+      """SELECT c_custkey, o_orderkey, rk FROM (
+        |  SELECT c_custkey, o_orderkey,
+        |    CAST(row_number() OVER (PARTITION BY c_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
+        |  FROM customer JOIN orders ON c_custkey = o_custkey)
+        |WHERE rk <= 2 ORDER BY c_custkey, rk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 2)
+        .select("c_custkey", "o_orderkey", "rk")
+        .orderBy("c_custkey", "rk")
+    },
+
+    // ---- rollup aggregation (beyond-reference) ----
+    QDef("q_rollup",
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("bigint")).cast("bigint").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
     // ---- SaneQL front-end end-to-end: text → parse → plan → execute ----
     QDef("q_saneql_pipeline",
       """SELECT l_linestatus, count(*) AS cnt FROM lineitem
