@@ -1,0 +1,162 @@
+package graft.core
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.lang.Planner.{Catalog, SeqBinding}
+import graft.seq.SequenceModel
+import graft.trees.{LineageTree, PhyloTree}
+
+/** Full preprocessing pipeline — the Spark analog of the reference's
+  * `preprocessing` + `initialize` stages (reference:
+  * src/silo/preprocessing/preprocessing.cpp, initialize/initializer.cpp,
+  * documentation/input_format.md):
+  *
+  *   database_config.yaml + reference_genomes.json (+ lineage definitions,
+  *   + phylogenetic tree) + input NDJSON  →  a queryable [[Catalog]].
+  *
+  * Ingest diffs every aligned sequence against its reference immediately
+  * (sequences are never retained whole), parses `pos:seq` insertion
+  * entries, and binds lineage/phylo trees as broadcast-sized structures.
+  * Lineage columns with `lineageIndexType: table|both` additionally
+  * materialize their edge relation table (lineage_definitions.md schema).
+  */
+object Database {
+
+  final case class MetaField(
+      name: String, tpe: String,
+      generateIndex: Boolean = false,
+      lineageFile: Option[String] = None,
+      lineageIndexType: String = "columnMetadata",
+      isPhyloTreeField: Boolean = false)
+
+  final case class Config(metadata: Seq[MetaField], primaryKey: String)
+
+  /** Parse the database_config.yaml subset the reference uses. */
+  def parseConfig(path: String): Config = {
+    val lines = Files.readAllLines(Paths.get(path)).toArray(Array.empty[String])
+    var fields = Vector.empty[MetaField]
+    var pk = ""
+    var cur: MetaField = null
+    def flush(): Unit = if (cur != null) { fields :+= cur; cur = null }
+    lines.foreach { raw =>
+      val line = raw.replaceAll("#.*", "")
+      val t = line.trim
+      def value: String = t.dropWhile(_ != ':').drop(1).trim.stripPrefix("\"").stripSuffix("\"")
+      if (t.startsWith("- name:")) { flush(); cur = MetaField(t.drop(7).trim, "string") }
+      else if (cur != null && t.startsWith("type:")) cur = cur.copy(tpe = value)
+      else if (cur != null && t.startsWith("generateIndex:")) cur = cur.copy(generateIndex = value == "true")
+      else if (cur != null && t.startsWith("generateLineageIndex:")) cur = cur.copy(lineageFile = Some(value))
+      else if (cur != null && t.startsWith("lineageIndexType:")) cur = cur.copy(lineageIndexType = value)
+      else if (cur != null && t.startsWith("isPhyloTreeField:")) cur = cur.copy(isPhyloTreeField = value == "true")
+      else if (t.startsWith("primaryKey:")) { flush(); pk = value }
+    }
+    flush()
+    require(pk.nonEmpty, "config must declare primaryKey")
+    Config(fields, pk)
+  }
+
+  /** Parse reference_genomes.json → (nucleotide refs, gene refs). */
+  def parseReferenceGenomes(spark: SparkSession, path: String)
+      : (Map[String, String], Map[String, String]) = {
+    val df = spark.read.option("multiLine", true).json(path)
+    def grab(field: String): Map[String, String] =
+      if (!df.columns.contains(field)) Map()
+      else df.select(explode(col(field)).as("e"))
+        .select(col("e.name"), col("e.sequence"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    (grab("nucleotideSequences"), grab("genes"))
+  }
+
+  private def sparkType(t: String): DataType = t match {
+    case "string" => StringType
+    case "int" => IntegerType
+    case "float" => DoubleType
+    case "date" => DateType
+    case "boolean" => BooleanType
+    case other => throw new IllegalArgumentException(s"unknown metadata type $other")
+  }
+
+  private val seqStruct = StructType(Seq(
+    StructField("sequence", StringType),
+    StructField("sequenceCompressed", StringType),
+    StructField("insertions", ArrayType(StringType)),
+    StructField("offset", IntegerType)))
+
+  /** Build a queryable Catalog from a config directory + input NDJSON.
+    * Directory convention follows the reference's example datasets:
+    * `database_config.yaml`, `reference_genomes.json`, optional
+    * `phylogenetic_tree.nwk`, lineage yamls referenced from the config.
+    */
+  def build(spark: SparkSession, configDir: String, ndjsonPath: String): Catalog = {
+    val cfg = parseConfig(s"$configDir/database_config.yaml")
+    val (nucRefs, aaRefs) = parseReferenceGenomes(spark, s"$configDir/reference_genomes.json")
+    val allRefs = nucRefs ++ aaRefs
+
+    val schema = StructType(
+      cfg.metadata.map(f => StructField(f.name, sparkType(f.tpe))) ++
+        allRefs.keys.toSeq.sorted.map(n => StructField(n, seqStruct)) ++
+        nucRefs.keys.toSeq.sorted.map(n => StructField(s"unaligned_$n", StringType)))
+
+    val raw = graft.sources.NdjsonIngest.read(spark, ndjsonPath, schema)
+    graft.sources.NdjsonIngest.validatePrimaryKey(raw, cfg.primaryKey)
+
+    // diff-at-ingest per sequence; parse "pos:seq" insertion entries
+    val diffed = allRefs.toSeq.sortBy(_._1).foldLeft(raw) { case (df, (name, ref)) =>
+      val missing = if (nucRefs.contains(name)) Set("N") else Set("X")
+      val withSeq = df
+        .withColumn("__seq", col(s"$name.sequence"))
+        .withColumn(s"${name}_ins",
+          transform(coalesce(col(s"$name.insertions"),
+            array().cast("array<string>")),
+            e => struct(
+              split(e, ":").getItem(0).cast("int").as("pos"),
+              split(e, ":").getItem(1).as("ins"))))
+      SequenceModel.diff(withSeq, "__seq", ref, missing,
+          offset = coalesce(col(s"$name.offset"), lit(0)),
+          prefix = s"${name}_")
+        .drop(name)
+    }
+
+    val bindings: Map[String, SeqBinding] =
+      nucRefs.map { case (n, r) => n -> SeqBinding(r, s"${n}_") } ++
+        aaRefs.map { case (n, r) => n -> SeqBinding(r, s"${n}_", isAminoAcid = true) }
+
+    // lineage definitions (column metadata and/or relation tables)
+    val lineageCols = cfg.metadata.filter(_.lineageFile.isDefined)
+    val lineageDefs = lineageCols.map { f =>
+      val base = f.lineageFile.get
+      val p1 = Paths.get(configDir, base)
+      val path = if (Files.exists(p1)) p1 else Paths.get(configDir, base + ".yaml")
+      f.name -> LineageTree.fromYamlFile(path.toString)
+    }.toMap
+    val lineageTables: Map[String, DataFrame] = lineageCols
+      .filter(f => f.lineageIndexType == "table" || f.lineageIndexType == "both")
+      .map { f =>
+        val d = lineageDefs(f.name)
+        import spark.implicits._
+        val rows = d.tree.nodes.toSeq.sorted.flatMap { n =>
+          val ps = d.tree.parents.getOrElse(n, Nil)
+          val rec = ps.size > 1
+          if (ps.isEmpty) Seq((s"$n|", n, null: String, false))
+          else ps.map(p => (s"$n|$p", n, p, rec))
+        }
+        f.name -> rows.toDF("id", "lineage", "parent", "is_recombinant_edge")
+      }.toMap
+    val lineageTrees = lineageCols
+      .filter(f => f.lineageIndexType != "table")
+      .map(f => f.name -> lineageDefs(f.name).tree).toMap
+
+    val phyloTrees = cfg.metadata.filter(_.isPhyloTreeField).map { f =>
+      f.name -> PhyloTree.fromNewick(
+        Files.readString(Paths.get(configDir, "phylogenetic_tree.nwk")))
+    }.toMap
+
+    Catalog(
+      tables = Map("default" -> diffed) ++ lineageTables,
+      sequences = Map("default" -> bindings),
+      lineageTrees = lineageTrees,
+      phyloTrees = phyloTrees)
+  }
+}

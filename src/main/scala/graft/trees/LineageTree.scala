@@ -70,6 +70,57 @@ final case class LineageTree(parents: Map[String, Seq[String]]) {
 }
 
 object LineageTree {
+
+  /** A parsed lineage definition: the tree plus alias → canonical-name map
+    * (reference: documentation/lineage_definitions.md — aliases standardize
+    * alternative names; queries may use either form).
+    */
+  final case class Definition(tree: LineageTree, aliases: Map[String, String]) {
+    def canonical(name: String): String = aliases.getOrElse(name, name)
+  }
+
+  /** Parse the reference's lineage_definition.yaml shape:
+    * ```
+    * NAME: {}            # root
+    * NAME:
+    *   parents:
+    *   - P1
+    *   aliases:
+    *   - ALT
+    * ```
+    * Only `parents` feed the tree; `aliases` map alternate names.
+    */
+  def fromYaml(lines: Seq[String]): Definition = {
+    val parents = scala.collection.mutable.LinkedHashMap.empty[String, List[String]]
+    val aliases = scala.collection.mutable.Map.empty[String, String]
+    var current: String = null
+    var section: String = null
+    lines.foreach { raw =>
+      val line = raw.replaceAll("#.*", "").stripTrailing()
+      if (line.nonEmpty) {
+        if (!line.startsWith(" ") && line.contains(":")) {
+          current = line.takeWhile(_ != ':').trim
+          parents.getOrElseUpdate(current, Nil)
+          section = null
+        } else if (line.trim == "parents:" || line.trim == "aliases:") {
+          section = line.trim.stripSuffix(":")
+        } else if (line.trim.startsWith("- ") && current != null) {
+          val v = line.trim.drop(2).trim
+          section match {
+            case "parents" => parents(current) = parents(current) :+ v
+            case "aliases" => aliases(v) = current
+            case _ =>
+          }
+        }
+      }
+    }
+    Definition(LineageTree(parents.toMap), aliases.toMap)
+  }
+
+  def fromYamlFile(path: String): Definition =
+    fromYaml(java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path)).toArray(Array.empty[String]).toSeq)
+
   sealed trait RecombinantMode
   case object DoNotFollow extends RecombinantMode
   case object AlwaysFollow extends RecombinantMode

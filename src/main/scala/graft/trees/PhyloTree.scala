@@ -109,13 +109,16 @@ object PhyloTree {
     }
     def skipLength(): Unit =
       if (i < s.length && s(i) == ':') { i += 1; readLabel(); () }
+    def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
     val edges = Seq.newBuilder[(String, String)]
     def node(): String = {
+      ws()
       if (i < s.length && s(i) == '(') {
         i += 1
         val kids = Seq.newBuilder[String]
         kids += node()
-        while (i < s.length && s(i) == ',') { i += 1; kids += node() }
+        ws()
+        while (i < s.length && s(i) == ',') { i += 1; kids += node(); ws() }
         require(i < s.length && s(i) == ')', s"unbalanced newick at $i")
         i += 1
         var label = readLabel()

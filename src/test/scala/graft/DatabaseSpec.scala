@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Database
+import graft.lang.Planner
+
+/** End-to-end preprocessing against the reference's own
+  * unitTestDummyDataset: real database_config.yaml, reference_genomes.json,
+  * lineage definition (with aliases), phylogenetic tree, and NDJSON input.
+  */
+class DatabaseSpec extends SparkSpec {
+
+  val dir = "/root/reference/testBaseData/unitTestDummyDataset"
+  lazy val catalog = Database.build(spark, dir, s"$dir/input.ndjson")
+
+  def run(q: String) = Planner.plan(q, catalog)
+
+  test("builds the default table with all 5 records") {
+    assert(catalog.tables("default").count() === 5)
+  }
+
+  test("metadata filter + groupBy over ingested NDJSON") {
+    val n = run("default.filter(country = 'Switzerland').groupBy({count := count()})")
+      .collect().head.getLong(0)
+    assert(n === 5)
+  }
+
+  test("sequence predicates work against the ingested diffs") {
+    // record key2 has main = AAGNAAGN vs ref ACGTACGT → pos1 A matches ref
+    val withMut = run("default.filter(hasMutation(2, sequenceName := 'main'))")
+      .select("primaryKey").collect().map(_.getString(0)).toSet
+    assert(withMut.contains("key2")) // A at pos2 vs ref C
+  }
+
+  test("mutations() across the ingested sequences") {
+    val muts = run("default.mutations(minProportion := 0.1, sequenceNames := {main})")
+    assert(muts.count() > 0)
+    val cols = muts.columns.toSeq
+    assert(cols === Seq("mutationFrom", "mutationTo", "position",
+      "sequenceName", "proportion", "coverage", "count"))
+  }
+
+  test("insertions parsed from pos:seq entries") {
+    val ins = run("default.aminoAcidInsertions(sequenceNames := {E})")
+      .collect()
+    assert(ins.exists(r => r.getString(0) == "EPE" && r.getInt(1) == 4))
+  }
+
+  test("unaligned projection and aligned reconstruction") {
+    val row = run(
+      "default.filter(primaryKey = 'key1').project({primaryKey, unaligned_main, main})")
+      .collect().head
+    assert(row.getString(1) === "ACGTACGT")
+    assert(row.getString(2) === "ACGTACGT") // reconstructed from diffs
+  }
+
+  test("lineage tree attached from config (aliases not parents)") {
+    val n = run("""default.filter(lineage(pango_lineage, 'B.1.1.7',
+        includeSublineages := true)).groupBy({count := count()})""")
+      .collect().head.getLong(0)
+    assert(n >= 3) // three B.1.1.7 rows at minimum
+    // alias entries must NOT have been read as parent edges
+    assert(catalog.lineageTrees("pango_lineage").parents.get("AA.1")
+      .exists(_ == Seq("B.1.177.15")))
+  }
+
+  test("phylo tree from the dataset's newick file") {
+    val m = run(
+      "default.filter(country = 'Switzerland').mostRecentCommonAncestor('primaryKey')")
+      .collect().head
+    assert(m.getString(0) === "root")
+    val sub = run(
+      "default.filter((primaryKey = 'key1') || (primaryKey = 'key2')).phyloSubtree('primaryKey')")
+      .collect().head.getString(0)
+    assert(sub === "((key1,key2)inner1)root;")
+  }
+}
