@@ -81,7 +81,19 @@ final class Parser(tokens: Vector[Token]) {
   }
 
   private def parseUnary(): Expr =
-    if (accept("!")) Not(parseUnary()) else parsePostfix()
+    if (accept("!")) Not(parseUnary())
+    else if (accept("-")) peek match {
+      // negate at the token level so Long.MinValue (whose magnitude
+      // overflows as a bare positive literal) round-trips
+      case TInt(v) =>
+        i += 1
+        val n = -v
+        if (n < BigInt(Long.MinValue)) throw ParseError("integer literal out of range")
+        IntLit(n.toLong)
+      case TFloat(v) => i += 1; FloatLit(-v)
+      case _ => throw ParseError(s"cannot negate ${parseUnary()}")
+    }
+    else parsePostfix()
 
   private def parsePostfix(): Expr = {
     var e = parsePrimary()
@@ -131,7 +143,10 @@ final class Parser(tokens: Vector[Token]) {
   }
 
   private def parsePrimary(): Expr = next() match {
-    case TInt(v) => IntLit(v)
+    case TInt(v) =>
+      if (v > BigInt(Long.MaxValue) || v < BigInt(Long.MinValue))
+        throw ParseError("integer literal out of range")
+      IntLit(v.toLong)
     case TFloat(v) => FloatLit(v)
     case TString(s) => StringLit(s)
     case TIdent("true") => BoolLit(true)

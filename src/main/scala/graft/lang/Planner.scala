@@ -230,6 +230,8 @@ final class Planner(catalog: Planner.Catalog) {
           case Some(IntLit(v)) => v.toDouble
           case _ => err(s"$fn needs minProportion")
         }
+        if (minProp < 0.0 || minProp > 1.0)
+          err("invalid proportion: minProportion must be in interval [0.0, 1.0]")
         val chosen = arg(pos, named, 2, "sequenceNames")
           .map(identSet(_, "sequenceNames")) match {
           case Some(names) =>

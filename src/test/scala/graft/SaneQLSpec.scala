@@ -121,6 +121,21 @@ class SaneQLSpec extends SparkSpec {
     }
   }
 
+  test("negative literals and numeric edge cases") {
+    assert(run("default.filter(age > -1)").count() === 5)
+    assert(run("default.map({neg := -42, negf := -3.14}).limit(1)")
+      .select("neg", "negf").collect().head.toSeq === Seq(-42, -3.14))
+    // Long.MinValue parses; magnitude+1 does not; bare overflow does not
+    Parser.parse("default.filter(age > -9223372036854775808)")
+    intercept[Parser.ParseError] {
+      Parser.parse("default.filter(age > -9223372036854775809)")
+    }
+    intercept[Parser.ParseError] {
+      Parser.parse("default.filter(age > 9223372036854775808)")
+    }
+    intercept[Parser.ParseError] { Parser.parse("default.filter(-'x')") }
+  }
+
   test("resolution and syntax errors are typed") {
     intercept[QueryError] { run("default.filter(nope = 1)") }
     intercept[QueryError] { run("nosuchtable.limit(1)") }
