@@ -147,6 +147,9 @@ object Database {
     val lineageTrees = lineageCols
       .filter(f => f.lineageIndexType != "table")
       .map(f => f.name -> lineageDefs(f.name).tree).toMap
+    val lineageAliases = lineageCols
+      .filter(f => f.lineageIndexType != "table")
+      .map(f => f.name -> lineageDefs(f.name).aliases).toMap
 
     val phyloTrees = cfg.metadata.filter(_.isPhyloTreeField).map { f =>
       f.name -> PhyloTree.fromNewick(
@@ -157,6 +160,7 @@ object Database {
       tables = Map("default" -> diffed) ++ lineageTables,
       sequences = Map("default" -> bindings),
       lineageTrees = lineageTrees,
-      phyloTrees = phyloTrees)
+      phyloTrees = phyloTrees,
+      lineageAliases = lineageAliases)
   }
 }

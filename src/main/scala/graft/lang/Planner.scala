@@ -30,7 +30,8 @@ object Planner {
       tables: Map[String, DataFrame],
       sequences: Map[String, Map[String, SeqBinding]] = Map(),
       lineageTrees: Map[String, LineageTree] = Map(),
-      phyloTrees: Map[String, PhyloTree] = Map())
+      phyloTrees: Map[String, PhyloTree] = Map(),
+      lineageAliases: Map[String, Map[String, String]] = Map())
 
   def plan(query: String, catalog: Catalog): DataFrame =
     new Planner(catalog).planTable(Parser.parse(query)).df
@@ -512,9 +513,12 @@ final class Planner(catalog: Planner.Catalog) {
         }.getOrElse(LineageTree.DoNotFollow)
         val tree = catalog.lineageTrees
           .getOrElse(column, err(s"column '$column' has no lineage tree"))
+        // alias names resolve to their canonical lineage before matching
+        val canon = catalog.lineageAliases.getOrElse(column, Map())
+          .getOrElse(value, value)
         val c = resolve(column, df)
-        if (!includeSub) c === value
-        else c.isin(tree.descendants(value, m).toSeq.sorted: _*)
+        if (!includeSub) c === canon
+        else c.isin(tree.descendants(canon, m).toSeq.sorted: _*)
       case "phyloDescendantOf" =>
         val column = a(0, "column") match {
           case Some(Ident(c)) => c

@@ -64,6 +64,14 @@ class DatabaseSpec extends SparkSpec {
       .exists(_ == Seq("B.1.177.15")))
   }
 
+  test("lineage alias names resolve to their canonical lineage") {
+    // AA.1 is an alias target; querying by its alias B.1.177.15.1 must
+    // reach the same rows as the canonical name
+    val byCanon = run("default.filter(lineage(pango_lineage, 'AA.1', includeSublineages := true))").count()
+    val byAlias = run("default.filter(lineage(pango_lineage, 'B.1.177.15.1', includeSublineages := true))").count()
+    assert(byCanon === byAlias)
+  }
+
   test("phylo tree from the dataset's newick file") {
     val m = run(
       "default.filter(country = 'Switzerland').mostRecentCommonAncestor('primaryKey')")

@@ -48,21 +48,9 @@ class GoldenCorpusSpec extends SparkSpec {
   }
 
   // ---- reference config artifacts (real files) ----
-  lazy val lineageTree: LineageTree = {
-    val lines = Files.readAllLines(
-      java.nio.file.Paths.get(s"$exampleDir/lineage_definition.yaml"))
-    val parents = scala.collection.mutable.Map.empty[String, List[String]]
-    var current: String = null
-    lines.forEach { raw =>
-      val line = raw.replaceAll("#.*", "")
-      if (line.nonEmpty && !line.startsWith(" ") && line.contains(":")) {
-        current = line.takeWhile(_ != ':').trim
-        parents(current) = Nil
-      } else if (line.trim.startsWith("- ") && current != null)
-        parents(current) = parents(current) :+ line.trim.drop(2).trim
-    }
-    LineageTree(parents.toMap)
-  }
+  lazy val lineageDef: LineageTree.Definition =
+    LineageTree.fromYamlFile(s"$exampleDir/lineage_definition.yaml")
+  lazy val lineageTree: LineageTree = lineageDef.tree
 
   lazy val phylo: PhyloTree = PhyloTree.fromNewick(
     Files.readString(java.nio.file.Paths.get(s"$exampleDir/phylogenetic_tree.nwk")))
@@ -166,7 +154,8 @@ class GoldenCorpusSpec extends SparkSpec {
       "testSecondSequence" -> SeqBinding(secondRef, "ts_")) ++
       geneNames.map(g => g -> SeqBinding(geneRefs(g), s"${g}_", isAminoAcid = true)))),
     lineageTrees = Map("pango_lineage" -> lineageTree),
-    phyloTrees = Map("usherTree" -> phylo))
+    phyloTrees = Map("usherTree" -> phylo),
+    lineageAliases = Map("pango_lineage" -> lineageDef.aliases))
 
   // constructs intentionally not supported yet (documented gaps)
   val knownGaps: Set[String] = Set()
