@@ -277,16 +277,18 @@ final class Planner(catalog: Planner.Catalog) {
           case BoolLit(b) => b
           case _ => err("printNodesNotInTree must be a boolean")
         }
-        val names = distinctValues(in.df, column)
-        val (m, missing) = tree.mrca(names)
+        // distributed LCP aggregation — no driver-side collect of values
         val spark = in.df.sparkSession
         import spark.implicits._
-        if (printMissing) {
-          val missingNames = names.filterNot(tree.contains).toSeq.sorted
-          Tbl(Seq((m.orNull, missing.toLong, missingNames))
+        val (m, missingNames) = in.df.select(col(column)).as[String]
+          .select(new graft.trees.MrcaAggregator(tree).toColumn)
+          .head()
+        if (printMissing)
+          Tbl(Seq((m, missingNames.size.toLong, missingNames))
             .toDF("mrcaNode", "missingNodeCount", "missingFromTree"), None)
-        } else
-          Tbl(Seq((m.orNull, missing.toLong)).toDF("mrcaNode", "missingNodeCount"), None)
+        else
+          Tbl(Seq((m, missingNames.size.toLong))
+            .toDF("mrcaNode", "missingNodeCount"), None)
 
       case "phyloSubtree" =>
         val in = input

@@ -61,6 +61,21 @@ class TreesSpec extends AnyFunSuite {
       "((n1)r1,(n3)r2)root;")
   }
 
+  test("MrcaAggregator agrees with the driver-side walk") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val cases = Seq(
+      Seq("n1", "n2"), Seq("n1", "n3"), Seq("n2"),
+      Seq("n1", "ghost"), Seq("ghost"), Seq[String]())
+    cases.foreach { names =>
+      val (aggM, missing) = names.toDS()
+        .select(new MrcaAggregator(phylo).toColumn).head()
+      val (refM, refMissing) = phylo.mrca(names.toSet)
+      assert(Option(aggM) === refM, s"names=$names")
+      assert(missing.size === refMissing, s"names=$names")
+    }
+  }
+
   test("phyloDescendantOf-style membership") {
     assert(phylo.descendants("r1") === Set("r1", "n1", "n2"))
   }
