@@ -105,8 +105,13 @@ object Database {
     // diff-at-ingest per sequence; parse "pos:seq" insertion entries
     val diffed = allRefs.toSeq.sortBy(_._1).foldLeft(raw) { case (df, (name, ref)) =>
       val missing = if (nucRefs.contains(name)) Set("N") else Set("X")
+      // sequenceCompressed: base64 zstd, dictionary = the reference genome
+      // (input_format.md); takes precedence over plain `sequence`
       val withSeq = df
-        .withColumn("__seq", col(s"$name.sequence"))
+        .withColumn("__seq", coalesce(
+          graft.sources.ZstdStringColumn.decompress(
+            unbase64(col(s"$name.sequenceCompressed")), ref),
+          col(s"$name.sequence")))
         .withColumn(s"${name}_ins",
           transform(coalesce(col(s"$name.insertions"),
             array().cast("array<string>")),

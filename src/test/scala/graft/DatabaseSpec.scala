@@ -72,6 +72,32 @@ class DatabaseSpec extends SparkSpec {
     assert(byCanon === byAlias)
   }
 
+  test("sequenceCompressed ingestion (base64 zstd against the reference)") {
+    import graft.sources.ZstdStringColumn
+    val tmp = java.nio.file.Files.createTempDirectory("zstddb")
+    // reuse the dummy dataset's config/refs, but provide main via
+    // sequenceCompressed on one record
+    Seq("database_config.yaml", "reference_genomes.json",
+      "phylogenetic_tree.nwk", "test_lineage_definition.yaml").foreach { f =>
+      java.nio.file.Files.copy(java.nio.file.Paths.get(dir, f), tmp.resolve(f))
+    }
+    val mainRef = graft.core.Database.parseReferenceGenomes(
+      spark, s"$dir/reference_genomes.json")._1("main")
+    val blob = java.util.Base64.getEncoder.encodeToString(
+      ZstdStringColumn.compressBytes("AGGTACGT", mainRef.getBytes("UTF-8")))
+    val line = ("{\"primaryKey\":\"z1\",\"date\":\"2021-01-01\",\"unsorted_date\":\"2021-01-01\"," +
+      "\"region\":\"Europe\",\"country\":\"CH\",\"pango_lineage\":\"A\",\"division\":\"X\"," +
+      "\"age\":1,\"qc_value\":0.5,\"test_boolean_column\":true," +
+      "\"main\":{\"sequenceCompressed\":\"" + blob + "\",\"insertions\":[]}," +
+      "\"testSecondSequence\":{\"sequence\":\"ACGT\",\"insertions\":[]}," +
+      "\"E\":{\"sequence\":\"MYSF*\",\"insertions\":[]}," +
+      "\"M\":{\"sequence\":\"MADS*\",\"insertions\":[]}}")
+    java.nio.file.Files.writeString(tmp.resolve("in.ndjson"), line + "\n")
+    val cat = Database.build(spark, tmp.toString, tmp.resolve("in.ndjson").toString)
+    val row = Planner.plan("default.project({primaryKey, main})", cat).collect().head
+    assert(row.getString(1) === "AGGTACGT") // decompressed, diffed, reconstructed
+  }
+
   test("phylo tree from the dataset's newick file") {
     val m = run(
       "default.filter(country = 'Switzerland').mostRecentCommonAncestor('primaryKey')")

@@ -1,0 +1,74 @@
+package graft
+
+import graft.core.Database
+import graft.lang.Planner
+
+/** Value-level golden fixtures on the reference's unitTestDummyDataset —
+  * expectations hand-computed independently from the raw NDJSON (see
+  * mainRef=ACGTACGT; key2 carries A at pos 2/6, N at pos 4/8), pinning the
+  * reference query surface to exact results, not just executability.
+  */
+class GoldenValuesSpec extends SparkSpec {
+
+  val dir = "/root/reference/testBaseData/unitTestDummyDataset"
+  lazy val catalog = Database.build(spark, dir, s"$dir/input.ndjson")
+  def run(q: String) = Planner.plan(q, catalog)
+
+  test("filter+count by metadata") {
+    assert(run("default.filter(age > 5).groupBy({count := count()})")
+      .head().getLong(0) === 2) // key3 (6), key5 (54)
+    assert(run("default.filter(qc_value >= 0.96).groupBy({count := count()})")
+      .head().getLong(0) === 3)
+    assert(run("""default.filter(between(date, '2021-04-01'::date, '2021-04-30'::date))
+        .groupBy({count := count()})""").head().getLong(0) === 3)
+  }
+
+  test("nucleotideEquals: diff, ref-match, missing, maybe/exact") {
+    def cnt(q: String) = run(q).head().getLong(0)
+    // pos 2 ref C: key2 has A; N never matches plainly
+    assert(cnt("default.filter(nucleotideEquals(2, 'A', sequenceName := 'main')).groupBy({c := count()})") === 1)
+    assert(cnt("default.filter(nucleotideEquals(2, 'C', sequenceName := 'main')).groupBy({c := count()})") === 4)
+    // pos 4 ref T: key2 has N — missing ⇒ neither T nor hasMutation
+    assert(cnt("default.filter(nucleotideEquals(4, 'T', sequenceName := 'main')).groupBy({c := count()})") === 4)
+    assert(cnt("default.filter(hasMutation(4, sequenceName := 'main')).groupBy({c := count()})") === 0)
+    // maybe at pos 4: N codes all concretes ⇒ key2 matches too
+    assert(cnt("default.filter(maybe(nucleotideEquals(4, 'T', sequenceName := 'main'))).groupBy({c := count()})") === 4)
+    // '.' matches the reference symbol
+    assert(cnt("default.filter(nucleotideEquals(6, '.', sequenceName := 'main')).groupBy({c := count()})") === 4)
+  }
+
+  test("mutations(): exact rows (counts, coverage, proportions)") {
+    val rows = run("default.mutations(minProportion := 0.1, sequenceNames := {main})")
+      .collect().map(r => (r.getInt(2), r.getString(0), r.getString(1),
+        r.getLong(6), r.getLong(5), r.getDouble(4))).toSet
+    assert(rows === Set(
+      (2, "C", "A", 1L, 5L, 0.2),
+      (6, "C", "A", 1L, 5L, 0.2)))
+  }
+
+  test("aminoAcidInsertions: exact rows") {
+    val rows = run("default.aminoAcidInsertions(sequenceNames := {E}).orderBy({position})")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    assert(rows === Set(("EPE", 4, "E", 2L))) // key1 and key5
+  }
+
+  test("details pipeline: orderBy + offset + limit exact rows") {
+    val keys = run("default.orderBy({desc(age), asc(primaryKey)})")
+      .select("primaryKey").collect().map(_.getString(0)).toSeq
+    assert(keys === Seq("key5", "key3", "key2", "key1", "key4"))
+    val window = run("default.orderBy({desc(age), asc(primaryKey)}).offset(1).limit(2)")
+      .select("primaryKey").collect().map(_.getString(0)).toSeq
+    assert(window === Seq("key3", "key2"))
+  }
+
+  test("lineage counts and unionAll") {
+    assert(run("""default.filter(lineage(pango_lineage, 'B.1.1.7',
+        includeSublineages := false)).groupBy({c := count()})""")
+      .head().getLong(0) === 3)
+    val u = run("""unionAll(default.filter(age = 4).project({country}),
+        default.filter(age = 54).project({country}))
+        .groupBy({c := count()}, {country})""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(u === Set(("Switzerland", 3L)))
+  }
+}
