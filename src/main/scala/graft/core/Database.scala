@@ -29,6 +29,7 @@ object Database {
       generateIndex: Boolean = false,
       lineageFile: Option[String] = None,
       lineageIndexType: String = "columnMetadata",
+      treatUnknownLineagesAsNull: Boolean = false,
       isPhyloTreeField: Boolean = false)
 
   final case class Config(metadata: Seq[MetaField], primaryKey: String)
@@ -49,6 +50,7 @@ object Database {
       else if (cur != null && t.startsWith("generateIndex:")) cur = cur.copy(generateIndex = value == "true")
       else if (cur != null && t.startsWith("generateLineageIndex:")) cur = cur.copy(lineageFile = Some(value))
       else if (cur != null && t.startsWith("lineageIndexType:")) cur = cur.copy(lineageIndexType = value)
+      else if (cur != null && t.startsWith("treatUnknownLineagesAsNull:")) cur = cur.copy(treatUnknownLineagesAsNull = value == "true")
       else if (cur != null && t.startsWith("isPhyloTreeField:")) cur = cur.copy(isPhyloTreeField = value == "true")
       else if (t.startsWith("primaryKey:")) { flush(); pk = value }
     }
@@ -156,13 +158,22 @@ object Database {
       .filter(f => f.lineageIndexType != "table")
       .map(f => f.name -> lineageDefs(f.name).aliases).toMap
 
+    // treatUnknownLineagesAsNull: unknown values null out at ingest
+    val cleaned = lineageCols.filter(_.treatUnknownLineagesAsNull)
+      .foldLeft(diffed) { case (df, f) =>
+        val d = lineageDefs(f.name)
+        val known = (d.tree.nodes ++ d.aliases.keySet).toSeq.sorted
+        df.withColumn(f.name,
+          when(col(f.name).isin(known: _*), col(f.name)))
+      }
+
     val phyloTrees = cfg.metadata.filter(_.isPhyloTreeField).map { f =>
       f.name -> PhyloTree.fromNewick(
         Files.readString(Paths.get(configDir, "phylogenetic_tree.nwk")))
     }.toMap
 
     Catalog(
-      tables = Map("default" -> diffed) ++ lineageTables,
+      tables = Map("default" -> cleaned) ++ lineageTables,
       sequences = Map("default" -> bindings),
       lineageTrees = lineageTrees,
       phyloTrees = phyloTrees,

@@ -278,6 +278,49 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- SimHash near-dup pairs: hamming distance over the 16-bit
+    //      signatures, blocked by source ----
+    QDef("q_simhash_pairs", {
+      val sums = (1 to 16).map(j =>
+        s"sum(CASE WHEN substr(h, $j, 1) IN $hexHi THEN 1 ELSE -1 END) AS s$j")
+        .mkString(",\n  ")
+      val bits = (1 to 16).map(j => s"(CASE WHEN s$j >= 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      val ham = (1 to 16).map(j =>
+        s"CASE WHEN substr(a.sh, $j, 1) <> substr(b.sh, $j, 1) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH tk AS (SELECT doc_id, source, md5(t) AS h FROM
+         |  (SELECT doc_id, source, unnest(string_split($normSql, ' ')) AS t FROM documents)),
+         |s AS (SELECT doc_id, source, $sums FROM tk GROUP BY doc_id, source),
+         |sh AS (SELECT doc_id, source, $bits AS sh FROM s)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST($ham AS INTEGER) AS hamming
+         |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE $ham <= 2 ORDER BY a_id, b_id""".stripMargin
+    }) { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(TF.tokens(col("text"))).as("tok"))
+        .withColumn("h", md5(col("tok")))
+      val sums = (1 to 16).map(j =>
+        sum(when(substring(col("h"), j, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+          .otherwise(-1)).as(s"s$j"))
+      val sh = toks.groupBy("doc_id", "source").agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"), col("source"),
+          concat((1 to 16).map(j =>
+            when(col(s"s$j") >= 0, lit("1")).otherwise(lit("0"))): _*).as("sh"))
+      val a = sh.select(col("doc_id").as("a_id"), col("source").as("a_src"), col("sh").as("a_sh"))
+      val b = sh.select(col("doc_id").as("b_id"), col("source").as("b_src"), col("sh").as("b_sh"))
+      val ham = (1 to 16).map(j =>
+        when(substring(col("a_sh"), j, 1) =!= substring(col("b_sh"), j, 1), 1)
+          .otherwise(0)).reduce(_ + _)
+      a.join(b, col("a_src") === col("b_src") && col("a_id") < col("b_id"))
+        .withColumn("hamming", ham.cast("int"))
+        .filter(col("hamming") <= 2)
+        .select("a_id", "b_id", "hamming")
+        .orderBy("a_id", "b_id")
+    },
+
     // ---- vector norms (basic embedding op) ----
     QDef("q_embed_norm",
       s"""SELECT vec_id, round(${normSqlV("embedding")}, 6) AS norm
