@@ -16,13 +16,24 @@ object Bench {
     // one small untimed query to absorb JVM/codegen warmup, then run the
     // suite in stable name order so per-query timings are comparable
     // across rounds
-    try SparkEntry.queries.get("q_count_star")
-      .foreach(_(spark, sfDir).count())
-    catch { case _: Throwable => }
+    SparkEntry.queries.get("q_count_star").foreach(_(spark, sfDir).count())
+    // a failing query must fail the bench loudly — a swallowed exception
+    // would be recorded as a (fast) success and mask a regression
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count()
+      catch {
+        case e: Throwable =>
+          failed ::= name
+          System.err.println(s"BENCH FAILURE $name: $e")
+      }
       name -> (System.nanoTime() - t0) / 1e9
+    }
+    if (failed.nonEmpty) {
+      System.err.println(s"bench failed: ${failed.sorted.mkString(", ")}")
+      spark.stop()
+      sys.exit(1)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -132,12 +132,17 @@ object Database {
 
     // lineage definitions (column metadata and/or relation tables)
     val lineageCols = cfg.metadata.filter(_.lineageFile.isDefined)
+    def lineagePath(f: MetaField) = {
+      val p1 = Paths.get(configDir, f.lineageFile.get)
+      if (Files.exists(p1)) p1 else Paths.get(configDir, f.lineageFile.get + ".yaml")
+    }
     val lineageDefs = lineageCols.map { f =>
-      val base = f.lineageFile.get
-      val p1 = Paths.get(configDir, base)
-      val path = if (Files.exists(p1)) p1 else Paths.get(configDir, base + ".yaml")
-      f.name -> LineageTree.fromYamlFile(path.toString)
+      f.name -> LineageTree.fromYamlFile(lineagePath(f).toString)
     }.toMap
+    // raw YAML kept for the GET /lineageDefinition/{column} echo
+    // (reference: app/src/lineage_definition_handler.cpp:52-57)
+    val lineageYaml = lineageCols
+      .map(f => f.name -> Files.readString(lineagePath(f))).toMap
     val lineageTables: Map[String, DataFrame] = lineageCols
       .filter(f => f.lineageIndexType == "table" || f.lineageIndexType == "both")
       .map { f =>
@@ -177,6 +182,8 @@ object Database {
       sequences = Map("default" -> bindings),
       lineageTrees = lineageTrees,
       phyloTrees = phyloTrees,
-      lineageAliases = lineageAliases)
+      lineageAliases = lineageAliases,
+      primaryKeys = Map("default" -> cfg.primaryKey),
+      lineageYaml = lineageYaml)
   }
 }

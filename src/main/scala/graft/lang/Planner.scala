@@ -31,7 +31,9 @@ object Planner {
       sequences: Map[String, Map[String, SeqBinding]] = Map(),
       lineageTrees: Map[String, LineageTree] = Map(),
       phyloTrees: Map[String, PhyloTree] = Map(),
-      lineageAliases: Map[String, Map[String, String]] = Map())
+      lineageAliases: Map[String, Map[String, String]] = Map(),
+      primaryKeys: Map[String, String] = Map(),
+      lineageYaml: Map[String, String] = Map())
 
   def plan(query: String, catalog: Catalog): DataFrame =
     new Planner(catalog).planTable(Parser.parse(query)).df
@@ -168,11 +170,18 @@ final class Planner(catalog: Planner.Catalog) {
         val in = input
         val n = intArg(arg(pos, named, 1, "count").getOrElse(err("limit needs a count")), "limit")
         if (n <= 0) err("limit must be positive")
-        Tbl(in.df.limit(n.toInt), in.origin)
+        // optional named offset (reference handleLimit,
+        // ast_to_query.cpp:1345-1346): skip first `offset`, then take count
+        val off = arg(pos, named, 2, "offset").map(intArg(_, "offset")).getOrElse(0L)
+        if (off < 0) err("offset must not be negative")
+        val base = if (off > 0) in.df.offset(off.toInt) else in.df
+        Tbl(base.limit(n.toInt), in.origin)
 
       case "offset" =>
         val in = input
         val n = intArg(arg(pos, named, 1, "count").getOrElse(err("offset needs a count")), "offset")
+        // reference: offset is a uint32 (ast_to_query.cpp extractUnsigned)
+        if (n < 0) err(s"Cannot cast $n to uint32. Value out of range")
         Tbl(in.df.offset(n.toInt), in.origin)
 
       case "randomize" =>
@@ -239,8 +248,12 @@ final class Planner(catalog: Planner.Catalog) {
             names.map(n => n -> all.getOrElse(n, err(s"unknown sequence '$n'")))
           case None => all.toSeq.sortBy(_._1)
         }
+        val invalid =
+          (if (wantAa) Ambiguity.aaSymbols.filterNot(Ambiguity.aaValidMutation)
+           else Ambiguity.nucSymbols.filterNot(Ambiguity.nucValidMutation))
+            .map(_.toString).toSet
         val base = chosen.map { case (name, b) =>
-          Mutations.mutations(in.df, b.ref, minProp, b.prefix)
+          Mutations.mutations(in.df, b.ref, minProp, b.prefix, invalid)
             .select(
               col("mutation_from").as("mutationFrom"),
               col("mutation_to").as("mutationTo"),
@@ -431,8 +444,19 @@ final class Planner(catalog: Planner.Catalog) {
       case "like" =>
         (a(0, "column"), a(1, "pattern")) match {
           case (Some(Ident(c)), Some(StringLit(p))) =>
+            if (!df.columns.contains(c))
+              err(s"The database does not contain the column '$c'")
             if (df.schema(c).dataType != StringType)
               err(s"the column '$c' is not of type string")
+            // regex must be rejected at PLAN time with a typed error, not
+            // at execution inside an executor (reference compiles the RE2
+            // up front, string_search.cpp)
+            try java.util.regex.Pattern.compile(p)
+            catch {
+              case e: java.util.regex.PatternSyntaxException =>
+                err("Invalid Regular Expression. The parsing of the " +
+                  s"regular expression failed with the error '${e.getDescription}'.")
+            }
             resolve(c, df).rlike(p)
           case _ => err("like(column, pattern) expects a column and a regex string")
         }
@@ -471,8 +495,15 @@ final class Planner(catalog: Planner.Catalog) {
         }
         if (p < 1 || p > b.ref.length) err(s"$fn: position $p out of range")
         val codes = if (wantAa) Ambiguity.aaCodesFor else Ambiguity.nucCodesFor
-        if (sym == '.') SeqPredicates.symbolEquals(p, ".", b.ref, b.prefix)
-        else SeqPredicates.symbolEqualsMode(p, sym, b.ref, codes, mode, b.prefix)
+        val missing = if (wantAa) Ambiguity.aaMissing else Ambiguity.nucMissing
+        // '.' resolves to the reference symbol FIRST, then the ambiguity
+        // mode expands it (symbol_equals.cpp:83-93
+        // getSymbolOrReplaceDotWith before AMBIGUITY_SYMBOLS lookup)
+        val target = if (sym == '.') b.ref.charAt(p - 1) else sym
+        if (!codes.contains(target))
+          err(s"$fn: invalid symbol '$target'")
+        SeqPredicates.symbolEqualsMode(p, target, b.ref, codes, mode, b.prefix,
+          missing.toString)
       case "hasMutation" | "hasAAMutation" =>
         val b = bindingFor(fn, a(1, "sequenceName"), fn == "hasAAMutation")
         val p = a(0, "position").map(intArg(_, "position"))
@@ -536,9 +567,116 @@ final class Planner(catalog: Planner.Catalog) {
           err(s"the node '$node' does not exist in the phylogenetic tree " +
             s"of column '$column'")
         resolve(column, df).isin(tree.descendants(node).toSeq.sorted: _*)
+      case "nucleotideMutationProfile" | "aminoAcidMutationProfile" =>
+        mutationProfile(fn, pos, named, fn == "aminoAcidMutationProfile")
       case "count" => err("count() is only valid inside groupBy aggregates")
       case other => err(s"unknown function '$other'")
     }
+  }
+
+  /** `nucleotideMutationProfile` / `aminoAcidMutationProfile(distance,
+    * sequenceName, querySequence|sequenceId|mutations)` — "at most
+    * `distance` conservative differences from a profile sequence"
+    * (reference: ast_to_query.cpp:676-717 argument handling,
+    * mutation_profile.cpp:198-258 rewrite to Not(NOf(SymbolInSet(symbols
+    * incompatible with profile[pos]), distance+1))). Three input forms:
+    *  - `querySequence`: full-length literal sequence;
+    *  - `sequenceId`: reconstruct the profile from the row with that
+    *    primary key (uncovered/missing → N/X);
+    *  - `mutations`: set of {position, symbol} records applied on top of
+    *    the reference sequence.
+    * Differences are counted ambiguity-compatibly: a stored symbol in
+    * AMBIGUITY_SYMBOLS[profile[pos]] is NOT a difference, and positions
+    * where the profile carries the missing symbol are skipped.
+    */
+  private def mutationProfile(fn: String, pos: Seq[Expr],
+      named: Seq[(String, Expr)], wantAa: Boolean): Column = {
+    val symName = if (wantAa) "AminoAcid" else "Nucleotide"
+    val codes = if (wantAa) Ambiguity.aaCodesFor else Ambiguity.nucCodesFor
+    val missing = if (wantAa) Ambiguity.aaMissing else Ambiguity.nucMissing
+    val distance = arg(pos, named, 0, "distance") match {
+      case Some(IntLit(v)) if v >= 0 => v.toInt
+      case _ => err(s"$fn needs a non-negative integer 'distance'")
+    }
+    val seqNameExpr = named.collectFirst { case ("sequenceName", v) => v }
+      .orElse(pos.lift(1))
+      .getOrElse(err(s"$fn needs a sequenceName"))
+    val b = bindingFor(fn, Some(seqNameExpr), wantAa)
+
+    def namedOnly(n: String): Option[Expr] =
+      named.collectFirst { case (`n`, v) => v }
+    val inputs = Seq("querySequence", "sequenceId", "mutations")
+      .flatMap(n => namedOnly(n).map(n -> _))
+    if (inputs.size != 1)
+      err(s"Exactly one of 'querySequence', 'sequenceId', or 'mutations' " +
+        s"must be provided in a $symName MutationProfile expression, " +
+        s"but ${inputs.size} were provided")
+
+    val profile: String = inputs.head match {
+      case ("querySequence", StringLit(qs)) =>
+        if (qs.length != b.ref.length)
+          err(s"querySequence length ${qs.length} does not match the " +
+            s"reference sequence length ${b.ref.length} for $symName MutationProfile")
+        qs.find(c => !codes.contains(c)).foreach(c =>
+          err(s"Invalid $symName symbol '$c' in querySequence for MutationProfile"))
+        qs
+      case ("querySequence", _) => err(s"$fn: querySequence must be a string")
+      case ("sequenceId", StringLit(id)) =>
+        // single-row primary-key lookup on the sequence-bearing table —
+        // driver-side by design, same as the reference's row scan
+        // (mutation_profile.cpp:125-172 buildProfileFromSequenceId)
+        val tblName = catalog.sequences.keys.headOption
+          .getOrElse(err(s"$fn requires a table with sequence data"))
+        val pk = catalog.primaryKeys.getOrElse(tblName,
+          err(s"$fn: table '$tblName' has no primary key for sequenceId lookup"))
+        val rows = catalog.tables(tblName).filter(col(pk) === id)
+          .select(graft.seq.SequenceModel.reconstructFull(
+            b.ref, missing.toString, b.prefix))
+          .take(1)
+        if (rows.isEmpty)
+          err(s"No sequence found with primary key '$id' in $symName MutationProfile")
+        rows.head.getString(0)
+      case ("sequenceId", _) => err(s"$fn: sequenceId must be a string")
+      case ("mutations", SetLit(items)) =>
+        val arr = b.ref.toCharArray
+        items.foreach {
+          case RecordLit(fields) =>
+            val fm = fields.toMap
+            val p = fm.get("position") match {
+              case Some(IntLit(v)) if v == 0 =>
+                err(s"The 'position' field in a $symName MutationProfile " +
+                  "mutation is 1-indexed; value 0 is not allowed")
+              case Some(IntLit(v)) if v < 1 || v > b.ref.length =>
+                err(s"$symName MutationProfile mutation position $v is out " +
+                  s"of bounds (reference length ${b.ref.length})")
+              case Some(IntLit(v)) => v.toInt
+              case _ => err(s"Each mutation in a $symName MutationProfile " +
+                "expression must have a 'position' field")
+            }
+            val s = fm.get("symbol") match {
+              case Some(StringLit(s)) if s.length != 1 =>
+                err(s"The 'symbol' field in a $symName MutationProfile " +
+                  "mutation must be a single character")
+              case Some(StringLit(s)) if !codes.contains(s.head) =>
+                err(s"Invalid $symName symbol '${s.head}' in MutationProfile")
+              case Some(StringLit(s)) => s.head
+              case _ => err(s"Each mutation in a $symName MutationProfile " +
+                "expression must have a 'symbol' field")
+            }
+            arr(p - 1) = s
+          case _ =>
+            err(s"Each element of 'mutations' in a $symName MutationProfile " +
+              "expression must be a record literal with 'position' and " +
+              "'symbol' fields")
+        }
+        new String(arr)
+      case ("mutations", _) =>
+        err(s"The 'mutations' argument of a $symName MutationProfile " +
+          "expression must be a set literal")
+      case _ => err(s"$fn: unsupported input")
+    }
+
+    SeqPredicates.profileDistance(profile, b.ref, codes, missing, b.prefix) <= distance
   }
 
   /** Insertion search patterns: sequence symbols, '.*' wildcards, and

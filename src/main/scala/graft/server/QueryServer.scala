@@ -2,28 +2,39 @@ package graft.server
 
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{Callable, Executors, TimeUnit, TimeoutException, ExecutionException}
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, NullsFirst, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan, Offset, Sort}
 import graft.lang.Planner
 import graft.lang.Planner.{Catalog, QueryError}
 import graft.lang.{Lexer, Parser}
 
-/** Minimal HTTP query surface (reference: app/src/query_handler.cpp,
-  * request_handler_factory.cpp:45-59):
-  *   GET  /health        → 200 {"status":"ok"}
-  *   GET  /info          → DB metadata (tables, data version)
-  *   POST /query         → SaneQL body → NDJSON response rows
-  * Response carries the `data-version` header (≙ DataVersion hot-swap
-  * contract) and echoes `X-Request-Id`. Invalid queries → 400 with the
-  * typed planner/parser message (≙ the reference's invalid-query corpus).
+/** HTTP query surface (reference: app/src/query_handler.cpp,
+  * request_handler_factory.cpp:45-59, lineage_definition_handler.cpp):
+  *   GET  /health                      → 200 {"status":"ok"}
+  *   GET  /info                        → DB metadata (tables, data version)
+  *   GET  /lineageDefinition/{column}  → the column's lineage YAML
+  *   POST /query                       → SaneQL body → NDJSON / Arrow IPC
+  * Responses carry the `data-version` header (≙ DataVersion hot-swap
+  * contract) and echo `X-Request-Id`; /query additionally reports
+  * `result-ordering` — the JSON-serialized sort keys of the plan's root
+  * (query_handler.cpp:62-65, query_plan.cpp:16-29). Invalid queries → 400
+  * with the typed planner/parser message; runtime failures → 500; queries
+  * exceeding the timeout (reference DEFAULT_TIMEOUT_TWO_MINUTES) are
+  * cancelled via the Spark job group and → 500, mirroring
+  * query_plan.cpp:111-123.
   *
   * Results stream via `toLocalIterator` — bounded memory on the server,
   * backpressure to Spark (≙ the reference's ThrottledBatchReslicer /
   * materialization cutoff).
   */
-final class QueryServer(catalog: Catalog, dataVersion: String, port: Int = 0) {
+final class QueryServer(catalog: Catalog, dataVersion: String, port: Int = 0,
+    timeoutSeconds: Long = 120) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  private val pool = Executors.newCachedThreadPool()
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -70,10 +81,122 @@ final class QueryServer(catalog: Catalog, dataVersion: String, port: Int = 0) {
     }
   }
 
+  /** The plan's root ordering, serialized exactly like the reference's
+    * serializeResultOrdering (query_plan.cpp:16-29): a JSON array of
+    * {field, order, nullPlacement} objects, `[]` for unordered results.
+    * Limit/offset wrappers preserve their child's ordering, matching
+    * Acero's fetch-node ordering passthrough.
+    */
+  private[server] def resultOrdering(df: DataFrame): String = {
+    def topSort(p: LogicalPlan): Seq[SortOrder] = p match {
+      case g: GlobalLimit => topSort(g.child)
+      case l: LocalLimit => topSort(l.child)
+      case o: Offset => topSort(o.child)
+      case s: Sort if s.global => s.order
+      case _ => Nil
+    }
+    topSort(df.queryExecution.analyzed).map { so =>
+      val field = so.child match {
+        case a: Attribute => a.name
+        case Alias(_, n) => n
+        case e => e.sql
+      }
+      val dir = if (so.direction == Ascending) "ascending" else "descending"
+      val np = if (so.nullOrdering == NullsFirst) "atStart" else "atEnd"
+      s"""{"field":"${jsonEscape(field)}","order":"$dir","nullPlacement":"$np"}"""
+    }.mkString("[", ",", "]")
+  }
+
   private implicit class IterShim[T](it: java.util.Iterator[T]) {
     def asScala: Iterator[T] = new Iterator[T] {
       def hasNext: Boolean = it.hasNext
       def next(): T = it.next()
+    }
+  }
+
+  /** Materialized response payload: either Arrow bytes or NDJSON text. */
+  private def materialize(df: DataFrame, wantsArrow: Boolean): Either[Array[Byte], String] =
+    if (wantsArrow && ArrowSink.supports(df.schema)) {
+      val bos = new java.io.ByteArrayOutputStream()
+      ArrowSink.write(df, bos)
+      Left(bos.toByteArray)
+    } else Right(toNdjson(df).mkString("", "\n", "\n"))
+
+  private def handleQuery(ex: HttpExchange): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    val wantsArrow = Option(ex.getRequestHeaders.getFirst("Accept"))
+      .exists(_.contains("application/vnd.apache.arrow.stream"))
+    try {
+      val df = Planner.plan(body, catalog)
+      val ordering = resultOrdering(df)
+      val spark = df.sparkSession
+      val group = "http-query-" + java.util.UUID.randomUUID()
+      // run the materialization on a pooled thread under a job group so a
+      // timeout can cancel the Spark jobs (≙ PlanStopGuard + batch-wait
+      // timeout, query_plan.cpp:65-123)
+      val fut = pool.submit(new Callable[Either[Array[Byte], String]] {
+        def call(): Either[Array[Byte], String] = {
+          spark.sparkContext.setJobGroup(group, "http /query", interruptOnCancel = true)
+          try materialize(df, wantsArrow)
+          finally spark.sparkContext.clearJobGroup()
+        }
+      })
+      val result =
+        try fut.get(timeoutSeconds, TimeUnit.SECONDS)
+        catch {
+          case _: TimeoutException =>
+            spark.sparkContext.cancelJobGroup(group)
+            fut.cancel(true)
+            throw new RuntimeException(
+              s"Request timed out, no batch within $timeoutSeconds seconds.")
+          case e: ExecutionException => throw Option(e.getCause).getOrElse(e)
+        }
+      result match {
+        case Left(arrow) =>
+          ex.getResponseHeaders.set("Content-Type", "application/vnd.apache.arrow.stream")
+          ex.getResponseHeaders.set("data-version", dataVersion)
+          ex.getResponseHeaders.set("result-ordering", ordering)
+          Option(ex.getRequestHeaders.getFirst("X-Request-Id"))
+            .foreach(id => ex.getResponseHeaders.set("X-Request-Id", id))
+          ex.sendResponseHeaders(200, arrow.length)
+          ex.getResponseBody.write(arrow)
+          ex.close()
+        case Right(ndjson) =>
+          ex.getResponseHeaders.set("result-ordering", ordering)
+          respond(ex, 200, ndjson, "application/x-ndjson")
+      }
+    } catch {
+      case e @ (_: QueryError | _: Parser.ParseError | _: Lexer.LexError) =>
+        respond(ex, 400,
+          s"""{"error":"Bad request","message":"${jsonEscape(e.getMessage)}"}""")
+      // anything else is a runtime failure — answer 500 instead of
+      // leaving the exchange hanging (reference error_request_handler.cpp:
+      // catch-all → Internal Server Error)
+      case e: Throwable =>
+        respond(ex, 500,
+          s"""{"error":"Internal Server Error","message":"${
+            jsonEscape(Option(e.getMessage).getOrElse(e.getClass.getName))}"}""")
+    }
+  }
+
+  /** GET /lineageDefinition/{column} — echo the column's lineage
+    * definition YAML (reference: lineage_definition_handler.cpp:25-58).
+    */
+  private def handleLineageDefinition(ex: HttpExchange): Unit = {
+    val column = ex.getRequestURI.getPath
+      .stripPrefix("/lineageDefinition").stripPrefix("/")
+    def bad(msg: String): Unit =
+      respond(ex, 400, s"""{"error":"Bad request","message":"${jsonEscape(msg)}"}""")
+    if (ex.getRequestMethod != "GET") respond(ex, 405, """{"error":"GET only"}""")
+    else if (column.isEmpty || column.contains("/"))
+      bad(s"Expected exactly one path segment after /lineageDefinition")
+    else catalog.lineageYaml.get(column) match {
+      case Some(yaml) => respond(ex, 200, yaml, "application/yaml")
+      case None =>
+        val exists = catalog.tables.get("default")
+          .exists(_.columns.contains(column))
+        if (!exists) bad(s"The column $column does not exist in this instance.")
+        else bad(s"The column $column does not have a lineageIndex defined.")
     }
   }
 
@@ -88,38 +211,16 @@ final class QueryServer(catalog: Catalog, dataVersion: String, port: Int = 0) {
         s"""{"dataVersion":"$dataVersion","tables":$tables}""")
     })
 
+    server.createContext("/lineageDefinition", handleLineageDefinition(_))
+
     server.createContext("/query", (ex: HttpExchange) => {
       if (ex.getRequestMethod != "POST") respond(ex, 405, """{"error":"POST only"}""")
-      else {
-        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-        val wantsArrow = Option(ex.getRequestHeaders.getFirst("Accept"))
-          .exists(_.contains("application/vnd.apache.arrow.stream"))
-        try {
-          val df = Planner.plan(body, catalog)
-          if (wantsArrow && ArrowSink.supports(df.schema)) {
-            val bos = new java.io.ByteArrayOutputStream()
-            ArrowSink.write(df, bos)
-            val bytes = bos.toByteArray
-            ex.getResponseHeaders.set("Content-Type", "application/vnd.apache.arrow.stream")
-            ex.getResponseHeaders.set("data-version", dataVersion)
-            ex.sendResponseHeaders(200, bytes.length)
-            ex.getResponseBody.write(bytes)
-            ex.close()
-          } else {
-            val out = toNdjson(df).mkString("", "\n", "\n")
-            respond(ex, 200, out, "application/x-ndjson")
-          }
-        } catch {
-          case e @ (_: QueryError | _: Parser.ParseError | _: Lexer.LexError) =>
-            respond(ex, 400,
-              s"""{"error":"Bad request","message":"${jsonEscape(e.getMessage)}"}""")
-        }
-      }
+      else handleQuery(ex)
     })
 
     server.setExecutor(null)
     server.start()
   }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdownNow() }
 }

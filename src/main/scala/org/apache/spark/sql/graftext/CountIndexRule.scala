@@ -56,7 +56,9 @@ class CountIndexRule extends Rule[LogicalPlan] {
   }
 
   private def isCountStar(e: Expression): Boolean = e match {
-    case AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _) => true
+    // count(NULL) is 0 per group, not count(*) — only a non-null literal
+    // argument is row counting
+    case AggregateExpression(Count(Seq(Literal(v, _))), _, false, None, _) => v != null
     case _ => false
   }
 

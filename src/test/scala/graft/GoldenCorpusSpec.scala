@@ -3,7 +3,7 @@ package graft
 import java.io.File
 import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
-import graft.lang.Planner
+import graft.lang.{Lexer, Parser, Planner}
 import graft.lang.Planner.{Catalog, SeqBinding}
 import graft.seq.SequenceModel
 import graft.trees.{LineageTree, PhyloTree}
@@ -180,10 +180,18 @@ class GoldenCorpusSpec extends SparkSpec {
     test(s"invalid ${f.getName}") {
       val src = Files.readString(f.toPath)
       val q = jsonString(src, "query").getOrElse(fail(s"no query in ${f.getName}"))
+      // must be one of the planner's TYPED errors — a Spark
+      // AnalysisException leaking through would mean the planner accepted
+      // an invalid query and Spark happened to reject the plan
       val thrown = intercept[Throwable] {
         Planner.plan(q, catalog).count()
       }
-      assert(thrown != null)
+      assert(
+        thrown.isInstanceOf[Planner.QueryError] ||
+          thrown.isInstanceOf[Parser.ParseError] ||
+          thrown.isInstanceOf[Lexer.LexError],
+        s"expected a typed planner error, got ${thrown.getClass.getName}: " +
+          s"${thrown.getMessage}")
     }
   }
 }

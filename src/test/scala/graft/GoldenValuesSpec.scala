@@ -31,10 +31,34 @@ class GoldenValuesSpec extends SparkSpec {
     // pos 4 ref T: key2 has N — missing ⇒ neither T nor hasMutation
     assert(cnt("default.filter(nucleotideEquals(4, 'T', sequenceName := 'main')).groupBy({c := count()})") === 4)
     assert(cnt("default.filter(hasMutation(4, sequenceName := 'main')).groupBy({c := count()})") === 0)
-    // maybe at pos 4: N codes all concretes ⇒ key2 matches too
-    assert(cnt("default.filter(maybe(nucleotideEquals(4, 'T', sequenceName := 'main'))).groupBy({c := count()})") === 4)
+    // maybe at pos 4: N ∈ AMBIGUITY_SYMBOLS[T] and symbolInSet now matches
+    // missing positions when the set contains N ⇒ key2 matches too (5 rows)
+    assert(cnt("default.filter(maybe(nucleotideEquals(4, 'T', sequenceName := 'main'))).groupBy({c := count()})") === 5)
+    // plain equals N = "is missing at pos 4" — exactly key2
+    assert(cnt("default.filter(nucleotideEquals(4, 'N', sequenceName := 'main')).groupBy({c := count()})") === 1)
     // '.' matches the reference symbol
     assert(cnt("default.filter(nucleotideEquals(6, '.', sequenceName := 'main')).groupBy({c := count()})") === 4)
+  }
+
+  test("mutationProfile: ambiguity-compatible distances on the dummy dataset") {
+    def cnt(q: String) = run(q).head().getLong(0)
+    def profile(d: Int, in: String) =
+      cnt(s"default.filter(nucleotideMutationProfile($d, sequenceName := 'main', $in)).groupBy({c := count()})")
+    // key2 = AAGNAAGN: diffs at 2/6 (C→A), missing at 4/8; others = ref
+    assert(profile(0, "querySequence := 'ACGTACGT'") === 4)
+    assert(profile(2, "querySequence := 'ACGTACGT'") === 5)
+    // profile pos 4 = A: stored T is a difference for key1/3/4/5 (dist 1),
+    // but key2's MISSING pos 4 is compatible (dist stays 2) — the exact-char
+    // counting this replaces would have said dist 3 for key2
+    assert(profile(1, "querySequence := 'ACGAACGT'") === 4)
+    assert(profile(2, "querySequence := 'ACGAACGT'") === 5)
+    // sequenceId: key2's reconstructed profile is AAGNAAGN (N at 4/8
+    // skipped) ⇒ others differ at 2 and 6 only
+    assert(profile(0, "sequenceId := 'key2'") === 1)
+    assert(profile(2, "sequenceId := 'key2'") === 5)
+    // mutations: ref + {2→A, 6→A} = key2's concrete diffs
+    assert(profile(0,
+      "mutations := {{position := 2, symbol := 'A'}, {position := 6, symbol := 'A'}}") === 1)
   }
 
   test("mutations(): exact rows (counts, coverage, proportions)") {

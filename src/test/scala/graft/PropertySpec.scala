@@ -35,7 +35,7 @@ class PropertySpec extends SparkSpec {
   }
 
   test("profileDistance agrees with naive mismatch counting") {
-    val profGen = Gen.listOfN(ref.length, Gen.oneOf('A', 'C', 'G', 'T', 'n')).map(_.mkString)
+    val profGen = Gen.listOfN(ref.length, Gen.oneOf('A', 'C', 'G', 'T', 'N')).map(_.mkString)
     val profiles = samples(profGen, 4)
     val seqs = samples(seqGen, 8)
     profiles.foreach { profile =>
@@ -46,8 +46,10 @@ class PropertySpec extends SparkSpec {
         SeqPredicates.profileDistance(profile, ref).as("d"))
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
       seqs.zipWithIndex.foreach { case (s, i) =>
+        // missing is compatible both ways: stored N never a difference,
+        // profile N positions skipped entirely
         val naive = s.zipWithIndex.count { case (c, j) =>
-          c != 'N' && profile(j) != 'n' && c != profile(j)
+          c != 'N' && profile(j) != 'N' && c != profile(j)
         }
         assert(out(i.toLong) === naive, s"seq=$s profile=$profile")
       }

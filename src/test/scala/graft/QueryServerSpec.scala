@@ -12,8 +12,12 @@ class QueryServerSpec extends SparkSpec {
     ("k1", "Switzerland", 25), ("k2", "Switzerland", 40), ("k3", "Germany", 30))
     .toDF("primary_key", "country", "age")
 
+  val lineageYaml = "schemaVersion: 1\nlineages:\n  - lineage: A\n"
   lazy val srv: QueryServer = {
-    val s = new QueryServer(Catalog(Map("default" -> table)), "v42")
+    val s = new QueryServer(
+      Catalog(Map("default" -> table),
+        lineageYaml = Map("country" -> lineageYaml)),
+      "v42")
     s.start(); s
   }
   lazy val http = HttpClient.newHttpClient()
@@ -79,6 +83,57 @@ class QueryServerSpec extends SparkSpec {
       assert(rows === 3)
       assert(keys.toSeq === Seq("k1", "k2", "k3"))
     } finally { reader.close(); alloc.close() }
+  }
+
+  test("result-ordering header reports the plan's root sort keys") {
+    // ordered (limit on top preserves the child ordering, like Acero's
+    // fetch-node passthrough)
+    val r = post("/query", "default.orderBy({desc(age), primary_key}).limit(2)")
+    assert(r.statusCode() === 200)
+    assert(r.headers().firstValue("result-ordering").get() ===
+      """[{"field":"age","order":"descending","nullPlacement":"atEnd"},""" +
+        """{"field":"primary_key","order":"ascending","nullPlacement":"atStart"}]""")
+    // unordered → []
+    val r2 = post("/query", "default.filter(age > 20)")
+    assert(r2.headers().firstValue("result-ordering").get() === "[]")
+  }
+
+  test("GET /lineageDefinition/{column} echoes the YAML") {
+    val ok = get("/lineageDefinition/country")
+    assert(ok.statusCode() === 200)
+    assert(ok.body() === lineageYaml)
+    assert(ok.headers().firstValue("Content-Type").get() === "application/yaml")
+    // a real column without a lineage index → 400 with the reference's message
+    val noIdx = get("/lineageDefinition/age")
+    assert(noIdx.statusCode() === 400)
+    assert(noIdx.body().contains("does not have a lineageIndex defined"))
+    // unknown column → 400
+    val unknown = get("/lineageDefinition/nope")
+    assert(unknown.statusCode() === 400)
+    assert(unknown.body().contains("does not exist"))
+  }
+
+  test("query exceeding the timeout → 500, Spark jobs cancelled") {
+    val s = new QueryServer(Catalog(Map("default" -> table)), "v42",
+      timeoutSeconds = 0)
+    s.start()
+    try {
+      val r = http.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${s.boundPort}/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            "default.groupBy({c := count()})")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 500)
+      assert(r.body().contains("timed out"))
+    } finally s.stop()
+  }
+
+  test("runtime failure during execution → 500, not a hung exchange") {
+    // planner accepts it (valid column/type), DuckDB-independent runtime
+    // error: regex compiled lazily at execution time
+    val r = post("/query", "default.filter(country.like('[')).limit(1)")
+    assert(r.statusCode() === 500)
   }
 
   test("invalid query → 400 with typed message") {

@@ -33,7 +33,8 @@ class SaneQLSpec extends SparkSpec {
     tables = Map("default" -> meta, "seqs" -> seqTable),
     sequences = Map("seqs" -> Map("main" -> SeqBinding(ref))),
     lineageTrees = Map("pango_lineage" -> lineageTree),
-    phyloTrees = Map("tree_node" -> phylo))
+    phyloTrees = Map("tree_node" -> phylo),
+    primaryKeys = Map("seqs" -> "primary_key"))
 
   def run(q: String) = Planner.plan(q, catalog)
 
@@ -102,11 +103,60 @@ class SaneQLSpec extends SparkSpec {
     assert(run("seqs.filter(nucleotideEquals(1, 'T'))").count() === 1)
     assert(run("seqs.filter(nucleotideEquals(1, '.'))").count() === 2)
     assert(run("seqs.filter(hasMutation(3))").count() === 1)
-    assert(run("seqs.filter(maybe(nucleotideEquals(1, 'W')))").count() === 3) // W={A,T}
+    // maybe expands to AMBIGUITY_SYMBOLS[W] = {W,D,H,N} — symbols at least
+    // as general as W (symbol_equals.cpp:85-88) — NOT the concretes A/T
+    assert(run("seqs.filter(maybe(nucleotideEquals(1, 'W')))").count() === 0)
+    // maybe(equals A): stored ∈ {A,R,W,M,D,H,V,N} — the two ref-matching rows
+    assert(run("seqs.filter(maybe(nucleotideEquals(1, 'A')))").count() === 2)
     val muts = run("seqs.mutations(minProportion := 0.1)")
       .select("position", "mutationTo", "count").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
     assert(muts === Set((1, "T", 1L), (3, "C", 1L)))
+  }
+
+  test("mutationProfile: querySequence / sequenceId / mutations input forms") {
+    // seqs: k1=ACGTACGT (=ref), k2=TCGTACGT, k3=ACCTACGT
+    def cnt(q: String) = run(q).count()
+    // querySequence: exact profile — ambiguity-compatible distances 0/1/1
+    assert(cnt("""seqs.filter(nucleotideMutationProfile(0,
+        sequenceName := 'main', querySequence := 'ACGTACGT'))""") === 1)
+    assert(cnt("""seqs.filter(nucleotideMutationProfile(1,
+        sequenceName := 'main', querySequence := 'ACGTACGT'))""") === 3)
+    // profile N positions are skipped (mutation_profile.cpp:227-230):
+    // NCGTACGT ⇒ k2's pos-1 T no longer counts
+    assert(cnt("""seqs.filter(nucleotideMutationProfile(0,
+        sequenceName := 'main', querySequence := 'NCGTACGT'))""") === 2)
+    // sequenceId: profile reconstructed from k2's row
+    assert(cnt("""seqs.filter(nucleotideMutationProfile(0,
+        sequenceName := 'main', sequenceId := 'k2'))""") === 1)
+    assert(cnt("""seqs.filter(nucleotideMutationProfile(1,
+        sequenceName := 'main', sequenceId := 'k2'))""") === 2)
+    // mutations: set of {position, symbol} records applied on the reference
+    assert(cnt("""seqs.filter(nucleotideMutationProfile(0,
+        sequenceName := 'main', mutations := {{position := 1, symbol := 'T'}}))""") === 1)
+    // ambiguity-code profile symbol: AMBIGUITY_SYMBOLS[W]={W,D,H,N}, so
+    // even stored A/T count as differences
+    assert(cnt("""seqs.filter(nucleotideMutationProfile(0,
+        sequenceName := 'main', mutations := {{position := 1, symbol := 'W'}}))""") === 0)
+    // k1/k2 differ only at pos 1; k3 also carries its own C at pos 3 → dist 2
+    assert(cnt("""seqs.filter(nucleotideMutationProfile(1,
+        sequenceName := 'main', mutations := {{position := 1, symbol := 'W'}}))""") === 2)
+    assert(cnt("""seqs.filter(nucleotideMutationProfile(2,
+        sequenceName := 'main', mutations := {{position := 1, symbol := 'W'}}))""") === 3)
+
+    // error surface (reference CHECK_SILO_QUERY messages)
+    intercept[QueryError] { run("""seqs.filter(nucleotideMutationProfile(0,
+        sequenceName := 'main'))""") }
+    intercept[QueryError] { run("""seqs.filter(nucleotideMutationProfile(0,
+        sequenceName := 'main', querySequence := 'ACGTACGT', sequenceId := 'k1'))""") }
+    intercept[QueryError] { run("""seqs.filter(nucleotideMutationProfile(0,
+        sequenceName := 'main', querySequence := 'ACG'))""") }
+    intercept[QueryError] { run("""seqs.filter(nucleotideMutationProfile(0,
+        sequenceName := 'main', sequenceId := 'nope'))""") }
+    intercept[QueryError] { run("""seqs.filter(nucleotideMutationProfile(0,
+        sequenceName := 'main', mutations := {{position := 0, symbol := 'T'}}))""") }
+    intercept[QueryError] { run("""seqs.filter(nucleotideMutationProfile(0,
+        sequenceName := 'main', mutations := {{position := 1, symbol := 'Z'}}))""") }
   }
 
   test("join with disjoint columns; unionAll schema check") {

@@ -71,18 +71,19 @@ class SeqSpec extends SparkSpec {
     val df = diffed(1L -> "RCGTACGT", 2L -> "ACGTACGT", 3L -> "CCGTACGT")
     def ids(c: org.apache.spark.sql.Column) =
       df.filter(c).select("id").as[Long].collect().toSet
-    // maybe(equals A): R codes {A,G} ∩ {A} ≠ ∅ → matches R and A
+    // maybe(equals A) = AMBIGUITY_SYMBOLS[A] = {A,R,W,M,D,H,V,N} → R and A
     assert(ids(SeqPredicates.symbolEqualsMode(1, 'A', ref, nucCodesFor, ModeMaybe))
       === Set(1L, 2L))
-    // exact(equals A): only symbols whose codes ⊆ {A}
+    // exact(equals A): the single symbol A (symbol_equals.cpp:90-92)
     assert(ids(SeqPredicates.symbolEqualsMode(1, 'A', ref, nucCodesFor, ModeExact))
       === Set(2L))
-    // maybe(equals R): matches anything coding A or G → R, A (not C)
+    // maybe(equals R) = AMBIGUITY_SYMBOLS[R] = {R,D,V,N}: symbols at least
+    // as general as R — NOT the concretes A/G → only the stored R
     assert(ids(SeqPredicates.symbolEqualsMode(1, 'R', ref, nucCodesFor, ModeMaybe))
-      === Set(1L, 2L))
-    // exact(equals R): symbols with codes ⊆ {A,G}: A, G, R
+      === Set(1L))
+    // exact(equals R): the single symbol R
     assert(ids(SeqPredicates.symbolEqualsMode(1, 'R', ref, nucCodesFor, ModeExact))
-      === Set(1L, 2L))
+      === Set(1L))
   }
 
   test("profileDistance from diff representation matches naive count") {
@@ -90,7 +91,7 @@ class SeqSpec extends SparkSpec {
     val seqs = Seq(1L -> "ACGTACGT", 2L -> "ACGAACGA", 3L -> "TTTT", 4L -> "ACGN")
     val df = diffed(seqs: _*)
     val out = df.select($"id",
-      SeqPredicates.profileDistance(profile, ref, skip = 'n').as("d"))
+      SeqPredicates.profileDistance(profile, ref, missingSym = 'N').as("d"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     def naive(s: String) = s.zipWithIndex.count { case (c, i) =>
       c != 'N' && c != profile(i)
