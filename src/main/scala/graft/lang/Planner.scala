@@ -194,8 +194,27 @@ final class Planner(catalog: Planner.Catalog) {
         Tbl(in.df.orderBy(k), in.origin)
 
       case "schema" =>
-        Tbl(RelationalOps.schemaOf(input.df).withColumnRenamed("field_name", "fieldName")
-          .withColumnRenamed("field_type", "type"), None)
+        // Sequence-bound tables present each bound sequence as ONE `STRING`
+        // field and never surface the diff/coverage internals; the bare
+        // table's fields enumerate in name order (reference:
+        // operators/schema_node.test.cpp TABLE_SCHEMA — segment1/gene1 are
+        // single STRING rows, fields sorted; ColumnIdentifier::operator<,
+        // database_schema.h:64).
+        val bindings = input.origin.flatMap(catalog.sequences.get).getOrElse(Map.empty)
+        val rows =
+          if (bindings.isEmpty) RelationalOps.schemaRows(input.df)
+          else {
+            val internal = bindings.values.flatMap(b => Seq(
+              s"${b.prefix}cov_start", s"${b.prefix}cov_end",
+              s"${b.prefix}muts", s"${b.prefix}missing",
+              s"${b.prefix}ins")).toSet
+            val plain = RelationalOps.schemaRows(input.df)
+              .filterNot { case (n, _) => internal(n) }
+            (plain ++ bindings.keys.map(_ -> "STRING")).sortBy(_._1)
+          }
+        val spark = input.df.sparkSession
+        import spark.implicits._
+        Tbl(rows.toDF("fieldName", "type"), None)
 
       case "unionAll" =>
         val l = input

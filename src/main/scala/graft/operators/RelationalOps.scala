@@ -95,8 +95,15 @@ object RelationalOps {
     * reference's type vocabulary (database_schema.h:20-31).
     */
   def schemaOf(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    schemaRows(df).toDF("field_name", "field_type")
+  }
+
+  /** The {fieldName, type} rows of a frame's schema, in column order. */
+  def schemaRows(df: DataFrame): Seq[(String, String)] = {
     import org.apache.spark.sql.types._
-    val rows = df.schema.fields.map { f =>
+    df.schema.fields.toSeq.map { f =>
       val t = f.dataType match {
         case StringType              => "STRING"
         case IntegerType             => "INT32"
@@ -110,8 +117,5 @@ object RelationalOps {
       }
       (f.name, t)
     }
-    val spark = df.sparkSession
-    import spark.implicits._
-    rows.toSeq.toDF("field_name", "field_type")
   }
 }

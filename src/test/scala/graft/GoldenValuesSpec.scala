@@ -85,6 +85,39 @@ class GoldenValuesSpec extends SparkSpec {
     assert(window === Seq("key3", "key2"))
   }
 
+  test("schema(): one STRING row per sequence, internals hidden, name order") {
+    // reference semantics: operators/schema_node.test.cpp TABLE_SCHEMA —
+    // aligned sequences and genes surface as single STRING fields, the
+    // diff/coverage representation never leaks, fields sort by name.
+    // Dummy dataset: nuc sequences main/testSecondSequence, genes E/M,
+    // metadata per database_config.yaml.
+    val rows = run("default.schema()")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows === Seq(
+      "E" -> "STRING",
+      "M" -> "STRING",
+      "age" -> "INT32",
+      "country" -> "STRING",
+      "date" -> "DATE32",
+      "division" -> "STRING",
+      "main" -> "STRING",
+      "pango_lineage" -> "STRING",
+      "primaryKey" -> "STRING",
+      "qc_value" -> "FLOAT",
+      "region" -> "STRING",
+      "testSecondSequence" -> "STRING",
+      "test_boolean_column" -> "BOOL",
+      "unaligned_main" -> "STRING",
+      "unaligned_testSecondSequence" -> "STRING",
+      "unsorted_date" -> "DATE32"))
+    // filter preserves the table binding; project controls selection+order
+    // afterwards (SCHEMA_AFTER_PROJECT_ORDER scenario)
+    assert(run("default.filter(age > 5).schema()").count() === 16)
+    val proj = run("default.project({age, country}).schema()")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(proj === Seq("age" -> "INT32", "country" -> "STRING"))
+  }
+
   test("lineage counts and unionAll") {
     assert(run("""default.filter(lineage(pango_lineage, 'B.1.1.7',
         includeSublineages := false)).groupBy({c := count()})""")
