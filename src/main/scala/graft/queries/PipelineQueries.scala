@@ -182,25 +182,38 @@ object PipelineQueries {
          |FROM inter WHERE round(CAST(i AS DOUBLE) / (na + nb - i), 4) >= 0.3
          |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val sh = docs.select(col("doc_id"), col("source"),
-        TF.shingles(col("text"), 3).as("sh"))
       // join on a 64-bit shingle hash instead of the string: same match
       // semantics (collisions are ~2^-40 at this cardinality), much smaller
       // shuffle payload at scale
-      val ex0 = sh.select(col("doc_id"), col("source"), explode(col("sh")).as("s"))
+      // materialize the shingle explode once — it feeds both the
+      // document-frequency count and the join probe side
+      val ex0 = docs.select(col("doc_id"), col("source"),
+          explode(TF.shingles(col("text"), 3)).as("s"))
         .withColumn("s64", xxhash64(col("s"))).drop("s")
-      val ex = ex0
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("s64")))
-        .filter(col("df") <= NGRAM_DF_CAP)
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-      val a = ex.select(col("doc_id").as("a_id"), col("source").as("a_src"),
-        col("n").as("na"), col("s64").as("a_s"))
-      val b = ex.select(col("doc_id").as("b_id"), col("source").as("b_src"),
-        col("n").as("nb"), col("s64").as("b_s"))
-      a.join(b, col("a_src") === col("b_src") && col("a_s") === col("b_s") &&
-          col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(max(col("na")).as("na"), max(col("nb")).as("nb"), count(lit(1)).as("i"))
+        .localCheckpoint()
+      // document frequency via partial-aggregated count + equi-join — a
+      // hot stop-shingle is counted map-side and dropped without ever
+      // materializing its posting list
+      val dfs = ex0.groupBy("s64").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= NGRAM_DF_CAP).select("s64")
+      // join output stays hash-partitioned by s64, so the posting-list
+      // groupBy below reuses that partitioning (no extra shuffle)
+      val kept = ex0.join(dfs, "s64").localCheckpoint()
+      val nPerDoc = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // candidate pairs from within each ≤cap posting list: bounded cap²
+      // rows per shingle, all generated by one lambda — no self-join
+      val posts = kept.groupBy("s64")
+        .agg(collect_list(struct(col("doc_id"), col("source"))).as("ds"))
+      val pairs = posts.select(explode(expr(
+        """flatten(transform(ds, a -> filter(
+          |  transform(ds, b -> CASE WHEN a.source = b.source
+          |      AND a.doc_id < b.doc_id
+          |    THEN named_struct('a_id', a.doc_id, 'b_id', b.doc_id) END),
+          |  p -> p IS NOT NULL)))""".stripMargin)).as("p"))
+        .select("p.a_id", "p.b_id")
+      pairs.groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+        .join(nPerDoc.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+        .join(nPerDoc.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
         .withColumn("jaccard",
           round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4))
         .filter(col("jaccard") >= 0.3)
