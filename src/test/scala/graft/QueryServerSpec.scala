@@ -2,6 +2,7 @@ package graft
 
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import scala.jdk.CollectionConverters._
 import graft.lang.Planner.Catalog
 import graft.server.QueryServer
 
@@ -85,6 +86,52 @@ class QueryServerSpec extends SparkSpec {
     } finally { reader.close(); alloc.close() }
   }
 
+  test("Arrow sink round-trips nested list/struct results") {
+    // the reference's arrow_ipc_sink streams EVERY result shape —
+    // mutations()/insertions()-style nested outputs included; scalars-only
+    // support would silently fall back to NDJSON for those
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.ipc.ArrowStreamReader
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("a", Seq((3, "T"), (7, "G")), Seq(1, 2), 0.25f),
+      ("b", Seq.empty[(Int, String)], Seq.empty[Int], -1.5f))
+      .toDF("id", "muts", "missing", "score")
+      .withColumn("muts", expr(
+        "transform(muts, m -> named_struct('pos', m._1, 'sym', m._2))"))
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-02 03:04:05.000006")))
+    assert(graft.server.ArrowSink.supports(df.schema))
+    val bos = new java.io.ByteArrayOutputStream()
+    graft.server.ArrowSink.write(df, bos)
+    val alloc = new RootAllocator()
+    val reader = new ArrowStreamReader(
+      new java.io.ByteArrayInputStream(bos.toByteArray), alloc)
+    try {
+      val root = reader.getVectorSchemaRoot
+      assert(reader.loadNextBatch())
+      assert(root.getRowCount === 2)
+      val muts = root.getVector("muts")
+      val l0 = muts.getObject(0).asInstanceOf[java.util.List[_]]
+      assert(l0.size === 2)
+      val m0 = l0.get(0).asInstanceOf[java.util.Map[String, AnyRef]]
+      assert(m0.get("pos") === 3)
+      assert(m0.get("sym").toString === "T")
+      val m1 = l0.get(1).asInstanceOf[java.util.Map[String, AnyRef]]
+      assert(m1.get("pos") === 7)
+      assert(m1.get("sym").toString === "G")
+      assert(muts.getObject(1).asInstanceOf[java.util.List[_]].isEmpty)
+      val miss0 = root.getVector("missing").getObject(0)
+        .asInstanceOf[java.util.List[_]]
+      assert(miss0.asScala.toSeq === Seq(1, 2))
+      assert(root.getVector("score").getObject(1) === -1.5f)
+      val micros = root.getVector("ts").asInstanceOf[
+        org.apache.arrow.vector.TimeStampMicroTZVector].get(0)
+      assert(micros === java.sql.Timestamp.valueOf("2024-01-02 03:04:05.000006")
+        .toInstant.toEpochMilli * 1000L + 6L)
+      assert(!reader.loadNextBatch())
+    } finally { reader.close(); alloc.close() }
+  }
+
   test("result-ordering header reports the plan's root sort keys") {
     // ordered (limit on top preserves the child ordering, like Acero's
     // fetch-node passthrough)
@@ -130,10 +177,25 @@ class QueryServerSpec extends SparkSpec {
   }
 
   test("runtime failure during execution → 500, not a hung exchange") {
-    // planner accepts it (valid column/type), DuckDB-independent runtime
-    // error: regex compiled lazily at execution time
+    // an invalid regex is now a PLAN-time typed 400 (reference compiles the
+    // RE2 up front, string_search.cpp) …
     val r = post("/query", "default.filter(country.like('[')).limit(1)")
-    assert(r.statusCode() === 500)
+    assert(r.statusCode() === 400)
+    // … so provoke a genuine EXECUTION-time failure instead: a catalog
+    // column that raises inside the executor on one of the rows
+    import org.apache.spark.sql.functions.expr
+    val bad = table.withColumn("boom", expr("assert_true(age < 30, 'runtime boom')"))
+    val s = new QueryServer(Catalog(Map("default" -> bad)), "v42")
+    s.start()
+    try {
+      val rr = http.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${s.boundPort}/query"))
+          .POST(HttpRequest.BodyPublishers.ofString("default.project({boom})"))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(rr.statusCode() === 500)
+    } finally s.stop()
   }
 
   test("invalid query → 400 with typed message") {
