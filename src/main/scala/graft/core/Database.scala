@@ -126,9 +126,27 @@ object Database {
         .drop(name)
     }
 
+    // local-reference adaptation (reference: sequence_column.cpp:157-196
+    // finalize): per position, re-base stored diffs onto the majority
+    // symbol; queries translate back to the global reference, so results
+    // are unchanged while divergent datasets store far fewer diffs
+    val (adapted, localRefs) = allRefs.toSeq.sortBy(_._1)
+      .foldLeft((diffed, Map.empty[String, String])) {
+        case ((df, lrs), (name, ref)) =>
+          val isAa = aaRefs.contains(name)
+          val (d2, lr) = SequenceModel.adaptLocalReference(df, ref, s"${name}_",
+            if (isAa) SequenceModel.AaOrder else SequenceModel.NucOrder,
+            if (isAa) graft.seq.Ambiguity.aaValidMutation
+            else graft.seq.Ambiguity.nucValidMutation)
+          (d2, if (lr == ref) lrs else lrs + (name -> lr))
+      }
+
     val bindings: Map[String, SeqBinding] =
-      nucRefs.map { case (n, r) => n -> SeqBinding(r, s"${n}_") } ++
-        aaRefs.map { case (n, r) => n -> SeqBinding(r, s"${n}_", isAminoAcid = true) }
+      nucRefs.map { case (n, r) =>
+        n -> SeqBinding(r, s"${n}_", localRef = localRefs.get(n)) } ++
+        aaRefs.map { case (n, r) =>
+          n -> SeqBinding(r, s"${n}_", isAminoAcid = true,
+            localRef = localRefs.get(n)) }
 
     // lineage definitions (column metadata and/or relation tables)
     val lineageCols = cfg.metadata.filter(_.lineageFile.isDefined)
@@ -165,7 +183,7 @@ object Database {
 
     // treatUnknownLineagesAsNull: unknown values null out at ingest
     val cleaned = lineageCols.filter(_.treatUnknownLineagesAsNull)
-      .foldLeft(diffed) { case (df, f) =>
+      .foldLeft(adapted) { case (df, f) =>
         val d = lineageDefs(f.name)
         val known = (d.tree.nodes ++ d.aliases.keySet).toSeq.sorted
         df.withColumn(f.name,

@@ -24,7 +24,14 @@ object Planner {
     * (and optionally `<prefix>ins`) against reference `ref`.
     */
   final case class SeqBinding(ref: String, prefix: String = "",
-      isAminoAcid: Boolean = false)
+      isAminoAcid: Boolean = false, localRef: Option[String] = None) {
+    /** The reference the STORED diffs are based against — differs from
+      * `ref` when ingest adapted the local reference
+      * (SequenceModel.adaptLocalReference); user-facing semantics
+      * ('.'-equals, mutationFrom, hasMutation) always use global `ref`.
+      */
+    def stored: String = localRef.getOrElse(ref)
+  }
 
   final case class Catalog(
       tables: Map[String, DataFrame],
@@ -133,7 +140,8 @@ final class Planner(catalog: Planner.Catalog) {
             // aligned sequence column: reconstruct from the diff
             // representation (decompress-last — ≙ MapPullupPass motivation)
             case Some(b) if !in.df.columns.contains(c) =>
-              graft.seq.SequenceModel.reconstruct(b.ref, prefix = b.prefix).as(c)
+              graft.seq.SequenceModel.reconstruct(b.stored,
+                if (b.isAminoAcid) "X" else "N", prefix = b.prefix).as(c)
             case _ => resolve(c, in.df)
           }
         }
@@ -272,7 +280,8 @@ final class Planner(catalog: Planner.Catalog) {
            else Ambiguity.nucSymbols.filterNot(Ambiguity.nucValidMutation))
             .map(_.toString).toSet
         val base = chosen.map { case (name, b) =>
-          Mutations.mutations(in.df, b.ref, minProp, b.prefix, invalid)
+          Mutations.mutations(in.df, b.ref, minProp, b.prefix, invalid,
+              localRef = b.stored)
             .select(
               col("mutation_from").as("mutationFrom"),
               col("mutation_to").as("mutationTo"),
@@ -522,13 +531,13 @@ final class Planner(catalog: Planner.Catalog) {
         if (!codes.contains(target))
           err(s"$fn: invalid symbol '$target'")
         SeqPredicates.symbolEqualsMode(p, target, b.ref, codes, mode, b.prefix,
-          missing.toString)
+          missing.toString, b.stored)
       case "hasMutation" | "hasAAMutation" =>
         val b = bindingFor(fn, a(1, "sequenceName"), fn == "hasAAMutation")
         val p = a(0, "position").map(intArg(_, "position"))
           .getOrElse(err(s"$fn needs a position")).toInt
         if (p < 1 || p > b.ref.length) err(s"$fn: position $p out of range")
-        SeqPredicates.hasMutation(p, b.prefix)
+        SeqPredicates.hasMutation(p, b.prefix, b.ref, b.stored)
       case "insertionContains" | "aminoAcidInsertionContains" =>
         val b = bindingFor(fn, a(2, "sequenceName"),
           fn == "aminoAcidInsertionContains")
@@ -650,7 +659,7 @@ final class Planner(catalog: Planner.Catalog) {
           err(s"$fn: table '$tblName' has no primary key for sequenceId lookup"))
         val rows = catalog.tables(tblName).filter(col(pk) === id)
           .select(graft.seq.SequenceModel.reconstructFull(
-            b.ref, missing.toString, b.prefix))
+            b.stored, missing.toString, b.prefix))
           .take(1)
         if (rows.isEmpty)
           err(s"No sequence found with primary key '$id' in $symName MutationProfile")
@@ -695,7 +704,8 @@ final class Planner(catalog: Planner.Catalog) {
       case _ => err(s"$fn: unsupported input")
     }
 
-    SeqPredicates.profileDistance(profile, b.ref, codes, missing, b.prefix) <= distance
+    SeqPredicates.profileDistance(profile, b.ref, codes, missing, b.prefix,
+      b.stored) <= distance
   }
 
   /** Insertion search patterns: sequence symbols, '.*' wildcards, and

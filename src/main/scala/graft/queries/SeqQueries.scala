@@ -91,6 +91,42 @@ object SeqQueries {
         .orderBy("position", "mutation_to")
     },
 
+    // ---- mutations() over ADAPTED local-reference storage ----
+    // The global reference is deliberately far from the data ('a' at every
+    // position), so ingest-time adaptation (SequenceModel.
+    // adaptLocalReference ≙ sequence_column.cpp:157-196 finalize) re-bases
+    // nearly every position onto the per-position majority symbol and the
+    // dominant rows become diff-free. The oracle knows NOTHING about
+    // adaptation — it recomputes mutations naively from the raw strings
+    // against the global reference — so a hash match proves the
+    // local↔global translation in mutations() is exact.
+    QDef("q_seq_localref", {
+      val aRef = "a" * 60
+      s"""WITH seqs AS (SELECT doc_id, $seqSql AS seq FROM documents WHERE lang = 'en'),
+         |chars AS (SELECT doc_id, CAST(p AS INTEGER) AS p, substr(seq, p, 1) AS sym
+         |  FROM seqs, range(1, 61) r(p) WHERE p <= len(seq)),
+         |cov AS (SELECT p, count(*) AS coverage FROM chars GROUP BY p),
+         |muts AS (SELECT p, sym, count(*) AS cnt FROM chars
+         |  WHERE sym <> substr('$aRef', p, 1) GROUP BY p, sym)
+         |SELECT m.p AS position, substr('$aRef', m.p, 1) AS mutation_from,
+         |  m.sym AS mutation_to, CAST(m.cnt AS BIGINT) AS count,
+         |  CAST(c.coverage AS BIGINT) AS coverage,
+         |  round(CAST(m.cnt AS DOUBLE) / c.coverage, 4) AS proportion
+         |FROM muts m JOIN cov c ON m.p = c.p
+         |WHERE round(CAST(m.cnt AS DOUBLE) / c.coverage, 4) >= 0.05
+         |ORDER BY position, mutation_to""".stripMargin
+    }) { (s, dir) =>
+      val aRef = "a" * 60
+      val base = t(s, dir, "documents").filter(col("lang") === "en")
+      val raw = SequenceModel.diff(
+        base.select(col("doc_id"), seqCol.as("seq")), "seq", aRef)
+      val (adapted, localRef) = SequenceModel.adaptLocalReference(
+        raw, aRef, symbolOrder = "abcdefghijklmnopqrstuvwxyz",
+        candidateSyms = ('a' to 'z').toSet)
+      Mutations.mutations(adapted, aRef, 0.05, localRef = localRef)
+        .orderBy("position", "mutation_to")
+    },
+
     // ---- nucleotideEquals (reference-match case) + hasMutation ----
     QDef("q_seq_symbol_equals",
       s"""WITH seqs AS (SELECT doc_id, $seqSql AS seq FROM documents)

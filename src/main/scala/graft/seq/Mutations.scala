@@ -29,26 +29,13 @@ object Mutations {
     * count nor the position-axis length ever funnels through a single
     * partition.
     */
-  def mutations(filtered: DataFrame, ref: String, minProportion: Double,
-      prefix: String = "", invalidSyms: Set[String] = Set()): DataFrame = {
+  /** Per-position raw coverage (prefix-sum over [cov_start, cov_end]
+    * deltas) and interior-missing counts: (pos, covraw, miss). Shared by
+    * `mutations()` and ingest-time local-reference adaptation.
+    */
+  def positionCoverage(filtered: DataFrame, genomeLength: Int,
+      prefix: String = ""): DataFrame = {
     val spark = filtered.sparkSession
-    val genomeLength = ref.length
-
-    // ambiguity codes (R, Y, … / B, J, Z) are INVALID_MUTATION_SYMBOLS in
-    // the reference: they are excluded from the emitted mutations AND from
-    // the coverage denominator (mutations_node.cpp:303-307 sums only
-    // VALID_MUTATION_SYMBOLS counts into `total`)
-    val exploded = filtered.select(explode(col(s"${prefix}muts")).as("m"))
-      .select(col("m.pos").as("position"), col("m.sym").as("sym"))
-    val isAmbig =
-      if (invalidSyms.isEmpty) lit(false)
-      else col("sym").isin(invalidSyms.toSeq.sorted: _*)
-    val mutCounts = exploded.filter(!isAmbig)
-      .groupBy(col("position"), col("sym").as("mutation_to"))
-      .agg(count(lit(1)).as("count"))
-    val ambigCounts = exploded.filter(isAmbig)
-      .groupBy(col("position").as("apos")).agg(count(lit(1)).as("amb"))
-
     // null sequences have null coverage bounds — they contribute nothing
     val deltas = filtered.select(col(s"${prefix}cov_start").as("pos"), lit(1L).as("d"))
       .union(filtered.select((col(s"${prefix}cov_end") + 1).as("pos"), lit(-1L).as("d")))
@@ -82,14 +69,69 @@ object Mutations {
     val missCounts = filtered.select(explode(col(s"${prefix}missing")).as("pos"))
       .groupBy("pos").agg(count(lit(1)).as("miss"))
 
-    val cov = covRaw.join(missCounts, Seq("pos"), "left")
+    covRaw.join(missCounts, Seq("pos"), "left")
       .na.fill(0, Seq("miss"))
+      .select("pos", "covraw", "miss")
+  }
+
+  def mutations(filtered: DataFrame, ref: String, minProportion: Double,
+      prefix: String = "", invalidSyms: Set[String] = Set(),
+      localRef: String = ""): DataFrame = {
+    val genomeLength = ref.length
+    // storage may be re-based onto an adapted local reference
+    // (sequence_column.cpp:157-196 finalize): rows with no stored diff at a
+    // position carry the LOCAL reference symbol there; the residual count
+    // belongs to it (accumulateFinalCounts, mutations_node.cpp:191-203),
+    // while mutationFrom and the "is a mutation" test stay on the GLOBAL
+    // reference (addMutationsToOutput, mutations_node.cpp:325-328)
+    val lr = if (localRef.isEmpty) ref else localRef
+
+    // ambiguity codes (R, Y, … / B, J, Z) are INVALID_MUTATION_SYMBOLS in
+    // the reference: they are excluded from the emitted mutations AND from
+    // the coverage denominator (mutations_node.cpp:303-307 sums only
+    // VALID_MUTATION_SYMBOLS counts into `total`)
+    val exploded = filtered.select(explode(col(s"${prefix}muts")).as("m"))
+      .select(col("m.pos").as("position"), col("m.sym").as("sym"))
+    val isAmbig =
+      if (invalidSyms.isEmpty) lit(false)
+      else col("sym").isin(invalidSyms.toSeq.sorted: _*)
+    val mutCounts = exploded.filter(!isAmbig)
+      .groupBy(col("position"), col("sym").as("mutation_to"))
+      .agg(count(lit(1)).as("count"))
+    val ambigCounts = exploded.filter(isAmbig)
+      .groupBy(col("position").as("apos")).agg(count(lit(1)).as("amb"))
+
+    val cov = positionCoverage(filtered, genomeLength, prefix)
       .join(ambigCounts, col("pos") === col("apos"), "left")
       .na.fill(0, Seq("amb"))
       .select(col("pos"),
-        (col("covraw") - col("miss") - col("amb")).as("coverage"))
+        (col("covraw") - col("miss") - col("amb")).as("coverage"),
+        (col("covraw") - col("miss")).as("covnm"))
 
-    mutCounts.join(cov, col("position") === col("pos")).drop("pos")
+    val counts =
+      if (lr == ref) mutCounts
+      else {
+        // residual rows (covered, not missing, no stored diff) carry the
+        // local reference symbol — at positions where it differs from the
+        // global reference they are mutations and must be emitted
+        val adapted = (1 to genomeLength)
+          .filter(p => lr.charAt(p - 1) != ref.charAt(p - 1))
+        val diffTotals = exploded.groupBy(col("position").as("dpos"))
+          .agg(count(lit(1)).as("dtot"))
+        val residual = cov
+          .filter(col("pos").isin(adapted: _*))
+          .join(diffTotals, col("pos") === col("dpos"), "left")
+          .na.fill(0, Seq("dtot"))
+          .select(col("pos").as("position"),
+            SequenceModel.refAt(lr, col("pos")).as("mutation_to"),
+            (col("covnm") - col("dtot")).as("count"))
+          .filter(col("count") > 0)
+        mutCounts.unionByName(residual)
+          .groupBy("position", "mutation_to")
+          .agg(sum("count").as("count"))
+      }
+
+    counts.join(cov, col("position") === col("pos")).drop("pos", "covnm")
       .select(
         col("position"),
         SequenceModel.refAt(ref, col("position")).as("mutation_from"),
@@ -97,7 +139,8 @@ object Mutations {
         col("count").cast("bigint").as("count"),
         col("coverage").cast("bigint").as("coverage"),
         round(col("count").cast("double") / col("coverage"), 4).as("proportion"))
-      .filter(col("proportion") >= minProportion)
+      .filter(col("proportion") >= minProportion &&
+        col("mutation_to") =!= col("mutation_from"))
   }
 
   /** `insertions()`: per distinct (position, inserted string): count over

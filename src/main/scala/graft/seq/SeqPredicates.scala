@@ -42,9 +42,9 @@ object SeqPredicates {
     * (reference: symbol_equals.cpp:96-100 rewrites to SymbolInSet).
     */
   def symbolEquals(pos: Int, sym: String, ref: String, prefix: String = "",
-      missingSym: String = "N"): Column = {
+      missingSym: String = "N", localRef: String = ""): Column = {
     val s = if (sym == ".") ref.charAt(pos - 1).toString else sym
-    symbolInSet(pos, Set(s), ref, prefix, missingSym)
+    symbolInSet(pos, Set(s), ref, prefix, missingSym, localRef)
   }
 
   /** Symbol at `pos` is a member of `syms` — the SymbolInSet physical op.
@@ -58,11 +58,17 @@ object SeqPredicates {
     *    (excludeNullSequences).
     */
   def symbolInSet(pos: Int, syms: Set[String], ref: String,
-      prefix: String = "", missingSym: String = "N"): Column = {
-    val refSym = ref.charAt(pos - 1).toString
-    val diffMatch = mutAtIn(pos, syms - refSym - missingSym, prefix)
+      prefix: String = "", missingSym: String = "N",
+      localRef: String = ""): Column = {
+    // storage may be re-based onto an adapted local reference
+    // (SequenceModel.adaptLocalReference): the symbol a row carries with
+    // NO stored diff is the LOCAL reference symbol, and back-mutations to
+    // the global reference are ordinary stored diffs
+    val lr = if (localRef.isEmpty) ref else localRef
+    val impliedSym = lr.charAt(pos - 1).toString
+    val diffMatch = mutAtIn(pos, syms - impliedSym - missingSym, prefix)
     val refMatch =
-      if (syms.contains(refSym) && refSym != missingSym)
+      if (syms.contains(impliedSym) && impliedSym != missingSym)
         Some(covered(pos, prefix) && !mutAt(pos, prefix))
       else None
     val missingMatch =
@@ -82,15 +88,32 @@ object SeqPredicates {
   def symbolEqualsMode(
       pos: Int, sym: Char, ref: String,
       codesFor: Map[Char, Set[Char]], mode: Mode, prefix: String = "",
-      missingSym: String = "N"): Column =
+      missingSym: String = "N", localRef: String = ""): Column =
     symbolInSet(pos, Ambiguity.matchingSymbols(codesFor, sym, mode).map(_.toString),
-      ref, prefix, missingSym)
+      ref, prefix, missingSym, localRef)
 
-  /** `hasMutation(position)`: symbol at pos ∉ {reference symbol, missing}
-    * (reference: has_mutation.cpp:72-75).
+  /** `hasMutation(position)`: symbol at pos ∉ {GLOBAL reference symbol,
+    * missing} (reference: has_mutation.cpp:34-67 rewrite to SymbolInSet of
+    * everything-but-ref). With adapted local storage a row matches when it
+    * stores a diff that is not the global symbol, or stores no diff at a
+    * covered position whose local reference differs from the global one.
     */
-  def hasMutation(pos: Int, prefix: String = ""): Column =
-    coalesce(mutAt(pos, prefix), lit(false))
+  def hasMutation(pos: Int, prefix: String = "", ref: String = "",
+      localRef: String = ""): Column = {
+    val lr = if (localRef.isEmpty) ref else localRef
+    val base =
+      if (ref.isEmpty || lr == ref)
+        // unadapted storage: any stored diff IS a mutation
+        mutAt(pos, prefix)
+      else {
+        val globalSym = ref.charAt(pos - 1).toString
+        val diffNotGlobal = exists(col(s"${prefix}muts"), m =>
+          m.getField("pos") === pos && m.getField("sym") =!= globalSym)
+        if (lr.charAt(pos - 1).toString == globalSym) diffNotGlobal
+        else diffNotGlobal || (covered(pos, prefix) && !mutAt(pos, prefix))
+      }
+    coalesce(base, lit(false))
+  }
 
   /** `insertionContains(position, regexValue)` over an
     * `ins: array<struct<pos,ins>>` column (reference:
@@ -128,15 +151,19 @@ object SeqPredicates {
     */
   def profileDistance(profile: String, ref: String,
       codesFor: Map[Char, Set[Char]] = Map(), missingSym: Char = 'N',
-      prefix: String = ""): Column = {
+      prefix: String = "", localRef: String = ""): Column = {
     require(profile.length == ref.length, "profile must span the reference")
     def compat(s: Char): Set[Char] =
       if (codesFor.nonEmpty) Ambiguity.ambiguitySymbols(codesFor, s)
       else Set(s, missingSym)
 
+    // D is the set of positions where the IMPLIED (no-stored-diff) symbol
+    // is incompatible with the profile — with adapted storage that implied
+    // symbol is the local reference's (SequenceModel.adaptLocalReference)
+    val lr = if (localRef.isEmpty) ref else localRef
     val dPositions = (1 to profile.length).filter { p =>
       val ps = profile(p - 1)
-      ps != missingSym && !compat(ps).contains(ref(p - 1))
+      ps != missingSym && !compat(ps).contains(lr(p - 1))
     }
     val dLit = array(dPositions.map(lit): _*)
 

@@ -121,4 +121,91 @@ object SequenceModel {
     diffed.select(explode(col(insCol)).as("i"))
       .groupBy(col("i.pos").as("pos"), col("i.ins").as("ins"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Nucleotide / amino-acid symbol enum order — the reference's
+    * argmax tie-break iterates symbols in this order and keeps the FIRST
+    * strictly-greater count (getSymbolWithHighestCount,
+    * vertical_sequence_index.cpp:79-96).
+    */
+  val NucOrder = "-ACGTRYSWKMBDHVN"
+  val AaOrder = "-ACDEFGHIKLMNOPQRSTUVWYBJZ*X"
+
+  /** Ingest-time local-reference adaptation (reference:
+    * sequence_column.cpp:157-196 finalize →
+    * vertical_sequence_index.cpp:98-164 findBetterLocalReferenceSymbol /
+    * adaptLocalReference): per position, if some stored-diff symbol
+    * outnumbers the rows matching the current reference, re-base the
+    * stored diffs onto that majority symbol. Rows that matched the global
+    * reference gain an explicit diff (pos → global symbol); rows whose
+    * diff equals the new local symbol drop it. Query semantics are
+    * UNCHANGED — `mutations()`, predicates and reconstruction translate
+    * between local storage and the global reference — but on divergent
+    * datasets the dominant-case rows become diff-free, which is the main
+    * storage/scan lever at 100 TB.
+    *
+    * Deviation (documented): candidates are restricted to concrete valid
+    * symbols — the reference also allows adapting to ambiguity codes or
+    * the missing symbol (local_reference_contains_missing_symbol); that
+    * only shrinks storage further on pathological datasets and never
+    * changes results.
+    *
+    * Returns (re-based frame, localRef) — `localRef == ref` when no
+    * position adapts (the frame is returned untouched).
+    */
+  def adaptLocalReference(
+      diffed: DataFrame,
+      ref: String,
+      prefix: String = "",
+      symbolOrder: String = NucOrder,
+      candidateSyms: Set[Char] = Ambiguity.nucValidMutation): (DataFrame, String) = {
+    val genomeLength = ref.length
+    // per-position: residual = rows equal to the current reference
+    //             = covered − missing − all stored diffs
+    val cov = Mutations.positionCoverage(diffed, genomeLength, prefix)
+    val diffCounts = diffed.select(explode(col(s"${prefix}muts")).as("m"))
+      .select(col("m.pos").as("pos"), col("m.sym").as("sym"))
+      .groupBy("pos", "sym").agg(count(lit(1)).as("cnt"))
+    val diffTotals = diffCounts.groupBy(col("pos").as("dpos"))
+      .agg(sum("cnt").as("dtot"))
+    val resid = cov.join(diffTotals, col("pos") === col("dpos"), "left")
+      .na.fill(0, Seq("dtot"))
+      .select(col("pos"), (col("covraw") - col("miss") - col("dtot")).as("resid"))
+    // candidates that strictly beat the residual; reference tie-break =
+    // first in enum order among equal counts
+    val winners = diffCounts
+      .filter(col("sym").isin(candidateSyms.toSeq.sorted.map(_.toString): _*))
+      .join(resid, Seq("pos"))
+      .filter(col("cnt") > col("resid"))
+      .withColumn("rk", expr(s"instr('$symbolOrder', sym)"))
+      .groupBy("pos")
+      .agg(min(struct(negate(col("cnt")), col("rk"), col("sym"))).as("best"))
+      .select(col("pos"), col("best.sym").as("newSym"))
+      .collect()                       // ≤ genome-length rows, driver-side
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+
+    if (winners.isEmpty) (diffed, ref)
+    else {
+      val localRef = (1 to genomeLength)
+        .map(p => winners.getOrElse(p, ref.charAt(p - 1).toString)).mkString
+      val adaptedLit = array(winners.keys.toSeq.sorted.map(lit): _*)
+      val mutMap = map_from_entries(col(s"${prefix}muts"))
+      // drop diffs that equal the new local symbol; add explicit diffs for
+      // rows that matched the global reference at an adapted position
+      val kept = filter(col(s"${prefix}muts"), m =>
+        !(array_contains(adaptedLit, m.getField("pos")) &&
+          m.getField("sym") === refAt(localRef, m.getField("pos"))))
+      val added = filter(
+        transform(adaptedLit, p => struct(p.as("pos"), refAt(ref, p).as("sym"))),
+        x => {
+          val p = x.getField("pos")
+          p >= col(s"${prefix}cov_start") && p <= col(s"${prefix}cov_end") &&
+            !array_contains(col(s"${prefix}missing"), p) &&
+            element_at(mutMap, p).isNull
+        })
+      val rebased = diffed.withColumn(s"${prefix}muts",
+        when(col(s"${prefix}cov_start").isNull, col(s"${prefix}muts"))
+          .otherwise(array_sort(concat(kept, added))))
+      (rebased, localRef)
+    }
+  }
 }

@@ -101,6 +101,77 @@ class SeqSpec extends SparkSpec {
     }
   }
 
+  test("local-reference adaptation: majority re-base, invariant results") {
+    // pos 3: G in ref but 4/5 rows carry C → adapts to C; pos 4: 3/5 carry
+    // A → adapts to A; other positions keep the global symbol
+    val seqs = Seq(
+      1L -> "ACCAACGT", 2L -> "ACCAACGT", 3L -> "ACCANCGT",
+      4L -> "ACCTACGT", 5L -> "ACGTACGT")
+    val raw = diffed(seqs: _*)
+    val (adapted, localRef) =
+      SequenceModel.adaptLocalReference(raw, ref, candidateSyms = Set('A', 'C', 'G', 'T'))
+    assert(localRef === "ACCAACGT")
+
+    // storage shrinks: diffs now stored only for the minority rows
+    def totalDiffs(df: org.apache.spark.sql.DataFrame) =
+      df.select(sum(size($"muts"))).head().getLong(0)
+    assert(totalDiffs(raw) === 7)     // rows 1,2,3 carry 2 each; row 4 one
+    assert(totalDiffs(adapted) === 3) // row 4: {4T}; row 5: {3G,4T}
+
+    // row-level: row 5 (= global ref) now stores explicit back-diffs at
+    // the adapted positions; rows 1/2 (= local ref) store nothing
+    val perRow = adapted.select($"id",
+      transform($"muts", m => concat(m.getField("pos"), m.getField("sym"))))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(perRow(1L).isEmpty && perRow(2L).isEmpty)
+    assert(perRow(5L) === Seq("3G", "4T"))
+    assert(perRow(4L) === Seq("4T"))
+    assert(perRow(3L).isEmpty)                // N at 5 stays in missing
+
+    // mutations() translates back to the GLOBAL reference: identical
+    // output from raw and adapted storage
+    val fromRaw = Mutations.mutations(raw, ref, 0.0)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val fromAdapted = Mutations.mutations(adapted, ref, 0.0, localRef = localRef)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(fromAdapted === fromRaw)
+    assert(fromRaw.contains((3, "G", "C", 4L, 5L)))
+
+    // predicates translate too: equals / '.' / hasMutation / profile
+    def ids(df: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.Column) =
+      df.filter(c).select("id").as[Long].collect().toSet
+    assert(ids(adapted, SeqPredicates.symbolEquals(3, "C", ref, localRef = localRef))
+      === ids(raw, SeqPredicates.symbolEquals(3, "C", ref)))
+    assert(ids(adapted, SeqPredicates.symbolEquals(3, ".", ref, localRef = localRef))
+      === Set(5L))
+    assert(ids(adapted, SeqPredicates.hasMutation(3, "", ref, localRef))
+      === ids(raw, SeqPredicates.hasMutation(3, "", ref)))
+    assert(ids(adapted, SeqPredicates.hasMutation(4, "", ref, localRef))
+      === Set(1L, 2L, 3L))
+    val profile = "ACCAACGT"
+    assert(
+      adapted.select($"id", SeqPredicates.profileDistance(profile, ref,
+        missingSym = 'N', localRef = localRef).as("d"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      === raw.select($"id", SeqPredicates.profileDistance(profile, ref,
+        missingSym = 'N').as("d"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap)
+
+    // reconstruction uses the local reference for fill-in
+    val rec = adapted.select($"id",
+      SequenceModel.reconstruct(localRef).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    seqs.foreach { case (id, s) => assert(rec(id) === s, s"id=$id") }
+
+    // a dataset where no symbol beats the residual returns untouched
+    val (same, lr2) = SequenceModel.adaptLocalReference(
+      diffed(1L -> "ACGTACGT", 2L -> "ACCTACGT"), ref)
+    assert(lr2 === ref)
+    assert(totalDiffs(same) === 1)
+  }
+
   test("insertionContains and insertions() aggregation") {
     val base = Seq(
       (1L, Seq((3, "ACT")), "x"),
