@@ -424,6 +424,42 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // ---- LSH quality gate: precision/recall vs brute force, per round ----
+    // On a BOUNDED sample (500 vectors — the nested-loop truth set is fixed
+    // size by construction, never data-scaled), compute ground-truth pairs
+    // ≥ τ and the LSH pipeline's pairs, then emit the two invariants the
+    // oracle can assert blind: every verified LSH pair IS a true pair
+    // (precision 1.0 ⇒ false_pairs = 0), and recall ≥ 0.5 (the (k=4, L=8)
+    // configuration's analytic floor at τ = 0.4). Turns the one no-oracle
+    // query's quality claim into a CORRECTNESS entry checked every round.
+    QDef("q_ann_recall",
+      "SELECT CAST(0 AS BIGINT) AS false_pairs, true AS recall_ok") { (s, dir) =>
+      val sample = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+        .localCheckpoint()
+      val e = sample.select(col("vec_id"), col("embedding"),
+        VF.norm2(col("embedding")).as("nrm"))
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"),
+        col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"),
+        col("nrm").as("nb"))
+      val truth = a.join(b, col("a_id") < col("b_id"))
+        .withColumn("cos",
+          round(VF.dot(col("av"), col("bv")) / (col("na") * col("nb")), 6))
+        .filter(col("cos") >= 0.4)
+        .select("a_id", "b_id")
+      val lsh = graft.ann.Similarity.lshNearDupPairs(
+        sample, "vec_id", "embedding", dim = 64,
+        k = 4, tables = 8, threshold = 0.4)
+        .select("a_id", "b_id")
+      val falsePairs = lsh.join(truth, Seq("a_id", "b_id"), "left_anti").count()
+      val found = lsh.join(truth, Seq("a_id", "b_id"), "left_semi").count()
+      val total = truth.count()
+      val spark = s
+      import spark.implicits._
+      Seq((falsePairs, total > 0 && found.toDouble / total >= 0.5))
+        .toDF("false_pairs", "recall_ok")
+    },
+
     // ---- brute-force ANN top-k for a fixed probe set ----
     QDef("q_ann_topk",
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
