@@ -1,0 +1,167 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => VF}
+
+/** IVF (inverted-file) ANN index: a coarse spherical k-means quantizer
+  * partitions the vector space into `cells`; each vector is stored under its
+  * nearest centroid; a query probes only the `nprobe` nearest cells. This is
+  * the second 100 TB similarity path next to hyperplane LSH ([[Similarity]]):
+  * LSH needs no training but fixes its geometry up front, IVF adapts cells
+  * to the data distribution (fewer, fuller buckets → better recall per
+  * candidate examined).
+  *
+  * Scale shape: training touches the data `iters` times with one
+  * groupBy-per-pass (partial-aggregated per-dimension sums — never a
+  * collect of vectors; only the cells×dim centroid matrix, the "model", hits
+  * the driver, exactly like the reference's broadcast-sized tree contract).
+  * Search is an equi-join on cell id: probe fan-out = nprobe, per-cell
+  * candidate lists are data-partitioned, no all-pairs anywhere.
+  *
+  * Determinism: centroids are seeded-Gaussian initialized and every update
+  * is a fixed-order aggregate of rounded sums, so the index is reproducible
+  * across runs and cluster layouts.
+  */
+object Ivf {
+
+  /** Deterministic seeded-Gaussian unit vectors (initial centroids). */
+  private def seedCentroids(dim: Int, cells: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(cells) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+  }
+
+  private def centroidCol(c: Array[Double]): Column = array(c.map(lit): _*)
+
+  /** argmax-dot cell assignment against the (broadcast-literal) centroids.
+    *
+    * One `array_max` over (dot, -index) structs — struct ordering gives the
+    * max dot with smallest-index tie-break, in an expression LINEAR in the
+    * cell count (a when/otherwise fold duplicates the accumulator 4× per
+    * level: 4^cells nodes, analyzer OOM by 16 cells). Unit centroids, so
+    * argmax dot == argmax cosine (|v| is constant across candidates).
+    */
+  private def assignExpr(vec: Column, cents: Array[Array[Double]]): Column = {
+    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(VF.dot(vec, centroidCol(c)).as("d"), lit(-i).as("ni"))
+    }: _*)
+    (-array_max(scored).getField("ni")).cast("int")
+  }
+
+  /** Train the coarse quantizer: farthest-point init on a deterministic
+    * bounded sample, then `iters` distributed Lloyd passes of spherical
+    * k-means. Returns the centroid matrix (cells × dim).
+    */
+  def train(
+      emb: DataFrame, vecCol: String,
+      dim: Int, cells: Int, iters: Int = 3, seed: Long = 7L): Array[Array[Double]] = {
+    // norm as its own column first: an expression referenced INSIDE a
+    // higher-order-function lambda re-evaluates per element — norm2 inline
+    // would redo the full dot product dim times per row
+    val unit = emb.select(col(vecCol).as("v"), VF.norm2(col(vecCol)).as("n"))
+      .select(transform(col("v"), x => x.cast("double") / col("n")).as("uv"))
+    // init: greedy farthest-point (k-means++-style) over a bounded,
+    // hash-ordered (= deterministic, data-dependent) sample — standard IVF
+    // practice: the quantizer trains on a sample, only the cells×dim model
+    // crosses the driver. Data-blind random init can split one dense region
+    // across cells while merging two others; farthest-point cannot.
+    val sample: Array[Array[Double]] = unit
+      .withColumn("h", xxhash64(col("uv")))
+      .orderBy("h").limit(math.max(cells * 32, 256))
+      .select("uv").collect().map(_.getSeq[Double](0).toArray)
+    var cents: Array[Array[Double]] =
+      if (sample.isEmpty) seedCentroids(dim, cells, seed)
+      else {
+        val picked = scala.collection.mutable.ArrayBuffer(sample(0))
+        while (picked.size < cells && picked.size < sample.length) {
+          // the sample point least similar to its nearest picked centroid
+          val far = sample.maxBy { v =>
+            -picked.map(c => c.zip(v).map { case (a, b) => a * b }.sum).max
+          }
+          picked += far
+        }
+        // more cells than sample points: pad with seeded directions
+        val pad = seedCentroids(dim, cells, seed).drop(picked.size)
+        (picked ++ pad).toArray
+      }
+    for (_ <- 0 until iters) {
+      // per-(cell, dimension) sums — partial-aggregated, tiny result.
+      // cell assignment in its OWN select: a generator in the same
+      // projection makes the analyzer rebuild the assignment's nested
+      // structs without their field aliases (FIELD_NOT_FOUND)
+      val sums = unit
+        .select(assignExpr(col("uv"), cents).as("cell"), col("uv"))
+        .select(col("cell"), posexplode(col("uv")))
+        .groupBy("cell", "pos").agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val acc = Array.fill(cells)(new Array[Double](dim))
+      val cnt = new Array[Long](cells)
+      sums.foreach { r =>
+        val cell = r.getInt(0)
+        acc(cell)(r.getInt(1)) = r.getDouble(2)
+        cnt(cell) = r.getLong(3)
+      }
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        if (cnt(i) == 0) old // empty cell keeps its centroid
+        else {
+          val n = math.sqrt(acc(i).map(x => x * x).sum)
+          if (n == 0) old else acc(i).map(_ / n)
+        }
+      }
+    }
+    cents
+  }
+
+  /** Vectors tagged with their IVF cell (the persisted index table). */
+  def assign(emb: DataFrame, vecCol: String, cents: Array[Array[Double]]): DataFrame =
+    emb.withColumn("cell", assignExpr(col(vecCol), cents))
+
+  /** The `nprobe` cells nearest to each probe vector (driver-side over the
+    * small centroid matrix).
+    */
+  def probeCells(probe: Array[Float], cents: Array[Array[Double]], nprobe: Int): Seq[Int] = {
+    val n = math.sqrt(probe.map(x => x.toDouble * x).sum)
+    cents.zipWithIndex
+      .map { case (c, i) =>
+        (c.zip(probe).map { case (a, b) => a * b / n }.sum, i)
+      }
+      .sortBy { case (d, i) => (-d, i) }
+      .take(nprobe).map(_._2).toSeq
+  }
+
+  /** Top-k cosine neighbors for each probe row, examining only `nprobe`
+    * cells per probe. `probes` must be bounded (collected + shipped as one
+    * literal, like a broadcast dim).
+    */
+  def topk(
+      emb: DataFrame, idCol: String, vecCol: String,
+      probes: Seq[(Long, Array[Float])], cents: Array[Array[Double]],
+      k: Int = 5, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // (probe, probed cell) rows as a broadcast side: the scan is amplified
+    // only where a probe actually examines the cell (vs exploding the whole
+    // probe list against every row and filtering after)
+    val pdf = probes.flatMap { case (qid, qv) =>
+      probeCells(qv, cents, nprobe).map(cell => (qid, qv.toSeq, cell))
+    }.toDF("q_id", "qv", "cell")
+    val indexed = assign(emb, vecCol, cents)
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    indexed
+      .select(col(idCol).as("n_id"), col(vecCol).as("nv"), col("cell"),
+        VF.norm2(col(vecCol)).as("nn"))
+      .join(broadcast(pdf), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        round(VF.dot(col("qv"), col("nv")) / (VF.norm2(col("qv")) * col("nn")), 6))
+      .select(col("q_id"), col("n_id"), col("cos"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "n_id", "cos")
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the clustering step
+  * of large-scale deduplication (near-dup PAIRS are only half the job; the
+  * keep-one decision needs the transitive closure: pair (a,b) + pair (b,c)
+  * must put a,b,c in ONE group even though (a,c) was never emitted).
+  *
+  * Algorithm: iterative min-label propagation. Each round every node takes
+  * the minimum label over itself and its neighbors; convergence is detected
+  * by an aggregate over the label sum (strictly decreasing until fixpoint).
+  * Per round: one equi-join on the edge list + one groupBy — both shuffle
+  * on node id, no all-pairs anywhere. Rounds needed = graph diameter, which
+  * for near-dup graphs is small (components are quasi-cliques around a
+  * shared template); `maxIter` bounds the worst case and the lineage is
+  * truncated per round so plans stay O(1) deep.
+  */
+object ConnectedComponents {
+
+  /** @param edges undirected edge list (each pair once, either direction)
+    * @param nodes one row per node (superset of edge endpoints; isolated
+    *              nodes become singleton components)
+    * @return (node, component) where component = min node id reachable
+    */
+  def components(
+      edges: DataFrame, eaCol: String, ebCol: String,
+      nodes: DataFrame, nodeCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val e = edges.select(col(eaCol).as("src"), col(ebCol).as("dst"))
+      .union(edges.select(col(ebCol).as("src"), col(eaCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = nodes.select(col(nodeCol).as("node"))
+      .distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint()
+    // labels only ever decrease, so an unchanged label sum means fixpoint;
+    // decimal(38) so huge id spaces cannot overflow-wrap into a false stop
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+    var lastSum = labelSum(labels)
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      // neighbor labels flow along edges; keep own label in the running min
+      val viaEdge = e.join(labels, e("dst") === labels("node"))
+        .select(col("src").as("node"), col("comp"))
+      val next = viaEdge.union(labels.select(col("node"), col("comp")))
+        .groupBy("node").agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      converged = s.compareTo(lastSum) == 0
+      lastSum = s
+      labels = next
+      it += 1
+    }
+    labels
+  }
+}

@@ -25,6 +25,48 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** SimHash near-dup pairs (hamming ≤ 2 over 16-bit signatures, blocked by
+    * source). Pigeonhole banding: the signature splits into 3 bands (6+5+5);
+    * 2 differing bits touch at most 2 bands, so near-dup pairs share at
+    * least one bit-identical band — candidates come from an EQUI-join on
+    * (source, band, bits) instead of a per-source all-pairs nested loop;
+    * full hamming verifies after. Shared by `q_simhash_pairs` (the pair
+    * list) and `q_dedup_clusters` (the edges of the dedup graph).
+    */
+  private def simhashPairs(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        explode(TF.tokens(col("text"))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val sums = (1 to 16).map(j =>
+      sum(when(substring(col("h"), j, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+        .otherwise(-1)).as(s"s$j"))
+    val sh = toks.groupBy("doc_id", "source").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), col("source"),
+        concat((1 to 16).map(j =>
+          when(col(s"s$j") >= 0, lit("1")).otherwise(lit("0"))): _*).as("sh"))
+    val bandDefs = Seq((0, 1, 6), (1, 7, 5), (2, 12, 5))
+    val bands = sh.select(col("doc_id"), col("source"), col("sh"),
+      explode(array(bandDefs.map { case (bi, start, len) =>
+        struct(lit(bi).as("bi"), substring(col("sh"), start, len).as("bits"))
+      }: _*)).as("bd"))
+      .select(col("doc_id"), col("source"), col("sh"),
+        col("bd.bi").as("bi"), col("bd.bits").as("bits"))
+    val a = bands.select(col("doc_id").as("a_id"), col("source").as("a_src"),
+      col("sh").as("a_sh"), col("bi").as("a_bi"), col("bits").as("a_bits"))
+    val b = bands.select(col("doc_id").as("b_id"), col("source").as("b_src"),
+      col("sh").as("b_sh"), col("bi").as("b_bi"), col("bits").as("b_bits"))
+    val ham = (1 to 16).map(j =>
+      when(substring(col("a_sh"), j, 1) =!= substring(col("b_sh"), j, 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    a.join(b, col("a_src") === col("b_src") && col("a_bi") === col("b_bi") &&
+        col("a_bits") === col("b_bits") && col("a_id") < col("b_id"))
+      .withColumn("hamming", ham.cast("int"))
+      .filter(col("hamming") <= 2)
+      .select("a_id", "b_id", "hamming")
+      .distinct() // a pair can agree in 2+ bands
+  }
+
   // ---- shared DuckDB SQL fragments (mirror TextFunctions exactly) ----
   private val normSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
   private val stopSql = TF.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
@@ -196,22 +238,20 @@ object PipelineQueries {
       // materializing its posting list
       val dfs = ex0.groupBy("s64").agg(count(lit(1)).as("df"))
         .filter(col("df") <= NGRAM_DF_CAP).select("s64")
-      // join output stays hash-partitioned by s64, so the posting-list
-      // groupBy below reuses that partitioning (no extra shuffle)
+      // the surviving occurrences feed the per-doc count + both pair sides
       val kept = ex0.join(dfs, "s64").localCheckpoint()
       val nPerDoc = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // candidate pairs from within each ≤cap posting list: bounded cap²
-      // rows per shingle, all generated by one lambda — no self-join
-      val posts = kept.groupBy("s64")
-        .agg(collect_list(struct(col("doc_id"), col("source"))).as("ds"))
-      val pairs = posts.select(explode(expr(
-        """flatten(transform(ds, a -> filter(
-          |  transform(ds, b -> CASE WHEN a.source = b.source
-          |      AND a.doc_id < b.doc_id
-          |    THEN named_struct('a_id', a.doc_id, 'b_id', b.doc_id) END),
-          |  p -> p IS NOT NULL)))""".stripMargin)).as("p"))
-        .select("p.a_id", "p.b_id")
-      pairs.groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+      // candidate pairs: equi self-join on the CAPPED posting set — per-key
+      // fan-out is bounded by cap² and the whole pipeline stays inside
+      // WholeStageCodegen (a collect_list + higher-order-function pair
+      // expansion is CodegenFallback and ran ~2x slower)
+      val a = kept.select(col("doc_id").as("a_id"), col("source").as("a_src"),
+        col("s64"))
+      val b = kept.select(col("doc_id").as("b_id"), col("source").as("b_src"),
+        col("s64"))
+      a.join(b, Seq("s64"))
+        .filter(col("a_src") === col("b_src") && col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
         .join(nPerDoc.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
         .join(nPerDoc.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
         .withColumn("jaccard",
@@ -335,43 +375,7 @@ object PipelineQueries {
          |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
          |WHERE $ham <= 2 ORDER BY a_id, b_id""".stripMargin
     }) { (s, dir) =>
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          explode(TF.tokens(col("text"))).as("tok"))
-        .withColumn("h", md5(col("tok")))
-      val sums = (1 to 16).map(j =>
-        sum(when(substring(col("h"), j, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
-          .otherwise(-1)).as(s"s$j"))
-      val sh = toks.groupBy("doc_id", "source").agg(sums.head, sums.tail: _*)
-        .select(col("doc_id"), col("source"),
-          concat((1 to 16).map(j =>
-            when(col(s"s$j") >= 0, lit("1")).otherwise(lit("0"))): _*).as("sh"))
-      // pigeonhole banding: split the 16-bit signature into 3 bands
-      // (6+5+5). hamming(a,b) <= 2 means the 2 differing bits touch at
-      // most 2 bands, so at least one band is bit-identical — candidates
-      // come from an EQUI-join on (source, band, bits) instead of a
-      // per-source all-pairs nested loop; full hamming verifies after.
-      val bandDefs = Seq((0, 1, 6), (1, 7, 5), (2, 12, 5))
-      val bands = sh.select(col("doc_id"), col("source"), col("sh"),
-        explode(array(bandDefs.map { case (bi, start, len) =>
-          struct(lit(bi).as("bi"), substring(col("sh"), start, len).as("bits"))
-        }: _*)).as("bd"))
-        .select(col("doc_id"), col("source"), col("sh"),
-          col("bd.bi").as("bi"), col("bd.bits").as("bits"))
-      val a = bands.select(col("doc_id").as("a_id"), col("source").as("a_src"),
-        col("sh").as("a_sh"), col("bi").as("a_bi"), col("bits").as("a_bits"))
-      val b = bands.select(col("doc_id").as("b_id"), col("source").as("b_src"),
-        col("sh").as("b_sh"), col("bi").as("b_bi"), col("bits").as("b_bits"))
-      val ham = (1 to 16).map(j =>
-        when(substring(col("a_sh"), j, 1) =!= substring(col("b_sh"), j, 1), 1)
-          .otherwise(0)).reduce(_ + _)
-      a.join(b, col("a_src") === col("b_src") && col("a_bi") === col("b_bi") &&
-          col("a_bits") === col("b_bits") && col("a_id") < col("b_id"))
-        .withColumn("hamming", ham.cast("int"))
-        .filter(col("hamming") <= 2)
-        .select("a_id", "b_id", "hamming")
-        .distinct()  // a pair can agree in 2+ bands
-        .orderBy("a_id", "b_id")
+      simhashPairs(t(s, dir, "documents")).orderBy("a_id", "b_id")
     },
 
     // ---- vector norms (basic embedding op) ----
@@ -458,6 +462,127 @@ object PipelineQueries {
       import spark.implicits._
       Seq((falsePairs, total > 0 && found.toDouble / total >= 0.5))
         .toDF("false_pairs", "recall_ok")
+    },
+
+    // ---- dedup CLUSTERS: transitive closure of the near-dup pair graph.
+    //      Pairs alone under-delete: (a,b) + (b,c) near-dup means a,b,c are
+    //      one group even if (a,c) was never emitted. Distributed min-label
+    //      propagation (graft.operators.ConnectedComponents) — per round one
+    //      equi-join + one groupBy, rounds = component diameter; the oracle
+    //      recomputes the closure with a recursive CTE. ----
+    QDef("q_dedup_clusters", {
+      val sums = (1 to 16).map(j =>
+        s"sum(CASE WHEN substr(h, $j, 1) IN $hexHi THEN 1 ELSE -1 END) AS s$j")
+        .mkString(",\n  ")
+      val bits = (1 to 16).map(j => s"(CASE WHEN s$j >= 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      val ham = (1 to 16).map(j =>
+        s"CASE WHEN substr(a.sh, $j, 1) <> substr(b.sh, $j, 1) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH RECURSIVE tk AS (SELECT doc_id, source, md5(t) AS h FROM
+         |  (SELECT doc_id, source, unnest(string_split($normSql, ' ')) AS t FROM documents)),
+         |s AS (SELECT doc_id, source, $sums FROM tk GROUP BY doc_id, source),
+         |sh AS (SELECT doc_id, source, $bits AS sh FROM s),
+         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE $ham <= 2),
+         |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+         |  UNION ALL SELECT b_id AS u, a_id AS v FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS node, doc_id AS lab FROM documents
+         |  UNION
+         |  SELECT e.u AS node, r.lab AS lab FROM edges e JOIN reach r ON r.node = e.v
+         |)
+         |SELECT node AS doc_id, min(lab) AS cluster,
+         |  CAST(min(lab) = node AS BOOLEAN) AS keep
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = simhashPairs(docs)
+      graft.operators.ConnectedComponents
+        .components(pairs, "a_id", "b_id", docs, "doc_id")
+        .select(col("node").as("doc_id"), col("comp").as("cluster"),
+          (col("comp") === col("node")).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // ---- TF-IDF top-3 terms per document. idf is the exact-rational
+    //      surrogate (N+1)/(df+1): tf*(N+1) is an integer (exact in a
+    //      double), so the single IEEE division is bit-identical across
+    //      engines — a log-based idf would hash-mismatch on ulp drift.
+    //      Monotone in the classic tf-idf for fixed tf, so top-k ranks
+    //      the same way. ----
+    QDef("q_tfidf_topk",
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |sc AS (SELECT doc_id, term, CAST(tf * (n + 1) AS DOUBLE) / (df + 1) AS tfidf
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+         |r AS (SELECT doc_id, term, tfidf,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk FROM sc)
+         |SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, tfidf FROM r
+         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val toks = docs
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+      tf.join(dfq, "term").crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          (col("tf") * (col("n") + 1)).cast("double") / (col("df") + 1))
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "rk", "term", "tfidf")
+        .orderBy("doc_id", "rk")
+    },
+
+    // ---- IVF ANN: coarse-quantizer top-k (no SQL oracle — the k-means
+    //      training is not SQL-expressible; quality is gated by
+    //      q_ivf_recall below and IvfSpec) ----
+    QDef.noOracle("q_ann_ivf") { (s, dir) =>
+      val emb = t(s, dir, "embeddings").localCheckpoint()
+      val cents = graft.ann.Ivf.train(emb, "embedding", dim = 64, cells = 16, iters = 2)
+      val probes = emb.filter(col("vec_id") < 10)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
+      graft.ann.Ivf.topk(emb, "vec_id", "embedding", probes, cents, k = 5, nprobe = 8)
+        .orderBy("q_id", "rk")
+    },
+
+    // ---- IVF quality gate: recall@5 of the nprobe=8/16-cell search vs the
+    //      exhaustive top-5 for the same probes, as an oracle-checkable
+    //      constant row (like q_ann_recall for LSH) ----
+    QDef("q_ivf_recall",
+      "SELECT CAST(10 AS BIGINT) AS n_probes, true AS recall_ok") { (s, dir) =>
+      val emb = t(s, dir, "embeddings").localCheckpoint()
+      val cents = graft.ann.Ivf.train(emb, "embedding", dim = 64, cells = 16, iters = 2)
+      val probes = emb.filter(col("vec_id") < 10)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
+      val ivf = graft.ann.Ivf
+        .topk(emb, "vec_id", "embedding", probes, cents, k = 5, nprobe = 8)
+        .select("q_id", "n_id")
+      val e = emb.select(col("vec_id"), col("embedding"), VF.norm2(col("embedding")).as("nrm"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("nq"))
+      val nn = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"), col("nrm").as("nn"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+      val truth = broadcast(q).join(nn, col("q_id") =!= col("n_id"))
+        .withColumn("cos",
+          round(VF.dot(col("qv"), col("nv")) / (col("nq") * col("nn")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select("q_id", "n_id")
+      val hit = ivf.join(truth, Seq("q_id", "n_id"), "left_semi").count()
+      val total = truth.count()
+      val spark = s
+      import spark.implicits._
+      Seq((probes.size.toLong, total > 0 && hit.toDouble / total >= 0.6))
+        .toDF("n_probes", "recall_ok")
     },
 
     // ---- brute-force ANN top-k for a fixed probe set ----

@@ -83,14 +83,24 @@ class GoldenCorpusSpec extends SparkSpec {
     new String(b)
   }
 
-  lazy val dataset: DataFrame = {
+  /** One synthetic row, kept as plain Scala data so replay tests can
+    * compute expected values NAIVELY (string/char-level, no Spark) and
+    * compare them against the planner running the real corpus query text.
+    */
+  final case class NRow(
+      i: Int, pk: String, usher: String, dateS: String, unsortedS: String,
+      region: String, country: String, lineage: String, division: String,
+      age: Integer, qc: java.lang.Double, bool: Boolean,
+      main: String, second: String, genes: Map[String, String])
+
+  lazy val naiveRows: Seq[NRow] = {
     val leaves = phylo.parent.keySet.filterNot(phylo.children.contains).toSeq.sorted
     val lineages = lineageTree.nodes.toSeq.sorted
     val regions = Seq("Europe", "NorthAmerica", "Asia")
     val countries = Seq("Switzerland", "Germany", "USA", "China")
     val divisions = Seq("Aargau", "Bern", "Zurich", "Bayern", "Solothurn")
-    val rows = (1 to 100).map { i =>
-      (s"key_$i",
+    (1 to 100).map { i =>
+      NRow(i, s"key_$i",
         if (i == 29) null else leaves((i - 1) % leaves.size),
         f"2021-${(i % 12) + 1}%02d-${(i % 27) + 1}%02d",
         f"2021-${((i * 7) % 12) + 1}%02d-${((i * 3) % 27) + 1}%02d",
@@ -101,14 +111,18 @@ class GoldenCorpusSpec extends SparkSpec {
         if (i % 10 == 0) null else Integer.valueOf(20 + i % 60),
         if (i % 13 == 0) null else java.lang.Double.valueOf((i % 100) / 100.0),
         i % 2 == 0,
-        mutate(mainRef, i, 5) + (if (i % 4 == 0) "" else ""),
+        mutate(mainRef, i, 5),
         mutate(secondRef, i, 1),
-        mutate(geneRefs("E"), i, 2),
-        mutate(geneRefs("M"), i, 2),
-        mutate(geneRefs("N"), i, 2),
-        mutate(geneRefs("ORF1a"), i, 2),
-        mutate(geneRefs("ORF1b"), i, 2),
-        mutate(geneRefs("S"), i, 2))
+        geneNames.map(g => g -> mutate(geneRefs(g), i, 2)).toMap)
+    }
+  }
+
+  lazy val dataset: DataFrame = {
+    val rows = naiveRows.map { r =>
+      (r.pk, r.usher, r.dateS, r.unsortedS, r.region, r.country, r.lineage,
+        r.division, r.age, r.qc, r.bool, r.main, r.second,
+        r.genes("E"), r.genes("M"), r.genes("N"), r.genes("ORF1a"),
+        r.genes("ORF1b"), r.genes("S"))
     }
     val df = rows.toDF("primary_key", "usherTree", "date_s", "unsorted_date_s",
       "region", "country", "pango_lineage", "division", "age", "qc_value",
@@ -130,7 +144,10 @@ class GoldenCorpusSpec extends SparkSpec {
       ("seq_N", geneRefs("N"), "N_"), ("seq_ORF1a", geneRefs("ORF1a"), "ORF1a_"),
       ("seq_ORF1b", geneRefs("ORF1b"), "ORF1b_"), ("seq_S", geneRefs("S"), "S_"))
       .foldLeft(withUnaligned) { case (d, (c, ref, p)) =>
-        SequenceModel.diff(d, c, ref, missingSyms = Set("N"), prefix = p)
+        // missing symbol is per-alphabet: N for nucleotides, X for amino
+        // acids (in AA, N is Asparagine — a concrete symbol, not missing)
+        val missing = if (c == "seq_main" || c == "seq_second") "N" else "X"
+        SequenceModel.diff(d, c, ref, missingSyms = Set(missing), prefix = p)
       }
     def insCol(d: DataFrame, name: String, mod: Int, pos: Int, v: String) =
       d.withColumn(name, when(expr(s"pmod(hash(primary_key), $mod)") === 0,
@@ -174,6 +191,151 @@ class GoldenCorpusSpec extends SparkSpec {
       val df = Planner.plan(q, catalog)
       assert(df.count() >= 0)
     }
+  }
+
+  // ==== value-level replay of the most-used corpus shapes ====
+  // Expected values are computed NAIVELY from `naiveRows` (plain Scala
+  // string/char work over the generator's own data, no Spark, no reuse of
+  // the operators under test); the query text is the REAL corpus file's.
+
+  def corpusQuery(file: String): String = {
+    val src = Files.readString(new File(s"$base/queries/$file").toPath)
+    jsonString(src, "query").getOrElse(fail(s"no query in $file"))
+  }
+  def runQ(file: String): DataFrame = Planner.plan(corpusQuery(file), catalog)
+  def count1(file: String): Long = runQ(file).head().getLong(0)
+
+  /** Naive sublineage closure: BFS over the parsed YAML child edges,
+    * resolving the root alias — independent of LineageTree.descendants'
+    * fixpoint logic.
+    */
+  def naiveSublineages(root: String): Set[String] = {
+    val canon = lineageDef.aliases.getOrElse(root, root)
+    val out = scala.collection.mutable.Set(canon)
+    var frontier = List(canon)
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap(n => lineageTree.children.getOrElse(n, Nil))
+        .filterNot(out)
+      out ++= next
+      frontier = next
+    }
+    out.toSet
+  }
+
+  test("replay: count-filter shapes match naive row counts") {
+    def n(pred: NRow => Boolean): Long = naiveRows.count(pred).toLong
+    assert(count1("matchAll.json") === 100L)
+    assert(count1("intBetween.json") ===
+      n(r => r.age != null && r.age >= 52 && r.age <= 55))
+    assert(count1("intEquals.json") === n(r => r.age != null && r.age == 55))
+    assert(count1("dateBetween.json") === n(_.dateS == "2021-03-18"))
+    assert(count1("dateBetween_openTo1.json") === n(_.dateS >= "2021-03-17"))
+    // float between is to-EXCLUSIVE (reference float_between.cpp)
+    assert(count1("floatBetween.json") ===
+      n(r => r.qc != null && r.qc >= 0.905 && r.qc < 0.935))
+    assert(count1("floatEquals.json") === n(r => r.qc != null && r.qc == 0.9))
+    assert(count1("stringEquals.json") === n(_.country == "Switzerland"))
+    assert(count1("booleanEquals.json") === n(_.bool))
+    assert(count1("Not.json") === n(_.country != "Switzerland"))
+    assert(count1("stringSearch_prefix.json") === n(_.pk.startsWith("key_")))
+    val b117 = naiveSublineages("B.1.1.7")
+    assert(count1("pangoLIneageIncludingSublineages.json") ===
+      n(r => b117.contains(r.lineage)))
+    assert(count1("pangoLIneageWithoutSublineages.json") ===
+      n(r => lineageDef.aliases.getOrElse(r.lineage, r.lineage) ==
+        lineageDef.aliases.getOrElse("B.1.1.7", "B.1.1.7")))
+    assert(count1("And.json") ===
+      n(r => r.country == "Switzerland" && b117.contains(r.lineage)))
+    assert(count1("Or.json") === n(r => b117.contains(r.lineage)))
+  }
+
+  test("replay: sequence predicate shapes match naive char counts") {
+    def n(pred: NRow => Boolean): Long = naiveRows.count(pred).toLong
+    // symbol at 1-based position (synthetic sequences are full-length)
+    def at(r: NRow, p: Int): Char = r.main.charAt(p - 1)
+    assert(count1("N_notIndexed.json") === n(r => at(r, 122) == 'N'))
+    // maybe(A) at 122: stored symbol must be ambiguity-compatible with A;
+    // the synthetic alphabet is concrete ACGT, so compat = exact A
+    assert(count1("Maybe.json") === n(r => at(r, 122) == 'A'))
+    assert(count1("Exact.json") === n(r => at(r, 122) == 'A'))
+    val nOf = Seq((241, 'T'), (29734, 'T'), (28330, 'G'))
+    assert(count1("nOf_2of3_aggregated.json") ===
+      n(r => nOf.count { case (p, s) => at(r, p) == s } >= 2))
+  }
+
+  test("replay: groupBy / orderBy / limit / offset shapes match naive rows") {
+    // OrderByAge: groupBy(age) counts ascending, nulls first
+    val ageGroups = naiveRows.groupBy(r => Option(r.age).map(_.toInt))
+      .map { case (k, v) => k -> v.size.toLong }
+    val expectAges = ageGroups.toSeq.sortBy { case (k, _) => (k.isDefined, k.getOrElse(0)) }
+    val gotAges = runQ("OrderByAge.json")
+      .collect().map(r => (Option(r.getAs[Integer]("age")).map(_.toInt),
+        r.getAs[Long]("count"))).toSeq
+    assert(gotAges === expectAges.map { case (k, c) => (k, c) })
+
+    // GroupByDivision ordered by (division, count); nulls first
+    val divGroups = naiveRows.groupBy(r => Option(r.division))
+      .map { case (k, v) => (k, v.size.toLong) }.toSeq
+      .sortBy { case (k, c) => (k.isDefined, k.getOrElse(""), c) }
+    val gotDivs = runQ("GroupByDivision.json")
+      .collect().map(r => (Option(r.getAs[String]("division")),
+        r.getAs[Long]("count"))).toSeq
+    assert(gotDivs === divGroups)
+
+    // top-4 lineages by count desc — compare as count multiset (lineage
+    // ties at the cut are unordered)
+    val topCounts = naiveRows.groupBy(_.lineage).map(_._2.size.toLong)
+      .toSeq.sorted.reverse.take(4)
+    val gotTop = runQ("GroupByLineageOrderByCountLimit.json")
+      .collect().map(_.getAs[Long]("count")).toSeq.sorted.reverse
+    assert(gotTop === topCounts)
+
+    // detailsLimitAscending5: the 5 smallest divisions nulls-first — the
+    // synthetic data has exactly 5 nulls
+    val got5 = runQ("detailsLimitAscending5.json").collect().map(r =>
+      Option(r.getString(0))).toSeq
+    assert(got5 === Seq.fill(5)(None))
+
+    // OffsetLimitOverlap: rows 91..100 in primary_key string order
+    val expectPks = naiveRows.map(_.pk).sorted.drop(90)
+    val got = runQ("OffsetLimitOverlap.json").collect()
+    assert(got.map(_.getAs[String]("primary_key")).toSeq === expectPks)
+    val byPk = naiveRows.map(r => r.pk -> r).toMap
+    got.foreach { r =>
+      val nr = byPk(r.getAs[String]("primary_key"))
+      assert(Option(r.getAs[Integer]("age")) === Option(nr.age))
+      assert(r.getAs[String]("country") === nr.country)
+    }
+  }
+
+  test("replay: aminoAcidMutations distribution matches naive recount") {
+    // aaMutDistribution_min0: E gene, minProportion 0.0 — recount naively
+    // from the raw mutated gene strings (the generator's 2-positions-per-row
+    // mutations are too sparse for the 0.3-threshold corpus variant);
+    // coverage = 100 (full-length, no X), so proportion = count/100
+    val ref = geneRefs("E")
+    val counts = scala.collection.mutable.Map.empty[(Int, Char), Int]
+    naiveRows.foreach { r =>
+      val s = r.genes("E")
+      (0 until ref.length).foreach { k =>
+        if (s.charAt(k) != ref.charAt(k))
+          counts((k + 1, s.charAt(k))) = counts.getOrElse((k + 1, s.charAt(k)), 0) + 1
+      }
+    }
+    val expected = counts.map { case ((p, sym), c) =>
+      (p, ref.charAt(p - 1).toString, sym.toString, c.toLong, c / 100.0)
+    }.toSet
+    val got = runQ("aaMutDistribution_min0.json")
+      .selectExpr("position", "mutationFrom", "mutationTo", "count", "proportion")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // the corpus query carries an orderBy — verify it end-to-end too
+    val ordered = runQ("aaMutDistribution_min0.json")
+      .selectExpr("sequenceName", "position", "mutationTo").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+    assert(ordered === ordered.sorted)
   }
 
   allJsonFiles(new File(s"$base/invalidQueries")).foreach { f =>

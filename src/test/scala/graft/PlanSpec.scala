@@ -38,4 +38,20 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q_ann_pairs")
     assert(p.toLowerCase.contains("vecdot"))
   }
+
+  test("no unbounded pairwise plans anywhere: CartesianProduct never, " +
+    "BroadcastNestedLoopJoin only with a bounded-by-construction side") {
+    // whitelist: queries whose BNLJ side is bounded regardless of data
+    // scale — a fixed probe set (q_ann_topk/q_ivf_recall), a fixed-size
+    // sample (q_ann_recall), or a 1-row aggregate dim (q_tfidf_topk)
+    val boundedBnlj = Set("q_ann_topk", "q_ann_recall", "q_ivf_recall", "q_tfidf_topk")
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct — unbounded at scale")
+      if (!boundedBnlj(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin outside the bounded whitelist")
+    }
+  }
 }
