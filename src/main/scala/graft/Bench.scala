@@ -28,7 +28,14 @@ object Bench {
           failed ::= name
           System.err.println(s"BENCH FAILURE $name: $e")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release blocks pinned by localCheckpoint/persist inside the query —
+      // without this, checkpointed label/shingle tables from iterative
+      // queries accumulate in the block manager and the resulting memory
+      // pressure taxes every LATER query's timing
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      name -> dt
     }
     if (failed.nonEmpty) {
       System.err.println(s"bench failed: ${failed.sorted.mkString(", ")}")

@@ -61,9 +61,14 @@ object Ivf {
       dim: Int, cells: Int, iters: Int = 3, seed: Long = 7L): Array[Array[Double]] = {
     // norm as its own column first: an expression referenced INSIDE a
     // higher-order-function lambda re-evaluates per element — norm2 inline
-    // would redo the full dot product dim times per row
+    // would redo the full dot product dim times per row. Zero-norm vectors
+    // project to the zero vector (not NaN): they score 0 against every
+    // centroid and land deterministically in cell 0 instead of poisoning
+    // centroid updates with NaN sums.
     val unit = emb.select(col(vecCol).as("v"), VF.norm2(col(vecCol)).as("n"))
-      .select(transform(col("v"), x => x.cast("double") / col("n")).as("uv"))
+      .select(transform(col("v"),
+        x => coalesce(x.cast("double") / nullif(col("n"), lit(0.0)), lit(0.0)))
+        .as("uv"))
     // init: greedy farthest-point (k-means++-style) over a bounded,
     // hash-ordered (= deterministic, data-dependent) sample — standard IVF
     // practice: the quantizer trains on a sample, only the cells×dim model
@@ -124,7 +129,10 @@ object Ivf {
     * small centroid matrix).
     */
   def probeCells(probe: Array[Float], cents: Array[Array[Double]], nprobe: Int): Seq[Int] = {
-    val n = math.sqrt(probe.map(x => x.toDouble * x).sum)
+    // zero-norm probe: all dots are 0 either way; dividing by 1 keeps the
+    // ranking deterministic (index order) instead of NaN-arbitrary
+    val n0 = math.sqrt(probe.map(x => x.toDouble * x).sum)
+    val n = if (n0 == 0) 1.0 else n0
     cents.zipWithIndex
       .map { case (c, i) =>
         (c.zip(probe).map { case (a, b) => a * b / n }.sum, i)

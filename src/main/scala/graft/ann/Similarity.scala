@@ -40,19 +40,24 @@ object Similarity {
     val withB = emb.select((col(idCol) +: col(vecCol) +: buckets): _*)
       .withColumn("nrm", VF.norm2(col(vecCol)))
       .localCheckpoint()
-    // candidate pairs per table, unioned, deduped — each join is an
-    // equi-join on the bucket id (bounded key-space, no cross join)
-    val cand = (0 until tables).map { t =>
+    // per-table: equi-join on the bucket id (bounded key-space, no cross
+    // join), cosine-verify MAP-SIDE in the join output, and only then union
+    // + dedup. Candidate rows (bucket_size² per bucket) never shuffle —
+    // only verified survivors ≥ threshold reach the dropDuplicates
+    // exchange. (The previous shape deduped first, shuffling every
+    // candidate WITH both 64-dim vectors attached: ~40× more exchange
+    // bytes for identical results — cos per pair is table-independent, so
+    // dedup before/after verification commutes.)
+    (0 until tables).map { t =>
       val a = withB.select(col(idCol).as("a_id"), col(vecCol).as("av"),
         col("nrm").as("na"), col(s"b$t").as("bk"))
       val b = withB.select(col(idCol).as("b_id"), col(vecCol).as("bv"),
         col("nrm").as("nb"), col(s"b$t").as("bk"))
       a.join(b, Seq("bk")).filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id", "av", "bv", "na", "nb")
+        .withColumn("cos",
+          round(VF.dot(col("av"), col("bv")) / (col("na") * col("nb")), 6))
+        .filter(col("cos") >= threshold)
+        .select("a_id", "b_id", "cos")
     }.reduce(_ union _).dropDuplicates("a_id", "b_id")
-    cand
-      .withColumn("cos", round(VF.dot(col("av"), col("bv")) / (col("na") * col("nb")), 6))
-      .filter(col("cos") >= threshold)
-      .select("a_id", "b_id", "cos")
   }
 }

@@ -8,21 +8,28 @@ import org.apache.spark.sql.functions._
   * keep-one decision needs the transitive closure: pair (a,b) + pair (b,c)
   * must put a,b,c in ONE group even though (a,c) was never emitted).
   *
-  * Algorithm: iterative min-label propagation. Each round every node takes
-  * the minimum label over itself and its neighbors; convergence is detected
-  * by an aggregate over the label sum (strictly decreasing until fixpoint).
-  * Per round: one equi-join on the edge list + one groupBy — both shuffle
-  * on node id, no all-pairs anywhere. Rounds needed = graph diameter, which
-  * for near-dup graphs is small (components are quasi-cliques around a
-  * shared template); `maxIter` bounds the worst case and the lineage is
-  * truncated per round so plans stay O(1) deep.
+  * Algorithm: iterative min-label propagation over the EDGE-INDUCED
+  * subgraph only — nodes that touch no edge are singleton components by
+  * definition and are unioned in after the fixpoint, so per-iteration cost
+  * scales with the (typically tiny) near-dup graph, not the corpus. Each
+  * round every endpoint takes the minimum label over itself and its
+  * neighbors; convergence is detected by an aggregate over the label sum
+  * (strictly decreasing until fixpoint). Per round: one equi-join on the
+  * edge list + one groupBy — both shuffle on node id, no all-pairs
+  * anywhere. Rounds needed = component diameter, which for near-dup graphs
+  * is small (components are quasi-cliques around a shared template);
+  * lineage is truncated per round so plans stay O(1) deep.
   */
 object ConnectedComponents {
 
   /** @param edges undirected edge list (each pair once, either direction)
     * @param nodes one row per node (superset of edge endpoints; isolated
     *              nodes become singleton components)
-    * @return (node, component) where component = min node id reachable
+    * @param maxIter iteration bound; if the fixpoint is NOT reached within
+    *                it (graph diameter > maxIter) the result would be
+    *                silently wrong, so this THROWS instead — raise maxIter
+    *                for pathological chain-shaped graphs
+    * @return (node, comp) where comp = min node id reachable
     */
   def components(
       edges: DataFrame, eaCol: String, ebCol: String,
@@ -32,15 +39,17 @@ object ConnectedComponents {
       .union(edges.select(col(ebCol).as("src"), col(eaCol).as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = nodes.select(col(nodeCol).as("node"))
+    // only edge endpoints participate in propagation
+    var labels = e.select(col("src").as("node"))
       .distinct()
       .withColumn("comp", col("node"))
       .localCheckpoint()
     // labels only ever decrease, so an unchanged label sum means fixpoint;
     // decimal(38) so huge id spaces cannot overflow-wrap into a false stop
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
-        .getDecimal(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
     var lastSum = labelSum(labels)
     var it = 0
     var converged = false
@@ -57,6 +66,15 @@ object ConnectedComponents {
       labels = next
       it += 1
     }
-    labels
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within maxIter=$maxIter " +
+          "rounds (graph diameter exceeds the bound); a partial result " +
+          "would silently merge components incorrectly — raise maxIter")
+    // isolated nodes (no incident edge) are their own component
+    val isolated = nodes.select(col(nodeCol).as("node")).distinct()
+      .join(labels.select("node"), Seq("node"), "left_anti")
+      .withColumn("comp", col("node"))
+    labels.unionByName(isolated)
   }
 }

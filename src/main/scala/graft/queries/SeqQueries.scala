@@ -118,11 +118,19 @@ object SeqQueries {
     }) { (s, dir) =>
       val aRef = "a" * 60
       val base = t(s, dir, "documents").filter(col("lang") === "en")
+      // materialize at the two ingest boundaries (diff-at-insert, then the
+      // finalize-time rebase) — exactly where the reference persists storage.
+      // Without the cut, every downstream reference to `muts` textually
+      // inlines the whole regexp+zip_with derivation chain (CollapseProject),
+      // and the 6 aggregation passes of adapt+mutations() re-evaluate it
+      // per row — 20s instead of ~2s at sf0.1.
       val raw = SequenceModel.diff(
         base.select(col("doc_id"), seqCol.as("seq")), "seq", aRef)
-      val (adapted, localRef) = SequenceModel.adaptLocalReference(
+        .localCheckpoint()
+      val (adapted0, localRef) = SequenceModel.adaptLocalReference(
         raw, aRef, symbolOrder = "abcdefghijklmnopqrstuvwxyz",
         candidateSyms = ('a' to 'z').toSet)
+      val adapted = adapted0.localCheckpoint()
       Mutations.mutations(adapted, aRef, 0.05, localRef = localRef)
         .orderBy("position", "mutation_to")
     },

@@ -113,13 +113,16 @@ object Mutations {
       else {
         // residual rows (covered, not missing, no stored diff) carry the
         // local reference symbol — at positions where it differs from the
-        // global reference they are mutations and must be emitted
-        val adapted = (1 to genomeLength)
-          .filter(p => lr.charAt(p - 1) != ref.charAt(p - 1))
+        // global reference they are mutations and must be emitted. The
+        // adapted-position test compares the two reference strings directly
+        // (two O(1) substrings per position row) instead of an In-list
+        // literal, so plan size and filter cost stay O(1) even when most of
+        // a 30k genome adapts (the motivating divergent-dataset case)
         val diffTotals = exploded.groupBy(col("position").as("dpos"))
           .agg(count(lit(1)).as("dtot"))
         val residual = cov
-          .filter(col("pos").isin(adapted: _*))
+          .filter(SequenceModel.refAt(lr, col("pos")) =!=
+            SequenceModel.refAt(ref, col("pos")))
           .join(diffTotals, col("pos") === col("dpos"), "left")
           .na.fill(0, Seq("dtot"))
           .select(col("pos").as("position"),

@@ -165,16 +165,28 @@ object SeqPredicates {
       val ps = profile(p - 1)
       ps != missingSym && !compat(ps).contains(lr(p - 1))
     }
-    val dLit = array(dPositions.map(lit): _*)
+    // D as a position-mask string + prefix-count array, each ONE literal
+    // node: membership is substr(mask,p,1)='1' (O(1) per element) and
+    // #(D ∩ [s,e]) is two element_at lookups — plan size and per-row cost
+    // stay O(1)+O(|muts|+|missing|) even when D covers a 30k genome (a
+    // per-position literal array made both O(genome))
+    val dSet = dPositions.toSet
+    val dMask = (1 to profile.length).map(p => if (dSet(p)) '1' else '0').mkString
+    val dCum = (0 to profile.length)
+      .scanLeft(0)((acc, p) => acc + (if (p > 0 && dSet(p)) 1 else 0)).tail.toArray
+    def dIn(p: Column): Column = lit(dMask).substr(p, lit(1)) === "1"
+    // dCum is 0-indexed by position: element_at(lit(dCum), pos+1) = #D ≤ pos
+    def dCountUpTo(p: Column): Column =
+      element_at(lit(dCum), (greatest(least(p, lit(profile.length)), lit(0)) + 1)
+        .cast("int"))
 
     val refDiff =
       if (dPositions.isEmpty) lit(0)
       else
-        size(filter(dLit, p =>
-          p >= col(s"${prefix}cov_start") && p <= col(s"${prefix}cov_end"))) -
-          size(filter(col(s"${prefix}missing"), p => array_contains(dLit, p))) -
-          size(filter(col(s"${prefix}muts"), m =>
-            array_contains(dLit, m.getField("pos"))))
+        (dCountUpTo(col(s"${prefix}cov_end")) -
+          dCountUpTo(col(s"${prefix}cov_start") - 1)) -
+          size(filter(col(s"${prefix}missing"), p => dIn(p))) -
+          size(filter(col(s"${prefix}muts"), m => dIn(m.getField("pos"))))
 
     // per-diff compatibility: CASE over the (≤ alphabet-size) distinct
     // profile symbols; the profile itself is a single string literal so

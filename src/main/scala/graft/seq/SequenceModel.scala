@@ -187,13 +187,17 @@ object SequenceModel {
     else {
       val localRef = (1 to genomeLength)
         .map(p => winners.getOrElse(p, ref.charAt(p - 1).toString)).mkString
-      val adaptedLit = array(winners.keys.toSeq.sorted.map(lit): _*)
+      // ONE literal node however many positions adapt (array(...map(lit))
+      // would put a plan node per adapted position — O(genome) plan size on
+      // divergent datasets)
+      val adaptedLit = lit(winners.keys.toArray.sorted)
       val mutMap = map_from_entries(col(s"${prefix}muts"))
-      // drop diffs that equal the new local symbol; add explicit diffs for
-      // rows that matched the global reference at an adapted position
+      // drop diffs that equal the new local symbol: stored diffs always
+      // differ from the GLOBAL reference (diff-at-ingest invariant), and at
+      // non-adapted positions local == global, so `sym == localRef[pos]`
+      // alone implies the position adapted — no membership test needed
       val kept = filter(col(s"${prefix}muts"), m =>
-        !(array_contains(adaptedLit, m.getField("pos")) &&
-          m.getField("sym") === refAt(localRef, m.getField("pos"))))
+        m.getField("sym") =!= refAt(localRef, m.getField("pos")))
       val added = filter(
         transform(adaptedLit, p => struct(p.as("pos"), refAt(ref, p).as("sym"))),
         x => {

@@ -79,10 +79,19 @@ object ArrowSink {
         .setSafe(i, value.asInstanceOf[Float])
       case BooleanType => v.asInstanceOf[BitVector]
         .setSafe(i, if (value.asInstanceOf[Boolean]) 1 else 0)
-      case DateType => v.asInstanceOf[DateDayVector]
-        .setSafe(i, value.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt)
+      // rows surface java.sql types by default but java.time types when
+      // spark.sql.datetime.java8API.enabled=true — accept both
+      case DateType =>
+        val days = value match {
+          case d: java.sql.Date => d.toLocalDate.toEpochDay
+          case d: java.time.LocalDate => d.toEpochDay
+        }
+        v.asInstanceOf[DateDayVector].setSafe(i, days.toInt)
       case TimestampType =>
-        val inst = value.asInstanceOf[java.sql.Timestamp].toInstant
+        val inst = value match {
+          case t: java.sql.Timestamp => t.toInstant
+          case t: java.time.Instant => t
+        }
         v.asInstanceOf[TimeStampMicroTZVector]
           .setSafe(i, inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
       case ArrayType(et, _) =>
