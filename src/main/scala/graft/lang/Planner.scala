@@ -137,10 +137,13 @@ final class Planner(catalog: Planner.Catalog) {
         val bindings = in.origin.flatMap(catalog.sequences.get).getOrElse(Map())
         val exprs = cols.map { c =>
           bindings.get(c) match {
-            // aligned sequence column: reconstruct from the diff
-            // representation (decompress-last — ≙ MapPullupPass motivation)
+            // aligned sequence column: reconstruct the FULL-length string
+            // from the diff representation — local reference + stored
+            // diffs, uncovered/missing positions as N/X (reference:
+            // table_scan.cpp:19-39 reconstructNonNullSequences); emitted
+            // decompress-last (≙ MapPullupPass motivation)
             case Some(b) if !in.df.columns.contains(c) =>
-              graft.seq.SequenceModel.reconstruct(b.stored,
+              graft.seq.SequenceModel.reconstructFull(b.stored,
                 if (b.isAminoAcid) "X" else "N", prefix = b.prefix).as(c)
             case _ => resolve(c, in.df)
           }
@@ -436,7 +439,18 @@ final class Planner(catalog: Planner.Catalog) {
       case "at" =>
         (a(0, "input"), a(1, "position")) match {
           case (Some(Ident(c)), Some(IntLit(p))) =>
-            RelationalOps.at(resolve(c, df), p.toInt)
+            if (p < 1) err("at position must be >= 1 (positions are 1-based)")
+            // `main.at(p)` on a bound sequence reads the symbol straight
+            // from the diff representation (the reference applies at() to
+            // the reconstructed STRING surface; same value, no string
+            // build) — the co-occurrence/BitmapAggregation map shape
+            catalog.sequences.values.headOption.flatMap(_.get(c)) match {
+              case Some(b) if !df.columns.contains(c) &&
+                  df.columns.contains(s"${b.prefix}cov_start") =>
+                graft.seq.SequenceModel.symbolAt(b.stored, p.toInt,
+                  if (b.isAminoAcid) "X" else "N", b.prefix)
+              case _ => RelationalOps.at(resolve(c, df), p.toInt)
+            }
           case _ => err("at(column, position) expects a column and an integer")
         }
       case "isoWeek" => a(0, "input") match {

@@ -80,6 +80,54 @@ object RelationalOps {
       .agg(sum("__partial").as("cnt"))
   }
 
+  /** As-of join (beyond-reference; a training-data/event-pipeline staple the
+    * reference's single hash-join surface cannot express): for every left
+    * row, attach the right row with the greatest `rTs ≤` the left row's
+    * `lTs` within the same key — "most recent prior fact".
+    *
+    * Scale shape: the classic union + running-max formulation — ONE shuffle
+    * on the key (the window sort), never a per-row range probe or an
+    * inequality join (which Spark would plan as a nested loop). Right rows
+    * ride the same partition-and-sort as left rows; a running `max(struct
+    * (ts, payload))` over the time-ordered window carries the latest right
+    * payload forward to each left row. Right rows are pre-aggregated to one
+    * per (key, ts) (max payload — deterministic tie-break), so window-frame
+    * tie order cannot affect results.
+    *
+    * Output: all left columns + `asof_ts` + `asof_<payload>` (null when no
+    * right row precedes the left row).
+    */
+  def asofJoin(
+      left: DataFrame, lKey: String, lTs: String,
+      right: DataFrame, rKey: String, rTs: String, rPayload: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lCols = left.columns.toSeq
+    val payT = right.schema(rPayload).dataType
+    val r = right
+      .groupBy(col(rKey).as("__key"), col(rTs).as("__ts"))
+      .agg(max(col(rPayload)).as("__pay"))
+      .withColumn("__side", lit(0))
+    val l = left
+      .withColumn("__key", col(lKey)).withColumn("__ts", col(lTs))
+      .withColumn("__pay", lit(null).cast(payT))
+      .withColumn("__side", lit(1))
+    val rAligned = lCols.foldLeft(r)((df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val ordered = Seq("__key", "__ts", "__pay", "__side") ++ lCols
+    val u = l.select(ordered.map(col): _*)
+      .unionByName(rAligned.select(ordered.map(col): _*))
+    // rights sort before lefts at equal ts (side 0 < 1) → "≤" semantics
+    val w = Window.partitionBy("__key").orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    u.withColumn("__asof",
+        max(when(col("__side") === 0,
+          struct(col("__ts").as("ts"), col("__pay").as("pay")))).over(w))
+      .filter(col("__side") === 1)
+      .select(lCols.map(col) ++ Seq(
+        col("__asof.ts").as("asof_ts"),
+        col("__asof.pay").as(s"asof_$rPayload")): _*)
+  }
+
   /** `updateColumn(table, column, literal, filter)` — scalar column update
     * (reference: database.h:77-88, query_engine/scalar_column_update.cpp;
     * restricted there to INT32/FLOAT/DATE32/BOOL). Spark-first this is a

@@ -585,6 +585,43 @@ object PipelineQueries {
         .toDF("n_probes", "recall_ok")
     },
 
+    // ---- PII / pattern-scan stats (training-data scrubbing signal):
+    //      per-document counts of digit runs, capitalized tokens, and
+    //      url-ish tokens — pure codegen'd regexp built-ins, patterns kept
+    //      to the RE2 ∩ Java-regex common subset so both engines agree ----
+    QDef("q_text_pii",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_digit_runs,
+        |  CAST(len(regexp_extract_all(text, '[A-Z][a-z]+')) AS INTEGER) AS n_caps_tokens,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INTEGER) AS n_urls
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("[0-9]+")).cast("int").as("n_digit_runs"),
+        regexp_count(col("text"), lit("[A-Z][a-z]+")).cast("int").as("n_caps_tokens"),
+        regexp_count(col("text"), lit("https?://[^ ]+")).cast("int").as("n_urls"))
+        .orderBy("doc_id")
+    },
+
+    // ---- deterministic hash split (train/val): assignment by md5-prefix
+    //      ordering — engine-independent (string compare, no hex→int
+    //      parsing), stable under repartitioning, and exactly reproducible
+    //      at any scale. 'e6'/'ff' ≈ a 90/10 split. ----
+    QDef("q_split_stats",
+      """WITH a AS (SELECT doc_id, source,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+        |       THEN 'train' ELSE 'val' END AS split FROM documents)
+        |SELECT source, split, count(*) AS cnt
+        |FROM a GROUP BY source, split ORDER BY source, split""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("split",
+          when(substring(md5(col("doc_id").cast("string")), 1, 2) < "e6", "train")
+            .otherwise("val"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("source", "split")
+    },
+
     // ---- brute-force ANN top-k for a fixed probe set ----
     QDef("q_ann_topk",
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

@@ -451,6 +451,69 @@ object RelationalQueries {
         .orderBy("user_id", "session_id")
     },
 
+    // ---- as-of join (beyond-reference): each purchase event attached to
+    //      the user's most recent click at-or-before it. Spark side is the
+    //      union + running-max formulation (RelationalOps.asofJoin — ONE
+    //      shuffle, no inequality join); the oracle recomputes it naively
+    //      with a range join + argmax. Timestamps travel as epoch micros so
+    //      both engines hash identical integers. ----
+    QDef("q_asof_join",
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, us, max(event_id) AS pay FROM e
+        |  WHERE event_type = 'click' GROUP BY 1, 2),
+        |j AS (SELECT l.event_id, l.user_id, l.us, max(r.us) AS asof_ts
+        |  FROM l LEFT JOIN r ON r.user_id = l.user_id AND r.us <= l.us
+        |  GROUP BY 1, 2, 3)
+        |SELECT j.event_id, j.user_id, j.us, j.asof_ts,
+        |  r2.pay AS asof_event_id
+        |FROM j LEFT JOIN r r2 ON r2.user_id = j.user_id AND r2.us = j.asof_ts
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+        .withColumn("us", expr("unix_micros(ts)"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "us")
+      val clicks = e.filter(col("event_type") === "click")
+        .select("user_id", "us", "event_id")
+      RelationalOps.asofJoin(
+        purchases, "user_id", "us", clicks, "user_id", "us", "event_id")
+        .orderBy("event_id")
+    },
+
+    // ---- exact distributed group quantiles (beyond-reference): explicit
+    //      rank selection (value at row ceil(q·n) of the per-group sort) —
+    //      deterministic element pick, no interpolation arithmetic that
+    //      could drift an ulp between engines. One shuffle (the per-group
+    //      window sort); at 100 TB the same query shape runs over
+    //      approx_percentile instead — this is the exact gate. ----
+    QDef("q_quantiles",
+      """WITH r AS (SELECT l_returnflag, l_quantity,
+        |  row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+        |  count(*) OVER (PARTITION BY l_returnflag) AS n FROM lineitem)
+        |SELECT l_returnflag,
+        |  max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN l_quantity END) AS p25,
+        |  max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN l_quantity END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN l_quantity END) AS p75,
+        |  max(CASE WHEN rn = n THEN l_quantity END) AS p100
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+      val wn = Window.partitionBy("l_returnflag")
+      val r = t(s, dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+      def pick(q: Double, name: String) =
+        max(when(col("rn") === ceil(lit(q) * col("n")).cast("bigint"),
+          col("l_quantity"))).as(name)
+      r.groupBy("l_returnflag")
+        .agg(pick(0.25, "p25"), pick(0.50, "p50"), pick(0.75, "p75"),
+          max(when(col("rn") === col("n"), col("l_quantity"))).as("p100"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- semi-structured extraction from the events props JSON ----
     QDef("q_events_json",
       """SELECT user_id,

@@ -104,6 +104,29 @@ object SequenceModel {
       "")
   }
 
+  /** Symbol at one 1-based position, straight from the diff representation
+    * — the `main.at(p)` value surface (reference: scalar_expressions/at.cpp
+    * over the reconstructed STRING, table_scan.cpp:19-39: full-length local
+    * reference + stored diffs overwritten + coverage overwritten with the
+    * missing symbol). O(|muts|) per row, no string materialization:
+    * null sequence → null; past-end → "" (at.cpp); uncovered or interior-
+    * missing → missing symbol; else stored diff else local reference.
+    */
+  def symbolAt(stored: String, pos: Int, missingSym: String,
+      prefix: String = ""): Column = {
+    val cs = col(s"${prefix}cov_start")
+    if (pos < 1 || pos > stored.length)
+      when(cs.isNull, lit(null).cast("string")).otherwise(lit(""))
+    else {
+      val m = filter(col(s"${prefix}muts"), x => x.getField("pos") === pos)
+      when(cs.isNull, lit(null).cast("string"))
+        .when(lit(pos) < cs || lit(pos) > col(s"${prefix}cov_end") ||
+          array_contains(col(s"${prefix}missing"), pos), lit(missingSym))
+        .otherwise(coalesce(try_element_at(m, lit(1)).getField("sym"),
+          lit(stored.charAt(pos - 1).toString)))
+    }
+  }
+
   /** Vertical-index analog: `mut_index(pos, sym, cnt)` pre-aggregated table
     * (reference: vertical_sequence_index.h:19-101). Persist alongside the
     * main table; count-only groupBys over positions answer from here

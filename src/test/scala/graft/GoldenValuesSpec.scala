@@ -118,6 +118,88 @@ class GoldenValuesSpec extends SparkSpec {
     assert(proj === Seq("age" -> "INT32", "country" -> "STRING"))
   }
 
+  test("in / like / isNull / boolean equals: exact counts") {
+    def cnt(q: String) = run(q).head().getLong(0)
+    assert(cnt("default.filter(in(division, {'Bern', 'Aargau'})).groupBy({c := count()})") === 3)
+    // like is RE2 SEARCH (substring match), not anchored SQL LIKE
+    assert(cnt("default.filter(like(division, 'Ba')).groupBy({c := count()})") === 1)
+    assert(cnt("default.filter(like(division, 'B.sel')).groupBy({c := count()})") === 1)
+    assert(cnt("default.filter(like(division, '^Bern$')).groupBy({c := count()})") === 2)
+    assert(cnt("default.filter(isNull(unsorted_date)).groupBy({c := count()})") === 1)
+    assert(cnt("default.filter(isNull(test_boolean_column)).groupBy({c := count()})") === 1)
+    assert(cnt("default.filter(test_boolean_column = true).groupBy({c := count()})") === 3)
+    assert(cnt("default.filter(test_boolean_column = false).groupBy({c := count()})") === 1)
+  }
+
+  test("float between is from-inclusive, to-exclusive") {
+    assert(run("default.filter(between(qc_value, 0.95, 0.97)).groupBy({c := count()})")
+      .head().getLong(0) === 2) // 0.95 (key4) and 0.96 (key3); 0.97 excluded
+  }
+
+  test("nOf over heterogeneous predicates: exact count") {
+    assert(run("""default.filter(nOf(2, {age > 4, between(qc_value, 0.90, 0.97),
+        division = 'Bern'})).groupBy({c := count()})""")
+      .head().getLong(0) === 4) // key2 key3 key4 key5; key1 matches 0 of 3
+  }
+
+  test("map with isoWeek and at: exact values") {
+    val weeks = run("default.map({w := isoWeek(date)}).groupBy({c := count()}, {w}).orderBy({w})")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(weeks === Seq((11, 2L), (15, 2L), (16, 1L))) // 03-18/19 wk11, 04-13×2 wk15, 04-25 wk16
+    val at2 = run("default.map({s := main.at(2)}).groupBy({c := count()}, {s}).orderBy({s})")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(at2 === Seq(("A", 1L), ("C", 4L))) // key2 stores A at pos 2
+  }
+
+  test("aminoAcidInsertionContains + aminoAcidEquals: exact counts") {
+    def cnt(q: String) = run(q).head().getLong(0)
+    // E gene: key1 and key5 carry insertion 4:EPE
+    assert(cnt("default.filter(aminoAcidInsertionContains(position:=4, value:='EP.*', sequenceName:='E')).groupBy({c := count()})") === 2)
+    assert(cnt("default.filter(aminoAcidInsertionContains(position:=4, value:='Z.*', sequenceName:='E')).groupBy({c := count()})") === 0)
+    // M gene: key5 stores XXXX* (ref MADS*)
+    assert(cnt("default.filter(aminoAcidEquals(1, 'X', sequenceName := 'M')).groupBy({c := count()})") === 1)
+    assert(cnt("default.filter(aminoAcidEquals(1, '.', sequenceName := 'M')).groupBy({c := count()})") === 4)
+  }
+
+  test("mutations() on the second nucleotide sequence: exact rows") {
+    val rows = run("default.mutations(minProportion := 0.1, sequenceNames := {testSecondSequence})")
+      .collect().map(r => (r.getInt(2), r.getString(0), r.getString(1),
+        r.getLong(6), r.getLong(5), r.getDouble(4))).toSet
+    assert(rows === Set((2, "C", "A", 1L, 5L, 0.2))) // key2 AAGN vs ACGT; pos4 is missing, not a mutation
+  }
+
+  test("phyloDescendantOf and MRCA on the dummy tree: exact results") {
+    // tree: ((key1,key2)inner1, ((key3,key4)inner2, key5)inner3)root
+    def cnt(q: String) = run(q).head().getLong(0)
+    assert(cnt("default.filter(primaryKey.phyloDescendantOf('inner2')).groupBy({c := count()})") === 2)
+    assert(cnt("default.filter(primaryKey.phyloDescendantOf('inner3')).groupBy({c := count()})") === 3)
+    val mrca34 = run("default.filter(in(primaryKey, {'key3', 'key4'})).mostRecentCommonAncestor('primaryKey')")
+      .select("mrcaNode").head().getString(0)
+    assert(mrca34 === "inner2")
+    val mrca14 = run("default.filter(age = 4).mostRecentCommonAncestor('primaryKey')")
+      .select("mrcaNode").head().getString(0)
+    assert(mrca14 === "root") // key1 (inner1) ∪ key4 (inner2) → root
+  }
+
+  test("randomize(seed) is deterministic and a permutation") {
+    val a = run("default.randomize(seed := 321).project({primaryKey})")
+      .collect().map(_.getString(0)).toSeq
+    val b = run("default.randomize(seed := 321).project({primaryKey})")
+      .collect().map(_.getString(0)).toSeq
+    assert(a === b)
+    assert(a.sorted === Seq("key1", "key2", "key3", "key4", "key5"))
+  }
+
+  test("groupBy on two keys incl. a null group") {
+    val g = run("default.groupBy({c := count()}, {test_boolean_column, pango_lineage})")
+      .collect().map(r => (Option(r.get(0)), r.getString(1), r.getLong(2))).toSet
+    assert(g === Set(
+      (Some(true), "B.1.1.7", 1L),  // key1
+      (Some(false), "B.1.1.7", 1L), // key2
+      (None, "B.1.1.7", 1L),        // key3 (null bool is its own group)
+      (Some(true), "XBB", 2L)))     // key4 key5
+  }
+
   test("lineage counts and unionAll") {
     assert(run("""default.filter(lineage(pango_lineage, 'B.1.1.7',
         includeSublineages := false)).groupBy({c := count()})""")

@@ -45,4 +45,28 @@ class RelationalOpsSpec extends SparkSpec {
     val m = RelationalOps.schemaOf(df).as[(String, String)].collect().toMap
     assert(m === Map("i" -> "INT32", "l" -> "INT64", "s" -> "STRING", "d" -> "FLOAT"))
   }
+
+  test("asofJoin attaches the most recent right row at-or-before each left ts") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"), (3L, 9L, "d"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 10L, 100L), (1L, 15L, 101L), (2L, 6L, 200L))
+      .toDF("k", "ts", "pay")
+    val out = RelationalOps.asofJoin(left, "k", "ts", right, "k", "ts", "pay")
+      .select("tag", "asof_ts", "asof_pay")
+      .as[(String, Option[Long], Option[Long])].collect()
+      .map { case (t, ts, p) => t -> ((ts, p)) }.toMap
+    // equal ts matches (inclusive); later right wins; no-prior-right → null
+    assert(out("a") === (Some(10L), Some(100L)))
+    assert(out("b") === (Some(15L), Some(101L)))
+    assert(out("c") === (None, None))
+    assert(out("d") === (None, None))
+  }
+
+  test("asofJoin breaks right-side (key, ts) ties by max payload, deterministically") {
+    val left = Seq((1L, 10L, "x")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 10L, 7L), (1L, 10L, 9L), (1L, 10L, 8L)).toDF("k", "ts", "pay")
+    val out = RelationalOps.asofJoin(left, "k", "ts", right, "k", "ts", "pay")
+      .select("asof_pay").as[Long].collect()
+    assert(out.toSeq === Seq(9L))
+  }
 }

@@ -32,6 +32,25 @@ class SeqSpec extends SparkSpec {
     assert(out(2L) === "ACG")
   }
 
+  test("reconstructFull pads uncovered positions with the missing symbol") {
+    val df = diffed(1L -> "ACCTNCGT", 2L -> "ACG")
+    val out = df.select($"id", SequenceModel.reconstructFull(ref).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "ACCTNCGT")
+    assert(out(2L) === "ACGNNNNN") // short read: N outside coverage
+  }
+
+  test("symbolAt reads diff/ref/missing/uncovered/past-end/null correctly") {
+    val df = SequenceModel.diff(
+      Seq((1L, Some("ACCTNCGT")), (2L, Some("ACG")), (3L, None))
+        .toDF("id", "seq"), "seq", ref, missingSyms = Set("N"))
+    def at(p: Int) = df.select($"id", SequenceModel.symbolAt(ref, p, "N").as("s"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(at(3) === Map(1L -> Some("C"), 2L -> Some("G"), 3L -> None)) // diff / ref
+    assert(at(5) === Map(1L -> Some("N"), 2L -> Some("N"), 3L -> None)) // missing / uncovered
+    assert(at(9) === Map(1L -> Some(""), 2L -> Some(""), 3L -> None))   // past genome end
+  }
+
   test("mutations: counts, coverage subtraction, proportions") {
     // pos3: row2 has C (diff); coverage at pos3 = 3 rows cover, row4 short
     val df = diffed(1L -> "ACGTACGT", 2L -> "ACCTNCGT", 3L -> "ACGAACGT", 4L -> "AC")
