@@ -94,21 +94,26 @@ object Ivf {
         (picked ++ pad).toArray
       }
     for (_ <- 0 until iters) {
-      // per-(cell, dimension) sums — partial-aggregated, tiny result.
-      // cell assignment in its OWN select: a generator in the same
-      // projection makes the analyzer rebuild the assignment's nested
-      // structs without their field aliases (FIELD_NOT_FOUND)
+      // per-(cell, dimension) sums as `dim` aggregate COLUMNS over one
+      // groupBy — a single partial-aggregated pass with no explode (the
+      // posexplode formulation shuffled rows×dim exploded rows per pass);
+      // only the cells×(dim+1) result crosses to the driver
+      val aggs = count(lit(1)).as("n") +:
+        (0 until dim).map(i => sum(element_at(col("uv"), i + 1)).as(s"d$i"))
       val sums = unit
         .select(assignExpr(col("uv"), cents).as("cell"), col("uv"))
-        .select(col("cell"), posexplode(col("uv")))
-        .groupBy("cell", "pos").agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .groupBy("cell").agg(aggs.head, aggs.tail: _*)
         .collect()
       val acc = Array.fill(cells)(new Array[Double](dim))
       val cnt = new Array[Long](cells)
       sums.foreach { r =>
         val cell = r.getInt(0)
-        acc(cell)(r.getInt(1)) = r.getDouble(2)
-        cnt(cell) = r.getLong(3)
+        cnt(cell) = r.getLong(1)
+        var i = 0
+        while (i < dim) {
+          if (!r.isNullAt(2 + i)) acc(cell)(i) = r.getDouble(2 + i)
+          i += 1
+        }
       }
       cents = cents.zipWithIndex.map { case (old, i) =>
         if (cnt(i) == 0) old // empty cell keeps its centroid

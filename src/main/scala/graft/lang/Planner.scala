@@ -143,8 +143,11 @@ final class Planner(catalog: Planner.Catalog) {
             // table_scan.cpp:19-39 reconstructNonNullSequences); emitted
             // decompress-last (≙ MapPullupPass motivation)
             case Some(b) if !in.df.columns.contains(c) =>
-              graft.seq.SequenceModel.reconstructFull(b.stored,
-                if (b.isAminoAcid) "X" else "N", prefix = b.prefix).as(c)
+              // null sequence rows project as NULL, not an all-missing
+              // string (reference: appendSequences AppendNull on null rows)
+              when(col(s"${b.prefix}cov_start").isNull, lit(null).cast("string"))
+                .otherwise(graft.seq.SequenceModel.reconstructFull(b.stored,
+                  if (b.isAminoAcid) "X" else "N", prefix = b.prefix)).as(c)
             case _ => resolve(c, in.df)
           }
         }
@@ -440,16 +443,26 @@ final class Planner(catalog: Planner.Catalog) {
         (a(0, "input"), a(1, "position")) match {
           case (Some(Ident(c)), Some(IntLit(p))) =>
             if (p < 1) err("at position must be >= 1 (positions are 1-based)")
+            // clamp huge literals instead of wrapping through toInt —
+            // Int.MaxValue is already past-end for every real column
+            val pi = math.min(p, Int.MaxValue.toLong).toInt
             // `main.at(p)` on a bound sequence reads the symbol straight
             // from the diff representation (the reference applies at() to
             // the reconstructed STRING surface; same value, no string
-            // build) — the co-occurrence/BitmapAggregation map shape
-            catalog.sequences.values.headOption.flatMap(_.get(c)) match {
-              case Some(b) if !df.columns.contains(c) &&
-                  df.columns.contains(s"${b.prefix}cov_start") =>
-                graft.seq.SequenceModel.symbolAt(b.stored, p.toInt,
+            // build) — the co-occurrence/BitmapAggregation map shape.
+            // The binding is located by matching the frame's actual diff
+            // columns, not by assuming the catalog's first table, so a
+            // multi-table catalog resolves the right local reference.
+            val bound = catalog.sequences.values
+              .flatMap(_.get(c)).toSeq.distinct
+              .filter(b => !df.columns.contains(c) &&
+                df.columns.contains(s"${b.prefix}cov_start"))
+            bound match {
+              case Seq(b) =>
+                graft.seq.SequenceModel.symbolAt(b.stored, pi,
                   if (b.isAminoAcid) "X" else "N", b.prefix)
-              case _ => RelationalOps.at(resolve(c, df), p.toInt)
+              case Seq() => RelationalOps.at(resolve(c, df), pi)
+              case _ => err(s"at: ambiguous sequence binding for '$c'")
             }
           case _ => err("at(column, position) expects a column and an integer")
         }

@@ -35,8 +35,13 @@ object ConnectedComponents {
       edges: DataFrame, eaCol: String, ebCol: String,
       nodes: DataFrame, nodeCol: String,
       maxIter: Int = 25): DataFrame = {
-    val e = edges.select(col(eaCol).as("src"), col(ebCol).as("dst"))
-      .union(edges.select(col(ebCol).as("src"), col(eaCol).as("dst")))
+    // materialize the (possibly expensive) edge derivation ONCE before the
+    // both-directions union — unioning two selects over the raw plan would
+    // execute it twice
+    val e0 = edges.select(col(eaCol).as("src"), col(ebCol).as("dst"))
+      .localCheckpoint()
+    val e = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
     // only edge endpoints participate in propagation
@@ -53,7 +58,10 @@ object ConnectedComponents {
     var lastSum = labelSum(labels)
     var it = 0
     var converged = false
-    while (it < maxIter && !converged) {
+    // maxIter bounds the PROPAGATION rounds; the +1 grants the confirming
+    // unchanged-sum round, so a graph whose diameter is exactly maxIter
+    // still converges instead of being rejected one round early
+    while (it < maxIter + 1 && !converged) {
       // neighbor labels flow along edges; keep own label in the running min
       val viaEdge = e.join(labels, e("dst") === labels("node"))
         .select(col("src").as("node"), col("comp"))
@@ -69,8 +77,8 @@ object ConnectedComponents {
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge within maxIter=$maxIter " +
-          "rounds (graph diameter exceeds the bound); a partial result " +
-          "would silently merge components incorrectly — raise maxIter")
+          "propagation rounds (graph diameter > maxIter); a partial result " +
+          "would silently split components incorrectly — raise maxIter")
     // isolated nodes (no incident edge) are their own component
     val isolated = nodes.select(col(nodeCol).as("node")).distinct()
       .join(labels.select("node"), Seq("node"), "left_anti")

@@ -103,7 +103,11 @@ object RelationalOps {
     import org.apache.spark.sql.expressions.Window
     val lCols = left.columns.toSeq
     val payT = right.schema(rPayload).dataType
+    // null-key/null-ts right rows can never satisfy `rKey = lKey AND
+    // rTs <= lTs` (SQL join semantics) — drop them BEFORE the union, or the
+    // window (which groups nulls together) would hand them to left rows
     val r = right
+      .filter(col(rKey).isNotNull && col(rTs).isNotNull)
       .groupBy(col(rKey).as("__key"), col(rTs).as("__ts"))
       .agg(max(col(rPayload)).as("__pay"))
       .withColumn("__side", lit(0))

@@ -94,6 +94,25 @@ object PipelineQueries {
   /** Probe-set bound for the brute-force cosine-pair baseline. */
   val ANN_PAIR_PROBES = 200
 
+  /** Exact cosine near-dup pairs over a BOUNDED frame (the nested-loop
+    * truth scan shared by the LSH recall gate and the semantic-dedup
+    * clusters — one definition so threshold/rounding can never drift
+    * between the ground truth and the cluster edges).
+    */
+  private def exactCosinePairs(sample: DataFrame, threshold: Double): DataFrame = {
+    val e = sample.select(col("vec_id"), col("embedding"),
+      VF.norm2(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"),
+      col("nrm").as("nb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos",
+        round(VF.dot(col("av"), col("bv")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id")
+  }
+
   // DuckDB double dot-product over two float lists, sequential fold
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
@@ -440,17 +459,7 @@ object PipelineQueries {
       "SELECT CAST(0 AS BIGINT) AS false_pairs, true AS recall_ok") { (s, dir) =>
       val sample = t(s, dir, "embeddings").filter(col("vec_id") < 500)
         .localCheckpoint()
-      val e = sample.select(col("vec_id"), col("embedding"),
-        VF.norm2(col("embedding")).as("nrm"))
-      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"),
-        col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"),
-        col("nrm").as("nb"))
-      val truth = a.join(b, col("a_id") < col("b_id"))
-        .withColumn("cos",
-          round(VF.dot(col("av"), col("bv")) / (col("na") * col("nb")), 6))
-        .filter(col("cos") >= 0.4)
-        .select("a_id", "b_id")
+      val truth = exactCosinePairs(sample, 0.4)
       val lsh = graft.ann.Similarity.lshNearDupPairs(
         sample, "vec_id", "embedding", dim = 64,
         k = 4, tables = 8, threshold = 0.4)
@@ -504,6 +513,38 @@ object PipelineQueries {
         .select(col("node").as("doc_id"), col("comp").as("cluster"),
           (col("comp") === col("node")).as("keep"))
         .orderBy("doc_id")
+    },
+
+    // ---- semantic dedup CLUSTERS: transitive closure over the embedding
+    //      cosine near-dup graph (the keep-one decision for semantically
+    //      duplicated training data). Edges on the bounded 500-vector
+    //      sample come from the exact pair scan (the LSH/IVF paths above
+    //      are the scale generators for the same edge list); clustering is
+    //      the same distributed min-label propagation as q_dedup_clusters.
+    //      The oracle recomputes the closure with a recursive CTE. ----
+    QDef("q_embed_clusters",
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+         |pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4),
+         |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+         |  UNION ALL SELECT b_id AS u, a_id AS v FROM pairs),
+         |reach AS (
+         |  SELECT vec_id AS node, vec_id AS lab FROM e
+         |  UNION
+         |  SELECT ed.u AS node, r.lab AS lab FROM edges ed JOIN reach r ON r.node = ed.v
+         |)
+         |SELECT node AS vec_id, min(lab) AS cluster,
+         |  CAST(min(lab) = node AS BOOLEAN) AS keep
+         |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val sample = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+        .localCheckpoint()
+      val pairs = exactCosinePairs(sample, 0.4)
+      graft.operators.ConnectedComponents
+        .components(pairs, "a_id", "b_id", sample, "vec_id")
+        .select(col("node").as("vec_id"), col("comp").as("cluster"),
+          (col("comp") === col("node")).as("keep"))
+        .orderBy("vec_id")
     },
 
     // ---- TF-IDF top-3 terms per document. idf is the exact-rational

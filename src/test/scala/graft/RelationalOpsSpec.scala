@@ -62,6 +62,17 @@ class RelationalOpsSpec extends SparkSpec {
     assert(out("d") === (None, None))
   }
 
+  test("asofJoin never matches null keys or null-ts right rows (SQL join semantics)") {
+    val left = Seq((Option.empty[Long], Some(10L), "nullkey"), (Some(1L), Some(10L), "ok"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((Option.empty[Long], Some(5L), 7L), (Some(1L), Option.empty[Long], 8L),
+      (Some(1L), Some(4L), 9L)).toDF("k", "ts", "pay")
+    val out = RelationalOps.asofJoin(left, "k", "ts", right, "k", "ts", "pay")
+      .select("tag", "asof_pay").as[(String, Option[Long])].collect().toMap
+    assert(out("nullkey") === None) // null-key left row: no match ever
+    assert(out("ok") === Some(9L))  // null-ts right row ignored, real one matches
+  }
+
   test("asofJoin breaks right-side (key, ts) ties by max payload, deterministically") {
     val left = Seq((1L, 10L, "x")).toDF("k", "ts", "tag")
     val right = Seq((1L, 10L, 7L), (1L, 10L, 9L), (1L, 10L, 8L)).toDF("k", "ts", "pay")

@@ -214,4 +214,27 @@ class SaneQLSpec extends SparkSpec {
     assert(a === b)
     assert(a !== c)
   }
+
+  test("project(main) is full-length with N padding; null sequence rows project as null") {
+    val t2 = SequenceModel.diff(
+      Seq(("k1", Some("ACC")), ("k2", None)).toDF("primary_key", "seq"),
+      "seq", ref, missingSyms = Set("N"))
+    val cat2 = Catalog(tables = Map("seqs" -> t2),
+      sequences = Map("seqs" -> Map("main" -> SeqBinding(ref))),
+      primaryKeys = Map("seqs" -> "primary_key"))
+    val out = Planner.plan("seqs.project({primary_key, main})", cat2)
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out("k1") === Some("ACCNNNNN")) // short read padded to genome length
+    assert(out("k2") === None)             // null sequence -> NULL, not all-N
+  }
+
+  test("map({s := main.at(p)}) reads the symbol from the diff representation") {
+    val out = run("seqs.map({s := main.at(3)}).project({primary_key, s})")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === Map("k1" -> "G", "k2" -> "G", "k3" -> "C"))
+    // past-end yields "" (at.cpp), grouped shape stays executable
+    val past = run("seqs.map({s := main.at(9)}).groupBy({c := count()}, {s})")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(past === Set(("", 3L)))
+  }
 }
