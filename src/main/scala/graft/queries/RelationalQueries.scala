@@ -406,6 +406,52 @@ object RelationalQueries {
           col("l_linestatus").asc_nulls_first)
     },
 
+    // ---- cube aggregation (beyond-reference; rollup's full lattice) ----
+    QDef("q_cube",
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
+    // ---- intersect / except (set ops the reference's unionAll lacks) ----
+    QDef("q_intersect",
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+    QDef("q_except",
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .except(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
+    // ---- skew-safe two-phase aggregation (RelationalOps.saltedCount):
+    //      a hot key first aggregates on (key, salt) across `salts`
+    //      reducers, then re-aggregates on the key — same answer as a
+    //      plain groupBy (which is exactly what the oracle runs) ----
+    QDef("q_salted_agg",
+      """SELECT l_suppkey, count(*) AS cnt FROM lineitem
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin) { (s, dir) =>
+      RelationalOps.saltedCount(t(s, dir, "lineitem"), Seq("l_suppkey"), 16)
+        .select(col("l_suppkey"), col("cnt"))
+        .orderBy("l_suppkey")
+    },
+
     // ---- SaneQL front-end end-to-end: text → parse → plan → execute ----
     QDef("q_saneql_pipeline",
       """SELECT l_linestatus, count(*) AS cnt FROM lineitem

@@ -62,6 +62,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming NDJSON ingest commits atomic versions; checkpoint gives exactly-once per file") {
+    import org.apache.spark.sql.types._
+    import graft.sources.NdjsonIngest
+    val root = java.nio.file.Files.createTempDirectory("singest").toFile
+    val inDir = new java.io.File(root, "in"); inDir.mkdirs()
+    val tableDir = s"$root/table"
+    val ckDir = s"$root/ck"
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("seq", StringType)))
+    def drop(name: String, lines: String*): Unit =
+      java.nio.file.Files.writeString(
+        new java.io.File(inDir, name).toPath, lines.mkString("\n"))
+    def runOnce(): Unit = {
+      val q = graft.streaming.StreamingIngest.start(
+        spark, inDir.toString, schema, "seq", "ACGTACGT", tableDir, "id", ckDir)
+      q.awaitTermination()
+    }
+    drop("f1.ndjson",
+      """{"id":"k1","seq":"ACGTACGT"}""",
+      """{"id":"k2","seq":"TCGTACGT"}""")
+    runOnce()
+    val v1 = spark.read.parquet(NdjsonIngest.latestPath(tableDir))
+    assert(v1.count() === 2)
+    assert(v1.columns.contains("muts") && !v1.columns.contains("seq"))
+    // second file: only the NEW file is processed (checkpointed source log),
+    // and the new version is the full table
+    drop("f2.ndjson", """{"id":"k3","seq":"ACCTACGT"}""")
+    runOnce()
+    val v2 = spark.read.parquet(NdjsonIngest.latestPath(tableDir))
+    assert(v2.count() === 3)
+    assert(v2.select("id").as[String].collect().sorted.toSeq === Seq("k1", "k2", "k3"))
+    // two committed versions exist; readers only ever saw latest
+    val versions = new java.io.File(tableDir).list().count(_.startsWith("v"))
+    assert(versions === 2)
+  }
+
   test("sessionize closes sessions on gap and on timeout") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
