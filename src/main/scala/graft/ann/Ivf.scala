@@ -74,6 +74,9 @@ object Ivf {
     // practice: the quantizer trains on a sample, only the cells×dim model
     // crosses the driver. Data-blind random init can split one dense region
     // across cells while merging two others; farthest-point cannot.
+    // NOT a total sort: orderBy+limit(512) compiles to
+    // TakeOrderedAndProject (plan-checked) — a per-partition top-K heap
+    // over one linear scan, merged on the driver.
     val sample: Array[Array[Double]] = unit
       .withColumn("h", xxhash64(col("uv")))
       .orderBy("h").limit(math.max(cells * 32, 256))

@@ -55,7 +55,7 @@ object Planner {
     val p = new Planner(catalog)
     val df = catalog.tables.getOrElse(table,
       throw QueryError(s"unknown table '$table'"))
-    val pred = p.predicate(Parser.parse(predicate), df)
+    val pred = p.predicate(Parser.parse(predicate), df, Some(table))
     df.filter(pred).select(idCol)
   }
 }
@@ -72,8 +72,9 @@ final class Planner(catalog: Planner.Catalog) {
   private def err(msg: String): Nothing = throw QueryError(msg)
 
   /** Expose predicate compilation for Planner.filteredIds. */
-  private[lang] def predicate(e: Expr, df: DataFrame): Column =
-    scalar(e, df, Ambiguity.ModeNone)
+  private[lang] def predicate(e: Expr, df: DataFrame,
+      origin: Option[String] = None): Column =
+    scalar(e, df, Ambiguity.ModeNone, origin)
 
   def planTable(e: Expr): Tbl = e match {
     case Ident(name) =>
@@ -82,10 +83,6 @@ final class Planner(catalog: Planner.Catalog) {
     case Call(fn, pos, named) => pipelineFn(fn, pos, named)
     case other => err(s"expected a table expression, got $other")
   }
-
-  private def arg(pos: Seq[Expr], named: Seq[(String, Expr)], idx: Int,
-      name: String): Option[Expr] =
-    pos.lift(idx).orElse(named.collectFirst { case (`name`, v) => v })
 
   private def intArg(e: Expr, what: String): Long = e match {
     case IntLit(v) => v
@@ -101,20 +98,111 @@ final class Planner(catalog: Planner.Catalog) {
     case other => err(s"$what must be a set of column names, got $other")
   }
 
+  // ------------------------------------------------------------- signatures
+  /** Reference-exact argument binding (function_registry.cpp:57-120 with
+    * the registry signatures of ast_to_query.cpp:1697-1818): positional
+    * args fill POSITIONAL slots in declaration order, named args must be
+    * declared and not already bound, required params must end up bound.
+    * Named-only parameters are NEVER bound positionally — e.g.
+    * `phyloSubtree(t, col, true)` is "too many positional arguments", not
+    * a printNodesNotInTree binding.
+    */
+  private final case class Param(name: String, required: Boolean, positional: Boolean)
+  private def P(n: String, req: Boolean = true) = Param(n, req, positional = true)
+  private def N(n: String, req: Boolean = true) = Param(n, req, positional = false)
+
+  private val mutationsSig = Seq(P("input"), N("minProportion"),
+    N("sequenceNames", req = false), N("fields", req = false))
+  private val insertionsSig = Seq(P("input"), N("sequenceNames", req = false))
+  private val pipelineSigs: Map[String, Seq[Param]] = Map(
+    "filter" -> Seq(P("input"), P("predicate")),
+    "schema" -> Seq(P("input")),
+    "groupBy" -> Seq(P("input"), P("aggregates"), P("columns", req = false)),
+    "project" -> Seq(P("input"), P("fields")),
+    "map" -> Seq(P("input"), P("expressions")),
+    "mutations" -> mutationsSig,
+    "aminoAcidMutations" -> mutationsSig,
+    "insertions" -> insertionsSig,
+    "aminoAcidInsertions" -> insertionsSig,
+    "randomize" -> Seq(P("input"), N("seed", req = false)),
+    "limit" -> Seq(P("input"), P("count")),
+    "offset" -> Seq(P("input"), P("count")),
+    "orderBy" -> Seq(P("input"), P("fields")),
+    "mostRecentCommonAncestor" -> Seq(P("input"), P("column"),
+      N("printNodesNotInTree", req = false)),
+    "phyloSubtree" -> Seq(P("input"), P("column"),
+      N("printNodesNotInTree", req = false), N("contractUnaryNodes", req = false)),
+    "unionAll" -> Seq(P("left"), P("right")),
+    "join" -> Seq(P("left"), P("right"), P("on"), N("type", req = false)))
+
+  private val symbolEqualsSig = Seq(N("position"), N("symbol"), N("sequenceName"))
+  private val hasMutationSig = Seq(N("position"), N("sequenceName"))
+  private val insertionContainsSig = Seq(N("position"), N("value"), N("sequenceName"))
+  private val mutationProfileSig = Seq(N("distance"), N("sequenceName"),
+    N("querySequence", req = false), N("sequenceId", req = false),
+    N("mutations", req = false))
+  private val scalarSigs: Map[String, Seq[Param]] = Map(
+    "between" -> Seq(P("column"), P("from"), P("to")),
+    "in" -> Seq(P("column"), P("values")),
+    "isNull" -> Seq(P("column")),
+    "isNotNull" -> Seq(P("column")),
+    "lineage" -> Seq(P("column"), P("value"),
+      N("includeSublineages", req = false), N("recombinantFollowingMode", req = false)),
+    "phyloDescendantOf" -> Seq(P("column"), P("node")),
+    "like" -> Seq(P("column"), P("pattern")),
+    "at" -> Seq(P("input"), P("position")),
+    "isoWeek" -> Seq(P("input")),
+    "nucleotideEquals" -> symbolEqualsSig,
+    "aminoAcidEquals" -> symbolEqualsSig,
+    "hasMutation" -> hasMutationSig,
+    "hasAAMutation" -> hasMutationSig,
+    "insertionContains" -> insertionContainsSig,
+    "aminoAcidInsertionContains" -> insertionContainsSig,
+    "exact" -> Seq(P("child")),
+    "maybe" -> Seq(P("child")),
+    "nOf" -> Seq(P("count"), P("children"), N("matchExactly", req = false)),
+    "nucleotideMutationProfile" -> mutationProfileSig,
+    "aminoAcidMutationProfile" -> mutationProfileSig)
+
+  private def bindArgs(fn: String, sig: Seq[Param], pos: Seq[Expr],
+      named: Seq[(String, Expr)]): Map[String, Expr] = {
+    var bound = Map.empty[String, Expr]
+    var next = 0
+    for (p <- pos) {
+      while (next < sig.length && !sig(next).positional) next += 1
+      if (next >= sig.length)
+        err(s"$fn() received too many positional arguments")
+      bound += sig(next).name -> p
+      next += 1
+    }
+    val valid = sig.map(_.name).toSet
+    for ((n, v) <- named) {
+      if (!valid(n)) err(s"$fn() received unknown argument '$n'")
+      if (bound.contains(n)) err(s"$fn() received duplicate argument '$n'")
+      bound += n -> v
+    }
+    for (p <- sig if p.required && !bound.contains(p.name))
+      err(s"$fn() requires argument '${p.name}'")
+    bound
+  }
+
   // ---------------------------------------------------------------- pipeline
   private def pipelineFn(fn: String, pos: Seq[Expr], named: Seq[(String, Expr)]): Tbl = {
-    def input: Tbl = planTable(pos.headOption.getOrElse(err(s"$fn needs an input table")))
+    val sig = pipelineSigs.getOrElse(fn, err(s"unknown pipeline function '$fn'"))
+    val bound = bindArgs(fn, sig, pos, named)
+    def a(name: String): Option[Expr] = bound.get(name)
+    def req(name: String): Expr =
+      bound.getOrElse(name, err(s"$fn() requires argument '$name'"))
+    def input: Tbl = planTable(req("input"))
     fn match {
       case "filter" =>
         val in = input
-        val pred = arg(pos, named, 1, "predicate")
-          .getOrElse(err("filter needs a predicate"))
-        Tbl(in.df.filter(scalar(pred, in.df, Ambiguity.ModeNone)), in.origin)
+        val pred = req("predicate")
+        Tbl(in.df.filter(scalar(pred, in.df, Ambiguity.ModeNone, in.origin)), in.origin)
 
       case "groupBy" =>
         val in = input
-        val aggs = arg(pos, named, 1, "aggregates")
-          .getOrElse(err("groupBy needs aggregates")) match {
+        val aggs = req("aggregates") match {
           case RecordLit(items) => items.map {
             case (n, Call("count", Seq(), Seq())) => count(lit(1)).as(n)
             case (n, other) => err(s"unsupported aggregate for '$n': $other " +
@@ -122,7 +210,7 @@ final class Planner(catalog: Planner.Catalog) {
           }
           case other => err(s"groupBy aggregates must be a record, got $other")
         }
-        val cols = arg(pos, named, 2, "columns")
+        val cols = a("columns")
           .map(identSet(_, "groupBy columns")).getOrElse(Nil)
         cols.foreach(c => resolve(c, in.df))
         val out =
@@ -132,8 +220,7 @@ final class Planner(catalog: Planner.Catalog) {
 
       case "project" =>
         val in = input
-        val cols = identSet(arg(pos, named, 1, "fields")
-          .getOrElse(err("project needs fields")), "project fields")
+        val cols = identSet(req("fields"), "project fields")
         val bindings = in.origin.flatMap(catalog.sequences.get).getOrElse(Map())
         val exprs = cols.map { c =>
           bindings.get(c) match {
@@ -155,20 +242,18 @@ final class Planner(catalog: Planner.Catalog) {
 
       case "map" =>
         val in = input
-        val items = arg(pos, named, 1, "expressions")
-          .getOrElse(err("map needs expressions")) match {
+        val items = req("expressions") match {
           case RecordLit(it) => it
           case other => err(s"map expects a record, got $other")
         }
         val out = items.foldLeft(in.df) { case (d, (n, v)) =>
-          d.withColumn(n, scalar(v, d, Ambiguity.ModeNone))
+          d.withColumn(n, scalar(v, d, Ambiguity.ModeNone, in.origin))
         }
         Tbl(out, None)
 
       case "orderBy" =>
         val in = input
-        val fields = arg(pos, named, 1, "fields")
-          .getOrElse(err("orderBy needs fields")) match {
+        val fields = req("fields") match {
           case SetLit(items) => items
           case single => Seq(single)
         }
@@ -182,25 +267,20 @@ final class Planner(catalog: Planner.Catalog) {
 
       case "limit" =>
         val in = input
-        val n = intArg(arg(pos, named, 1, "count").getOrElse(err("limit needs a count")), "limit")
+        val n = intArg(req("count"), "limit")
         if (n <= 0) err("limit must be positive")
-        // optional named offset (reference handleLimit,
-        // ast_to_query.cpp:1345-1346): skip first `offset`, then take count
-        val off = arg(pos, named, 2, "offset").map(intArg(_, "offset")).getOrElse(0L)
-        if (off < 0) err("offset must not be negative")
-        val base = if (off > 0) in.df.offset(off.toInt) else in.df
-        Tbl(base.limit(n.toInt), in.origin)
+        Tbl(in.df.limit(n.toInt), in.origin)
 
       case "offset" =>
         val in = input
-        val n = intArg(arg(pos, named, 1, "count").getOrElse(err("offset needs a count")), "offset")
+        val n = intArg(req("count"), "offset")
         // reference: offset is a uint32 (ast_to_query.cpp extractUnsigned)
         if (n < 0) err(s"Cannot cast $n to uint32. Value out of range")
         Tbl(in.df.offset(n.toInt), in.origin)
 
       case "randomize" =>
         val in = input
-        val seed = arg(pos, named, 1, "seed").map(intArg(_, "seed")).getOrElse(42L)
+        val seed = a("seed").map(intArg(_, "seed")).getOrElse(42L)
         // deterministic shuffle: hash of full row content + seed (the
         // reference hashes the row ordinal — Spark has no stable ordinal, so
         // content-hash gives the same reproducibility guarantee)
@@ -231,22 +311,22 @@ final class Planner(catalog: Planner.Catalog) {
         Tbl(rows.toDF("fieldName", "type"), None)
 
       case "unionAll" =>
-        val l = input
-        val r = planTable(pos.lift(1).getOrElse(err("unionAll needs two tables")))
+        val l = planTable(req("left"))
+        val r = planTable(req("right"))
         if (l.df.schema.map(f => (f.name, f.dataType)) !=
             r.df.schema.map(f => (f.name, f.dataType)))
           err("unionAll requires identical schemas (names, types, order)")
         Tbl(l.df.union(r.df), None)
 
       case "join" =>
-        val l = input
-        val r = planTable(pos.lift(1).getOrElse(err("join needs two tables")))
+        val l = planTable(req("left"))
+        val r = planTable(req("right"))
         val overlap = l.df.columns.toSet & r.df.columns.toSet
         if (overlap.nonEmpty) err(s"join requires disjoint column names; shared: ${overlap.mkString(", ")}")
-        val onExpr = arg(pos, named, 2, "on").getOrElse(err("join needs an 'on' condition"))
+        val onExpr = req("on")
         val joined = l.df.crossJoin(r.df) // only for resolution; rebuilt below
         val cond = scalar(onExpr, joined, Ambiguity.ModeNone)
-        val jt = arg(pos, named, 3, "type").map {
+        val jt = a("type").map {
           case StringLit(s) => s
           case other => err(s"join type must be a string, got $other")
         }.getOrElse("inner")
@@ -268,14 +348,14 @@ final class Planner(catalog: Planner.Catalog) {
         val wantAa = fn == "aminoAcidMutations"
         val all = seqBindings(in, fn).filter(_._2.isAminoAcid == wantAa)
         if (all.isEmpty) err(s"$fn: no ${if (wantAa) "amino acid" else "nucleotide"} sequences")
-        val minProp = arg(pos, named, 1, "minProportion") match {
-          case Some(FloatLit(v)) => v
-          case Some(IntLit(v)) => v.toDouble
+        val minProp = req("minProportion") match {
+          case FloatLit(v) => v
+          case IntLit(v) => v.toDouble
           case _ => err(s"$fn needs minProportion")
         }
         if (minProp < 0.0 || minProp > 1.0)
           err("invalid proportion: minProportion must be in interval [0.0, 1.0]")
-        val chosen = arg(pos, named, 2, "sequenceNames")
+        val chosen = a("sequenceNames")
           .map(identSet(_, "sequenceNames")) match {
           case Some(names) =>
             names.map(n => n -> all.getOrElse(n, err(s"unknown sequence '$n'")))
@@ -295,14 +375,14 @@ final class Planner(catalog: Planner.Catalog) {
               lit(name).as("sequenceName"),
               col("proportion"), col("coverage"), col("count"))
         }.reduce(_ union _)
-        val fields = arg(pos, named, 3, "fields").map(identSet(_, "fields"))
+        val fields = a("fields").map(identSet(_, "fields"))
         Tbl(fields.map(fs => base.select(fs.map(col): _*)).getOrElse(base), None)
 
       case "insertions" | "aminoAcidInsertions" =>
         val in = input
         val wantAa = fn == "aminoAcidInsertions"
         val all = seqBindings(in, fn).filter(_._2.isAminoAcid == wantAa)
-        val chosen = arg(pos, named, 1, "sequenceNames")
+        val chosen = a("sequenceNames")
           .map(identSet(_, "sequenceNames")) match {
           case Some(names) =>
             names.map(n => n -> all.getOrElse(n, err(s"unknown sequence '$n'")))
@@ -319,8 +399,8 @@ final class Planner(catalog: Planner.Catalog) {
 
       case "mostRecentCommonAncestor" =>
         val in = input
-        val (tree, column) = phyloOf(pos, named, in)
-        val printMissing = arg(pos, named, 2, "printNodesNotInTree").exists {
+        val (tree, column) = phyloOf(a("column"), in)
+        val printMissing = a("printNodesNotInTree").exists {
           case BoolLit(b) => b
           case _ => err("printNodesNotInTree must be a boolean")
         }
@@ -339,16 +419,16 @@ final class Planner(catalog: Planner.Catalog) {
 
       case "phyloSubtree" =>
         val in = input
-        val (tree, column) = phyloOf(pos, named, in)
-        val contract = arg(pos, named, 3, "contractUnaryNodes")
-          .orElse(named.collectFirst { case ("contractUnaryNodes", v) => v })
+        val (tree, column) = phyloOf(a("column"), in)
+        val contract = a("contractUnaryNodes")
           .forall {
             case BoolLit(b) => b
             case _ => err("contractUnaryNodes must be a boolean")
           }
-        val printMissing = named.collectFirst {
-          case ("printNodesNotInTree", BoolLit(b)) => b
-        }.getOrElse(false)
+        val printMissing = a("printNodesNotInTree").exists {
+          case BoolLit(b) => b
+          case _ => err("printNodesNotInTree must be a boolean")
+        }
         val names = distinctValues(in.df, column)
         val spark = in.df.sparkSession
         import spark.implicits._
@@ -368,8 +448,8 @@ final class Planner(catalog: Planner.Catalog) {
       .getOrElse(err(s"$fn is only valid on a table (or direct filters of one) " +
         "with sequence data"))
 
-  private def phyloOf(pos: Seq[Expr], named: Seq[(String, Expr)], in: Tbl): (PhyloTree, String) = {
-    val column = arg(pos, named, 1, "column") match {
+  private def phyloOf(columnExpr: Option[Expr], in: Tbl): (PhyloTree, String) = {
+    val column = columnExpr match {
       case Some(StringLit(s)) => s
       case Some(Ident(s)) => s
       case _ => err("expected a tree column name")
@@ -397,13 +477,14 @@ final class Planner(catalog: Planner.Catalog) {
     case other => err(s"expected a literal, got $other")
   }
 
-  private def scalar(e: Expr, df: DataFrame, mode: Ambiguity.Mode): Column = e match {
+  private def scalar(e: Expr, df: DataFrame, mode: Ambiguity.Mode,
+      origin: Option[String] = None): Column = e match {
     case Ident(n) => resolve(n, df)
     case _: IntLit | _: FloatLit | _: StringLit | _: BoolLit | NullLit | _: Cast =>
       literal(e)
-    case Not(x) => !scalar(x, df, Ambiguity.invert(mode))
-    case Binary("&&", l, r) => scalar(l, df, mode) && scalar(r, df, mode)
-    case Binary("||", l, r) => scalar(l, df, mode) || scalar(r, df, mode)
+    case Not(x) => !scalar(x, df, Ambiguity.invert(mode), origin)
+    case Binary("&&", l, r) => scalar(l, df, mode, origin) && scalar(r, df, mode, origin)
+    case Binary("||", l, r) => scalar(l, df, mode, origin) || scalar(r, df, mode, origin)
     case Binary(op, Ident(n), r) =>
       val c = resolve(n, df)
       def rhs: Column = r match {
@@ -423,7 +504,7 @@ final class Planner(catalog: Planner.Catalog) {
       }
     case Binary(op, l, _) =>
       err(s"left side of '$op' must be a column identifier, got $l")
-    case Call(fn, pos, named) => scalarFn(fn, pos, named, df, mode)
+    case Call(fn, pos, named) => scalarFn(fn, pos, named, df, mode, origin)
     case other => err(s"unsupported expression $other")
   }
 
@@ -436,11 +517,16 @@ final class Planner(catalog: Planner.Catalog) {
   }
 
   private def scalarFn(fn: String, pos: Seq[Expr], named: Seq[(String, Expr)],
-      df: DataFrame, mode: Ambiguity.Mode): Column = {
-    def a(idx: Int, name: String): Option[Expr] = arg(pos, named, idx, name)
+      df: DataFrame, mode: Ambiguity.Mode, origin: Option[String]): Column = {
+    if (fn == "count") err("count() is only valid inside groupBy aggregates")
+    val sig = scalarSigs.getOrElse(fn, err(s"unknown function '$fn'"))
+    val bound = bindArgs(fn, sig, pos, named)
+    def a(name: String): Option[Expr] = bound.get(name)
+    def req(name: String): Expr =
+      bound.getOrElse(name, err(s"$fn() requires argument '$name'"))
     fn match {
       case "at" =>
-        (a(0, "input"), a(1, "position")) match {
+        (a("input"), a("position")) match {
           case (Some(Ident(c)), Some(IntLit(p))) =>
             if (p < 1) err("at position must be >= 1 (positions are 1-based)")
             // clamp huge literals instead of wrapping through toInt —
@@ -450,13 +536,19 @@ final class Planner(catalog: Planner.Catalog) {
             // from the diff representation (the reference applies at() to
             // the reconstructed STRING surface; same value, no string
             // build) — the co-occurrence/BitmapAggregation map shape.
-            // The binding is located by matching the frame's actual diff
-            // columns, not by assuming the catalog's first table, so a
-            // multi-table catalog resolves the right local reference.
-            val bound = catalog.sequences.values
-              .flatMap(_.get(c)).toSeq.distinct
-              .filter(b => !df.columns.contains(c) &&
-                df.columns.contains(s"${b.prefix}cov_start"))
+            // The binding is resolved from the frame's ORIGIN table when
+            // known (two tables may bind the same column name with the same
+            // prefix but different references); only an origin-less frame
+            // falls back to matching the diff columns across the catalog.
+            def matches(b: SeqBinding): Boolean =
+              !df.columns.contains(c) &&
+                df.columns.contains(s"${b.prefix}cov_start")
+            val fromOrigin = origin.flatMap(catalog.sequences.get)
+              .flatMap(_.get(c)).filter(matches).toSeq
+            val bound =
+              if (fromOrigin.nonEmpty) fromOrigin
+              else catalog.sequences.values
+                .flatMap(_.get(c)).toSeq.distinct.filter(matches)
             bound match {
               case Seq(b) =>
                 graft.seq.SequenceModel.symbolAt(b.stored, pi,
@@ -466,18 +558,18 @@ final class Planner(catalog: Planner.Catalog) {
             }
           case _ => err("at(column, position) expects a column and an integer")
         }
-      case "isoWeek" => a(0, "input") match {
+      case "isoWeek" => a("input") match {
         case Some(Ident(c)) => RelationalOps.isoWeek(resolve(c, df))
         case _ => err("isoWeek(column) expects a column")
       }
       case "between" =>
-        val c = a(0, "column") match {
+        val c = a("column") match {
           case Some(Ident(n)) => resolve(n, df)
           case _ => err("between(column, from, to) expects a column")
         }
-        val from = a(1, "from").getOrElse(NullLit)
-        val to = a(2, "to").getOrElse(NullLit)
-        val dt = df.schema(a(0, "column").collect { case Ident(n) => n }.get).dataType
+        val from = req("from")
+        val to = req("to")
+        val dt = df.schema(a("column").collect { case Ident(n) => n }.get).dataType
         def bound(e: Expr): Option[Column] =
           if (e == NullLit) None else Some(literal(e))
         dt match {
@@ -491,13 +583,13 @@ final class Planner(catalog: Planner.Catalog) {
               bound(to).map(c <= _).getOrElse(lit(true))
         }
       case "in" =>
-        (a(0, "column"), a(1, "values")) match {
+        (a("column"), a("values")) match {
           case (Some(Ident(c)), Some(s)) =>
             resolve(c, df).isin(stringItems(s): _*)
           case _ => err("in(column, {values}) expects a column and a set")
         }
       case "like" =>
-        (a(0, "column"), a(1, "pattern")) match {
+        (a("column"), a("pattern")) match {
           case (Some(Ident(c)), Some(StringLit(p))) =>
             if (!df.columns.contains(c))
               err(s"The database does not contain the column '$c'")
@@ -515,36 +607,32 @@ final class Planner(catalog: Planner.Catalog) {
             resolve(c, df).rlike(p)
           case _ => err("like(column, pattern) expects a column and a regex string")
         }
-      case "isNull" => a(0, "column") match {
+      case "isNull" => a("column") match {
         case Some(Ident(c)) => resolve(c, df).isNull
         case _ => err("isNull(column) expects a column")
       }
-      case "isNotNull" => a(0, "column") match {
+      case "isNotNull" => a("column") match {
         case Some(Ident(c)) => resolve(c, df).isNotNull
         case _ => err("isNotNull(column) expects a column")
       }
       case "nOf" =>
-        val k = a(0, "count").map(intArg(_, "nOf count"))
-          .getOrElse(err("nOf needs a count")).toInt
-        val children = a(1, "children") match {
-          case Some(SetLit(items)) => items.map(scalar(_, df, mode))
+        val k = intArg(req("count"), "nOf count").toInt
+        val children = a("children") match {
+          case Some(SetLit(items)) => items.map(scalar(_, df, mode, origin))
           case _ => err("nOf needs a set of predicates")
         }
-        val exactly = arg(pos, named, 2, "matchExactly").exists {
+        val exactly = a("matchExactly").exists {
           case BoolLit(b) => b
           case _ => err("matchExactly must be a boolean")
         }
         RelationalOps.nOf(k, children, exactly)
-      case "maybe" => scalar(pos.headOption.getOrElse(err("maybe needs a child")),
-        df, Ambiguity.ModeMaybe)
-      case "exact" => scalar(pos.headOption.getOrElse(err("exact needs a child")),
-        df, Ambiguity.ModeExact)
+      case "maybe" => scalar(req("child"), df, Ambiguity.ModeMaybe, origin)
+      case "exact" => scalar(req("child"), df, Ambiguity.ModeExact, origin)
       case "nucleotideEquals" | "aminoAcidEquals" =>
         val wantAa = fn == "aminoAcidEquals"
-        val b = bindingFor(fn, a(2, "sequenceName"), wantAa)
-        val p = a(0, "position").map(intArg(_, "position"))
-          .getOrElse(err(s"$fn needs a position")).toInt
-        val sym = a(1, "symbol") match {
+        val b = bindingFor(fn, a("sequenceName"), wantAa)
+        val p = intArg(req("position"), "position").toInt
+        val sym = a("symbol") match {
           case Some(StringLit(s)) if s.length == 1 => s.head
           case _ => err(s"$fn needs a single-character symbol")
         }
@@ -560,17 +648,15 @@ final class Planner(catalog: Planner.Catalog) {
         SeqPredicates.symbolEqualsMode(p, target, b.ref, codes, mode, b.prefix,
           missing.toString, b.stored)
       case "hasMutation" | "hasAAMutation" =>
-        val b = bindingFor(fn, a(1, "sequenceName"), fn == "hasAAMutation")
-        val p = a(0, "position").map(intArg(_, "position"))
-          .getOrElse(err(s"$fn needs a position")).toInt
+        val b = bindingFor(fn, a("sequenceName"), fn == "hasAAMutation")
+        val p = intArg(req("position"), "position").toInt
         if (p < 1 || p > b.ref.length) err(s"$fn: position $p out of range")
         SeqPredicates.hasMutation(p, b.prefix, b.ref, b.stored)
       case "insertionContains" | "aminoAcidInsertionContains" =>
-        val b = bindingFor(fn, a(2, "sequenceName"),
+        val b = bindingFor(fn, a("sequenceName"),
           fn == "aminoAcidInsertionContains")
-        val p = a(0, "position").map(intArg(_, "position"))
-          .getOrElse(err(s"$fn needs a position")).toInt
-        val v = a(1, "value") match {
+        val p = intArg(req("position"), "position").toInt
+        val v = a("value") match {
           case Some(StringLit(s)) => s
           case _ => err(s"$fn needs a pattern string")
         }
@@ -581,19 +667,19 @@ final class Planner(catalog: Planner.Catalog) {
             s"valid pattern: \"$v\" (symbols, '.*', and escaped literals only)")
         SeqPredicates.insertionContains(p, v, s"${b.prefix}ins")
       case "lineage" =>
-        val column = a(0, "column") match {
+        val column = a("column") match {
           case Some(Ident(c)) => c
           case _ => err("lineage needs a column")
         }
-        val value = a(1, "value") match {
+        val value = a("value") match {
           case Some(StringLit(s)) => s
           case _ => err("lineage needs a value string")
         }
-        val includeSub = arg(pos, named, 2, "includeSublineages").exists {
+        val includeSub = a("includeSublineages").exists {
           case BoolLit(b) => b
           case _ => err("includeSublineages must be a boolean")
         }
-        val m = arg(pos, named, 3, "recombinantFollowingMode").map {
+        val m = a("recombinantFollowingMode").map {
           case StringLit("doNotFollow") => LineageTree.DoNotFollow
           case StringLit("alwaysFollow") => LineageTree.AlwaysFollow
           case StringLit("followIfFullyContainedInClade") => LineageTree.FollowIfFullyContained
@@ -608,11 +694,11 @@ final class Planner(catalog: Planner.Catalog) {
         if (!includeSub) c === canon
         else c.isin(tree.descendants(canon, m).toSeq.sorted: _*)
       case "phyloDescendantOf" =>
-        val column = a(0, "column") match {
+        val column = a("column") match {
           case Some(Ident(c)) => c
           case _ => err("phyloDescendantOf needs a column")
         }
-        val node = a(1, "node") match {
+        val node = a("node") match {
           case Some(StringLit(s)) => s
           case _ => err("phyloDescendantOf needs a node name")
         }
@@ -623,8 +709,7 @@ final class Planner(catalog: Planner.Catalog) {
             s"of column '$column'")
         resolve(column, df).isin(tree.descendants(node).toSeq.sorted: _*)
       case "nucleotideMutationProfile" | "aminoAcidMutationProfile" =>
-        mutationProfile(fn, pos, named, fn == "aminoAcidMutationProfile")
-      case "count" => err("count() is only valid inside groupBy aggregates")
+        mutationProfile(fn, bound, fn == "aminoAcidMutationProfile")
       case other => err(s"unknown function '$other'")
     }
   }
@@ -644,24 +729,21 @@ final class Planner(catalog: Planner.Catalog) {
     * AMBIGUITY_SYMBOLS[profile[pos]] is NOT a difference, and positions
     * where the profile carries the missing symbol are skipped.
     */
-  private def mutationProfile(fn: String, pos: Seq[Expr],
-      named: Seq[(String, Expr)], wantAa: Boolean): Column = {
+  private def mutationProfile(fn: String, bound: Map[String, Expr],
+      wantAa: Boolean): Column = {
     val symName = if (wantAa) "AminoAcid" else "Nucleotide"
     val codes = if (wantAa) Ambiguity.aaCodesFor else Ambiguity.nucCodesFor
     val missing = if (wantAa) Ambiguity.aaMissing else Ambiguity.nucMissing
-    val distance = arg(pos, named, 0, "distance") match {
+    val distance = bound.get("distance") match {
       case Some(IntLit(v)) if v >= 0 => v.toInt
       case _ => err(s"$fn needs a non-negative integer 'distance'")
     }
-    val seqNameExpr = named.collectFirst { case ("sequenceName", v) => v }
-      .orElse(pos.lift(1))
-      .getOrElse(err(s"$fn needs a sequenceName"))
+    val seqNameExpr = bound.getOrElse("sequenceName",
+      err(s"$fn needs a sequenceName"))
     val b = bindingFor(fn, Some(seqNameExpr), wantAa)
 
-    def namedOnly(n: String): Option[Expr] =
-      named.collectFirst { case (`n`, v) => v }
     val inputs = Seq("querySequence", "sequenceId", "mutations")
-      .flatMap(n => namedOnly(n).map(n -> _))
+      .flatMap(n => bound.get(n).map(n -> _))
     if (inputs.size != 1)
       err(s"Exactly one of 'querySequence', 'sequenceId', or 'mutations' " +
         s"must be provided in a $symName MutationProfile expression, " +

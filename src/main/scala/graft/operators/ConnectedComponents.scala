@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components over an edge list — the clustering step
@@ -8,76 +8,104 @@ import org.apache.spark.sql.functions._
   * keep-one decision needs the transitive closure: pair (a,b) + pair (b,c)
   * must put a,b,c in ONE group even though (a,c) was never emitted).
   *
-  * Algorithm: iterative min-label propagation over the EDGE-INDUCED
-  * subgraph only — nodes that touch no edge are singleton components by
-  * definition and are unioned in after the fixpoint, so per-iteration cost
-  * scales with the (typically tiny) near-dup graph, not the corpus. Each
-  * round every endpoint takes the minimum label over itself and its
-  * neighbors; convergence is detected by an aggregate over the label sum
-  * (strictly decreasing until fixpoint). Per round: one equi-join on the
-  * edge list + one groupBy — both shuffle on node id, no all-pairs
-  * anywhere. Rounds needed = component diameter, which for near-dup graphs
-  * is small (components are quasi-cliques around a shared template);
-  * lineage is truncated per round so plans stay O(1) deep.
+  * Algorithm: min-label propagation with pointer jumping over the
+  * EDGE-INDUCED subgraph only — nodes that touch no edge are singleton
+  * components by definition and are unioned in after the fixpoint, so
+  * per-iteration cost scales with the (typically tiny) near-dup graph, not
+  * the corpus. Each step every endpoint takes the minimum label over
+  * itself and its neighbors, then additionally adopts the label OF its
+  * label (pointer jumping), so convergence needs O(log diameter) steps
+  * instead of diameter-many. Labels only ever decrease, so an unchanged
+  * label sum means fixpoint; the sum is collected as an OBSERVED metric of
+  * the same job that materializes the round's labels — one Spark action
+  * per round, not a propagate-then-aggregate pair (at local scale the
+  * per-action fixed cost dominated). Per step: equi-joins on the edge
+  * list / label table + one
+  * groupBy — all shuffle on node id, no all-pairs anywhere; lineage is
+  * truncated per round so plans stay O(1) deep.
   */
 object ConnectedComponents {
 
-  /** @param edges undirected edge list (each pair once, either direction)
+  /** @param edges undirected edge list (each pair once, either direction;
+    *              duplicate pairs are tolerated — min is idempotent, they
+    *              only add bounded join fan-out)
     * @param nodes one row per node (superset of edge endpoints; isolated
     *              nodes become singleton components)
-    * @param maxIter iteration bound; if the fixpoint is NOT reached within
-    *                it (graph diameter > maxIter) the result would be
-    *                silently wrong, so this THROWS instead — raise maxIter
-    *                for pathological chain-shaped graphs
+    * @param maxIter bound on propagation+jump rounds (with jumping the
+    *                need is O(log diameter)). If the fixpoint is NOT
+    *                reached the result would be silently wrong, so this
+    *                THROWS instead
     * @return (node, comp) where comp = min node id reachable
     */
   def components(
       edges: DataFrame, eaCol: String, ebCol: String,
       nodes: DataFrame, nodeCol: String,
       maxIter: Int = 25): DataFrame = {
-    // materialize the (possibly expensive) edge derivation ONCE before the
-    // both-directions union — unioning two selects over the raw plan would
-    // execute it twice
+    val debug = sys.env.contains("GRAFT_CC_LOG")
+    // materialize the (possibly expensive) edge derivation ONCE — the
+    // reversed union and every round's join are narrow reads of these
+    // blocks, so nothing upstream of the edge list ever re-executes
     val e0 = edges.select(col(eaCol).as("src"), col(ebCol).as("dst"))
       .localCheckpoint()
-    val e = e0
-      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint()
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    def labelSum(m: Map[String, Any]): java.math.BigDecimal =
+      // decimal(38) so huge id spaces cannot overflow-wrap into a false
+      // stop; sum over an empty frame observes null
+      m.get("s").flatMap(Option(_)) match {
+        case Some(d: java.math.BigDecimal) => d
+        case _ => java.math.BigDecimal.ZERO
+      }
     // only edge endpoints participate in propagation
-    var labels = e.select(col("src").as("node"))
-      .distinct()
+    val obs0 = Observation("cc_init")
+    var labels = e.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))
+      .observe(obs0, sum(col("comp").cast("decimal(38,0)")).as("s"))
       .localCheckpoint()
-    // labels only ever decrease, so an unchanged label sum means fixpoint;
-    // decimal(38) so huge id spaces cannot overflow-wrap into a false stop
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val d = df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
-      if (d == null) java.math.BigDecimal.ZERO else d
-    }
-    var lastSum = labelSum(labels)
+    var lastSum = labelSum(obs0.get)
     var it = 0
     var converged = false
-    // maxIter bounds the PROPAGATION rounds; the +1 grants the confirming
-    // unchanged-sum round, so a graph whose diameter is exactly maxIter
-    // still converges instead of being rejected one round early
-    while (it < maxIter + 1 && !converged) {
-      // neighbor labels flow along edges; keep own label in the running min
-      val viaEdge = e.join(labels, e("dst") === labels("node"))
+    // one propagation step: neighbor labels flow along edges (keep own label
+    // in the running min), then a pointer-jumping shortcut also adopts the
+    // label OF my label (comp values are themselves node ids with
+    // comp(x) <= x, so comp(comp(x)) only ever improves). The jump turns
+    // diameter-many steps into O(log diameter).
+    def step(l: DataFrame): DataFrame = {
+      val viaEdge = e.join(l, e("dst") === l("node"))
         .select(col("src").as("node"), col("comp"))
-      val next = viaEdge.union(labels.select(col("node"), col("comp")))
+      val nbrMin = viaEdge.union(l.select(col("node"), col("comp")))
         .groupBy("node").agg(min(col("comp")).as("comp"))
+      val byNode = nbrMin.select(col("node").as("jnode"), col("comp").as("jcomp"))
+      nbrMin.join(byNode, nbrMin("comp") === byNode("jnode"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"))
+    }
+    // the + 1 grants the confirming unchanged-sum round, so a graph that
+    // needs exactly maxIter rounds still converges instead of being
+    // rejected one round early
+    while (it < maxIter + 1 && !converged) {
+      val t0 = System.nanoTime()
+      // ONE step per materialized round: chaining two steps into one plan
+      // was tried and lost — the step subtree appears 2x per consumer, so
+      // a 2-step plan re-plans/recomputes up to 4 subtree copies and cost
+      // more than the action it saved
+      val obs = Observation(s"cc_round_$it")
+      val next = step(labels)
+        .observe(obs, sum(col("comp").cast("decimal(38,0)")).as("s"))
         .localCheckpoint()
-      val s = labelSum(next)
+      val t1 = System.nanoTime()
+      val s = labelSum(obs.get)
       converged = s.compareTo(lastSum) == 0
       lastSum = s
       labels = next
       it += 1
+      if (debug) System.err.println(
+        f"GRAFT_CC round=$it sum=$s ckpt=${(t1 - t0) / 1e9}%.3fs " +
+          f"obsWait=${(System.nanoTime() - t1) / 1e9}%.3fs")
     }
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge within maxIter=$maxIter " +
-          "propagation rounds (graph diameter > maxIter); a partial result " +
+          "rounds (2 propagation+jump steps each); a partial result " +
           "would silently split components incorrectly — raise maxIter")
     // isolated nodes (no incident edge) are their own component
     val isolated = nodes.select(col(nodeCol).as("node")).distinct()

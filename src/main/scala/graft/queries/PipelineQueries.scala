@@ -246,18 +246,19 @@ object PipelineQueries {
       // join on a 64-bit shingle hash instead of the string: same match
       // semantics (collisions are ~2^-40 at this cardinality), much smaller
       // shuffle payload at scale
-      // materialize the shingle explode once — it feeds both the
-      // document-frequency count and the join probe side
       val ex0 = docs.select(col("doc_id"), col("source"),
           explode(TF.shingles(col("text"), 3)).as("s"))
         .withColumn("s64", xxhash64(col("s"))).drop("s")
-        .localCheckpoint()
       // document frequency via partial-aggregated count + equi-join — a
       // hot stop-shingle is counted map-side and dropped without ever
-      // materializing its posting list
+      // materializing its posting list. ex0 is NOT checkpointed: its two
+      // consumers (df count, join probe) each stream the explode inside one
+      // codegen pipeline, and two streaming scans beat materializing the
+      // full (bigger-than-input) posting list
       val dfs = ex0.groupBy("s64").agg(count(lit(1)).as("df"))
         .filter(col("df") <= NGRAM_DF_CAP).select("s64")
-      // the surviving occurrences feed the per-doc count + both pair sides
+      // the surviving (capped) occurrences feed the per-doc count + both
+      // pair sides — three consumers, so THIS one is worth materializing
       val kept = ex0.join(dfs, "s64").localCheckpoint()
       val nPerDoc = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
       // candidate pairs: equi self-join on the CAPPED posting set — per-key

@@ -266,15 +266,18 @@ object SeqQueries {
         |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
       val nation = t(s, dir, "nation")
       val region = t(s, dir, "region")
-      val cladeRoot = region.filter(col("r_regionkey") === 2)
-        .select("r_name").collect().head.getString(0)
+      // ONE driver action rebuilds the broadcast lineage tree: collect the
+      // joined (nation, region, regionkey) rows and derive the clade root
+      // and both edge levels from that single result
+      val rows = nation.join(region, col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_name"), col("r_name"), col("r_regionkey")).collect()
+      val cladeRoot = rows.find(_.getInt(2) == 2)
+        .getOrElse(sys.error("region 2 missing")).getString(1)
       // lineage-relation edge rows (broadcast-sized): REGION_k → root,
       // NATION_i → its region
-      val regionEdges = region.select(col("r_name")).collect()
-        .map(r => (r.getString(0), Option("root"))).toSeq
-      val nationEdges = nation.join(region, col("n_regionkey") === col("r_regionkey"))
-        .select(col("n_name"), col("r_name")).collect()
-        .map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+      val regionEdges = rows.map(_.getString(1)).distinct.toSeq
+        .map(r => (r, Option("root")))
+      val nationEdges = rows.map(r => (r.getString(0), Option(r.getString(1)))).toSeq
       val tree = LineageTree.fromEdges(regionEdges ++ nationEdges :+ ("root" -> None))
       val clade = tree.descendants(cladeRoot, LineageTree.DoNotFollow)
       t(s, dir, "customer")

@@ -20,15 +20,21 @@ object OneQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val reps = args.find(_.startsWith("--n=")).map(_.drop(4).toInt).getOrElse(2)
     val fn = graft.SparkEntry.queries(name)
     if (explain) fn(spark, sfDir).explain("formatted")
-    val t0 = System.nanoTime()
-    val n0 = fn(spark, sfDir).count()
-    val warm = (System.nanoTime() - t0) / 1e9
-    val t1 = System.nanoTime()
-    val n1 = fn(spark, sfDir).count()
-    val hot = (System.nanoTime() - t1) / 1e9
-    println(f"ONEQUERY $name rows=$n0%d warm=$warm%.3fs hot=$hot%.3fs (rows2=$n1%d)")
+    var rows = 0L
+    val times = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      rows = fn(spark, sfDir).count()
+      // same block cleanup the bench does between queries, so repeated runs
+      // don't accumulate checkpointed blocks the single bench run wouldn't
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ts = times.map(t => f"$t%.3f").mkString(",")
+    println(f"ONEQUERY $name rows=$rows%d min=${times.min}%.3fs times=[$ts]")
     spark.stop()
   }
 }

@@ -27,7 +27,7 @@ class DatabaseSpec extends SparkSpec {
 
   test("sequence predicates work against the ingested diffs") {
     // record key2 has main = AAGNAAGN vs ref ACGTACGT → pos1 A matches ref
-    val withMut = run("default.filter(hasMutation(2, sequenceName := 'main'))")
+    val withMut = run("default.filter(hasMutation(position := 2, sequenceName := 'main'))")
       .select("primaryKey").collect().map(_.getString(0)).toSet
     assert(withMut.contains("key2")) // A at pos2 vs ref C
   }

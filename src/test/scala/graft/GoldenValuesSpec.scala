@@ -26,24 +26,24 @@ class GoldenValuesSpec extends SparkSpec {
   test("nucleotideEquals: diff, ref-match, missing, maybe/exact") {
     def cnt(q: String) = run(q).head().getLong(0)
     // pos 2 ref C: key2 has A; N never matches plainly
-    assert(cnt("default.filter(nucleotideEquals(2, 'A', sequenceName := 'main')).groupBy({c := count()})") === 1)
-    assert(cnt("default.filter(nucleotideEquals(2, 'C', sequenceName := 'main')).groupBy({c := count()})") === 4)
+    assert(cnt("default.filter(nucleotideEquals(position := 2, symbol := 'A', sequenceName := 'main')).groupBy({c := count()})") === 1)
+    assert(cnt("default.filter(nucleotideEquals(position := 2, symbol := 'C', sequenceName := 'main')).groupBy({c := count()})") === 4)
     // pos 4 ref T: key2 has N — missing ⇒ neither T nor hasMutation
-    assert(cnt("default.filter(nucleotideEquals(4, 'T', sequenceName := 'main')).groupBy({c := count()})") === 4)
-    assert(cnt("default.filter(hasMutation(4, sequenceName := 'main')).groupBy({c := count()})") === 0)
+    assert(cnt("default.filter(nucleotideEquals(position := 4, symbol := 'T', sequenceName := 'main')).groupBy({c := count()})") === 4)
+    assert(cnt("default.filter(hasMutation(position := 4, sequenceName := 'main')).groupBy({c := count()})") === 0)
     // maybe at pos 4: N ∈ AMBIGUITY_SYMBOLS[T] and symbolInSet now matches
     // missing positions when the set contains N ⇒ key2 matches too (5 rows)
-    assert(cnt("default.filter(maybe(nucleotideEquals(4, 'T', sequenceName := 'main'))).groupBy({c := count()})") === 5)
+    assert(cnt("default.filter(maybe(nucleotideEquals(position := 4, symbol := 'T', sequenceName := 'main'))).groupBy({c := count()})") === 5)
     // plain equals N = "is missing at pos 4" — exactly key2
-    assert(cnt("default.filter(nucleotideEquals(4, 'N', sequenceName := 'main')).groupBy({c := count()})") === 1)
+    assert(cnt("default.filter(nucleotideEquals(position := 4, symbol := 'N', sequenceName := 'main')).groupBy({c := count()})") === 1)
     // '.' matches the reference symbol
-    assert(cnt("default.filter(nucleotideEquals(6, '.', sequenceName := 'main')).groupBy({c := count()})") === 4)
+    assert(cnt("default.filter(nucleotideEquals(position := 6, symbol := '.', sequenceName := 'main')).groupBy({c := count()})") === 4)
   }
 
   test("mutationProfile: ambiguity-compatible distances on the dummy dataset") {
     def cnt(q: String) = run(q).head().getLong(0)
     def profile(d: Int, in: String) =
-      cnt(s"default.filter(nucleotideMutationProfile($d, sequenceName := 'main', $in)).groupBy({c := count()})")
+      cnt(s"default.filter(nucleotideMutationProfile(distance := $d, sequenceName := 'main', $in)).groupBy({c := count()})")
     // key2 = AAGNAAGN: diffs at 2/6 (C→A), missing at 4/8; others = ref
     assert(profile(0, "querySequence := 'ACGTACGT'") === 4)
     assert(profile(2, "querySequence := 'ACGTACGT'") === 5)
@@ -157,8 +157,8 @@ class GoldenValuesSpec extends SparkSpec {
     assert(cnt("default.filter(aminoAcidInsertionContains(position:=4, value:='EP.*', sequenceName:='E')).groupBy({c := count()})") === 2)
     assert(cnt("default.filter(aminoAcidInsertionContains(position:=4, value:='Z.*', sequenceName:='E')).groupBy({c := count()})") === 0)
     // M gene: key5 stores XXXX* (ref MADS*)
-    assert(cnt("default.filter(aminoAcidEquals(1, 'X', sequenceName := 'M')).groupBy({c := count()})") === 1)
-    assert(cnt("default.filter(aminoAcidEquals(1, '.', sequenceName := 'M')).groupBy({c := count()})") === 4)
+    assert(cnt("default.filter(aminoAcidEquals(position := 1, symbol := 'X', sequenceName := 'M')).groupBy({c := count()})") === 1)
+    assert(cnt("default.filter(aminoAcidEquals(position := 1, symbol := '.', sequenceName := 'M')).groupBy({c := count()})") === 4)
   }
 
   test("mutations() on the second nucleotide sequence: exact rows") {

@@ -97,17 +97,36 @@ class SaneQLSpec extends SparkSpec {
     assert(m.getLong(1) === 0L)
     val nw = run("default.phyloSubtree('tree_node')").as[String].head()
     assert(nw === "((n1,n2)r1,n3)root;")
+    // printNodesNotInTree/contractUnaryNodes are named-only parameters
+    // (ast_to_query.cpp:1743-1748); a positional flag is rejected exactly
+    // like the reference's bindArguments (function_registry.cpp:67-80)
+    val e = intercept[QueryError] {
+      run("default.phyloSubtree('tree_node', true)")
+    }
+    assert(e.getMessage.contains("too many positional arguments"))
+    assert(run("default.phyloSubtree('tree_node', printNodesNotInTree := true)")
+      .columns.toSeq === Seq("subtreeNewick", "nodesNotInTree"))
   }
 
   test("sequence predicates and mutations() through SaneQL") {
-    assert(run("seqs.filter(nucleotideEquals(1, 'T'))").count() === 1)
-    assert(run("seqs.filter(nucleotideEquals(1, '.'))").count() === 2)
-    assert(run("seqs.filter(hasMutation(3))").count() === 1)
+    def nucEq(pos: Int, sym: String) =
+      s"nucleotideEquals(position := $pos, symbol := '$sym', sequenceName := 'main')"
+    assert(run(s"seqs.filter(${nucEq(1, "T")})").count() === 1)
+    assert(run(s"seqs.filter(${nucEq(1, ".")})").count() === 2)
+    assert(run("seqs.filter(hasMutation(position := 3, sequenceName := 'main'))")
+      .count() === 1)
     // maybe expands to AMBIGUITY_SYMBOLS[W] = {W,D,H,N} — symbols at least
     // as general as W (symbol_equals.cpp:85-88) — NOT the concretes A/T
-    assert(run("seqs.filter(maybe(nucleotideEquals(1, 'W')))").count() === 0)
+    assert(run(s"seqs.filter(maybe(${nucEq(1, "W")}))").count() === 0)
     // maybe(equals A): stored ∈ {A,R,W,M,D,H,V,N} — the two ref-matching rows
-    assert(run("seqs.filter(maybe(nucleotideEquals(1, 'A')))").count() === 2)
+    assert(run(s"seqs.filter(maybe(${nucEq(1, "A")}))").count() === 2)
+    // argument binding is reference-exact (function_registry.cpp:67-80):
+    // symbolEquals params are named-only, so the positional convenience
+    // form is "too many positional arguments", NOT a binding
+    val e = intercept[QueryError] {
+      run("seqs.filter(nucleotideEquals(1, 'T', 'main'))")
+    }
+    assert(e.getMessage.contains("too many positional arguments"))
     val muts = run("seqs.mutations(minProportion := 0.1)")
       .select("position", "mutationTo", "count").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
@@ -118,44 +137,44 @@ class SaneQLSpec extends SparkSpec {
     // seqs: k1=ACGTACGT (=ref), k2=TCGTACGT, k3=ACCTACGT
     def cnt(q: String) = run(q).count()
     // querySequence: exact profile — ambiguity-compatible distances 0/1/1
-    assert(cnt("""seqs.filter(nucleotideMutationProfile(0,
+    assert(cnt("""seqs.filter(nucleotideMutationProfile(distance := 0,
         sequenceName := 'main', querySequence := 'ACGTACGT'))""") === 1)
-    assert(cnt("""seqs.filter(nucleotideMutationProfile(1,
+    assert(cnt("""seqs.filter(nucleotideMutationProfile(distance := 1,
         sequenceName := 'main', querySequence := 'ACGTACGT'))""") === 3)
     // profile N positions are skipped (mutation_profile.cpp:227-230):
     // NCGTACGT ⇒ k2's pos-1 T no longer counts
-    assert(cnt("""seqs.filter(nucleotideMutationProfile(0,
+    assert(cnt("""seqs.filter(nucleotideMutationProfile(distance := 0,
         sequenceName := 'main', querySequence := 'NCGTACGT'))""") === 2)
     // sequenceId: profile reconstructed from k2's row
-    assert(cnt("""seqs.filter(nucleotideMutationProfile(0,
+    assert(cnt("""seqs.filter(nucleotideMutationProfile(distance := 0,
         sequenceName := 'main', sequenceId := 'k2'))""") === 1)
-    assert(cnt("""seqs.filter(nucleotideMutationProfile(1,
+    assert(cnt("""seqs.filter(nucleotideMutationProfile(distance := 1,
         sequenceName := 'main', sequenceId := 'k2'))""") === 2)
     // mutations: set of {position, symbol} records applied on the reference
-    assert(cnt("""seqs.filter(nucleotideMutationProfile(0,
+    assert(cnt("""seqs.filter(nucleotideMutationProfile(distance := 0,
         sequenceName := 'main', mutations := {{position := 1, symbol := 'T'}}))""") === 1)
     // ambiguity-code profile symbol: AMBIGUITY_SYMBOLS[W]={W,D,H,N}, so
     // even stored A/T count as differences
-    assert(cnt("""seqs.filter(nucleotideMutationProfile(0,
+    assert(cnt("""seqs.filter(nucleotideMutationProfile(distance := 0,
         sequenceName := 'main', mutations := {{position := 1, symbol := 'W'}}))""") === 0)
     // k1/k2 differ only at pos 1; k3 also carries its own C at pos 3 → dist 2
-    assert(cnt("""seqs.filter(nucleotideMutationProfile(1,
+    assert(cnt("""seqs.filter(nucleotideMutationProfile(distance := 1,
         sequenceName := 'main', mutations := {{position := 1, symbol := 'W'}}))""") === 2)
-    assert(cnt("""seqs.filter(nucleotideMutationProfile(2,
+    assert(cnt("""seqs.filter(nucleotideMutationProfile(distance := 2,
         sequenceName := 'main', mutations := {{position := 1, symbol := 'W'}}))""") === 3)
 
     // error surface (reference CHECK_SILO_QUERY messages)
-    intercept[QueryError] { run("""seqs.filter(nucleotideMutationProfile(0,
+    intercept[QueryError] { run("""seqs.filter(nucleotideMutationProfile(distance := 0,
         sequenceName := 'main'))""") }
-    intercept[QueryError] { run("""seqs.filter(nucleotideMutationProfile(0,
+    intercept[QueryError] { run("""seqs.filter(nucleotideMutationProfile(distance := 0,
         sequenceName := 'main', querySequence := 'ACGTACGT', sequenceId := 'k1'))""") }
-    intercept[QueryError] { run("""seqs.filter(nucleotideMutationProfile(0,
+    intercept[QueryError] { run("""seqs.filter(nucleotideMutationProfile(distance := 0,
         sequenceName := 'main', querySequence := 'ACG'))""") }
-    intercept[QueryError] { run("""seqs.filter(nucleotideMutationProfile(0,
+    intercept[QueryError] { run("""seqs.filter(nucleotideMutationProfile(distance := 0,
         sequenceName := 'main', sequenceId := 'nope'))""") }
-    intercept[QueryError] { run("""seqs.filter(nucleotideMutationProfile(0,
+    intercept[QueryError] { run("""seqs.filter(nucleotideMutationProfile(distance := 0,
         sequenceName := 'main', mutations := {{position := 0, symbol := 'T'}}))""") }
-    intercept[QueryError] { run("""seqs.filter(nucleotideMutationProfile(0,
+    intercept[QueryError] { run("""seqs.filter(nucleotideMutationProfile(distance := 0,
         sequenceName := 'main', mutations := {{position := 1, symbol := 'Z'}}))""") }
   }
 
