@@ -33,6 +33,30 @@ object Planner {
     def stored: String = localRef.getOrElse(ref)
   }
 
+  /** Row-level mutation index for one bound sequence: the posting table
+    * (pos, sym, pk), its per-(pos, sym) cardinalities, and the table's row
+    * count — what the planner's IndexScan-vs-Selection choice consults
+    * (the reference reads the same numbers off its Roaring bitmaps,
+    * symbol_in_set.cpp:129-264). `counts` is bounded by
+    * genome × alphabet, built once at catalog registration.
+    */
+  final case class SeqIndex(postings: DataFrame,
+      counts: Map[(Int, String), Long], tableRows: Long)
+
+  object SeqIndex {
+    /** Build from a diffed frame (one aggregation pass + the bounded
+      * count-map collect).
+      */
+    def build(diffed: DataFrame, pkCol: String, prefix: String = ""): SeqIndex = {
+      val postings = graft.seq.SequenceModel.mutPostings(diffed, pkCol, prefix)
+      val counts = graft.seq.SequenceModel.mutIndex(
+        diffed.select(org.apache.spark.sql.functions.col(s"${prefix}muts").as("muts")))
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      SeqIndex(postings, counts, diffed.count())
+    }
+  }
+
   final case class Catalog(
       tables: Map[String, DataFrame],
       sequences: Map[String, Map[String, SeqBinding]] = Map(),
@@ -40,7 +64,12 @@ object Planner {
       phyloTrees: Map[String, PhyloTree] = Map(),
       lineageAliases: Map[String, Map[String, String]] = Map(),
       primaryKeys: Map[String, String] = Map(),
-      lineageYaml: Map[String, String] = Map())
+      lineageYaml: Map[String, String] = Map(),
+      /** table → sequence name → row-level mutation index; filters route
+        * selective position predicates through these (see pipelineFn
+        * "filter").
+        */
+      mutIndexes: Map[String, Map[String, SeqIndex]] = Map())
 
   def plan(query: String, catalog: Catalog): DataFrame =
     new Planner(catalog).planTable(Parser.parse(query)).df
@@ -198,7 +227,45 @@ final class Planner(catalog: Planner.Catalog) {
       case "filter" =>
         val in = input
         val pred = req("predicate")
-        Tbl(in.df.filter(scalar(pred, in.df, Ambiguity.ModeNone, in.origin)), in.origin)
+        // index routing (≙ the reference's IndexScan-vs-Selection choice,
+        // symbol_in_set.cpp:129-264): top-level AND-conjuncts that are
+        // PURE diff-match symbol tests — target symbols exclude the
+        // implied (local-reference) symbol and the missing symbol, so no
+        // complement/missing clause is needed — and whose posting
+        // cardinality is small route through the mut index as a pruned
+        // posting scan + pk semi-join; everything else stays row-wise
+        def conjuncts(e: Expr): Seq[Expr] = e match {
+          case Binary("&&", l, r) => conjuncts(l) ++ conjuncts(r)
+          case other => Seq(other)
+        }
+        val idxCtx = for {
+          t <- in.origin
+          m <- catalog.mutIndexes.get(t) if m.nonEmpty
+          pk <- catalog.primaryKeys.get(t)
+        } yield (m, pk)
+        val (base, rest) = idxCtx match {
+          case Some((indexes, pk)) if in.df.columns.contains(pk) =>
+            val tagged = conjuncts(pred).map(c =>
+              indexRoute(c, indexes, Ambiguity.ModeNone) -> c)
+            val routed = tagged.collect { case (Some(r), _) => r }
+            val rowwise = tagged.collect { case (None, c) => c }
+            val df = routed.foldLeft(in.df) { case (d, (seqName, p, symsOpt)) =>
+              val si = indexes(seqName)
+              val keys = si.postings
+                .filter(col("pos") === p &&
+                  symsOpt.map(ss => col("sym").isin(ss: _*)).getOrElse(lit(true)))
+                .select(col("pk").as("__idx_pk"))
+              // the routed posting list is selectivity-gated → broadcast
+              d.join(broadcast(keys), d(pk) === col("__idx_pk"), "left_semi")
+            }
+            (df, rowwise)
+          case _ => (in.df, conjuncts(pred))
+        }
+        val out =
+          if (rest.isEmpty) base
+          else base.filter(rest
+            .map(scalar(_, base, Ambiguity.ModeNone, in.origin)).reduce(_ && _))
+        Tbl(out, in.origin)
 
       case "groupBy" =>
         val in = input
@@ -407,15 +474,42 @@ final class Planner(catalog: Planner.Catalog) {
         // distributed LCP aggregation — no driver-side collect of values
         val spark = in.df.sparkSession
         import spark.implicits._
-        val (m, missingNames) = in.df.select(col(column)).as[String]
+        // nulls are coalesced to the sentinel because Spark's typed
+        // Aggregator never sees null inputs — they must still count
+        // toward missingNodeCount (num_empty, mrca node .cpp:47-56)
+        val r = in.df
+          .select(coalesce(col(column),
+            lit(graft.trees.MrcaAggregator.NullSentinel)).as(column))
+          .as[String]
           .select(new graft.trees.MrcaAggregator(tree).toColumn)
           .head()
-        if (printMissing)
-          Tbl(Seq((m, missingNames.size.toLong, missingNames))
-            .toDF("mrcaNode", "missingNodeCount", "missingFromTree"), None)
-        else
-          Tbl(Seq((m, missingNames.size.toLong))
-            .toDF("mrcaNode", "missingNodeCount"), None)
+        // output fields + order + types per the reference's schema
+        // (most_recent_common_ancestor_node.cpp:77-88): missingNodeCount
+        // INT32 counts null rows AND distinct not-in-tree values,
+        // missingFromTree is one comma-joined STRING of the sorted
+        // not-in-tree values, mrcaParent/mrcaDepth are null when no
+        // selected node is in the tree (getMRCA early return)
+        val mrcaParent: String =
+          Option(r.mrca).flatMap(tree.parent.get).orNull
+        val mrcaDepth: java.lang.Integer =
+          Option(r.mrca).map(n => Int.box(tree.depth(n))).orNull
+        val missingCount = (r.nulls + r.missing.size).toInt
+        val fields = scala.collection.mutable.ArrayBuffer(
+          StructField("missingNodeCount", IntegerType, nullable = false))
+        val values = scala.collection.mutable.ArrayBuffer[Any](missingCount)
+        if (printMissing) {
+          fields += StructField("missingFromTree", StringType, nullable = true)
+          values += r.missing.mkString(",")
+        }
+        fields ++= Seq(
+          StructField("mrcaNode", StringType, nullable = true),
+          StructField("mrcaParent", StringType, nullable = true),
+          StructField("mrcaDepth", IntegerType, nullable = true))
+        values ++= Seq(r.mrca, mrcaParent, mrcaDepth)
+        val row = org.apache.spark.sql.Row.fromSeq(values.toSeq)
+        Tbl(spark.createDataFrame(
+          java.util.Collections.singletonList(row),
+          StructType(fields.toSeq)), None)
 
       case "phyloSubtree" =>
         val in = input
@@ -429,14 +523,33 @@ final class Planner(catalog: Planner.Catalog) {
           case BoolLit(b) => b
           case _ => err("printNodesNotInTree must be a boolean")
         }
-        val names = distinctValues(in.df, column)
+        // one distributed aggregation collects the (bounded) distinct
+        // value set AND the null-row count; nulls count toward
+        // missingNodeCount exactly like MRCA's num_empty
+        // (phylo_subtree_node.cpp:138-153)
         val spark = in.df.sparkSession
-        import spark.implicits._
+        val grouped = in.df.groupBy(col(column)).agg(count(lit(1)).as("c"))
+          .collect()
+        val nulls = grouped.filter(_.isNullAt(0)).map(_.getLong(1)).sum
+        val names = grouped.filterNot(_.isNullAt(0)).map(_.getString(0)).toSet
+        val notInTree = names.filterNot(tree.contains).toSeq.sorted
         val nw = tree.subtreeNewick(names, contract)
+        // output schema: missingNodeCount INT32, [missingFromTree STRING
+        // comma-joined], subtreeNewick (phylo_subtree_node.cpp:77-85)
+        val fields = scala.collection.mutable.ArrayBuffer(
+          StructField("missingNodeCount", IntegerType, nullable = false))
+        val values = scala.collection.mutable.ArrayBuffer[Any](
+          (nulls + notInTree.size).toInt)
         if (printMissing) {
-          val missing = names.filterNot(tree.contains).toSeq.sorted
-          Tbl(Seq((nw, missing)).toDF("subtreeNewick", "nodesNotInTree"), None)
-        } else Tbl(Seq(nw).toDF("subtreeNewick"), None)
+          fields += StructField("missingFromTree", StringType, nullable = true)
+          values += notInTree.mkString(",")
+        }
+        fields += StructField("subtreeNewick", StringType, nullable = true)
+        values += nw
+        Tbl(spark.createDataFrame(
+          java.util.Collections.singletonList(
+            org.apache.spark.sql.Row.fromSeq(values.toSeq)),
+          StructType(fields.toSeq)), None)
 
       case other =>
         err(s"unknown pipeline function '$other'")
@@ -457,10 +570,6 @@ final class Planner(catalog: Planner.Catalog) {
     resolve(column, in.df)
     (catalog.phyloTrees.getOrElse(column, err(s"column '$column' has no phylogenetic tree")), column)
   }
-
-  private def distinctValues(df: DataFrame, column: String): Set[String] =
-    df.select(column).distinct().collect()
-      .flatMap(r => Option(r.getString(0))).toSet
 
   // ---------------------------------------------------------------- scalars
   private def resolve(name: String, df: DataFrame): Column =
@@ -838,20 +947,106 @@ final class Planner(catalog: Planner.Catalog) {
     * table is assumed (holds for the reference's `default`).
     */
   private def bindingFor(fn: String, nameArg: Option[Expr],
-      wantAa: Boolean): SeqBinding = {
+      wantAa: Boolean): SeqBinding =
+    bindingWithName(fn, nameArg, wantAa)._2
+
+  private def bindingWithName(fn: String, nameArg: Option[Expr],
+      wantAa: Boolean): (String, SeqBinding) = {
     val all = catalog.sequences.values.headOption
       .getOrElse(err(s"$fn requires a table with sequence data"))
     nameArg match {
       case Some(StringLit(n)) =>
-        all.getOrElse(n, err(s"unknown sequence '$n'"))
+        n -> all.getOrElse(n, err(s"unknown sequence '$n'"))
       case Some(Ident(n)) =>
-        all.getOrElse(n, err(s"unknown sequence '$n'"))
+        n -> all.getOrElse(n, err(s"unknown sequence '$n'"))
       case None =>
         val pool = all.filter(_._2.isAminoAcid == wantAa)
-        if (pool.contains("main")) pool("main")
-        else if (pool.size == 1) pool.head._2
+        if (pool.contains("main")) "main" -> pool("main")
+        else if (pool.size == 1) pool.head
         else err(s"$fn: ambiguous sequence, pass sequenceName")
       case Some(other) => err(s"$fn: sequenceName must be a string, got $other")
     }
+  }
+
+  /** Fraction of the table above which a posting list stops being routed
+    * through the index (the semi-join side must stay broadcast-small; a
+    * broad predicate is cheaper row-wise — same trade the reference makes
+    * choosing Selection over IndexScan for low-selectivity symbol sets).
+    */
+  private val RouteMaxFraction = 0.1
+
+  /** Decide whether one filter conjunct is answerable from the mut index:
+    * returns (sequence name, position, Some(target symbols) | None = any
+    * stored diff). Only PURE diff-match shapes qualify — symbolEquals
+    * whose expanded target set avoids the implied and missing symbols
+    * (reference case 1), and hasMutation over unadapted storage. Malformed
+    * calls return None and fall through to the row-wise path, which
+    * raises the planner's typed errors.
+    */
+  private def indexRoute(e: Expr, indexes: Map[String, SeqIndex],
+      mode: Ambiguity.Mode): Option[(String, Int, Option[Seq[String]])] = e match {
+    case Call("maybe", Seq(child), Seq()) =>
+      indexRoute(child, indexes, Ambiguity.ModeMaybe)
+    case Call("exact", Seq(child), Seq()) =>
+      indexRoute(child, indexes, Ambiguity.ModeExact)
+    case Call(fn @ ("nucleotideEquals" | "aminoAcidEquals"), pos, named) =>
+      val wantAa = fn == "aminoAcidEquals"
+      val bound =
+        try bindArgs(fn, symbolEqualsSig, pos, named)
+        catch { case _: QueryError => return None }
+      (bound.get("position"), bound.get("symbol")) match {
+        case (Some(IntLit(p)), Some(StringLit(symS)))
+            if symS.length == 1 && p >= 1 =>
+          val (name, b) =
+            try bindingWithName(fn, bound.get("sequenceName"), wantAa)
+            catch { case _: QueryError => return None }
+          if (!indexes.contains(name) || b.isAminoAcid != wantAa ||
+              p > b.ref.length) None
+          else {
+            val pi = p.toInt
+            val codes = if (wantAa) Ambiguity.aaCodesFor else Ambiguity.nucCodesFor
+            val missing = (if (wantAa) Ambiguity.aaMissing else Ambiguity.nucMissing)
+              .toString
+            val target = if (symS == ".") b.ref.charAt(pi - 1) else symS.head
+            if (!codes.contains(target)) None
+            else {
+              val targets = Ambiguity.matchingSymbols(codes, target, mode)
+                .map(_.toString)
+              val implied = b.stored.charAt(pi - 1).toString
+              val si = indexes(name)
+              val cnt = targets.toSeq.map(s => si.counts.getOrElse((pi, s), 0L)).sum
+              if (targets.nonEmpty && !targets.contains(implied) &&
+                  !targets.contains(missing) &&
+                  cnt <= si.tableRows * RouteMaxFraction)
+                Some((name, pi, Some(targets.toSeq.sorted)))
+              else None
+            }
+          }
+        case _ => None
+      }
+    case Call(fn @ ("hasMutation" | "hasAAMutation"), pos, named)
+        if mode == Ambiguity.ModeNone =>
+      val wantAa = fn == "hasAAMutation"
+      val bound =
+        try bindArgs(fn, hasMutationSig, pos, named)
+        catch { case _: QueryError => return None }
+      bound.get("position") match {
+        case Some(IntLit(p)) if p >= 1 =>
+          val (name, b) =
+            try bindingWithName(fn, bound.get("sequenceName"), wantAa)
+            catch { case _: QueryError => return None }
+          // adapted storage needs the local↔global translation → row-wise
+          if (!indexes.contains(name) || b.isAminoAcid != wantAa ||
+              p > b.ref.length || b.localRef.exists(_ != b.ref)) None
+          else {
+            val pi = p.toInt
+            val si = indexes(name)
+            val cnt = si.counts.collect { case ((`pi`, _), c) => c }.sum
+            if (cnt <= si.tableRows * RouteMaxFraction) Some((name, pi, None))
+            else None
+          }
+        case _ => None
+      }
+    case _ => None
   }
 }

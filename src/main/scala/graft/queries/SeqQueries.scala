@@ -202,6 +202,22 @@ object SeqQueries {
         .orderBy("doc_id")
     },
 
+    // ---- mut-index routing: a selective position predicate through the
+    //      SaneQL planner consults the row-level posting index (pruned
+    //      (pos, sym) scan + pk semi-join — the reference's IndexScan
+    //      choice, symbol_in_set.cpp case 1) instead of scanning rows.
+    //      The oracle knows nothing about the index — it recomputes by
+    //      substring compare — so a hash match proves routing preserves
+    //      semantics; PlanSpec asserts the semi-join shape. ----
+    QDef("q_seq_idxroute",
+      s"""WITH seqs AS (SELECT doc_id,
+         |    translate(md5(CAST(doc_id AS VARCHAR)),
+         |      '0123456789abcdef', '$NUC_ALPHABET') AS seq FROM documents)
+         |SELECT doc_id FROM seqs WHERE substr(seq, 5, 1) = 'G'
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      idxRouteQuery(s, dir)
+    },
+
     // ---- insertions(): per (position, inserted string) counts ----
     QDef("q_seq_insertions",
       s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS tk
@@ -305,18 +321,28 @@ object SeqQueries {
       Seq((m.getOrElse("root"), names.size.toLong)).toDF("mrca_node", "node_count")
     },
 
-    // ---- phyloSubtree: Newick of the induced subtree ----
+    // ---- phyloSubtree: Newick of the induced subtree. Reference
+    //      semantics (phylo_tree.cpp toNewickString): rooted at the
+    //      selection's MRCA, children in REVERSE declaration order (the
+    //      tree declares children name-sorted, so the oracle emits them
+    //      name-DESC), single-child regions contracted away. ----
     QDef("q_phylo_subtree",
       """WITH sel AS (SELECT DISTINCT n_name, r_name
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
         |  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 8000),
-        |g AS (SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS kids,
+        |g AS (SELECT r_name, string_agg(n_name, ',' ORDER BY n_name DESC) AS kids,
         |  count(*) AS k FROM sel GROUP BY 1),
-        |e AS (SELECT CASE WHEN k = 1 THEN kids
+        |e AS (SELECT r_name, CASE WHEN k = 1 THEN kids
         |  ELSE '(' || kids || ')' || r_name END AS part FROM g)
-        |SELECT '(' || string_agg(part, ',' ORDER BY part) || ')root;' AS newick
-        |FROM e""".stripMargin) { (s, dir) =>
+        |SELECT CASE
+        |  WHEN (SELECT count(*) FROM sel) = 1
+        |    THEN (SELECT n_name FROM sel) || ';'
+        |  WHEN (SELECT count(*) FROM g) = 1
+        |    THEN (SELECT '(' || kids || ')' || r_name FROM g) || ';'
+        |  ELSE '(' || (SELECT string_agg(part, ',' ORDER BY r_name DESC) FROM e)
+        |    || ')root;'
+        |END AS newick""".stripMargin) { (s, dir) =>
       val tree = regionNationTree(s, dir)
       val names = t(s, dir, "customer")
         .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 8000)
@@ -326,14 +352,43 @@ object SeqQueries {
       Seq(tree.subtreeNewick(names, contractUnary = true)).toDF("newick")
     })
 
+  /** The routed-filter query of q_seq_idxroute, also plan-checked by
+    * PlanSpec: a catalog with a registered mut index makes the SaneQL
+    * filter route `nucleotideEquals(5, 'G')` (≈6% of rows under the
+    * md5-nibble alphabet) through a posting semi-join.
+    */
+  def idxRouteQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.lang.Planner
+    val seq = translate(md5(col("doc_id").cast("string")),
+      "0123456789abcdef", NUC_ALPHABET)
+    val diffed = SequenceModel.diff(
+      t(s, dir, "documents").select(col("doc_id"), seq.as("seq")),
+      "seq", REF_AMBIG)
+    val catalog = Planner.Catalog(
+      tables = Map("seqs" -> diffed),
+      sequences = Map("seqs" -> Map("main" -> Planner.SeqBinding(REF_AMBIG))),
+      primaryKeys = Map("seqs" -> "doc_id"),
+      mutIndexes = Map("seqs" -> Map("main" ->
+        Planner.SeqIndex.build(diffed, "doc_id"))))
+    Planner.plan(
+      """seqs
+        |  .filter(nucleotideEquals(position := 5, symbol := 'G', sequenceName := 'main'))
+        |  .project({doc_id})
+        |  .orderBy({doc_id})""".stripMargin, catalog)
+  }
+
   private def regionNationTree(s: SparkSession, dir: String): PhyloTree = {
     val nation = t(s, dir, "nation")
     val region = t(s, dir, "region")
+    // edges sorted by name: child DECLARATION order is part of the tree's
+    // identity now (subtree serialization emits reverse declaration
+    // order), so it must not depend on collect() partition order
     val regionEdges = region.select(col("r_name")).collect()
-      .map(r => (r.getString(0), "root")).toSeq
+      .map(r => (r.getString(0), "root")).toSeq.sortBy(_._1)
     val nationEdges = nation.join(region, col("n_regionkey") === col("r_regionkey"))
       .select(col("n_name"), col("r_name")).collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
+      .sortBy(e => (e._2, e._1))
     PhyloTree.fromEdges(regionEdges ++ nationEdges)
   }
 }

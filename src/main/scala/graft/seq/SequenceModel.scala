@@ -145,6 +145,18 @@ object SequenceModel {
       .groupBy(col("i.pos").as("pos"), col("i.ins").as("ins"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Row-level inverted index `(pos, sym, pk)` — the posting-list analog of
+    * the reference's per-(position, symbol) row bitmaps
+    * (vertical_sequence_index.h:19-101). A selective position predicate
+    * becomes a pruned scan of this table + a semi-join on `pk` instead of a
+    * full row scan (the planner's IndexScan choice, symbol_in_set.cpp case
+    * 1). Persist partitioned by `pos` at scale so the (pos, sym) filter
+    * prunes files.
+    */
+  def mutPostings(diffed: DataFrame, pkCol: String, prefix: String = ""): DataFrame =
+    diffed.select(col(pkCol).as("pk"), explode(col(s"${prefix}muts")).as("m"))
+      .select(col("m.pos").as("pos"), col("m.sym").as("sym"), col("pk"))
+
   /** Nucleotide / amino-acid symbol enum order — the reference's
     * argmax tie-break iterates symbols in this order and keeps the FIRST
     * strictly-greater count (getSymbolWithHighestCount,

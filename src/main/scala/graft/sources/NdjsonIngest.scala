@@ -43,8 +43,15 @@ object NdjsonIngest {
     * Partitioned/sorted writes: callers cluster by their range column first
     * (≙ clustered ingestion buffering, table_inserter.h:28-40 — row-group
     * min/max stats then give the same chunk-skipping effect).
+    *
+    * `tag` rides INSIDE the atomic pointer flip (same file, one rename), so
+    * a caller can stamp the commit with a replay token — streaming ingest
+    * stores the micro-batch id here and skips a batch whose id is already
+    * the committed tag (exactly-once across checkpoint replays without a
+    * separate, non-atomic manifest write).
     */
-  def appendVersion(df: DataFrame, tableDir: String, pk: String): Long = {
+  def appendVersion(df: DataFrame, tableDir: String, pk: String,
+      tag: Option[String] = None): Long = {
     validatePrimaryKey(df, pk)
     val fs = new java.io.File(tableDir)
     fs.mkdirs()
@@ -54,7 +61,8 @@ object NdjsonIngest {
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/v$next")
     // atomic pointer flip: write tmp then rename
     val tmp = new java.io.File(tableDir, ".latest.tmp")
-    java.nio.file.Files.writeString(tmp.toPath, s"v$next")
+    java.nio.file.Files.writeString(tmp.toPath,
+      s"v$next" + tag.map(t => s" $t").getOrElse(""))
     tmp.renameTo(new java.io.File(tableDir, "latest"))
     next
   }
@@ -78,6 +86,23 @@ object NdjsonIngest {
   /** Resolve the current version directory for reads. */
   def latestPath(tableDir: String): String = {
     val p = java.nio.file.Paths.get(tableDir, "latest")
-    s"$tableDir/${java.nio.file.Files.readString(p).trim}"
+    s"$tableDir/${java.nio.file.Files.readString(p).trim.split("\\s+").head}"
+  }
+
+  /** True when a `latest` pointer exists (vs any other read failure, which
+    * must propagate — treating e.g. an IO error as "no table yet" would
+    * silently restart the table from one batch).
+    */
+  def hasLatest(tableDir: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(tableDir, "latest"))
+
+  /** The replay tag the current `latest` pointer was committed with. */
+  def latestTag(tableDir: String): Option[String] = {
+    val p = java.nio.file.Paths.get(tableDir, "latest")
+    if (!java.nio.file.Files.exists(p)) None
+    else java.nio.file.Files.readString(p).trim.split("\\s+").toSeq match {
+      case Seq(_, tag, _*) => Some(tag)
+      case _ => None
+    }
   }
 }

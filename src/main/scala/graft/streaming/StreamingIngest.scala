@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Dataset, Row, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 import graft.seq.SequenceModel
@@ -14,13 +14,42 @@ import graft.sources.NdjsonIngest
   * (previous version ∪ batch) through [[NdjsonIngest.appendVersion]].
   *
   * Readers resolve `latest` per query — the directory-watcher hot swap —
-  * and never observe a half-written version. Exactly-once per input file
-  * comes from the streaming checkpoint (replayed batches re-offer the same
-  * primary keys and the dup-PK abort rejects the commit rather than
-  * double-ingesting). At scale each micro-batch is an ordinary distributed
-  * parquet write; state is only the file-source log.
+  * and never observe a half-written version.
+  *
+  * Exactly-once across checkpoint replays: each commit stamps its
+  * micro-batch id into the SAME atomic `latest` pointer flip, and a
+  * replayed batch whose id equals the committed tag is skipped. Because
+  * foreachBatch batches commit sequentially, only the most recent batch
+  * can ever replay after a crash, so the single tag suffices — and since
+  * tag + version flip are one rename, there is no window where a replay
+  * would re-union an already-committed batch and trip the dup-PK abort in
+  * a poisoned retry loop. At scale each micro-batch is an ordinary
+  * distributed parquet write; state is only the file-source log.
   */
 object StreamingIngest {
+
+  /** One micro-batch commit, visible for direct testing. No-op when
+    * `batchId` already equals the committed tag (checkpoint replay).
+    */
+  def ingestBatch(
+      spark: SparkSession, batch: Dataset[Row], batchId: Long,
+      seqCol: String, ref: String, tableDir: String, pk: String): Unit = {
+    val tag = s"batch$batchId"
+    if (NdjsonIngest.latestTag(tableDir).contains(tag)) return // replayed
+    if (batch.isEmpty) return
+    val diffed = SequenceModel.diff(batch.toDF(), seqCol, ref,
+      missingSyms = Set("N"))
+    // ONLY a missing pointer means "no table yet"; any other failure
+    // (IO error, corrupt footer) propagates and fails the micro-batch —
+    // swallowing it would silently restart the table from this batch
+    val prev =
+      if (NdjsonIngest.hasLatest(tableDir))
+        Some(spark.read.parquet(NdjsonIngest.latestPath(tableDir)))
+      else None
+    val full = prev.map(_.unionByName(diffed)).getOrElse(diffed)
+    NdjsonIngest.appendVersion(full, tableDir, pk, tag = Some(tag))
+    ()
+  }
 
   def start(
       spark: SparkSession, inDir: String, schema: StructType,
@@ -30,17 +59,8 @@ object StreamingIngest {
       .schema(schema).option("mode", "FAILFAST").json(inDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        if (!batch.isEmpty) {
-          val diffed = SequenceModel.diff(batch.toDF(), seqCol, ref,
-            missingSyms = Set("N"))
-          val prev =
-            try Some(spark.read.parquet(NdjsonIngest.latestPath(tableDir)))
-            catch { case _: Exception => None }
-          val full = prev.map(_.unionByName(diffed)).getOrElse(diffed)
-          NdjsonIngest.appendVersion(full, tableDir, pk)
-          ()
-        }
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        ingestBatch(spark, batch, batchId, seqCol, ref, tableDir, pk)
       }
       .trigger(Trigger.AvailableNow())
       .start()

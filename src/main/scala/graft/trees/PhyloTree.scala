@@ -12,14 +12,17 @@ import scala.collection.mutable
   * Tree operations run on the driver over the broadcast structure; only
   * the (small, distinct) filtered key set is collected — the row scan
   * itself stays distributed.
+  *
+  * `children` preserves DECLARATION order (parse order of the Newick/
+  * Auspice source) and `branchLen` the parsed branch lengths, because the
+  * reference's subtree serialization is sensitive to both: newickJoin
+  * walks children in reverse declaration order and re-emits `:length`
+  * suffixes (phylo_tree.cpp:508-536).
   */
-final case class PhyloTree(parent: Map[String, String], root: String) {
-
-  val children: Map[String, Seq[String]] = {
-    val m = mutable.Map.empty[String, mutable.ListBuffer[String]]
-    for ((c, p) <- parent.toSeq.sortBy(_._1)) m.getOrElseUpdate(p, mutable.ListBuffer.empty) += c
-    m.view.mapValues(_.toList.sorted).toMap
-  }
+final case class PhyloTree(
+    parent: Map[String, String], root: String,
+    children: Map[String, Seq[String]],
+    branchLen: Map[String, Float] = Map.empty) {
 
   def contains(n: String): Boolean = n == root || parent.contains(n)
 
@@ -60,40 +63,92 @@ final case class PhyloTree(parent: Map[String, String], root: String) {
     (Some(last), missing)
   }
 
-  /** Newick string of the induced subtree of `names` rooted at the tree
-    * root. `contractUnary` splices out internal pass-through nodes (a
-    * non-selected internal node with exactly one child in the induced
-    * subtree); the root is never contracted (reference:
-    * phylo_subtree_node.cpp, contractUnaryNodes option). Children are
-    * emitted in sorted label order for determinism.
+  /** C++ `oss << float` formatting: %g-style, 6 significant digits,
+    * trailing zeros stripped (the reference streams branch lengths through
+    * a default-precision ostringstream, phylo_tree.cpp:524-527).
+    */
+  private def fmtLen(v: Float): String = {
+    val s = String.format(java.util.Locale.ROOT, "%.6g", Double.box(v.toDouble))
+    def stripZeros(m: String): String =
+      if (m.contains('.')) {
+        val t = m.reverse.dropWhile(_ == '0').reverse
+        if (t.endsWith(".")) t.dropRight(1) else t
+      } else m
+    val eIdx = s.indexWhere(c => c == 'e' || c == 'E')
+    if (eIdx >= 0) stripZeros(s.substring(0, eIdx)) + s.substring(eIdx)
+    else stripZeros(s)
+  }
+
+  /** Newick string of the induced subtree of the IN-TREE subset of
+    * `names`, rooted at their MRCA — reference-exact
+    * (phylo_tree.cpp:552-633 toNewickString/partialNewickString):
+    *  - empty in-tree selection → "", single value → "name;";
+    *  - otherwise the MRCA labels the outermost group, children emit in
+    *    REVERSE declaration order, each with its `:branchLength` suffix;
+    *  - `contractUnary` splices out pass-through internal nodes, ADDING
+    *    their branch lengths (addBranchLengths); with it off they stay as
+    *    `(child)self`;
+    *  - only LEAF nodes are matched against the selection (internal-node
+    *    values influence the MRCA but never emit as fragments).
     */
   def subtreeNewick(names: Set[String], contractUnary: Boolean = true): String = {
-    val keep = names.filter(contains).flatMap(pathToRoot(_)).toSet + root
-    def emit(n: String, isRoot: Boolean): Option[String] = {
-      val kids = children.getOrElse(n, Nil).filter(keep)
-        .flatMap(c => emit(c, isRoot = false))
-      kids match {
-        case Nil => Some(n)
-        case one :: Nil if contractUnary && !isRoot && !names.contains(n) => Some(one)
-        case ks  => Some(ks.sorted.mkString("(", ",", s")$n"))
-      }
+    val inTree = names.filter(contains)
+    if (inTree.isEmpty) return ""
+    if (inTree.size == 1) return inTree.head + ";"
+    val m = mrca(inTree)._1.get
+    partial(m, inTree, contractUnary) match {
+      case Some((frag, _)) => frag + ";"
+      case None => ""
     }
-    emit(root, isRoot = true).getOrElse(root) + ";"
   }
+
+  private def addLen(a: Option[Float], b: Option[Float]): Option[Float] =
+    (a, b) match {
+      case (Some(x), Some(y)) => Some(x + y)
+      case (x, y) => x.orElse(y)
+    }
+
+  /** (fragment, branch length) of `n`'s induced subtree, None if no
+    * selected leaf survives below (≙ partialNewickString).
+    */
+  private def partial(n: String, filter: Set[String],
+      contract: Boolean): Option[(String, Option[Float])] = {
+    val kids = children.getOrElse(n, Nil)
+    if (kids.isEmpty) {
+      if (filter(n)) Some((n, branchLen.get(n))) else None
+    } else {
+      val rs = kids.flatMap(partial(_, filter, contract))
+      if (rs.isEmpty) None
+      else if (rs.size == 1 && contract)
+        Some((rs.head._1, addLen(rs.head._2, branchLen.get(n))))
+      else Some((join(rs, n), branchLen.get(n)))
+    }
+  }
+
+  private def join(rs: Seq[(String, Option[Float])], self: String): String =
+    rs.reverse.map { case (f, bl) =>
+      f + bl.map(l => ":" + fmtLen(l)).getOrElse("")
+    }.mkString("(", ",", ")" + self)
 }
 
 object PhyloTree {
-  /** Build from (child, parent) edges; the unique parentless node is root. */
-  def fromEdges(edges: Seq[(String, String)]): PhyloTree = {
+  /** Build from (child, parent) edges; the unique parentless node is root.
+    * Child order under a parent = edge declaration order.
+    */
+  def fromEdges(edges: Seq[(String, String)],
+      lengths: Map[String, Float] = Map.empty): PhyloTree = {
     val parent = edges.toMap
     val roots = (parent.values.toSet -- parent.keySet).toSeq
     require(roots.size == 1, s"expected a single root, got $roots")
-    PhyloTree(parent, roots.head)
+    val order = mutable.LinkedHashMap.empty[String, mutable.ListBuffer[String]]
+    for ((c, p) <- edges) order.getOrElseUpdate(p, mutable.ListBuffer.empty) += c
+    PhyloTree(parent, roots.head,
+      order.view.mapValues(_.toList).toMap, lengths)
   }
 
   /** Parse a Newick tree string: `subtree := leaf | '(' subtree (','
-    * subtree)* ')' [label]`, each optionally followed by `:length` (branch
-    * lengths are parsed and discarded — topology queries don't use them).
+    * subtree)* ')' [label]`, each optionally followed by `:length`
+    * (branch lengths are kept — the subtree serialization re-emits them).
     * Unlabeled internal nodes get synthetic `@k` names; an unlabeled root
     * becomes "root" (reference trees: documentation/phylogenetic_queries.md,
     * Newick/Auspice inputs).
@@ -107,10 +162,12 @@ object PhyloTree {
       while (i < s.length && !",():;".contains(s(i))) i += 1
       s.substring(start, i).trim
     }
-    def skipLength(): Unit =
-      if (i < s.length && s(i) == ':') { i += 1; readLabel(); () }
+    def readLength(): Option[Float] =
+      if (i < s.length && s(i) == ':') { i += 1; Some(readLabel().toFloat) }
+      else None
     def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
     val edges = Seq.newBuilder[(String, String)]
+    val lens = Map.newBuilder[String, Float]
     def node(): String = {
       ws()
       if (i < s.length && s(i) == '(') {
@@ -123,22 +180,22 @@ object PhyloTree {
         i += 1
         var label = readLabel()
         if (label.isEmpty) { label = s"@$anon"; anon += 1 }
-        skipLength()
+        readLength().foreach(l => lens += label -> l)
         kids.result().foreach(k => edges += (k -> label))
         label
       } else {
         val label = readLabel()
         require(label.nonEmpty, s"empty leaf label at $i")
-        skipLength()
+        readLength().foreach(l => lens += label -> l)
         label
       }
     }
     val top = node()
     require(i >= s.length, s"trailing newick input at offset $i")
     val root = if (top.startsWith("@")) "root" else top
-    val built = edges.result().map { case (c, p) =>
-      (c, if (p == top && top.startsWith("@")) root else p)
-    }
-    fromEdges(built)
+    val rename = (n: String) => if (n == top && top.startsWith("@")) root else n
+    val built = edges.result().map { case (c, p) => (rename(c), rename(p)) }
+    val lengths = lens.result().map { case (n, l) => rename(n) -> l }
+    fromEdges(built, lengths)
   }
 }

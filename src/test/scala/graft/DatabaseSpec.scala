@@ -102,10 +102,14 @@ class DatabaseSpec extends SparkSpec {
     val m = run(
       "default.filter(country = 'Switzerland').mostRecentCommonAncestor('primaryKey')")
       .collect().head
-    assert(m.getString(0) === "root")
+    assert(m.getAs[String]("mrcaNode") === "root")
+    assert(m.isNullAt(m.fieldIndex("mrcaParent"))) // root has no parent
+    assert(m.getAs[Int]("mrcaDepth") === 0)
     val sub = run(
       "default.filter((primaryKey = 'key1') || (primaryKey = 'key2')).phyloSubtree('primaryKey')")
-      .collect().head.getString(0)
-    assert(sub === "((key1,key2)inner1)root;")
+      .collect().head
+    // subtree roots at the MRCA (inner1), reverse declaration order
+    assert(sub.getAs[String]("subtreeNewick") === "(key2,key1)inner1;")
+    assert(sub.getAs[Int]("missingNodeCount") === 0)
   }
 }

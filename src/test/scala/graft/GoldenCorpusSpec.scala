@@ -338,6 +338,327 @@ class GoldenCorpusSpec extends SparkSpec {
     assert(ordered === ordered.sorted)
   }
 
+  test("replay: remaining count-filter families (open bounds, booleans, AA, recombinants)") {
+    def n(pred: NRow => Boolean): Long = naiveRows.count(pred).toLong
+    // dates are ISO strings → lexicographic compare == chronological
+    assert(count1("dateBetween_openFrom1.json") === n(_.dateS <= "2021-03-17"))
+    assert(count1("dateBetween_openFrom2.json") === n(_.dateS <= "2021-03-18"))
+    assert(count1("dateBetween_openFrom3.json") === n(_.dateS <= "2021-03-19"))
+    assert(count1("dateBetween_openTo2.json") === n(_.dateS >= "2021-03-18"))
+    assert(count1("dateBetween_openTo3.json") === n(_.dateS >= "2021-03-19"))
+    assert(count1("dateBetween_null_excluded.json") === n(_.dateS >= "2012-03-18"))
+    assert(count1("dateBetween_noBounds.json") === n(_.dateS != null))
+    assert(count1("unsortedDateBetween.json") ===
+      n(r => r.unsortedS >= "2021-03-18" && r.unsortedS <= "2021-03-20"))
+    assert(count1("notUnsortedDateBetween.json") ===
+      n(r => !(r.unsortedS >= "2021-03-18" && r.unsortedS <= "2021-03-20")))
+    assert(count1("floatBetween_noBound.json") === n(_.qc != null))
+    assert(count1("floatBetween_openFrom.json") === n(r => r.qc != null && r.qc < 0.935))
+    assert(count1("floatBetween_openTo.json") === n(r => r.qc != null && r.qc >= 0.905))
+    assert(count1("intBetween_openFrom.json") === n(r => r.age != null && r.age <= 52))
+    assert(count1("intBetween_openTo.json") === n(r => r.age != null && r.age >= 55))
+    assert(count1("intBetween_noBounds.json") === n(_.age != null))
+    val b1 = naiveSublineages("B.1")
+    val b11 = naiveSublineages("B.1.1")
+    assert(count1("booleanEquals_And.json") === n(r => !r.bool && b1.contains(r.lineage)))
+    // test_boolean_column is never null in the synthetic rows
+    assert(count1("booleanEquals_Or.json") === n(r => b11.contains(r.lineage)))
+    assert(count1("divisionFilter.json") === n(_.division == "Aargau"))
+    // recombinant roots: the selected clade root is always included, its
+    // single-parent descendants follow (default doNotFollow mode)
+    def naiveSubNoRecomb(root: String): Set[String] = {
+      val canon = lineageDef.aliases.getOrElse(root, root)
+      val out = scala.collection.mutable.Set(canon)
+      var frontier = List(canon)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(p => lineageTree.children.getOrElse(p, Nil))
+          .filter(c => lineageTree.parents.getOrElse(c, Nil).size == 1)
+          .filterNot(out)
+        out ++= next
+        frontier = next
+      }
+      out.toSet
+    }
+    val xbb = naiveSubNoRecomb("XBB")
+    assert(count1("recombinantLineage.json") === n(r => xbb.contains(r.lineage)))
+    val gd = naiveSubNoRecomb("GD")
+    assert(count1("recombinantLineageWithAlias.json") === n(r => gd.contains(r.lineage)))
+    // sequence predicate singles over main / second / genes
+    def at(r: NRow, p: Int): Char = r.main.charAt(p - 1)
+    assert(count1("sequenceStartFilter.json") === n(r => at(r, 1) == '-'))
+    assert(count1("sequenceEndFilter.json") === n(r => at(r, 29903) == '-'))
+    assert(count1("explicitDefaultSequence.json") === n(r => at(r, 13) == 'T'))
+    assert(count1("secondSequence.json") === n(r => r.second.charAt(0) == 'A'))
+    assert(count1("secondSequenceHasMutation.json") ===
+      n(r => r.second.charAt(1) != secondRef.charAt(1)))
+    assert(count1("AASymbolEquals.json") === n(r => r.genes("E").charAt(1) == 'Y'))
+    assert(count1("HasAAMutation.json") ===
+      n(r => r.genes("S").charAt(27) != geneRefs("S").charAt(27)))
+    // complexQuery: conjunction over exact/maybe symbol tests + lineage.
+    // maybe(equals B): stored concrete symbol must be one of B's
+    // concretes {C,G,T}; '-' never occurs in the synthetic alphabet
+    val bSub = naiveSublineages("B")
+    def maybeB(r: NRow, p: Int) = "CGT".contains(at(r, p))
+    val nOfPos = Seq((123, 'A'), (234, 'T'), (345, 'G'))
+    assert(count1("complexQuery.json") === n(r =>
+      at(r, 300) == 'G' &&
+        (at(r, 400) == '-' || at(r, 500) == 'B') &&
+        !(at(r, 600) == '-') &&
+        (maybeB(r, 700) || at(r, 800) == '-') &&
+        nOfPos.count { case (p, s) => at(r, p) == s } >= 3 &&
+        bSub.contains(r.lineage)))
+  }
+
+  test("replay: details, fasta projections, group-by-float orderings, offsets") {
+    val b117 = naiveSublineages("B.1.1.7")
+    val chFilter = (r: NRow) => r.country == "Switzerland" && b117.contains(r.lineage)
+    val expectPks = naiveRows.filter(chFilter).map(_.pk).sorted
+
+    // DetailsOrderBy: full projected rows in pk order
+    val det = runQ("DetailsOrderBy.json").collect()
+    assert(det.map(_.getAs[String]("primary_key")).toSeq === expectPks)
+    val byPk = naiveRows.map(r => r.pk -> r).toMap
+    det.foreach { row =>
+      val nr = byPk(row.getAs[String]("primary_key"))
+      assert(Option(row.getAs[Integer]("age")) === Option(nr.age))
+      assert(Option(row.getAs[java.lang.Double]("qc_value")) === Option(nr.qc))
+      assert(row.getAs[String]("country") === nr.country)
+      assert(Option(row.getAs[String]("division")) === Option(nr.division))
+      assert(row.getAs[java.sql.Date]("date").toString === nr.dateS)
+      assert(row.getAs[Boolean]("test_boolean_column") === nr.bool)
+      assert(Option(row.getAs[String]("usherTree")) === Option(nr.usher))
+    }
+    // Offset0 / LimitLargerThanTable are the same selection unpaginated
+    assert(runQ("Offset0.json").collect()
+      .map(_.getAs[String]("primary_key")).toSeq === expectPks)
+    assert(runQ("LimitLargerThanTable.json").collect()
+      .map(_.getAs[String]("primary_key")).toSeq === expectPks)
+    assert(runQ("OffsetLargerThanTable.json").count() === 0L)
+    assert(runQ("OffsetFull.json").count() === 0L)
+
+    // boolean_Details: first 10 (pk, bool) in pk string order
+    val expect10 = naiveRows.map(r => (r.pk, r.bool)).sortBy(_._1).take(10)
+    val got10 = runQ("boolean_Details.json").collect()
+      .map(r => (r.getAs[String]("primary_key"),
+        r.getAs[Boolean]("test_boolean_column"))).toSeq
+    assert(got10 === expect10)
+
+    // detailsLimitDescending10: division desc (nulls last), top 10
+    val expDesc = naiveRows.map(r => Option(r.division))
+      .sortBy(d => (d.isEmpty, d.map(s => invert(s)).getOrElse("")))
+      .take(10)
+    val gotDesc = runQ("detailsLimitDescending10.json").collect()
+      .map(r => Option(r.getAs[String]("division"))).toSeq
+    assert(gotDesc === expDesc)
+
+    // fasta: unaligned + aligned second-sequence projections round-trip the
+    // generator's raw strings (full-length, so aligned == raw)
+    val fa = runQ("fasta_allTestSequences.json").collect()
+    assert(fa.map(_.getAs[String]("primary_key")).toSeq === naiveRows.map(_.pk).sorted)
+    fa.foreach { r =>
+      assert(r.getAs[String]("unaligned_testSecondSequence") ===
+        byPk(r.getAs[String]("primary_key")).second)
+    }
+    val faAligned = runQ("fastaAligned.json").collect()
+    faAligned.foreach { r =>
+      assert(r.getAs[String]("testSecondSequence") ===
+        byPk(r.getAs[String]("primary_key")).second)
+    }
+
+    // OrderByFloat asc/desc: group counts by qc_value, nulls first on asc,
+    // last on desc
+    val qcGroups = naiveRows.groupBy(r => Option(r.qc).map(_.toDouble))
+      .map { case (k, v) => k -> v.size.toLong }.toSeq
+    val ascExp = qcGroups.sortBy { case (k, _) => (k.isDefined, k.getOrElse(0.0)) }
+    val gotAsc = runQ("OrderByFloat.json").collect()
+      .map(r => (Option(r.getAs[java.lang.Double]("qc_value")).map(_.toDouble),
+        r.getAs[Long]("count"))).toSeq
+    assert(gotAsc === ascExp)
+    val descExp = qcGroups.sortBy { case (k, _) => (k.isEmpty, -k.getOrElse(0.0)) }
+    val gotDescF = runQ("OrderByFloatDesc.json").collect()
+      .map(r => (Option(r.getAs[java.lang.Double]("qc_value")).map(_.toDouble),
+        r.getAs[Long]("count"))).toSeq
+    assert(gotDescF === descExp)
+
+    // UnionAll: per-division counts over the two-branch union
+    val aarg = naiveRows.count(_.division == "Aargau").toLong
+    val bern = naiveRows.count(_.division == "Bern").toLong
+    val gotU = runQ("UnionAll.json").collect()
+      .map(r => (r.getAs[String]("division"), r.getAs[Long]("count"))).toSeq
+    assert(gotU === Seq(("Aargau", aarg), ("Bern", bern)).filter(_._2 > 0))
+
+    // GroupByLineage ordered by lineage
+    val linExp = naiveRows.groupBy(_.lineage).map { case (k, v) => (k, v.size.toLong) }
+      .toSeq.sortBy(_._1)
+    val gotLin = runQ("GroupByLineage.json").collect()
+      .map(r => (r.getAs[String]("pango_lineage"), r.getAs[Long]("count"))).toSeq
+    assert(gotLin === linExp)
+  }
+
+  /** Inverts a string's character order for descending string sorts. */
+  def invert(s: String): String = s.map(c => (0xffff - c).toChar)
+
+  test("replay: phyloSubtree corpus queries — parse-back structure + missing fields") {
+    def naivePath(n: String): List[String] = {
+      var cur = n
+      val b = scala.collection.mutable.ListBuffer(cur)
+      while (phylo.parent.contains(cur)) { cur = phylo.parent(cur); b += cur }
+      b.toList
+    }
+    def naiveMrcaOf(vals: Set[String]): String = {
+      val paths = vals.toSeq.map(naivePath(_).reverse)
+      val minLen = paths.map(_.length).min
+      var i = 0
+      var last: String = null
+      var stop = false
+      while (i < minLen && !stop) {
+        val hs = paths.map(_(i)).distinct
+        if (hs.size == 1) { last = hs.head; i += 1 } else stop = true
+      }
+      last
+    }
+    /** Structural check: the returned newick (parsed back with the
+      * INDEPENDENT parser) must have exactly the selected leaves, be
+      * rooted at their MRCA, only contain phylo-consistent edges, and
+      * carry the original branch lengths (summed under contraction).
+      */
+    def checkNewick(nwk: String, sel: Set[String], contracted: Boolean): Unit = {
+      val t = PhyloTree.fromNewick(nwk)
+      val leaves = t.parent.keySet.filterNot(t.children.contains) ++
+        (if (t.parent.isEmpty) Set(t.root) else Set())
+      assert(leaves === sel, s"newick=$nwk")
+      assert(t.root === naiveMrcaOf(sel), s"newick=$nwk")
+      for ((c, p) <- t.parent) {
+        // p must be a strict ancestor of c in the full tree
+        assert(naivePath(c).tail.contains(p), s"edge $c->$p in $nwk")
+      }
+      if (!contracted) {
+        // no contraction: node set == union of root paths up to the MRCA
+        val m = naiveMrcaOf(sel)
+        val expectNodes = sel.flatMap(s =>
+          naivePath(s).takeWhile(_ != m)) + m
+        assert(t.parent.keySet + t.root === expectNodes, s"newick=$nwk")
+        // every node keeps its own branch length
+        (t.parent.keySet).foreach { n =>
+          assert(t.branchLen.get(n) === phylo.branchLen.get(n), s"node $n in $nwk")
+        }
+      }
+    }
+    def ushersOf(keys: Seq[String]): Set[String] =
+      naiveRows.filter(r => keys.contains(r.pk)).flatMap(r => Option(r.usher)).toSet
+
+    // simpleQuery: two leaves, contractUnaryNodes:=false
+    val sq = runQ("Subtree_simpleQuery.json").collect().head
+    assert(sq.getAs[Int]("missingNodeCount") === 0)
+    checkNewick(sq.getAs[String]("subtreeNewick"),
+      ushersOf(Seq("key_83", "key_87")), contracted = false)
+
+    // without_unary_nodes variant: contract true
+    val swq = runQ("Subtree_simple_query_without_unary_nodes.json").collect().head
+    checkNewick(swq.getAs[String]("subtreeNewick"),
+      ushersOf(Seq("key_83", "key_87")), contracted = true)
+
+    // withMissingNode: filter on the usherTree VALUES (all in-tree here);
+    // printNodesNotInTree adds the comma-joined names field
+    val wm = runQ("Subtree_withMissingNode.json").collect().head
+    assert(wm.schema.fieldNames.toSeq ===
+      Seq("missingNodeCount", "missingFromTree", "subtreeNewick"))
+    assert(wm.getAs[Int]("missingNodeCount") === 0)
+    assert(wm.getAs[String]("missingFromTree") === "")
+    val wmSel = Set("key_1", "key_12", "key_7", "key_35")
+      .filter(v => naiveRows.exists(r => r.usher == v))
+    checkNewick(wm.getAs[String]("subtreeNewick"), wmSel, contracted = true)
+
+    // onlyMissingNodes: key_29's usherTree is null → counts as missing,
+    // but contributes no name
+    val om = runQ("Subtree_onlyMissingNodes.json").collect().head
+    val omSel = ushersOf(Seq("key_1", "key_35", "key_29"))
+    assert(om.getAs[Int]("missingNodeCount") === 1) // the null row
+    assert(om.getAs[String]("missingFromTree") === "")
+    checkNewick(om.getAs[String]("subtreeNewick"), omSel, contracted = true)
+
+    // insertions actions: expected row set derived from the generator's
+    // own hash rule (a column expression, not the operator under test)
+    val insRows = spark.sql(
+      s"SELECT pk FROM (SELECT explode(array(${naiveRows.map(r => s"'${r.pk}'").mkString(",")})) pk) " +
+        "WHERE pmod(hash(pk), 5) = 0").collect().map(_.getString(0)).toSet
+    val gotIns = runQ("insertionsAction.json")
+      .filter(org.apache.spark.sql.functions.col("sequenceName") === "main").collect()
+    assert(gotIns.map(_.getAs[String]("insertedSymbols")).toSet === (
+      if (insRows.nonEmpty) Set("CAGAA") else Set()))
+    if (insRows.nonEmpty) {
+      assert(gotIns.head.getAs[Int]("position") === 22204)
+      assert(gotIns.head.getAs[Long]("count") === insRows.size.toLong)
+    }
+  }
+
+  test("replay: MRCA corpus queries match a naive ancestor walk, full field set") {
+    // naive LCA: root-first path intersection over the parent map — no
+    // reuse of the distributed MrcaAggregator under test
+    def naivePath(n: String): List[String] = {
+      var cur = n
+      val b = scala.collection.mutable.ListBuffer(cur)
+      while (phylo.parent.contains(cur)) { cur = phylo.parent(cur); b += cur }
+      b.toList // leaf → root
+    }
+    def naiveMrca(keys: Seq[String]): (Option[String], Int) = {
+      val rows = naiveRows.filter(r => keys.contains(r.pk))
+      val nulls = rows.count(_.usher == null)
+      val vals = rows.flatMap(r => Option(r.usher)).distinct
+      val (inT, out) = vals.partition(phylo.contains)
+      val mrca = if (inT.isEmpty) None
+      else {
+        val paths = inT.map(naivePath(_).reverse)
+        val minLen = paths.map(_.length).min
+        var i = 0
+        var last: String = null
+        var stop = false
+        while (i < minLen && !stop) {
+          val hs = paths.map(_(i)).distinct
+          if (hs.size == 1) { last = hs.head; i += 1 } else stop = true
+        }
+        Option(last)
+      }
+      (mrca, nulls + out.size)
+    }
+
+    // SimpleQuery: no printNodesNotInTree → 4 fields, reference order/types
+    // (most_recent_common_ancestor_node.cpp:77-88)
+    val simple = runQ("MostRecentCommonAncestor_SimpleQuery.json")
+    assert(simple.schema.fieldNames.toSeq ===
+      Seq("missingNodeCount", "mrcaNode", "mrcaParent", "mrcaDepth"))
+    assert(simple.schema("missingNodeCount").dataType.typeName === "integer")
+    assert(simple.schema("mrcaDepth").dataType.typeName === "integer")
+    val s = simple.collect().head
+    val (m1, miss1) = naiveMrca(Seq("key_11", "key_22"))
+    assert(s.getAs[String]("mrcaNode") === m1.get)
+    assert(s.getAs[Int]("missingNodeCount") === miss1)
+    assert(s.getAs[String]("mrcaParent") === phylo.parent.get(m1.get).orNull)
+    assert(s.getAs[Int]("mrcaDepth") === naivePath(m1.get).length - 1)
+
+    // withMissingNode selects key_29, whose usherTree is null in the
+    // synthetic data → exercises the null-row → missingNodeCount path;
+    // printNodesNotInTree adds the comma-joined STRING field
+    val wm = runQ("MostRecentCommonAncestor_withMissingNode.json")
+    assert(wm.schema.fieldNames.toSeq ===
+      Seq("missingNodeCount", "missingFromTree", "mrcaNode", "mrcaParent", "mrcaDepth"))
+    assert(wm.schema("missingFromTree").dataType.typeName === "string")
+    val w = wm.collect().head
+    val keys = Seq("key_1", "key_12", "key_7", "key_35", "key_29")
+    val (m2, miss2) = naiveMrca(keys)
+    assert(miss2 >= 1) // key_29's null row counts
+    assert(w.getAs[String]("mrcaNode") === m2.get)
+    assert(w.getAs[Int]("missingNodeCount") === miss2)
+    assert(w.getAs[String]("missingFromTree") === "") // nulls are not names
+    assert(w.getAs[String]("mrcaParent") === phylo.parent.get(m2.get).orNull)
+    assert(w.getAs[Int]("mrcaDepth") === naivePath(m2.get).length - 1)
+
+    val om = runQ("MostRecentCommonAncestor_onlyMissingNodes.json").collect().head
+    val (m3, miss3) = naiveMrca(Seq("key_1", "key_35"))
+    assert(om.getAs[String]("mrcaNode") === m3.get)
+    assert(om.getAs[Int]("missingNodeCount") === miss3)
+  }
+
   allJsonFiles(new File(s"$base/invalidQueries")).foreach { f =>
     test(s"invalid ${f.getName}") {
       val src = Files.readString(f.toPath)

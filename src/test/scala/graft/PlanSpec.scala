@@ -39,6 +39,53 @@ class PlanSpec extends SparkSpec {
     assert(p.toLowerCase.contains("vecdot"))
   }
 
+  test("selective position predicates route through the mut index as a semi-join") {
+    // q_seq_idxroute's filter is a pure diff-match symbol test under the
+    // 10% selectivity gate → the plan must consult the posting table via a
+    // LeftSemi join, NOT scan rows with the exists() predicate
+    val p = planOf("q_seq_idxroute")
+    assert(p.contains("LeftSemi"), p.take(800))
+  }
+
+  test("broad position predicates stay row-wise (no index join)") {
+    import org.apache.spark.sql.functions._
+    import graft.lang.Planner
+    import graft.queries.SeqQueries
+    // same catalog shape as q_seq_idxroute but querying the REFERENCE
+    // symbol at position 5 ('.') — the complement case (reference
+    // symbol_in_set.cpp cases 2-4) cannot be answered from postings alone
+    val seq = translate(md5(col("doc_id").cast("string")),
+      "0123456789abcdef", SeqQueries.NUC_ALPHABET)
+    val diffed = graft.seq.SequenceModel.diff(
+      graft.core.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), seq.as("seq")),
+      "seq", SeqQueries.REF_AMBIG)
+    val catalog = Planner.Catalog(
+      tables = Map("seqs" -> diffed),
+      sequences = Map("seqs" -> Map("main" -> Planner.SeqBinding(SeqQueries.REF_AMBIG))),
+      primaryKeys = Map("seqs" -> "doc_id"),
+      mutIndexes = Map("seqs" -> Map("main" ->
+        Planner.SeqIndex.build(diffed, "doc_id"))))
+    val broad = Planner.plan(
+      "seqs.filter(nucleotideEquals(position := 5, symbol := '.', sequenceName := 'main'))",
+      catalog)
+    val p = broad.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(!p.contains("LeftSemi"), p.take(800))
+    // and the routed/row-wise paths agree on the data itself
+    val routed = SeqQueries.idxRouteQuery(spark, sfDir)
+      .collect().map(_.getLong(0)).toSeq
+    val noIdx = Planner.plan(
+      """seqs
+        |  .filter(nucleotideEquals(position := 5, symbol := 'G', sequenceName := 'main'))
+        |  .project({doc_id})
+        |  .orderBy({doc_id})""".stripMargin,
+      catalog.copy(mutIndexes = Map()))
+      .collect().map(_.getLong(0)).toSeq
+    assert(routed === noIdx)
+    assert(routed.nonEmpty)
+  }
+
   test("no unbounded pairwise plans anywhere: CartesianProduct never, " +
     "BroadcastNestedLoopJoin only with a bounded-by-construction side") {
     // whitelist: queries whose BNLJ side is bounded regardless of data

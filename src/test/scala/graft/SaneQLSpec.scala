@@ -93,10 +93,18 @@ class SaneQLSpec extends SparkSpec {
     assert(run("default.filter(phyloDescendantOf(tree_node, 'r1'))").count() === 4)
     val m = run("default.filter(country = 'Switzerland').mostRecentCommonAncestor('tree_node')")
       .collect().head
-    assert(m.getString(0) === "r1")
-    assert(m.getLong(1) === 0L)
-    val nw = run("default.phyloSubtree('tree_node')").as[String].head()
-    assert(nw === "((n1,n2)r1,n3)root;")
+    // reference field set + types (most_recent_common_ancestor_node.cpp:
+    // 77-88): INT32 count, node/parent strings, INT32 depth
+    assert(m.getAs[Int]("missingNodeCount") === 0)
+    assert(m.getAs[String]("mrcaNode") === "r1")
+    assert(m.getAs[String]("mrcaParent") === "root")
+    assert(m.getAs[Int]("mrcaDepth") === 1)
+    val sub = run("default.phyloSubtree('tree_node')").collect().head
+    // reference output contract (phylo_subtree_node.cpp:77-85): INT32
+    // missingNodeCount first, newick rooted at the MRCA with children in
+    // reverse declaration order
+    assert(sub.getAs[Int]("missingNodeCount") === 0)
+    assert(sub.getAs[String]("subtreeNewick") === "((n2,n1)r1,n3)root;")
     // printNodesNotInTree/contractUnaryNodes are named-only parameters
     // (ast_to_query.cpp:1743-1748); a positional flag is rejected exactly
     // like the reference's bindArguments (function_registry.cpp:67-80)
@@ -105,7 +113,27 @@ class SaneQLSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("too many positional arguments"))
     assert(run("default.phyloSubtree('tree_node', printNodesNotInTree := true)")
-      .columns.toSeq === Seq("subtreeNewick", "nodesNotInTree"))
+      .columns.toSeq === Seq("missingNodeCount", "missingFromTree", "subtreeNewick"))
+  }
+
+  test("MRCA: not-in-tree values and null rows both count as missing") {
+    // k5's tree_node becomes a name outside the tree, k4's becomes null:
+    // missingNodeCount = 1 not-in-tree value + 1 null row (reference
+    // most_recent_common_ancestor_node.cpp:47-56,146-148), while
+    // missingFromTree lists only the NAMES, comma-joined
+    val meta2 = meta.withColumn("tree_node",
+      when(col("primary_key") === "k5", lit("ghost"))
+        .otherwise(when(col("primary_key") === "k4", lit(null))
+          .otherwise(col("tree_node"))))
+    val cat2 = catalog.copy(tables = catalog.tables + ("default" -> meta2))
+    val m = Planner.plan(
+      "default.mostRecentCommonAncestor('tree_node', printNodesNotInTree := true)",
+      cat2).collect().head
+    assert(m.getAs[String]("mrcaNode") === "root") // n1,n2 (r1) ∪ n3 → root
+    assert(m.getAs[Int]("missingNodeCount") === 2)
+    assert(m.getAs[String]("missingFromTree") === "ghost")
+    assert(m.isNullAt(m.fieldIndex("mrcaParent"))) // root has no parent
+    assert(m.getAs[Int]("mrcaDepth") === 0)
   }
 
   test("sequence predicates and mutations() through SaneQL") {

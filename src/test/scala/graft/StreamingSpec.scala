@@ -96,6 +96,26 @@ class StreamingSpec extends SparkSpec {
     // two committed versions exist; readers only ever saw latest
     val versions = new java.io.File(tableDir).list().count(_.startsWith("v"))
     assert(versions === 2)
+
+    // ---- checkpoint REPLAY of the last committed batch is a no-op ----
+    // (crash after commit, before the sink checkpoint records the batch:
+    // on restart foreachBatch re-offers the same batch id — the commit
+    // tag in the atomic `latest` pointer detects it; the old behavior
+    // re-unioned the batch and poisoned the stream on the dup-PK abort)
+    val lastTag = NdjsonIngest.latestTag(tableDir)
+    assert(lastTag.exists(_.startsWith("batch")))
+    val replayId = lastTag.get.stripPrefix("batch").toLong
+    val replayBatch = Seq(("k3", "ACCTACGT")).toDF("id", "seq")
+    graft.streaming.StreamingIngest.ingestBatch(
+      spark, replayBatch, replayId, "seq", "ACGTACGT", tableDir, "id")
+    // no new version, no failure, table unchanged
+    assert(new java.io.File(tableDir).list().count(_.startsWith("v")) === 2)
+    assert(spark.read.parquet(NdjsonIngest.latestPath(tableDir)).count() === 3)
+    // a genuinely NEW batch with a conflicting pk still aborts loudly
+    intercept[NdjsonIngest.DuplicatePrimaryKey] {
+      graft.streaming.StreamingIngest.ingestBatch(
+        spark, replayBatch, replayId + 1, "seq", "ACGTACGT", tableDir, "id")
+    }
   }
 
   test("sessionize closes sessions on gap and on timeout") {

@@ -54,11 +54,34 @@ class TreesSpec extends AnyFunSuite {
   }
 
   test("subtreeNewick with and without unary contraction") {
+    // reference semantics (phylo_tree.cpp toNewickString): rooted at the
+    // MRCA, children emitted in REVERSE declaration order
     assert(phylo.subtreeNewick(Set("n1", "n2", "n3")) ===
-      "((n1,n2)r1,n3)root;")
-    assert(phylo.subtreeNewick(Set("n1", "n3")) === "(n1,n3)root;")
+      "(n3,(n2,n1)r1)root;")
+    assert(phylo.subtreeNewick(Set("n1", "n3")) === "(n3,n1)root;")
     assert(phylo.subtreeNewick(Set("n1", "n3"), contractUnary = false) ===
-      "((n1)r1,(n3)r2)root;")
+      "((n3)r2,(n1)r1)root;")
+    // empty / single-value shapes (toNewickString early returns)
+    assert(phylo.subtreeNewick(Set("ghost")) === "")
+    assert(phylo.subtreeNewick(Set("n2", "ghost")) === "n2;")
+    // selecting only nodes under one subtree roots the newick at THAT
+    // subtree's MRCA, not the global root
+    assert(phylo.subtreeNewick(Set("n1", "n2")) === "(n2,n1)r1;")
+  }
+
+  test("subtreeNewick branch lengths: emitted, summed under contraction") {
+    val t = PhyloTree.fromNewick(
+      "((a:0.1,b:0.25)ab:0.5,(c:0.0001)cc:0.125)root;")
+    assert(t.branchLen("a") === 0.1f)
+    // a,b: MRCA=ab; lengths re-emitted, reverse declaration order
+    assert(t.subtreeNewick(Set("a", "b")) === "(b:0.25,a:0.1)ab;")
+    // a,c with contraction: ab and cc are pass-throughs — the surviving
+    // child's length ADDS the contracted node's (addBranchLengths):
+    // c: 0.0001+0.125=0.1251, a: 0.1+0.5=0.6
+    assert(t.subtreeNewick(Set("a", "c")) === "(c:0.1251,a:0.6)root;")
+    // without contraction cc stays with its own length
+    assert(t.subtreeNewick(Set("a", "c"), contractUnary = false) ===
+      "((c:0.0001)cc:0.125,(a:0.1)ab:0.5)root;")
   }
 
   test("MrcaAggregator agrees with the driver-side walk") {
@@ -66,13 +89,19 @@ class TreesSpec extends AnyFunSuite {
     import spark.implicits._
     val cases = Seq(
       Seq("n1", "n2"), Seq("n1", "n3"), Seq("n2"),
-      Seq("n1", "ghost"), Seq("ghost"), Seq[String]())
+      Seq("n1", "ghost"), Seq("ghost"), Seq[String](),
+      Seq("n1", null, "ghost", null))
     cases.foreach { names =>
-      val (aggM, missing) = names.toDS()
+      // null rows ride through as the sentinel (typed Aggregators never
+      // see null inputs) — same coalesce the planner applies
+      val out = names.map(n => if (n == null) MrcaAggregator.NullSentinel else n)
+        .toDS()
         .select(new MrcaAggregator(phylo).toColumn).head()
-      val (refM, refMissing) = phylo.mrca(names.toSet)
-      assert(Option(aggM) === refM, s"names=$names")
-      assert(missing.size === refMissing, s"names=$names")
+      val (refM, refMissing) = phylo.mrca(names.filter(_ != null).toSet)
+      assert(Option(out.mrca) === refM, s"names=$names")
+      assert(out.missing.size === refMissing, s"names=$names")
+      // null rows are counted separately (→ missingNodeCount), never named
+      assert(out.nulls === names.count(_ == null).toLong, s"names=$names")
     }
   }
 
