@@ -32,7 +32,12 @@ object Bench {
       // release blocks pinned by localCheckpoint/persist inside the query —
       // without this, checkpointed label/shingle tables from iterative
       // queries accumulate in the block manager and the resulting memory
-      // pressure taxes every LATER query's timing
+      // pressure taxes every LATER query's timing.
+      // INVARIANT this relies on: no DataFrame outlives one query — every
+      // query rebuilds its tables from parquet via Tables.load. A future
+      // cached/checkpointed frame shared ACROSS queries would become
+      // unrecomputable here (checkpointing truncates lineage), failing
+      // with missing-block errors only in bench runs.
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       name -> dt

@@ -41,19 +41,32 @@ object Planner {
     * genome × alphabet, built once at catalog registration.
     */
   final case class SeqIndex(postings: DataFrame,
-      counts: Map[(Int, String), Long], tableRows: Long)
+      counts: Map[(Int, String), Long], tableRows: Long,
+      insPostings: Option[DataFrame] = None,
+      insCountByPos: Map[Int, Long] = Map())
 
   object SeqIndex {
     /** Build from a diffed frame (one aggregation pass + the bounded
-      * count-map collect).
+      * count-map collect per index; `insCol` additionally registers the
+      * insertion posting index).
       */
-    def build(diffed: DataFrame, pkCol: String, prefix: String = ""): SeqIndex = {
+    def build(diffed: DataFrame, pkCol: String, prefix: String = "",
+        insCol: Option[String] = None): SeqIndex = {
+      import org.apache.spark.sql.functions.col
       val postings = graft.seq.SequenceModel.mutPostings(diffed, pkCol, prefix)
       val counts = graft.seq.SequenceModel.mutIndex(
-        diffed.select(org.apache.spark.sql.functions.col(s"${prefix}muts").as("muts")))
+        diffed.select(col(s"${prefix}muts").as("muts")))
         .collect()
         .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
-      SeqIndex(postings, counts, diffed.count())
+      val insP = insCol.map(c =>
+        graft.seq.SequenceModel.insPostings(diffed, pkCol, c))
+      val insByPos = insCol.map { c =>
+        graft.seq.SequenceModel.insIndex(diffed, c)
+          .groupBy("pos")
+          .agg(org.apache.spark.sql.functions.sum("cnt").as("n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      }.getOrElse(Map.empty[Int, Long])
+      SeqIndex(postings, counts, diffed.count(), insP, insByPos)
     }
   }
 
@@ -249,12 +262,16 @@ final class Planner(catalog: Planner.Catalog) {
               indexRoute(c, indexes, Ambiguity.ModeNone) -> c)
             val routed = tagged.collect { case (Some(r), _) => r }
             val rowwise = tagged.collect { case (None, c) => c }
-            val df = routed.foldLeft(in.df) { case (d, (seqName, p, symsOpt)) =>
-              val si = indexes(seqName)
-              val keys = si.postings
-                .filter(col("pos") === p &&
-                  symsOpt.map(ss => col("sym").isin(ss: _*)).getOrElse(lit(true)))
-                .select(col("pk").as("__idx_pk"))
+            val df = routed.foldLeft(in.df) { (d, r) =>
+              val si = indexes(r.seqName)
+              val keys = (r match {
+                case MutRoute(_, p, symsOpt) =>
+                  si.postings.filter(col("pos") === p &&
+                    symsOpt.map(ss => col("sym").isin(ss: _*)).getOrElse(lit(true)))
+                case InsRoute(_, p, pat) =>
+                  si.insPostings.get.filter(col("pos") === p &&
+                    col("ins").rlike(pat))
+              }).select(col("pk").as("__idx_pk"))
               // the routed posting list is selectivity-gated → broadcast
               d.join(broadcast(keys), d(pk) === col("__idx_pk"), "left_semi")
             }
@@ -975,16 +992,25 @@ final class Planner(catalog: Planner.Catalog) {
     */
   private val RouteMaxFraction = 0.1
 
-  /** Decide whether one filter conjunct is answerable from the mut index:
-    * returns (sequence name, position, Some(target symbols) | None = any
-    * stored diff). Only PURE diff-match shapes qualify — symbolEquals
-    * whose expanded target set avoids the implied and missing symbols
-    * (reference case 1), and hasMutation over unadapted storage. Malformed
-    * calls return None and fall through to the row-wise path, which
-    * raises the planner's typed errors.
+  /** A filter conjunct answerable from a posting index. */
+  private sealed trait IndexedPred { def seqName: String }
+  /** Symbol test: Some(target symbols) | None = any stored diff. */
+  private final case class MutRoute(seqName: String, pos: Int,
+      syms: Option[Seq[String]]) extends IndexedPred
+  /** insertionContains: the regex applies to the posting values. */
+  private final case class InsRoute(seqName: String, pos: Int,
+      pattern: String) extends IndexedPred
+
+  /** Decide whether one filter conjunct is answerable from a posting
+    * index. Only PURE diff-match shapes qualify — symbolEquals whose
+    * expanded target set avoids the implied and missing symbols
+    * (reference case 1), hasMutation over unadapted storage, and
+    * insertionContains with a registered insertion index. Malformed calls
+    * return None and fall through to the row-wise path, which raises the
+    * planner's typed errors.
     */
   private def indexRoute(e: Expr, indexes: Map[String, SeqIndex],
-      mode: Ambiguity.Mode): Option[(String, Int, Option[Seq[String]])] = e match {
+      mode: Ambiguity.Mode): Option[IndexedPred] = e match {
     case Call("maybe", Seq(child), Seq()) =>
       indexRoute(child, indexes, Ambiguity.ModeMaybe)
     case Call("exact", Seq(child), Seq()) =>
@@ -1018,7 +1044,7 @@ final class Planner(catalog: Planner.Catalog) {
               if (targets.nonEmpty && !targets.contains(implied) &&
                   !targets.contains(missing) &&
                   cnt <= si.tableRows * RouteMaxFraction)
-                Some((name, pi, Some(targets.toSeq.sorted)))
+                Some(MutRoute(name, pi, Some(targets.toSeq.sorted)))
               else None
             }
           }
@@ -1042,8 +1068,30 @@ final class Planner(catalog: Planner.Catalog) {
             val pi = p.toInt
             val si = indexes(name)
             val cnt = si.counts.collect { case ((`pi`, _), c) => c }.sum
-            if (cnt <= si.tableRows * RouteMaxFraction) Some((name, pi, None))
+            if (cnt <= si.tableRows * RouteMaxFraction)
+              Some(MutRoute(name, pi, None))
             else None
+          }
+        case _ => None
+      }
+    case Call(fn @ ("insertionContains" | "aminoAcidInsertionContains"), pos, named) =>
+      val wantAa = fn == "aminoAcidInsertionContains"
+      val bound =
+        try bindArgs(fn, insertionContainsSig, pos, named)
+        catch { case _: QueryError => return None }
+      (bound.get("position"), bound.get("value")) match {
+        case (Some(IntLit(p)), Some(StringLit(v)))
+            if p >= 1 && p <= Int.MaxValue && v.nonEmpty && insertionPatternOk(v) =>
+          val (name, b) =
+            try bindingWithName(fn, bound.get("sequenceName"), wantAa)
+            catch { case _: QueryError => return None }
+          indexes.get(name) match {
+            case Some(si) if si.insPostings.isDefined &&
+                b.isAminoAcid == wantAa &&
+                si.insCountByPos.getOrElse(p.toInt, 0L) <=
+                  si.tableRows * RouteMaxFraction =>
+              Some(InsRoute(name, p.toInt, v))
+            case _ => None
           }
         case _ => None
       }

@@ -218,6 +218,20 @@ object SeqQueries {
       idxRouteQuery(s, dir)
     },
 
+    // ---- ins-index routing: insertionContains through the SaneQL
+    //      planner consults the insertion posting index (pruned pos scan,
+    //      regex over the posting values, pk semi-join) when the
+    //      per-position posting count passes the selectivity gate. The
+    //      oracle recomputes by scanning tokens — routing-blind. ----
+    QDef("q_seq_insroute",
+      s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents),
+         |u AS (SELECT doc_id, unnest(tk) AS t, unnest(range(1, len(tk) + 1)) AS p FROM toks)
+         |SELECT DISTINCT doc_id FROM u
+         |WHERE p = 3 AND len(t) >= 8 AND regexp_matches(t, 'cust.*')
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      insRouteQuery(s, dir)
+    },
+
     // ---- insertions(): per (position, inserted string) counts ----
     QDef("q_seq_insertions",
       s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS tk
@@ -375,6 +389,41 @@ object SeqQueries {
         |  .filter(nucleotideEquals(position := 5, symbol := 'G', sequenceName := 'main'))
         |  .project({doc_id})
         |  .orderBy({doc_id})""".stripMargin, catalog)
+  }
+
+  /** The routed insertionContains query of q_seq_insroute (also
+    * plan-checked by PlanSpec): documents' long tokens (≥ 8 chars) play
+    * the insertions at their token position; `cust.*` at position 3 is
+    * ~3% of rows, under the selectivity gate.
+    */
+  def insRouteQuery(s: SparkSession, dir: String): DataFrame =
+    graft.lang.Planner.plan(
+      """seqs
+        |  .filter(insertionContains(position := 3, value := 'cust.*', sequenceName := 'main'))
+        |  .project({doc_id})
+        |  .orderBy({doc_id})""".stripMargin,
+      insRouteCatalog(s, dir))
+
+  /** Catalog with the diffed docs + a synthetic `ins` column + registered
+    * mut/ins posting indexes.
+    */
+  def insRouteCatalog(s: SparkSession, dir: String): graft.lang.Planner.Catalog = {
+    import graft.lang.Planner
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val ins = filter(
+      transform(toks, (tok, i) =>
+        struct((i + 1).cast("int").as("pos"), tok.as("ins"))),
+      x => length(x.getField("ins")) >= 8)
+    val diffed = SequenceModel.diff(
+      t(s, dir, "documents")
+        .select(col("doc_id"), seqCol.as("seq"), ins.as("ins")),
+      "seq", REF)
+    Planner.Catalog(
+      tables = Map("seqs" -> diffed),
+      sequences = Map("seqs" -> Map("main" -> Planner.SeqBinding(REF))),
+      primaryKeys = Map("seqs" -> "doc_id"),
+      mutIndexes = Map("seqs" -> Map("main" ->
+        Planner.SeqIndex.build(diffed, "doc_id", insCol = Some("ins")))))
   }
 
   private def regionNationTree(s: SparkSession, dir: String): PhyloTree = {

@@ -157,6 +157,15 @@ object SequenceModel {
     diffed.select(col(pkCol).as("pk"), explode(col(s"${prefix}muts")).as("m"))
       .select(col("m.pos").as("pos"), col("m.sym").as("sym"), col("pk"))
 
+  /** Row-level insertion posting index `(pos, ins, pk)` — the analog of
+    * the reference's insertion search index (insertion_index.h:17-95): an
+    * `insertionContains` filter becomes a pruned (pos) scan with the
+    * regex applied to the (few, short) posting values + a pk semi-join.
+    */
+  def insPostings(diffed: DataFrame, pkCol: String, insCol: String = "ins"): DataFrame =
+    diffed.select(col(pkCol).as("pk"), explode(col(insCol)).as("i"))
+      .select(col("i.pos").as("pos"), col("i.ins").as("ins"), col("pk"))
+
   /** Nucleotide / amino-acid symbol enum order — the reference's
     * argmax tie-break iterates symbols in this order and keeps the FIRST
     * strictly-greater count (getSymbolWithHighestCount,
@@ -186,6 +195,13 @@ object SequenceModel {
     *
     * Returns (re-based frame, localRef) — `localRef == ref` when no
     * position adapts (the frame is returned untouched).
+    *
+    * PRECONDITION: `diffed` must be raw [[diff]] output (stored against
+    * the GLOBAL `ref`), applied at most ONCE. The simplified kept-diff
+    * filter below relies on the diff-at-ingest invariant that stored
+    * symbols never equal the global reference; re-adapting an
+    * already-adapted frame violates it (the `added` diffs carry the
+    * global symbol) and would silently drop valid diffs.
     */
   def adaptLocalReference(
       diffed: DataFrame,

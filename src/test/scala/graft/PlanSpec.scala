@@ -47,6 +47,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p.take(800))
   }
 
+  test("selective insertionContains routes through the ins posting index") {
+    val p = planOf("q_seq_insroute")
+    assert(p.contains("LeftSemi"), p.take(800))
+    // and routed results equal the row-wise (index-less) evaluation
+    val routed = graft.queries.SeqQueries.insRouteQuery(spark, sfDir)
+      .collect().map(_.getLong(0)).toSeq
+    val cat = graft.queries.SeqQueries.insRouteCatalog(spark, sfDir)
+    val rowwise = graft.lang.Planner.plan(
+      """seqs
+        |  .filter(insertionContains(position := 3, value := 'cust.*', sequenceName := 'main'))
+        |  .project({doc_id})
+        |  .orderBy({doc_id})""".stripMargin,
+      cat.copy(mutIndexes = Map()))
+      .collect().map(_.getLong(0)).toSeq
+    assert(routed === rowwise)
+    assert(routed.nonEmpty)
+  }
+
   test("broad position predicates stay row-wise (no index join)") {
     import org.apache.spark.sql.functions._
     import graft.lang.Planner
