@@ -208,6 +208,43 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- repetition ratio (quality signal): fraction of word-3-gram
+    //      occurrences that are repeats of an earlier occurrence in the
+    //      SAME document — high values flag boilerplate/spam for
+    //      filtering. 1 - distinct/total over the in-document shingle
+    //      multiset; docs with < 3 tokens have no 3-grams → ratio 0. ----
+    QDef("q_text_repetition",
+      s"""WITH norm AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |toks AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM norm),
+         |sh AS (SELECT doc_id, list_transform(range(1, greatest(len(tk)-2, 0)+1),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS sh FROM toks)
+         |SELECT doc_id,
+         |  CAST(len(sh) AS INTEGER) AS n_shingles,
+         |  round(CASE WHEN len(sh) = 0 THEN 0
+         |    ELSE 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)
+         |  END, 4) AS rep_ratio
+         |FROM sh ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // TF.shingles is distinct by design (posting-list semantics); the
+      // repetition signal needs the raw multiset, built inline
+      val toks = TF.tokens(col("text"))
+      // try_element_at: transform evaluates every i before the filter
+      // drops the tail windows, and plain element_at throws past-end
+      val all = filter(
+        transform(toks, (tok, i) =>
+          concat_ws(" ", tok,
+            try_element_at(toks, i + 2), try_element_at(toks, i + 3))),
+        (_, i) => i < size(toks) - 2)
+      t(s, dir, "documents")
+        .select(col("doc_id"), all.as("sh"))
+        .select(col("doc_id"),
+          size(col("sh")).cast("int").as("n_shingles"),
+          round(when(size(col("sh")) === 0, 0.0)
+            .otherwise(lit(1.0) -
+              size(array_distinct(col("sh"))).cast("double") / size(col("sh"))), 4)
+            .as("rep_ratio"))
+        .orderBy("doc_id")
+    },
+
     // ---- exact dedup: hash-groupBy stats ----
     QDef("q_dedup_exact",
       s"""WITH g AS (SELECT md5($normSql) AS h, count(*) AS cnt FROM documents GROUP BY 1)
