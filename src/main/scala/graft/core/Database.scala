@@ -195,6 +195,17 @@ object Database {
         Files.readString(Paths.get(configDir, "phylogenetic_tree.nwk")))
     }.toMap
 
+    // register the row-level posting indexes at build time (≙ the
+    // reference building its vertical/insertion indexes during
+    // preprocessing) so selective position predicates route through them
+    // (Planner.indexRoute); the per-sequence count maps are bounded by
+    // genome × alphabet
+    val mutIndexes = bindings.map { case (name, b) =>
+      val insCol = Option(s"${b.prefix}ins").filter(cleaned.columns.contains)
+      name -> graft.lang.Planner.SeqIndex.build(
+        cleaned, cfg.primaryKey, b.prefix, insCol)
+    }
+
     Catalog(
       tables = Map("default" -> cleaned) ++ lineageTables,
       sequences = Map("default" -> bindings),
@@ -202,6 +213,7 @@ object Database {
       phyloTrees = phyloTrees,
       lineageAliases = lineageAliases,
       primaryKeys = Map("default" -> cfg.primaryKey),
-      lineageYaml = lineageYaml)
+      lineageYaml = lineageYaml,
+      mutIndexes = Map("default" -> mutIndexes))
   }
 }

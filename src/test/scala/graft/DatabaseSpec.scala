@@ -19,6 +19,18 @@ class DatabaseSpec extends SparkSpec {
     assert(catalog.tables("default").count() === 5)
   }
 
+  test("build registers a posting index per sequence binding") {
+    // ingest-time index registration (≙ the reference building its
+    // vertical index during preprocessing); the 5-row dummy dataset never
+    // passes the 10% routing gate, so queries here stay row-wise — the
+    // routing itself is plan-verified in PlanSpec at real selectivities
+    assert(catalog.mutIndexes("default").keySet ===
+      catalog.sequences("default").keySet)
+    val main = catalog.mutIndexes("default")("main")
+    assert(main.tableRows === 5L)
+    assert(main.counts.nonEmpty)
+  }
+
   test("metadata filter + groupBy over ingested NDJSON") {
     val n = run("default.filter(country = 'Switzerland').groupBy({count := count()})")
       .collect().head.getLong(0)
