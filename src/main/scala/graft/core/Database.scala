@@ -200,10 +200,11 @@ object Database {
     // preprocessing) so selective position predicates route through them
     // (Planner.indexRoute); the per-sequence count maps are bounded by
     // genome × alphabet
+    val nRows = cleaned.count() // shared across bindings — count once
     val mutIndexes = bindings.map { case (name, b) =>
       val insCol = Option(s"${b.prefix}ins").filter(cleaned.columns.contains)
       name -> graft.lang.Planner.SeqIndex.build(
-        cleaned, cfg.primaryKey, b.prefix, insCol)
+        cleaned, cfg.primaryKey, b.prefix, insCol, tableRows = Some(nRows))
     }
 
     Catalog(

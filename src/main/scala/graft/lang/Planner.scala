@@ -48,25 +48,39 @@ object Planner {
   object SeqIndex {
     /** Build from a diffed frame (one aggregation pass + the bounded
       * count-map collect per index; `insCol` additionally registers the
-      * insertion posting index).
+      * insertion posting index; pass `tableRows` when the caller already
+      * knows it so registering several bindings doesn't re-count the same
+      * table).
+      *
+      * The posting frames are MATERIALIZED here (localCheckpoint) so a
+      * routed query reads index blocks instead of re-deriving the
+      * explode from a full base-table scan — without the cut, the
+      * "index" side of the semi-join would itself scan the whole table
+      * and the routing could never win. At 100 TB the same registration
+      * writes the postings to their own parquet table partitioned by
+      * `pos` (file-pruned by the (pos, sym) filter) instead of
+      * checkpointing to executor memory.
       */
     def build(diffed: DataFrame, pkCol: String, prefix: String = "",
-        insCol: Option[String] = None): SeqIndex = {
+        insCol: Option[String] = None,
+        tableRows: Option[Long] = None): SeqIndex = {
       import org.apache.spark.sql.functions.col
       val postings = graft.seq.SequenceModel.mutPostings(diffed, pkCol, prefix)
+        .localCheckpoint()
       val counts = graft.seq.SequenceModel.mutIndex(
         diffed.select(col(s"${prefix}muts").as("muts")))
         .collect()
         .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
       val insP = insCol.map(c =>
-        graft.seq.SequenceModel.insPostings(diffed, pkCol, c))
+        graft.seq.SequenceModel.insPostings(diffed, pkCol, c).localCheckpoint())
       val insByPos = insCol.map { c =>
         graft.seq.SequenceModel.insIndex(diffed, c)
           .groupBy("pos")
           .agg(org.apache.spark.sql.functions.sum("cnt").as("n"))
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       }.getOrElse(Map.empty[Int, Long])
-      SeqIndex(postings, counts, diffed.count(), insP, insByPos)
+      SeqIndex(postings, counts, tableRows.getOrElse(diffed.count()),
+        insP, insByPos)
     }
   }
 
@@ -992,6 +1006,16 @@ final class Planner(catalog: Planner.Catalog) {
     */
   private val RouteMaxFraction = 0.1
 
+  /** ABSOLUTE cap on a routed posting list: at billions of rows, 10% of
+    * the table would still blow the broadcast limit, so the fraction gate
+    * alone is not enough — past this many postings the predicate stays
+    * row-wise regardless of its relative selectivity.
+    */
+  private val RouteMaxRows = 5_000_000L
+
+  private def routable(si: SeqIndex, cnt: Long): Boolean =
+    cnt <= si.tableRows * RouteMaxFraction && cnt <= RouteMaxRows
+
   /** A filter conjunct answerable from a posting index. */
   private sealed trait IndexedPred { def seqName: String }
   /** Symbol test: Some(target symbols) | None = any stored diff. */
@@ -1042,8 +1066,7 @@ final class Planner(catalog: Planner.Catalog) {
               val si = indexes(name)
               val cnt = targets.toSeq.map(s => si.counts.getOrElse((pi, s), 0L)).sum
               if (targets.nonEmpty && !targets.contains(implied) &&
-                  !targets.contains(missing) &&
-                  cnt <= si.tableRows * RouteMaxFraction)
+                  !targets.contains(missing) && routable(si, cnt))
                 Some(MutRoute(name, pi, Some(targets.toSeq.sorted)))
               else None
             }
@@ -1068,8 +1091,7 @@ final class Planner(catalog: Planner.Catalog) {
             val pi = p.toInt
             val si = indexes(name)
             val cnt = si.counts.collect { case ((`pi`, _), c) => c }.sum
-            if (cnt <= si.tableRows * RouteMaxFraction)
-              Some(MutRoute(name, pi, None))
+            if (routable(si, cnt)) Some(MutRoute(name, pi, None))
             else None
           }
         case _ => None
@@ -1088,8 +1110,7 @@ final class Planner(catalog: Planner.Catalog) {
           indexes.get(name) match {
             case Some(si) if si.insPostings.isDefined &&
                 b.isAminoAcid == wantAa &&
-                si.insCountByPos.getOrElse(p.toInt, 0L) <=
-                  si.tableRows * RouteMaxFraction =>
+                routable(si, si.insCountByPos.getOrElse(p.toInt, 0L)) =>
               Some(InsRoute(name, p.toInt, v))
             case _ => None
           }

@@ -105,8 +105,8 @@ object ConnectedComponents {
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge within maxIter=$maxIter " +
-          "rounds (2 propagation+jump steps each); a partial result " +
-          "would silently split components incorrectly — raise maxIter")
+          "propagation+jump rounds; a partial result would silently " +
+          "split components incorrectly — raise maxIter")
     // isolated nodes (no incident edge) are their own component
     val isolated = nodes.select(col(nodeCol).as("node")).distinct()
       .join(labels.select("node"), Seq("node"), "left_anti")

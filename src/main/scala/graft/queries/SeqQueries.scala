@@ -297,17 +297,20 @@ object SeqQueries {
       val nation = t(s, dir, "nation")
       val region = t(s, dir, "region")
       // ONE driver action rebuilds the broadcast lineage tree: collect the
-      // joined (nation, region, regionkey) rows and derive the clade root
-      // and both edge levels from that single result
-      val rows = nation.join(region, col("n_regionkey") === col("r_regionkey"))
-        .select(col("n_name"), col("r_name"), col("r_regionkey")).collect()
+      // LEFT-joined (region, nation) rows — regions without nations still
+      // become tree nodes — and derive the clade root and both edge
+      // levels from that single result
+      val rows = region.join(nation,
+          col("n_regionkey") === col("r_regionkey"), "left")
+        .select(col("r_name"), col("n_name"), col("r_regionkey")).collect()
       val cladeRoot = rows.find(_.getInt(2) == 2)
-        .getOrElse(sys.error("region 2 missing")).getString(1)
+        .getOrElse(sys.error("region 2 missing")).getString(0)
       // lineage-relation edge rows (broadcast-sized): REGION_k → root,
       // NATION_i → its region
-      val regionEdges = rows.map(_.getString(1)).distinct.toSeq
+      val regionEdges = rows.map(_.getString(0)).distinct.toSeq
         .map(r => (r, Option("root")))
-      val nationEdges = rows.map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+      val nationEdges = rows.filterNot(_.isNullAt(1))
+        .map(r => (r.getString(1), Option(r.getString(0)))).toSeq
       val tree = LineageTree.fromEdges(regionEdges ++ nationEdges :+ ("root" -> None))
       val clade = tree.descendants(cladeRoot, LineageTree.DoNotFollow)
       t(s, dir, "customer")
@@ -429,14 +432,17 @@ object SeqQueries {
   private def regionNationTree(s: SparkSession, dir: String): PhyloTree = {
     val nation = t(s, dir, "nation")
     val region = t(s, dir, "region")
-    // edges sorted by name: child DECLARATION order is part of the tree's
-    // identity now (subtree serialization emits reverse declaration
-    // order), so it must not depend on collect() partition order
-    val regionEdges = region.select(col("r_name")).collect()
-      .map(r => (r.getString(0), "root")).toSeq.sortBy(_._1)
-    val nationEdges = nation.join(region, col("n_regionkey") === col("r_regionkey"))
-      .select(col("n_name"), col("r_name")).collect()
-      .map(r => (r.getString(0), r.getString(1))).toSeq
+    // ONE collect builds both levels; LEFT join so a region without
+    // nations still becomes a tree node. Edges sorted by name: child
+    // DECLARATION order is part of the tree's identity now (subtree
+    // serialization emits reverse declaration order), so it must not
+    // depend on collect() partition order
+    val rows = region.join(nation, col("n_regionkey") === col("r_regionkey"), "left")
+      .select(col("r_name"), col("n_name")).collect()
+    val regionEdges = rows.map(_.getString(0)).distinct.sorted.toSeq
+      .map(r => (r, "root"))
+    val nationEdges = rows.filterNot(_.isNullAt(1))
+      .map(r => (r.getString(1), r.getString(0))).toSeq
       .sortBy(e => (e._2, e._1))
     PhyloTree.fromEdges(regionEdges ++ nationEdges)
   }

@@ -27,11 +27,13 @@ object OneQuery {
     val times = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
       rows = fn(spark, sfDir).count()
-      // same block cleanup the bench does between queries, so repeated runs
-      // don't accumulate checkpointed blocks the single bench run wouldn't
+      val dt = (System.nanoTime() - t0) / 1e9
+      // same block cleanup the bench does between queries (OUTSIDE the
+      // timed window, like Bench), so repeated runs don't accumulate
+      // checkpointed blocks the single bench run wouldn't
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      (System.nanoTime() - t0) / 1e9
+      dt
     }
     val ts = times.map(t => f"$t%.3f").mkString(",")
     println(f"ONEQUERY $name rows=$rows%d min=${times.min}%.3fs times=[$ts]")

@@ -137,11 +137,17 @@ object PhyloTree {
     */
   def fromEdges(edges: Seq[(String, String)],
       lengths: Map[String, Float] = Map.empty): PhyloTree = {
-    val parent = edges.toMap
+    // dedup, keeping first occurrence: `edges.toMap` would silently hide a
+    // duplicated (child, parent) pair while the declaration-order children
+    // list repeated the child — subtreeNewick would emit it twice
+    val uniq = edges.distinct
+    val parent = uniq.toMap
+    require(parent.size == uniq.size,
+      s"node with multiple parents in phylo edges")
     val roots = (parent.values.toSet -- parent.keySet).toSeq
     require(roots.size == 1, s"expected a single root, got $roots")
     val order = mutable.LinkedHashMap.empty[String, mutable.ListBuffer[String]]
-    for ((c, p) <- edges) order.getOrElseUpdate(p, mutable.ListBuffer.empty) += c
+    for ((c, p) <- uniq) order.getOrElseUpdate(p, mutable.ListBuffer.empty) += c
     PhyloTree(parent, roots.head,
       order.view.mapValues(_.toList).toMap, lengths)
   }
