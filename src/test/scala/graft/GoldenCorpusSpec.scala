@@ -498,6 +498,37 @@ class GoldenCorpusSpec extends SparkSpec {
   /** Inverts a string's character order for descending string sorts. */
   def invert(s: String): String = s.map(c => (0xffff - c).toChar)
 
+  test("replay: remaining fasta and regex-search families") {
+    val byPk = naiveRows.map(r => r.pk -> r).toMap
+    // division 'Vaud' does not occur in the synthetic data → empty result
+    assert(runQ("fasta_manySequences.json").count() === 0L)
+    // single-row unaligned projections round-trip the raw strings
+    val two = runQ("fasta_oneRowTwoUnalignedSequences.json").collect()
+    assert(two.length === 1)
+    assert(two.head.getAs[String]("unaligned_main") === byPk("key_41").main)
+    assert(two.head.getAs[String]("unaligned_testSecondSequence") ===
+      byPk("key_41").second)
+    val one = runQ("fasta_oneSequenceUnaligned.json").collect()
+    assert(one.head.getAs[String]("unaligned_main") === byPk("key_41").main)
+    // aligned multi-sequence projection: nucleotide + AA gene reconstructed
+    val multi = runQ("fastaAligned_multiple.json").collect()
+    val expectPks = naiveRows.filter(r => r.age != null && r.age <= 30)
+      .map(_.pk).sorted
+    assert(multi.map(_.getAs[String]("primary_key")).toSeq === expectPks)
+    multi.foreach { r =>
+      val nr = byPk(r.getAs[String]("primary_key"))
+      assert(r.getAs[String]("testSecondSequence") === nr.second)
+      assert(r.getAs[String]("S") === nr.genes("S"))
+    }
+    // regex search: rlike is UNANCHORED (like the reference's RE2 search)
+    assert(count1("stringSearch_basic_regex.json") ===
+      naiveRows.count(r => !r.pk.contains("key")).toLong)
+    assert(count1("stringSearch_digitAmount.json") ===
+      naiveRows.count(_.pk.matches("\\D*\\d{1}")).toLong)
+    assert(count1("stringSearch_justAString.json") ===
+      naiveRows.count(_.division == "Aargau").toLong)
+  }
+
   test("replay: phyloSubtree corpus queries — parse-back structure + missing fields") {
     def naivePath(n: String): List[String] = {
       var cur = n
