@@ -81,7 +81,9 @@ object ConnectedComponents {
     }
     // the + 1 grants the confirming unchanged-sum round, so a graph that
     // needs exactly maxIter rounds still converges instead of being
-    // rejected one round early
+    // rejected one round early. (AQE stays ON here: its runtime
+    // broadcast conversion of the tiny per-round joins beats the
+    // per-stage scheduling it adds — measured both ways.)
     while (it < maxIter + 1 && !converged) {
       val t0 = System.nanoTime()
       // ONE step per materialized round: chaining two steps into one plan
