@@ -13,10 +13,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one small untimed query to absorb JVM/codegen warmup, then run the
-    // suite in stable name order so per-query timings are comparable
-    // across rounds
-    SparkEntry.queries.get("q_count_star").foreach(_(spark, sfDir).count())
+    // untimed warmup queries absorb JVM/codegen/JIT cost before timing
+    // starts (JMH-style): one trivial scan plus one query each from the
+    // sequence-diff and text-shingle families, whose generated code and
+    // regex paths dominate first-run times for their whole family. Then
+    // run the suite in stable name order so per-query timings are
+    // comparable across rounds.
+    Seq("q_count_star", "q_seq_mutations", "q_simhash").foreach(n =>
+      SparkEntry.queries.get(n).foreach { fn =>
+        try fn(spark, sfDir).count()
+        catch { case _: Throwable => () } // warmup failures surface below
+      })
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     // a failing query must fail the bench loudly — a swallowed exception
     // would be recorded as a (fast) success and mask a regression
     var failed = List.empty[String]
