@@ -35,19 +35,26 @@ object Ivf {
     }
   }
 
-  private def centroidCol(c: Array[Double]): Column = array(c.map(lit): _*)
-
-  /** argmax-dot cell assignment against the (broadcast-literal) centroids.
+  /** argmax-dot cell assignment against the centroid matrix.
     *
     * One `array_max` over (dot, -index) structs — struct ordering gives the
     * max dot with smallest-index tie-break, in an expression LINEAR in the
     * cell count (a when/otherwise fold duplicates the accumulator 4× per
     * level: 4^cells nodes, analyzer OOM by 16 cells). Unit centroids, so
     * argmax dot == argmax cosine (|v| is constant across candidates).
+    *
+    * The matrix ships as ONE typedLit — an object REFERENCE in the
+    * generated code, not source text — so the Janino-compiled source is
+    * identical across Lloyd passes (per-centroid `array(lit...)` baked
+    * every value into the source and recompiled each pass; measured ~5×
+    * slower on the first pass) while each per-cell dot stays inside the
+    * codegen'd VecDot kernel.
     */
   private def assignExpr(vec: Column, cents: Array[Array[Double]]): Column = {
-    val scored = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(VF.dot(vec, centroidCol(c)).as("d"), lit(-i).as("ni"))
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val scored = array(cents.indices.map { i =>
+      struct(VF.dot(vec, element_at(centsLit, i + 1)).as("d"),
+        lit(-i).as("ni"))
     }: _*)
     (-array_max(scored).getField("ni")).cast("int")
   }
