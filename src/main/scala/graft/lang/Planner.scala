@@ -273,21 +273,28 @@ final class Planner(catalog: Planner.Catalog) {
         val (base, rest) = idxCtx match {
           case Some((indexes, pk)) if in.df.columns.contains(pk) =>
             val tagged = conjuncts(pred).map(c =>
-              indexRoute(c, indexes, Ambiguity.ModeNone) -> c)
+              indexRoute(c, indexes, Ambiguity.ModeNone, in.origin) -> c)
             val routed = tagged.collect { case (Some(r), _) => r }
             val rowwise = tagged.collect { case (None, c) => c }
             val df = routed.foldLeft(in.df) { (d, r) =>
               val si = indexes(r.seqName)
               val keys = (r match {
-                case MutRoute(_, p, symsOpt) =>
+                case MutRoute(_, p, symsOpt, _) =>
                   si.postings.filter(col("pos") === p &&
                     symsOpt.map(ss => col("sym").isin(ss: _*)).getOrElse(lit(true)))
-                case InsRoute(_, p, pat) =>
+                case InsRoute(_, p, pat, _) =>
                   si.insPostings.get.filter(col("pos") === p &&
-                    col("ins").rlike(pat))
+                    col("ins").rlike(SeqPredicates.anchoredInsertionRegex(pat)))
               }).select(col("pk").as("__idx_pk"))
-              // the routed posting list is selectivity-gated → broadcast
-              d.join(broadcast(keys), d(pk) === col("__idx_pk"), "left_semi")
+              // the broadcast hint is size-gated, not just row-gated: near
+              // the 5M-row routing cap a pk list (especially string pks)
+              // builds a multi-hundred-MB hash relation on the driver and
+              // every executor; above the hint cap Spark plans the
+              // semi-join itself (shuffled or AQE-converted)
+              val hinted =
+                if (r.postings <= RouteBroadcastMaxRows) broadcast(keys)
+                else keys
+              d.join(hinted, d(pk) === col("__idx_pk"), "left_semi")
             }
             (df, rowwise)
           case _ => (in.df, conjuncts(pred))
@@ -770,7 +777,7 @@ final class Planner(catalog: Planner.Catalog) {
       case "exact" => scalar(req("child"), df, Ambiguity.ModeExact, origin)
       case "nucleotideEquals" | "aminoAcidEquals" =>
         val wantAa = fn == "aminoAcidEquals"
-        val b = bindingFor(fn, a("sequenceName"), wantAa)
+        val b = bindingFor(fn, a("sequenceName"), wantAa, origin)
         val p = intArg(req("position"), "position").toInt
         val sym = a("symbol") match {
           case Some(StringLit(s)) if s.length == 1 => s.head
@@ -788,14 +795,24 @@ final class Planner(catalog: Planner.Catalog) {
         SeqPredicates.symbolEqualsMode(p, target, b.ref, codes, mode, b.prefix,
           missing.toString, b.stored)
       case "hasMutation" | "hasAAMutation" =>
-        val b = bindingFor(fn, a("sequenceName"), fn == "hasAAMutation")
+        val b = bindingFor(fn, a("sequenceName"), fn == "hasAAMutation", origin)
         val p = intArg(req("position"), "position").toInt
         if (p < 1 || p > b.ref.length) err(s"$fn: position $p out of range")
         SeqPredicates.hasMutation(p, b.prefix, b.ref, b.stored)
       case "insertionContains" | "aminoAcidInsertionContains" =>
-        val b = bindingFor(fn, a("sequenceName"),
-          fn == "aminoAcidInsertionContains")
-        val p = intArg(req("position"), "position").toInt
+        val (seqName, b) = bindingWithName(fn, a("sequenceName"),
+          fn == "aminoAcidInsertionContains", origin)
+        val pRaw = intArg(req("position"), "position")
+        // the reference extracts the position as a uint32 and then bounds
+        // it against the reference length (insertion_contains.cpp:61-65);
+        // position 0 is VALID — "before the first symbol"
+        // (query_documentation.md:612)
+        if (pRaw < 0) err(s"Cannot cast $pRaw to uint32. Value out of range")
+        if (pRaw > b.ref.length)
+          err(s"the requested insertion position ($pRaw) is larger than the " +
+            s"length of the reference sequence (${b.ref.length}) for " +
+            s"sequence '$seqName'")
+        val p = pRaw.toInt
         val v = a("value") match {
           case Some(StringLit(s)) => s
           case _ => err(s"$fn needs a pattern string")
@@ -849,7 +866,7 @@ final class Planner(catalog: Planner.Catalog) {
             s"of column '$column'")
         resolve(column, df).isin(tree.descendants(node).toSeq.sorted: _*)
       case "nucleotideMutationProfile" | "aminoAcidMutationProfile" =>
-        mutationProfile(fn, bound, fn == "aminoAcidMutationProfile")
+        mutationProfile(fn, bound, fn == "aminoAcidMutationProfile", origin)
       case other => err(s"unknown function '$other'")
     }
   }
@@ -870,7 +887,7 @@ final class Planner(catalog: Planner.Catalog) {
     * where the profile carries the missing symbol are skipped.
     */
   private def mutationProfile(fn: String, bound: Map[String, Expr],
-      wantAa: Boolean): Column = {
+      wantAa: Boolean, origin: Option[String]): Column = {
     val symName = if (wantAa) "AminoAcid" else "Nucleotide"
     val codes = if (wantAa) Ambiguity.aaCodesFor else Ambiguity.nucCodesFor
     val missing = if (wantAa) Ambiguity.aaMissing else Ambiguity.nucMissing
@@ -880,7 +897,7 @@ final class Planner(catalog: Planner.Catalog) {
     }
     val seqNameExpr = bound.getOrElse("sequenceName",
       err(s"$fn needs a sequenceName"))
-    val b = bindingFor(fn, Some(seqNameExpr), wantAa)
+    val b = bindingFor(fn, Some(seqNameExpr), wantAa, origin)
 
     val inputs = Seq("querySequence", "sequenceId", "mutations")
       .flatMap(n => bound.get(n).map(n -> _))
@@ -899,11 +916,10 @@ final class Planner(catalog: Planner.Catalog) {
         qs
       case ("querySequence", _) => err(s"$fn: querySequence must be a string")
       case ("sequenceId", StringLit(id)) =>
-        // single-row primary-key lookup on the sequence-bearing table —
-        // driver-side by design, same as the reference's row scan
+        // single-row primary-key lookup on the PIPELINE's sequence-bearing
+        // table — driver-side by design, same as the reference's row scan
         // (mutation_profile.cpp:125-172 buildProfileFromSequenceId)
-        val tblName = catalog.sequences.keys.headOption
-          .getOrElse(err(s"$fn requires a table with sequence data"))
+        val tblName = seqTableOf(fn, origin)
         val pk = catalog.primaryKeys.getOrElse(tblName,
           err(s"$fn: table '$tblName' has no primary key for sequenceId lookup"))
         val rows = catalog.tables(tblName).filter(col(pk) === id)
@@ -973,18 +989,28 @@ final class Planner(catalog: Planner.Catalog) {
     ok
   }
 
-  /** Sequence predicates resolve their binding by sequenceName; scalar
-    * context has no table origin, so the catalog's single sequence-bearing
-    * table is assumed (holds for the reference's `default`).
+  /** Sequence predicates resolve their binding by sequenceName against the
+    * pipeline's ORIGIN table when known (a multi-table catalog may bind the
+    * same sequence name to different references per table); an origin-less
+    * context falls back to the catalog's single sequence-bearing table
+    * (the reference's `default`).
     */
   private def bindingFor(fn: String, nameArg: Option[Expr],
-      wantAa: Boolean): SeqBinding =
-    bindingWithName(fn, nameArg, wantAa)._2
+      wantAa: Boolean, origin: Option[String] = None): SeqBinding =
+    bindingWithName(fn, nameArg, wantAa, origin)._2
+
+  /** The sequence-bearing table a scalar in this pipeline resolves
+    * against: the origin table when it has sequences, else the catalog's
+    * first (single-table catalogs).
+    */
+  private def seqTableOf(fn: String, origin: Option[String]): String =
+    origin.filter(catalog.sequences.contains)
+      .orElse(catalog.sequences.keys.headOption)
+      .getOrElse(err(s"$fn requires a table with sequence data"))
 
   private def bindingWithName(fn: String, nameArg: Option[Expr],
-      wantAa: Boolean): (String, SeqBinding) = {
-    val all = catalog.sequences.values.headOption
-      .getOrElse(err(s"$fn requires a table with sequence data"))
+      wantAa: Boolean, origin: Option[String] = None): (String, SeqBinding) = {
+    val all = catalog.sequences(seqTableOf(fn, origin))
     nameArg match {
       case Some(StringLit(n)) =>
         n -> all.getOrElse(n, err(s"unknown sequence '$n'"))
@@ -1013,17 +1039,32 @@ final class Planner(catalog: Planner.Catalog) {
     */
   private val RouteMaxRows = 5_000_000L
 
+  /** Above this many posting rows the routed semi-join keeps NO broadcast
+    * hint: ~1M pks (string pks ≈ tens of bytes each) is the last size where
+    * a driver+executor-replicated hash relation is clearly cheaper than
+    * letting Spark pick the join (AQE still broadcasts smaller-than-
+    * threshold sides on its own, and a shuffled semi-join is safe at any
+    * size).
+    */
+  private val RouteBroadcastMaxRows = 1_000_000L
+
   private def routable(si: SeqIndex, cnt: Long): Boolean =
     cnt <= si.tableRows * RouteMaxFraction && cnt <= RouteMaxRows
 
-  /** A filter conjunct answerable from a posting index. */
-  private sealed trait IndexedPred { def seqName: String }
+  /** A filter conjunct answerable from a posting index; `postings` is the
+    * index-cardinality estimate the route was gated on (drives the
+    * broadcast-hint decision).
+    */
+  private sealed trait IndexedPred {
+    def seqName: String
+    def postings: Long
+  }
   /** Symbol test: Some(target symbols) | None = any stored diff. */
   private final case class MutRoute(seqName: String, pos: Int,
-      syms: Option[Seq[String]]) extends IndexedPred
+      syms: Option[Seq[String]], postings: Long) extends IndexedPred
   /** insertionContains: the regex applies to the posting values. */
   private final case class InsRoute(seqName: String, pos: Int,
-      pattern: String) extends IndexedPred
+      pattern: String, postings: Long) extends IndexedPred
 
   /** Decide whether one filter conjunct is answerable from a posting
     * index. Only PURE diff-match shapes qualify — symbolEquals whose
@@ -1034,11 +1075,11 @@ final class Planner(catalog: Planner.Catalog) {
     * planner's typed errors.
     */
   private def indexRoute(e: Expr, indexes: Map[String, SeqIndex],
-      mode: Ambiguity.Mode): Option[IndexedPred] = e match {
+      mode: Ambiguity.Mode, origin: Option[String]): Option[IndexedPred] = e match {
     case Call("maybe", Seq(child), Seq()) =>
-      indexRoute(child, indexes, Ambiguity.ModeMaybe)
+      indexRoute(child, indexes, Ambiguity.ModeMaybe, origin)
     case Call("exact", Seq(child), Seq()) =>
-      indexRoute(child, indexes, Ambiguity.ModeExact)
+      indexRoute(child, indexes, Ambiguity.ModeExact, origin)
     case Call(fn @ ("nucleotideEquals" | "aminoAcidEquals"), pos, named) =>
       val wantAa = fn == "aminoAcidEquals"
       val bound =
@@ -1048,7 +1089,7 @@ final class Planner(catalog: Planner.Catalog) {
         case (Some(IntLit(p)), Some(StringLit(symS)))
             if symS.length == 1 && p >= 1 =>
           val (name, b) =
-            try bindingWithName(fn, bound.get("sequenceName"), wantAa)
+            try bindingWithName(fn, bound.get("sequenceName"), wantAa, origin)
             catch { case _: QueryError => return None }
           if (!indexes.contains(name) || b.isAminoAcid != wantAa ||
               p > b.ref.length) None
@@ -1067,7 +1108,7 @@ final class Planner(catalog: Planner.Catalog) {
               val cnt = targets.toSeq.map(s => si.counts.getOrElse((pi, s), 0L)).sum
               if (targets.nonEmpty && !targets.contains(implied) &&
                   !targets.contains(missing) && routable(si, cnt))
-                Some(MutRoute(name, pi, Some(targets.toSeq.sorted)))
+                Some(MutRoute(name, pi, Some(targets.toSeq.sorted), cnt))
               else None
             }
           }
@@ -1082,7 +1123,7 @@ final class Planner(catalog: Planner.Catalog) {
       bound.get("position") match {
         case Some(IntLit(p)) if p >= 1 =>
           val (name, b) =
-            try bindingWithName(fn, bound.get("sequenceName"), wantAa)
+            try bindingWithName(fn, bound.get("sequenceName"), wantAa, origin)
             catch { case _: QueryError => return None }
           // adapted storage needs the local↔global translation → row-wise
           if (!indexes.contains(name) || b.isAminoAcid != wantAa ||
@@ -1091,7 +1132,7 @@ final class Planner(catalog: Planner.Catalog) {
             val pi = p.toInt
             val si = indexes(name)
             val cnt = si.counts.collect { case ((`pi`, _), c) => c }.sum
-            if (routable(si, cnt)) Some(MutRoute(name, pi, None))
+            if (routable(si, cnt)) Some(MutRoute(name, pi, None, cnt))
             else None
           }
         case _ => None
@@ -1102,16 +1143,21 @@ final class Planner(catalog: Planner.Catalog) {
         try bindArgs(fn, insertionContainsSig, pos, named)
         catch { case _: QueryError => return None }
       (bound.get("position"), bound.get("value")) match {
+        // position 0 ("before the first symbol") is routable; positions
+        // beyond the reference length must fall through to the row-wise
+        // path so the planner's typed bounds error surfaces instead of a
+        // silently-empty routed result
         case (Some(IntLit(p)), Some(StringLit(v)))
-            if p >= 1 && p <= Int.MaxValue && v.nonEmpty && insertionPatternOk(v) =>
+            if p >= 0 && p <= Int.MaxValue && v.nonEmpty && insertionPatternOk(v) =>
           val (name, b) =
-            try bindingWithName(fn, bound.get("sequenceName"), wantAa)
+            try bindingWithName(fn, bound.get("sequenceName"), wantAa, origin)
             catch { case _: QueryError => return None }
           indexes.get(name) match {
             case Some(si) if si.insPostings.isDefined &&
-                b.isAminoAcid == wantAa &&
+                b.isAminoAcid == wantAa && p <= b.ref.length &&
                 routable(si, si.insCountByPos.getOrElse(p.toInt, 0L)) =>
-              Some(InsRoute(name, p.toInt, v))
+              Some(InsRoute(name, p.toInt, v,
+                si.insCountByPos.getOrElse(p.toInt, 0L)))
             case _ => None
           }
         case _ => None

@@ -222,12 +222,15 @@ object SeqQueries {
     //      planner consults the insertion posting index (pruned pos scan,
     //      regex over the posting values, pk semi-join) when the
     //      per-position posting count passes the selectivity gate. The
-    //      oracle recomputes by scanning tokens — routing-blind. ----
+    //      oracle recomputes by scanning tokens — routing-blind — and uses
+    //      regexp_full_match: insertion search is a FULL match
+    //      (RE2::FullMatch, insertion_index.cpp:121,134,148), not a
+    //      substring search. ----
     QDef("q_seq_insroute",
       s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents),
          |u AS (SELECT doc_id, unnest(tk) AS t, unnest(range(1, len(tk) + 1)) AS p FROM toks)
          |SELECT DISTINCT doc_id FROM u
-         |WHERE p = 3 AND len(t) >= 8 AND regexp_matches(t, 'cust.*')
+         |WHERE p = 3 AND len(t) >= 8 AND regexp_full_match(t, 'cust.*')
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       insRouteQuery(s, dir)
     },

@@ -115,14 +115,28 @@ object SeqPredicates {
     coalesce(base, lit(false))
   }
 
+  /** Insertion search is a FULL match, not a substring search: the
+    * reference evaluates every candidate insertion value with
+    * `RE2::FullMatch` (insertion_index.cpp:121,134,148), so
+    * `value := 'CCC'` matches only an insertion that IS `CCC` and users
+    * write `.*CCC.*` for contains semantics. Spark's `rlike` is Java
+    * `find()` (unanchored), so the validated pattern is wrapped in
+    * `\A(?:…)\z` here — the ONE translation both the row-wise predicate
+    * and the routed posting scan (Planner.InsRoute) share.
+    */
+  def anchoredInsertionRegex(pattern: String): String =
+    "\\A(?:" + pattern + ")\\z"
+
   /** `insertionContains(position, regexValue)` over an
     * `ins: array<struct<pos,ins>>` column (reference:
     * insertion_contains.cpp; the 3-mer index acceleration becomes an
-    * ins_index semi-join at scale).
+    * ins_index semi-join at scale). Full-match semantics via
+    * [[anchoredInsertionRegex]].
     */
   def insertionContains(pos: Int, pattern: String, insCol: String = "ins"): Column =
     coalesce(exists(col(insCol), i =>
-      i.getField("pos") === pos && i.getField("ins").rlike(pattern)), lit(false))
+      i.getField("pos") === pos &&
+        i.getField("ins").rlike(anchoredInsertionRegex(pattern))), lit(false))
 
   /** `mutationProfile(distance, profile)` — conservative ambiguity-aware
     * difference count from a profile string, computed from the DIFF

@@ -623,6 +623,46 @@ class GoldenCorpusSpec extends SparkSpec {
     }
   }
 
+  test("replay: insertionContains corpus family matches naive FULL-match recomputation") {
+    // which rows carry a synthetic insertion: the generator's own hash
+    // rule (a column expression, not the operator under test)
+    def hashSel(mod: Int): Set[String] = spark.sql(
+      s"SELECT pk FROM (SELECT explode(array(${naiveRows.map(r => s"'${r.pk}'").mkString(",")})) pk) " +
+        s"WHERE pmod(hash(pk), $mod) = 0").collect().map(_.getString(0)).toSet
+    // naive recount: Java String.matches IS a full match — independently
+    // mirrors the reference's RE2::FullMatch (insertion_index.cpp:121-148)
+    def naiveCount(sel: Set[String], insPos: Int, insVal: String,
+        qPos: Int, pattern: String): Long =
+      if (qPos != insPos) 0L
+      else if (insVal.matches(pattern)) sel.size.toLong
+      else 0L
+    val mainSel = hashSel(5) // ins: pos 22204, CAGAA
+    val sSel = hashSel(3)    // S_ins: pos 214, Y*EPE
+    def mainCount(qPos: Int, pat: String): Long =
+      naiveCount(mainSel, 22204, "CAGAA", qPos, pat)
+    assert(count1("insertionContains_exact.json") ===
+      mainCount(25701, "CCC"))
+    assert(count1("insertionContains_not_exact1.json") ===
+      mainCount(22339, ".*GCT.*GGT.*"))
+    assert(count1("insertionContains_not_exact2.json") ===
+      mainCount(22204, "CAG.*AA"))
+    assert(mainCount(22204, "CAG.*AA") === mainSel.size.toLong) // non-trivial
+    assert(count1("insertionContains_not_exact3.json") ===
+      mainCount(25701, "TCAG.*AA"))
+    assert(count1("insertionContains_not_exact4.json") ===
+      mainCount(25701, "CC.*"))
+    // the two S-gene cases DISTINGUISH full-match from substring search on
+    // the synthetic data: insertion Y*EPE vs patterns \*EPE and E.*E —
+    // unanchored Java find() would match ~1/3 of the rows, FullMatch none
+    assert("Y*EPE".matches("\\*EPE") === false)
+    assert(naiveCount(sSel, 214, "Y*EPE", 214, "\\*EPE") === 0L)
+    assert(runQ("insertionContainsStopCodon.json").count() === 0L)
+    assert(!"Y*EPE".matches("E.*E") && sSel.nonEmpty)
+    assert(runQ("aaInsertionsContains.json").count() === 0L)
+    // conjunction over two positions → empty selection → no mutations rows
+    assert(runQ("insertionContains_noSeqCol.json").count() === 0L)
+  }
+
   test("replay: MRCA corpus queries match a naive ancestor walk, full field set") {
     // naive LCA: root-first path intersection over the parent map — no
     // reuse of the distributed MrcaAggregator under test

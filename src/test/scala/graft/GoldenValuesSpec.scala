@@ -156,6 +156,14 @@ class GoldenValuesSpec extends SparkSpec {
     // E gene: key1 and key5 carry insertion 4:EPE
     assert(cnt("default.filter(aminoAcidInsertionContains(position:=4, value:='EP.*', sequenceName:='E')).groupBy({c := count()})") === 2)
     assert(cnt("default.filter(aminoAcidInsertionContains(position:=4, value:='Z.*', sequenceName:='E')).groupBy({c := count()})") === 0)
+    // FULL-match semantics (RE2::FullMatch, insertion_index.cpp:121,134,148):
+    // a strict substring of the insertion must NOT match — these cases
+    // DISTINGUISH anchored from unanchored (Java find() would say 2)
+    assert(cnt("default.filter(aminoAcidInsertionContains(position:=4, value:='EPE', sequenceName:='E')).groupBy({c := count()})") === 2)
+    assert(cnt("default.filter(aminoAcidInsertionContains(position:=4, value:='PE', sequenceName:='E')).groupBy({c := count()})") === 0)
+    assert(cnt("default.filter(aminoAcidInsertionContains(position:=4, value:='EP', sequenceName:='E')).groupBy({c := count()})") === 0)
+    assert(cnt("default.filter(aminoAcidInsertionContains(position:=4, value:='.*PE', sequenceName:='E')).groupBy({c := count()})") === 2)
+    assert(cnt("default.filter(aminoAcidInsertionContains(position:=4, value:='E.*E', sequenceName:='E')).groupBy({c := count()})") === 2)
     // M gene: key5 stores XXXX* (ref MADS*)
     assert(cnt("default.filter(aminoAcidEquals(position := 1, symbol := 'X', sequenceName := 'M')).groupBy({c := count()})") === 1)
     assert(cnt("default.filter(aminoAcidEquals(position := 1, symbol := '.', sequenceName := 'M')).groupBy({c := count()})") === 4)

@@ -206,6 +206,57 @@ class SaneQLSpec extends SparkSpec {
         sequenceName := 'main', mutations := {{position := 1, symbol := 'Z'}}))""") }
   }
 
+  test("insertionContains: position bounds validation and position 0") {
+    // table with an ins column: k1 carries an insertion at position 0 —
+    // "before the first symbol" (reference query_documentation.md:612)
+    val insTable = SequenceModel.diff(
+      Seq(("k1", "ACGTACGT"), ("k2", "ACGTACGT")).toDF("primary_key", "seq"),
+      "seq", ref, missingSyms = Set("N"))
+      .withColumn("ins", when($"primary_key" === "k1",
+        array(struct(lit(0).as("pos"), lit("GG").as("ins"))))
+        .otherwise(array().cast("array<struct<pos:int,ins:string>>")))
+    val cat2 = catalog.copy(
+      tables = catalog.tables + ("iseqs" -> insTable),
+      sequences = catalog.sequences + ("iseqs" -> Map("main" -> SeqBinding(ref))),
+      primaryKeys = catalog.primaryKeys + ("iseqs" -> "primary_key"))
+    def run2(q: String) = Planner.plan(q, cat2)
+    assert(run2("iseqs.filter(insertionContains(position := 0, value := 'GG', sequenceName := 'main'))")
+      .count() === 1)
+    // full-match: a strict prefix of the insertion does not match
+    assert(run2("iseqs.filter(insertionContains(position := 0, value := 'G', sequenceName := 'main'))")
+      .count() === 0)
+    // typed bounds errors (insertion_contains.cpp:61-65; uint32 extraction)
+    val e1 = intercept[QueryError] {
+      run2("iseqs.filter(insertionContains(position := 9, value := 'GG', sequenceName := 'main'))")
+    }
+    assert(e1.getMessage.contains(
+      "larger than the length of the reference sequence (8)"))
+    assert(e1.getMessage.contains("'main'"))
+    val e2 = intercept[QueryError] {
+      run2("iseqs.filter(insertionContains(position := -1, value := 'GG', sequenceName := 'main'))")
+    }
+    assert(e2.getMessage.contains("uint32"))
+  }
+
+  test("mutationProfile(sequenceId) resolves the pipeline's ORIGIN table") {
+    // a second sequence table that reuses pk 'k2' with a DIFFERENT
+    // sequence: k2 here equals seqs' k3 (ACCTACGT), so distance-0 against
+    // the correct table's profile selects exactly this row, while a
+    // headOption fallback to 'seqs' (k2 = TCGTACGT) would select none
+    val seqTable2 = SequenceModel.diff(
+      Seq(("k2", "ACCTACGT")).toDF("primary_key", "seq"),
+      "seq", ref, missingSyms = Set("N"))
+    val cat2 = catalog.copy(
+      tables = catalog.tables + ("seqs2" -> seqTable2),
+      sequences = catalog.sequences + ("seqs2" -> Map("main" -> SeqBinding(ref))),
+      primaryKeys = catalog.primaryKeys + ("seqs2" -> "primary_key"))
+    assert(Planner.plan("""seqs2.filter(nucleotideMutationProfile(distance := 0,
+        sequenceName := 'main', sequenceId := 'k2'))""", cat2).count() === 1)
+    // the original table still resolves its own k2
+    assert(Planner.plan("""seqs.filter(nucleotideMutationProfile(distance := 0,
+        sequenceName := 'main', sequenceId := 'k2'))""", cat2).count() === 1)
+  }
+
   test("join with disjoint columns; unionAll schema check") {
     val other = Seq(("Switzerland", "CH"), ("Germany", "DE")).toDF("cname", "code")
     val cat2 = catalog.copy(tables = catalog.tables + ("codes" -> other))

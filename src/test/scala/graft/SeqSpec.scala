@@ -199,9 +199,17 @@ class SeqSpec extends SparkSpec {
       .toDF("id", "raw", "pad")
     val df = base.withColumn("ins",
       transform($"raw", r => struct(r.getField("_1").as("pos"), r.getField("_2").as("ins"))))
-    val hit = df.filter(SeqPredicates.insertionContains(3, "^AC.*"))
+    val hit = df.filter(SeqPredicates.insertionContains(3, "AC.*"))
       .select("id").as[Long].collect().toSet
     assert(hit === Set(1L, 2L))
+    // FULL-match semantics (RE2::FullMatch): a substring of the insertion
+    // is NOT a match — users write .*CT.* for contains
+    assert(df.filter(SeqPredicates.insertionContains(3, "CT"))
+      .select("id").as[Long].collect().isEmpty)
+    assert(df.filter(SeqPredicates.insertionContains(3, "ACT"))
+      .select("id").as[Long].collect().toSet === Set(1L, 2L))
+    assert(df.filter(SeqPredicates.insertionContains(3, ".*CT.*"))
+      .select("id").as[Long].collect().toSet === Set(1L, 2L))
     val agg = Mutations.insertions(df)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
     assert(agg === Set((3, "ACT", 2L), (5, "GG", 1L)))
