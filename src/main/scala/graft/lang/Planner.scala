@@ -807,7 +807,8 @@ final class Planner(catalog: Planner.Catalog) {
         // it against the reference length (insertion_contains.cpp:61-65);
         // position 0 is VALID — "before the first symbol"
         // (query_documentation.md:612)
-        if (pRaw < 0) err(s"Cannot cast $pRaw to uint32. Value out of range")
+        if (pRaw < 0 || pRaw > 0xFFFFFFFFL)
+          err(s"Cannot cast $pRaw to uint32. Value out of range")
         if (pRaw > b.ref.length)
           err(s"the requested insertion position ($pRaw) is larger than the " +
             s"length of the reference sequence (${b.ref.length}) for " +
@@ -1000,13 +1001,21 @@ final class Planner(catalog: Planner.Catalog) {
     bindingWithName(fn, nameArg, wantAa, origin)._2
 
   /** The sequence-bearing table a scalar in this pipeline resolves
-    * against: the origin table when it has sequences, else the catalog's
-    * first (single-table catalogs).
+    * against: the origin table when it has sequences; an origin-LESS
+    * context (bare scalar, no pipeline table) falls back to the catalog's
+    * first (single-table catalogs). A KNOWN origin without sequence data
+    * is a typed error — falling back would silently bind another table's
+    * reference.
     */
   private def seqTableOf(fn: String, origin: Option[String]): String =
-    origin.filter(catalog.sequences.contains)
-      .orElse(catalog.sequences.keys.headOption)
-      .getOrElse(err(s"$fn requires a table with sequence data"))
+    origin match {
+      case Some(t) =>
+        if (catalog.sequences.contains(t)) t
+        else err(s"$fn requires a table with sequence data ('$t' has none)")
+      case None =>
+        catalog.sequences.keys.headOption
+          .getOrElse(err(s"$fn requires a table with sequence data"))
+    }
 
   private def bindingWithName(fn: String, nameArg: Option[Expr],
       wantAa: Boolean, origin: Option[String] = None): (String, SeqBinding) = {

@@ -69,8 +69,16 @@ class GoldenCorpusSpec extends SparkSpec {
   }
   val secondRef = "ACGT"
   val geneNames = Seq("E", "M", "N", "ORF1a", "ORF1b", "S")
+  // Each synthetic gene reference must be at least as long as the corpus's max
+  // queried position for that gene (the planner validates insertion positions
+  // against the reference length, matching insertion_contains.cpp:61-65):
+  // corpus maxima are E=20 N=377 ORF1a=3676 ORF1b=314 S=969. S uses the real
+  // spike length (1273 aa) so the planted S insertion at 214 stays in range.
+  val geneLens: Map[String, Int] = Map(
+    "E" -> 100, "M" -> 100, "N" -> 400, "ORF1a" -> 3700, "ORF1b" -> 350, "S" -> 1273)
   lazy val geneRefs: Map[String, String] = geneNames.map { g =>
-    g -> ("M" + Seq.tabulate(99)(i => "ARNDCQEGHILKMFPSTWYV"((i * 7 + g.length) % 20)).mkString)
+    g -> ("M" + Seq.tabulate(geneLens(g) - 1)(i =>
+      "ARNDCQEGHILKMFPSTWYV"((i * 7 + g.length) % 20)).mkString)
   }.toMap
 
   def mutate(ref: String, i: Int, k: Int): String = {
@@ -638,6 +646,10 @@ class GoldenCorpusSpec extends SparkSpec {
       else 0L
     val mainSel = hashSel(5) // ins: pos 22204, CAGAA
     val sSel = hashSel(3)    // S_ins: pos 214, Y*EPE
+    // NOTE: the corpus queries at positions != the synthetic insertion's
+    // position (exact, not_exact1/3/4) verify only that the engine returns
+    // empty there; the regex path itself is exercised by not_exact2 (at
+    // 22204, asserted non-trivial below) and the two S-gene cases at 214.
     def mainCount(qPos: Int, pat: String): Long =
       naiveCount(mainSel, 22204, "CAGAA", qPos, pat)
     assert(count1("insertionContains_exact.json") ===

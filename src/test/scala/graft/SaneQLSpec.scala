@@ -236,6 +236,28 @@ class SaneQLSpec extends SparkSpec {
       run2("iseqs.filter(insertionContains(position := -1, value := 'GG', sequenceName := 'main'))")
     }
     assert(e2.getMessage.contains("uint32"))
+    // above uint32 max the uint32 extraction fails BEFORE the
+    // reference-length comparison (reference parity: the uint32 cast error,
+    // not the length error)
+    val e3 = intercept[QueryError] {
+      run2("iseqs.filter(insertionContains(position := 5000000000, value := 'GG', sequenceName := 'main'))")
+    }
+    assert(e3.getMessage.contains("uint32"))
+  }
+
+  test("sequence predicate on a KNOWN origin without sequence data is a typed error") {
+    // a plain table with no registered sequences: the planner must NOT
+    // fall back to another table's sequence binding when the origin is known
+    val plain = Seq(("a", 1), ("b", 2)).toDF("primary_key", "v")
+    val cat2 = catalog.copy(
+      tables = catalog.tables + ("plain" -> plain),
+      primaryKeys = catalog.primaryKeys + ("plain" -> "primary_key"))
+    val e = intercept[QueryError] {
+      Planner.plan(
+        "plain.filter(hasMutation(position := 1, sequenceName := 'main'))", cat2)
+    }
+    assert(e.getMessage.contains("sequence data"))
+    assert(e.getMessage.contains("plain"))
   }
 
   test("mutationProfile(sequenceId) resolves the pipeline's ORIGIN table") {
