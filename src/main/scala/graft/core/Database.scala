@@ -91,7 +91,17 @@ object Database {
     * `database_config.yaml`, `reference_genomes.json`, optional
     * `phylogenetic_tree.nwk`, lineage yamls referenced from the config.
     */
-  def build(spark: SparkSession, configDir: String, ndjsonPath: String): Catalog = {
+  def build(spark: SparkSession, configDir: String, ndjsonPath: String): Catalog =
+    build(spark, configDir, ndjsonPath, None)
+
+  /** As above; with `stateDir` the row-level posting indexes persist as
+    * parquet index tables under `stateDir/index/<sequence>` — written once
+    * at preprocessing, LOADED (not rebuilt) on every later build, the
+    * reference's serialize-indexes-with-state property
+    * (sequence_column.h:147-163).
+    */
+  def build(spark: SparkSession, configDir: String, ndjsonPath: String,
+      stateDir: Option[String]): Catalog = {
     val cfg = parseConfig(s"$configDir/database_config.yaml")
     val (nucRefs, aaRefs) = parseReferenceGenomes(spark, s"$configDir/reference_genomes.json")
     val allRefs = nucRefs ++ aaRefs
@@ -199,12 +209,18 @@ object Database {
     // reference building its vertical/insertion indexes during
     // preprocessing) so selective position predicates route through them
     // (Planner.indexRoute); the per-sequence count maps are bounded by
-    // genome × alphabet
-    val nRows = cleaned.count() // shared across bindings — count once
+    // genome × alphabet. With a stateDir, an index persisted by an
+    // earlier build LOADS from its parquet tables instead of rebuilding —
+    // a fresh session pays one bounded count-map collect, not a full
+    // re-derivation of the postings.
+    lazy val nRows = cleaned.count() // shared across bindings — count once
     val mutIndexes = bindings.map { case (name, b) =>
       val insCol = Option(s"${b.prefix}ins").filter(cleaned.columns.contains)
-      name -> graft.lang.Planner.SeqIndex.build(
-        cleaned, cfg.primaryKey, b.prefix, insCol, tableRows = Some(nRows))
+      val idxDir = stateDir.map(d => s"$d/index/$name")
+      name -> idxDir.flatMap(graft.lang.Planner.SeqIndex.load(spark, _))
+        .getOrElse(graft.lang.Planner.SeqIndex.build(
+          cleaned, cfg.primaryKey, b.prefix, insCol,
+          tableRows = Some(nRows), indexDir = idxDir))
     }
 
     Catalog(

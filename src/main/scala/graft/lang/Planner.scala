@@ -52,35 +52,130 @@ object Planner {
       * knows it so registering several bindings doesn't re-count the same
       * table).
       *
-      * The posting frames are MATERIALIZED here (localCheckpoint) so a
-      * routed query reads index blocks instead of re-deriving the
-      * explode from a full base-table scan — without the cut, the
-      * "index" side of the semi-join would itself scan the whole table
-      * and the routing could never win. At 100 TB the same registration
-      * writes the postings to their own parquet table partitioned by
-      * `pos` (file-pruned by the (pos, sym) filter) instead of
-      * checkpointing to executor memory.
+      * The posting frames must be MATERIALIZED so a routed query reads
+      * index blocks instead of re-deriving the explode from a full
+      * base-table scan — without the cut, the "index" side of the
+      * semi-join would itself scan the whole table and the routing could
+      * never win. With `indexDir` the postings persist as parquet index
+      * tables partitioned by `pos` (the reference serializes its
+      * vertical/insertion indexes with the database state,
+      * sequence_column.h:147-163) — the routed `pos === p` filter then
+      * prunes partition directories at scan time, the index survives the
+      * session, and `load` restores it without rebuilding. Without
+      * `indexDir` (ad-hoc in-session catalogs) it falls back to
+      * `localCheckpoint` executor-memory materialization.
       */
     def build(diffed: DataFrame, pkCol: String, prefix: String = "",
         insCol: Option[String] = None,
-        tableRows: Option[Long] = None): SeqIndex = {
+        tableRows: Option[Long] = None,
+        indexDir: Option[String] = None): SeqIndex = {
       import org.apache.spark.sql.functions.col
-      val postings = graft.seq.SequenceModel.mutPostings(diffed, pkCol, prefix)
-        .localCheckpoint()
-      val counts = graft.seq.SequenceModel.mutIndex(
-        diffed.select(col(s"${prefix}muts").as("muts")))
-        .collect()
-        .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
-      val insP = insCol.map(c =>
-        graft.seq.SequenceModel.insPostings(diffed, pkCol, c).localCheckpoint())
-      val insByPos = insCol.map { c =>
-        graft.seq.SequenceModel.insIndex(diffed, c)
-          .groupBy("pos")
-          .agg(org.apache.spark.sql.functions.sum("cnt").as("n"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      }.getOrElse(Map.empty[Int, Long])
-      SeqIndex(postings, counts, tableRows.getOrElse(diffed.count()),
-        insP, insByPos)
+      indexDir match {
+        case Some(dir) =>
+          val rows = tableRows.getOrElse(diffed.count())
+          val spark = diffed.sparkSession
+          // one file per pos directory: cluster by pos before the
+          // partitioned write so every task owns whole positions
+          graft.seq.SequenceModel.mutPostings(diffed, pkCol, prefix)
+            .repartition(col("pos"))
+            .sortWithinPartitions("pos", "sym")
+            .write.mode("overwrite").partitionBy("pos").parquet(s"$dir/mut")
+          graft.seq.SequenceModel.mutIndex(
+            diffed.select(col(s"${prefix}muts").as("muts")))
+            .write.mode("overwrite").parquet(s"$dir/mut_counts")
+          insCol.foreach { c =>
+            graft.seq.SequenceModel.insPostings(diffed, pkCol, c)
+              .repartition(col("pos"))
+              .sortWithinPartitions("pos")
+              .write.mode("overwrite").partitionBy("pos").parquet(s"$dir/ins")
+            graft.seq.SequenceModel.insIndex(diffed, c)
+              .groupBy("pos")
+              .agg(org.apache.spark.sql.functions.sum("cnt").as("n"))
+              .write.mode("overwrite").parquet(s"$dir/ins_counts")
+          }
+          // meta written LAST via tmp+rename: its presence marks the
+          // index complete (same atomic-pointer idiom as table versions).
+          // pkType lets `load` synthesize an empty posting frame when a
+          // mutation-free dataset wrote no parquet files at all.
+          val pkType = diffed.schema(pkCol).dataType.catalogString
+          val tmp = java.nio.file.Paths.get(dir, ".meta.json.tmp")
+          java.nio.file.Files.writeString(tmp,
+            s"""{"tableRows":$rows,"hasIns":${insCol.isDefined},"pkType":"$pkType"}""")
+          java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "meta.json"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          load(spark, dir).getOrElse(
+            sys.error(s"posting index just written to $dir failed to load"))
+        case None =>
+          val postings = graft.seq.SequenceModel.mutPostings(diffed, pkCol, prefix)
+            .localCheckpoint()
+          val counts = graft.seq.SequenceModel.mutIndex(
+            diffed.select(col(s"${prefix}muts").as("muts")))
+            .collect()
+            .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+          val insP = insCol.map(c =>
+            graft.seq.SequenceModel.insPostings(diffed, pkCol, c).localCheckpoint())
+          val insByPos = insCol.map { c =>
+            graft.seq.SequenceModel.insIndex(diffed, c)
+              .groupBy("pos")
+              .agg(org.apache.spark.sql.functions.sum("cnt").as("n"))
+              .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          }.getOrElse(Map.empty[Int, Long])
+          SeqIndex(postings, counts, tableRows.getOrElse(diffed.count()),
+            insP, insByPos)
+      }
+    }
+
+    /** Restore a persisted posting index (None when `dir` holds no
+      * complete index). The posting frames are plain parquet scans —
+      * partition-pruned by the routed `pos` filter, recomputable (so a
+      * caller unpersisting every RDD between queries cannot strand them,
+      * unlike checkpointed frames), and shared across sessions. The
+      * count maps are bounded by genome × alphabet and collected once.
+      */
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String)
+        : Option[SeqIndex] = {
+      val meta = java.nio.file.Paths.get(dir, "meta.json")
+      if (!java.nio.file.Files.exists(meta)) None
+      else {
+        val txt = java.nio.file.Files.readString(meta)
+        def field(k: String): String =
+          txt.split(s""""$k":""")(1).takeWhile(c => c != ',' && c != '}')
+        val rows = field("tableRows").trim.toLong
+        val hasIns = field("hasIns").trim.toBoolean
+        val pkType = org.apache.spark.sql.types.DataType.fromDDL(
+          field("pkType").trim.stripPrefix("\"").stripSuffix("\""))
+        // a mutation/insertion-free dataset's partitioned write leaves no
+        // parquet files (just _SUCCESS), so schema inference would fail;
+        // detect that by listing instead of catching — synthesizing the
+        // empty frame without an exception round-trip
+        def hasParquet(path: String): Boolean = {
+          val entries = Option(new java.io.File(path).listFiles()).getOrElse(Array())
+          entries.exists(f =>
+            f.getName.startsWith("pos=") || f.getName.endsWith(".parquet"))
+        }
+        def readOrEmpty(path: String, valueCol: StructField): DataFrame =
+          if (hasParquet(path)) spark.read.parquet(path)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("pos", IntegerType), valueCol,
+              StructField("pk", pkType))))
+        def collectOrEmpty(path: String): Array[org.apache.spark.sql.Row] =
+          if (hasParquet(path)) spark.read.parquet(path).collect()
+          else Array()
+        val counts = collectOrEmpty(s"$dir/mut_counts")
+          .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+        val insByPos =
+          if (!hasIns) Map.empty[Int, Long]
+          else collectOrEmpty(s"$dir/ins_counts")
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        Some(SeqIndex(
+          readOrEmpty(s"$dir/mut", StructField("sym", StringType)),
+          counts, rows,
+          if (hasIns) Some(readOrEmpty(s"$dir/ins", StructField("ins", StringType)))
+          else None,
+          insByPos))
+      }
     }
   }
 

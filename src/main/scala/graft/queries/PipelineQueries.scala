@@ -399,16 +399,37 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
-    // ---- multimodal plumbing: opaque binary payload + derived features ----
+    // ---- multimodal: real container-header decode over binary payloads.
+    //      Each doc synthesizes a VALID minimal PNG/JPEG/GIF container
+    //      with dimensions derived from doc_id; the Spark side then
+    //      parses the dimensions back OUT OF THE BYTES (Media.decode:
+    //      PNG IHDR, JPEG SOF marker walk, GIF screen descriptor) while
+    //      the oracle recomputes them arithmetically — a genuine
+    //      encode→binary→parse round-trip, blobs never shuffled. The
+    //      byte_len constants assert the encoders (33-byte PNG header,
+    //      41-byte JPEG SOI+APP0+SOF0+EOI, 13-byte GIF header+LSD). ----
     QDef("q_multimodal_features",
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
-        |  md5(text) AS checksum
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+        |  CAST(doc_id % 1000 + 1 AS INTEGER) AS width,
+        |  CAST(doc_id % 600 + 1 AS INTEGER) AS height,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 4 ELSE 3 END AS INTEGER) AS channels,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 41 ELSE 13 END AS INTEGER) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      t(s, dir, "documents")
-        .withColumn("blob", encode(col("text"), "UTF-8"))
-        .select(col("doc_id"),
-          octet_length(col("blob")).cast("int").as("byte_len"),
-          md5(col("text")).as("checksum"))
+      import s.implicits._
+      import graft.multimodal.Media
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+        val w = (id % 1000 + 1).toInt
+        val h = (id % 600 + 1).toInt
+        (id % 3).toInt match {
+          case 0 => Media.MediaRow(id, "image/png", Media.pngBytes(w, h))
+          case 1 => Media.MediaRow(id, "image/jpeg", Media.jpegBytes(w, h))
+          case _ => Media.MediaRow(id, "image/gif", Media.gifBytes(w, h))
+        }
+      }
+      Media.extractFeatures(media)
+        .select(col("media_id").as("doc_id"), col("format"), col("width"),
+          col("height"), col("channels"), col("byte_len"))
         .orderBy("doc_id")
     },
 

@@ -49,12 +49,20 @@ object NdjsonIngest {
     * stores the micro-batch id here and skips a batch whose id is already
     * the committed tag (exactly-once across checkpoint replays without a
     * separate, non-atomic manifest write).
+    *
+    * An UNTAGGED commit CARRIES the previous tag forward: the replay tag
+    * answers "is streaming batch N already contained in this table?", and
+    * a batch append layered on top of the streaming commit still contains
+    * it. Dropping the tag here would make a post-crash replay of batch N
+    * unrecognizable — it would re-union rows already in the table and
+    * poison the stream in a dup-PK abort loop.
     */
   def appendVersion(df: DataFrame, tableDir: String, pk: String,
       tag: Option[String] = None): Long = {
     validatePrimaryKey(df, pk)
     val fs = new java.io.File(tableDir)
     fs.mkdirs()
+    val effectiveTag = tag.orElse(latestTag(tableDir))
     val existing = Option(fs.list()).getOrElse(Array())
       .filter(_.startsWith("v")).map(_.drop(1).toLong)
     val next = if (existing.isEmpty) 1L else existing.max + 1
@@ -62,7 +70,7 @@ object NdjsonIngest {
     // atomic pointer flip: write tmp then rename
     val tmp = new java.io.File(tableDir, ".latest.tmp")
     java.nio.file.Files.writeString(tmp.toPath,
-      s"v$next" + tag.map(t => s" $t").getOrElse(""))
+      s"v$next" + effectiveTag.map(t => s" $t").getOrElse(""))
     tmp.renameTo(new java.io.File(tableDir, "latest"))
     next
   }

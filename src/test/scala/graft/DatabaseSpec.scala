@@ -110,6 +110,40 @@ class DatabaseSpec extends SparkSpec {
     assert(row.getString(1) === "AGGTACGT") // decompressed, diffed, reconstructed
   }
 
+  test("posting indexes persist to stateDir parquet and LOAD on rebuild") {
+    import java.nio.file.{Files, Paths}
+    val state = Files.createTempDirectory("graft_state").toString
+    val c1 = Database.build(spark, dir, s"$dir/input.ndjson", Some(state))
+    // every binding wrote a complete index (meta present = commit marker)
+    c1.mutIndexes("default").keySet.foreach { b =>
+      assert(Files.exists(Paths.get(state, "index", b, "meta.json")), b)
+    }
+    val meta = Paths.get(state, "index", "main", "meta.json")
+    val t0 = Files.getLastModifiedTime(meta)
+    val m1 = c1.mutIndexes("default")("main")
+    // a SECOND build against the same state LOADS the persisted index —
+    // the reference's serialize-indexes-with-state property
+    // (sequence_column.h:147-163) — instead of re-deriving the postings
+    val c2 = Database.build(spark, dir, s"$dir/input.ndjson", Some(state))
+    assert(Files.getLastModifiedTime(meta) === t0) // not rewritten
+    val m2 = c2.mutIndexes("default")("main")
+    assert(m2.tableRows === m1.tableRows)
+    assert(m2.counts === m1.counts)
+    assert(m2.postings.collect().map(_.toString).sorted.toSeq ===
+      m1.postings.collect().map(_.toString).sorted.toSeq)
+    // the loaded posting frame is a plain partitioned-parquet scan: a
+    // routed `pos = p` filter prunes partition directories at scan time
+    val pruned = m2.postings.filter(col("pos") === 2)
+    val p = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("PartitionFilters"), p.take(800))
+    assert(p.contains("(pos"), p.take(800))
+    // and query results through the loaded catalog match the built one
+    val q = "default.filter(hasMutation(position := 2, sequenceName := 'main'))"
+    assert(Planner.plan(q, c2).select("primaryKey").collect().map(_.getString(0)).toSet ===
+      Planner.plan(q, c1).select("primaryKey").collect().map(_.getString(0)).toSet)
+  }
+
   test("phylo tree from the dataset's newick file") {
     val m = run(
       "default.filter(country = 'Switzerland').mostRecentCommonAncestor('primaryKey')")

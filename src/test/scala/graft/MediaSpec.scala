@@ -1,36 +1,68 @@
 package graft
 
 import graft.multimodal.Media
-import graft.multimodal.Media.{MediaFeatures, MediaRow}
+import graft.multimodal.Media.{Decoded, MediaRow}
 
 class MediaSpec extends SparkSpec {
   import spark.implicits._
 
   def rows = Seq(
-    MediaRow(1L, "image/fake", "payload-one".getBytes("UTF-8")),
-    MediaRow(2L, "image/fake", "payload-two-longer".getBytes("UTF-8")),
-    MediaRow(3L, "video/fake", Array.fill[Byte](640)(7)))
+    MediaRow(1L, "image/png", Media.pngBytes(640, 480, colorType = 6)),
+    MediaRow(2L, "image/jpeg", Media.jpegBytes(1920, 1080, ncomp = 3)),
+    MediaRow(3L, "image/gif", Media.gifBytes(320, 200)),
+    MediaRow(4L, "application/octet-stream", "payload-one".getBytes("UTF-8")),
+    MediaRow(5L, "video/fake", Array.fill[Byte](640)(7)))
 
-  test("extractFeatures drops payloads, keeps deterministic features") {
+  test("decode parses real PNG/JPEG/GIF headers from magic bytes") {
+    assert(Media.decode(Media.pngBytes(640, 480, colorType = 6)) ===
+      Some(Decoded("png", 640, 480, 4)))
+    assert(Media.decode(Media.pngBytes(7, 9, colorType = 0)) ===
+      Some(Decoded("png", 7, 9, 1))) // grayscale → 1 channel
+    assert(Media.decode(Media.pngBytes(7, 9, colorType = 2)) ===
+      Some(Decoded("png", 7, 9, 3))) // truecolor → 3 channels
+    // JPEG: the marker walk must skip the APP0 segment to reach SOF0
+    assert(Media.decode(Media.jpegBytes(1920, 1080, ncomp = 3)) ===
+      Some(Decoded("jpeg", 1920, 1080, 3)))
+    assert(Media.decode(Media.jpegBytes(64, 64, ncomp = 1)) ===
+      Some(Decoded("jpeg", 64, 64, 1))) // grayscale JPEG
+    assert(Media.decode(Media.gifBytes(320, 200)) ===
+      Some(Decoded("gif", 320, 200, 3)))
+    // non-containers and truncated/corrupt headers → None, never throw
+    assert(Media.decode("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Media.decode(Array[Byte]()).isEmpty)
+    assert(Media.decode(Media.pngBytes(640, 480).take(20)).isEmpty)
+    assert(Media.decode(Media.jpegBytes(640, 480).take(3)).isEmpty)
+    val badSig = Media.pngBytes(640, 480); badSig(0) = 0x42
+    assert(Media.decode(badSig).isEmpty)
+  }
+
+  test("extractFeatures parses real containers, stub-falls-back for unknown") {
     val out = Media.extractFeatures(rows.toDS()).collect().sortBy(_.media_id)
-    assert(out.map(_.byte_len).toSeq === Seq(11, 18, 640))
+    assert(out.map(f => (f.format, f.width, f.height, f.channels)).toSeq === Seq(
+      ("png", 640, 480, 4),
+      ("jpeg", 1920, 1080, 3),
+      ("gif", 320, 200, 3),
+      ("unknown", out(3).width, out(3).height, 0),
+      ("unknown", out(4).width, out(4).height, 0)))
+    assert(out.map(_.byte_len).toSeq ===
+      rows.sortBy(_.media_id).map(_.blob.length))
     assert(!out.head.getClass.getDeclaredFields.exists(_.getName == "blob"))
-    // deterministic: same input → same fake decode
+    // deterministic: same input → same decode (incl. the stub fallback)
     val again = Media.extractFeatures(rows.toDS()).collect().sortBy(_.media_id)
     assert(out.toSeq === again.toSeq)
-    out.foreach { f =>
-      assert(f.fake_width >= 16 && f.fake_height >= 16)
-      assert(f.channel_mean >= 0)
-    }
+    out.foreach(f => assert(f.channel_mean >= 0))
   }
 
   test("resize bounds both dimensions while preserving ids") {
     val feats = Media.extractFeatures(rows.toDS())
     val resized = Media.resize(feats, maxDim = 32).collect()
     resized.foreach { f =>
-      assert(f.fake_width <= 32 && f.fake_height <= 32)
+      assert(f.width <= 32 && f.height <= 32 && f.width >= 1 && f.height >= 1)
     }
-    assert(resized.map(_.media_id).sorted.toSeq === Seq(1L, 2L, 3L))
+    assert(resized.map(_.media_id).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    // aspect ratio preserved for the real containers
+    val png = resized.find(_.media_id == 1L).get
+    assert(png.width === 32 && png.height === 24)
   }
 
   test("frame sampling emits every k-th virtual frame with byte offsets") {

@@ -45,6 +45,11 @@ class PlanSpec extends SparkSpec {
     // LeftSemi join, NOT scan rows with the exists() predicate
     val p = planOf("q_seq_idxroute")
     assert(p.contains("LeftSemi"), p.take(800))
+    // the index side is the PERSISTED parquet posting table (registered at
+    // preprocessing, not rebuilt per query), partition-pruned to the
+    // queried position's directory at scan time
+    assert(p.contains("graft_idx_mut"), p.take(1500))
+    assert(p.contains("PartitionFilters"), p.take(1500))
   }
 
   test("selective insertionContains routes through the ins posting index") {

@@ -116,6 +116,27 @@ class StreamingSpec extends SparkSpec {
       graft.streaming.StreamingIngest.ingestBatch(
         spark, replayBatch, replayId + 1, "seq", "ACGTACGT", tableDir, "id")
     }
+
+    // ---- untagged batch append BETWEEN a streaming commit and its
+    // replay must not clear the replay tag: the batch-appended version
+    // still contains streaming batch `replayId`, so the carried-forward
+    // tag keeps the replay a no-op (instead of re-unioning already
+    // committed rows into a dup-PK abort loop) ----
+    val prev = spark.read.parquet(NdjsonIngest.latestPath(tableDir))
+    val extra = graft.seq.SequenceModel.diff(
+      Seq(("k4", "ACGAACGT")).toDF("id", "seq"), "seq", "ACGTACGT",
+      missingSyms = Set("N"))
+    NdjsonIngest.appendVersion(prev.unionByName(extra), tableDir, "id")
+    assert(NdjsonIngest.latestTag(tableDir) === lastTag) // tag carried
+    val nVersions = new java.io.File(tableDir).list().count(_.startsWith("v"))
+    graft.streaming.StreamingIngest.ingestBatch(
+      spark, replayBatch, replayId, "seq", "ACGTACGT", tableDir, "id")
+    // replay after the interleaved append: still a no-op, k4 retained
+    assert(new java.io.File(tableDir).list().count(_.startsWith("v")) === nVersions)
+    val after = spark.read.parquet(NdjsonIngest.latestPath(tableDir))
+    assert(after.count() === 4)
+    assert(after.select("id").as[String].collect().sorted.toSeq ===
+      Seq("k1", "k2", "k3", "k4"))
   }
 
   test("sessionize closes sessions on gap and on timeout") {
