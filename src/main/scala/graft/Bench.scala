@@ -24,7 +24,7 @@ object Bench {
     // Database.build) happens outside the timed body — the timed runs then
     // measure the routed semi-join against the persisted parquet index
     Seq("q_count_star", "q_seq_mutations", "q_simhash",
-        "q_seq_idxroute", "q_seq_insroute").foreach(n =>
+        "q_seq_idxroute", "q_seq_insroute", "q_seq_ins3route").foreach(n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try fn(spark, sfDir).count()
         // warmup failures surface below when the query is timed for real;

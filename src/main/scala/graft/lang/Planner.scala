@@ -43,7 +43,8 @@ object Planner {
   final case class SeqIndex(postings: DataFrame,
       counts: Map[(Int, String), Long], tableRows: Long,
       insPostings: Option[DataFrame] = None,
-      insCountByPos: Map[Int, Long] = Map())
+      insCountByPos: Map[Int, Long] = Map(),
+      insKmerPostings: Option[DataFrame] = None)
 
   object SeqIndex {
     /** Build from a diffed frame (one aggregation pass + the bounded
@@ -92,6 +93,13 @@ object Planner {
               .groupBy("pos")
               .agg(org.apache.spark.sql.functions.sum("cnt").as("n"))
               .write.mode("overwrite").parquet(s"$dir/ins_counts")
+            // 3-mer inverted index (reference insertion_index.cpp:158-196):
+            // sorted within partitions by kmer so a kmer equality search
+            // prunes row groups via min/max stats inside the pos partition
+            graft.seq.SequenceModel.insKmerPostings(diffed, pkCol, c)
+              .repartition(col("pos"))
+              .sortWithinPartitions("pos", "kmer")
+              .write.mode("overwrite").partitionBy("pos").parquet(s"$dir/ins3")
           }
           // meta written LAST via tmp+rename: its presence marks the
           // index complete (same atomic-pointer idiom as table versions).
@@ -121,8 +129,11 @@ object Planner {
               .agg(org.apache.spark.sql.functions.sum("cnt").as("n"))
               .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
           }.getOrElse(Map.empty[Int, Long])
+          val insK = insCol.map(c =>
+            graft.seq.SequenceModel.insKmerPostings(diffed, pkCol, c)
+              .localCheckpoint())
           SeqIndex(postings, counts, tableRows.getOrElse(diffed.count()),
-            insP, insByPos)
+            insP, insByPos, insK)
       }
     }
 
@@ -154,12 +165,12 @@ object Planner {
           entries.exists(f =>
             f.getName.startsWith("pos=") || f.getName.endsWith(".parquet"))
         }
-        def readOrEmpty(path: String, valueCol: StructField): DataFrame =
+        def readOrEmpty(path: String, valueCols: StructField*): DataFrame =
           if (hasParquet(path)) spark.read.parquet(path)
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(Seq(StructField("pos", IntegerType), valueCol,
-              StructField("pk", pkType))))
+            StructType(StructField("pos", IntegerType) +: valueCols.toSeq :+
+              StructField("pk", pkType)))
         def collectOrEmpty(path: String): Array[org.apache.spark.sql.Row] =
           if (hasParquet(path)) spark.read.parquet(path).collect()
           else Array()
@@ -169,12 +180,21 @@ object Planner {
           if (!hasIns) Map.empty[Int, Long]
           else collectOrEmpty(s"$dir/ins_counts")
             .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        // ins3 written by this version's build: dir present (possibly with
+        // zero parquet files = no 3-char insertions). An index persisted
+        // BEFORE the 3-mer index existed has no ins3 dir at all — there
+        // kmer routing must stay off (None), not silently empty.
+        val insKmer =
+          if (hasIns && new java.io.File(s"$dir/ins3").isDirectory)
+            Some(readOrEmpty(s"$dir/ins3", StructField("kmer", StringType),
+              StructField("ins", StringType)))
+          else None
         Some(SeqIndex(
           readOrEmpty(s"$dir/mut", StructField("sym", StringType)),
           counts, rows,
           if (hasIns) Some(readOrEmpty(s"$dir/ins", StructField("ins", StringType)))
           else None,
-          insByPos))
+          insByPos, insKmer))
       }
     }
   }
@@ -380,6 +400,16 @@ final class Planner(catalog: Planner.Catalog) {
                 case InsRoute(_, p, pat, _) =>
                   si.insPostings.get.filter(col("pos") === p &&
                     col("ins").rlike(SeqPredicates.anchoredInsertionRegex(pat)))
+                case InsKmerRoute(_, p, pat, kmers, _) =>
+                  // pruned (pos partition) + pushed kmer equality scan →
+                  // per-(pk, ins) intersection (candidate iff ALL pattern
+                  // 3-mers present) → regex verify on the few candidates
+                  si.insKmerPostings.get
+                    .filter(col("pos") === p && col("kmer").isin(kmers: _*))
+                    .groupBy(col("pk"), col("ins"))
+                    .agg(countDistinct(col("kmer")).as("__nk"))
+                    .filter(col("__nk") === kmers.size &&
+                      col("ins").rlike(SeqPredicates.anchoredInsertionRegex(pat)))
               }).select(col("pk").as("__idx_pk"))
               // the broadcast hint is size-gated, not just row-gated: near
               // the 5M-row routing cap a pk list (especially string pks)
@@ -1169,6 +1199,35 @@ final class Planner(catalog: Planner.Catalog) {
   /** insertionContains: the regex applies to the posting values. */
   private final case class InsRoute(seqName: String, pos: Int,
       pattern: String, postings: Long) extends IndexedPred
+  /** insertionContains through the 3-mer inverted index: candidates =
+    * values containing ALL literal 3-mers of the pattern, regex-verified
+    * (reference searchWithThreeMerIndex, insertion_index.cpp:73-143).
+    */
+  private final case class InsKmerRoute(seqName: String, pos: Int,
+      pattern: String, kmers: Seq[String], postings: Long) extends IndexedPred
+
+  /** Literal 3-mers of an insertion search pattern — the reference's
+    * extractThreeMers (insertion_index.cpp:43-58): split the pattern on
+    * `.*`, unescape each continuous run, take its DISJOINT stride-3
+    * 3-mers. Any value full-matching the pattern must contain every
+    * continuous run, hence every extracted 3-mer, as a substring — so the
+    * overlapping-3-mer index is a sound candidate filter. Only called on
+    * patterns that passed insertionPatternOk (symbols / `.*` / escapes).
+    */
+  private def insertionKmers(v: String): Seq[String] = {
+    val runs = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var i = 0
+    while (i < v.length) {
+      if (v(i) == '\\' && i + 1 < v.length) { cur += v(i + 1); i += 2 }
+      else if (v(i) == '.' && i + 1 < v.length && v(i + 1) == '*') {
+        runs += cur.result(); cur.clear(); i += 2
+      } else { cur += v(i); i += 1 }
+    }
+    runs += cur.result()
+    runs.flatMap(r => (0 until r.length - 2 by 3).map(j => r.substring(j, j + 3)))
+      .distinct.toSeq
+  }
 
   /** Decide whether one filter conjunct is answerable from a posting
     * index. Only PURE diff-match shapes qualify — symbolEquals whose
@@ -1258,10 +1317,23 @@ final class Planner(catalog: Planner.Catalog) {
             catch { case _: QueryError => return None }
           indexes.get(name) match {
             case Some(si) if si.insPostings.isDefined &&
-                b.isAminoAcid == wantAa && p <= b.ref.length &&
-                routable(si, si.insCountByPos.getOrElse(p.toInt, 0L)) =>
-              Some(InsRoute(name, p.toInt, v,
-                si.insCountByPos.getOrElse(p.toInt, 0L)))
+                b.isAminoAcid == wantAa && p <= b.ref.length =>
+              val cnt = si.insCountByPos.getOrElse(p.toInt, 0L)
+              if (routable(si, cnt)) Some(InsRoute(name, p.toInt, v, cnt))
+              else {
+                // wide position — the per-position regex scan failed the
+                // selectivity gate, but literal 3-mers in the pattern can
+                // still subset candidates through the 3-mer inverted
+                // index (the reference prefers the three-mer path whenever
+                // one is extractable, insertion_index.cpp:219-231); only
+                // the absolute cap applies since the kmer equality filter,
+                // not the position width, bounds the scan
+                val kmers = insertionKmers(v)
+                if (kmers.nonEmpty && si.insKmerPostings.isDefined &&
+                    cnt <= RouteMaxRows)
+                  Some(InsKmerRoute(name, p.toInt, v, kmers, cnt))
+                else None
+              }
             case _ => None
           }
         case _ => None

@@ -235,6 +235,21 @@ object SeqQueries {
       insRouteQuery(s, dir)
     },
 
+    // ---- routed insertionContains at a WIDE position (every row has an
+    //      insertion at position 1, far over the 10% selectivity gate):
+    //      the per-position regex scan is not routable, so the planner
+    //      takes the 3-mer inverted index (reference insertion_index.cpp:
+    //      96-140) — candidates from a pushed kmer='the' equality scan,
+    //      regex-verified, then the pk semi-join. Oracle is routing-blind:
+    //      full-match on the first token. ----
+    QDef("q_seq_ins3route",
+      s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents)
+         |SELECT doc_id FROM toks
+         |WHERE len(tk) >= 1 AND len(tk[1]) >= 1 AND regexp_full_match(tk[1], 'the.*')
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      ins3RouteQuery(s, dir)
+    },
+
     // ---- insertions(): per (position, inserted string) counts ----
     QDef("q_seq_insertions",
       s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS tk
@@ -429,6 +444,42 @@ object SeqQueries {
         |  .project({doc_id})
         |  .orderBy({doc_id})""".stripMargin,
       insRouteCatalog(s, dir))
+
+  /** The wide-position routed query of q_seq_ins3route: EVERY doc carries
+    * its first token as an insertion at position 1 (≈100% density), so the
+    * per-position selectivity gate refuses the plain posting-regex route
+    * and the planner must subset through the 3-mer inverted index.
+    */
+  def ins3RouteQuery(s: SparkSession, dir: String): DataFrame =
+    graft.lang.Planner.plan(
+      """seqs
+        |  .filter(insertionContains(position := 1, value := 'the.*', sequenceName := 'main'))
+        |  .project({doc_id})
+        |  .orderBy({doc_id})""".stripMargin,
+      ins3RouteCatalog(s, dir))
+
+  /** Catalog where position 1 holds every doc's first token (memoized;
+    * indexes persist to parquet once — including the ins3 3-mer table).
+    */
+  def ins3RouteCatalog(s: SparkSession, dir: String): graft.lang.Planner.Catalog =
+    memoCatalog(s, dir, "ins3") { idxDir =>
+      import graft.lang.Planner
+      val first = element_at(graft.functions.TextFunctions.tokens(col("text")), 1)
+      val ins = when(length(first) >= 1,
+        array(struct(lit(1).cast("int").as("pos"), first.as("ins"))))
+        .otherwise(array().cast("array<struct<pos:int,ins:string>>"))
+      val diffed = SequenceModel.diff(
+        t(s, dir, "documents")
+          .select(col("doc_id"), seqCol.as("seq"), ins.as("ins")),
+        "seq", REF)
+      Planner.Catalog(
+        tables = Map("seqs" -> diffed),
+        sequences = Map("seqs" -> Map("main" -> Planner.SeqBinding(REF))),
+        primaryKeys = Map("seqs" -> "doc_id"),
+        mutIndexes = Map("seqs" -> Map("main" ->
+          Planner.SeqIndex.build(diffed, "doc_id", insCol = Some("ins"),
+            indexDir = Some(idxDir)))))
+    }
 
   /** Catalog with the diffed docs + a synthetic `ins` column + registered
     * mut/ins posting indexes (memoized; indexes persist to parquet once).

@@ -166,6 +166,27 @@ object SequenceModel {
     diffed.select(col(pkCol).as("pk"), explode(col(insCol)).as("i"))
       .select(col("i.pos").as("pos"), col("i.ins").as("ins"), col("pk"))
 
+  /** 3-mer inverted insertion index `(pos, kmer, ins, pk)` — the analog of
+    * the reference's per-position three-mer index
+    * (insertion_index.h:64-77, insertion_index.cpp:158-196): every
+    * OVERLAPPING 3-mer of each insertion value posts the (value, row).
+    * A regex search whose pattern contains literal 3-mers then reads only
+    * the matching kmer postings (pushed-down string equality on a pruned
+    * `pos` partition), intersects per (pk, ins), and regex-verifies the
+    * few candidates — instead of running the regex over every posting at
+    * a wide position. Carrying `ins` alongside the kmer keeps the verify
+    * step join-free; at 100 TB the lean variant would store xxhash64(ins)
+    * and re-join values for verify.
+    */
+  def insKmerPostings(diffed: DataFrame, pkCol: String, insCol: String = "ins"): DataFrame =
+    insPostings(diffed, pkCol, insCol)
+      .filter(length(col("ins")) >= 3)
+      .select(col("pos"), col("ins"), col("pk"),
+        explode(array_distinct(transform(
+          sequence(lit(1), length(col("ins")) - 2),
+          j => col("ins").substr(j, lit(3))))).as("kmer"))
+      .select(col("pos"), col("kmer"), col("ins"), col("pk"))
+
   /** Nucleotide / amino-acid symbol enum order — the reference's
     * argmax tie-break iterates symbols in this order and keeps the FIRST
     * strictly-greater count (getSymbolWithHighestCount,

@@ -70,6 +70,51 @@ class PlanSpec extends SparkSpec {
     assert(routed.nonEmpty)
   }
 
+  test("wide-position insertionContains routes through the 3-mer index; " +
+    "no extractable 3-mer stays row-wise") {
+    import graft.lang.Planner
+    import graft.queries.SeqQueries
+    // position 1 holds EVERY doc's first token (≈100% density) — far over
+    // the selectivity gate, so only the 3-mer path can route
+    val p = planOf("q_seq_ins3route")
+    assert(p.contains("LeftSemi"), p.take(800))
+    assert(p.contains("graft_idx_ins3"), p.take(1500)) // the kmer parquet table
+    val cat = SeqQueries.ins3RouteCatalog(spark, sfDir)
+    // a 2-char pattern yields no literal 3-mer → the reference's
+    // searchWithRegex fallback, which the gate refuses at this width →
+    // row-wise evaluation (no semi-join)
+    val short = Planner.plan(
+      "seqs.filter(insertionContains(position := 1, value := 'th', sequenceName := 'main'))",
+      cat)
+    val ps = short.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(!ps.contains("LeftSemi"), ps.take(800))
+    // and routed results equal the row-wise (index-less) evaluation
+    val routed = SeqQueries.ins3RouteQuery(spark, sfDir)
+      .collect().map(_.getLong(0)).toSeq
+    val rowwise = Planner.plan(
+      """seqs
+        |  .filter(insertionContains(position := 1, value := 'the.*', sequenceName := 'main'))
+        |  .project({doc_id})
+        |  .orderBy({doc_id})""".stripMargin,
+      cat.copy(mutIndexes = Map()))
+      .collect().map(_.getLong(0)).toSeq
+    assert(routed === rowwise)
+    assert(routed.nonEmpty)
+    // multi-kmer intersection: 'cus.*mer' → candidates must contain BOTH
+    // 'cus' and 'mer', then full-match verify ("customer" passes,
+    // "customers" survives the kmer filter but fails the verify)
+    def both(q: String, c: Planner.Catalog) = Planner.plan(
+      s"""seqs
+         |  .filter(insertionContains(position := 1, value := '$q', sequenceName := 'main'))
+         |  .project({doc_id})
+         |  .orderBy({doc_id})""".stripMargin, c)
+      .collect().map(_.getLong(0)).toSeq
+    val kmerRouted = both("cus.*mer", cat)
+    assert(kmerRouted === both("cus.*mer", cat.copy(mutIndexes = Map())))
+    assert(kmerRouted.nonEmpty)
+  }
+
   test("broad position predicates stay row-wise (no index join)") {
     import org.apache.spark.sql.functions._
     import graft.lang.Planner
