@@ -229,6 +229,28 @@ object Planner {
     val pred = p.predicate(Parser.parse(predicate), df, Some(table))
     df.filter(pred).select(idCol)
   }
+  /** Literal 3-mers of an insertion search pattern — the reference's
+    * extractThreeMers (insertion_index.cpp:43-58): split the pattern on
+    * `.*`, unescape each continuous run, take its DISJOINT stride-3
+    * 3-mers. Any value full-matching the pattern must contain every
+    * continuous run, hence every extracted 3-mer, as a substring — so the
+    * overlapping-3-mer index is a sound candidate filter. Only called on
+    * patterns that passed insertionPatternOk (symbols / `.*` / escapes).
+    */
+  private[graft] def insertionKmers(v: String): Seq[String] = {
+    val runs = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var i = 0
+    while (i < v.length) {
+      if (v(i) == '\\' && i + 1 < v.length) { cur += v(i + 1); i += 2 }
+      else if (v(i) == '.' && i + 1 < v.length && v(i + 1) == '*') {
+        runs += cur.result(); cur.clear(); i += 2
+      } else { cur += v(i); i += 1 }
+    }
+    runs += cur.result()
+    runs.flatMap(r => (0 until r.length - 2 by 3).map(j => r.substring(j, j + 3)))
+      .distinct.toSeq
+  }
 }
 
 final class Planner(catalog: Planner.Catalog) {
@@ -1205,29 +1227,6 @@ final class Planner(catalog: Planner.Catalog) {
     */
   private final case class InsKmerRoute(seqName: String, pos: Int,
       pattern: String, kmers: Seq[String], postings: Long) extends IndexedPred
-
-  /** Literal 3-mers of an insertion search pattern — the reference's
-    * extractThreeMers (insertion_index.cpp:43-58): split the pattern on
-    * `.*`, unescape each continuous run, take its DISJOINT stride-3
-    * 3-mers. Any value full-matching the pattern must contain every
-    * continuous run, hence every extracted 3-mer, as a substring — so the
-    * overlapping-3-mer index is a sound candidate filter. Only called on
-    * patterns that passed insertionPatternOk (symbols / `.*` / escapes).
-    */
-  private def insertionKmers(v: String): Seq[String] = {
-    val runs = scala.collection.mutable.ArrayBuffer[String]()
-    val cur = new StringBuilder
-    var i = 0
-    while (i < v.length) {
-      if (v(i) == '\\' && i + 1 < v.length) { cur += v(i + 1); i += 2 }
-      else if (v(i) == '.' && i + 1 < v.length && v(i + 1) == '*') {
-        runs += cur.result(); cur.clear(); i += 2
-      } else { cur += v(i); i += 1 }
-    }
-    runs += cur.result()
-    runs.flatMap(r => (0 until r.length - 2 by 3).map(j => r.substring(j, j + 3)))
-      .distinct.toSeq
-  }
 
   /** Decide whether one filter conjunct is answerable from a posting
     * index. Only PURE diff-match shapes qualify — symbolEquals whose

@@ -318,6 +318,38 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // ---- decontamination: training docs sharing word-3-grams with an
+    //      eval/benchmark set (doc_id % 97 here). The eval side is
+    //      benchmark-sized by construction, so its distinct shingle set
+    //      broadcasts and the train side streams through one hash join —
+    //      no shuffle of the (bigger-than-input) train posting list. At
+    //      100 TB the same plan holds: eval sets stay small, train side
+    //      stays a single linear pass. ----
+    QDef("q_decontaminate",
+      s"""$docBaseSql,
+         |ev AS (SELECT DISTINCT s, doc_id AS eval_id FROM ex WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id, s FROM ex WHERE doc_id % 97 <> 0),
+         |ov AS (SELECT t.doc_id, count(DISTINCT t.s) AS shared,
+         |    count(DISTINCT e.eval_id) AS eval_docs
+         |  FROM tr t JOIN ev e ON t.s = e.s GROUP BY 1)
+         |SELECT doc_id, CAST(shared AS INTEGER) AS shared_ngrams,
+         |  CAST(eval_docs AS INTEGER) AS eval_docs
+         |FROM ov WHERE shared >= 3 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val ex = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TF.shingles(col("text"), 3)).as("s"))
+        .withColumn("s64", xxhash64(col("s"))).drop("s")
+      val ev = ex.filter(col("doc_id") % 97 === 0)
+        .select(col("s64"), col("doc_id").as("eval_id")).distinct()
+      ex.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(ev), "s64")
+        .groupBy("doc_id")
+        .agg(countDistinct("s64").as("sh"), countDistinct("eval_id").as("ed"))
+        .filter(col("sh") >= 3)
+        .select(col("doc_id"), col("sh").cast("int").as("shared_ngrams"),
+          col("ed").cast("int").as("eval_docs"))
+        .orderBy("doc_id")
+    },
+
     // ---- near-dup at scale: MinHash + LSH banding, then exact verify ----
     QDef("q_minhash_lsh",
       s"""$docBaseSql,

@@ -71,6 +71,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("insertionKmers is a sound candidate filter for full-match search") {
+    // soundness invariant of the 3-mer route (reference extractThreeMers,
+    // insertion_index.cpp:43-58): any value FULL-matching the pattern
+    // must contain every extracted 3-mer as a substring — so filtering
+    // candidates to values containing all kmers can never drop a match.
+    val runGen = for {
+      n <- Gen.choose(0, 7)
+      cs <- Gen.listOfN(n, Gen.oneOf('A', 'C', 'G', 'T', 'N', '-'))
+    } yield cs.mkString
+    val patGen = for {
+      k <- Gen.choose(1, 4)
+      runs <- Gen.listOfN(k, runGen)
+    } yield runs.mkString(".*")
+    val valGen = for {
+      n <- Gen.choose(0, 18)
+      cs <- Gen.listOfN(n, Gen.oneOf('A', 'C', 'G', 'T', 'N', '-'))
+    } yield cs.mkString
+    val pats = samples(patGen, 60)
+    val vals = samples(valGen, 120)
+    var checkedMatches = 0
+    for (p <- pats; v <- vals) {
+      val kmers = graft.lang.Planner.insertionKmers(p)
+      kmers.foreach(km => assert(km.length === 3, s"pattern $p kmer $km"))
+      if (v.matches(p)) {
+        checkedMatches += 1
+        kmers.foreach(km =>
+          assert(v.contains(km), s"value $v matches $p but lacks kmer $km"))
+      }
+    }
+    assert(checkedMatches > 30) // the property was actually exercised
+    // escape handling: '\*' is the literal stop codon, not a quantifier
+    assert(graft.lang.Planner.insertionKmers("""\*EP.*EPE""") ===
+      Seq("*EP", "EPE"))
+    assert(graft.lang.Planner.insertionKmers(".*AB.*") === Seq())
+    assert(graft.lang.Planner.insertionKmers("ABCD") === Seq("ABC"))
+    assert(graft.lang.Planner.insertionKmers("ABCDEF") === Seq("ABC", "DEF"))
+  }
+
   test("saltedCount equals plain groupBy count") {
     import graft.operators.RelationalOps
     val df = Seq.tabulate(500)(i => (if (i % 10 == 0) "hot" else s"k${i % 7}", i))
