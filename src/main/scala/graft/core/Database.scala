@@ -71,6 +71,24 @@ object Database {
     (grab("nucleotideSequences"), grab("genes"))
   }
 
+  /** Cheap input-identity fingerprint (file count + total bytes + max
+    * mtime via the Hadoop FS API, so it works on any supported
+    * filesystem): O(#files) listing, no data read — a content hash would
+    * cost a full pass over what can be 100 TB of NDJSON at startup.
+    */
+  private[graft] def inputFingerprint(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val roots = Option(fs.globStatus(p)).getOrElse(Array())
+    val files = roots.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+      else Array(st)
+    }
+    val bytes = files.map(_.getLen).sum
+    val mtime = if (files.isEmpty) 0L else files.map(_.getModificationTime).max
+    s"${files.length}:$bytes:$mtime"
+  }
+
   private def sparkType(t: String): DataType = t match {
     case "string" => StringType
     case "int" => IntegerType
@@ -213,14 +231,23 @@ object Database {
     // earlier build LOADS from its parquet tables instead of rebuilding —
     // a fresh session pays one bounded count-map collect, not a full
     // re-derivation of the postings.
+    // A persisted index is only valid for the input it was built from:
+    // the reference serializes indexes WITH a data version and reloads
+    // them only for that version (sequence_column.h:147-163). The
+    // fingerprint (file count + total bytes + max mtime of the input)
+    // rides in meta.json; a load against changed input misses and the
+    // index rebuilds — stale postings must never answer a routed query.
     lazy val nRows = cleaned.count() // shared across bindings — count once
+    val inputFp = inputFingerprint(spark, ndjsonPath)
     val mutIndexes = bindings.map { case (name, b) =>
       val insCol = Option(s"${b.prefix}ins").filter(cleaned.columns.contains)
       val idxDir = stateDir.map(d => s"$d/index/$name")
-      name -> idxDir.flatMap(graft.lang.Planner.SeqIndex.load(spark, _))
+      name -> idxDir.flatMap(
+        graft.lang.Planner.SeqIndex.load(spark, _, expectFingerprint = Some(inputFp)))
         .getOrElse(graft.lang.Planner.SeqIndex.build(
           cleaned, cfg.primaryKey, b.prefix, insCol,
-          tableRows = Some(nRows), indexDir = idxDir))
+          tableRows = Some(nRows), indexDir = idxDir,
+          fingerprint = Some(inputFp)))
     }
 
     Catalog(

@@ -69,7 +69,8 @@ object Planner {
     def build(diffed: DataFrame, pkCol: String, prefix: String = "",
         insCol: Option[String] = None,
         tableRows: Option[Long] = None,
-        indexDir: Option[String] = None): SeqIndex = {
+        indexDir: Option[String] = None,
+        fingerprint: Option[String] = None): SeqIndex = {
       import org.apache.spark.sql.functions.col
       indexDir match {
         case Some(dir) =>
@@ -106,9 +107,10 @@ object Planner {
           // pkType lets `load` synthesize an empty posting frame when a
           // mutation-free dataset wrote no parquet files at all.
           val pkType = diffed.schema(pkCol).dataType.catalogString
+          val fpField = fingerprint.map(f => s""","fingerprint":"$f"""").getOrElse("")
           val tmp = java.nio.file.Paths.get(dir, ".meta.json.tmp")
           java.nio.file.Files.writeString(tmp,
-            s"""{"tableRows":$rows,"hasIns":${insCol.isDefined},"pkType":"$pkType"}""")
+            s"""{"tableRows":$rows,"hasIns":${insCol.isDefined},"pkType":"$pkType"$fpField}""")
           java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "meta.json"),
             java.nio.file.StandardCopyOption.REPLACE_EXISTING,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -144,14 +146,25 @@ object Planner {
       * unlike checkpointed frames), and shared across sessions. The
       * count maps are bounded by genome × alphabet and collected once.
       */
-    def load(spark: org.apache.spark.sql.SparkSession, dir: String)
-        : Option[SeqIndex] = {
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String,
+        expectFingerprint: Option[String] = None): Option[SeqIndex] = {
       val meta = java.nio.file.Paths.get(dir, "meta.json")
       if (!java.nio.file.Files.exists(meta)) None
       else {
         val txt = java.nio.file.Files.readString(meta)
         def field(k: String): String =
           txt.split(s""""$k":""")(1).takeWhile(c => c != ',' && c != '}')
+        // an index is only valid for the input it was built from: a
+        // caller expecting a fingerprint rejects an index persisted for
+        // OTHER input (or with none recorded) — stale postings must never
+        // answer a routed query; the caller rebuilds and overwrites
+        expectFingerprint.foreach { want =>
+          val stored =
+            if (txt.contains(""""fingerprint":""")) Some(
+              field("fingerprint").trim.stripPrefix("\"").stripSuffix("\""))
+            else None
+          if (!stored.contains(want)) return None
+        }
         val rows = field("tableRows").trim.toLong
         val hasIns = field("hasIns").trim.toBoolean
         val pkType = org.apache.spark.sql.types.DataType.fromDDL(

@@ -144,6 +144,26 @@ class DatabaseSpec extends SparkSpec {
       Planner.plan(q, c1).select("primaryKey").collect().map(_.getString(0)).toSet)
   }
 
+  test("persisted index invalidates when the input changes (fingerprint)") {
+    import java.nio.file.{Files, Paths}
+    val state = Files.createTempDirectory("graft_state_fp").toString
+    val c1 = Database.build(spark, dir, s"$dir/input.ndjson", Some(state))
+    val meta = Paths.get(state, "index", "main", "meta.json")
+    val t0 = Files.getLastModifiedTime(meta)
+    // same input → loaded, meta untouched
+    Database.build(spark, dir, s"$dir/input.ndjson", Some(state))
+    assert(Files.getLastModifiedTime(meta) === t0)
+    // different input (one record dropped) → fingerprint miss → the index
+    // REBUILDS instead of serving stale postings for the old data
+    val lines = Files.readAllLines(Paths.get(s"$dir/input.ndjson"))
+    val tmpIn = Files.createTempDirectory("graft_in").resolve("in.ndjson")
+    Files.write(tmpIn, lines.subList(0, lines.size - 1))
+    val c2 = Database.build(spark, dir, tmpIn.toString, Some(state))
+    assert(c2.mutIndexes("default")("main").tableRows ===
+      c1.mutIndexes("default")("main").tableRows - 1)
+    assert(Files.getLastModifiedTime(meta) !== t0) // rewritten
+  }
+
   test("phylo tree from the dataset's newick file") {
     val m = run(
       "default.filter(country = 'Switzerland').mostRecentCommonAncestor('primaryKey')")
