@@ -94,6 +94,14 @@ object PipelineQueries {
   /** Probe-set bound for the brute-force cosine-pair baseline. */
   val ANN_PAIR_PROBES = 200
 
+  /** Token budget per training pack (`q_pack_sequences`). Real pipelines
+    * pack to the model context (2k-8k tokens); the benchmark uses 256 so
+    * the synthetic corpus (tens of ~55-token docs per source at sf0.01)
+    * splits into multiple packs per source and the boundary arithmetic is
+    * actually exercised by the correctness gate.
+    */
+  val PackBudget = 256
+
   /** Exact cosine near-dup pairs over a BOUNDED frame (the nested-loop
     * truth scan shared by the LSH recall gate and the semantic-dedup
     * clusters — one definition so threshold/rounding can never drift
@@ -776,5 +784,133 @@ object PipelineQueries {
         .filter(col("rk") <= 5)
         .select("q_id", "rk", "n_id", "cos")
         .orderBy("q_id", "rk")
+    },
+
+    // ---- training sequence packing: assign documents to fixed
+    //      token-budget packs (contiguous first-fit in doc_id order within
+    //      each source). pack_id = the pack the document STARTS in —
+    //      floor(tokens-before-this-doc / budget) — so packing is a pure
+    //      function of the running token prefix sum. One window shuffle
+    //      partitioned by source; at 100 TB sub-shard the window key to
+    //      (source, doc_id range) — packing is prefix-local, so shard
+    //      boundaries stay deterministic and no global ordering is
+    //      needed. ----
+    QDef("q_pack_sequences",
+      s"""WITH norm AS (SELECT doc_id, source, $normSql AS nt FROM documents),
+         |tok AS (SELECT doc_id, source,
+         |  CASE WHEN len(nt) = 0 THEN 0 ELSE len(string_split(nt, ' ')) END AS tk FROM norm),
+         |cum AS (SELECT doc_id, source, tk,
+         |  sum(tk) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM tok)
+         |SELECT source, CAST(floor((c - tk) / $PackBudget.0) AS BIGINT) AS pack_id,
+         |  CAST(count(*) AS INTEGER) AS n_docs,
+         |  CAST(sum(tk) AS BIGINT) AS pack_tokens,
+         |  round(CAST(sum(tk) AS DOUBLE) / $PackBudget, 4) AS fill
+         |FROM cum GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TF.tokenCount(col("text")).cast("long").as("tk"))
+        .withColumn("c", sum("tk").over(w))
+        .withColumn("pack_id",
+          floor((col("c") - col("tk")) / lit(PackBudget.toDouble)))
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).cast("int").as("n_docs"),
+          sum("tk").as("pack_tokens"))
+        .withColumn("fill",
+          round(col("pack_tokens").cast("double") / PackBudget, 4))
+        .orderBy("source", "pack_id")
+    },
+
+    // ---- deterministic stratified sampling: per-language keep rates via
+    //      an LCG hash of the primary key, so the SAME rows are kept on
+    //      every rerun, on any shard layout, with no coordination — the
+    //      property that makes sampling reproducible across a 1000-executor
+    //      rerun. The filter is a scan-local predicate (no shuffle); the
+    //      only shuffle is the per-language rollup. ----
+    QDef("q_sample_stratified",
+      """WITH u AS (SELECT lang,
+        |    ((doc_id * 1103515245 + 12345) % 2147483648) % 100 AS b FROM documents),
+        |k AS (SELECT lang,
+        |    CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 60 ELSE 100 END AS pct, b FROM u)
+        |SELECT lang, CAST(count(*) AS INTEGER) AS total,
+        |  CAST(sum(CASE WHEN b < pct THEN 1 ELSE 0 END) AS INTEGER) AS kept,
+        |  round(CAST(sum(CASE WHEN b < pct THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS rate
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val b = (col("doc_id") * 1103515245L + 12345L) % 2147483648L % 100
+      val pct = when(col("lang") === "en", 30)
+        .when(col("lang") === "de", 60).otherwise(100)
+      t(s, dir, "documents")
+        .select(col("lang"), (b < pct).cast("int").as("keep"))
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("int").as("total"),
+          sum("keep").cast("int").as("kept"))
+        .withColumn("rate",
+          round(col("kept").cast("double") / col("total"), 4))
+        .orderBy("lang")
+    },
+
+    // ---- dataset mixture weights: per-source token totals (exact integer
+    //      arithmetic) and two standard mixing schedules — proportional and
+    //      sqrt-temperature (floor(sqrt(tokens)) keeps the numerator an
+    //      exact integer, so the weights are engine-independent). One agg
+    //      shuffle on source; the grand totals are a single-row broadcast,
+    //      never a second pass over the data. ----
+    QDef("q_mix_weights",
+      s"""WITH norm AS (SELECT doc_id, source, $normSql AS nt FROM documents),
+         |tok AS (SELECT source,
+         |  CASE WHEN len(nt) = 0 THEN 0 ELSE len(string_split(nt, ' ')) END AS tk FROM norm),
+         |tt AS (SELECT source, CAST(sum(tk) AS BIGINT) AS total FROM tok GROUP BY source),
+         |g AS (SELECT CAST(sum(total) AS BIGINT) AS gt,
+         |  CAST(sum(CAST(floor(sqrt(total)) AS BIGINT)) AS BIGINT) AS gs FROM tt)
+         |SELECT source, total AS total_tokens,
+         |  round(CAST(total AS DOUBLE) / gt, 6) AS w_prop,
+         |  round(floor(sqrt(total)) / gs, 6) AS w_sqrt
+         |FROM tt, g ORDER BY source""".stripMargin) { (s, dir) =>
+      val tt = t(s, dir, "documents")
+        .select(col("source"), TF.tokenCount(col("text")).cast("long").as("tk"))
+        .groupBy("source").agg(sum("tk").as("total"))
+      val g = tt.agg(sum("total").as("gt"),
+        sum(floor(sqrt(col("total"))).cast("long")).as("gs"))
+      tt.join(broadcast(g))
+        .select(col("source"), col("total").as("total_tokens"),
+          round(col("total").cast("double") / col("gt"), 6).as("w_prop"),
+          round(floor(sqrt(col("total"))) / col("gs"), 6).as("w_sqrt"))
+        .orderBy("source")
+    },
+
+    // ---- int8 scalar quantization of embeddings (per-vector max-abs
+    //      scale), the standard memory-reduction step before ANN at scale:
+    //      q_i = floor(x_i/s*127 + .5). Everything is a per-row
+    //      higher-order-function chain (no shuffle, no UDF, stays in
+    //      codegen); q_l1 is an exact integer and the reconstruction error
+    //      a strict left-fold, so the oracle reproduces both bit-for-bit.
+    //      At 100 TB this is a map-only pass writing int8 columns 4x
+    //      smaller than the float input. ----
+    QDef("q_embed_quantize",
+      """WITH a AS (SELECT vec_id, embedding,
+        |  greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS s
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> abs(floor(CAST(x AS DOUBLE) / s * 127 + 0.5)))) AS INTEGER) AS q_l1,
+        |  round(list_sum(list_transform(embedding,
+        |    x -> abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / s * 127 + 0.5) * s / 127)))
+        |    / len(embedding), 6) AS err
+        |FROM a ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val amax = aggregate(col("embedding"), lit(0d),
+        (acc, x) => greatest(acc, abs(x.cast("double"))))
+      def qi(x: Column) = floor(x.cast("double") / col("s") * 127 + 0.5)
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          greatest(amax, lit(1e-30)).as("s"))
+        .select(col("vec_id"),
+          aggregate(col("embedding"), lit(0d),
+            (acc, x) => acc + abs(qi(x))).cast("int").as("q_l1"),
+          round(aggregate(col("embedding"), lit(0d),
+            (acc, x) => acc + abs(x.cast("double") - qi(x) * col("s") / 127))
+            / size(col("embedding")), 6).as("err"))
+        .orderBy("vec_id")
     })
 }
