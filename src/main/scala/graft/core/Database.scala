@@ -238,7 +238,12 @@ object Database {
     // rides in meta.json; a load against changed input misses and the
     // index rebuilds — stale postings must never answer a routed query.
     lazy val nRows = cleaned.count() // shared across bindings — count once
-    val inputFp = inputFingerprint(spark, ndjsonPath)
+    // The postings depend on the CONFIG as much as on the data — a
+    // reference-genome or primary-key edit changes every diff — so the
+    // fingerprint spans both the NDJSON input and the config dir. Lazy:
+    // builds without a stateDir never pay the listing.
+    lazy val inputFp = inputFingerprint(spark, ndjsonPath) + "|" +
+      inputFingerprint(spark, configDir)
     val mutIndexes = bindings.map { case (name, b) =>
       val insCol = Option(s"${b.prefix}ins").filter(cleaned.columns.contains)
       val idxDir = stateDir.map(d => s"$d/index/$name")
@@ -247,7 +252,7 @@ object Database {
         .getOrElse(graft.lang.Planner.SeqIndex.build(
           cleaned, cfg.primaryKey, b.prefix, insCol,
           tableRows = Some(nRows), indexDir = idxDir,
-          fingerprint = Some(inputFp)))
+          fingerprint = idxDir.map(_ => inputFp)))
     }
 
     Catalog(

@@ -47,6 +47,15 @@ object Planner {
       insKmerPostings: Option[DataFrame] = None)
 
   object SeqIndex {
+    /** The index dir's own filesystem — stateDir may be any Hadoop-
+      * supported scheme (hdfs://, s3a://, file:…), so every meta/listing
+      * operation goes through the FS API, never java.io/java.nio.
+      */
+    private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
+        dir: String): org.apache.hadoop.fs.FileSystem =
+      new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+
     /** Build from a diffed frame (one aggregation pass + the bounded
       * count-map collect per index; `insCol` additionally registers the
       * insertion posting index; pass `tableRows` when the caller already
@@ -76,6 +85,13 @@ object Planner {
         case Some(dir) =>
           val rows = tableRows.getOrElse(diffed.count())
           val spark = diffed.sparkSession
+          val fs = hadoopFs(spark, dir)
+          // invalidate FIRST: the meta marker must be gone before any
+          // posting dir is overwritten, so a crash mid-rebuild can never
+          // leave a complete-looking meta.json over mixed-generation
+          // postings (load would otherwise serve them if the input later
+          // reverts to the old fingerprint)
+          fs.delete(new org.apache.hadoop.fs.Path(dir, "meta.json"), false)
           // one file per pos directory: cluster by pos before the
           // partitioned write so every task owns whole positions
           graft.seq.SequenceModel.mutPostings(diffed, pkCol, prefix)
@@ -102,18 +118,25 @@ object Planner {
               .sortWithinPartitions("pos", "kmer")
               .write.mode("overwrite").partitionBy("pos").parquet(s"$dir/ins3")
           }
-          // meta written LAST via tmp+rename: its presence marks the
-          // index complete (same atomic-pointer idiom as table versions).
-          // pkType lets `load` synthesize an empty posting frame when a
-          // mutation-free dataset wrote no parquet files at all.
+          // meta written LAST via tmp+rename on the index dir's OWN
+          // filesystem (stateDir may be hdfs://or s3a://, not local):
+          // its presence marks the index complete (same atomic-pointer
+          // idiom as table versions). pkType lets `load` synthesize an
+          // empty posting frame when a mutation-free dataset wrote no
+          // parquet files at all. Jackson handles escaping — a pkType
+          // like decimal(10,2) must round-trip.
           val pkType = diffed.schema(pkCol).dataType.catalogString
-          val fpField = fingerprint.map(f => s""","fingerprint":"$f"""").getOrElse("")
-          val tmp = java.nio.file.Paths.get(dir, ".meta.json.tmp")
-          java.nio.file.Files.writeString(tmp,
-            s"""{"tableRows":$rows,"hasIns":${insCol.isDefined},"pkType":"$pkType"$fpField}""")
-          java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "meta.json"),
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          val node = mapper.createObjectNode()
+          node.put("tableRows", rows)
+          node.put("hasIns", insCol.isDefined)
+          node.put("pkType", pkType)
+          fingerprint.foreach(node.put("fingerprint", _))
+          val tmp = new org.apache.hadoop.fs.Path(dir, ".meta.json.tmp")
+          val out = fs.create(tmp, true)
+          try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+          if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, "meta.json")))
+            sys.error(s"failed to commit $dir/meta.json")
           load(spark, dir).getOrElse(
             sys.error(s"posting index just written to $dir failed to load"))
         case None =>
@@ -148,35 +171,37 @@ object Planner {
       */
     def load(spark: org.apache.spark.sql.SparkSession, dir: String,
         expectFingerprint: Option[String] = None): Option[SeqIndex] = {
-      val meta = java.nio.file.Paths.get(dir, "meta.json")
-      if (!java.nio.file.Files.exists(meta)) None
+      val fs = hadoopFs(spark, dir)
+      val meta = new org.apache.hadoop.fs.Path(dir, "meta.json")
+      if (!fs.exists(meta)) None
       else {
-        val txt = java.nio.file.Files.readString(meta)
-        def field(k: String): String =
-          txt.split(s""""$k":""")(1).takeWhile(c => c != ',' && c != '}')
+        val in = fs.open(meta)
+        val txt =
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
         // an index is only valid for the input it was built from: a
         // caller expecting a fingerprint rejects an index persisted for
         // OTHER input (or with none recorded) — stale postings must never
         // answer a routed query; the caller rebuilds and overwrites
         expectFingerprint.foreach { want =>
-          val stored =
-            if (txt.contains(""""fingerprint":""")) Some(
-              field("fingerprint").trim.stripPrefix("\"").stripSuffix("\""))
-            else None
+          val stored = Option(node.get("fingerprint")).map(_.asText)
           if (!stored.contains(want)) return None
         }
-        val rows = field("tableRows").trim.toLong
-        val hasIns = field("hasIns").trim.toBoolean
+        val rows = node.get("tableRows").asLong
+        val hasIns = node.get("hasIns").asBoolean
         val pkType = org.apache.spark.sql.types.DataType.fromDDL(
-          field("pkType").trim.stripPrefix("\"").stripSuffix("\""))
+          node.get("pkType").asText)
         // a mutation/insertion-free dataset's partitioned write leaves no
         // parquet files (just _SUCCESS), so schema inference would fail;
         // detect that by listing instead of catching — synthesizing the
         // empty frame without an exception round-trip
         def hasParquet(path: String): Boolean = {
-          val entries = Option(new java.io.File(path).listFiles()).getOrElse(Array())
-          entries.exists(f =>
-            f.getName.startsWith("pos=") || f.getName.endsWith(".parquet"))
+          val p = new org.apache.hadoop.fs.Path(path)
+          fs.exists(p) && fs.listStatus(p).exists(f =>
+            f.getPath.getName.startsWith("pos=") ||
+              f.getPath.getName.endsWith(".parquet"))
         }
         def readOrEmpty(path: String, valueCols: StructField*): DataFrame =
           if (hasParquet(path)) spark.read.parquet(path)
@@ -198,7 +223,7 @@ object Planner {
         // BEFORE the 3-mer index existed has no ins3 dir at all — there
         // kmer routing must stay off (None), not silently empty.
         val insKmer =
-          if (hasIns && new java.io.File(s"$dir/ins3").isDirectory)
+          if (hasIns && fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ins3")))
             Some(readOrEmpty(s"$dir/ins3", StructField("kmer", StringType),
               StructField("ins", StringType)))
           else None
@@ -250,20 +275,10 @@ object Planner {
     * overlapping-3-mer index is a sound candidate filter. Only called on
     * patterns that passed insertionPatternOk (symbols / `.*` / escapes).
     */
-  private[graft] def insertionKmers(v: String): Seq[String] = {
-    val runs = scala.collection.mutable.ArrayBuffer[String]()
-    val cur = new StringBuilder
-    var i = 0
-    while (i < v.length) {
-      if (v(i) == '\\' && i + 1 < v.length) { cur += v(i + 1); i += 2 }
-      else if (v(i) == '.' && i + 1 < v.length && v(i + 1) == '*') {
-        runs += cur.result(); cur.clear(); i += 2
-      } else { cur += v(i); i += 1 }
-    }
-    runs += cur.result()
-    runs.flatMap(r => (0 until r.length - 2 by 3).map(j => r.substring(j, j + 3)))
-      .distinct.toSeq
-  }
+  private[graft] def insertionKmers(v: String): Seq[String] =
+    graft.seq.SeqPredicates.insertionRuns(v)
+      .flatMap(r => (0 until r.length - 2 by 3).map(j => r.substring(j, j + 3)))
+      .distinct
 }
 
 final class Planner(catalog: Planner.Catalog) {
@@ -1135,14 +1150,20 @@ final class Planner(catalog: Planner.Catalog) {
   }
 
   /** Insertion search patterns: sequence symbols, '.*' wildcards, and
-    * backslash-escaped literals only (reference: insertion_contains.cpp
-    * restricts to symbols + '.*').
+    * backslash-escaped SYMBOLS only — an escape must name a symbol
+    * character (the documented use is `\*` for the stop codon). The
+    * reference maps every pattern character, escaped or not, through
+    * charToSymbol and typed-errors on anything that is not a symbol
+    * (insertion_index.cpp:24-41 via insertion_contains.cpp:74-86), so
+    * regex class escapes like `\w` or `\d` are invalid patterns, never
+    * wildcards.
     */
   private def insertionPatternOk(v: String): Boolean = {
+    def symbolChar(c: Char): Boolean = c.isLetter || c == '-' || c == '*'
     var i = 0
     var ok = true
     while (i < v.length && ok) {
-      if (v(i) == '\\' && i + 1 < v.length) i += 2
+      if (v(i) == '\\' && i + 1 < v.length && symbolChar(v(i + 1))) i += 2
       else if (v(i) == '.' && i + 1 < v.length && v(i + 1) == '*') i += 2
       else if (v(i).isLetter || v(i) == '-') i += 1
       else ok = false

@@ -396,14 +396,29 @@ object SeqQueries {
     * queries (Bench.cleanup) cannot strand them, unlike checkpointed
     * frames.
     */
+  private final case class RoutedCat(catalog: graft.lang.Planner.Catalog,
+      idxDir: java.io.File)
   private val routeCatalogs =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
-      graft.lang.Planner.Catalog]()
+      RoutedCat]()
   private def memoCatalog(s: SparkSession, dir: String, kind: String)(
-      build: String => graft.lang.Planner.Catalog): graft.lang.Planner.Catalog =
-    routeCatalogs.computeIfAbsent((s, dir, kind), _ =>
-      build(java.nio.file.Files.createTempDirectory(s"graft_idx_$kind")
-        .toString))
+      build: String => graft.lang.Planner.Catalog): graft.lang.Planner.Catalog = {
+    // evict entries whose session has stopped: their frames are dead and
+    // would otherwise pin the session — and orphan the index temp dir —
+    // for the JVM lifetime (a test JVM runs many sessions)
+    val it = routeCatalogs.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1.sparkContext.isStopped) {
+        org.apache.commons.io.FileUtils.deleteQuietly(e.getValue.idxDir)
+        it.remove()
+      }
+    }
+    routeCatalogs.computeIfAbsent((s, dir, kind), _ => {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_idx_$kind")
+      RoutedCat(build(tmp.toString), tmp.toFile)
+    }).catalog
+  }
 
   /** The routed-filter query of q_seq_idxroute, also plan-checked by
     * PlanSpec: a catalog with a registered mut index makes the SaneQL

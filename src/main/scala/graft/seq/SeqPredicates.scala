@@ -115,17 +115,50 @@ object SeqPredicates {
     coalesce(base, lit(false))
   }
 
+  /** Literal runs of an insertion search pattern: split on `.*`, with a
+    * backslash escaping the next character to a LITERAL symbol — the
+    * reference's stringToSymbolVector/splitBy parse
+    * (insertion_index.cpp:24-41,48), where `\X` maps to symbol X (the
+    * documented use is `\*` for the stop codon) and never to a regex
+    * class. Shared by the 3-mer extraction (Planner.insertionKmers) and
+    * the verification regex below so the candidate filter and the
+    * verifier agree on every pattern by construction.
+    */
+  def insertionRuns(pattern: String): Seq[String] = {
+    val runs = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var i = 0
+    while (i < pattern.length) {
+      if (pattern(i) == '\\' && i + 1 < pattern.length) {
+        cur += pattern(i + 1); i += 2
+      } else if (pattern(i) == '.' && i + 1 < pattern.length &&
+          pattern(i + 1) == '*') {
+        runs += cur.result(); cur.clear(); i += 2
+      } else { cur += pattern(i); i += 1 }
+    }
+    runs += cur.result()
+    runs.toSeq
+  }
+
   /** Insertion search is a FULL match, not a substring search: the
     * reference evaluates every candidate insertion value with
     * `RE2::FullMatch` (insertion_index.cpp:121,134,148), so
     * `value := 'CCC'` matches only an insertion that IS `CCC` and users
     * write `.*CCC.*` for contains semantics. Spark's `rlike` is Java
-    * `find()` (unanchored), so the validated pattern is wrapped in
-    * `\A(?:…)\z` here — the ONE translation both the row-wise predicate
-    * and the routed posting scan (Planner.InsRoute) share.
+    * `find()` (unanchored), so the pattern is rebuilt here from its
+    * parsed literal runs — each `Pattern.quote`d, joined by `.*`, wrapped
+    * in `\A(?:…)\z`. Rebuilding (rather than passing the raw pattern to
+    * Java regex) keeps `\X` a literal in the VERIFIER exactly as it is in
+    * the 3-mer candidate extraction; feeding the raw pattern to a regex
+    * engine would reinterpret e.g. `\A` as an anchor and silently drop
+    * rows the index route admits. The ONE translation the row-wise
+    * predicate and both routed scans (Planner.InsRoute/InsKmerRoute)
+    * share.
     */
   def anchoredInsertionRegex(pattern: String): String =
-    "\\A(?:" + pattern + ")\\z"
+    "\\A" + insertionRuns(pattern)
+      .map(r => if (r.isEmpty) "" else java.util.regex.Pattern.quote(r))
+      .mkString(".*") + "\\z"
 
   /** `insertionContains(position, regexValue)` over an
     * `ins: array<struct<pos,ins>>` column (reference:

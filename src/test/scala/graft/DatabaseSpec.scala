@@ -164,6 +164,26 @@ class DatabaseSpec extends SparkSpec {
     assert(Files.getLastModifiedTime(meta) !== t0) // rewritten
   }
 
+  test("persisted index invalidates when the CONFIG changes (fingerprint)") {
+    import java.nio.file.{Files, Paths}
+    val cfg = Files.createTempDirectory("graft_cfg")
+    Seq("database_config.yaml", "reference_genomes.json",
+      "phylogenetic_tree.nwk", "test_lineage_definition.yaml").foreach { f =>
+      Files.copy(Paths.get(dir, f), cfg.resolve(f))
+    }
+    val state = Files.createTempDirectory("graft_state_cfg").toString
+    Database.build(spark, cfg.toString, s"$dir/input.ndjson", Some(state))
+    val meta = Paths.get(state, "index", "main", "meta.json")
+    val t0 = Files.getLastModifiedTime(meta)
+    // an edit to reference_genomes.json changes every diff the postings
+    // were derived from even though the NDJSON is untouched — the
+    // fingerprint spans the config dir, so the load must miss and rebuild
+    val rg = cfg.resolve("reference_genomes.json")
+    Files.writeString(rg, Files.readString(rg) + "\n")
+    Database.build(spark, cfg.toString, s"$dir/input.ndjson", Some(state))
+    assert(Files.getLastModifiedTime(meta) !== t0) // rewritten, not served stale
+  }
+
   test("phylo tree from the dataset's newick file") {
     val m = run(
       "default.filter(country = 'Switzerland').mostRecentCommonAncestor('primaryKey')")

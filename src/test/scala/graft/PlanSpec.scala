@@ -113,6 +113,14 @@ class PlanSpec extends SparkSpec {
     val kmerRouted = both("cus.*mer", cat)
     assert(kmerRouted === both("cus.*mer", cat.copy(mutIndexes = Map())))
     assert(kmerRouted.nonEmpty)
+    // an escaped character is a LITERAL on both paths ('\t' = symbol t,
+    // never a regex tab/class — reference insertion_index.cpp:24-41):
+    // '\the.*' must equal 'the.*' routed AND row-wise; feeding the raw
+    // pattern to Java regex would silently return zero rows here
+    val escRouted = both("""\the.*""", cat)
+    assert(escRouted === both("""\the.*""", cat.copy(mutIndexes = Map())))
+    assert(escRouted === both("the.*", cat))
+    assert(escRouted.nonEmpty)
   }
 
   test("broad position predicates stay row-wise (no index join)") {

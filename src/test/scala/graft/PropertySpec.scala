@@ -94,11 +94,18 @@ class PropertySpec extends SparkSpec {
     for (p <- pats; v <- vals) {
       val kmers = graft.lang.Planner.insertionKmers(p)
       kmers.foreach(km => assert(km.length === 3, s"pattern $p kmer $km"))
-      if (v.matches(p)) {
+      // soundness against the ACTUAL verifier regex (what both the
+      // row-wise predicate and the routed scans evaluate), not a naive
+      // raw-pattern match — the two must never diverge
+      if (v.matches(SeqPredicates.anchoredInsertionRegex(p))) {
         checkedMatches += 1
         kmers.foreach(km =>
           assert(v.contains(km), s"value $v matches $p but lacks kmer $km"))
       }
+      // the anchored rebuild preserves raw-pattern semantics for
+      // escape-free patterns
+      assert(v.matches(SeqPredicates.anchoredInsertionRegex(p)) ===
+        v.matches(p), s"value $v pattern $p")
     }
     assert(checkedMatches > 30) // the property was actually exercised
     // escape handling: '\*' is the literal stop codon, not a quantifier
@@ -107,6 +114,22 @@ class PropertySpec extends SparkSpec {
     assert(graft.lang.Planner.insertionKmers(".*AB.*") === Seq())
     assert(graft.lang.Planner.insertionKmers("ABCD") === Seq("ABC"))
     assert(graft.lang.Planner.insertionKmers("ABCDEF") === Seq("ABC", "DEF"))
+  }
+
+  test("escaped pattern characters are literals in the verifier regex") {
+    import SeqPredicates.anchoredInsertionRegex
+    // `\X` is charToSymbol(X) in the reference's parse
+    // (insertion_index.cpp:24-41) — never a regex class or anchor. The
+    // rebuilt verifier must agree with the 3-mer extraction on that, or
+    // the routed and row-wise paths return different rows.
+    assert("ACG".matches(anchoredInsertionRegex("""\ACG""")))
+    assert(!"CG".matches(anchoredInsertionRegex("""\ACG"""))) // not an \A anchor
+    assert("*EP".matches(anchoredInsertionRegex("""\*EP""")))
+    assert(!"XEP".matches(anchoredInsertionRegex("""\*EP""")))
+    assert("TTTACGTTT".matches(anchoredInsertionRegex(""".*ACG.*""")))
+    assert(!"ACGT".matches(anchoredInsertionRegex("""ACG"""))) // full match
+    // escaped literal run feeds the kmer extraction identically
+    assert(graft.lang.Planner.insertionKmers("""\ACG""") === Seq("ACG"))
   }
 
   test("saltedCount equals plain groupBy count") {
