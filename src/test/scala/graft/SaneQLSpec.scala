@@ -243,6 +243,17 @@ class SaneQLSpec extends SparkSpec {
       run2("iseqs.filter(insertionContains(position := 5000000000, value := 'GG', sequenceName := 'main'))")
     }
     assert(e3.getMessage.contains("uint32"))
+    // an escape must name a symbol character: regex class escapes are
+    // invalid patterns (the reference's charToSymbol throws on them,
+    // insertion_index.cpp:24-41), never wildcards — silently treating
+    // '\w' as a word class would diverge from the 3-mer index route
+    val e4 = intercept[QueryError] {
+      run2("""iseqs.filter(insertionContains(position := 0, value := '\1G', sequenceName := 'main'))""")
+    }
+    assert(e4.getMessage.contains("valid pattern"))
+    // escaped SYMBOL characters are fine ('\G' = literal G)
+    assert(run2("""iseqs.filter(insertionContains(position := 0, value := '\G\G', sequenceName := 'main'))""")
+      .count() === 1)
   }
 
   test("sequence predicate on a KNOWN origin without sequence data is a typed error") {
