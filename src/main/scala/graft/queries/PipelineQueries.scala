@@ -74,6 +74,35 @@ object PipelineQueries {
 
   private def listLit(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ",", "]")
 
+  /** DuckDB: simhash near-dup transitive closure, shared by the cluster
+    * and canonical-selection oracles — ends at the `reach` CTE (node →
+    * reachable label pairs); callers append their own final CTEs/SELECT.
+    */
+  private lazy val simhashClosureCte: String = {
+    val sums = (1 to 16).map(j =>
+      s"sum(CASE WHEN substr(h, $j, 1) IN $hexHi THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n  ")
+    val bits = (1 to 16).map(j => s"(CASE WHEN s$j >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    val ham = (1 to 16).map(j =>
+      s"CASE WHEN substr(a.sh, $j, 1) <> substr(b.sh, $j, 1) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH RECURSIVE tk AS (SELECT doc_id, source, md5(t) AS h FROM
+       |  (SELECT doc_id, source, unnest(string_split($normSql, ' ')) AS t FROM documents)),
+       |s AS (SELECT doc_id, source, $sums FROM tk GROUP BY doc_id, source),
+       |sh AS (SELECT doc_id, source, $bits AS sh FROM s),
+       |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+       |  WHERE $ham <= 2),
+       |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |  UNION ALL SELECT b_id AS u, a_id AS v FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS node, doc_id AS lab FROM documents
+       |  UNION
+       |  SELECT e.u AS node, r.lab AS lab FROM edges e JOIN reach r ON r.node = e.v
+       |)""".stripMargin
+  }
+
   /** DuckDB: word-3-gram distinct shingles of the canonical tokens. */
   private val shinglesSql =
     "list_distinct(list_transform(range(1, greatest(len(tk)-2, 0)+1)," +
@@ -578,39 +607,51 @@ object PipelineQueries {
     //      propagation (graft.operators.ConnectedComponents) — per round one
     //      equi-join + one groupBy, rounds = component diameter; the oracle
     //      recomputes the closure with a recursive CTE. ----
-    QDef("q_dedup_clusters", {
-      val sums = (1 to 16).map(j =>
-        s"sum(CASE WHEN substr(h, $j, 1) IN $hexHi THEN 1 ELSE -1 END) AS s$j")
-        .mkString(",\n  ")
-      val bits = (1 to 16).map(j => s"(CASE WHEN s$j >= 0 THEN '1' ELSE '0' END)")
-        .mkString(" || ")
-      val ham = (1 to 16).map(j =>
-        s"CASE WHEN substr(a.sh, $j, 1) <> substr(b.sh, $j, 1) THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH RECURSIVE tk AS (SELECT doc_id, source, md5(t) AS h FROM
-         |  (SELECT doc_id, source, unnest(string_split($normSql, ' ')) AS t FROM documents)),
-         |s AS (SELECT doc_id, source, $sums FROM tk GROUP BY doc_id, source),
-         |sh AS (SELECT doc_id, source, $bits AS sh FROM s),
-         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-         |  WHERE $ham <= 2),
-         |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
-         |  UNION ALL SELECT b_id AS u, a_id AS v FROM pairs),
-         |reach AS (
-         |  SELECT doc_id AS node, doc_id AS lab FROM documents
-         |  UNION
-         |  SELECT e.u AS node, r.lab AS lab FROM edges e JOIN reach r ON r.node = e.v
-         |)
+    QDef("q_dedup_clusters",
+      s"""$simhashClosureCte
          |SELECT node AS doc_id, min(lab) AS cluster,
          |  CAST(min(lab) = node AS BOOLEAN) AS keep
-         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
-    }) { (s, dir) =>
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
       val pairs = simhashPairs(docs)
       graft.operators.ConnectedComponents
         .components(pairs, "a_id", "b_id", docs, "doc_id")
         .select(col("node").as("doc_id"), col("comp").as("cluster"),
           (col("comp") === col("node")).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // ---- canonical selection per near-dup cluster: the keep-BEST (not
+    //      keep-arbitrary) dedup decision of a training pipeline — from
+    //      each simhash cluster retain the longest document (n_chars,
+    //      ties to the lowest id). One map-side-combinable max_by per
+    //      cluster plus an equi-join back on the same cluster key — no
+    //      window sort over the full table, so the extra cost over
+    //      q_dedup_clusters stays one small shuffle at any scale. ----
+    QDef("q_dedup_canonical",
+      s"""$simhashClosureCte,
+         |comp AS (SELECT node AS doc_id, min(lab) AS cluster
+         |  FROM reach GROUP BY node),
+         |ranked AS (SELECT c.doc_id, c.cluster, row_number() OVER
+         |    (PARTITION BY c.cluster ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+         |  FROM comp c JOIN documents d USING (doc_id)),
+         |canon AS (SELECT cluster, doc_id AS canonical FROM ranked WHERE rn = 1)
+         |SELECT c.doc_id, c.cluster, n.canonical,
+         |  CAST(c.doc_id = n.canonical AS BOOLEAN) AS keep
+         |FROM comp c JOIN canon n USING (cluster) ORDER BY c.doc_id""".stripMargin) {
+      (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = simhashPairs(docs)
+      val comp = graft.operators.ConnectedComponents
+        .components(pairs, "a_id", "b_id", docs, "doc_id")
+        .select(col("node").as("doc_id"), col("comp").as("cluster"))
+      val withQ = comp.join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+      val canon = withQ.groupBy("cluster")
+        .agg(max_by(col("doc_id"),
+          struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("canonical"))
+      withQ.join(canon, Seq("cluster"))
+        .select(col("doc_id"), col("cluster"), col("canonical"),
+          (col("doc_id") === col("canonical")).as("keep"))
         .orderBy("doc_id")
     },
 
