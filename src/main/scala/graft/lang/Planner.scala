@@ -180,7 +180,13 @@ object Planner {
           try new String(org.apache.commons.io.IOUtils.toByteArray(in),
             java.nio.charset.StandardCharsets.UTF_8)
           finally in.close()
-        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+        // an unparseable meta (torn write on a filesystem without atomic
+        // rename, manual tampering) means NO committed index — rebuild,
+        // don't crash the build
+        val node =
+          try new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+          catch { case _: java.io.IOException => return None }
+        if (node == null || !node.has("tableRows")) return None
         // an index is only valid for the input it was built from: a
         // caller expecting a fingerprint rejects an index persisted for
         // OTHER input (or with none recorded) — stale postings must never

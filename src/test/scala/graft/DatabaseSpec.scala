@@ -164,6 +164,15 @@ class DatabaseSpec extends SparkSpec {
     assert(Files.getLastModifiedTime(meta) !== t0) // rewritten
   }
 
+  test("corrupt meta.json loads as None (rebuild), not a crash") {
+    import java.nio.file.{Files, Paths}
+    val state = Files.createTempDirectory("graft_state_bad")
+    Files.writeString(state.resolve("meta.json"), "{\"tableRows\":") // torn write
+    assert(Planner.SeqIndex.load(spark, state.toString).isEmpty)
+    Files.writeString(state.resolve("meta.json"), "not json at all")
+    assert(Planner.SeqIndex.load(spark, state.toString).isEmpty)
+  }
+
   test("persisted index invalidates when the CONFIG changes (fingerprint)") {
     import java.nio.file.{Files, Paths}
     val cfg = Files.createTempDirectory("graft_cfg")
