@@ -784,6 +784,27 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- PII REDACTION (the transform the scan above gates): URL-ish
+    //      tokens then digit runs rewritten to placeholder tags — URL
+    //      first, since URLs contain digits. Two chained codegen'd
+    //      regexp_replace calls, a pure map pass with no shuffle beyond
+    //      the oracle's determinism orderBy; patterns stay in the
+    //      RE2 ∩ Java-regex common subset and the replacements carry no
+    //      backreference metacharacters, so both engines rewrite
+    //      identically. ----
+    QDef("q_pii_redact",
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
+        |    '[0-9]+', '<NUM>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"), lit("https?://[^ ]+"), lit("<URL>")),
+          lit("[0-9]+"), lit("<NUM>")).as("redacted"))
+        .orderBy("doc_id")
+    },
+
     // ---- deterministic hash split (train/val): assignment by md5-prefix
     //      ordering — engine-independent (string compare, no hex→int
     //      parsing), stable under repartitioning, and exactly reproducible
