@@ -71,23 +71,51 @@ object Database {
     (grab("nucleotideSequences"), grab("genes"))
   }
 
-  /** Cheap input-identity fingerprint (file count + total bytes + max
-    * mtime via the Hadoop FS API, so it works on any supported
-    * filesystem): O(#files) listing, no data read — a content hash would
-    * cost a full pass over what can be 100 TB of NDJSON at startup.
+  /** Cheap per-file input manifest: every LEAF file (recursive — Spark's
+    * readers pick up part files at any depth, so a `date=X/part-N.ndjson`
+    * partition layout must contribute; a top-level listing would be blind,
+    * even constant for a root holding only subdirectories) mapped to its
+    * `size:mtime` identity via the Hadoop FS API, so it works on any
+    * supported filesystem. O(#files) listing, no data read — a content
+    * hash would cost a full pass over what can be 100 TB of NDJSON at
+    * startup. Keys are fully-qualified paths, so comparing two manifests
+    * identifies exactly which files APPEARED (the incremental-append
+    * trigger) vs CHANGED (full rebuild).
     */
-  private[graft] def inputFingerprint(spark: SparkSession, path: String): String = {
+  private[graft] def inputManifest(spark: SparkSession, path: String)
+      : Map[String, String] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val roots = Option(fs.globStatus(p)).getOrElse(Array())
-    val files = roots.flatMap { st =>
-      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
-      else Array(st)
+    val b = Map.newBuilder[String, String]
+    roots.foreach { st =>
+      if (st.isFile)
+        b += st.getPath.toString -> s"${st.getLen}:${st.getModificationTime}"
+      else {
+        val it = fs.listFiles(st.getPath, true)
+        while (it.hasNext) {
+          val f = it.next()
+          b += f.getPath.toString -> s"${f.getLen}:${f.getModificationTime}"
+        }
+      }
     }
-    val bytes = files.map(_.getLen).sum
-    val mtime = if (files.isEmpty) 0L else files.map(_.getModificationTime).max
-    s"${files.length}:$bytes:$mtime"
+    b.result()
   }
+
+  /** Stable fingerprint of a manifest: every path+size+mtime folds into
+    * the hash, so an equal-size swap with an older mtime is caught (a
+    * count/bytes/max-mtime summary would miss it).
+    */
+  private[graft] def manifestFingerprint(m: Map[String, String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    m.toSeq.sorted.foreach { case (k, v) =>
+      md.update(s"$k=$v\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    s"${m.size}:" + md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  private[graft] def inputFingerprint(spark: SparkSession, path: String): String =
+    manifestFingerprint(inputManifest(spark, path))
 
   private def sparkType(t: String): DataType = t match {
     case "string" => StringType
@@ -130,10 +158,15 @@ object Database {
         nucRefs.keys.toSeq.sorted.map(n => StructField(s"unaligned_$n", StringType)))
 
     val raw = graft.sources.NdjsonIngest.read(spark, ndjsonPath, schema)
+    // PK uniqueness is validated over the FULL input even on incremental
+    // builds: an appended row duplicating an OLD key must abort
     graft.sources.NdjsonIngest.validatePrimaryKey(raw, cfg.primaryKey)
 
-    // diff-at-ingest per sequence; parse "pos:seq" insertion entries
-    val diffed = allRefs.toSeq.sortBy(_._1).foldLeft(raw) { case (df, (name, ref)) =>
+    // diff-at-ingest per sequence; parse "pos:seq" insertion entries.
+    // A function of the frame, not the frame itself: the incremental
+    // index path re-runs the same pipeline over just the appended files.
+    def diffAll(frame: DataFrame): DataFrame =
+      allRefs.toSeq.sortBy(_._1).foldLeft(frame) { case (df, (name, ref)) =>
       val missing = if (nucRefs.contains(name)) Set("N") else Set("X")
       // sequenceCompressed: base64 zstd, dictionary = the reference genome
       // (input_format.md); takes precedence over plain `sequence`
@@ -153,20 +186,91 @@ object Database {
           prefix = s"${name}_")
         .drop(name)
     }
+    val diffed = diffAll(raw)
+
+    // ---- persisted-index state, per sequence binding ----------------
+    // With a stateDir, each binding's index dir carries a meta.json with
+    // the fingerprint + per-file manifest it was derived from. Comparing
+    // that manifest against the current input classifies this build:
+    //  - Loaded: fingerprint matches — postings load, nothing recomputed;
+    //  - Append: every old file unchanged, new files appeared, config
+    //    unchanged — postings are derived for the NEW files only and
+    //    merged as one additional index layer (the reference's chunk-wise
+    //    index extension, storage/table.cpp bulkInsert);
+    //  - Fresh: anything else (changed/removed files, config edit, no or
+    //    pre-layered meta) — full rebuild into a fresh generation.
+    // Classification is PER index dir, so a crash that left bindings at
+    // different commit points heals: each dir independently loads,
+    // appends, or rebuilds.
+    sealed trait IdxState { def meta: Option[graft.lang.Planner.SeqIndex.IndexMeta] = None }
+    case object Fresh extends IdxState
+    final case class Loaded(m: graft.lang.Planner.SeqIndex.IndexMeta) extends IdxState {
+      override def meta = Some(m)
+    }
+    final case class Append(m: graft.lang.Planner.SeqIndex.IndexMeta, newFiles: Seq[String])
+        extends IdxState {
+      override def meta = Some(m)
+    }
+    lazy val dataManifest = inputManifest(spark, ndjsonPath)
+    // The postings depend on the CONFIG as much as on the data — a
+    // reference-genome or primary-key edit changes every diff — so the
+    // fingerprint spans both the NDJSON input and the config dir. Lazy:
+    // builds without a stateDir never pay the listing.
+    lazy val cfgFp = inputFingerprint(spark, configDir)
+    lazy val inputFp = manifestFingerprint(dataManifest) + "|" + cfgFp
+    val states: Map[String, IdxState] = allRefs.keys.map { name =>
+      name -> (stateDir match {
+        case None => Fresh
+        case Some(sd) =>
+          graft.lang.Planner.SeqIndex.readMeta(spark, s"$sd/index/$name") match {
+            case None => Fresh
+            case Some(m) if m.fingerprint.contains(inputFp) => Loaded(m)
+            case Some(m) =>
+              val newFiles = (dataManifest.keySet -- m.manifest.keySet).toSeq.sorted
+              val oldUnchanged = m.manifest.nonEmpty && m.manifest.forall {
+                case (k, v) => dataManifest.get(k).contains(v)
+              }
+              // the stored fingerprint must equal what the stored manifest
+              // + the CURRENT config hash to — that one check covers both
+              // "manifest consistent with the committed postings" and
+              // "config unchanged since"
+              val consistent = m.fingerprint.contains(
+                manifestFingerprint(m.manifest) + "|" + cfgFp)
+              if (oldUnchanged && newFiles.nonEmpty && consistent)
+                Append(m, newFiles)
+              else Fresh
+          }
+      })
+    }.toMap
 
     // local-reference adaptation (reference: sequence_column.cpp:157-196
     // finalize): per position, re-base stored diffs onto the majority
     // symbol; queries translate back to the global reference, so results
-    // are unchanged while divergent datasets store far fewer diffs
+    // are unchanged while divergent datasets store far fewer diffs.
+    // When a persisted index exists (Loaded/Append) the local reference
+    // is FROZEN to the one in meta.json: re-deriving the majority from
+    // the grown data could flip adapted symbols and invalidate every
+    // persisted posting — and freezing also skips adaptLocalReference's
+    // two full-data aggregation passes on every warm start.
     val (adapted, localRefs) = allRefs.toSeq.sortBy(_._1)
       .foldLeft((diffed, Map.empty[String, String])) {
         case ((df, lrs), (name, ref)) =>
-          val isAa = aaRefs.contains(name)
-          val (d2, lr) = SequenceModel.adaptLocalReference(df, ref, s"${name}_",
-            if (isAa) SequenceModel.AaOrder else SequenceModel.NucOrder,
-            if (isAa) graft.seq.Ambiguity.aaValidMutation
-            else graft.seq.Ambiguity.nucValidMutation)
-          (d2, if (lr == ref) lrs else lrs + (name -> lr))
+          states(name).meta match {
+            case Some(m) =>
+              m.localRef.filter(_ != ref) match {
+                case Some(lr) =>
+                  (SequenceModel.applyLocalReference(df, ref, lr, s"${name}_"),
+                    lrs + (name -> lr))
+                case None => (df, lrs)
+              }
+            case None =>
+              val isAa = aaRefs.contains(name)
+              val (d2, lr) = SequenceModel.adaptLocalReference(df, ref, s"${name}_",
+                if (isAa) SequenceModel.AaOrder else SequenceModel.NucOrder,
+                if (isAa) graft.seq.Ambiguity.aaValidMutation
+                else graft.seq.Ambiguity.nucValidMutation)
+              (d2, if (lr == ref) lrs else lrs + (name -> lr))
+          }
       }
 
     val bindings: Map[String, SeqBinding] =
@@ -227,32 +331,61 @@ object Database {
     // reference building its vertical/insertion indexes during
     // preprocessing) so selective position predicates route through them
     // (Planner.indexRoute); the per-sequence count maps are bounded by
-    // genome × alphabet. With a stateDir, an index persisted by an
-    // earlier build LOADS from its parquet tables instead of rebuilding —
-    // a fresh session pays one bounded count-map collect, not a full
-    // re-derivation of the postings.
-    // A persisted index is only valid for the input it was built from:
-    // the reference serializes indexes WITH a data version and reloads
-    // them only for that version (sequence_column.h:147-163). The
-    // fingerprint (file count + total bytes + max mtime of the input)
-    // rides in meta.json; a load against changed input misses and the
-    // index rebuilds — stale postings must never answer a routed query.
+    // genome × alphabet. With a stateDir, each binding resolves per its
+    // classified state: Loaded restores the persisted parquet layers
+    // (one bounded count-map collect, zero posting recomputation);
+    // Append derives postings for the NEW files only and merges them as
+    // one additional layer (the reference's chunk-wise index extension,
+    // storage/table.cpp bulkInsert → sequence_column.h:147-163 — at
+    // 100 TB, appending 0.1% of the data recomputes 0.1% of the index,
+    // not 100%); Fresh rebuilds into a new generation dir. Stale
+    // postings still never answer a routed query: load expects the
+    // CURRENT fingerprint, and append flips the pointer only after its
+    // layer is fully written.
     lazy val nRows = cleaned.count() // shared across bindings — count once
-    // The postings depend on the CONFIG as much as on the data — a
-    // reference-genome or primary-key edit changes every diff — so the
-    // fingerprint spans both the NDJSON input and the config dir. Lazy:
-    // builds without a stateDir never pay the listing.
-    lazy val inputFp = inputFingerprint(spark, ndjsonPath) + "|" +
-      inputFingerprint(spark, configDir)
+    // For Append states: the appended files' diffed frame (and row
+    // count), derived ONCE and shared — every binding's append sees the
+    // same newFiles set in the common case, and diffAll carries all
+    // sequence columns.
+    val newDiffCache =
+      scala.collection.mutable.Map[Seq[String], (DataFrame, Long)]()
+    def diffedNewFor(newFiles: Seq[String]): (DataFrame, Long) =
+      newDiffCache.getOrElseUpdate(newFiles, {
+        val rawNew = graft.sources.NdjsonIngest.read(spark, newFiles, schema)
+        val d = diffAll(rawNew)
+        // localCheckpoint: the appended slice is small by construction
+        // (it is the delta); several bindings each write a layer from it
+        (d.localCheckpoint(), d.count())
+      })
     val mutIndexes = bindings.map { case (name, b) =>
       val insCol = Option(s"${b.prefix}ins").filter(cleaned.columns.contains)
       val idxDir = stateDir.map(d => s"$d/index/$name")
-      name -> idxDir.flatMap(
-        graft.lang.Planner.SeqIndex.load(spark, _, expectFingerprint = Some(inputFp)))
-        .getOrElse(graft.lang.Planner.SeqIndex.build(
-          cleaned, cfg.primaryKey, b.prefix, insCol,
-          tableRows = Some(nRows), indexDir = idxDir,
-          fingerprint = idxDir.map(_ => inputFp)))
+      val ref = b.ref
+      val resolved: Option[graft.lang.Planner.SeqIndex] =
+        (states(name), idxDir) match {
+          case (Loaded(_), Some(dir)) =>
+            graft.lang.Planner.SeqIndex.load(spark, dir,
+              expectFingerprint = Some(inputFp))
+          case (Append(m, newFiles), Some(dir)) =>
+            val (diffedNew0, newRows) = diffedNewFor(newFiles)
+            // re-base the new rows onto the index's FROZEN local
+            // reference so their postings mean the same thing as the
+            // persisted layers'
+            val diffedNew = m.localRef.filter(_ != ref)
+              .map(lr => SequenceModel.applyLocalReference(
+                diffedNew0, ref, lr, b.prefix))
+              .getOrElse(diffedNew0)
+            graft.lang.Planner.SeqIndex.append(spark, dir, diffedNew,
+              cfg.primaryKey, b.prefix, insCol, newRows,
+              newFingerprint = inputFp, newManifest = dataManifest)
+          case _ => None
+        }
+      name -> resolved.getOrElse(graft.lang.Planner.SeqIndex.build(
+        cleaned, cfg.primaryKey, b.prefix, insCol,
+        tableRows = Some(nRows), indexDir = idxDir,
+        fingerprint = idxDir.map(_ => inputFp),
+        manifest = if (idxDir.isDefined) dataManifest else Map(),
+        localRef = if (idxDir.isDefined) localRefs.get(name) else None))
     }
 
     Catalog(

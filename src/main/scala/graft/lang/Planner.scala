@@ -56,6 +56,159 @@ object Planner {
       new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sessionState.newHadoopConf())
 
+    /** Persisted-index layout (the Spark analog of the reference
+      * serializing its vertical/insertion indexes with the database state
+      * and extending them chunk-by-chunk at append, sequence_column.h:
+      * 147-163 + storage/table.cpp bulkInsert):
+      *
+      * {{{
+      * <indexDir>/meta.json            atomic commit pointer (tmp+rename)
+      * <indexDir>/gen<fp12>/mut/pos=*  one LAYER of posting parquet
+      *                    /mut_counts, ins, ins_counts, ins3
+      * }}}
+      *
+      * `meta.json` names the committed LAYER LIST; the live index is the
+      * union of its layers. A full rebuild writes a fresh generation dir
+      * and flips the pointer — live readers of old generations keep
+      * scanning files that are never overwritten (generation isolation; a
+      * crashed build leaves an unreferenced dir, never a torn index). An
+      * incremental append derives postings for the NEW rows only, writes
+      * them as one additional layer and flips the pointer — old layers
+      * stay byte-identical, so appending 0.1% of the data recomputes 0.1%
+      * of the index, not 100%. `meta.json` also carries the per-file input
+      * manifest the index was derived from (so the next build can tell
+      * "files appended" from "files changed") and the frozen local
+      * reference (appended rows MUST be re-based onto the same stored
+      * reference as the persisted postings).
+      */
+    private[graft] final case class IndexMeta(
+        tableRows: Long, hasIns: Boolean, pkType: String,
+        fingerprint: Option[String], layers: Seq[String],
+        manifest: Map[String, String], localRef: Option[String])
+
+    /** Compact once the layer chain exceeds this many layers: a routed
+      * read unions per-layer scans, so an unbounded chain of tiny appends
+      * would degrade into a small-files problem.
+      */
+    private val CompactAt = 8
+
+    private def fpHash(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString.take(12)
+    }
+
+    private[graft] def readMeta(spark: org.apache.spark.sql.SparkSession,
+        dir: String): Option[IndexMeta] = {
+      val fs = hadoopFs(spark, dir)
+      val meta = new org.apache.hadoop.fs.Path(dir, "meta.json")
+      if (!fs.exists(meta)) None
+      else {
+        val in = fs.open(meta)
+        val txt =
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        // an unparseable meta (torn write on a filesystem without atomic
+        // rename, manual tampering) means NO committed index — rebuild,
+        // don't crash the build
+        val node =
+          try new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+          catch { case _: java.io.IOException => return None }
+        // `layers` doubles as the format marker: a meta from the pre-
+        // layered layout loads as None (rebuild) instead of misreading
+        if (node == null || !node.has("tableRows") || !node.has("layers"))
+          return None
+        val layers = {
+          val it = node.get("layers").elements()
+          val b = Seq.newBuilder[String]
+          while (it.hasNext) b += it.next().asText
+          b.result()
+        }
+        if (layers.isEmpty) return None
+        val manifest = Option(node.get("manifest")).map { m =>
+          val it = m.fields()
+          val b = Map.newBuilder[String, String]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText }
+          b.result()
+        }.getOrElse(Map.empty[String, String])
+        Some(IndexMeta(
+          node.get("tableRows").asLong,
+          node.get("hasIns").asBoolean,
+          node.get("pkType").asText,
+          Option(node.get("fingerprint")).map(_.asText),
+          layers, manifest,
+          Option(node.get("localRef")).map(_.asText)))
+      }
+    }
+
+    /** Commit `meta` via tmp+rename on the index dir's OWN filesystem
+      * (stateDir may be hdfs:// or s3a://, not local): its presence marks
+      * the named layers complete — the same atomic-pointer idiom as table
+      * versions. The rename OVERWRITES an existing pointer through
+      * FileContext (plain FileSystem.rename refuses an existing
+      * destination): atomic replace on HDFS/local, so a concurrent
+      * readMeta sees the old meta or the new one, never a torn mix.
+      * Jackson handles escaping (a pkType like decimal(10,2) must
+      * round-trip).
+      */
+    private def writeMeta(spark: org.apache.spark.sql.SparkSession,
+        dir: String, meta: IndexMeta): Unit = {
+      val fs = hadoopFs(spark, dir)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.createObjectNode()
+      node.put("tableRows", meta.tableRows)
+      node.put("hasIns", meta.hasIns)
+      node.put("pkType", meta.pkType)
+      meta.fingerprint.foreach(node.put("fingerprint", _))
+      val arr = node.putArray("layers")
+      meta.layers.foreach(arr.add)
+      val man = node.putObject("manifest")
+      meta.manifest.toSeq.sorted.foreach { case (k, v) => man.put(k, v) }
+      meta.localRef.foreach(node.put("localRef", _))
+      val tmp = new org.apache.hadoop.fs.Path(dir, ".meta.json.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+      val dst = new org.apache.hadoop.fs.Path(dir, "meta.json")
+      org.apache.hadoop.fs.FileContext.getFileContext(
+          fs.getUri, spark.sessionState.newHadoopConf())
+        .rename(fs.makeQualified(tmp), fs.makeQualified(dst),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+
+    /** Derive and write one posting layer from a diffed frame. One file
+      * per pos directory: cluster by pos before the partitioned write so
+      * every task owns whole positions.
+      */
+    private def writeLayer(diffed: DataFrame, pkCol: String, prefix: String,
+        insCol: Option[String], dir: String, layer: String): Unit = {
+      import org.apache.spark.sql.functions.col
+      graft.seq.SequenceModel.mutPostings(diffed, pkCol, prefix)
+        .repartition(col("pos"))
+        .sortWithinPartitions("pos", "sym")
+        .write.mode("overwrite").partitionBy("pos").parquet(s"$dir/$layer/mut")
+      graft.seq.SequenceModel.mutIndex(
+        diffed.select(col(s"${prefix}muts").as("muts")))
+        .write.mode("overwrite").parquet(s"$dir/$layer/mut_counts")
+      insCol.foreach { c =>
+        graft.seq.SequenceModel.insPostings(diffed, pkCol, c)
+          .repartition(col("pos"))
+          .sortWithinPartitions("pos")
+          .write.mode("overwrite").partitionBy("pos").parquet(s"$dir/$layer/ins")
+        graft.seq.SequenceModel.insIndex(diffed, c)
+          .groupBy("pos")
+          .agg(org.apache.spark.sql.functions.sum("cnt").as("n"))
+          .write.mode("overwrite").parquet(s"$dir/$layer/ins_counts")
+        // 3-mer inverted index (reference insertion_index.cpp:158-196):
+        // sorted within partitions by kmer so a kmer equality search
+        // prunes row groups via min/max stats inside the pos partition
+        graft.seq.SequenceModel.insKmerPostings(diffed, pkCol, c)
+          .repartition(col("pos"))
+          .sortWithinPartitions("pos", "kmer")
+          .write.mode("overwrite").partitionBy("pos").parquet(s"$dir/$layer/ins3")
+      }
+    }
+
     /** Build from a diffed frame (one aggregation pass + the bounded
       * count-map collect per index; `insCol` additionally registers the
       * insertion posting index; pass `tableRows` when the caller already
@@ -67,76 +220,34 @@ object Planner {
       * base-table scan — without the cut, the "index" side of the
       * semi-join would itself scan the whole table and the routing could
       * never win. With `indexDir` the postings persist as parquet index
-      * tables partitioned by `pos` (the reference serializes its
-      * vertical/insertion indexes with the database state,
-      * sequence_column.h:147-163) — the routed `pos === p` filter then
-      * prunes partition directories at scan time, the index survives the
-      * session, and `load` restores it without rebuilding. Without
-      * `indexDir` (ad-hoc in-session catalogs) it falls back to
+      * layers partitioned by `pos` (layout above) — the routed `pos === p`
+      * filter then prunes partition directories at scan time, the index
+      * survives the session, and `load` restores it without rebuilding.
+      * Without `indexDir` (ad-hoc in-session catalogs) it falls back to
       * `localCheckpoint` executor-memory materialization.
       */
     def build(diffed: DataFrame, pkCol: String, prefix: String = "",
         insCol: Option[String] = None,
         tableRows: Option[Long] = None,
         indexDir: Option[String] = None,
-        fingerprint: Option[String] = None): SeqIndex = {
+        fingerprint: Option[String] = None,
+        manifest: Map[String, String] = Map(),
+        localRef: Option[String] = None): SeqIndex = {
       import org.apache.spark.sql.functions.col
       indexDir match {
         case Some(dir) =>
           val rows = tableRows.getOrElse(diffed.count())
           val spark = diffed.sparkSession
-          val fs = hadoopFs(spark, dir)
-          // invalidate FIRST: the meta marker must be gone before any
-          // posting dir is overwritten, so a crash mid-rebuild can never
-          // leave a complete-looking meta.json over mixed-generation
-          // postings (load would otherwise serve them if the input later
-          // reverts to the old fingerprint)
-          fs.delete(new org.apache.hadoop.fs.Path(dir, "meta.json"), false)
-          // one file per pos directory: cluster by pos before the
-          // partitioned write so every task owns whole positions
-          graft.seq.SequenceModel.mutPostings(diffed, pkCol, prefix)
-            .repartition(col("pos"))
-            .sortWithinPartitions("pos", "sym")
-            .write.mode("overwrite").partitionBy("pos").parquet(s"$dir/mut")
-          graft.seq.SequenceModel.mutIndex(
-            diffed.select(col(s"${prefix}muts").as("muts")))
-            .write.mode("overwrite").parquet(s"$dir/mut_counts")
-          insCol.foreach { c =>
-            graft.seq.SequenceModel.insPostings(diffed, pkCol, c)
-              .repartition(col("pos"))
-              .sortWithinPartitions("pos")
-              .write.mode("overwrite").partitionBy("pos").parquet(s"$dir/ins")
-            graft.seq.SequenceModel.insIndex(diffed, c)
-              .groupBy("pos")
-              .agg(org.apache.spark.sql.functions.sum("cnt").as("n"))
-              .write.mode("overwrite").parquet(s"$dir/ins_counts")
-            // 3-mer inverted index (reference insertion_index.cpp:158-196):
-            // sorted within partitions by kmer so a kmer equality search
-            // prunes row groups via min/max stats inside the pos partition
-            graft.seq.SequenceModel.insKmerPostings(diffed, pkCol, c)
-              .repartition(col("pos"))
-              .sortWithinPartitions("pos", "kmer")
-              .write.mode("overwrite").partitionBy("pos").parquet(s"$dir/ins3")
-          }
-          // meta written LAST via tmp+rename on the index dir's OWN
-          // filesystem (stateDir may be hdfs://or s3a://, not local):
-          // its presence marks the index complete (same atomic-pointer
-          // idiom as table versions). pkType lets `load` synthesize an
-          // empty posting frame when a mutation-free dataset wrote no
-          // parquet files at all. Jackson handles escaping — a pkType
-          // like decimal(10,2) must round-trip.
-          val pkType = diffed.schema(pkCol).dataType.catalogString
-          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-          val node = mapper.createObjectNode()
-          node.put("tableRows", rows)
-          node.put("hasIns", insCol.isDefined)
-          node.put("pkType", pkType)
-          fingerprint.foreach(node.put("fingerprint", _))
-          val tmp = new org.apache.hadoop.fs.Path(dir, ".meta.json.tmp")
-          val out = fs.create(tmp, true)
-          try out.write(mapper.writeValueAsBytes(node)) finally out.close()
-          if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, "meta.json")))
-            sys.error(s"failed to commit $dir/meta.json")
+          // generation dir keyed by the fingerprint: a rebuild for changed
+          // input lands in a FRESH dir and old generations stay readable
+          // for concurrent readers until the pointer flips (and beyond —
+          // see gc); a crashed rebuild leaves an unreferenced dir behind,
+          // never a complete-looking meta over mixed-generation postings
+          val layer = "gen" + fpHash(fingerprint.getOrElse("adhoc"))
+          writeLayer(diffed, pkCol, prefix, insCol, dir, layer)
+          writeMeta(spark, dir, IndexMeta(
+            rows, insCol.isDefined, diffed.schema(pkCol).dataType.catalogString,
+            fingerprint, Seq(layer), manifest, localRef))
           load(spark, dir).getOrElse(
             sys.error(s"posting index just written to $dir failed to load"))
         case None =>
@@ -162,85 +273,176 @@ object Planner {
       }
     }
 
+    /** Incrementally extend a persisted index with postings for NEW rows
+      * only — the Spark analog of the reference extending its indexes
+      * chunk-by-chunk at append instead of rebuilding
+      * (storage/table.cpp bulkInsert → sequence_column.h:147-163).
+      * `diffedNew` must contain ONLY the appended rows, already re-based
+      * onto the index's frozen local reference. Writes one layer, then
+      * flips meta.json to the extended layer list + the new fingerprint/
+      * manifest. Returns None (caller full-rebuilds) when no committed
+      * index exists or its shape (hasIns/pkType) doesn't match.
+      *
+      * Crash-safety: the pointer flips LAST, so a crash mid-append leaves
+      * meta at the old layer list with the old fingerprint — which no
+      * longer matches the grown input, so the next build re-runs the
+      * append (same deterministic layer name, overwritten); and if the
+      * appended input files are removed again, the old fingerprint
+      * matches again and the old layers answer correctly.
+      */
+    def append(spark: org.apache.spark.sql.SparkSession, dir: String,
+        diffedNew: DataFrame, pkCol: String, prefix: String,
+        insCol: Option[String], newRows: Long,
+        newFingerprint: String, newManifest: Map[String, String])
+        : Option[SeqIndex] =
+      readMeta(spark, dir)
+        .filter(m => m.hasIns == insCol.isDefined &&
+          m.pkType == diffedNew.schema(pkCol).dataType.catalogString)
+        .map { m =>
+          val layer = "gen" + fpHash(newFingerprint)
+          writeLayer(diffedNew, pkCol, prefix, insCol, dir, layer)
+          val extended = m.copy(
+            tableRows = m.tableRows + newRows,
+            fingerprint = Some(newFingerprint),
+            layers = m.layers :+ layer,
+            manifest = newManifest)
+          val committed =
+            if (extended.layers.size > CompactAt) compact(spark, dir, extended)
+            else extended
+          writeMeta(spark, dir, committed)
+          load(spark, dir, Some(newFingerprint)).getOrElse(
+            sys.error(s"posting index just appended at $dir failed to load"))
+        }
+
+    /** Merge a long layer chain into one fresh generation (union the
+      * layers, re-aggregate the bounded count tables, rewrite partitioned
+      * by pos) and return the meta to commit. Old layers are untouched —
+      * readers of the pre-compaction index keep working; [[gc]] reclaims
+      * them once no reader can reference them.
+      */
+    private def compact(spark: org.apache.spark.sql.SparkSession,
+        dir: String, meta: IndexMeta): IndexMeta = {
+      import org.apache.spark.sql.functions.col
+      val target = "gen" + fpHash(meta.fingerprint.getOrElse("adhoc") + "|compact")
+      val pkType = org.apache.spark.sql.types.DataType.fromDDL(meta.pkType)
+      def union(sub: String, schema: StructType): DataFrame =
+        meta.layers.map(l => readOrEmpty(spark, s"$dir/$l/$sub", schema))
+          .reduce(_ unionByName _)
+      val mutSchema = StructType(Seq(StructField("pos", IntegerType),
+        StructField("sym", StringType), StructField("pk", pkType)))
+      union("mut", mutSchema)
+        .repartition(col("pos")).sortWithinPartitions("pos", "sym")
+        .write.mode("overwrite").partitionBy("pos").parquet(s"$dir/$target/mut")
+      val cntSchema = StructType(Seq(StructField("pos", IntegerType),
+        StructField("sym", StringType), StructField("cnt", LongType)))
+      union("mut_counts", cntSchema)
+        .groupBy("pos", "sym").agg(sum("cnt").as("cnt"))
+        .write.mode("overwrite").parquet(s"$dir/$target/mut_counts")
+      if (meta.hasIns) {
+        val insSchema = StructType(Seq(StructField("pos", IntegerType),
+          StructField("ins", StringType), StructField("pk", pkType)))
+        union("ins", insSchema)
+          .repartition(col("pos")).sortWithinPartitions("pos")
+          .write.mode("overwrite").partitionBy("pos").parquet(s"$dir/$target/ins")
+        val insCntSchema = StructType(Seq(StructField("pos", IntegerType),
+          StructField("n", LongType)))
+        union("ins_counts", insCntSchema)
+          .groupBy("pos").agg(sum("n").as("n"))
+          .write.mode("overwrite").parquet(s"$dir/$target/ins_counts")
+        val ins3Schema = StructType(Seq(StructField("pos", IntegerType),
+          StructField("kmer", StringType), StructField("ins", StringType),
+          StructField("pk", pkType)))
+        union("ins3", ins3Schema)
+          .repartition(col("pos")).sortWithinPartitions("pos", "kmer")
+          .write.mode("overwrite").partitionBy("pos").parquet(s"$dir/$target/ins3")
+      }
+      meta.copy(layers = Seq(target))
+    }
+
+    /** Delete generation dirs no longer referenced by the committed meta.
+      * NOT called automatically: a reader that loaded the index before a
+      * rebuild/compaction may still scan an old generation — run gc only
+      * when no such reader can exist (e.g. at the next cold start).
+      */
+    def gc(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+      readMeta(spark, dir).foreach { m =>
+        val fs = hadoopFs(spark, dir)
+        val live = m.layers.toSet
+        Option(fs.listStatus(new org.apache.hadoop.fs.Path(dir)))
+          .getOrElse(Array())
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen") &&
+            !live.contains(st.getPath.getName))
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+
+    /** Read a posting sub-table or synthesize an empty frame with the
+      * right schema: a mutation/insertion-free layer's partitioned write
+      * leaves no parquet files (just _SUCCESS), so schema inference would
+      * fail; detect that by listing instead of catching.
+      */
+    private def readOrEmpty(spark: org.apache.spark.sql.SparkSession,
+        path: String, schema: StructType): DataFrame = {
+      val fs = hadoopFs(spark, path)
+      val p = new org.apache.hadoop.fs.Path(path)
+      val hasParquet = fs.exists(p) && fs.listStatus(p).exists(f =>
+        f.getPath.getName.startsWith("pos=") ||
+          f.getPath.getName.endsWith(".parquet"))
+      if (hasParquet) spark.read.parquet(path)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+
     /** Restore a persisted posting index (None when `dir` holds no
-      * complete index). The posting frames are plain parquet scans —
-      * partition-pruned by the routed `pos` filter, recomputable (so a
-      * caller unpersisting every RDD between queries cannot strand them,
-      * unlike checkpointed frames), and shared across sessions. The
-      * count maps are bounded by genome × alphabet and collected once.
+      * complete index). Each posting frame is the union of the committed
+      * layers' plain parquet scans — the routed `pos` filter pushes into
+      * every branch as a partition-pruning PartitionFilter, and with a
+      * single layer (the common case) the plan is exactly one pruned scan.
+      * Parquet-backed frames are recomputable (a caller unpersisting every
+      * RDD between queries cannot strand them, unlike checkpointed
+      * frames) and shared across sessions. The count maps are bounded by
+      * genome × alphabet and summed across layers once.
       */
     def load(spark: org.apache.spark.sql.SparkSession, dir: String,
-        expectFingerprint: Option[String] = None): Option[SeqIndex] = {
-      val fs = hadoopFs(spark, dir)
-      val meta = new org.apache.hadoop.fs.Path(dir, "meta.json")
-      if (!fs.exists(meta)) None
-      else {
-        val in = fs.open(meta)
-        val txt =
-          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-            java.nio.charset.StandardCharsets.UTF_8)
-          finally in.close()
-        // an unparseable meta (torn write on a filesystem without atomic
-        // rename, manual tampering) means NO committed index — rebuild,
-        // don't crash the build
-        val node =
-          try new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
-          catch { case _: java.io.IOException => return None }
-        if (node == null || !node.has("tableRows")) return None
+        expectFingerprint: Option[String] = None): Option[SeqIndex] =
+      readMeta(spark, dir).flatMap { m =>
         // an index is only valid for the input it was built from: a
         // caller expecting a fingerprint rejects an index persisted for
         // OTHER input (or with none recorded) — stale postings must never
-        // answer a routed query; the caller rebuilds and overwrites
-        expectFingerprint.foreach { want =>
-          val stored = Option(node.get("fingerprint")).map(_.asText)
-          if (!stored.contains(want)) return None
+        // answer a routed query; the caller rebuilds or appends
+        if (expectFingerprint.exists(want => !m.fingerprint.contains(want)))
+          None
+        else {
+          val pkType = org.apache.spark.sql.types.DataType.fromDDL(m.pkType)
+          def union(sub: String, schema: StructType): DataFrame =
+            m.layers.map(l => readOrEmpty(spark, s"$dir/$l/$sub", schema))
+              .reduce(_ unionByName _)
+          val counts = union("mut_counts", StructType(Seq(
+              StructField("pos", IntegerType), StructField("sym", StringType),
+              StructField("cnt", LongType))))
+            .groupBy("pos", "sym").agg(sum("cnt").as("cnt"))
+            .collect()
+            .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+          val insByPos =
+            if (!m.hasIns) Map.empty[Int, Long]
+            else union("ins_counts", StructType(Seq(
+                StructField("pos", IntegerType), StructField("n", LongType))))
+              .groupBy("pos").agg(sum("n").as("n"))
+              .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          Some(SeqIndex(
+            union("mut", StructType(Seq(StructField("pos", IntegerType),
+              StructField("sym", StringType), StructField("pk", pkType)))),
+            counts, m.tableRows,
+            if (m.hasIns) Some(union("ins", StructType(Seq(
+              StructField("pos", IntegerType), StructField("ins", StringType),
+              StructField("pk", pkType)))))
+            else None,
+            insByPos,
+            if (m.hasIns) Some(union("ins3", StructType(Seq(
+              StructField("pos", IntegerType), StructField("kmer", StringType),
+              StructField("ins", StringType), StructField("pk", pkType)))))
+            else None))
         }
-        val rows = node.get("tableRows").asLong
-        val hasIns = node.get("hasIns").asBoolean
-        val pkType = org.apache.spark.sql.types.DataType.fromDDL(
-          node.get("pkType").asText)
-        // a mutation/insertion-free dataset's partitioned write leaves no
-        // parquet files (just _SUCCESS), so schema inference would fail;
-        // detect that by listing instead of catching — synthesizing the
-        // empty frame without an exception round-trip
-        def hasParquet(path: String): Boolean = {
-          val p = new org.apache.hadoop.fs.Path(path)
-          fs.exists(p) && fs.listStatus(p).exists(f =>
-            f.getPath.getName.startsWith("pos=") ||
-              f.getPath.getName.endsWith(".parquet"))
-        }
-        def readOrEmpty(path: String, valueCols: StructField*): DataFrame =
-          if (hasParquet(path)) spark.read.parquet(path)
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(StructField("pos", IntegerType) +: valueCols.toSeq :+
-              StructField("pk", pkType)))
-        def collectOrEmpty(path: String): Array[org.apache.spark.sql.Row] =
-          if (hasParquet(path)) spark.read.parquet(path).collect()
-          else Array()
-        val counts = collectOrEmpty(s"$dir/mut_counts")
-          .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
-        val insByPos =
-          if (!hasIns) Map.empty[Int, Long]
-          else collectOrEmpty(s"$dir/ins_counts")
-            .map(r => r.getInt(0) -> r.getLong(1)).toMap
-        // ins3 written by this version's build: dir present (possibly with
-        // zero parquet files = no 3-char insertions). An index persisted
-        // BEFORE the 3-mer index existed has no ins3 dir at all — there
-        // kmer routing must stay off (None), not silently empty.
-        val insKmer =
-          if (hasIns && fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ins3")))
-            Some(readOrEmpty(s"$dir/ins3", StructField("kmer", StringType),
-              StructField("ins", StringType)))
-          else None
-        Some(SeqIndex(
-          readOrEmpty(s"$dir/mut", StructField("sym", StringType)),
-          counts, rows,
-          if (hasIns) Some(readOrEmpty(s"$dir/ins", StructField("ins", StringType)))
-          else None,
-          insByPos, insKmer))
       }
-    }
   }
 
   final case class Catalog(

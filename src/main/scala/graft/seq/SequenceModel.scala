@@ -259,10 +259,32 @@ object SequenceModel {
     else {
       val localRef = (1 to genomeLength)
         .map(p => winners.getOrElse(p, ref.charAt(p - 1).toString)).mkString
+      (applyLocalReference(diffed, ref, localRef, prefix), localRef)
+    }
+  }
+
+  /** Deterministically re-base raw [[diff]] output onto a KNOWN local
+    * reference — the second half of [[adaptLocalReference]], split out so
+    * an incremental index append can re-base NEW rows onto the FROZEN
+    * local reference persisted with the index (re-deriving the majority
+    * from old+new data could flip adapted symbols and silently invalidate
+    * every already-persisted posting). Same precondition as
+    * [[adaptLocalReference]]: `diffed` is raw [[diff]] output stored
+    * against the global `ref`, re-based at most once.
+    */
+  def applyLocalReference(
+      diffed: DataFrame, ref: String, localRef: String,
+      prefix: String = ""): DataFrame =
+    if (localRef == ref) diffed
+    else {
+      require(localRef.length == ref.length,
+        s"local reference length ${localRef.length} != reference ${ref.length}")
+      val adaptedPositions =
+        (1 to ref.length).filter(p => localRef.charAt(p - 1) != ref.charAt(p - 1))
       // ONE literal node however many positions adapt (array(...map(lit))
       // would put a plan node per adapted position — O(genome) plan size on
       // divergent datasets)
-      val adaptedLit = lit(winners.keys.toArray.sorted)
+      val adaptedLit = lit(adaptedPositions.toArray)
       val mutMap = map_from_entries(col(s"${prefix}muts"))
       // drop diffs that equal the new local symbol: stored diffs always
       // differ from the GLOBAL reference (diff-at-ingest invariant), and at
@@ -278,10 +300,8 @@ object SequenceModel {
             !array_contains(col(s"${prefix}missing"), p) &&
             element_at(mutMap, p).isNull
         })
-      val rebased = diffed.withColumn(s"${prefix}muts",
+      diffed.withColumn(s"${prefix}muts",
         when(col(s"${prefix}cov_start").isNull, col(s"${prefix}muts"))
           .otherwise(array_sort(concat(kept, added))))
-      (rebased, localRef)
     }
-  }
 }

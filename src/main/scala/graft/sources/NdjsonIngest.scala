@@ -31,6 +31,12 @@ object NdjsonIngest {
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("mode", "FAILFAST").json(path)
 
+  /** Read an explicit file list (the incremental-index path reads ONLY the
+    * files that appeared since the last committed index).
+    */
+  def read(spark: SparkSession, paths: Seq[String], schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").json(paths: _*)
+
   /** Validate PK uniqueness; throws DuplicatePrimaryKey listing a sample. */
   def validatePrimaryKey(df: DataFrame, pk: String): Unit = {
     val dups = df.groupBy(col(pk)).count().filter(col("count") > 1)

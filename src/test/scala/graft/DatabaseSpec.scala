@@ -193,6 +193,164 @@ class DatabaseSpec extends SparkSpec {
     assert(Files.getLastModifiedTime(meta) !== t0) // rewritten, not served stale
   }
 
+  test("incremental append: new files extend the index, old postings untouched") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    // input is a DIRECTORY of ndjson files, so a new batch file can appear
+    val inDir = Files.createTempDirectory("graft_inc_in")
+    Files.copy(Paths.get(s"$dir/input.ndjson"), inDir.resolve("batch0.ndjson"))
+    val state = Files.createTempDirectory("graft_inc_state").toString
+    val c1 = Database.build(spark, dir, inDir.toString, Some(state))
+    assert(c1.tables("default").count() === 5)
+    val idxDir = Paths.get(state, "index", "main")
+    val meta1 = Planner.SeqIndex.readMeta(spark, idxDir.toString).get
+    assert(meta1.layers.size === 1)
+    assert(meta1.manifest.keySet.exists(_.endsWith("batch0.ndjson")))
+    def layerState(layer: String): Map[String, Long] =
+      Files.walk(idxDir.resolve(layer)).iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(p => idxDir.relativize(p).toString ->
+          Files.getLastModifiedTime(p).toMillis).toMap
+    val oldLayerFiles = layerState(meta1.layers.head)
+
+    // two appended records: a fresh pos-1 mutation (key6: T at 1) and an
+    // insertion so every index family (mut/ins/ins3) gains a layer row
+    val l6 = ("{\"primaryKey\":\"key6\",\"date\":\"2021-05-01\",\"unsorted_date\":null," +
+      "\"region\":\"Europe\",\"country\":\"Switzerland\",\"pango_lineage\":\"B.1.1.7\"," +
+      "\"division\":\"Zurich\",\"age\":7,\"qc_value\":0.9,\"test_boolean_column\":true," +
+      "\"main\":{\"sequence\":\"TCGTACGT\",\"insertions\":[\"2:CCG\"]}," +
+      "\"unaligned_main\":\"TCGTACGT\"," +
+      "\"testSecondSequence\":{\"sequence\":\"ACGT\",\"insertions\":[]}," +
+      "\"unaligned_testSecondSequence\":\"ACGT\"," +
+      "\"E\":{\"sequence\":\"MYSF*\",\"insertions\":[]}," +
+      "\"M\":{\"sequence\":\"MADS*\",\"insertions\":[]}}")
+    val l7 = l6.replace("key6", "key7").replace("TCGTACGT", "TCGAACGT")
+    Files.writeString(inDir.resolve("batch1.ndjson"), l6 + "\n" + l7 + "\n")
+
+    val c2 = Database.build(spark, dir, inDir.toString, Some(state))
+    assert(c2.tables("default").count() === 7)
+    val meta2 = Planner.SeqIndex.readMeta(spark, idxDir.toString).get
+    // the committed chain EXTENDED: old layer first, one new layer after
+    assert(meta2.layers.size === 2)
+    assert(meta2.layers.head === meta1.layers.head)
+    assert(meta2.tableRows === 7L)
+    // old-row postings were NOT recomputed: every file of the first layer
+    // is byte-for-byte the one written by the first build
+    assert(layerState(meta1.layers.head) === oldLayerFiles)
+    // queries through the appended catalog see old AND new rows
+    val q1 = "default.filter(hasMutation(position := 1, sequenceName := 'main'))"
+    assert(Planner.plan(q1, c2).select("primaryKey")
+      .collect().map(_.getString(0)).toSet === Set("key6", "key7"))
+    val qIns = "default.filter(insertionContains(position := 2, value := 'CCG', sequenceName := 'main'))"
+    assert(Planner.plan(qIns, c2).select("primaryKey")
+      .collect().map(_.getString(0)).toSet === Set("key6", "key7"))
+    // the merged index is EQUIVALENT to one built from scratch over the
+    // same grown input (counts and full posting set)
+    val stateB = Files.createTempDirectory("graft_inc_stateB").toString
+    val cB = Database.build(spark, dir, inDir.toString, Some(stateB))
+    val mA = c2.mutIndexes("default")("main")
+    val mB = cB.mutIndexes("default")("main")
+    assert(mA.tableRows === mB.tableRows)
+    assert(mA.counts === mB.counts)
+    assert(mA.insCountByPos === mB.insCountByPos)
+    assert(mA.postings.collect().map(_.toString).sorted.toSeq ===
+      mB.postings.collect().map(_.toString).sorted.toSeq)
+    // a third build with nothing new LOADS (meta untouched)
+    val t2 = Files.getLastModifiedTime(idxDir.resolve("meta.json"))
+    Database.build(spark, dir, inDir.toString, Some(state))
+    assert(Files.getLastModifiedTime(idxDir.resolve("meta.json")) === t2)
+  }
+
+  test("incremental append freezes the adapted local reference") {
+    import java.nio.file.{Files, Paths}
+    // build where T dominates pos 1 (4 of 5 rows) → local ref adapts to T;
+    // an append must re-base NEW rows onto that FROZEN reference even
+    // though the appended data would shift the majority
+    val cfg = Files.createTempDirectory("graft_lr_cfg")
+    Seq("database_config.yaml", "reference_genomes.json",
+      "phylogenetic_tree.nwk", "test_lineage_definition.yaml").foreach { f =>
+      Files.copy(Paths.get(dir, f), cfg.resolve(f))
+    }
+    def rec(k: String, seq: String) =
+      (s"""{"primaryKey":"$k","date":"2021-05-01","unsorted_date":null,""" +
+        s""""region":"Europe","country":"Switzerland","pango_lineage":"B.1.1.7",""" +
+        s""""division":"Zurich","age":7,"qc_value":0.9,"test_boolean_column":true,""" +
+        s""""main":{"sequence":"$seq","insertions":[]},"unaligned_main":"$seq",""" +
+        s""""testSecondSequence":{"sequence":"ACGT","insertions":[]},""" +
+        s""""unaligned_testSecondSequence":"ACGT",""" +
+        s""""E":{"sequence":"MYSF*","insertions":[]},""" +
+        s""""M":{"sequence":"MADS*","insertions":[]}}""")
+    val inDir = Files.createTempDirectory("graft_lr_in")
+    Files.writeString(inDir.resolve("b0.ndjson"),
+      ((1 to 4).map(i => rec(s"t$i", "TCGTACGT")) :+ rec("a1", "ACGTACGT"))
+        .mkString("", "\n", "\n"))
+    val state = Files.createTempDirectory("graft_lr_state").toString
+    val c1 = Database.build(spark, cfg.toString, inDir.toString, Some(state))
+    val meta1 = Planner.SeqIndex.readMeta(spark, s"$state/index/main").get
+    assert(meta1.localRef === Some("TCGTACGT")) // adapted + persisted
+    // append 6 A-rows: global majority at pos 1 flips back to A, but the
+    // frozen local reference must stay T for the persisted layers to
+    // remain valid
+    Files.writeString(inDir.resolve("b1.ndjson"),
+      (2 to 7).map(i => rec(s"a$i", "ACGTACGT")).mkString("", "\n", "\n"))
+    val c2 = Database.build(spark, cfg.toString, inDir.toString, Some(state))
+    val meta2 = Planner.SeqIndex.readMeta(spark, s"$state/index/main").get
+    assert(meta2.layers.size === 2)
+    assert(meta2.localRef === Some("TCGTACGT")) // frozen, not re-derived
+    // query semantics are against the GLOBAL reference regardless of the
+    // storage-side local ref: the 5 A-at-pos-1 + ref rows have NO pos-1
+    // mutation; the 4 T rows do
+    val q1 = "default.filter(hasMutation(position := 1, sequenceName := 'main'))"
+    assert(Planner.plan(q1, c2).select("primaryKey")
+      .collect().map(_.getString(0)).toSet === Set("t1", "t2", "t3", "t4"))
+    assert(c2.tables("default").count() === 11)
+    // and the merged index equals a from-scratch build over the grown
+    // input MODULO the local ref (scratch adapts to A): compare the
+    // QUERY-VISIBLE artifacts — counts are stored in local-ref space, so
+    // compare reconstructed mutations per row instead
+    val stateB = Files.createTempDirectory("graft_lr_stateB").toString
+    val cB = Database.build(spark, cfg.toString, inDir.toString, Some(stateB))
+    val qm = "default.mutations(minProportion := 0.01, sequenceNames := {main})"
+    assert(Planner.plan(qm, c2).collect().map(_.toString).sorted.toSeq ===
+      Planner.plan(qm, cB).collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("layer chain compacts past CompactAt into one generation") {
+    import java.nio.file.Files
+    import spark.implicits._
+    // a long chain of tiny appends must NOT degrade reads into a union of
+    // many small-file scans forever: past the cap the chain merges into
+    // one fresh generation (old layers untouched for live readers)
+    val ref = "ACGT"
+    def diffed(pk: String) = graft.seq.SequenceModel.diff(
+      Seq((pk, "TCGT")).toDF("pk", "seq"), "seq", ref)
+    val dir = Files.createTempDirectory("graft_compact").toString
+    Planner.SeqIndex.build(diffed("r0"), "pk",
+      indexDir = Some(dir), fingerprint = Some("fp0"))
+    (1 to 8).foreach { i =>
+      assert(Planner.SeqIndex.append(spark, dir, diffed(s"r$i"), "pk",
+        "", None, 1L, s"fp$i", Map(s"f$i" -> "1:1")).isDefined)
+    }
+    val meta = Planner.SeqIndex.readMeta(spark, dir).get
+    assert(meta.layers.size === 1) // 9 layers collapsed
+    assert(meta.tableRows === 9L)
+    assert(meta.fingerprint === Some("fp8"))
+    val idx = Planner.SeqIndex.load(spark, dir, Some("fp8")).get
+    assert(idx.counts((1, "T")) === 9L)
+    assert(idx.postings.count() === 9L)
+    // gc reclaims the now-unreferenced layer dirs
+    Planner.SeqIndex.gc(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen"))
+      .map(_.getPath.getName).toSeq
+    assert(gens === meta.layers)
+    // and the index still loads + answers after gc
+    assert(Planner.SeqIndex.load(spark, dir, Some("fp8")).get
+      .postings.count() === 9L)
+  }
+
   test("phylo tree from the dataset's newick file") {
     val m = run(
       "default.filter(country = 'Switzerland').mostRecentCommonAncestor('primaryKey')")
