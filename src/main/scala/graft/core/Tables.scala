@@ -16,15 +16,24 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    // raw long (spark.sql.legacy.parquet.nanosAsLong=true, set by our
-    // session builders). Normalize to a proper timestamp column here; the
-    // `div` keeps the ns→µs conversion in exact integer arithmetic.
-    if (df.schema.fields.exists(f =>
-        f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType))
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    // Normalize `ts` to a proper tz-aware TimestampType regardless of the
+    // parquet writer's physical layout:
+    //  - TIMESTAMP(NANOS): Spark only reads it as a raw long
+    //    (spark.sql.legacy.parquet.nanosAsLong=true, set by our session
+    //    builders) — convert ns→µs in exact integer arithmetic.
+    //  - timestamp[us] without tz: Spark reads TIMESTAMP_NTZ — cast to
+    //    TimestampType. The session tz is pinned UTC in every entry point,
+    //    so the cast is exact.
+    //  - tz-aware TIMESTAMP: already TimestampType, nothing to do.
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", df("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** Register every table as a temp view so `spark.sql` works too. */
