@@ -25,16 +25,41 @@ import graft.sources.NdjsonIngest
   * would re-union an already-committed batch and trip the dup-PK abort in
   * a poisoned retry loop. At scale each micro-batch is an ordinary
   * distributed parquet write; state is only the file-source log.
+  *
+  * The tag is NAMESPACED by the stream's persistent query id
+  * (`<queryId>:batch<N>`): batch ids restart at 0 for every fresh
+  * checkpoint, so a bare `batch<N>` committed by one stream would be
+  * indistinguishable from a different stream's genuinely new batch N on
+  * the same tableDir — and that batch would be silently dropped. The
+  * query id lives in the checkpoint's `metadata` file, so a RESTART of
+  * the same checkpoint keeps the namespace (replay detection works)
+  * while a fresh checkpoint gets a fresh one (nothing is skipped).
   */
 object StreamingIngest {
 
+  /** The stream's persistent query id, from the checkpoint `metadata`
+    * file Structured Streaming writes at stream start (before batch 0
+    * commits). Stable across restarts of the same checkpoint; fresh per
+    * new checkpoint.
+    */
+  def streamIdOf(checkpointDir: String): String = {
+    val p = java.nio.file.Paths.get(checkpointDir, "metadata")
+    val m = """"id"\s*:\s*"([^"]+)"""".r
+    m.findFirstMatchIn(java.nio.file.Files.readString(p))
+      .map(_.group(1))
+      .getOrElse(throw new IllegalStateException(
+        s"no query id in checkpoint metadata at $p"))
+  }
+
   /** One micro-batch commit, visible for direct testing. No-op when
-    * `batchId` already equals the committed tag (checkpoint replay).
+    * `<streamId>:batch<batchId>` already equals the committed tag
+    * (checkpoint replay of this same stream).
     */
   def ingestBatch(
       spark: SparkSession, batch: Dataset[Row], batchId: Long,
-      seqCol: String, ref: String, tableDir: String, pk: String): Unit = {
-    val tag = s"batch$batchId"
+      seqCol: String, ref: String, tableDir: String, pk: String,
+      streamId: String): Unit = {
+    val tag = s"$streamId:batch$batchId"
     if (NdjsonIngest.latestTag(tableDir).contains(tag)) return // replayed
     if (batch.isEmpty) return
     val diffed = SequenceModel.diff(batch.toDF(), seqCol, ref,
@@ -60,7 +85,10 @@ object StreamingIngest {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        ingestBatch(spark, batch, batchId, seqCol, ref, tableDir, pk)
+        // resolved per batch, not at start(): the metadata file is created
+        // by the query's own startup, after this builder runs
+        ingestBatch(spark, batch, batchId, seqCol, ref, tableDir, pk,
+          streamId = streamIdOf(checkpointDir))
       }
       .trigger(Trigger.AvailableNow())
       .start()

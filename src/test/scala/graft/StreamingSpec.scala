@@ -103,18 +103,19 @@ class StreamingSpec extends SparkSpec {
     // tag in the atomic `latest` pointer detects it; the old behavior
     // re-unioned the batch and poisoned the stream on the dup-PK abort)
     val lastTag = NdjsonIngest.latestTag(tableDir)
-    assert(lastTag.exists(_.startsWith("batch")))
-    val replayId = lastTag.get.stripPrefix("batch").toLong
+    val streamId = graft.streaming.StreamingIngest.streamIdOf(ckDir)
+    assert(lastTag.exists(_.startsWith(s"$streamId:batch")))
+    val replayId = lastTag.get.stripPrefix(s"$streamId:batch").toLong
     val replayBatch = Seq(("k3", "ACCTACGT")).toDF("id", "seq")
     graft.streaming.StreamingIngest.ingestBatch(
-      spark, replayBatch, replayId, "seq", "ACGTACGT", tableDir, "id")
+      spark, replayBatch, replayId, "seq", "ACGTACGT", tableDir, "id", streamId)
     // no new version, no failure, table unchanged
     assert(new java.io.File(tableDir).list().count(_.startsWith("v")) === 2)
     assert(spark.read.parquet(NdjsonIngest.latestPath(tableDir)).count() === 3)
     // a genuinely NEW batch with a conflicting pk still aborts loudly
     intercept[NdjsonIngest.DuplicatePrimaryKey] {
       graft.streaming.StreamingIngest.ingestBatch(
-        spark, replayBatch, replayId + 1, "seq", "ACGTACGT", tableDir, "id")
+        spark, replayBatch, replayId + 1, "seq", "ACGTACGT", tableDir, "id", streamId)
     }
 
     // ---- untagged batch append BETWEEN a streaming commit and its
@@ -130,13 +131,36 @@ class StreamingSpec extends SparkSpec {
     assert(NdjsonIngest.latestTag(tableDir) === lastTag) // tag carried
     val nVersions = new java.io.File(tableDir).list().count(_.startsWith("v"))
     graft.streaming.StreamingIngest.ingestBatch(
-      spark, replayBatch, replayId, "seq", "ACGTACGT", tableDir, "id")
+      spark, replayBatch, replayId, "seq", "ACGTACGT", tableDir, "id", streamId)
     // replay after the interleaved append: still a no-op, k4 retained
     assert(new java.io.File(tableDir).list().count(_.startsWith("v")) === nVersions)
     val after = spark.read.parquet(NdjsonIngest.latestPath(tableDir))
     assert(after.count() === 4)
     assert(after.select("id").as[String].collect().sorted.toSeq ===
       Seq("k1", "k2", "k3", "k4"))
+  }
+
+  test("fresh stream on the same table dir does not skip its batch 0 (namespaced replay tag)") {
+    import graft.sources.NdjsonIngest
+    val root = java.nio.file.Files.createTempDirectory("snamespace").toFile
+    val tableDir = s"$root/table"
+    val ingest = graft.streaming.StreamingIngest.ingestBatch _
+    ingest(spark, Seq(("k1", "ACGTACGT")).toDF("id", "seq"), 0L,
+      "seq", "ACGTACGT", tableDir, "id", "streamA")
+    assert(spark.read.parquet(NdjsonIngest.latestPath(tableDir)).count() === 1)
+    // a DIFFERENT stream (fresh checkpoint → batch ids restart at 0) on
+    // the same tableDir: its batch 0 must commit. With the old bare
+    // `batch<N>` tag it matched streamA's committed tag and was silently
+    // dropped.
+    val b0b = Seq(("k2", "TCGTACGT")).toDF("id", "seq")
+    ingest(spark, b0b, 0L, "seq", "ACGTACGT", tableDir, "id", "streamB")
+    val after = spark.read.parquet(NdjsonIngest.latestPath(tableDir))
+    assert(after.count() === 2)
+    assert(after.select("id").as[String].collect().sorted.toSeq === Seq("k1", "k2"))
+    // streamB's OWN replay of its batch 0 is still a no-op
+    val nv = new java.io.File(tableDir).list().count(_.startsWith("v"))
+    ingest(spark, b0b, 0L, "seq", "ACGTACGT", tableDir, "id", "streamB")
+    assert(new java.io.File(tableDir).list().count(_.startsWith("v")) === nv)
   }
 
   test("sessionize closes sessions on gap and on timeout") {
