@@ -86,9 +86,16 @@ object Media {
         var i = 2
         while (i + 3 < blob.length) {
           if ((blob(i) & 0xff) != 0xff) return None // desynced marker walk
+          // JPEG spec B.1.1.2: any marker may be preceded by repeated 0xFF
+          // fill bytes — advance to the LAST 0xFF before the marker id, or
+          // the second fill byte would be misread as the id and the walk
+          // would desync on a bogus length.
+          while (i + 2 < blob.length && (blob(i + 1) & 0xff) == 0xff) i += 1
+          if (i + 3 >= blob.length) return None
           val marker = blob(i + 1) & 0xff
-          if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
-            i += 2 // standalone marker, no length field
+          if (marker == 0xd8 || marker == 0x01 || // SOI / TEM: standalone
+              (marker >= 0xd0 && marker <= 0xd7)) { // RSTn: standalone
+            i += 2 // no length field
           } else if (marker == 0xd9 || marker == 0xda) {
             return None // EOI / start-of-scan before any SOF
           } else {

@@ -36,6 +36,25 @@ class MediaSpec extends SparkSpec {
     assert(Media.decode(badSig).isEmpty)
   }
 
+  test("JPEG marker walk survives 0xFF fill bytes and standalone TEM") {
+    // JPEG spec B.1.1.2: a marker may be preceded by any number of 0xFF
+    // fill bytes. Splice fill bytes + a TEM (0x01, standalone, no length)
+    // between SOI and the rest of a valid stream — the walk must still
+    // find SOF0, not read the second 0xFF as a marker id.
+    val base = Media.jpegBytes(800, 600, ncomp = 3)
+    val fill = Array.fill[Byte](4)(0xff.toByte)
+    val tem = Array(0xff.toByte, 0x01.toByte)
+    val padded = base.take(2) ++ fill ++ base.drop(2)
+    assert(Media.decode(padded) === Some(Decoded("jpeg", 800, 600, 3)))
+    val withTem = base.take(2) ++ tem ++ base.drop(2)
+    assert(Media.decode(withTem) === Some(Decoded("jpeg", 800, 600, 3)))
+    // both at once, fill bytes immediately before the TEM id too
+    val both = base.take(2) ++ fill ++ tem ++ fill ++ base.drop(2)
+    assert(Media.decode(both) === Some(Decoded("jpeg", 800, 600, 3)))
+    // a run of trailing 0xFF with no marker id must not loop or throw
+    assert(Media.decode(base.take(2) ++ Array.fill[Byte](6)(0xff.toByte)).isEmpty)
+  }
+
   test("extractFeatures parses real containers, stub-falls-back for unknown") {
     val out = Media.extractFeatures(rows.toDS()).collect().sortBy(_.media_id)
     assert(out.map(f => (f.format, f.width, f.height, f.channels)).toSeq === Seq(
