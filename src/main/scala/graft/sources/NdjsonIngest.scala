@@ -45,10 +45,12 @@ object NdjsonIngest {
     if (dups.nonEmpty) throw DuplicatePrimaryKey(dups)
   }
 
-  /** Append a batch as a new table version. Returns the new version id.
-    * Partitioned/sorted writes: callers cluster by their range column first
-    * (≙ clustered ingestion buffering, table_inserter.h:28-40 — row-group
-    * min/max stats then give the same chunk-skipping effect).
+  /** Append a FULL SNAPSHOT as a new table version (the chain resets to
+    * this single layer — a snapshot contains everything by definition).
+    * Returns the new version id. Partitioned/sorted writes: callers
+    * cluster by their range column first (≙ clustered ingestion
+    * buffering, table_inserter.h:28-40 — row-group min/max stats then
+    * give the same chunk-skipping effect).
     *
     * `tag` rides INSIDE the atomic pointer flip (same file, one rename), so
     * a caller can stamp the commit with a replay token — streaming ingest
@@ -66,6 +68,42 @@ object NdjsonIngest {
   def appendVersion(df: DataFrame, tableDir: String, pk: String,
       tag: Option[String] = None): Long = {
     validatePrimaryKey(df, pk)
+    commitLayer(df, tableDir, tag, resetChain = true)
+  }
+
+  /** Append ONLY a batch as a new DELTA layer: the version dir holds the
+    * batch alone, and readers resolve the table as the union of the
+    * committed layer chain ([[readLatest]]). A 1-row micro-batch commit
+    * therefore writes O(batch), not O(table) — the same layered-
+    * generation design as the posting index (meta.json layer list), and
+    * the Spark analog of the reference's chunk-wise appendData
+    * (storage/table.cpp bulkInsert).
+    *
+    * PK uniqueness is validated batch-internally with a small groupBy,
+    * then against the existing table with a broadcast semi-join of the
+    * batch's keys — ONE scan of the big side, no full-table shuffle.
+    */
+  def appendDelta(df: DataFrame, tableDir: String, pk: String,
+      tag: Option[String] = None): Long = {
+    validatePrimaryKey(df, pk)
+    val layers = latestLayers(tableDir)
+    if (layers.nonEmpty) {
+      val existing = df.sparkSession.read.parquet(layers.map(l => s"$tableDir/$l"): _*)
+      val clash = existing
+        .join(broadcast(df.select(col(pk))), Seq(pk), "left_semi")
+        .select(col(pk).cast("string")).limit(10)
+        .collect().map(_.getString(0)).toSeq
+      if (clash.nonEmpty) throw DuplicatePrimaryKey(clash)
+    }
+    commitLayer(df, tableDir, tag, resetChain = false)
+  }
+
+  /** Write `df` to the next `v<N>` dir and atomically flip the `latest`
+    * pointer. Pointer format: `<layer,layer,...> [tag]` — one line, one
+    * rename, so layer list + replay tag commit together.
+    */
+  private def commitLayer(df: DataFrame, tableDir: String,
+      tag: Option[String], resetChain: Boolean): Long = {
     val fs = new java.io.File(tableDir)
     fs.mkdirs()
     val effectiveTag = tag.orElse(latestTag(tableDir))
@@ -73,13 +111,73 @@ object NdjsonIngest {
       .filter(_.startsWith("v")).map(_.drop(1).toLong)
     val next = if (existing.isEmpty) 1L else existing.max + 1
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/v$next")
-    // atomic pointer flip: write tmp then rename
-    val tmp = new java.io.File(tableDir, ".latest.tmp")
-    java.nio.file.Files.writeString(tmp.toPath,
-      s"v$next" + effectiveTag.map(t => s" $t").getOrElse(""))
-    tmp.renameTo(new java.io.File(tableDir, "latest"))
+    val chain =
+      if (resetChain) Seq(s"v$next") else latestLayers(tableDir) :+ s"v$next"
+    flipPointer(tableDir, chain, effectiveTag)
     next
   }
+
+  private def flipPointer(tableDir: String, chain: Seq[String],
+      tag: Option[String]): Unit = {
+    val tmp = new java.io.File(tableDir, ".latest.tmp")
+    java.nio.file.Files.writeString(tmp.toPath,
+      chain.mkString(",") + tag.map(t => s" $t").getOrElse(""))
+    tmp.renameTo(new java.io.File(tableDir, "latest"))
+    ()
+  }
+
+  /** Rewrite the current layer chain as ONE snapshot layer when it has
+    * grown past `maxLayers`, bounding both the per-query union width and
+    * the small-files count — same policy as posting-index compaction.
+    * Readers holding the old pointer keep reading the old layers; [[gc]]
+    * reclaims them once unreferenced.
+    */
+  def compactVersions(spark: SparkSession, tableDir: String,
+      maxLayers: Int = 8): Boolean = {
+    val layers = latestLayers(tableDir)
+    if (layers.length <= maxLayers) return false
+    val full = spark.read.parquet(layers.map(l => s"$tableDir/$l"): _*)
+    val fs = new java.io.File(tableDir)
+    val existing = Option(fs.list()).getOrElse(Array())
+      .filter(_.startsWith("v")).map(_.drop(1).toLong)
+    val next = if (existing.isEmpty) 1L else existing.max + 1
+    full.write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/v$next")
+    flipPointer(tableDir, Seq(s"v$next"), latestTag(tableDir))
+    true
+  }
+
+  /** Delete version dirs no longer referenced by the `latest` pointer
+    * (post-compaction garbage). Callers invoke this once in-flight
+    * readers of the old pointer have drained.
+    */
+  def gcVersions(tableDir: String): Seq[String] = {
+    val live = latestLayers(tableDir).toSet
+    val fs = new java.io.File(tableDir)
+    val dead = Option(fs.list()).getOrElse(Array())
+      .filter(n => n.startsWith("v") && !live.contains(n)).toSeq
+    dead.foreach { n =>
+      val root = java.nio.file.Paths.get(tableDir, n)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    dead
+  }
+
+  /** The committed layer chain, oldest first; empty when no table yet. */
+  def latestLayers(tableDir: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(tableDir, "latest")
+    if (!java.nio.file.Files.exists(p)) Seq.empty
+    else java.nio.file.Files.readString(p).trim.split("\\s+").head
+      .split(",").toSeq.filter(_.nonEmpty)
+  }
+
+  /** The full table as of the committed pointer: one multi-path parquet
+    * scan over the layer chain (a single relation, not N unioned plans —
+    * partition pruning and pushdown apply across all layers).
+    */
+  def readLatest(spark: SparkSession, tableDir: String): DataFrame =
+    spark.read.parquet(latestLayers(tableDir).map(l => s"$tableDir/$l"): _*)
 
   /** Range-clustered append (reference: clustered ingestion buffering,
     * append/table_inserter.h:28-40, performance/README.md:37-57): rows are
@@ -97,10 +195,15 @@ object NdjsonIngest {
     appendVersion(clustered, tableDir, pk)
   }
 
-  /** Resolve the current version directory for reads. */
+  /** Resolve the current version directory for reads — only valid for a
+    * single-layer chain (snapshot commits / post-compaction). Delta
+    * chains have no single directory; use [[readLatest]].
+    */
   def latestPath(tableDir: String): String = {
-    val p = java.nio.file.Paths.get(tableDir, "latest")
-    s"$tableDir/${java.nio.file.Files.readString(p).trim.split("\\s+").head}"
+    val layers = latestLayers(tableDir)
+    require(layers.length == 1,
+      s"table at $tableDir has ${layers.length} layers; use readLatest")
+    s"$tableDir/${layers.head}"
   }
 
   /** True when a `latest` pointer exists (vs any other read failure, which

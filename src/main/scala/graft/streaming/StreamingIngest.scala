@@ -10,8 +10,9 @@ import graft.sources.NdjsonIngest
   * SURVEY.md §3.2) driven by Structured Streaming file discovery: an NDJSON
   * drop directory is the stream source; every micro-batch diffs its aligned
   * sequences against the reference at ingest (sequences never retained raw,
-  * sequence_column.h:196-203) and commits ONE new atomic table version
-  * (previous version ∪ batch) through [[NdjsonIngest.appendVersion]].
+  * sequence_column.h:196-203) and commits ONE new atomic DELTA layer
+  * (the batch alone) through [[NdjsonIngest.appendDelta]]; readers union
+  * the committed layer chain, and compaction bounds its length.
   *
   * Readers resolve `latest` per query — the directory-watcher hot swap —
   * and never observe a half-written version.
@@ -64,15 +65,14 @@ object StreamingIngest {
     if (batch.isEmpty) return
     val diffed = SequenceModel.diff(batch.toDF(), seqCol, ref,
       missingSyms = Set("N"))
-    // ONLY a missing pointer means "no table yet"; any other failure
-    // (IO error, corrupt footer) propagates and fails the micro-batch —
-    // swallowing it would silently restart the table from this batch
-    val prev =
-      if (NdjsonIngest.hasLatest(tableDir))
-        Some(spark.read.parquet(NdjsonIngest.latestPath(tableDir)))
-      else None
-    val full = prev.map(_.unionByName(diffed)).getOrElse(diffed)
-    NdjsonIngest.appendVersion(full, tableDir, pk, tag = Some(tag))
+    // DELTA commit: the new version dir holds only this batch — a 1-row
+    // micro-batch at 100 TB writes O(batch), not a full-table rewrite.
+    // Readers union the committed layer chain (NdjsonIngest.readLatest).
+    NdjsonIngest.appendDelta(diffed, tableDir, pk, tag = Some(tag))
+    // Bound the chain (union width + small files): rewrite as one
+    // snapshot layer past 8 delta layers — amortized O(table/8) per
+    // batch, same policy as posting-index compaction.
+    NdjsonIngest.compactVersions(spark, tableDir, maxLayers = 8)
     ()
   }
 

@@ -46,6 +46,40 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(NdjsonIngest.latestPath(dir)).count() === 2)
   }
 
+  test("delta append writes only the batch; readers union the chain; compaction+gc bound it") {
+    val dir = tmpDir() + "/t"
+    NdjsonIngest.appendVersion(
+      Seq((1L, "CH", 1.0)).toDF("id", "country", "val"), dir, "id")
+    // a delta commit's version dir holds ONLY the batch — O(batch) write
+    NdjsonIngest.appendDelta(
+      Seq((2L, "DE", 2.0)).toDF("id", "country", "val"), dir, "id")
+    assert(NdjsonIngest.latestLayers(dir).length === 2)
+    val deltaDir = s"$dir/${NdjsonIngest.latestLayers(dir).last}"
+    assert(spark.read.parquet(deltaDir).count() === 1)
+    assert(NdjsonIngest.readLatest(spark, dir).count() === 2)
+    // a pk already committed in an EARLIER layer still aborts loudly
+    intercept[NdjsonIngest.DuplicatePrimaryKey] {
+      NdjsonIngest.appendDelta(
+        Seq((1L, "XX", 9.0)).toDF("id", "country", "val"), dir, "id")
+    }
+    assert(NdjsonIngest.latestLayers(dir).length === 2) // failed commit left no layer
+    // grow past the bound, compact to one snapshot layer, gc the rest
+    (3L to 10L).foreach { i =>
+      NdjsonIngest.appendDelta(
+        Seq((i, "FR", i.toDouble)).toDF("id", "country", "val"), dir, "id")
+    }
+    assert(NdjsonIngest.latestLayers(dir).length === 10)
+    assert(!NdjsonIngest.compactVersions(spark, dir, maxLayers = 10)) // under bound: no-op
+    assert(NdjsonIngest.compactVersions(spark, dir, maxLayers = 8))
+    assert(NdjsonIngest.latestLayers(dir).length === 1)
+    assert(NdjsonIngest.readLatest(spark, dir).count() === 10)
+    val dead = NdjsonIngest.gcVersions(dir)
+    assert(dead.length === 10)
+    assert(NdjsonIngest.readLatest(spark, dir).count() === 10)
+    // latestPath resolves again once the chain is a single snapshot layer
+    assert(spark.read.parquet(NdjsonIngest.latestPath(dir)).count() === 10)
+  }
+
   test("updateColumn: conditional scalar rewrite") {
     val df = Seq((1L, 10), (2L, 20)).toDF("id", "x")
     val out = RelationalOps.updateColumn(df, "x", lit(0), col("id") === 1L)

@@ -83,14 +83,14 @@ class StreamingSpec extends SparkSpec {
       """{"id":"k1","seq":"ACGTACGT"}""",
       """{"id":"k2","seq":"TCGTACGT"}""")
     runOnce()
-    val v1 = spark.read.parquet(NdjsonIngest.latestPath(tableDir))
+    val v1 = NdjsonIngest.readLatest(spark, tableDir)
     assert(v1.count() === 2)
     assert(v1.columns.contains("muts") && !v1.columns.contains("seq"))
-    // second file: only the NEW file is processed (checkpointed source log),
-    // and the new version is the full table
+    // second file: only the NEW file is processed (checkpointed source
+    // log) and committed as a DELTA layer; readers union the chain
     drop("f2.ndjson", """{"id":"k3","seq":"ACCTACGT"}""")
     runOnce()
-    val v2 = spark.read.parquet(NdjsonIngest.latestPath(tableDir))
+    val v2 = NdjsonIngest.readLatest(spark, tableDir)
     assert(v2.count() === 3)
     assert(v2.select("id").as[String].collect().sorted.toSeq === Seq("k1", "k2", "k3"))
     // two committed versions exist; readers only ever saw latest
@@ -111,7 +111,7 @@ class StreamingSpec extends SparkSpec {
       spark, replayBatch, replayId, "seq", "ACGTACGT", tableDir, "id", streamId)
     // no new version, no failure, table unchanged
     assert(new java.io.File(tableDir).list().count(_.startsWith("v")) === 2)
-    assert(spark.read.parquet(NdjsonIngest.latestPath(tableDir)).count() === 3)
+    assert(NdjsonIngest.readLatest(spark, tableDir).count() === 3)
     // a genuinely NEW batch with a conflicting pk still aborts loudly
     intercept[NdjsonIngest.DuplicatePrimaryKey] {
       graft.streaming.StreamingIngest.ingestBatch(
@@ -123,7 +123,7 @@ class StreamingSpec extends SparkSpec {
     // still contains streaming batch `replayId`, so the carried-forward
     // tag keeps the replay a no-op (instead of re-unioning already
     // committed rows into a dup-PK abort loop) ----
-    val prev = spark.read.parquet(NdjsonIngest.latestPath(tableDir))
+    val prev = NdjsonIngest.readLatest(spark, tableDir)
     val extra = graft.seq.SequenceModel.diff(
       Seq(("k4", "ACGAACGT")).toDF("id", "seq"), "seq", "ACGTACGT",
       missingSyms = Set("N"))
@@ -134,7 +134,7 @@ class StreamingSpec extends SparkSpec {
       spark, replayBatch, replayId, "seq", "ACGTACGT", tableDir, "id", streamId)
     // replay after the interleaved append: still a no-op, k4 retained
     assert(new java.io.File(tableDir).list().count(_.startsWith("v")) === nVersions)
-    val after = spark.read.parquet(NdjsonIngest.latestPath(tableDir))
+    val after = NdjsonIngest.readLatest(spark, tableDir)
     assert(after.count() === 4)
     assert(after.select("id").as[String].collect().sorted.toSeq ===
       Seq("k1", "k2", "k3", "k4"))
@@ -147,14 +147,14 @@ class StreamingSpec extends SparkSpec {
     val ingest = graft.streaming.StreamingIngest.ingestBatch _
     ingest(spark, Seq(("k1", "ACGTACGT")).toDF("id", "seq"), 0L,
       "seq", "ACGTACGT", tableDir, "id", "streamA")
-    assert(spark.read.parquet(NdjsonIngest.latestPath(tableDir)).count() === 1)
+    assert(NdjsonIngest.readLatest(spark, tableDir).count() === 1)
     // a DIFFERENT stream (fresh checkpoint → batch ids restart at 0) on
     // the same tableDir: its batch 0 must commit. With the old bare
     // `batch<N>` tag it matched streamA's committed tag and was silently
     // dropped.
     val b0b = Seq(("k2", "TCGTACGT")).toDF("id", "seq")
     ingest(spark, b0b, 0L, "seq", "ACGTACGT", tableDir, "id", "streamB")
-    val after = spark.read.parquet(NdjsonIngest.latestPath(tableDir))
+    val after = NdjsonIngest.readLatest(spark, tableDir)
     assert(after.count() === 2)
     assert(after.select("id").as[String].collect().sorted.toSeq === Seq("k1", "k2"))
     // streamB's OWN replay of its batch 0 is still a no-op
