@@ -131,6 +131,18 @@ object PipelineQueries {
     */
   val PackBudget = 256
 
+  /** Sub-shard width (in doc_id units) for the packing prefix sum: the
+    * per-document running sum is windowed by (source, shard) with
+    * shard = floor(doc_id / PackShardDocs) — order-preserving, so local
+    * prefixes stitch deterministically with per-shard offsets. Bounds
+    * BOTH window partitions: the doc-level one by the shard width, the
+    * offset-stitch one by the shard count. 128 here so the sf0.01
+    * corpus (≈500 docs) actually exercises multi-shard stitching; at
+    * 100 TB set it so docs-per-shard and shards-per-source both fit an
+    * executor (e.g. 1M-doc shards → 1e5 offset rows per source).
+    */
+  val PackShardDocs = 128
+
   /** Exact cosine near-dup pairs over a BOUNDED frame (the nested-loop
     * truth scan shared by the LSH recall gate and the semantic-dedup
     * clusters — one definition so threshold/rounding can never drift
@@ -852,11 +864,12 @@ object PipelineQueries {
     //      token-budget packs (contiguous first-fit in doc_id order within
     //      each source). pack_id = the pack the document STARTS in —
     //      floor(tokens-before-this-doc / budget) — so packing is a pure
-    //      function of the running token prefix sum. One window shuffle
-    //      partitioned by source; at 100 TB sub-shard the window key to
-    //      (source, doc_id range) — packing is prefix-local, so shard
-    //      boundaries stay deterministic and no global ordering is
-    //      needed. ----
+    //      function of the running token prefix sum. The prefix sum is
+    //      computed in two bounded levels: per-(source, shard) local
+    //      running sums, stitched by each shard's exclusive prefix of
+    //      shard totals — no window ever spans a whole source, so one
+    //      giant source at 100 TB cannot collapse into a single window
+    //      partition. ----
     QDef("q_pack_sequences",
       s"""WITH norm AS (SELECT doc_id, source, $normSql AS nt FROM documents),
          |tok AS (SELECT doc_id, source,
@@ -869,12 +882,22 @@ object PipelineQueries {
          |  CAST(sum(tk) AS BIGINT) AS pack_tokens,
          |  round(CAST(sum(tk) AS DOUBLE) / $PackBudget, 4) AS fill
          |FROM cum GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, dir, "documents")
+      val base = t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           TF.tokenCount(col("text")).cast("long").as("tk"))
-        .withColumn("c", sum("tk").over(w))
+        .withColumn("shard", floor(col("doc_id") / PackShardDocs))
+      val wLocal = Window.partitionBy("source", "shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // exclusive prefix of shard totals = tokens before this shard
+      val wShard = Window.partitionBy("source").orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = base.groupBy("source", "shard")
+        .agg(sum("tk").as("shard_tk"))
+        .withColumn("off", coalesce(sum("shard_tk").over(wShard), lit(0L)))
+        .select("source", "shard", "off")
+      base.withColumn("c_local", sum("tk").over(wLocal))
+        .join(broadcast(offsets), Seq("source", "shard"))
+        .withColumn("c", col("c_local") + col("off"))
         .withColumn("pack_id",
           floor((col("c") - col("tk")) / lit(PackBudget.toDouble)))
         .groupBy("source", "pack_id")

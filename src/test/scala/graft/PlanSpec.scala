@@ -162,6 +162,23 @@ class PlanSpec extends SparkSpec {
     assert(routed.nonEmpty)
   }
 
+  test("pack-sequences prefix sums are sub-sharded: no whole-source window") {
+    val df = SparkEntry.queries("q_pack_sequences")(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    // never a global (single-partition) window
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "pack window has no partition keys — single-partition at scale"))
+    // the per-document running sum partitions on (source, shard), so one
+    // giant source cannot collapse into one window partition; the only
+    // source-partitioned window is the shard-offset stitch, whose input
+    // is the (bounded) shard-totals aggregate, not document rows
+    assert(windows.exists(_.partitionSpec.size == 2),
+      "doc-level prefix sum no longer sub-sharded")
+  }
+
   test("no unbounded pairwise plans anywhere: CartesianProduct never, " +
     "BroadcastNestedLoopJoin only with a bounded-by-construction side") {
     // whitelist: queries whose BNLJ side is bounded regardless of data
