@@ -480,37 +480,50 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
-    // ---- multimodal: real container-header decode over binary payloads.
-    //      Each doc synthesizes a VALID minimal PNG/JPEG/GIF container
-    //      with dimensions derived from doc_id; the Spark side then
-    //      parses the dimensions back OUT OF THE BYTES (Media.decode:
-    //      PNG IHDR, JPEG SOF marker walk, GIF screen descriptor) while
-    //      the oracle recomputes them arithmetically — a genuine
-    //      encode→binary→parse round-trip, blobs never shuffled. The
-    //      byte_len constants assert the encoders (33-byte PNG header,
-    //      41-byte JPEG SOI+APP0+SOF0+EOI, 13-byte GIF header+LSD). ----
+    // ---- multimodal: real container decode over binary payloads.
+    //      PNG docs synthesize FULL pixel images (filtered scanlines,
+    //      stored-zlib IDAT) with a constant sample value derived from
+    //      doc_id — the Spark side inflates + unfilters the actual
+    //      pixels back out (Media.decodePngPixelMean), so the oracle's
+    //      channel_mean is a PIXEL-derived assertion, and the stored-
+    //      zlib layout makes byte_len arithmetically predictable:
+    //      68 + h*(1 + w*4). JPEG/GIF docs stay header-only containers
+    //      (entropy decode needs codec libs): dims round-trip through
+    //      the real parsers, channel_mean is NULL in the oracle. Blobs
+    //      never shuffle — features are derived before any exchange. ----
     QDef("q_multimodal_features",
       """SELECT doc_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
-        |  CAST(doc_id % 1000 + 1 AS INTEGER) AS width,
-        |  CAST(doc_id % 600 + 1 AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 48 + 1 ELSE doc_id % 1000 + 1 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 32 + 1 ELSE doc_id % 600 + 1 END AS INTEGER) AS height,
         |  CAST(CASE doc_id % 3 WHEN 0 THEN 4 ELSE 3 END AS INTEGER) AS channels,
-        |  CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 41 ELSE 13 END AS INTEGER) AS byte_len
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN 68 + (doc_id % 32 + 1) * (1 + (doc_id % 48 + 1) * 4)
+        |    WHEN 1 THEN 41 ELSE 13 END AS INTEGER) AS byte_len,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id * 7 + 13) % 256 AS DOUBLE) END AS channel_mean
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       import graft.multimodal.Media
       val media = t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
-        val w = (id % 1000 + 1).toInt
-        val h = (id % 600 + 1).toInt
         (id % 3).toInt match {
-          case 0 => Media.MediaRow(id, "image/png", Media.pngBytes(w, h))
-          case 1 => Media.MediaRow(id, "image/jpeg", Media.jpegBytes(w, h))
-          case _ => Media.MediaRow(id, "image/gif", Media.gifBytes(w, h))
+          case 0 =>
+            val w = (id % 48 + 1).toInt
+            val h = (id % 32 + 1).toInt
+            val v = ((id * 7 + 13) % 256).toInt
+            Media.MediaRow(id, "image/png",
+              Media.pngPixelBytes(w, h)((_, _, _) => v))
+          case 1 =>
+            Media.MediaRow(id, "image/jpeg",
+              Media.jpegBytes((id % 1000 + 1).toInt, (id % 600 + 1).toInt))
+          case _ =>
+            Media.MediaRow(id, "image/gif",
+              Media.gifBytes((id % 1000 + 1).toInt, (id % 600 + 1).toInt))
         }
       }
       Media.extractFeatures(media)
         .select(col("media_id").as("doc_id"), col("format"), col("width"),
-          col("height"), col("channels"), col("byte_len"))
+          col("height"), col("channels"), col("byte_len"),
+          when(col("format") === "png", col("channel_mean")).as("channel_mean"))
         .orderBy("doc_id")
     },
 

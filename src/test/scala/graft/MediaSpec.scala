@@ -55,6 +55,65 @@ class MediaSpec extends SparkSpec {
     assert(Media.decode(base.take(2) ++ Array.fill[Byte](6)(0xff.toByte)).isEmpty)
   }
 
+  test("PNG pixel decode: inflate + unfilter recovers exact channel means") {
+    // varying pixels across ≥5 rows exercise every spec §9 filter type
+    // (the encoder assigns filter y % 5 per scanline)
+    val w = 13; val h = 7
+    def px(x: Int, y: Int, c: Int): Int = (x * 31 + y * 17 + c * 7) % 256
+    val blob = Media.pngPixelBytes(w, h, colorType = 6)(px)
+    // stored-zlib container size is arithmetically predictable
+    assert(blob.length === 68 + h * (1 + w * 4))
+    assert(Media.decode(blob) === Some(Decoded("png", w, h, 4)))
+    val expected = {
+      val vs = for (y <- 0 until h; x <- 0 until w; c <- 0 until 4)
+        yield px(x, y, c).toDouble
+      math.rint(vs.sum / vs.length * 10000) / 10000
+    }
+    assert(Media.decodePngPixelMean(blob) === Some(expected))
+    // grayscale layout (1 channel)
+    val g = Media.pngPixelBytes(5, 6, colorType = 0)((x, y, _) => x + y)
+    val gExp = {
+      val vs = for (y <- 0 until 6; x <- 0 until 5) yield (x + y).toDouble
+      math.rint(vs.sum / vs.length * 10000) / 10000
+    }
+    assert(Media.decodePngPixelMean(g) === Some(gExp))
+    // header-only PNG (no IDAT) → None; caller keeps its labeled fallback
+    assert(Media.decodePngPixelMean(Media.pngBytes(9, 9)).isEmpty)
+    // truncated IDAT → None, never throws
+    assert(Media.decodePngPixelMean(blob.take(blob.length - 20)).isEmpty)
+    // pixel means flow through extractFeatures for full PNGs
+    val feats = Media.extractFeatures(
+      Seq(MediaRow(9L, "image/png", Media.pngPixelBytes(4, 4)((_, _, _) => 200))).toDS())
+      .collect()
+    assert(feats.head.channel_mean === 200.0)
+  }
+
+  test("PNG decoder agrees with hand-filtered scanlines (independent of the encoder)") {
+    // 2x2 grayscale, pixels [[10,20],[30,40]]; row 0 Sub-filtered, row 1
+    // Up-filtered BY HAND per spec §9 — so a matching encode/decode bug
+    // cannot cancel out. raw scanlines = [1,10,10, 2,20,20].
+    val raw = Array[Byte](1, 10, 10, 2, 20, 20)
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val zb = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](256)
+    while (!d.finished()) zb.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(2).putInt(2)
+      .put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val blob = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zb.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(Media.decodePngPixelMean(blob) === Some(25.0)) // (10+20+30+40)/4
+  }
+
   test("extractFeatures parses real containers, stub-falls-back for unknown") {
     val out = Media.extractFeatures(rows.toDS()).collect().sortBy(_.media_id)
     assert(out.map(f => (f.format, f.width, f.height, f.channels)).toSeq === Seq(
