@@ -25,8 +25,12 @@ import graft.functions.{VectorFunctions => VF}
   */
 object Ivf {
 
-  /** Deterministic seeded-Gaussian unit vectors (initial centroids). */
-  private def seedCentroids(dim: Int, cells: Int, seed: Long): Array[Array[Double]] = {
+  /** Deterministic seeded-Gaussian unit vectors: k-means init here, and
+    * the frozen quantizer geometry of `q_ann_ivf` (whose SQL oracle
+    * embeds the same values as literals — public so the query layer can
+    * generate them once for both sides).
+    */
+  def seedCentroids(dim: Int, cells: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(cells) {
       val v = Array.fill(dim)(rnd.nextGaussian())

@@ -162,6 +162,27 @@ object PipelineQueries {
       .select("a_id", "b_id")
   }
 
+  // ---- literal-embedded vector SQL: the LSH hyperplanes and IVF seed
+  // centroids are DETERMINISTIC pure-Scala values (seeded generators), so
+  // the oracle embeds the exact same doubles as SQL literals and recomputes
+  // bucketing/assignment with the same sequential-double arithmetic VecDot
+  // uses — no cross-engine RNG needed. Double.toString round-trips, so the
+  // parsed literal is bit-identical. ----
+  private def dblList(p: Seq[Double]): String =
+    "[" + p.map(_.toString).mkString(", ") + "]"
+
+  /** Sequential-fold dot of a float-list column against literal doubles —
+    * term order mirrors VecDot (vec element first).
+    */
+  private def litDot(vec: String, p: Seq[Double]): String =
+    s"list_sum(list_transform(range(1, ${p.length + 1}), i -> CAST($vec[i] AS DOUBLE) * (${dblList(p)})[i]))"
+
+  /** Sign-bit bucket id, mirroring VectorFunctions.lshBucket bit packing. */
+  private def lshBucketSql(vec: String, planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${litDot(vec, p)} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
   // DuckDB double dot-product over two float lists, sequential fold
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
@@ -590,10 +611,31 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     },
 
-    // ---- ANN scale path: LSH-bucketed near-dup pairs (no SQL oracle —
-    //      bucketing uses JVM-seeded hyperplanes; exactness vs brute force
-    //      is asserted in SimilaritySpec instead) ----
-    QDef.noOracle("q_ann_lsh") { (s, dir) =>
+    // ---- ANN scale path: LSH-bucketed near-dup pairs. The seeded
+    //      hyperplanes are embedded in the oracle as literals, so DuckDB
+    //      recomputes the identical bucketing (sequential double dots →
+    //      identical sign bits), the identical per-table candidate joins,
+    //      and the identical verified cosines — the approximate result is
+    //      hash-checked end to end, not just recall-gated. ----
+    QDef("q_ann_lsh", {
+      val planes = (0 until 8).map(tb =>
+        graft.ann.Similarity.hyperplanes(64, 4, 42L + tb))
+      val bcols = planes.zipWithIndex.map { case (ps, tb) =>
+        s"${lshBucketSql("embedding", ps)} AS b$tb"
+      }.mkString(",\n  ")
+      val unions = (0 until 8).map(tb =>
+        s"SELECT a.vec_id AS a_id, c.vec_id AS b_id FROM b a JOIN b c ON a.b$tb = c.b$tb AND a.vec_id < c.vec_id")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH b AS (SELECT vec_id,
+         |  $bcols FROM embeddings),
+         |cand AS (SELECT DISTINCT a_id, b_id FROM (
+         |  $unions)),
+         |v AS (SELECT cand.a_id, cand.b_id,
+         |  round(${dotSql("ea.embedding", "eb.embedding")} / (${normSqlV("ea.embedding")} * ${normSqlV("eb.embedding")}), 6) AS cos
+         |  FROM cand JOIN embeddings ea ON ea.vec_id = cand.a_id
+         |            JOIN embeddings eb ON eb.vec_id = cand.b_id)
+         |SELECT a_id, b_id, cos FROM v WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin
+    }) { (s, dir) =>
       graft.ann.Similarity.lshNearDupPairs(
         t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64,
         k = 4, tables = 8, threshold = 0.4)
@@ -746,12 +788,45 @@ object PipelineQueries {
         .orderBy("doc_id", "rk")
     },
 
-    // ---- IVF ANN: coarse-quantizer top-k (no SQL oracle — the k-means
-    //      training is not SQL-expressible; quality is gated by
-    //      q_ivf_recall below and IvfSpec) ----
-    QDef.noOracle("q_ann_ivf") { (s, dir) =>
-      val emb = t(s, dir, "embeddings").localCheckpoint()
-      val cents = graft.ann.Ivf.train(emb, "embedding", dim = 64, cells = 16, iters = 2)
+    // ---- IVF ANN: inverted-file top-k over a FROZEN seeded quantizer.
+    //      The 16 seed centroids are deterministic pure-Scala values
+    //      embedded in the oracle as literals, so DuckDB recomputes the
+    //      identical cell assignment (argmax dot, first-index ties), the
+    //      identical probe→cell ranking, and the identical verified
+    //      top-5 — the whole search path (Ivf.assign + Ivf.topk) is
+    //      hash-checked. The k-means-TRAINED quantizer (data-dependent,
+    //      not SQL-expressible) stays exercised by q_ivf_recall below
+    //      and IvfSpec. ----
+    QDef("q_ann_ivf", {
+      val cents = graft.ann.Ivf.seedCentroids(64, 16, 7L).map(_.toSeq).toSeq
+      val dlist = cents.map(c => litDot("embedding", c)).mkString(",\n    ")
+      val slist = cents.map(c =>
+        s"list_sum(list_transform(range(1, 65), i -> (${dblList(c)})[i] * CAST(qv[i] AS DOUBLE) / nq))")
+        .mkString(",\n    ")
+      s"""WITH assigned AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_position(dd, list_max(dd)) - 1 AS INTEGER) AS cell
+         |  FROM (SELECT vec_id, embedding, [
+         |    $dlist] AS dd FROM embeddings)),
+         |pn AS (SELECT vec_id AS q_id, embedding AS qv,
+         |    CASE WHEN ${normSqlV("embedding")} = 0 THEN 1.0 ELSE ${normSqlV("embedding")} END AS nq
+         |  FROM embeddings WHERE vec_id < 10),
+         |pd AS (SELECT q_id, qv, unnest(range(0, 16)) AS cell, unnest([
+         |    $slist]) AS score FROM pn),
+         |pc AS (SELECT q_id, qv, cell FROM (
+         |    SELECT q_id, qv, cell, score,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cell ASC) AS crk
+         |    FROM pd) WHERE crk <= 8),
+         |scored AS (SELECT p.q_id, a.vec_id AS n_id,
+         |    round(${dotSql("p.qv", "a.embedding")} / (${normSqlV("p.qv")} * ${normSqlV("a.embedding")}), 6) AS cos
+         |  FROM pc p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.q_id)
+         |SELECT q_id, CAST(rk AS INTEGER) AS rk, n_id, cos FROM (
+         |  SELECT q_id, n_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+         |  FROM scored) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+    }) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val cents = graft.ann.Ivf.seedCentroids(64, 16, 7L)
       val probes = emb.filter(col("vec_id") < 10)
         .select("vec_id", "embedding").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
