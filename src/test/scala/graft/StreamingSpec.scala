@@ -163,6 +163,28 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(tableDir).list().count(_.startsWith("v")) === nv)
   }
 
+  test("streaming delta commits write O(batch) and auto-compact past 8 layers") {
+    import graft.sources.NdjsonIngest
+    val root = java.nio.file.Files.createTempDirectory("sdelta").toFile
+    val tableDir = s"$root/table"
+    (0 until 10).foreach { b =>
+      graft.streaming.StreamingIngest.ingestBatch(
+        spark, Seq((s"k$b", "ACGTACGT")).toDF("id", "seq"), b.toLong,
+        "seq", "ACGTACGT", tableDir, "id", "s1")
+    }
+    // every batch landed; the chain was compacted back under the bound
+    val table = NdjsonIngest.readLatest(spark, tableDir)
+    assert(table.count() === 10)
+    assert(NdjsonIngest.latestLayers(tableDir).length <= 9)
+    // delta layers hold one row each (O(batch) writes): check a mid-chain
+    // pre-compaction layer kept on disk for old readers
+    assert(spark.read.parquet(s"$tableDir/v3").count() === 1)
+    // gc reclaims the dirs the compacted pointer no longer references
+    val dead = NdjsonIngest.gcVersions(tableDir)
+    assert(dead.nonEmpty)
+    assert(NdjsonIngest.readLatest(spark, tableDir).count() === 10)
+  }
+
   test("sessionize closes sessions on gap and on timeout") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
