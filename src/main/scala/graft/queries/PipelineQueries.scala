@@ -996,6 +996,46 @@ object PipelineQueries {
         .orderBy("source", "pack_id")
     },
 
+    // ---- passage-level exact dedup: doc-level dedup misses REPEATED
+    //      PASSAGES (boilerplate, licenses, templated spans) inside
+    //      otherwise-distinct documents. Passages = non-overlapping
+    //      10-token blocks, fingerprinted with md5; a passage is
+    //      "repeated" when its fingerprint occurs more than once in the
+    //      corpus. Per doc: passage count, repeated count, repeat ratio.
+    //      Scale shape: explode → map-side-combinable count per hash →
+    //      equi-join back on the hash → per-doc agg — two bounded
+    //      shuffles, no pairwise join, blobs/text never reshuffled (only
+    //      32-char hashes and ids cross the exchanges after the explode). ----
+    QDef("q_dedup_passages",
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |p AS (SELECT doc_id, unnest(list_transform(range(0, ((len(tk)-1)//10)+1),
+        |        i -> array_to_string(tk[(i*10+1):(i*10+10)], ' '))) AS ps FROM tk),
+        |ph AS (SELECT doc_id, md5(ps) AS h FROM p),
+        |f AS (SELECT h, count(*) AS f FROM ph GROUP BY h)
+        |SELECT ph.doc_id,
+        |  CAST(count(*) AS INTEGER) AS n_passages,
+        |  CAST(sum(CASE WHEN f.f > 1 THEN 1 ELSE 0 END) AS INTEGER) AS n_repeated,
+        |  round(CAST(sum(CASE WHEN f.f > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS rep_ratio
+        |FROM ph JOIN f ON f.h = ph.h
+        |GROUP BY ph.doc_id ORDER BY ph.doc_id""".stripMargin) { (s, dir) =>
+      val P = 10
+      val pass = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(0), floor((size(col("tk")) - 1) / P).cast("int")),
+            i => concat_ws(" ", slice(col("tk"), i * P + 1, lit(P))))).as("ps"))
+        .withColumn("h", md5(col("ps")))
+        .select("doc_id", "h")
+      val freq = pass.groupBy("h").agg(count(lit(1)).as("f"))
+      pass.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_passages"),
+          sum(when(col("f") > 1, 1).otherwise(0)).cast("int").as("n_repeated"))
+        .withColumn("rep_ratio",
+          round(col("n_repeated").cast("double") / col("n_passages"), 4))
+        .orderBy("doc_id")
+    },
+
     // ---- deterministic stratified sampling: per-language keep rates via
     //      an LCG hash of the primary key, so the SAME rows are kept on
     //      every rerun, on any shard layout, with no coordination — the
