@@ -1036,6 +1036,59 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- curation funnel: the top-level artifact of a pretraining
+    //      curation pipeline — per source, how many documents survive
+    //      each gate (exact dedup keep-first, then a quality threshold)
+    //      and how many tokens the retained set carries. Composes the
+    //      already-oracled fingerprint / quality / token-count kernels;
+    //      the dedup keep decision is min(doc_id) per fingerprint
+    //      (map-side combinable), joined back as a semi-flag — one
+    //      bounded shuffle on the fingerprint, one on doc_id, one
+    //      per-source rollup. quality_bp ≥ 57000 ≈ the corpus median,
+    //      so both branches of the gate are exercised. ----
+    QDef("q_curation_funnel",
+      s"""WITH norm AS (SELECT doc_id, source, text, $normSql AS nt FROM documents),
+         |m AS (SELECT doc_id, source, md5(nt) AS fp,
+         |  CAST(CASE WHEN len(nt) = 0 THEN 0 ELSE len(string_split(nt, ' ')) END AS BIGINT) AS tk,
+         |  CASE WHEN len(nt) = 0 THEN 0 ELSE len(string_split(nt, ' ')) END AS cnt,
+         |  round(CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) /
+         |        greatest(len(text), 1), 4) AS pr,
+         |  round(CAST(len(list_filter(string_split(nt, ' '), x -> list_contains($stopSql, x))) AS DOUBLE) /
+         |        greatest(CASE WHEN len(nt) = 0 THEN 0 ELSE len(string_split(nt, ' ')) END, 1), 4) AS sr
+         |  FROM norm),
+         |q AS (SELECT doc_id, source, fp, tk,
+         |  CAST(least(CAST(cnt AS BIGINT) * 100, 10000) * 5
+         |     + least(CAST(round(sr * 50000) AS BIGINT), 10000) * 3
+         |     + (10000 - least(CAST(round(pr * 100000) AS BIGINT), 10000)) * 2 AS BIGINT) AS quality_bp
+         |  FROM m),
+         |k AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY fp)
+         |SELECT source,
+         |  CAST(count(*) AS INTEGER) AS n_docs,
+         |  CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS n_unique,
+         |  CAST(sum(CASE WHEN k.doc_id IS NOT NULL AND quality_bp >= 57000 THEN 1 ELSE 0 END) AS INTEGER) AS n_retained,
+         |  CAST(sum(CASE WHEN k.doc_id IS NOT NULL AND quality_bp >= 57000 THEN tk ELSE 0 END) AS BIGINT) AS tokens_retained,
+         |  round(CAST(sum(CASE WHEN k.doc_id IS NOT NULL AND quality_bp >= 57000 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS retention
+         |FROM q LEFT JOIN k USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TF.fingerprint(col("text")).as("fp"),
+          TF.qualityScoreBp(col("text")).as("quality_bp"),
+          TF.tokenCount(col("text")).cast("long").as("tk"))
+      val keepIds = scored.groupBy("fp").agg(min("doc_id").as("doc_id"))
+        .select(col("doc_id"), lit(1).as("kept"))
+      val pass = col("kept").isNotNull && col("quality_bp") >= 57000
+      scored.join(keepIds, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).cast("int").as("n_docs"),
+          sum(when(col("kept").isNotNull, 1).otherwise(0)).cast("int").as("n_unique"),
+          sum(when(pass, 1).otherwise(0)).cast("int").as("n_retained"),
+          sum(when(pass, col("tk")).otherwise(0L)).as("tokens_retained"))
+        .withColumn("retention",
+          round(col("n_retained").cast("double") / col("n_docs"), 4))
+        .orderBy("source")
+    },
+
     // ---- deterministic stratified sampling: per-language keep rates via
     //      an LCG hash of the primary key, so the SAME rows are kept on
     //      every rerun, on any shard layout, with no coordination — the
