@@ -55,10 +55,15 @@ object ConnectedComponents {
         case Some(d: java.math.BigDecimal) => d
         case _ => java.math.BigDecimal.ZERO
       }
-    // only edge endpoints participate in propagation
+    // only edge endpoints participate in propagation. Initial labels are
+    // already min(self, direct neighbors) — the first propagation round's
+    // neighbor-min folded into the init aggregation (same single shuffle
+    // that building identity labels would need, one fewer full
+    // propagate round over the edge list afterwards).
     val obs0 = Observation("cc_init")
-    var labels = e.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node"))
+    var labels = e.select(col("src").as("node"), col("dst").as("comp"))
+      .union(e.select(col("src").as("node"), col("src").as("comp")))
+      .groupBy("node").agg(min(col("comp")).as("comp"))
       .observe(obs0, sum(col("comp").cast("decimal(38,0)")).as("s"))
       .localCheckpoint()
     var lastSum = labelSum(obs0.get)
