@@ -373,6 +373,31 @@ object RelationalQueries {
         .orderBy("hr", "event_type")
     },
 
+    // ---- cohort retention: users bucketed by first-seen day, activity
+    //      counted per (cohort, day offset) — the standard event-analytics
+    //      retention matrix. Scale shape: combinable min per user, an
+    //      equi-join back on user_id, then a two-phase distinct count per
+    //      (cohort, offset) — every exchange keyed and bounded, no
+    //      windows, no pairwise joins. ----
+    QDef("q_events_retention",
+      """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS cohort FROM d GROUP BY user_id)
+        |SELECT c.cohort, CAST(date_diff('day', c.cohort, d.d) AS INTEGER) AS day_offset,
+        |  CAST(count(DISTINCT d.user_id) AS INTEGER) AS active
+        |FROM d JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val cohorts = ev.groupBy("user_id").agg(min("d").as("cohort"))
+      ev.join(cohorts, Seq("user_id"))
+        .select(col("cohort"),
+          datediff(col("d"), col("cohort")).as("day_offset"),
+          col("user_id"))
+        .groupBy("cohort", "day_offset")
+        .agg(countDistinct("user_id").cast("int").as("active"))
+        .orderBy("cohort", "day_offset")
+    },
+
     // ---- window function: rank within partition (beyond-reference) ----
     QDef("q_window_rank",
       """SELECT c_custkey, o_orderkey, rk FROM (
