@@ -141,4 +141,25 @@ class PropertySpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(salted === plain)
   }
+
+  test("PNG encode → pixel-decode round-trips arbitrary images exactly") {
+    import graft.multimodal.Media
+    val caseGen = for {
+      w <- Gen.choose(1, 40)
+      h <- Gen.choose(1, 24)
+      ct <- Gen.oneOf(0, 2, 4, 6) // gray, rgb, gray+alpha, rgba
+      a <- Gen.choose(1, 255)
+      b <- Gen.choose(0, 255)
+    } yield (w, h, ct, a, b)
+    samples(caseGen, 32).foreach { case (w, h, ct, a, b) =>
+      def px(x: Int, y: Int, c: Int): Int = (x * a + y * 31 + c * 7 + b) % 256
+      val blob = Media.pngPixelBytes(w, h, colorType = ct)(px)
+      val ch = Seq(1, 0, 3, 0, 2, 0, 4)(ct)
+      val vs = for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+        yield px(x, y, c).toDouble
+      val want = math.rint(vs.sum / vs.length * 10000) / 10000
+      assert(Media.decodePngPixelMean(blob) === Some(want), s"($w,$h,$ct,$a,$b)")
+      assert(Media.decode(blob).map(d => (d.width, d.height)) === Some((w, h)))
+    }
+  }
 }
