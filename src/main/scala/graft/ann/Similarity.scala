@@ -40,24 +40,28 @@ object Similarity {
     val withB = emb.select((col(idCol) +: col(vecCol) +: buckets): _*)
       .withColumn("nrm", VF.norm2(col(vecCol)))
       .localCheckpoint()
-    // per-table: equi-join on the bucket id (bounded key-space, no cross
-    // join), cosine-verify MAP-SIDE in the join output, and only then union
-    // + dedup. Candidate rows (bucket_size² per bucket) never shuffle —
-    // only verified survivors ≥ threshold reach the dropDuplicates
-    // exchange. (The previous shape deduped first, shuffling every
-    // candidate WITH both 64-dim vectors attached: ~40× more exchange
-    // bytes for identical results — cos per pair is table-independent, so
-    // dedup before/after verification commutes.)
-    (0 until tables).map { t =>
-      val a = withB.select(col(idCol).as("a_id"), col(vecCol).as("av"),
-        col("nrm").as("na"), col(s"b$t").as("bk"))
-      val b = withB.select(col(idCol).as("b_id"), col(vecCol).as("bv"),
-        col("nrm").as("nb"), col(s"b$t").as("bk"))
-      a.join(b, Seq("bk")).filter(col("a_id") < col("b_id"))
-        .withColumn("cos",
-          round(VF.dot(col("av"), col("bv")) / (col("na") * col("nb")), 6))
-        .filter(col("cos") >= threshold)
-        .select("a_id", "b_id", "cos")
-    }.reduce(_ union _).dropDuplicates("a_id", "b_id")
+    // ONE equi-join on (table, bucket) over the table-exploded rows
+    // instead of L separate per-table joins: identical candidate pairs,
+    // same exchange bytes in total (L copies of each vector either way),
+    // but 2 exchanges and 1 join stage rather than 2L — at cluster scale
+    // that is one shuffle boundary to size and one stage to schedule.
+    // Cosine-verify MAP-SIDE in the join output; only verified survivors
+    // ≥ threshold reach the dropDuplicates exchange (cos per pair is
+    // table-independent, so dedup after verification commutes).
+    val exploded = withB.select(col(idCol), col(vecCol), col("nrm"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), col(s"b$t").as("bk"))): _*)).as("tb"))
+      .select(col(idCol), col(vecCol), col("nrm"),
+        col("tb.t").as("t"), col("tb.bk").as("bk"))
+    val a = exploded.select(col(idCol).as("a_id"), col(vecCol).as("av"),
+      col("nrm").as("na"), col("t"), col("bk"))
+    val b = exploded.select(col(idCol).as("b_id"), col(vecCol).as("bv"),
+      col("nrm").as("nb"), col("t"), col("bk"))
+    a.join(b, Seq("t", "bk")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos",
+        round(VF.dot(col("av"), col("bv")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+      .dropDuplicates("a_id", "b_id")
   }
 }
