@@ -25,6 +25,11 @@ object NdjsonIngest {
   final case class DuplicatePrimaryKey(keys: Seq[String])
     extends RuntimeException(s"duplicate primary keys: ${keys.mkString(", ")}")
 
+  final case class SchemaMismatch(expected: String, got: String)
+    extends RuntimeException(
+      s"delta batch schema does not match the committed table schema " +
+        s"(expected $expected, got $got)")
+
   /** Read NDJSON with an enforced schema; malformed lines fail the job
     * (mode FAILFAST ≙ the reference's append abort-on-error).
     */
@@ -89,6 +94,14 @@ object NdjsonIngest {
     val layers = latestLayers(tableDir)
     if (layers.nonEmpty) {
       val existing = df.sparkSession.read.parquet(layers.map(l => s"$tableDir/$l"): _*)
+      // a multi-path parquet reader does NOT merge schemas: a drifted
+      // batch would commit fine and then silently lose its new columns
+      // (or fail late) at read time — enforce layer-schema equality at
+      // the commit boundary instead, like the reference's schema-checked
+      // append. Names, types, and order are significant; nullability is
+      // not (parquet round-trips widen it).
+      if (existing.schema.simpleString != df.schema.simpleString)
+        throw SchemaMismatch(existing.schema.simpleString, df.schema.simpleString)
       val clash = existing
         .join(broadcast(df.select(col(pk))), Seq(pk), "left_semi")
         .select(col(pk).cast("string")).limit(10)

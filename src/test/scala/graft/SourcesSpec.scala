@@ -63,6 +63,13 @@ class SourcesSpec extends SparkSpec {
         Seq((1L, "XX", 9.0)).toDF("id", "country", "val"), dir, "id")
     }
     assert(NdjsonIngest.latestLayers(dir).length === 2) // failed commit left no layer
+    // a batch with a drifted schema must abort at the commit boundary —
+    // the multi-path reader would otherwise silently drop its columns
+    intercept[NdjsonIngest.SchemaMismatch] {
+      NdjsonIngest.appendDelta(
+        Seq((99L, "CH", 1.0, "extra")).toDF("id", "country", "val", "note"), dir, "id")
+    }
+    assert(NdjsonIngest.latestLayers(dir).length === 2)
     // grow past the bound, compact to one snapshot layer, gc the rest
     (3L to 10L).foreach { i =>
       NdjsonIngest.appendDelta(
