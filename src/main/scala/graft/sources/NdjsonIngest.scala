@@ -132,11 +132,38 @@ object NdjsonIngest {
 
   private def flipPointer(tableDir: String, chain: Seq[String],
       tag: Option[String]): Unit = {
+    val content = chain.mkString(",") + tag.map(t => s" $t").getOrElse("")
+    // commit-log entry BEFORE the pointer flip: every entry describes
+    // fully-written version dirs (data is on disk before flipPointer), so
+    // a crash between the two leaves a valid-but-unpointed entry — the
+    // next commit just takes the next sequence number. The log makes
+    // every historical data version addressable (readCommit): frozen,
+    // reproducible snapshots per training run, the same first-class
+    // data-version idea the reference exposes in its API header.
+    val logDir = new java.io.File(tableDir, "_log")
+    logDir.mkdirs()
+    val seq = commits(tableDir).lastOption.getOrElse(0L) + 1
+    java.nio.file.Files.writeString(
+      new java.io.File(logDir, seq.toString).toPath, content)
     val tmp = new java.io.File(tableDir, ".latest.tmp")
-    java.nio.file.Files.writeString(tmp.toPath,
-      chain.mkString(",") + tag.map(t => s" $t").getOrElse(""))
+    java.nio.file.Files.writeString(tmp.toPath, content)
     tmp.renameTo(new java.io.File(tableDir, "latest"))
     ()
+  }
+
+  /** Committed sequence numbers, oldest first. */
+  def commits(tableDir: String): Seq[Long] = {
+    val logDir = new java.io.File(tableDir, "_log")
+    Option(logDir.list()).getOrElse(Array())
+      .flatMap(n => scala.util.Try(n.toLong).toOption).sorted.toSeq
+  }
+
+  /** The table as of commit `seq` — time travel over the commit log. */
+  def readCommit(spark: SparkSession, tableDir: String, seq: Long): DataFrame = {
+    val p = java.nio.file.Paths.get(tableDir, "_log", seq.toString)
+    val chain = java.nio.file.Files.readString(p).trim.split("\\s+").head
+      .split(",").toSeq.filter(_.nonEmpty)
+    spark.read.parquet(chain.map(l => s"$tableDir/$l"): _*)
   }
 
   /** Rewrite the current layer chain as ONE snapshot layer when it has
@@ -159,12 +186,21 @@ object NdjsonIngest {
     true
   }
 
-  /** Delete version dirs no longer referenced by the `latest` pointer
-    * (post-compaction garbage). Callers invoke this once in-flight
-    * readers of the old pointer have drained.
+  /** Delete version dirs not referenced by the `latest` pointer or by the
+    * last `retainCommits` log entries, and prune the older log entries —
+    * the retention window bounds both disk and how far back [[readCommit]]
+    * can travel. Callers invoke this once in-flight readers of dropped
+    * pointers have drained.
     */
-  def gcVersions(tableDir: String): Seq[String] = {
-    val live = latestLayers(tableDir).toSet
+  def gcVersions(tableDir: String, retainCommits: Int = 1): Seq[String] = {
+    val all = commits(tableDir)
+    val (drop, keep) = all.splitAt(math.max(all.length - retainCommits, 0))
+    def chainOf(seq: Long): Seq[String] = {
+      val p = java.nio.file.Paths.get(tableDir, "_log", seq.toString)
+      java.nio.file.Files.readString(p).trim.split("\\s+").head
+        .split(",").toSeq.filter(_.nonEmpty)
+    }
+    val live = (latestLayers(tableDir) ++ keep.flatMap(chainOf)).toSet
     val fs = new java.io.File(tableDir)
     val dead = Option(fs.list()).getOrElse(Array())
       .filter(n => n.startsWith("v") && !live.contains(n)).toSeq
@@ -174,6 +210,8 @@ object NdjsonIngest {
       java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(java.nio.file.Files.delete)
     }
+    drop.foreach(seq => java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(tableDir, "_log", seq.toString)))
     dead
   }
 

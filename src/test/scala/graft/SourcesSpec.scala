@@ -87,6 +87,31 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(NdjsonIngest.latestPath(dir)).count() === 10)
   }
 
+  test("commit log: every version addressable; gc retention bounds travel") {
+    val dir = tmpDir() + "/t"
+    NdjsonIngest.appendVersion(
+      Seq((1L, "CH", 1.0)).toDF("id", "country", "val"), dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((2L, "DE", 2.0)).toDF("id", "country", "val"), dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((3L, "FR", 3.0)).toDF("id", "country", "val"), dir, "id")
+    assert(NdjsonIngest.commits(dir) === Seq(1L, 2L, 3L))
+    // time travel: each commit is a frozen, reproducible snapshot
+    assert(NdjsonIngest.readCommit(spark, dir, 1L).count() === 1)
+    assert(NdjsonIngest.readCommit(spark, dir, 2L).count() === 2)
+    assert(NdjsonIngest.readCommit(spark, dir, 3L).count() === 3)
+    // compaction is itself a commit; old commits stay readable until gc
+    NdjsonIngest.compactVersions(spark, dir, maxLayers = 1)
+    assert(NdjsonIngest.commits(dir) === Seq(1L, 2L, 3L, 4L))
+    assert(NdjsonIngest.readCommit(spark, dir, 2L).count() === 2)
+    // retention: keep the last 2 commits; older entries + their
+    // now-unreferenced layers are reclaimed
+    NdjsonIngest.gcVersions(dir, retainCommits = 2)
+    assert(NdjsonIngest.commits(dir) === Seq(3L, 4L))
+    assert(NdjsonIngest.readCommit(spark, dir, 3L).count() === 3)
+    assert(NdjsonIngest.readLatest(spark, dir).count() === 3)
+  }
+
   test("updateColumn: conditional scalar rewrite") {
     val df = Seq((1L, 10), (2L, 20)).toDF("id", "x")
     val out = RelationalOps.updateColumn(df, "x", lit(0), col("id") === 1L)
