@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   *
   * The container-header decode is REAL: [[decode]] parses PNG IHDR,
   * JPEG SOF (marker scan), and GIF logical-screen-descriptor headers
-  * from the magic bytes — all public container formats. PNG PIXEL
-  * decode is real too ([[decodePngPixelMean]]: IDAT inflate via
-  * `java.util.zip.Inflater` + spec §9 unfiltering — JDK only). JPEG/
-  * GIF entropy decode needs codec libs this container lacks and falls
-  * back to byte-derived features, clearly labeled; unrecognized
-  * payloads fall back to [[decodeStub]]'s deterministic fakes. The at-scale plumbing
+  * from the magic bytes — all public container formats. PNG and GIF
+  * PIXEL decode are real too ([[decodePngPixelMean]]: IDAT inflate via
+  * `java.util.zip.Inflater` + spec §9 unfiltering; [[decodeGifPixelMean]]:
+  * full LZW with palette mapping — JDK only, no codec libs). JPEG
+  * entropy decode does need codec libs and falls back to byte-derived
+  * features, clearly labeled; unrecognized payloads fall back to
+  * [[decodeStub]]'s deterministic fakes. The at-scale plumbing
   * is the load-bearing part and is tested: schema, per-partition batch
   * processing (`mapPartitions` over a typed Dataset — the Scala analog
   * of a batch-shaped Pandas UDF), and the rule that payload bytes never
@@ -208,6 +209,119 @@ object Media {
     Some(math.rint(total / (h.toLong * rowLen) * 10000) / 10000)
   }
 
+  /** Real GIF pixel decode with the JDK alone: walk the block structure
+    * to the first image descriptor, LZW-decode the index stream (full
+    * dictionary algorithm incl. clear-code resets, width growth, and the
+    * KwKwK case), map indices through the active palette (local else
+    * global), and return the mean over all RGB samples. None for
+    * interlaced frames or any malformed stream — callers keep the
+    * labeled byte-mean fallback.
+    */
+  def decodeGifPixelMean(blob: Array[Byte]): Option[Double] = {
+    if (blob.length < 14) return None
+    val hdr = new String(blob.take(6), "US-ASCII")
+    if (hdr != "GIF87a" && hdr != "GIF89a") return None
+    try {
+      val packed = blob(10) & 0xff
+      var i = 13
+      val gctLen = if ((packed & 0x80) != 0) 3 * (1 << ((packed & 7) + 1)) else 0
+      val gct = blob.slice(i, i + gctLen)
+      i += gctLen
+      while (i < blob.length) {
+        (blob(i) & 0xff) match {
+          case 0x21 => // extension: label byte then length-prefixed sub-blocks
+            i += 2
+            while (i < blob.length && (blob(i) & 0xff) != 0) i += 1 + (blob(i) & 0xff)
+            i += 1
+          case 0x2c =>
+            val w = le16(blob, i + 5); val h = le16(blob, i + 7)
+            val ip = blob(i + 9) & 0xff
+            if ((ip & 0x40) != 0) return None // interlaced: fallback
+            i += 10
+            val lctLen = if ((ip & 0x80) != 0) 3 * (1 << ((ip & 7) + 1)) else 0
+            val pal = if (lctLen > 0) blob.slice(i, i + lctLen) else gct
+            i += lctLen
+            if (pal.isEmpty || w <= 0 || h <= 0) return None
+            val minCode = blob(i) & 0xff; i += 1
+            val data = new java.io.ByteArrayOutputStream()
+            while (i < blob.length && (blob(i) & 0xff) != 0) {
+              val n = blob(i) & 0xff
+              if (i + 1 + n > blob.length) return None
+              data.write(blob, i + 1, n)
+              i += 1 + n
+            }
+            val idx = lzwDecode(data.toByteArray, minCode, w * h)
+              .getOrElse(return None)
+            val nColors = pal.length / 3
+            var total = 0.0
+            var k = 0
+            while (k < idx.length) {
+              val ci = math.min(idx(k), nColors - 1)
+              total += (pal(ci * 3) & 0xff) + (pal(ci * 3 + 1) & 0xff) +
+                (pal(ci * 3 + 2) & 0xff)
+              k += 1
+            }
+            return Some(math.rint(total / (idx.length * 3L) * 10000) / 10000)
+          case _ => return None // trailer or junk before any image data
+        }
+      }
+      None
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
+
+  /** GIF LZW (spec appendix F): LSB-first variable-width codes, dictionary
+    * reset on clear, width grows when the next free code would not fit,
+    * code==next-free handled as KwKwK. Returns exactly `n` indices.
+    */
+  private def lzwDecode(data: Array[Byte], minCode: Int, n: Int): Option[Array[Int]] = {
+    if (minCode < 2 || minCode > 8 || n <= 0) return None
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val dict = new Array[Array[Int]](4096)
+    var next = 0
+    var width = 0
+    def reset(): Unit = {
+      java.util.Arrays.fill(dict.asInstanceOf[Array[AnyRef]], null)
+      var c = 0
+      while (c < clear) { dict(c) = Array(c); c += 1 }
+      next = eoi + 1
+      width = minCode + 1
+    }
+    reset()
+    val out = new Array[Int](n)
+    var outN = 0
+    var bitPos = 0
+    val totalBits = data.length * 8
+    var prev: Array[Int] = null
+    while (outN < n) {
+      if (bitPos + width > totalBits) return None // truncated stream
+      var code = 0
+      var j = 0
+      while (j < width) {
+        code |= (((data((bitPos + j) >> 3) >> ((bitPos + j) & 7)) & 1) << j)
+        j += 1
+      }
+      bitPos += width
+      if (code == clear) { reset(); prev = null }
+      else if (code == eoi) return None // EOI before all pixels decoded
+      else {
+        val entry =
+          if (code < next && dict(code) != null) dict(code)
+          else if (code == next && prev != null) prev :+ prev(0) // KwKwK
+          else return None
+        var k = 0
+        while (k < entry.length && outN < n) { out(outN) = entry(k); outN += 1; k += 1 }
+        if (prev != null && next < 4096) {
+          dict(next) = prev :+ entry(0)
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = entry
+      }
+    }
+    Some(out)
+  }
+
   // ---- header encoders: synthesize minimal VALID containers so tests
   // and oracles can round-trip dimensions through the real parser ----
 
@@ -335,6 +449,71 @@ object Media {
     out.array()
   }
 
+  /** Full GIF89a with real pixels: header + LSD + global color table +
+    * image descriptor + LZW data + trailer. The LZW stream is the classic
+    * uncompressed form — literal codes with a clear emitted before the
+    * dictionary would force a width change — so the decoder's reset path
+    * is exercised and the stream stays deterministic. `palette` entries
+    * are (r,g,b); `px(x, y)` returns a palette index.
+    */
+  def gifPixelBytes(w: Int, h: Int, palette: Seq[(Int, Int, Int)])
+      (px: (Int, Int) => Int): Array[Byte] = {
+    require(palette.nonEmpty && palette.length <= 256)
+    // palette size field stores 2^(n+1) entries; LZW min code ≥ 2
+    var n = 0
+    while ((1 << (n + 1)) < palette.length) n += 1
+    val entries = 1 << (n + 1)
+    val minCode = math.max(2, n + 1)
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val width = minCode + 1
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    w16(w); w16(h)
+    out.write(0x80 | n) // GCT present, size field n
+    out.write(0); out.write(0) // bg index, aspect
+    (0 until entries).foreach { c =>
+      val (r, g, b) = if (c < palette.length) palette(c) else (0, 0, 0)
+      out.write(r & 0xff); out.write(g & 0xff); out.write(b & 0xff)
+    }
+    out.write(0x2c); w16(0); w16(0); w16(w); w16(h); out.write(0) // descriptor
+    out.write(minCode)
+    // LZW literal stream with width kept constant by pre-emptive clears:
+    // after a clear the first literal adds no entry, each later one adds
+    // one; clear again before `next` reaches 1 << width
+    val codes = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nbits = 0
+    def put(code: Int): Unit = {
+      acc |= code.toLong << nbits
+      nbits += width
+      while (nbits >= 8) { codes.write((acc & 0xff).toInt); acc >>= 8; nbits -= 8 }
+    }
+    put(clear)
+    var nextFree = eoi + 1
+    var first = true
+    for (y <- 0 until h; x <- 0 until w) {
+      if (!first && nextFree + 1 >= (1 << width)) {
+        put(clear); nextFree = eoi + 1; first = true
+      }
+      put(px(x, y) & (entries - 1))
+      if (first) first = false else nextFree += 1
+    }
+    put(eoi)
+    if (nbits > 0) codes.write((acc & 0xff).toInt)
+    val bytes = codes.toByteArray
+    var off = 0
+    while (off < bytes.length) { // ≤255-byte sub-blocks
+      val len = math.min(255, bytes.length - off)
+      out.write(len); out.write(bytes, off, len)
+      off += len
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
   /** Minimal GIF89a: header + logical screen descriptor (13 bytes). */
   def gifBytes(w: Int, h: Int): Array[Byte] = {
     val out = java.nio.ByteBuffer.allocate(13)
@@ -375,13 +554,15 @@ object Media {
             r.blob.length * 10000) / 10000
         decode(r.blob) match {
           case Some(d) =>
-            // PNG: real pixel decode (inflate + unfilter) when the stream
-            // carries supported IDAT data; byte-mean fallback otherwise
-            // (header-only payloads, exotic layouts). JPEG/GIF entropy
+            // PNG: real pixel decode (inflate + unfilter); GIF: real LZW
+            // index decode through the palette; byte-mean fallback for
+            // header-only payloads and exotic layouts. JPEG entropy
             // decode needs codec libs — byte mean, labeled by design.
-            val m =
-              if (d.format == "png") decodePngPixelMean(r.blob).getOrElse(mean)
-              else mean
+            val m = d.format match {
+              case "png" => decodePngPixelMean(r.blob).getOrElse(mean)
+              case "gif" => decodeGifPixelMean(r.blob).getOrElse(mean)
+              case _ => mean
+            }
             MediaFeatures(r.media_id, r.mime, r.blob.length,
               d.format, d.width, d.height, d.channels, m)
           case None =>

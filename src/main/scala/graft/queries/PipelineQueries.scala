@@ -508,20 +508,29 @@ object PipelineQueries {
     //      pixels back out (Media.decodePngPixelMean), so the oracle's
     //      channel_mean is a PIXEL-derived assertion, and the stored-
     //      zlib layout makes byte_len arithmetically predictable:
-    //      68 + h*(1 + w*4). JPEG/GIF docs stay header-only containers
+    //      68 + h*(1 + w*4). GIF docs synthesize full LZW-coded frames
+    //      (deterministic grayscale palette, constant index), so their
+    //      channel_mean is pixel-derived through the real LZW decoder;
+    //      their LZW stream length is not worth replicating in SQL, so
+    //      gif byte_len is NULL. JPEG stays a header-only container
     //      (entropy decode needs codec libs): dims round-trip through
-    //      the real parsers, channel_mean is NULL in the oracle. Blobs
-    //      never shuffle — features are derived before any exchange. ----
+    //      the real marker walk, channel_mean is NULL. Blobs never
+    //      shuffle — features are derived before any exchange. ----
     QDef("q_multimodal_features",
       """SELECT doc_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
-        |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 48 + 1 ELSE doc_id % 1000 + 1 END AS INTEGER) AS width,
-        |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 32 + 1 ELSE doc_id % 600 + 1 END AS INTEGER) AS height,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 48 + 1 WHEN 1 THEN doc_id % 1000 + 1
+        |    ELSE doc_id % 40 + 1 END AS INTEGER) AS width,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 32 + 1 WHEN 1 THEN doc_id % 600 + 1
+        |    ELSE doc_id % 25 + 1 END AS INTEGER) AS height,
         |  CAST(CASE doc_id % 3 WHEN 0 THEN 4 ELSE 3 END AS INTEGER) AS channels,
         |  CAST(CASE doc_id % 3
         |    WHEN 0 THEN 68 + (doc_id % 32 + 1) * (1 + (doc_id % 48 + 1) * 4)
-        |    WHEN 1 THEN 41 ELSE 13 END AS INTEGER) AS byte_len,
-        |  CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id * 7 + 13) % 256 AS DOUBLE) END AS channel_mean
+        |    WHEN 1 THEN 41 END AS INTEGER) AS byte_len,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN CAST((doc_id * 7 + 13) % 256 AS DOUBLE)
+        |    WHEN 2 THEN CAST((doc_id * 11 + (doc_id % 4) * 53) % 256 AS DOUBLE)
+        |  END AS channel_mean
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       import graft.multimodal.Media
@@ -537,14 +546,22 @@ object PipelineQueries {
             Media.MediaRow(id, "image/jpeg",
               Media.jpegBytes((id % 1000 + 1).toInt, (id % 600 + 1).toInt))
           case _ =>
+            val w = (id % 40 + 1).toInt
+            val h = (id % 25 + 1).toInt
+            // 4-entry grayscale palette, constant index id % 4: the
+            // decoded mean is (id*11 + (id%4)*53) % 256 exactly
+            val pal = (0 until 4).map { c =>
+              val v = ((id * 11 + c * 53) % 256).toInt; (v, v, v)
+            }
             Media.MediaRow(id, "image/gif",
-              Media.gifBytes((id % 1000 + 1).toInt, (id % 600 + 1).toInt))
+              Media.gifPixelBytes(w, h, pal)((_, _) => (id % 4).toInt))
         }
       }
       Media.extractFeatures(media)
         .select(col("media_id").as("doc_id"), col("format"), col("width"),
-          col("height"), col("channels"), col("byte_len"),
-          when(col("format") === "png", col("channel_mean")).as("channel_mean"))
+          col("height"), col("channels"),
+          when(col("format") =!= "gif", col("byte_len")).as("byte_len"),
+          when(col("format") =!= "jpeg", col("channel_mean")).as("channel_mean"))
         .orderBy("doc_id")
     },
 

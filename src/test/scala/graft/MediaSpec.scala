@@ -114,6 +114,56 @@ class MediaSpec extends SparkSpec {
     assert(Media.decodePngPixelMean(blob) === Some(25.0)) // (10+20+30+40)/4
   }
 
+  test("GIF pixel decode: LZW indices map through the palette to exact means") {
+    val pal = Seq((10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120))
+    def px(x: Int, y: Int): Int = (x + y) % 4
+    val blob = Media.gifPixelBytes(9, 7, pal)(px)
+    assert(Media.decode(blob) === Some(Decoded("gif", 9, 7, 3)))
+    val expected = {
+      val vs = for (y <- 0 until 7; x <- 0 until 9; c <- 0 until 3)
+        yield Seq(pal(px(x, y))._1, pal(px(x, y))._2, pal(px(x, y))._3)(c).toDouble
+      math.rint(vs.sum / vs.length * 10000) / 10000
+    }
+    assert(Media.decodeGifPixelMean(blob) === Some(expected))
+    // wider palette → larger LZW code width
+    val pal16 = (0 until 16).map(c => (c * 16, c * 8, c * 4))
+    val blob16 = Media.gifPixelBytes(5, 4, pal16)((x, y) => (x * y) % 16)
+    val exp16 = {
+      val vs = for (y <- 0 until 4; x <- 0 until 5; v = (x * y) % 16;
+        c <- Seq(v * 16, v * 8, v * 4)) yield c.toDouble
+      math.rint(vs.sum / vs.length * 10000) / 10000
+    }
+    assert(Media.decodeGifPixelMean(blob16) === Some(exp16))
+    // header-only GIF (no image data) → None, caller keeps its fallback
+    assert(Media.decodeGifPixelMean(Media.gifBytes(9, 9)).isEmpty)
+    // truncated data → None, never throws
+    assert(Media.decodeGifPixelMean(blob.take(blob.length - 4)).isEmpty)
+    // pixel means flow through extractFeatures for full GIFs
+    val feats = Media.extractFeatures(
+      Seq(MediaRow(7L, "image/gif",
+        Media.gifPixelBytes(3, 3, Seq((200, 200, 200)))((_, _) => 0))).toDS())
+      .collect()
+    assert(feats.head.channel_mean === 200.0)
+  }
+
+  test("GIF LZW decoder agrees with a hand-packed stream (KwKwK case)") {
+    // 2x2 image, all pixels index 1, minCode 2: codes CLEAR(4), 1, 6, 1
+    // at 3 bits LSB-first — code 6 arrives while EQUAL to the next free
+    // slot (the KwKwK corner). Packed by hand: 4+1·8+6·64+1·512+5·4096 =
+    // 21388 = 0x538C → bytes 8C 53.
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(Array[Byte](2, 0, 2, 0)) // 2x2
+    out.write(0x81); out.write(0); out.write(0) // GCT, 4 entries
+    val pal = Array[Byte](0, 0, 0, 10, 20, 30, 0, 0, 0, 0, 0, 0)
+    out.write(pal)
+    out.write(0x2c); out.write(Array[Byte](0, 0, 0, 0, 2, 0, 2, 0, 0))
+    out.write(2) // LZW min code size
+    out.write(2); out.write(0x8c); out.write(0x53); out.write(0) // data
+    out.write(0x3b)
+    assert(Media.decodeGifPixelMean(out.toByteArray) === Some(20.0)) // (10+20+30)/3
+  }
+
   test("extractFeatures parses real containers, stub-falls-back for unknown") {
     val out = Media.extractFeatures(rows.toDS()).collect().sortBy(_.media_id)
     assert(out.map(f => (f.format, f.width, f.height, f.channels)).toSeq === Seq(

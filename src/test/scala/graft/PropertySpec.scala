@@ -162,4 +162,26 @@ class PropertySpec extends SparkSpec {
       assert(Media.decode(blob).map(d => (d.width, d.height)) === Some((w, h)))
     }
   }
+
+  test("GIF encode → LZW-decode round-trips arbitrary images exactly") {
+    import graft.multimodal.Media
+    val caseGen = for {
+      w <- Gen.choose(1, 30)
+      h <- Gen.choose(1, 20)
+      nPal <- Gen.oneOf(2, 4, 7, 16, 64)
+      s <- Gen.choose(0, 1000)
+    } yield (w, h, nPal, s)
+    samples(caseGen, 24).foreach { case (w, h, nPal, s) =>
+      val pal = (0 until nPal).map(c =>
+        ((c * 37 + s) % 256, (c * 59 + s) % 256, (c * 83 + s) % 256))
+      def px(x: Int, y: Int): Int = (x * 7 + y * 13 + s) % nPal
+      val blob = Media.gifPixelBytes(w, h, pal)(px)
+      val vs = for (y <- 0 until h; x <- 0 until w;
+        v <- Seq(pal(px(x, y))._1, pal(px(x, y))._2, pal(px(x, y))._3))
+        yield v.toDouble
+      val want = math.rint(vs.sum / vs.length * 10000) / 10000
+      assert(Media.decodeGifPixelMean(blob) === Some(want), s"($w,$h,$nPal,$s)")
+      assert(Media.decode(blob).map(d => (d.width, d.height)) === Some((w, h)))
+    }
+  }
 }
