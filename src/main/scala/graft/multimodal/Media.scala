@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * from the magic bytes — all public container formats. PNG and GIF
   * PIXEL decode are real too ([[decodePngPixelMean]]: IDAT inflate via
   * `java.util.zip.Inflater` + spec §9 unfiltering; [[decodeGifPixelMean]]:
-  * full LZW with palette mapping — JDK only, no codec libs). JPEG
-  * entropy decode does need codec libs and falls back to byte-derived
-  * features, clearly labeled; unrecognized payloads fall back to
-  * [[decodeStub]]'s deterministic fakes. The at-scale plumbing
+  * full LZW with palette mapping — JDK only, no codec libs), and so is
+  * baseline JPEG ([[decodeJpegPixelMean]]: huffman entropy decode +
+  * dequant + IDCT + chroma upsample + YCbCr→RGB). Progressive JPEG and
+  * exotic PNG layouts fall back to byte-derived features, clearly
+  * labeled; unrecognized payloads fall back to [[decodeStub]]'s
+  * deterministic fakes. The at-scale plumbing
   * is the load-bearing part and is tested: schema, per-partition batch
   * processing (`mapPartitions` over a typed Dataset — the Scala analog
   * of a batch-shaped Pandas UDF), and the rule that payload bytes never
@@ -322,6 +324,334 @@ object Media {
     Some(out)
   }
 
+  /** Real baseline JPEG entropy decode with the JDK alone (ITU T.81):
+    * parse DQT/DHT/SOF0-1/DRI/SOS, huffman-decode the entropy-coded
+    * segment (byte unstuffing + restart markers), dequantize, inverse
+    * zigzag, 8×8 IDCT, reassemble the sampled component planes, and
+    * return the mean over all output samples (YCbCr→RGB for 3-component
+    * scans, raw luma for grayscale). None for progressive/arithmetic/
+    * hierarchical frames, 4-component (CMYK) scans, or any malformed
+    * stream — callers keep the labeled byte-mean fallback.
+    */
+  def decodeJpegPixelMean(blob: Array[Byte]): Option[Double] = {
+    if (blob.length < 4 || (blob(0) & 0xff) != 0xff || (blob(1) & 0xff) != 0xd8)
+      return None
+    try decodeJpegMean(blob)
+    catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
+
+  /** Canonical JPEG huffman table in the T.81 F.2.2.3 decode layout. */
+  private final class JpegHuff(bits: Array[Int], vals: Array[Byte]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += bits(l - 1); k += bits(l - 1)
+        maxCode(l) = if (bits(l - 1) > 0) code - 1 else -1
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(br: JpegBits): Int = {
+      var code = br.bit()
+      var l = 1
+      while (code > maxCode(l) || maxCode(l) < 0) {
+        if (l == 16) throw new ArrayIndexOutOfBoundsException("bad huffman code")
+        code = (code << 1) | br.bit()
+        l += 1
+      }
+      vals(valPtr(l) + code - minCode(l)) & 0xff
+    }
+  }
+
+  /** Entropy-segment bit reader: MSB-first, 0xFF00 unstuffing, RSTn
+    * resynchronization (byte-aligned, resets nothing itself).
+    */
+  private final class JpegBits(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nbits = 0
+    def bit(): Int = {
+      if (nbits == 0) {
+        if (pos >= b.length) throw new ArrayIndexOutOfBoundsException("eos")
+        var v = b(pos) & 0xff; pos += 1
+        if (v == 0xff) {
+          val m = if (pos < b.length) b(pos) & 0xff else -1
+          if (m == 0x00) pos += 1 // stuffed data byte
+          else throw new ArrayIndexOutOfBoundsException("marker in scan")
+          v = 0xff
+        }
+        acc = v; nbits = 8
+      }
+      nbits -= 1
+      (acc >> nbits) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    /** Byte-align and consume an expected RSTn marker. False on anything else. */
+    def restart(): Boolean = {
+      nbits = 0
+      if (pos + 1 >= b.length || (b(pos) & 0xff) != 0xff) return false
+      val m = b(pos + 1) & 0xff
+      if (m >= 0xd0 && m <= 0xd7) { pos += 2; true } else false
+    }
+  }
+
+  /** T.81 F.2.2.1 EXTEND: map a magnitude-category bit pattern to its
+    * signed value.
+    */
+  private def jpegExtend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** A(u,x) = 0.5·c(u)·cos((2x+1)uπ/16) — the separable 8-point IDCT basis. */
+  private val IdctA: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+    val c = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+    0.5 * c * math.cos((2 * x + 1) * u * math.Pi / 16)
+  }
+
+  private def decodeJpegMean(blob: Array[Byte]): Option[Double] = {
+    final case class Comp(id: Int, hs: Int, vs: Int, tq: Int)
+    val qt = new Array[Array[Int]](4)
+    val dcTab = new Array[JpegHuff](4)
+    val acTab = new Array[JpegHuff](4)
+    var comps: Array[Comp] = null
+    var imgW = 0; var imgH = 0
+    var restartInterval = 0
+    var i = 2
+    while (i + 3 < blob.length) {
+      if ((blob(i) & 0xff) != 0xff) return None
+      while (i + 2 < blob.length && (blob(i + 1) & 0xff) == 0xff) i += 1
+      if (i + 3 >= blob.length) return None
+      val marker = blob(i + 1) & 0xff
+      if (marker == 0xd8 || marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+        i += 2
+      } else if (marker == 0xd9) {
+        return None // EOI before a scan
+      } else {
+        val len = be16(blob, i + 2)
+        if (len < 2 || i + 2 + len > blob.length) return None
+        val seg = i + 4
+        val segEnd = i + 2 + len
+        marker match {
+          case 0xdb => // DQT: one or more (PqTq, 64|128 entries) tables
+            var p = seg
+            while (p < segEnd) {
+              val pq = (blob(p) >> 4) & 0xf; val tq = blob(p) & 0xf
+              if (tq > 3 || pq > 1) return None
+              val tab = new Array[Int](64)
+              var k = 0
+              while (k < 64) {
+                tab(k) =
+                  if (pq == 0) blob(p + 1 + k) & 0xff
+                  else be16(blob, p + 1 + 2 * k)
+                k += 1
+              }
+              qt(tq) = tab
+              p += 1 + (if (pq == 0) 64 else 128)
+            }
+          case 0xc4 => // DHT: one or more (TcTh, 16 counts, symbols) tables
+            var p = seg
+            while (p < segEnd) {
+              val tc = (blob(p) >> 4) & 0xf; val th = blob(p) & 0xf
+              if (tc > 1 || th > 3) return None
+              val bits = Array.tabulate(16)(k => blob(p + 1 + k) & 0xff)
+              val n = bits.sum
+              if (n == 0 || n > 256 || p + 17 + n > segEnd) return None
+              val vals = blob.slice(p + 17, p + 17 + n)
+              val tab = new JpegHuff(bits, vals)
+              if (tc == 0) dcTab(th) = tab else acTab(th) = tab
+              p += 17 + n
+            }
+          case 0xc0 | 0xc1 => // SOF0/1: baseline / extended sequential huffman
+            imgH = be16(blob, seg + 1); imgW = be16(blob, seg + 3)
+            val nc = blob(seg + 5) & 0xff
+            if (imgW <= 0 || imgH <= 0 || (nc != 1 && nc != 3)) return None
+            comps = Array.tabulate(nc) { c =>
+              val o = seg + 6 + 3 * c
+              Comp(blob(o) & 0xff, (blob(o + 1) >> 4) & 0xf,
+                blob(o + 1) & 0xf, blob(o + 2) & 0xff)
+            }
+            if (comps.exists(c => c.hs < 1 || c.hs > 4 || c.vs < 1 || c.vs > 4))
+              return None
+          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+              0xcd | 0xce | 0xcf =>
+            return None // progressive / arithmetic / hierarchical
+          case 0xdd => // DRI
+            restartInterval = be16(blob, seg)
+          case 0xda => // SOS: scan header then the entropy-coded segment
+            if (comps == null) return None
+            val ns = blob(seg) & 0xff
+            if (ns != comps.length) return None
+            val scanDc = new Array[JpegHuff](comps.length)
+            val scanAc = new Array[JpegHuff](comps.length)
+            var c = 0
+            while (c < ns) {
+              val cid = blob(seg + 1 + 2 * c) & 0xff
+              val ci = comps.indexWhere(_.id == cid)
+              if (ci < 0) return None
+              val td = (blob(seg + 2 + 2 * c) >> 4) & 0xf
+              val ta = blob(seg + 2 + 2 * c) & 0xf
+              if (td > 3 || ta > 3 || dcTab(td) == null || acTab(ta) == null)
+                return None
+              scanDc(ci) = dcTab(td); scanAc(ci) = acTab(ta)
+              c += 1
+            }
+            if (comps.exists(cc => qt(cc.tq) == null)) return None
+            return jpegScanMean(blob, segEnd, comps.map(cc =>
+              (cc.hs, cc.vs, qt(cc.tq))), scanDc, scanAc,
+              imgW, imgH, restartInterval)
+          case _ => // APPn / COM / other: skip
+        }
+        i = segEnd
+      }
+    }
+    None
+  }
+
+  /** Decode the entropy-coded segment starting at `pos` and return the
+    * mean over the final image samples.
+    */
+  private def jpegScanMean(
+      blob: Array[Byte], pos: Int,
+      comps: Array[(Int, Int, Array[Int])],
+      dc: Array[JpegHuff], ac: Array[JpegHuff],
+      imgW: Int, imgH: Int, restartInterval: Int): Option[Double] = {
+    val nc = comps.length
+    val hMax = comps.map(_._1).max
+    val vMax = comps.map(_._2).max
+    val mcusX = (imgW + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (imgH + 8 * vMax - 1) / (8 * vMax)
+    if (mcusX.toLong * mcusY > (1L << 24)) return None // bound work
+    // per-component plane at its native sampling resolution
+    val strideC = comps.map { case (hs, _, _) => mcusX * hs * 8 }
+    val rowsC = comps.map { case (_, vs, _) => mcusY * vs * 8 }
+    val planes = Array.tabulate(nc)(c => new Array[Byte](strideC(c) * rowsC(c)))
+    val pred = new Array[Int](nc)
+    val coef = new Array[Int](64)
+    val tmp = Array.ofDim[Double](8, 8)
+    val br = new JpegBits(blob, pos)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (!br.restart()) return None
+        java.util.Arrays.fill(pred, 0)
+      }
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      var c = 0
+      while (c < nc) {
+        val (hs, vs, q) = comps(c)
+        var v = 0
+        while (v < vs) {
+          var h = 0
+          while (h < hs) {
+            // -- one 8×8 block: huffman + dequant + dezigzag --
+            java.util.Arrays.fill(coef, 0)
+            val t = dc(c).decode(br)
+            if (t > 15) return None
+            pred(c) += jpegExtend(br.receive(t), t)
+            coef(0) = pred(c) * q(0)
+            var k = 1
+            while (k < 64) {
+              val rs = ac(c).decode(br)
+              val r = rs >> 4; val s = rs & 0xf
+              if (s == 0) {
+                if (r == 15) k += 16 // ZRL
+                else k = 64 // EOB
+              } else {
+                k += r
+                if (k > 63) return None
+                coef(ZigZag(k)) = jpegExtend(br.receive(s), s) * q(k)
+                k += 1
+              }
+            }
+            // -- separable IDCT: T(u,y) then P(x,y) --
+            var u = 0
+            while (u < 8) {
+              var y = 0
+              while (y < 8) {
+                var s2 = 0.0
+                var vv = 0
+                while (vv < 8) { s2 += IdctA(vv)(y) * coef(vv * 8 + u); vv += 1 }
+                tmp(u)(y) = s2
+                y += 1
+              }
+              u += 1
+            }
+            val plane = planes(c)
+            val px0 = (mx * hs + h) * 8
+            val py0 = (my * vs + v) * 8
+            var y = 0
+            while (y < 8) {
+              val rowBase = (py0 + y) * strideC(c) + px0
+              var x = 0
+              while (x < 8) {
+                var s3 = 0.0
+                var uu = 0
+                while (uu < 8) { s3 += IdctA(uu)(x) * tmp(uu)(y); uu += 1 }
+                val sv = math.rint(s3 + 128).toInt
+                plane(rowBase + x) =
+                  (if (sv < 0) 0 else if (sv > 255) 255 else sv).toByte
+                x += 1
+              }
+              y += 1
+            }
+            h += 1
+          }
+          v += 1
+        }
+        c += 1
+      }
+      mcu += 1
+    }
+    // -- reassemble at image resolution; mean over all output samples --
+    var total = 0.0
+    if (nc == 1) {
+      val plane = planes(0); val stride = strideC(0)
+      var y = 0
+      while (y < imgH) {
+        var x = 0
+        while (x < imgW) { total += plane(y * stride + x) & 0xff; x += 1 }
+        y += 1
+      }
+      Some(math.rint(total / (imgW.toLong * imgH) * 10000) / 10000)
+    } else {
+      // nearest-neighbor chroma upsample + JFIF YCbCr→RGB
+      val (h0, v0, _) = comps(0); val (h1, v1, _) = comps(1); val (h2, v2, _) = comps(2)
+      var y = 0
+      while (y < imgH) {
+        var x = 0
+        while (x < imgW) {
+          val yy = planes(0)((y * v0 / vMax) * strideC(0) + x * h0 / hMax) & 0xff
+          val cb = (planes(1)((y * v1 / vMax) * strideC(1) + x * h1 / hMax) & 0xff) - 128
+          val cr = (planes(2)((y * v2 / vMax) * strideC(2) + x * h2 / hMax) & 0xff) - 128
+          def clamp(d: Double): Int = {
+            val r = math.rint(d).toInt
+            if (r < 0) 0 else if (r > 255) 255 else r
+          }
+          total += clamp(yy + 1.402 * cr) +
+            clamp(yy - 0.344136 * cb - 0.714136 * cr) +
+            clamp(yy + 1.772 * cb)
+          x += 1
+        }
+        y += 1
+      }
+      Some(math.rint(total / (imgW.toLong * imgH * 3) * 10000) / 10000)
+    }
+  }
+
   // ---- header encoders: synthesize minimal VALID containers so tests
   // and oracles can round-trip dimensions through the real parser ----
 
@@ -449,6 +779,73 @@ object Media {
     out.array()
   }
 
+  /** Full baseline JPEG with real entropy-coded pixels: a solid-gray
+    * single-component frame. With an all-ones quantization table a
+    * constant block is EXACT under JPEG: the only nonzero coefficient is
+    * DC = 8·(v−128), an integer, so decode returns exactly `v` for every
+    * pixel — making `channel_mean` arithmetically predictable for SQL
+    * oracles. Uses minimal custom huffman tables (12 four-bit DC
+    * category codes; a single one-bit AC EOB code); the standard Annex K
+    * table path is exercised by ImageIO-written fixtures in MediaSpec.
+    */
+  def jpegSolidGrayBytes(w: Int, h: Int, v: Int, restartEvery: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0 && v >= 0 && v <= 255)
+    val out = new java.io.ByteArrayOutputStream()
+    def m(id: Int): Unit = { out.write(0xff); out.write(id) }
+    def w16(x: Int): Unit = { out.write((x >> 8) & 0xff); out.write(x & 0xff) }
+    m(0xd8) // SOI
+    m(0xdb); w16(2 + 1 + 64); out.write(0x00) // DQT, Pq=0 Tq=0
+    (0 until 64).foreach(_ => out.write(1))
+    m(0xc0); w16(8 + 3) // SOF0, 1 component
+    out.write(8); w16(h); w16(w); out.write(1)
+    out.write(1); out.write(0x11); out.write(0) // id 1, 1×1, qtable 0
+    // DHT DC 0: 12 codes of length 4 → categories 0..11
+    m(0xc4); w16(2 + 17 + 12); out.write(0x00)
+    (1 to 16).foreach(l => out.write(if (l == 4) 12 else 0))
+    (0 to 11).foreach(out.write)
+    // DHT AC 0: one 1-bit code → EOB
+    m(0xc4); w16(2 + 17 + 1); out.write(0x10)
+    (1 to 16).foreach(l => out.write(if (l == 1) 1 else 0))
+    out.write(0x00)
+    if (restartEvery > 0) { m(0xdd); w16(4); w16(restartEvery) } // DRI
+    m(0xda); w16(6 + 2) // SOS
+    out.write(1); out.write(1); out.write(0x00) // comp 1, DC 0 / AC 0
+    out.write(0); out.write(63); out.write(0) // Ss/Se/AhAl
+    // entropy segment: per block a DC diff (8(v-128) after each predictor
+    // reset, 0 otherwise) then AC = EOB; restart markers byte-align
+    var acc = 0L; var nbits = 0
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); nbits += len
+      while (nbits >= 8) {
+        val b = ((acc >> (nbits - 8)) & 0xff).toInt
+        out.write(b); if (b == 0xff) out.write(0x00) // byte stuffing
+        nbits -= 8
+      }
+    }
+    def pad(): Unit = if (nbits > 0) put((1 << (8 - nbits)) - 1, 8 - nbits)
+    val dc = 8 * (v - 128)
+    val blocks = ((w + 7) / 8) * ((h + 7) / 8)
+    var pred = 0
+    var b = 0
+    while (b < blocks) {
+      if (restartEvery > 0 && b > 0 && b % restartEvery == 0) {
+        pad()
+        m(0xd0 + ((b / restartEvery - 1) % 8))
+        pred = 0
+      }
+      val d = dc - pred
+      val cat = 32 - Integer.numberOfLeadingZeros(math.abs(d)) // 0 for d==0
+      put(cat, 4) // DC category (code == symbol under the canonical table)
+      if (cat > 0) put(if (d < 0) d + (1 << cat) - 1 else d, cat)
+      put(0, 1) // EOB
+      pred = dc
+      b += 1
+    }
+    pad()
+    m(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** Full GIF89a with real pixels: header + LSD + global color table +
     * image descriptor + LZW data + trailer. The LZW stream is the classic
     * uncompressed form — literal codes with a clear emitted before the
@@ -555,12 +952,14 @@ object Media {
         decode(r.blob) match {
           case Some(d) =>
             // PNG: real pixel decode (inflate + unfilter); GIF: real LZW
-            // index decode through the palette; byte-mean fallback for
-            // header-only payloads and exotic layouts. JPEG entropy
-            // decode needs codec libs — byte mean, labeled by design.
+            // index decode through the palette; JPEG: real baseline
+            // huffman + IDCT decode. Byte-mean fallback only for
+            // header-only payloads and exotic layouts (progressive JPEG,
+            // interlaced/indexed PNG).
             val m = d.format match {
               case "png" => decodePngPixelMean(r.blob).getOrElse(mean)
               case "gif" => decodeGifPixelMean(r.blob).getOrElse(mean)
+              case "jpeg" => decodeJpegPixelMean(r.blob).getOrElse(mean)
               case _ => mean
             }
             MediaFeatures(r.media_id, r.mime, r.blob.length,

@@ -512,23 +512,28 @@ object PipelineQueries {
     //      (deterministic grayscale palette, constant index), so their
     //      channel_mean is pixel-derived through the real LZW decoder;
     //      their LZW stream length is not worth replicating in SQL, so
-    //      gif byte_len is NULL. JPEG stays a header-only container
-    //      (entropy decode needs codec libs): dims round-trip through
-    //      the real marker walk, channel_mean is NULL. Blobs never
-    //      shuffle — features are derived before any exchange. ----
+    //      gif byte_len is NULL. JPEG docs synthesize FULL baseline
+    //      entropy-coded frames (solid gray under an all-ones quant
+    //      table, which JPEG reproduces EXACTLY: the only nonzero
+    //      coefficient is the integer DC), so channel_mean is asserted
+    //      through the real huffman + IDCT decoder; the entropy-segment
+    //      length depends on byte stuffing, so jpeg byte_len is NULL.
+    //      Blobs never shuffle — features are derived before any
+    //      exchange. ----
     QDef("q_multimodal_features",
       """SELECT doc_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
-        |  CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 48 + 1 WHEN 1 THEN doc_id % 1000 + 1
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 48 + 1 WHEN 1 THEN doc_id % 56 + 1
         |    ELSE doc_id % 40 + 1 END AS INTEGER) AS width,
-        |  CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 32 + 1 WHEN 1 THEN doc_id % 600 + 1
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 32 + 1 WHEN 1 THEN doc_id % 28 + 1
         |    ELSE doc_id % 25 + 1 END AS INTEGER) AS height,
-        |  CAST(CASE doc_id % 3 WHEN 0 THEN 4 ELSE 3 END AS INTEGER) AS channels,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 1 ELSE 3 END AS INTEGER) AS channels,
         |  CAST(CASE doc_id % 3
         |    WHEN 0 THEN 68 + (doc_id % 32 + 1) * (1 + (doc_id % 48 + 1) * 4)
-        |    WHEN 1 THEN 41 END AS INTEGER) AS byte_len,
+        |  END AS INTEGER) AS byte_len,
         |  CASE doc_id % 3
         |    WHEN 0 THEN CAST((doc_id * 7 + 13) % 256 AS DOUBLE)
+        |    WHEN 1 THEN CAST((doc_id * 13 + 29) % 256 AS DOUBLE)
         |    WHEN 2 THEN CAST((doc_id * 11 + (doc_id % 4) * 53) % 256 AS DOUBLE)
         |  END AS channel_mean
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
@@ -544,7 +549,8 @@ object PipelineQueries {
               Media.pngPixelBytes(w, h)((_, _, _) => v))
           case 1 =>
             Media.MediaRow(id, "image/jpeg",
-              Media.jpegBytes((id % 1000 + 1).toInt, (id % 600 + 1).toInt))
+              Media.jpegSolidGrayBytes((id % 56 + 1).toInt, (id % 28 + 1).toInt,
+                ((id * 13 + 29) % 256).toInt))
           case _ =>
             val w = (id % 40 + 1).toInt
             val h = (id % 25 + 1).toInt
@@ -560,8 +566,8 @@ object PipelineQueries {
       Media.extractFeatures(media)
         .select(col("media_id").as("doc_id"), col("format"), col("width"),
           col("height"), col("channels"),
-          when(col("format") =!= "gif", col("byte_len")).as("byte_len"),
-          when(col("format") =!= "jpeg", col("channel_mean")).as("channel_mean"))
+          when(col("format") === "png", col("byte_len")).as("byte_len"),
+          col("channel_mean"))
         .orderBy("doc_id")
     },
 

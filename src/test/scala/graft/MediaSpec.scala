@@ -164,6 +164,101 @@ class MediaSpec extends SparkSpec {
     assert(Media.decodeGifPixelMean(out.toByteArray) === Some(20.0)) // (10+20+30)/3
   }
 
+  test("JPEG pixel decode: solid gray is exact through huffman + IDCT") {
+    // all-ones quant table + constant blocks → the only nonzero
+    // coefficient is the integer DC, so decode is EXACT
+    for (v <- Seq(0, 1, 50, 127, 128, 200, 255); (w, h) <- Seq((8, 8), (13, 7), (56, 28))) {
+      val blob = Media.jpegSolidGrayBytes(w, h, v)
+      assert(Media.decode(blob) === Some(Decoded("jpeg", w, h, 1)))
+      assert(Media.decodeJpegPixelMean(blob) === Some(v.toDouble),
+        s"solid v=$v ${w}x$h")
+    }
+    // the encoder emits REAL JPEG: the JDK's own independent decoder
+    // must read identical pixels
+    val blob = Media.jpegSolidGrayBytes(21, 10, 77)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+    assert(img !== null)
+    assert(img.getWidth === 21 && img.getHeight === 10)
+    val vs = for (y <- 0 until 10; x <- 0 until 21)
+      yield img.getRaster.getSample(x, y, 0)
+    assert(vs.forall(_ == 77))
+    // header-only JPEG (no scan) → None; caller keeps its labeled fallback
+    assert(Media.decodeJpegPixelMean(Media.jpegBytes(9, 9)).isEmpty)
+    // truncated entropy segment → None, never throws
+    assert(Media.decodeJpegPixelMean(blob.take(blob.length - 6)).isEmpty)
+  }
+
+  test("JPEG restart markers: predictor resets and byte-aligned resync") {
+    // DRI every 3 MCUs on a 5x2-block image: the decoder must consume
+    // each RSTn, realign, and reset the DC predictor
+    val blob = Media.jpegSolidGrayBytes(40, 16, 90, restartEvery = 3)
+    assert(Media.decodeJpegPixelMean(blob) === Some(90.0))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+    assert(img.getRaster.getSample(39, 15, 0) === 90)
+    // a missing restart marker is a malformed stream → None, no throw
+    val noDri = Media.jpegSolidGrayBytes(40, 16, 90)
+    val spliced = {
+      // claim DRI=3 but provide no RST markers
+      val dri = Array(0xff.toByte, 0xdd.toByte, 0.toByte, 4.toByte, 0.toByte, 3.toByte)
+      noDri.take(2) ++ dri ++ noDri.drop(2)
+    }
+    assert(Media.decodeJpegPixelMean(spliced).isEmpty)
+  }
+
+  test("JPEG decoder agrees with the JDK encoder (color 4:2:0 and grayscale)") {
+    // ImageIO WRITES the JPEG (independent encoder, standard Annex K
+    // tables, subsampled chroma); our decoder must agree with ImageIO's
+    // own read of the same bytes. Lossy coding + different chroma
+    // upsampling → compare means within a small tolerance.
+    def meanOfRgb(img: java.awt.image.BufferedImage): Double = {
+      var s = 0.0
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val p = img.getRGB(x, y)
+        s += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+      }
+      s / (img.getWidth * img.getHeight * 3)
+    }
+    val w = 37; val h = 23 // non-multiples of 16: partial-MCU edges
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) { // smooth gradient
+      val r = 40 + (x * 4) % 200; val g = 30 + (y * 6) % 200
+      val b = (x * 3 + y * 5) % 255
+      src.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(src, "jpg", bos))
+    val blob = bos.toByteArray
+    val jdk = meanOfRgb(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob)))
+    val ours = Media.decodeJpegPixelMean(blob)
+    assert(ours.isDefined, "decoder must handle the JDK writer's stream")
+    assert(math.abs(ours.get - jdk) < 1.5, s"ours=${ours.get} jdk=$jdk")
+    // grayscale: single-component scan
+    val gray = new java.awt.image.BufferedImage(19, 11,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 11; x <- 0 until 19)
+      gray.getRaster.setSample(x, y, 0, (x * 13 + y * 7) % 256)
+    val gbos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(gray, "jpg", gbos))
+    val gblob = gbos.toByteArray
+    val gjdk = {
+      val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gblob))
+      var s = 0.0
+      for (y <- 0 until 11; x <- 0 until 19) s += im.getRaster.getSample(x, y, 0)
+      s / (19 * 11)
+    }
+    val gours = Media.decodeJpegPixelMean(gblob)
+    assert(gours.isDefined)
+    assert(math.abs(gours.get - gjdk) < 1.0, s"ours=${gours.get} jdk=$gjdk")
+    // pixel means flow through extractFeatures for full JPEGs
+    val feats = Media.extractFeatures(
+      Seq(MediaRow(11L, "image/jpeg", Media.jpegSolidGrayBytes(12, 9, 140))).toDS())
+      .collect()
+    assert(feats.head.channel_mean === 140.0)
+    assert(feats.head.format === "jpeg" && feats.head.channels === 1)
+  }
+
   test("extractFeatures parses real containers, stub-falls-back for unknown") {
     val out = Media.extractFeatures(rows.toDS()).collect().sortBy(_.media_id)
     assert(out.map(f => (f.format, f.width, f.height, f.channels)).toSeq === Seq(
