@@ -571,6 +571,49 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- audio columns: real RIFF/WAVE PCM decode over binary
+    //      payloads. Docs synthesize full PCM16 WAVs (square wave at a
+    //      doc_id-derived amplitude per channel, so every decoded
+    //      statistic is integer-exact): the Spark side parses the RIFF
+    //      chunks and scans the actual interleaved samples back out.
+    //      peak / mean_abs are PIXEL-equivalent assertions for audio;
+    //      byte_len and duration_ms are arithmetically predictable.
+    //      Blobs never shuffle — features are derived before any
+    //      exchange. ----
+    QDef("q_audio_features",
+      """SELECT doc_id,
+        |  CAST(44 + (doc_id % 400 + 50) * (1 + doc_id % 2) * 2 AS INTEGER) AS byte_len,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END
+        |    AS INTEGER) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |  CAST(doc_id % 400 + 50 AS INTEGER) AS n_frames,
+        |  CAST(FLOOR((doc_id % 400 + 50) * 1000.0 /
+        |    (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END))
+        |    AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 17 + 100) % 30000
+        |    ELSE GREATEST((doc_id * 17 + 100) % 30000, (doc_id * 23 + 200) % 30000)
+        |    END AS INTEGER) AS peak,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST((doc_id * 17 + 100) % 30000 AS DOUBLE)
+        |    ELSE ((doc_id * 17 + 100) % 30000 + (doc_id * 23 + 200) % 30000) / 2.0
+        |    END AS mean_abs
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.multimodal.Media
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+        val rate = (id % 3) match { case 0 => 8000; case 1 => 16000; case _ => 44100 }
+        val ch = (1 + id % 2).toInt
+        val n = (id % 400 + 50).toInt
+        val amp = Array(((id * 17 + 100) % 30000).toInt, ((id * 23 + 200) % 30000).toInt)
+        Media.MediaRow(id, "audio/wav",
+          Media.wavBytes(rate, ch, n)((f, c) => if (f % 2 == 0) amp(c) else -amp(c)))
+      }
+      Media.extractAudioFeatures(media)
+        .select(col("media_id").as("doc_id"), col("byte_len"), col("sample_rate"),
+          col("channels"), col("n_frames"), col("duration_ms"), col("peak"),
+          col("mean_abs"))
+        .orderBy("doc_id")
+    },
+
     // ---- SimHash near-dup pairs: hamming distance over the 16-bit
     //      signatures, blocked by source ----
     QDef("q_simhash_pairs", {

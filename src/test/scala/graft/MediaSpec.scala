@@ -259,6 +259,62 @@ class MediaSpec extends SparkSpec {
     assert(feats.head.format === "jpeg" && feats.head.channels === 1)
   }
 
+  test("WAV decode: RIFF/PCM parse recovers exact amplitude statistics") {
+    // square wave ±A: every |sample| = A, so peak and mean_abs are exact
+    val blob = Media.wavBytes(8000, 1, 200)((f, _) => if (f % 2 == 0) 1234 else -1234)
+    assert(blob.length === 44 + 200 * 2)
+    val w = Media.decodeWav(blob).get
+    assert(w.sample_rate === 8000 && w.channels === 1 && w.bits === 16)
+    assert(w.n_frames === 200 && w.duration_ms === 25L)
+    assert(w.peak === 1234 && w.mean_abs === 1234.0)
+    // stereo with distinct per-channel amplitudes interleaves correctly
+    val st = Media.decodeWav(
+      Media.wavBytes(16000, 2, 100)((f, c) =>
+        (if (f % 2 == 0) 1 else -1) * (if (c == 0) 1000 else 3000))).get
+    assert(st.channels === 2 && st.n_frames === 100)
+    assert(st.peak === 3000 && st.mean_abs === 2000.0)
+    // the JDK's own audio stack accepts the container (independent parser)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(blob))
+    assert(ais.getFormat.getSampleRate === 8000.0f)
+    assert(ais.getFormat.getChannels === 1)
+    assert(ais.getFrameLength === 200L)
+    // unknown chunks (LIST) before data are skipped per the RIFF rules
+    val list = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0, 1, 2, 3, 4)
+    val withList = blob.take(12) ++ list ++ blob.drop(12)
+    // fix the RIFF size field
+    val bb = java.nio.ByteBuffer.wrap(withList).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, withList.length - 8)
+    assert(Media.decodeWav(withList).map(_.peak) === Some(1234))
+    // 8-bit unsigned PCM (excess-128): hand-built data chunk
+    val eight = {
+      val out = java.nio.ByteBuffer.allocate(44 + 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + 4)
+      out.put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      out.putShort(1).putShort(1).putInt(8000).putInt(8000)
+      out.putShort(1).putShort(8)
+      out.put("data".getBytes("US-ASCII")).putInt(4)
+      out.put(128.toByte).put(148.toByte).put(108.toByte).put(128.toByte)
+      out.array()
+    }
+    val e = Media.decodeWav(eight).get
+    assert(e.bits === 8 && e.peak === 20 && e.mean_abs === 10.0)
+    // float/compressed formats and truncated containers → None, no throw
+    val nonPcm = blob.clone(); nonPcm(20) = 3 // IEEE float format tag
+    assert(Media.decodeWav(nonPcm).isEmpty)
+    assert(Media.decodeWav(blob.take(50)).isEmpty)
+    assert(Media.decodeWav("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    // batch extraction drops blobs, keeps byte_len for unparseable rows
+    val feats = Media.extractAudioFeatures(Seq(
+      MediaRow(1L, "audio/wav", blob),
+      MediaRow(2L, "audio/wav", Array[Byte](1, 2, 3))).toDS())
+      .collect().sortBy(_.media_id)
+    assert(feats(0).mean_abs === 1234.0 && feats(0).duration_ms === 25L)
+    assert(feats(1).sample_rate === 0 && feats(1).byte_len === 3)
+  }
+
   test("extractFeatures parses real containers, stub-falls-back for unknown") {
     val out = Media.extractFeatures(rows.toDS()).collect().sortBy(_.media_id)
     assert(out.map(f => (f.format, f.width, f.height, f.channels)).toSeq === Seq(
