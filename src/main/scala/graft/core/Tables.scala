@@ -18,21 +18,27 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // Normalize `ts` to a proper tz-aware TimestampType regardless of the
-    // parquet writer's physical layout:
-    //  - TIMESTAMP(NANOS): Spark only reads it as a raw long
+    // Normalize timestamps to a proper tz-aware TimestampType regardless
+    // of the parquet writer's physical layout (the harness regenerates
+    // testdata between rounds and has already switched layouts once):
+    //  - ANY column read as TIMESTAMP_NTZ (timestamp[us] without tz) is
+    //    cast to TimestampType. The session tz is pinned UTC in every
+    //    entry point, so the cast is exact.
+    //  - TIMESTAMP(NANOS) is only readable as a raw long
     //    (spark.sql.legacy.parquet.nanosAsLong=true, set by our session
-    //    builders) — convert ns→µs in exact integer arithmetic.
-    //  - timestamp[us] without tz: Spark reads TIMESTAMP_NTZ — cast to
-    //    TimestampType. The session tz is pinned UTC in every entry point,
-    //    so the cast is exact.
+    //    builders) and is indistinguishable from a true BIGINT column by
+    //    schema alone, so that rewrite stays scoped to the one column
+    //    known to be a timestamp (`ts`): convert ns→µs in exact integer
+    //    arithmetic.
     //  - tz-aware TIMESTAMP: already TimestampType, nothing to do.
-    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
-      case Some(LongType) =>
-        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      case Some(TimestampNTZType) =>
-        df.withColumn("ts", df("ts").cast(TimestampType))
-      case _ => df
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case TimestampNTZType => d.withColumn(f.name, d(f.name).cast(TimestampType))
+        case LongType if f.name == "ts" =>
+          d.withColumn("ts",
+            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        case _ => d
+      }
     }
   }
 
