@@ -25,6 +25,31 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"),
         round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value"))
 
+  /** Stream-stream interval join (attribution shape): each `follow` row
+    * matches `base` rows of the same user that happened no more than
+    * `windowSeconds` earlier. Both sides carry watermarks, so Spark can
+    * bound the join state store: a base row is evictable once the follow
+    * watermark passes `base.ts + window`, which is what makes this run
+    * indefinitely at scale instead of accumulating unbounded state. The
+    * same call works on static DataFrames (batch backfill ignores the
+    * watermarks).
+    */
+  def joinWithin(base: DataFrame, follow: DataFrame, windowSeconds: Int): DataFrame = {
+    val b = base
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("base_ts"),
+        col("event_type").as("base_type"))
+    val f = follow
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("f_user_id"), col("ts").as("follow_ts"),
+        col("event_type").as("follow_type"))
+    b.join(f,
+      col("user_id") === col("f_user_id") &&
+        col("follow_ts") >= col("base_ts") &&
+        col("follow_ts") <= col("base_ts") + expr(s"interval $windowSeconds seconds"))
+      .select("user_id", "base_ts", "base_type", "follow_ts", "follow_type")
+  }
+
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class SessionOut(user_id: Long, n_events: Long, duration_ms: Long)

@@ -62,6 +62,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches follows within the window only") {
+    implicit val sq = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp, String)]
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val joined = EventStreams.joinWithin(
+      views.toDF.toDF("user_id", "ts", "event_type"),
+      clicks.toDF.toDF("user_id", "ts", "event_type"),
+      windowSeconds = 120)
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      // user 1: view at 10:00, click at 10:01 (inside 2 min) → match;
+      // user 2: view at 10:00, click at 10:05 (outside) → no match;
+      // user 3: click with no view → no match
+      views.addData((1L, ts(0), "view"), (2L, ts(0), "view"))
+      clicks.addData((1L, ts(1), "click"), (2L, ts(5), "click"), (3L, ts(1), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin")
+        .select("user_id", "base_type", "follow_type")
+        .as[(Long, String, String)].collect().toSet
+      assert(rows === Set((1L, "view", "click")))
+      // late-but-in-window follow in a later micro-batch still joins
+      // (state retained until the watermark passes)
+      clicks.addData((2L, ts(2), "click"))
+      q.processAllAvailable()
+      val rows2 = spark.table("ssjoin").select("user_id").as[Long].collect().sorted
+      assert(rows2.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+    // identical call shape runs on static frames (batch backfill)
+    val b = EventStreams.joinWithin(
+      Seq((1L, ts(0), "view")).toDF("user_id", "ts", "event_type"),
+      Seq((1L, ts(1), "click"), (1L, ts(9), "click")).toDF("user_id", "ts", "event_type"),
+      windowSeconds = 120)
+    assert(b.count() === 1)
+  }
+
   test("streaming NDJSON ingest commits atomic versions; checkpoint gives exactly-once per file") {
     import org.apache.spark.sql.types._
     import graft.sources.NdjsonIngest
