@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
   * `java.util.zip.Inflater` + spec §9 unfiltering; [[decodeGifPixelMean]]:
   * full LZW with palette mapping — JDK only, no codec libs), and so is
   * baseline JPEG ([[decodeJpegPixelMean]]: huffman entropy decode +
-  * dequant + IDCT + chroma upsample + YCbCr→RGB). Progressive JPEG and
-  * exotic PNG layouts fall back to byte-derived features, clearly
-  * labeled; unrecognized payloads fall back to [[decodeStub]]'s
-  * deterministic fakes. The at-scale plumbing
+  * dequant + IDCT + chroma upsample + YCbCr→RGB). PNG covers the
+  * sequential AND Adam7-interlaced layouts plus indexed color (PLTE).
+  * Progressive JPEG and sub-8-bit PNG fall back to byte-derived
+  * features, clearly labeled; unrecognized payloads fall back to
+  * [[decodeStub]]'s deterministic fakes. The at-scale plumbing
   * is the load-bearing part and is tested: schema, per-partition batch
   * processing (`mapPartitions` over a typed Dataset — the Scala analog
   * of a batch-shaped Pandas UDF), and the rule that payload bytes never
@@ -130,13 +131,32 @@ object Media {
     png.orElse(jpeg).orElse(gif)
   }
 
+  /** Adam7 pass geometry (PNG spec §8.2): (xStart, yStart, xStep, yStep).
+    * Pass k's sub-image holds every pixel at (xStart + i·xStep,
+    * yStart + j·yStep); the 7 passes partition the image exactly.
+    */
+  private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  private def adam7Dims(w: Int, h: Int): Array[(Int, Int)] =
+    Adam7.map { case (xs, ys, xStep, yStep) =>
+      val pw = if (w > xs) (w - xs + xStep - 1) / xStep else 0
+      val ph = if (h > ys) (h - ys + yStep - 1) / yStep else 0
+      (pw, ph)
+    }
+
   /** Real PNG pixel decode with the JDK alone: concatenate IDAT chunk
     * data, inflate (zlib via `java.util.zip.Inflater`), reverse the
     * per-scanline filters (PNG spec §9: None/Sub/Up/Average/Paeth), and
-    * return the mean over ALL reconstructed samples. None for layouts
-    * needing more than that (bit depth ≠ 8, interlaced, indexed — the
-    * palette lives in PLTE) or any malformed stream — callers keep the
-    * labeled byte-mean fallback.
+    * return the mean over ALL reconstructed samples. Handles both the
+    * null (sequential) and Adam7 interlaced layouts — each Adam7 pass is
+    * an independently-filtered sub-image, and since the passes PARTITION
+    * the pixels, the image mean is the sample-weighted sum over passes
+    * with no de-interlace buffer needed — and indexed color (type 3,
+    * samples mapped through the PLTE palette, mean over R,G,B). None for
+    * bit depth ≠ 8 or any malformed stream — callers keep the labeled
+    * byte-mean fallback.
     */
   def decodePngPixelMean(blob: Array[Byte]): Option[Double] = {
     if (blob.length < 45 || !blob.take(8).sameElements(PngSig)) return None
@@ -144,11 +164,13 @@ object Media {
     val w = be32(blob, 16).toInt; val h = be32(blob, 20).toInt
     val bitDepth = blob(24) & 0xff; val colorType = blob(25) & 0xff
     val interlace = blob(28) & 0xff
-    val ch = pngChannels(colorType)
-    if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0 ||
-        colorType == 3 || ch == 0) return None
-    // walk chunks, concatenating IDAT payloads
+    val indexed = colorType == 3
+    val ch = if (indexed) 1 else pngChannels(colorType)
+    if (w <= 0 || h <= 0 || bitDepth != 8 || interlace > 1 || ch == 0)
+      return None
+    // walk chunks, concatenating IDAT payloads (+ PLTE when indexed)
     val idat = new java.io.ByteArrayOutputStream()
+    var plte: Array[Byte] = null
     var i = 8
     var done = false
     while (!done && i + 8 <= blob.length) {
@@ -156,12 +178,20 @@ object Media {
       if (len < 0 || i + 12 + len > blob.length) return None
       val typ = new String(blob.slice(i + 4, i + 8), "US-ASCII")
       if (typ == "IDAT") idat.write(blob, i + 8, len)
+      if (typ == "PLTE") plte = blob.slice(i + 8, i + 8 + len)
       if (typ == "IEND") done = true
       i += 12 + len
     }
     if (idat.size() == 0) return None
-    val rowLen = w * ch
-    val raw = new Array[Byte](h * (1 + rowLen))
+    if (indexed && (plte == null || plte.length < 3 || plte.length % 3 != 0))
+      return None
+    // pass list: one full-image pass when sequential, the non-empty
+    // Adam7 sub-images when interlaced
+    val passes: Array[(Int, Int)] =
+      if (interlace == 0) Array((w, h))
+      else adam7Dims(w, h).filter { case (pw, ph) => pw > 0 && ph > 0 }
+    val rawLen = passes.map { case (pw, ph) => ph * (1 + pw * ch) }.sum
+    val raw = new Array[Byte](rawLen)
     try {
       val inf = new java.util.zip.Inflater()
       inf.setInput(idat.toByteArray)
@@ -181,34 +211,49 @@ object Media {
       val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
       if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
     }
-    val prev = new Array[Int](rowLen)
-    val cur = new Array[Int](rowLen)
+    val nColors = if (indexed) plte.length / 3 else 0
     var total = 0.0
-    var y = 0
-    while (y < h) {
-      val base = y * (1 + rowLen)
-      val ft = raw(base) & 0xff
-      if (ft > 4) return None
-      var x = 0
-      while (x < rowLen) {
-        val f = raw(base + 1 + x) & 0xff
-        val a = if (x >= ch) cur(x - ch) else 0
-        val b = prev(x)
-        val c = if (x >= ch) prev(x - ch) else 0
-        cur(x) = (ft match {
-          case 0 => f
-          case 1 => f + a
-          case 2 => f + b
-          case 3 => f + ((a + b) >> 1)
-          case 4 => f + paeth(a, b, c)
-        }) & 0xff
-        total += cur(x)
-        x += 1
+    var count = 0L
+    var base = 0
+    passes.foreach { case (pw, ph) =>
+      val rowLen = pw * ch
+      val prev = new Array[Int](rowLen)
+      val cur = new Array[Int](rowLen)
+      var y = 0
+      while (y < ph) {
+        val ft = raw(base) & 0xff
+        if (ft > 4) return None
+        var x = 0
+        while (x < rowLen) {
+          val f = raw(base + 1 + x) & 0xff
+          val a = if (x >= ch) cur(x - ch) else 0
+          val b = prev(x)
+          val c = if (x >= ch) prev(x - ch) else 0
+          cur(x) = (ft match {
+            case 0 => f
+            case 1 => f + a
+            case 2 => f + b
+            case 3 => f + ((a + b) >> 1)
+            case 4 => f + paeth(a, b, c)
+          }) & 0xff
+          if (indexed) {
+            val ci = math.min(cur(x), nColors - 1)
+            total += (plte(ci * 3) & 0xff) + (plte(ci * 3 + 1) & 0xff) +
+              (plte(ci * 3 + 2) & 0xff)
+            count += 3
+          } else {
+            total += cur(x)
+            count += 1
+          }
+          x += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, rowLen)
+        base += 1 + rowLen
+        y += 1
       }
-      System.arraycopy(cur, 0, prev, 0, rowLen)
-      y += 1
     }
-    Some(math.rint(total / (h.toLong * rowLen) * 10000) / 10000)
+    if (count == 0) None
+    else Some(math.rint(total / count * 10000) / 10000)
   }
 
   /** Real GIF pixel decode with the JDK alone: walk the block structure
@@ -685,8 +730,62 @@ object Media {
       (px: (Int, Int, Int) => Int): Array[Byte] = {
     val ch = pngChannels(colorType)
     require(ch > 0 && colorType != 3, s"unsupported color type $colorType")
-    val rowLen = w * ch
-    val raw = new Array[Byte](h * (1 + rowLen))
+    val raw = filterPass(w, h, ch)(px)
+    PngSig ++ pngChunk("IHDR", pngIhdr(w, h, colorType, 0)) ++
+      pngChunk("IDAT", zlibStore(raw)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** zlib with STORED deflate blocks (RFC 1950/1951): deterministic size
+    * `2 + raw + 5·ceil(raw/65535) + 4`.
+    */
+  private def zlibStore(raw: Array[Byte]): Array[Byte] = {
+    val z = new java.io.ByteArrayOutputStream()
+    z.write(0x78); z.write(0x01) // CMF/FLG, (0x7801 % 31) == 0
+    var off = 0
+    var fin = false
+    while (!fin) {
+      val n = math.min(65535, raw.length - off)
+      fin = off + n >= raw.length
+      z.write(if (fin) 1 else 0) // BFINAL, BTYPE=00 (stored)
+      z.write(n & 0xff); z.write((n >> 8) & 0xff)
+      z.write(~n & 0xff); z.write((~n >> 8) & 0xff)
+      z.write(raw, off, n)
+      off += n
+    }
+    val ad = new java.util.zip.Adler32(); ad.update(raw)
+    val av = ad.getValue
+    z.write((av >> 24).toInt & 0xff); z.write((av >> 16).toInt & 0xff)
+    z.write((av >> 8).toInt & 0xff); z.write(av.toInt & 0xff)
+    z.toByteArray
+  }
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(12 + data.length)
+    out.putInt(data.length)
+    out.put(typ.getBytes("US-ASCII")).put(data)
+    val crc = new java.util.zip.CRC32
+    crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+    out.putInt(crc.getValue.toInt)
+    out.array()
+  }
+
+  private def pngIhdr(w: Int, h: Int, colorType: Int, interlace: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(interlace.toByte)
+      .array()
+
+  /** Filter one sub-image's scanlines per spec §9 with filter type
+    * `row % 5` (so multi-row images exercise every filter), returning
+    * the raw pre-compression bytes. `px(i, j, c)` addresses the
+    * SUB-IMAGE coordinate space.
+    */
+  private def filterPass(pw: Int, ph: Int, ch: Int)
+      (px: (Int, Int, Int) => Int): Array[Byte] = {
+    val rowLen = pw * ch
+    val raw = new Array[Byte](ph * (1 + rowLen))
     def paeth(a: Int, b: Int, c: Int): Int = {
       val p = a + b - c
       val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
@@ -695,7 +794,7 @@ object Media {
     val prev = new Array[Int](rowLen)
     val cur = new Array[Int](rowLen)
     var y = 0
-    while (y < h) {
+    while (y < ph) {
       var x = 0
       while (x < rowLen) { cur(x) = px(x / ch, y, x % ch) & 0xff; x += 1 }
       val ft = y % 5
@@ -719,40 +818,47 @@ object Media {
       System.arraycopy(cur, 0, prev, 0, rowLen)
       y += 1
     }
-    // zlib with STORED deflate blocks (RFC 1950/1951): deterministic size
-    val z = new java.io.ByteArrayOutputStream()
-    z.write(0x78); z.write(0x01) // CMF/FLG, (0x7801 % 31) == 0
-    var off = 0
-    var fin = false
-    while (!fin) {
-      val n = math.min(65535, raw.length - off)
-      fin = off + n >= raw.length
-      z.write(if (fin) 1 else 0) // BFINAL, BTYPE=00 (stored)
-      z.write(n & 0xff); z.write((n >> 8) & 0xff)
-      z.write(~n & 0xff); z.write((~n >> 8) & 0xff)
-      z.write(raw, off, n)
-      off += n
+    raw
+  }
+
+  /** Full Adam7-INTERLACED PNG with real pixels: the 7 passes are
+    * emitted in spec order, each filtered independently (spec §8.2 —
+    * pass scanlines restart the filter context), then compressed as one
+    * zlib stream. `px(x, y, c)` addresses the FULL image coordinate
+    * space.
+    */
+  def pngInterlacedBytes(w: Int, h: Int, colorType: Int = 6)
+      (px: (Int, Int, Int) => Int): Array[Byte] = {
+    val ch = pngChannels(colorType)
+    require(ch > 0 && colorType != 3, s"unsupported color type $colorType")
+    val raw = new java.io.ByteArrayOutputStream()
+    Adam7.zip(adam7Dims(w, h)).foreach {
+      case ((xs, ys, xStep, yStep), (pw, ph)) =>
+        if (pw > 0 && ph > 0)
+          raw.write(filterPass(pw, ph, ch)((i, j, c) =>
+            px(xs + i * xStep, ys + j * yStep, c)))
     }
-    val ad = new java.util.zip.Adler32(); ad.update(raw)
-    val av = ad.getValue
-    z.write((av >> 24).toInt & 0xff); z.write((av >> 16).toInt & 0xff)
-    z.write((av >> 8).toInt & 0xff); z.write(av.toInt & 0xff)
-    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
-      val out = java.nio.ByteBuffer.allocate(12 + data.length)
-      out.putInt(data.length)
-      out.put(typ.getBytes("US-ASCII")).put(data)
-      val crc = new java.util.zip.CRC32
-      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
-      out.putInt(crc.getValue.toInt)
-      out.array()
-    }
-    val ihdr = java.nio.ByteBuffer.allocate(13)
-      .putInt(w).putInt(h)
-      .put(8.toByte).put(colorType.toByte)
-      .put(0.toByte).put(0.toByte).put(0.toByte)
-      .array()
-    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", z.toByteArray) ++
-      chunk("IEND", Array.emptyByteArray)
+    PngSig ++ pngChunk("IHDR", pngIhdr(w, h, colorType, 1)) ++
+      pngChunk("IDAT", zlibStore(raw.toByteArray)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Full INDEXED-color PNG (type 3) with real pixels: PLTE palette +
+    * one index sample per pixel. `palette` entries are (r,g,b);
+    * `px(x, y)` returns a palette index.
+    */
+  def pngIndexedBytes(w: Int, h: Int, palette: Seq[(Int, Int, Int)])
+      (px: (Int, Int) => Int): Array[Byte] = {
+    require(palette.nonEmpty && palette.length <= 256)
+    val plte = palette.flatMap { case (r, g, b) =>
+      Seq(r.toByte, g.toByte, b.toByte)
+    }.toArray
+    val raw = filterPass(w, h, 1)((x, y, _) =>
+      math.min(px(x, y), palette.length - 1))
+    PngSig ++ pngChunk("IHDR", pngIhdr(w, h, 3, 0)) ++
+      pngChunk("PLTE", plte) ++
+      pngChunk("IDAT", zlibStore(raw)) ++
+      pngChunk("IEND", Array.emptyByteArray)
   }
 
   /** Minimal JPEG: SOI + APP0 JFIF + SOF0 + EOI (43 bytes for 3
@@ -1078,11 +1184,11 @@ object Media {
             r.blob.length * 10000) / 10000
         decode(r.blob) match {
           case Some(d) =>
-            // PNG: real pixel decode (inflate + unfilter); GIF: real LZW
-            // index decode through the palette; JPEG: real baseline
-            // huffman + IDCT decode. Byte-mean fallback only for
-            // header-only payloads and exotic layouts (progressive JPEG,
-            // interlaced/indexed PNG).
+            // PNG: real pixel decode (inflate + unfilter, sequential or
+            // Adam7, truecolor/gray/indexed); GIF: real LZW index decode
+            // through the palette; JPEG: real baseline huffman + IDCT
+            // decode. Byte-mean fallback only for header-only payloads
+            // and exotic layouts (progressive JPEG, sub-8-bit PNG).
             val m = d.format match {
               case "png" => decodePngPixelMean(r.blob).getOrElse(mean)
               case "gif" => decodeGifPixelMean(r.blob).getOrElse(mean)

@@ -527,12 +527,18 @@ object PipelineQueries {
         |    ELSE doc_id % 40 + 1 END AS INTEGER) AS width,
         |  CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 32 + 1 WHEN 1 THEN doc_id % 28 + 1
         |    ELSE doc_id % 25 + 1 END AS INTEGER) AS height,
-        |  CAST(CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 1 ELSE 3 END AS INTEGER) AS channels,
         |  CAST(CASE doc_id % 3
-        |    WHEN 0 THEN 68 + (doc_id % 32 + 1) * (1 + (doc_id % 48 + 1) * 4)
+        |    WHEN 0 THEN CASE WHEN CAST(FLOOR(doc_id / 3) AS BIGINT) % 3 = 2
+        |      THEN 1 ELSE 4 END
+        |    WHEN 1 THEN 1 ELSE 3 END AS INTEGER) AS channels,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN CASE WHEN CAST(FLOOR(doc_id / 3) AS BIGINT) % 3 = 0
+        |      THEN 68 + (doc_id % 32 + 1) * (1 + (doc_id % 48 + 1) * 4) END
         |  END AS INTEGER) AS byte_len,
         |  CASE doc_id % 3
-        |    WHEN 0 THEN CAST((doc_id * 7 + 13) % 256 AS DOUBLE)
+        |    WHEN 0 THEN CAST(CASE WHEN CAST(FLOOR(doc_id / 3) AS BIGINT) % 3 = 2
+        |      THEN (doc_id * 7 + 13 + (doc_id % 4) * 31) % 256
+        |      ELSE (doc_id * 7 + 13) % 256 END AS DOUBLE)
         |    WHEN 1 THEN CAST((doc_id * 13 + 29) % 256 AS DOUBLE)
         |    WHEN 2 THEN CAST((doc_id * 11 + (doc_id % 4) * 53) % 256 AS DOUBLE)
         |  END AS channel_mean
@@ -545,8 +551,18 @@ object PipelineQueries {
             val w = (id % 48 + 1).toInt
             val h = (id % 32 + 1).toInt
             val v = ((id * 7 + 13) % 256).toInt
-            Media.MediaRow(id, "image/png",
-              Media.pngPixelBytes(w, h)((_, _, _) => v))
+            // three PNG layouts, all decoded for real: sequential
+            // truecolor+alpha, Adam7-interlaced, and indexed (PLTE)
+            val blob = ((id / 3) % 3).toInt match {
+              case 0 => Media.pngPixelBytes(w, h)((_, _, _) => v)
+              case 1 => Media.pngInterlacedBytes(w, h)((_, _, _) => v)
+              case _ =>
+                val pal = (0 until 4).map { c =>
+                  val pv = ((id * 7 + 13 + c * 31) % 256).toInt; (pv, pv, pv)
+                }
+                Media.pngIndexedBytes(w, h, pal)((_, _) => (id % 4).toInt)
+            }
+            Media.MediaRow(id, "image/png", blob)
           case 1 =>
             Media.MediaRow(id, "image/jpeg",
               Media.jpegSolidGrayBytes((id % 56 + 1).toInt, (id % 28 + 1).toInt,
@@ -566,7 +582,9 @@ object PipelineQueries {
       Media.extractFeatures(media)
         .select(col("media_id").as("doc_id"), col("format"), col("width"),
           col("height"), col("channels"),
-          when(col("format") === "png", col("byte_len")).as("byte_len"),
+          when(col("format") === "png" &&
+            (col("media_id") / 3).cast("long") % 3 === 0,
+            col("byte_len")).as("byte_len"),
           col("channel_mean"))
         .orderBy("doc_id")
     },

@@ -114,6 +114,72 @@ class MediaSpec extends SparkSpec {
     assert(Media.decodePngPixelMean(blob) === Some(25.0)) // (10+20+30+40)/4
   }
 
+  test("PNG Adam7 interlaced decode: per-pass unfilter sums to the image mean") {
+    // gradient pixels so every pass carries distinct values; 13x7 leaves
+    // some passes partial and (via the per-pass y % 5 filters) exercises
+    // filter restarts at pass boundaries
+    def px(x: Int, y: Int, c: Int): Int = (x * 31 + y * 17 + c * 7) % 256
+    for ((w, h) <- Seq((13, 7), (5, 3), (1, 1), (8, 8), (2, 9))) {
+      val seq = Media.pngPixelBytes(w, h, colorType = 6)(px)
+      val adam = Media.pngInterlacedBytes(w, h, colorType = 6)(px)
+      assert(Media.decode(adam) === Some(Decoded("png", w, h, 4)))
+      val expected = Media.decodePngPixelMean(seq)
+      assert(expected.isDefined)
+      assert(Media.decodePngPixelMean(adam) === expected, s"${w}x$h")
+    }
+    // truncated interlaced stream → None, never throws
+    val t = Media.pngInterlacedBytes(13, 7)(px)
+    assert(Media.decodePngPixelMean(t.take(t.length - 20)).isEmpty)
+  }
+
+  test("PNG Adam7 decode agrees with the JDK ImageIO writer (independent encoder)") {
+    val w = 21; val h = 11
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 37 + y * 11) % 256) << 16 |
+        ((x * 13 + y * 29) % 256) << 8 | ((x * 7 + y * 3) % 256))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT) // Adam7
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    val blob = bos.toByteArray
+    assert((blob(28) & 0xff) === 1, "writer must emit interlace=1")
+    val expected = {
+      val vs = for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) yield {
+        val rgb = img.getRGB(x, y)
+        ((rgb >> (16 - 8 * c)) & 0xff).toDouble
+      }
+      math.rint(vs.sum / vs.length * 10000) / 10000
+    }
+    assert(Media.decodePngPixelMean(blob) === Some(expected))
+  }
+
+  test("PNG indexed color: samples map through PLTE to exact means") {
+    val pal = Seq((10, 20, 30), (200, 100, 0), (0, 0, 0), (255, 255, 255))
+    val w = 9; val h = 6
+    def idx(x: Int, y: Int): Int = (x + y) % 4
+    val blob = Media.pngIndexedBytes(w, h, pal)(idx)
+    assert(Media.decode(blob) === Some(Decoded("png", w, h, 1)))
+    val expected = {
+      val vs = for (y <- 0 until h; x <- 0 until w) yield {
+        val (r, g, b) = pal(idx(x, y)); (r + g + b).toDouble
+      }
+      math.rint(vs.sum / (vs.length * 3) * 10000) / 10000
+    }
+    assert(Media.decodePngPixelMean(blob) === Some(expected))
+    // indexed features flow through extractFeatures with channels=1
+    val feats = Media.extractFeatures(
+      Seq(MediaRow(10L, "image/png",
+        Media.pngIndexedBytes(4, 4, Seq((60, 60, 60)))((_, _) => 0))).toDS())
+      .collect()
+    assert(feats.head.channels === 1 && feats.head.channel_mean === 60.0)
+  }
+
   test("GIF pixel decode: LZW indices map through the palette to exact means") {
     val pal = Seq((10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120))
     def px(x: Int, y: Int): Int = (x + y) % 4
