@@ -25,6 +25,28 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"),
         round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value"))
 
+  /** Streaming exact dedup: keep the FIRST arrival of each content
+    * fingerprint across micro-batches, with state BOUNDED by the
+    * watermark. `dropDuplicatesWithinWatermark` is the load-bearing
+    * choice over plain `dropDuplicates`: when the dedup key does not
+    * include the event-time column, plain dropDuplicates keeps every
+    * key's state forever — a 100 TB stream would accumulate one state
+    * row per distinct document with no eviction. The WithinWatermark
+    * variant evicts a key once the watermark passes its arrival by
+    * `lateness`, trading "dedup across all time" for "dedup within the
+    * lateness horizon + bounded state", which is the only contract that
+    * runs indefinitely. Exact global dedup belongs to the batch path
+    * (q_dedup_exact) over the committed table.
+    *
+    * Input needs `ts` (event time) and `textCol`; emits the surviving
+    * rows with their fingerprint attached.
+    */
+  def dedupStream(docs: DataFrame, textCol: String, lateness: String): DataFrame =
+    docs
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Stream-stream interval join (attribution shape): each `follow` row
     * matches `base` rows of the same user that happened no more than
     * `windowSeconds` earlier. Both sides carry watermarks, so Spark can

@@ -42,23 +42,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming dedup: watermarked dropDuplicates keeps first arrival") {
+  test("streaming dedup keeps first arrival; watermark EVICTS state") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
-    val q = mem.toDF.toDF("ts", "fp")
-      .withWatermark("ts", "10 minutes")
-      .dropDuplicates("fp")
+    val q = EventStreams.dedupStream(
+      mem.toDF.toDF("ts", "content"), "content", "10 minutes")
       .writeStream.format("memory").queryName("dedup")
       .outputMode("append").start()
+    def texts(): Seq[String] =
+      spark.table("dedup").select("content").as[String].collect().sorted.toSeq
     try {
       mem.addData((ts(0), "a"), (ts(1), "b"), (ts(2), "a"))
       q.processAllAvailable()
-      val rows = spark.table("dedup").select("fp").as[String].collect().sorted
-      assert(rows.toSeq === Seq("a", "b"))
-      mem.addData((ts(3), "a"), (ts(4), "c"))
+      assert(texts() === Seq("a", "b"))
+      // in-horizon duplicate suppressed; ts(30) pushes the watermark to
+      // 10:20, past a's expiry (arrival 10:00 + 10 min lateness)
+      mem.addData((ts(3), "a"), (ts(30), "c"))
       q.processAllAvailable()
-      val rows2 = spark.table("dedup").select("fp").as[String].collect().sorted
-      assert(rows2.toSeq === Seq("a", "b", "c"))
+      assert(texts() === Seq("a", "b", "c"))
+      // a's state was evicted, so a post-horizon re-occurrence re-emits —
+      // that eviction is what bounds state on an unbounded stream
+      mem.addData((ts(31), "a"))
+      q.processAllAvailable()
+      assert(texts() === Seq("a", "a", "b", "c"))
     } finally q.stop()
   }
 
