@@ -1262,5 +1262,97 @@ object PipelineQueries {
             (acc, x) => acc + abs(x.cast("double") - qi(x) * col("s") / 127))
             / size(col("embedding")), 6).as("err"))
         .orderBy("vec_id")
+    },
+
+    // ---- corpus-wide heavy hitters: the top-k most frequent tokens with
+    //      their document frequency — the vocabulary/stopword-discovery
+    //      pass of a tokenizer-training pipeline. One explode feeding a
+    //      map-side-combinable count + two-phase distinct; the top-20 is
+    //      a TakeOrderedAndProject (no global sort materializes). At
+    //      100 TB the token key space is Zipf-skewed but the partial
+    //      aggregation absorbs the hot keys map-side before the
+    //      exchange. ----
+    QDef("q_heavy_hitters",
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+         |  FROM documents)
+         |SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+         |  CAST(count(DISTINCT doc_id) AS INTEGER) AS df
+         |FROM toks GROUP BY tok ORDER BY freq DESC, tok LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+          .groupBy("tok")
+          .agg(count(lit(1)).as("freq"),
+            countDistinct("doc_id").cast("int").as("df"))
+          .orderBy(col("freq").desc, col("tok"))
+          .limit(20)
+    },
+
+    // ---- sliding-window chunking (RAG / context-window prep): each doc
+    //      emits overlapping W=30-token chunks at stride S=20, identified
+    //      by (doc_id, chunk_idx) with a content hash. Pure per-row
+    //      explode arithmetic — no shuffle at all until the final
+    //      presentation sort; at 100 TB this is a map-only pass whose
+    //      output feeds the embedding stage. Chunk count is
+    //      1 + ceil((n-W)/S) so the final window always reaches the last
+    //      token and no chunk starts past the end. ----
+    QDef("q_chunk_sliding",
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |c AS (SELECT doc_id, len(tk) AS n, tk,
+        |  unnest(range(0, CASE WHEN len(tk) <= 30 THEN 1
+        |    ELSE CAST(ceil((len(tk) - 30) / 20.0) AS BIGINT) + 1 END)) AS i
+        |  FROM tk)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |  CAST(least(n - i * 20, 30) AS INTEGER) AS n_tokens,
+        |  md5(array_to_string(tk[(i*20+1):(i*20+30)], ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      val W = 30; val S = 20
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .withColumn("n", size(col("tk")))
+        .withColumn("nc", when(col("n") <= W, 1)
+          .otherwise(ceil((col("n") - W) / lit(S.toDouble)).cast("int") + 1))
+        .select(col("doc_id"), col("n"), col("tk"),
+          explode(sequence(lit(0), col("nc") - 1)).as("i"))
+        .select(col("doc_id"), col("i").cast("int").as("chunk_idx"),
+          least(col("n") - col("i") * S, lit(W)).cast("int").as("n_tokens"),
+          md5(concat_ws(" ", slice(col("tk"), col("i") * S + 1, lit(W))))
+            .as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // ---- n-gram novelty: per document, the fraction of its distinct
+    //      word-3-grams that NO earlier document (by doc_id) contains —
+    //      the duplication-aware freshness signal used to down-weight
+    //      recycled content. min(doc_id) per shingle is map-side
+    //      combinable; both sides then collapse to ONE ROW PER DOC before
+    //      the final join, so the (huge) shingle relation crosses exactly
+    //      one exchange and the join is doc-sized, not shingle-sized. ----
+    QDef("q_ngram_novelty",
+      s"""WITH norm AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |toks AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM norm),
+         |sh AS (SELECT doc_id, unnest($shinglesSql) AS sh FROM toks),
+         |tot AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_shingles
+         |  FROM sh GROUP BY doc_id),
+         |fd AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh),
+         |nov AS (SELECT first_doc, CAST(count(*) AS INTEGER) AS n_novel
+         |  FROM fd GROUP BY first_doc)
+         |SELECT tot.doc_id, n_shingles,
+         |  CAST(coalesce(n_novel, 0) AS INTEGER) AS n_novel,
+         |  round(CAST(coalesce(n_novel, 0) AS DOUBLE) / n_shingles, 4) AS novelty
+         |FROM tot LEFT JOIN nov ON nov.first_doc = tot.doc_id
+         |ORDER BY tot.doc_id""".stripMargin) { (s, dir) =>
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TF.shingles(col("text"), 3)).as("sh"))
+      val tot = sh.groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_shingles"))
+      val nov = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
+        .groupBy("first_doc").agg(count(lit(1)).cast("int").as("n_novel"))
+      tot.join(nov, col("doc_id") === col("first_doc"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_novel"), lit(0)).cast("int").as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast("double") / col("n_shingles"), 4))
+        .orderBy("doc_id")
     })
 }
