@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   * `java.util.zip.Inflater` + spec §9 unfiltering; [[decodeGifPixelMean]]:
   * full LZW with palette mapping — JDK only, no codec libs), and so is
   * baseline JPEG ([[decodeJpegPixelMean]]: huffman entropy decode +
-  * dequant + IDCT + chroma upsample + YCbCr→RGB). PNG covers the
+  * dequant + IDCT + chroma upsample + YCbCr→RGB — both SEQUENTIAL and
+  * PROGRESSIVE frames, the latter via multi-scan spectral-selection /
+  * successive-approximation coefficient accumulation). PNG covers the
   * sequential AND Adam7-interlaced layouts plus indexed color (PLTE).
-  * Progressive JPEG and sub-8-bit PNG fall back to byte-derived
+  * Only sub-8-bit PNG and non-huffman JPEG fall back to byte-derived
   * features, clearly labeled; unrecognized payloads fall back to
   * [[decodeStub]]'s deterministic fakes. The at-scale plumbing
   * is the load-bearing part and is tested: schema, per-partition batch
@@ -374,9 +376,12 @@ object Media {
     * segment (byte unstuffing + restart markers), dequantize, inverse
     * zigzag, 8×8 IDCT, reassemble the sampled component planes, and
     * return the mean over all output samples (YCbCr→RGB for 3-component
-    * scans, raw luma for grayscale). None for progressive/arithmetic/
-    * hierarchical frames, 4-component (CMYK) scans, or any malformed
-    * stream — callers keep the labeled byte-mean fallback.
+    * scans, raw luma for grayscale). PROGRESSIVE frames (SOF2) decode
+    * too: every scan accumulates into per-component coefficient grids
+    * (spectral selection + successive approximation, G.2) and the IDCT
+    * runs once at EOI. None for arithmetic/lossless/hierarchical frames,
+    * 4-component (CMYK) scans, or any malformed stream — callers keep
+    * the labeled byte-mean fallback.
     */
   def decodeJpegPixelMean(blob: Array[Byte]): Option[Double] = {
     if (blob.length < 4 || (blob(0) & 0xff) != 0xff || (blob(1) & 0xff) != 0xd8)
@@ -466,25 +471,38 @@ object Media {
     0.5 * c * math.cos((2 * x + 1) * u * math.Pi / 16)
   }
 
+  private final case class JComp(id: Int, hs: Int, vs: Int, tq: Int)
+
   private def decodeJpegMean(blob: Array[Byte]): Option[Double] = {
-    final case class Comp(id: Int, hs: Int, vs: Int, tq: Int)
     val qt = new Array[Array[Int]](4)
     val dcTab = new Array[JpegHuff](4)
     val acTab = new Array[JpegHuff](4)
-    var comps: Array[Comp] = null
+    var comps: Array[JComp] = null
     var imgW = 0; var imgH = 0
     var restartInterval = 0
+    var progressive = false
+    // progressive coefficient grids: per component, padded-block-grid ×
+    // 64 coefficients in NATURAL order, accumulated across scans
+    var coefs: Array[Array[Short]] = null
+    var sawScan = false
     var i = 2
-    while (i + 3 < blob.length) {
+    // the loop must still see a trailing EOI (the final 2 bytes) — a
+    // progressive frame finalizes THERE, so the bound is i+1, not the
+    // i+3 a length-carrying segment needs (checked where required)
+    while (i + 1 < blob.length) {
       if ((blob(i) & 0xff) != 0xff) return None
       while (i + 2 < blob.length && (blob(i + 1) & 0xff) == 0xff) i += 1
-      if (i + 3 >= blob.length) return None
+      if (i + 1 >= blob.length) return None
       val marker = blob(i + 1) & 0xff
       if (marker == 0xd8 || marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
         i += 2
       } else if (marker == 0xd9) {
-        return None // EOI before a scan
+        // EOI: a progressive frame finalizes here (all scans accumulated)
+        return if (progressive && sawScan)
+          jpegFinishProgressive(comps, qt, coefs, imgW, imgH)
+        else None
       } else {
+        if (i + 3 >= blob.length) return None
         val len = be16(blob, i + 2)
         if (len < 2 || i + 2 + len > blob.length) return None
         val seg = i + 4
@@ -519,47 +537,83 @@ object Media {
               if (tc == 0) dcTab(th) = tab else acTab(th) = tab
               p += 17 + n
             }
-          case 0xc0 | 0xc1 => // SOF0/1: baseline / extended sequential huffman
+          case 0xc0 | 0xc1 | 0xc2 => // sequential (C0/C1) or progressive (C2)
+            progressive = marker == 0xc2
             imgH = be16(blob, seg + 1); imgW = be16(blob, seg + 3)
             val nc = blob(seg + 5) & 0xff
             if (imgW <= 0 || imgH <= 0 || (nc != 1 && nc != 3)) return None
             comps = Array.tabulate(nc) { c =>
               val o = seg + 6 + 3 * c
-              Comp(blob(o) & 0xff, (blob(o + 1) >> 4) & 0xf,
+              JComp(blob(o) & 0xff, (blob(o + 1) >> 4) & 0xf,
                 blob(o + 1) & 0xf, blob(o + 2) & 0xff)
             }
             if (comps.exists(c => c.hs < 1 || c.hs > 4 || c.vs < 1 || c.vs > 4))
               return None
-          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+            if (progressive) {
+              // whole-image coefficient storage is inherent to progressive
+              // decode (every scan touches every block); bound it so a
+              // hostile header cannot allocate GBs — 512K blocks = 64 MB
+              val hMax = comps.map(_.hs).max; val vMax = comps.map(_.vs).max
+              val mcusX = (imgW + 8 * hMax - 1) / (8 * hMax)
+              val mcusY = (imgH + 8 * vMax - 1) / (8 * vMax)
+              val blocks = comps.map(c => mcusX.toLong * c.hs * mcusY * c.vs).sum
+              if (blocks > (1L << 19)) return None
+              coefs = comps.map(c =>
+                new Array[Short](mcusX * c.hs * mcusY * c.vs * 64))
+            }
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
               0xcd | 0xce | 0xcf =>
-            return None // progressive / arithmetic / hierarchical
+            return None // lossless / arithmetic / hierarchical
           case 0xdd => // DRI
             restartInterval = be16(blob, seg)
           case 0xda => // SOS: scan header then the entropy-coded segment
             if (comps == null) return None
             val ns = blob(seg) & 0xff
-            if (ns != comps.length) return None
+            if (ns < 1 || ns > comps.length || seg + 1 + 2 * ns + 3 > segEnd)
+              return None
+            val ss = blob(seg + 1 + 2 * ns) & 0xff
+            val se = blob(seg + 2 + 2 * ns) & 0xff
+            val ahal = blob(seg + 3 + 2 * ns) & 0xff
+            val ah = (ahal >> 4) & 0xf; val al = ahal & 0xf
+            val scanIdx = new Array[Int](ns)
             val scanDc = new Array[JpegHuff](comps.length)
             val scanAc = new Array[JpegHuff](comps.length)
+            // a DC refinement scan (Ss=0, Ah>0) is raw bits — no DC table
+            // needed; an AC scan never reads the DC table
+            val needDc = ss == 0 && ah == 0
+            val needAc = !progressive || ss > 0
             var c = 0
             while (c < ns) {
               val cid = blob(seg + 1 + 2 * c) & 0xff
               val ci = comps.indexWhere(_.id == cid)
               if (ci < 0) return None
+              scanIdx(c) = ci
               val td = (blob(seg + 2 + 2 * c) >> 4) & 0xf
               val ta = blob(seg + 2 + 2 * c) & 0xf
-              if (td > 3 || ta > 3 || dcTab(td) == null || acTab(ta) == null)
+              if (td > 3 || ta > 3 || (needDc && dcTab(td) == null) ||
+                  (needAc && acTab(ta) == null))
                 return None
               scanDc(ci) = dcTab(td); scanAc(ci) = acTab(ta)
               c += 1
             }
             if (comps.exists(cc => qt(cc.tq) == null)) return None
-            return jpegScanMean(blob, segEnd, comps.map(cc =>
-              (cc.hs, cc.vs, qt(cc.tq))), scanDc, scanAc,
-              imgW, imgH, restartInterval)
+            if (!progressive) {
+              if (ns != comps.length) return None
+              return jpegScanMean(blob, segEnd, comps.map(cc =>
+                (cc.hs, cc.vs, qt(cc.tq))), scanDc, scanAc,
+                imgW, imgH, restartInterval)
+            }
+            // progressive: decode this scan into the coefficient grids and
+            // keep walking markers from wherever the entropy segment ends
+            val next = jpegProgressiveScan(blob, segEnd, scanIdx, comps,
+              scanDc, scanAc, coefs, imgW, imgH,
+              ss, se, ah, al, restartInterval)
+            if (next < 0) return None
+            sawScan = true
+            i = next
           case _ => // APPn / COM / other: skip
         }
-        i = segEnd
+        if (marker != 0xda) i = segEnd
       }
     }
     None
@@ -622,37 +676,8 @@ object Media {
                 k += 1
               }
             }
-            // -- separable IDCT: T(u,y) then P(x,y) --
-            var u = 0
-            while (u < 8) {
-              var y = 0
-              while (y < 8) {
-                var s2 = 0.0
-                var vv = 0
-                while (vv < 8) { s2 += IdctA(vv)(y) * coef(vv * 8 + u); vv += 1 }
-                tmp(u)(y) = s2
-                y += 1
-              }
-              u += 1
-            }
-            val plane = planes(c)
-            val px0 = (mx * hs + h) * 8
-            val py0 = (my * vs + v) * 8
-            var y = 0
-            while (y < 8) {
-              val rowBase = (py0 + y) * strideC(c) + px0
-              var x = 0
-              while (x < 8) {
-                var s3 = 0.0
-                var uu = 0
-                while (uu < 8) { s3 += IdctA(uu)(x) * tmp(uu)(y); uu += 1 }
-                val sv = math.rint(s3 + 128).toInt
-                plane(rowBase + x) =
-                  (if (sv < 0) 0 else if (sv > 255) 255 else sv).toByte
-                x += 1
-              }
-              y += 1
-            }
+            idctToPlane(coef, tmp, planes(c), strideC(c),
+              (mx * hs + h) * 8, (my * vs + v) * 8)
             h += 1
           }
           v += 1
@@ -661,9 +686,53 @@ object Media {
       }
       mcu += 1
     }
-    // -- reassemble at image resolution; mean over all output samples --
+    jpegPlanesMean(planes, strideC,
+      comps.map { case (hs, vs, _) => (hs, vs) }, imgW, imgH, hMax, vMax)
+  }
+
+  /** Separable 8×8 IDCT of one dequantized natural-order block into a
+    * component plane at (px0, py0), with level shift + clamp. `tmp` is a
+    * caller-owned 8×8 scratch (reused across blocks).
+    */
+  private def idctToPlane(coef: Array[Int], tmp: Array[Array[Double]],
+      plane: Array[Byte], stride: Int, px0: Int, py0: Int): Unit = {
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 8) {
+        var s2 = 0.0
+        var vv = 0
+        while (vv < 8) { s2 += IdctA(vv)(y) * coef(vv * 8 + u); vv += 1 }
+        tmp(u)(y) = s2
+        y += 1
+      }
+      u += 1
+    }
+    var y = 0
+    while (y < 8) {
+      val rowBase = (py0 + y) * stride + px0
+      var x = 0
+      while (x < 8) {
+        var s3 = 0.0
+        var uu = 0
+        while (uu < 8) { s3 += IdctA(uu)(x) * tmp(uu)(y); uu += 1 }
+        val sv = math.rint(s3 + 128).toInt
+        plane(rowBase + x) =
+          (if (sv < 0) 0 else if (sv > 255) 255 else sv).toByte
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Mean over the final image samples: raw luma for one component,
+    * nearest-neighbor chroma upsample + JFIF YCbCr→RGB for three.
+    */
+  private def jpegPlanesMean(planes: Array[Array[Byte]], strideC: Array[Int],
+      sampling: Array[(Int, Int)], imgW: Int, imgH: Int,
+      hMax: Int, vMax: Int): Option[Double] = {
     var total = 0.0
-    if (nc == 1) {
+    if (planes.length == 1) {
       val plane = planes(0); val stride = strideC(0)
       var y = 0
       while (y < imgH) {
@@ -673,8 +742,8 @@ object Media {
       }
       Some(math.rint(total / (imgW.toLong * imgH) * 10000) / 10000)
     } else {
-      // nearest-neighbor chroma upsample + JFIF YCbCr→RGB
-      val (h0, v0, _) = comps(0); val (h1, v1, _) = comps(1); val (h2, v2, _) = comps(2)
+      val (h0, v0) = sampling(0); val (h1, v1) = sampling(1)
+      val (h2, v2) = sampling(2)
       var y = 0
       while (y < imgH) {
         var x = 0
@@ -695,6 +764,223 @@ object Media {
       }
       Some(math.rint(total / (imgW.toLong * imgH * 3) * 10000) / 10000)
     }
+  }
+
+  /** Decode ONE progressive scan (T.81 G.2) into the padded
+    * per-component coefficient grids: spectral band [ss, se] at
+    * successive-approximation stage (ah, al). A first DC scan (ah=0)
+    * huffman-decodes shifted diffs; a DC refinement is one raw bit per
+    * block. A first AC scan places coefficients with end-of-band runs;
+    * an AC refinement interleaves correction bits for known-nonzero
+    * coefficients with ±(1<<al) insertions — the libjpeg-documented
+    * traversal. DC scans may interleave components (MCU order); AC scans
+    * cover exactly one component in raster order over its NON-padded
+    * block grid. Returns the blob offset of the marker terminating the
+    * entropy segment, or -1 on malformed input.
+    */
+  private def jpegProgressiveScan(
+      blob: Array[Byte], pos: Int,
+      scanIdx: Array[Int], comps: Array[JComp],
+      dc: Array[JpegHuff], ac: Array[JpegHuff],
+      coefs: Array[Array[Short]],
+      imgW: Int, imgH: Int,
+      ss: Int, se: Int, ah: Int, al: Int,
+      restartInterval: Int): Int = {
+    val hMax = comps.map(_.hs).max; val vMax = comps.map(_.vs).max
+    val mcusX = (imgW + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (imgH + 8 * vMax - 1) / (8 * vMax)
+    val br = new JpegBits(blob, pos)
+    val pred = new Array[Int](comps.length)
+    var eobrun = 0
+    def restartNow(): Unit = {
+      if (!br.restart()) throw new ArrayIndexOutOfBoundsException("rst")
+      java.util.Arrays.fill(pred, 0)
+      eobrun = 0
+    }
+    def dcOne(ci: Int, off: Int): Unit = {
+      val c = coefs(ci)
+      if (ah == 0) {
+        val t = dc(ci).decode(br)
+        if (t > 15) throw new ArrayIndexOutOfBoundsException("dc cat")
+        pred(ci) += jpegExtend(br.receive(t), t)
+        c(off) = (pred(ci) << al).toShort
+      } else if (br.bit() == 1) {
+        c(off) = (c(off) | (1 << al)).toShort
+      }
+    }
+    def acFirst(ci: Int, off: Int): Unit = {
+      val c = coefs(ci)
+      if (eobrun > 0) eobrun -= 1
+      else {
+        var k = ss
+        var done = false
+        while (!done && k <= se) {
+          val rs = ac(ci).decode(br)
+          val r = rs >> 4; val s = rs & 0xf
+          if (s == 0) {
+            if (r < 15) {
+              // EOB run covers this block too, hence the -1
+              eobrun = (1 << r) - 1 + (if (r > 0) br.receive(r) else 0)
+              done = true
+            } else k += 16 // ZRL
+          } else {
+            k += r
+            if (k > se) throw new ArrayIndexOutOfBoundsException("ac band")
+            c(off + ZigZag(k)) = (jpegExtend(br.receive(s), s) << al).toShort
+            k += 1
+          }
+        }
+      }
+    }
+    def acRefine(ci: Int, off: Int): Unit = {
+      val c = coefs(ci)
+      val p1 = 1 << al; val m1 = -(1 << al)
+      def correct(j: Int): Unit =
+        if (br.bit() == 1 && (c(j) & p1) == 0)
+          c(j) = (c(j) + (if (c(j) >= 0) p1 else m1)).toShort
+      var k = ss
+      if (eobrun == 0) {
+        var done = false
+        while (!done && k <= se) {
+          val rs = ac(ci).decode(br)
+          var r = rs >> 4; val s = rs & 0xf
+          var newVal = 0
+          if (s == 0) {
+            if (r < 15) {
+              eobrun = (1 << r) + (if (r > 0) br.receive(r) else 0)
+              done = true // rest of the block = corrections, below
+            }
+            // r == 15 (ZRL): pass over 16 zero-history coefficients
+          } else {
+            if (s != 1) throw new ArrayIndexOutOfBoundsException("refine s")
+            newVal = if (br.bit() == 1) p1 else m1
+          }
+          if (!done) {
+            var placed = false
+            while (!placed && k <= se) {
+              val j = off + ZigZag(k)
+              if (c(j) != 0) correct(j)
+              else if (r == 0) {
+                if (newVal != 0) c(j) = newVal.toShort
+                placed = true
+              } else r -= 1
+              k += 1
+            }
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // end-of-band: the remaining positions of THIS block still carry
+        // correction bits for already-nonzero coefficients
+        while (k <= se) {
+          val j = off + ZigZag(k)
+          if (c(j) != 0) correct(j)
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+    // raster walk over a single component's non-padded block grid
+    def nonInterleaved(ci: Int)(f: Int => Unit): Unit = {
+      val hs = comps(ci).hs; val vs = comps(ci).vs
+      val bw = mcusX * hs // storage grid width (padded)
+      val compW = (imgW * hs + hMax - 1) / hMax
+      val compH = (imgH * vs + vMax - 1) / vMax
+      val nbw = (compW + 7) / 8; val nbh = (compH + 7) / 8
+      val n = nbw * nbh
+      var b = 0
+      while (b < n) {
+        if (restartInterval > 0 && b > 0 && b % restartInterval == 0)
+          restartNow()
+        f(((b / nbw) * bw + (b % nbw)) * 64)
+        b += 1
+      }
+    }
+    try {
+      if (ss == 0) {
+        if (se != 0) return -1 // DC scan must be the lone 0 band
+        if (scanIdx.length > 1) {
+          val nMcus = mcusX * mcusY
+          var mcu = 0
+          while (mcu < nMcus) {
+            if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0)
+              restartNow()
+            val mx = mcu % mcusX; val my = mcu / mcusX
+            var s = 0
+            while (s < scanIdx.length) {
+              val ci = scanIdx(s)
+              val hs = comps(ci).hs; val vs = comps(ci).vs
+              val bw = mcusX * hs
+              var v = 0
+              while (v < vs) {
+                var h = 0
+                while (h < hs) {
+                  dcOne(ci, ((my * vs + v) * bw + (mx * hs + h)) * 64)
+                  h += 1
+                }
+                v += 1
+              }
+              s += 1
+            }
+            mcu += 1
+          }
+        } else nonInterleaved(scanIdx(0))(off => dcOne(scanIdx(0), off))
+      } else {
+        if (scanIdx.length != 1 || ss > se || se > 63) return -1
+        val ci = scanIdx(0)
+        if (ah == 0) nonInterleaved(ci)(off => acFirst(ci, off))
+        else nonInterleaved(ci)(off => acRefine(ci, off))
+      }
+    } catch { case _: ArrayIndexOutOfBoundsException => return -1 }
+    // find the marker that terminates this entropy segment (tolerate
+    // unconsumed pad bits / stray restarts after the last decoded block)
+    var p = br.pos
+    while (p + 1 < blob.length) {
+      if ((blob(p) & 0xff) == 0xff) {
+        val m = blob(p + 1) & 0xff
+        if (m == 0x00) p += 2 // stuffed data byte
+        else if (m == 0xff) p += 1 // fill byte
+        else if (m >= 0xd0 && m <= 0xd7) p += 2 // stray restart
+        else return p
+      } else p += 1
+    }
+    -1
+  }
+
+  /** After all progressive scans: dequantize every block of every
+    * component grid, IDCT into the sampled planes, and take the mean via
+    * the shared reassembly.
+    */
+  private def jpegFinishProgressive(comps: Array[JComp], qt: Array[Array[Int]],
+      coefs: Array[Array[Short]], imgW: Int, imgH: Int): Option[Double] = {
+    val hMax = comps.map(_.hs).max; val vMax = comps.map(_.vs).max
+    val mcusX = (imgW + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (imgH + 8 * vMax - 1) / (8 * vMax)
+    val strideC = comps.map(c => mcusX * c.hs * 8)
+    val planes = Array.tabulate(comps.length)(c =>
+      new Array[Byte](strideC(c) * mcusY * comps(c).vs * 8))
+    val tmp = Array.ofDim[Double](8, 8)
+    val deq = new Array[Int](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val q = qt(comps(ci).tq)
+      if (q == null) return None
+      val bw = mcusX * comps(ci).hs
+      val bh = mcusY * comps(ci).vs
+      val cf = coefs(ci)
+      var b = 0
+      while (b < bw * bh) {
+        val off = b * 64
+        var k = 0
+        while (k < 64) { val j = ZigZag(k); deq(j) = cf(off + j) * q(k); k += 1 }
+        idctToPlane(deq, tmp, planes(ci), strideC(ci),
+          (b % bw) * 8, (b / bw) * 8)
+        b += 1
+      }
+      ci += 1
+    }
+    jpegPlanesMean(planes, strideC, comps.map(c => (c.hs, c.vs)),
+      imgW, imgH, hMax, vMax)
   }
 
   // ---- header encoders: synthesize minimal VALID containers so tests
@@ -893,8 +1179,11 @@ object Media {
     * oracles. Uses minimal custom huffman tables (12 four-bit DC
     * category codes; a single one-bit AC EOB code); the standard Annex K
     * table path is exercised by ImageIO-written fixtures in MediaSpec.
+    * With `progressive` the same image is coded as an SOF2 frame in two
+    * scans (DC first, then AC 1..63 as bare EOBs) — same exact decode.
     */
-  def jpegSolidGrayBytes(w: Int, h: Int, v: Int, restartEvery: Int = 0): Array[Byte] = {
+  def jpegSolidGrayBytes(w: Int, h: Int, v: Int, restartEvery: Int = 0,
+      progressive: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0 && v >= 0 && v <= 255)
     val out = new java.io.ByteArrayOutputStream()
     def m(id: Int): Unit = { out.write(0xff); out.write(id) }
@@ -902,7 +1191,7 @@ object Media {
     m(0xd8) // SOI
     m(0xdb); w16(2 + 1 + 64); out.write(0x00) // DQT, Pq=0 Tq=0
     (0 until 64).foreach(_ => out.write(1))
-    m(0xc0); w16(8 + 3) // SOF0, 1 component
+    m(if (progressive) 0xc2 else 0xc0); w16(8 + 3) // SOF0/SOF2, 1 component
     out.write(8); w16(h); w16(w); out.write(1)
     out.write(1); out.write(0x11); out.write(0) // id 1, 1×1, qtable 0
     // DHT DC 0: 12 codes of length 4 → categories 0..11
@@ -914,11 +1203,6 @@ object Media {
     (1 to 16).foreach(l => out.write(if (l == 1) 1 else 0))
     out.write(0x00)
     if (restartEvery > 0) { m(0xdd); w16(4); w16(restartEvery) } // DRI
-    m(0xda); w16(6 + 2) // SOS
-    out.write(1); out.write(1); out.write(0x00) // comp 1, DC 0 / AC 0
-    out.write(0); out.write(63); out.write(0) // Ss/Se/AhAl
-    // entropy segment: per block a DC diff (8(v-128) after each predictor
-    // reset, 0 otherwise) then AC = EOB; restart markers byte-align
     var acc = 0L; var nbits = 0
     def put(code: Int, len: Int): Unit = {
       acc = (acc << len) | (code & ((1L << len) - 1)); nbits += len
@@ -931,23 +1215,51 @@ object Media {
     def pad(): Unit = if (nbits > 0) put((1 << (8 - nbits)) - 1, 8 - nbits)
     val dc = 8 * (v - 128)
     val blocks = ((w + 7) / 8) * ((h + 7) / 8)
-    var pred = 0
-    var b = 0
-    while (b < blocks) {
-      if (restartEvery > 0 && b > 0 && b % restartEvery == 0) {
-        pad()
-        m(0xd0 + ((b / restartEvery - 1) % 8))
-        pred = 0
-      }
-      val d = dc - pred
-      val cat = 32 - Integer.numberOfLeadingZeros(math.abs(d)) // 0 for d==0
-      put(cat, 4) // DC category (code == symbol under the canonical table)
-      if (cat > 0) put(if (d < 0) d + (1 << cat) - 1 else d, cat)
-      put(0, 1) // EOB
-      pred = dc
-      b += 1
+    def sos(ss: Int, se: Int): Unit = {
+      m(0xda); w16(6 + 2)
+      out.write(1); out.write(1); out.write(0x00) // comp 1, DC 0 / AC 0
+      out.write(ss); out.write(se); out.write(0) // Ss/Se/AhAl
     }
-    pad()
+    // per block: a DC diff (8(v-128) after each predictor reset, 0
+    // otherwise); restart markers byte-align. Baseline appends the AC
+    // EOB inline; progressive defers all ACs to a second Ss=1..63 scan
+    // whose blocks are bare EOBs.
+    def scan(withAc: Boolean): Unit = {
+      var pred = 0
+      var b = 0
+      while (b < blocks) {
+        if (restartEvery > 0 && b > 0 && b % restartEvery == 0) {
+          pad()
+          m(0xd0 + ((b / restartEvery - 1) % 8))
+          pred = 0
+        }
+        val d = dc - pred
+        val cat = 32 - Integer.numberOfLeadingZeros(math.abs(d)) // 0 for d==0
+        put(cat, 4) // DC category (code == symbol under the canonical table)
+        if (cat > 0) put(if (d < 0) d + (1 << cat) - 1 else d, cat)
+        if (withAc) put(0, 1) // EOB
+        pred = dc
+        b += 1
+      }
+      pad()
+    }
+    if (!progressive) {
+      sos(0, 63)
+      scan(withAc = true)
+    } else {
+      sos(0, 0) // DC-first scan
+      scan(withAc = false)
+      sos(1, 63) // AC-first scan: every block is a bare EOB
+      var b = 0
+      while (b < blocks) {
+        if (restartEvery > 0 && b > 0 && b % restartEvery == 0) {
+          pad(); m(0xd0 + ((b / restartEvery - 1) % 8))
+        }
+        put(0, 1)
+        b += 1
+      }
+      pad()
+    }
     m(0xd9) // EOI
     out.toByteArray
   }
@@ -1186,9 +1498,10 @@ object Media {
           case Some(d) =>
             // PNG: real pixel decode (inflate + unfilter, sequential or
             // Adam7, truecolor/gray/indexed); GIF: real LZW index decode
-            // through the palette; JPEG: real baseline huffman + IDCT
-            // decode. Byte-mean fallback only for header-only payloads
-            // and exotic layouts (progressive JPEG, sub-8-bit PNG).
+            // through the palette; JPEG: real huffman + IDCT decode,
+            // sequential or progressive. Byte-mean fallback only for
+            // header-only payloads and exotic layouts (sub-8-bit PNG,
+            // arithmetic-coded JPEG).
             val m = d.format match {
               case "png" => decodePngPixelMean(r.blob).getOrElse(mean)
               case "gif" => decodeGifPixelMean(r.blob).getOrElse(mean)

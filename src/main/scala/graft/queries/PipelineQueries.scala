@@ -564,9 +564,12 @@ object PipelineQueries {
             }
             Media.MediaRow(id, "image/png", blob)
           case 1 =>
+            // half baseline (SOF0), half progressive (SOF2) — the decoded
+            // mean is the same exact v either way
             Media.MediaRow(id, "image/jpeg",
               Media.jpegSolidGrayBytes((id % 56 + 1).toInt, (id % 28 + 1).toInt,
-                ((id * 13 + 29) % 256).toInt))
+                ((id * 13 + 29) % 256).toInt,
+                progressive = (id / 3) % 2 == 1))
           case _ =>
             val w = (id % 40 + 1).toInt
             val h = (id % 25 + 1).toInt

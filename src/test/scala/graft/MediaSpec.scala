@@ -325,6 +325,80 @@ class MediaSpec extends SparkSpec {
     assert(feats.head.format === "jpeg" && feats.head.channels === 1)
   }
 
+  test("progressive JPEG decodes through multi-scan coefficient accumulation") {
+    // ImageIO writes a PROGRESSIVE stream (SOF2, its own scan script
+    // with spectral selection + successive approximation); our decoder
+    // must agree with ImageIO's own read of the same bytes.
+    def writeProgressive(src: java.awt.image.BufferedImage): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(src, null, null), param)
+      ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    def hasSof2(b: Array[Byte]): Boolean =
+      b.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2)
+    // color gradient, non-multiple-of-16 dims → partial MCUs + subsampling
+    val w = 37; val h = 23
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = 40 + (x * 4) % 200; val g = 30 + (y * 6) % 200
+      val b = (x * 3 + y * 5) % 255
+      src.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val blob = writeProgressive(src)
+    assert(hasSof2(blob), "writer must emit a progressive frame")
+    val jdk = {
+      val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      var s = 0.0
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = im.getRGB(x, y)
+        s += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+      }
+      s / (w * h * 3)
+    }
+    val ours = Media.decodeJpegPixelMean(blob)
+    assert(ours.isDefined, "decoder must handle the progressive stream")
+    assert(math.abs(ours.get - jdk) < 1.5, s"ours=${ours.get} jdk=$jdk")
+    // grayscale progressive: single-component DC + AC scans
+    val gray = new java.awt.image.BufferedImage(19, 11,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 11; x <- 0 until 19)
+      gray.getRaster.setSample(x, y, 0, (x * 13 + y * 7) % 256)
+    val gblob = writeProgressive(gray)
+    assert(hasSof2(gblob))
+    val gjdk = {
+      val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gblob))
+      var s = 0.0
+      for (y <- 0 until 11; x <- 0 until 19) s += im.getRaster.getSample(x, y, 0)
+      s / (19 * 11)
+    }
+    val gours = Media.decodeJpegPixelMean(gblob)
+    assert(gours.isDefined)
+    assert(math.abs(gours.get - gjdk) < 1.0, s"ours=${gours.get} jdk=$gjdk")
+    // truncated progressive stream → None, never throws
+    assert(Media.decodeJpegPixelMean(blob.take(blob.length / 2)).isEmpty)
+    // own progressive encoder: solid gray is EXACT (all-ones quant), and
+    // the JDK accepts the same container (independent reader)
+    for ((pw, ph, v) <- Seq((12, 9, 140), (17, 1, 3), (8, 8, 255))) {
+      val p = Media.jpegSolidGrayBytes(pw, ph, v, progressive = true)
+      assert(hasSof2(p))
+      assert(Media.decodeJpegPixelMean(p) === Some(v.toDouble), s"${pw}x$ph v=$v")
+      val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      assert(im != null && im.getWidth === pw && im.getHeight === ph)
+      assert(im.getRaster.getSample(pw / 2, ph / 2, 0) === v)
+    }
+    // progressive with restart markers: resync + predictor reset per scan
+    val pr = Media.jpegSolidGrayBytes(40, 16, 77, restartEvery = 3,
+      progressive = true)
+    assert(Media.decodeJpegPixelMean(pr) === Some(77.0))
+  }
+
   test("WAV decode: RIFF/PCM parse recovers exact amplitude statistics") {
     // square wave ±A: every |sample| = A, so peak and mean_abs are exact
     val blob = Media.wavBytes(8000, 1, 200)((f, _) => if (f % 2 == 0) 1234 else -1234)
