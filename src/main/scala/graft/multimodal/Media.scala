@@ -151,14 +151,16 @@ object Media {
   /** Real PNG pixel decode with the JDK alone: concatenate IDAT chunk
     * data, inflate (zlib via `java.util.zip.Inflater`), reverse the
     * per-scanline filters (PNG spec §9: None/Sub/Up/Average/Paeth), and
-    * return the mean over ALL reconstructed samples. Handles both the
-    * null (sequential) and Adam7 interlaced layouts — each Adam7 pass is
-    * an independently-filtered sub-image, and since the passes PARTITION
-    * the pixels, the image mean is the sample-weighted sum over passes
-    * with no de-interlace buffer needed — and indexed color (type 3,
-    * samples mapped through the PLTE palette, mean over R,G,B). None for
-    * bit depth ≠ 8 or any malformed stream — callers keep the labeled
-    * byte-mean fallback.
+    * return the mean over ALL reconstructed samples on the 8-bit scale.
+    * Handles both the null (sequential) and Adam7 interlaced layouts —
+    * each Adam7 pass is an independently-filtered sub-image, and since
+    * the passes PARTITION the pixels, the image mean is the
+    * sample-weighted sum over passes with no de-interlace buffer
+    * needed — indexed color (type 3, samples mapped through the PLTE
+    * palette, mean over R,G,B), and EVERY legal bit depth: sub-8 packed
+    * samples (1/2/4, MSB-first, gray scaled by 255/(2^d−1), spec §7.2)
+    * and 16-bit big-endian (scaled by 1/257). None only for a malformed
+    * stream — callers keep the labeled byte-mean fallback.
     */
   def decodePngPixelMean(blob: Array[Byte]): Option[Double] = {
     if (blob.length < 45 || !blob.take(8).sameElements(PngSig)) return None
@@ -168,7 +170,14 @@ object Media {
     val interlace = blob(28) & 0xff
     val indexed = colorType == 3
     val ch = if (indexed) 1 else pngChannels(colorType)
-    if (w <= 0 || h <= 0 || bitDepth != 8 || interlace > 1 || ch == 0)
+    // legal depth×type combinations per PNG spec §11.2.2
+    val okDepth = bitDepth match {
+      case 1 | 2 | 4 => colorType == 0 || colorType == 3
+      case 8 => true
+      case 16 => !indexed
+      case _ => false
+    }
+    if (w <= 0 || h <= 0 || !okDepth || interlace > 1 || ch == 0)
       return None
     // walk chunks, concatenating IDAT payloads (+ PLTE when indexed)
     val idat = new java.io.ByteArrayOutputStream()
@@ -192,7 +201,9 @@ object Media {
     val passes: Array[(Int, Int)] =
       if (interlace == 0) Array((w, h))
       else adam7Dims(w, h).filter { case (pw, ph) => pw > 0 && ph > 0 }
-    val rawLen = passes.map { case (pw, ph) => ph * (1 + pw * ch) }.sum
+    val bppBits = ch * bitDepth
+    def rowBytes(pw: Int): Int = (pw * bppBits + 7) / 8
+    val rawLen = passes.map { case (pw, ph) => ph * (1 + rowBytes(pw)) }.sum
     val raw = new Array[Byte](rawLen)
     try {
       val inf = new java.util.zip.Inflater()
@@ -206,31 +217,35 @@ object Media {
       inf.end()
       if (off != raw.length) return None
     } catch { case _: java.util.zip.DataFormatException => return None }
-    // spec §9 unfiltering; a = left, b = up, c = up-left (per byte, with
-    // the filter unit = one pixel's `ch` bytes at bit depth 8)
+    // spec §9 unfiltering; a = left, b = up, c = up-left, per BYTE with
+    // the filter unit = one pixel's ceil(bpp/8) bytes (1 for sub-byte)
     def paeth(a: Int, b: Int, c: Int): Int = {
       val p = a + b - c
       val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
       if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
     }
+    val fu = math.max(1, bppBits / 8)
     val nColors = if (indexed) plte.length / 3 else 0
+    // gray sub-8 samples scale to 8-bit as v·255/(2^d−1) (an exact
+    // integer: 255, 85, 17); 16-bit scales as v/257
+    val subScale = if (bitDepth < 8) 255 / ((1 << bitDepth) - 1) else 1
     var total = 0.0
     var count = 0L
     var base = 0
     passes.foreach { case (pw, ph) =>
-      val rowLen = pw * ch
-      val prev = new Array[Int](rowLen)
-      val cur = new Array[Int](rowLen)
+      val rb = rowBytes(pw)
+      val prev = new Array[Int](rb)
+      val cur = new Array[Int](rb)
       var y = 0
       while (y < ph) {
         val ft = raw(base) & 0xff
         if (ft > 4) return None
         var x = 0
-        while (x < rowLen) {
+        while (x < rb) {
           val f = raw(base + 1 + x) & 0xff
-          val a = if (x >= ch) cur(x - ch) else 0
+          val a = if (x >= fu) cur(x - fu) else 0
           val b = prev(x)
-          val c = if (x >= ch) prev(x - ch) else 0
+          val c = if (x >= fu) prev(x - fu) else 0
           cur(x) = (ft match {
             case 0 => f
             case 1 => f + a
@@ -238,19 +253,52 @@ object Media {
             case 3 => f + ((a + b) >> 1)
             case 4 => f + paeth(a, b, c)
           }) & 0xff
-          if (indexed) {
-            val ci = math.min(cur(x), nColors - 1)
-            total += (plte(ci * 3) & 0xff) + (plte(ci * 3 + 1) & 0xff) +
-              (plte(ci * 3 + 2) & 0xff)
-            count += 3
-          } else {
-            total += cur(x)
-            count += 1
-          }
           x += 1
         }
-        System.arraycopy(cur, 0, prev, 0, rowLen)
-        base += 1 + rowLen
+        // extract the row's samples from the reconstructed bytes
+        if (bitDepth == 8) {
+          var s = 0
+          val n = pw * ch
+          while (s < n) {
+            if (indexed) {
+              val ci = math.min(cur(s), nColors - 1)
+              total += (plte(ci * 3) & 0xff) + (plte(ci * 3 + 1) & 0xff) +
+                (plte(ci * 3 + 2) & 0xff)
+              count += 3
+            } else {
+              total += cur(s)
+              count += 1
+            }
+            s += 1
+          }
+        } else if (bitDepth == 16) {
+          var s = 0
+          val n = pw * ch
+          while (s < n) {
+            total += ((cur(2 * s) << 8) | cur(2 * s + 1)) / 257.0
+            count += 1
+            s += 1
+          }
+        } else { // 1/2/4-bit packed MSB-first, one channel (gray or index)
+          val mask = (1 << bitDepth) - 1
+          var s = 0
+          while (s < pw) {
+            val bit = s * bitDepth
+            val v = (cur(bit >> 3) >> (8 - bitDepth - (bit & 7))) & mask
+            if (indexed) {
+              val ci = math.min(v, nColors - 1)
+              total += (plte(ci * 3) & 0xff) + (plte(ci * 3 + 1) & 0xff) +
+                (plte(ci * 3 + 2) & 0xff)
+              count += 3
+            } else {
+              total += v * subScale
+              count += 1
+            }
+            s += 1
+          }
+        }
+        System.arraycopy(cur, 0, prev, 0, rb)
+        base += 1 + rb
         y += 1
       }
     }

@@ -159,6 +159,104 @@ class MediaSpec extends SparkSpec {
     assert(Media.decodePngPixelMean(blob) === Some(expected))
   }
 
+  test("PNG sub-8-bit and 16-bit depths decode with spec scaling") {
+    // hand-build containers (deflate + chunk) so no encoder bug can
+    // cancel a decoder bug
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt).array()
+    }
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val zb = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](512)
+      while (!d.finished()) zb.write(tmp, 0, d.deflate(tmp))
+      d.end(); zb.toByteArray
+    }
+    def png(w: Int, h: Int, depth: Int, colorType: Int,
+        plte: Array[Byte], raw: Array[Byte]): Array[Byte] = {
+      val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+        .put(depth.toByte).put(colorType.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      sig ++ chunk("IHDR", ihdr) ++
+        (if (plte != null) chunk("PLTE", plte) else Array.emptyByteArray) ++
+        chunk("IDAT", deflate(raw)) ++ chunk("IEND", Array.emptyByteArray)
+    }
+    def pack(samples: Seq[Int], depth: Int): Array[Byte] = {
+      val out = new Array[Byte]((samples.length * depth + 7) / 8)
+      samples.zipWithIndex.foreach { case (v, s) =>
+        val bit = s * depth
+        out(bit >> 3) = (out(bit >> 3) |
+          ((v & ((1 << depth) - 1)) << (8 - depth - (bit & 7)))).toByte
+      }
+      out
+    }
+    // 2-bit gray 5x3, samples (x+y)%4, rows filter-0; scale = 85
+    val g2samples = for (y <- 0 until 3) yield (0 until 5).map(x => (x + y) % 4)
+    val g2raw = g2samples.flatMap(r => 0.toByte +: pack(r, 2).toSeq).toArray
+    val g2exp = {
+      val vs = g2samples.flatten.map(_ * 85.0)
+      math.rint(vs.sum / vs.length * 10000) / 10000
+    }
+    assert(Media.decodePngPixelMean(png(5, 3, 2, 0, null, g2raw)) === Some(g2exp))
+    // 4-bit indexed 5x2 with a 4-color palette
+    val pal4 = Array(10, 20, 30, 200, 100, 0, 0, 0, 0, 255, 255, 255).map(_.toByte)
+    val i4samples = for (y <- 0 until 2) yield (0 until 5).map(x => (x * 3 + y) % 4)
+    val i4raw = i4samples.flatMap(r => 0.toByte +: pack(r, 4).toSeq).toArray
+    val i4exp = {
+      val vs = i4samples.flatten.map { ci =>
+        ((pal4(ci * 3) & 0xff) + (pal4(ci * 3 + 1) & 0xff) +
+          (pal4(ci * 3 + 2) & 0xff)) / 3.0
+      }
+      math.rint(vs.sum / vs.length * 10000) / 10000
+    }
+    assert(Media.decodePngPixelMean(png(5, 2, 4, 3, pal4, i4raw)) === Some(i4exp))
+    // 16-bit gray 3x2 big-endian, scale 1/257
+    val g16 = Seq(Seq(0, 257, 65535), Seq(514, 32896, 1028))
+    val g16raw = g16.flatMap { r =>
+      0.toByte +: r.flatMap(v => Seq(((v >> 8) & 0xff).toByte, (v & 0xff).toByte))
+    }.toArray
+    val g16exp = {
+      val vs = g16.flatten.map(_ / 257.0)
+      math.rint(vs.sum / vs.length * 10000) / 10000
+    }
+    assert(Media.decodePngPixelMean(png(3, 2, 16, 0, null, g16raw)) === Some(g16exp))
+    // illegal depth×type (2-bit truecolor) still rejects
+    assert(Media.decodePngPixelMean(png(3, 2, 2, 2, null, g2raw)).isEmpty)
+  }
+
+  test("PNG 16-bit and 1-bit decode agree with JDK ImageIO writers") {
+    def write(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    // 16-bit grayscale gradient
+    val g16 = new java.awt.image.BufferedImage(9, 5,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until 5; x <- 0 until 9)
+      g16.getRaster.setSample(x, y, 0, (x * 7919 + y * 104729) % 65536)
+    val g16exp = {
+      val vs = for (y <- 0 until 5; x <- 0 until 9)
+        yield g16.getRaster.getSample(x, y, 0) / 257.0
+      math.rint(vs.sum / vs.length * 10000) / 10000
+    }
+    assert(Media.decodePngPixelMean(write(g16)) === Some(g16exp))
+    // 1-bit black/white checkerboard
+    val bw = new java.awt.image.BufferedImage(10, 6,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    for (y <- 0 until 6; x <- 0 until 10)
+      bw.getRaster.setSample(x, y, 0, (x + y) % 2)
+    val blob = write(bw)
+    assert((blob(24) & 0xff) === 1, "writer must emit bit depth 1")
+    assert(Media.decodePngPixelMean(blob) === Some(127.5)) // half white
+  }
+
   test("PNG indexed color: samples map through PLTE to exact means") {
     val pal = Seq((10, 20, 30), (200, 100, 0), (0, 0, 0), (255, 255, 255))
     val w = 9; val h = 6
