@@ -596,5 +596,28 @@ object RelationalQueries {
         .groupBy("user_id")
         .agg(sum(col("k")).cast("bigint").as("k_sum"), count(lit(1)).as("cnt"))
         .orderBy("user_id")
+    },
+
+    // ---- sketch-based distinct counting, gated like q_ann_recall: the
+    //      oracle fixes the EXACT distinct counts and expects
+    //      within_5pct=true, so a drifting HLL++ implementation breaks
+    //      the hash. approx_count_distinct is the 100 TB path — a
+    //      fixed-size sketch mergeable map-side, vs exact distinct's
+    //      full shuffle of every key; the exact column here is the
+    //      sf-sized audit, not the production plan. ----
+    QDef("q_approx_distinct",
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  true AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy("event_type")
+          .agg(countDistinct("user_id").as("exact_users"),
+            approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+          .select(col("event_type"), col("exact_users"),
+            (abs(col("approx_users") - col("exact_users")) <=
+              col("exact_users") * 0.05).as("within_5pct"))
+          .orderBy("event_type")
     })
 }
