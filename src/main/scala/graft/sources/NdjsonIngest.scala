@@ -11,7 +11,8 @@ import org.apache.spark.sql.types.StructType
   * Spark-first mapping:
   *  - simdjson streaming parse → `spark.read.schema(...).json` (schema
   *    ENFORCED, not inferred — inference would scan twice and admit drift);
-  *  - `.zst`/`.xz` transparent decompress → Spark/Hadoop codec handling;
+  *  - `.zst`/`.xz` transparent decompress → per-file streaming decode on
+  *    executors ([[readCompressed]] — the codecs ship with Spark);
   *  - duplicate-primary-key abort → distributed groupBy-count assertion
   *    (reference validates PK uniqueness the same way, table.h:57);
   *  - atomic all-or-nothing append → write to a NEW version directory and
@@ -31,16 +32,67 @@ object NdjsonIngest {
         s"(expected $expected, got $got)")
 
   /** Read NDJSON with an enforced schema; malformed lines fail the job
-    * (mode FAILFAST ≙ the reference's append abort-on-error).
+    * (mode FAILFAST ≙ the reference's append abort-on-error). `.zst` and
+    * `.xz` files decompress transparently ([[readCompressed]]).
     */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+    read(spark, Seq(path), schema)
 
   /** Read an explicit file list (the incremental-index path reads ONLY the
-    * files that appeared since the last committed index).
+    * files that appeared since the last committed index). Compressed and
+    * plain files may mix; each group reads through its own path and the
+    * result is their union.
     */
-  def read(spark: SparkSession, paths: Seq[String], schema: StructType): DataFrame =
-    spark.read.schema(schema).option("mode", "FAILFAST").json(paths: _*)
+  def read(spark: SparkSession, paths: Seq[String], schema: StructType): DataFrame = {
+    val (compressed, plain) = paths.partition(isCompressed)
+    val parts =
+      (if (plain.nonEmpty)
+        Seq(spark.read.schema(schema).option("mode", "FAILFAST").json(plain: _*))
+      else Nil) ++
+        (if (compressed.nonEmpty) Seq(readCompressed(spark, compressed, schema))
+        else Nil)
+    parts.reduce(_.unionByName(_))
+  }
+
+  private def isCompressed(p: String): Boolean =
+    p.endsWith(".zst") || p.endsWith(".xz")
+
+  /** Transparent `.zst`/`.xz` NDJSON ingest (≙ the reference's
+    * ndjson_line_reader decompressing file streams). Neither format is
+    * splittable, so — exactly like the reference — the unit of
+    * parallelism is the FILE: `binaryFiles` hands each executor a
+    * lazy stream, the codec (zstd-jni / org.tukaani.xz, both on the
+    * Spark classpath) decompresses it incrementally, and lines feed the
+    * same schema-ENFORCED FAILFAST json parser as the plain path. No
+    * whole-file materialization: decompression is pull-based through
+    * the line iterator. At 100 TB you ingest many files, so file-level
+    * parallelism saturates the cluster despite per-file streams.
+    */
+  def readCompressed(spark: SparkSession, paths: Seq[String],
+      schema: StructType): DataFrame = {
+    import spark.implicits._
+    val lines = spark.sparkContext.binaryFiles(paths.mkString(","))
+      .flatMap { case (name, pds) =>
+        val in = new java.io.BufferedInputStream(pds.open())
+        val dec: java.io.InputStream =
+          if (name.endsWith(".zst")) new com.github.luben.zstd.ZstdInputStream(in)
+          else if (name.endsWith(".xz")) new org.tukaani.xz.XZInputStream(in)
+          else in
+        val br = new java.io.BufferedReader(new java.io.InputStreamReader(
+          dec, java.nio.charset.StandardCharsets.UTF_8))
+        new Iterator[String] {
+          private var line = br.readLine()
+          override def hasNext: Boolean = line != null
+          override def next(): String = {
+            val l = line
+            line = br.readLine()
+            if (line == null) br.close()
+            l
+          }
+        }
+      }.toDS()
+    spark.read.schema(schema).option("mode", "FAILFAST").json(lines)
+  }
 
   /** Validate PK uniqueness; throws DuplicatePrimaryKey listing a sample. */
   def validatePrimaryKey(df: DataFrame, pk: String): Unit = {

@@ -26,6 +26,29 @@ class SourcesSpec extends SparkSpec {
     assert(df.count() === 2)
   }
 
+  test("zst/xz NDJSON files decompress transparently, mixed with plain") {
+    val d = tmpDir()
+    def lines(a: Int, b: Int): String =
+      (a to b).map(i => s"""{"id":$i,"country":"CH","val":$i.5}""").mkString("", "\n", "\n")
+    Files.writeString(java.nio.file.Paths.get(d, "plain.ndjson"), lines(1, 3))
+    val zs = new com.github.luben.zstd.ZstdOutputStream(
+      new java.io.FileOutputStream(s"$d/part2.ndjson.zst"))
+    zs.write(lines(4, 7).getBytes("UTF-8")); zs.close()
+    val xs = new org.tukaani.xz.XZOutputStream(
+      new java.io.FileOutputStream(s"$d/part3.ndjson.xz"),
+      new org.tukaani.xz.LZMA2Options())
+    xs.write(lines(8, 9).getBytes("UTF-8")); xs.close()
+    val df = NdjsonIngest.read(spark,
+      Seq(s"$d/plain.ndjson", s"$d/part2.ndjson.zst", s"$d/part3.ndjson.xz"),
+      schema)
+    assert(df.schema === schema)
+    assert(df.select("id").as[Long].collect().sorted.toSeq === (1L to 9L))
+    // values survive the decompress + FAILFAST parse
+    assert(df.filter(col("id") === 5).select("val").as[Double].head() === 5.5)
+    // a compressed-only read works too (no plain branch)
+    assert(NdjsonIngest.read(spark, s"$d/part2.ndjson.zst", schema).count() === 4)
+  }
+
   test("duplicate primary key aborts the append") {
     val df = Seq((1L, "CH", 1.0), (1L, "DE", 2.0)).toDF("id", "country", "val")
     val e = intercept[NdjsonIngest.DuplicatePrimaryKey] {
