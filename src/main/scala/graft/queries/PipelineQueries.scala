@@ -635,6 +635,44 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- video columns: real MP4 / ISO BMFF metadata decode. Docs
+    //      synthesize valid containers (ftyp + moov with per-track
+    //      tkhd/mdhd/hdlr boxes); the Spark side walks the actual box
+    //      tree back out — movie timescale/duration, track count and
+    //      handler classification, 16.16 video dimensions. Every
+    //      statistic and the container byte length are arithmetically
+    //      predictable (148 + 173·n_tracks). mdat is skipped by its size
+    //      field, never read — the property that matters at 100 TB,
+    //      where mdat IS the data. ----
+    QDef("q_video_features",
+      """SELECT doc_id,
+        |  CAST(148 + 173 * (2 - doc_id % 2) AS INTEGER) AS byte_len,
+        |  'isom' AS brand,
+        |  CAST(2 - doc_id % 2 AS INTEGER) AS n_tracks,
+        |  CAST(((CASE doc_id % 3 WHEN 0 THEN 1000 WHEN 1 THEN 600 ELSE 90000 END)
+        |       * (doc_id % 20 + 1) + doc_id % 97) * 1000
+        |    // (CASE doc_id % 3 WHEN 0 THEN 1000 WHEN 1 THEN 600 ELSE 90000 END)
+        |    AS BIGINT) AS duration_ms,
+        |  CAST((doc_id % 64 + 16) * 8 AS INTEGER) AS width,
+        |  CAST((doc_id % 36 + 9) * 8 AS INTEGER) AS height,
+        |  doc_id % 2 = 0 AS has_audio
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.multimodal.Media
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+        val ts = (id % 3) match { case 0 => 1000; case 1 => 600; case _ => 90000 }
+        val dur = ts.toLong * (id % 20 + 1) + id % 97
+        val tracks = Seq(("vide", ((id % 64 + 16) * 8).toInt, ((id % 36 + 9) * 8).toInt)) ++
+          (if (id % 2 == 0) Seq(("soun", 0, 0)) else Nil)
+        Media.MediaRow(id, "video/mp4", Media.mp4Bytes(ts, dur, tracks))
+      }
+      Media.extractVideoFeatures(media)
+        .select(col("media_id").as("doc_id"), col("byte_len"), col("brand"),
+          col("n_tracks"), col("duration_ms"), col("width"), col("height"),
+          col("has_audio"))
+        .orderBy("doc_id")
+    },
+
     // ---- SimHash near-dup pairs: hamming distance over the 16-bit
     //      signatures, blocked by source ----
     QDef("q_simhash_pairs", {

@@ -497,6 +497,38 @@ class MediaSpec extends SparkSpec {
     assert(Media.decodeJpegPixelMean(pr) === Some(77.0))
   }
 
+  test("MP4 decode: box-tree walk recovers movie and track metadata") {
+    val blob = Media.mp4Bytes(1000, 5500,
+      Seq(("vide", 640, 360), ("soun", 0, 0)))
+    assert(blob.length === 148 + 173 * 2) // the documented layout size
+    val info = Media.decodeMp4(blob)
+    assert(info === Some(Media.Mp4Info("isom", 2, 1000, 5500, 640, 360,
+      has_audio = true)))
+    // video-only, different timescale: duration_ms floors
+    val v = Media.decodeMp4(Media.mp4Bytes(90000, 90000 * 3 + 45000,
+      Seq(("vide", 1920, 1080))))
+    assert(v === Some(Media.Mp4Info("isom", 1, 90000, 3500, 1920, 1080,
+      has_audio = false)))
+    // a large junk-filled mdat BETWEEN ftyp and moov is skipped by its
+    // size field — box contents are never interpreted
+    val ftyp = blob.slice(0, 24)
+    val moovAndMdat = blob.drop(24)
+    val junk = Array.fill[Byte](1000)(0x6d) // looks like box types inside
+    val mdatJunk = java.nio.ByteBuffer.allocate(8 + junk.length)
+      .putInt(8 + junk.length).put("mdat".getBytes("US-ASCII")).put(junk).array()
+    assert(Media.decodeMp4(ftyp ++ mdatJunk ++ moovAndMdat) === info)
+    // malformed payloads reject cleanly
+    assert(Media.decodeMp4("not a video".getBytes("UTF-8")).isEmpty)
+    assert(Media.decodeMp4(blob.take(40)).isEmpty) // truncated moov
+    // batch extraction: features only, blob dropped
+    val feats = Media.extractVideoFeatures(Seq(
+      MediaRow(1L, "video/mp4", blob),
+      MediaRow(2L, "video/mp4", Array[Byte](1, 2, 3))).toDS()).collect()
+      .sortBy(_.media_id)
+    assert(feats(0).duration_ms === 5500L && feats(0).n_tracks === 2)
+    assert(feats(1).brand === "" && feats(1).byte_len === 3)
+  }
+
   test("WAV decode: RIFF/PCM parse recovers exact amplitude statistics") {
     // square wave ±A: every |sample| = A, so peak and mean_abs are exact
     val blob = Media.wavBytes(8000, 1, 200)((f, _) => if (f % 2 == 0) 1234 else -1234)
