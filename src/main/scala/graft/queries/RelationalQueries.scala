@@ -619,5 +619,38 @@ object RelationalQueries {
             (abs(col("approx_users") - col("exact_users")) <=
               col("exact_users") * 0.05).as("within_5pct"))
           .orderBy("event_type")
+    },
+
+    // ---- z-order (Morton) keys for 2-D data clustering: interleave the
+    //      low 16 bits of (user_id, event_id) with the mask-shift
+    //      spreading ladder — plain arithmetic, whole-stage codegen, and
+    //      bit-for-bit reproducible in the oracle. Sorting a 100 TB
+    //      events table by this key gives every parquet file a tight
+    //      min/max envelope on BOTH dimensions, so filters on either
+    //      prune at the scan (ZOrderSpec asserts the file-locality).
+    //      The per-tile rollup here pins the key computation itself. ----
+    QDef("q_zorder",
+      """WITH d AS (SELECT user_id % 65536 AS a, event_id % 65536 AS b FROM events),
+        |s1 AS (SELECT (a | (a << 8)) & 16711935 AS a,
+        |              (b | (b << 8)) & 16711935 AS b FROM d),
+        |s2 AS (SELECT (a | (a << 4)) & 252645135 AS a,
+        |              (b | (b << 4)) & 252645135 AS b FROM s1),
+        |s3 AS (SELECT (a | (a << 2)) & 858993459 AS a,
+        |              (b | (b << 2)) & 858993459 AS b FROM s2),
+        |s4 AS (SELECT (a | (a << 1)) & 1431655765 AS a,
+        |              (b | (b << 1)) & 1431655765 AS b FROM s3),
+        |zt AS (SELECT (a << 1) | b AS z FROM s4)
+        |SELECT CAST(z >> 22 AS INTEGER) AS tile,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(min(z) AS BIGINT) AS zmin,
+        |  CAST(max(z) AS BIGINT) AS zmax
+        |FROM zt GROUP BY tile ORDER BY tile""".stripMargin) { (s, dir) =>
+      import graft.operators.ZOrder
+      t(s, dir, "events")
+        .select(ZOrder.zValue(col("user_id"), col("event_id")).as("z"))
+        .groupBy(shiftrightunsigned(col("z"), 22).cast("int").as("tile"))
+        .agg(count(lit(1)).as("cnt"),
+          min("z").as("zmin"), max("z").as("zmax"))
+        .orderBy("tile")
     })
 }
