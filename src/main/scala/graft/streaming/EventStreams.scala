@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured-Streaming operators over the events stream shape.
   *
@@ -71,6 +72,50 @@ object EventStreams {
         col("follow_ts") <= col("base_ts") + expr(s"interval $windowSeconds seconds"))
       .select("user_id", "base_ts", "base_type", "follow_ts", "follow_type")
   }
+
+  final case class EvV(user_id: Long, event_type: String, value: Double)
+  final case class Totals(n_events: Long, total_value: Double)
+  final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Running per-user totals via `transformWithState` (the Spark 4
+    * StatefulProcessor API): ValueState in the RocksDB state store, with
+    * an optional TTL so cold users age out instead of accumulating
+    * forever — the state-boundedness contract for an unbounded key space
+    * at 100 TB. Emits the UPDATED totals for every user touched by the
+    * micro-batch (update output mode).
+    */
+  final class RunningTotalsProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, EvV, UserTotals] {
+    @transient private var totals: ValueState[Totals] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[Totals]("totals",
+        Encoders.product[Totals],
+        if (ttl == null) TTLConfig.NONE else TTLConfig(ttl))
+    override def handleInputRows(key: Long, rows: Iterator[EvV],
+        timers: TimerValues): Iterator[UserTotals] = {
+      var cur = if (totals.exists()) totals.get() else Totals(0L, 0.0)
+      rows.foreach(e => cur = Totals(cur.n_events + 1, cur.total_value + e.value))
+      totals.update(cur)
+      Iterator.single(UserTotals(key, cur.n_events,
+        math.rint(cur.total_value * 100) / 100))
+    }
+  }
+
+  /** Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`). Pass `ttl = null`
+    * for unbounded retention. With a TTL the query runs in
+    * ProcessingTime mode, whose cleanup timers fire no-data
+    * micro-batches — pair it with a real `Trigger.ProcessingTime`
+    * interval, or the default as-fast-as-possible trigger busy-loops
+    * empty batches.
+    */
+  def runningTotals(ds: Dataset[EvV], ttl: java.time.Duration): Dataset[UserTotals] =
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState[UserTotals](new RunningTotalsProcessor(ttl),
+        // state TTL is clocked by processing time, so a TTL'd processor
+        // must run in ProcessingTime mode
+        if (ttl == null) TimeMode.None() else TimeMode.ProcessingTime(),
+        OutputMode.Update())(Encoders.product[UserTotals])
 
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionState(start: Long, last: Long, n: Long)

@@ -68,6 +68,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState running totals accumulate across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the async checksum-file writer deadlocks the RocksDB snapshot
+    // upload under the forked test JVM; checksums are an operational
+    // nicety, not part of the semantics under test
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    val mem = MemoryStream[EventStreams.EvV]
+    // ttl = null → TimeMode.None: a processing-time TTL arms cleanup
+    // timers that drive continuous empty micro-batches under the
+    // default trigger — pointless in a test; the cross-batch state
+    // semantics are what's under test here
+    val q = EventStreams.runningTotals(mem.toDS(), null)
+      .writeStream.format("memory").queryName("totals")
+      .outputMode("update").start()
+    def rows(): Map[Long, (Long, Double)] =
+      spark.table("totals").as[EventStreams.UserTotals].collect()
+        .groupBy(_.user_id)
+        // update mode appends one row per (batch, user); totals are
+        // monotone, so the max row is the current state
+        .map { case (u, rs) =>
+          val m = rs.maxBy(_.n_events); u -> (m.n_events, m.total_value)
+        }
+    try {
+      mem.addData(EventStreams.EvV(1, "view", 1.5), EventStreams.EvV(1, "click", 2.0),
+        EventStreams.EvV(2, "view", 4.0))
+      q.processAllAvailable()
+      assert(rows() === Map(1L -> ((2L, 3.5)), 2L -> ((1L, 4.0))))
+      // second batch: state carries over, only touched users re-emit
+      mem.addData(EventStreams.EvV(1, "buy", 10.0))
+      q.processAllAvailable()
+      assert(rows() === Map(1L -> ((3L, 13.5)), 2L -> ((1L, 4.0))))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream interval join matches follows within the window only") {
     implicit val sq = spark.sqlContext
     val views = MemoryStream[(Long, Timestamp, String)]
