@@ -176,10 +176,74 @@ object NdjsonIngest {
       .filter(_.startsWith("v")).map(_.drop(1).toLong)
     val next = if (existing.isEmpty) 1L else existing.max + 1
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/v$next")
+    writeLayerStats(df, s"$tableDir/v$next")
     val chain =
       if (resetChain) Seq(s"v$next") else latestLayers(tableDir) :+ s"v$next"
     flipPointer(tableDir, chain, effectiveTag)
     next
+  }
+
+  /** Record per-layer min/max for every numeric column in a `_stats`
+    * sidecar INSIDE the layer dir (written before the pointer flip, so
+    * it commits atomically with the layer; the underscore prefix makes
+    * parquet readers ignore it). One extra O(batch) aggregation per
+    * commit buys layer-level skipping for every later range read —
+    * Delta-style file statistics applied at the layer granularity the
+    * chain already has.
+    */
+  private def writeLayerStats(df: DataFrame, layerDir: String): Unit = {
+    import org.apache.spark.sql.types._
+    val numeric = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name
+    }
+    if (numeric.isEmpty) return
+    val aggs = numeric.flatMap(c =>
+      Seq(min(col(c)).cast("double").as(s"min_$c"),
+        max(col(c)).cast("double").as(s"max_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val lines = numeric.zipWithIndex.flatMap { case (c, i) =>
+      val lo = row.get(2 * i); val hi = row.get(2 * i + 1)
+      if (lo == null || hi == null) None
+      else Some(s"$c ${lo.asInstanceOf[Double]} ${hi.asInstanceOf[Double]}")
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(layerDir, "_stats"), lines.mkString("\n"))
+  }
+
+  /** A layer's recorded (min, max) for `column`, when stats exist. */
+  private def layerStats(tableDir: String, layer: String,
+      column: String): Option[(Double, Double)] = {
+    val p = java.nio.file.Paths.get(tableDir, layer, "_stats")
+    if (!java.nio.file.Files.exists(p)) None
+    else java.nio.file.Files.readString(p).linesIterator
+      .map(_.split(" "))
+      .collectFirst { case Array(c, lo, hi) if c == column =>
+        (lo.toDouble, hi.toDouble)
+      }
+  }
+
+  /** The latest table restricted to layers whose `[min, max]` envelope
+    * of `column` INTERSECTS `[lo, hi]` — layers without stats (or
+    * without the column) are conservatively included, so the result is
+    * always a superset of the matching rows and callers still apply the
+    * precise filter. At scale this skips whole layers (their parquet
+    * footers are never even opened) when the chain is range-clustered,
+    * e.g. time-ordered appends queried for a recent window.
+    */
+  def readLatestRange(spark: SparkSession, tableDir: String,
+      column: String, lo: Double, hi: Double): DataFrame = {
+    val layers = latestLayers(tableDir)
+    val kept = layers.filter { l =>
+      layerStats(tableDir, l, column) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+    // an empty pruned chain still needs the table schema: read the full
+    // chain's schema with an always-false filter
+    if (kept.isEmpty)
+      readLatest(spark, tableDir).filter(lit(false))
+    else spark.read.parquet(kept.map(l => s"$tableDir/$l"): _*)
   }
 
   private def flipPointer(tableDir: String, chain: Seq[String],
@@ -234,6 +298,7 @@ object NdjsonIngest {
       .filter(_.startsWith("v")).map(_.drop(1).toLong)
     val next = if (existing.isEmpty) 1L else existing.max + 1
     full.write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/v$next")
+    writeLayerStats(full, s"$tableDir/v$next")
     flipPointer(tableDir, Seq(s"v$next"), latestTag(tableDir))
     true
   }

@@ -110,6 +110,30 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(NdjsonIngest.latestPath(dir)).count() === 10)
   }
 
+  test("layer stats prune the chain for range reads") {
+    val dir = tmpDir() + "/t"
+    // three delta layers with disjoint id ranges (time-ordered appends)
+    NdjsonIngest.appendVersion(
+      Seq((1L, "CH", 1.0), (9L, "DE", 2.0)).toDF("id", "country", "val"), dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((10L, "CH", 3.0), (19L, "DE", 4.0)).toDF("id", "country", "val"), dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((20L, "CH", 5.0), (29L, "DE", 6.0)).toDF("id", "country", "val"), dir, "id")
+    // the pruned read touches ONLY the middle layer's files
+    val pruned = NdjsonIngest.readLatestRange(spark, dir, "id", 12, 15)
+    val files = pruned.select(input_file_name()).distinct()
+      .as[String].collect()
+    assert(files.nonEmpty && files.forall(_.contains("/v2/")),
+      s"expected only v2 files, got ${files.mkString(", ")}")
+    // superset contract: precise filter on the pruned read == full read
+    assert(pruned.filter(col("id").between(10, 19)).count() === 2)
+    // untouched range prunes everything but keeps the schema
+    assert(NdjsonIngest.readLatestRange(spark, dir, "id", 100, 200)
+      .filter(col("id") > 0).count() === 0)
+    // a column without stats (string) includes every layer
+    assert(NdjsonIngest.readLatestRange(spark, dir, "country", 0, 1).count() === 6)
+  }
+
   test("commit log: every version addressable; gc retention bounds travel") {
     val dir = tmpDir() + "/t"
     NdjsonIngest.appendVersion(
