@@ -80,6 +80,64 @@ object RelationalOps {
       .agg(sum("__partial").as("cnt"))
   }
 
+  /** Salted equi-join for skewed keys (beyond-reference): the big side gets
+    * a per-ROW salt in [0, salts) — derived from `rowHash`, which must vary
+    * across rows sharing a join key, NOT from the key itself — and the small
+    * side is replicated once per salt value. Joining on (key, salt) spreads
+    * a hot key's rows over `salts` reducers instead of funneling them into
+    * one.
+    *
+    * When it matters at 100 TB: the small side is too big to broadcast
+    * (so the join must shuffle) and the big side's key distribution is
+    * skewed. AQE's skew-join split handles the sort-merge case after the
+    * fact; salting bakes the spread into the plan and also covers
+    * shuffle-hash joins and the partial-aggregation that follows. The
+    * replication cost is |small| × salts — keep `salts` at the skew factor,
+    * not the parallelism.
+    */
+  def saltedJoin(
+      big: DataFrame, small: DataFrame, key: String,
+      salts: Int, rowHash: Column): DataFrame = {
+    val b = big.withColumn("__salt", pmod(rowHash, lit(salts)).cast("int"))
+    val s = small.withColumn("__salt",
+      explode(array((0 until salts).map(i => lit(i)): _*)))
+    b.join(s, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Interval (range) join re-expressed as an equi-join (beyond-reference):
+    * attach to every point row the interval rows with `lo <= point < hi`.
+    * A naive `p >= lo && p < hi` join has no equi-key, so Spark plans a
+    * nested loop — quadratic at scale. Instead each interval is exploded
+    * into the fixed-width bins it overlaps, points are tagged with their
+    * bin, and the join becomes `bin = bin` plus a residual range filter.
+    *
+    * Scale shape: one equi-join shuffle (or a broadcast hash join when the
+    * exploded interval side is small); interval fan-out is bounded by
+    * span/binWidth + 1, so `binWidth` should be chosen near the TYPICAL
+    * interval span — fan-out stays O(1) per interval and the bin key is
+    * uniformly distributed when points are.
+    *
+    * Both sides' range columns must be integral (cast timestamps to
+    * epoch micros first). Output: all point columns + all interval columns.
+    */
+  def rangeJoinBinned(
+      points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val iv = intervals
+      // [lo, hi): the last covered unit is hi-1, so empty intervals vanish
+      .filter(col(hiCol) > col(loCol))
+      .withColumn("__bin",
+        explode(sequence(floor(col(loCol) / binWidth).cast("long"),
+          floor((col(hiCol) - 1) / binWidth).cast("long"))))
+    points
+      .withColumn("__bin", floor(col(pointCol) / binWidth).cast("long"))
+      .join(iv, Seq("__bin"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bin")
+  }
+
   /** As-of join (beyond-reference; a training-data/event-pipeline staple the
     * reference's single hash-join surface cannot express): for every left
     * row, attach the right row with the greatest `rTs ≤` the left row's

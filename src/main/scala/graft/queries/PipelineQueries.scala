@@ -1395,5 +1395,166 @@ object PipelineQueries {
         .withColumn("novelty",
           round(col("n_novel").cast("double") / col("n_shingles"), 4))
         .orderBy("doc_id")
+    },
+
+    // ---- IVF-PQ search (ann/Pq): the canonical billion-vector ANN
+    //      layout — IVF cells bound the candidate set, PQ codes replace
+    //      the float vectors in the candidate scan (m=4 LUT lookups per
+    //      candidate instead of a 64-term dot), exact cosine re-ranks
+    //      only the top `refine`. Codebooks/centroids are the frozen
+    //      seeded geometry, embedded ONCE as SQL literals in 1-row CTEs;
+    //      the oracle replays encode → cell probe → ADC → refine → top-5
+    //      with the same strict-left-fold double arithmetic, so the
+    //      whole search path is hash-checked. (The k-means-TRAINED
+    //      codebooks stay exercised by q_pq_recall below.) ----
+    QDef("q_ann_ivfpq", {
+      val cents = graft.ann.Ivf.seedCentroids(64, 16, 7L)
+      val books = graft.ann.Pq.seedCodebooks(64, 4, 8, 11L)
+      val ctLit = "[" + cents.map(c => dblList(c.toSeq)).mkString(",\n      ") + "]"
+      val bkLit = "[" + books.map(bk =>
+        "[" + bk.map(c => dblList(c.toSeq)).mkString(", ") + "]").mkString(",\n      ") + "]"
+      val hnLit = "[" + books.map(bk =>
+        "[" + bk.map(c => (c.map(x => x * x).sum / 2).toString).mkString(", ") + "]")
+        .mkString(", ") + "]"
+      val codeExprs = (0 until 4).map { j =>
+        s"""list_position(l$j, list_max(l$j)) - 1"""
+      }.mkString("[", ", ", "]")
+      val ddDefs = (0 until 4).map { j =>
+        s"""list_transform(range(1, 9), cc ->
+           |      list_sum(list_transform(range(1, 17), i ->
+           |        CAST(embedding[${16 * j} + i] AS DOUBLE) * b[${j + 1}][cc][i])) - h[${j + 1}][cc]) AS l$j""".stripMargin
+      }.mkString(",\n    ")
+      val adcSql = (0 until 4).map { j =>
+        s"""list_sum(list_transform(range(1, 17), i ->
+           |      CAST(qv[${16 * j} + i] AS DOUBLE) * b[${j + 1}][codes[${j + 1}] + 1][i]))""".stripMargin
+      }.mkString(" +\n    ")
+      s"""WITH ct AS (SELECT $ctLit AS c),
+         |bk AS (SELECT $bkLit AS b),
+         |hn AS (SELECT $hnLit AS h),
+         |pre AS (SELECT vec_id, embedding,
+         |    list_transform(range(1, 17), cc ->
+         |      list_sum(list_transform(range(1, 65), i ->
+         |        CAST(embedding[i] AS DOUBLE) * c[cc][i]))) AS dd,
+         |    $ddDefs
+         |  FROM embeddings, ct, bk, hn),
+         |enc AS (SELECT vec_id, embedding,
+         |    CAST(list_position(dd, list_max(dd)) - 1 AS INTEGER) AS cell,
+         |    $codeExprs AS codes
+         |  FROM pre),
+         |pn AS (SELECT vec_id AS q_id, embedding AS qv,
+         |    CASE WHEN ${normSqlV("embedding")} = 0 THEN 1.0 ELSE ${normSqlV("embedding")} END AS nq
+         |  FROM embeddings WHERE vec_id < 10),
+         |pd AS (SELECT q_id, qv, unnest(range(0, 16)) AS cell,
+         |    unnest(list_transform(range(1, 17), cc ->
+         |      list_sum(list_transform(range(1, 65), i ->
+         |        c[cc][i] * CAST(qv[i] AS DOUBLE) / nq)))) AS score
+         |  FROM pn, ct),
+         |pc AS (SELECT q_id, qv, cell FROM (
+         |    SELECT q_id, qv, cell, score,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cell ASC) AS crk
+         |    FROM pd) WHERE crk <= 8),
+         |scored AS (SELECT p.q_id, p.qv, e.vec_id AS n_id, e.embedding AS nv,
+         |    $adcSql AS adc
+         |  FROM pc p JOIN enc e ON e.cell = p.cell AND e.vec_id <> p.q_id, bk),
+         |ref AS (SELECT q_id, qv, n_id, nv FROM (
+         |    SELECT q_id, qv, n_id, nv,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id ASC) AS ark
+         |    FROM scored) WHERE ark <= 20)
+         |SELECT q_id, CAST(rk AS INTEGER) AS rk, n_id, cos FROM (
+         |  SELECT q_id, n_id,
+         |    round(${dotSql("qv", "nv")} / (${normSqlV("qv")} * ${normSqlV("nv")}), 6) AS cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY
+         |      round(${dotSql("qv", "nv")} / (${normSqlV("qv")} * ${normSqlV("nv")}), 6) DESC,
+         |      n_id ASC) AS rk
+         |  FROM ref) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+    }) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val cents = graft.ann.Ivf.seedCentroids(64, 16, 7L)
+      val books = graft.ann.Pq.seedCodebooks(64, 4, 8, 11L)
+      val probes = emb.filter(col("vec_id") < 10)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
+      graft.ann.Pq.topk(emb, "vec_id", "embedding", probes, cents, books,
+        k = 5, nprobe = 8, refine = 20)
+        .orderBy("q_id", "rk")
+    },
+
+    // ---- IVF-PQ quality gate: recall@5 of the TRAINED quantizers
+    //      (per-subspace Lloyd codebooks + k-means cells — data-dependent,
+    //      not SQL-expressible) vs the exhaustive top-5, as an
+    //      oracle-checkable constant row (q_ivf_recall pattern) ----
+    QDef("q_pq_recall",
+      "SELECT CAST(10 AS BIGINT) AS n_probes, true AS recall_ok") { (s, dir) =>
+      val emb = t(s, dir, "embeddings").localCheckpoint()
+      val cents = graft.ann.Ivf.train(emb, "embedding", dim = 64, cells = 16, iters = 2)
+      // parameters picked by tools/PqCalib recall sweep: 8-dim subspaces
+      // quantize much tighter than 16-dim ones on this data (m=8/k=16 →
+      // 0.80 recall@5 at sf0.01 vs 0.40 for m=4/k=8)
+      val books = graft.ann.Pq.train(emb, "embedding", dim = 64, m = 8, k = 16, iters = 2)
+      val probes = emb.filter(col("vec_id") < 10)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
+      val pq = graft.ann.Pq
+        .topk(emb, "vec_id", "embedding", probes, cents, books,
+          k = 5, nprobe = 12, refine = 80)
+        .select("q_id", "n_id")
+      val e = emb.select(col("vec_id"), col("embedding"), VF.norm2(col("embedding")).as("nrm"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("nq"))
+      val nn = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"), col("nrm").as("nn"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+      val truth = broadcast(q).join(nn, col("q_id") =!= col("n_id"))
+        .withColumn("cos",
+          round(VF.dot(col("qv"), col("nv")) / (col("nq") * col("nn")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select("q_id", "n_id")
+      val hit = pq.join(truth, Seq("q_id", "n_id"), "left_semi").count()
+      val total = truth.count()
+      val spark = s
+      import spark.implicits._
+      Seq((probes.size.toLong, total > 0 && hit.toDouble / total >= 0.6))
+        .toDF("n_probes", "recall_ok")
+    },
+
+    // ---- decontamination behind a Bloom prefilter: at 100 TB the eval
+    //      shingle set can outgrow a broadcast hash set; a Bloom filter
+    //      (~1.2 MB per million shingles at 1% fpp) still broadcasts.
+    //      The sketch only PREFILTERS — no false negatives, and the
+    //      false positives are removed by the exact verify join — so the
+    //      result is bit-identical to exact decontamination, which is
+    //      precisely what the oracle computes. The mightContain call is
+    //      the engine's one justified UDF: Spark exposes no public
+    //      bloom_filter expression surface. ----
+    QDef("q_decontaminate_bloom",
+      s"""$docBaseSql,
+         |ev AS (SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0),
+         |cont AS (SELECT DISTINCT t.doc_id FROM ex t JOIN ev e ON t.s = e.s
+         |  WHERE t.doc_id % 97 <> 0),
+         |tr AS (SELECT doc_id, source FROM documents WHERE doc_id % 97 <> 0)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(count(c.doc_id) AS BIGINT) AS contaminated
+         |FROM tr LEFT JOIN cont c ON c.doc_id = tr.doc_id
+         |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val ex = docs
+        .select(col("doc_id"), explode(TF.shingles(col("text"), 3)).as("sh"))
+        .withColumn("s64", xxhash64(col("sh"))).drop("sh")
+        .localCheckpoint() // feeds the bloom build AND both join sides
+      val evS = ex.filter(col("doc_id") % 97 === 0).select("s64").distinct()
+      val bloom = evS.stat.bloomFilter("s64", 100000L, 0.01)
+      val bloomBc = s.sparkContext.broadcast(bloom)
+      val mightContain = udf((x: Long) => bloomBc.value.mightContainLong(x))
+      val cont = ex.filter(col("doc_id") % 97 =!= 0)
+        .filter(mightContain(col("s64"))) // sketch prefilter: scan-local
+        .join(broadcast(evS), "s64") // exact verify: kills false positives
+        .select("doc_id").distinct()
+        .withColumn("hit", lit(1))
+      docs.filter(col("doc_id") % 97 =!= 0)
+        .join(cont, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("hit")).cast("bigint").as("contaminated"))
+        .orderBy("source")
     })
 }

@@ -652,5 +652,94 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"),
           min("z").as("zmin"), max("z").as("zmax"))
         .orderBy("tile")
+    },
+
+    // ---- salted skew join (RelationalOps.saltedJoin): lineitem's
+    //      3-value l_returnflag is the worst-case skewed key — a plain
+    //      shuffle join lands a third of the table on one reducer. The
+    //      salted form joins on (key, salt-in-[0,8)) with the dim
+    //      replicated 8×, spreading each hot key over 8 reducers. Same
+    //      answer as the oracle's plain join — salting is correctness-
+    //      neutral by construction. ----
+    QDef("q_salted_join",
+      """WITH dim(flag, label) AS (VALUES ('A', 'returned'), ('N', 'kept'), ('R', 'refunded')),
+        |j AS (SELECT d.label, l.l_quantity FROM lineitem l
+        |  JOIN dim d ON l.l_returnflag = d.flag)
+        |SELECT label, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM j GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val dim = Seq(("A", "returned"), ("N", "kept"), ("R", "refunded"))
+        .toDF("l_returnflag", "label")
+      RelationalOps.saltedJoin(
+        t(s, dir, "lineitem"), dim, "l_returnflag",
+        salts = 8, rowHash = xxhash64(col("l_orderkey"), col("l_linenumber")))
+        .groupBy("label")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("bigint")).cast("bigint").as("sum_qty"))
+        .orderBy("label")
+    },
+
+    // ---- interval join as an equi-join (RelationalOps.rangeJoinBinned):
+    //      prices bucketed into NON-uniform quadratic bands [i²·500, (i+1)²·500)
+    //      dollars — an arbitrary-interval lookup a fixed-divisor floor()
+    //      can't express. The naive `lo <= p < hi` join is a nested loop;
+    //      binned, each band explodes into its ≤20 overlapped $1000 bins
+    //      and the join is `bin = bin` + residual filter. Prices travel as
+    //      exact DECIMAL cents so both engines bin identical integers. ----
+    QDef("q_range_join",
+      """WITH bands AS (SELECT CAST(i AS INTEGER) AS band, i*i*50000 AS lo,
+        |    (i+1)*(i+1)*50000 AS hi FROM range(0, 20) t(i)),
+        |p AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    l_quantity FROM lineitem),
+        |j AS (SELECT b.band, b.lo, b.hi, p.l_quantity FROM p
+        |  JOIN bands b ON p.cents >= b.lo AND p.cents < b.hi)
+        |SELECT band, CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM j GROUP BY 1, 2, 3 ORDER BY band""".stripMargin) { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val bands = (0 until 20).map(i =>
+        (i, i.toLong * i * 50000, (i + 1).toLong * (i + 1) * 50000))
+        .toDF("band", "lo", "hi")
+      val points = t(s, dir, "lineitem")
+        .select((dec(col("l_extendedprice")) * 100).cast("bigint").as("cents"),
+          col("l_quantity"))
+      RelationalOps.rangeJoinBinned(points, "cents", bands, "lo", "hi",
+        binWidth = 100000L)
+        .groupBy("band", "lo", "hi")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("bigint")).cast("bigint").as("sum_qty"))
+        .orderBy("band")
+    },
+
+    // ---- approximate group quantiles, gated like q_approx_distinct: the
+    //      sketch (approx_percentile — a fixed-size mergeable
+    //      Greenwald-Khanna summary, the 100 TB path next to q_quantiles'
+    //      exact rank pick) must land within ±5 percentile RANKS of its
+    //      target. Rank-based gating is distribution-free: the oracle pins
+    //      the exact group sizes and `true` flags, so sketch drift beyond
+    //      the band breaks the hash without exposing the approximate
+    //      VALUES (which no oracle could recompute) to the comparison. ----
+    QDef("q_approx_quantiles",
+      """SELECT event_type, count(*) AS n, true AS p50_ok, true AS p95_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events").select("event_type", "value")
+      val approx = ev.groupBy("event_type")
+        .agg(percentile_approx(col("value"), lit(0.5), lit(1000)).as("a50"),
+          percentile_approx(col("value"), lit(0.95), lit(1000)).as("a95"))
+      ev.join(broadcast(approx), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("value") <= col("a95"), 1L).otherwise(0L)).as("le95"))
+        .select(col("event_type"), col("n"),
+          (col("le50") >= col("n") * 0.45 && col("le50") <= col("n") * 0.55)
+            .as("p50_ok"),
+          (col("le95") >= col("n") * 0.93 && col("le95") <= col("n") * 0.97)
+            .as("p95_ok"))
+        .orderBy("event_type")
     })
 }

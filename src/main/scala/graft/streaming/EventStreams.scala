@@ -117,6 +117,22 @@ object EventStreams {
         if (ttl == null) TimeMode.None() else TimeMode.ProcessingTime(),
         OutputMode.Update())(Encoders.product[UserTotals])
 
+  /** Declarative gap sessionization via the built-in `session_window`
+    * aggregation — the functions-not-custom-state counterpart of
+    * [[sessionize]]: Spark merges overlapping per-key windows in the
+    * state store and finalizes a session once the watermark passes its
+    * close (start of the last event + gap). Same unified contract: on a
+    * static frame it computes the identical sessions in one pass with
+    * no state store at all.
+    */
+  def sessionWindows(events: DataFrame, gap: String): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class SessionOut(user_id: Long, n_events: Long, duration_ms: Long)

@@ -1,0 +1,43 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ann.{Ivf, Pq}
+import graft.functions.{VectorFunctions => VF}
+
+/** Recall sweep for the trained IVF-PQ gate (q_pq_recall): prints recall@5
+  * across (m, k, refine, nprobe) so the gate's parameters are picked from
+  * measurement, not guesswork.
+  */
+object PqCalib {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = graft.core.Tables.load(spark, sfDir, "embeddings").localCheckpoint()
+    val e = emb.select(col("vec_id"), col("embedding"), VF.norm2(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("nq"))
+    val nn = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"), col("nrm").as("nn"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    val truth = broadcast(q).join(nn, col("q_id") =!= col("n_id"))
+      .withColumn("cos", round(VF.dot(col("qv"), col("nv")) / (col("nq") * col("nn")), 6))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("q_id", "n_id").localCheckpoint()
+    val total = truth.count()
+    val probes = emb.filter(col("vec_id") < 10).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
+    val cents = Ivf.train(emb, "embedding", dim = 64, cells = 16, iters = 2)
+    for (m <- Seq(4, 8); k <- Seq(8, 16); refine <- Seq(40, 80); nprobe <- Seq(8, 12)) {
+      val books = Pq.train(emb, "embedding", dim = 64, m = m, k = k, iters = 2)
+      val pq = Pq.topk(emb, "vec_id", "embedding", probes, cents, books,
+        k = 5, nprobe = nprobe, refine = refine)
+        .select("q_id", "n_id")
+      val hit = pq.join(truth, Seq("q_id", "n_id"), "left_semi").count()
+      println(f"m=$m k=$k refine=$refine nprobe=$nprobe recall=${hit.toDouble / total}%.3f")
+    }
+    spark.stop()
+  }
+}

@@ -80,4 +80,35 @@ class RelationalOpsSpec extends SparkSpec {
       .select("asof_pay").as[Long].collect()
     assert(out.toSeq === Seq(9L))
   }
+
+  test("saltedJoin matches the plain join exactly (salting is correctness-neutral)") {
+    // heavily skewed: 90 of 100 rows share key "hot"
+    val big = (0 until 100).map(i => (if (i < 90) "hot" else s"k$i", i.toLong))
+      .toDF("k", "v")
+    val small = Seq(("hot", "H"), ("k95", "C")).toDF("k", "label")
+    val salted = RelationalOps.saltedJoin(big, small, "k", 4, xxhash64(col("v")))
+      .select("k", "v", "label")
+    val plain = big.join(small, "k").select("k", "v", "label")
+    assert(salted.count() === plain.count())
+    assert(salted.except(plain).count() === 0 && plain.except(salted).count() === 0)
+    // the salt actually spreads the hot key across multiple values
+    val nSalts = big.withColumn("s", pmod(xxhash64(col("v")), lit(4)))
+      .filter(col("k") === "hot").select("s").distinct().count()
+    assert(nSalts > 1)
+  }
+
+  test("rangeJoinBinned matches the naive inequality join on [lo, hi) intervals") {
+    val points = Seq(0L, 5L, 10L, 99L, 100L, 150L, 250L, 999L).map(Tuple1(_))
+      .toDF("p")
+    val iv = Seq((0L, 10L, "a"), (10L, 100L, "b"), (90L, 260L, "c"),
+      (300L, 300L, "empty"), (240L, 241L, "tiny")).toDF("lo", "hi", "tag")
+    val binned = RelationalOps.rangeJoinBinned(points, "p", iv, "lo", "hi", 50L)
+      .select("p", "tag").as[(Long, String)].collect().toSet
+    val naive = points.join(iv, col("p") >= col("lo") && col("p") < col("hi"))
+      .select("p", "tag").as[(Long, String)].collect().toSet
+    assert(binned === naive)
+    assert(binned.contains((99L, "c")) && binned.contains((5L, "a")))
+    assert(!binned.exists(_._2 == "empty")) // zero-width interval matches nothing
+    assert(!binned.exists(_._1 == 999L))    // point past every interval drops
+  }
 }

@@ -270,6 +270,34 @@ class StreamingSpec extends SparkSpec {
     assert(NdjsonIngest.readLatest(spark, tableDir).count() === 10)
   }
 
+  test("session_window aggregation finalizes sessions past the watermark; batch parity") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = EventStreams.sessionWindows(
+      mem.toDF.toDF("user_id", "ts"), "10 minutes")
+      .writeStream.format("memory").queryName("swin")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0)), (1L, ts(5)), (2L, ts(1)))
+      q.processAllAvailable()
+      // watermark hasn't passed any session's close yet
+      assert(spark.table("swin").count() === 0)
+      // an event 50 min later pushes the watermark past both sessions'
+      // close (last event + 10 min gap) → they finalize
+      mem.addData((3L, ts(50)))
+      q.processAllAvailable()
+      val rows = spark.table("swin")
+        .select("user_id", "n_events").as[(Long, Long)].collect().toSet
+      assert(rows === Set((1L, 2L), (2L, 1L)))
+    } finally q.stop()
+    // identical call on a static frame: same sessions, no state store
+    val b = EventStreams.sessionWindows(
+      Seq((1L, ts(0)), (1L, ts(5)), (1L, ts(45)), (2L, ts(1)))
+        .toDF("user_id", "ts"), "10 minutes")
+      .select("user_id", "n_events").as[(Long, Long)].collect().toSet
+    assert(b === Set((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
   test("sessionize closes sessions on gap and on timeout") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
