@@ -1517,6 +1517,80 @@ object PipelineQueries {
         .toDF("n_probes", "recall_ok")
     },
 
+    // ---- Gopher-style composite quality rules, all in exact integer
+    //      arithmetic (a mean-word-length bound becomes 3n ≤ Σlen ≤ 10n —
+    //      no division anywhere, so both engines agree bit-for-bit):
+    //      token-count window, mean word length, alphabetic-word fraction,
+    //      stopword presence. Pure map pass over the token array; the
+    //      flags are exactly the pre-filter a 100 TB curation run applies
+    //      before any shuffle-heavy dedup. ----
+    QDef("q_quality_gopher",
+      s"""WITH norm AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |toks AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM norm),
+         |ag AS (SELECT doc_id,
+         |    CAST(len(tk) AS INTEGER) AS n,
+         |    CAST(list_sum(list_transform(tk, t -> len(t))) AS INTEGER) AS sumlen,
+         |    CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-z]'))) AS INTEGER) AS alpha,
+         |    CAST(len(list_distinct(list_filter(tk, t -> list_contains($stopSql, t)))) AS INTEGER) AS nstop
+         |  FROM toks)
+         |SELECT doc_id, n AS n_tokens,
+         |  (n >= 10 AND n <= 1000) AS ok_len,
+         |  (3 * n <= sumlen AND sumlen <= 10 * n) AS ok_wordlen,
+         |  (10 * alpha >= 8 * n) AS ok_alpha,
+         |  (nstop >= 2) AS ok_stop,
+         |  (n >= 10 AND n <= 1000 AND 3 * n <= sumlen AND sumlen <= 10 * n
+         |    AND 10 * alpha >= 8 * n AND nstop >= 2) AS pass
+         |FROM ag ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val tk = TF.tokens(col("text"))
+      val n = size(col("tk"))
+      val sumlen = aggregate(col("tk"), lit(0), (a, t) => a + length(t))
+      val alpha = size(filter(col("tk"), t => t.rlike("[a-z]")))
+      val nstop = size(array_distinct(
+        filter(col("tk"), t => t.isin(TF.stopwords: _*))))
+      val okLen = col("n_tokens") >= 10 && col("n_tokens") <= 1000
+      val okWordlen = lit(3) * col("n_tokens") <= col("sumlen") &&
+        col("sumlen") <= lit(10) * col("n_tokens")
+      val okAlpha = lit(10) * col("alpha") >= lit(8) * col("n_tokens")
+      val okStop = col("nstop") >= 2
+      t(s, dir, "documents")
+        .select(col("doc_id"), tk.as("tk"))
+        .select(col("doc_id"), n.as("n_tokens"), sumlen.as("sumlen"),
+          alpha.as("alpha"), nstop.as("nstop"))
+        .select(col("doc_id"), col("n_tokens"),
+          okLen.as("ok_len"), okWordlen.as("ok_wordlen"),
+          okAlpha.as("ok_alpha"), okStop.as("ok_stop"),
+          (okLen && okWordlen && okAlpha && okStop).as("pass"))
+        .orderBy("doc_id")
+    },
+
+    // ---- token-rarity signal (a perplexity surrogate with NO floating
+    //      log: rare = corpus frequency ≤ 2, share in exact integer basis
+    //      points). The term-count side is a map-side-combinable groupBy;
+    //      the join back ships 64-bit token hashes, not strings. At
+    //      100 TB the term dictionary is a table, not a broadcast —
+    //      this stays one equi-join either way. ----
+    QDef("q_token_rarity",
+      s"""WITH norm AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS t FROM norm),
+         |cc AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+         |j AS (SELECT tok.doc_id, CASE WHEN cc.c <= 2 THEN 1 ELSE 0 END AS rare
+         |  FROM tok JOIN cc ON tok.t = cc.t)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(rare) AS BIGINT) AS n_rare,
+         |  CAST(sum(rare) * 10000 // count(*) AS BIGINT) AS rare_bp
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
+        .withColumn("t64", xxhash64(col("t"))).drop("t")
+      val cc = tok.groupBy("t64").agg(count(lit(1)).as("c"))
+      tok.join(cc, "t64")
+        .withColumn("rare", when(col("c") <= 2, 1L).otherwise(0L))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("rare").cast("bigint").as("n_rare"))
+        .withColumn("rare_bp", expr("n_rare * 10000 div n_tokens").cast("bigint"))
+        .orderBy("doc_id")
+    },
+
     // ---- decontamination behind a Bloom prefilter: at 100 TB the eval
     //      shingle set can outgrow a broadcast hash set; a Bloom filter
     //      (~1.2 MB per million shingles at 1% fpp) still broadcasts.

@@ -741,5 +741,82 @@ object RelationalQueries {
           (col("le95") >= col("n") * 0.93 && col("le95") <= col("n") * 0.97)
             .as("p95_ok"))
         .orderBy("event_type")
+    },
+
+    // ---- arbitrary GROUPING SETS (the general form rollup/cube are
+    //      special cases of): per-flag totals + per-status totals + the
+    //      grand total in ONE pass — Spark expands the sets into a single
+    //      Expand + hash aggregate, not three scans ----
+    QDef("q_grouping_sets",
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupingSets(
+            Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast("bigint")).cast("bigint").as("sum_qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first)
+    },
+
+    // ---- pivot (long → wide): per-cohort event-type counts as columns.
+    //      The value list is EXPLICIT — an unpinned pivot would collect
+    //      distinct values first (an extra job) and make the output schema
+    //      data-dependent, which breaks both at 100 TB and under an
+    //      oracle. ----
+    QDef("q_pivot",
+      """SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
+        |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+        |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+        |  CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+        |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin) { (s, dir) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      t(s, dir, "events")
+        .groupBy((col("user_id") % 10).cast("bigint").as("cohort"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("cohort") +:
+          types.map(ty => coalesce(col(ty), lit(0L)).cast("bigint").as(ty)): _*)
+        .orderBy("cohort")
+    },
+
+    // ---- conversion funnel (event-pipeline staple): per cohort, users
+    //      whose FIRST view precedes their first click precedes their
+    //      first purchase. One groupBy collapses each user to 3 firsts
+    //      (map-side combinable mins), then a cohort rollup — never a
+    //      self-join of the events table. ----
+    QDef("q_events_funnel",
+      """WITH f AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS c,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(user_id % 10 AS BIGINT) AS cohort, count(*) AS n_users,
+        |  CAST(count(CASE WHEN v IS NOT NULL THEN 1 END) AS BIGINT) AS viewed,
+        |  CAST(count(CASE WHEN c > v THEN 1 END) AS BIGINT) AS clicked_after,
+        |  CAST(count(CASE WHEN c > v AND p > c THEN 1 END) AS BIGINT) AS purchased_after
+        |FROM f GROUP BY 1 ORDER BY cohort""".stripMargin) { (s, dir) =>
+      val firsts = t(s, dir, "events")
+        .withColumn("us", expr("unix_micros(ts)"))
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", col("us"))).as("v"),
+          min(when(col("event_type") === "click", col("us"))).as("c"),
+          min(when(col("event_type") === "purchase", col("us"))).as("p"))
+      firsts
+        .groupBy((col("user_id") % 10).cast("bigint").as("cohort"))
+        .agg(count(lit(1)).as("n_users"),
+          count(when(col("v").isNotNull, 1)).cast("bigint").as("viewed"),
+          count(when(col("c") > col("v"), 1)).cast("bigint").as("clicked_after"),
+          count(when(col("c") > col("v") && col("p") > col("c"), 1)).cast("bigint")
+            .as("purchased_after"))
+        .orderBy("cohort")
     })
 }
