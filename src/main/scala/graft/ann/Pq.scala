@@ -136,19 +136,30 @@ object Pq {
   }
 
   /** Train per-subspace codebooks with Lloyd passes over unit-normalized
-    * vectors (the cosine-workload convention). One groupBy per pass for ALL
-    * subspaces: rows explode into (subspace, cell, subvec) and aggregate
-    * per-dimension sums together; only m×k×(sub+1) numbers reach the
-    * driver per pass.
+    * vectors (the cosine-workload convention). Training runs on a BOUNDED,
+    * hash-ordered (= deterministic, data-dependent) sample — the standard
+    * quantizer-training contract at scale: codebooks are a model, models
+    * train on samples; only encoding touches every row. One groupBy per
+    * pass for ALL subspaces: sample rows explode into (subspace, cell,
+    * subvec) and aggregate per-dimension sums together; only
+    * m×k×(sub+1) numbers reach the driver per pass.
     */
   def train(
       emb: DataFrame, vecCol: String,
-      dim: Int, m: Int, k: Int, iters: Int = 3, seed: Long = 11L): Array[Array[Array[Double]]] = {
+      dim: Int, m: Int, k: Int, iters: Int = 3, seed: Long = 11L,
+      sampleRows: Int = 4096): Array[Array[Array[Double]]] = {
     val sub = dim / m
     val unit = emb.select(col(vecCol).as("v"), VF.norm2(col(vecCol)).as("n"))
       .select(transform(col("v"),
         x => coalesce(x.cast("double") / nullif(col("n"), lit(0.0)), lit(0.0)))
         .as("uv"))
+      // TakeOrderedAndProject top-K heap over one linear scan (not a total
+      // sort), then pinned so each Lloyd pass re-reads the sample, not the
+      // table
+      .withColumn("h", xxhash64(col("uv")))
+      .orderBy("h").limit(sampleRows)
+      .drop("h")
+      .localCheckpoint()
     var books = seedCodebooks(dim, m, k, seed)
     for (_ <- 0 until iters) {
       val exploded = unit.select(explode(array((0 until m).map { j =>
