@@ -743,6 +743,39 @@ object RelationalQueries {
         .orderBy("event_type")
     },
 
+    // ---- window FRAMES (the analytic family beyond rank): a 3-row
+    //      moving sum (ROWS frame) and a trailing-7-day sum (RANGE frame
+    //      over integer epoch days, where ties are peers — both engines
+    //      define peer inclusion identically). Money as exact DECIMAL
+    //      cents; one shuffle (the per-customer window sort) serves both
+    //      frames. ----
+    QDef("q_window_moving",
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving3_cents,
+        |  CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY d
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail7d_cents
+        |FROM o ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("bigint").as("d"),
+          (dec(col("o_totalprice")) * 100).cast("bigint").as("cents"))
+      val wRows = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+        .rowsBetween(-2, 0)
+      val wRange = Window.partitionBy("o_custkey").orderBy("d")
+        .rangeBetween(-6, 0)
+      o.select(col("o_custkey"), col("o_orderkey"),
+          sum("cents").over(wRows).cast("bigint").as("moving3_cents"),
+          sum("cents").over(wRange).cast("bigint").as("trail7d_cents"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // ---- arbitrary GROUPING SETS (the general form rollup/cube are
     //      special cases of): per-flag totals + per-status totals + the
     //      grand total in ONE pass — Spark expands the sets into a single

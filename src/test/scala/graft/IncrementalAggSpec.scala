@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.{IncrementalAgg, NdjsonIngest}
+
+/** Incremental aggregate maintenance over delta-layer chains: serve ==
+  * direct group-by, appends summarize only the new layer, compaction
+  * re-keys, gc reclaims dead partials.
+  */
+class IncrementalAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batch(rows: (String, String, Double)*): DataFrame =
+    rows.toDF("id", "k", "x")
+
+  private def direct(tableDir: String): Map[String, (Long, BigDecimal)] =
+    NdjsonIngest.readLatest(spark, tableDir)
+      .groupBy("k")
+      .agg(count(lit(1)).cast("bigint").as("cnt"),
+        sum(col("x").cast("decimal(28,2)")).as("sum_x"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), BigDecimal(r.getDecimal(2)))))
+      .toMap
+
+  private def served(tableDir: String): Map[String, (Long, BigDecimal)] =
+    IncrementalAgg.serve(spark, tableDir, "by_k", Seq("k"), Seq("x"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), BigDecimal(r.getDecimal(2)))))
+      .toMap
+
+  test("merge of per-layer partials equals the direct group-by; appends summarize O(batch)") {
+    val root = java.nio.file.Files.createTempDirectory("incagg").toFile
+    val dir = s"$root/table"
+    NdjsonIngest.appendDelta(batch(("a", "k1", 1.5), ("b", "k2", 2.0)), dir, "id")
+    NdjsonIngest.appendDelta(batch(("c", "k1", 3.0)), dir, "id")
+    NdjsonIngest.appendDelta(batch(("d", "k3", 4.25), ("e", "k1", 0.25)), dir, "id")
+    assert(served(dir) === direct(dir))
+    val aggRoot = new java.io.File(s"$dir/_agg/by_k")
+    assert(aggRoot.list().count(!_.startsWith(".")) === 3)
+
+    // a fourth batch: ONLY the new layer is summarized — existing
+    // partials are untouched (checked by mtime), so commit-time
+    // maintenance cost is O(batch), not O(table)
+    val before = aggRoot.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    NdjsonIngest.appendDelta(batch(("f", "k2", 10.0)), dir, "id")
+    val fresh = IncrementalAgg.maintain(spark, dir, "by_k", Seq("k"), Seq("x"))
+    assert(fresh.length === 1)
+    before.foreach { case (name, mtime) =>
+      assert(new java.io.File(aggRoot, name).lastModified() === mtime,
+        s"partial $name was rewritten")
+    }
+    assert(served(dir) === direct(dir))
+
+    // maintain is idempotent: nothing left to summarize
+    assert(IncrementalAgg.maintain(spark, dir, "by_k", Seq("k"), Seq("x")).isEmpty)
+  }
+
+  test("compaction re-keys partials; gc reclaims the dead ones") {
+    val root = java.nio.file.Files.createTempDirectory("incagg2").toFile
+    val dir = s"$root/table"
+    (0 until 5).foreach(i =>
+      NdjsonIngest.appendDelta(batch((s"id$i", s"k${i % 2}", i.toDouble)), dir, "id"))
+    assert(served(dir) === direct(dir))
+    assert(NdjsonIngest.compactVersions(spark, dir, maxLayers = 2))
+    // the compacted chain's layer gets its own partial on first serve
+    assert(served(dir) === direct(dir))
+    // old layer dirs die in gc; their partials follow
+    NdjsonIngest.gcVersions(dir)
+    val dead = IncrementalAgg.gc(dir, "by_k")
+    assert(dead.nonEmpty)
+    assert(served(dir) === direct(dir))
+  }
+}
