@@ -147,10 +147,10 @@ object Ivf {
   /** The `nprobe` cells nearest to each probe vector (driver-side over the
     * small centroid matrix).
     */
-  def probeCells(probe: Array[Float], cents: Array[Array[Double]], nprobe: Int): Seq[Int] = {
+  def probeCells(probe: Array[Double], cents: Array[Array[Double]], nprobe: Int): Seq[Int] = {
     // zero-norm probe: all dots are 0 either way; dividing by 1 keeps the
     // ranking deterministic (index order) instead of NaN-arbitrary
-    val n0 = math.sqrt(probe.map(x => x.toDouble * x).sum)
+    val n0 = math.sqrt(probe.map(x => x * x).sum)
     val n = if (n0 == 0) 1.0 else n0
     cents.zipWithIndex
       .map { case (c, i) =>
@@ -166,7 +166,7 @@ object Ivf {
     */
   def topk(
       emb: DataFrame, idCol: String, vecCol: String,
-      probes: Seq[(Long, Array[Float])], cents: Array[Array[Double]],
+      probes: Seq[(Long, Array[Double])], cents: Array[Array[Double]],
       k: Int = 5, nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = emb.sparkSession

@@ -83,13 +83,13 @@ object Pq {
   /** Per-query ADC lookup table: lut(j)(i) = dot(q_subvec_j, books(j)(i)).
     * m×k doubles per probe — the "model-sized" object that ships broadcast.
     */
-  def lut(probe: Array[Float], books: Array[Array[Array[Double]]]): Seq[Seq[Double]] = {
+  def lut(probe: Array[Double], books: Array[Array[Array[Double]]]): Seq[Seq[Double]] = {
     val sub = books(0)(0).length
     books.zipWithIndex.map { case (book, j) =>
       book.map { c =>
         var s = 0.0
         var i = 0
-        while (i < sub) { s += probe(j * sub + i).toDouble * c(i); i += 1 }
+        while (i < sub) { s += probe(j * sub + i) * c(i); i += 1 }
         s
       }.toSeq
     }.toSeq
@@ -102,7 +102,7 @@ object Pq {
     */
   def topk(
       emb: DataFrame, idCol: String, vecCol: String,
-      probes: Seq[(Long, Array[Float])],
+      probes: Seq[(Long, Array[Double])],
       cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
       k: Int = 5, nprobe: Int = 4, refine: Int = 20): DataFrame = {
     val spark = emb.sparkSession

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Embedding-vector column functions (`Array[Float]` columns) built from
@@ -39,4 +39,18 @@ object VectorFunctions {
       val planeCol = array(p.map(lit): _*)
       when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Collect a BOUNDED probe set as (id, vector-of-doubles), sorted by id,
+    * regardless of the stored element type — float elements widen exactly,
+    * so downstream double arithmetic (LUTs, probe-cell ranking, typed
+    * literals) is bit-identical whether the parquet writer produced
+    * `array<float>` (today's layout) or `array<double>`. The round-8
+    * lesson (the harness regenerating testdata with a different physical
+    * type) applied to the embeddings table.
+    */
+  def collectProbes(df: DataFrame, idCol: String, vecCol: String): Seq[(Long, Array[Double])] =
+    df.select(col(idCol), col(vecCol)).collect().toSeq
+      .map(r => (r.getLong(0),
+        r.getSeq[Number](1).map(_.doubleValue()).toArray))
+      .sortBy(_._1)
 }

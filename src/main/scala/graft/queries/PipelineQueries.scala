@@ -720,12 +720,9 @@ object PipelineQueries {
          |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"), VF.norm2(col("embedding")).as("nrm"))
-      val probes: Seq[(Long, Seq[Float])] = e
-        .filter(col("vec_id") < ANN_PAIR_PROBES)
-        .select("vec_id", "embedding")
-        .collect().toSeq
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
-        .sortBy(_._1)
+      val probes: Seq[(Long, Seq[Double])] =
+        VF.collectProbes(e.filter(col("vec_id") < ANN_PAIR_PROBES),
+          "vec_id", "embedding").map { case (id, v) => (id, v.toSeq) }
       e.select(col("vec_id").as("b_id"), col("embedding").as("bv"),
           col("nrm").as("nb"), explode(typedLit(probes)).as("p"))
         .filter(col("p._1") < col("b_id"))
@@ -952,9 +949,7 @@ object PipelineQueries {
     }) { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val cents = graft.ann.Ivf.seedCentroids(64, 16, 7L)
-      val probes = emb.filter(col("vec_id") < 10)
-        .select("vec_id", "embedding").collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
+      val probes = VF.collectProbes(emb.filter(col("vec_id") < 10), "vec_id", "embedding")
       graft.ann.Ivf.topk(emb, "vec_id", "embedding", probes, cents, k = 5, nprobe = 8)
         .orderBy("q_id", "rk")
     },
@@ -966,9 +961,7 @@ object PipelineQueries {
       "SELECT CAST(10 AS BIGINT) AS n_probes, true AS recall_ok") { (s, dir) =>
       val emb = t(s, dir, "embeddings").localCheckpoint()
       val cents = graft.ann.Ivf.train(emb, "embedding", dim = 64, cells = 16, iters = 2)
-      val probes = emb.filter(col("vec_id") < 10)
-        .select("vec_id", "embedding").collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
+      val probes = VF.collectProbes(emb.filter(col("vec_id") < 10), "vec_id", "embedding")
       val ivf = graft.ann.Ivf
         .topk(emb, "vec_id", "embedding", probes, cents, k = 5, nprobe = 8)
         .select("q_id", "n_id")
@@ -1471,9 +1464,7 @@ object PipelineQueries {
       val emb = t(s, dir, "embeddings")
       val cents = graft.ann.Ivf.seedCentroids(64, 16, 7L)
       val books = graft.ann.Pq.seedCodebooks(64, 4, 8, 11L)
-      val probes = emb.filter(col("vec_id") < 10)
-        .select("vec_id", "embedding").collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
+      val probes = VF.collectProbes(emb.filter(col("vec_id") < 10), "vec_id", "embedding")
       graft.ann.Pq.topk(emb, "vec_id", "embedding", probes, cents, books,
         k = 5, nprobe = 8, refine = 20)
         .orderBy("q_id", "rk")
@@ -1491,9 +1482,7 @@ object PipelineQueries {
       // quantize much tighter than 16-dim ones on this data (m=8/k=16 →
       // 0.80 recall@5 at sf0.01 vs 0.40 for m=4/k=8)
       val books = graft.ann.Pq.train(emb, "embedding", dim = 64, m = 8, k = 16, iters = 2)
-      val probes = emb.filter(col("vec_id") < 10)
-        .select("vec_id", "embedding").collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
+      val probes = VF.collectProbes(emb.filter(col("vec_id") < 10), "vec_id", "embedding")
       val pq = graft.ann.Pq
         .topk(emb, "vec_id", "embedding", probes, cents, books,
           k = 5, nprobe = 12, refine = 80)

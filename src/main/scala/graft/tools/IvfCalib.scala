@@ -22,8 +22,7 @@ object IvfCalib {
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
       .select("q_id", "n_id").localCheckpoint()
     val total = truth.count()
-    val probes = emb.filter(col("vec_id") < 10).select("vec_id", "embedding").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
+    val probes = VF.collectProbes(emb.filter(col("vec_id") < 10), "vec_id", "embedding")
     for (cells <- Seq(8, 16, 32); nprobe <- Seq(2, 4, 8); iters <- Seq(2, 3)) {
       val cents = Ivf.train(emb, "embedding", dim = 64, cells = cells, iters = iters)
       val ivf = Ivf.topk(emb, "vec_id", "embedding", probes, cents, k = 5, nprobe = nprobe)

@@ -27,8 +27,7 @@ object PqCalib {
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
       .select("q_id", "n_id").localCheckpoint()
     val total = truth.count()
-    val probes = emb.filter(col("vec_id") < 10).select("vec_id", "embedding").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
+    val probes = VF.collectProbes(emb.filter(col("vec_id") < 10), "vec_id", "embedding")
     val cents = Ivf.train(emb, "embedding", dim = 64, cells = 16, iters = 2)
     for (m <- Seq(4, 8); k <- Seq(8, 16); refine <- Seq(40, 80); nprobe <- Seq(8, 12)) {
       val books = Pq.train(emb, "embedding", dim = 64, m = m, k = k, iters = 2)

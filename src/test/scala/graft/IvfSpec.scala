@@ -55,7 +55,7 @@ class IvfSpec extends SparkSpec {
 
   test("top-k with nprobe=1 over separated clusters matches brute force") {
     val cents = Ivf.train(emb, "embedding", dim, cells = 4, iters = 4)
-    val probes = vecs.filter(_._1 < 3)
+    val probes = vecs.filter(_._1 < 3).map { case (id, v) => (id, v.map(_.toDouble)) }
     val got = Ivf.topk(emb, "vec_id", "embedding", probes, cents, k = 5, nprobe = 1)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 

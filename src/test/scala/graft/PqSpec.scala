@@ -74,7 +74,7 @@ class PqSpec extends SparkSpec {
   test("IVF-PQ search recalls the exhaustive top-5 on separated clusters") {
     val cents = Ivf.train(emb, "embedding", dim, cells = 4, iters = 4)
     val books = Pq.train(emb, "embedding", dim, m = 2, k = 8, iters = 3)
-    val probes = vecs.filter(_._1 < 3)
+    val probes = vecs.filter(_._1 < 3).map { case (id, v) => (id, v.map(_.toDouble)) }
     val got = Pq.topk(emb, "vec_id", "embedding", probes, cents, books,
       k = 5, nprobe = 1, refine = 15)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
