@@ -90,9 +90,40 @@ class CountIndexRule extends Rule[LogicalPlan] {
 /** `SparkSessionExtensions` entry point:
   * `.withExtensions(new GraftExtensions)` at session build time, or at
   * runtime `spark.experimental.extraOptimizations ++= Seq(new
-  * CountIndexRule)`.
+  * CountIndexRule)`. Also injects the library's codegen kernels as SQL
+  * functions (`SELECT vecdot(a, b)`) so `spark.sql` users get the same
+  * tight generated loop the DataFrame API does — a plain-SQL client of
+  * the engine never needs the Scala surface.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => new CountIndexRule)
+    e.injectFunction(GraftExtensions.vecdot)
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+
+  /** (name, info, builder) tuple for [[SparkSessionExtensions.injectFunction]]
+    * and [[FunctionRegistry.registerFunction]] — exposed separately so an
+    * already-built session can register it too.
+    */
+  val vecdot: (FunctionIdentifier, org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("vecdot"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[graft.functions.VecDot].getName, "vecdot"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, s"vecdot expects 2 arguments, got ${args.length}")
+      graft.functions.VecDot(args(0), args(1))
+    })
+
+  /** Register the SQL functions on a live session (the runtime analog of
+    * `.withExtensions`, like extraOptimizations for the rule).
+    */
+  def registerFunctions(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(vecdot._1, vecdot._2, vecdot._3)
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftext.{CountIndexRegistry, CountIndexRule}
+import org.apache.spark.sql.graftext.{CountIndexRegistry, CountIndexRule, GraftExtensions}
 
 class CountIndexRuleSpec extends SparkSpec {
   import spark.implicits._
@@ -46,5 +46,20 @@ class CountIndexRuleSpec extends SparkSpec {
     // ungrouped count over a different column also untouched
     val q3 = spark.read.parquet(factPath).groupBy("l_linestatus").count()
     assert(q3.queryExecution.optimizedPlan.toString.contains("Aggregate"))
+  }
+
+  test("vecdot is callable from plain SQL once the extension registers it") {
+    GraftExtensions.registerFunctions(spark)
+    val v = spark.sql(
+      "SELECT vecdot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .as[Double].head()
+    assert(v === 32.0)
+    // same kernel the Column API uses: identical on a float column
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    df.createOrReplaceTempView("vv")
+    val sqlV = spark.sql("SELECT vecdot(a, b) AS d FROM vv").as[Double].head()
+    val colV = df.select(graft.functions.VectorFunctions.dot(col("a"), col("b")))
+      .as[Double].head()
+    assert(sqlV === colV)
   }
 }
