@@ -851,5 +851,42 @@ object RelationalQueries {
           count(when(col("c") > col("v") && col("p") > col("c"), 1)).cast("bigint")
             .as("purchased_after"))
         .orderBy("cohort")
+    },
+
+    // ---- merge-on-read resolution (row-level upsert/delete algebra) ----
+    // The read-side algebra behind NdjsonIngest.readLatestMerged, run on a
+    // synthetic 3-layer history derived deterministically from `documents`:
+    // layer 0 = the base table, layer 1 = an upsert batch re-scoring every
+    // doc_id % 7 == 0 row (n_chars doubled), layer 2 = tombstones for
+    // doc_id % 13 == 0. Per-key latest wins via ONE map-side-combinable
+    // max_by over the layer ordinal — no window sort, no join cascade —
+    // then a per-source rollup. The oracle replays the same history as
+    // CASE arithmetic, so the resolution must be value-exact.
+    QDef("q_merge_resolve",
+      """SELECT source, count(*) AS live_docs,
+        |  CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 2 * n_chars
+        |                ELSE n_chars END) AS BIGINT) AS chars
+        |FROM documents WHERE doc_id % 13 <> 0
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "documents").select("doc_id", "source", "n_chars")
+        .withColumn("__layer", lit(0)).withColumn("__del", lit(false))
+      val upserts = t(s, dir, "documents")
+        .filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("source"), (col("n_chars") * 2).as("n_chars"))
+        .withColumn("__layer", lit(1)).withColumn("__del", lit(false))
+      val tombstones = t(s, dir, "documents")
+        .filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"), lit(null).cast("string").as("source"),
+          lit(null).cast("long").as("n_chars"))
+        .withColumn("__layer", lit(2)).withColumn("__del", lit(true))
+      base.unionByName(upserts).unionByName(tombstones)
+        .groupBy("doc_id")
+        .agg(max_by(struct(col("source"), col("n_chars"), col("__del")),
+          col("__layer")).as("w"))
+        .filter(!col("w.__del"))
+        .groupBy(col("w.source").as("source"))
+        .agg(count(lit(1)).as("live_docs"),
+          sum(col("w.n_chars")).cast("bigint").as("chars"))
+        .orderBy("source")
     })
 }

@@ -347,6 +347,140 @@ object NdjsonIngest {
   def readLatest(spark: SparkSession, tableDir: String): DataFrame =
     spark.read.parquet(latestLayers(tableDir).map(l => s"$tableDir/$l"): _*)
 
+  // ---- merge-on-read upserts & deletes --------------------------------
+  //
+  // Row-level mutation over the same layer chain: an UPSERT layer's rows
+  // override earlier rows with the same primary key at READ time, and a
+  // DELETE layer holds only tombstones (a `_tombstones/` parquet of pk
+  // values inside the version dir — the underscore prefix keeps plain
+  // parquet readers from ever seeing it as data). Commits stay O(batch);
+  // readers resolve per-key latest with ONE map-side-combinable
+  // aggregation; compaction folds the chain back into a tombstone-free
+  // snapshot. This is the classic lakehouse merge-on-read design, and the
+  // row-level generalization of the reference's column-level
+  // updateColumn (database.h:77-88, scalar_column_update.cpp).
+  //
+  // A table maintained with upsertDelta/deleteDelta must be read with
+  // readLatestMerged — the plain readLatest union would resurrect
+  // overridden rows. appendDelta (strict append) and upsertDelta may mix:
+  // append is just an upsert that happens to match nothing.
+
+  /** Commit an UPSERT batch as a delta layer: rows whose `pk` matches an
+    * earlier layer override that row at merged-read time; unmatched rows
+    * are plain inserts. No read of the existing table beyond the schema
+    * check — a match is the point, not an error — so the commit writes
+    * O(batch) and touches O(1) metadata.
+    */
+  def upsertDelta(df: DataFrame, tableDir: String, pk: String,
+      tag: Option[String] = None): Long = {
+    validatePrimaryKey(df, pk)
+    val dataLayers = latestLayers(tableDir).filter(layerHasData(tableDir, _))
+    if (dataLayers.nonEmpty) {
+      val existing =
+        df.sparkSession.read.parquet(dataLayers.map(l => s"$tableDir/$l"): _*)
+      if (existing.schema.simpleString != df.schema.simpleString)
+        throw SchemaMismatch(existing.schema.simpleString, df.schema.simpleString)
+    }
+    commitLayer(df, tableDir, tag, resetChain = false)
+  }
+
+  /** Commit a DELETE batch: a layer carrying ONLY tombstones for the given
+    * keys (`keys` must contain the pk column; other columns are ignored).
+    * A tombstone kills any same-key row in this or earlier layers; a LATER
+    * upsert of the key resurrects it. O(|keys|) write.
+    */
+  def deleteDelta(keys: DataFrame, tableDir: String, pk: String,
+      tag: Option[String] = None): Long = {
+    val fs = new java.io.File(tableDir)
+    fs.mkdirs()
+    val effectiveTag = tag.orElse(latestTag(tableDir))
+    val existing = Option(fs.list()).getOrElse(Array())
+      .filter(_.startsWith("v")).map(_.drop(1).toLong)
+    val next = if (existing.isEmpty) 1L else existing.max + 1
+    keys.select(col(pk)).distinct()
+      .write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/v$next/_tombstones")
+    flipPointer(tableDir, latestLayers(tableDir) :+ s"v$next", effectiveTag)
+    next
+  }
+
+  private def layerHasData(tableDir: String, layer: String): Boolean = {
+    val d = new java.io.File(tableDir, layer)
+    Option(d.list()).getOrElse(Array())
+      .exists(n => !n.startsWith("_") && !n.startsWith("."))
+  }
+
+  /** Resolve a layer chain under merge-on-read semantics: per primary key
+    * the event (data row or tombstone) from the LATEST layer wins; keys
+    * whose winner is a tombstone are gone. One shuffle on `pk`, and the
+    * per-key argmax (`max_by` over the layer ordinal) combines map-side —
+    * no window sort, no per-layer join cascade. Layer count is bounded by
+    * [[compactMerged]], so the union width stays small.
+    */
+  private def resolveChainMerged(spark: SparkSession, tableDir: String,
+      chain: Seq[String], pk: String): DataFrame = {
+    val indexed = chain.zipWithIndex
+    val dataLayers = indexed.filter { case (l, _) => layerHasData(tableDir, l) }
+    require(dataLayers.nonEmpty,
+      s"merged read of $tableDir: chain ${chain.mkString(",")} has no data layers")
+    val schema = spark.read.parquet(s"$tableDir/${dataLayers.head._1}").schema
+    val payload = schema.fields.map(_.name).filter(_ != pk).toSeq
+    val dataParts = dataLayers.map { case (l, i) =>
+      spark.read.parquet(s"$tableDir/$l")
+        .withColumn("__layer", lit(i)).withColumn("__del", lit(false))
+    }
+    val tombParts = indexed.flatMap { case (l, i) =>
+      val t = new java.io.File(s"$tableDir/$l/_tombstones")
+      if (!t.isDirectory) None
+      else Some(payload.foldLeft(
+        spark.read.parquet(t.getPath).select(col(pk))) { (d, c) =>
+          d.withColumn(c, lit(null).cast(schema(c).dataType))
+        }.withColumn("__layer", lit(i)).withColumn("__del", lit(true)))
+    }
+    val events = (dataParts ++ tombParts).reduce(_.unionByName(_))
+    // (pk, layer) is unique by construction — data layers are pk-validated,
+    // tombstone layers are distinct-ed, and one layer is never both — so
+    // the argmax is deterministic.
+    val winner = events.groupBy(col(pk)).agg(
+      max_by(struct((payload :+ "__del").map(col): _*), col("__layer")).as("__w"))
+    winner.filter(!col("__w.__del"))
+      .select(schema.fields.map(f =>
+        if (f.name == pk) col(pk) else col(s"__w.${f.name}").as(f.name)): _*)
+  }
+
+  /** The table as of the committed pointer under merge-on-read semantics. */
+  def readLatestMerged(spark: SparkSession, tableDir: String, pk: String): DataFrame =
+    resolveChainMerged(spark, tableDir, latestLayers(tableDir), pk)
+
+  /** Time travel with merge semantics: the resolved table as of commit `seq`. */
+  def readCommitMerged(spark: SparkSession, tableDir: String, pk: String,
+      seq: Long): DataFrame = {
+    val p = java.nio.file.Paths.get(tableDir, "_log", seq.toString)
+    val chain = java.nio.file.Files.readString(p).trim.split("\\s+").head
+      .split(",").toSeq.filter(_.nonEmpty)
+    resolveChainMerged(spark, tableDir, chain, pk)
+  }
+
+  /** Fold a merge-on-read chain longer than `maxLayers` into ONE resolved,
+    * tombstone-free snapshot layer (readers of the old pointer keep their
+    * chain; [[gcVersions]] reclaims it later). After compaction the plain
+    * [[readLatest]] and [[readLatestMerged]] agree — the merge debt is paid
+    * once here instead of on every read.
+    */
+  def compactMerged(spark: SparkSession, tableDir: String, pk: String,
+      maxLayers: Int = 8): Boolean = {
+    val layers = latestLayers(tableDir)
+    if (layers.length <= maxLayers) return false
+    val resolved = resolveChainMerged(spark, tableDir, layers, pk)
+    val fs = new java.io.File(tableDir)
+    val existing = Option(fs.list()).getOrElse(Array())
+      .filter(_.startsWith("v")).map(_.drop(1).toLong)
+    val next = if (existing.isEmpty) 1L else existing.max + 1
+    resolved.write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/v$next")
+    writeLayerStats(spark.read.parquet(s"$tableDir/v$next"), s"$tableDir/v$next")
+    flipPointer(tableDir, Seq(s"v$next"), latestTag(tableDir))
+    true
+  }
+
   /** Range-clustered append (reference: clustered ingestion buffering,
     * append/table_inserter.h:28-40, performance/README.md:37-57): rows are
     * range-partitioned and sorted on `rangeCol` before the parquet write,

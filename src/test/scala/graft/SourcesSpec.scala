@@ -159,6 +159,69 @@ class SourcesSpec extends SparkSpec {
     assert(NdjsonIngest.readLatest(spark, dir).count() === 3)
   }
 
+  test("merge-on-read: upserts override, deletes tombstone, later upserts resurrect") {
+    val dir = tmpDir() + "/t"
+    NdjsonIngest.appendVersion(
+      Seq((1L, "CH", 1.0), (2L, "DE", 2.0), (3L, "FR", 3.0))
+        .toDF("id", "country", "val"), dir, "id")
+    // upsert: override id=2, insert id=4 — the layer holds ONLY the batch
+    NdjsonIngest.upsertDelta(
+      Seq((2L, "DE", 20.0), (4L, "IT", 4.0)).toDF("id", "country", "val"), dir, "id")
+    val upsertLayer = s"$dir/${NdjsonIngest.latestLayers(dir).last}"
+    assert(spark.read.parquet(upsertLayer).count() === 2)
+    val afterUpsert = NdjsonIngest.readLatestMerged(spark, dir, "id")
+      .as[(Long, String, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(afterUpsert === Map(1L -> 1.0, 2L -> 20.0, 3L -> 3.0, 4L -> 4.0))
+    // schema order survives resolution
+    assert(NdjsonIngest.readLatestMerged(spark, dir, "id").columns.toSeq ===
+      Seq("id", "country", "val"))
+    // delete: ids 1 and 3 tombstoned (3 twice in the batch — distinct-ed)
+    NdjsonIngest.deleteDelta(Seq(1L, 3L, 3L).toDF("id"), dir, "id")
+    val afterDelete = NdjsonIngest.readLatestMerged(spark, dir, "id")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(afterDelete === Seq(2L, 4L))
+    // a LATER upsert resurrects a deleted key
+    NdjsonIngest.upsertDelta(Seq((3L, "FR", 33.0)).toDF("id", "country", "val"), dir, "id")
+    val resurrected = NdjsonIngest.readLatestMerged(spark, dir, "id")
+      .filter(col("id") === 3L).as[(Long, String, Double)].head()
+    assert(resurrected === ((3L, "FR", 33.0)))
+    // drifted upsert schema aborts at the commit boundary
+    intercept[NdjsonIngest.SchemaMismatch] {
+      NdjsonIngest.upsertDelta(Seq((9L, "CH")).toDF("id", "country"), dir, "id")
+    }
+    // time travel WITH merge semantics: commit 3 (post-delete) lacks 1,3;
+    // commit 2 (pre-delete) still shows them
+    assert(NdjsonIngest.readCommitMerged(spark, dir, "id", 3L)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(2L, 4L))
+    assert(NdjsonIngest.readCommitMerged(spark, dir, "id", 2L)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("merge-on-read compaction folds the chain into a tombstone-free snapshot") {
+    val dir = tmpDir() + "/t"
+    NdjsonIngest.appendVersion(
+      (1L to 6L).map(i => (i, "CH", i.toDouble)).toDF("id", "country", "val"), dir, "id")
+    NdjsonIngest.upsertDelta(Seq((2L, "DE", 22.0)).toDF("id", "country", "val"), dir, "id")
+    NdjsonIngest.deleteDelta(Seq(5L).toDF("id"), dir, "id")
+    val expect = NdjsonIngest.readLatestMerged(spark, dir, "id")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(!NdjsonIngest.compactMerged(spark, dir, "id", maxLayers = 3)) // under bound
+    assert(NdjsonIngest.compactMerged(spark, dir, "id", maxLayers = 2))
+    assert(NdjsonIngest.latestLayers(dir).length === 1)
+    // the snapshot layer carries no tombstones, and plain + merged reads agree
+    val snap = s"$dir/${NdjsonIngest.latestLayers(dir).head}"
+    assert(!new java.io.File(snap, "_tombstones").exists())
+    assert(NdjsonIngest.readLatest(spark, dir)
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq === expect)
+    assert(NdjsonIngest.readLatestMerged(spark, dir, "id")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq === expect)
+    assert(expect.map(_._1) === Seq(1L, 2L, 3L, 4L, 6L))
+    assert(expect.find(_._1 == 2L).get._3 === 22.0)
+    // gc reclaims the pre-compaction layers
+    assert(NdjsonIngest.gcVersions(dir).nonEmpty)
+    assert(NdjsonIngest.readLatest(spark, dir).count() === 5)
+  }
+
   test("updateColumn: conditional scalar rewrite") {
     val df = Seq((1L, 10), (2L, 20)).toDF("id", "x")
     val out = RelationalOps.updateColumn(df, "x", lit(0), col("id") === 1L)
