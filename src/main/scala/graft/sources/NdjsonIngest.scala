@@ -125,7 +125,7 @@ object NdjsonIngest {
   def appendVersion(df: DataFrame, tableDir: String, pk: String,
       tag: Option[String] = None): Long = {
     validatePrimaryKey(df, pk)
-    commitLayer(df, tableDir, tag, resetChain = true)
+    commitLayer(df, tableDir, tag, resetChain = true, kind = "snapshot")
   }
 
   /** Append ONLY a batch as a new DELTA layer: the version dir holds the
@@ -160,7 +160,7 @@ object NdjsonIngest {
         .collect().map(_.getString(0)).toSeq
       if (clash.nonEmpty) throw DuplicatePrimaryKey(clash)
     }
-    commitLayer(df, tableDir, tag, resetChain = false)
+    commitLayer(df, tableDir, tag, resetChain = false, kind = "append")
   }
 
   /** Write `df` to the next `v<N>` dir and atomically flip the `latest`
@@ -168,7 +168,7 @@ object NdjsonIngest {
     * rename, so layer list + replay tag commit together.
     */
   private def commitLayer(df: DataFrame, tableDir: String,
-      tag: Option[String], resetChain: Boolean): Long = {
+      tag: Option[String], resetChain: Boolean, kind: String): Long = {
     val fs = new java.io.File(tableDir)
     fs.mkdirs()
     val effectiveTag = tag.orElse(latestTag(tableDir))
@@ -179,7 +179,7 @@ object NdjsonIngest {
     writeLayerStats(df, s"$tableDir/v$next")
     val chain =
       if (resetChain) Seq(s"v$next") else latestLayers(tableDir) :+ s"v$next"
-    flipPointer(tableDir, chain, effectiveTag)
+    flipPointer(tableDir, chain, effectiveTag, kind)
     next
   }
 
@@ -247,7 +247,7 @@ object NdjsonIngest {
   }
 
   private def flipPointer(tableDir: String, chain: Seq[String],
-      tag: Option[String]): Unit = {
+      tag: Option[String], kind: String): Unit = {
     val content = chain.mkString(",") + tag.map(t => s" $t").getOrElse("")
     // commit-log entry BEFORE the pointer flip: every entry describes
     // fully-written version dirs (data is on disk before flipPointer), so
@@ -259,8 +259,11 @@ object NdjsonIngest {
     val logDir = new java.io.File(tableDir, "_log")
     logDir.mkdirs()
     val seq = commits(tableDir).lastOption.getOrElse(0L) + 1
+    // the commit KIND rides only in the log entry (as a self-describing
+    // trailing token — `latest` readers never need it, log readers parse
+    // it by prefix so tag-present and tag-absent entries stay uniform)
     java.nio.file.Files.writeString(
-      new java.io.File(logDir, seq.toString).toPath, content)
+      new java.io.File(logDir, seq.toString).toPath, s"$content #kind=$kind")
     val tmp = new java.io.File(tableDir, ".latest.tmp")
     java.nio.file.Files.writeString(tmp.toPath, content)
     tmp.renameTo(new java.io.File(tableDir, "latest"))
@@ -299,7 +302,7 @@ object NdjsonIngest {
     val next = if (existing.isEmpty) 1L else existing.max + 1
     full.write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/v$next")
     writeLayerStats(full, s"$tableDir/v$next")
-    flipPointer(tableDir, Seq(s"v$next"), latestTag(tableDir))
+    flipPointer(tableDir, Seq(s"v$next"), latestTag(tableDir), kind = "compact")
     true
   }
 
@@ -381,7 +384,7 @@ object NdjsonIngest {
       if (existing.schema.simpleString != df.schema.simpleString)
         throw SchemaMismatch(existing.schema.simpleString, df.schema.simpleString)
     }
-    commitLayer(df, tableDir, tag, resetChain = false)
+    commitLayer(df, tableDir, tag, resetChain = false, kind = "upsert")
   }
 
   /** Commit a DELETE batch: a layer carrying ONLY tombstones for the given
@@ -399,7 +402,8 @@ object NdjsonIngest {
     val next = if (existing.isEmpty) 1L else existing.max + 1
     keys.select(col(pk)).distinct()
       .write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/v$next/_tombstones")
-    flipPointer(tableDir, latestLayers(tableDir) :+ s"v$next", effectiveTag)
+    flipPointer(tableDir, latestLayers(tableDir) :+ s"v$next", effectiveTag,
+      kind = "delete")
     next
   }
 
@@ -477,8 +481,72 @@ object NdjsonIngest {
     val next = if (existing.isEmpty) 1L else existing.max + 1
     resolved.write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/v$next")
     writeLayerStats(spark.read.parquet(s"$tableDir/v$next"), s"$tableDir/v$next")
-    flipPointer(tableDir, Seq(s"v$next"), latestTag(tableDir))
+    flipPointer(tableDir, Seq(s"v$next"), latestTag(tableDir), kind = "compact")
     true
+  }
+
+  private def logEntry(tableDir: String, seq: Long): (Seq[String], String) = {
+    val p = java.nio.file.Paths.get(tableDir, "_log", seq.toString)
+    require(java.nio.file.Files.exists(p),
+      s"change feed: commit $seq of $tableDir was gc'd — consume the feed " +
+        "within the gc retention window")
+    val toks = java.nio.file.Files.readString(p).trim.split("\\s+")
+    val chain = toks.head.split(",").toSeq.filter(_.nonEmpty)
+    val kind = toks.find(_.startsWith("#kind="))
+      .map(_.stripPrefix("#kind=")).getOrElse("unknown")
+    (chain, kind)
+  }
+
+  /** The CHANGE FEED over `(fromSeq, toSeq]`: every row the table gained
+    * or tombstoned in that commit range, tagged `_change_type`
+    * (`insert` for append/upsert rows, `delete` for tombstones — delete
+    * rows carry the pk and nulls elsewhere — and `snapshot` for a full-
+    * replacement commit, after which a consumer resets its derived state)
+    * and `_commit` (the introducing sequence number). Reading the feed
+    * costs O(changed rows): only the layers those commits ADDED are
+    * scanned, never the table. Compaction commits rewrite the chain
+    * without changing content and contribute nothing. This is the
+    * incremental-consumer pattern (downstream index/training-set refresh)
+    * the commit log was built for; consume before [[gcVersions]] reclaims
+    * the range.
+    */
+  def readChanges(spark: SparkSession, tableDir: String, pk: String,
+      fromSeq: Long, toSeq: Long): DataFrame = {
+    require(fromSeq <= toSeq, s"change feed: fromSeq $fromSeq > toSeq $toSeq")
+    // table schema for null-padding delete rows: any data layer as of toSeq
+    val (toChain, _) = logEntry(tableDir, toSeq)
+    val dataLayer = toChain.find(layerHasData(tableDir, _))
+    require(dataLayer.nonEmpty,
+      s"change feed: no data layers as of commit $toSeq")
+    val schema = spark.read.parquet(s"$tableDir/${dataLayer.get}").schema
+    val payload = schema.fields.map(_.name).filter(_ != pk).toSeq
+    val parts = ((fromSeq + 1) to toSeq).flatMap { seq =>
+      val (chain, kind) = logEntry(tableDir, seq)
+      val prev = if (seq == 1) Seq.empty[String] else logEntry(tableDir, seq - 1)._1
+      val added = chain.filterNot(prev.toSet)
+      kind match {
+        case "compact" => None // chain rewrite, content unchanged
+        case "delete" =>
+          added.headOption.map { l =>
+            payload.foldLeft(
+              spark.read.parquet(s"$tableDir/$l/_tombstones").select(col(pk))) {
+              (d, c) => d.withColumn(c, lit(null).cast(schema(c).dataType))
+            }.withColumn("_change_type", lit("delete"))
+              .withColumn("_commit", lit(seq))
+          }
+        case "snapshot" | "append" | "upsert" | "unknown" =>
+          if (added.isEmpty) None
+          else Some(spark.read.parquet(added.map(l => s"$tableDir/$l"): _*)
+            .withColumn("_change_type",
+              lit(if (kind == "snapshot") "snapshot" else "insert"))
+            .withColumn("_commit", lit(seq)))
+      }
+    }
+    if (parts.isEmpty)
+      spark.read.parquet(s"$tableDir/${dataLayer.get}")
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit", lit(0L)).filter(lit(false))
+    else parts.reduce(_.unionByName(_))
   }
 
   /** Range-clustered append (reference: clustered ingestion buffering,

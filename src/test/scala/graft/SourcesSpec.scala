@@ -222,6 +222,44 @@ class SourcesSpec extends SparkSpec {
     assert(NdjsonIngest.readLatest(spark, dir).count() === 5)
   }
 
+  test("change feed: incremental consumers read O(changes) between commits") {
+    val dir = tmpDir() + "/t"
+    NdjsonIngest.appendVersion(                                    // commit 1
+      Seq((1L, "CH", 1.0), (2L, "DE", 2.0)).toDF("id", "country", "val"), dir, "id")
+    NdjsonIngest.appendDelta(                                      // commit 2
+      Seq((3L, "FR", 3.0)).toDF("id", "country", "val"), dir, "id")
+    NdjsonIngest.upsertDelta(                                      // commit 3
+      Seq((2L, "DE", 22.0)).toDF("id", "country", "val"), dir, "id")
+    NdjsonIngest.deleteDelta(Seq(1L).toDF("id"), dir, "id")        // commit 4
+    NdjsonIngest.compactMerged(spark, dir, "id", maxLayers = 1)    // commit 5
+    // the full feed since the snapshot: two inserts then a delete —
+    // the compaction commit contributes NOTHING (content unchanged)
+    val feed = NdjsonIngest.readChanges(spark, dir, "id", 1L, 5L)
+      .select("id", "_change_type", "_commit")
+      .as[(Long, String, Long)].collect().sortBy(_._3).toSeq
+    assert(feed === Seq((3L, "insert", 2L), (2L, "insert", 3L), (1L, "delete", 4L)))
+    // delete rows carry the pk + nulls (schema preserved for unions)
+    val del = NdjsonIngest.readChanges(spark, dir, "id", 3L, 4L)
+    assert(del.columns.toSeq === Seq("id", "country", "val", "_change_type", "_commit"))
+    assert(del.as[(Long, Option[String], Option[Double], String, Long)].head() ===
+      ((1L, None, None, "delete", 4L)))
+    // a full-replacement commit surfaces as `snapshot` — the consumer's
+    // signal to reset derived state
+    assert(NdjsonIngest.readChanges(spark, dir, "id", 0L, 1L)
+      .select("_change_type").distinct().as[String].collect().toSeq === Seq("snapshot"))
+    // compact-only range → empty feed, schema intact
+    assert(NdjsonIngest.readChanges(spark, dir, "id", 4L, 5L).count() === 0)
+    // upserted value rides in the feed row
+    assert(NdjsonIngest.readChanges(spark, dir, "id", 2L, 3L)
+      .select("val").as[Double].head() === 22.0)
+    // a gc'd range refuses loudly instead of returning a silent partial feed
+    NdjsonIngest.gcVersions(dir, retainCommits = 1)
+    val e = intercept[IllegalArgumentException] {
+      NdjsonIngest.readChanges(spark, dir, "id", 1L, 4L)
+    }
+    assert(e.getMessage.contains("gc"))
+  }
+
   test("updateColumn: conditional scalar rewrite") {
     val df = Seq((1L, 10), (2L, 20)).toDF("id", "x")
     val out = RelationalOps.updateColumn(df, "x", lit(0), col("id") === 1L)
