@@ -1619,5 +1619,74 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"),
           count(col("hit")).cast("bigint").as("contaminated"))
         .orderBy("source")
+    },
+
+    // ---- BPE vocabulary induction (tokenizer training at corpus scale) --
+    // Three merge rounds of byte-pair encoding over the whole corpus. The
+    // token sequence is kept as a U+0001-separator-joined string, which makes each
+    // round two codegen'd linear passes and one combinable aggregation:
+    //   pair counts = split + zip-adjacent + groupBy count (map-side
+    //   combinable — the corpus-wide count is THE distributed step);
+    //   the argmax merge pair is a bounded top-1 collect (like k-means
+    //   centroid updates); applying the merge is plain replace() of
+    //   "a<SEP>b" with "ab" — string replace is greedy left-to-right
+    //   non-overlapping, which is exactly BPE's merge rule (the "aaa"
+    //   case: only the first "a<SEP>a" merges). No UDFs, no shuffles
+    //   beyond the count. The oracle replays all three rounds in SQL, so
+    //   every count and every chosen pair must match exactly.
+    QDef("q_bpe_train",
+      """WITH c0 AS (SELECT rtrim(regexp_replace(text, '(.)', '\1' || chr(1), 'g'),
+        |                   chr(1)) AS j
+        |            FROM documents WHERE length(text) >= 2),
+        |p1 AS (SELECT z[1] AS a, z[2] AS b, count(*) AS cnt
+        |       FROM (SELECT unnest(list_zip(l[:-2], l[2:])) AS z
+        |             FROM (SELECT string_split(j, chr(1)) AS l FROM c0))
+        |       GROUP BY 1, 2),
+        |m1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+        |c1 AS (SELECT replace(j, (SELECT a || chr(1) || b FROM m1),
+        |                      (SELECT a || b FROM m1)) AS j FROM c0),
+        |p2 AS (SELECT z[1] AS a, z[2] AS b, count(*) AS cnt
+        |       FROM (SELECT unnest(list_zip(l[:-2], l[2:])) AS z
+        |             FROM (SELECT string_split(j, chr(1)) AS l FROM c1))
+        |       GROUP BY 1, 2),
+        |m2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+        |c2 AS (SELECT replace(j, (SELECT a || chr(1) || b FROM m2),
+        |                      (SELECT a || b FROM m2)) AS j FROM c1),
+        |p3 AS (SELECT z[1] AS a, z[2] AS b, count(*) AS cnt
+        |       FROM (SELECT unnest(list_zip(l[:-2], l[2:])) AS z
+        |             FROM (SELECT string_split(j, chr(1)) AS l FROM c2))
+        |       GROUP BY 1, 2),
+        |m3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS round, a AS pair_a, b AS pair_b, a || b AS merged,
+        |         CAST(cnt AS BIGINT) AS cnt FROM m1
+        |  UNION ALL SELECT 2, a, b, a || b, CAST(cnt AS BIGINT) FROM m2
+        |  UNION ALL SELECT 3, a, b, a || b, CAST(cnt AS BIGINT) FROM m3)
+        |ORDER BY round""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val SEP = "\u0001"
+      var joined = t(s, dir, "documents")
+        .filter(length(col("text")) >= 2)
+        // split-by-empty-regex keeps a trailing "" (limit -1); rtrim the
+        // SEP it would leave so both engines tokenize identically
+        .select(rtrim(array_join(split(col("text"), ""), SEP), SEP).as("j"))
+      val merges = (1 to 3).map { r =>
+        val toks = split(col("j"), SEP)
+        val top = joined
+          .select(explode(arrays_zip(
+            slice(toks, lit(1), size(toks) - 1).as("a"),
+            slice(toks, lit(2), size(toks) - 1).as("b"))).as("z"))
+          .groupBy(col("z.a").as("a"), col("z.b").as("b"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), asc("a"), asc("b"))
+          .limit(1).collect()(0)
+        val a = top.getString(0); val b = top.getString(1)
+        val cnt = top.getLong(2)
+        joined = joined.select(
+          replace(col("j"), lit(a + SEP + b), lit(a + b)).as("j"))
+        (r, a, b, a + b, cnt)
+      }
+      merges.toDF("round", "pair_a", "pair_b", "merged", "cnt")
+        .orderBy("round")
     })
 }
