@@ -125,7 +125,8 @@ object NdjsonIngest {
   def appendVersion(df: DataFrame, tableDir: String, pk: String,
       tag: Option[String] = None): Long = {
     validatePrimaryKey(df, pk)
-    commitLayer(df, tableDir, tag, resetChain = true, kind = "snapshot")
+    commitLayer(df, tableDir, tag, resetChain = true, kind = "snapshot",
+      bloomCol = Some(pk))
   }
 
   /** Append ONLY a batch as a new DELTA layer: the version dir holds the
@@ -160,7 +161,8 @@ object NdjsonIngest {
         .collect().map(_.getString(0)).toSeq
       if (clash.nonEmpty) throw DuplicatePrimaryKey(clash)
     }
-    commitLayer(df, tableDir, tag, resetChain = false, kind = "append")
+    commitLayer(df, tableDir, tag, resetChain = false, kind = "append",
+      bloomCol = Some(pk))
   }
 
   /** Write `df` to the next `v<N>` dir and atomically flip the `latest`
@@ -168,14 +170,19 @@ object NdjsonIngest {
     * rename, so layer list + replay tag commit together.
     */
   private def commitLayer(df: DataFrame, tableDir: String,
-      tag: Option[String], resetChain: Boolean, kind: String): Long = {
+      tag: Option[String], resetChain: Boolean, kind: String,
+      bloomCol: Option[String] = None): Long = {
     val fs = new java.io.File(tableDir)
     fs.mkdirs()
     val effectiveTag = tag.orElse(latestTag(tableDir))
     val existing = Option(fs.list()).getOrElse(Array())
       .filter(_.startsWith("v")).map(_.drop(1).toLong)
     val next = if (existing.isEmpty) 1L else existing.max + 1
-    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/v$next")
+    // a pk bloom filter per row group: point lookups (`pk = x`) skip row
+    // groups without decoding a data page — see [[ParquetBloom]]
+    df.write.mode(SaveMode.ErrorIfExists)
+      .options(bloomCol.map(c => ParquetBloom.options(Seq(c))).getOrElse(Map.empty))
+      .parquet(s"$tableDir/v$next")
     writeLayerStats(df, s"$tableDir/v$next")
     val chain =
       if (resetChain) Seq(s"v$next") else latestLayers(tableDir) :+ s"v$next"
@@ -291,11 +298,25 @@ object NdjsonIngest {
     * Readers holding the old pointer keep reading the old layers; [[gc]]
     * reclaims them once unreferenced.
     */
+  /** `clusterBy`: re-cluster the snapshot while compacting — range-
+    * partition + sort on the column (or a derived key like a Z-order
+    * value) so per-file min/max stay tight and range scans keep pruning.
+    * Without it, compaction interleaves the chain's layers and quietly
+    * DESTROYS the clustering that `appendClusteredVersion` paid for — at
+    * 100 TB that's the difference between a pruned scan and a full one.
+    * `numRanges` sizes the output files (ignored without `clusterBy`).
+    */
   def compactVersions(spark: SparkSession, tableDir: String,
-      maxLayers: Int = 8): Boolean = {
+      maxLayers: Int = 8, clusterBy: Option[String] = None,
+      numRanges: Int = 8): Boolean = {
     val layers = latestLayers(tableDir)
     if (layers.length <= maxLayers) return false
-    val full = spark.read.parquet(layers.map(l => s"$tableDir/$l"): _*)
+    val read = spark.read.parquet(layers.map(l => s"$tableDir/$l"): _*)
+    val full = clusterBy match {
+      case Some(c) =>
+        read.repartitionByRange(numRanges, col(c)).sortWithinPartitions(c)
+      case None => read
+    }
     val fs = new java.io.File(tableDir)
     val existing = Option(fs.list()).getOrElse(Array())
       .filter(_.startsWith("v")).map(_.drop(1).toLong)
@@ -384,7 +405,8 @@ object NdjsonIngest {
       if (existing.schema.simpleString != df.schema.simpleString)
         throw SchemaMismatch(existing.schema.simpleString, df.schema.simpleString)
     }
-    commitLayer(df, tableDir, tag, resetChain = false, kind = "upsert")
+    commitLayer(df, tableDir, tag, resetChain = false, kind = "upsert",
+      bloomCol = Some(pk))
   }
 
   /** Commit a DELETE batch: a layer carrying ONLY tombstones for the given

@@ -260,6 +260,55 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("gc"))
   }
 
+  test("clustered compaction preserves range clustering (per-file disjoint ranges)") {
+    val dir = tmpDir() + "/t"
+    // interleaved id ranges across layers — a naive compaction would
+    // interleave them into every output file
+    NdjsonIngest.appendVersion(
+      (1L to 40L by 4).map(i => (i, "CH", i.toDouble)).toDF("id", "country", "val"),
+      dir, "id")
+    Seq(2L, 3L, 4L).foreach { off =>
+      NdjsonIngest.appendDelta(
+        (off to 40L by 4).map(i => (i, "DE", i.toDouble)).toDF("id", "country", "val"),
+        dir, "id")
+    }
+    assert(NdjsonIngest.compactVersions(spark, dir, maxLayers = 2,
+      clusterBy = Some("id"), numRanges = 4))
+    // per-file [min,max] envelopes of the snapshot are pairwise disjoint
+    val spans = NdjsonIngest.readLatest(spark, dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("id").as("lo"), max("id").as("hi"))
+      .select("lo", "hi").as[(Long, Long)].collect().sortBy(_._1)
+    assert(spans.length > 1)
+    spans.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2, s"overlap: ${spans.toSeq}")
+      case _ => ()
+    }
+    assert(NdjsonIngest.readLatest(spark, dir).count() === 40)
+  }
+
+  test("pk bloom filters: point lookups prune row groups without touching data") {
+    import graft.sources.ParquetBloom
+    val dir = tmpDir() + "/t"
+    NdjsonIngest.appendVersion(
+      (1L to 1000L).map(i => (i, s"c$i", i.toDouble)).toDF("id", "country", "val"),
+      dir, "id")
+    NdjsonIngest.appendDelta(
+      (1001L to 1100L).map(i => (i, s"c$i", i.toDouble)).toDF("id", "country", "val"),
+      dir, "id")
+    // every layer's every row group carries a bloom on the pk...
+    NdjsonIngest.latestLayers(dir).foreach { l =>
+      assert(ParquetBloom.hasBloom(spark, s"$dir/$l", "id"), s"no bloom in $l")
+    }
+    // ...present keys pass the filter, absent keys are EXCLUDED by every
+    // row group — the reader skips them all without decoding a data page
+    val l0 = s"$dir/${NdjsonIngest.latestLayers(dir).head}"
+    assert(ParquetBloom.mightContainLong(spark, l0, "id", 500L))
+    assert(!ParquetBloom.mightContainLong(spark, l0, "id", 5000000L))
+    // non-bloomed column reports conservatively (no pruning claim)
+    assert(!ParquetBloom.hasBloom(spark, l0, "val"))
+  }
+
   test("updateColumn: conditional scalar rewrite") {
     val df = Seq((1L, 10), (2L, 20)).toDF("id", "x")
     val out = RelationalOps.updateColumn(df, "x", lit(0), col("id") === 1L)
