@@ -260,6 +260,42 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("gc"))
   }
 
+  test("change-feed consumer: durable cursor, crash-replay, no-op on empty feed") {
+    import graft.sources.ChangeFeedConsumer
+    val dir = tmpDir() + "/t"
+    val state = tmpDir() + "/cursor"
+    NdjsonIngest.appendVersion(                                     // commit 1
+      Seq((1L, "CH", 1.0)).toDF("id", "country", "val"), dir, "id")
+    NdjsonIngest.appendDelta(                                       // commit 2
+      Seq((2L, "DE", 2.0)).toDF("id", "country", "val"), dir, "id")
+    var seen = List.empty[(Long, String, Long)]
+    def sink(df: org.apache.spark.sql.DataFrame): Unit =
+      seen ++= df.select("id", "_change_type", "_commit")
+        .as[(Long, String, Long)].collect().sortBy(_._3)
+    // first call consumes everything from the beginning
+    assert(ChangeFeedConsumer.process(spark, dir, "id", state)(sink) ===
+      Some((0L, 2L)))
+    assert(seen.map(_._1) === List(1L, 2L))
+    assert(ChangeFeedConsumer.cursor(state) === 2L)
+    // nothing new → callback not invoked, cursor untouched
+    assert(ChangeFeedConsumer.process(spark, dir, "id", state)(sink) === None)
+    assert(seen.size === 2)
+    // a crash AFTER the callback but BEFORE the cursor advance replays the
+    // same range on the next call (at-least-once)
+    NdjsonIngest.deleteDelta(Seq(1L).toDF("id"), dir, "id")         // commit 3
+    intercept[RuntimeException] {
+      ChangeFeedConsumer.process(spark, dir, "id", state) { df =>
+        sink(df); throw new RuntimeException("crash before cursor advance")
+      }
+    }
+    assert(ChangeFeedConsumer.cursor(state) === 2L) // not advanced
+    assert(ChangeFeedConsumer.process(spark, dir, "id", state)(sink) ===
+      Some((2L, 3L)))
+    // the delete arrived twice (replay) with the same _commit — the
+    // consumer's idempotence key
+    assert(seen.drop(2) === List((1L, "delete", 3L), (1L, "delete", 3L)))
+  }
+
   test("clustered compaction preserves range clustering (per-file disjoint ranges)") {
     val dir = tmpDir() + "/t"
     // interleaved id ranges across layers — a naive compaction would
