@@ -1688,5 +1688,71 @@ object PipelineQueries {
       }
       merges.toDF("round", "pair_a", "pair_b", "merged", "cnt")
         .orderBy("round")
+    },
+
+    // ---- BPE application (tokenize the corpus with the learned merges) --
+    // The other half of tokenizer training: re-encode every document with
+    // the 3 learned merges and account tokens per source (chars = the
+    // no-merge baseline, so tokens < chars measures the vocabulary's
+    // compression). Applying a merge is the same codegen'd replace() pass
+    // as training; counting is size(split) — the whole query is map-only
+    // until one combinable rollup.
+    QDef("q_bpe_apply",
+      """WITH c0 AS (SELECT source, length(text) AS nchars,
+        |                   rtrim(regexp_replace(text, '(.)', '\1' || chr(1), 'g'),
+        |                   chr(1)) AS j
+        |            FROM documents WHERE length(text) >= 2),
+        |p1 AS (SELECT z[1] AS a, z[2] AS b, count(*) AS cnt
+        |       FROM (SELECT unnest(list_zip(l[:-2], l[2:])) AS z
+        |             FROM (SELECT string_split(j, chr(1)) AS l FROM c0))
+        |       GROUP BY 1, 2),
+        |m1 AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+        |c1 AS (SELECT source, nchars,
+        |              replace(j, (SELECT a || chr(1) || b FROM m1),
+        |                      (SELECT a || b FROM m1)) AS j FROM c0),
+        |p2 AS (SELECT z[1] AS a, z[2] AS b, count(*) AS cnt
+        |       FROM (SELECT unnest(list_zip(l[:-2], l[2:])) AS z
+        |             FROM (SELECT string_split(j, chr(1)) AS l FROM c1))
+        |       GROUP BY 1, 2),
+        |m2 AS (SELECT a, b FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+        |c2 AS (SELECT source, nchars,
+        |              replace(j, (SELECT a || chr(1) || b FROM m2),
+        |                      (SELECT a || b FROM m2)) AS j FROM c1),
+        |p3 AS (SELECT z[1] AS a, z[2] AS b, count(*) AS cnt
+        |       FROM (SELECT unnest(list_zip(l[:-2], l[2:])) AS z
+        |             FROM (SELECT string_split(j, chr(1)) AS l FROM c2))
+        |       GROUP BY 1, 2),
+        |m3 AS (SELECT a, b FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+        |c3 AS (SELECT source, nchars,
+        |              replace(j, (SELECT a || chr(1) || b FROM m3),
+        |                      (SELECT a || b FROM m3)) AS j FROM c2)
+        |SELECT source, count(*) AS docs,
+        |  CAST(SUM(nchars) AS BIGINT) AS chars,
+        |  CAST(SUM(len(string_split(j, chr(1)))) AS BIGINT) AS tokens
+        |FROM c3 GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val SEP = "\u0001"
+      var joined = t(s, dir, "documents")
+        .filter(length(col("text")) >= 2)
+        .select(col("source"), length(col("text")).cast("long").as("nchars"),
+          rtrim(array_join(split(col("text"), ""), SEP), SEP).as("j"))
+      (1 to 3).foreach { _ =>
+        val toks = split(col("j"), SEP)
+        val top = joined
+          .select(explode(arrays_zip(
+            slice(toks, lit(1), size(toks) - 1).as("a"),
+            slice(toks, lit(2), size(toks) - 1).as("b"))).as("z"))
+          .groupBy(col("z.a").as("a"), col("z.b").as("b"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), asc("a"), asc("b"))
+          .limit(1).collect()(0)
+        val a = top.getString(0); val b = top.getString(1)
+        joined = joined.withColumn("j",
+          replace(col("j"), lit(a + SEP + b), lit(a + b)))
+      }
+      joined.groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+          sum(col("nchars")).cast("bigint").as("chars"),
+          sum(size(split(col("j"), SEP))).cast("bigint").as("tokens"))
+        .orderBy("source")
     })
 }
