@@ -184,4 +184,46 @@ class PropertySpec extends SparkSpec {
       assert(Media.decode(blob).map(d => (d.width, d.height)) === Some((w, h)))
     }
   }
+
+  test("merge-on-read agrees with an in-memory model over random op sequences") {
+    import graft.sources.NdjsonIngest
+    // ops over a small key space so upserts/deletes actually collide
+    sealed trait Op
+    case class Upsert(rows: Map[Long, Double]) extends Op
+    case class Delete(keys: Set[Long]) extends Op
+    case object Compact extends Op
+    val opGen: Gen[Op] = Gen.frequency(
+      5 -> (for {
+        n <- Gen.choose(1, 4)
+        ks <- Gen.listOfN(n, Gen.choose(1L, 12L))
+        vs <- Gen.listOfN(n, Gen.choose(0, 999))
+      } yield Upsert(ks.zip(vs.map(_.toDouble)).toMap)),
+      3 -> (for {
+        n <- Gen.choose(1, 3)
+        ks <- Gen.listOfN(n, Gen.choose(1L, 12L))
+      } yield Delete(ks.toSet)),
+      1 -> Gen.const(Compact))
+    val seqGen = Gen.choose(4, 9).flatMap(n => Gen.listOfN(n, opGen))
+    samples(seqGen, 6).zipWithIndex.foreach { case (ops, caseIdx) =>
+      val dir = java.nio.file.Files.createTempDirectory("mor").toString + "/t"
+      var model = Map.empty[Long, Double]
+      // seed so the chain always has a data layer
+      NdjsonIngest.appendVersion(
+        Seq((100L, 0.0)).toDF("id", "val"), dir, "id")
+      model += 100L -> 0.0
+      ops.foreach {
+        case Upsert(rows) =>
+          NdjsonIngest.upsertDelta(rows.toSeq.toDF("id", "val"), dir, "id")
+          model ++= rows
+        case Delete(keys) =>
+          NdjsonIngest.deleteDelta(keys.toSeq.toDF("id"), dir, "id")
+          model --= keys
+        case Compact =>
+          NdjsonIngest.compactMerged(spark, dir, "id", maxLayers = 1)
+      }
+      val got = NdjsonIngest.readLatestMerged(spark, dir, "id")
+        .as[(Long, Double)].collect().toMap
+      assert(got === model, s"case $caseIdx ops=$ops")
+    }
+  }
 }
