@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ann.AnnIndex
+import graft.functions.{VectorFunctions => VF}
+
+/** Persisted IVF-PQ index: build-once/load-later, frozen-model appends,
+  * partition-pruned search with recall vs exhaustive cosine.
+  */
+class AnnIndexSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dim = 8
+
+  /** 4 direction clusters × 25 (same shape as IvfSpec/PqSpec). */
+  private lazy val vecs: Seq[(Long, Array[Float])] = {
+    val base = Seq(
+      Array.tabulate(dim)(i => if (i < 2) 1.0 else 0.0),
+      Array.tabulate(dim)(i => if (i >= 2 && i < 4) 1.0 else 0.0),
+      Array.tabulate(dim)(i => if (i >= 4 && i < 6) 1.0 else 0.0),
+      Array.tabulate(dim)(i => if (i >= 6) 1.0 else 0.0))
+    for (c <- 0 until 4; j <- 0 until 25) yield {
+      val rnd = new scala.util.Random(c * 100L + j)
+      ((c * 25 + j).toLong, base(c).map(x => (x + rnd.nextGaussian() * 0.05).toFloat))
+    }
+  }
+
+  private lazy val emb = vecs.toDF("vec_id", "embedding").localCheckpoint()
+
+  private def exhaustiveTop5(probeIds: Seq[Long]) = {
+    val e = emb.select(col("vec_id"), col("embedding"),
+      VF.norm2(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id").isin(probeIds.map(Long.box): _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("nq"))
+    val nn = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"),
+      col("nrm").as("nn"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    broadcast(q).join(nn, col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        round(VF.dot(col("qv"), col("nv")) / (col("nq") * col("nn")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("q_id", "n_id")
+  }
+
+  test("build → load → search: trained once, loaded thereafter, good recall") {
+    val dir = Files.createTempDirectory("annidx").toString + "/idx"
+    val h1 = AnnIndex.buildOrLoad(spark, emb, "vec_id", "embedding", dir,
+      dim, cells = 4, m = 2, k = 8, iters = 3)
+    assert(h1.layers === Seq("1"))
+    // second call LOADS: model parquet mtimes untouched
+    val modelFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "model"))
+      .filter(p => p.toString.endsWith(".parquet")).toArray.map(_.toString)
+    val mtimes = modelFiles.map(f => f -> new java.io.File(f.toString).lastModified).toMap
+    val h2 = AnnIndex.buildOrLoad(spark, emb, "vec_id", "embedding", dir,
+      dim, cells = 4, m = 2, k = 8, iters = 3)
+    assert(modelFiles.forall(f => new java.io.File(f).lastModified == mtimes(f)),
+      "model files rewritten on load")
+    assert(h2.cents.map(_.toSeq).toSeq === h1.cents.map(_.toSeq).toSeq)
+    assert(h2.books.map(_.map(_.toSeq).toSeq).toSeq ===
+      h1.books.map(_.map(_.toSeq).toSeq).toSeq)
+    // recall@5 ≥ 0.8 on well-separated clusters
+    val probeIds = Seq(0L, 1L, 2L)
+    val probes = vecs.filter(v => probeIds.contains(v._1))
+      .map { case (id, v) => (id, v.map(_.toDouble)) }
+    val got = AnnIndex.search(spark, h2, emb, "vec_id", "embedding", probes,
+      k = 5, nprobe = 1, refine = 15)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val truth = exhaustiveTop5(probeIds).as[(Long, Long)].collect().toSet
+    val recall = (got intersect truth).size.toDouble / truth.size
+    assert(recall >= 0.8, s"recall $recall, got=$got truth=$truth")
+    // search output is ranked 1..5 per probe
+    val ranks = AnnIndex.search(spark, h2, emb, "vec_id", "embedding", probes,
+      k = 5, nprobe = 1, refine = 15)
+      .groupBy("q_id").agg(collect_list("rk").as("rks"))
+      .select("rks").as[Seq[Int]].collect()
+    assert(ranks.forall(_.sorted == Seq(1, 2, 3, 4, 5)))
+  }
+
+  test("append encodes with the frozen model and search sees the new layer") {
+    val dir = Files.createTempDirectory("annidx").toString + "/idx"
+    AnnIndex.buildOrLoad(spark, emb, "vec_id", "embedding", dir,
+      dim, cells = 4, m = 2, k = 8, iters = 3)
+    val mtimes = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "model"))
+      .filter(_.toString.endsWith(".parquet")).toArray.map(_.toString)
+      .map(f => f -> new java.io.File(f).lastModified).toMap
+    // a new vector IDENTICAL to probe 0 (cos = 1.0 → must re-rank first;
+    // a merely-nearby direction can legitimately lose the top-5 to lucky
+    // noise draws), id 999
+    val nv = vecs.head._2.clone()
+    val h = AnnIndex.append(spark,
+      Seq((999L, nv)).toDF("vec_id", "embedding"), "vec_id", "embedding", dir)
+    assert(h.layers === Seq("1", "2"))
+    assert(mtimes.forall { case (f, t) => new java.io.File(f).lastModified == t },
+      "append retrained the model")
+    // the appended layer holds ONE row; search from a cluster-0 probe now
+    // returns 999 among the top-5 (it is nearly identical to the probe)
+    val appended = spark.read.parquet(s"$dir/codes/layer=2")
+    assert(appended.count() === 1)
+    val all = emb.unionByName(Seq((999L, nv)).toDF("vec_id", "embedding"))
+    // refine must clear the whole cell: PQ codes collide inside a tight
+    // cluster and the ADC tie-break (id asc) would otherwise cut 999
+    // before the exact re-rank sees it
+    val got = AnnIndex.search(spark, h, all, "vec_id", "embedding",
+      Seq((0L, vecs.head._2.map(_.toDouble))), k = 5, nprobe = 1, refine = 30)
+      .select("n_id").as[Long].collect().toSet
+    assert(got.contains(999L), s"appended vector missing from $got")
+  }
+
+  test("search prunes unprobed cell partitions at the scan") {
+    val dir = Files.createTempDirectory("annidx").toString + "/idx"
+    val h = AnnIndex.buildOrLoad(spark, emb, "vec_id", "embedding", dir,
+      dim, cells = 4, m = 2, k = 8, iters = 3)
+    val df = AnnIndex.search(spark, h, emb, "vec_id", "embedding",
+      Seq((0L, vecs.head._2.map(_.toDouble))), k = 5, nprobe = 1, refine = 15)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    val codesScan = p.linesIterator.find(l =>
+      l.contains("FileScan") && l.contains("codes"))
+    assert(codesScan.exists(l => l.contains("PartitionFilters: [") &&
+      l.substring(l.indexOf("PartitionFilters: [")).contains("cell")),
+      s"no cell partition filter on the codes scan:\n${codesScan.getOrElse(p)}")
+  }
+}
