@@ -327,21 +327,25 @@ object NdjsonIngest {
     true
   }
 
-  /** Delete version dirs not referenced by the `latest` pointer or by the
-    * last `retainCommits` log entries, and prune the older log entries —
-    * the retention window bounds both disk and how far back [[readCommit]]
-    * can travel. Callers invoke this once in-flight readers of dropped
-    * pointers have drained.
+  /** Delete version dirs not referenced by the `latest` pointer, the last
+    * `retainCommits` log entries, or any `pinned` commit (a snapshot a
+    * training run froze — [[graft.core.Snapshot]]), and prune unpinned
+    * older log entries — the retention window bounds both disk and how
+    * far back [[readCommit]] can travel. Callers invoke this once
+    * in-flight readers of dropped pointers have drained.
     */
-  def gcVersions(tableDir: String, retainCommits: Int = 1): Seq[String] = {
+  def gcVersions(tableDir: String, retainCommits: Int = 1,
+      pinned: Seq[Long] = Nil): Seq[String] = {
     val all = commits(tableDir)
-    val (drop, keep) = all.splitAt(math.max(all.length - retainCommits, 0))
+    val (dropWindow, keep) = all.splitAt(math.max(all.length - retainCommits, 0))
+    val drop = dropWindow.filterNot(pinned.contains)
     def chainOf(seq: Long): Seq[String] = {
       val p = java.nio.file.Paths.get(tableDir, "_log", seq.toString)
       java.nio.file.Files.readString(p).trim.split("\\s+").head
         .split(",").toSeq.filter(_.nonEmpty)
     }
-    val live = (latestLayers(tableDir) ++ keep.flatMap(chainOf)).toSet
+    val live = (latestLayers(tableDir) ++ keep.flatMap(chainOf) ++
+      pinned.filter(all.contains).flatMap(chainOf)).toSet
     val fs = new java.io.File(tableDir)
     val dead = Option(fs.list()).getOrElse(Array())
       .filter(n => n.startsWith("v") && !live.contains(n)).toSeq

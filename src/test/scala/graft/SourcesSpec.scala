@@ -345,6 +345,34 @@ class SourcesSpec extends SparkSpec {
     assert(!ParquetBloom.hasBloom(spark, l0, "val"))
   }
 
+  test("cross-table snapshots pin consistent commits and survive gc") {
+    import graft.core.Snapshot
+    val db = tmpDir()
+    val docs = s"$db/docs"; val embs = s"$db/embs"
+    NdjsonIngest.appendVersion(Seq((1L, "a")).toDF("id", "txt"), docs, "id")
+    NdjsonIngest.appendVersion(Seq((1L, 0.5)).toDF("id", "e"), embs, "id")
+    val snap = Snapshot.commit(db, Map("docs" -> docs, "embs" -> embs))
+    // both tables move on (the embedding for id 1 is recomputed)
+    NdjsonIngest.appendDelta(Seq((2L, "b")).toDF("id", "txt"), docs, "id")
+    NdjsonIngest.appendVersion(
+      Seq((1L, 0.9), (2L, 0.1)).toDF("id", "e"), embs, "id")
+    // the snapshot still reads the consistent old world-state
+    val world = Snapshot.read(spark, db, snap)
+    assert(world("docs").count() === 1)
+    assert(world("embs").as[(Long, Double)].head() === ((1L, 0.5)))
+    // gc honoring the pins keeps the frozen commits readable...
+    NdjsonIngest.gcVersions(embs, retainCommits = 1,
+      pinned = Snapshot.pins(db, embs))
+    assert(Snapshot.read(spark, db, snap)("embs")
+      .as[(Long, Double)].head() === ((1L, 0.5)))
+    // ...dropping the snapshot releases them for the next gc
+    Snapshot.drop(db, snap)
+    assert(Snapshot.pins(db, embs).isEmpty)
+    NdjsonIngest.gcVersions(embs, retainCommits = 1)
+    assert(NdjsonIngest.commits(embs) === Seq(2L))
+    assert(NdjsonIngest.readLatest(spark, embs).count() === 2)
+  }
+
   test("updateColumn: conditional scalar rewrite") {
     val df = Seq((1L, 10), (2L, 20)).toDF("id", "x")
     val out = RelationalOps.updateColumn(df, "x", lit(0), col("id") === 1L)
