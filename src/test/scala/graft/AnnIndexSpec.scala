@@ -110,6 +110,48 @@ class AnnIndexSpec extends SparkSpec {
     assert(got.contains(999L), s"appended vector missing from $got")
   }
 
+  test("change feed keeps the persisted index fresh without retraining") {
+    import graft.sources.{ChangeFeedConsumer, NdjsonIngest}
+    val base = Files.createTempDirectory("annfeed").toString
+    val tableDir = s"$base/emb"; val idxDir = s"$base/idx"
+    val cursorDir = s"$base/cursor"
+    // the embedding table is an ordinary versioned table
+    NdjsonIngest.appendVersion(vecs.toDF("vec_id", "embedding"),
+      tableDir, "vec_id")                                        // commit 1
+    // preprocessing: index the current table, then mark the feed consumed
+    // up to the indexed state
+    AnnIndex.buildOrLoad(spark, NdjsonIngest.readLatest(spark, tableDir),
+      "vec_id", "embedding", idxDir, dim, cells = 4, m = 2, k = 8, iters = 3)
+    assert(ChangeFeedConsumer.process(spark, tableDir, "vec_id", cursorDir)(
+      _ => ()).contains((0L, 1L)))
+    // live appends land as O(batch) delta commits...
+    val nv = vecs.head._2.clone()
+    NdjsonIngest.appendDelta(
+      Seq((999L, nv)).toDF("vec_id", "embedding"), tableDir, "vec_id") // commit 2
+    // ...and ONE consumer tick encodes exactly the new rows into a new
+    // index layer with the frozen model
+    val r = ChangeFeedConsumer.process(spark, tableDir, "vec_id", cursorDir) { df =>
+      AnnIndex.append(spark,
+        df.filter(col("_change_type") === "insert")
+          .select("vec_id", "embedding"),
+        "vec_id", "embedding", idxDir)
+      ()
+    }
+    assert(r.contains((1L, 2L)))
+    val h = AnnIndex.load(spark, idxDir).get
+    assert(h.layers === Seq("1", "2"))
+    assert(spark.read.parquet(s"$idxDir/codes/layer=2").count() === 1)
+    // search over the live table sees the appended vector immediately
+    val got = AnnIndex.search(spark, h,
+      NdjsonIngest.readLatest(spark, tableDir), "vec_id", "embedding",
+      Seq((0L, vecs.head._2.map(_.toDouble))), k = 5, nprobe = 1, refine = 30)
+      .select("n_id").as[Long].collect().toSet
+    assert(got.contains(999L), s"fed vector missing from $got")
+    // an idle tick is a no-op
+    assert(ChangeFeedConsumer.process(spark, tableDir, "vec_id", cursorDir)(
+      _ => fail("callback on empty feed")).isEmpty)
+  }
+
   test("search prunes unprobed cell partitions at the scan") {
     val dir = Files.createTempDirectory("annidx").toString + "/idx"
     val h = AnnIndex.buildOrLoad(spark, emb, "vec_id", "embedding", dir,
