@@ -114,6 +114,27 @@ object AnnIndex {
     updated
   }
 
+  /** Fold a codes chain longer than `maxLayers` into ONE layer — codes are
+    * append-only (no per-key resolution needed), so compaction is a plain
+    * rewrite that bounds the small-files count and the per-cell file
+    * fan-in, same policy as the table/posting-index chains. The model is
+    * untouched.
+    */
+  def compactCodes(spark: SparkSession, indexDir: String,
+      maxLayers: Int = 8): Boolean = {
+    val h = load(spark, indexDir).getOrElse(
+      throw new IllegalStateException(s"no committed index at $indexDir"))
+    if (h.layers.length <= maxLayers) return false
+    val next = (h.layers.map(_.toLong).max + 1).toString
+    spark.read.option("basePath", s"$indexDir/codes")
+      .parquet(h.layers.map(l => s"$indexDir/codes/layer=$l"): _*)
+      .select("id", "code", "cell")
+      .write.mode(SaveMode.ErrorIfExists).partitionBy("cell")
+      .parquet(s"$indexDir/codes/layer=$next")
+    commitMeta(indexDir, Seq(next))
+    true
+  }
+
   /** IVF-PQ search against the PERSISTED codes: partition-pruned scan of
     * the probed cells only, ADC via per-query LUT lookups, exact-cosine
     * re-rank of the top `refine` after an equi-join back to the vector

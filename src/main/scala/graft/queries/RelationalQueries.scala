@@ -853,6 +853,45 @@ object RelationalQueries {
         .orderBy("cohort")
     },
 
+    // ---- statistical anomaly detection (2-sigma outliers per group) ----
+    // Per event type, flag events more than 2 standard deviations from the
+    // group mean — entirely in BIGINT cents so both engines agree
+    // bit-for-bit: (x − μ)² > 4σ² is cross-multiplied by n² into
+    // (n·x − S)² > 4(n·SS − S²) with S = Σx, SS = Σx² (no division, no
+    // sqrt, no double accumulation anywhere). floor() before the cast —
+    // DuckDB CAST rounds where Spark truncates. Two passes: one
+    // combinable aggregate per group, then a broadcast join back and a
+    // second combinable rollup — no window over the fact table. Magnitude
+    // check: n ≈ 2·10⁴ per group and x ≤ 5.7·10⁴ cents keep every product
+    // under 2⁶³ at sf0.1; the 100 TB variant scales x to whole units (or
+    // DECIMAL(38)) before squaring.
+    QDef("q_events_anomaly",
+      """WITH e AS (SELECT event_type,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS x FROM events),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS s, CAST(SUM(x * x) AS BIGINT) AS ss
+        |  FROM e GROUP BY event_type)
+        |SELECT e.event_type, max(st.n) AS n_events,
+        |  CAST(count(CASE WHEN (st.n * e.x - st.s) * (st.n * e.x - st.s) >
+        |    4 * (st.n * st.ss - st.s * st.s) THEN 1 END) AS BIGINT) AS outliers
+        |FROM e JOIN st ON st.event_type = e.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") * 100).cast("bigint").as("x"))
+      val st = e.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast("bigint").as("sv"),
+        sum(col("x") * col("x")).cast("bigint").as("ssv"))
+      val d = col("n") * col("x") - col("sv")
+      e.join(broadcast(st), "event_type")
+        .groupBy("event_type")
+        .agg(max(col("n")).as("n_events"),
+          count(when(d * d > lit(4) * (col("n") * col("ssv") - col("sv") * col("sv")),
+            1)).cast("bigint").as("outliers"))
+        .orderBy("event_type")
+    },
+
     // ---- merge-on-read resolution (row-level upsert/delete algebra) ----
     // The read-side algebra behind NdjsonIngest.readLatestMerged, run on a
     // synthetic 3-layer history derived deterministically from `documents`:

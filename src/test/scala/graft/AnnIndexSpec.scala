@@ -152,6 +152,31 @@ class AnnIndexSpec extends SparkSpec {
       _ => fail("callback on empty feed")).isEmpty)
   }
 
+  test("codes compaction folds the layer chain; search results unchanged") {
+    import graft.sources.NdjsonIngest
+    val dir = Files.createTempDirectory("annidx").toString + "/idx"
+    AnnIndex.buildOrLoad(spark, emb, "vec_id", "embedding", dir,
+      dim, cells = 4, m = 2, k = 8, iters = 3)
+    (0 until 3).foreach { i =>
+      AnnIndex.append(spark,
+        Seq((1000L + i, vecs(i)._2.clone())).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dir)
+    }
+    val all = emb.unionByName(
+      (0 until 3).map(i => (1000L + i, vecs(i)._2.clone())).toDF("vec_id", "embedding"))
+    val probes = Seq((0L, vecs.head._2.map(_.toDouble)))
+    def results(h: AnnIndex.Handle) =
+      AnnIndex.search(spark, h, all, "vec_id", "embedding", probes,
+        k = 5, nprobe = 1, refine = 40)
+        .select("rk", "n_id").as[(Int, Long)].collect().toSeq.sorted
+    val before = results(AnnIndex.load(spark, dir).get)
+    assert(!AnnIndex.compactCodes(spark, dir, maxLayers = 4)) // under bound
+    assert(AnnIndex.compactCodes(spark, dir, maxLayers = 2))
+    val h = AnnIndex.load(spark, dir).get
+    assert(h.layers.length === 1)
+    assert(results(h) === before)
+  }
+
   test("search prunes unprobed cell partitions at the scan") {
     val dir = Files.createTempDirectory("annidx").toString + "/idx"
     val h = AnnIndex.buildOrLoad(spark, emb, "vec_id", "embedding", dir,
