@@ -1686,6 +1686,50 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // ---- Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    //      algorithm): polynomial ROLLING HASH over every 8-char window,
+    //      then the minimum hash of each 4-window span, deduplicated —
+    //      the document-fingerprinting scheme whose guarantee (any shared
+    //      substring ≥ w+k−1 chars yields a shared fingerprint) underlies
+    //      plagiarism/near-dup detection. Pure higher-order-function
+    //      arithmetic (ascii + fold mod 1000003) — map-only, no UDF, no
+    //      shuffle; the oracle replays hash-for-hash. ----
+    QDef("q_winnow_fingerprint",
+      """WITH ch AS (SELECT doc_id,
+        |    list_transform(string_split(text, ''), c -> ascii(c)) AS cs
+        |  FROM documents),
+        |rh AS (SELECT doc_id,
+        |    list_transform(range(1, len(cs) - 8 + 2), i ->
+        |      list_reduce(list_prepend(0, cs[i:i+7]),
+        |                  (a, x) -> (a * 257 + x) % 1000003)) AS hs
+        |  FROM ch WHERE len(cs) >= 8),
+        |wn AS (SELECT doc_id, hs,
+        |    list_distinct(list_transform(range(1, len(hs) - 4 + 2), i ->
+        |      list_min(hs[i:i+3]))) AS fps
+        |  FROM rh WHERE len(hs) >= 4)
+        |SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_windows,
+        |  CAST(len(fps) AS BIGINT) AS n_fps,
+        |  CAST(list_max(fps) AS BIGINT) AS max_fp
+        |FROM wn ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val cs = filter(split(col("text"), ""), x => x =!= "")
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), transform(cs, c => ascii(c)).as("cs"))
+        .filter(size(col("cs")) >= 8)
+      val hs = transform(sequence(lit(1), size(col("cs")) - 7), i =>
+        aggregate(slice(col("cs"), i, lit(8)), lit(0L),
+          (a, x) => (a * 257 + x) % 1000003))
+      val withHs = docs.select(col("doc_id"), hs.as("hs"))
+        .filter(size(col("hs")) >= 4)
+      val fps = array_distinct(
+        transform(sequence(lit(1), size(col("hs")) - 3), i =>
+          array_min(slice(col("hs"), i, lit(4)))))
+      withHs.select(col("doc_id"),
+          size(col("hs")).cast("bigint").as("n_windows"),
+          size(fps).cast("bigint").as("n_fps"),
+          array_max(fps).cast("bigint").as("max_fp"))
+        .orderBy("doc_id")
+    },
+
     // ---- BPE vocabulary induction (tokenizer training at corpus scale) --
     // Three merge rounds of byte-pair encoding over the whole corpus. The
     // token sequence is kept as a U+0001-separator-joined string, which makes each
