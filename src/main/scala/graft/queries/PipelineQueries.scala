@@ -1730,6 +1730,57 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- Cross-source overlap matrix over winnowing fingerprints: which
+    //      sources share content (licensing/contamination audit before a
+    //      training mix is frozen). Per-(source, fingerprint) distinct
+    //      rows first — every later cost is per-SOURCE, not per-doc — a
+    //      document-frequency cap drops corpus-ubiquitous fingerprints
+    //      BEFORE the pair join (same discipline as the shingle DF cap),
+    //      and the self-join on fp fans out ≤ #sources per key. Output is
+    //      the bounded #sources² matrix. ----
+    QDef("q_source_overlap",
+      """WITH ch AS (SELECT doc_id, source,
+        |    list_transform(string_split(text, ''), c -> ascii(c)) AS cs
+        |  FROM documents),
+        |rh AS (SELECT doc_id, source,
+        |    list_transform(range(1, len(cs) - 8 + 2), i ->
+        |      list_reduce(list_prepend(0, cs[i:i+7]),
+        |                  (a, x) -> (a * 257 + x) % 1000003)) AS hs
+        |  FROM ch WHERE len(cs) >= 8),
+        |wn AS (SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, len(hs) - 4 + 2), i ->
+        |      list_min(hs[i:i+3]))) AS fps
+        |  FROM rh WHERE len(hs) >= 4),
+        |f AS (SELECT DISTINCT source, unnest(fps) AS fp FROM wn),
+        |df AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 10),
+        |p AS (SELECT a.source AS s1, b.source AS s2, a.fp
+        |  FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+        |  JOIN df ON df.fp = a.fp)
+        |SELECT s1, s2, CAST(count(*) AS BIGINT) AS shared_fps
+        |FROM p GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin) { (s, dir) =>
+      val cs = filter(split(col("text"), ""), x => x =!= "")
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), transform(cs, c => ascii(c)).as("cs"))
+        .filter(size(col("cs")) >= 8)
+      val hs = transform(sequence(lit(1), size(col("cs")) - 7), i =>
+        aggregate(slice(col("cs"), i, lit(8)), lit(0L),
+          (a, x) => (a * 257 + x) % 1000003))
+      val withHs = docs.select(col("source"), hs.as("hs"))
+        .filter(size(col("hs")) >= 4)
+      val fps = array_distinct(
+        transform(sequence(lit(1), size(col("hs")) - 3), i =>
+          array_min(slice(col("hs"), i, lit(4)))))
+      val f = withHs.select(col("source"), explode(fps).as("fp")).distinct()
+      val df = f.groupBy("fp").count().filter(col("count") <= 10).select("fp")
+      val pairs = f.select(col("source").as("s1"), col("fp"))
+        .join(f.select(col("source").as("s2"), col("fp")), "fp")
+        .filter(col("s1") < col("s2"))
+        .join(df, "fp")
+      pairs.groupBy("s1", "s2")
+        .agg(count(lit(1)).cast("bigint").as("shared_fps"))
+        .orderBy("s1", "s2")
+    },
+
     // ---- BPE vocabulary induction (tokenizer training at corpus scale) --
     // Three merge rounds of byte-pair encoding over the whole corpus. The
     // token sequence is kept as a U+0001-separator-joined string, which makes each
