@@ -1781,6 +1781,65 @@ object PipelineQueries {
         .orderBy("s1", "s2")
     },
 
+    // ---- Content-defined chunking (CDC) dedup: chunk boundaries fall
+    //      where the ROLLING HASH hits 0 mod 32, so chunk identity
+    //      survives prefix insertions/deletions that shift every offset —
+    //      the failure mode of fixed-size blocks (q_dedup_passages). The
+    //      rsync/LBFS technique applied to corpus dedup: boundaries and
+    //      chunk hashes are map-only HOF arithmetic; the only shuffle is
+    //      the corpus-wide chunk-occurrence count (combinable) joined
+    //      back by chunk hash. ----
+    QDef("q_cdc_chunks",
+      """WITH ch AS (SELECT doc_id,
+        |    list_transform(string_split(text, ''), c -> ascii(c)) AS cs, text
+        |  FROM documents),
+        |rh AS (SELECT doc_id, text,
+        |    list_transform(range(1, len(cs) - 8 + 2), i ->
+        |      list_reduce(list_prepend(0, cs[i:i+7]),
+        |                  (a, x) -> (a * 257 + x) % 1000003)) AS hs
+        |  FROM ch WHERE len(cs) >= 8),
+        |bd AS (SELECT doc_id, text,
+        |    list_prepend(0, list_concat(
+        |      [i + 7 FOR i IN range(1, len(hs) + 1) IF hs[i] % 32 = 0],
+        |      [len(text)])) AS cuts
+        |  FROM rh),
+        |ck AS (SELECT doc_id, md5(text[cuts[i] + 1 : cuts[i + 1]]) AS chash
+        |  FROM bd, LATERAL (SELECT unnest(range(1, len(cuts))) AS i) u
+        |  WHERE cuts[i + 1] > cuts[i]),
+        |cnt AS (SELECT chash, count(*) AS occ FROM ck GROUP BY chash)
+        |SELECT ck.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(CASE WHEN cnt.occ > 1 THEN 1 END) AS BIGINT) AS dup_chunks
+        |FROM ck JOIN cnt ON cnt.chash = ck.chash
+        |GROUP BY ck.doc_id ORDER BY ck.doc_id""".stripMargin) { (s, dir) =>
+      val cs = filter(split(col("text"), ""), x => x =!= "")
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), transform(cs, c => ascii(c)).as("cs"))
+        .filter(size(col("cs")) >= 8)
+      val hs = transform(sequence(lit(1), size(col("cs")) - 7), i =>
+        aggregate(slice(col("cs"), i, lit(8)), lit(0L),
+          (a, x) => (a * 257 + x) % 1000003))
+      val cuts = concat(
+        array(lit(0)),
+        transform(filter(sequence(lit(1), size(col("hs"))),
+          i => element_at(col("hs"), i) % 32 === 0), i => i + 7),
+        array(length(col("text"))))
+      val spans = transform(sequence(lit(1), size(col("cuts")) - 1), i =>
+        struct(element_at(col("cuts"), i).as("a"),
+          element_at(col("cuts"), i + 1).as("b")))
+      val ck = docs.select(col("doc_id"), col("text"), hs.as("hs"))
+        .select(col("doc_id"), col("text"), cuts.as("cuts"))
+        .select(col("doc_id"), col("text"), explode(spans).as("z"))
+        .filter(col("z.b") > col("z.a"))
+        .select(col("doc_id"),
+          md5(col("text").substr(col("z.a") + 1, col("z.b") - col("z.a"))).as("chash"))
+      val cnt = ck.groupBy("chash").agg(count(lit(1)).as("occ"))
+      ck.join(cnt, "chash")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("bigint").as("n_chunks"),
+          count(when(col("occ") > 1, 1)).cast("bigint").as("dup_chunks"))
+        .orderBy("doc_id")
+    },
+
     // ---- BPE vocabulary induction (tokenizer training at corpus scale) --
     // Three merge rounds of byte-pair encoding over the whole corpus. The
     // token sequence is kept as a U+0001-separator-joined string, which makes each
