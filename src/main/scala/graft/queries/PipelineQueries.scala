@@ -1718,15 +1718,21 @@ object PipelineQueries {
       val hs = transform(sequence(lit(1), size(col("cs")) - 7), i =>
         aggregate(slice(col("cs"), i, lit(8)), lit(0L),
           (a, x) => (a * 257 + x) % 1000003))
-      val withHs = docs.select(col("doc_id"), hs.as("hs"))
+      // explode(array(…)) is a deliberate CollapseProject BARRIER: without
+      // the Generate node, the filter below and every output column above
+      // would INLINE the O(n·w) rolling-hash expression and recompute it
+      // per reference (measured 15× slower at sf0.1). Same for fps.
+      val withHs = docs.select(col("doc_id"), explode(array(hs)).as("hs"))
         .filter(size(col("hs")) >= 4)
       val fps = array_distinct(
         transform(sequence(lit(1), size(col("hs")) - 3), i =>
           array_min(slice(col("hs"), i, lit(4)))))
-      withHs.select(col("doc_id"),
-          size(col("hs")).cast("bigint").as("n_windows"),
-          size(fps).cast("bigint").as("n_fps"),
-          array_max(fps).cast("bigint").as("max_fp"))
+      withHs
+        .select(col("doc_id"), size(col("hs")).cast("bigint").as("n_windows"),
+          explode(array(fps)).as("fps"))
+        .select(col("doc_id"), col("n_windows"),
+          size(col("fps")).cast("bigint").as("n_fps"),
+          array_max(col("fps")).cast("bigint").as("max_fp"))
         .orderBy("doc_id")
     },
 
@@ -1765,7 +1771,9 @@ object PipelineQueries {
       val hs = transform(sequence(lit(1), size(col("cs")) - 7), i =>
         aggregate(slice(col("cs"), i, lit(8)), lit(0L),
           (a, x) => (a * 257 + x) % 1000003))
-      val withHs = docs.select(col("source"), hs.as("hs"))
+      // explode(array(…)) barrier, as in q_winnow_fingerprint: keep the
+      // O(n·w) hash pass from being inlined into the filter + fps refs
+      val withHs = docs.select(col("source"), explode(array(hs)).as("hs"))
         .filter(size(col("hs")) >= 4)
       val fps = array_distinct(
         transform(sequence(lit(1), size(col("hs")) - 3), i =>
@@ -1826,8 +1834,12 @@ object PipelineQueries {
       val spans = transform(sequence(lit(1), size(col("cuts")) - 1), i =>
         struct(element_at(col("cuts"), i).as("a"),
           element_at(col("cuts"), i + 1).as("b")))
+      // explode(array(…)) barrier (see q_winnow_fingerprint): `spans`
+      // references cuts 3× and cuts embeds the O(n·w) hash fold —
+      // without the Generate node CollapseProject would inline and
+      // recompute it per reference
       val ck = docs.select(col("doc_id"), col("text"), hs.as("hs"))
-        .select(col("doc_id"), col("text"), cuts.as("cuts"))
+        .select(col("doc_id"), col("text"), explode(array(cuts)).as("cuts"))
         .select(col("doc_id"), col("text"), explode(spans).as("z"))
         .filter(col("z.b") > col("z.a"))
         .select(col("doc_id"),

@@ -224,6 +224,20 @@ class PropertySpec extends SparkSpec {
       val got = NdjsonIngest.readLatestMerged(spark, dir, "id")
         .as[(Long, Double)].collect().toMap
       assert(got === model, s"case $caseIdx ops=$ops")
+
+      // CHANGE-FEED INVARIANT: replaying the full feed (insert/delete
+      // events in _commit order) into a map reconstructs exactly the
+      // merged table — the contract every incremental consumer relies on.
+      val head = NdjsonIngest.commits(dir).last
+      val feed = NdjsonIngest.readChanges(spark, dir, "id", 0L, head)
+        .select(col("id"), col("val"), col("_change_type"), col("_commit"))
+        .as[(Long, Option[Double], String, Long)].collect()
+        .sortBy(_._4)
+      val replayed = feed.foldLeft(Map.empty[Long, Double]) {
+        case (m, (id, v, "delete", _)) => m - id
+        case (m, (id, v, _, _)) => m + (id -> v.get)
+      }
+      assert(replayed === model, s"feed replay diverged, case $caseIdx ops=$ops")
     }
   }
 }
