@@ -23,15 +23,28 @@ import org.apache.spark.sql.functions._
   * and [[gc]] drops partials whose layer dir no longer exists.
   *
   * Partial schema: keyCols ++ `__cnt` ++ `__sum_<c>` for each sumCol
-  * (sums over DECIMAL(28,2) — exact, order-independent merges).
+  * (sums over DECIMAL(28,2) — exact, order-independent merges) ++
+  * `__hll_<c>` for each distinctCol: a Datasketches HLL sketch binary.
+  * COUNT DISTINCT is not decomposable exactly, but its SKETCH is — HLL
+  * union is a per-register max, associative and commutative — so
+  * estimate(union of per-layer sketches) is IDENTICAL (not just close)
+  * to the estimate of one sketch over the whole table. A fixed-size
+  * mergeable sketch per (group, layer) buys incremental distinct users /
+  * distinct tokens at O(batch) maintenance — the canonical lakehouse
+  * pattern for count-distinct dashboards over append-only data.
+  *
+  * The `name` identifies the column spec: changing keyCols/sumCols/
+  * distinctCols requires a new name (old partials lack the new columns).
   */
 object IncrementalAgg {
 
   private def aggDir(tableDir: String, name: String) = s"$tableDir/_agg/$name"
 
-  private def partial(df: DataFrame, keyCols: Seq[String], sumCols: Seq[String]): DataFrame = {
-    val aggs = count(lit(1)).as("__cnt") +:
-      sumCols.map(c => sum(col(c).cast("decimal(28,2)")).as(s"__sum_$c"))
+  private def partial(df: DataFrame, keyCols: Seq[String], sumCols: Seq[String],
+      distinctCols: Seq[String]): DataFrame = {
+    val aggs = (count(lit(1)).as("__cnt") +:
+      sumCols.map(c => sum(col(c).cast("decimal(28,2)")).as(s"__sum_$c"))) ++
+      distinctCols.map(c => hll_sketch_agg(col(c)).as(s"__hll_$c"))
     df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -40,7 +53,8 @@ object IncrementalAgg {
     * a temp dir (the rename into place is the commit point).
     */
   def maintain(spark: SparkSession, tableDir: String, name: String,
-      keyCols: Seq[String], sumCols: Seq[String]): Seq[String] = {
+      keyCols: Seq[String], sumCols: Seq[String],
+      distinctCols: Seq[String] = Nil): Seq[String] = {
     val dir = new java.io.File(aggDir(tableDir, name))
     dir.mkdirs()
     NdjsonIngest.latestLayers(tableDir).filterNot(l =>
@@ -49,7 +63,8 @@ object IncrementalAgg {
       if (tmp.exists()) { // leftover from a crashed write
         tmp.listFiles().foreach(_.delete()); tmp.delete()
       }
-      partial(spark.read.parquet(s"$tableDir/$layer"), keyCols, sumCols)
+      partial(spark.read.parquet(s"$tableDir/$layer"), keyCols, sumCols,
+          distinctCols)
         .coalesce(1)
         .write.parquet(tmp.toString)
       java.nio.file.Files.move(tmp.toPath, new java.io.File(dir, layer).toPath,
@@ -65,13 +80,17 @@ object IncrementalAgg {
     * counts, sum = Σ partial sums, exact DECIMAL).
     */
   def serve(spark: SparkSession, tableDir: String, name: String,
-      keyCols: Seq[String], sumCols: Seq[String]): DataFrame = {
-    maintain(spark, tableDir, name, keyCols, sumCols)
+      keyCols: Seq[String], sumCols: Seq[String],
+      distinctCols: Seq[String] = Nil): DataFrame = {
+    maintain(spark, tableDir, name, keyCols, sumCols, distinctCols)
     val paths = NdjsonIngest.latestLayers(tableDir)
       .map(l => s"${aggDir(tableDir, name)}/$l")
     val merged = spark.read.parquet(paths: _*)
-    val aggs = sum(col("__cnt")).cast("bigint").as("cnt") +:
-      sumCols.map(c => sum(col(s"__sum_$c")).as(s"sum_$c"))
+    val aggs = (sum(col("__cnt")).cast("bigint").as("cnt") +:
+      sumCols.map(c => sum(col(s"__sum_$c")).as(s"sum_$c"))) ++
+      distinctCols.map(c =>
+        hll_sketch_estimate(hll_union_agg(col(s"__hll_$c")))
+          .as(s"approx_distinct_$c"))
     merged.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 

@@ -56,6 +56,43 @@ class IncrementalAggSpec extends SparkSpec {
     assert(IncrementalAgg.maintain(spark, dir, "by_k", Seq("k"), Seq("x")).isEmpty)
   }
 
+  test("incremental count-distinct: sketch-of-partials == sketch-of-table") {
+    val root = java.nio.file.Files.createTempDirectory("incagg").toFile
+    val dir = s"$root/table"
+    // users recur ACROSS layers, so per-layer counts cannot just add up —
+    // only the sketch union gets this right
+    NdjsonIngest.appendDelta(
+      Seq(("a", "k1", "u1"), ("b", "k1", "u2"), ("c", "k2", "u1"))
+        .toDF("id", "k", "u"), dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq(("d", "k1", "u1"), ("e", "k1", "u3"), ("f", "k2", "u9"))
+        .toDF("id", "k", "u"), dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq(("g", "k1", "u2"), ("h", "k2", "u9")).toDF("id", "k", "u"), dir, "id")
+    val servedD = IncrementalAgg
+      .serve(spark, dir, "du", Seq("k"), Nil, distinctCols = Seq("u"))
+      .select("k", "approx_distinct_u")
+      .as[(String, Long)].collect().toMap
+    // HLL union is per-register max ⇒ merged-partials estimate is
+    // IDENTICAL to a single sketch over the whole table...
+    val directSketch = NdjsonIngest.readLatest(spark, dir)
+      .groupBy("k")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("u"))).as("d"))
+      .as[(String, Long)].collect().toMap
+    assert(servedD === directSketch)
+    // ...and at this cardinality the sketch is exact
+    assert(servedD === Map("k1" -> 3L, "k2" -> 2L))
+    // appending a layer maintains only that layer's sketch partial
+    NdjsonIngest.appendDelta(
+      Seq(("i", "k1", "u4")).toDF("id", "k", "u"), dir, "id")
+    assert(IncrementalAgg.maintain(spark, dir, "du", Seq("k"), Nil,
+      distinctCols = Seq("u")).length === 1)
+    assert(IncrementalAgg
+      .serve(spark, dir, "du", Seq("k"), Nil, distinctCols = Seq("u"))
+      .filter(col("k") === "k1").select("approx_distinct_u")
+      .as[Long].head() === 4L)
+  }
+
   test("compaction re-keys partials; gc reclaims the dead ones") {
     val root = java.nio.file.Files.createTempDirectory("incagg2").toFile
     val dir = s"$root/table"
