@@ -1789,6 +1789,42 @@ object PipelineQueries {
         .orderBy("s1", "s2")
     },
 
+    // ---- Leakage-free train/val split: assignment hashes the near-dup
+    //      CLUSTER label, not the document id — a per-doc split lets two
+    //      near-duplicates straddle the boundary and the eval set leaks
+    //      into training (the split-contamination failure mode). Whole
+    //      clusters land on one side by construction; the rollup counts
+    //      docs, clusters, and chars per side. ----
+    QDef("q_split_leakfree",
+      s"""$simhashClosureCte,
+         |cl AS (SELECT node AS doc_id, min(lab) AS cluster
+         |  FROM reach GROUP BY node),
+         |sp AS (SELECT cl.doc_id, cl.cluster, d.n_chars,
+         |    CASE WHEN substr(md5(CAST(cl.cluster AS VARCHAR)), 1, 1) IN
+         |      ('0','1','2','3','4','5','6','7','8','9','a','b')
+         |    THEN 'train' ELSE 'val' END AS split
+         |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(n_chars) AS BIGINT) AS chars
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val clusters = graft.operators.ConnectedComponents
+        .components(simhashPairs(docs), "a_id", "b_id", docs, "doc_id")
+        .select(col("node").as("doc_id"), col("comp").as("cluster"))
+      val split = when(
+        substring(md5(col("cluster").cast("string")), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b"),
+        "train").otherwise("val")
+      clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("split", split)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster")).cast("bigint").as("n_clusters"),
+          sum(col("n_chars")).cast("bigint").as("chars"))
+        .orderBy("split")
+    },
+
     // ---- Content-defined chunking (CDC) dedup: chunk boundaries fall
     //      where the ROLLING HASH hits 0 mod 32, so chunk identity
     //      survives prefix insertions/deletions that shift every offset —
