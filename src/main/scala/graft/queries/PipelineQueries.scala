@@ -1261,6 +1261,56 @@ object PipelineQueries {
         .orderBy("lang")
     },
 
+    // ---- MATERIALIZE the sqrt-temperature mixture: per-source keep
+    //      rates in ppm derived from the q_mix_weights schedule against a
+    //      half-corpus token budget, applied with the same LCG acceptance
+    //      hash as q_sample_stratified — rerun/shard-stable, scan-local.
+    //      Rate arithmetic stays float-EXACT: every product is below 2^53
+    //      and the operation order is mirrored token-for-token in the
+    //      oracle, so floor() agrees bit-for-bit. Up-weighted (small)
+    //      sources cap at ppm = 10^6 — sampling can only downsample;
+    //      epoch duplication for under-budget sources is a separate
+    //      materialization concern. ----
+    QDef("q_mix_sample",
+      s"""WITH norm AS (SELECT doc_id, source, $normSql AS nt FROM documents),
+         |tok AS (SELECT doc_id, source,
+         |  CASE WHEN len(nt) = 0 THEN 0 ELSE len(string_split(nt, ' ')) END AS tk FROM norm),
+         |tt AS (SELECT source, CAST(sum(tk) AS BIGINT) AS total FROM tok GROUP BY source),
+         |g AS (SELECT CAST(sum(total) AS BIGINT) AS gt,
+         |  CAST(sum(CAST(floor(sqrt(total)) AS BIGINT)) AS BIGINT) AS gs FROM tt),
+         |r AS (SELECT tt.source,
+         |  least(1000000, CAST(floor((CAST(gt AS DOUBLE) / 2) * floor(sqrt(tt.total))
+         |    * 1000000 / (gs * tt.total)) AS BIGINT)) AS ppm
+         |  FROM tt, g),
+         |k AS (SELECT t.source, t.tk, r.ppm,
+         |  ((t.doc_id * 1103515245 + 12345) % 2147483648) % 1000000 AS b
+         |  FROM tok t JOIN r ON r.source = t.source)
+         |SELECT source, CAST(count(*) AS BIGINT) AS total_docs,
+         |  CAST(count(CASE WHEN b < ppm THEN 1 END) AS BIGINT) AS kept_docs,
+         |  CAST(sum(CASE WHEN b < ppm THEN tk ELSE 0 END) AS BIGINT) AS kept_tokens
+         |FROM k GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TF.tokenCount(col("text")).cast("long").as("tk"))
+      val tt = tok.groupBy("source").agg(sum("tk").as("total"))
+      val g = tt.agg(sum("total").as("gt"),
+        sum(floor(sqrt(col("total"))).cast("long")).as("gs"))
+      val r = tt.join(broadcast(g))
+        .select(col("source"),
+          least(lit(1000000L),
+            floor((col("gt").cast("double") / 2) * floor(sqrt(col("total")))
+              * 1000000 / (col("gs") * col("total"))).cast("long")).as("ppm"))
+      val b = (col("doc_id") * 1103515245L + 12345L) % 2147483648L % 1000000L
+      tok.join(broadcast(r), "source")
+        .select(col("source"), col("tk"), (b < col("ppm")).as("keep"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("bigint").as("total_docs"),
+          count(when(col("keep"), 1)).cast("bigint").as("kept_docs"),
+          sum(when(col("keep"), col("tk")).otherwise(0L)).cast("bigint")
+            .as("kept_tokens"))
+        .orderBy("source")
+    },
+
     // ---- dataset mixture weights: per-source token totals (exact integer
     //      arithmetic) and two standard mixing schedules — proportional and
     //      sqrt-temperature (floor(sqrt(tokens)) keeps the numerator an
