@@ -59,10 +59,19 @@ object Snapshot {
     }.toSeq
   }
 
-  /** Every table of snapshot `id`, each at its pinned commit. */
-  def read(spark: SparkSession, dbDir: String, id: Long): Map[String, DataFrame] =
+  /** Every table of snapshot `id`, each at its pinned commit. Tables
+    * maintained with merge-on-read upserts/deletes must appear in `pks`
+    * (name → primary key) so their pinned chain resolves through
+    * [[NdjsonIngest.readCommitMerged]] — the plain union reader would
+    * resurrect overridden rows; append-only tables read as-is.
+    */
+  def read(spark: SparkSession, dbDir: String, id: Long,
+      pks: Map[String, String] = Map.empty): Map[String, DataFrame] =
     entries(dbDir, id).map { case (name, tdir, seq) =>
-      name -> NdjsonIngest.readCommit(spark, tdir, seq)
+      name -> (pks.get(name) match {
+        case Some(pk) => NdjsonIngest.readCommitMerged(spark, tdir, pk, seq)
+        case None => NdjsonIngest.readCommit(spark, tdir, seq)
+      })
     }.toMap
 
   /** The commits every live snapshot pins for `tableDir` — pass to

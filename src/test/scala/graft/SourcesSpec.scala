@@ -371,6 +371,15 @@ class SourcesSpec extends SparkSpec {
     NdjsonIngest.gcVersions(embs, retainCommits = 1)
     assert(NdjsonIngest.commits(embs) === Seq(2L))
     assert(NdjsonIngest.readLatest(spark, embs).count() === 2)
+    // a merge-on-read table snapshots consistently too: the pinned read
+    // resolves upserts/deletes (plain union would resurrect id 1's old row)
+    NdjsonIngest.upsertDelta(Seq((1L, "a2")).toDF("id", "txt"), docs, "id")
+    NdjsonIngest.deleteDelta(Seq(2L).toDF("id"), docs, "id")
+    val snap2 = Snapshot.commit(db, Map("docs" -> docs))
+    NdjsonIngest.upsertDelta(Seq((1L, "a3")).toDF("id", "txt"), docs, "id")
+    val w2 = Snapshot.read(spark, db, snap2, pks = Map("docs" -> "id"))
+    assert(w2("docs").as[(Long, String)].collect().sorted.toSeq ===
+      Seq((1L, "a2")))
   }
 
   test("updateColumn: conditional scalar rewrite") {
