@@ -165,6 +165,42 @@ object NdjsonIngest {
       bloomCol = Some(pk))
   }
 
+  /** [[appendDelta]] with INGEST-TIME CONTENT DEDUP: batch rows whose
+    * `fpCol` (a content fingerprint, e.g. TextFunctions.fingerprint)
+    * already exists in the committed table are dropped BEFORE the commit —
+    * re-crawled duplicates never enter the table, so no downstream dedup
+    * pass has to claw them back out. Cost: the batch's fingerprint set is
+    * a broadcast; ONE linear semi-join pass over the table finds the
+    * already-present fingerprints (bounded by the batch size), and the
+    * batch anti-filters against that set — the table is never shuffled.
+    * Returns (commit, keptRows); a fully-duplicate batch commits nothing
+    * and returns (-1, 0). Batch-internal fingerprint duplicates keep the
+    * lowest pk (deterministic).
+    */
+  def appendDeltaDedup(df: DataFrame, tableDir: String, pk: String,
+      fpCol: String, tag: Option[String] = None): (Long, Long) = {
+    val spark = df.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(fpCol).orderBy(col(pk))
+    val inBatch = df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+    val layers = latestLayers(tableDir)
+    val fresh =
+      if (layers.isEmpty) inBatch
+      else {
+        val existingFps = spark.read
+          .parquet(layers.map(l => s"$tableDir/$l"): _*)
+          .join(broadcast(inBatch.select(col(fpCol))), Seq(fpCol), "left_semi")
+          .select(col(fpCol)).distinct()
+        inBatch.join(broadcast(existingFps), Seq(fpCol), "left_anti")
+      }
+    // restore the caller's column order (joins move fpCol first)
+    val kept = fresh.select(df.columns.map(col): _*).localCheckpoint()
+    val n = kept.count()
+    if (n == 0) (-1L, 0L)
+    else (appendDelta(kept, tableDir, pk, tag), n)
+  }
+
   /** Write `df` to the next `v<N>` dir and atomically flip the `latest`
     * pointer. Pointer format: `<layer,layer,...> [tag]` — one line, one
     * rename, so layer list + replay tag commit together.

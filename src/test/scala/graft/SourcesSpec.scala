@@ -382,6 +382,30 @@ class SourcesSpec extends SparkSpec {
       Seq((1L, "a2")))
   }
 
+  test("ingest-time content dedup: re-crawled duplicates never enter the table") {
+    val dir = tmpDir() + "/t"
+    def rows(r: (Long, String)*) =
+      r.toDF("id", "txt").withColumn("fp", md5(col("txt")))
+    NdjsonIngest.appendVersion(rows(1L -> "alpha", 2L -> "beta"), dir, "id")
+    // batch: one true duplicate (same content, new id), one new row, and
+    // an internal duplicate pair (lowest pk wins)
+    val (c1, kept1) = NdjsonIngest.appendDeltaDedup(
+      rows(10L -> "alpha", 11L -> "gamma", 13L -> "delta", 12L -> "delta"),
+      dir, "id", "fp")
+    assert(kept1 === 2L)
+    assert(c1 > 0)
+    val ids = NdjsonIngest.readLatest(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L, 11L, 12L)) // 10 dropped (dup of 1), 13 lost to 12
+    // a fully-duplicate batch commits NOTHING (no empty layer, no commit)
+    val commitsBefore = NdjsonIngest.commits(dir)
+    val (c2, kept2) = NdjsonIngest.appendDeltaDedup(
+      rows(20L -> "alpha", 21L -> "gamma"), dir, "id", "fp")
+    assert(c2 === -1L && kept2 === 0L)
+    assert(NdjsonIngest.commits(dir) === commitsBefore)
+    assert(NdjsonIngest.readLatest(spark, dir).count() === 4)
+  }
+
   test("updateColumn: conditional scalar rewrite") {
     val df = Seq((1L, 10), (2L, 20)).toDF("id", "x")
     val out = RelationalOps.updateColumn(df, "x", lit(0), col("id") === 1L)
