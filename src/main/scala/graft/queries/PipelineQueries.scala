@@ -1261,6 +1261,31 @@ object PipelineQueries {
         .orderBy("lang")
     },
 
+    // ---- per-group EXACT-k sample: a fixed-size uniform sample per
+    //      stratum (inspection sets, eval subsets, per-source audits) —
+    //      rate-based sampling (q_sample_stratified) cannot promise a
+    //      size. Rank by the LCG hash of the pk inside each group and
+    //      keep k=5: deterministic, rerun-stable, and the per-group sort
+    //      is a bounded WindowGroupLimit (top-k heap per group), never a
+    //      global sort. ----
+    QDef("q_sample_pergroup",
+      """WITH u AS (SELECT source, doc_id,
+        |    ((doc_id * 1103515245 + 12345) % 2147483648) AS b FROM documents),
+        |r AS (SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY b, doc_id) AS rk
+        |  FROM u)
+        |SELECT source, CAST(rk AS INTEGER) AS rk, doc_id
+        |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin) { (s, dir) =>
+      val b = (col("doc_id") * 1103515245L + 12345L) % 2147483648L
+      val w = Window.partitionBy("source").orderBy(col("b"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), b.as("b"))
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 5)
+        .select("source", "rk", "doc_id")
+        .orderBy("source", "rk")
+    },
+
     // ---- MATERIALIZE the sqrt-temperature mixture: per-source keep
     //      rates in ppm derived from the q_mix_weights schedule against a
     //      half-corpus token budget, applied with the same LCG acceptance
