@@ -146,7 +146,7 @@ object NdjsonIngest {
     validatePrimaryKey(df, pk)
     val layers = latestLayers(tableDir)
     if (layers.nonEmpty) {
-      val existing = df.sparkSession.read.parquet(layers.map(l => s"$tableDir/$l"): _*)
+      val existing = readChain(df.sparkSession, tableDir, layers, None)
       // a multi-path parquet reader does NOT merge schemas: a drifted
       // batch would commit fine and then silently lose its new columns
       // (or fail late) at read time — enforce layer-schema equality at
@@ -188,8 +188,7 @@ object NdjsonIngest {
     val fresh =
       if (layers.isEmpty) inBatch
       else {
-        val existingFps = spark.read
-          .parquet(layers.map(l => s"$tableDir/$l"): _*)
+        val existingFps = readChain(spark, tableDir, layers, None)
           .join(broadcast(inBatch.select(col(fpCol))), Seq(fpCol), "left_semi")
           .select(col(fpCol)).distinct()
         inBatch.join(broadcast(existingFps), Seq(fpCol), "left_anti")
@@ -201,13 +200,66 @@ object NdjsonIngest {
     else (appendDelta(kept, tableDir, pk, tag), n)
   }
 
+  /** [[appendDelta]] with ADDITIVE SCHEMA EVOLUTION: the batch may carry
+    * columns the table has never seen (they join the schema, null for
+    * every pre-existing row) and may omit existing columns (null-filled
+    * for the batch). What it may NOT do is change an existing column's
+    * type — that is still a drift bug and still aborts with the typed
+    * [[SchemaMismatch]]. The evolved unified schema commits as a
+    * `_log/<seq>.schema` sidecar atomically ordered before the pointer
+    * flip; every chain reader ([[readLatest]], [[readCommit]],
+    * [[readLatestRange]], [[readChanges]], merged reads) resolves the
+    * schema in force at its commit, so old layers are never rewritten —
+    * an add-column at 100 TB costs O(batch) + one metadata file, the
+    * lakehouse add-column contract.
+    */
+  def appendDeltaEvolve(df: DataFrame, tableDir: String, pk: String,
+      tag: Option[String] = None): Long = {
+    validatePrimaryKey(df, pk)
+    val layers = latestLayers(tableDir)
+    if (layers.isEmpty)
+      return commitLayer(df, tableDir, tag, resetChain = true,
+        kind = "snapshot", bloomCol = Some(pk))
+    val existing = readChain(df.sparkSession, tableDir, layers, None)
+    val exSchema = existing.schema
+    val batchByName = df.schema.fields.map(f => f.name -> f).toMap
+    require(batchByName.contains(pk),
+      s"evolving append to $tableDir: batch lacks primary key column $pk")
+    exSchema.fields.foreach { f =>
+      batchByName.get(f.name).foreach { b =>
+        if (b.dataType != f.dataType)
+          throw SchemaMismatch(f.toString, b.toString)
+      }
+    }
+    val exNames = exSchema.fieldNames.toSet
+    val newFields = df.schema.fields.filterNot(f => exNames.contains(f.name))
+      .map(_.copy(nullable = true))
+    val unified = org.apache.spark.sql.types.StructType(
+      exSchema.fields.map(_.copy(nullable = true)) ++ newFields)
+    val aligned = unified.fields.foldLeft(df) { (d, f) =>
+      if (batchByName.contains(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(unified.fieldNames.map(col).toIndexedSeq: _*)
+    val clash = existing
+      .join(broadcast(aligned.select(col(pk))), Seq(pk), "left_semi")
+      .select(col(pk).cast("string")).limit(10)
+      .collect().map(_.getString(0)).toSeq
+    if (clash.nonEmpty) throw DuplicatePrimaryKey(clash)
+    commitLayer(aligned, tableDir, tag, resetChain = false, kind = "append",
+      bloomCol = Some(pk),
+      schemaJson =
+        if (unified.simpleString == exSchema.simpleString) None
+        else Some(unified.json))
+  }
+
   /** Write `df` to the next `v<N>` dir and atomically flip the `latest`
     * pointer. Pointer format: `<layer,layer,...> [tag]` — one line, one
     * rename, so layer list + replay tag commit together.
     */
   private def commitLayer(df: DataFrame, tableDir: String,
       tag: Option[String], resetChain: Boolean, kind: String,
-      bloomCol: Option[String] = None): Long = {
+      bloomCol: Option[String] = None,
+      schemaJson: Option[String] = None): Long = {
     val fs = new java.io.File(tableDir)
     fs.mkdirs()
     val effectiveTag = tag.orElse(latestTag(tableDir))
@@ -222,7 +274,7 @@ object NdjsonIngest {
     writeLayerStats(df, s"$tableDir/v$next")
     val chain =
       if (resetChain) Seq(s"v$next") else latestLayers(tableDir) :+ s"v$next"
-    flipPointer(tableDir, chain, effectiveTag, kind)
+    flipPointer(tableDir, chain, effectiveTag, kind, schemaJson)
     next
   }
 
@@ -286,11 +338,12 @@ object NdjsonIngest {
     // chain's schema with an always-false filter
     if (kept.isEmpty)
       readLatest(spark, tableDir).filter(lit(false))
-    else spark.read.parquet(kept.map(l => s"$tableDir/$l"): _*)
+    else readChain(spark, tableDir, kept, None)
   }
 
   private def flipPointer(tableDir: String, chain: Seq[String],
-      tag: Option[String], kind: String): Unit = {
+      tag: Option[String], kind: String,
+      schemaJson: Option[String] = None): Unit = {
     val content = chain.mkString(",") + tag.map(t => s" $t").getOrElse("")
     // commit-log entry BEFORE the pointer flip: every entry describes
     // fully-written version dirs (data is on disk before flipPointer), so
@@ -302,6 +355,16 @@ object NdjsonIngest {
     val logDir = new java.io.File(tableDir, "_log")
     logDir.mkdirs()
     val seq = commits(tableDir).lastOption.getOrElse(0L) + 1
+    // a schema-evolving commit records the new UNIFIED schema as a
+    // `<seq>.schema` sidecar next to its log entry (written first, so
+    // the entry never references a missing schema); readers resolve the
+    // schema in force at any commit as the newest sidecar ≤ that seq —
+    // time travel to a pre-evolution commit sees the pre-evolution
+    // schema. `commits()` ignores the sidecars (non-numeric names), and
+    // gc keeps them: schema history is metadata-sized and later commits
+    // depend on it.
+    schemaJson.foreach(js => java.nio.file.Files.writeString(
+      new java.io.File(logDir, s"$seq.schema").toPath, js))
     // the commit KIND rides only in the log entry (as a self-describing
     // trailing token — `latest` readers never need it, log readers parse
     // it by prefix so tag-present and tag-absent entries stay uniform)
@@ -320,12 +383,14 @@ object NdjsonIngest {
       .flatMap(n => scala.util.Try(n.toLong).toOption).sorted.toSeq
   }
 
-  /** The table as of commit `seq` — time travel over the commit log. */
+  /** The table as of commit `seq` — time travel over the commit log
+    * (under the schema in force at that commit).
+    */
   def readCommit(spark: SparkSession, tableDir: String, seq: Long): DataFrame = {
     val p = java.nio.file.Paths.get(tableDir, "_log", seq.toString)
     val chain = java.nio.file.Files.readString(p).trim.split("\\s+").head
       .split(",").toSeq.filter(_.nonEmpty)
-    spark.read.parquet(chain.map(l => s"$tableDir/$l"): _*)
+    readChain(spark, tableDir, chain, Some(seq))
   }
 
   /** Rewrite the current layer chain as ONE snapshot layer when it has
@@ -347,7 +412,7 @@ object NdjsonIngest {
       numRanges: Int = 8): Boolean = {
     val layers = latestLayers(tableDir)
     if (layers.length <= maxLayers) return false
-    val read = spark.read.parquet(layers.map(l => s"$tableDir/$l"): _*)
+    val read = readChain(spark, tableDir, layers, None)
     val full = clusterBy match {
       case Some(c) =>
         read.repartitionByRange(numRanges, col(c)).sortWithinPartitions(c)
@@ -404,12 +469,48 @@ object NdjsonIngest {
       .split(",").toSeq.filter(_.nonEmpty)
   }
 
+  /** The unified schema in force as of commit `upTo`: the newest
+    * `_log/<seq>.schema` sidecar with seq ≤ upTo. None when the table
+    * has never evolved (readers then take the footer schema, exactly as
+    * before evolution existed).
+    */
+  private def schemaAsOf(tableDir: String,
+      upTo: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val logDir = new java.io.File(tableDir, "_log")
+    val seqs = Option(logDir.list()).getOrElse(Array())
+      .filter(_.endsWith(".schema"))
+      .flatMap(n => scala.util.Try(n.stripSuffix(".schema").toLong).toOption)
+      .filter(_ <= upTo)
+    if (seqs.isEmpty) None
+    else Some(org.apache.spark.sql.types.DataType
+      .fromJson(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(tableDir, "_log", s"${seqs.max}.schema")))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** One multi-path parquet scan over a layer chain, read under the
+    * schema in force at `asOf` (None = head). Without an explicit
+    * schema a multi-path read takes ONE file's footer as the relation
+    * schema — on an additively-evolved chain that randomly drops the
+    * new columns; with it, pre-evolution files surface the added
+    * columns as nulls and every layer is readable in one relation
+    * (pushdown and pruning intact, no mergeSchema footer sweep).
+    */
+  private def readChain(spark: SparkSession, tableDir: String,
+      chain: Seq[String], asOf: Option[Long]): DataFrame = {
+    val paths = chain.map(l => s"$tableDir/$l")
+    schemaAsOf(tableDir, asOf.getOrElse(Long.MaxValue)) match {
+      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+  }
+
   /** The full table as of the committed pointer: one multi-path parquet
     * scan over the layer chain (a single relation, not N unioned plans —
     * partition pruning and pushdown apply across all layers).
     */
   def readLatest(spark: SparkSession, tableDir: String): DataFrame =
-    spark.read.parquet(latestLayers(tableDir).map(l => s"$tableDir/$l"): _*)
+    readChain(spark, tableDir, latestLayers(tableDir), None)
 
   // ---- merge-on-read upserts & deletes --------------------------------
   //
@@ -440,8 +541,7 @@ object NdjsonIngest {
     validatePrimaryKey(df, pk)
     val dataLayers = latestLayers(tableDir).filter(layerHasData(tableDir, _))
     if (dataLayers.nonEmpty) {
-      val existing =
-        df.sparkSession.read.parquet(dataLayers.map(l => s"$tableDir/$l"): _*)
+      val existing = readChain(df.sparkSession, tableDir, dataLayers, None)
       if (existing.schema.simpleString != df.schema.simpleString)
         throw SchemaMismatch(existing.schema.simpleString, df.schema.simpleString)
     }
@@ -483,15 +583,16 @@ object NdjsonIngest {
     * [[compactMerged]], so the union width stays small.
     */
   private def resolveChainMerged(spark: SparkSession, tableDir: String,
-      chain: Seq[String], pk: String): DataFrame = {
+      chain: Seq[String], pk: String, asOf: Option[Long] = None): DataFrame = {
     val indexed = chain.zipWithIndex
     val dataLayers = indexed.filter { case (l, _) => layerHasData(tableDir, l) }
     require(dataLayers.nonEmpty,
       s"merged read of $tableDir: chain ${chain.mkString(",")} has no data layers")
-    val schema = spark.read.parquet(s"$tableDir/${dataLayers.head._1}").schema
+    val schema = schemaAsOf(tableDir, asOf.getOrElse(Long.MaxValue))
+      .getOrElse(spark.read.parquet(s"$tableDir/${dataLayers.head._1}").schema)
     val payload = schema.fields.map(_.name).filter(_ != pk).toSeq
     val dataParts = dataLayers.map { case (l, i) =>
-      spark.read.parquet(s"$tableDir/$l")
+      spark.read.schema(schema).parquet(s"$tableDir/$l")
         .withColumn("__layer", lit(i)).withColumn("__del", lit(false))
     }
     val tombParts = indexed.flatMap { case (l, i) =>
@@ -523,7 +624,7 @@ object NdjsonIngest {
     val p = java.nio.file.Paths.get(tableDir, "_log", seq.toString)
     val chain = java.nio.file.Files.readString(p).trim.split("\\s+").head
       .split(",").toSeq.filter(_.nonEmpty)
-    resolveChainMerged(spark, tableDir, chain, pk)
+    resolveChainMerged(spark, tableDir, chain, pk, Some(seq))
   }
 
   /** Fold a merge-on-read chain longer than `maxLayers` into ONE resolved,
@@ -547,7 +648,7 @@ object NdjsonIngest {
     true
   }
 
-  private def logEntry(tableDir: String, seq: Long): (Seq[String], String) = {
+  private[sources] def logEntry(tableDir: String, seq: Long): (Seq[String], String) = {
     val p = java.nio.file.Paths.get(tableDir, "_log", seq.toString)
     require(java.nio.file.Files.exists(p),
       s"change feed: commit $seq of $tableDir was gc'd — consume the feed " +
@@ -580,7 +681,11 @@ object NdjsonIngest {
     val dataLayer = toChain.find(layerHasData(tableDir, _))
     require(dataLayer.nonEmpty,
       s"change feed: no data layers as of commit $toSeq")
-    val schema = spark.read.parquet(s"$tableDir/${dataLayer.get}").schema
+    // the feed is presented in the schema in force at `toSeq`: layers
+    // from before an evolution surface the added columns as nulls, so
+    // every part unions cleanly and consumers see one stable shape
+    val schema = schemaAsOf(tableDir, toSeq)
+      .getOrElse(spark.read.parquet(s"$tableDir/${dataLayer.get}").schema)
     val payload = schema.fields.map(_.name).filter(_ != pk).toSeq
     val parts = ((fromSeq + 1) to toSeq).flatMap { seq =>
       val (chain, kind) = logEntry(tableDir, seq)
@@ -598,14 +703,15 @@ object NdjsonIngest {
           }
         case "snapshot" | "append" | "upsert" | "unknown" =>
           if (added.isEmpty) None
-          else Some(spark.read.parquet(added.map(l => s"$tableDir/$l"): _*)
+          else Some(spark.read.schema(schema)
+            .parquet(added.map(l => s"$tableDir/$l"): _*)
             .withColumn("_change_type",
               lit(if (kind == "snapshot") "snapshot" else "insert"))
             .withColumn("_commit", lit(seq)))
       }
     }
     if (parts.isEmpty)
-      spark.read.parquet(s"$tableDir/${dataLayer.get}")
+      spark.read.schema(schema).parquet(s"$tableDir/${dataLayer.get}")
         .withColumn("_change_type", lit("insert"))
         .withColumn("_commit", lit(0L)).filter(lit(false))
     else parts.reduce(_.unionByName(_))

@@ -406,6 +406,69 @@ class SourcesSpec extends SparkSpec {
     assert(NdjsonIngest.readLatest(spark, dir).count() === 4)
   }
 
+  test("additive schema evolution: add-column is O(batch), travel sees old schema") {
+    val dir = tmpDir() + "/t"
+    NdjsonIngest.appendVersion(
+      Seq((1L, "CH", 1.0)).toDF("id", "country", "val"), dir, "id") // commit 1
+    // a batch with a NEW column evolves the table instead of aborting;
+    // the old layer is not rewritten (still 3 physical columns)
+    NdjsonIngest.appendDeltaEvolve(
+      Seq((2L, "DE", 2.0, "web")).toDF("id", "country", "val", "source"),
+      dir, "id") // commit 2
+    val v1Dir = s"$dir/${NdjsonIngest.latestLayers(dir).head}"
+    assert(spark.read.parquet(v1Dir).schema.fieldNames.toSeq ===
+      Seq("id", "country", "val"))
+    val evolved = NdjsonIngest.readLatest(spark, dir)
+    assert(evolved.schema.fieldNames.toSeq ===
+      Seq("id", "country", "val", "source"))
+    assert(evolved.select("id", "source").as[(Long, Option[String])]
+      .collect().toMap === Map(1L -> None, 2L -> Some("web")))
+    // an OLD-schema batch still appends through the evolving path: its
+    // missing column null-fills instead of aborting
+    NdjsonIngest.appendDeltaEvolve(
+      Seq((3L, "FR", 3.0)).toDF("id", "country", "val"), dir, "id") // commit 3
+    assert(NdjsonIngest.readLatest(spark, dir)
+      .filter(col("id") === 3L).select("source").as[Option[String]]
+      .collect().toSeq === Seq(None))
+    // the STRICT path still rejects drift — evolution is opt-in per append
+    intercept[NdjsonIngest.SchemaMismatch] {
+      NdjsonIngest.appendDelta(
+        Seq((4L, "IT", 4.0)).toDF("id", "country", "val"), dir, "id")
+    }
+    // a TYPE change is a drift bug in both paths, never an evolution
+    intercept[NdjsonIngest.SchemaMismatch] {
+      NdjsonIngest.appendDeltaEvolve(
+        Seq((5L, "ES", "oops")).toDF("id", "country", "val"), dir, "id")
+    }
+    // time travel: a pre-evolution commit reads under the PRE-evolution
+    // schema; a post-evolution commit under the evolved one
+    assert(NdjsonIngest.readCommit(spark, dir, 1L).schema.fieldNames.toSeq ===
+      Seq("id", "country", "val"))
+    assert(NdjsonIngest.readCommit(spark, dir, 2L).schema.fieldNames.toSeq ===
+      Seq("id", "country", "val", "source"))
+    // the change feed presents the whole range in the head schema
+    val feed = NdjsonIngest.readChanges(spark, dir, "id", 0L, 3L)
+    assert(feed.schema.fieldNames.take(4).toSeq ===
+      Seq("id", "country", "val", "source"))
+    assert(feed.count() === 3)
+    // compaction folds the chain into a snapshot that materializes the
+    // unified schema; dup-pk guard still works across the evolution
+    (6L to 14L).foreach { i =>
+      NdjsonIngest.appendDeltaEvolve(
+        Seq((i, "FR", i.toDouble)).toDF("id", "country", "val"), dir, "id")
+    }
+    intercept[NdjsonIngest.DuplicatePrimaryKey] {
+      NdjsonIngest.appendDeltaEvolve(
+        Seq((2L, "XX", 0.0)).toDF("id", "country", "val"), dir, "id")
+    }
+    assert(NdjsonIngest.compactVersions(spark, dir, maxLayers = 8))
+    val compacted = NdjsonIngest.readLatest(spark, dir)
+    assert(compacted.schema.fieldNames.toSeq ===
+      Seq("id", "country", "val", "source"))
+    assert(compacted.count() === 12)
+    assert(compacted.filter(col("source") === "web").count() === 1)
+  }
+
   test("updateColumn: conditional scalar rewrite") {
     val df = Seq((1L, 10), (2L, 20)).toDF("id", "x")
     val out = RelationalOps.updateColumn(df, "x", lit(0), col("id") === 1L)
