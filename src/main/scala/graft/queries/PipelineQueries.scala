@@ -2096,5 +2096,69 @@ object PipelineQueries {
           sum(col("nchars")).cast("bigint").as("chars"),
           sum(size(split(col("j"), SEP))).cast("bigint").as("tokens"))
         .orderBy("source")
+    },
+
+    // ---- contrastive HARD-NEGATIVE mining: for each probe vector, the
+    //      most-similar vectors carrying a DIFFERENT label — the
+    //      embedding-training op (high-cosine different-class candidates
+    //      make the hardest negatives). Same fixed-probe-set shape as
+    //      q_ann_topk: probes broadcast against ONE linear scan; at scale
+    //      the candidate side routes through the persisted ANN index
+    //      (q_ann_index) with a label-mismatch post-filter. ----
+    QDef("q_hard_negatives",
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS q_label
+         |  FROM embeddings WHERE vec_id < 10),
+         |p AS (SELECT q_id, e.vec_id AS n_id, e.label AS n_label,
+         |  ${cosSql("qv", "e.embedding")} AS cos
+         |  FROM q, embeddings e WHERE e.vec_id <> q_id AND e.label <> q_label),
+         |r AS (SELECT q_id, n_id, n_label, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk FROM p)
+         |SELECT q_id, CAST(rk AS INTEGER) AS rk, n_id, n_label, cos FROM r
+         |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"),
+          VF.norm2(col("embedding")).as("nrm"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          col("label").as("q_label"), col("nrm").as("nq"))
+      val n = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"),
+        col("label").as("n_label"), col("nrm").as("nn"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+      broadcast(q)
+        .join(n, col("q_id") =!= col("n_id") && col("q_label") =!= col("n_label"))
+        .withColumn("cos",
+          round(VF.dot(col("qv"), col("nv")) / (col("nq") * col("nn")), 6))
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 3)
+        .select("q_id", "rk", "n_id", "n_label", "cos")
+        .orderBy("q_id", "rk")
+    },
+
+    // ---- near-dup-aware LOSS WEIGHTS (soft dedup): instead of dropping
+    //      duplicates, down-weight each document by its near-dup cluster
+    //      size (weight = 1/|cluster|, in exact ppm) so every cluster
+    //      contributes one document's worth of gradient. Reuses the
+    //      simhash cluster machinery: one combinable count per cluster
+    //      plus an equi-join back — no full-table window. floor of an
+    //      IEEE integer/integer division is engine-deterministic. ----
+    QDef("q_dedup_weights",
+      s"""$simhashClosureCte,
+         |comp AS (SELECT node AS doc_id, min(lab) AS cluster
+         |  FROM reach GROUP BY node),
+         |sz AS (SELECT cluster, count(*) AS sz FROM comp GROUP BY cluster)
+         |SELECT c.doc_id, c.cluster, CAST(s.sz AS INTEGER) AS sz,
+         |  CAST(floor(1000000.0 / s.sz) AS BIGINT) AS weight_ppm
+         |FROM comp c JOIN sz s USING (cluster) ORDER BY c.doc_id""".stripMargin) {
+      (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = simhashPairs(docs)
+      val comp = graft.operators.ConnectedComponents
+        .components(pairs, "a_id", "b_id", docs, "doc_id")
+        .select(col("node").as("doc_id"), col("comp").as("cluster"))
+      val sz = comp.groupBy("cluster").agg(count(lit(1)).as("szl"))
+      comp.join(sz, Seq("cluster"))
+        .select(col("doc_id"), col("cluster"), col("szl").cast("int").as("sz"),
+          floor(lit(1000000.0) / col("szl")).cast("bigint").as("weight_ppm"))
+        .orderBy("doc_id")
     })
 }
