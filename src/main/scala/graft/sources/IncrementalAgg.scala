@@ -63,8 +63,13 @@ object IncrementalAgg {
       if (tmp.exists()) { // leftover from a crashed write
         tmp.listFiles().foreach(_.delete()); tmp.delete()
       }
-      partial(spark.read.parquet(s"$tableDir/$layer"), keyCols, sumCols,
-          distinctCols)
+      // read the layer under the table's HEAD schema (NdjsonIngest
+      // additive evolution): a column added after this layer was
+      // committed surfaces as null, so its partial contributes 0 to the
+      // new column's sum / no keys — exactly what a direct aggregate
+      // over the evolved table computes for those rows
+      partial(NdjsonIngest.readChain(spark, tableDir, Seq(layer), None),
+          keyCols, sumCols, distinctCols)
         .coalesce(1)
         .write.parquet(tmp.toString)
       java.nio.file.Files.move(tmp.toPath, new java.io.File(dir, layer).toPath,

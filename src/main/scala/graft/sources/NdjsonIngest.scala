@@ -496,7 +496,7 @@ object NdjsonIngest {
     * columns as nulls and every layer is readable in one relation
     * (pushdown and pruning intact, no mergeSchema footer sweep).
     */
-  private def readChain(spark: SparkSession, tableDir: String,
+  private[sources] def readChain(spark: SparkSession, tableDir: String,
       chain: Seq[String], asOf: Option[Long]): DataFrame = {
     val paths = chain.map(l => s"$tableDir/$l")
     schemaAsOf(tableDir, asOf.getOrElse(Long.MaxValue)) match {

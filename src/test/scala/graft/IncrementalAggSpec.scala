@@ -108,4 +108,32 @@ class IncrementalAggSpec extends SparkSpec {
     assert(dead.nonEmpty)
     assert(served(dir) === direct(dir))
   }
+
+  test("partials over an evolved chain: layers from before the add-column still serve") {
+    val root = java.nio.file.Files.createTempDirectory("incagg").toFile
+    val dir = s"$root/table"
+    NdjsonIngest.appendDelta(batch(("a", "k1", 1.5), ("b", "k2", 2.0)), dir, "id")
+    // additive evolution: later batches carry a new `quality` column the
+    // first layer has never heard of
+    NdjsonIngest.appendDeltaEvolve(
+      Seq(("c", "k1", 3.0, 10.0), ("d", "k2", 4.0, 2.5))
+        .toDF("id", "k", "x", "quality"), dir, "id")
+    // an aggregate over the NEW column (its own spec name): pre-evolution
+    // layers read under the head schema, contribute null→0, and the
+    // merged result equals the direct aggregate over the evolved table
+    val servedQ = IncrementalAgg
+      .serve(spark, dir, "by_k_q", Seq("k"), Seq("quality"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), Option(r.getDecimal(2)))))
+      .toMap
+    val directQ = NdjsonIngest.readLatest(spark, dir)
+      .groupBy("k")
+      .agg(count(lit(1)).cast("bigint").as("cnt"),
+        sum(col("quality").cast("decimal(28,2)")).as("sum_quality"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), Option(r.getDecimal(2)))))
+      .toMap
+    assert(servedQ === directQ)
+    assert(servedQ("k1")._2.map(BigDecimal(_)) === Some(BigDecimal("10.00")))
+  }
 }
