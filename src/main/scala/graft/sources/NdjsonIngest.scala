@@ -227,7 +227,10 @@ object NdjsonIngest {
       s"evolving append to $tableDir: batch lacks primary key column $pk")
     exSchema.fields.foreach { f =>
       batchByName.get(f.name).foreach { b =>
-        if (b.dataType != f.dataType)
+        // simpleString comparison, like the strict path: nullability
+        // (incl. nested containsNull, which parquet reads widen) is not
+        // drift; a changed TYPE is
+        if (b.dataType.simpleString != f.dataType.simpleString)
           throw SchemaMismatch(f.toString, b.toString)
       }
     }

@@ -59,7 +59,7 @@ object StreamingIngest {
   def ingestBatch(
       spark: SparkSession, batch: Dataset[Row], batchId: Long,
       seqCol: String, ref: String, tableDir: String, pk: String,
-      streamId: String): Unit = {
+      streamId: String, evolve: Boolean = false): Unit = {
     val tag = s"$streamId:batch$batchId"
     if (NdjsonIngest.latestTag(tableDir).contains(tag)) return // replayed
     if (batch.isEmpty) return
@@ -68,7 +68,12 @@ object StreamingIngest {
     // DELTA commit: the new version dir holds only this batch — a 1-row
     // micro-batch at 100 TB writes O(batch), not a full-table rewrite.
     // Readers union the committed layer chain (NdjsonIngest.readLatest).
-    NdjsonIngest.appendDelta(diffed, tableDir, pk, tag = Some(tag))
+    // `evolve` = the restart-with-a-new-schema-version path: a stream
+    // whose source gained columns keeps appending to the same table
+    // through the additive-evolution commit (old layers untouched);
+    // without it a drifted schema still aborts loudly at the boundary.
+    if (evolve) NdjsonIngest.appendDeltaEvolve(diffed, tableDir, pk, tag = Some(tag))
+    else NdjsonIngest.appendDelta(diffed, tableDir, pk, tag = Some(tag))
     // Bound the chain (union width + small files): rewrite as one
     // snapshot layer past 8 delta layers — amortized O(table/8) per
     // batch, same policy as posting-index compaction.
@@ -79,7 +84,8 @@ object StreamingIngest {
   def start(
       spark: SparkSession, inDir: String, schema: StructType,
       seqCol: String, ref: String,
-      tableDir: String, pk: String, checkpointDir: String): StreamingQuery =
+      tableDir: String, pk: String, checkpointDir: String,
+      evolve: Boolean = false): StreamingQuery =
     spark.readStream
       .schema(schema).option("mode", "FAILFAST").json(inDir)
       .writeStream
@@ -88,7 +94,7 @@ object StreamingIngest {
         // resolved per batch, not at start(): the metadata file is created
         // by the query's own startup, after this builder runs
         ingestBatch(spark, batch, batchId, seqCol, ref, tableDir, pk,
-          streamId = streamIdOf(checkpointDir))
+          streamId = streamIdOf(checkpointDir), evolve = evolve)
       }
       .trigger(Trigger.AvailableNow())
       .start()

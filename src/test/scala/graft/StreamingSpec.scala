@@ -267,7 +267,11 @@ class StreamingSpec extends SparkSpec {
     import graft.sources.NdjsonIngest
     val root = java.nio.file.Files.createTempDirectory("snamespace").toFile
     val tableDir = s"$root/table"
-    val ingest = graft.streaming.StreamingIngest.ingestBatch _
+    def ingest(spark: org.apache.spark.sql.SparkSession,
+        df: org.apache.spark.sql.DataFrame, b: Long, seqCol: String,
+        ref: String, dir: String, pk: String, sid: String): Unit =
+      graft.streaming.StreamingIngest.ingestBatch(
+        spark, df, b, seqCol, ref, dir, pk, sid)
     ingest(spark, Seq(("k1", "ACGTACGT")).toDF("id", "seq"), 0L,
       "seq", "ACGTACGT", tableDir, "id", "streamA")
     assert(NdjsonIngest.readLatest(spark, tableDir).count() === 1)
@@ -306,6 +310,37 @@ class StreamingSpec extends SparkSpec {
     val dead = NdjsonIngest.gcVersions(tableDir)
     assert(dead.nonEmpty)
     assert(NdjsonIngest.readLatest(spark, tableDir).count() === 10)
+  }
+
+  test("stream restart with a new schema version evolves the table only when opted in") {
+    import graft.sources.NdjsonIngest
+    val root = java.nio.file.Files.createTempDirectory("sevolve").toFile
+    val tableDir = s"$root/table"
+    graft.streaming.StreamingIngest.ingestBatch(
+      spark, Seq(("k1", "ACGTACGT")).toDF("id", "seq"), 0L,
+      "seq", "ACGTACGT", tableDir, "id", "s1")
+    // the stream restarts with a source that gained a `qc` column: the
+    // default (strict) path still treats that as drift and aborts loudly
+    val b = Seq(("k2", "TCGTACGT", 0.9)).toDF("id", "seq", "qc")
+    intercept[NdjsonIngest.SchemaMismatch] {
+      graft.streaming.StreamingIngest.ingestBatch(
+        spark, b, 0L, "seq", "ACGTACGT", tableDir, "id", "s2")
+    }
+    // opted in, the same batch commits through additive evolution: old
+    // rows surface qc as null, the old layer is untouched
+    graft.streaming.StreamingIngest.ingestBatch(
+      spark, b, 0L, "seq", "ACGTACGT", tableDir, "id", "s2", evolve = true)
+    val t = NdjsonIngest.readLatest(spark, tableDir)
+    assert(t.count() === 2)
+    assert(t.filter(col("id") === "k1").select("qc").as[Option[Double]]
+      .collect().toSeq === Seq(None))
+    assert(t.filter(col("id") === "k2").select("qc").as[Option[Double]]
+      .collect().toSeq === Seq(Some(0.9)))
+    // replay of the evolving batch is still a no-op (same namespaced tag)
+    val nv = new java.io.File(tableDir).list().count(_.startsWith("v"))
+    graft.streaming.StreamingIngest.ingestBatch(
+      spark, b, 0L, "seq", "ACGTACGT", tableDir, "id", "s2", evolve = true)
+    assert(new java.io.File(tableDir).list().count(_.startsWith("v")) === nv)
   }
 
   test("session_window aggregation finalizes sessions past the watermark; batch parity") {
