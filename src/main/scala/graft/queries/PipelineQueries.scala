@@ -2160,5 +2160,139 @@ object PipelineQueries {
         .select(col("doc_id"), col("cluster"), col("szl").cast("int").as("sz"),
           floor(lit(1000000.0) / col("szl")).cast("bigint").as("weight_ppm"))
         .orderBy("doc_id")
+    },
+
+    // ---- kNN AUTO-LABELING (weak supervision / label propagation): a
+    //      bounded probe set gets each vector's label predicted as the
+    //      majority vote of its k=5 cosine-nearest neighbors (most votes
+    //      first, then smallest label). Same bounded-probe shape as
+    //      q_hard_negatives: the probe side broadcasts against ONE linear
+    //      scan; at 100 TB the scan side swaps for the persisted ANN index
+    //      (q_ann_index) with identical vote semantics. Cosines round to
+    //      6 dp before ranking so cross-engine float drift cannot reorder
+    //      the neighbor list; everything downstream is integer. ----
+    QDef("q_knn_classify",
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS true_label
+         |  FROM embeddings WHERE vec_id < 20),
+         |p AS (SELECT q_id, true_label, e.vec_id AS n_id, e.label AS n_label,
+         |  ${cosSql("qv", "e.embedding")} AS cos
+         |  FROM q, embeddings e WHERE e.vec_id <> q_id),
+         |r AS (SELECT q_id, true_label, n_label,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk FROM p),
+         |v AS (SELECT q_id, true_label, n_label, count(*) AS c
+         |  FROM r WHERE rk <= 5 GROUP BY q_id, true_label, n_label),
+         |w AS (SELECT q_id, true_label, n_label AS pred_label, c,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_label) AS vr FROM v)
+         |SELECT q_id, true_label, pred_label, CAST(c AS INTEGER) AS votes,
+         |  CAST(pred_label = true_label AS INTEGER) AS correct
+         |FROM w WHERE vr = 1 ORDER BY q_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"),
+          VF.norm2(col("embedding")).as("nrm"))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          col("label").as("true_label"), col("nrm").as("nq"))
+      val n = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"),
+        col("label").as("n_label"), col("nrm").as("nn"))
+      val wk = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+      val wv = Window.partitionBy("q_id").orderBy(col("c").desc, col("n_label"))
+      broadcast(q).join(n, col("q_id") =!= col("n_id"))
+        .withColumn("cos",
+          round(VF.dot(col("qv"), col("nv")) / (col("nq") * col("nn")), 6))
+        .withColumn("rk", row_number().over(wk))
+        .filter(col("rk") <= 5)
+        .groupBy("q_id", "true_label", "n_label")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("vr", row_number().over(wv))
+        .filter(col("vr") === 1)
+        .select(col("q_id"), col("true_label"),
+          col("n_label").as("pred_label"), col("c").cast("int").as("votes"),
+          (col("n_label") === col("true_label")).cast("int").as("correct"))
+        .orderBy("q_id")
+    },
+
+    // ---- NOISY-LABEL MINING (mislabel detection): per class, the 3
+    //      vectors farthest from their class centroid. All arithmetic is
+    //      exact integer — embeddings quantize to round(x·1000) BIGINTs and
+    //      n²·‖x − mean‖² ≙ Σ_d (n·q_d − S_d)² avoids the division — so
+    //      sums are order-independent and engine-identical (|n·q − S| ≤
+    //      1e5 per dim at this quantization, Σ over 64 dims ≪ int64).
+    //      Scale: centroids are a (labels × dims) aggregate broadcast back
+    //      into a map-side pass; the per-class top-3 runs TWO-PHASE —
+    //      partial top-3 within (label, salt) partitions, final top-3 over
+    //      the ≤ 3·S survivors — so a 100 TB class never lands in one
+    //      window partition. ----
+    QDef("q_label_outliers",
+      """WITH qv AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, label, i, list_extract(q, CAST(i + 1 AS INTEGER)) AS qi
+        |  FROM qv, range(64) t(i)),
+        |ctr AS (SELECT label, i, CAST(sum(qi) AS BIGINT) AS sv,
+        |  CAST(count(*) AS BIGINT) AS n FROM e GROUP BY label, i),
+        |d AS (SELECT e.vec_id, e.label,
+        |  CAST(sum((ctr.n * e.qi - ctr.sv) * (ctr.n * e.qi - ctr.sv)) AS BIGINT) AS d2
+        |  FROM e JOIN ctr ON e.label = ctr.label AND e.i = ctr.i
+        |  GROUP BY e.vec_id, e.label),
+        |r AS (SELECT label, vec_id, d2,
+        |  row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id) AS rk FROM d)
+        |SELECT label, CAST(rk AS INTEGER) AS rk, vec_id, d2 FROM r
+        |WHERE rk <= 3 ORDER BY label, rk""".stripMargin) { (s, dir) =>
+      val q = t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000, 0).cast("long")).as("q"))
+      val e = q.select(col("vec_id"), col("label"),
+        posexplode(col("q")).as(Seq("i", "qi")))
+      val ctr = e.groupBy("label", "i")
+        .agg(sum("qi").as("sv"), count(lit(1)).as("n"))
+      val d = e.join(broadcast(ctr), Seq("label", "i"))
+        .withColumn("dev", col("n") * col("qi") - col("sv"))
+        .groupBy("vec_id", "label").agg(sum(col("dev") * col("dev")).as("d2"))
+      val w1 = Window.partitionBy(col("label"), pmod(col("vec_id"), lit(8)))
+        .orderBy(col("d2").desc, col("vec_id"))
+      val w2 = Window.partitionBy("label").orderBy(col("d2").desc, col("vec_id"))
+      d.withColumn("prk", row_number().over(w1)).filter(col("prk") <= 3)
+        .withColumn("rk", row_number().over(w2).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("label"), col("rk"), col("vec_id"), col("d2"))
+        .orderBy("label", "rk")
+    },
+
+    // ---- TOKEN-BUDGET DATA SELECTION: per source, greedily keep the
+    //      highest-quality documents (distinct-token count, doc_id ties)
+    //      until a 600-token budget is exhausted — the data-selection
+    //      step between scoring and training. Integer running sums make
+    //      the cut engine-exact. Scale: the window partitions per source;
+    //      at 100 TB the prefix is found without a full sort by first
+    //      binary-searching a score threshold from quantile sketches
+    //      (approx_percentile) and only window-ranking the boundary
+    //      stratum — documented trade-off, same family as q_pack_sequences
+    //      sub-sharding. ----
+    QDef("q_budget_select",
+      s"""WITH tk AS (SELECT doc_id, source,
+         |  CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tok,
+         |  CAST(len(list_distinct(string_split($normSql, ' '))) AS BIGINT) AS n_uniq
+         |  FROM documents),
+         |o AS (SELECT source, doc_id, n_tok, n_uniq,
+         |  sum(n_tok) OVER (PARTITION BY source ORDER BY n_uniq DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM tk)
+         |SELECT source, doc_id, CAST(n_tok AS INTEGER) AS n_tok,
+         |  CAST(n_uniq AS INTEGER) AS n_uniq, CAST(cum AS BIGINT) AS cum_tok
+         |FROM o WHERE cum <= 600 ORDER BY source, doc_id""".stripMargin) {
+      (s, dir) =>
+      val toks = TF.tokens(col("text"))
+      val tk = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_uniq").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tk.withColumn("cum", sum("n_tok").over(w))
+        .filter(col("cum") <= 600)
+        .select(col("source"), col("doc_id"), col("n_tok").cast("int").as("n_tok"),
+          col("n_uniq").cast("int").as("n_uniq"),
+          col("cum").cast("bigint").as("cum_tok"))
+        .orderBy("source", "doc_id")
     })
 }

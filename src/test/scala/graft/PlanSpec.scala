@@ -186,7 +186,7 @@ class PlanSpec extends SparkSpec {
     // sample (q_ann_recall), or a 1-row aggregate dim (q_tfidf_topk,
     // q_mix_weights/q_mix_sample's grand-total row)
     val boundedBnlj = Set("q_ann_topk", "q_ann_recall", "q_ivf_recall", "q_tfidf_topk",
-      "q_mix_weights", "q_mix_sample", "q_hard_negatives")
+      "q_mix_weights", "q_mix_sample", "q_hard_negatives", "q_knn_classify")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"),
