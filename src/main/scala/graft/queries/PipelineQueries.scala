@@ -2294,5 +2294,69 @@ object PipelineQueries {
           col("n_uniq").cast("int").as("n_uniq"),
           col("cum").cast("bigint").as("cum_tok"))
         .orderBy("source", "doc_id")
+    },
+
+    // ---- SPAN-CORRUPTION EXAMPLE GENERATION (T5-style denoising pairs):
+    //      deterministically mask the token span at positions {3,4} of
+    //      every 7-token window — the first span token becomes the <x>
+    //      sentinel, the second drops — producing (input, target) training
+    //      pairs. A map-only array pass (transform/filter HOFs, no UDF, no
+    //      shuffle): at 100 TB this is embarrassingly parallel and stays
+    //      in WholeStageCodegen. Deterministic masking keeps the oracle
+    //      exact; a seeded-hash mask (like q_sample_stratified's LCG)
+    //      would swap in for real augmentation. ----
+    QDef("q_span_corrupt",
+      s"""WITH tk AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |  list_transform(range(1, len(toks) + 1), i ->
+         |    CASE WHEN (i - 1) % 7 = 3 THEN '<x>'
+         |         WHEN (i - 1) % 7 = 4 THEN ''
+         |         ELSE toks[CAST(i AS INTEGER)] END) AS inp_l,
+         |  list_filter(list_transform(range(1, len(toks) + 1), i ->
+         |    CASE WHEN (i - 1) % 7 IN (3, 4) THEN toks[CAST(i AS INTEGER)]
+         |         ELSE '' END), x -> x <> '') AS tgt_l
+         |  FROM tk)
+         |SELECT doc_id,
+         |  array_to_string(list_filter(inp_l, x -> x <> ''), ' ') AS input_text,
+         |  array_to_string(tgt_l, ' ') AS target_text,
+         |  CAST(len(tgt_l) AS INTEGER) AS n_masked
+         |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = TF.tokens(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          transform(toks, (x, i) =>
+            when(i % 7 === 3, lit("<x>"))
+              .when(i % 7 === 4, lit("")).otherwise(x)).as("inp_l"),
+          filter(toks, (x, i) => i % 7 === 3 || i % 7 === 4).as("tgt_l"))
+        .select(col("doc_id"),
+          concat_ws(" ", filter(col("inp_l"), x => x =!= "")).as("input_text"),
+          concat_ws(" ", col("tgt_l")).as("target_text"),
+          size(col("tgt_l")).cast("int").as("n_masked"))
+        .orderBy("doc_id")
+    },
+
+    // ---- RANDOM-PROJECTION DIMENSIONALITY REDUCTION (Johnson-
+    //      Lindenstrauss sketch): 64-d embeddings project onto 8
+    //      deterministic seeded Gaussian directions — the cheap first
+    //      stage before clustering/visualization, and the same plane
+    //      machinery LSH bucketing uses (here keeping the real-valued
+    //      projection instead of the sign bit). Map-only, no shuffle; the
+    //      oracle embeds the identical plane doubles as SQL literals and
+    //      replays the strict left-fold dot, so the 6-dp values are
+    //      bit-exact across engines. ----
+    QDef("q_embed_project", {
+      val planes = graft.ann.Similarity.hyperplanes(64, 8, seed = 7L)
+      s"""SELECT vec_id,
+         |  ${planes.zipWithIndex.map { case (p, i) =>
+               s"round(${litDot("embedding", p)}, 6) AS p$i" }.mkString(",\n  ")}
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      val planes = graft.ann.Similarity.hyperplanes(64, 8, seed = 7L)
+      t(s, dir, "embeddings").select(
+        col("vec_id") +: planes.zipWithIndex.map { case (p, i) =>
+          round(VF.dot(col("embedding"), array(p.map(lit): _*)), 6).as(s"p$i")
+        }: _*)
+        .orderBy("vec_id")
     })
 }
