@@ -1535,6 +1535,29 @@ object Media {
     * are touched; `mdat` (the actual media data, ~all of the bytes at
     * scale) is skipped by its size field without being read.
     */
+  /** Walk the child boxes of `blob[start, end)` per ISO/IEC 14496-12 —
+    * [size u32][type 4cc], size 1 = 64-bit largesize, size 0 = to end —
+    * calling `f(type, bodyStart, bodyEnd)` for each; stops at the first
+    * malformed header.
+    */
+  private def walkBoxes(blob: Array[Byte], start: Int, end: Int)(
+      f: (String, Int, Int) => Unit): Unit = {
+    var i = start
+    while (i + 8 <= end) {
+      var sz = be32(blob, i)
+      var body = i + 8
+      if (sz == 1) { // 64-bit largesize
+        if (i + 16 > end) return
+        val hi = be32(blob, i + 8); val lo = be32(blob, i + 12)
+        if (hi != 0 || lo < 16) return // > 2 GB headers: malformed here
+        sz = lo; body = i + 16
+      } else if (sz == 0) sz = end - i // box extends to the end
+      if (sz < 8 || i + sz > end) return
+      f(new String(blob.slice(i + 4, i + 8), "US-ASCII"), body, i + sz.toInt)
+      i += sz.toInt
+    }
+  }
+
   def decodeMp4(blob: Array[Byte]): Option[Mp4Info] = {
     if (blob.length < 16) return None
     if (new String(blob.slice(4, 8), "US-ASCII") != "ftyp") return None
@@ -1542,23 +1565,8 @@ object Media {
     try {
       var timescale = 0; var duration = 0L
       var nTracks = 0; var width = 0; var height = 0; var hasAudio = false
-      // walk children of [start, end); returns (type, bodyStart, bodyEnd)
-      def walk(start: Int, end: Int)(f: (String, Int, Int) => Unit): Unit = {
-        var i = start
-        while (i + 8 <= end) {
-          var sz = be32(blob, i)
-          var body = i + 8
-          if (sz == 1) { // 64-bit largesize
-            if (i + 16 > end) return
-            val hi = be32(blob, i + 8); val lo = be32(blob, i + 12)
-            if (hi != 0 || lo < 16) return // > 2 GB headers: malformed here
-            sz = lo; body = i + 16
-          } else if (sz == 0) sz = end - i // box extends to the end
-          if (sz < 8 || i + sz > end) return
-          f(new String(blob.slice(i + 4, i + 8), "US-ASCII"), body, i + sz.toInt)
-          i += sz.toInt
-        }
-      }
+      def walk(start: Int, end: Int)(f: (String, Int, Int) => Unit): Unit =
+        walkBoxes(blob, start, end)(f)
       walk(0, blob.length) {
         case ("moov", ms, me) =>
           walk(ms, me) {
@@ -1664,6 +1672,247 @@ object Media {
     ftyp ++ moov ++ box("mdat", Array.emptyByteArray)
   }
 
+  /** One sampled video frame: sample index + the absolute byte range of
+    * its data in the file. At 100 TB the executor range-reads exactly
+    * these bytes from object storage — the container header (a few KB) is
+    * all that was parsed.
+    */
+  final case class FrameRange(idx: Int, offset: Long, size: Long)
+
+  /** REAL frame sampling from the MP4 sample tables: walk the first video
+    * track's `trak/mdia/minf/stbl`, read `stsz` (sample sizes, uniform or
+    * per-sample), `stsc` (sample-to-chunk runs), and `stco`/`co64` (chunk
+    * offsets), then replay the chunk layout to the absolute byte range of
+    * every sample — returning every `step`-th one, up to `maxFrames`.
+    * `mdat` itself is never read. None when the file has no video track
+    * with a complete sample table, or any table is malformed
+    * (ISO/IEC 14496-12 §8.5-8.7).
+    */
+  def frameSampleRanges(blob: Array[Byte], step: Int,
+      maxFrames: Int): Option[Vector[FrameRange]] = {
+    if (step <= 0 || maxFrames <= 0 || blob.length < 16) return None
+    if (new String(blob.slice(4, 8), "US-ASCII") != "ftyp") return None
+    var nSamples = 0; var uniform = 0L
+    var sizes: Array[Long] = null
+    var runs: Array[(Long, Long)] = null // (first_chunk 1-based, samples/chunk)
+    var chunkOffs: Array[Long] = null
+    var found = false
+    try {
+      walkBoxes(blob, 0, blob.length) {
+        case ("moov", ms, me) => walkBoxes(blob, ms, me) {
+          case ("trak", ts, te) if !found =>
+            var handler = ""
+            var szU = 0L; var szN = 0; var szT: Array[Long] = null
+            var sc: Array[(Long, Long)] = null
+            var co: Array[Long] = null
+            walkBoxes(blob, ts, te) {
+              case ("mdia", a, b) => walkBoxes(blob, a, b) {
+                case ("hdlr", s, e) =>
+                  if (s + 12 <= e)
+                    handler = new String(blob.slice(s + 8, s + 12), "US-ASCII")
+                case ("minf", c, d) => walkBoxes(blob, c, d) {
+                  case ("stbl", g, h) => walkBoxes(blob, g, h) {
+                    case ("stsz", s, e) =>
+                      if (s + 12 > e) throw new ArrayIndexOutOfBoundsException("stsz")
+                      szU = be32(blob, s + 4)
+                      szN = be32(blob, s + 8).toInt
+                      if (szU == 0) {
+                        if (szN < 0 || s + 12 + 4L * szN > e)
+                          throw new ArrayIndexOutOfBoundsException("stsz table")
+                        szT = Array.tabulate(szN)(i => be32(blob, s + 12 + 4 * i))
+                      }
+                    case ("stsc", s, e) =>
+                      val n = be32(blob, s + 4).toInt
+                      if (n < 0 || s + 8 + 12L * n > e)
+                        throw new ArrayIndexOutOfBoundsException("stsc")
+                      sc = Array.tabulate(n)(i =>
+                        (be32(blob, s + 8 + 12 * i), be32(blob, s + 12 + 12 * i)))
+                    case ("stco", s, e) =>
+                      val n = be32(blob, s + 4).toInt
+                      if (n < 0 || s + 8 + 4L * n > e)
+                        throw new ArrayIndexOutOfBoundsException("stco")
+                      co = Array.tabulate(n)(i => be32(blob, s + 8 + 4 * i))
+                    case ("co64", s, e) =>
+                      val n = be32(blob, s + 4).toInt
+                      if (n < 0 || s + 8 + 8L * n > e)
+                        throw new ArrayIndexOutOfBoundsException("co64")
+                      co = Array.tabulate(n)(i =>
+                        (be32(blob, s + 8 + 8 * i) << 32) | be32(blob, s + 12 + 8 * i))
+                    case _ =>
+                  }
+                  case _ =>
+                }
+                case _ =>
+              }
+              case _ =>
+            }
+            if (handler == "vide" && szN > 0 && sc != null && sc.nonEmpty &&
+                co != null && co.nonEmpty) {
+              found = true; nSamples = szN; uniform = szU; sizes = szT
+              runs = sc; chunkOffs = co
+            }
+          case _ =>
+        }
+        case _ =>
+      }
+    } catch { case _: ArrayIndexOutOfBoundsException => return None }
+    if (!found) return None
+    // stsc first_chunk must be 1-based and strictly increasing
+    if (runs.head._1 != 1L ||
+        runs.sliding(2).exists(w => w.length == 2 && w(1)._1 <= w(0)._1))
+      return None
+    val out = Vector.newBuilder[FrameRange]
+    var s = 0; var ci = 0; var ri = 0; var taken = 0
+    while (s < nSamples && ci < chunkOffs.length && taken < maxFrames) {
+      // samples/chunk of the run covering chunk ci+1 (runs extend until
+      // the next entry's first_chunk)
+      while (ri + 1 < runs.length && runs(ri + 1)._1 <= ci + 1) ri += 1
+      val spc = runs(ri)._2
+      var off = chunkOffs(ci)
+      var k = 0L
+      while (k < spc && s < nSamples && taken < maxFrames) {
+        val sz = if (sizes != null) sizes(s) else uniform
+        if (sz < 0) return None
+        if (s % step == 0) { out += FrameRange(s, off, sz); taken += 1 }
+        off += sz; s += 1; k += 1
+      }
+      ci += 1
+    }
+    Some(out.result())
+  }
+
+  /** [[mp4Bytes]] extended with a real sample table for one video track:
+    * moov(mvhd + trak(tkhd + mdia(mdhd + hdlr + minf(stbl(stts + stsz +
+    * stsc + stco|co64))))) followed by an mdat whose body is the samples
+    * laid out chunk-contiguously in order. `samplesPerChunk` partitions
+    * the `sampleSizes` sequence into chunks (consecutive equal counts
+    * compress into stsc runs, as real muxers write them); `payload(s, j)`
+    * fills byte j of sample s. stco offsets are absolute, so the box tree
+    * is built once with zeroed offsets to fix the layout, then rebuilt
+    * (same lengths) with the real ones.
+    */
+  def mp4BytesWithSamples(timescale: Int, duration: Long, w: Int, h: Int,
+      sampleSizes: Seq[Int], samplesPerChunk: Seq[Int], co64: Boolean = false)(
+      payload: (Int, Int) => Byte): Array[Byte] = {
+    require(samplesPerChunk.sum == sampleSizes.length &&
+      samplesPerChunk.forall(_ > 0), "chunks must partition the samples")
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + body.length)
+      out.putInt(8 + body.length).put(typ.getBytes("US-ASCII")).put(body)
+      out.array()
+    }
+    val n = sampleSizes.length
+    // chunk start offsets RELATIVE to the mdat body
+    val sampleChunks = samplesPerChunk
+    val chunkStartSample = sampleChunks.scanLeft(0)(_ + _)
+    val relOffsets = chunkStartSample.init.map(start =>
+      sampleSizes.take(start).map(_.toLong).sum)
+    // stsc runs: (first_chunk 1-based, samples_per_chunk, desc idx 1)
+    val runsB = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    sampleChunks.zipWithIndex.foreach { case (spc, i) =>
+      if (runsB.isEmpty || runsB.last._2 != spc) runsB += ((i + 1, spc))
+    }
+    def buildMoov(absOffsets: Seq[Long]): Array[Byte] = {
+      val mvhd = {
+        val b = java.nio.ByteBuffer.allocate(100)
+        b.putInt(0)
+        b.putInt(0).putInt(0)
+        b.putInt(timescale).putInt(duration.toInt)
+        b.putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+        b.position(b.position() + 8)
+        Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+          .foreach(b.putInt)
+        b.position(b.position() + 24)
+        b.putInt(2)
+        box("mvhd", b.array())
+      }
+      val tkhd = {
+        val b = java.nio.ByteBuffer.allocate(84)
+        b.putInt(0x00000007)
+        b.putInt(0).putInt(0)
+        b.putInt(1).putInt(0)
+        b.putInt(duration.toInt)
+        b.position(b.position() + 8)
+        b.putShort(0).putShort(0)
+        b.putShort(0).putShort(0)
+        Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+          .foreach(b.putInt)
+        b.putInt(w << 16).putInt(h << 16)
+        box("tkhd", b.array())
+      }
+      val mdhd = {
+        val b = java.nio.ByteBuffer.allocate(24)
+        b.putInt(0).putInt(0).putInt(0)
+        b.putInt(timescale).putInt(duration.toInt)
+        b.putShort(0x55c4.toShort).putShort(0)
+        box("mdhd", b.array())
+      }
+      val hdlr = box("hdlr",
+        Array[Byte](0, 0, 0, 0, 0, 0, 0, 0) ++
+          "vide".getBytes("US-ASCII") ++ new Array[Byte](13))
+      val stts = {
+        val b = java.nio.ByteBuffer.allocate(16)
+        b.putInt(0).putInt(1).putInt(n).putInt(1)
+        box("stts", b.array())
+      }
+      val stsz = {
+        val b = java.nio.ByteBuffer.allocate(12 + 4 * n)
+        b.putInt(0).putInt(0).putInt(n)
+        sampleSizes.foreach(b.putInt)
+        box("stsz", b.array())
+      }
+      val stsc = {
+        val b = java.nio.ByteBuffer.allocate(8 + 12 * runsB.length)
+        b.putInt(0).putInt(runsB.length)
+        runsB.foreach { case (fc, spc) => b.putInt(fc).putInt(spc).putInt(1) }
+        box("stsc", b.array())
+      }
+      val stcoBox =
+        if (co64) {
+          val b = java.nio.ByteBuffer.allocate(8 + 8 * absOffsets.length)
+          b.putInt(0).putInt(absOffsets.length)
+          absOffsets.foreach(b.putLong)
+          box("co64", b.array())
+        } else {
+          val b = java.nio.ByteBuffer.allocate(8 + 4 * absOffsets.length)
+          b.putInt(0).putInt(absOffsets.length)
+          absOffsets.foreach(o => b.putInt(o.toInt))
+          box("stco", b.array())
+        }
+      val stbl = box("stbl", stts ++ stsz ++ stsc ++ stcoBox)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+      val trak = box("trak", tkhd ++ mdia)
+      box("moov", mvhd ++ trak)
+    }
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0) ++
+        "isomiso2".getBytes("US-ASCII"))
+    val headerLen = ftyp.length + buildMoov(relOffsets.map(_ => 0L)).length + 8
+    val moov = buildMoov(relOffsets.map(_ + headerLen))
+    val body = new Array[Byte](sampleSizes.sum)
+    var p = 0
+    sampleSizes.zipWithIndex.foreach { case (sz, s) =>
+      var j = 0
+      while (j < sz) { body(p) = payload(s, j); p += 1; j += 1 }
+    }
+    ftyp ++ moov ++ box("mdat", body)
+  }
+
+  /** Byte offset of the mdat BODY (= offset of the first sample) in a
+    * [[mp4BytesWithSamples]] file with `n` samples in one stsc run —
+    * linear in n (the stsz table). Lets closed-form oracles predict the
+    * absolute ranges the real stbl walk returns.
+    */
+  def mp4HeaderLen(n: Int, nChunks: Int, co64: Boolean = false): Int = {
+    val ftypLen = 8 + 16
+    val stcoLen = 8 + 8 + (if (co64) 8 else 4) * nChunks
+    val stblLen = 8 + (8 + 16) + (8 + 12 + 4 * n) + (8 + 8 + 12) + stcoLen
+    val moovLen = 8 + (8 + 100) +
+      (8 + (8 + 84) + (8 + (8 + 24) + (8 + 8 + 4 + 13) + (8 + stblLen)))
+    ftypLen + moovLen + 8
+  }
+
   final case class VideoFeatures(
       media_id: Long,
       mime: String,
@@ -1761,14 +2010,25 @@ object Media {
     }
   }
 
-  /** Frame sampling for "video" payloads: deterministic frame offsets from
-    * the byte length — every k-th of n virtual frames.
+  /** Frame sampling for "video" payloads: MP4 files with a video sample
+    * table get their REAL per-frame byte ranges from the stbl walk
+    * ([[frameSampleRanges]] — at scale the executor then range-reads only
+    * those bytes from storage); anything else falls back to the labeled
+    * virtual-frame grid (every k-th 64-byte stripe, byte_len = -1) so the
+    * pipeline shape stays total.
     */
-  def sampleFrameOffsets(ds: Dataset[MediaRow], everyK: Int): DataFrame = {
+  def sampleFrameOffsets(ds: Dataset[MediaRow], everyK: Int,
+      maxFrames: Int = 64): DataFrame = {
     import ds.sparkSession.implicits._
     ds.flatMap { r =>
-      val nFrames = math.max(1, r.blob.length / 64)
-      (0 until nFrames by everyK).map(i => (r.media_id, i, i * 64))
-    }.toDF("media_id", "frame_idx", "byte_offset")
+      frameSampleRanges(r.blob, everyK, maxFrames) match {
+        case Some(frames) =>
+          frames.map(f => (r.media_id, f.idx, f.offset, f.size))
+        case None =>
+          val nFrames = math.max(1, r.blob.length / 64)
+          (0 until nFrames by everyK).take(maxFrames)
+            .map(i => (r.media_id, i, i * 64L, -1L))
+      }
+    }.toDF("media_id", "frame_idx", "byte_offset", "byte_len")
   }
 }

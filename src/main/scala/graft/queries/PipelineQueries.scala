@@ -2358,5 +2358,41 @@ object PipelineQueries {
           round(VF.dot(col("embedding"), array(p.map(lit): _*)), 6).as(s"p$i")
         }: _*)
         .orderBy("vec_id")
+    },
+
+    // ---- VIDEO FRAME SAMPLING (every-Nth-frame byte ranges): each doc
+    //      synthesizes a deterministic MP4 whose stsz/stsc/stco tables the
+    //      REAL ISO-BMFF walk (Media.frameSampleRanges) replays into
+    //      absolute per-frame byte ranges — the oracle predicts them in
+    //      closed form (header length is linear in the sample count;
+    //      offsets are prefix sums of the size formula), so a table-walk
+    //      bug anywhere breaks the hash. At 100 TB only the few-KB moov
+    //      header is parsed and the executor range-reads exactly the
+    //      sampled frames from object storage; mdat is never scanned. ----
+    QDef("q_video_framesample", {
+      import graft.multimodal.Media
+      val a = Media.mp4HeaderLen(0, 1)
+      s"""WITH p AS (SELECT doc_id, doc_id % 5 + 6 AS n, doc_id % 3 + 2 AS step
+         |  FROM documents),
+         |f AS (SELECT doc_id, n, CAST(k * step AS INTEGER) AS s
+         |  FROM p, range(0, 8) t(k) WHERE k * step < n)
+         |SELECT doc_id, s AS frame_idx,
+         |  CAST($a + 4 * n + coalesce(list_sum(list_transform(range(0, s),
+         |    j -> (doc_id + 3 * j) % 7 + 1)), 0) AS BIGINT) AS byte_offset,
+         |  CAST((doc_id + 3 * s) % 7 + 1 AS BIGINT) AS byte_len
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      import graft.multimodal.Media
+      t(s, dir, "documents").select(col("doc_id")).as[Long].flatMap { id =>
+        val n = (id % 5 + 6).toInt
+        val step = (id % 3 + 2).toInt
+        val sizes = (0 until n).map(j => ((id + 3 * j) % 7 + 1).toInt)
+        val blob = Media.mp4BytesWithSamples(1000, n.toLong, 32, 24, sizes,
+          samplesPerChunk = Seq(n))((_, _) => 0.toByte)
+        Media.frameSampleRanges(blob, step, maxFrames = 8).get
+          .map(f => (id, f.idx, f.offset, f.size))
+      }.toDF("doc_id", "frame_idx", "byte_offset", "byte_len")
+        .orderBy("doc_id", "frame_idx")
     })
 }

@@ -614,11 +614,69 @@ class MediaSpec extends SparkSpec {
     assert(png.width === 32 && png.height === 24)
   }
 
-  test("frame sampling emits every k-th virtual frame with byte offsets") {
+  test("frame sampling falls back to the virtual grid for non-MP4 payloads") {
     val out = Media.sampleFrameOffsets(rows.filter(_.mime.startsWith("video")).toDS(), everyK = 3)
-      .as[(Long, Int, Int)].collect().sortBy(_._2)
-    // 640 bytes → 10 virtual frames → sampled 0,3,6,9
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._2)
+    // 640 bytes → 10 virtual frames → sampled 0,3,6,9; byte_len = -1 marks
+    // the labeled fallback (no sample table to read real sizes from)
     assert(out.map(_._2).toSeq === Seq(0, 3, 6, 9))
-    assert(out.forall(r => r._3 == r._2 * 64))
+    assert(out.forall(r => r._3 == r._2 * 64L && r._4 == -1L))
+  }
+
+  test("MP4 sample-table walk returns real frame byte ranges across chunks") {
+    // 10 samples with distinct sizes, laid out as chunks of 3+3+4 — the
+    // 3,3 prefix compresses into one stsc run, the trailing 4 is a second
+    // run, so the chunk replay exercises run boundaries
+    val sizes = Seq(5, 9, 4, 7, 3, 8, 6, 2, 10, 1)
+    val blob = Media.mp4BytesWithSamples(1000, 5000L, 64, 48, sizes,
+      samplesPerChunk = Seq(3, 3, 4))((s, j) => (s * 16 + (j % 16)).toByte)
+    val frames = Media.frameSampleRanges(blob, step = 3, maxFrames = 8).get
+    assert(frames.map(_.idx) === Vector(0, 3, 6, 9))
+    assert(frames.map(_.size) === Vector(5L, 7L, 6L, 1L))
+    // each returned range must address exactly that sample's payload bytes
+    frames.foreach { f =>
+      (0 until f.size.toInt).foreach { j =>
+        assert(blob(f.offset.toInt + j) === (f.idx * 16 + (j % 16)).toByte,
+          s"sample ${f.idx} byte $j")
+      }
+    }
+    // chunk-contiguous layout: within-chunk samples are adjacent
+    val all = Media.frameSampleRanges(blob, step = 1, maxFrames = 16).get
+    assert(all.map(_.idx) === (0 until 10).toVector)
+    assert(all(1).offset === all(0).offset + all(0).size)
+    // the metadata walk still reads the same file
+    val info = Media.decodeMp4(blob).get
+    assert(info.width === 64 && info.height === 48 && info.n_tracks === 1)
+  }
+
+  test("MP4 frame sampling: closed-form header length, co64, caps, malformed") {
+    val sizes = Seq(4, 6, 5, 3, 7, 2)
+    val one = Media.mp4BytesWithSamples(1000, 100L, 8, 8, sizes,
+      samplesPerChunk = Seq(6))((s, j) => s.toByte)
+    // single chunk, one stsc run: the first sample starts exactly at the
+    // closed-form header length (what the SQL oracle predicts)
+    val f0 = Media.frameSampleRanges(one, 1, 16).get.head
+    assert(f0.offset === Media.mp4HeaderLen(6, 1).toLong)
+    // co64 (64-bit chunk offsets) parses to the same ranges
+    val big = Media.mp4BytesWithSamples(1000, 100L, 8, 8, sizes,
+      samplesPerChunk = Seq(6), co64 = true)((s, j) => s.toByte)
+    val a = Media.frameSampleRanges(one, 2, 16).get
+    val b = Media.frameSampleRanges(big, 2, 16).get
+    assert(a.map(_.idx) === b.map(_.idx))
+    assert(a.map(_.size) === b.map(_.size))
+    assert(b.head.offset === Media.mp4HeaderLen(6, 1, co64 = true).toLong)
+    // step beyond the sample count → only frame 0; maxFrames caps the scan
+    assert(Media.frameSampleRanges(one, 100, 16).get.map(_.idx) === Vector(0))
+    assert(Media.frameSampleRanges(one, 1, 2).get.map(_.idx) === Vector(0, 1))
+    // audio-only file (no video sample table) and truncated tables → None
+    assert(Media.frameSampleRanges(
+      Media.mp4Bytes(1000, 100L, Seq(("soun", 0, 0))), 1, 4).isEmpty)
+    assert(Media.frameSampleRanges(one.take(120), 1, 4).isEmpty)
+    // the Dataset surface uses the REAL table for MP4 rows
+    val ds = Seq(Media.MediaRow(9L, "video/mp4", one)).toDS()
+    val out = Media.sampleFrameOffsets(ds, everyK = 2)
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._2)
+    assert(out.map(_._2).toSeq === Seq(0, 2, 4))
+    assert(out.map(_._4).toSeq === Seq(4L, 5L, 7L))
   }
 }
