@@ -306,6 +306,159 @@ object Media {
     else Some(math.rint(total / count * 10000) / 10000)
   }
 
+  /** Real per-pixel GRAY decode for sequential (non-interlaced) 8-bit
+    * PNGs — gray(+alpha), truecolor(+alpha), and indexed; luma = mean of
+    * the color channels (alpha excluded), palette entries resolved
+    * through PLTE. Materializes the w·h plane (bounded by the image, not
+    * the dataset) — the input resize needs. Interlaced / sub-8 / 16-bit
+    * depths stay on the streaming-mean path; None for any malformed
+    * stream.
+    */
+  def decodePngGray(blob: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    if (blob.length < 45 || !blob.take(8).sameElements(PngSig)) return None
+    if (new String(blob.slice(12, 16), "US-ASCII") != "IHDR") return None
+    val w = be32(blob, 16).toInt; val h = be32(blob, 20).toInt
+    val bitDepth = blob(24) & 0xff; val colorType = blob(25) & 0xff
+    val interlace = blob(28) & 0xff
+    val indexed = colorType == 3
+    val ch = if (indexed) 1 else pngChannels(colorType)
+    if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0 || ch == 0)
+      return None
+    val idat = new java.io.ByteArrayOutputStream()
+    var plte: Array[Byte] = null
+    var i = 8
+    var done = false
+    while (!done && i + 8 <= blob.length) {
+      val len = be32(blob, i).toInt
+      if (len < 0 || i + 12 + len > blob.length) return None
+      val typ = new String(blob.slice(i + 4, i + 8), "US-ASCII")
+      if (typ == "IDAT") idat.write(blob, i + 8, len)
+      if (typ == "PLTE") plte = blob.slice(i + 8, i + 8 + len)
+      if (typ == "IEND") done = true
+      i += 12 + len
+    }
+    if (idat.size() == 0) return None
+    if (indexed && (plte == null || plte.length < 3 || plte.length % 3 != 0))
+      return None
+    val nColors = if (indexed) plte.length / 3 else 0
+    val rb = w * ch
+    val raw = new Array[Byte](h * (1 + rb))
+    try {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return None
+        off += n
+      }
+      inf.end()
+      if (off != raw.length) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    // color channels contributing to luma (alpha excluded)
+    val colorCh = colorType match {
+      case 4 => 1
+      case 6 => 3
+      case _ => ch
+    }
+    val plane = new Array[Double](w * h)
+    val prev = new Array[Int](rb)
+    val cur = new Array[Int](rb)
+    var base = 0
+    var y = 0
+    while (y < h) {
+      val ft = raw(base) & 0xff
+      if (ft > 4) return None
+      var x = 0
+      while (x < rb) {
+        val f = raw(base + 1 + x) & 0xff
+        val a = if (x >= ch) cur(x - ch) else 0
+        val b = prev(x)
+        val c = if (x >= ch) prev(x - ch) else 0
+        cur(x) = (ft match {
+          case 0 => f
+          case 1 => f + a
+          case 2 => f + b
+          case 3 => f + ((a + b) >> 1)
+          case 4 => f + paeth(a, b, c)
+        }) & 0xff
+        x += 1
+      }
+      var px = 0
+      while (px < w) {
+        val s0 = px * ch
+        plane(y * w + px) =
+          if (indexed) {
+            val ci = math.min(cur(s0), nColors - 1)
+            ((plte(ci * 3) & 0xff) + (plte(ci * 3 + 1) & 0xff) +
+              (plte(ci * 3 + 2) & 0xff)) / 3.0
+          } else {
+            var sum = 0
+            var cc = 0
+            while (cc < colorCh) { sum += cur(s0 + cc); cc += 1 }
+            sum.toDouble / colorCh
+          }
+        px += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, rb)
+      base += 1 + rb
+      y += 1
+    }
+    Some((w, h, plane))
+  }
+
+  /** Nearest-neighbor resize of a gray plane:
+    * out(y, x) = in((y·h)/th, (x·w)/tw) with integer floor — the exact
+    * arithmetic a SQL oracle reproduces.
+    */
+  def resizeNearest(plane: Array[Double], w: Int, h: Int,
+      tw: Int, th: Int): Array[Double] = {
+    require(tw > 0 && th > 0 && plane.length == w * h)
+    val out = new Array[Double](tw * th)
+    var y = 0
+    while (y < th) {
+      val sy = y * h / th
+      var x = 0
+      while (x < tw) {
+        out(y * tw + x) = plane(sy * w + x * w / tw)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  final case class Thumbnail(
+      media_id: Long, width: Int, height: Int, real: Boolean,
+      thumb: Array[Byte])
+
+  /** Real thumbnails: sequential 8-bit PNGs decode to pixels
+    * ([[decodePngGray]]) and resize nearest-neighbor; any other payload
+    * gets the labeled stub (constant byte-mean fill, real = false) so the
+    * batch stays total. One decode pass per partition; only the tw×th
+    * thumbnail crosses any shuffle boundary, never the source blob.
+    */
+  def thumbnails(ds: Dataset[MediaRow], tw: Int, th: Int): Dataset[Thumbnail] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      decodePngGray(r.blob) match {
+        case Some((w, h, plane)) =>
+          val t = resizeNearest(plane, w, h, tw, th)
+          Thumbnail(r.media_id, tw, th, real = true,
+            t.map(v => math.rint(v).toInt.toByte))
+        case None =>
+          val (_, _, m) = decodeStub(r.blob)
+          Thumbnail(r.media_id, tw, th, real = false,
+            Array.fill[Byte](tw * th)(math.rint(m).toInt.toByte))
+      }
+    })
+  }
+
   /** Real GIF pixel decode with the JDK alone: walk the block structure
     * to the first image descriptor, LZW-decode the index stream (full
     * dictionary algorithm incl. clear-code resets, width growth, and the

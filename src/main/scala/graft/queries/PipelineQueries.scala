@@ -2394,5 +2394,37 @@ object PipelineQueries {
           .map(f => (id, f.idx, f.offset, f.size))
       }.toDF("doc_id", "frame_idx", "byte_offset", "byte_len")
         .orderBy("doc_id", "frame_idx")
+    },
+
+    // ---- IMAGE RESIZE (real pixels): each doc synthesizes a gradient
+    //      grayscale PNG that the REAL decode path (inflate + §9
+    //      unfilter, Media.decodePngGray) materializes and
+    //      nearest-neighbor-resizes to 4×4 — the oracle predicts every
+    //      thumbnail pixel in closed form from the resize arithmetic
+    //      (src = (t·dim)//4), so a bug in the decoder, the unfilter, or
+    //      the resize indexing breaks the hash. Map-only; only the 16
+    //      thumbnail bytes ever leave the decode site. ----
+    QDef("q_image_thumbnail",
+      """WITH p AS (SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 9 + 4 AS h
+        |  FROM documents),
+        |f AS (SELECT doc_id, w, h, CAST(k AS INTEGER) AS pos,
+        |  k % 4 AS tx, k // 4 AS ty FROM p, range(0, 16) t(k))
+        |SELECT doc_id, pos,
+        |  CAST((doc_id * 3 + (tx * w) // 4 + 2 * ((ty * h) // 4)) % 256
+        |    AS INTEGER) AS px
+        |FROM f ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.multimodal.Media
+      t(s, dir, "documents").select(col("doc_id")).as[Long].flatMap { id =>
+        val w = (id % 13 + 4).toInt
+        val h = (id % 9 + 4).toInt
+        val blob = Media.pngPixelBytes(w, h, colorType = 0)(
+          (x, y, _) => ((id * 3 + x + 2 * y) % 256).toInt)
+        val Some((dw, dh, plane)) = Media.decodePngGray(blob)
+        Media.resizeNearest(plane, dw, dh, 4, 4).zipWithIndex.map {
+          case (v, pos) => (id, pos, math.rint(v).toInt)
+        }
+      }.toDF("doc_id", "pos", "px")
+        .orderBy("doc_id", "pos")
     })
 }

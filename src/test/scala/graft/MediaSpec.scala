@@ -679,4 +679,49 @@ class MediaSpec extends SparkSpec {
     assert(out.map(_._2).toSeq === Seq(0, 2, 4))
     assert(out.map(_._4).toSeq === Seq(4L, 5L, 7L))
   }
+
+  test("PNG gray decode materializes real pixels across color types") {
+    // truecolor with DISTINCT channels: luma = mean of r,g,b
+    val tc = Media.pngPixelBytes(5, 3, colorType = 2)(
+      (x, y, c) => (x * 10 + y * 20 + c * 3) % 256)
+    val Some((w, h, plane)) = Media.decodePngGray(tc)
+    assert(w === 5 && h === 3)
+    assert(plane(0) === 3.0) // (0 + 3 + 6) / 3
+    assert(plane(2 * 5 + 4) === (80 + 83 + 86) / 3.0) // x=4,y=2 → 83.0 exact
+    // gray+alpha: luma = the gray channel only, alpha excluded
+    val ga = Media.pngPixelBytes(4, 2, colorType = 4)(
+      (x, y, c) => if (c == 0) x + 8 * y else 255)
+    val Some((_, _, gp)) = Media.decodePngGray(ga)
+    assert(gp.toSeq === Seq(0, 1, 2, 3, 8, 9, 10, 11).map(_.toDouble))
+    // indexed: entries resolve through PLTE, luma = palette-rgb mean
+    val pal = Seq((10, 20, 30), (90, 90, 90))
+    val ix = Media.pngIndexedBytes(3, 1, pal)((x, _) => x % 2)
+    val Some((_, _, ip)) = Media.decodePngGray(ix)
+    assert(ip.toSeq === Seq(20.0, 90.0, 20.0))
+    // Adam7-interlaced and 16-bit stay on the streaming-mean path → None
+    assert(Media.decodePngGray(
+      Media.pngInterlacedBytes(8, 8)((_, _, _) => 7)).isEmpty)
+    assert(Media.decodePngGray("junk".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("nearest-neighbor resize and the thumbnail batch surface") {
+    // 4×2 plane, identity resize is a copy; 2×1 picks (0,0) and (2,0)
+    val plane = Array[Double](0, 1, 2, 3, 10, 11, 12, 13)
+    assert(Media.resizeNearest(plane, 4, 2, 4, 2).toSeq === plane.toSeq)
+    assert(Media.resizeNearest(plane, 4, 2, 2, 1).toSeq === Seq(0.0, 2.0))
+    // upscale repeats source pixels: src = (t*dim)//target
+    assert(Media.resizeNearest(Array[Double](5, 9), 2, 1, 4, 1).toSeq ===
+      Seq(5.0, 5.0, 9.0, 9.0))
+    // batch surface: PNG rows get REAL resized pixels, others the
+    // labeled stub fill
+    val png = Media.pngPixelBytes(8, 8, colorType = 0)((x, y, _) => x + 8 * y)
+    val ds = Seq(
+      Media.MediaRow(1L, "image/png", png),
+      Media.MediaRow(2L, "application/octet-stream", "abc".getBytes("UTF-8")))
+      .toDS()
+    val out = Media.thumbnails(ds, 2, 2).collect().sortBy(_.media_id)
+    assert(out(0).real && out(0).thumb.toSeq ===
+      Seq(0, 4, 32, 36).map(_.toByte))
+    assert(!out(1).real && out(1).thumb.length === 4)
+  }
 }
