@@ -240,4 +240,41 @@ class PropertySpec extends SparkSpec {
       assert(replayed === model, s"feed replay diverged, case $caseIdx ops=$ops")
     }
   }
+
+  test("MP4 frame sampling replays arbitrary chunk layouts exactly") {
+    import graft.multimodal.Media
+    val caseGen: Gen[(List[Int], List[Int], Int, Boolean)] = for {
+      n <- Gen.choose(1, 24)
+      sizes <- Gen.listOfN(n, Gen.choose(1, 40))
+      // random partition of n samples into chunks
+      cuts <- Gen.listOfN(n - 1, Gen.prob(0.3))
+      step <- Gen.choose(1, 6)
+      co64 <- Gen.oneOf(true, false)
+    } yield {
+      val chunks = scala.collection.mutable.ArrayBuffer(1)
+      cuts.foreach(cut =>
+        if (cut) chunks += 1 else chunks(chunks.length - 1) += 1)
+      (sizes, chunks.toList, step, co64)
+    }
+    samples(caseGen, 40).zipWithIndex.foreach {
+      case ((sizes, chunks, step, co64), ci) =>
+        val blob = Media.mp4BytesWithSamples(1000, sizes.length.toLong, 16, 16,
+          sizes, chunks, co64)((s, j) => (s * 7 + j).toByte)
+        val frames = Media.frameSampleRanges(blob, step, maxFrames = 64).get
+        // model: chunk-contiguous layout → offset(s) is the plain prefix
+        // sum of sizes over the mdat body, regardless of chunking
+        val base = frames.head.offset - 0 // sample 0 starts the body
+        val prefix = sizes.scanLeft(0L)(_ + _)
+        val expect = sizes.indices.filter(_ % step == 0)
+          .map(s => (s, base + prefix(s), sizes(s).toLong))
+        assert(frames.map(f => (f.idx, f.offset, f.size)) === expect.toVector,
+          s"case $ci sizes=$sizes chunks=$chunks step=$step co64=$co64")
+        // and every range addresses that sample's payload bytes
+        frames.foreach { f =>
+          (0 until f.size.toInt).foreach { j =>
+            assert(blob(f.offset.toInt + j) === (f.idx * 7 + j).toByte)
+          }
+        }
+    }
+  }
 }
