@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
+
+/** PERSISTED MinHash-LSH near-duplicate index over a document table,
+  * maintained incrementally from the change feed — the dedup analog of
+  * the ANN codes index and the sequence posting index: pay the signature
+  * computation once per document at ingest, never rescan the corpus.
+  *
+  * Layout:
+  * {{{
+  *   dir/bands/layer=N/   parquet (band, sig, id) — LSH band signatures
+  *   dir/meta             committed layer list, written LAST (tmp+rename)
+  * }}}
+  *
+  * Same MinHash parameters as the in-query dedup ops (12 md5 hash slots,
+  * 4 bands of 3): two documents land in the same (band, sig) bucket iff
+  * one of their 4 band signatures is identical, so candidate pairs come
+  * from an EQUI-join on (band, sig) — never an all-pairs comparison. An
+  * [[append]] derives bands for the NEW documents only (O(batch), wired
+  * to `ChangeFeedConsumer` ticks like the ANN index) and commits them as
+  * an extra layer; readers union committed layers; [[compact]] bounds the
+  * chain. Exact-Jaccard verification of candidates stays with the caller
+  * against the live document table — the index stores no text.
+  */
+object DedupIndex {
+
+  val NumHashes = 12
+  val Bands = 4
+  private val rows = NumHashes / Bands
+
+  private def metaPath(dir: String) = java.nio.file.Paths.get(dir, "meta")
+
+  private def commitMeta(dir: String, layers: Seq[String]): Unit = {
+    val tmp = java.nio.file.Paths.get(dir, ".meta.tmp")
+    java.nio.file.Files.writeString(tmp, layers.mkString("\n"))
+    java.nio.file.Files.move(tmp, metaPath(dir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def layers(dir: String): Seq[String] =
+    if (!java.nio.file.Files.exists(metaPath(dir))) Seq.empty
+    else java.nio.file.Files.readString(metaPath(dir)).split("\n").toSeq
+      .filter(_.nonEmpty)
+
+  /** The (id, band, sig) LSH signatures of `docs` — one shuffle (the
+    * signature aggregate over exploded shingles), width-12 rows, then a
+    * map-side band explode.
+    */
+  def bandSignatures(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val ex = docs.select(col(idCol).as("id"),
+        explode(TF.shingles(col(textCol), 3)).as("s"))
+    val mh = ex.groupBy("id").agg(
+      min(md5(concat(lit("0|"), col("s")))).as("h0"),
+      (1 until NumHashes).map(i =>
+        min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i")): _*)
+    mh.select(col("id"),
+      explode(array((0 until Bands).map { bd =>
+        struct(lit(bd).as("band"),
+          concat_ws(",",
+            (0 until rows).map(r => col(s"h${rows * bd + r}")): _*).as("sig"))
+      }: _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  private def writeLayer(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, dir: String, layer: String): Unit =
+    bandSignatures(docs, idCol, textCol)
+      .write.mode(SaveMode.ErrorIfExists)
+      .parquet(s"$dir/bands/layer=$layer")
+
+  /** Index `docs` from scratch as layer 1 (errors when a committed index
+    * already exists — use [[append]] for increments).
+    */
+  def build(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, dir: String): Unit = {
+    require(layers(dir).isEmpty, s"committed dedup index already at $dir")
+    new java.io.File(dir).mkdirs()
+    writeLayer(spark, docs, idCol, textCol, dir, "1")
+    commitMeta(dir, Seq("1"))
+  }
+
+  /** Index only `newDocs` as the next layer — O(batch), the change-feed
+    * consumer's per-tick work.
+    */
+  def append(spark: SparkSession, newDocs: DataFrame, idCol: String,
+      textCol: String, dir: String): Unit = {
+    val ls = layers(dir)
+    require(ls.nonEmpty, s"no committed dedup index at $dir")
+    val next = (ls.map(_.toLong).max + 1).toString
+    writeLayer(spark, newDocs, idCol, textCol, dir, next)
+    commitMeta(dir, ls :+ next)
+  }
+
+  /** The committed band table (union of layers). */
+  def load(spark: SparkSession, dir: String): DataFrame = {
+    val ls = layers(dir)
+    require(ls.nonEmpty, s"no committed dedup index at $dir")
+    spark.read.option("basePath", s"$dir/bands")
+      .parquet(ls.map(l => s"$dir/bands/layer=$l"): _*)
+      .select("id", "band", "sig")
+  }
+
+  /** Candidate near-dup pairs of `probe` docs against the WHOLE index
+    * (across every layer): equi-join on (band, sig), self-pairs dropped,
+    * deduplicated with a < b. Callers verify with exact Jaccard against
+    * the live table.
+    */
+  def candidates(spark: SparkSession, probe: DataFrame, idCol: String,
+      textCol: String, dir: String): DataFrame = {
+    val pb = bandSignatures(probe, idCol, textCol)
+      .select(col("id").as("p_id"), col("band"), col("sig"))
+    pb.join(load(spark, dir), Seq("band", "sig"))
+      .filter(col("p_id") =!= col("id"))
+      .select(least(col("p_id"), col("id")).as("a_id"),
+        greatest(col("p_id"), col("id")).as("b_id"))
+      .distinct()
+  }
+
+  /** Fold a chain longer than `maxLayers` into one layer (signatures are
+    * append-only: plain rewrite), bounding union width and small files —
+    * the same policy as the posting-index and ANN-codes chains.
+    */
+  def compact(spark: SparkSession, dir: String, maxLayers: Int = 8): Boolean = {
+    val ls = layers(dir)
+    require(ls.nonEmpty, s"no committed dedup index at $dir")
+    if (ls.length <= maxLayers) return false
+    val next = (ls.map(_.toLong).max + 1).toString
+    load(spark, dir).write.mode(SaveMode.ErrorIfExists)
+      .parquet(s"$dir/bands/layer=$next")
+    commitMeta(dir, Seq(next))
+    true
+  }
+}

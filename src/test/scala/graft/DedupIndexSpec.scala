@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.DedupIndex
+import graft.sources.{ChangeFeedConsumer, NdjsonIngest}
+
+class DedupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and then runs far away"
+  private val nearDup =
+    "the quick brown fox leaps over the lazy dog and then runs far away"
+  private val other =
+    "completely different words about spark shuffles and parquet row groups"
+
+  test("build + candidates: banded equi-join finds dup pairs, not others") {
+    val dir = Files.createTempDirectory("dedupidx").toString + "/idx"
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other))
+      .toDF("doc_id", "text")
+    DedupIndex.build(spark, docs, "doc_id", "text", dir)
+    assert(DedupIndex.layers(dir) === Seq("1"))
+    // probing the corpus against itself: the near-dup pair surfaces, the
+    // unrelated doc pairs with nobody
+    val pairs = DedupIndex.candidates(spark, docs, "doc_id", "text", dir)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"near-dup pair missing from $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc produced candidates: $pairs")
+    // an exact duplicate probe hits every band of its original
+    val probe = Seq((9L, base)).toDF("doc_id", "text")
+    val hit = DedupIndex.candidates(spark, probe, "doc_id", "text", dir)
+      .as[(Long, Long)].collect().toSet
+    assert(hit.contains((1L, 9L)))
+    // double-build refuses; append/load demand a committed index
+    intercept[IllegalArgumentException] {
+      DedupIndex.build(spark, docs, "doc_id", "text", dir)
+    }
+    intercept[IllegalArgumentException] {
+      DedupIndex.load(spark, dir + "_nope")
+    }
+  }
+
+  test("change feed keeps the persisted dedup index fresh at O(batch)") {
+    val root = Files.createTempDirectory("dedupfeed").toString
+    val tableDir = s"$root/docs"; val idxDir = s"$root/idx"
+    val cursorDir = s"$root/cursor"
+    // the document table is an ordinary versioned table
+    NdjsonIngest.appendVersion(
+      Seq((1L, base), (3L, other)).toDF("doc_id", "text"),
+      tableDir, "doc_id")                                      // commit 1
+    // preprocessing: index the current table, mark the feed consumed
+    DedupIndex.build(spark,
+      NdjsonIngest.readLatest(spark, tableDir), "doc_id", "text", idxDir)
+    assert(ChangeFeedConsumer.process(spark, tableDir, "doc_id", cursorDir)(
+      _ => ()).contains((0L, 1L)))
+    // a live O(batch) delta append with a near-dup of an OLD document...
+    NdjsonIngest.appendDelta(
+      Seq((42L, nearDup)).toDF("doc_id", "text"), tableDir, "doc_id") // commit 2
+    // ...and ONE consumer tick signs exactly the new rows into layer 2
+    var fed: org.apache.spark.sql.DataFrame = null
+    val r = ChangeFeedConsumer.process(spark, tableDir, "doc_id", cursorDir) { df =>
+      fed = df.filter(col("_change_type") === "insert")
+        .select("doc_id", "text")
+      DedupIndex.append(spark, fed, "doc_id", "text", idxDir)
+      ()
+    }
+    assert(r.contains((1L, 2L)))
+    assert(DedupIndex.layers(idxDir) === Seq("1", "2"))
+    assert(spark.read.parquet(s"$idxDir/bands/layer=2")
+      .select("id").distinct().as[Long].collect().toSeq === Seq(42L))
+    // the fed batch probes the whole index: the CROSS-LAYER pair with the
+    // old document surfaces without recomputing any old signature
+    val pairs = DedupIndex
+      .candidates(spark, fed, "doc_id", "text", idxDir)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 42L)), s"cross-layer pair missing: $pairs")
+    // idle tick is a no-op
+    assert(ChangeFeedConsumer.process(spark, tableDir, "doc_id", cursorDir)(
+      _ => fail("callback on empty feed")).isEmpty)
+  }
+
+  test("compaction folds the layer chain; candidates unchanged") {
+    val dir = Files.createTempDirectory("dedupcomp").toString + "/idx"
+    DedupIndex.build(spark, Seq((1L, base)).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    (0 until 9).foreach { i =>
+      DedupIndex.append(spark,
+        Seq((100L + i, s"$base extra token$i")).toDF("doc_id", "text"),
+        "doc_id", "text", dir)
+    }
+    val probe = Seq((9L, base)).toDF("doc_id", "text")
+    val before = DedupIndex.candidates(spark, probe, "doc_id", "text", dir)
+      .as[(Long, Long)].collect().toSet
+    assert(DedupIndex.layers(dir).length === 10)
+    assert(DedupIndex.compact(spark, dir, maxLayers = 8))
+    assert(DedupIndex.layers(dir).length === 1)
+    val after = DedupIndex.candidates(spark, probe, "doc_id", "text", dir)
+      .as[(Long, Long)].collect().toSet
+    assert(after === before)
+    // under the bound: no-op
+    assert(!DedupIndex.compact(spark, dir, maxLayers = 8))
+  }
+}
