@@ -2150,8 +2150,9 @@ object Media {
     }
   }
 
-  /** "Resize": in a real build this re-encodes pixels; here it rescales
-    * the parsed dimensions, keeping the batch shape + signature honest.
+  /** Metadata-level resize: rescales the parsed dimensions of a feature
+    * batch (aspect preserved). For REAL pixel resizing see [[thumbnails]]
+    * (decode + nearest-neighbor over the actual plane).
     */
   def resize(ds: Dataset[MediaFeatures], maxDim: Int): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
