@@ -26,9 +26,11 @@ object Bench {
     // q_ann_index likewise: its IVF-PQ model trains + encodes ONCE here
     // (a Database.build-style preprocessing step); the timed run loads
     // the persisted index and measures the partition-pruned search
+    // q_dedup_index: the corpus MinHash signing + layer commit happens
+    // here (preprocessing); the timed run probes the persisted bands
     Seq("q_count_star", "q_seq_mutations", "q_simhash",
         "q_seq_idxroute", "q_seq_insroute", "q_seq_ins3route",
-        "q_ann_index").foreach(n =>
+        "q_ann_index", "q_dedup_index").foreach(n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try fn(spark, sfDir).count()
         // warmup failures surface below when the query is timed for real;

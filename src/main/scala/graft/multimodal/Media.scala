@@ -1609,6 +1609,70 @@ object Media {
     None
   }
 
+  /** Spectral-shape statistics over the same PCM scan as [[decodeWav]]:
+    * per-channel ZERO CROSSINGS (strict sign flip between consecutive
+    * frames of the SAME channel — the de-interleaved walk a naive
+    * sample-order scan would get wrong) summed across channels, and total
+    * ENERGY (Σ sample², exact in Long for 16-bit PCM). Both are the
+    * integer-exact voice/music/silence discriminators a closed-form SQL
+    * oracle reproduces. None under the same conditions as [[decodeWav]].
+    */
+  def decodeWavStats(blob: Array[Byte]): Option[(Long, Long)] = {
+    if (blob.length < 44) return None
+    if (new String(blob.take(4), "US-ASCII") != "RIFF" ||
+        new String(blob.slice(8, 12), "US-ASCII") != "WAVE") return None
+    def le32(i: Int): Int =
+      (blob(i) & 0xff) | ((blob(i + 1) & 0xff) << 8) |
+        ((blob(i + 2) & 0xff) << 16) | ((blob(i + 3) & 0xff) << 24)
+    var fmt: (Int, Int, Int, Int) = null
+    var i = 12
+    while (i + 8 <= blob.length) {
+      val id = new String(blob.slice(i, i + 4), "US-ASCII")
+      val len = le32(i + 4)
+      if (len < 0 || i + 8 + len > blob.length) return None
+      id match {
+        case "fmt " =>
+          if (len < 16) return None
+          fmt = (le16(blob, i + 8), le16(blob, i + 10), le32(i + 12), le16(blob, i + 22))
+        case "data" =>
+          if (fmt == null) return None
+          val (audioFormat, ch, rate, bits) = fmt
+          if (audioFormat != 1 || ch < 1 || rate <= 0) return None
+          val bytesPer = bits / 8
+          if (bits != 16 && bits != 8) return None
+          val nSamples = len / bytesPer
+          val nFrames = nSamples / ch
+          if (nFrames == 0) return None
+          val base = i + 8
+          def sampleAt(f: Int, c: Int): Int = {
+            val s = f * ch + c
+            if (bits == 16) (le16(blob, base + 2 * s) << 16) >> 16
+            else (blob(base + s) & 0xff) - 128
+          }
+          var zc = 0L
+          var energy = 0L
+          var c = 0
+          while (c < ch) {
+            var prev = sampleAt(0, c)
+            energy += prev.toLong * prev
+            var f = 1
+            while (f < nFrames) {
+              val v = sampleAt(f, c)
+              if (prev.toLong * v < 0) zc += 1
+              energy += v.toLong * v
+              prev = v
+              f += 1
+            }
+            c += 1
+          }
+          return Some((zc, energy))
+        case _ =>
+      }
+      i += 8 + len + (len & 1)
+    }
+    None
+  }
+
   /** Real PCM16 WAV encoder: RIFF + fmt + data with interleaved LE
     * samples — so tests and oracles round-trip real audio through
     * [[decodeWav]]. `sample(frame, channel)` supplies the amplitude.

@@ -51,6 +51,32 @@ object PipelineQueries {
     })._1
   }
 
+  /** Memoized PERSISTED dedup index per (session, sf-dir) — signing the
+    * corpus is preprocessing (Database.build / change-feed-consumer
+    * territory); the first use pays it into a temp dir, every later call
+    * probes the committed band layers (same discipline as memoAnnIndex).
+    */
+  private val dedupIndexes =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (String, java.io.File)]()
+  private def memoDedupIndex(s: SparkSession, dir: String,
+      docs: DataFrame): String = {
+    val it = dedupIndexes.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1.sparkContext.isStopped) {
+        org.apache.commons.io.FileUtils.deleteQuietly(e.getValue._2)
+        it.remove()
+      }
+    }
+    dedupIndexes.computeIfAbsent((s, dir), _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dedupidx")
+      val idx = tmp.toString + "/idx"
+      graft.operators.DedupIndex.build(s, docs, "doc_id", "text", idx)
+      (idx, tmp.toFile)
+    })._1
+  }
+
   /** SimHash near-dup pairs (hamming ≤ 2 over 16-bit signatures, blocked by
     * source). Pigeonhole banding: the signature splits into 3 bands (6+5+5);
     * 2 differing bits touch at most 2 bands, so near-dup pairs share at
@@ -2426,5 +2452,67 @@ object PipelineQueries {
         }
       }.toDF("doc_id", "pos", "px")
         .orderBy("doc_id", "pos")
+    },
+
+    // ---- PERSISTED DEDUP INDEX probe: the whole corpus probes the
+    //      committed MinHash band layers (DedupIndex — built ONCE as
+    //      preprocessing, here memoized like the ANN index) and the
+    //      routing-blind oracle recomputes the same candidate set from
+    //      scratch in SQL: identical (band, sig) construction, so a drift
+    //      anywhere in the persisted layout, the layer union, or the
+    //      equi-join breaks the hash. The timed body measures the banded
+    //      probe join against persisted parquet — the per-tick shape of
+    //      continuous dedup at 100 TB (candidates, not all-pairs). ----
+    QDef("q_dedup_index",
+      s"""$docBaseSql,
+         |mh AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || s)) AS h
+         |  FROM ex, range(0, 12) r(i) GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // 3 AS band, string_agg(h, ',' ORDER BY i) AS sig
+         |  FROM mh GROUP BY doc_id, i // 3)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         |  AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val idx = memoDedupIndex(s, dir, docs)
+      graft.operators.DedupIndex
+        .candidates(s, docs, "doc_id", "text", idx)
+        .orderBy("a_id", "b_id")
+    },
+
+    // ---- AUDIO SPECTRAL-SHAPE STATS: the same synthesized square waves
+    //      as q_audio_features, scanned by the real de-interleaved PCM
+    //      walk (Media.decodeWavStats) for per-channel zero crossings and
+    //      exact Σ-sample² energy — both integer-exact closed forms (an
+    //      alternating ±a channel crosses n−1 times unless a = 0; each
+    //      frame contributes a² per channel), so an interleave or
+    //      sign-extension bug anywhere breaks the hash. ----
+    QDef("q_audio_zcr",
+      """SELECT doc_id,
+        |  CAST(CASE WHEN (doc_id * 17 + 100) % 30000 = 0 THEN 0
+        |         ELSE doc_id % 400 + 49 END
+        |     + CASE WHEN doc_id % 2 = 1 THEN
+        |         CASE WHEN (doc_id * 23 + 200) % 30000 = 0 THEN 0
+        |           ELSE doc_id % 400 + 49 END
+        |       ELSE 0 END AS BIGINT) AS zero_crossings,
+        |  CAST((doc_id % 400 + 50) *
+        |    (((doc_id * 17 + 100) % 30000) * ((doc_id * 17 + 100) % 30000)
+        |     + CASE WHEN doc_id % 2 = 1 THEN
+        |         ((doc_id * 23 + 200) % 30000) * ((doc_id * 23 + 200) % 30000)
+        |       ELSE 0 END) AS BIGINT) AS energy
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.multimodal.Media
+      t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+        val rate = (id % 3) match { case 0 => 8000; case 1 => 16000; case _ => 44100 }
+        val ch = (1 + id % 2).toInt
+        val n = (id % 400 + 50).toInt
+        val amp = Array(((id * 17 + 100) % 30000).toInt, ((id * 23 + 200) % 30000).toInt)
+        val blob = Media.wavBytes(rate, ch, n)(
+          (f, c) => if (f % 2 == 0) amp(c) else -amp(c))
+        val (zc, energy) = Media.decodeWavStats(blob).get
+        (id, zc, energy)
+      }.toDF("doc_id", "zero_crossings", "energy")
+        .orderBy("doc_id")
     })
 }
