@@ -437,16 +437,17 @@ object Media {
       media_id: Long, width: Int, height: Int, real: Boolean,
       thumb: Array[Byte])
 
-  /** Real thumbnails: sequential 8-bit PNGs decode to pixels
-    * ([[decodePngGray]]) and resize nearest-neighbor; any other payload
-    * gets the labeled stub (constant byte-mean fill, real = false) so the
-    * batch stays total. One decode pass per partition; only the tw×th
-    * thumbnail crosses any shuffle boundary, never the source blob.
+  /** Real thumbnails: sequential 8-bit PNGs ([[decodePngGray]]) and
+    * non-interlaced GIFs ([[decodeGifGray]]) decode to pixels and resize
+    * nearest-neighbor; any other payload gets the labeled stub (constant
+    * byte-mean fill, real = false) so the batch stays total. One decode
+    * pass per partition; only the tw×th thumbnail crosses any shuffle
+    * boundary, never the source blob.
     */
   def thumbnails(ds: Dataset[MediaRow], tw: Int, th: Int): Dataset[Thumbnail] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.map { r =>
-      decodePngGray(r.blob) match {
+      decodePngGray(r.blob).orElse(decodeGifGray(r.blob)) match {
         case Some((w, h, plane)) =>
           val t = resizeNearest(plane, w, h, tw, th)
           Thumbnail(r.media_id, tw, th, real = true,
@@ -467,7 +468,26 @@ object Media {
     * interlaced frames or any malformed stream — callers keep the
     * labeled byte-mean fallback.
     */
-  def decodeGifPixelMean(blob: Array[Byte]): Option[Double] = {
+  def decodeGifPixelMean(blob: Array[Byte]): Option[Double] =
+    gifIndices(blob).map { case (_, _, pal, idx) =>
+      val nColors = pal.length / 3
+      var total = 0.0
+      var k = 0
+      while (k < idx.length) {
+        val ci = math.min(idx(k), nColors - 1)
+        total += (pal(ci * 3) & 0xff) + (pal(ci * 3 + 1) & 0xff) +
+          (pal(ci * 3 + 2) & 0xff)
+        k += 1
+      }
+      math.rint(total / (idx.length * 3L) * 10000) / 10000
+    }
+
+  /** The first image frame's raw index stream: (w, h, active palette,
+    * LZW-decoded indices) — the shared core under [[decodeGifPixelMean]]
+    * and [[decodeGifGray]].
+    */
+  private def gifIndices(
+      blob: Array[Byte]): Option[(Int, Int, Array[Byte], Array[Int])] = {
     if (blob.length < 14) return None
     val hdr = new String(blob.take(6), "US-ASCII")
     if (hdr != "GIF87a" && hdr != "GIF89a") return None
@@ -502,22 +522,31 @@ object Media {
             }
             val idx = lzwDecode(data.toByteArray, minCode, w * h)
               .getOrElse(return None)
-            val nColors = pal.length / 3
-            var total = 0.0
-            var k = 0
-            while (k < idx.length) {
-              val ci = math.min(idx(k), nColors - 1)
-              total += (pal(ci * 3) & 0xff) + (pal(ci * 3 + 1) & 0xff) +
-                (pal(ci * 3 + 2) & 0xff)
-              k += 1
-            }
-            return Some(math.rint(total / (idx.length * 3L) * 10000) / 10000)
+            return Some((w, h, pal, idx))
           case _ => return None // trailer or junk before any image data
         }
       }
       None
     } catch { case _: ArrayIndexOutOfBoundsException => None }
   }
+
+  /** Per-pixel gray plane for (non-interlaced) GIFs: the LZW index stream
+    * mapped through the active palette, luma = palette-RGB mean — the GIF
+    * counterpart of [[decodePngGray]], feeding the same resize path.
+    */
+  def decodeGifGray(blob: Array[Byte]): Option[(Int, Int, Array[Double])] =
+    gifIndices(blob).map { case (w, h, pal, idx) =>
+      val nColors = pal.length / 3
+      val plane = new Array[Double](idx.length)
+      var k = 0
+      while (k < idx.length) {
+        val ci = math.min(idx(k), nColors - 1)
+        plane(k) = ((pal(ci * 3) & 0xff) + (pal(ci * 3 + 1) & 0xff) +
+          (pal(ci * 3 + 2) & 0xff)) / 3.0
+        k += 1
+      }
+      (w, h, plane)
+    }
 
   /** GIF LZW (spec appendix F): LSB-first variable-width codes, dictionary
     * reset on clear, width grows when the next free code would not fit,

@@ -724,4 +724,20 @@ class MediaSpec extends SparkSpec {
       Seq(0, 4, 32, 36).map(_.toByte))
     assert(!out(1).real && out(1).thumb.length === 4)
   }
+
+  test("GIF gray decode feeds the same resize path as PNG") {
+    // palette with distinct lumas: (30,60,90) → 60, (10,10,10) → 10
+    val pal = Seq((30, 60, 90), (10, 10, 10))
+    val gif = Media.gifPixelBytes(4, 2, pal)((x, y) => (x + y) % 2)
+    val Some((w, h, plane)) = Media.decodeGifGray(gif)
+    assert(w === 4 && h === 2)
+    assert(plane.toSeq === Seq(60.0, 10, 60, 10, 10, 60, 10, 60))
+    // the thumbnail surface marks GIF rows real and resizes actual pixels
+    val out = Media.thumbnails(
+      Seq(Media.MediaRow(7L, "image/gif", gif)).toDS(), 2, 1).collect()
+    assert(out.head.real)
+    assert(out.head.thumb.toSeq === Seq(60.toByte, 60.toByte)) // (0,0),(2,0)
+    // interlaced and junk still fall back
+    assert(Media.decodeGifGray("GIF89a junk".getBytes("US-ASCII")).isEmpty)
+  }
 }
