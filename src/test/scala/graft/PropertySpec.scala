@@ -241,6 +241,77 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("additive schema evolution chains read exactly under the head schema") {
+    import graft.sources.NdjsonIngest
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val caseGen: Gen[List[(Boolean, Int)]] = for {
+      nOps <- Gen.choose(2, 6)
+      evolves <- Gen.listOfN(nOps, Gen.prob(0.4))
+      sizes <- Gen.listOfN(nOps, Gen.choose(1, 4))
+    } yield evolves.zip(sizes)
+    samples(caseGen, 10).zipWithIndex.foreach { case (ops, ci) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"evoprop$ci").toString + "/t"
+      var nCols = 0 // evolution columns in the committed head schema
+      var nextId = 0L
+      // model: id -> evolution-column values the row's OWN batch carried
+      val model = scala.collection.mutable.Map.empty[Long, Map[Int, Double]]
+      ops.foreach { case (addCol, bs) =>
+        val batchCols = if (addCol) nCols + 1 else nCols
+        val schema = StructType(
+          StructField("id", LongType, nullable = false) +:
+          StructField("v", DoubleType, nullable = false) +:
+          (1 to batchCols).map(k =>
+            StructField(s"c$k", DoubleType, nullable = true)))
+        val rows = (0 until bs).map { _ =>
+          val id = nextId; nextId += 1
+          model(id) = (1 to batchCols).map(k => k -> (id * 10.0 + k)).toMap
+          Row.fromSeq(id +: (id * 1.5) +:
+            (1 to batchCols).map(k => id * 10.0 + k))
+        }
+        val df = spark.createDataFrame(
+          new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+            .SeqHasAsJava(rows).asJava), schema)
+        if (addCol) {
+          NdjsonIngest.appendDeltaEvolve(df, dir, "id")
+          nCols += 1
+        } else if (NdjsonIngest.commits(dir).isEmpty) {
+          NdjsonIngest.appendDeltaEvolve(df, dir, "id") // initial snapshot
+        } else {
+          NdjsonIngest.appendDelta(df, dir, "id") // strict: head schema
+        }
+      }
+      val got = NdjsonIngest.readLatest(spark, dir)
+      assert(got.schema.fieldNames.toSeq ===
+        "id" +: "v" +: (1 to nCols).map(k => s"c$k"),
+        s"case $ci ops=$ops head schema drifted")
+      val byId = got.collect().map(r => r.getLong(0) -> r).toMap
+      assert(byId.keySet === model.keySet, s"case $ci ops=$ops row set")
+      model.foreach { case (id, cvals) =>
+        val r = byId(id)
+        assert(r.getDouble(1) === id * 1.5, s"case $ci id=$id v")
+        (1 to nCols).foreach { k =>
+          val idx = 1 + k
+          cvals.get(k) match {
+            case Some(expect) =>
+              assert(!r.isNullAt(idx) && r.getDouble(idx) === expect,
+                s"case $ci ops=$ops id=$id c$k")
+            case None =>
+              // the column post-dates this row's batch: null under the
+              // head schema, never a default or a neighbor's value
+              assert(r.isNullAt(idx), s"case $ci ops=$ops id=$id c$k not null")
+          }
+        }
+      }
+      // append-only chain: the merge-on-read view must agree exactly
+      val merged = NdjsonIngest.readLatestMerged(spark, dir, "id")
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      assert(merged === byId.map { case (k, r) => k -> r.toSeq },
+        s"case $ci merged view diverged")
+    }
+  }
+
   test("MP4 frame sampling replays arbitrary chunk layouts exactly") {
     import graft.multimodal.Media
     val caseGen: Gen[(List[Int], List[Int], Int, Boolean)] = for {
