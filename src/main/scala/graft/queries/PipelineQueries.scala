@@ -2288,12 +2288,14 @@ object PipelineQueries {
     //      highest-quality documents (distinct-token count, doc_id ties)
     //      until a 600-token budget is exhausted — the data-selection
     //      step between scoring and training. Integer running sums make
-    //      the cut engine-exact. Scale: the window partitions per source;
-    //      at 100 TB the prefix is found without a full sort by first
-    //      binary-searching a score threshold from quantile sketches
-    //      (approx_percentile) and only window-ranking the boundary
-    //      stratum — documented trade-off, same family as q_pack_sequences
-    //      sub-sharding. ----
+    //      the cut engine-exact. Scale: SUB-SHARDED like q_pack_sequences
+    //      — the prefix sum windows on (source, score-bucket shard), the
+    //      cross-shard offsets come from a window over the tiny shard-
+    //      totals AGGREGATE, so one giant source never collapses into a
+    //      single window partition. The shard is a function of the sort
+    //      key alone (descending n_uniq buckets), so shard order extends
+    //      the (n_uniq DESC, doc_id) order exactly and the stitched sums
+    //      equal the flat window's. ----
     QDef("q_budget_select",
       s"""WITH tk AS (SELECT doc_id, source,
          |  CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tok,
@@ -2311,10 +2313,24 @@ object PipelineQueries {
       val tk = t(s, dir, "documents").select(col("doc_id"), col("source"),
         size(toks).cast("long").as("n_tok"),
         size(array_distinct(toks)).cast("long").as("n_uniq"))
-      val w = Window.partitionBy("source")
+        // shard = descending n_uniq bucket (width 8): depends on the sort
+        // key only, so (shard ASC, n_uniq DESC, doc_id) IS the flat order
+        .withColumn("shard", floor((lit(1000000L) - col("n_uniq")) / 8))
+      val wShard = Window.partitionBy("source", "shard")
         .orderBy(col("n_uniq").desc, col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      tk.withColumn("cum", sum("n_tok").over(w))
+      val part = tk.withColumn("pcum", sum("n_tok").over(wShard))
+      // cross-shard offsets: running total over the (source × shards)
+      // AGGREGATE — bounded rows, so this source-partitioned window is a
+      // stitch step, not a data-rows window
+      val wOff = Window.partitionBy("source").orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = part.groupBy("source", "shard")
+        .agg(sum("n_tok").as("stot"))
+        .withColumn("off", coalesce(sum("stot").over(wOff), lit(0L)))
+        .select("source", "shard", "off")
+      part.join(broadcast(offs), Seq("source", "shard"))
+        .withColumn("cum", col("pcum") + col("off"))
         .filter(col("cum") <= 600)
         .select(col("source"), col("doc_id"), col("n_tok").cast("int").as("n_tok"),
           col("n_uniq").cast("int").as("n_uniq"),

@@ -179,6 +179,21 @@ class PlanSpec extends SparkSpec {
       "doc-level prefix sum no longer sub-sharded")
   }
 
+  test("budget-select prefix sums are sub-sharded: no whole-source window") {
+    val df = SparkEntry.queries("q_budget_select")(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "budget window has no partition keys — single-partition at scale"))
+    // doc-level running sum partitions on (source, score-bucket shard);
+    // the only source-partitioned window is the cross-shard offset stitch
+    // over the bounded shard-totals aggregate
+    assert(windows.exists(_.partitionSpec.size == 2),
+      "budget-select prefix sum no longer sub-sharded")
+  }
+
   test("no unbounded pairwise plans anywhere: CartesianProduct never, " +
     "BroadcastNestedLoopJoin only with a bounded-by-construction side") {
     // whitelist: queries whose BNLJ side is bounded regardless of data
