@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -557,6 +557,25 @@ object NdjsonIngest {
     * A tombstone kills any same-key row in this or earlier layers; a LATER
     * upsert of the key resurrects it. O(|keys|) write.
     */
+  /** The reference's `updateColumn(table, column, literal, filter)`
+    * (database.h:77-88, scalar_column_update.cpp) over the versioned
+    * layer chain: rewrite `column` to `value` for the merged rows
+    * matching `where`, committed as ONE upsert layer holding ONLY the
+    * matched rows — O(changed), never a table rewrite; the update is
+    * visible to merged reads immediately and old snapshots still pin the
+    * pre-update state. Returns the commit id, or -1 when nothing matched
+    * (no empty layer is committed).
+    */
+  def updateColumnDelta(spark: SparkSession, tableDir: String, pk: String,
+      column: String, value: Column, where: Column,
+      tag: Option[String] = None): Long = {
+    val merged = readLatestMerged(spark, tableDir, pk)
+    val dt = merged.schema(column).dataType // keep the committed type
+    val changed = merged.filter(where).withColumn(column, value.cast(dt))
+    if (changed.isEmpty) return -1L
+    upsertDelta(changed, tableDir, pk, tag)
+  }
+
   def deleteDelta(keys: DataFrame, tableDir: String, pk: String,
       tag: Option[String] = None): Long = {
     val fs = new java.io.File(tableDir)

@@ -197,6 +197,39 @@ class SourcesSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L, 4L))
   }
 
+  test("updateColumnDelta: UPDATE..WHERE commits only the matched rows") {
+    val dir = tmpDir() + "/t"
+    NdjsonIngest.appendVersion(
+      Seq((1L, "CH", 1.0), (2L, "DE", 2.0), (3L, "CH", 3.0), (4L, "FR", 4.0))
+        .toDF("id", "country", "val"), dir, "id")
+    // reference updateColumn semantics (database.h:77-88): set val = 9.5
+    // where country = 'CH' — committed as ONE upsert layer of 2 rows
+    val c = NdjsonIngest.updateColumnDelta(spark, dir, "id",
+      "val", lit(9.5), col("country") === "CH")
+    assert(c > 0)
+    val layer = s"$dir/${NdjsonIngest.latestLayers(dir).last}"
+    assert(spark.read.parquet(layer).count() === 2) // O(changed), not 4
+    val got = NdjsonIngest.readLatestMerged(spark, dir, "id")
+      .as[(Long, String, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got === Map(1L -> 9.5, 2L -> 2.0, 3L -> 9.5, 4L -> 4.0))
+    // untouched columns survive; value casts to the committed type
+    val c2 = NdjsonIngest.updateColumnDelta(spark, dir, "id",
+      "val", lit(7), col("id") === 2L) // int literal → DoubleType column
+    assert(c2 > c)
+    assert(NdjsonIngest.readLatestMerged(spark, dir, "id")
+      .filter(col("id") === 2L).as[(Long, String, Double)].head() ===
+      ((2L, "DE", 7.0)))
+    // the pre-update snapshot still pins the old values
+    assert(NdjsonIngest.readCommitMerged(spark, dir, "id", 1L)
+      .as[(Long, String, Double)].collect().map(r => r._1 -> r._3).toMap ===
+      Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0, 4L -> 4.0))
+    // no match → no commit, no empty layer
+    val before = NdjsonIngest.commits(dir)
+    assert(NdjsonIngest.updateColumnDelta(spark, dir, "id",
+      "val", lit(0.0), col("country") === "XX") === -1L)
+    assert(NdjsonIngest.commits(dir) === before)
+  }
+
   test("merge-on-read compaction folds the chain into a tombstone-free snapshot") {
     val dir = tmpDir() + "/t"
     NdjsonIngest.appendVersion(
