@@ -576,6 +576,18 @@ object NdjsonIngest {
     upsertDelta(changed, tableDir, pk, tag)
   }
 
+  /** DELETE..WHERE over the versioned layer chain: tombstone the merged
+    * rows matching `where` — one O(matched) tombstone layer, the
+    * predicate-level companion of [[updateColumnDelta]]. Returns the
+    * commit id, or -1 when nothing matched.
+    */
+  def deleteWhereDelta(spark: SparkSession, tableDir: String, pk: String,
+      where: Column, tag: Option[String] = None): Long = {
+    val keys = readLatestMerged(spark, tableDir, pk).filter(where).select(pk)
+    if (keys.isEmpty) return -1L
+    deleteDelta(keys, tableDir, pk, tag)
+  }
+
   def deleteDelta(keys: DataFrame, tableDir: String, pk: String,
       tag: Option[String] = None): Long = {
     val fs = new java.io.File(tableDir)

@@ -228,6 +228,13 @@ class SourcesSpec extends SparkSpec {
     assert(NdjsonIngest.updateColumnDelta(spark, dir, "id",
       "val", lit(0.0), col("country") === "XX") === -1L)
     assert(NdjsonIngest.commits(dir) === before)
+    // DELETE..WHERE: tombstones exactly the matched keys
+    assert(NdjsonIngest.deleteWhereDelta(spark, dir, "id",
+      col("val") === 9.5) > 0)
+    assert(NdjsonIngest.readLatestMerged(spark, dir, "id")
+      .select("id").as[Long].collect().sorted.toSeq === Seq(2L, 4L))
+    assert(NdjsonIngest.deleteWhereDelta(spark, dir, "id",
+      col("country") === "XX") === -1L)
   }
 
   test("merge-on-read compaction folds the chain into a tombstone-free snapshot") {
