@@ -191,6 +191,8 @@ class PropertySpec extends SparkSpec {
     sealed trait Op
     case class Upsert(rows: Map[Long, Double]) extends Op
     case class Delete(keys: Set[Long]) extends Op
+    case class UpdateWhere(thr: Double, nv: Double) extends Op
+    case class DeleteWhere(thr: Double) extends Op
     case object Compact extends Op
     val opGen: Gen[Op] = Gen.frequency(
       5 -> (for {
@@ -202,6 +204,11 @@ class PropertySpec extends SparkSpec {
         n <- Gen.choose(1, 3)
         ks <- Gen.listOfN(n, Gen.choose(1L, 12L))
       } yield Delete(ks.toSet)),
+      2 -> (for {
+        thr <- Gen.choose(0, 999)
+        nv <- Gen.choose(0, 999)
+      } yield UpdateWhere(thr.toDouble, nv.toDouble)),
+      2 -> Gen.choose(0, 999).map(t => DeleteWhere(t.toDouble)),
       1 -> Gen.const(Compact))
     val seqGen = Gen.choose(4, 9).flatMap(n => Gen.listOfN(n, opGen))
     samples(seqGen, 6).zipWithIndex.foreach { case (ops, caseIdx) =>
@@ -218,6 +225,15 @@ class PropertySpec extends SparkSpec {
         case Delete(keys) =>
           NdjsonIngest.deleteDelta(keys.toSeq.toDF("id"), dir, "id")
           model --= keys
+        case UpdateWhere(thr, nv) =>
+          // predicate-level UPDATE: rewrites exactly the merged rows
+          // matching the filter (no-match → no commit)
+          NdjsonIngest.updateColumnDelta(spark, dir, "id",
+            "val", lit(nv), col("val") >= thr)
+          model = model.map { case (k, v) => k -> (if (v >= thr) nv else v) }
+        case DeleteWhere(thr) =>
+          NdjsonIngest.deleteWhereDelta(spark, dir, "id", col("val") < thr)
+          model = model.filter { case (_, v) => v >= thr }
         case Compact =>
           NdjsonIngest.compactMerged(spark, dir, "id", maxLayers = 1)
       }

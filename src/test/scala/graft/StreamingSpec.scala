@@ -312,6 +312,42 @@ class StreamingSpec extends SparkSpec {
     assert(NdjsonIngest.readLatest(spark, tableDir).count() === 10)
   }
 
+  test("file-source stream restart with a widened schema evolves end-to-end") {
+    import graft.sources.NdjsonIngest
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("sevo2").toFile
+    val inDir = new java.io.File(root, "in"); inDir.mkdirs()
+    val tableDir = s"$root/table"
+    def drop(name: String, lines: String*): Unit =
+      java.nio.file.Files.writeString(
+        new java.io.File(inDir, name).toPath, lines.mkString("\n"))
+    val ckDir = s"$root/ck"
+    val s1 = StructType(Seq(
+      StructField("id", StringType), StructField("seq", StringType)))
+    drop("f1.ndjson", """{"id":"k1","seq":"ACGTACGT"}""")
+    graft.streaming.StreamingIngest.start(
+      spark, inDir.toString, s1, "seq", "ACGTACGT", tableDir, "id",
+      ckDir).awaitTermination()
+    assert(NdjsonIngest.readLatest(spark, tableDir).count() === 1)
+    // the source gains a qc column; the stream restarts on the SAME
+    // checkpoint (so only the new file is processed) with the widened
+    // read schema, opting into additive evolution
+    val s2 = StructType(s1.fields :+ StructField("qc", DoubleType))
+    drop("f2.ndjson", """{"id":"k2","seq":"TCGTACGT","qc":0.75}""")
+    graft.streaming.StreamingIngest.start(
+      spark, inDir.toString, s2, "seq", "ACGTACGT", tableDir, "id",
+      ckDir, evolve = true).awaitTermination()
+    val t = NdjsonIngest.readLatest(spark, tableDir)
+    assert(t.count() === 2)
+    assert(t.columns.contains("qc"))
+    // the pre-evolution row reads null under the head schema; the new
+    // row carries its value
+    assert(t.filter(col("id") === "k1").select("qc").as[Option[Double]]
+      .collect().toSeq === Seq(None))
+    assert(t.filter(col("id") === "k2").select("qc").as[Option[Double]]
+      .collect().toSeq === Seq(Some(0.75)))
+  }
+
   test("stream restart with a new schema version evolves the table only when opted in") {
     import graft.sources.NdjsonIngest
     val root = java.nio.file.Files.createTempDirectory("sevolve").toFile
