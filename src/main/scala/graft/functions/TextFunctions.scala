@@ -124,4 +124,14 @@ object TextFunctions {
         (a, b) => concat(a, lit(" "), b))
     array_distinct(filter(acc, x => x.isNotNull))
   }
+
+  /** O(n) codegen'd polynomial rolling hashes over every `window`-char
+    * substring (see [[RollingHash]]) — the winnowing / content-defined-
+    * chunking kernel, value-identical to the O(n·w) HOF re-fold form.
+    */
+  def rollingHashes(c: Column, window: Int, base: Long, mod: Long): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(
+      RollingHash(GraftShims.expression(c), window, base, mod))
+  }
 }

@@ -1812,17 +1812,16 @@ object PipelineQueries {
         |  CAST(len(fps) AS BIGINT) AS n_fps,
         |  CAST(list_max(fps) AS BIGINT) AS max_fp
         |FROM wn ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val cs = filter(split(col("text"), ""), x => x =!= "")
       val docs = t(s, dir, "documents")
-        .select(col("doc_id"), transform(cs, c => ascii(c)).as("cs"))
-        .filter(size(col("cs")) >= 8)
-      val hs = transform(sequence(lit(1), size(col("cs")) - 7), i =>
-        aggregate(slice(col("cs"), i, lit(8)), lit(0L),
-          (a, x) => (a * 257 + x) % 1000003))
+        .select(col("doc_id"), col("text"))
+        .filter(length(col("text")) >= 8)
+      // O(n) codegen'd rolling hashes (RollingHash Expression) — value-
+      // identical to the oracle's O(n·w) per-window re-fold
+      val hs = TF.rollingHashes(col("text"), 8, 257, 1000003)
       // explode(array(…)) is a deliberate CollapseProject BARRIER: without
       // the Generate node, the filter below and every output column above
-      // would INLINE the O(n·w) rolling-hash expression and recompute it
-      // per reference (measured 15× slower at sf0.1). Same for fps.
+      // would INLINE the hash expression and recompute it per reference.
+      // Same for fps.
       val withHs = docs.select(col("doc_id"), explode(array(hs)).as("hs"))
         .filter(size(col("hs")) >= 4)
       val fps = array_distinct(
@@ -1865,15 +1864,12 @@ object PipelineQueries {
         |  JOIN df ON df.fp = a.fp)
         |SELECT s1, s2, CAST(count(*) AS BIGINT) AS shared_fps
         |FROM p GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin) { (s, dir) =>
-      val cs = filter(split(col("text"), ""), x => x =!= "")
       val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"), transform(cs, c => ascii(c)).as("cs"))
-        .filter(size(col("cs")) >= 8)
-      val hs = transform(sequence(lit(1), size(col("cs")) - 7), i =>
-        aggregate(slice(col("cs"), i, lit(8)), lit(0L),
-          (a, x) => (a * 257 + x) % 1000003))
+        .select(col("doc_id"), col("source"), col("text"))
+        .filter(length(col("text")) >= 8)
+      val hs = TF.rollingHashes(col("text"), 8, 257, 1000003)
       // explode(array(…)) barrier, as in q_winnow_fingerprint: keep the
-      // O(n·w) hash pass from being inlined into the filter + fps refs
+      // hash pass from being inlined into the filter + fps refs
       val withHs = docs.select(col("source"), explode(array(hs)).as("hs"))
         .filter(size(col("hs")) >= 4)
       val fps = array_distinct(
@@ -1956,13 +1952,10 @@ object PipelineQueries {
         |  CAST(count(CASE WHEN cnt.occ > 1 THEN 1 END) AS BIGINT) AS dup_chunks
         |FROM ck JOIN cnt ON cnt.chash = ck.chash
         |GROUP BY ck.doc_id ORDER BY ck.doc_id""".stripMargin) { (s, dir) =>
-      val cs = filter(split(col("text"), ""), x => x =!= "")
       val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("text"), transform(cs, c => ascii(c)).as("cs"))
-        .filter(size(col("cs")) >= 8)
-      val hs = transform(sequence(lit(1), size(col("cs")) - 7), i =>
-        aggregate(slice(col("cs"), i, lit(8)), lit(0L),
-          (a, x) => (a * 257 + x) % 1000003))
+        .select(col("doc_id"), col("text"))
+        .filter(length(col("text")) >= 8)
+      val hs = TF.rollingHashes(col("text"), 8, 257, 1000003)
       val cuts = concat(
         array(lit(0)),
         transform(filter(sequence(lit(1), size(col("hs"))),

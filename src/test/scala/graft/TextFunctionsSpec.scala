@@ -49,4 +49,30 @@ class TextFunctionsSpec extends SparkSpec {
     val out = df.select(TF.qualityScoreBp(col("text"))).as[Long].collect()
     out.foreach(q => assert(q >= 0 && q <= 100000))
   }
+
+  test("RollingHash equals the per-window HOF re-fold on arbitrary strings") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaa", "abcdefgh", "abcdefg" /* < window → empty */, "",
+      "x" * 300, (0 until 100).map(i => ('a' + i % 26).toChar).mkString)
+    val df = texts.toDF("text")
+    // reference form: the O(n·w) fold the SQL oracles replay
+    val cs = transform(filter(split(col("text"), ""), x => x =!= ""),
+      c => ascii(c))
+    val ref = when(size(cs) >= 8,
+      transform(sequence(lit(1), size(cs) - 7), i =>
+        aggregate(slice(cs, i, lit(8)), lit(0L),
+          (a, x) => (a * 257 + x) % 1000003)))
+      .otherwise(array().cast("array<bigint>"))
+    val rows = df.select(
+      TF.rollingHashes(col("text"), 8, 257, 1000003).as("fast"),
+      ref.as("slow")).as[(Seq[Long], Seq[Long])].collect()
+    rows.zip(texts).foreach { case ((fast, slow), t) =>
+      assert(fast === slow, s"text=${t.take(30)}")
+    }
+    // codegen and interpreted paths agree (eval exercised via filter)
+    val n = df.filter(size(TF.rollingHashes(col("text"), 8, 257, 1000003)) > 0)
+      .count()
+    assert(n === texts.count(_.length >= 8))
+  }
 }
