@@ -19,7 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
 case class RollingHash(child: Expression, window: Int, base: Long, mod: Long)
     extends UnaryExpression {
 
-  require(window > 0 && base > 0 && mod > 1 && mod <= Int.MaxValue.toLong,
+  // base and mod both ≤ 2^31: every intermediate (h*base + char) stays
+  // below 2^62 + 2^47, so the Long arithmetic in eval/codegen never wraps
+  require(window > 0 && base > 0 && base <= Int.MaxValue.toLong &&
+    mod > 1 && mod <= Int.MaxValue.toLong,
     s"bad rolling-hash params (window=$window base=$base mod=$mod)")
 
   // type-checked post-resolution (a constructor require would fire on the

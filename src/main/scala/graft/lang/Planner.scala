@@ -769,10 +769,18 @@ final class Planner(catalog: Planner.Catalog) {
       case "randomize" =>
         val in = input
         val seed = a("seed").map(intArg(_, "seed")).getOrElse(42L)
-        // deterministic shuffle: hash of full row content + seed (the
-        // reference hashes the row ordinal — Spark has no stable ordinal, so
-        // content-hash gives the same reproducibility guarantee)
-        val k = xxhash64(in.df.columns.map(col) :+ lit(seed): _*)
+        // deterministic shuffle keyed like the reference's stable row
+        // ordinal (order_by_randomize.cpp:25-33): hash (primary key, seed),
+        // so rows with IDENTICAL content still get distinct sort keys —
+        // every table declares a pk (database_schema.h:82-94). Fallback when
+        // the pk is out of scope (post-projection): full row content, same
+        // determinism, ties only on fully-identical rows.
+        val pkCol = in.origin.flatMap(catalog.primaryKeys.get)
+          .filter(in.df.columns.contains)
+        val k = pkCol match {
+          case Some(p) => xxhash64(col(p), lit(seed))
+          case None    => xxhash64(in.df.columns.map(col) :+ lit(seed): _*)
+        }
         Tbl(in.df.orderBy(k), in.origin)
 
       case "schema" =>

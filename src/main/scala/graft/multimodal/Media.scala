@@ -108,7 +108,7 @@ object Media {
             return None // EOI / start-of-scan before any SOF
           } else {
             val len = be16(blob, i + 2)
-            if (len < 2 || i + 2 + len > blob.length) return None
+            if (len < 2 || i.toLong + 2 + len > blob.length) return None
             if ((marker >= 0xc0 && marker <= 0xc2) && len >= 8) {
               val h = be16(blob, i + 5); val w = be16(blob, i + 7)
               val ncomp = blob(i + 9) & 0xff
@@ -186,7 +186,7 @@ object Media {
     var done = false
     while (!done && i + 8 <= blob.length) {
       val len = be32(blob, i).toInt
-      if (len < 0 || i + 12 + len > blob.length) return None
+      if (len < 0 || i.toLong + 12 + len > blob.length) return None
       val typ = new String(blob.slice(i + 4, i + 8), "US-ASCII")
       if (typ == "IDAT") idat.write(blob, i + 8, len)
       if (typ == "PLTE") plte = blob.slice(i + 8, i + 8 + len)
@@ -330,7 +330,7 @@ object Media {
     var done = false
     while (!done && i + 8 <= blob.length) {
       val len = be32(blob, i).toInt
-      if (len < 0 || i + 12 + len > blob.length) return None
+      if (len < 0 || i.toLong + 12 + len > blob.length) return None
       val typ = new String(blob.slice(i + 4, i + 8), "US-ASCII")
       if (typ == "IDAT") idat.write(blob, i + 8, len)
       if (typ == "PLTE") plte = blob.slice(i + 8, i + 8 + len)
@@ -516,7 +516,7 @@ object Media {
             val data = new java.io.ByteArrayOutputStream()
             while (i < blob.length && (blob(i) & 0xff) != 0) {
               val n = blob(i) & 0xff
-              if (i + 1 + n > blob.length) return None
+              if (i.toLong + 1 + n > blob.length) return None
               data.write(blob, i + 1, n)
               i += 1 + n
             }
@@ -734,7 +734,7 @@ object Media {
       } else {
         if (i + 3 >= blob.length) return None
         val len = be16(blob, i + 2)
-        if (len < 2 || i + 2 + len > blob.length) return None
+        if (len < 2 || i.toLong + 2 + len > blob.length) return None
         val seg = i + 4
         val segEnd = i + 2 + len
         marker match {
@@ -1599,7 +1599,7 @@ object Media {
     while (i + 8 <= blob.length) {
       val id = new String(blob.slice(i, i + 4), "US-ASCII")
       val len = le32(i + 4)
-      if (len < 0 || i + 8 + len > blob.length) return None
+      if (len < 0 || i.toLong + 8 + len > blob.length) return None
       id match {
         case "fmt " =>
           if (len < 16) return None
@@ -1658,7 +1658,7 @@ object Media {
     while (i + 8 <= blob.length) {
       val id = new String(blob.slice(i, i + 4), "US-ASCII")
       val len = le32(i + 4)
-      if (len < 0 || i + 8 + len > blob.length) return None
+      if (len < 0 || i.toLong + 8 + len > blob.length) return None
       id match {
         case "fmt " =>
           if (len < 16) return None

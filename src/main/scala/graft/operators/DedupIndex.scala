@@ -46,6 +46,20 @@ object DedupIndex {
     else java.nio.file.Files.readString(metaPath(dir)).split("\n").toSeq
       .filter(_.nonEmpty)
 
+  /** Next layer number = 1 + max over BOTH the committed meta and any
+    * `bands/layer=N` dir already on disk — a crash between the layer write
+    * and the meta commit leaves an orphan dir; numbering past it (instead
+    * of from meta alone) keeps the ErrorIfExists write from failing every
+    * subsequent append. Mirrors `NdjsonIngest.commitLayer`.
+    */
+  private def nextLayer(dir: String, committed: Seq[String]): String = {
+    val bands = new java.io.File(s"$dir/bands")
+    val onDisk = Option(bands.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => Option(f.getName).filter(_.startsWith("layer="))
+        .flatMap(n => n.stripPrefix("layer=").toLongOption))
+    ((committed.map(_.toLong) ++ onDisk).foldLeft(0L)(math.max) + 1).toString
+  }
+
   /** The (id, band, sig) LSH signatures of `docs` — one shuffle (the
     * signature aggregate over exploded shingles), width-12 rows, then a
     * map-side band explode.
@@ -91,7 +105,7 @@ object DedupIndex {
       textCol: String, dir: String): Unit = {
     val ls = layers(dir)
     require(ls.nonEmpty, s"no committed dedup index at $dir")
-    val next = (ls.map(_.toLong).max + 1).toString
+    val next = nextLayer(dir, ls)
     writeLayer(spark, newDocs, idCol, textCol, dir, next)
     commitMeta(dir, ls :+ next)
   }
@@ -129,7 +143,7 @@ object DedupIndex {
     val ls = layers(dir)
     require(ls.nonEmpty, s"no committed dedup index at $dir")
     if (ls.length <= maxLayers) return false
-    val next = (ls.map(_.toLong).max + 1).toString
+    val next = nextLayer(dir, ls)
     load(spark, dir).write.mode(SaveMode.ErrorIfExists)
       .parquet(s"$dir/bands/layer=$next")
     commitMeta(dir, Seq(next))

@@ -68,9 +68,16 @@ object IncrementalJoin {
   private def strip(changes: DataFrame): DataFrame =
     changes.drop("_change_type", "_commit")
 
+  // '\'-escape both separators inside the key values so ("a:b","c") and
+  // ("a","b:c") encode to distinct vids — a raw concat collides on string
+  // keys containing ':' and trips the dup-pk guard on a legitimate delta
+  private def escVid(c: org.apache.spark.sql.Column) =
+    regexp_replace(c, "([\\\\:])", "\\\\$1")
+
   private def withVid(df: DataFrame, aPk: String, bPk: String): DataFrame =
     df.withColumn("__vid",
-      concat_ws(":", col(aPk).cast("string"), col(bPk).cast("string")))
+      concat_ws(":", escVid(col(aPk).cast("string")),
+        escVid(col(bPk).cast("string"))))
 
   /** Advance the view to the inputs' current heads. Returns the view
     * commit, or None when the view is already fresh. The first refresh
@@ -90,6 +97,9 @@ object IncrementalJoin {
       s"incremental join: view cursors ($lastA,$lastB) are ahead of the " +
         s"input heads ($headA,$headB) — inputs were reset; rebuild() the view")
     if (headA == lastA && headB == lastB) return None
+    // B has no commits yet: no pairs can exist, and readCommit(bDir, 0)
+    // below would throw on the missing log entry — wait for B's first commit
+    if (headB == 0L) return None
     checkInsertOnly(aDir, lastA, headA)
     checkInsertOnly(bDir, lastB, headB)
 

@@ -82,6 +82,25 @@ class DedupIndexSpec extends SparkSpec {
       _ => fail("callback on empty feed")).isEmpty)
   }
 
+  test("append recovers from an orphan layer dir (crash between write and commit)") {
+    val dir = Files.createTempDirectory("deduporphan").toString + "/idx"
+    DedupIndex.build(spark, Seq((1L, base)).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    // simulate a crash: layer 2 written on disk but never committed to meta
+    DedupIndex.bandSignatures(
+      Seq((2L, nearDup)).toDF("doc_id", "text"), "doc_id", "text")
+      .write.parquet(s"$dir/bands/layer=2")
+    assert(DedupIndex.layers(dir) === Seq("1"))
+    // append must number PAST the orphan, not collide with ErrorIfExists
+    DedupIndex.append(spark, Seq((3L, other)).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    assert(DedupIndex.layers(dir) === Seq("1", "3"))
+    // readers see only committed layers — the orphan stays invisible
+    val ids = DedupIndex.load(spark, dir).select("id").distinct()
+      .as[Long].collect().toSet
+    assert(ids === Set(1L, 3L))
+  }
+
   test("compaction folds the layer chain; candidates unchanged") {
     val dir = Files.createTempDirectory("dedupcomp").toString + "/idx"
     DedupIndex.build(spark, Seq((1L, base)).toDF("doc_id", "text"),

@@ -70,6 +70,37 @@ class IncrementalJoinSpec extends SparkSpec {
       spark, vDir, aDir, bDir, "src_id", "doc_id", "src_id").isEmpty)
   }
 
+  test("refresh is a graceful no-op while B has no commits yet") {
+    val (aDir, bDir, vDir) = (tmpDir() + "/a", tmpDir() + "/b", tmpDir() + "/v")
+    NdjsonIngest.appendVersion(docs((1L, 10L, "one")), aDir, "doc_id")
+    // B dir exists but has no commits: no pairs can exist — must not throw
+    new java.io.File(bDir).mkdirs()
+    assert(IncrementalJoin.refresh(
+      spark, vDir, aDir, bDir, "src_id", "doc_id", "src_id").isEmpty)
+    // once B gets its first commit, the bootstrap proceeds normally
+    NdjsonIngest.appendVersion(srcs(10L -> "web"), bDir, "src_id")
+    assert(IncrementalJoin.refresh(
+      spark, vDir, aDir, bDir, "src_id", "doc_id", "src_id").nonEmpty)
+    assert(IncrementalJoin.read(spark, vDir)
+      .select("doc_id", "src_name").as[(Long, String)].collect().toSet ===
+      Set(1L -> "web"))
+  }
+
+  test("string keys containing ':' produce unambiguous view pks") {
+    val (aDir, bDir, vDir) = (tmpDir() + "/a", tmpDir() + "/b", tmpDir() + "/v")
+    // ("a:b", "c") and ("a", "b:c") would collide under a raw ':' concat
+    val a = Seq(("a:b", 1L), ("a", 2L)).toDF("doc_key", "src_id")
+    val b = Seq((1L, "c"), (2L, "b:c")).toDF("src_id", "src_name")
+    NdjsonIngest.appendVersion(a, aDir, "doc_key")
+    NdjsonIngest.appendVersion(b, bDir, "src_id")
+    // view pk is (doc_key, src_name): exactly the colliding pair above
+    assert(IncrementalJoin.refresh(
+      spark, vDir, aDir, bDir, "src_id", "doc_key", "src_name").nonEmpty)
+    assert(IncrementalJoin.read(spark, vDir)
+      .select("doc_key", "src_name").as[(String, String)].collect().toSet ===
+      Set("a:b" -> "c", "a" -> "b:c"))
+  }
+
   test("non-insert-only input commits abort the refresh; rebuild recovers") {
     val (aDir, bDir, vDir) = (tmpDir() + "/a", tmpDir() + "/b", tmpDir() + "/v")
     NdjsonIngest.appendVersion(docs((1L, 10L, "one")), aDir, "doc_id")

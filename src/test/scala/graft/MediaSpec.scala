@@ -88,6 +88,36 @@ class MediaSpec extends SparkSpec {
     assert(feats.head.channel_mean === 200.0)
   }
 
+  test("hostile chunk lengths near Int.MaxValue reject cleanly (no Int overflow)") {
+    // a declared chunk len of ~2^31 makes `i + 12 + len` wrap negative in
+    // Int arithmetic, sneaking past the bounds guard into an uncaught
+    // IndexOutOfBounds — the walk must do the check in Long and return None
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdr = {
+      val b = java.nio.ByteBuffer.allocate(25)
+      b.putInt(13).put("IHDR".getBytes("US-ASCII"))
+      b.putInt(4).putInt(4).put(8.toByte).put(0.toByte)
+      b.put(0.toByte).put(0.toByte).put(0.toByte).putInt(0) // crc unchecked
+      b.array()
+    }
+    val evil = java.nio.ByteBuffer.allocate(8)
+      .putInt(0x7ffffff0).put("IDAT".getBytes("US-ASCII")).array()
+    val png = sig ++ ihdr ++ evil ++ Array.fill[Byte](16)(0)
+    assert(Media.decodePngPixelMean(png).isEmpty)
+    assert(Media.decodePngGray(png).isEmpty)
+    // WAV: same wrap via a hostile le32 'fmt ' size
+    val wav = {
+      val b = java.nio.ByteBuffer.allocate(60)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(52)
+        .put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(0x7ffffff0)
+      b.array()
+    }
+    assert(Media.decodeWav(wav).isEmpty)
+    assert(Media.decodeWavStats(wav).isEmpty)
+  }
+
   test("PNG decoder agrees with hand-filtered scanlines (independent of the encoder)") {
     // 2x2 grayscale, pixels [[10,20],[30,40]]; row 0 Sub-filtered, row 1
     // Up-filtered BY HAND per spec §9 — so a matching encode/decode bug

@@ -346,6 +346,24 @@ class SaneQLSpec extends SparkSpec {
     assert(a !== c)
   }
 
+  test("randomize hashes the primary key: duplicate-content rows get distinct sort keys") {
+    // reference order_by_randomize.cpp:25-33 hashes the stable row ordinal —
+    // identical-content rows must NOT tie. Rows here differ ONLY in pk.
+    val dup = Seq(("a", "same", 1), ("b", "same", 1), ("c", "same", 1))
+      .toDF("primary_key", "payload", "n")
+    val cat = Catalog(tables = Map("dup" -> dup),
+      primaryKeys = Map("dup" -> "primary_key"))
+    val keyed = Planner.plan("dup.randomize(seed := 5)", cat)
+      .withColumn("__k", xxhash64(col("primary_key"), lit(5L)))
+      .select("primary_key", "__k").collect()
+    assert(keyed.map(_.getLong(1)).distinct.length === 3) // no ties
+    // and the realized order IS the (pk, seed)-hash order
+    val expect = keyed.sortBy(_.getLong(1)).map(_.getString(0)).toSeq
+    val got = Planner.plan("dup.randomize(seed := 5)", cat)
+      .collect().map(_.getString(0)).toSeq
+    assert(got === expect)
+  }
+
   test("project(main) is full-length with N padding; null sequence rows project as null") {
     val t2 = SequenceModel.diff(
       Seq(("k1", Some("ACC")), ("k2", None)).toDF("primary_key", "seq"),

@@ -75,4 +75,17 @@ class TextFunctionsSpec extends SparkSpec {
       .count()
     assert(n === texts.count(_.length >= 8))
   }
+
+  test("RollingHash rejects params whose intermediates would overflow Long") {
+    // base beyond 2^31 makes h*base wrap silently in eval AND codegen —
+    // the constructor must refuse rather than hash wrong
+    intercept[IllegalArgumentException] {
+      TF.rollingHashes(lit("x"), 8, Int.MaxValue.toLong + 1, 1000003)
+    }
+    intercept[IllegalArgumentException] {
+      TF.rollingHashes(lit("x"), 8, 257, Int.MaxValue.toLong + 1)
+    }
+    // boundary values stay legal
+    TF.rollingHashes(lit("x"), 8, Int.MaxValue.toLong, Int.MaxValue.toLong)
+  }
 }
