@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   * dequant + IDCT + chroma upsample + YCbCr→RGB — both SEQUENTIAL and
   * PROGRESSIVE frames, the latter via multi-scan spectral-selection /
   * successive-approximation coefficient accumulation). PNG covers the
-  * sequential AND Adam7-interlaced layouts plus indexed color (PLTE).
-  * Only sub-8-bit PNG and non-huffman JPEG fall back to byte-derived
-  * features, clearly labeled; unrecognized payloads fall back to
+  * sequential AND Adam7-interlaced layouts plus indexed color (PLTE) at
+  * every legal bit depth (1/2/4/8/16).
+  * Only non-huffman (arithmetic/lossless/hierarchical) JPEG falls back
+  * to byte-derived features, clearly labeled; unrecognized payloads fall back to
   * [[decodeStub]]'s deterministic fakes. The at-scale plumbing
   * is the load-bearing part and is tested: schema, per-partition batch
   * processing (`mapPartitions` over a typed Dataset — the Scala analog
@@ -437,8 +438,9 @@ object Media {
       media_id: Long, width: Int, height: Int, real: Boolean,
       thumb: Array[Byte])
 
-  /** Real thumbnails: sequential 8-bit PNGs ([[decodePngGray]]) and
-    * non-interlaced GIFs ([[decodeGifGray]]) decode to pixels and resize
+  /** Real thumbnails: sequential 8-bit PNGs ([[decodePngGray]]),
+    * non-interlaced GIFs ([[decodeGifGray]]), and baseline/progressive
+    * JPEGs ([[decodeJpegGray]]) decode to pixels and resize
     * nearest-neighbor; any other payload gets the labeled stub (constant
     * byte-mean fill, real = false) so the batch stays total. One decode
     * pass per partition; only the tw×th thumbnail crosses any shuffle
@@ -447,7 +449,8 @@ object Media {
   def thumbnails(ds: Dataset[MediaRow], tw: Int, th: Int): Dataset[Thumbnail] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.map { r =>
-      decodePngGray(r.blob).orElse(decodeGifGray(r.blob)) match {
+      decodePngGray(r.blob).orElse(decodeGifGray(r.blob))
+        .orElse(decodeJpegGray(r.blob)) match {
         case Some((w, h, plane)) =>
           val t = resizeNearest(plane, w, h, tw, th)
           Thumbnail(r.media_id, tw, th, real = true,
@@ -616,9 +619,30 @@ object Media {
   def decodeJpegPixelMean(blob: Array[Byte]): Option[Double] = {
     if (blob.length < 4 || (blob(0) & 0xff) != 0xff || (blob(1) & 0xff) != 0xd8)
       return None
-    try decodeJpegMean(blob)
+    try decodeJpegToPlanes(blob).flatMap(jpegPlanesMean)
     catch { case _: ArrayIndexOutOfBoundsException => None }
   }
+
+  /** Per-pixel gray plane for baseline AND progressive JPEGs — the same
+    * entropy decode as [[decodeJpegPixelMean]], materialized as luma
+    * instead of folded to a mean: raw Y for grayscale frames, mean of the
+    * upsampled-RGB channels for color (the same luma convention as
+    * [[decodePngGray]]/[[decodeGifGray]]), feeding the shared resize path.
+    */
+  def decodeJpegGray(blob: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    if (blob.length < 4 || (blob(0) & 0xff) != 0xff || (blob(1) & 0xff) != 0xd8)
+      return None
+    try decodeJpegToPlanes(blob).map(jpegPlanesGray)
+    catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
+
+  /** Decoded component planes at native sampling resolution, before any
+    * reassembly — shared by the mean and gray-plane finishers.
+    */
+  private final case class JpegPlanes(
+      planes: Array[Array[Byte]], strideC: Array[Int],
+      sampling: Array[(Int, Int)], imgW: Int, imgH: Int,
+      hMax: Int, vMax: Int)
 
   /** Canonical JPEG huffman table in the T.81 F.2.2.3 decode layout. */
   private final class JpegHuff(bits: Array[Int], vals: Array[Byte]) {
@@ -703,7 +727,7 @@ object Media {
 
   private final case class JComp(id: Int, hs: Int, vs: Int, tq: Int)
 
-  private def decodeJpegMean(blob: Array[Byte]): Option[Double] = {
+  private def decodeJpegToPlanes(blob: Array[Byte]): Option[JpegPlanes] = {
     val qt = new Array[Array[Int]](4)
     val dcTab = new Array[JpegHuff](4)
     val acTab = new Array[JpegHuff](4)
@@ -829,7 +853,7 @@ object Media {
             if (comps.exists(cc => qt(cc.tq) == null)) return None
             if (!progressive) {
               if (ns != comps.length) return None
-              return jpegScanMean(blob, segEnd, comps.map(cc =>
+              return jpegScanPlanes(blob, segEnd, comps.map(cc =>
                 (cc.hs, cc.vs, qt(cc.tq))), scanDc, scanAc,
                 imgW, imgH, restartInterval)
             }
@@ -849,14 +873,14 @@ object Media {
     None
   }
 
-  /** Decode the entropy-coded segment starting at `pos` and return the
-    * mean over the final image samples.
+  /** Decode the entropy-coded segment starting at `pos` into the
+    * per-component sample planes.
     */
-  private def jpegScanMean(
+  private def jpegScanPlanes(
       blob: Array[Byte], pos: Int,
       comps: Array[(Int, Int, Array[Int])],
       dc: Array[JpegHuff], ac: Array[JpegHuff],
-      imgW: Int, imgH: Int, restartInterval: Int): Option[Double] = {
+      imgW: Int, imgH: Int, restartInterval: Int): Option[JpegPlanes] = {
     val nc = comps.length
     val hMax = comps.map(_._1).max
     val vMax = comps.map(_._2).max
@@ -916,8 +940,8 @@ object Media {
       }
       mcu += 1
     }
-    jpegPlanesMean(planes, strideC,
-      comps.map { case (hs, vs, _) => (hs, vs) }, imgW, imgH, hMax, vMax)
+    Some(JpegPlanes(planes, strideC,
+      comps.map { case (hs, vs, _) => (hs, vs) }, imgW, imgH, hMax, vMax))
   }
 
   /** Separable 8×8 IDCT of one dequantized natural-order block into a
@@ -955,15 +979,32 @@ object Media {
     }
   }
 
+  /** JFIF YCbCr→RGB of pixel (x, y) with nearest-neighbor chroma
+    * upsample, as (r, g, b).
+    */
+  private def jpegRgbAt(p: JpegPlanes, x: Int, y: Int): (Int, Int, Int) = {
+    val (h0, v0) = p.sampling(0); val (h1, v1) = p.sampling(1)
+    val (h2, v2) = p.sampling(2)
+    val yy = p.planes(0)((y * v0 / p.vMax) * p.strideC(0) + x * h0 / p.hMax) & 0xff
+    val cb = (p.planes(1)((y * v1 / p.vMax) * p.strideC(1) + x * h1 / p.hMax) & 0xff) - 128
+    val cr = (p.planes(2)((y * v2 / p.vMax) * p.strideC(2) + x * h2 / p.hMax) & 0xff) - 128
+    def clamp(d: Double): Int = {
+      val r = math.rint(d).toInt
+      if (r < 0) 0 else if (r > 255) 255 else r
+    }
+    (clamp(yy + 1.402 * cr),
+      clamp(yy - 0.344136 * cb - 0.714136 * cr),
+      clamp(yy + 1.772 * cb))
+  }
+
   /** Mean over the final image samples: raw luma for one component,
     * nearest-neighbor chroma upsample + JFIF YCbCr→RGB for three.
     */
-  private def jpegPlanesMean(planes: Array[Array[Byte]], strideC: Array[Int],
-      sampling: Array[(Int, Int)], imgW: Int, imgH: Int,
-      hMax: Int, vMax: Int): Option[Double] = {
+  private def jpegPlanesMean(p: JpegPlanes): Option[Double] = {
+    val imgW = p.imgW; val imgH = p.imgH
     var total = 0.0
-    if (planes.length == 1) {
-      val plane = planes(0); val stride = strideC(0)
+    if (p.planes.length == 1) {
+      val plane = p.planes(0); val stride = p.strideC(0)
       var y = 0
       while (y < imgH) {
         var x = 0
@@ -972,28 +1013,51 @@ object Media {
       }
       Some(math.rint(total / (imgW.toLong * imgH) * 10000) / 10000)
     } else {
-      val (h0, v0) = sampling(0); val (h1, v1) = sampling(1)
-      val (h2, v2) = sampling(2)
       var y = 0
       while (y < imgH) {
         var x = 0
         while (x < imgW) {
-          val yy = planes(0)((y * v0 / vMax) * strideC(0) + x * h0 / hMax) & 0xff
-          val cb = (planes(1)((y * v1 / vMax) * strideC(1) + x * h1 / hMax) & 0xff) - 128
-          val cr = (planes(2)((y * v2 / vMax) * strideC(2) + x * h2 / hMax) & 0xff) - 128
-          def clamp(d: Double): Int = {
-            val r = math.rint(d).toInt
-            if (r < 0) 0 else if (r > 255) 255 else r
-          }
-          total += clamp(yy + 1.402 * cr) +
-            clamp(yy - 0.344136 * cb - 0.714136 * cr) +
-            clamp(yy + 1.772 * cb)
+          val (r, g, b) = jpegRgbAt(p, x, y)
+          total += r + g + b
           x += 1
         }
         y += 1
       }
       Some(math.rint(total / (imgW.toLong * imgH * 3) * 10000) / 10000)
     }
+  }
+
+  /** Full-resolution luma plane: the Y samples for grayscale frames, the
+    * per-pixel RGB mean for color — the same convention as
+    * [[decodePngGray]] (alpha-free channel mean).
+    */
+  private def jpegPlanesGray(p: JpegPlanes): (Int, Int, Array[Double]) = {
+    val imgW = p.imgW; val imgH = p.imgH
+    val out = new Array[Double](imgW * imgH)
+    if (p.planes.length == 1) {
+      val plane = p.planes(0); val stride = p.strideC(0)
+      var y = 0
+      while (y < imgH) {
+        var x = 0
+        while (x < imgW) {
+          out(y * imgW + x) = (plane(y * stride + x) & 0xff).toDouble
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      var y = 0
+      while (y < imgH) {
+        var x = 0
+        while (x < imgW) {
+          val (r, g, b) = jpegRgbAt(p, x, y)
+          out(y * imgW + x) = (r + g + b) / 3.0
+          x += 1
+        }
+        y += 1
+      }
+    }
+    (imgW, imgH, out)
   }
 
   /** Decode ONE progressive scan (T.81 G.2) into the padded
@@ -1178,11 +1242,10 @@ object Media {
   }
 
   /** After all progressive scans: dequantize every block of every
-    * component grid, IDCT into the sampled planes, and take the mean via
-    * the shared reassembly.
+    * component grid and IDCT into the sampled planes.
     */
   private def jpegFinishProgressive(comps: Array[JComp], qt: Array[Array[Int]],
-      coefs: Array[Array[Short]], imgW: Int, imgH: Int): Option[Double] = {
+      coefs: Array[Array[Short]], imgW: Int, imgH: Int): Option[JpegPlanes] = {
     val hMax = comps.map(_.hs).max; val vMax = comps.map(_.vs).max
     val mcusX = (imgW + 8 * hMax - 1) / (8 * hMax)
     val mcusY = (imgH + 8 * vMax - 1) / (8 * vMax)
@@ -1209,8 +1272,8 @@ object Media {
       }
       ci += 1
     }
-    jpegPlanesMean(planes, strideC, comps.map(c => (c.hs, c.vs)),
-      imgW, imgH, hMax, vMax)
+    Some(JpegPlanes(planes, strideC, comps.map(c => (c.hs, c.vs)),
+      imgW, imgH, hMax, vMax))
   }
 
   // ---- header encoders: synthesize minimal VALID containers so tests
@@ -1413,8 +1476,19 @@ object Media {
     * scans (DC first, then AC 1..63 as bare EOBs) — same exact decode.
     */
   def jpegSolidGrayBytes(w: Int, h: Int, v: Int, restartEvery: Int = 0,
-      progressive: Boolean = false): Array[Byte] = {
-    require(w > 0 && h > 0 && v >= 0 && v <= 255)
+      progressive: Boolean = false): Array[Byte] =
+    jpegBlockGrayBytes(w, h, restartEvery, progressive)((_, _) => v)
+
+  /** [[jpegSolidGrayBytes]] generalized to a PER-BLOCK constant: block
+    * (bx, by) of the 8×8 grid carries the sample value `blockVal(bx, by)`
+    * throughout. Still exact under decode (each block is DC-only with an
+    * all-ones quant table), but no longer globally constant — a
+    * pixel-indexed consumer (resize, crop) computes closed-form expected
+    * values per block while a decode/indexing bug still breaks them.
+    */
+  def jpegBlockGrayBytes(w: Int, h: Int, restartEvery: Int = 0,
+      progressive: Boolean = false)(blockVal: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0)
     val out = new java.io.ByteArrayOutputStream()
     def m(id: Int): Unit = { out.write(0xff); out.write(id) }
     def w16(x: Int): Unit = { out.write((x >> 8) & 0xff); out.write(x & 0xff) }
@@ -1443,8 +1517,13 @@ object Media {
       }
     }
     def pad(): Unit = if (nbits > 0) put((1 << (8 - nbits)) - 1, 8 - nbits)
-    val dc = 8 * (v - 128)
-    val blocks = ((w + 7) / 8) * ((h + 7) / 8)
+    val blocksX = (w + 7) / 8
+    val blocks = blocksX * ((h + 7) / 8)
+    def dcOf(b: Int): Int = {
+      val v = blockVal(b % blocksX, b / blocksX)
+      require(v >= 0 && v <= 255, s"block value $v out of range")
+      8 * (v - 128)
+    }
     def sos(ss: Int, se: Int): Unit = {
       m(0xda); w16(6 + 2)
       out.write(1); out.write(1); out.write(0x00) // comp 1, DC 0 / AC 0
@@ -1463,6 +1542,7 @@ object Media {
           m(0xd0 + ((b / restartEvery - 1) % 8))
           pred = 0
         }
+        val dc = dcOf(b)
         val d = dc - pred
         val cat = 32 - Integer.numberOfLeadingZeros(math.abs(d)) // 0 for d==0
         put(cat, 4) // DC category (code == symbol under the canonical table)

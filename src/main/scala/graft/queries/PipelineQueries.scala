@@ -113,30 +113,47 @@ object PipelineQueries {
     s.read.parquet(path)
   }
 
-  /** SimHash near-dup pairs (hamming ≤ 2 over 16-bit signatures, blocked by
-    * source). Pigeonhole banding: the signature splits into 3 bands (6+5+5);
-    * 2 differing bits touch at most 2 bands, so near-dup pairs share at
-    * least one bit-identical band — candidates come from an EQUI-join on
+  /** 64-bit SimHash signature per group (md5-nibble hyperplanes: bit k's
+    * vote for a token is the top bit of nibble k of md5("0|"+tok) for
+    * k ≤ 32, md5("1|"+tok) for k > 32). Shared by `q_simhash` (per-doc
+    * signatures) and [[simhashPairs]].
+    */
+  private def simhashSig(toks: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val hexHiSet = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val withH = toks
+      .withColumn("h0", md5(concat(lit("0|"), col("tok"))))
+      .withColumn("h1", md5(concat(lit("1|"), col("tok"))))
+    val sums = (1 to 64).map { j =>
+      val (h, p) = if (j <= 32) ("h0", j) else ("h1", j - 32)
+      sum(when(substring(col(h), p, 1).isin(hexHiSet: _*), 1).otherwise(-1))
+        .as(s"s$j")
+    }
+    withH.groupBy(groupCols.map(col): _*).agg(sums.head, sums.tail: _*)
+      .select(groupCols.map(col) :+
+        concat((1 to 64).map(j =>
+          when(col(s"s$j") >= 0, lit("1")).otherwise(lit("0"))): _*).as("sh"): _*)
+  }
+
+  /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures, blocked by
+    * source — the Manku et al. WWW'07 parameterization). Pigeonhole
+    * banding: the signature splits into 4 bands of 16 bits; 3 differing
+    * bits touch at most 3 bands, so near-dup pairs share at least one
+    * bit-identical band — candidates come from an EQUI-join on
     * (source, band, bits) instead of a per-source all-pairs nested loop;
-    * full hamming verifies after. Shared by `q_simhash_pairs` (the pair
+    * full hamming verifies after. 16-bit bands keep bucket cardinality at
+    * 2^16 per band, so corpus-scale buckets stay small — the earlier
+    * 16-bit/3-band variant had ≤ 2^6 values per band and degraded toward
+    * per-source all-pairs at 100 TB. Shared by `q_simhash_pairs` (the pair
     * list) and `q_dedup_clusters` (the edges of the dedup graph).
     */
   private def simhashPairs(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), col("source"),
         explode(TF.tokens(col("text"))).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    val sums = (1 to 16).map(j =>
-      sum(when(substring(col("h"), j, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
-        .otherwise(-1)).as(s"s$j"))
-    val sh = toks.groupBy("doc_id", "source").agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"), col("source"),
-        concat((1 to 16).map(j =>
-          when(col(s"s$j") >= 0, lit("1")).otherwise(lit("0"))): _*).as("sh"))
-    val bandDefs = Seq((0, 1, 6), (1, 7, 5), (2, 12, 5))
+    val sh = simhashSig(toks, Seq("doc_id", "source"))
     val bands = sh.select(col("doc_id"), col("source"), col("sh"),
-      explode(array(bandDefs.map { case (bi, start, len) =>
-        struct(lit(bi).as("bi"), substring(col("sh"), start, len).as("bits"))
+      explode(array((0 until 4).map { bi =>
+        struct(lit(bi).as("bi"), substring(col("sh"), 1 + 16 * bi, 16).as("bits"))
       }: _*)).as("bd"))
       .select(col("doc_id"), col("source"), col("sh"),
         col("bd.bi").as("bi"), col("bd.bits").as("bits"))
@@ -144,13 +161,13 @@ object PipelineQueries {
       col("sh").as("a_sh"), col("bi").as("a_bi"), col("bits").as("a_bits"))
     val b = bands.select(col("doc_id").as("b_id"), col("source").as("b_src"),
       col("sh").as("b_sh"), col("bi").as("b_bi"), col("bits").as("b_bits"))
-    val ham = (1 to 16).map(j =>
+    val ham = (1 to 64).map(j =>
       when(substring(col("a_sh"), j, 1) =!= substring(col("b_sh"), j, 1), 1)
         .otherwise(0)).reduce(_ + _)
     a.join(b, col("a_src") === col("b_src") && col("a_bi") === col("b_bi") &&
         col("a_bits") === col("b_bits") && col("a_id") < col("b_id"))
       .withColumn("hamming", ham.cast("int"))
-      .filter(col("hamming") <= 2)
+      .filter(col("hamming") <= 3)
       .select("a_id", "b_id", "hamming")
       .distinct() // a pair can agree in 2+ bands
   }
@@ -162,26 +179,31 @@ object PipelineQueries {
 
   private def listLit(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ",", "]")
 
+  // ---- 64-bit simhash SQL fragments (mirror simhashSig exactly:
+  //      two keyed md5s per token, 32 nibbles each → 64 hyperplanes) ----
+  private def shSumsSql: String = (1 to 64).map { j =>
+    val (h, p) = if (j <= 32) ("h0", j) else ("h1", j - 32)
+    s"sum(CASE WHEN substr($h, $p, 1) IN $hexHi THEN 1 ELSE -1 END) AS s$j"
+  }.mkString(",\n  ")
+  private def shBitsSql: String = (1 to 64).map(j =>
+    s"(CASE WHEN s$j >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+  private def shHamSql(a: String, b: String): String = (1 to 64).map(j =>
+    s"CASE WHEN substr($a, $j, 1) <> substr($b, $j, 1) THEN 1 ELSE 0 END")
+    .mkString(" + ")
+
   /** DuckDB: simhash near-dup transitive closure, shared by the cluster
     * and canonical-selection oracles — ends at the `reach` CTE (node →
     * reachable label pairs); callers append their own final CTEs/SELECT.
     */
   private lazy val simhashClosureCte: String = {
-    val sums = (1 to 16).map(j =>
-      s"sum(CASE WHEN substr(h, $j, 1) IN $hexHi THEN 1 ELSE -1 END) AS s$j")
-      .mkString(",\n  ")
-    val bits = (1 to 16).map(j => s"(CASE WHEN s$j >= 0 THEN '1' ELSE '0' END)")
-      .mkString(" || ")
-    val ham = (1 to 16).map(j =>
-      s"CASE WHEN substr(a.sh, $j, 1) <> substr(b.sh, $j, 1) THEN 1 ELSE 0 END")
-      .mkString(" + ")
-    s"""WITH RECURSIVE tk AS (SELECT doc_id, source, md5(t) AS h FROM
+    s"""WITH RECURSIVE tk AS (SELECT doc_id, source,
+       |    md5('0|' || t) AS h0, md5('1|' || t) AS h1 FROM
        |  (SELECT doc_id, source, unnest(string_split($normSql, ' ')) AS t FROM documents)),
-       |s AS (SELECT doc_id, source, $sums FROM tk GROUP BY doc_id, source),
-       |sh AS (SELECT doc_id, source, $bits AS sh FROM s),
+       |s AS (SELECT doc_id, source, $shSumsSql FROM tk GROUP BY doc_id, source),
+       |sh AS (SELECT doc_id, source, $shBitsSql AS sh FROM s),
        |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-       |  WHERE $ham <= 2),
+       |  WHERE ${shHamSql("a.sh", "b.sh")} <= 3),
        |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
        |  UNION ALL SELECT b_id AS u, a_id AS v FROM pairs),
        |reach AS (
@@ -564,28 +586,17 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     },
 
-    // ---- SimHash document signatures (16-bit, md5-nibble hyperplanes) ----
+    // ---- SimHash document signatures (64-bit, md5-nibble hyperplanes) ----
     QDef("q_simhash", {
-      val sums = (1 to 16).map(j =>
-        s"sum(CASE WHEN substr(h, $j, 1) IN $hexHi THEN 1 ELSE -1 END) AS s$j")
-        .mkString(",\n  ")
-      val bits = (1 to 16).map(j => s"(CASE WHEN s$j >= 0 THEN '1' ELSE '0' END)")
-        .mkString(" || ")
-      s"""WITH tk AS (SELECT doc_id, md5(t) AS h FROM
+      s"""WITH tk AS (SELECT doc_id, md5('0|' || t) AS h0, md5('1|' || t) AS h1 FROM
          |  (SELECT doc_id, unnest(string_split($normSql, ' ')) AS t FROM documents)),
-         |s AS (SELECT doc_id, $sums FROM tk GROUP BY doc_id)
-         |SELECT doc_id, $bits AS simhash FROM s ORDER BY doc_id""".stripMargin
+         |s AS (SELECT doc_id, $shSumsSql FROM tk GROUP BY doc_id)
+         |SELECT doc_id, $shBitsSql AS simhash FROM s ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
-        .withColumn("h", md5(col("tok")))
-      val sums = (1 to 16).map(j =>
-        sum(when(substring(col("h"), j, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
-          .otherwise(-1)).as(s"s$j"))
-      val agg = toks.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-      agg.select(col("doc_id"),
-        concat((1 to 16).map(j =>
-          when(col(s"s$j") >= 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
+      simhashSig(toks, Seq("doc_id"))
+        .select(col("doc_id"), col("sh").as("simhash"))
         .orderBy("doc_id")
     },
 
@@ -761,25 +772,19 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
-    // ---- SimHash near-dup pairs: hamming distance over the 16-bit
+    // ---- SimHash near-dup pairs: hamming distance over the 64-bit
     //      signatures, blocked by source ----
     QDef("q_simhash_pairs", {
-      val sums = (1 to 16).map(j =>
-        s"sum(CASE WHEN substr(h, $j, 1) IN $hexHi THEN 1 ELSE -1 END) AS s$j")
-        .mkString(",\n  ")
-      val bits = (1 to 16).map(j => s"(CASE WHEN s$j >= 0 THEN '1' ELSE '0' END)")
-        .mkString(" || ")
-      val ham = (1 to 16).map(j =>
-        s"CASE WHEN substr(a.sh, $j, 1) <> substr(b.sh, $j, 1) THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH tk AS (SELECT doc_id, source, md5(t) AS h FROM
+      val ham = shHamSql("a.sh", "b.sh")
+      s"""WITH tk AS (SELECT doc_id, source,
+         |    md5('0|' || t) AS h0, md5('1|' || t) AS h1 FROM
          |  (SELECT doc_id, source, unnest(string_split($normSql, ' ')) AS t FROM documents)),
-         |s AS (SELECT doc_id, source, $sums FROM tk GROUP BY doc_id, source),
-         |sh AS (SELECT doc_id, source, $bits AS sh FROM s)
+         |s AS (SELECT doc_id, source, $shSumsSql FROM tk GROUP BY doc_id, source),
+         |sh AS (SELECT doc_id, source, $shBitsSql AS sh FROM s)
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |  CAST($ham AS INTEGER) AS hamming
          |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-         |WHERE $ham <= 2 ORDER BY a_id, b_id""".stripMargin
+         |WHERE $ham <= 3 ORDER BY a_id, b_id""".stripMargin
     }) { (s, dir) =>
       simhashPairs(t(s, dir, "documents")).orderBy("a_id", "b_id")
     },
@@ -2473,24 +2478,45 @@ object PipelineQueries {
       """WITH p AS (SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 9 + 4 AS h
         |  FROM documents),
         |f AS (SELECT doc_id, w, h, CAST(k AS INTEGER) AS pos,
-        |  k % 4 AS tx, k // 4 AS ty FROM p, range(0, 16) t(k))
-        |SELECT doc_id, pos,
-        |  CAST((doc_id * 3 + (tx * w) // 4 + 2 * ((ty * h) // 4)) % 256
-        |    AS INTEGER) AS px
-        |FROM f ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+        |  k % 4 AS tx, k // 4 AS ty FROM p, range(0, 16) t(k)),
+        |u AS (
+        |  SELECT doc_id, 'png' AS kind, pos,
+        |    CAST((doc_id * 3 + (tx * w) // 4 + 2 * ((ty * h) // 4)) % 256
+        |      AS INTEGER) AS px
+        |  FROM f
+        |  UNION ALL
+        |  SELECT doc_id, 'jpeg' AS kind, pos,
+        |    CAST((doc_id * 5 + 17 * (((tx * w) // 4) // 8)
+        |      + 29 * (((ty * h) // 4) // 8)) % 256 AS INTEGER) AS px
+        |  FROM f)
+        |SELECT doc_id, kind, pos, px, TRUE AS is_real FROM u
+        |ORDER BY doc_id, kind, pos""".stripMargin) { (s, dir) =>
       import s.implicits._
       import graft.multimodal.Media
-      t(s, dir, "documents").select(col("doc_id")).as[Long].flatMap { id =>
-        val w = (id % 13 + 4).toInt
-        val h = (id % 9 + 4).toInt
-        val blob = Media.pngPixelBytes(w, h, colorType = 0)(
-          (x, y, _) => ((id * 3 + x + 2 * y) % 256).toInt)
-        val Some((dw, dh, plane)) = Media.decodePngGray(blob)
-        Media.resizeNearest(plane, dw, dh, 4, 4).zipWithIndex.map {
-          case (v, pos) => (id, pos, math.rint(v).toInt)
+      import graft.multimodal.Media.MediaRow
+      // per doc: a gradient grayscale PNG (per-PIXEL closed form) and a
+      // block-gradient baseline JPEG (per-8×8-BLOCK closed form — DC-only
+      // blocks under an all-ones quant table decode exactly), both through
+      // the REAL thumbnails() operator (decode + nearest resize), so the
+      // oracle pins every thumbnail pixel of both decode paths
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val w = (id % 13 + 4).toInt
+          val h = (id % 9 + 4).toInt
+          val png = Media.pngPixelBytes(w, h, colorType = 0)(
+            (x, y, _) => ((id * 3 + x + 2 * y) % 256).toInt)
+          val jpg = Media.jpegBlockGrayBytes(w, h)(
+            (bx, by) => ((id * 5 + 17 * bx + 29 * by) % 256).toInt)
+          Seq(MediaRow(id * 2, "image/png", png),
+            MediaRow(id * 2 + 1, "image/jpeg", jpg))
         }
-      }.toDF("doc_id", "pos", "px")
-        .orderBy("doc_id", "pos")
+      Media.thumbnails(media, 4, 4).flatMap { th =>
+        val kind = if (th.media_id % 2 == 0) "png" else "jpeg"
+        th.thumb.zipWithIndex.map { case (b, pos) =>
+          (th.media_id / 2, kind, pos, b & 0xff, th.real)
+        }
+      }.toDF("doc_id", "kind", "pos", "px", "is_real")
+        .orderBy("doc_id", "kind", "pos")
     },
 
     // ---- PERSISTED DEDUP INDEX probe: the whole corpus probes the
