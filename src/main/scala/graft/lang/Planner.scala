@@ -861,9 +861,29 @@ final class Planner(catalog: Planner.Catalog) {
           (if (wantAa) Ambiguity.aaSymbols.filterNot(Ambiguity.aaValidMutation)
            else Ambiguity.nucSymbols.filterNot(Ambiguity.nucValidMutation))
             .map(_.toString).toSet
+        // vertical-index fast path (mutations_node.cpp:153-189): with a
+        // persisted posting index loaded for this table, the filtered
+        // set's diff multiset is `postings ⋉ F_ids` — a narrow posting
+        // scan + pk semi-join — instead of exploding the wide row-level
+        // `muts` arrays of the fact table. Coverage still reads the
+        // filtered rows (interval prefix sum), but the dominant
+        // per-diff term skips the fact table entirely.
+        val idxCtx = for {
+          t <- in.origin
+          m <- catalog.mutIndexes.get(t)
+          pk <- catalog.primaryKeys.get(t) if in.df.columns.contains(pk)
+        } yield (m, pk)
         val base = chosen.map { case (name, b) =>
+          val diffRows = idxCtx.flatMap { case (indexes, pk) =>
+            indexes.get(name).map { si =>
+              si.postings
+                .join(in.df.select(col(pk).as("__mut_pk")),
+                  col("pk") === col("__mut_pk"), "left_semi")
+                .select(col("pos").as("position"), col("sym"))
+            }
+          }
           Mutations.mutations(in.df, b.ref, minProp, b.prefix, invalid,
-              localRef = b.stored)
+              localRef = b.stored, diffRows = diffRows)
             .select(
               col("mutation_from").as("mutationFrom"),
               col("mutation_to").as("mutationTo"),
@@ -887,8 +907,22 @@ final class Planner(catalog: Planner.Catalog) {
         val withIns = chosen.filter { case (_, b) =>
           in.df.columns.contains(s"${b.prefix}ins") }
         if (withIns.isEmpty) err(s"$fn: table has no insertion data")
+        // same vertical-index fast path as mutations(): insPostings ⋉ F_ids
+        // replaces the row-level `ins` explode when an index is loaded
+        val insIdxCtx = for {
+          t <- in.origin
+          m <- catalog.mutIndexes.get(t)
+          pk <- catalog.primaryKeys.get(t) if in.df.columns.contains(pk)
+        } yield (m, pk)
         Tbl(withIns.map { case (name, b) =>
-          Mutations.insertions(in.df, s"${b.prefix}ins")
+          val insRows = insIdxCtx.flatMap { case (indexes, pk) =>
+            indexes.get(name).flatMap(_.insPostings).map { ip =>
+              ip.join(in.df.select(col(pk).as("__ins_pk")),
+                col("pk") === col("__ins_pk"), "left_semi")
+                .select(col("pos"), col("ins"))
+            }
+          }
+          Mutations.insertions(in.df, s"${b.prefix}ins", insRows)
             .select(col("inserted_symbols").as("insertedSymbols"),
               col("position"), lit(name).as("sequenceName"), col("count"))
         }.reduce(_ union _), None)

@@ -74,9 +74,17 @@ object Mutations {
       .select("pos", "covraw", "miss")
   }
 
+  /** `diffRows`, when given, replaces the fact-table explode as the
+    * source of the filtered set's (position, sym) diff multiset — the
+    * vertical-index fast path (mutations_node.cpp:153-189): the planner
+    * passes `postings ⋉ F_ids` so the wide `muts` arrays are never read.
+    * Coverage stays row-wise (the interval prefix sum needs cov_start/
+    * cov_end/missing from the filtered rows themselves).
+    */
   def mutations(filtered: DataFrame, ref: String, minProportion: Double,
       prefix: String = "", invalidSyms: Set[String] = Set(),
-      localRef: String = ""): DataFrame = {
+      localRef: String = "",
+      diffRows: Option[DataFrame] = None): DataFrame = {
     val genomeLength = ref.length
     // storage may be re-based onto an adapted local reference
     // (sequence_column.cpp:157-196 finalize): rows with no stored diff at a
@@ -90,8 +98,9 @@ object Mutations {
     // the reference: they are excluded from the emitted mutations AND from
     // the coverage denominator (mutations_node.cpp:303-307 sums only
     // VALID_MUTATION_SYMBOLS counts into `total`)
-    val exploded = filtered.select(explode(col(s"${prefix}muts")).as("m"))
-      .select(col("m.pos").as("position"), col("m.sym").as("sym"))
+    val exploded = diffRows.getOrElse(
+      filtered.select(explode(col(s"${prefix}muts")).as("m"))
+        .select(col("m.pos").as("position"), col("m.sym").as("sym")))
     val isAmbig =
       if (invalidSyms.isEmpty) lit(false)
       else col("sym").isin(invalidSyms.toSeq.sorted: _*)
@@ -149,9 +158,15 @@ object Mutations {
   /** `insertions()`: per distinct (position, inserted string): count over
     * the filtered set (reference: operators/insertions_node.cpp).
     * Expects an `ins: array<struct<pos:int, ins:string>>` column.
+    * `insRows` (pos, ins), when given, replaces the explode with the
+    * vertical-index multiset (`insPostings ⋉ F_ids`), mirroring
+    * [[mutations]]' diffRows fast path.
     */
-  def insertions(filtered: DataFrame, insCol: String = "ins"): DataFrame =
-    filtered.select(explode(col(insCol)).as("i"))
-      .groupBy(col("i.pos").as("position"), col("i.ins").as("inserted_symbols"))
+  def insertions(filtered: DataFrame, insCol: String = "ins",
+      insRows: Option[DataFrame] = None): DataFrame =
+    insRows.getOrElse(
+      filtered.select(explode(col(insCol)).as("i"))
+        .select(col("i.pos").as("pos"), col("i.ins").as("ins")))
+      .groupBy(col("pos").as("position"), col("ins").as("inserted_symbols"))
       .agg(count(lit(1)).as("count"))
 }

@@ -52,6 +52,45 @@ class DatabaseSpec extends SparkSpec {
       "sequenceName", "proportion", "coverage", "count"))
   }
 
+  test("mutations() routes through the persisted posting index (vertical fast path)") {
+    // with an index loaded, the filtered set's diff multiset comes from
+    // `postings ⋉ F_ids` (posting scan + pk semi-join) — the reference's
+    // vertical-index path (mutations_node.cpp:153-189) — and the wide
+    // row-level `muts` arrays are never exploded; coverage still reads
+    // the filtered rows (interval prefix sum over cov bounds + missing)
+    val q = "default.filter(country = 'Switzerland')" +
+      ".mutations(minProportion := 0.01, sequenceNames := {main})"
+    val routed = Planner.plan(q, catalog)
+    val p = routed.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(!p.contains("explode(main_muts"), p.take(2000))
+    assert(p.contains("explode(main_missing"), p.take(2000)) // coverage row-wise
+    assert(p.toLowerCase.contains("leftsemi"), p.take(2000))
+    // value parity with the routing-blind explode path
+    val blind = Planner.plan(q, catalog.copy(mutIndexes = Map()))
+    val pb = blind.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(pb.contains("explode(main_muts"), pb.take(2000))
+    assert(routed.collect().map(_.toString).sorted.toSeq ===
+      blind.collect().map(_.toString).sorted.toSeq)
+    assert(routed.count() > 0)
+
+    // insertions() takes the same fast path via insPostings
+    val qi = "default.filter(country = 'Switzerland')" +
+      ".aminoAcidInsertions(sequenceNames := {E})"
+    val ri = Planner.plan(qi, catalog)
+    val pi = ri.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(!pi.contains("explode(E_ins"), pi.take(2000))
+    assert(pi.toLowerCase.contains("leftsemi"), pi.take(2000))
+    val bi = Planner.plan(qi, catalog.copy(mutIndexes = Map()))
+    assert(bi.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode).contains("explode(E_ins"))
+    assert(ri.collect().map(_.toString).sorted.toSeq ===
+      bi.collect().map(_.toString).sorted.toSeq)
+    assert(ri.count() > 0)
+  }
+
   test("insertions parsed from pos:seq entries") {
     val ins = run("default.aminoAcidInsertions(sequenceNames := {E})")
       .collect()
