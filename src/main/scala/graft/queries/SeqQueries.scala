@@ -226,6 +226,39 @@ object SeqQueries {
     //      regexp_full_match: insertion search is a FULL match
     //      (RE2::FullMatch, insertion_index.cpp:121,134,148), not a
     //      substring search. ----
+    // ---- routed mutations(): the vertical-index fast path. The same
+    //      indexed catalog as q_seq_idxroute; the filter routes through
+    //      the posting semi-join AND mutations() sources its diff
+    //      multiset from `postings ⋉ F_ids` (mutations_node.cpp:153-189)
+    //      instead of exploding the fact table's muts arrays
+    //      (DatabaseSpec asserts the plan shape). The oracle is
+    //      routing-blind: it recomputes mutations by substring compare
+    //      over the filtered subset. Ambiguity codes (RYSWKMBDHVN) are
+    //      invalid mutation symbols — excluded from the output AND from
+    //      the coverage denominator (mutations_node.cpp:303-307). ----
+    QDef("q_seq_mutroute",
+      s"""WITH seqs AS (SELECT doc_id,
+         |    translate(md5(CAST(doc_id AS VARCHAR)),
+         |      '0123456789abcdef', '$NUC_ALPHABET') AS seq FROM documents),
+         |f AS (SELECT doc_id, seq FROM seqs WHERE substr(seq, 5, 1) = 'G'),
+         |chars AS (SELECT doc_id, CAST(p AS INTEGER) AS p, substr(seq, p, 1) AS sym
+         |  FROM f, range(1, ${REF_AMBIG.length + 1}) r(p)),
+         |cov AS (SELECT p, count(*) FILTER (WHERE sym NOT IN
+         |    ('R','Y','S','W','K','M','B','D','H','V','N')) AS coverage
+         |  FROM chars GROUP BY p),
+         |muts AS (SELECT p, sym, count(*) AS cnt FROM chars
+         |  WHERE sym <> substr('$REF_AMBIG', p, 1)
+         |    AND sym IN ('-','A','C','G','T') GROUP BY p, sym)
+         |SELECT substr('$REF_AMBIG', m.p, 1) AS mutationFrom, m.sym AS mutationTo,
+         |  m.p AS position, 'main' AS sequenceName,
+         |  round(CAST(m.cnt AS DOUBLE) / c.coverage, 4) AS proportion,
+         |  CAST(c.coverage AS BIGINT) AS coverage, CAST(m.cnt AS BIGINT) AS count
+         |FROM muts m JOIN cov c ON m.p = c.p
+         |WHERE round(CAST(m.cnt AS DOUBLE) / c.coverage, 4) >= 0.05
+         |ORDER BY position, mutationTo""".stripMargin) { (s, dir) =>
+      mutRouteQuery(s, dir)
+    },
+
     QDef("q_seq_insroute",
       s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents),
          |u AS (SELECT doc_id, unnest(tk) AS t, unnest(range(1, len(tk) + 1)) AS p FROM toks)
@@ -425,9 +458,34 @@ object SeqQueries {
     * filter route `nucleotideEquals(5, 'G')` (≈6% of rows under the
     * md5-nibble alphabet) through a posting semi-join.
     */
-  def idxRouteQuery(s: SparkSession, dir: String): DataFrame = {
-    import graft.lang.Planner
-    val catalog = memoCatalog(s, dir, "mut") { idxDir =>
+  def idxRouteQuery(s: SparkSession, dir: String): DataFrame =
+    graft.lang.Planner.plan(
+      """seqs
+        |  .filter(nucleotideEquals(position := 5, symbol := 'G', sequenceName := 'main'))
+        |  .project({doc_id})
+        |  .orderBy({doc_id})""".stripMargin,
+      mutRouteCatalog(s, dir))
+
+  /** The routed-mutations query of q_seq_mutroute: same indexed catalog
+    * as [[idxRouteQuery]]; the SaneQL pipeline filters (routed posting
+    * semi-join) then aggregates mutations whose diff multiset comes from
+    * the posting index, never the exploded fact table.
+    */
+  def mutRouteQuery(s: SparkSession, dir: String): DataFrame =
+    graft.lang.Planner.plan(
+      """seqs
+        |  .filter(nucleotideEquals(position := 5, symbol := 'G', sequenceName := 'main'))
+        |  .mutations(minProportion := 0.05, sequenceNames := {main})
+        |  .orderBy({position, mutationTo})""".stripMargin,
+      mutRouteCatalog(s, dir))
+
+  /** The md5-nibble-sequence catalog with a registered mut posting index
+    * (memoized per session+dir), shared by q_seq_idxroute and
+    * q_seq_mutroute.
+    */
+  def mutRouteCatalog(s: SparkSession, dir: String): graft.lang.Planner.Catalog =
+    memoCatalog(s, dir, "mut") { idxDir =>
+      import graft.lang.Planner
       val seq = translate(md5(col("doc_id").cast("string")),
         "0123456789abcdef", NUC_ALPHABET)
       val diffed = SequenceModel.diff(
@@ -440,12 +498,6 @@ object SeqQueries {
         mutIndexes = Map("seqs" -> Map("main" ->
           Planner.SeqIndex.build(diffed, "doc_id", indexDir = Some(idxDir)))))
     }
-    Planner.plan(
-      """seqs
-        |  .filter(nucleotideEquals(position := 5, symbol := 'G', sequenceName := 'main'))
-        |  .project({doc_id})
-        |  .orderBy({doc_id})""".stripMargin, catalog)
-  }
 
   /** The routed insertionContains query of q_seq_insroute (also
     * plan-checked by PlanSpec): documents' long tokens (≥ 8 chars) play
