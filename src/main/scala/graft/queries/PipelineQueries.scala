@@ -119,19 +119,30 @@ object PipelineQueries {
     * signatures) and [[simhashPairs]].
     */
   private def simhashSig(toks: DataFrame, groupCols: Seq[String]): DataFrame = {
-    val hexHiSet = Seq("8", "9", "a", "b", "c", "d", "e", "f")
     val withH = toks
       .withColumn("h0", md5(concat(lit("0|"), col("tok"))))
       .withColumn("h1", md5(concat(lit("1|"), col("tok"))))
-    val sums = (1 to 64).map { j =>
-      val (h, p) = if (j <= 32) ("h0", j) else ("h1", j - 32)
-      sum(when(substring(col(h), p, 1).isin(hexHiSet: _*), 1).otherwise(-1))
-        .as(s"s$j")
+    // pack each hash's nibbles as 16-bit integer chunks (4 hex chars via
+    // conv) so the 64 per-bit vote sums are integer shifts in codegen,
+    // not per-bit string ops — value-identical to summing ±1 votes:
+    // sign(Σ±1) = (2·ones ≥ n). The SQL oracle keeps the readable
+    // substr/IN form; both read the same nibble top bit.
+    val withChunks = (0 until 16).foldLeft(withH) { (d, c) =>
+      val h = if (c < 8) "h0" else "h1"
+      val off = (c % 8) * 4
+      d.withColumn(s"c$c",
+        conv(substring(col(h), 1 + off, 4), 16, 10).cast("long"))
     }
-    withH.groupBy(groupCols.map(col): _*).agg(sums.head, sums.tail: _*)
+    val sums = (1 to 64).map { j =>
+      val c = (j - 1) / 4                  // 16-bit chunk 0..15
+      val shift = 15 - ((j - 1) % 4) * 4   // nibble top-bit within chunk
+      sum(shiftright(col(s"c$c"), shift).bitwiseAND(1)).as(s"b$j")
+    } :+ count(lit(1)).as("n")
+    withChunks.groupBy(groupCols.map(col): _*).agg(sums.head, sums.tail: _*)
       .select(groupCols.map(col) :+
         concat((1 to 64).map(j =>
-          when(col(s"s$j") >= 0, lit("1")).otherwise(lit("0"))): _*).as("sh"): _*)
+          when(col(s"b$j") * 2 >= col("n"), lit("1")).otherwise(lit("0"))): _*)
+          .as("sh"): _*)
   }
 
   /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures, blocked by
@@ -150,20 +161,29 @@ object PipelineQueries {
     val toks = docs
       .select(col("doc_id"), col("source"),
         explode(TF.tokens(col("text"))).as("tok"))
-    val sh = simhashSig(toks, Seq("doc_id", "source"))
-    val bands = sh.select(col("doc_id"), col("source"), col("sh"),
-      explode(array((0 until 4).map { bi =>
-        struct(lit(bi).as("bi"), substring(col("sh"), 1 + 16 * bi, 16).as("bits"))
-      }: _*)).as("bd"))
-      .select(col("doc_id"), col("source"), col("sh"),
-        col("bd.bi").as("bi"), col("bd.bits").as("bits"))
-    val a = bands.select(col("doc_id").as("a_id"), col("source").as("a_src"),
-      col("sh").as("a_sh"), col("bi").as("a_bi"), col("bits").as("a_bits"))
-    val b = bands.select(col("doc_id").as("b_id"), col("source").as("b_src"),
-      col("sh").as("b_sh"), col("bi").as("b_bi"), col("bits").as("b_bits"))
-    val ham = (1 to 64).map(j =>
-      when(substring(col("a_sh"), j, 1) =!= substring(col("b_sh"), j, 1), 1)
-        .otherwise(0)).reduce(_ + _)
+    // pack the 4 bands as 16-bit ints: band equality joins hash an int
+    // instead of a 16-char string, and the hamming verify is 4 xor +
+    // popcount terms instead of 64 per-char compares
+    val packed = simhashSig(toks, Seq("doc_id", "source")).select(
+      col("doc_id") +: col("source") +:
+        (0 until 4).map(b =>
+          conv(substring(col("sh"), 1 + 16 * b, 16), 2, 10).cast("int")
+            .as(s"p$b")): _*)
+    val bands = packed.select(
+      col("doc_id") +: col("source") +: (0 until 4).map(b => col(s"p$b")) :+
+        explode(array((0 until 4).map { bi =>
+          struct(lit(bi).as("bi"), col(s"p$bi").as("bits"))
+        }: _*)).as("bd"): _*)
+      .select(col("doc_id") +: col("source") +:
+        (0 until 4).map(b => col(s"p$b")) :+
+        col("bd.bi").as("bi") :+ col("bd.bits").as("bits"): _*)
+    def side(p: String) = bands.select(
+      col("doc_id").as(s"${p}_id") +: col("source").as(s"${p}_src") +:
+        (0 until 4).map(b => col(s"p$b").as(s"${p}_p$b")) :+
+        col("bi").as(s"${p}_bi") :+ col("bits").as(s"${p}_bits"): _*)
+    val a = side("a"); val b = side("b")
+    val ham = (0 until 4).map(k =>
+      bit_count(col(s"a_p$k").bitwiseXOR(col(s"b_p$k")))).reduce(_ + _)
     a.join(b, col("a_src") === col("b_src") && col("a_bi") === col("b_bi") &&
         col("a_bits") === col("b_bits") && col("a_id") < col("b_id"))
       .withColumn("hamming", ham.cast("int"))
