@@ -144,5 +144,23 @@ class HttpCorpusSpec extends SparkSpec with GoldenCorpusData {
       failures.mkString("\n"))
   }
 
+  test("every invalid corpus query: typed 400 over HTTP on both Accept types") {
+    val files = allJsonFiles(new File(s"$base/invalidQueries"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val q = jsonString(Files.readString(f.toPath), "query")
+        .getOrElse(fail(s"no query in ${f.getName}"))
+      Seq("application/x-ndjson", "application/vnd.apache.arrow.stream")
+        .foreach { accept =>
+          val r = post(q, accept)
+          assert(r.statusCode() === 400, s"${f.getName} ($accept)")
+          val body = new String(r.body(), "UTF-8")
+          // the error payload is the typed JSON error, never a stack trace
+          assert(body.startsWith("""{"error":"Bad request""""),
+            s"${f.getName}: $body")
+        }
+    }
+  }
+
   override def afterAll(): Unit = { srv.stop(); super.afterAll() }
 }
