@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
+
+/** PERSISTED SimHash near-duplicate index — the cosine-family twin of the
+  * MinHash [[DedupIndex]]: pay the 64-bit signature once per document at
+  * ingest, keep it in layered parquet band rows, and answer near-dup
+  * probes with a band EQUI-join + popcount hamming verify, never an
+  * all-pairs comparison.
+  *
+  * Layout (same chain discipline as DedupIndex / the posting index):
+  * {{{
+  *   dir/bands/layer=N/   parquet (id, source, p0..p3, band, bits)
+  *   dir/meta             committed layer list, written LAST (tmp+rename)
+  * }}}
+  *
+  * Signature/banding parameters match the in-query ops exactly (64
+  * md5-nibble hyperplanes, 4 bands of 16 bits, hamming ≤ 3 — Manku
+  * WWW'07): two documents are candidates iff one of their 4 packed band
+  * values is identical, so a (source, band, bits) equi-join bounds the
+  * probe cost by bucket size (2^16 values per band) at any corpus scale.
+  * Each stored row carries the full packed signature (p0..p3) so the
+  * hamming verify needs no second lookup. [[append]] signs only the NEW
+  * documents — O(batch), the change-feed consumer's per-tick work.
+  */
+object SimHashIndex {
+
+  val Bands = 4
+  val HammingMax = 3
+
+  private def metaPath(dir: String) = java.nio.file.Paths.get(dir, "meta")
+
+  private def commitMeta(dir: String, layers: Seq[String]): Unit = {
+    val tmp = java.nio.file.Paths.get(dir, ".meta.tmp")
+    java.nio.file.Files.writeString(tmp, layers.mkString("\n"))
+    java.nio.file.Files.move(tmp, metaPath(dir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def layers(dir: String): Seq[String] =
+    if (!java.nio.file.Files.exists(metaPath(dir))) Seq.empty
+    else java.nio.file.Files.readString(metaPath(dir)).split("\n").toSeq
+      .filter(_.nonEmpty)
+
+  /** Next layer number past BOTH committed meta and any orphan on-disk
+    * dir (crash between layer write and meta commit) — see
+    * [[DedupIndex]] for the rationale.
+    */
+  private def nextLayer(dir: String, committed: Seq[String]): String = {
+    val bands = new java.io.File(s"$dir/bands")
+    val onDisk = Option(bands.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => Option(f.getName).filter(_.startsWith("layer="))
+        .flatMap(n => n.stripPrefix("layer=").toLongOption))
+    ((committed.map(_.toLong) ++ onDisk).foldLeft(0L)(math.max) + 1).toString
+  }
+
+  /** 64-bit SimHash signature per group over exploded `tok` rows
+    * (md5-nibble hyperplanes: bit k's vote is the top bit of nibble k of
+    * md5("0|"+tok) for k ≤ 32, md5("1|"+tok) for k > 32). Vote sums are
+    * integer shifts over conv-packed 16-bit chunks — value-identical to
+    * summing ±1 votes (sign(Σ±1) ⟺ 2·ones ≥ n). Returns the group
+    * columns plus `sh`, the 64-char '0'/'1' signature. Shared by the
+    * in-query simhash ops and this index.
+    */
+  def signature(toks: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val withH = toks
+      .withColumn("h0", md5(concat(lit("0|"), col("tok"))))
+      .withColumn("h1", md5(concat(lit("1|"), col("tok"))))
+    val withChunks = (0 until 16).foldLeft(withH) { (d, c) =>
+      val h = if (c < 8) "h0" else "h1"
+      val off = (c % 8) * 4
+      d.withColumn(s"c$c",
+        conv(substring(col(h), 1 + off, 4), 16, 10).cast("long"))
+    }
+    val sums = (1 to 64).map { j =>
+      val c = (j - 1) / 4                  // 16-bit chunk 0..15
+      val shift = 15 - ((j - 1) % 4) * 4   // nibble top-bit within chunk
+      sum(shiftright(col(s"c$c"), shift).bitwiseAND(1)).as(s"b$j")
+    } :+ count(lit(1)).as("n")
+    withChunks.groupBy(groupCols.map(col): _*).agg(sums.head, sums.tail: _*)
+      .select(groupCols.map(col) :+
+        concat((1 to 64).map(j =>
+          when(col(s"b$j") * 2 >= col("n"), lit("1")).otherwise(lit("0"))): _*)
+          .as("sh"): _*)
+  }
+
+  /** Packed band rows of `docs`: (id, source, p0..p3, band, bits) — one
+    * shuffle (the signature aggregate), then a map-side band explode.
+    */
+  def bandRows(docs: DataFrame, idCol: String, srcCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), col(srcCol).as("source"),
+      explode(TF.tokens(col(textCol))).as("tok"))
+    val packed = signature(toks, Seq("id", "source")).select(
+      col("id") +: col("source") +:
+        (0 until Bands).map(b =>
+          conv(substring(col("sh"), 1 + 16 * b, 16), 2, 10).cast("int")
+            .as(s"p$b")): _*)
+    packed.select(
+      col("id") +: col("source") +: (0 until Bands).map(b => col(s"p$b")) :+
+        explode(array((0 until Bands).map { bi =>
+          struct(lit(bi).as("band"), col(s"p$bi").as("bits"))
+        }: _*)).as("bd"): _*)
+      .select(col("id") +: col("source") +:
+        (0 until Bands).map(b => col(s"p$b")) :+
+        col("bd.band").as("band") :+ col("bd.bits").as("bits"): _*)
+  }
+
+  private def writeLayer(docs: DataFrame, idCol: String, srcCol: String,
+      textCol: String, dir: String, layer: String): Unit =
+    bandRows(docs, idCol, srcCol, textCol)
+      .write.mode(SaveMode.ErrorIfExists)
+      .parquet(s"$dir/bands/layer=$layer")
+
+  /** Index `docs` from scratch as layer 1. */
+  def build(spark: SparkSession, docs: DataFrame, idCol: String,
+      srcCol: String, textCol: String, dir: String): Unit = {
+    require(layers(dir).isEmpty, s"committed simhash index already at $dir")
+    new java.io.File(dir).mkdirs()
+    writeLayer(docs, idCol, srcCol, textCol, dir, "1")
+    commitMeta(dir, Seq("1"))
+  }
+
+  /** Sign only `newDocs` as the next layer — O(batch). */
+  def append(spark: SparkSession, newDocs: DataFrame, idCol: String,
+      srcCol: String, textCol: String, dir: String): Unit = {
+    val ls = layers(dir)
+    require(ls.nonEmpty, s"no committed simhash index at $dir")
+    val next = nextLayer(dir, ls)
+    writeLayer(newDocs, idCol, srcCol, textCol, dir, next)
+    commitMeta(dir, ls :+ next)
+  }
+
+  /** The committed band table (union of layers). */
+  def load(spark: SparkSession, dir: String): DataFrame = {
+    val ls = layers(dir)
+    require(ls.nonEmpty, s"no committed simhash index at $dir")
+    spark.read.option("basePath", s"$dir/bands")
+      .parquet(ls.map(l => s"$dir/bands/layer=$l"): _*)
+      .select("id", "source", "p0", "p1", "p2", "p3", "band", "bits")
+  }
+
+  /** Near-dup pairs of `probe` docs against the WHOLE index (every
+    * layer): (source, band, bits) equi-join, popcount hamming ≤
+    * [[HammingMax]] verify from the stored packed signatures, self-pairs
+    * dropped, a < b deduped.
+    */
+  def candidates(spark: SparkSession, probe: DataFrame, idCol: String,
+      srcCol: String, textCol: String, dir: String): DataFrame = {
+    val pb = bandRows(probe, idCol, srcCol, textCol).select(
+      col("id").as("q_id") +: col("source") +:
+        (0 until Bands).map(b => col(s"p$b").as(s"q_p$b")) :+
+        col("band") :+ col("bits"): _*)
+    val ham: Column = (0 until Bands).map(k =>
+      bit_count(col(s"q_p$k").bitwiseXOR(col(s"p$k")))).reduce(_ + _)
+    pb.join(load(spark, dir), Seq("source", "band", "bits"))
+      .filter(col("q_id") =!= col("id"))
+      .withColumn("hamming", ham.cast("int"))
+      .filter(col("hamming") <= HammingMax)
+      .select(least(col("q_id"), col("id")).as("a_id"),
+        greatest(col("q_id"), col("id")).as("b_id"), col("hamming"))
+      .distinct()
+  }
+
+  /** Fold a chain longer than `maxLayers` into one layer. */
+  def compact(spark: SparkSession, dir: String, maxLayers: Int = 8): Boolean = {
+    val ls = layers(dir)
+    require(ls.nonEmpty, s"no committed simhash index at $dir")
+    if (ls.length <= maxLayers) return false
+    val next = nextLayer(dir, ls)
+    load(spark, dir).write.mode(SaveMode.ErrorIfExists)
+      .parquet(s"$dir/bands/layer=$next")
+    commitMeta(dir, Seq(next))
+    true
+  }
+}

@@ -77,6 +77,30 @@ object PipelineQueries {
     })._1
   }
 
+  /** Memoized persisted SIMHASH band index per (session, sf-dir) — same
+    * preprocessing discipline as [[memoDedupIndex]].
+    */
+  private val simhashIndexes =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (String, java.io.File)]()
+  private def memoSimhashIndex(s: SparkSession, dir: String,
+      docs: DataFrame): String = {
+    val it = simhashIndexes.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1.sparkContext.isStopped) {
+        org.apache.commons.io.FileUtils.deleteQuietly(e.getValue._2)
+        it.remove()
+      }
+    }
+    simhashIndexes.computeIfAbsent((s, dir), _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_shidx")
+      val idx = tmp.toString + "/idx"
+      graft.operators.SimHashIndex.build(s, docs, "doc_id", "source", "text", idx)
+      (idx, tmp.toFile)
+    })._1
+  }
+
   /** Memoized MATERIALIZED near-dup cluster table per (session, sf-dir):
     * the (doc_id, cluster) product of simhash pairing + connected
     * components, written once to temp parquet and read back by its
@@ -118,32 +142,11 @@ object PipelineQueries {
     * k ≤ 32, md5("1|"+tok) for k > 32). Shared by `q_simhash` (per-doc
     * signatures) and [[simhashPairs]].
     */
-  private def simhashSig(toks: DataFrame, groupCols: Seq[String]): DataFrame = {
-    val withH = toks
-      .withColumn("h0", md5(concat(lit("0|"), col("tok"))))
-      .withColumn("h1", md5(concat(lit("1|"), col("tok"))))
-    // pack each hash's nibbles as 16-bit integer chunks (4 hex chars via
-    // conv) so the 64 per-bit vote sums are integer shifts in codegen,
-    // not per-bit string ops — value-identical to summing ±1 votes:
-    // sign(Σ±1) = (2·ones ≥ n). The SQL oracle keeps the readable
-    // substr/IN form; both read the same nibble top bit.
-    val withChunks = (0 until 16).foldLeft(withH) { (d, c) =>
-      val h = if (c < 8) "h0" else "h1"
-      val off = (c % 8) * 4
-      d.withColumn(s"c$c",
-        conv(substring(col(h), 1 + off, 4), 16, 10).cast("long"))
-    }
-    val sums = (1 to 64).map { j =>
-      val c = (j - 1) / 4                  // 16-bit chunk 0..15
-      val shift = 15 - ((j - 1) % 4) * 4   // nibble top-bit within chunk
-      sum(shiftright(col(s"c$c"), shift).bitwiseAND(1)).as(s"b$j")
-    } :+ count(lit(1)).as("n")
-    withChunks.groupBy(groupCols.map(col): _*).agg(sums.head, sums.tail: _*)
-      .select(groupCols.map(col) :+
-        concat((1 to 64).map(j =>
-          when(col(s"b$j") * 2 >= col("n"), lit("1")).otherwise(lit("0"))): _*)
-          .as("sh"): _*)
-  }
+  // shared with the persisted index — integer-packed vote sums,
+  // value-identical to summing ±1 votes (sign(Σ±1) ⟺ 2·ones ≥ n); the
+  // SQL oracles keep the readable substr/IN form
+  private def simhashSig(toks: DataFrame, groupCols: Seq[String]): DataFrame =
+    graft.operators.SimHashIndex.signature(toks, groupCols)
 
   /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures, blocked by
     * source — the Manku et al. WWW'07 parameterization). Pigeonhole
@@ -2562,6 +2565,33 @@ object PipelineQueries {
       val idx = memoDedupIndex(s, dir, docs)
       graft.operators.DedupIndex
         .candidates(s, docs, "doc_id", "text", idx)
+        .orderBy("a_id", "b_id")
+    },
+
+    // ---- PERSISTED SIMHASH INDEX probe: the cosine-family twin of
+    //      q_dedup_index — the whole corpus probes the committed 64-bit
+    //      band layers (SimHashIndex, built once as preprocessing) and
+    //      the routing-blind oracle recomputes the pair set as a
+    //      per-source all-pairs hamming scan. A drift anywhere in the
+    //      persisted packed signatures, the band equi-join, or the
+    //      popcount verify breaks the hash; results must equal
+    //      q_simhash_pairs' (same parameters, index-served). ----
+    QDef("q_simhash_index", {
+      val ham = shHamSql("a.sh", "b.sh")
+      s"""WITH tk AS (SELECT doc_id, source,
+         |    md5('0|' || t) AS h0, md5('1|' || t) AS h1 FROM
+         |  (SELECT doc_id, source, unnest(string_split($normSql, ' ')) AS t FROM documents)),
+         |s AS (SELECT doc_id, source, $shSumsSql FROM tk GROUP BY doc_id, source),
+         |sh AS (SELECT doc_id, source, $shBitsSql AS sh FROM s)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST($ham AS INTEGER) AS hamming
+         |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE $ham <= 3 ORDER BY a_id, b_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val idx = memoSimhashIndex(s, dir, docs)
+      graft.operators.SimHashIndex
+        .candidates(s, docs, "doc_id", "source", "text", idx)
         .orderBy("a_id", "b_id")
     },
 
