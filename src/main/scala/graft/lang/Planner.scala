@@ -867,9 +867,15 @@ final class Planner(catalog: Planner.Catalog) {
         // scan + pk semi-join — instead of exploding the wide row-level
         // `muts` arrays of the fact table. Coverage still reads the
         // filtered rows (interval prefix sum), but the dominant
-        // per-diff term skips the fact table entirely.
+        // per-diff term skips the fact table entirely. Gate: only when
+        // the input is NOT the bare table — over the unfiltered table
+        // the explode's map-side (pos, sym) partial combine shuffles a
+        // genome×alphabet-bounded partial set, while the semi-join would
+        // shuffle every posting against every pk; the index only wins
+        // once a filter cut F.
         val idxCtx = for {
           t <- in.origin
+          if !catalog.tables.get(t).exists(_ eq in.df)
           m <- catalog.mutIndexes.get(t)
           pk <- catalog.primaryKeys.get(t) if in.df.columns.contains(pk)
         } yield (m, pk)
@@ -909,8 +915,10 @@ final class Planner(catalog: Planner.Catalog) {
         if (withIns.isEmpty) err(s"$fn: table has no insertion data")
         // same vertical-index fast path as mutations(): insPostings ⋉ F_ids
         // replaces the row-level `ins` explode when an index is loaded
+        // and the input is not the bare table (same gate rationale)
         val insIdxCtx = for {
           t <- in.origin
+          if !catalog.tables.get(t).exists(_ eq in.df)
           m <- catalog.mutIndexes.get(t)
           pk <- catalog.primaryKeys.get(t) if in.df.columns.contains(pk)
         } yield (m, pk)

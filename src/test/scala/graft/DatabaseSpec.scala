@@ -89,6 +89,14 @@ class DatabaseSpec extends SparkSpec {
     assert(ri.collect().map(_.toString).sorted.toSeq ===
       bi.collect().map(_.toString).sorted.toSeq)
     assert(ri.count() > 0)
+
+    // over the BARE table (no filter) the explode path's map-side
+    // partial combine wins — the gate keeps the index out of the plan
+    val bare = Planner.plan(
+      "default.mutations(minProportion := 0.01, sequenceNames := {main})", catalog)
+    val pBare = bare.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(pBare.contains("explode(main_muts"), pBare.take(2000))
   }
 
   test("insertions parsed from pos:seq entries") {
