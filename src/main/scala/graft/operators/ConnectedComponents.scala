@@ -120,4 +120,55 @@ object ConnectedComponents {
       .withColumn("comp", col("node"))
     labels.unionByName(isolated)
   }
+
+  /** INCREMENTAL component refresh for append-only corpora: advance an
+    * existing (node, comp) labeling by a batch of NEW edges and nodes
+    * without re-running the fixpoint over the whole graph.
+    *
+    * Contraction argument: old labels already collapse every old
+    * component to its min-id representative, so it suffices to (1) map
+    * each new edge endpoint through its old label (identity for new
+    * nodes), (2) run [[components]] over the CONTRACTED edges only — an
+    * O(|Δ|)-node graph, so every propagation round costs O(|Δ|)
+    * regardless of corpus size — and (3) remap. The contracted fixpoint
+    * yields rep → merged-min; since each rep IS its old component's min
+    * id and new nodes are their own reps, merged-min over reps equals
+    * the from-scratch min over all members. The remap table is
+    * O(|Δ|)-sized and broadcast, so step (3) is ONE linear pass over the
+    * old labels with no shuffle — the 100 TB per-tick shape (the
+    * change-feed consumer feeds `newEdges` from an index probe of just
+    * the appended batch, e.g. [[SimHashIndex.candidates]]).
+    *
+    * Unsound for edge/node REMOVALS (components can split) — rebuild
+    * from scratch for those, same contract as the delta-join algebra.
+    */
+  def refresh(
+      oldLabels: DataFrame, // (node, comp)
+      newEdges: DataFrame, eaCol: String, ebCol: String,
+      newNodes: DataFrame, nodeCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val reps = oldLabels.select(col("node"), col("comp"))
+    val contracted = newEdges
+      .select(col(eaCol).as("n1"), col(ebCol).as("n2"))
+      .join(reps.select(col("node").as("n1"), col("comp").as("r1")), Seq("n1"), "left")
+      .join(reps.select(col("node").as("n2"), col("comp").as("r2")), Seq("n2"), "left")
+      .select(coalesce(col("r1"), col("n1")).as("a"),
+        coalesce(col("r2"), col("n2")).as("b"))
+    val endpoints = contracted.select(col("a").as("n"))
+      .union(contracted.select(col("b").as("n"))).distinct()
+    // remap: old representative (or new node id) → merged component min
+    val remap = broadcast(
+      components(contracted, "a", "b", endpoints, "n", maxIter)
+        .filter(col("node") =!= col("comp")) // identity rows change nothing
+        .select(col("node").as("old_comp"), col("comp").as("new_comp"))
+        .localCheckpoint())
+    val updatedOld = oldLabels
+      .join(remap, oldLabels("comp") === remap("old_comp"), "left")
+      .select(col("node"), coalesce(col("new_comp"), col("comp")).as("comp"))
+    val fresh = newNodes.select(col(nodeCol).as("node")).distinct()
+      .join(oldLabels.select("node"), Seq("node"), "left_anti")
+      .join(remap, col("node") === col("old_comp"), "left")
+      .select(col("node"), coalesce(col("new_comp"), col("node")).as("comp"))
+    updatedOld.unionByName(fresh)
+  }
 }
