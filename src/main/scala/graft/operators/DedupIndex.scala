@@ -15,8 +15,9 @@ import graft.functions.{TextFunctions => TF}
   *   dir/meta             committed layer list, written LAST (tmp+rename)
   * }}}
   *
-  * Same MinHash parameters as the in-query dedup ops (12 md5 hash slots,
-  * 4 bands of 3): two documents land in the same (band, sig) bucket iff
+  * Same MinHash parameters as the in-query dedup ops (12 hash slots —
+  * three keyed md5s sliced into four 32-bit values each — banded 4×3):
+  * two documents land in the same (band, sig) bucket iff
   * one of their 4 band signatures is identical, so candidate pairs come
   * from an EQUI-join on (band, sig) — never an all-pairs comparison. An
   * [[append]] derives bands for the NEW documents only (O(batch), wired
@@ -68,10 +69,17 @@ object DedupIndex {
       textCol: String): DataFrame = {
     val ex = docs.select(col(idCol).as("id"),
         explode(TF.shingles(col(textCol), 3)).as("s"))
-    val mh = ex.groupBy("id").agg(
-      min(md5(concat(lit("0|"), col("s")))).as("h0"),
+    // three md5s per shingle, each sliced into four independent 32-bit
+    // (8-hex-char) hash values — 12 slots at a quarter of the md5 work,
+    // the same scheme as q_minhash_lsh (lexicographic min over fixed-
+    // width hex == numeric min)
+    val keyed = (0 until 3).foldLeft(ex) { (d, k) =>
+      d.withColumn(s"m$k", md5(concat(lit(s"$k|"), col("s"))))
+    }
+    val mh = keyed.groupBy("id").agg(
+      min(substring(col("m0"), 1, 8)).as("h0"),
       (1 until NumHashes).map(i =>
-        min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i")): _*)
+        min(substring(col(s"m${i / 4}"), 1 + 8 * (i % 4), 8)).as(s"h$i")): _*)
     mh.select(col("id"),
       explode(array((0 until Bands).map { bd =>
         struct(lit(bd).as("band"),

@@ -556,7 +556,9 @@ object PipelineQueries {
     // ---- near-dup at scale: MinHash + LSH banding, then exact verify ----
     QDef("q_minhash_lsh",
       s"""$docBaseSql,
-         |mh AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || s)) AS h
+         |mh AS (SELECT doc_id, i,
+         |    min(substr(md5(CAST(i // 4 AS VARCHAR) || '|' || s),
+         |      1 + 8 * (i % 4), 8)) AS h
          |  FROM ex, range(0, 12) r(i) GROUP BY doc_id, i),
          |bands AS (SELECT doc_id, i // 3 AS band, string_agg(h, ',' ORDER BY i) AS sig
          |  FROM mh GROUP BY doc_id, i // 3),
@@ -579,10 +581,17 @@ object PipelineQueries {
       val ex = sh.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
         .localCheckpoint()
       // single-pass minhash: all 12 signature slots as aggregate columns in
-      // one shuffle of width-12 rows (vs. exploding ×12 then re-grouping)
-      val mh = ex.groupBy("doc_id").agg(
-        min(md5(concat(lit("0|"), col("s")))).as("h0"),
-        (1 to 11).map(i => min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i")): _*)
+      // one shuffle of width-12 rows (vs. exploding ×12 then re-grouping).
+      // THREE md5s per shingle, each sliced into four independent 32-bit
+      // (8-hex-char) hash values — 12 slots at a quarter of the md5 work;
+      // lexicographic min over fixed-width hex == numeric min
+      val keyed = (0 until 3).foldLeft(ex) { (d, k) =>
+        d.withColumn(s"m$k", md5(concat(lit(s"$k|"), col("s"))))
+      }
+      val mh = keyed.groupBy("doc_id").agg(
+        min(substring(col("m0"), 1, 8)).as("h0"),
+        (1 to 11).map(i =>
+          min(substring(col(s"m${i / 4}"), 1 + 8 * (i % 4), 8)).as(s"h$i")): _*)
       val bands = mh.select(col("doc_id"),
         explode(array((0 to 3).map(bd => struct(lit(bd).as("band"),
           concat_ws(",", col(s"h${3 * bd}"), col(s"h${3 * bd + 1}"),
@@ -2553,7 +2562,9 @@ object PipelineQueries {
     //      continuous dedup at 100 TB (candidates, not all-pairs). ----
     QDef("q_dedup_index",
       s"""$docBaseSql,
-         |mh AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || s)) AS h
+         |mh AS (SELECT doc_id, i,
+         |    min(substr(md5(CAST(i // 4 AS VARCHAR) || '|' || s),
+         |      1 + 8 * (i % 4), 8)) AS h
          |  FROM ex, range(0, 12) r(i) GROUP BY doc_id, i),
          |bands AS (SELECT doc_id, i // 3 AS band, string_agg(h, ',' ORDER BY i) AS sig
          |  FROM mh GROUP BY doc_id, i // 3)
