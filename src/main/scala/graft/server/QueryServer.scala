@@ -114,13 +114,72 @@ final class QueryServer(catalog: Catalog, dataVersion: String, port: Int = 0,
     }
   }
 
-  /** Materialized response payload: either Arrow bytes or NDJSON text. */
-  private def materialize(df: DataFrame, wantsArrow: Boolean): Either[Array[Byte], String] =
-    if (wantsArrow && ArrowSink.supports(df.schema)) {
-      val bos = new java.io.ByteArrayOutputStream()
-      ArrowSink.write(df, bos)
-      Left(bos.toByteArray)
-    } else Right(toNdjson(df).mkString("", "\n", "\n"))
+  /** End-of-stream / producer-failure markers for the streaming queue. */
+  private case object StreamEnd
+  private final case class StreamErr(t: Throwable)
+
+  private def setQueryHeaders(ex: HttpExchange, contentType: String,
+      ordering: String): Unit = {
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.getResponseHeaders.set("data-version", dataVersion)
+    ex.getResponseHeaders.set("result-ordering", ordering)
+    Option(ex.getRequestHeaders.getFirst("X-Request-Id"))
+      .foreach(id => ex.getResponseHeaders.set("X-Request-Id", id))
+  }
+
+  /** Stream the NDJSON rows with CHUNKED transfer: a bounded queue
+    * between the Spark-side producer (`toLocalIterator`, runs under a
+    * cancellable job group) and the response writer keeps driver memory
+    * O(queue), never O(result) — the reference's ThrottledBatchReslicer
+    * shape — and the timeout is per BATCH WAIT (query_plan.cpp:111-123):
+    * a stall before the first row is still a clean 500; a stall
+    * mid-stream cancels the jobs and truncates the chunked body (headers
+    * are out — the same contract as the reference's streamed responses).
+    */
+  private def streamNdjson(ex: HttpExchange, df: DataFrame,
+      ordering: String): Unit = {
+    val spark = df.sparkSession
+    val group = "http-query-" + java.util.UUID.randomUUID()
+    val queue = new java.util.concurrent.LinkedBlockingQueue[AnyRef](1024)
+    pool.submit(new Runnable {
+      def run(): Unit = {
+        spark.sparkContext.setJobGroup(group, "http /query", interruptOnCancel = true)
+        try {
+          toNdjson(df).foreach(line => queue.put(line))
+          queue.put(StreamEnd)
+        } catch { case t: Throwable => queue.put(StreamErr(t)) }
+        finally spark.sparkContext.clearJobGroup()
+      }
+    })
+    def nextOrNull(): AnyRef = queue.poll(timeoutSeconds, TimeUnit.SECONDS)
+    nextOrNull() match {
+      case null =>
+        spark.sparkContext.cancelJobGroup(group)
+        throw new RuntimeException(
+          s"Request timed out, no batch within $timeoutSeconds seconds.")
+      case StreamErr(t) => throw t
+      case StreamEnd =>
+        setQueryHeaders(ex, "application/x-ndjson", ordering)
+        ex.sendResponseHeaders(200, -1) // empty result: no body bytes
+        ex.close()
+      case first: String =>
+        setQueryHeaders(ex, "application/x-ndjson", ordering)
+        ex.sendResponseHeaders(200, 0) // chunked
+        val out = ex.getResponseBody
+        try {
+          out.write((first + "\n").getBytes(UTF_8))
+          var done = false
+          while (!done) nextOrNull() match {
+            case line: String => out.write((line + "\n").getBytes(UTF_8))
+            case StreamEnd => done = true
+            case _ => // timeout or producer failure mid-stream: cancel the
+              // jobs and truncate — headers are already on the wire
+              spark.sparkContext.cancelJobGroup(group)
+              done = true
+          }
+        } finally ex.close()
+    }
+  }
 
   private def handleQuery(ex: HttpExchange): Unit = {
     val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
@@ -130,41 +189,35 @@ final class QueryServer(catalog: Catalog, dataVersion: String, port: Int = 0,
       val df = Planner.plan(body, catalog)
       val ordering = resultOrdering(df)
       val spark = df.sparkSession
-      val group = "http-query-" + java.util.UUID.randomUUID()
-      // run the materialization on a pooled thread under a job group so a
-      // timeout can cancel the Spark jobs (≙ PlanStopGuard + batch-wait
-      // timeout, query_plan.cpp:65-123)
-      val fut = pool.submit(new Callable[Either[Array[Byte], String]] {
-        def call(): Either[Array[Byte], String] = {
-          spark.sparkContext.setJobGroup(group, "http /query", interruptOnCancel = true)
-          try materialize(df, wantsArrow)
-          finally spark.sparkContext.clearJobGroup()
-        }
-      })
-      val result =
-        try fut.get(timeoutSeconds, TimeUnit.SECONDS)
-        catch {
-          case _: TimeoutException =>
-            spark.sparkContext.cancelJobGroup(group)
-            fut.cancel(true)
-            throw new RuntimeException(
-              s"Request timed out, no batch within $timeoutSeconds seconds.")
-          case e: ExecutionException => throw Option(e.getCause).getOrElse(e)
-        }
-      result match {
-        case Left(arrow) =>
-          ex.getResponseHeaders.set("Content-Type", "application/vnd.apache.arrow.stream")
-          ex.getResponseHeaders.set("data-version", dataVersion)
-          ex.getResponseHeaders.set("result-ordering", ordering)
-          Option(ex.getRequestHeaders.getFirst("X-Request-Id"))
-            .foreach(id => ex.getResponseHeaders.set("X-Request-Id", id))
-          ex.sendResponseHeaders(200, arrow.length)
-          ex.getResponseBody.write(arrow)
-          ex.close()
-        case Right(ndjson) =>
-          ex.getResponseHeaders.set("result-ordering", ordering)
-          respond(ex, 200, ndjson, "application/x-ndjson")
-      }
+      if (wantsArrow && ArrowSink.supports(df.schema)) {
+        val group = "http-query-" + java.util.UUID.randomUUID()
+        // Arrow materializes the IPC stream under the job-group timeout
+        // (its batches are bounded by ArrowSink's batch size)
+        val fut = pool.submit(new Callable[Array[Byte]] {
+          def call(): Array[Byte] = {
+            spark.sparkContext.setJobGroup(group, "http /query", interruptOnCancel = true)
+            try {
+              val bos = new java.io.ByteArrayOutputStream()
+              ArrowSink.write(df, bos)
+              bos.toByteArray
+            } finally spark.sparkContext.clearJobGroup()
+          }
+        })
+        val arrow =
+          try fut.get(timeoutSeconds, TimeUnit.SECONDS)
+          catch {
+            case _: TimeoutException =>
+              spark.sparkContext.cancelJobGroup(group)
+              fut.cancel(true)
+              throw new RuntimeException(
+                s"Request timed out, no batch within $timeoutSeconds seconds.")
+            case e: ExecutionException => throw Option(e.getCause).getOrElse(e)
+          }
+        setQueryHeaders(ex, "application/vnd.apache.arrow.stream", ordering)
+        ex.sendResponseHeaders(200, arrow.length)
+        ex.getResponseBody.write(arrow)
+        ex.close()
+      } else streamNdjson(ex, df, ordering)
     } catch {
       case e @ (_: QueryError | _: Parser.ParseError | _: Lexer.LexError) =>
         respond(ex, 400,

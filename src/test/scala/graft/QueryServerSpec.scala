@@ -132,6 +132,46 @@ class QueryServerSpec extends SparkSpec {
     } finally { reader.close(); alloc.close() }
   }
 
+  test("NDJSON responses stream chunked; empty results send no body") {
+    // non-empty: chunked transfer (no Content-Length) — the server never
+    // materializes the whole response, so driver memory stays O(queue)
+    val r = post("/query", "default.project({primary_key}).orderBy({primary_key})")
+    assert(r.statusCode() === 200)
+    assert(r.headers().firstValue("Content-Length").isEmpty)
+    assert(r.headers().firstValue("Transfer-encoding").orElse("chunked") === "chunked")
+    assert(r.body().trim.split("\n").length === 3)
+    // empty result: 200 with an empty body, headers intact
+    val e = post("/query", "default.filter(country = 'Nowhere')")
+    assert(e.statusCode() === 200)
+    assert(e.body() === "")
+    assert(e.headers().firstValue("Content-Type").get() === "application/x-ndjson")
+    assert(e.headers().firstValue("data-version").get() === "v42")
+  }
+
+  test("concurrent queries stream independently with correct results") {
+    import java.util.concurrent.{Executors, TimeUnit}
+    val exec = Executors.newFixedThreadPool(8)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
+    (1 to 16).foreach { i =>
+      exec.submit(new Runnable {
+        def run(): Unit = {
+          val q =
+            if (i % 2 == 0) "default.filter(country = 'Switzerland').groupBy({count := count()})"
+            else "default.groupBy({count := count()})"
+          val r = post("/query", q)
+          results.add((i, r.body().trim))
+        }
+      })
+    }
+    exec.shutdown()
+    assert(exec.awaitTermination(60, TimeUnit.SECONDS))
+    assert(results.size === 16)
+    results.forEach { case (i, body) =>
+      val expect = if (i % 2 == 0) """{"count":2}""" else """{"count":3}"""
+      assert(body === expect, s"request $i")
+    }
+  }
+
   test("result-ordering header reports the plan's root sort keys") {
     // ordered (limit on top preserves the child ordering, like Acero's
     // fetch-node passthrough)
