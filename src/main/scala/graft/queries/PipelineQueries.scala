@@ -935,6 +935,36 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- INCREMENTAL cluster refresh: the same final labeling as
+    //      q_dedup_clusters, produced the way a live pipeline would —
+    //      docs < 400 are the "yesterday" corpus whose cluster table
+    //      already exists; the ≥ 400 batch arrives, its candidate edges
+    //      are folded in via ConnectedComponents.refresh (contracted
+    //      O(batch) fixpoint + broadcast remap, no whole-graph
+    //      propagation). The oracle is refresh-blind: it computes the
+    //      full closure over ALL docs, so any divergence between the
+    //      incremental path and from-scratch clustering breaks the
+    //      hash. ----
+    QDef("q_dedup_refresh",
+      s"""$simhashClosureCte
+         |SELECT node AS doc_id, min(lab) AS cluster
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").localCheckpoint()
+      val oldDocs = docs.filter(col("doc_id") < 400)
+      val newDocs = docs.filter(col("doc_id") >= 400)
+      val oldLabels = graft.operators.ConnectedComponents
+        .components(simhashPairs(oldDocs), "a_id", "b_id", oldDocs, "doc_id")
+      // production gets these from an index probe of just the batch
+      // (SimHashIndex.candidates); the harness recomputes for determinism
+      val newEdges = simhashPairs(docs)
+        .filter(col("a_id") >= 400 || col("b_id") >= 400)
+      graft.operators.ConnectedComponents
+        .refresh(oldLabels, newEdges, "a_id", "b_id",
+          newDocs.select("doc_id"), "doc_id")
+        .select(col("node").as("doc_id"), col("comp").as("cluster"))
+        .orderBy("doc_id")
+    },
+
     // ---- canonical selection per near-dup cluster: the keep-BEST (not
     //      keep-arbitrary) dedup decision of a training pipeline — from
     //      each simhash cluster retain the longest document (n_chars,
