@@ -141,20 +141,34 @@ final class QueryServer(catalog: Catalog, dataVersion: String, port: Int = 0,
     val spark = df.sparkSession
     val group = "http-query-" + java.util.UUID.randomUUID()
     val queue = new java.util.concurrent.LinkedBlockingQueue[AnyRef](1024)
+    // writer-side abort signal: a disconnected client must unblock a
+    // producer parked on a full queue (a plain put would leak the pool
+    // thread AND the running Spark jobs forever)
+    val dead = new java.util.concurrent.atomic.AtomicBoolean(false)
     pool.submit(new Runnable {
       def run(): Unit = {
         spark.sparkContext.setJobGroup(group, "http /query", interruptOnCancel = true)
         try {
-          toNdjson(df).foreach(line => queue.put(line))
-          queue.put(StreamEnd)
-        } catch { case t: Throwable => queue.put(StreamErr(t)) }
+          val it = toNdjson(df)
+          var aborted = false
+          while (!aborted && it.hasNext) {
+            val line = it.next()
+            while (!aborted && !queue.offer(line, 1, TimeUnit.SECONDS))
+              aborted = dead.get
+          }
+          if (!aborted) queue.put(StreamEnd)
+        } catch { case t: Throwable => queue.offer(StreamErr(t)) }
         finally spark.sparkContext.clearJobGroup()
       }
     })
+    def abort(): Unit = {
+      dead.set(true)
+      spark.sparkContext.cancelJobGroup(group)
+    }
     def nextOrNull(): AnyRef = queue.poll(timeoutSeconds, TimeUnit.SECONDS)
     nextOrNull() match {
       case null =>
-        spark.sparkContext.cancelJobGroup(group)
+        abort()
         throw new RuntimeException(
           s"Request timed out, no batch within $timeoutSeconds seconds.")
       case StreamErr(t) => throw t
@@ -174,9 +188,12 @@ final class QueryServer(catalog: Catalog, dataVersion: String, port: Int = 0,
             case StreamEnd => done = true
             case _ => // timeout or producer failure mid-stream: cancel the
               // jobs and truncate — headers are already on the wire
-              spark.sparkContext.cancelJobGroup(group)
+              abort()
               done = true
           }
+        } catch {
+          // client went away mid-stream: stop the producer and the jobs
+          case t: Throwable => abort(); throw t
         } finally ex.close()
     }
   }

@@ -172,6 +172,46 @@ class QueryServerSpec extends SparkSpec {
     }
   }
 
+  test("client disconnect mid-stream cancels the producer; server stays healthy") {
+    import org.apache.spark.sql.functions._
+    // a result far larger than the stream queue + socket buffers
+    val big = spark.range(300000).select(
+      concat(lit("k"), col("id")).as("primary_key"),
+      lit("Switzerland").as("country"), col("id").cast("int").as("age"))
+    val s = new QueryServer(Catalog(Map("default" -> big)), "v-big")
+    s.start()
+    try {
+      val body = "default.project({primary_key})"
+      val sock = new java.net.Socket("127.0.0.1", s.boundPort)
+      val os = sock.getOutputStream
+      os.write(
+        (s"POST /query HTTP/1.1\r\nHost: t\r\nContent-Length: ${body.length}\r\n\r\n$body")
+          .getBytes("UTF-8"))
+      os.flush()
+      // read a little of the stream, then vanish abruptly
+      val in = sock.getInputStream
+      val buf = new Array[Byte](4096)
+      assert(in.read(buf) > 0)
+      sock.setSoLinger(true, 0) // RST on close: a genuinely abrupt client
+      sock.close()
+      // the producer must notice (write failure → abort → job cancel) and
+      // the server must keep serving other requests
+      val r = http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${s.boundPort}/query"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          "default.groupBy({count := count()})")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 200)
+      assert(r.body().trim === """{"count":300000}""")
+      // all Spark jobs for the aborted stream drain within the grace window
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.sparkContext.statusTracker.getActiveJobIds().nonEmpty &&
+          System.nanoTime() < deadline)
+        Thread.sleep(200)
+      assert(spark.sparkContext.statusTracker.getActiveJobIds().isEmpty)
+    } finally s.stop()
+  }
+
   test("result-ordering header reports the plan's root sort keys") {
     // ordered (limit on top preserves the child ordering, like Acero's
     // fetch-node passthrough)
