@@ -131,12 +131,22 @@ object DedupIndex {
     * (across every layer): equi-join on (band, sig), self-pairs dropped,
     * deduplicated with a < b. Callers verify with exact Jaccard against
     * the live table.
+    *
+    * `live`, when given (one `idCol` row per still-live document),
+    * semi-joins the index side so signatures of since-deleted documents
+    * stop producing pairs — band layers are append-only and outlive
+    * `deleteDelta` (same contract as [[SimHashIndex.candidates]]).
     */
   def candidates(spark: SparkSession, probe: DataFrame, idCol: String,
-      textCol: String, dir: String): DataFrame = {
+      textCol: String, dir: String,
+      live: Option[DataFrame] = None): DataFrame = {
     val pb = bandSignatures(probe, idCol, textCol)
       .select(col("id").as("p_id"), col("band"), col("sig"))
-    pb.join(load(spark, dir), Seq("band", "sig"))
+    val idx = live.foldLeft(load(spark, dir)) { (ix, lv) =>
+      ix.join(lv.select(col(idCol).as("__live_id")),
+        col("id") === col("__live_id"), "left_semi")
+    }
+    pb.join(idx, Seq("band", "sig"))
       .filter(col("p_id") =!= col("id"))
       .select(least(col("p_id"), col("id")).as("a_id"),
         greatest(col("p_id"), col("id")).as("b_id"))

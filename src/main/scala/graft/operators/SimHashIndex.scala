@@ -147,16 +147,28 @@ object SimHashIndex {
     * layer): (source, band, bits) equi-join, popcount hamming ≤
     * [[HammingMax]] verify from the stored packed signatures, self-pairs
     * dropped, a < b deduped.
+    *
+    * `live`, when given (one `idCol` row per still-live document —
+    * `NdjsonIngest.readMerged`'s id column for a merge-on-read table),
+    * semi-joins the INDEX side so signatures of since-deleted documents
+    * stop producing pairs: band layers are append-only and outlive
+    * `deleteDelta`, so without the filter a tombstoned doc would keep
+    * matching forever.
     */
   def candidates(spark: SparkSession, probe: DataFrame, idCol: String,
-      srcCol: String, textCol: String, dir: String): DataFrame = {
+      srcCol: String, textCol: String, dir: String,
+      live: Option[DataFrame] = None): DataFrame = {
     val pb = bandRows(probe, idCol, srcCol, textCol).select(
       col("id").as("q_id") +: col("source") +:
         (0 until Bands).map(b => col(s"p$b").as(s"q_p$b")) :+
         col("band") :+ col("bits"): _*)
     val ham: Column = (0 until Bands).map(k =>
       bit_count(col(s"q_p$k").bitwiseXOR(col(s"p$k")))).reduce(_ + _)
-    pb.join(load(spark, dir), Seq("source", "band", "bits"))
+    val idx = live.foldLeft(load(spark, dir)) { (ix, lv) =>
+      ix.join(lv.select(col(idCol).as("__live_id")),
+        col("id") === col("__live_id"), "left_semi")
+    }
+    pb.join(idx, Seq("source", "band", "bits"))
       .filter(col("q_id") =!= col("id"))
       .withColumn("hamming", ham.cast("int"))
       .filter(col("hamming") <= HammingMax)

@@ -82,6 +82,28 @@ class DedupIndexSpec extends SparkSpec {
       _ => fail("callback on empty feed")).isEmpty)
   }
 
+  test("deleted documents stop producing candidates when probed with the live set") {
+    val root = Files.createTempDirectory("deldedup").toString
+    val tableDir = s"$root/docs"; val idxDir = s"$root/idx"
+    NdjsonIngest.appendVersion(
+      Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text"),
+      tableDir, "doc_id")
+    DedupIndex.build(spark,
+      NdjsonIngest.readLatest(spark, tableDir), "doc_id", "text", idxDir)
+    val probe = Seq((9L, base)).toDF("doc_id", "text")
+    def withLive() = DedupIndex.candidates(spark, probe, "doc_id", "text", idxDir,
+      live = Some(NdjsonIngest.readLatestMerged(spark, tableDir, "doc_id")
+        .select("doc_id")))
+      .as[(Long, Long)].collect().toSet
+    assert(withLive().contains((1L, 9L)))
+    NdjsonIngest.deleteDelta(Seq(1L).toDF("doc_id"), tableDir, "doc_id")
+    val after = withLive()
+    assert(!after.exists(p => p._1 == 1L || p._2 == 1L), s"deleted doc in $after")
+    // routing-blind probe still sees the stale signature (documented)
+    assert(DedupIndex.candidates(spark, probe, "doc_id", "text", idxDir)
+      .as[(Long, Long)].collect().toSet.contains((1L, 9L)))
+  }
+
   test("append recovers from an orphan layer dir (crash between write and commit)") {
     val dir = Files.createTempDirectory("deduporphan").toString + "/idx"
     DedupIndex.build(spark, Seq((1L, base)).toDF("doc_id", "text"),

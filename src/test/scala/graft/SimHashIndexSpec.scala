@@ -101,6 +101,32 @@ class SimHashIndexSpec extends SparkSpec {
     assert(pairs.contains((1L, 42L)), s"cross-layer pair missing: $pairs")
   }
 
+  test("deleted documents stop producing pairs when probed with the live set") {
+    val root = Files.createTempDirectory("shdel").toString
+    val tableDir = s"$root/docs"; val idxDir = s"$root/idx"
+    NdjsonIngest.appendVersion(
+      docs((1L, "s", base), (2L, "s", nearDup), (3L, "s", other)),
+      tableDir, "doc_id")
+    SimHashIndex.build(spark,
+      NdjsonIngest.readLatest(spark, tableDir), "doc_id", "source", "text", idxDir)
+    val probe = docs((9L, "s", base))
+    def pairsWithLive() = SimHashIndex.candidates(
+      spark, probe, "doc_id", "source", "text", idxDir,
+      live = Some(NdjsonIngest.readLatestMerged(spark, tableDir, "doc_id")
+        .select("doc_id")))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairsWithLive().contains((1L, 9L)))
+    // tombstone doc 1: its persisted signature must stop matching
+    NdjsonIngest.deleteDelta(Seq(1L).toDF("doc_id"), tableDir, "doc_id")
+    val after = pairsWithLive()
+    assert(!after.exists(p => p._1 == 1L || p._2 == 1L), s"deleted doc in $after")
+    assert(after.contains((2L, 9L))) // the near-dup survivor still pairs
+    // without the live filter the stale signature would still match
+    assert(SimHashIndex.candidates(spark, probe, "doc_id", "source", "text", idxDir)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      .contains((1L, 9L)))
+  }
+
   test("append recovers from an orphan layer dir; compaction folds the chain") {
     val dir = Files.createTempDirectory("shorphan").toString + "/idx"
     SimHashIndex.build(spark, docs((1L, "s", base)), "doc_id", "source", "text", dir)
