@@ -141,9 +141,18 @@ object AnnIndex {
     * table (the index never stores floats). Same semantics as [[Pq.topk]];
     * the difference is what gets read.
     */
+  /** `live`, when given (one `idCol` row per still-live vector),
+    * semi-joins the code scan BEFORE the ADC top-`refine` cut: the exact
+    * re-rank join against `emb` already drops deleted vectors, but
+    * without the filter their persisted codes still consume refine slots
+    * (with a small `refine`, a deleted near neighbor can push every live
+    * one out). Codes layers are append-only and outlive deletes — same
+    * contract as the near-dup band indexes.
+    */
   def search(spark: SparkSession, h: Handle, emb: DataFrame, idCol: String,
       vecCol: String, probes: Seq[(Long, Array[Double])],
-      k: Int = 5, nprobe: Int = 4, refine: Int = 20): DataFrame = {
+      k: Int = 5, nprobe: Int = 4, refine: Int = 20,
+      live: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val m = h.books.length
     val pdf = probes.flatMap { case (qid, qv) =>
@@ -153,7 +162,7 @@ object AnnIndex {
     val probedCells = probes
       .flatMap { case (_, qv) => Ivf.probeCells(qv, h.cents, nprobe) }
       .distinct.map(Integer.valueOf)
-    val codes = spark.read
+    val codesAll = spark.read
       // basePath anchors partition discovery when the chain has >1 layer
       // root (each layer is its own partitioned dataset under codes/)
       .option("basePath", s"${h.indexDir}/codes")
@@ -161,6 +170,10 @@ object AnnIndex {
       // static partition pruning: unprobed cells' files are never listed
       // into the scan
       .filter(col("cell").isin(probedCells: _*))
+    val codes = live.foldLeft(codesAll) { (c, lv) =>
+      c.join(lv.select(col(idCol).as("__live_id")),
+        col("id") === col("__live_id"), "left_semi")
+    }
     val adc = (0 until m).map(j =>
       element_at(element_at(col("lut"), j + 1),
         element_at(col("code"), j + 1) + 1)).reduce(_ + _)

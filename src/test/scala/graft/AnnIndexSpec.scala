@@ -110,6 +110,42 @@ class AnnIndexSpec extends SparkSpec {
     assert(got.contains(999L), s"appended vector missing from $got")
   }
 
+  test("live-set filter keeps deleted vectors out of the refine window") {
+    val dir = Files.createTempDirectory("annidxdel").toString + "/idx"
+    val h = AnnIndex.buildOrLoad(spark, emb, "vec_id", "embedding", dir,
+      dim, cells = 4, m = 2, k = 8, iters = 3)
+    // ids 1..10 are deleted from the vector table; the code layers keep
+    // their persisted codes (append-only)
+    val deleted = (1L to 10L).map(Long.box)
+    val liveEmb = emb.filter(!col("vec_id").isin(deleted: _*)).localCheckpoint()
+    val probes = Seq((0L, vecs.head._2.map(_.toDouble)))
+    val got = AnnIndex.search(spark, h, liveEmb, "vec_id", "embedding",
+      probes, k = 5, nprobe = 1, refine = 30,
+      live = Some(liveEmb.select("vec_id")))
+    val ids = got.select("n_id").as[Long].collect().toSet
+    assert(ids.intersect(deleted.map(_.toLong).toSet).isEmpty)
+    assert(ids.size === 5) // deleted codes no longer consume refine slots
+    // equals the exhaustive top-5 over the LIVE subset (cluster 0 keeps
+    // 14 live neighbors, so the whole true top-5 sits in the probed cell)
+    val e = liveEmb.select(col("vec_id"), col("embedding"),
+      VF.norm2(col("embedding")).as("nrm"))
+    val w = Window.orderBy(col("cos").desc, col("vec_id"))
+    val truth = e.filter(col("vec_id") =!= 0L)
+      .withColumn("cos", round(
+        VF.dot(typedLit(vecs.head._2.map(_.toDouble).toSeq), col("embedding")) /
+          (lit(math.sqrt(vecs.head._2.map(x => x.toDouble * x).sum)) * col("nrm")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids === truth, s"got $ids vs exhaustive $truth")
+    // the code scan carries the semi-join (before the ADC cut)
+    val plan = AnnIndex.search(spark, h, liveEmb, "vec_id", "embedding",
+      probes, k = 5, nprobe = 1, refine = 30,
+      live = Some(liveEmb.select("vec_id")))
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(plan.toLowerCase.contains("leftsemi"), plan.take(1500))
+  }
+
   test("change feed keeps the persisted index fresh without retraining") {
     import graft.sources.{ChangeFeedConsumer, NdjsonIngest}
     val base = Files.createTempDirectory("annfeed").toString
