@@ -120,16 +120,25 @@ object AnnIndex {
     * fan-in, same policy as the table/posting-index chains. The model is
     * untouched.
     */
+  /** `live` (a one-column frame of live ids), when given, PURGES deleted
+    * vectors' codes during the fold and forces the fold even under the
+    * layer bound — the physical half of the delete lifecycle
+    * (search-time `live = …` filtering is the logical half).
+    */
   def compactCodes(spark: SparkSession, indexDir: String,
-      maxLayers: Int = 8): Boolean = {
+      maxLayers: Int = 8,
+      live: Option[org.apache.spark.sql.DataFrame] = None): Boolean = {
     val h = load(spark, indexDir).getOrElse(
       throw new IllegalStateException(s"no committed index at $indexDir"))
-    if (h.layers.length <= maxLayers) return false
+    if (h.layers.length <= maxLayers && live.isEmpty) return false
     val next = (h.layers.map(_.toLong).max + 1).toString
-    spark.read.option("basePath", s"$indexDir/codes")
-      .parquet(h.layers.map(l => s"$indexDir/codes/layer=$l"): _*)
-      .select("id", "code", "cell")
-      .write.mode(SaveMode.ErrorIfExists).partitionBy("cell")
+    val folded = live.foldLeft(
+      spark.read.option("basePath", s"$indexDir/codes")
+        .parquet(h.layers.map(l => s"$indexDir/codes/layer=$l"): _*)
+        .select("id", "code", "cell")) { (c, lv) =>
+      c.join(lv.toDF("__live_id"), col("id") === col("__live_id"), "left_semi")
+    }
+    folded.write.mode(SaveMode.ErrorIfExists).partitionBy("cell")
       .parquet(s"$indexDir/codes/layer=$next")
     commitMeta(indexDir, Seq(next))
     true

@@ -156,13 +156,22 @@ object DedupIndex {
   /** Fold a chain longer than `maxLayers` into one layer (signatures are
     * append-only: plain rewrite), bounding union width and small files —
     * the same policy as the posting-index and ANN-codes chains.
+    * `live`, when given, PURGES tombstoned documents' signatures during
+    * the fold (the physical half of the delete lifecycle — probe-time
+    * `candidates(live = …)` filtering is the logical half), and forces
+    * the fold even under the layer bound so a purge can be scheduled
+    * explicitly.
     */
-  def compact(spark: SparkSession, dir: String, maxLayers: Int = 8): Boolean = {
+  def compact(spark: SparkSession, dir: String, maxLayers: Int = 8,
+      live: Option[DataFrame] = None): Boolean = {
     val ls = layers(dir)
     require(ls.nonEmpty, s"no committed dedup index at $dir")
-    if (ls.length <= maxLayers) return false
+    if (ls.length <= maxLayers && live.isEmpty) return false
     val next = nextLayer(dir, ls)
-    load(spark, dir).write.mode(SaveMode.ErrorIfExists)
+    val folded = live.foldLeft(load(spark, dir)) { (ix, lv) =>
+      ix.join(lv.toDF("__live_id"), col("id") === col("__live_id"), "left_semi")
+    }
+    folded.write.mode(SaveMode.ErrorIfExists)
       .parquet(s"$dir/bands/layer=$next")
     commitMeta(dir, Seq(next))
     true

@@ -177,13 +177,22 @@ object SimHashIndex {
       .distinct()
   }
 
-  /** Fold a chain longer than `maxLayers` into one layer. */
-  def compact(spark: SparkSession, dir: String, maxLayers: Int = 8): Boolean = {
+  /** Fold a chain longer than `maxLayers` into one layer. `live` (a
+    * one-column frame of live ids), when given, PURGES tombstoned
+    * documents' signatures during the fold and forces the fold even
+    * under the layer bound — the physical half of the delete lifecycle
+    * (probe-time `candidates(live = …)` is the logical half).
+    */
+  def compact(spark: SparkSession, dir: String, maxLayers: Int = 8,
+      live: Option[DataFrame] = None): Boolean = {
     val ls = layers(dir)
     require(ls.nonEmpty, s"no committed simhash index at $dir")
-    if (ls.length <= maxLayers) return false
+    if (ls.length <= maxLayers && live.isEmpty) return false
     val next = nextLayer(dir, ls)
-    load(spark, dir).write.mode(SaveMode.ErrorIfExists)
+    val folded = live.foldLeft(load(spark, dir)) { (ix, lv) =>
+      ix.join(lv.toDF("__live_id"), col("id") === col("__live_id"), "left_semi")
+    }
+    folded.write.mode(SaveMode.ErrorIfExists)
       .parquet(s"$dir/bands/layer=$next")
     commitMeta(dir, Seq(next))
     true

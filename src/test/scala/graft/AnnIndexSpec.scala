@@ -144,6 +144,16 @@ class AnnIndexSpec extends SparkSpec {
       live = Some(liveEmb.select("vec_id")))
       .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
     assert(plan.toLowerCase.contains("leftsemi"), plan.take(1500))
+    // purge-on-compact physically drops the deleted codes: a live-blind
+    // search now equals the filtered one
+    assert(AnnIndex.compactCodes(spark, dir,
+      live = Some(liveEmb.select("vec_id"))))
+    val h2 = AnnIndex.load(spark, dir).get
+    assert(h2.layers.length === 1)
+    val blind = AnnIndex.search(spark, h2, liveEmb, "vec_id", "embedding",
+      probes, k = 5, nprobe = 1, refine = 30)
+      .select("n_id").as[Long].collect().toSet
+    assert(blind === truth)
   }
 
   test("change feed keeps the persisted index fresh without retraining") {

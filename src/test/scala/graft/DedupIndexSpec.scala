@@ -102,6 +102,14 @@ class DedupIndexSpec extends SparkSpec {
     // routing-blind probe still sees the stale signature (documented)
     assert(DedupIndex.candidates(spark, probe, "doc_id", "text", idxDir)
       .as[(Long, Long)].collect().toSet.contains((1L, 9L)))
+    // purge-on-compact physically removes it
+    assert(DedupIndex.compact(spark, idxDir,
+      live = Some(NdjsonIngest.readLatestMerged(spark, tableDir, "doc_id")
+        .select("doc_id"))))
+    assert(DedupIndex.load(spark, idxDir).select("id").distinct()
+      .as[Long].collect().toSet === Set(2L, 3L))
+    assert(!DedupIndex.candidates(spark, probe, "doc_id", "text", idxDir)
+      .as[(Long, Long)].collect().toSet.exists(p => p._1 == 1L || p._2 == 1L))
   }
 
   test("append recovers from an orphan layer dir (crash between write and commit)") {

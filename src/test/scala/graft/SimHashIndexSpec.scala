@@ -125,6 +125,17 @@ class SimHashIndexSpec extends SparkSpec {
     assert(SimHashIndex.candidates(spark, probe, "doc_id", "source", "text", idxDir)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
       .contains((1L, 9L)))
+    // purge-on-compact physically removes the tombstoned signature: even a
+    // live-blind probe no longer sees it
+    assert(SimHashIndex.compact(spark, idxDir,
+      live = Some(NdjsonIngest.readLatestMerged(spark, tableDir, "doc_id")
+        .select("doc_id"))))
+    assert(SimHashIndex.layers(idxDir).length === 1)
+    assert(SimHashIndex.load(spark, idxDir).select("id").distinct()
+      .as[Long].collect().toSet === Set(2L, 3L))
+    assert(!SimHashIndex.candidates(spark, probe, "doc_id", "source", "text", idxDir)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      .exists(p => p._1 == 1L || p._2 == 1L))
   }
 
   test("append recovers from an orphan layer dir; compaction folds the chain") {
