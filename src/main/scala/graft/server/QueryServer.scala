@@ -151,12 +151,12 @@ final class QueryServer(catalog: Catalog, dataVersion: String, port: Int = 0,
         try {
           val it = toNdjson(df)
           var aborted = false
-          while (!aborted && it.hasNext) {
-            val line = it.next()
-            while (!aborted && !queue.offer(line, 1, TimeUnit.SECONDS))
+          def put(v: AnyRef): Unit =
+            while (!aborted && !queue.offer(v, 1, TimeUnit.SECONDS))
               aborted = dead.get
-          }
-          if (!aborted) queue.put(StreamEnd)
+          while (!aborted && it.hasNext) put(it.next())
+          if (!aborted) put(StreamEnd) // offer-loop: a dead writer with a
+          // full queue must not park this thread forever
         } catch { case t: Throwable => queue.offer(StreamErr(t)) }
         finally spark.sparkContext.clearJobGroup()
       }
