@@ -162,11 +162,30 @@ object SimHashIndex {
       col("id").as("q_id") +: col("source") +:
         (0 until Bands).map(b => col(s"p$b").as(s"q_p$b")) :+
         col("band") :+ col("bits"): _*)
+    pairsOf(spark, pb, dir, live)
+  }
+
+  /** Candidate pairs for documents ALREADY IN the index — the change-feed
+    * tick's shape once its layer is committed: the batch's band rows come
+    * from the index itself (an id semi-join on the layer chain), so the
+    * probe pays NO re-tokenization or signing, just the banded equi-join.
+    */
+  def candidatesForIds(spark: SparkSession, ids: DataFrame, dir: String,
+      live: Option[DataFrame] = None): DataFrame = {
+    val pb = load(spark, dir)
+      .join(ids.toDF("__q_id"), col("id") === col("__q_id"), "left_semi")
+      .select(col("id").as("q_id") +: col("source") +:
+        (0 until Bands).map(b => col(s"p$b").as(s"q_p$b")) :+
+        col("band") :+ col("bits"): _*)
+    pairsOf(spark, pb, dir, live)
+  }
+
+  private def pairsOf(spark: SparkSession, pb: DataFrame, dir: String,
+      live: Option[DataFrame]): DataFrame = {
     val ham: Column = (0 until Bands).map(k =>
       bit_count(col(s"q_p$k").bitwiseXOR(col(s"p$k")))).reduce(_ + _)
     val idx = live.foldLeft(load(spark, dir)) { (ix, lv) =>
-      ix.join(lv.select(col(idCol).as("__live_id")),
-        col("id") === col("__live_id"), "left_semi")
+      ix.join(lv.toDF("__live_id"), col("id") === col("__live_id"), "left_semi")
     }
     pb.join(idx, Seq("source", "band", "bits"))
       .filter(col("q_id") =!= col("id"))

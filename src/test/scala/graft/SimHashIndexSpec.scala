@@ -99,6 +99,12 @@ class SimHashIndexSpec extends SparkSpec {
       .candidates(spark, fed, "doc_id", "source", "text", idxDir)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 42L)), s"cross-layer pair missing: $pairs")
+    // once the batch's layer is committed, an ID probe (no re-signing)
+    // yields the same pairs as re-signing the batch text
+    val byId = SimHashIndex
+      .candidatesForIds(spark, fed.select("doc_id"), idxDir)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(byId === pairs, s"id-probe $byId != text-probe $pairs")
   }
 
   test("deleted documents stop producing pairs when probed with the live set") {
