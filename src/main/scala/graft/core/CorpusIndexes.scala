@@ -1,0 +1,166 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{ConnectedComponents, DedupIndex, SimHashIndex}
+import graft.sources.{ChangeFeedConsumer, NdjsonIngest}
+
+/** ONE-CALL preprocessing for a versioned DOCUMENT corpus — the
+  * training-data twin of [[Database.build]]'s genomic preprocessing:
+  * keeps the persisted near-dup indexes (MinHash bands, SimHash bands)
+  * AND the materialized dedup cluster table in lockstep with the
+  * table's change feed.
+  *
+  * Layout under `stateDir`:
+  * {{{
+  *   minhash/       DedupIndex layer chain
+  *   simhash/       SimHashIndex layer chain
+  *   clusters/gen=N (node, comp) parquet generations
+  *   clusters/meta  current generation pointer (tmp+rename, committed LAST)
+  *   feed/cursor    ChangeFeedConsumer cursor
+  * }}}
+  *
+  * Per [[sync]] tick (insert-only commits): both indexes `append` the
+  * batch (O(batch) signing), the batch's candidate edges come from an ID
+  * probe of the just-committed simhash layer ([[SimHashIndex
+  * .candidatesForIds]] — no re-signing), and the cluster table advances
+  * via [[ConnectedComponents.refresh]] (contracted O(batch) fixpoint +
+  * one linear remap pass). A tick containing DELETES falls back to the
+  * sound path: purge-compact both indexes against the live set and
+  * rebuild the cluster table from an index-served candidate pass — the
+  * same contract as the delta-join algebra (removals rebuild, appends
+  * fold). Crash-safe: the cursor advances only after every artifact
+  * committed; replayed ticks re-append idempotently numbered layers and
+  * rewrite the same cluster generation.
+  */
+object CorpusIndexes {
+
+  private def clustersMeta(stateDir: String) =
+    java.nio.file.Paths.get(stateDir, "clusters", "meta")
+
+  private def commitClusters(stateDir: String, gen: Long): Unit = {
+    val tmp = java.nio.file.Paths.get(stateDir, "clusters", ".meta.tmp")
+    java.nio.file.Files.createDirectories(tmp.getParent)
+    java.nio.file.Files.writeString(tmp, gen.toString)
+    java.nio.file.Files.move(tmp, clustersMeta(stateDir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def clustersGen(stateDir: String): Option[Long] = {
+    val p = clustersMeta(stateDir)
+    if (java.nio.file.Files.exists(p))
+      Some(java.nio.file.Files.readString(p).trim.toLong)
+    else None
+  }
+
+  /** The committed (node, comp) cluster table. */
+  def clusters(spark: SparkSession, stateDir: String): DataFrame = {
+    val gen = clustersGen(stateDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed clusters at $stateDir"))
+    spark.read.parquet(s"$stateDir/clusters/gen=$gen")
+  }
+
+  private def writeClusters(stateDir: String, labels: DataFrame): Unit = {
+    val gen = clustersGen(stateDir).getOrElse(0L) + 1
+    labels.select(col("node"), col("comp"))
+      .write.mode("overwrite").parquet(s"$stateDir/clusters/gen=$gen")
+    commitClusters(stateDir, gen)
+  }
+
+  private def liveDocs(spark: SparkSession, tableDir: String,
+      idCol: String): DataFrame =
+    NdjsonIngest.readLatestMerged(spark, tableDir, idCol)
+
+  /** Rebuild everything from the table's current merged state (bootstrap
+    * and the delete fallback): index the live docs from scratch only when
+    * no index exists; otherwise purge-compact the existing chains, then
+    * recompute the cluster table from an index-served candidate pass.
+    */
+  /** `touched`: ids the triggering tick changed in ANY way. The purge
+    * keeps (live MINUS touched): an upserted doc keeps its id, so a
+    * purge by live-ids alone would retain its STALE signature — dropping
+    * touched ids forces a fresh signing of their current text via the
+    * missing-doc append below.
+    */
+  private def rebuild(spark: SparkSession, tableDir: String, stateDir: String,
+      idCol: String, srcCol: String, textCol: String,
+      touched: Option[DataFrame] = None): Unit = {
+    val live = liveDocs(spark, tableDir, idCol).localCheckpoint()
+    val liveIds = live.select(idCol)
+    val keepIds = touched.foldLeft(liveIds) { (l, t) =>
+      l.join(t.toDF("__t_id"), col(idCol) === col("__t_id"), "left_anti")
+    }
+    // signatures a live doc should have but the chain lacks (never
+    // indexed, or purged above because its tick touched it)
+    def missingFrom(indexed: DataFrame): DataFrame =
+      live.join(indexed.select(col("id")).distinct().toDF("__have_id"),
+        col(idCol) === col("__have_id"), "left_anti")
+    if (DedupIndex.layers(s"$stateDir/minhash").isEmpty)
+      DedupIndex.build(spark, live, idCol, textCol, s"$stateDir/minhash")
+    else {
+      DedupIndex.compact(spark, s"$stateDir/minhash", live = Some(keepIds))
+      val miss = missingFrom(DedupIndex.load(spark, s"$stateDir/minhash"))
+      if (!miss.isEmpty)
+        DedupIndex.append(spark, miss, idCol, textCol, s"$stateDir/minhash")
+    }
+    if (SimHashIndex.layers(s"$stateDir/simhash").isEmpty)
+      SimHashIndex.build(spark, live, idCol, srcCol, textCol, s"$stateDir/simhash")
+    else {
+      SimHashIndex.compact(spark, s"$stateDir/simhash", live = Some(keepIds))
+      val miss = missingFrom(SimHashIndex.load(spark, s"$stateDir/simhash"))
+      if (!miss.isEmpty)
+        SimHashIndex.append(spark, miss, idCol, srcCol, textCol,
+          s"$stateDir/simhash")
+    }
+    val edges = SimHashIndex.candidatesForIds(spark, liveIds, s"$stateDir/simhash")
+    writeClusters(stateDir, ConnectedComponents.components(
+      edges, "a_id", "b_id", liveIds.toDF("node"), "node"))
+  }
+
+  /** Advance every artifact to the table's head. Returns the commit
+    * range processed, or None when already fresh. First call bootstraps
+    * from the table's current state.
+    */
+  def sync(spark: SparkSession, tableDir: String, stateDir: String,
+      idCol: String = "doc_id", srcCol: String = "source",
+      textCol: String = "text"): Option[(Long, Long)] = {
+    if (clustersGen(stateDir).isEmpty) {
+      // bootstrap: index the world as-is, then mark the feed consumed so
+      // the next tick starts from here
+      val head = NdjsonIngest.commits(tableDir).lastOption.getOrElse(0L)
+      require(head > 0, s"no commits at $tableDir")
+      rebuild(spark, tableDir, stateDir, idCol, srcCol, textCol)
+      new java.io.File(s"$stateDir/feed").mkdirs()
+      val tmp = java.nio.file.Paths.get(stateDir, "feed", ".cursor.tmp")
+      java.nio.file.Files.writeString(tmp, head.toString)
+      java.nio.file.Files.move(tmp,
+        java.nio.file.Paths.get(stateDir, "feed", "cursor"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      return Some((0L, head))
+    }
+    ChangeFeedConsumer.process(spark, tableDir, idCol, s"$stateDir/feed") { feed =>
+      val f = feed.localCheckpoint()
+      // anything but plain inserts (deletes, upserts' delete half, a
+      // mid-life snapshot) makes the refresh algebra unsound: rebuild path
+      val hasNonInsert = f.filter(col("_change_type") =!= "insert").limit(1)
+        .count() > 0
+      if (hasNonInsert) {
+        rebuild(spark, tableDir, stateDir, idCol, srcCol, textCol,
+          touched = Some(f.select(idCol).distinct()))
+      } else {
+        val batch = f.filter(col("_change_type") === "insert")
+          .select(idCol, srcCol, textCol).localCheckpoint()
+        DedupIndex.append(spark, batch, idCol, textCol, s"$stateDir/minhash")
+        SimHashIndex.append(spark, batch, idCol, srcCol, textCol,
+          s"$stateDir/simhash")
+        val edges = SimHashIndex.candidatesForIds(spark,
+          batch.select(idCol), s"$stateDir/simhash")
+        writeClusters(stateDir, ConnectedComponents.refresh(
+          clusters(spark, stateDir), edges, "a_id", "b_id",
+          batch.select(col(idCol).as("node")), "node"))
+      }
+    }
+  }
+}

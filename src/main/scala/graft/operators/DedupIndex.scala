@@ -139,12 +139,24 @@ object DedupIndex {
     */
   def candidates(spark: SparkSession, probe: DataFrame, idCol: String,
       textCol: String, dir: String,
-      live: Option[DataFrame] = None): DataFrame = {
-    val pb = bandSignatures(probe, idCol, textCol)
-      .select(col("id").as("p_id"), col("band"), col("sig"))
+      live: Option[DataFrame] = None): DataFrame =
+    pairsOf(spark, bandSignatures(probe, idCol, textCol)
+      .select(col("id").as("p_id"), col("band"), col("sig")), dir, live)
+
+  /** Candidate pairs for documents ALREADY IN the index — the committed
+    * tick's shape: the probe's band signatures come from the index itself
+    * (an id semi-join on the layer chain), no re-shingling or hashing.
+    */
+  def candidatesForIds(spark: SparkSession, ids: DataFrame, dir: String,
+      live: Option[DataFrame] = None): DataFrame =
+    pairsOf(spark, load(spark, dir)
+      .join(ids.toDF("__q_id"), col("id") === col("__q_id"), "left_semi")
+      .select(col("id").as("p_id"), col("band"), col("sig")), dir, live)
+
+  private def pairsOf(spark: SparkSession, pb: DataFrame, dir: String,
+      live: Option[DataFrame]): DataFrame = {
     val idx = live.foldLeft(load(spark, dir)) { (ix, lv) =>
-      ix.join(lv.select(col(idCol).as("__live_id")),
-        col("id") === col("__live_id"), "left_semi")
+      ix.join(lv.toDF("__live_id"), col("id") === col("__live_id"), "left_semi")
     }
     pb.join(idx, Seq("band", "sig"))
       .filter(col("p_id") =!= col("id"))

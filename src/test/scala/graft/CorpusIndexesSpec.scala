@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+import graft.core.CorpusIndexes
+import graft.operators.{DedupIndex, SimHashIndex}
+import graft.sources.NdjsonIngest
+
+/** One-call corpus preprocessing: indexes + cluster table advance with
+  * the change feed — O(batch) folds for insert ticks, the sound
+  * rebuild/purge path for deletes and upserts.
+  */
+class CorpusIndexesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and then runs far away " +
+      "across the wide green field toward the old stone bridge"
+  private val nearDup = base.replace("jumps", "leaps")
+  private val other =
+    "completely different words about spark shuffles parquet row groups " +
+      "executors stages tasks codegen whole stage compilation"
+
+  private def docs(r: (Long, String, String)*) =
+    r.toDF("doc_id", "source", "text")
+
+  private def clusterMap(stateDir: String): Map[Long, Long] =
+    CorpusIndexes.clusters(spark, stateDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("bootstrap → insert tick → delete tick → upsert tick") {
+    val root = Files.createTempDirectory("corpusidx").toString
+    val tableDir = s"$root/docs"; val state = s"$root/state"
+
+    // bootstrap from the table's current state
+    NdjsonIngest.appendVersion(
+      docs((1L, "s", base), (3L, "s", other)), tableDir, "doc_id") // c1
+    assert(CorpusIndexes.sync(spark, tableDir, state).contains((0L, 1L)))
+    assert(clusterMap(state) === Map(1L -> 1L, 3L -> 3L))
+    assert(DedupIndex.layers(s"$state/minhash") === Seq("1"))
+    assert(SimHashIndex.layers(s"$state/simhash") === Seq("1"))
+    // fresh → no-op
+    assert(CorpusIndexes.sync(spark, tableDir, state).isEmpty)
+
+    // INSERT tick: a near-dup of doc 1 arrives → O(batch) fold merges it
+    NdjsonIngest.appendDelta(docs((42L, "s", nearDup)), tableDir, "doc_id") // c2
+    assert(CorpusIndexes.sync(spark, tableDir, state).contains((1L, 2L)))
+    assert(clusterMap(state) === Map(1L -> 1L, 3L -> 3L, 42L -> 1L))
+    assert(DedupIndex.layers(s"$state/minhash").length === 2) // appended
+    assert(SimHashIndex.layers(s"$state/simhash").length === 2)
+
+    // DELETE tick: doc 1 goes → rebuild path purges its signatures and
+    // re-derives the cluster table from the live world
+    NdjsonIngest.deleteDelta(Seq(1L).toDF("doc_id"), tableDir, "doc_id") // c3
+    assert(CorpusIndexes.sync(spark, tableDir, state).contains((2L, 3L)))
+    assert(clusterMap(state) === Map(3L -> 3L, 42L -> 42L))
+    assert(SimHashIndex.load(spark, s"$state/simhash")
+      .select("id").distinct().as[Long].collect().toSet === Set(3L, 42L))
+    assert(DedupIndex.load(spark, s"$state/minhash")
+      .select("id").distinct().as[Long].collect().toSet === Set(3L, 42L))
+
+    // UPSERT tick: doc 3's text becomes doc 42's → its STALE signature
+    // must be re-signed (id survives, content changed) and the pair forms
+    NdjsonIngest.upsertDelta(docs((3L, "s", nearDup)), tableDir, "doc_id") // c4
+    assert(CorpusIndexes.sync(spark, tableDir, state).contains((3L, 4L)))
+    assert(clusterMap(state) === Map(3L -> 3L, 42L -> 3L))
+    // and nothing further to do
+    assert(CorpusIndexes.sync(spark, tableDir, state).isEmpty)
+  }
+}
