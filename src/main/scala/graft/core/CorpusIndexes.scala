@@ -66,6 +66,13 @@ object CorpusIndexes {
     labels.select(col("node"), col("comp"))
       .write.mode("overwrite").parquet(s"$stateDir/clusters/gen=$gen")
     commitClusters(stateDir, gen)
+    // retain the committed gen plus one predecessor (for readers that
+    // loaded just before the pointer flip); older generations are garbage
+    val dir = new java.io.File(s"$stateDir/clusters")
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("gen="))
+      .filter(_.getName.stripPrefix("gen=").toLongOption.exists(_ < gen - 1))
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
   }
 
   private def liveDocs(spark: SparkSession, tableDir: String,

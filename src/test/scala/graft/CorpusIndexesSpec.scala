@@ -65,5 +65,11 @@ class CorpusIndexesSpec extends SparkSpec {
     assert(clusterMap(state) === Map(3L -> 3L, 42L -> 3L))
     // and nothing further to do
     assert(CorpusIndexes.sync(spark, tableDir, state).isEmpty)
+
+    // generation retention: 4 syncs happened; only the last two gens remain
+    val gens = new java.io.File(s"$state/clusters").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen="))
+      .map(_.getName.stripPrefix("gen=").toLong).sorted.toSeq
+    assert(gens === Seq(3L, 4L), s"gens $gens")
   }
 }
