@@ -288,7 +288,10 @@ final class QueryServer(catalog: Catalog, dataVersion: String, port: Int = 0,
       else handleQuery(ex)
     })
 
-    server.setExecutor(null)
+    // a null executor runs every exchange on the single dispatcher
+    // thread — concurrent queries would serialize at the HTTP layer even
+    // though Spark-side work is pooled; dispatch handlers on the pool
+    server.setExecutor(pool)
     server.start()
   }
 
