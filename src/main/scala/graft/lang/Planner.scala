@@ -500,6 +500,22 @@ final class Planner(catalog: Planner.Catalog) {
 
   private def err(msg: String): Nothing = throw QueryError(msg)
 
+  /** The shared routing gate of the mutations()/insertions() vertical
+    * fast path: a loaded index for the origin table, its pk still in
+    * scope, and the input NOT the bare table — over the unfiltered table
+    * the explode's map-side (pos, sym) partial combine shuffles a
+    * genome×alphabet-bounded partial set, while the posting semi-join
+    * would shuffle every posting against every pk; the index only wins
+    * once a filter cut F.
+    */
+  private def verticalIndexCtx(in: Tbl): Option[(Map[String, SeqIndex], String)] =
+    for {
+      t <- in.origin
+      if !catalog.tables.get(t).exists(_ eq in.df)
+      m <- catalog.mutIndexes.get(t)
+      pk <- catalog.primaryKeys.get(t) if in.df.columns.contains(pk)
+    } yield (m, pk)
+
   /** Expose predicate compilation for Planner.filteredIds. */
   private[lang] def predicate(e: Expr, df: DataFrame,
       origin: Option[String] = None): Column =
@@ -867,18 +883,8 @@ final class Planner(catalog: Planner.Catalog) {
         // scan + pk semi-join — instead of exploding the wide row-level
         // `muts` arrays of the fact table. Coverage still reads the
         // filtered rows (interval prefix sum), but the dominant
-        // per-diff term skips the fact table entirely. Gate: only when
-        // the input is NOT the bare table — over the unfiltered table
-        // the explode's map-side (pos, sym) partial combine shuffles a
-        // genome×alphabet-bounded partial set, while the semi-join would
-        // shuffle every posting against every pk; the index only wins
-        // once a filter cut F.
-        val idxCtx = for {
-          t <- in.origin
-          if !catalog.tables.get(t).exists(_ eq in.df)
-          m <- catalog.mutIndexes.get(t)
-          pk <- catalog.primaryKeys.get(t) if in.df.columns.contains(pk)
-        } yield (m, pk)
+        // per-diff term skips the fact table entirely.
+        val idxCtx = verticalIndexCtx(in)
         val base = chosen.map { case (name, b) =>
           val diffRows = idxCtx.flatMap { case (indexes, pk) =>
             indexes.get(name).map { si =>
@@ -914,14 +920,8 @@ final class Planner(catalog: Planner.Catalog) {
           in.df.columns.contains(s"${b.prefix}ins") }
         if (withIns.isEmpty) err(s"$fn: table has no insertion data")
         // same vertical-index fast path as mutations(): insPostings ⋉ F_ids
-        // replaces the row-level `ins` explode when an index is loaded
-        // and the input is not the bare table (same gate rationale)
-        val insIdxCtx = for {
-          t <- in.origin
-          if !catalog.tables.get(t).exists(_ eq in.df)
-          m <- catalog.mutIndexes.get(t)
-          pk <- catalog.primaryKeys.get(t) if in.df.columns.contains(pk)
-        } yield (m, pk)
+        // replaces the row-level `ins` explode when the gate passes
+        val insIdxCtx = verticalIndexCtx(in)
         Tbl(withIns.map { case (name, b) =>
           val insRows = insIdxCtx.flatMap { case (indexes, pk) =>
             indexes.get(name).flatMap(_.insPostings).map { ip =>

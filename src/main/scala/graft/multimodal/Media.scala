@@ -620,7 +620,10 @@ object Media {
     if (blob.length < 4 || (blob(0) & 0xff) != 0xff || (blob(1) & 0xff) != 0xd8)
       return None
     try decodeJpegToPlanes(blob).flatMap(jpegPlanesMean)
-    catch { case _: ArrayIndexOutOfBoundsException => None }
+    catch {
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None // belt-and-braces
+    }
   }
 
   /** Per-pixel gray plane for baseline AND progressive JPEGs — the same
@@ -633,7 +636,10 @@ object Media {
     if (blob.length < 4 || (blob(0) & 0xff) != 0xff || (blob(1) & 0xff) != 0xd8)
       return None
     try decodeJpegToPlanes(blob).map(jpegPlanesGray)
-    catch { case _: ArrayIndexOutOfBoundsException => None }
+    catch {
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None // belt-and-braces
+    }
   }
 
   /** Decoded component planes at native sampling resolution, before any
@@ -887,9 +893,14 @@ object Media {
     val mcusX = (imgW + 8 * hMax - 1) / (8 * hMax)
     val mcusY = (imgH + 8 * vMax - 1) / (8 * vMax)
     if (mcusX.toLong * mcusY > (1L << 24)) return None // bound work
-    // per-component plane at its native sampling resolution
+    // per-component plane at its native sampling resolution; the MCU
+    // bound alone does not keep stride×rows inside Int (65000² dims with
+    // 2×2 sampling pass it but wrap the allocation size negative)
     val strideC = comps.map { case (hs, _, _) => mcusX * hs * 8 }
     val rowsC = comps.map { case (_, vs, _) => mcusY * vs * 8 }
+    if ((0 until nc).exists(c => strideC(c).toLong * rowsC(c) > Int.MaxValue) ||
+        imgW.toLong * imgH > Int.MaxValue)
+      return None
     val planes = Array.tabulate(nc)(c => new Array[Byte](strideC(c) * rowsC(c)))
     val pred = new Array[Int](nc)
     val coef = new Array[Int](64)
@@ -1250,6 +1261,12 @@ object Media {
     val mcusX = (imgW + 8 * hMax - 1) / (8 * hMax)
     val mcusY = (imgH + 8 * vMax - 1) / (8 * vMax)
     val strideC = comps.map(c => mcusX * c.hs * 8)
+    // same Int-overflow guard as the sequential path (the progressive
+    // block bound keeps coef grids small but not the output planes)
+    if (comps.indices.exists(c =>
+        strideC(c).toLong * mcusY * comps(c).vs * 8 > Int.MaxValue) ||
+        imgW.toLong * imgH > Int.MaxValue)
+      return None
     val planes = Array.tabulate(comps.length)(c =>
       new Array[Byte](strideC(c) * mcusY * comps(c).vs * 8))
     val tmp = Array.ofDim[Double](8, 8)

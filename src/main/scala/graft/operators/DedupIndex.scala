@@ -32,11 +32,20 @@ object DedupIndex {
   val Bands = 4
   private val rows = NumHashes / Bands
 
+  /** Signature-scheme version stamped into meta: layers written under a
+    * different scheme can never equi-join correctly, so a mismatch must
+    * fail LOUDLY instead of silently returning zero candidates.
+    * 2 = three sliced md5s (8-hex-char slots); 1 (or no marker) = the
+    * original twelve full-md5 slots.
+    */
+  val Format = 2
+
   private def metaPath(dir: String) = java.nio.file.Paths.get(dir, "meta")
 
   private def commitMeta(dir: String, layers: Seq[String]): Unit = {
     val tmp = java.nio.file.Paths.get(dir, ".meta.tmp")
-    java.nio.file.Files.writeString(tmp, layers.mkString("\n"))
+    java.nio.file.Files.writeString(tmp,
+      (s"format=$Format" +: layers).mkString("\n"))
     java.nio.file.Files.move(tmp, metaPath(dir),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -44,8 +53,17 @@ object DedupIndex {
 
   def layers(dir: String): Seq[String] =
     if (!java.nio.file.Files.exists(metaPath(dir))) Seq.empty
-    else java.nio.file.Files.readString(metaPath(dir)).split("\n").toSeq
-      .filter(_.nonEmpty)
+    else {
+      val lines = java.nio.file.Files.readString(metaPath(dir))
+        .split("\n").toSeq.filter(_.nonEmpty)
+      val fmt = lines.headOption.filter(_.startsWith("format="))
+        .map(_.stripPrefix("format=").toInt).getOrElse(1)
+      if (fmt != Format)
+        throw new IllegalStateException(
+          s"dedup index at $dir uses signature format $fmt, engine expects " +
+            s"$Format — its band sigs can never match; delete and rebuild it")
+      lines.drop(1)
+    }
 
   /** Next layer number = 1 + max over BOTH the committed meta and any
     * `bands/layer=N` dir already on disk — a crash between the layer write

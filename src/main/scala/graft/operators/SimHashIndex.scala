@@ -30,11 +30,18 @@ object SimHashIndex {
   val Bands = 4
   val HammingMax = 3
 
+  /** Signature-scheme version stamped into meta (same loud-mismatch
+    * contract as [[DedupIndex.Format]]): 1 = 64-bit md5-nibble
+    * hyperplanes, 4×16-bit packed bands.
+    */
+  val Format = 1
+
   private def metaPath(dir: String) = java.nio.file.Paths.get(dir, "meta")
 
   private def commitMeta(dir: String, layers: Seq[String]): Unit = {
     val tmp = java.nio.file.Paths.get(dir, ".meta.tmp")
-    java.nio.file.Files.writeString(tmp, layers.mkString("\n"))
+    java.nio.file.Files.writeString(tmp,
+      (s"format=$Format" +: layers).mkString("\n"))
     java.nio.file.Files.move(tmp, metaPath(dir),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -42,8 +49,17 @@ object SimHashIndex {
 
   def layers(dir: String): Seq[String] =
     if (!java.nio.file.Files.exists(metaPath(dir))) Seq.empty
-    else java.nio.file.Files.readString(metaPath(dir)).split("\n").toSeq
-      .filter(_.nonEmpty)
+    else {
+      val lines = java.nio.file.Files.readString(metaPath(dir))
+        .split("\n").toSeq.filter(_.nonEmpty)
+      val fmt = lines.headOption.filter(_.startsWith("format="))
+        .map(_.stripPrefix("format=").toInt).getOrElse(0)
+      if (fmt != Format)
+        throw new IllegalStateException(
+          s"simhash index at $dir uses signature format $fmt, engine " +
+            s"expects $Format — its bands can never match; delete and rebuild it")
+      lines.drop(1)
+    }
 
   /** Next layer number past BOTH committed meta and any orphan on-disk
     * dir (crash between layer write and meta commit) — see

@@ -148,16 +148,17 @@ final class QueryServer(catalog: Catalog, dataVersion: String, port: Int = 0,
     pool.submit(new Runnable {
       def run(): Unit = {
         spark.sparkContext.setJobGroup(group, "http /query", interruptOnCancel = true)
+        // offer-loop everywhere (rows, end marker, AND the error marker):
+        // a dead writer with a full queue must never park this thread
+        var aborted = false
+        def put(v: AnyRef): Unit =
+          while (!aborted && !queue.offer(v, 1, TimeUnit.SECONDS))
+            aborted = dead.get
         try {
           val it = toNdjson(df)
-          var aborted = false
-          def put(v: AnyRef): Unit =
-            while (!aborted && !queue.offer(v, 1, TimeUnit.SECONDS))
-              aborted = dead.get
           while (!aborted && it.hasNext) put(it.next())
-          if (!aborted) put(StreamEnd) // offer-loop: a dead writer with a
-          // full queue must not park this thread forever
-        } catch { case t: Throwable => queue.offer(StreamErr(t)) }
+          if (!aborted) put(StreamEnd)
+        } catch { case t: Throwable => put(StreamErr(t)) }
         finally spark.sparkContext.clearJobGroup()
       }
     })
@@ -177,18 +178,31 @@ final class QueryServer(catalog: Catalog, dataVersion: String, port: Int = 0,
         ex.sendResponseHeaders(200, -1) // empty result: no body bytes
         ex.close()
       case first: String =>
-        setQueryHeaders(ex, "application/x-ndjson", ordering)
-        ex.sendResponseHeaders(200, 0) // chunked
-        val out = ex.getResponseBody
+        // EVERYTHING from the header send onward sits inside the
+        // abort-guarded try: a client vanishing exactly at
+        // sendResponseHeaders would otherwise skip abort() and leave the
+        // producer (and its Spark jobs) running forever
         try {
+          setQueryHeaders(ex, "application/x-ndjson", ordering)
+          ex.sendResponseHeaders(200, 0) // chunked
+          val out = ex.getResponseBody
           out.write((first + "\n").getBytes(UTF_8))
           var done = false
           while (!done) nextOrNull() match {
             case line: String => out.write((line + "\n").getBytes(UTF_8))
             case StreamEnd => done = true
-            case _ => // timeout or producer failure mid-stream: cancel the
-              // jobs and truncate — headers are already on the wire
+            case other => // timeout or producer failure mid-stream: cancel
+              // the jobs and TERMINATE VISIBLY — headers are out, so a 500
+              // is impossible, but an explicit error row keeps the
+              // truncation detectable instead of a clean-looking body
               abort()
+              val msg = other match {
+                case StreamErr(t) =>
+                  Option(t.getMessage).getOrElse(t.getClass.getName)
+                case _ => s"no batch within $timeoutSeconds seconds"
+              }
+              out.write((s"""{"__streamError":"${jsonEscape(msg)}"}""" + "\n")
+                .getBytes(UTF_8))
               done = true
           }
         } catch {

@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   * The view is itself a versioned table ([[NdjsonIngest]] layer chain),
   * so downstream consumers time-travel/compact/gc it like any other.
   * Refresh CURSORS (the input commit seqs the view reflects) ride in the
-  * view's commit TAG (`ij:<aSeq>:<bSeq>`) — tag and layer list flip in
+  * view's commit TAG (`ij2:<aSeq>:<bSeq>`) — tag and layer list flip in
   * the same pointer rename, so the view content and its cursor are
   * atomic: a crash either commits both or neither, and a replayed
   * refresh sees up-to-date cursors and no-ops. View rows get the
@@ -41,11 +41,21 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalJoin {
 
+  // tag prefix doubles as the __vid ENCODING version: "ij2" = escaped
+  // separators. A view committed under the old raw-concat encoding must
+  // not keep refreshing — its stored vids would no longer match the
+  // guard's, silently disarming the dup-pk check for ':'-bearing keys.
+  private val TagPrefix = "ij2"
+
   private def cursors(viewDir: String): (Long, Long) =
     NdjsonIngest.latestTag(viewDir) match {
-      case Some(t) if t.startsWith("ij:") =>
+      case Some(t) if t.startsWith(s"$TagPrefix:") =>
         val parts = t.split(":")
         (parts(1).toLong, parts(2).toLong)
+      case Some(t) if t.startsWith("ij:") =>
+        throw new IllegalStateException(
+          s"view at $viewDir predates the vid-encoding change (tag '$t'); " +
+            "rebuild() it before refreshing")
       case _ => (0L, 0L)
     }
 
@@ -122,7 +132,7 @@ object IncrementalJoin {
     val terms = newFromA.toSeq ++ newFromB.toSeq
     if (terms.isEmpty) return None // only an empty input moved: nothing to join
     val delta = terms.reduce(_.unionByName(_))
-    val tagged = Some(s"ij:$headA:$headB")
+    val tagged = Some(s"$TagPrefix:$headA:$headB")
     val commit =
       if (!NdjsonIngest.hasLatest(viewDir))
         NdjsonIngest.appendVersion(withVid(delta, aPk, bPk), viewDir, "__vid",
@@ -151,7 +161,7 @@ object IncrementalJoin {
     val b = NdjsonIngest.readCommit(spark, bDir, headB)
     val full = a.join(b, key).select(viewColumns(a, b, key).map(col): _*)
     NdjsonIngest.appendVersion(withVid(full, aPk, bPk), viewDir, "__vid",
-      tag = Some(s"ij:$headA:$headB"))
+      tag = Some(s"$TagPrefix:$headA:$headB"))
   }
 
   /** The materialized view as of its last refresh (minus bookkeeping). */

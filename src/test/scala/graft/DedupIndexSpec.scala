@@ -131,6 +131,18 @@ class DedupIndexSpec extends SparkSpec {
     assert(ids === Set(1L, 3L))
   }
 
+  test("a pre-slicing index (legacy meta) is refused loudly, not silently empty") {
+    // an index written under the old full-md5 signature scheme can never
+    // equi-join against the sliced sigs — probes would return ZERO
+    // candidates forever; the format marker turns that into a loud error
+    val dir = Files.createTempDirectory("dedupfmt").toString + "/idx"
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "meta"), "1\n2") // legacy: no format line
+    val e = intercept[IllegalStateException] { DedupIndex.layers(dir) }
+    assert(e.getMessage.contains("rebuild"))
+  }
+
   test("compaction folds the layer chain; candidates unchanged") {
     val dir = Files.createTempDirectory("dedupcomp").toString + "/idx"
     DedupIndex.build(spark, Seq((1L, base)).toDF("doc_id", "text"),

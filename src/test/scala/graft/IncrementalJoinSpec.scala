@@ -101,6 +101,26 @@ class IncrementalJoinSpec extends SparkSpec {
       Set("a:b" -> "c", "a" -> "b:c"))
   }
 
+  test("a view tagged under the old vid encoding refuses to refresh") {
+    val (aDir, bDir, vDir) = (tmpDir() + "/a", tmpDir() + "/b", tmpDir() + "/v")
+    NdjsonIngest.appendVersion(docs((1L, 10L, "one")), aDir, "doc_id")
+    NdjsonIngest.appendVersion(srcs(10L -> "web"), bDir, "src_id")
+    // simulate a pre-escape view: same content, old-style "ij:" tag
+    NdjsonIngest.appendVersion(
+      docs((1L, 10L, "one")).withColumn("__vid", lit("1:10")),
+      vDir, "__vid", tag = Some("ij:1:1"))
+    // the old tag means stored vids use the raw concat — refreshing would
+    // silently disarm the dup-pk guard; must refuse toward rebuild()
+    val e = intercept[IllegalStateException] {
+      IncrementalJoin.refresh(spark, vDir, aDir, bDir, "src_id", "doc_id", "src_id")
+    }
+    assert(e.getMessage.contains("rebuild"))
+    // rebuild re-materializes under the new encoding and refresh resumes
+    IncrementalJoin.rebuild(spark, vDir, aDir, bDir, "src_id", "doc_id", "src_id")
+    assert(IncrementalJoin.refresh(
+      spark, vDir, aDir, bDir, "src_id", "doc_id", "src_id").isEmpty) // fresh
+  }
+
   test("non-insert-only input commits abort the refresh; rebuild recovers") {
     val (aDir, bDir, vDir) = (tmpDir() + "/a", tmpDir() + "/b", tmpDir() + "/v")
     NdjsonIngest.appendVersion(docs((1L, 10L, "one")), aDir, "doc_id")
