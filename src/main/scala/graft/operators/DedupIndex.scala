@@ -32,52 +32,19 @@ object DedupIndex {
   val Bands = 4
   private val rows = NumHashes / Bands
 
-  /** Signature-scheme version stamped into meta: layers written under a
-    * different scheme can never equi-join correctly, so a mismatch must
-    * fail LOUDLY instead of silently returning zero candidates.
-    * 2 = three sliced md5s (8-hex-char slots); 1 (or no marker) = the
+  /** Chain protocol + signature-format guard ([[BandChain]]): format 2 =
+    * three sliced md5s (8-hex-char slots); 1 (or no marker) = the
     * original twelve full-md5 slots.
     */
-  val Format = 2
+  private val chain = new BandChain("dedup", format = 2, legacyFormat = 1)
 
-  private def metaPath(dir: String) = java.nio.file.Paths.get(dir, "meta")
+  private def commitMeta(dir: String, layers: Seq[String]): Unit =
+    chain.commitMeta(dir, layers)
 
-  private def commitMeta(dir: String, layers: Seq[String]): Unit = {
-    val tmp = java.nio.file.Paths.get(dir, ".meta.tmp")
-    java.nio.file.Files.writeString(tmp,
-      (s"format=$Format" +: layers).mkString("\n"))
-    java.nio.file.Files.move(tmp, metaPath(dir),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+  def layers(dir: String): Seq[String] = chain.layers(dir)
 
-  def layers(dir: String): Seq[String] =
-    if (!java.nio.file.Files.exists(metaPath(dir))) Seq.empty
-    else {
-      val lines = java.nio.file.Files.readString(metaPath(dir))
-        .split("\n").toSeq.filter(_.nonEmpty)
-      val fmt = lines.headOption.filter(_.startsWith("format="))
-        .map(_.stripPrefix("format=").toInt).getOrElse(1)
-      if (fmt != Format)
-        throw new IllegalStateException(
-          s"dedup index at $dir uses signature format $fmt, engine expects " +
-            s"$Format — its band sigs can never match; delete and rebuild it")
-      lines.drop(1)
-    }
-
-  /** Next layer number = 1 + max over BOTH the committed meta and any
-    * `bands/layer=N` dir already on disk — a crash between the layer write
-    * and the meta commit leaves an orphan dir; numbering past it (instead
-    * of from meta alone) keeps the ErrorIfExists write from failing every
-    * subsequent append. Mirrors `NdjsonIngest.commitLayer`.
-    */
-  private def nextLayer(dir: String, committed: Seq[String]): String = {
-    val bands = new java.io.File(s"$dir/bands")
-    val onDisk = Option(bands.listFiles()).getOrElse(Array.empty)
-      .flatMap(f => Option(f.getName).filter(_.startsWith("layer="))
-        .flatMap(n => n.stripPrefix("layer=").toLongOption))
-    ((committed.map(_.toLong) ++ onDisk).foldLeft(0L)(math.max) + 1).toString
-  }
+  private def nextLayer(dir: String, committed: Seq[String]): String =
+    chain.nextLayer(dir, committed)
 
   /** The (id, band, sig) LSH signatures of `docs` — one shuffle (the
     * signature aggregate over exploded shingles), width-12 rows, then a

@@ -30,48 +30,18 @@ object SimHashIndex {
   val Bands = 4
   val HammingMax = 3
 
-  /** Signature-scheme version stamped into meta (same loud-mismatch
-    * contract as [[DedupIndex.Format]]): 1 = 64-bit md5-nibble
-    * hyperplanes, 4×16-bit packed bands.
+  /** Chain protocol + signature-format guard ([[BandChain]]): format 1 =
+    * 64-bit md5-nibble hyperplanes, 4×16-bit packed bands.
     */
-  val Format = 1
+  private val chain = new BandChain("simhash", format = 1, legacyFormat = 0)
 
-  private def metaPath(dir: String) = java.nio.file.Paths.get(dir, "meta")
+  private def commitMeta(dir: String, layers: Seq[String]): Unit =
+    chain.commitMeta(dir, layers)
 
-  private def commitMeta(dir: String, layers: Seq[String]): Unit = {
-    val tmp = java.nio.file.Paths.get(dir, ".meta.tmp")
-    java.nio.file.Files.writeString(tmp,
-      (s"format=$Format" +: layers).mkString("\n"))
-    java.nio.file.Files.move(tmp, metaPath(dir),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+  def layers(dir: String): Seq[String] = chain.layers(dir)
 
-  def layers(dir: String): Seq[String] =
-    if (!java.nio.file.Files.exists(metaPath(dir))) Seq.empty
-    else {
-      val lines = java.nio.file.Files.readString(metaPath(dir))
-        .split("\n").toSeq.filter(_.nonEmpty)
-      val fmt = lines.headOption.filter(_.startsWith("format="))
-        .map(_.stripPrefix("format=").toInt).getOrElse(0)
-      if (fmt != Format)
-        throw new IllegalStateException(
-          s"simhash index at $dir uses signature format $fmt, engine " +
-            s"expects $Format — its bands can never match; delete and rebuild it")
-      lines.drop(1)
-    }
-
-  /** Next layer number past BOTH committed meta and any orphan on-disk
-    * dir (crash between layer write and meta commit) — see
-    * [[DedupIndex]] for the rationale.
-    */
-  private def nextLayer(dir: String, committed: Seq[String]): String = {
-    val bands = new java.io.File(s"$dir/bands")
-    val onDisk = Option(bands.listFiles()).getOrElse(Array.empty)
-      .flatMap(f => Option(f.getName).filter(_.startsWith("layer="))
-        .flatMap(n => n.stripPrefix("layer=").toLongOption))
-    ((committed.map(_.toLong) ++ onDisk).foldLeft(0L)(math.max) + 1).toString
-  }
+  private def nextLayer(dir: String, committed: Seq[String]): String =
+    chain.nextLayer(dir, committed)
 
   /** 64-bit SimHash signature per group over exploded `tok` rows
     * (md5-nibble hyperplanes: bit k's vote is the top bit of nibble k of
