@@ -364,4 +364,39 @@ class PropertySpec extends SparkSpec {
         }
     }
   }
+
+  test("incremental component refresh equals from-scratch on random growing graphs") {
+    import graft.operators.ConnectedComponents
+    // random (old graph, new batch) pairs: edges among old nodes, then a
+    // batch of new nodes with random new-new AND new-old edges — refresh
+    // over the old labels must equal recomputing components from scratch
+    val caseGen = for {
+      nOld <- Gen.choose(5, 30)
+      nNew <- Gen.choose(1, 15)
+      oldEdges <- Gen.listOf(for {
+        a <- Gen.choose(0, nOld - 1); b <- Gen.choose(0, nOld - 1)
+      } yield (a.toLong, b.toLong))
+      newEdges <- Gen.listOf(for {
+        a <- Gen.choose(nOld, nOld + nNew - 1) // at least one new endpoint
+        b <- Gen.choose(0, nOld + nNew - 1)
+      } yield (a.toLong, b.toLong))
+    } yield (nOld, nNew, oldEdges, newEdges)
+    samples(caseGen, 12).zipWithIndex.foreach {
+      case ((nOld, nNew, oldEdges, newEdges), ci) =>
+        val oldNodes = (0L until nOld.toLong)
+        val allNodes = (0L until (nOld + nNew).toLong)
+        val oldLabels = ConnectedComponents.components(
+          oldEdges.toDF("a", "b"), "a", "b", oldNodes.toDF("id"), "id")
+        val got = ConnectedComponents.refresh(oldLabels,
+          newEdges.toDF("a", "b"), "a", "b",
+          (nOld.toLong until (nOld + nNew).toLong).toDF("id"), "id")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val scratch = ConnectedComponents.components(
+          (oldEdges ++ newEdges).toDF("a", "b"), "a", "b",
+          allNodes.toDF("id"), "id")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === scratch,
+          s"case $ci nOld=$nOld nNew=$nNew old=$oldEdges new=$newEdges")
+    }
+  }
 }
