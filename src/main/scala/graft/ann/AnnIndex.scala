@@ -141,6 +141,10 @@ object AnnIndex {
     folded.write.mode(SaveMode.ErrorIfExists).partitionBy("cell")
       .parquet(s"$indexDir/codes/layer=$next")
     commitMeta(indexDir, Seq(next))
+    // physical purge: drop the superseded code layers (and any crash
+    // orphan) now that the flip is durable — deleted vectors' codes would
+    // otherwise persist on disk forever
+    graft.operators.BandChain.gcLayerDirs(s"$indexDir/codes", Seq(next))
     true
   }
 

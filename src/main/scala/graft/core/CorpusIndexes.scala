@@ -30,8 +30,9 @@ import graft.sources.{ChangeFeedConsumer, NdjsonIngest}
   * rebuild the cluster table from an index-served candidate pass — the
   * same contract as the delta-join algebra (removals rebuild, appends
   * fold). Crash-safe: the cursor advances only after every artifact
-  * committed; replayed ticks re-append idempotently numbered layers and
-  * rewrite the same cluster generation.
+  * committed; a replayed tick's index appends are SKIPPED via the feed-
+  * range tag recorded on each layer entry (no duplicate signatures), and
+  * its cluster refresh rewrites an identical generation (idempotent).
   */
 object CorpusIndexes {
 
@@ -147,7 +148,8 @@ object CorpusIndexes {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       return Some((0L, head))
     }
-    ChangeFeedConsumer.process(spark, tableDir, idCol, s"$stateDir/feed") { feed =>
+    ChangeFeedConsumer.processWithRange(spark, tableDir, idCol,
+        s"$stateDir/feed") { (feed: DataFrame, range: (Long, Long)) =>
       val f = feed.localCheckpoint()
       // anything but plain inserts (deletes, upserts' delete half, a
       // mid-life snapshot) makes the refresh algebra unsound: rebuild path
@@ -159,9 +161,14 @@ object CorpusIndexes {
       } else {
         val batch = f.filter(col("_change_type") === "insert")
           .select(idCol, srcCol, textCol).localCheckpoint()
-        DedupIndex.append(spark, batch, idCol, textCol, s"$stateDir/minhash")
+        // the feed range tags each layer: a replayed tick (crash between
+        // an index commit and the cursor advance) is SKIPPED by the
+        // chains instead of re-appended as duplicate signatures
+        val tag = Some(s"feed:${range._1}-${range._2}")
+        DedupIndex.append(spark, batch, idCol, textCol,
+          s"$stateDir/minhash", tag)
         SimHashIndex.append(spark, batch, idCol, srcCol, textCol,
-          s"$stateDir/simhash")
+          s"$stateDir/simhash", tag)
         val edges = SimHashIndex.candidatesForIds(spark,
           batch.select(idCol), s"$stateDir/simhash")
         writeClusters(stateDir, ConnectedComponents.refresh(

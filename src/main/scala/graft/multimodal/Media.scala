@@ -632,10 +632,19 @@ object Media {
     * upsampled-RGB channels for color (the same luma convention as
     * [[decodePngGray]]/[[decodeGifGray]]), feeding the shared resize path.
     */
+  /** The gray path materializes imgW×imgH DOUBLES (8 bytes/pixel, 8× the
+    * byte-plane exposure) — cap it at 2^26 pixels (64 MP, a 512 MB plane)
+    * so a hostile ~16M-MCU baseline frame can't force a ~8 GB allocation;
+    * over-cap frames fall back to the caller's labeled stub.
+    */
+  private val MaxGrayPixels = 1L << 26
+
   def decodeJpegGray(blob: Array[Byte]): Option[(Int, Int, Array[Double])] = {
     if (blob.length < 4 || (blob(0) & 0xff) != 0xff || (blob(1) & 0xff) != 0xd8)
       return None
-    try decodeJpegToPlanes(blob).map(jpegPlanesGray)
+    try decodeJpegToPlanes(blob)
+      .filter(p => p.imgW.toLong * p.imgH <= MaxGrayPixels)
+      .map(jpegPlanesGray)
     catch {
       case _: ArrayIndexOutOfBoundsException => None
       case _: NegativeArraySizeException => None // belt-and-braces

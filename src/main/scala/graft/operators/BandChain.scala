@@ -12,7 +12,13 @@ private[operators] final class BandChain(kind: String, format: Int,
 
   private def metaPath(dir: String) = java.nio.file.Paths.get(dir, "meta")
 
-  /** Commit the layer list (format marker first, pointer flip LAST). */
+  /** Commit the layer ENTRY list (format marker first, pointer flip
+    * LAST). An entry is `layerName` or `layerName\ttag1[,tag2…]` — the
+    * tags record which change-feed commit ranges a layer covers, so a
+    * replayed tick (crash between this commit and the consumer's cursor
+    * advance) can be recognised and skipped instead of re-appending the
+    * same batch as a duplicate layer.
+    */
   def commitMeta(dir: String, layers: Seq[String]): Unit = {
     val tmp = java.nio.file.Paths.get(dir, ".meta.tmp")
     java.nio.file.Files.writeString(tmp,
@@ -22,11 +28,13 @@ private[operators] final class BandChain(kind: String, format: Int,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Committed layers; empty when no meta exists. A meta written under a
-    * DIFFERENT signature format throws — its layers can never equi-join
-    * correctly, and a silent empty result would read as "no duplicates".
+  /** Committed layer entries (name + optional tag suffix), exactly as
+    * written — what a re-commit must carry forward so tags survive.
+    * Empty when no meta exists. A meta written under a DIFFERENT
+    * signature format throws — its layers can never equi-join correctly,
+    * and a silent empty result would read as "no duplicates".
     */
-  def layers(dir: String): Seq[String] =
+  def entries(dir: String): Seq[String] =
     if (!java.nio.file.Files.exists(metaPath(dir))) Seq.empty
     else {
       val lines = java.nio.file.Files.readString(metaPath(dir))
@@ -40,6 +48,23 @@ private[operators] final class BandChain(kind: String, format: Int,
       lines.drop(1)
     }
 
+  /** Committed layer NAMES (tags stripped) — the `bands/layer=N` dirs. */
+  def layers(dir: String): Seq[String] = entries(dir).map(nameOf)
+
+  /** Every tag committed on any layer. */
+  def tags(dir: String): Set[String] =
+    entries(dir).flatMap(tagsOf).toSet
+
+  def nameOf(entry: String): String = entry.split('\t').head
+
+  def tagsOf(entry: String): Seq[String] =
+    entry.split('\t').drop(1).headOption
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+
+  /** An entry line carrying `tags` (empty → bare name). */
+  def entryOf(name: String, tags: Seq[String]): String =
+    if (tags.isEmpty) name else name + "\t" + tags.mkString(",")
+
   /** Next layer number = 1 + max over BOTH committed meta and any orphan
     * on-disk `bands/layer=N` dir (a crash between the layer write and the
     * meta commit leaves one; numbering past it keeps the ErrorIfExists
@@ -51,5 +76,39 @@ private[operators] final class BandChain(kind: String, format: Int,
       .flatMap(f => Option(f.getName).filter(_.startsWith("layer="))
         .flatMap(n => n.stripPrefix("layer=").toLongOption))
     ((committed.map(_.toLong) ++ onDisk).foldLeft(0L)(math.max) + 1).toString
+  }
+
+  /** Delete on-disk `bands/layer=N` dirs NOT in the committed list — the
+    * PHYSICAL cleanup half of a purge-compact. After the meta pointer
+    * flip the superseded layers (still carrying tombstoned documents'
+    * signatures) are unreachable by any new reader, but leaving them on
+    * disk would grow storage unboundedly across compactions and keep
+    * deleted-document data around indefinitely. Single-writer discipline
+    * (compaction is a maintenance tick); readers resolve `meta` at probe
+    * time, so running this right after the flip is safe. Returns the
+    * deleted dir names.
+    */
+  def gcLayers(dir: String, committed: Seq[String]): Seq[String] =
+    BandChain.gcLayerDirs(s"$dir/bands", committed)
+}
+
+private[graft] object BandChain {
+
+  /** Delete `layer=N` children of `parent` whose N is not in `committed`
+    * (shared with the ANN codes chain, whose layers live under `codes/`).
+    */
+  def gcLayerDirs(parent: String, committed: Seq[String]): Seq[String] = {
+    val keep = committed.map(l => s"layer=$l").toSet
+    val dead = Option(new java.io.File(parent).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("layer=") && !keep(f.getName))
+      .toSeq
+    dead.foreach { d =>
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(d.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    dead.map(_.getName)
   }
 }

@@ -110,14 +110,23 @@ object SimHashIndex {
     commitMeta(dir, Seq("1"))
   }
 
-  /** Sign only `newDocs` as the next layer — O(batch). */
+  /** Sign only `newDocs` as the next layer — O(batch). `tag`, when given
+    * (the change-feed commit range), is recorded on the layer entry; an
+    * append whose tag is ALREADY committed is skipped (returns false) —
+    * a crash between this commit and the feed cursor advance replays the
+    * tick, and without the guard the same batch would accumulate as
+    * duplicate signatures per document.
+    */
   def append(spark: SparkSession, newDocs: DataFrame, idCol: String,
-      srcCol: String, textCol: String, dir: String): Unit = {
-    val ls = layers(dir)
-    require(ls.nonEmpty, s"no committed simhash index at $dir")
-    val next = nextLayer(dir, ls)
+      srcCol: String, textCol: String, dir: String,
+      tag: Option[String] = None): Boolean = {
+    val es = chain.entries(dir)
+    require(es.nonEmpty, s"no committed simhash index at $dir")
+    if (tag.exists(chain.tags(dir))) return false
+    val next = nextLayer(dir, es.map(chain.nameOf))
     writeLayer(newDocs, idCol, srcCol, textCol, dir, next)
-    commitMeta(dir, ls :+ next)
+    commitMeta(dir, es :+ chain.entryOf(next, tag.toSeq))
+    true
   }
 
   /** The committed band table (union of layers). */
@@ -190,7 +199,8 @@ object SimHashIndex {
     */
   def compact(spark: SparkSession, dir: String, maxLayers: Int = 8,
       live: Option[DataFrame] = None): Boolean = {
-    val ls = layers(dir)
+    val es = chain.entries(dir)
+    val ls = es.map(chain.nameOf)
     require(ls.nonEmpty, s"no committed simhash index at $dir")
     if (ls.length <= maxLayers && live.isEmpty) return false
     val next = nextLayer(dir, ls)
@@ -199,7 +209,13 @@ object SimHashIndex {
     }
     folded.write.mode(SaveMode.ErrorIfExists)
       .parquet(s"$dir/bands/layer=$next")
-    commitMeta(dir, Seq(next))
+    // the folded layer carries the UNION of the folded tags: a replayed
+    // feed tick stays recognisable across compactions
+    commitMeta(dir, Seq(chain.entryOf(next, es.flatMap(chain.tagsOf).distinct)))
+    // physical purge: drop the superseded layers (and any crash orphan)
+    // now that the flip is durable — without this, tombstoned documents'
+    // signatures persist on disk forever and usage grows per compaction
+    chain.gcLayers(dir, Seq(next))
     true
   }
 }

@@ -34,11 +34,21 @@ object ChangeFeedConsumer {
     * invoked, cursor untouched).
     */
   def process(spark: SparkSession, tableDir: String, pk: String,
-      stateDir: String)(fn: DataFrame => Unit): Option[(Long, Long)] = {
+      stateDir: String)(fn: DataFrame => Unit): Option[(Long, Long)] =
+    processWithRange(spark, tableDir, pk, stateDir)((df, _) => fn(df))
+
+  /** [[process]] with the commit range handed to the callback — the
+    * replay tag a consumer records on its artifacts so a crash between
+    * its commit and the cursor advance is recognised on replay (the
+    * exactly-once-EFFECT half of at-least-once delivery).
+    */
+  def processWithRange(spark: SparkSession, tableDir: String, pk: String,
+      stateDir: String)(
+      fn: (DataFrame, (Long, Long)) => Unit): Option[(Long, Long)] = {
     val from = cursor(stateDir)
     val head = NdjsonIngest.commits(tableDir).lastOption.getOrElse(0L)
     if (head <= from) return None
-    fn(NdjsonIngest.readChanges(spark, tableDir, pk, from, head))
+    fn(NdjsonIngest.readChanges(spark, tableDir, pk, from, head), (from, head))
     new java.io.File(stateDir).mkdirs()
     val tmp = java.nio.file.Paths.get(stateDir, ".cursor.tmp")
     java.nio.file.Files.writeString(tmp, head.toString)

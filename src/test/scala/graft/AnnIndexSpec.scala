@@ -221,6 +221,11 @@ class AnnIndexSpec extends SparkSpec {
     val h = AnnIndex.load(spark, dir).get
     assert(h.layers.length === 1)
     assert(results(h) === before)
+    // the flip's physical half: superseded code layers are DELETED, not
+    // just unreferenced — disk must not grow per compaction
+    val onDisk = Option(new java.io.File(s"$dir/codes").listFiles())
+      .getOrElse(Array.empty).map(_.getName).filter(_.startsWith("layer=")).toSet
+    assert(onDisk === h.layers.map(l => s"layer=$l").toSet)
   }
 
   test("search prunes unprobed cell partitions at the scan") {

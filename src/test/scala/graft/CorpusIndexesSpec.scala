@@ -72,4 +72,39 @@ class CorpusIndexesSpec extends SparkSpec {
       .map(_.getName.stripPrefix("gen=").toLong).sorted.toSeq
     assert(gens === Seq(3L, 4L), s"gens $gens")
   }
+
+  test("a replayed insert tick does not duplicate index layers") {
+    val root = Files.createTempDirectory("corpusreplay").toString
+    val tableDir = s"$root/docs"; val state = s"$root/state"
+    NdjsonIngest.appendVersion(
+      docs((1L, "s", base), (3L, "s", other)), tableDir, "doc_id") // c1
+    assert(CorpusIndexes.sync(spark, tableDir, state).contains((0L, 1L)))
+    NdjsonIngest.appendDelta(docs((42L, "s", nearDup)), tableDir, "doc_id") // c2
+    assert(CorpusIndexes.sync(spark, tableDir, state).contains((1L, 2L)))
+    val mhLayers = DedupIndex.layers(s"$state/minhash")
+    val shLayers = SimHashIndex.layers(s"$state/simhash")
+    def sigRows() = (
+      DedupIndex.load(spark, s"$state/minhash").count(),
+      SimHashIndex.load(spark, s"$state/simhash").count())
+    val rows = sigRows()
+    // crash between the index commits and the cursor advance: rewind the
+    // cursor so the (1,2] tick REPLAYS — the feed-range tag on the layer
+    // entries must make both appends skip, keeping one signature per doc
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(state, "feed", "cursor"), "1")
+    assert(CorpusIndexes.sync(spark, tableDir, state).contains((1L, 2L)))
+    assert(DedupIndex.layers(s"$state/minhash") === mhLayers)
+    assert(SimHashIndex.layers(s"$state/simhash") === shLayers)
+    assert(sigRows() === rows)
+    assert(clusterMap(state) === Map(1L -> 1L, 3L -> 3L, 42L -> 1L))
+    // the tag survives a fold: compacting then replaying again still skips
+    assert(SimHashIndex.compact(spark, s"$state/simhash", maxLayers = 1))
+    assert(DedupIndex.compact(spark, s"$state/minhash", maxLayers = 1))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(state, "feed", "cursor"), "1")
+    assert(CorpusIndexes.sync(spark, tableDir, state).contains((1L, 2L)))
+    assert(SimHashIndex.layers(s"$state/simhash").length === 1)
+    assert(DedupIndex.layers(s"$state/minhash").length === 1)
+    assert(sigRows() === rows)
+  }
 }

@@ -811,6 +811,17 @@ class MediaSpec extends SparkSpec {
     assert(!fb.head.real)
   }
 
+  test("gray plane is capped at 2^26 pixels; over-cap frames fall back") {
+    // 8200×8200 = 67.24M pixels, just over the 2^26 cap — a hostile frame
+    // at this size would otherwise force a ~538 MB double plane (and far
+    // worse near the 16M-MCU bound); the gray path must refuse, keeping
+    // the caller on the labeled stub, while the fold-to-mean path (byte
+    // planes only) still decodes
+    val big = Media.jpegSolidGrayBytes(8200, 8200, 99)
+    assert(Media.decodeJpegGray(big).isEmpty)
+    assert(Media.decodeJpegPixelMean(big).contains(99.0))
+  }
+
   test("GIF gray decode feeds the same resize path as PNG") {
     // palette with distinct lumas: (30,60,90) → 60, (10,10,10) → 10
     val pal = Seq((30, 60, 90), (10, 10, 10))
