@@ -111,7 +111,18 @@ object ArrowSink {
       case other => throw new IllegalArgumentException(s"ArrowSink: $other")
     }
 
-  def write(df: DataFrame, out: OutputStream): Unit = {
+  def write(df: DataFrame, out: OutputStream): Unit =
+    writeChunked(df, out, () => ())
+
+  /** [[write]] with a headers-ready callback for a CHUNKED HTTP response:
+    * the first Spark batch is forced BEFORE any byte is written (runtime
+    * failures surface while a clean 500 is still possible), then
+    * `headersReady()` fires, then the schema message and the batches
+    * stream to `out` — which on the server is the bounded-queue chunk
+    * stream, so driver memory stays O(batch), never O(result).
+    */
+  def writeChunked(df: DataFrame, out: OutputStream,
+      headersReady: () => Unit): Unit = {
     val schema = df.schema
     val arrowSchema = new Schema(
       schema.fields.toSeq.map(f => arrowField(f.name, f.dataType, f.nullable)).asJava)
@@ -119,8 +130,10 @@ object ArrowSink {
     val root = VectorSchemaRoot.create(arrowSchema, allocator)
     val writer = new ArrowStreamWriter(root, null, out)
     try {
-      writer.start()
       val it = df.toLocalIterator()
+      val _ = it.hasNext // force the first Spark batch before any byte
+      headersReady()
+      writer.start()
       val buf = new scala.collection.mutable.ArrayBuffer[Row](BatchRows)
       def flush(): Unit = if (buf.nonEmpty) {
         root.allocateNew()
@@ -140,7 +153,10 @@ object ArrowSink {
       flush()
       writer.end()
     } finally {
-      writer.close()
+      // close() re-writes the end marker; on an aborted chunk stream that
+      // write throws — swallow it so root/allocator always release their
+      // direct buffers (the original failure is already propagating)
+      try writer.close() catch { case _: Throwable => () }
       root.close()
       allocator.close()
     }

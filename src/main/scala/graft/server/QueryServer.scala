@@ -2,7 +2,7 @@ package graft.server
 
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets.UTF_8
-import java.util.concurrent.{Callable, Executors, TimeUnit, TimeoutException, ExecutionException}
+import java.util.concurrent.{Executors, TimeUnit}
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, NullsFirst, SortOrder}
@@ -114,9 +114,23 @@ final class QueryServer(catalog: Catalog, dataVersion: String, port: Int = 0,
     }
   }
 
-  /** End-of-stream / producer-failure markers for the streaming queue. */
+  /** Streaming-queue protocol: the producer signals HeadersReady once the
+    * FIRST Spark batch materialized (so runtime failures still surface as
+    * clean 500s), then byte chunks, then StreamEnd; StreamErr at any
+    * point carries a producer failure.
+    */
+  private case object HeadersReady
   private case object StreamEnd
   private final case class StreamErr(t: Throwable)
+  /** Thrown inside the producer when the writer aborted — unwinds any
+    * sink (ArrowStreamWriter, the NDJSON loop) without masking as error.
+    */
+  private final class StreamAborted extends RuntimeException("stream aborted")
+
+  /** Chunk coalescing size for the streaming queue: 64 KiB × a 64-deep
+    * queue bounds buffered response data at 4 MiB per in-flight query.
+    */
+  private val ChunkBytes = 64 * 1024
 
   private def setQueryHeaders(ex: HttpExchange, contentType: String,
       ordering: String): Unit = {
@@ -127,20 +141,28 @@ final class QueryServer(catalog: Catalog, dataVersion: String, port: Int = 0,
       .foreach(id => ex.getResponseHeaders.set("X-Request-Id", id))
   }
 
-  /** Stream the NDJSON rows with CHUNKED transfer: a bounded queue
-    * between the Spark-side producer (`toLocalIterator`, runs under a
-    * cancellable job group) and the response writer keeps driver memory
-    * O(queue), never O(result) — the reference's ThrottledBatchReslicer
-    * shape — and the timeout is per BATCH WAIT (query_plan.cpp:111-123):
-    * a stall before the first row is still a clean 500; a stall
-    * mid-stream cancels the jobs and truncates the chunked body (headers
-    * are out — the same contract as the reference's streamed responses).
+  /** Stream a response body with CHUNKED transfer: a bounded queue of
+    * byte chunks between the Spark-side producer (`produce`, runs under a
+    * cancellable job group and writes into a coalescing OutputStream) and
+    * the response writer keeps driver memory O(queue), never O(result) —
+    * the reference's ThrottledBatchReslicer shape for BOTH content types
+    * (ndjson_sink.cpp AND arrow_ipc_sink.h; query_handler.cpp:67-83).
+    * The timeout is per BATCH WAIT (query_plan.cpp:111-123): a stall (or
+    * runtime failure) before the first batch is still a clean 500 — the
+    * producer signals HeadersReady only after forcing the first batch; a
+    * stall mid-stream cancels the jobs and terminates the chunked body
+    * (headers are out), via `midStreamErrorChunk` when the content type
+    * can carry an in-band marker (NDJSON error row), by truncation
+    * otherwise (an Arrow IPC stream missing its end-of-stream marker is
+    * reader-detectable).
     */
-  private def streamNdjson(ex: HttpExchange, df: DataFrame,
-      ordering: String): Unit = {
+  private def streamChunked(ex: HttpExchange, df: DataFrame,
+      contentType: String, ordering: String,
+      midStreamErrorChunk: Option[String => Array[Byte]])(
+      produce: (DataFrame, java.io.OutputStream, () => Unit) => Unit): Unit = {
     val spark = df.sparkSession
     val group = "http-query-" + java.util.UUID.randomUUID()
-    val queue = new java.util.concurrent.LinkedBlockingQueue[AnyRef](1024)
+    val queue = new java.util.concurrent.LinkedBlockingQueue[AnyRef](64)
     // writer-side abort signal: a disconnected client must unblock a
     // producer parked on a full queue (a plain put would leak the pool
     // thread AND the running Spark jobs forever)
@@ -148,18 +170,36 @@ final class QueryServer(catalog: Catalog, dataVersion: String, port: Int = 0,
     pool.submit(new Runnable {
       def run(): Unit = {
         spark.sparkContext.setJobGroup(group, "http /query", interruptOnCancel = true)
-        // offer-loop everywhere (rows, end marker, AND the error marker):
-        // a dead writer with a full queue must never park this thread
+        // offer-loop everywhere (chunks AND markers): a dead writer with a
+        // full queue must never park this thread; once aborted, unwind the
+        // producing sink via StreamAborted
         var aborted = false
-        def put(v: AnyRef): Unit =
+        def put(v: AnyRef): Unit = {
           while (!aborted && !queue.offer(v, 1, TimeUnit.SECONDS))
             aborted = dead.get
+          if (aborted) throw new StreamAborted
+        }
+        val out = new java.io.OutputStream {
+          private val buf = new java.io.ByteArrayOutputStream(ChunkBytes)
+          override def write(b: Int): Unit = {
+            buf.write(b); if (buf.size >= ChunkBytes) flush()
+          }
+          override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+            buf.write(b, off, len); if (buf.size >= ChunkBytes) flush()
+          }
+          override def flush(): Unit = if (buf.size > 0) {
+            val chunk = buf.toByteArray; buf.reset(); put(chunk)
+          }
+        }
         try {
-          val it = toNdjson(df)
-          while (!aborted && it.hasNext) put(it.next())
-          if (!aborted) put(StreamEnd)
-        } catch { case t: Throwable => put(StreamErr(t)) }
-        finally spark.sparkContext.clearJobGroup()
+          produce(df, out, () => put(HeadersReady))
+          out.flush()
+          put(StreamEnd)
+        } catch {
+          case _: StreamAborted => () // writer gone: jobs already cancelled
+          case t: Throwable =>
+            try put(StreamErr(t)) catch { case _: StreamAborted => () }
+        } finally spark.sparkContext.clearJobGroup()
       }
     })
     def abort(): Unit = {
@@ -173,43 +213,56 @@ final class QueryServer(catalog: Catalog, dataVersion: String, port: Int = 0,
         throw new RuntimeException(
           s"Request timed out, no batch within $timeoutSeconds seconds.")
       case StreamErr(t) => throw t
-      case StreamEnd =>
-        setQueryHeaders(ex, "application/x-ndjson", ordering)
-        ex.sendResponseHeaders(200, -1) // empty result: no body bytes
-        ex.close()
-      case first: String =>
+      case HeadersReady =>
         // EVERYTHING from the header send onward sits inside the
         // abort-guarded try: a client vanishing exactly at
         // sendResponseHeaders would otherwise skip abort() and leave the
         // producer (and its Spark jobs) running forever
         try {
-          setQueryHeaders(ex, "application/x-ndjson", ordering)
+          setQueryHeaders(ex, contentType, ordering)
           ex.sendResponseHeaders(200, 0) // chunked
           val out = ex.getResponseBody
-          out.write((first + "\n").getBytes(UTF_8))
           var done = false
           while (!done) nextOrNull() match {
-            case line: String => out.write((line + "\n").getBytes(UTF_8))
+            case chunk: Array[Byte] => out.write(chunk)
             case StreamEnd => done = true
             case other => // timeout or producer failure mid-stream: cancel
               // the jobs and TERMINATE VISIBLY — headers are out, so a 500
-              // is impossible, but an explicit error row keeps the
-              // truncation detectable instead of a clean-looking body
+              // is impossible, but an in-band error marker (where the
+              // format has one) keeps the truncation detectable instead of
+              // a clean-looking body
               abort()
               val msg = other match {
                 case StreamErr(t) =>
                   Option(t.getMessage).getOrElse(t.getClass.getName)
                 case _ => s"no batch within $timeoutSeconds seconds"
               }
-              out.write((s"""{"__streamError":"${jsonEscape(msg)}"}""" + "\n")
-                .getBytes(UTF_8))
+              midStreamErrorChunk.foreach(f => out.write(f(msg)))
               done = true
           }
         } catch {
-          // client went away mid-stream: stop the producer and the jobs
-          case t: Throwable => abort(); throw t
+          // client went away mid-stream: headers are already out, so a 500
+          // is impossible and a rethrow would only make handleQuery's
+          // catch-all attempt a SECOND sendResponseHeaders (a secondary
+          // exception out of the handler thread) — stop the producer and
+          // the jobs, swallow the write failure
+          case _: Throwable => abort()
         } finally ex.close()
+      case other =>
+        abort()
+        throw new IllegalStateException(s"stream protocol violation: $other")
     }
+  }
+
+  /** NDJSON producer for [[streamChunked]]: forces the first batch before
+    * releasing the headers, then writes row-per-line.
+    */
+  private def produceNdjson(df: DataFrame, out: java.io.OutputStream,
+      headersReady: () => Unit): Unit = {
+    val it = toNdjson(df)
+    val _ = it.hasNext // force the first Spark batch: runtime failure → 500
+    headersReady()
+    while (it.hasNext) out.write((it.next() + "\n").getBytes(UTF_8))
   }
 
   private def handleQuery(ex: HttpExchange): Unit = {
@@ -219,36 +272,18 @@ final class QueryServer(catalog: Catalog, dataVersion: String, port: Int = 0,
     try {
       val df = Planner.plan(body, catalog)
       val ordering = resultOrdering(df)
-      val spark = df.sparkSession
-      if (wantsArrow && ArrowSink.supports(df.schema)) {
-        val group = "http-query-" + java.util.UUID.randomUUID()
-        // Arrow materializes the IPC stream under the job-group timeout
-        // (its batches are bounded by ArrowSink's batch size)
-        val fut = pool.submit(new Callable[Array[Byte]] {
-          def call(): Array[Byte] = {
-            spark.sparkContext.setJobGroup(group, "http /query", interruptOnCancel = true)
-            try {
-              val bos = new java.io.ByteArrayOutputStream()
-              ArrowSink.write(df, bos)
-              bos.toByteArray
-            } finally spark.sparkContext.clearJobGroup()
-          }
-        })
-        val arrow =
-          try fut.get(timeoutSeconds, TimeUnit.SECONDS)
-          catch {
-            case _: TimeoutException =>
-              spark.sparkContext.cancelJobGroup(group)
-              fut.cancel(true)
-              throw new RuntimeException(
-                s"Request timed out, no batch within $timeoutSeconds seconds.")
-            case e: ExecutionException => throw Option(e.getCause).getOrElse(e)
-          }
-        setQueryHeaders(ex, "application/vnd.apache.arrow.stream", ordering)
-        ex.sendResponseHeaders(200, arrow.length)
-        ex.getResponseBody.write(arrow)
-        ex.close()
-      } else streamNdjson(ex, df, ordering)
+      if (wantsArrow && ArrowSink.supports(df.schema))
+        // Arrow IPC batches stream straight to the chunked response — no
+        // O(result) driver buffer on this path either; a mid-stream
+        // failure truncates the stream before its end-of-stream marker,
+        // which every IPC reader reports
+        streamChunked(ex, df, "application/vnd.apache.arrow.stream",
+          ordering, midStreamErrorChunk = None)(ArrowSink.writeChunked)
+      else
+        streamChunked(ex, df, "application/x-ndjson", ordering,
+          midStreamErrorChunk = Some(msg =>
+            (s"""{"__streamError":"${jsonEscape(msg)}"}""" + "\n")
+              .getBytes(UTF_8)))(produceNdjson)
     } catch {
       case e @ (_: QueryError | _: Parser.ParseError | _: Lexer.LexError) =>
         respond(ex, 400,

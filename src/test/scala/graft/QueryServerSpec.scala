@@ -132,6 +132,94 @@ class QueryServerSpec extends SparkSpec {
     } finally { reader.close(); alloc.close() }
   }
 
+  test("Arrow responses stream chunked with bounded memory; values intact") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.ipc.ArrowStreamReader
+    import org.apache.spark.sql.functions._
+    // a result spanning many ArrowSink batches (4096 rows each)
+    val big = spark.range(50000).select(
+      concat(lit("k"), col("id")).as("primary_key"),
+      lit("CH").as("country"), col("id").cast("int").as("age"))
+    val s = new QueryServer(Catalog(Map("default" -> big)), "v-arrow")
+    s.start()
+    try {
+      def arrowReq(q: String) = http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${s.boundPort}/query"))
+        .POST(HttpRequest.BodyPublishers.ofString(q))
+        .header("Accept", "application/vnd.apache.arrow.stream").build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      val r = arrowReq("default.project({primary_key, age}).orderBy({age})")
+      assert(r.statusCode() === 200)
+      // CHUNKED: no Content-Length — the server never materialized the
+      // IPC body (the old path buffered the whole stream in a byte array)
+      assert(r.headers().firstValue("Content-Length").isEmpty)
+      assert(r.headers().firstValue("Transfer-encoding").orElse("chunked")
+        === "chunked")
+      val alloc = new RootAllocator()
+      val reader = new ArrowStreamReader(
+        new java.io.ByteArrayInputStream(r.body()), alloc)
+      try {
+        val root = reader.getVectorSchemaRoot
+        var rows = 0L; var batches = 0; var sum = 0L
+        while (reader.loadNextBatch()) {
+          batches += 1; rows += root.getRowCount
+          val ages = root.getVector("age")
+            .asInstanceOf[org.apache.arrow.vector.IntVector]
+          (0 until root.getRowCount).foreach(i => sum += ages.get(i))
+        }
+        assert(rows === 50000)
+        assert(batches > 1, "expected multiple IPC batches") // streamed
+        assert(sum === 49999L * 50000 / 2)
+      } finally { reader.close(); alloc.close() }
+      // empty result: a VALID empty IPC stream (schema + end-of-stream)
+      val e = arrowReq("default.filter(age < 0)")
+      assert(e.statusCode() === 200)
+      val alloc2 = new RootAllocator()
+      val rd2 = new ArrowStreamReader(
+        new java.io.ByteArrayInputStream(e.body()), alloc2)
+      try {
+        assert(rd2.getVectorSchemaRoot.getSchema.getFields.size() === 3)
+        assert(!rd2.loadNextBatch())
+      } finally { rd2.close(); alloc2.close() }
+    } finally s.stop()
+  }
+
+  test("client disconnect mid-Arrow-stream cancels the producer") {
+    import org.apache.spark.sql.functions._
+    val big = spark.range(300000).select(
+      concat(lit("k"), col("id")).as("primary_key"),
+      col("id").cast("int").as("age"))
+    val s = new QueryServer(Catalog(Map("default" -> big)), "v-big")
+    s.start()
+    try {
+      val body = "default.project({primary_key, age})"
+      val sock = new java.net.Socket("127.0.0.1", s.boundPort)
+      val os = sock.getOutputStream
+      os.write((s"POST /query HTTP/1.1\r\nHost: t\r\n" +
+        s"Accept: application/vnd.apache.arrow.stream\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n$body").getBytes("UTF-8"))
+      os.flush()
+      val in = sock.getInputStream
+      val buf = new Array[Byte](4096)
+      assert(in.read(buf) > 0)
+      sock.setSoLinger(true, 0) // RST on close: a genuinely abrupt client
+      sock.close()
+      // the producer must notice and the server keeps serving
+      val r = http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${s.boundPort}/query"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          "default.groupBy({count := count()})")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 200)
+      assert(r.body().trim === """{"count":300000}""")
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.sparkContext.statusTracker.getActiveJobIds().nonEmpty &&
+          System.nanoTime() < deadline)
+        Thread.sleep(200)
+      assert(spark.sparkContext.statusTracker.getActiveJobIds().isEmpty)
+    } finally s.stop()
+  }
+
   test("NDJSON responses stream chunked; empty results send no body") {
     // non-empty: chunked transfer (no Content-Length) — the server never
     // materializes the whole response, so driver memory stays O(queue)

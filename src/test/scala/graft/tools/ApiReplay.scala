@@ -9,11 +9,16 @@ import graft.server.QueryServer
 
 /** Checksummed API replay (reference: benchmarking/README.md:44-56 —
   * evobench's good-api-query-log.csv pattern): every golden corpus query
-  * is POSTed to the live HTTP server and the NDJSON response body is
-  * checksummed (md5 over SORTED lines, so only CONTENT drift fires, not
-  * benign row-order changes of unordered results). Checksums are
-  * committed in `tools/api_checksums.txt`; a round whose responses drift
-  * from the committed log fails loudly here before it ships.
+  * is POSTed to the live HTTP server on BOTH response paths and
+  * checksummed — the NDJSON body as md5 over SORTED lines, the Arrow IPC
+  * body as md5 over a canonical decode (header row + sorted rendered
+  * rows; raw IPC bytes would be order-sensitive for unordered results) —
+  * so only CONTENT drift fires, not benign row-order changes. Each log
+  * line is `name ndjsonMd5 arrowMd5`; queries whose schema the Arrow
+  * sink doesn't carry checksum the NDJSON fallback there, so a ROUTING
+  * change fires too. Checksums are committed in `tools/api_checksums
+  * .txt`; a round whose responses drift from the committed log fails
+  * loudly here before it ships.
   *
   *   sbt "Test/runMain graft.tools.ApiReplay"        # check (exit 1 on drift)
   *   sbt "Test/runMain graft.tools.ApiReplay write"  # regenerate the log
@@ -21,6 +26,33 @@ import graft.server.QueryServer
 object ApiReplay {
 
   val ChecksumFile = "tools/api_checksums.txt"
+
+  private def md5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Canonical text of an Arrow IPC stream: the field-name header plus
+    * every row rendered `name=value`, rows sorted.
+    */
+  private def canonArrow(bytes: Array[Byte]): String = {
+    import scala.jdk.CollectionConverters._
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val rd = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(bytes), alloc)
+    try {
+      val root = rd.getVectorSchemaRoot
+      val rows = scala.collection.mutable.ArrayBuffer[String]()
+      while (rd.loadNextBatch()) {
+        val vecs = root.getFieldVectors.asScala
+        (0 until root.getRowCount).foreach { i =>
+          rows += vecs.map(v => s"${v.getName}=${String.valueOf(v.getObject(i))}")
+            .mkString("|")
+        }
+      }
+      (root.getSchema.getFields.asScala.map(_.getName).mkString(",") +:
+        rows.sorted).mkString("\n")
+    } finally { rd.close(); alloc.close() }
+  }
 
   def main(args: Array[String]): Unit = {
     val write = args.headOption.contains("write")
@@ -40,10 +72,21 @@ object ApiReplay {
           require(r.statusCode() == 200, s"${f.getName}: HTTP ${r.statusCode()}")
           val canon = r.body().split("\n").filter(_.nonEmpty).sorted
             .mkString("\n")
-          val md = java.security.MessageDigest.getInstance("MD5")
-            .digest(canon.getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString
-          s"${f.getName} $md"
+          val ra = http.send(HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${srv.boundPort}/query"))
+            .POST(HttpRequest.BodyPublishers.ofString(q))
+            .header("Accept", "application/vnd.apache.arrow.stream").build(),
+            HttpResponse.BodyHandlers.ofByteArray())
+          require(ra.statusCode() == 200,
+            s"${f.getName}: arrow HTTP ${ra.statusCode()}")
+          val arrowCanon =
+            if (ra.headers().firstValue("Content-Type").orElse("")
+                == "application/vnd.apache.arrow.stream")
+              canonArrow(ra.body())
+            else // NDJSON fallback for Arrow-unsupported schemas
+              "ndjson-fallback\n" + new String(ra.body(), "UTF-8")
+                .split("\n").filter(_.nonEmpty).sorted.mkString("\n")
+          s"${f.getName} ${md5(canon)} ${md5(arrowCanon)}"
         }
       val content = sums.mkString("", "\n", "\n")
       if (write) {
