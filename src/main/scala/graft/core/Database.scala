@@ -322,9 +322,14 @@ object Database {
           when(col(f.name).isin(known: _*), col(f.name)))
       }
 
+    // the reference accepts Newick (.nwk) or Auspice JSON v2 (.json)
+    // trees, dispatched by extension (phylo_tree.cpp:378-394)
     val phyloTrees = cfg.metadata.filter(_.isPhyloTreeField).map { f =>
-      f.name -> PhyloTree.fromNewick(
-        Files.readString(Paths.get(configDir, "phylogenetic_tree.nwk")))
+      val treeFile = Seq("phylogenetic_tree.nwk", "phylogenetic_tree.json")
+        .map(n => Paths.get(configDir, n)).find(Files.exists(_))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no phylogenetic_tree.{nwk,json} in $configDir for column ${f.name}"))
+      f.name -> PhyloTree.fromFile(treeFile)
     }.toMap
 
     // register the row-level posting indexes at build time (≙ the

@@ -204,4 +204,66 @@ object PhyloTree {
     val lengths = lens.result().map { case (n, l) => rename(n) -> l }
     fromEdges(built, lengths)
   }
+
+  /** Parse an Auspice JSON (v2) phylogenetic tree — the Nextstrain
+    * ecosystem's tree format, the reference's second accepted input
+    * (phylo_tree.cpp fromAuspiceJSONString:275, parseAuspiceTree:71-108;
+    * documentation/phylogenetic_queries.md:11). Reference-exact contract:
+    * the document must carry a `tree` entry; every node a `name` (which
+    * becomes the node id); `node_attrs.div`, when present, is read as the
+    * node's branch length; `children` parse in declaration order; a
+    * DUPLICATE node name anywhere in the tree is an error (unique-label
+    * validation — MRCA/subtree would silently misroute otherwise).
+    * Jackson (on Spark's classpath) does the JSON lexing; the walk is
+    * ours.
+    */
+  def fromAuspiceJson(json: String): PhyloTree = {
+    import com.fasterxml.jackson.databind.JsonNode
+    val doc =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          throw new IllegalArgumentException(
+            s"Invalid File: not parseable JSON: ${e.getOriginalMessage}")
+      }
+    val tree = Option(doc).map(_.get("tree")).orNull
+    require(tree != null,
+      "Invalid File: Auspice JSON does not contain a 'tree' entry")
+    val edges = Seq.newBuilder[(String, String)]
+    val lens = Map.newBuilder[String, Float]
+    val seen = mutable.Set.empty[String]
+    def walk(node: JsonNode, parentName: Option[String]): String = {
+      val nameNode = node.get("name")
+      require(nameNode != null && nameNode.isTextual,
+        "Invalid File: Auspice JSON node does not contain a 'name' entry")
+      val name = nameNode.asText()
+      require(seen.add(name),
+        s"Duplicate node ID found in Auspice JSON string: '$name'")
+      Option(node.get("node_attrs")).flatMap(a => Option(a.get("div")))
+        .filter(_.isNumber).foreach(d => lens += name -> d.floatValue())
+      parentName.foreach(p => edges += (name -> p))
+      Option(node.get("children")).foreach { cs =>
+        require(cs.isArray, "Invalid File: Auspice 'children' must be an array")
+        cs.forEach(c => { walk(c, Some(name)); () })
+      }
+      name
+    }
+    val root = walk(tree, None)
+    val built = edges.result()
+    if (built.isEmpty) PhyloTree(Map.empty, root, Map.empty, lens.result())
+    else fromEdges(built, lens.result())
+  }
+
+  /** Extension-dispatched load, mirroring the reference's fromFile
+    * (phylo_tree.cpp:378-394): `.nwk` → Newick, `.json` → Auspice v2,
+    * anything else is a typed error.
+    */
+  def fromFile(path: java.nio.file.Path): PhyloTree = {
+    val name = path.getFileName.toString.toLowerCase(java.util.Locale.ROOT)
+    val text = java.nio.file.Files.readString(path)
+    if (name.endsWith(".nwk")) fromNewick(text)
+    else if (name.endsWith(".json")) fromAuspiceJson(text)
+    else throw new IllegalArgumentException(
+      s"Error when parsing tree file: '$path'. Path must end with .nwk or .json")
+  }
 }

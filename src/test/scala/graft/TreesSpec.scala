@@ -105,6 +105,78 @@ class TreesSpec extends AnyFunSuite {
     }
   }
 
+  test("Auspice JSON v2 tree equals its Newick equivalent structurally") {
+    // the same tree as `phylo` + branch lengths, in both input formats
+    // (reference parses either, phylo_tree.cpp:378-394)
+    val newick = PhyloTree.fromNewick("((n1:0.5,n2:1.5)r1:2,(n3:3)r2)root;")
+    val auspice = PhyloTree.fromAuspiceJson("""
+      {"version": "v2",
+       "meta": {"title": "fixture"},
+       "tree": {
+         "name": "root",
+         "children": [
+           {"name": "r1", "node_attrs": {"div": 2.0},
+            "children": [
+              {"name": "n1", "node_attrs": {"div": 0.5}},
+              {"name": "n2", "node_attrs": {"div": 1.5}}]},
+           {"name": "r2",
+            "children": [{"name": "n3", "node_attrs": {"div": 3.0}}]}]}}""")
+    assert(auspice.root === newick.root)
+    assert(auspice.parent === newick.parent)
+    assert(auspice.children === newick.children)
+    assert(auspice.branchLen === newick.branchLen)
+    // the tree operators agree across formats
+    assert(auspice.mrca(Set("n1", "n3")) === newick.mrca(Set("n1", "n3")))
+    assert(auspice.descendants("r1") === newick.descendants("r1"))
+    assert(auspice.subtreeNewick(Set("n1", "n2", "n3")) ===
+      newick.subtreeNewick(Set("n1", "n2", "n3")))
+  }
+
+  test("Auspice parser: typed errors and edge shapes") {
+    // duplicate node names rejected (unique-label validation,
+    // parseAuspiceTree:100-105)
+    val dup = intercept[IllegalArgumentException] {
+      PhyloTree.fromAuspiceJson(
+        """{"tree":{"name":"a","children":[{"name":"a"}]}}""")
+    }
+    assert(dup.getMessage.contains("Duplicate node ID"))
+    // missing 'tree' entry
+    assert(intercept[IllegalArgumentException] {
+      PhyloTree.fromAuspiceJson("""{"meta":{}}""")
+    }.getMessage.contains("'tree' entry"))
+    // node without a 'name'
+    assert(intercept[IllegalArgumentException] {
+      PhyloTree.fromAuspiceJson("""{"tree":{"node_attrs":{}}}""")
+    }.getMessage.contains("'name' entry"))
+    // malformed JSON
+    assert(intercept[IllegalArgumentException] {
+      PhyloTree.fromAuspiceJson("""{"tree": [[[""")
+    }.getMessage.contains("not parseable"))
+    // a single-node tree is valid (no edges)
+    val single = PhyloTree.fromAuspiceJson("""{"tree":{"name":"only"}}""")
+    assert(single.root === "only")
+    assert(single.contains("only") && !single.contains("other"))
+    assert(single.mrca(Set("only")) === (Some("only"), 0))
+  }
+
+  test("fromFile dispatches on extension like the reference") {
+    val dir = java.nio.file.Files.createTempDirectory("phylo")
+    val nwk = dir.resolve("t.nwk")
+    java.nio.file.Files.writeString(nwk, "((n1,n2)r1,(n3)r2)root;")
+    val json = dir.resolve("t.json")
+    java.nio.file.Files.writeString(json,
+      """{"tree":{"name":"root","children":[
+        {"name":"r1","children":[{"name":"n1"},{"name":"n2"}]},
+        {"name":"r2","children":[{"name":"n3"}]}]}}""")
+    val a = PhyloTree.fromFile(nwk)
+    val b = PhyloTree.fromFile(json)
+    assert(a.parent === b.parent && a.root === b.root)
+    val bad = dir.resolve("t.txt")
+    java.nio.file.Files.writeString(bad, "whatever")
+    assert(intercept[IllegalArgumentException] { PhyloTree.fromFile(bad) }
+      .getMessage.contains("must end with .nwk or .json"))
+  }
+
   test("phyloDescendantOf-style membership") {
     assert(phylo.descendants("r1") === Set("r1", "n1", "n2"))
   }
