@@ -29,20 +29,42 @@ import graft.lang.{Lexer, Parser}
   * Results stream via `toLocalIterator` — bounded memory on the server,
   * backpressure to Spark (≙ the reference's ThrottledBatchReslicer /
   * materialization cutoff).
+  *
+  * `catalogSupplier` is re-invoked PER REQUEST: a supplier backed by
+  * versioned tables re-resolves their `latest` pointers, so a version
+  * appended while the server runs is visible to the next query with the
+  * new `data-version` header and NO restart — the Spark analog of the
+  * reference's directory-watcher hot swap (silo_directory_watcher.cpp,
+  * database.h:89-96; the storage side is already atomic,
+  * NdjsonIngest.scala pointer-flip contract). Each request resolves ONCE
+  * and keeps that snapshot for its whole response.
   */
-final class QueryServer(catalog: Catalog, dataVersion: String, port: Int = 0,
-    timeoutSeconds: Long = 120) {
+final class QueryServer(catalogSupplier: () => (Catalog, String),
+    port: Int, timeoutSeconds: Long) {
+
+  /** Fixed-catalog convenience (tests, static datasets). */
+  def this(catalog: Catalog, dataVersion: String, port: Int = 0,
+      timeoutSeconds: Long = 120) =
+    this(() => (catalog, dataVersion), port, timeoutSeconds)
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val pool = Executors.newCachedThreadPool()
 
   def boundPort: Int = server.getAddress.getPort
 
+  /** The current data version for error/metadata paths — never throws
+    * (a failing supplier must still produce a well-formed error body).
+    */
+  private def currentVersion: String =
+    try catalogSupplier()._2 catch { case _: Throwable => "" }
+
   private def respond(ex: HttpExchange, code: Int, body: String,
-      contentType: String = "application/json"): Unit = {
+      contentType: String = "application/json",
+      dataVersion: Option[String] = None): Unit = {
     val bytes = body.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", contentType)
-    ex.getResponseHeaders.set("data-version", dataVersion)
+    ex.getResponseHeaders.set("data-version",
+      dataVersion.getOrElse(currentVersion))
     Option(ex.getRequestHeaders.getFirst("X-Request-Id"))
       .foreach(id => ex.getResponseHeaders.set("X-Request-Id", id))
     ex.sendResponseHeaders(code, bytes.length)
@@ -133,7 +155,7 @@ final class QueryServer(catalog: Catalog, dataVersion: String, port: Int = 0,
   private val ChunkBytes = 64 * 1024
 
   private def setQueryHeaders(ex: HttpExchange, contentType: String,
-      ordering: String): Unit = {
+      ordering: String, dataVersion: String): Unit = {
     ex.getResponseHeaders.set("Content-Type", contentType)
     ex.getResponseHeaders.set("data-version", dataVersion)
     ex.getResponseHeaders.set("result-ordering", ordering)
@@ -157,7 +179,7 @@ final class QueryServer(catalog: Catalog, dataVersion: String, port: Int = 0,
     * reader-detectable).
     */
   private def streamChunked(ex: HttpExchange, df: DataFrame,
-      contentType: String, ordering: String,
+      contentType: String, ordering: String, dataVersion: String,
       midStreamErrorChunk: Option[String => Array[Byte]])(
       produce: (DataFrame, java.io.OutputStream, () => Unit) => Unit): Unit = {
     val spark = df.sparkSession
@@ -219,7 +241,7 @@ final class QueryServer(catalog: Catalog, dataVersion: String, port: Int = 0,
         // sendResponseHeaders would otherwise skip abort() and leave the
         // producer (and its Spark jobs) running forever
         try {
-          setQueryHeaders(ex, contentType, ordering)
+          setQueryHeaders(ex, contentType, ordering, dataVersion)
           ex.sendResponseHeaders(200, 0) // chunked
           val out = ex.getResponseBody
           var done = false
@@ -270,6 +292,9 @@ final class QueryServer(catalog: Catalog, dataVersion: String, port: Int = 0,
     val wantsArrow = Option(ex.getRequestHeaders.getFirst("Accept"))
       .exists(_.contains("application/vnd.apache.arrow.stream"))
     try {
+      // resolve ONCE per request: this query runs against a consistent
+      // catalog snapshot and reports the version it actually read
+      val (catalog, dataVersion) = catalogSupplier()
       val df = Planner.plan(body, catalog)
       val ordering = resultOrdering(df)
       if (wantsArrow && ArrowSink.supports(df.schema))
@@ -278,9 +303,10 @@ final class QueryServer(catalog: Catalog, dataVersion: String, port: Int = 0,
         // failure truncates the stream before its end-of-stream marker,
         // which every IPC reader reports
         streamChunked(ex, df, "application/vnd.apache.arrow.stream",
-          ordering, midStreamErrorChunk = None)(ArrowSink.writeChunked)
+          ordering, dataVersion, midStreamErrorChunk = None)(
+          ArrowSink.writeChunked)
       else
-        streamChunked(ex, df, "application/x-ndjson", ordering,
+        streamChunked(ex, df, "application/x-ndjson", ordering, dataVersion,
           midStreamErrorChunk = Some(msg =>
             (s"""{"__streamError":"${jsonEscape(msg)}"}""" + "\n")
               .getBytes(UTF_8)))(produceNdjson)
@@ -309,13 +335,17 @@ final class QueryServer(catalog: Catalog, dataVersion: String, port: Int = 0,
     if (ex.getRequestMethod != "GET") respond(ex, 405, """{"error":"GET only"}""")
     else if (column.isEmpty || column.contains("/"))
       bad(s"Expected exactly one path segment after /lineageDefinition")
-    else catalog.lineageYaml.get(column) match {
-      case Some(yaml) => respond(ex, 200, yaml, "application/yaml")
-      case None =>
-        val exists = catalog.tables.get("default")
-          .exists(_.columns.contains(column))
-        if (!exists) bad(s"The column $column does not exist in this instance.")
-        else bad(s"The column $column does not have a lineageIndex defined.")
+    else {
+      val (catalog, dataVersion) = catalogSupplier()
+      catalog.lineageYaml.get(column) match {
+        case Some(yaml) =>
+          respond(ex, 200, yaml, "application/yaml", Some(dataVersion))
+        case None =>
+          val exists = catalog.tables.get("default")
+            .exists(_.columns.contains(column))
+          if (!exists) bad(s"The column $column does not exist in this instance.")
+          else bad(s"The column $column does not have a lineageIndex defined.")
+      }
     }
   }
 
@@ -324,10 +354,12 @@ final class QueryServer(catalog: Catalog, dataVersion: String, port: Int = 0,
       respond(ex, 200, """{"status":"ok"}"""))
 
     server.createContext("/info", (ex: HttpExchange) => {
+      val (catalog, dataVersion) = catalogSupplier()
       val tables = catalog.tables.keys.toSeq.sorted
         .map(t => "\"" + t + "\"").mkString("[", ",", "]")
       respond(ex, 200,
-        s"""{"dataVersion":"$dataVersion","tables":$tables}""")
+        s"""{"dataVersion":"$dataVersion","tables":$tables}""",
+        dataVersion = Some(dataVersion))
     })
 
     server.createContext("/lineageDefinition", handleLineageDefinition(_))

@@ -300,6 +300,42 @@ class QueryServerSpec extends SparkSpec {
     } finally s.stop()
   }
 
+  test("data-version hot swap: appended versions visible without restart") {
+    import graft.sources.NdjsonIngest
+    // a versioned on-disk table: the supplier re-resolves the `latest`
+    // pointer per request (reference: silo_directory_watcher.cpp swaps
+    // DataVersions under a running server, database.h:89-96)
+    val dir = java.nio.file.Files.createTempDirectory("srvswap").toString + "/t"
+    NdjsonIngest.appendVersion(
+      Seq(("k1", 10)).toDF("primary_key", "age"), dir, "primary_key")
+    val supplier = () => (
+      Catalog(Map("default" -> NdjsonIngest.readLatest(spark, dir))),
+      "commit-" + NdjsonIngest.commits(dir).last)
+    val s = new QueryServer(supplier, 0, 120)
+    s.start()
+    try {
+      def query() = http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${s.boundPort}/query"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          "default.groupBy({count := count()})")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val r1 = query()
+      assert(r1.body().trim === """{"count":1}""")
+      assert(r1.headers().firstValue("data-version").get() === "commit-1")
+      // append WHILE the server runs — no restart, no re-construction
+      NdjsonIngest.appendDelta(
+        Seq(("k2", 20)).toDF("primary_key", "age"), dir, "primary_key")
+      val r2 = query()
+      assert(r2.body().trim === """{"count":2}""")
+      assert(r2.headers().firstValue("data-version").get() === "commit-2")
+      // /info reports the swapped version too
+      val info = http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${s.boundPort}/info")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(info.body().contains("\"dataVersion\":\"commit-2\""))
+    } finally s.stop()
+  }
+
   test("result-ordering header reports the plan's root sort keys") {
     // ordered (limit on top preserves the child ordering, like Acero's
     // fetch-node passthrough)
