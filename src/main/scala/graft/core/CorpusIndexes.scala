@@ -25,11 +25,13 @@ import graft.sources.{ChangeFeedConsumer, NdjsonIngest}
   * probe of the just-committed simhash layer ([[SimHashIndex
   * .candidatesForIds]] — no re-signing), and the cluster table advances
   * via [[ConnectedComponents.refresh]] (contracted O(batch) fixpoint +
-  * one linear remap pass). A tick containing DELETES falls back to the
-  * sound path: purge-compact both indexes against the live set and
-  * rebuild the cluster table from an index-served candidate pass — the
-  * same contract as the delta-join algebra (removals rebuild, appends
-  * fold). Crash-safe: the cursor advances only after every artifact
+  * one linear remap pass). A tick containing DELETES or UPSERTS
+  * purge-compacts the chains for the touched ids, re-signs their current
+  * text, and repairs ONLY the clusters containing a touched id
+  * ([[ConnectedComponents.repair]]: affected clusters recompute from
+  * scratch over their live members, merges into untouched clusters fold
+  * via broadcast remap — O(affected + batch), not O(corpus)).
+  * Crash-safe: the cursor advances only after every artifact
   * committed; a replayed tick's index appends are SKIPPED via the feed-
   * range tag recorded on each layer entry (no duplicate signatures), and
   * its cluster refresh rewrites an identical generation (idempotent).
@@ -80,20 +82,16 @@ object CorpusIndexes {
       idCol: String): DataFrame =
     NdjsonIngest.readLatestMerged(spark, tableDir, idCol)
 
-  /** Rebuild everything from the table's current merged state (bootstrap
-    * and the delete fallback): index the live docs from scratch only when
-    * no index exists; otherwise purge-compact the existing chains, then
-    * recompute the cluster table from an index-served candidate pass.
-    */
-  /** `touched`: ids the triggering tick changed in ANY way. The purge
+  /** Bring both signature chains to the table's current merged state.
+    * `touched`: ids the triggering tick changed in ANY way. The purge
     * keeps (live MINUS touched): an upserted doc keeps its id, so a
     * purge by live-ids alone would retain its STALE signature — dropping
     * touched ids forces a fresh signing of their current text via the
-    * missing-doc append below.
+    * missing-doc append below. Returns the (checkpointed) live docs.
     */
-  private def rebuild(spark: SparkSession, tableDir: String, stateDir: String,
-      idCol: String, srcCol: String, textCol: String,
-      touched: Option[DataFrame] = None): Unit = {
+  private def syncChains(spark: SparkSession, tableDir: String,
+      stateDir: String, idCol: String, srcCol: String, textCol: String,
+      touched: Option[DataFrame]): DataFrame = {
     val live = liveDocs(spark, tableDir, idCol).localCheckpoint()
     val liveIds = live.select(idCol)
     val keepIds = touched.foldLeft(liveIds) { (l, t) =>
@@ -121,6 +119,15 @@ object CorpusIndexes {
         SimHashIndex.append(spark, miss, idCol, srcCol, textCol,
           s"$stateDir/simhash")
     }
+    live
+  }
+
+  /** Bootstrap: index the live docs and cluster the world from scratch. */
+  private def rebuild(spark: SparkSession, tableDir: String, stateDir: String,
+      idCol: String, srcCol: String, textCol: String): Unit = {
+    val live = syncChains(spark, tableDir, stateDir, idCol, srcCol, textCol,
+      touched = None)
+    val liveIds = live.select(idCol)
     val edges = SimHashIndex.candidatesForIds(spark, liveIds, s"$stateDir/simhash")
     writeClusters(stateDir, ConnectedComponents.components(
       edges, "a_id", "b_id", liveIds.toDF("node"), "node"))
@@ -156,8 +163,18 @@ object CorpusIndexes {
       val hasNonInsert = f.filter(col("_change_type") =!= "insert").limit(1)
         .count() > 0
       if (hasNonInsert) {
-        rebuild(spark, tableDir, stateDir, idCol, srcCol, textCol,
-          touched = Some(f.select(idCol).distinct()))
+        // delete/upsert tick: purge+re-sign the chains for the touched
+        // ids, then repair ONLY the clusters containing one — untouched
+        // clusters keep their labels (modulo a broadcast merge remap),
+        // never re-entering the fixpoint. O(affected + Δ), not O(corpus).
+        val touched = f.select(idCol).distinct().localCheckpoint()
+        val live = syncChains(spark, tableDir, stateDir, idCol, srcCol,
+          textCol, Some(touched))
+        writeClusters(stateDir, ConnectedComponents.repair(
+          clusters(spark, stateDir), touched, live.select(idCol),
+          ids => SimHashIndex.candidatesForIds(spark, ids,
+            s"$stateDir/simhash")
+            .select(col("a_id").as("a"), col("b_id").as("b"))))
       } else {
         val batch = f.filter(col("_change_type") === "insert")
           .select(idCol, srcCol, textCol).localCheckpoint()

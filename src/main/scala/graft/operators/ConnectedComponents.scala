@@ -171,4 +171,72 @@ object ConnectedComponents {
       .select(col("node"), coalesce(col("new_comp"), col("node")).as("comp"))
     updatedOld.unionByName(fresh)
   }
+
+  /** CLUSTER-SCOPED repair for delete/upsert ticks — the removal-side
+    * complement of [[refresh]]: instead of re-running the fixpoint over
+    * the whole live corpus, recompute ONLY the clusters that contain a
+    * `touched` node (tombstoned or re-signed), and fold any merges they
+    * cause into the untouched labels with the same broadcast-remap trick.
+    *
+    * Soundness: an untouched cluster's nodes kept all their signatures,
+    * so all its internal edges survive — it can only MERGE (via a new
+    * edge from a re-signed doc), never split; splits are confined to
+    * affected clusters, which are recomputed from scratch over their
+    * LIVE members. Outside endpoints of member edges are contracted
+    * through their old labels ([[refresh]]'s argument: each old comp id
+    * IS its cluster's min member), so the fixpoint runs on an
+    * O(affected + Δ)-node graph and merged minima equal the from-scratch
+    * minima.
+    *
+    * @param oldLabels committed (node, comp) table
+    * @param touched   one-column frame: ids the tick changed in ANY way
+    * @param liveNodes one-column frame: all still-live ids
+    * @param edgesFor  member ids (col `node`) → their candidate edge list
+    *                  (cols `a`, `b`) — an index probe of JUST those ids,
+    *                  run AFTER the signature chains were purged/re-signed
+    * @return the repaired (node, comp) table (tombstoned nodes dropped)
+    */
+  def repair(
+      oldLabels: DataFrame, touched: DataFrame, liveNodes: DataFrame,
+      edgesFor: DataFrame => DataFrame, maxIter: Int = 25): DataFrame = {
+    val old = oldLabels.select(col("node"), col("comp")).localCheckpoint()
+    val t = touched.toDF("node").distinct().localCheckpoint()
+    val live = liveNodes.toDF("node")
+    val affComps = old.join(t, Seq("node"), "left_semi")
+      .select("comp").distinct()
+    val members = old.join(affComps, Seq("comp"), "left_semi").select("node")
+    // an upsert can insert keys the table never saw: live touched ids
+    // outside the old labeling join the recompute as fresh nodes
+    val newcomers = t.join(live, Seq("node"), "left_semi")
+      .join(old.select("node"), Seq("node"), "left_anti")
+    val alive = members.join(live, Seq("node"), "left_semi")
+      .union(newcomers).distinct().localCheckpoint()
+    val e = edgesFor(alive).toDF("a", "b")
+    // contract endpoints OUTSIDE the member set through their old comp
+    // (their untouched cluster's representative); member endpoints stay
+    // themselves — their clusters may split and must not be collapsed
+    val ma = alive.select(col("node").as("a"), lit(true).as("ma"))
+    val mb = alive.select(col("node").as("b"), lit(true).as("mb"))
+    val ra = old.select(col("node").as("a"), col("comp").as("ra"))
+    val rb = old.select(col("node").as("b"), col("comp").as("rb"))
+    val contracted = e.join(ma, Seq("a"), "left").join(mb, Seq("b"), "left")
+      .join(ra, Seq("a"), "left").join(rb, Seq("b"), "left")
+      .select(
+        when(col("ma"), col("a")).otherwise(coalesce(col("ra"), col("a"))).as("a"),
+        when(col("mb"), col("b")).otherwise(coalesce(col("rb"), col("b"))).as("b"))
+    val labels = components(contracted, "a", "b", alive, "node", maxIter)
+    val memberLabels = labels.join(alive, Seq("node"), "left_semi")
+    // labels of outside representatives that merged downward remap their
+    // whole untouched cluster — one broadcast, one linear pass, no
+    // shuffle over the untouched labels
+    val remap = broadcast(labels.join(alive, Seq("node"), "left_anti")
+      .filter(col("node") =!= col("comp"))
+      .select(col("node").as("old_comp"), col("comp").as("new_comp"))
+      .localCheckpoint())
+    val untouched = old.join(affComps, Seq("comp"), "left_anti")
+    val untouchedFinal = untouched
+      .join(remap, untouched("comp") === remap("old_comp"), "left")
+      .select(col("node"), coalesce(col("new_comp"), col("comp")).as("comp"))
+    untouchedFinal.unionByName(memberLabels.select("node", "comp"))
+  }
 }

@@ -247,10 +247,14 @@ object PipelineQueries {
     * and canonical-selection oracles — ends at the `reach` CTE (node →
     * reachable label pairs); callers append their own final CTEs/SELECT.
     */
-  private lazy val simhashClosureCte: String = {
-    s"""WITH RECURSIVE tk AS (SELECT doc_id, source,
+  /** The simhash-closure CTE chain over document relation `rel` (tk → sh
+    * → pairs → edges → reach), WITHOUT the `WITH RECURSIVE` prefix so a
+    * caller can prepend its own CTEs (e.g. a live-set filter).
+    */
+  private def simhashClosureBody(rel: String): String = {
+    s"""tk AS (SELECT doc_id, source,
        |    md5('0|' || t) AS h0, md5('1|' || t) AS h1 FROM
-       |  (SELECT doc_id, source, unnest(string_split($normSql, ' ')) AS t FROM documents)),
+       |  (SELECT doc_id, source, unnest(string_split($normSql, ' ')) AS t FROM $rel)),
        |s AS (SELECT doc_id, source, $shSumsSql FROM tk GROUP BY doc_id, source),
        |sh AS (SELECT doc_id, source, $shBitsSql AS sh FROM s),
        |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
@@ -259,11 +263,14 @@ object PipelineQueries {
        |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
        |  UNION ALL SELECT b_id AS u, a_id AS v FROM pairs),
        |reach AS (
-       |  SELECT doc_id AS node, doc_id AS lab FROM documents
+       |  SELECT doc_id AS node, doc_id AS lab FROM $rel
        |  UNION
        |  SELECT e.u AS node, r.lab AS lab FROM edges e JOIN reach r ON r.node = e.v
        |)""".stripMargin
   }
+
+  private lazy val simhashClosureCte: String =
+    "WITH RECURSIVE " + simhashClosureBody("documents")
 
   /** DuckDB: word-3-gram distinct shingles of the canonical tokens. */
   private val shinglesSql =
@@ -993,6 +1000,39 @@ object PipelineQueries {
       graft.operators.ConnectedComponents
         .refresh(oldLabels, newEdges, "a_id", "b_id",
           newDocs.select("doc_id"), "doc_id")
+        .select(col("node").as("doc_id"), col("comp").as("cluster"))
+        .orderBy("doc_id")
+    },
+
+    // ---- CLUSTER-SCOPED delete repair: a tick tombstones every 17th
+    //      doc; instead of re-clustering the corpus, repair recomputes
+    //      ONLY the clusters containing a deleted doc (their live
+    //      members' edges come from a live-filtered probe of the
+    //      persisted simhash index) and folds any merges into the
+    //      untouched labels via broadcast remap. The oracle is
+    //      repair-blind: the full closure over the LIVE set — a wrongly
+    //      split, wrongly merged, or stale-labeled cluster breaks the
+    //      hash. ----
+    QDef("q_dedup_repair",
+      s"""WITH RECURSIVE live AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
+         |${simhashClosureBody("live")}
+         |SELECT node AS doc_id, min(lab) AS cluster
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val deleted = docs.filter(col("doc_id") % 17 === 0).select("doc_id")
+      val liveIds = docs.filter(col("doc_id") % 17 =!= 0).select("doc_id")
+      // preprocessing artifacts already exist (yesterday's cluster table +
+      // the persisted simhash index, both memoized); the timed body is
+      // the tick's own work: the affected-member probe (live filter
+      // standing in for the physical purge) + the scoped repair
+      val oldLabels = memoClusters(s, dir, docs)
+        .select(col("doc_id").as("node"), col("cluster").as("comp"))
+      val idx = memoSimhashIndex(s, dir, docs)
+      graft.operators.ConnectedComponents.repair(
+        oldLabels, deleted, liveIds,
+        ids => graft.operators.SimHashIndex.candidatesForIds(
+          s, ids, idx, live = Some(liveIds))
+          .select(col("a_id").as("a"), col("b_id").as("b")))
         .select(col("node").as("doc_id"), col("comp").as("cluster"))
         .orderBy("doc_id")
     },

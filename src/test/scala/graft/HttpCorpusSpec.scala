@@ -144,6 +144,64 @@ class HttpCorpusSpec extends SparkSpec with GoldenCorpusData {
       failures.mkString("\n"))
   }
 
+  test("concurrent corpus clients: no header or body cross-talk") {
+    // the server dispatches exchanges on its worker pool (the reference
+    // serves multi-threaded through Poco); N parallel clients over a
+    // corpus slice must each get THEIR OWN X-Request-Id echoed, the same
+    // result-ordering header as a sequential run, and value parity
+    val files = allJsonFiles(new File(s"$base/queries")).take(24)
+    case class Fixture(name: String, q: String, schema: StructType,
+        expect: Seq[String], ordering: String)
+    val fixtures = files.map { f =>
+      val q = jsonString(Files.readString(f.toPath), "query")
+        .getOrElse(fail(s"no query in ${f.getName}"))
+      val df = Planner.plan(q, catalog)
+      val seq = post(q, "application/x-ndjson")
+      Fixture(f.getName, q, df.schema,
+        df.collect().map(canonRow(df.schema, _)).toSeq.sorted,
+        seq.headers().firstValue("result-ordering").orElse("?"))
+    }
+    val exec = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    fixtures.zipWithIndex.foreach { case (fx, i) =>
+      exec.submit(new Runnable {
+        def run(): Unit = try {
+          val rid = s"rid-$i-${fx.name}"
+          val r = http.send(HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${srv.boundPort}/query"))
+            .POST(HttpRequest.BodyPublishers.ofString(fx.q))
+            .header("Accept", "application/x-ndjson")
+            .header("X-Request-Id", rid).build(),
+            HttpResponse.BodyHandlers.ofString())
+          if (r.statusCode() != 200)
+            failures.add(s"${fx.name}: status ${r.statusCode()}")
+          if (r.headers().firstValue("X-Request-Id").orElse("") != rid)
+            failures.add(s"${fx.name}: X-Request-Id cross-talk: " +
+              r.headers().firstValue("X-Request-Id").orElse("<none>"))
+          if (r.headers().firstValue("result-ordering").orElse("?") != fx.ordering)
+            failures.add(s"${fx.name}: result-ordering cross-talk")
+          if (r.headers().firstValue("data-version").orElse("") != "corpus-v1")
+            failures.add(s"${fx.name}: data-version header")
+          val lines = r.body().split("\n").toSeq.filter(_.nonEmpty)
+          val rows = spark.read.schema(fx.schema).option("mode", "FAILFAST")
+            .json(spark.createDataset(lines))
+            .collect().map(canonRow(fx.schema, _)).toSeq.sorted
+          if (rows != fx.expect)
+            failures.add(s"${fx.name}: body mismatch under concurrency " +
+              s"(${rows.length} vs ${fx.expect.length} rows)")
+        } catch {
+          case t: Throwable =>
+            failures.add(s"${fx.name}: ${t.getClass.getSimpleName}: ${t.getMessage}")
+        }
+      })
+    }
+    exec.shutdown()
+    assert(exec.awaitTermination(300, java.util.concurrent.TimeUnit.SECONDS))
+    assert(failures.isEmpty,
+      s"${failures.size} concurrent requests failed:\n" +
+        failures.toArray.mkString("\n"))
+  }
+
   test("every invalid corpus query: typed 400 over HTTP on both Accept types") {
     val files = allJsonFiles(new File(s"$base/invalidQueries"))
     assert(files.nonEmpty)

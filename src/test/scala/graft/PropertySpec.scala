@@ -399,4 +399,71 @@ class PropertySpec extends SparkSpec {
           s"case $ci nOld=$nOld nNew=$nNew old=$oldEdges new=$newEdges")
     }
   }
+
+  test("cluster-scoped repair equals from-scratch on random delete/upsert ticks") {
+    import graft.operators.ConnectedComponents
+    // model of a delete/upsert tick over a signature graph: edges between
+    // two UNTOUCHED nodes never change (their signatures didn't); edges
+    // incident to a touched node are arbitrarily dropped/added; deleted
+    // nodes vanish. repair must equal components-from-scratch over the
+    // current graph, and must probe ONLY affected-cluster members
+    val caseGen = for {
+      nOld <- Gen.choose(5, 22)
+      nNew <- Gen.choose(0, 4) // upsert-inserted newcomers
+      oldEdges <- Gen.listOf(for {
+        a <- Gen.choose(0, nOld - 1); b <- Gen.choose(0, nOld - 1)
+      } yield (a.toLong, b.toLong))
+      touchedOld <- Gen.someOf(0L until nOld.toLong)
+      delFlags <- Gen.listOfN(touchedOld.size, Gen.oneOf(true, false))
+      rawTouchEdges <- Gen.listOf(for {
+        a <- Gen.choose(0, nOld + nNew - 1); b <- Gen.choose(0, nOld + nNew - 1)
+      } yield (a.toLong, b.toLong))
+    } yield (nOld, nNew, oldEdges, touchedOld.toSeq, delFlags, rawTouchEdges)
+    samples(caseGen, 10).zipWithIndex.foreach {
+      case ((nOld, nNew, oldEdges, touchedOld, delFlags, rawTouchEdges), ci) =>
+        val newcomers = (nOld.toLong until (nOld + nNew).toLong).toSeq
+        val touched = touchedOld ++ newcomers
+        val deleted = touchedOld.zip(delFlags).collect { case (n, true) => n }.toSet
+        val live = ((0L until nOld.toLong).filterNot(deleted) ++ newcomers).toSeq
+        val liveSet = live.toSet
+        val touchedSet = touched.toSet
+        // current edges: untouched-untouched edges survive verbatim;
+        // touched-incident ones are replaced by the random new set
+        val ecur = (oldEdges.filterNot { case (a, b) =>
+          touchedSet(a) || touchedSet(b) } ++
+          rawTouchEdges.filter { case (a, b) =>
+            (touchedSet(a) || touchedSet(b)) && liveSet(a) && liveSet(b) })
+          .distinct
+        val oldLabels = ConnectedComponents.components(
+          oldEdges.toDF("a", "b"), "a", "b", (0L until nOld.toLong).toDF("id"), "id")
+          .localCheckpoint()
+        // the probe scope repair is allowed: members of clusters holding a
+        // touched node, minus tombstones, plus live newcomers
+        val oldMap = oldLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val affComps = touchedOld.map(oldMap).toSet
+        val allowed = oldMap.collect {
+          case (n, c) if affComps(c) && !deleted(n) => n }.toSet ++ newcomers
+        val probed = scala.collection.mutable.Set[Long]()
+        val edgesFor = (ids: org.apache.spark.sql.DataFrame) => {
+          probed ++= ids.collect().map(_.getLong(0))
+          val e = ecur.toDF("a", "b")
+          val ma = ids.select(col("node").as("a"))
+          val mb = ids.select(col("node").as("b"))
+          e.join(ma, Seq("a"), "left_semi")
+            .union(e.join(mb, Seq("b"), "left_semi")).distinct()
+        }
+        val got = ConnectedComponents.repair(oldLabels,
+          touched.toDF("node"), live.toDF("node"), edgesFor)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val scratch = ConnectedComponents.components(
+          ecur.toDF("a", "b"), "a", "b", live.toDF("id"), "id")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === scratch,
+          s"case $ci nOld=$nOld touched=$touched deleted=$deleted ecur=$ecur")
+        // scope: the fixpoint probed ONLY affected members — untouched
+        // clusters were never recomputed, just (possibly) remapped
+        assert(probed.toSet === allowed,
+          s"case $ci probed=$probed allowed=$allowed touched=$touched")
+    }
+  }
 }

@@ -89,6 +89,33 @@ class SaneQLSpec extends SparkSpec {
       .count() === 4) // + XA
   }
 
+  test("lineage closure stays plan-time: an IN-set literal, never a join") {
+    // the descendants fixpoint — including recombinant following, which
+    // iterates to a fixpoint for followIfFullyContained — resolves at
+    // PLAN time into a literal membership set (reference: lineage_index
+    // .h:14-45 keeps a per-lineage bitmap; our analog is a broadcast-
+    // closure isin). A regression into a join-based shape would shuffle
+    // the fact table per lineage predicate at scale.
+    Seq(
+      "default.filter(lineage(pango_lineage, 'B.1', includeSublineages := true))",
+      """default.filter(lineage(pango_lineage, 'B.1',
+          includeSublineages := true, recombinantFollowingMode := 'followIfFullyContainedInClade'))""",
+      """default.filter(lineage(pango_lineage, 'B.1',
+          includeSublineages := true, recombinantFollowingMode := 'alwaysFollow'))""")
+      .foreach { q =>
+        val qe = run(q).queryExecution
+        // the analyzed plan carries the predicate as written: a literal
+        // IN list, no Join node (the physical plan then constant-folds
+        // it straight into the scan — even cheaper)
+        val lp = qe.analyzed.toString
+        assert(!lp.contains("Join"), s"$q planned a join:\n${lp.take(1200)}")
+        assert(lp.contains(" IN ") || lp.contains("INSET"),
+          s"$q: closure not a plan-time literal set:\n${lp.take(1200)}")
+        val p = qe.explainString(org.apache.spark.sql.execution.SimpleMode)
+        assert(!p.contains("Join"), s"$q physical join:\n${p.take(1200)}")
+      }
+  }
+
   test("phyloDescendantOf and MRCA/subtree pipeline-breakers") {
     assert(run("default.filter(phyloDescendantOf(tree_node, 'r1'))").count() === 4)
     val m = run("default.filter(country = 'Switzerland').mostRecentCommonAncestor('tree_node')")
