@@ -107,7 +107,11 @@ object AnnIndex {
       vecCol: String, indexDir: String): Handle = {
     val h = load(spark, indexDir).getOrElse(
       throw new IllegalStateException(s"no committed index at $indexDir"))
-    val next = (h.layers.map(_.toLong).max + 1).toString
+    // orphan-aware numbering (BandChain discipline): a crash between a
+    // layer write and the meta commit must not wedge every later
+    // ErrorIfExists write on the orphan dir
+    val next = graft.operators.BandChain
+      .nextLayerIn(s"$indexDir/codes", h.layers)
     writeCodesLayer(h, newEmb, idCol, vecCol, next)
     val updated = h.copy(layers = h.layers :+ next)
     commitMeta(indexDir, updated.layers)
@@ -131,7 +135,8 @@ object AnnIndex {
     val h = load(spark, indexDir).getOrElse(
       throw new IllegalStateException(s"no committed index at $indexDir"))
     if (h.layers.length <= maxLayers && live.isEmpty) return false
-    val next = (h.layers.map(_.toLong).max + 1).toString
+    val next = graft.operators.BandChain
+      .nextLayerIn(s"$indexDir/codes", h.layers)
     val folded = live.foldLeft(
       spark.read.option("basePath", s"$indexDir/codes")
         .parquet(h.layers.map(l => s"$indexDir/codes/layer=$l"): _*)
@@ -141,11 +146,20 @@ object AnnIndex {
     folded.write.mode(SaveMode.ErrorIfExists).partitionBy("cell")
       .parquet(s"$indexDir/codes/layer=$next")
     commitMeta(indexDir, Seq(next))
-    // physical purge: drop the superseded code layers (and any crash
-    // orphan) now that the flip is durable — deleted vectors' codes would
-    // otherwise persist on disk forever
-    graft.operators.BandChain.gcLayerDirs(s"$indexDir/codes", Seq(next))
     true
+  }
+
+  /** Delete on-disk code layers not in the committed meta — the PHYSICAL
+    * completion of earlier `compactCodes` calls (a purge-compact's fold
+    * drops deleted vectors' codes from the live chain; this reclaims
+    * their superseded dirs) plus crash-orphan cleanup. Same drain
+    * contract as `NdjsonIngest.gcVersions`: call once in-flight readers
+    * of the superseded chain have drained. Returns deleted dir names.
+    */
+  def gcCodes(spark: SparkSession, indexDir: String): Seq[String] = {
+    val h = load(spark, indexDir).getOrElse(
+      throw new IllegalStateException(s"no committed index at $indexDir"))
+    graft.operators.BandChain.gcLayerDirs(s"$indexDir/codes", h.layers)
   }
 
   /** IVF-PQ search against the PERSISTED codes: partition-pruned scan of

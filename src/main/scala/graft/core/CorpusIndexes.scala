@@ -32,9 +32,12 @@ import graft.sources.{ChangeFeedConsumer, NdjsonIngest}
   * scratch over their live members, merges into untouched clusters fold
   * via broadcast remap — O(affected + batch), not O(corpus)).
   * Crash-safe: the cursor advances only after every artifact
-  * committed; a replayed tick's index appends are SKIPPED via the feed-
-  * range tag recorded on each layer entry (no duplicate signatures), and
-  * its cluster refresh rewrites an identical generation (idempotent).
+  * committed; each chain records the feed range it covers on its layer
+  * entries, and an insert-tick append starts from max(covered, cursor) —
+  * so a replayed tick re-signs only the commits that chain has not seen
+  * (no duplicate signatures, even when new commits widen the retried
+  * range), and its cluster refresh rewrites an identical generation
+  * (idempotent).
   */
 object CorpusIndexes {
 
@@ -157,6 +160,11 @@ object CorpusIndexes {
     }
     ChangeFeedConsumer.processWithRange(spark, tableDir, idCol,
         s"$stateDir/feed") { (feed: DataFrame, range: (Long, Long)) =>
+      // physical gc of layers superseded by EARLIER ticks' compactions:
+      // deferred a full tick so any reader that resolved the pre-flip
+      // meta has drained (same contract as NdjsonIngest.gcVersions)
+      DedupIndex.gc(s"$stateDir/minhash")
+      SimHashIndex.gc(s"$stateDir/simhash")
       val f = feed.localCheckpoint()
       // anything but plain inserts (deletes, upserts' delete half, a
       // mid-life snapshot) makes the refresh algebra unsound: rebuild path
@@ -177,15 +185,32 @@ object CorpusIndexes {
             .select(col("a_id").as("a"), col("b_id").as("b"))))
       } else {
         val batch = f.filter(col("_change_type") === "insert")
-          .select(idCol, srcCol, textCol).localCheckpoint()
-        // the feed range tags each layer: a replayed tick (crash between
-        // an index commit and the cursor advance) is SKIPPED by the
-        // chains instead of re-appended as duplicate signatures
-        val tag = Some(s"feed:${range._1}-${range._2}")
-        DedupIndex.append(spark, batch, idCol, textCol,
-          s"$stateDir/minhash", tag)
-        SimHashIndex.append(spark, batch, idCol, srcCol, textCol,
-          s"$stateDir/simhash", tag)
+          .select(col(idCol), col(srcCol), col(textCol), col("_commit"))
+          .localCheckpoint()
+        // replay guard, per chain: each tagged layer records the feed
+        // range it covers; an append starts from the chain's covered
+        // watermark (or the cursor, whichever is later), so a crash
+        // between an index commit and the cursor advance — even with NEW
+        // commits landing before the retry widens the range — re-signs
+        // only the commits the chain has not seen. Completed non-insert
+        // ticks are covered by the cursor itself (range._1).
+        def coveredTo(tags: Set[String]): Long = tags.collect {
+          case t if t.startsWith("feed:") =>
+            t.stripPrefix("feed:").split("-")(1).toLong
+        }.foldLeft(range._1)(math.max)
+        def appendFrom(covered: Long)(
+            append: (DataFrame, String) => Unit): Unit =
+          if (covered < range._2)
+            append(batch.filter(col("_commit") > covered),
+              s"feed:$covered-${range._2}")
+        appendFrom(coveredTo(DedupIndex.tags(s"$stateDir/minhash"))) {
+          (b, tag) => DedupIndex.append(spark, b, idCol, textCol,
+            s"$stateDir/minhash", Some(tag)); ()
+        }
+        appendFrom(coveredTo(SimHashIndex.tags(s"$stateDir/simhash"))) {
+          (b, tag) => SimHashIndex.append(spark, b, idCol, srcCol, textCol,
+            s"$stateDir/simhash", Some(tag)); ()
+        }
         val edges = SimHashIndex.candidatesForIds(spark,
           batch.select(idCol), s"$stateDir/simhash")
         writeClusters(stateDir, ConnectedComponents.refresh(

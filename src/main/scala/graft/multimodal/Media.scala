@@ -634,16 +634,17 @@ object Media {
     */
   /** The gray path materializes imgW×imgH DOUBLES (8 bytes/pixel, 8× the
     * byte-plane exposure) — cap it at 2^26 pixels (64 MP, a 512 MB plane)
-    * so a hostile ~16M-MCU baseline frame can't force a ~8 GB allocation;
-    * over-cap frames fall back to the caller's labeled stub.
+    * so a hostile ~16M-MCU baseline frame can't force a ~8 GB allocation.
+    * Enforced at the SOF header inside the decoder, so an over-cap frame
+    * does no entropy work and allocates no planes at all before falling
+    * back to the caller's labeled stub.
     */
   private val MaxGrayPixels = 1L << 26
 
   def decodeJpegGray(blob: Array[Byte]): Option[(Int, Int, Array[Double])] = {
     if (blob.length < 4 || (blob(0) & 0xff) != 0xff || (blob(1) & 0xff) != 0xd8)
       return None
-    try decodeJpegToPlanes(blob)
-      .filter(p => p.imgW.toLong * p.imgH <= MaxGrayPixels)
+    try decodeJpegToPlanes(blob, maxPixels = MaxGrayPixels)
       .map(jpegPlanesGray)
     catch {
       case _: ArrayIndexOutOfBoundsException => None
@@ -742,7 +743,12 @@ object Media {
 
   private final case class JComp(id: Int, hs: Int, vs: Int, tq: Int)
 
-  private def decodeJpegToPlanes(blob: Array[Byte]): Option[JpegPlanes] = {
+  /** `maxPixels` bounds imgW×imgH at the SOF header, BEFORE any entropy
+    * decode or plane allocation — the gray path's cap must reject a
+    * hostile frame without first materializing its byte planes.
+    */
+  private def decodeJpegToPlanes(blob: Array[Byte],
+      maxPixels: Long = Long.MaxValue): Option[JpegPlanes] = {
     val qt = new Array[Array[Int]](4)
     val dcTab = new Array[JpegHuff](4)
     val acTab = new Array[JpegHuff](4)
@@ -811,6 +817,9 @@ object Media {
             imgH = be16(blob, seg + 1); imgW = be16(blob, seg + 3)
             val nc = blob(seg + 5) & 0xff
             if (imgW <= 0 || imgH <= 0 || (nc != 1 && nc != 3)) return None
+            // caller's pixel budget, enforced at the header — no entropy
+            // work or plane allocation happens for an over-budget frame
+            if (imgW.toLong * imgH > maxPixels) return None
             comps = Array.tabulate(nc) { c =>
               val o = seg + 6 + 3 * c
               JComp(blob(o) & 0xff, (blob(o + 1) >> 4) & 0xf,

@@ -70,13 +70,8 @@ private[operators] final class BandChain(kind: String, format: Int,
     * meta commit leaves one; numbering past it keeps the ErrorIfExists
     * write from failing every subsequent append).
     */
-  def nextLayer(dir: String, committed: Seq[String]): String = {
-    val bands = new java.io.File(s"$dir/bands")
-    val onDisk = Option(bands.listFiles()).getOrElse(Array.empty)
-      .flatMap(f => Option(f.getName).filter(_.startsWith("layer="))
-        .flatMap(n => n.stripPrefix("layer=").toLongOption))
-    ((committed.map(_.toLong) ++ onDisk).foldLeft(0L)(math.max) + 1).toString
-  }
+  def nextLayer(dir: String, committed: Seq[String]): String =
+    BandChain.nextLayerIn(s"$dir/bands", committed)
 
   /** Delete on-disk `bands/layer=N` dirs NOT in the committed list — the
     * PHYSICAL cleanup half of a purge-compact. After the meta pointer
@@ -93,6 +88,20 @@ private[operators] final class BandChain(kind: String, format: Int,
 }
 
 private[graft] object BandChain {
+
+  /** Next layer number = 1 + max over BOTH the committed list and any
+    * orphan on-disk `layer=N` child of `parent` (a crash between the
+    * layer write and the meta commit leaves one; numbering past it keeps
+    * the ErrorIfExists write from failing every subsequent append).
+    * Shared with the ANN codes chain (`codes/` parent).
+    */
+  def nextLayerIn(parent: String, committed: Seq[String]): String = {
+    val onDisk = Option(new java.io.File(parent).listFiles())
+      .getOrElse(Array.empty)
+      .flatMap(f => Option(f.getName).filter(_.startsWith("layer="))
+        .flatMap(n => n.stripPrefix("layer=").toLongOption))
+    ((committed.map(_.toLong) ++ onDisk).foldLeft(0L)(math.max) + 1).toString
+  }
 
   /** Delete `layer=N` children of `parent` whose N is not in `committed`
     * (shared with the ANN codes chain, whose layers live under `codes/`).

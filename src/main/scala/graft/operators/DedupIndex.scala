@@ -43,6 +43,9 @@ object DedupIndex {
 
   def layers(dir: String): Seq[String] = chain.layers(dir)
 
+  /** Every feed tag committed on any layer (replay-coverage probe). */
+  def tags(dir: String): Set[String] = chain.tags(dir)
+
   private def nextLayer(dir: String, committed: Seq[String]): String =
     chain.nextLayer(dir, committed)
 
@@ -177,13 +180,24 @@ object DedupIndex {
     }
     folded.write.mode(SaveMode.ErrorIfExists)
       .parquet(s"$dir/bands/layer=$next")
-    // the folded layer carries the UNION of the folded tags: a replayed
-    // feed tick stays recognisable across compactions
-    commitMeta(dir, Seq(chain.entryOf(next, es.flatMap(chain.tagsOf).distinct)))
-    // physical purge: drop the superseded layers (and any crash orphan)
-    // now that the flip is durable — without this, tombstoned documents'
-    // signatures persist on disk forever and usage grows per compaction
-    chain.gcLayers(dir, Seq(next))
+    // feed coverage is MONOTONE (the consumer always appends from its
+    // covered watermark), so the folded layer needs only the newest feed
+    // tag to stay replay-recognisable — carrying the whole history would
+    // grow the meta line unboundedly with tick count
+    val (feeds, others) = es.flatMap(chain.tagsOf).distinct
+      .partition(_.startsWith("feed:"))
+    val newest = feeds.sortBy(_.stripPrefix("feed:").split("-")(1).toLong)
+      .lastOption
+    commitMeta(dir, Seq(chain.entryOf(next, others ++ newest)))
     true
   }
+
+  /** Delete on-disk layer dirs not in the committed meta — the PHYSICAL
+    * completion of earlier compactions plus crash-orphan cleanup. Same
+    * drain contract as [[SimHashIndex.gc]] / `NdjsonIngest.gcVersions`:
+    * call once readers of the superseded chain have drained; the corpus
+    * consumer runs it at the start of the NEXT tick. Returns the deleted
+    * dir names.
+    */
+  def gc(dir: String): Seq[String] = chain.gcLayers(dir, layers(dir))
 }

@@ -40,6 +40,9 @@ object SimHashIndex {
 
   def layers(dir: String): Seq[String] = chain.layers(dir)
 
+  /** Every feed tag committed on any layer (replay-coverage probe). */
+  def tags(dir: String): Set[String] = chain.tags(dir)
+
   private def nextLayer(dir: String, committed: Seq[String]): String =
     chain.nextLayer(dir, committed)
 
@@ -209,13 +212,28 @@ object SimHashIndex {
     }
     folded.write.mode(SaveMode.ErrorIfExists)
       .parquet(s"$dir/bands/layer=$next")
-    // the folded layer carries the UNION of the folded tags: a replayed
-    // feed tick stays recognisable across compactions
-    commitMeta(dir, Seq(chain.entryOf(next, es.flatMap(chain.tagsOf).distinct)))
-    // physical purge: drop the superseded layers (and any crash orphan)
-    // now that the flip is durable — without this, tombstoned documents'
-    // signatures persist on disk forever and usage grows per compaction
-    chain.gcLayers(dir, Seq(next))
+    // feed coverage is MONOTONE (the consumer always appends from its
+    // covered watermark), so the folded layer needs only the newest feed
+    // tag to stay replay-recognisable — carrying the whole history would
+    // grow the meta line unboundedly with tick count
+    val (feeds, others) = es.flatMap(chain.tagsOf).distinct
+      .partition(_.startsWith("feed:"))
+    val newest = feeds.sortBy(_.stripPrefix("feed:").split("-")(1).toLong)
+      .lastOption
+    commitMeta(dir, Seq(chain.entryOf(next, others ++ newest)))
     true
   }
+
+  /** Delete on-disk layer dirs not in the committed meta — the PHYSICAL
+    * completion of earlier compactions (a purge-compact's fold drops the
+    * tombstoned signatures from the live chain; this reclaims their
+    * superseded dirs) plus crash-orphan cleanup. Same contract as
+    * `NdjsonIngest.gcVersions`: call once in-flight readers of the
+    * superseded chain have drained — a reader that resolved `meta`
+    * before the flip may still be lazily scanning those files, and an
+    * immediate delete would fail its job mid-read. [[graft.core
+    * .CorpusIndexes.sync]] runs it at the START of the next tick, giving
+    * a full tick of grace. Returns the deleted dir names.
+    */
+  def gc(dir: String): Seq[String] = chain.gcLayers(dir, layers(dir))
 }

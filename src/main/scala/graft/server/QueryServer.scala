@@ -203,14 +203,22 @@ final class QueryServer(catalogSupplier: () => (Catalog, String),
         }
         val out = new java.io.OutputStream {
           private val buf = new java.io.ByteArrayOutputStream(ChunkBytes)
+          private var lastFlush = System.nanoTime()
+          // flush on size OR age: a slow-but-healthy producer (seconds per
+          // partition, small rows) must still surface a chunk per write
+          // burst, or the writer's per-batch-wait timeout would read the
+          // silence as a stall and abort live Spark jobs
+          private def due(): Boolean = buf.size >= ChunkBytes ||
+            System.nanoTime() - lastFlush > 1_000_000_000L
           override def write(b: Int): Unit = {
-            buf.write(b); if (buf.size >= ChunkBytes) flush()
+            buf.write(b); if (due()) flush()
           }
           override def write(b: Array[Byte], off: Int, len: Int): Unit = {
-            buf.write(b, off, len); if (buf.size >= ChunkBytes) flush()
+            buf.write(b, off, len); if (due()) flush()
           }
-          override def flush(): Unit = if (buf.size > 0) {
-            val chunk = buf.toByteArray; buf.reset(); put(chunk)
+          override def flush(): Unit = {
+            lastFlush = System.nanoTime()
+            if (buf.size > 0) { val chunk = buf.toByteArray; buf.reset(); put(chunk) }
           }
         }
         try {
@@ -335,7 +343,7 @@ final class QueryServer(catalogSupplier: () => (Catalog, String),
     if (ex.getRequestMethod != "GET") respond(ex, 405, """{"error":"GET only"}""")
     else if (column.isEmpty || column.contains("/"))
       bad(s"Expected exactly one path segment after /lineageDefinition")
-    else {
+    else try {
       val (catalog, dataVersion) = catalogSupplier()
       catalog.lineageYaml.get(column) match {
         case Some(yaml) =>
@@ -346,6 +354,12 @@ final class QueryServer(catalogSupplier: () => (Catalog, String),
           if (!exists) bad(s"The column $column does not exist in this instance.")
           else bad(s"The column $column does not have a lineageIndex defined.")
       }
+    } catch {
+      // a failing supplier must still produce a well-formed 500, not an
+      // exception out of the handler (which closes the connection bodyless)
+      case e: Throwable =>
+        respond(ex, 500, s"""{"error":"Internal Server Error","message":"${
+          jsonEscape(Option(e.getMessage).getOrElse(e.getClass.getName))}"}""")
     }
   }
 
@@ -353,14 +367,20 @@ final class QueryServer(catalogSupplier: () => (Catalog, String),
     server.createContext("/health", (ex: HttpExchange) =>
       respond(ex, 200, """{"status":"ok"}"""))
 
-    server.createContext("/info", (ex: HttpExchange) => {
-      val (catalog, dataVersion) = catalogSupplier()
-      val tables = catalog.tables.keys.toSeq.sorted
-        .map(t => "\"" + t + "\"").mkString("[", ",", "]")
-      respond(ex, 200,
-        s"""{"dataVersion":"$dataVersion","tables":$tables}""",
-        dataVersion = Some(dataVersion))
-    })
+    server.createContext("/info", (ex: HttpExchange) =>
+      try {
+        val (catalog, dataVersion) = catalogSupplier()
+        val tables = catalog.tables.keys.toSeq.sorted
+          .map(t => "\"" + t + "\"").mkString("[", ",", "]")
+        respond(ex, 200,
+          s"""{"dataVersion":"$dataVersion","tables":$tables}""",
+          dataVersion = Some(dataVersion))
+      } catch {
+        // a failing supplier → well-formed 500, not a bodyless close
+        case e: Throwable =>
+          respond(ex, 500, s"""{"error":"Internal Server Error","message":"${
+            jsonEscape(Option(e.getMessage).getOrElse(e.getClass.getName))}"}""")
+      })
 
     server.createContext("/lineageDefinition", handleLineageDefinition(_))
 

@@ -210,8 +210,13 @@ object PhyloTree {
     * (phylo_tree.cpp fromAuspiceJSONString:275, parseAuspiceTree:71-108;
     * documentation/phylogenetic_queries.md:11). Reference-exact contract:
     * the document must carry a `tree` entry; every node a `name` (which
-    * becomes the node id); `node_attrs.div`, when present, is read as the
-    * node's branch length; `children` parse in declaration order; a
+    * becomes the node id); `node_attrs.div`, when present, is stored
+    * VERBATIM as the node's branch length — note real Auspice `div` is
+    * cumulative divergence from the root, and the reference makes the
+    * same verbatim read (`node->branch_length = json["node_attrs"]
+    * ["div"]`, phylo_tree.cpp:87-89), so we mirror it exactly rather
+    * than differencing parent/child div; `children` parse in
+    * declaration order; a
     * DUPLICATE node name anywhere in the tree is an error (unique-label
     * validation — MRCA/subtree would silently misroute otherwise).
     * Jackson (on Spark's classpath) does the JSON lexing; the walk is

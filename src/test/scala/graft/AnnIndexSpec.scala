@@ -221,11 +221,32 @@ class AnnIndexSpec extends SparkSpec {
     val h = AnnIndex.load(spark, dir).get
     assert(h.layers.length === 1)
     assert(results(h) === before)
-    // the flip's physical half: superseded code layers are DELETED, not
-    // just unreferenced — disk must not grow per compaction
-    val onDisk = Option(new java.io.File(s"$dir/codes").listFiles())
+    // the physical half is DEFERRED (drain contract, like gcVersions):
+    // compact leaves the superseded dirs for in-flight readers; gcCodes
+    // reclaims them — after it, disk holds exactly the committed chain
+    def onDisk() = Option(new java.io.File(s"$dir/codes").listFiles())
       .getOrElse(Array.empty).map(_.getName).filter(_.startsWith("layer=")).toSet
-    assert(onDisk === h.layers.map(l => s"layer=$l").toSet)
+    assert(onDisk().size > 1) // superseded layers still present post-flip
+    assert(AnnIndex.gcCodes(spark, dir).nonEmpty)
+    assert(onDisk() === h.layers.map(l => s"layer=$l").toSet)
+  }
+
+  test("codes chain numbers past an orphan layer dir (crash recovery)") {
+    val dir = Files.createTempDirectory("annorphan").toString + "/idx"
+    AnnIndex.buildOrLoad(spark, emb, "vec_id", "embedding", dir,
+      dim, cells = 4, m = 2, k = 8, iters = 3)
+    // simulate a crash between a layer write and its meta commit: an
+    // on-disk codes/layer=2 that no meta references — ErrorIfExists would
+    // wedge every later append/compact if numbering ignored it
+    new java.io.File(s"$dir/codes/layer=2").mkdirs()
+    val h = AnnIndex.append(spark,
+      Seq((9000L, vecs.head._2.clone())).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir)
+    assert(h.layers === Seq("1", "3")) // past the orphan
+    assert(AnnIndex.compactCodes(spark, dir, maxLayers = 1)) // folds fine
+    assert(AnnIndex.load(spark, dir).get.layers === Seq("4"))
+    // gc reclaims the orphan and the superseded layers
+    assert(AnnIndex.gcCodes(spark, dir).toSet === Set("layer=1", "layer=2", "layer=3"))
   }
 
   test("search prunes unprobed cell partitions at the scan") {

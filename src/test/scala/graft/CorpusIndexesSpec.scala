@@ -106,5 +106,40 @@ class CorpusIndexesSpec extends SparkSpec {
     assert(SimHashIndex.layers(s"$state/simhash").length === 1)
     assert(DedupIndex.layers(s"$state/minhash").length === 1)
     assert(sigRows() === rows)
+    // and that sync tick ran the deferred physical gc: the folded chains'
+    // superseded layer dirs are gone from disk
+    Seq(s"$state/simhash" -> SimHashIndex.layers(s"$state/simhash"),
+        s"$state/minhash" -> DedupIndex.layers(s"$state/minhash"))
+      .foreach { case (d, committed) =>
+        val onDisk = Option(new java.io.File(s"$d/bands").listFiles())
+          .getOrElse(Array.empty).map(_.getName).filter(_.startsWith("layer=")).toSet
+        assert(onDisk === committed.map(l => s"layer=$l").toSet, s"$d: $onDisk")
+      }
+  }
+
+  test("a replay WIDENED by new commits re-signs only the unseen commits") {
+    val root = Files.createTempDirectory("corpuswide").toString
+    val tableDir = s"$root/docs"; val state = s"$root/state"
+    NdjsonIngest.appendVersion(
+      docs((1L, "s", base), (3L, "s", other)), tableDir, "doc_id") // c1
+    assert(CorpusIndexes.sync(spark, tableDir, state).contains((0L, 1L)))
+    NdjsonIngest.appendDelta(docs((42L, "s", nearDup)), tableDir, "doc_id") // c2
+    assert(CorpusIndexes.sync(spark, tableDir, state).contains((1L, 2L)))
+    // crash before the cursor advance, AND commit 3 lands before the
+    // retry — the replayed range widens to (1,3]; the chains' covered
+    // watermark (2) must confine the append to commit 3's rows only
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(state, "feed", "cursor"), "1")
+    NdjsonIngest.appendDelta(docs((43L, "s",
+      "unrelated third topic entirely about cooking pasta with garlic " +
+        "butter sauce and fresh basil leaves from the garden")),
+      tableDir, "doc_id") // c3
+    assert(CorpusIndexes.sync(spark, tableDir, state).contains((1L, 3L)))
+    // exactly one signature set per doc (4 band rows each), nothing doubled
+    def perId(df: org.apache.spark.sql.DataFrame) = df.groupBy("id").count()
+      .select("count").distinct().as[Long].collect().toSet
+    assert(perId(DedupIndex.load(spark, s"$state/minhash")) === Set(4L))
+    assert(perId(SimHashIndex.load(spark, s"$state/simhash")) === Set(4L))
+    assert(clusterMap(state) === Map(1L -> 1L, 3L -> 3L, 42L -> 1L, 43L -> 43L))
   }
 }

@@ -163,10 +163,13 @@ class DedupIndexSpec extends SparkSpec {
     assert(after === before)
     // under the bound: no-op
     assert(!DedupIndex.compact(spark, dir, maxLayers = 8))
-    // the flip's physical half: superseded layer dirs are DELETED, not
-    // just unreferenced — disk must not grow per compaction
-    val onDisk = Option(new java.io.File(s"$dir/bands").listFiles())
+    // the physical half is DEFERRED (drain contract, like gcVersions):
+    // compact leaves the superseded dirs for in-flight readers; gc()
+    // reclaims them — after it, disk holds exactly the committed chain
+    def onDisk() = Option(new java.io.File(s"$dir/bands").listFiles())
       .getOrElse(Array.empty).map(_.getName).filter(_.startsWith("layer=")).toSet
-    assert(onDisk === DedupIndex.layers(dir).map(l => s"layer=$l").toSet)
+    assert(onDisk().size > 1) // superseded layers still present post-flip
+    assert(DedupIndex.gc(dir).nonEmpty)
+    assert(onDisk() === DedupIndex.layers(dir).map(l => s"layer=$l").toSet)
   }
 }

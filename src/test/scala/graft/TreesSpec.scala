@@ -107,7 +107,11 @@ class TreesSpec extends AnyFunSuite {
 
   test("Auspice JSON v2 tree equals its Newick equivalent structurally") {
     // the same tree as `phylo` + branch lengths, in both input formats
-    // (reference parses either, phylo_tree.cpp:378-394)
+    // (reference parses either, phylo_tree.cpp:378-394). The fixture's
+    // div values equal the Newick branch lengths because the reference
+    // stores node_attrs.div VERBATIM as branch_length (phylo_tree.cpp:
+    // 87-89 — real Auspice div is cumulative; we mirror the reference's
+    // read exactly, so equality here is the parity contract)
     val newick = PhyloTree.fromNewick("((n1:0.5,n2:1.5)r1:2,(n3:3)r2)root;")
     val auspice = PhyloTree.fromAuspiceJson("""
       {"version": "v2",
