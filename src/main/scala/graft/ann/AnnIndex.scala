@@ -44,11 +44,23 @@ object AnnIndex {
   private def metaPath(indexDir: String) =
     java.nio.file.Paths.get(indexDir, "meta")
 
+  /** Committed layer ENTRIES (`layerName` or `layerName\tfeed:a-b` — the
+    * same tagged-entry convention as the band chains: a tag records the
+    * change-feed range a layer covers, for replay recognition).
+    */
+  private def entries(indexDir: String): Seq[String] =
+    if (!java.nio.file.Files.exists(metaPath(indexDir))) Seq.empty
+    else java.nio.file.Files.readString(metaPath(indexDir))
+      .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Every feed tag committed on any codes layer. */
+  def tags(indexDir: String): Set[String] =
+    entries(indexDir).flatMap(graft.operators.BandChain.tagsOf).toSet
+
   /** The committed index, or None when nothing was ever committed. */
   def load(spark: SparkSession, indexDir: String): Option[Handle] = {
     if (!java.nio.file.Files.exists(metaPath(indexDir))) return None
-    val layers = java.nio.file.Files.readString(metaPath(indexDir))
-      .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    val layers = entries(indexDir).map(graft.operators.BandChain.nameOf)
     val cents = spark.read.parquet(s"$indexDir/model/centroids")
       .orderBy("cell").select("vec")
       .collect().map(_.getSeq[Double](0).toArray)
@@ -101,21 +113,26 @@ object AnnIndex {
     }
 
   /** Encode `newEmb` with the frozen model and commit it as a new codes
-    * layer — O(batch) work, the model files are never touched.
+    * layer — O(batch) work, the model files are never touched. `tag`,
+    * when given (the change-feed commit range), is recorded on the layer
+    * entry; an append whose tag is ALREADY committed is skipped (same
+    * replay contract as the band chains).
     */
   def append(spark: SparkSession, newEmb: DataFrame, idCol: String,
-      vecCol: String, indexDir: String): Handle = {
+      vecCol: String, indexDir: String,
+      tag: Option[String] = None): Handle = {
     val h = load(spark, indexDir).getOrElse(
       throw new IllegalStateException(s"no committed index at $indexDir"))
+    if (tag.exists(tags(indexDir))) return h
     // orphan-aware numbering (BandChain discipline): a crash between a
     // layer write and the meta commit must not wedge every later
     // ErrorIfExists write on the orphan dir
     val next = graft.operators.BandChain
       .nextLayerIn(s"$indexDir/codes", h.layers)
     writeCodesLayer(h, newEmb, idCol, vecCol, next)
-    val updated = h.copy(layers = h.layers :+ next)
-    commitMeta(indexDir, updated.layers)
-    updated
+    commitMeta(indexDir, entries(indexDir) :+
+      graft.operators.BandChain.entryOf(next, tag.toSeq))
+    h.copy(layers = h.layers :+ next)
   }
 
   /** Fold a codes chain longer than `maxLayers` into ONE layer — codes are
@@ -145,7 +162,11 @@ object AnnIndex {
     }
     folded.write.mode(SaveMode.ErrorIfExists).partitionBy("cell")
       .parquet(s"$indexDir/codes/layer=$next")
-    commitMeta(indexDir, Seq(next))
+    // the folded layer keeps only the newest feed tag (coverage is
+    // monotone) — replay stays recognisable, meta stays bounded
+    commitMeta(indexDir, Seq(graft.operators.BandChain.entryOf(next,
+      graft.operators.BandChain.pruneFeedTags(
+        entries(indexDir).flatMap(graft.operators.BandChain.tagsOf).distinct))))
     true
   }
 
@@ -160,6 +181,67 @@ object AnnIndex {
     val h = load(spark, indexDir).getOrElse(
       throw new IllegalStateException(s"no committed index at $indexDir"))
     graft.operators.BandChain.gcLayerDirs(s"$indexDir/codes", h.layers)
+  }
+
+  /** ONE-CALL change-feed maintenance for a persisted IVF-PQ index over
+    * a versioned embedding table — the vector twin of
+    * [[graft.core.CorpusIndexes.sync]], completing the replay-safe
+    * persisted-index trio. Bootstrap trains the model and encodes the
+    * live vectors (`dim`/`cells`/`m`/`k`/`iters` are used only then);
+    * each later tick first runs the DEFERRED physical gc of earlier
+    * folds, then either
+    *  - insert tick: an O(batch) tagged append starting from the chain's
+    *    covered watermark — a crash-replayed tick, even one WIDENED by
+    *    commits landing before the retry, re-encodes only the commits
+    *    the chain has not seen;
+    *  - delete/upsert tick: purge-compact against (live MINUS touched),
+    *    then re-encode whatever the chain lacks (an upserted vector's
+    *    stale code is purged via `touched` even though its id is live).
+    */
+  def syncFromFeed(spark: SparkSession, tableDir: String, indexDir: String,
+      stateDir: String, idCol: String, vecCol: String,
+      dim: Int, cells: Int, m: Int, k: Int,
+      iters: Int = 2): Option[(Long, Long)] = {
+    import graft.sources.{ChangeFeedConsumer, NdjsonIngest}
+    def liveEmb() = NdjsonIngest.readLatestMerged(spark, tableDir, idCol)
+    if (load(spark, indexDir).isEmpty) {
+      val head = NdjsonIngest.commits(tableDir).lastOption.getOrElse(0L)
+      require(head > 0, s"no commits at $tableDir")
+      buildOrLoad(spark, liveEmb(), idCol, vecCol, indexDir,
+        dim, cells, m, k, iters)
+      ChangeFeedConsumer.writeCursor(stateDir, head)
+      return Some((0L, head))
+    }
+    ChangeFeedConsumer.processWithRange(spark, tableDir, idCol, stateDir) {
+      (feed, range) =>
+      gcCodes(spark, indexDir)
+      val f = feed.localCheckpoint()
+      val hasNonInsert = f.filter(col("_change_type") =!= "insert").limit(1)
+        .count() > 0
+      if (hasNonInsert) {
+        val live = liveEmb().localCheckpoint()
+        val keep = live.select(idCol).join(
+          f.select(idCol).distinct().toDF("__t"),
+          col(idCol) === col("__t"), "left_anti")
+        compactCodes(spark, indexDir, live = Some(keep))
+        val h = load(spark, indexDir).get
+        val have = spark.read.option("basePath", s"$indexDir/codes")
+          .parquet(h.layers.map(l => s"$indexDir/codes/layer=$l"): _*)
+          .select(col("id")).distinct()
+        val miss = live.join(have.toDF("__have"),
+          col(idCol) === col("__have"), "left_anti")
+        if (!miss.isEmpty) append(spark, miss, idCol, vecCol, indexDir)
+      } else {
+        val covered = graft.operators.BandChain
+          .coveredTo(tags(indexDir), range._1)
+        if (covered < range._2)
+          append(spark,
+            f.filter(col("_change_type") === "insert")
+              .filter(col("_commit") > covered).select(col(idCol), col(vecCol)),
+            idCol, vecCol, indexDir,
+            tag = Some(s"feed:$covered-${range._2}"))
+      }
+    }
   }
 
   /** IVF-PQ search against the PERSISTED codes: partition-pruned scan of

@@ -149,13 +149,7 @@ object CorpusIndexes {
       val head = NdjsonIngest.commits(tableDir).lastOption.getOrElse(0L)
       require(head > 0, s"no commits at $tableDir")
       rebuild(spark, tableDir, stateDir, idCol, srcCol, textCol)
-      new java.io.File(s"$stateDir/feed").mkdirs()
-      val tmp = java.nio.file.Paths.get(stateDir, "feed", ".cursor.tmp")
-      java.nio.file.Files.writeString(tmp, head.toString)
-      java.nio.file.Files.move(tmp,
-        java.nio.file.Paths.get(stateDir, "feed", "cursor"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ChangeFeedConsumer.writeCursor(s"$stateDir/feed", head)
       return Some((0L, head))
     }
     ChangeFeedConsumer.processWithRange(spark, tableDir, idCol,
@@ -194,10 +188,8 @@ object CorpusIndexes {
         // commits landing before the retry widens the range — re-signs
         // only the commits the chain has not seen. Completed non-insert
         // ticks are covered by the cursor itself (range._1).
-        def coveredTo(tags: Set[String]): Long = tags.collect {
-          case t if t.startsWith("feed:") =>
-            t.stripPrefix("feed:").split("-")(1).toLong
-        }.foldLeft(range._1)(math.max)
+        def coveredTo(tags: Set[String]): Long =
+          graft.operators.BandChain.coveredTo(tags, range._1)
         def appendFrom(covered: Long)(
             append: (DataFrame, String) => Unit): Unit =
           if (covered < range._2)

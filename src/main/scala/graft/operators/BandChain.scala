@@ -55,15 +55,13 @@ private[operators] final class BandChain(kind: String, format: Int,
   def tags(dir: String): Set[String] =
     entries(dir).flatMap(tagsOf).toSet
 
-  def nameOf(entry: String): String = entry.split('\t').head
+  def nameOf(entry: String): String = BandChain.nameOf(entry)
 
-  def tagsOf(entry: String): Seq[String] =
-    entry.split('\t').drop(1).headOption
-      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+  def tagsOf(entry: String): Seq[String] = BandChain.tagsOf(entry)
 
   /** An entry line carrying `tags` (empty → bare name). */
   def entryOf(name: String, tags: Seq[String]): String =
-    if (tags.isEmpty) name else name + "\t" + tags.mkString(",")
+    BandChain.entryOf(name, tags)
 
   /** Next layer number = 1 + max over BOTH committed meta and any orphan
     * on-disk `bands/layer=N` dir (a crash between the layer write and the
@@ -76,18 +74,51 @@ private[operators] final class BandChain(kind: String, format: Int,
   /** Delete on-disk `bands/layer=N` dirs NOT in the committed list — the
     * PHYSICAL cleanup half of a purge-compact. After the meta pointer
     * flip the superseded layers (still carrying tombstoned documents'
-    * signatures) are unreachable by any new reader, but leaving them on
+    * signatures) are unreachable by any NEW reader, but leaving them on
     * disk would grow storage unboundedly across compactions and keep
-    * deleted-document data around indefinitely. Single-writer discipline
-    * (compaction is a maintenance tick); readers resolve `meta` at probe
-    * time, so running this right after the flip is safe. Returns the
-    * deleted dir names.
+    * deleted-document data around indefinitely. Drain contract (same as
+    * `NdjsonIngest.gcVersions`): a reader that resolved `meta` before
+    * the flip may still be lazily scanning the old dirs, so callers run
+    * this once those have drained — the corpus consumer defers it to the
+    * start of the NEXT tick. Returns the deleted dir names.
     */
   def gcLayers(dir: String, committed: Seq[String]): Seq[String] =
     BandChain.gcLayerDirs(s"$dir/bands", committed)
 }
 
 private[graft] object BandChain {
+
+  def nameOf(entry: String): String = entry.split('\t').head
+
+  def tagsOf(entry: String): Seq[String] =
+    entry.split('\t').drop(1).headOption
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+
+  /** An entry line carrying `tags` (empty → bare name). */
+  def entryOf(name: String, tags: Seq[String]): String =
+    if (tags.isEmpty) name else name + "\t" + tags.mkString(",")
+
+  /** The chain's covered feed watermark: the max `to` over `feed:a-b`
+    * tags, floored at `floor` (the consumer's durable cursor — completed
+    * non-insert ticks are covered by the cursor even though their
+    * rebuild appends carry no tag).
+    */
+  def coveredTo(tags: Set[String], floor: Long): Long =
+    tags.collect {
+      case t if t.startsWith("feed:") =>
+        t.stripPrefix("feed:").split("-")(1).toLong
+    }.foldLeft(floor)(math.max)
+
+  /** Tags a FOLDED layer should carry: feed coverage is monotone, so
+    * only the newest feed tag matters — carrying the whole history would
+    * grow the meta line unboundedly with tick count. Non-feed tags pass
+    * through.
+    */
+  def pruneFeedTags(tags: Seq[String]): Seq[String] = {
+    val (feeds, others) = tags.partition(_.startsWith("feed:"))
+    others ++ feeds.sortBy(_.stripPrefix("feed:").split("-")(1).toLong)
+      .lastOption
+  }
 
   /** Next layer number = 1 + max over BOTH the committed list and any
     * orphan on-disk `layer=N` child of `parent` (a crash between the

@@ -181,14 +181,11 @@ object DedupIndex {
     folded.write.mode(SaveMode.ErrorIfExists)
       .parquet(s"$dir/bands/layer=$next")
     // feed coverage is MONOTONE (the consumer always appends from its
-    // covered watermark), so the folded layer needs only the newest feed
-    // tag to stay replay-recognisable — carrying the whole history would
-    // grow the meta line unboundedly with tick count
-    val (feeds, others) = es.flatMap(chain.tagsOf).distinct
-      .partition(_.startsWith("feed:"))
-    val newest = feeds.sortBy(_.stripPrefix("feed:").split("-")(1).toLong)
-      .lastOption
-    commitMeta(dir, Seq(chain.entryOf(next, others ++ newest)))
+    // covered watermark), so the folded layer keeps only the newest feed
+    // tag — enough to stay replay-recognisable without the meta line
+    // growing with tick count
+    commitMeta(dir, Seq(chain.entryOf(next,
+      BandChain.pruneFeedTags(es.flatMap(chain.tagsOf).distinct))))
     true
   }
 

@@ -49,12 +49,19 @@ object ChangeFeedConsumer {
     val head = NdjsonIngest.commits(tableDir).lastOption.getOrElse(0L)
     if (head <= from) return None
     fn(NdjsonIngest.readChanges(spark, tableDir, pk, from, head), (from, head))
+    writeCursor(stateDir, head)
+    Some((from, head))
+  }
+
+  /** Set the durable cursor directly (atomic tmp+rename) — a consumer's
+    * bootstrap marks the feed consumed up to the state it just indexed.
+    */
+  def writeCursor(stateDir: String, value: Long): Unit = {
     new java.io.File(stateDir).mkdirs()
     val tmp = java.nio.file.Paths.get(stateDir, ".cursor.tmp")
-    java.nio.file.Files.writeString(tmp, head.toString)
+    java.nio.file.Files.writeString(tmp, value.toString)
     java.nio.file.Files.move(tmp, java.nio.file.Paths.get(stateDir, "cursor"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    Some((from, head))
   }
 }

@@ -249,6 +249,59 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.gcCodes(spark, dir).toSet === Set("layer=1", "layer=2", "layer=3"))
   }
 
+  test("syncFromFeed: bootstrap, tagged inserts, widened replay, delete purge") {
+    import graft.sources.NdjsonIngest
+    val base = Files.createTempDirectory("annsync").toString
+    val tableDir = s"$base/emb"; val idxDir = s"$base/idx"
+    val cursorDir = s"$base/cursor"
+    def sync() = AnnIndex.syncFromFeed(spark, tableDir, idxDir, cursorDir,
+      "vec_id", "embedding", dim, cells = 4, m = 2, k = 8, iters = 3)
+    // bootstrap from the table's current state
+    NdjsonIngest.appendVersion(vecs.toDF("vec_id", "embedding"),
+      tableDir, "vec_id") // c1
+    assert(sync().contains((0L, 1L)))
+    assert(sync().isEmpty) // fresh → no-op
+    // insert tick: O(batch) tagged append with the frozen model
+    NdjsonIngest.appendDelta(
+      Seq((1000L, vecs.head._2.clone())).toDF("vec_id", "embedding"),
+      tableDir, "vec_id") // c2
+    assert(sync().contains((1L, 2L)))
+    assert(AnnIndex.load(spark, idxDir).get.layers.length === 2)
+    // crash before the cursor advance AND commit 3 lands before the
+    // retry: the covered watermark (2) must confine the append to c3
+    graft.sources.ChangeFeedConsumer.writeCursor(cursorDir, 1L)
+    NdjsonIngest.appendDelta(
+      Seq((1001L, vecs(1)._2.clone())).toDF("vec_id", "embedding"),
+      tableDir, "vec_id") // c3
+    assert(sync().contains((1L, 3L)))
+    val h = AnnIndex.load(spark, idxDir).get
+    val codes = spark.read.option("basePath", s"$idxDir/codes")
+      .parquet(h.layers.map(l => s"$idxDir/codes/layer=$l"): _*)
+    // exactly ONE code per vector — nothing doubled by the replay
+    assert(codes.groupBy("id").count().select("count").distinct()
+      .as[Long].collect().toSet === Set(1L))
+    assert(codes.select("id").as[Long].collect().toSet
+      === vecs.map(_._1).toSet ++ Set(1000L, 1001L))
+    // delete tick: purge-compact drops the tombstoned codes physically
+    NdjsonIngest.deleteDelta(Seq(1000L, 1001L).toDF("vec_id"),
+      tableDir, "vec_id") // c4
+    assert(sync().contains((3L, 4L)))
+    val h2 = AnnIndex.load(spark, idxDir).get
+    assert(h2.layers.length === 1)
+    val codes2 = spark.read.option("basePath", s"$idxDir/codes")
+      .parquet(h2.layers.map(l => s"$idxDir/codes/layer=$l"): _*)
+    assert(codes2.select("id").as[Long].collect().toSet === vecs.map(_._1).toSet)
+    // search against the synced index still matches exhaustive top-5
+    val probeIds = Seq(0L, 30L)
+    val probes = vecs.filter(v => probeIds.contains(v._1))
+      .map { case (id, v) => (id, v.map(_.toDouble)) }
+    val got = AnnIndex.search(spark, h2, emb, "vec_id", "embedding", probes,
+      k = 5, nprobe = 2, refine = 30)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(got === exhaustiveTop5(probeIds)
+      .as[(Long, Long)].collect().toSet)
+  }
+
   test("search prunes unprobed cell partitions at the scan") {
     val dir = Files.createTempDirectory("annidx").toString + "/idx"
     val h = AnnIndex.buildOrLoad(spark, emb, "vec_id", "embedding", dir,
