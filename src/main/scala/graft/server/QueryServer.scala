@@ -398,3 +398,31 @@ final class QueryServer(catalogSupplier: () => (Catalog, String),
 
   def stop(): Unit = { server.stop(0); pool.shutdownNow() }
 }
+
+object QueryServer {
+
+  /** A catalog supplier that probes the data version per request (cheap:
+    * a pointer read) but re-BUILDS the catalog only when the version
+    * actually changed — the hot-swap contract without paying catalog
+    * construction per request. `version()` should read the versioned
+    * tables' committed pointers (e.g. `NdjsonIngest.commits(dir).last`);
+    * `build(v)` constructs the catalog for that version. Thread-safe:
+    * concurrent requests during a swap may build twice, but each request
+    * still gets a consistent (catalog, version) pair.
+    */
+  def cachedSupplier(version: () => String,
+      build: String => Catalog): () => (Catalog, String) = {
+    val cache =
+      new java.util.concurrent.atomic.AtomicReference[(String, Catalog)]()
+    () => {
+      val v = version()
+      val cur = cache.get
+      if (cur != null && cur._1 == v) (cur._2, v)
+      else {
+        val c = build(v)
+        cache.compareAndSet(cur, (v, c))
+        (c, v)
+      }
+    }
+  }
+}
