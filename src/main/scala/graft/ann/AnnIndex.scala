@@ -91,9 +91,14 @@ object AnnIndex {
     * cost is paid ONCE per indexDir; every later call is a metadata read
     * plus two small model scans.
     */
+  /** `tag`, when given (the feed range the bootstrap covers, `feed:0-N`),
+    * is recorded on layer 1: a crash between this commit and the
+    * consumer's cursor write would otherwise replay the WHOLE feed as an
+    * insert tick and re-encode every bootstrapped vector as duplicates.
+    */
   def buildOrLoad(spark: SparkSession, emb: DataFrame, idCol: String,
       vecCol: String, indexDir: String, dim: Int, cells: Int, m: Int,
-      k: Int, iters: Int = 2): Handle =
+      k: Int, iters: Int = 2, tag: Option[String] = None): Handle =
     load(spark, indexDir).getOrElse {
       import spark.implicits._
       val cents = Ivf.train(emb, vecCol, dim, cells, iters)
@@ -108,7 +113,8 @@ object AnnIndex {
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/model/codebooks")
       val h = Handle(indexDir, cents, books, Seq("1"))
       writeCodesLayer(h, emb, idCol, vecCol, "1")
-      commitMeta(indexDir, h.layers)
+      commitMeta(indexDir,
+        Seq(graft.operators.BandChain.entryOf("1", tag.toSeq)))
       h
     }
 
@@ -124,6 +130,10 @@ object AnnIndex {
     val h = load(spark, indexDir).getOrElse(
       throw new IllegalStateException(s"no committed index at $indexDir"))
     if (tag.exists(tags(indexDir))) return h
+    // a zero-row batch (e.g. an empty-but-valid delta commit) must not
+    // commit a layer: partitionBy of an empty frame writes no parquet
+    // footers, and a committed footer-less layer fails every later read
+    if (newEmb.isEmpty) return h
     // orphan-aware numbering (BandChain discipline): a crash between a
     // layer write and the meta commit must not wedge every later
     // ErrorIfExists write on the orphan dir
@@ -151,7 +161,8 @@ object AnnIndex {
       live: Option[org.apache.spark.sql.DataFrame] = None): Boolean = {
     val h = load(spark, indexDir).getOrElse(
       throw new IllegalStateException(s"no committed index at $indexDir"))
-    if (h.layers.length <= maxLayers && live.isEmpty) return false
+    if (h.layers.isEmpty ||
+        (h.layers.length <= maxLayers && live.isEmpty)) return false
     val next = graft.operators.BandChain
       .nextLayerIn(s"$indexDir/codes", h.layers)
     val folded = live.foldLeft(
@@ -162,11 +173,23 @@ object AnnIndex {
     }
     folded.write.mode(SaveMode.ErrorIfExists).partitionBy("cell")
       .parquet(s"$indexDir/codes/layer=$next")
-    // the folded layer keeps only the newest feed tag (coverage is
-    // monotone) — replay stays recognisable, meta stays bounded
-    commitMeta(indexDir, Seq(graft.operators.BandChain.entryOf(next,
-      graft.operators.BandChain.pruneFeedTags(
-        entries(indexDir).flatMap(graft.operators.BandChain.tagsOf).distinct))))
+    // a purge that drops EVERY row leaves a footer-less dir (partitionBy
+    // writes no files for zero rows) — committing it would wedge every
+    // later read, so commit an EMPTY chain instead (the model survives;
+    // the next append starts a fresh layer 1+)
+    val wroteRows = Option(
+      new java.io.File(s"$indexDir/codes/layer=$next").listFiles())
+      .getOrElse(Array.empty).exists(_.getName.startsWith("cell="))
+    if (!wroteRows) {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$indexDir/codes/layer=$next"))
+      commitMeta(indexDir, Seq.empty)
+    } else
+      // the folded layer keeps only the newest feed tag (coverage is
+      // monotone) — replay stays recognisable, meta stays bounded
+      commitMeta(indexDir, Seq(graft.operators.BandChain.entryOf(next,
+        graft.operators.BandChain.pruneFeedTags(
+          entries(indexDir).flatMap(graft.operators.BandChain.tagsOf).distinct))))
     true
   }
 
@@ -177,10 +200,13 @@ object AnnIndex {
     * contract as `NdjsonIngest.gcVersions`: call once in-flight readers
     * of the superseded chain have drained. Returns deleted dir names.
     */
-  def gcCodes(spark: SparkSession, indexDir: String): Seq[String] = {
-    val h = load(spark, indexDir).getOrElse(
-      throw new IllegalStateException(s"no committed index at $indexDir"))
-    graft.operators.BandChain.gcLayerDirs(s"$indexDir/codes", h.layers)
+  def gcCodes(indexDir: String): Seq[String] = {
+    if (!java.nio.file.Files.exists(metaPath(indexDir)))
+      throw new IllegalStateException(s"no committed index at $indexDir")
+    // meta-only read: the committed layer names are all gc needs — loading
+    // the model (two Spark jobs) here would tax every consumer tick
+    graft.operators.BandChain.gcLayerDirs(s"$indexDir/codes",
+      entries(indexDir).map(graft.operators.BandChain.nameOf))
   }
 
   /** ONE-CALL change-feed maintenance for a persisted IVF-PQ index over
@@ -188,8 +214,9 @@ object AnnIndex {
     * [[graft.core.CorpusIndexes.sync]], completing the replay-safe
     * persisted-index trio. Bootstrap trains the model and encodes the
     * live vectors (`dim`/`cells`/`m`/`k`/`iters` are used only then);
-    * each later tick first runs the DEFERRED physical gc of earlier
-    * folds, then either
+    * each later POLL first runs the DEFERRED physical gc of earlier
+    * folds (even when the feed has nothing new — the drain window is one
+    * poll interval), then a tick with new commits is either
     *  - insert tick: an O(batch) tagged append starting from the chain's
     *    covered watermark — a crash-replayed tick, even one WIDENED by
     *    commits landing before the retry, re-encodes only the commits
@@ -203,33 +230,52 @@ object AnnIndex {
       dim: Int, cells: Int, m: Int, k: Int,
       iters: Int = 2): Option[(Long, Long)] = {
     import graft.sources.{ChangeFeedConsumer, NdjsonIngest}
-    def liveEmb() = NdjsonIngest.readLatestMerged(spark, tableDir, idCol)
+    // PINNED reads: the tick's live set is resolved as of the tick's head
+    // commit, never "latest" — a commit landing mid-tick would otherwise be
+    // encoded by this tick's miss-append AND re-encoded when its own tick
+    // replays it (the cursor only advances to the head the feed read saw),
+    // leaving duplicate code rows that rank twice in search
+    def liveEmb(at: Long) =
+      NdjsonIngest.readCommitMerged(spark, tableDir, idCol, at)
     if (load(spark, indexDir).isEmpty) {
       val head = NdjsonIngest.commits(tableDir).lastOption.getOrElse(0L)
       require(head > 0, s"no commits at $tableDir")
-      buildOrLoad(spark, liveEmb(), idCol, vecCol, indexDir,
-        dim, cells, m, k, iters)
+      buildOrLoad(spark, liveEmb(head), idCol, vecCol, indexDir,
+        dim, cells, m, k, iters, tag = Some(s"feed:0-$head"))
       ChangeFeedConsumer.writeCursor(stateDir, head)
       return Some((0L, head))
     }
+    // physical gc of layers superseded by EARLIER compactions — on every
+    // poll, not only ticks with new data, so a feed that goes idle after a
+    // delete still reclaims the tombstoned vectors' codes one poll later
+    gcCodes(indexDir)
     ChangeFeedConsumer.processWithRange(spark, tableDir, idCol, stateDir) {
       (feed, range) =>
-      gcCodes(spark, indexDir)
-      val f = feed.localCheckpoint()
-      val hasNonInsert = f.filter(col("_change_type") =!= "insert").limit(1)
-        .count() > 0
-      if (hasNonInsert) {
-        val live = liveEmb().localCheckpoint()
+      // the chain may already cover the whole range (bootstrap-crash
+      // replay: index + feed:0-N tag committed, cursor write lost) — skip
+      // the work; processWithRange still advances the cursor. (A `return`
+      // would non-local-return out of syncFromFeed and skip that advance.)
+      val alreadyCovered = graft.operators.BandChain
+        .coveredTo(tags(indexDir), 0L) >= range._2
+      lazy val f = feed.localCheckpoint()
+      if (alreadyCovered) { /* no-op tick */ }
+      else if (f.filter(col("_change_type") =!= "insert").limit(1)
+          .count() > 0) {
+        val live = liveEmb(range._2).localCheckpoint()
         val keep = live.select(idCol).join(
           f.select(idCol).distinct().toDF("__t"),
           col(idCol) === col("__t"), "left_anti")
         compactCodes(spark, indexDir, live = Some(keep))
         val h = load(spark, indexDir).get
-        val have = spark.read.option("basePath", s"$indexDir/codes")
-          .parquet(h.layers.map(l => s"$indexDir/codes/layer=$l"): _*)
-          .select(col("id")).distinct()
-        val miss = live.join(have.toDF("__have"),
-          col(idCol) === col("__have"), "left_anti")
+        val miss =
+          if (h.layers.isEmpty) live // purge emptied the chain: re-encode all
+          else {
+            val have = spark.read.option("basePath", s"$indexDir/codes")
+              .parquet(h.layers.map(l => s"$indexDir/codes/layer=$l"): _*)
+              .select(col("id")).distinct()
+            live.join(have.toDF("__have"),
+              col(idCol) === col("__have"), "left_anti")
+          }
         if (!miss.isEmpty) append(spark, miss, idCol, vecCol, indexDir)
       } else {
         val covered = graft.operators.BandChain
@@ -263,6 +309,17 @@ object AnnIndex {
       k: Int = 5, nprobe: Int = 4, refine: Int = 20,
       live: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
+    // an all-row purge commits an EMPTY chain (model retained) — no codes,
+    // no neighbors; n_id keeps the embedding table's id type
+    if (h.layers.isEmpty) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("q_id", LongType),
+          StructField("rk", IntegerType),
+          StructField("n_id", emb.schema(idCol).dataType),
+          StructField("cos", DoubleType))))
+    }
     val m = h.books.length
     val pdf = probes.flatMap { case (qid, qv) =>
       val l = Pq.lut(qv, h.books)

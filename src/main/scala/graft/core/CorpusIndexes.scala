@@ -81,9 +81,14 @@ object CorpusIndexes {
       .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
   }
 
+  /** The live docs PINNED to commit `at` (the tick's head) — never
+    * "latest": a commit landing mid-tick would otherwise be signed by this
+    * tick's missing-doc append (untagged) and signed AGAIN when its own
+    * tick arrives, accumulating duplicate signatures per doc.
+    */
   private def liveDocs(spark: SparkSession, tableDir: String,
-      idCol: String): DataFrame =
-    NdjsonIngest.readLatestMerged(spark, tableDir, idCol)
+      idCol: String, at: Long): DataFrame =
+    NdjsonIngest.readCommitMerged(spark, tableDir, idCol, at)
 
   /** Bring both signature chains to the table's current merged state.
     * `touched`: ids the triggering tick changed in ANY way. The purge
@@ -94,8 +99,8 @@ object CorpusIndexes {
     */
   private def syncChains(spark: SparkSession, tableDir: String,
       stateDir: String, idCol: String, srcCol: String, textCol: String,
-      touched: Option[DataFrame]): DataFrame = {
-    val live = liveDocs(spark, tableDir, idCol).localCheckpoint()
+      at: Long, touched: Option[DataFrame]): DataFrame = {
+    val live = liveDocs(spark, tableDir, idCol, at).localCheckpoint()
     val liveIds = live.select(idCol)
     val keepIds = touched.foldLeft(liveIds) { (l, t) =>
       l.join(t.toDF("__t_id"), col(idCol) === col("__t_id"), "left_anti")
@@ -105,8 +110,12 @@ object CorpusIndexes {
     def missingFrom(indexed: DataFrame): DataFrame =
       live.join(indexed.select(col("id")).distinct().toDF("__have_id"),
         col(idCol) === col("__have_id"), "left_anti")
+    // bootstrap builds carry their feed coverage (0, at] as a layer tag —
+    // a crash before the cursor write then replays as an already-covered
+    // insert tick instead of re-signing the whole corpus as duplicates
     if (DedupIndex.layers(s"$stateDir/minhash").isEmpty)
-      DedupIndex.build(spark, live, idCol, textCol, s"$stateDir/minhash")
+      DedupIndex.build(spark, live, idCol, textCol, s"$stateDir/minhash",
+        tag = Some(s"feed:0-$at"))
     else {
       DedupIndex.compact(spark, s"$stateDir/minhash", live = Some(keepIds))
       val miss = missingFrom(DedupIndex.load(spark, s"$stateDir/minhash"))
@@ -114,7 +123,8 @@ object CorpusIndexes {
         DedupIndex.append(spark, miss, idCol, textCol, s"$stateDir/minhash")
     }
     if (SimHashIndex.layers(s"$stateDir/simhash").isEmpty)
-      SimHashIndex.build(spark, live, idCol, srcCol, textCol, s"$stateDir/simhash")
+      SimHashIndex.build(spark, live, idCol, srcCol, textCol,
+        s"$stateDir/simhash", tag = Some(s"feed:0-$at"))
     else {
       SimHashIndex.compact(spark, s"$stateDir/simhash", live = Some(keepIds))
       val miss = missingFrom(SimHashIndex.load(spark, s"$stateDir/simhash"))
@@ -125,11 +135,11 @@ object CorpusIndexes {
     live
   }
 
-  /** Bootstrap: index the live docs and cluster the world from scratch. */
+  /** Bootstrap: index the live docs as of `at` and cluster from scratch. */
   private def rebuild(spark: SparkSession, tableDir: String, stateDir: String,
-      idCol: String, srcCol: String, textCol: String): Unit = {
+      idCol: String, srcCol: String, textCol: String, at: Long): Unit = {
     val live = syncChains(spark, tableDir, stateDir, idCol, srcCol, textCol,
-      touched = None)
+      at, touched = None)
     val liveIds = live.select(idCol)
     val edges = SimHashIndex.candidatesForIds(spark, liveIds, s"$stateDir/simhash")
     writeClusters(stateDir, ConnectedComponents.components(
@@ -148,20 +158,24 @@ object CorpusIndexes {
       // the next tick starts from here
       val head = NdjsonIngest.commits(tableDir).lastOption.getOrElse(0L)
       require(head > 0, s"no commits at $tableDir")
-      rebuild(spark, tableDir, stateDir, idCol, srcCol, textCol)
+      rebuild(spark, tableDir, stateDir, idCol, srcCol, textCol, head)
       ChangeFeedConsumer.writeCursor(s"$stateDir/feed", head)
       return Some((0L, head))
     }
+    // physical gc of layers superseded by EARLIER compactions: deferred a
+    // full poll so any reader that resolved the pre-flip meta has drained
+    // (same contract as NdjsonIngest.gcVersions). Runs on EVERY poll, not
+    // only ticks with new data — a feed that goes idle right after a
+    // delete still reclaims the tombstoned docs' signatures one poll later
+    DedupIndex.gc(s"$stateDir/minhash")
+    SimHashIndex.gc(s"$stateDir/simhash")
     ChangeFeedConsumer.processWithRange(spark, tableDir, idCol,
         s"$stateDir/feed") { (feed: DataFrame, range: (Long, Long)) =>
-      // physical gc of layers superseded by EARLIER ticks' compactions:
-      // deferred a full tick so any reader that resolved the pre-flip
-      // meta has drained (same contract as NdjsonIngest.gcVersions)
-      DedupIndex.gc(s"$stateDir/minhash")
-      SimHashIndex.gc(s"$stateDir/simhash")
       val f = feed.localCheckpoint()
-      // anything but plain inserts (deletes, upserts' delete half, a
-      // mid-life snapshot) makes the refresh algebra unsound: rebuild path
+      // anything but plain inserts (deletes, upsert rows — which OVERWRITE
+      // their pk, so appending them would keep the stale signature too —
+      // or a mid-life snapshot) makes the refresh algebra unsound:
+      // purge-and-repair path
       val hasNonInsert = f.filter(col("_change_type") =!= "insert").limit(1)
         .count() > 0
       if (hasNonInsert) {
@@ -171,7 +185,7 @@ object CorpusIndexes {
         // never re-entering the fixpoint. O(affected + Δ), not O(corpus).
         val touched = f.select(idCol).distinct().localCheckpoint()
         val live = syncChains(spark, tableDir, stateDir, idCol, srcCol,
-          textCol, Some(touched))
+          textCol, range._2, Some(touched))
         writeClusters(stateDir, ConnectedComponents.repair(
           clusters(spark, stateDir), touched, live.select(idCol),
           ids => SimHashIndex.candidatesForIds(spark, ids,

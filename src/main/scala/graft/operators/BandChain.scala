@@ -79,8 +79,9 @@ private[operators] final class BandChain(kind: String, format: Int,
     * deleted-document data around indefinitely. Drain contract (same as
     * `NdjsonIngest.gcVersions`): a reader that resolved `meta` before
     * the flip may still be lazily scanning the old dirs, so callers run
-    * this once those have drained — the corpus consumer defers it to the
-    * start of the NEXT tick. Returns the deleted dir names.
+    * this once those have drained — the corpus consumer runs it at the
+    * start of every POLL (a one-poll drain window, even when the feed is
+    * idle). Returns the deleted dir names.
     */
   def gcLayers(dir: String, committed: Seq[String]): Seq[String] =
     BandChain.gcLayerDirs(s"$dir/bands", committed)

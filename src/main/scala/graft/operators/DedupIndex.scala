@@ -84,14 +84,18 @@ object DedupIndex {
       .parquet(s"$dir/bands/layer=$layer")
 
   /** Index `docs` from scratch as layer 1 (errors when a committed index
-    * already exists — use [[append]] for increments).
+    * already exists — use [[append]] for increments). `tag`, when given
+    * (the feed range the bootstrap covers, `feed:0-N`), is recorded on the
+    * layer: a crash between this commit and the consumer's cursor write
+    * would otherwise replay the whole feed as an insert tick and re-sign
+    * every bootstrapped doc as duplicates.
     */
   def build(spark: SparkSession, docs: DataFrame, idCol: String,
-      textCol: String, dir: String): Unit = {
+      textCol: String, dir: String, tag: Option[String] = None): Unit = {
     require(layers(dir).isEmpty, s"committed dedup index already at $dir")
     new java.io.File(dir).mkdirs()
     writeLayer(spark, docs, idCol, textCol, dir, "1")
-    commitMeta(dir, Seq("1"))
+    commitMeta(dir, Seq(chain.entryOf("1", tag.toSeq)))
   }
 
   /** Index only `newDocs` as the next layer — O(batch), the change-feed
@@ -193,7 +197,7 @@ object DedupIndex {
     * completion of earlier compactions plus crash-orphan cleanup. Same
     * drain contract as [[SimHashIndex.gc]] / `NdjsonIngest.gcVersions`:
     * call once readers of the superseded chain have drained; the corpus
-    * consumer runs it at the start of the NEXT tick. Returns the deleted
+    * consumer runs it at the start of every POLL. Returns the deleted
     * dir names.
     */
   def gc(dir: String): Seq[String] = chain.gcLayers(dir, layers(dir))

@@ -106,11 +106,15 @@ object SimHashIndex {
 
   /** Index `docs` from scratch as layer 1. */
   def build(spark: SparkSession, docs: DataFrame, idCol: String,
-      srcCol: String, textCol: String, dir: String): Unit = {
+      srcCol: String, textCol: String, dir: String,
+      tag: Option[String] = None): Unit = {
     require(layers(dir).isEmpty, s"committed simhash index already at $dir")
     new java.io.File(dir).mkdirs()
     writeLayer(docs, idCol, srcCol, textCol, dir, "1")
-    commitMeta(dir, Seq("1"))
+    // tag = the feed range a bootstrap covers — without it, a crash before
+    // the consumer's cursor write replays the whole feed as an insert tick
+    // and re-signs every bootstrapped doc as duplicates
+    commitMeta(dir, Seq(chain.entryOf("1", tag.toSeq)))
   }
 
   /** Sign only `newDocs` as the next layer — O(batch). `tag`, when given
@@ -229,8 +233,9 @@ object SimHashIndex {
     * superseded chain have drained — a reader that resolved `meta`
     * before the flip may still be lazily scanning those files, and an
     * immediate delete would fail its job mid-read. [[graft.core
-    * .CorpusIndexes.sync]] runs it at the START of the next tick, giving
-    * a full tick of grace. Returns the deleted dir names.
+    * .CorpusIndexes.sync]] runs it at the START of every poll (idle polls
+    * included), giving a full poll interval of grace. Returns the deleted
+    * dir names.
     */
   def gc(dir: String): Seq[String] = chain.gcLayers(dir, layers(dir))
 }

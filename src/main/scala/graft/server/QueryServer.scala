@@ -409,20 +409,39 @@ object QueryServer {
     * `build(v)` constructs the catalog for that version. Thread-safe:
     * concurrent requests during a swap may build twice, but each request
     * still gets a consistent (catalog, version) pair.
+    *
+    * A commit can land BETWEEN `version()` and `build(v)` — an unpinned
+    * build (one reading `latest` pointers) would then hold newer data than
+    * its label, and a client using the `data-version` header for
+    * read-your-writes would see fresh rows attributed to a stale version.
+    * So the build is re-checked: if `version()` moved while building, the
+    * build reruns against the newer version (bounded retries; under
+    * sustained churn the newest build is served under the PRE-build label —
+    * the header may then UNDERSTATE freshness, never overstate it, which
+    * keeps header-polling clients correct).
     */
   def cachedSupplier(version: () => String,
       build: String => Catalog): () => (Catalog, String) = {
     val cache =
       new java.util.concurrent.atomic.AtomicReference[(String, Catalog)]()
     () => {
-      val v = version()
-      val cur = cache.get
-      if (cur != null && cur._1 == v) (cur._2, v)
-      else {
-        val c = build(v)
-        cache.compareAndSet(cur, (v, c))
-        (c, v)
+      var v = version()
+      var out: (Catalog, String) = null
+      var attempts = 0
+      while (out == null) {
+        val cur = cache.get
+        if (cur != null && cur._1 == v) out = (cur._2, v)
+        else {
+          val c = build(v)
+          val after = version()
+          attempts += 1
+          if (after == v || attempts >= 4) {
+            cache.compareAndSet(cur, (v, c))
+            out = (c, v)
+          } else v = after
+        }
       }
+      out
     }
   }
 }

@@ -696,9 +696,12 @@ object NdjsonIngest {
 
   /** The CHANGE FEED over `(fromSeq, toSeq]`: every row the table gained
     * or tombstoned in that commit range, tagged `_change_type`
-    * (`insert` for append/upsert rows, `delete` for tombstones — delete
-    * rows carry the pk and nulls elsewhere — and `snapshot` for a full-
-    * replacement commit, after which a consumer resets its derived state)
+    * (`insert` for append rows; `upsert` for upsert-commit rows — full
+    * payload, overwrite-by-pk, there is NO separate delete half, so a
+    * consumer deriving per-key state must treat `upsert` as replace, not
+    * add; `delete` for tombstones — delete rows carry the pk and nulls
+    * elsewhere — and `snapshot` for a full-replacement commit, after
+    * which a consumer resets its derived state)
     * and `_commit` (the introducing sequence number). Reading the feed
     * costs O(changed rows): only the layers those commits ADDED are
     * scanned, never the table. Compaction commits rewrite the chain
@@ -739,8 +742,15 @@ object NdjsonIngest {
           if (added.isEmpty) None
           else Some(spark.read.schema(schema)
             .parquet(added.map(l => s"$tableDir/$l"): _*)
-            .withColumn("_change_type",
-              lit(if (kind == "snapshot") "snapshot" else "insert"))
+            // upsert rows must NOT masquerade as inserts: an upsert
+            // overwrites its pk, and a consumer that appends it as new
+            // state (index signatures, codes) would keep the stale entry
+            // alongside the fresh one
+            .withColumn("_change_type", lit(kind match {
+              case "snapshot" => "snapshot"
+              case "upsert" => "upsert"
+              case _ => "insert"
+            }))
             .withColumn("_commit", lit(seq)))
       }
     }

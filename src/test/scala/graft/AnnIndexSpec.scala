@@ -227,7 +227,7 @@ class AnnIndexSpec extends SparkSpec {
     def onDisk() = Option(new java.io.File(s"$dir/codes").listFiles())
       .getOrElse(Array.empty).map(_.getName).filter(_.startsWith("layer=")).toSet
     assert(onDisk().size > 1) // superseded layers still present post-flip
-    assert(AnnIndex.gcCodes(spark, dir).nonEmpty)
+    assert(AnnIndex.gcCodes(dir).nonEmpty)
     assert(onDisk() === h.layers.map(l => s"layer=$l").toSet)
   }
 
@@ -246,7 +246,7 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.compactCodes(spark, dir, maxLayers = 1)) // folds fine
     assert(AnnIndex.load(spark, dir).get.layers === Seq("4"))
     // gc reclaims the orphan and the superseded layers
-    assert(AnnIndex.gcCodes(spark, dir).toSet === Set("layer=1", "layer=2", "layer=3"))
+    assert(AnnIndex.gcCodes(dir).toSet === Set("layer=1", "layer=2", "layer=3"))
   }
 
   test("syncFromFeed: bootstrap, tagged inserts, widened replay, delete purge") {
@@ -261,6 +261,13 @@ class AnnIndexSpec extends SparkSpec {
       tableDir, "vec_id") // c1
     assert(sync().contains((0L, 1L)))
     assert(sync().isEmpty) // fresh → no-op
+    // bootstrap-crash replay: the cursor write is the LAST bootstrap step;
+    // rewind it to 0 as if the crash hit just before it — layer 1's
+    // feed:0-1 tag must mark the replayed (0,1] tick already covered
+    // instead of re-encoding every bootstrapped vector
+    graft.sources.ChangeFeedConsumer.writeCursor(cursorDir, 0L)
+    assert(sync().contains((0L, 1L)))
+    assert(AnnIndex.load(spark, idxDir).get.layers === Seq("1"))
     // insert tick: O(batch) tagged append with the frozen model
     NdjsonIngest.appendDelta(
       Seq((1000L, vecs.head._2.clone())).toDF("vec_id", "embedding"),
@@ -300,6 +307,35 @@ class AnnIndexSpec extends SparkSpec {
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
     assert(got === exhaustiveTop5(probeIds)
       .as[(Long, Long)].collect().toSet)
+    // delete EVERYTHING: a partitionBy write of zero rows leaves no
+    // parquet footers, so the purge must commit an EMPTY chain (model
+    // retained) rather than a footer-less layer that wedges every read
+    NdjsonIngest.deleteDelta(vecs.map(_._1).toDF("vec_id"),
+      tableDir, "vec_id") // c5
+    assert(sync().contains((4L, 5L)))
+    val h3 = AnnIndex.load(spark, idxDir).get
+    assert(h3.layers.isEmpty)
+    assert(AnnIndex.search(spark, h3, emb, "vec_id", "embedding", probes,
+      k = 5, nprobe = 2, refine = 30).isEmpty)
+    // an idle poll (feed has nothing new) still runs the deferred gc —
+    // the wiped layers' dirs are reclaimed without waiting for new data
+    assert(sync().isEmpty)
+    def codeDirs() = Option(new java.io.File(s"$idxDir/codes").listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith("layer="))
+    assert(codeDirs() === 0)
+    // life after the wipe: the next insert tick starts a fresh layer
+    NdjsonIngest.appendDelta(
+      Seq((2000L, vecs.head._2.clone())).toDF("vec_id", "embedding"),
+      tableDir, "vec_id") // c6
+    assert(sync().contains((5L, 6L)))
+    val h4 = AnnIndex.load(spark, idxDir).get
+    assert(h4.layers.length === 1)
+    val afterWipe = AnnIndex.search(spark, h4,
+      Seq((2000L, vecs.head._2.clone())).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", Seq((0L, vecs.head._2.map(_.toDouble))),
+      k = 1, nprobe = 2, refine = 10)
+      .select("n_id").as[Long].collect().toSet
+    assert(afterWipe === Set(2000L))
   }
 
   test("search prunes unprobed cell partitions at the scan") {

@@ -71,6 +71,28 @@ class CorpusIndexesSpec extends SparkSpec {
       .filter(f => f.isDirectory && f.getName.startsWith("gen="))
       .map(_.getName.stripPrefix("gen=").toLong).sorted.toSeq
     assert(gens === Seq(3L, 4L), s"gens $gens")
+
+    // DELETE-EVERYTHING tick: both chains fold to zero signatures and the
+    // cluster table goes empty — and the state must stay consumable
+    NdjsonIngest.deleteDelta(Seq(3L, 42L).toDF("doc_id"),
+      tableDir, "doc_id") // c5
+    assert(CorpusIndexes.sync(spark, tableDir, state).contains((4L, 5L)))
+    assert(clusterMap(state) === Map.empty)
+    assert(SimHashIndex.load(spark, s"$state/simhash").isEmpty)
+    assert(DedupIndex.load(spark, s"$state/minhash").isEmpty)
+    // an idle poll (no new commits) still runs the deferred physical gc:
+    // the superseded layer dirs — tombstoned docs' signatures — vanish
+    assert(CorpusIndexes.sync(spark, tableDir, state).isEmpty)
+    def layerDirs(sub: String) = Option(
+      new java.io.File(s"$state/$sub/bands").listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith("layer="))
+    assert(layerDirs("minhash") === DedupIndex.layers(s"$state/minhash").length)
+    assert(layerDirs("simhash") === SimHashIndex.layers(s"$state/simhash").length)
+    // life after the wipe: new docs index and cluster normally
+    NdjsonIngest.appendDelta(
+      docs((50L, "s", base), (51L, "s", nearDup)), tableDir, "doc_id") // c6
+    assert(CorpusIndexes.sync(spark, tableDir, state).contains((5L, 6L)))
+    assert(clusterMap(state) === Map(50L -> 50L, 51L -> 50L))
   }
 
   test("a replayed insert tick does not duplicate index layers") {
@@ -115,6 +137,26 @@ class CorpusIndexesSpec extends SparkSpec {
           .getOrElse(Array.empty).map(_.getName).filter(_.startsWith("layer=")).toSet
         assert(onDisk === committed.map(l => s"layer=$l").toSet, s"$d: $onDisk")
       }
+  }
+
+  test("a bootstrap-crash replay does not re-sign the corpus") {
+    val root = Files.createTempDirectory("corpusboot").toString
+    val tableDir = s"$root/docs"; val state = s"$root/state"
+    NdjsonIngest.appendVersion(
+      docs((1L, "s", base), (3L, "s", other)), tableDir, "doc_id") // c1
+    assert(CorpusIndexes.sync(spark, tableDir, state).contains((0L, 1L)))
+    // crash between the bootstrap's index/cluster commits and the cursor
+    // write: the cursor reads 0 and the WHOLE feed replays as an insert
+    // tick — the bootstrap layers' feed:0-1 tag must mark it covered
+    // instead of re-signing every doc as duplicates
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(state, "feed", "cursor"), "0")
+    assert(CorpusIndexes.sync(spark, tableDir, state).contains((0L, 1L)))
+    def perId(df: org.apache.spark.sql.DataFrame) = df.groupBy("id").count()
+      .select("count").distinct().as[Long].collect().toSet
+    assert(perId(DedupIndex.load(spark, s"$state/minhash")) === Set(4L))
+    assert(perId(SimHashIndex.load(spark, s"$state/simhash")) === Set(4L))
+    assert(clusterMap(state) === Map(1L -> 1L, 3L -> 3L))
   }
 
   test("a replay WIDENED by new commits re-signs only the unseen commits") {

@@ -257,6 +257,83 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("AnnIndex.syncFromFeed keeps exactly one live code per vector over " +
+      "random op/crash-replay sequences") {
+    import graft.ann.AnnIndex
+    import graft.sources.{ChangeFeedConsumer, NdjsonIngest}
+    val dim = 4
+    def vec(id: Long, v: Int): Array[Float] =
+      Array.tabulate(dim)(i => math.sin(id * 7.0 + v * 13.0 + i).toFloat)
+    sealed trait Op
+    case class Ins(n: Int) extends Op
+    case class Del(picks: Seq[Int]) extends Op
+    case class Ups(picks: Seq[Int]) extends Op
+    case object Tick extends Op
+    case class Rewind(pick: Int) extends Op
+    val opGen: Gen[Op] = Gen.frequency(
+      4 -> Gen.choose(1, 3).map(Ins),
+      2 -> Gen.listOfN(2, Gen.choose(0, 99)).map(Del),
+      2 -> Gen.listOfN(2, Gen.choose(0, 99)).map(Ups),
+      3 -> Gen.const(Tick),
+      2 -> Gen.choose(0, 99).map(Rewind))
+    val opsGen = Gen.choose(5, 8).flatMap(n => Gen.listOfN(n, opGen))
+    samples(opsGen, 3).zipWithIndex.foreach { case (ops, caseIdx) =>
+      val base = java.nio.file.Files.createTempDirectory("annprop").toString
+      val tableDir = s"$base/emb"; val idxDir = s"$base/idx"
+      val stateDir = s"$base/state"
+      var nextId = 0L
+      var liveVer = Map.empty[Long, Int] // live id → vector version
+      def rows(ids: Seq[Long]) =
+        ids.map(id => (id, vec(id, liveVer(id)))).toDF("vec_id", "embedding")
+      def freshIds(n: Int) = (0 until n).map { _ => nextId += 1; nextId }
+      def sync() = AnnIndex.syncFromFeed(spark, tableDir, idxDir, stateDir,
+        "vec_id", "embedding", dim, cells = 2, m = 2, k = 4, iters = 1)
+      val seed = freshIds(4); seed.foreach(id => liveVer += id -> 0)
+      NdjsonIngest.appendVersion(rows(seed), tableDir, "vec_id")
+      sync() // bootstrap
+      ops.foreach {
+        case Ins(n) =>
+          val ids = freshIds(n); ids.foreach(id => liveVer += id -> 0)
+          NdjsonIngest.appendDelta(rows(ids), tableDir, "vec_id")
+        case Del(picks) =>
+          val pool = liveVer.keys.toSeq.sorted
+          if (pool.nonEmpty) {
+            val ids = picks.map(p => pool(p % pool.size)).distinct
+            NdjsonIngest.deleteDelta(ids.toDF("vec_id"), tableDir, "vec_id")
+            liveVer --= ids
+          }
+        case Ups(picks) =>
+          val pool = liveVer.keys.toSeq.sorted
+          if (pool.nonEmpty) {
+            val ids = picks.map(p => pool(p % pool.size)).distinct
+            ids.foreach(id => liveVer += id -> (liveVer(id) + 1))
+            NdjsonIngest.upsertDelta(rows(ids), tableDir, "vec_id")
+          }
+        case Tick => sync()
+        case Rewind(pick) =>
+          // crash simulation: some earlier tick's artifacts committed but
+          // its cursor write was lost; commits landing afterwards WIDEN
+          // the replayed range. A crash only LOSES cursor progress —
+          // never advances it — so only rewind backward.
+          val cs = 0L +: NdjsonIngest.commits(tableDir)
+          val target = cs(pick % cs.size)
+          if (target < ChangeFeedConsumer.cursor(stateDir))
+            ChangeFeedConsumer.writeCursor(stateDir, target)
+      }
+      sync()
+      // invariant: the committed chain holds EXACTLY one code per live
+      // vector — no tombstoned leftovers, no replay duplicates
+      val h = AnnIndex.load(spark, idxDir).get
+      val codeIds =
+        if (h.layers.isEmpty) Seq.empty[Long]
+        else spark.read.option("basePath", s"$idxDir/codes")
+          .parquet(h.layers.map(l => s"$idxDir/codes/layer=$l"): _*)
+          .select(col("id")).as[Long].collect().toSeq
+      assert(codeIds.sorted === liveVer.keys.toSeq.sorted,
+        s"case $caseIdx ops=$ops")
+    }
+  }
+
   test("additive schema evolution chains read exactly under the head schema") {
     import graft.sources.NdjsonIngest
     import org.apache.spark.sql.Row

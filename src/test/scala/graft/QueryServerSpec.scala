@@ -366,6 +366,31 @@ class QueryServerSpec extends SparkSpec {
     } finally s.stop()
   }
 
+  test("cachedSupplier re-builds when a commit lands mid-build (label skew)") {
+    // a commit landing BETWEEN version() and the end of build() would make
+    // an unguarded supplier serve the newer data labeled with the OLD
+    // version; the supplier must detect the move and rebuild. Simulated by
+    // a build that bumps the version counter once, mid-flight.
+    val ver = new java.util.concurrent.atomic.AtomicInteger(1)
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val bumpOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val supplier = QueryServer.cachedSupplier(
+      () => "commit-" + ver.get,
+      _ => {
+        builds.incrementAndGet()
+        if (bumpOnce.getAndSet(false)) ver.incrementAndGet() // mid-build commit
+        Catalog(Map("v" ->
+          Seq(("commit-" + ver.get, 0)).toDF("built_at", "x")))
+      })
+    val (cat, label) = supplier()
+    assert(label === "commit-2")
+    assert(builds.get === 2) // first build raced, second settled
+    assert(cat.tables("v").select("built_at").as[String].head === "commit-2")
+    val (_, l2) = supplier() // stable thereafter: cached, no rebuild
+    assert(l2 === "commit-2")
+    assert(builds.get === 2)
+  }
+
   test("result-ordering header reports the plan's root sort keys") {
     // ordered (limit on top preserves the child ordering, like Acero's
     // fetch-node passthrough)

@@ -272,12 +272,14 @@ class SourcesSpec extends SparkSpec {
       Seq((2L, "DE", 22.0)).toDF("id", "country", "val"), dir, "id")
     NdjsonIngest.deleteDelta(Seq(1L).toDF("id"), dir, "id")        // commit 4
     NdjsonIngest.compactMerged(spark, dir, "id", maxLayers = 1)    // commit 5
-    // the full feed since the snapshot: two inserts then a delete —
-    // the compaction commit contributes NOTHING (content unchanged)
+    // the full feed since the snapshot: insert, upsert (typed as such —
+    // it OVERWRITES pk 2, there is no delete half, so per-key consumers
+    // must replace not add), then a delete — the compaction commit
+    // contributes NOTHING (content unchanged)
     val feed = NdjsonIngest.readChanges(spark, dir, "id", 1L, 5L)
       .select("id", "_change_type", "_commit")
       .as[(Long, String, Long)].collect().sortBy(_._3).toSeq
-    assert(feed === Seq((3L, "insert", 2L), (2L, "insert", 3L), (1L, "delete", 4L)))
+    assert(feed === Seq((3L, "insert", 2L), (2L, "upsert", 3L), (1L, "delete", 4L)))
     // delete rows carry the pk + nulls (schema preserved for unions)
     val del = NdjsonIngest.readChanges(spark, dir, "id", 3L, 4L)
     assert(del.columns.toSeq === Seq("id", "country", "val", "_change_type", "_commit"))
