@@ -2742,5 +2742,204 @@ object PipelineQueries {
         (id, zc, energy)
       }.toDF("doc_id", "zero_crossings", "energy")
         .orderBy("doc_id")
+    },
+
+    // ---- BM25 TOP-K RETRIEVAL: rank the corpus against a fixed term
+    //      query with the Okapi BM25 weighting (k1=1.2, b=0.75). The idf
+    //      stays the exact rational (N - df + 0.5)/(df + 0.5) — the
+    //      argument of Robertson's log, monotone per term — so the whole
+    //      score is rational-IEEE arithmetic with no libm transcendentals
+    //      (the house oracle discipline; DuckDB's ln() and java.lang
+    //      .Math.log are not bit-contracted to agree). Per-doc scores add
+    //      the three term contributions in FIXED column order (a 3-way
+    //      max-pivot, not a float groupBy-sum whose order Spark doesn't
+    //      guarantee). Scale: tf is one map-side-combinable shuffle over
+    //      (doc, term∈Q) — the Q-filter prunes before the exchange; df/N/
+    //      avgdl are one-row broadcasts. ----
+    QDef("q_bm25", {
+      val terms = Seq("vector", "window", "stream")
+      val tfPart = "tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))"
+      val sCols = terms.zipWithIndex.map { case (tm, i) =>
+        s"max(CASE WHEN term = '$tm' THEN s END) AS s$i"
+      }.mkString(",\n         |    ")
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents),
+         |tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+         |g AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         |  count(*) AS n FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk
+         |  WHERE term IN (${terms.map(t => s"'$t'").mkString(", ")}) GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT doc_id, term,
+         |    ((n - df + 0.5) / (df + 0.5)) * ($tfPart) AS s
+         |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN g),
+         |pv AS (SELECT doc_id,
+         |    $sCols
+         |  FROM sc GROUP BY 1),
+         |scored AS (SELECT doc_id,
+         |    round(coalesce(s0, 0) + coalesce(s1, 0) + coalesce(s2, 0), 6) AS bm25
+         |  FROM pv)
+         |SELECT doc_id, CAST(rk AS INTEGER) AS rk, bm25 FROM (
+         |  SELECT doc_id, bm25,
+         |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk FROM scored)
+         |WHERE rk <= 10 ORDER BY rk""".stripMargin
+    }) { (s, dir) =>
+      val terms = Seq("vector", "window", "stream")
+      val docs = t(s, dir, "documents")
+      // ONE tokenize pass: per-doc length and the 3 query-term tfs come out
+      // of a single map-side-combinable aggregate (a when-pivot, not a
+      // (doc, term) shuffle), and df/N/avgdl reduce that to ONE broadcast
+      // row — 2 shuffles total, both over per-doc rows.
+      val tk = docs
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val tfAgg = count(lit(1)).as("dl") +:
+        terms.zipWithIndex.map { case (tm, i) =>
+          sum(when(col("term") === tm, 1L).otherwise(0L)).as(s"tf$i")
+        }
+      // perdoc feeds BOTH join sides; localCheckpoint materializes the
+      // per-doc aggregate once (|docs| rows, ≪ corpus) so the tokenize
+      // pass isn't replayed for the global-stats branch
+      val perdoc = tk.groupBy("doc_id").agg(tfAgg.head, tfAgg.tail: _*)
+        .localCheckpoint()
+      val gAgg = Seq(
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+        count(lit(1)).as("n")) ++
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+      val g = perdoc.agg(gAgg.head, gAgg.tail: _*)
+      // fixed-order 3-term sum; a zero tf contributes an exact 0.0, so the
+      // float adds match the oracle's coalesce(NULL→0) pivot bit-for-bit
+      def termScore(i: Int) = {
+        val tf = col(s"tf$i").cast("double")
+        ((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5)) *
+          (tf * 2.2 /
+            (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+      }
+      perdoc.crossJoin(broadcast(g))
+        .withColumn("bm25",
+          round(termScore(0) + termScore(1) + termScore(2), 6))
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("int"))
+        .filter(col("rk") <= 10)
+        .select("doc_id", "rk", "bm25")
+        .orderBy("rk")
+    },
+
+    // ---- SEMANTIC DEDUP (SemDeDup-style): coarse-quantize every
+    //      embedding into one of 16 frozen seeded cells (the literal-
+    //      centroid oracle pattern of q_ann_ivf — argmax dot, first-index
+    //      ties), then WITHIN each cell mark a vector as a near-duplicate
+    //      if any SMALLER-id cell-mate sits within cosine ≥ 0.35 (round-
+    //      before-threshold). The kept set is the deterministic greedy
+    //      representative per ε-ball. Scale: the only pairwise work is the
+    //      cell-scoped equi-join (corpus²/cells per cell on average) —
+    //      exactly the SemDeDup recipe for avoiding the corpus² scan; the
+    //      centroid matrix is a plan-time literal, never a shuffle. ----
+    QDef("q_semdedup", {
+      val cents = graft.ann.Ivf.seedCentroids(64, 16, 11L).map(_.toSeq).toSeq
+      val dlist = cents.map(c => litDot("embedding", c)).mkString(",\n    ")
+      s"""WITH assigned AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_position(dd, list_max(dd)) - 1 AS INTEGER) AS cell
+         |  FROM (SELECT vec_id, embedding, [
+         |    $dlist] AS dd FROM embeddings)),
+         |dup AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
+         |  GROUP BY 1)
+         |SELECT s.vec_id, s.cell, dup.dup_of IS NULL AS kept, dup.dup_of
+         |FROM assigned s LEFT JOIN dup ON dup.vec_id = s.vec_id
+         |ORDER BY s.vec_id""".stripMargin
+    }) { (s, dir) =>
+      val cents = graft.ann.Ivf.seedCentroids(64, 16, 11L)
+      val emb = t(s, dir, "embeddings")
+      val assigned = graft.ann.Ivf.assign(emb, "embedding", cents)
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          VF.norm2(col("embedding")).as("nrm"))
+      val a = assigned.select(col("vec_id").as("a_id"), col("cell"),
+        col("embedding").as("av"), col("nrm").as("na"))
+      val b = assigned.select(col("vec_id").as("vec_id"), col("cell"),
+        col("embedding").as("bv"), col("nrm").as("nb"))
+      val dup = a.join(b, Seq("cell"))
+        .filter(col("a_id") < col("vec_id"))
+        .filter(round(VF.dot(col("av"), col("bv")) / (col("na") * col("nb")), 6)
+          >= 0.35)
+        .groupBy("vec_id").agg(min(col("a_id")).as("dup_of"))
+      assigned.select("vec_id", "cell")
+        .join(dup, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          col("dup_of").isNull.as("kept"), col("dup_of"))
+        .orderBy("vec_id")
+    },
+
+    // ---- EXACT-SUBSTRING DEDUP (ExactSubstr-style, Lee et al. 2021):
+    //      every 40-char window of the normalized text is hashed; windows
+    //      whose hash occurs in ≥ 2 DISTINCT documents are duplicated
+    //      spans, and per document the overlapping-or-adjacent hits merge
+    //      into maximal [start, end) intervals by the classic gaps-and-
+    //      islands window (all windows share one length, so lag(pos)+L is
+    //      the running island end). Scale: this is the hash-blocked
+    //      equi-join realization of the suffix-array algorithm — the only
+    //      shuffle keys are 32-byte md5s with map-side distinct, never a
+    //      pairwise doc join; span merging is one partition-local window
+    //      per doc. ----
+    QDef("q_exact_substr",
+      s"""WITH norm AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    substr(md5(substr(nt, i, 40)), 1, 16) AS h
+         |  FROM norm, unnest(range(1, len(nt) - 40 + 2)) AS u(i)),
+         |dupg AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+         |hits AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dupg)),
+         |isl AS (SELECT doc_id, pos,
+         |    sum(CASE WHEN prev IS NULL OR pos > prev + 40 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos
+         |            ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM (SELECT doc_id, pos,
+         |      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM hits))
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + 40 AS span_end,
+         |  count(*) AS n_windows
+         |FROM isl GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
+      // rebalance doc rows BEFORE the 40× gram explode: the narrow input
+      // shuffle (bytes ≈ corpus text) is what makes the fan-out stage —
+      // md5 per window — spread across every core instead of riding the
+      // scan's split count; at 100 TB the same move bounds long-doc skew.
+      val norm = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), TF.normText(col("text")).as("nt"))
+      val g = norm
+        .select(col("doc_id"),
+          explode(when(length(col("nt")) >= 40,
+            sequence(lit(1L), (length(col("nt")) - 39).cast("long")))
+            .otherwise(array().cast("array<long>"))).as("pos"),
+          col("nt"))
+        .select(col("doc_id"), col("pos"),
+          substring(md5(expr("substring(nt, int(pos), 40)")), 1, 16).as("h"))
+      // "≥2 distinct docs" ⟺ min(doc) ≠ max(doc): one codegen'd
+      // HashAggregate shuffle (24-byte rows) instead of a countDistinct
+      // expand or an object-mode collect_list, and the surviving dup-hash
+      // set is tiny, so the join back to the gram stream broadcasts —
+      // the grams themselves never shuffle.
+      val dupg = g.groupBy("h")
+        .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+        .filter(col("d0") =!= col("d1"))
+        .select("h")
+      val hits = g.join(broadcast(dupg), Seq("h"), "left_semi")
+        .select("doc_id", "pos")
+      val ord = Window.partitionBy("doc_id").orderBy("pos")
+      val isl = hits
+        .withColumn("prev", lag(col("pos"), 1).over(ord))
+        .withColumn("island",
+          sum(when(col("prev").isNull || col("pos") > col("prev") + 40, 1)
+            .otherwise(0)).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      isl.groupBy("doc_id", "island")
+        .agg(min(col("pos")).as("span_start"),
+          (max(col("pos")) + 40).as("span_end"),
+          count(lit(1)).as("n_windows"))
+        .select("doc_id", "span_start", "span_end", "n_windows")
+        .orderBy("doc_id", "span_start")
     })
 }

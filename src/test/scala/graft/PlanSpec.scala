@@ -199,9 +199,11 @@ class PlanSpec extends SparkSpec {
     // whitelist: queries whose BNLJ side is bounded regardless of data
     // scale — a fixed probe set (q_ann_topk/q_ivf_recall), a fixed-size
     // sample (q_ann_recall), or a 1-row aggregate dim (q_tfidf_topk,
-    // q_mix_weights/q_mix_sample's grand-total row)
+    // q_mix_weights/q_mix_sample's grand-total row, q_bm25's corpus-stats
+    // row)
     val boundedBnlj = Set("q_ann_topk", "q_ann_recall", "q_ivf_recall", "q_tfidf_topk",
-      "q_mix_weights", "q_mix_sample", "q_hard_negatives", "q_knn_classify")
+      "q_mix_weights", "q_mix_sample", "q_hard_negatives", "q_knn_classify",
+      "q_bm25")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"),
