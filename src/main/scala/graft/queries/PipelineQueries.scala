@@ -2827,6 +2827,81 @@ object PipelineQueries {
         .orderBy("rk")
     },
 
+    // ---- IMPORTANCE REWEIGHTING (DSIR-style): score every document by
+    //      how much more its hashed-bigram feature distribution looks
+    //      like a TARGET slice (lang='en') than the raw corpus. Features
+    //      are word bigrams hashed into 16 buckets (first md5 hex char);
+    //      per-bucket target/raw frequencies get +1 smoothing, and the
+    //      per-doc score is Σ_b cnt_b · (tgt_b·RAW − raw_b·TGT)/(raw_b·TGT)
+    //      — the first-order (linearized-log) likelihood ratio, kept as
+    //      exact-integer numerators/denominators so no libm log enters the
+    //      hash. The 16 bucket terms add in one FIXED left-assoc chain
+    //      (not a float groupBy-sum). Scale: one (doc, bucket) count
+    //      shuffle + a single broadcast stats row; nothing pairwise. ----
+    QDef("q_importance", {
+      val hexd = "0123456789abcdef".map(_.toString)
+      val rSums = hexd.zipWithIndex.map { case (h, j) =>
+        s"sum(CASE WHEN b = '$h' THEN c ELSE 0 END) + 1 AS r$j" }
+      val tSums = hexd.zipWithIndex.map { case (h, j) =>
+        s"sum(CASE WHEN lang = 'en' AND b = '$h' THEN c ELSE 0 END) + 1 AS t$j" }
+      val cSums = hexd.zipWithIndex.map { case (h, j) =>
+        s"sum(CASE WHEN b = '$h' THEN c ELSE 0 END) AS c$j" }
+      val tgt = (0 until 16).map(j => s"t$j").mkString(" + ")
+      val raw = (0 until 16).map(j => s"r$j").mkString(" + ")
+      val score = (0 until 16).map(j =>
+        s"CAST(c$j AS DOUBLE) * (CAST(t$j * rawn - r$j * tgtn AS DOUBLE) / CAST(r$j * tgtn AS DOUBLE))")
+        .mkString("\n         |    + ")
+      s"""WITH tk AS (SELECT doc_id, lang, string_split($normSql, ' ') AS tk FROM documents),
+         |bg AS (SELECT doc_id, lang,
+         |    substr(md5(tk[i] || ' ' || tk[i + 1]), 1, 1) AS b
+         |  FROM tk, unnest(range(1, len(tk))) AS u(i)),
+         |pc AS (SELECT doc_id, lang, b, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+         |g AS (SELECT ${(rSums ++ tSums).mkString(",\n         |    ")}
+         |  FROM pc),
+         |g2 AS (SELECT *, $tgt AS tgtn, $raw AS rawn FROM g),
+         |d AS (SELECT doc_id, ${cSums.mkString(",\n         |    ")}
+         |  FROM pc GROUP BY 1)
+         |SELECT doc_id, round(
+         |    $score, 6) AS importance
+         |FROM d CROSS JOIN g2 ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val hexd = "0123456789abcdef".map(_.toString)
+      val docs = t(s, dir, "documents")
+      val tk = docs.repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("lang"), TF.tokens(col("text")).as("tk"))
+      val bg = tk.select(col("doc_id"), col("lang"),
+        explode(when(size(col("tk")) >= 2, expr(
+          "transform(sequence(1, size(tk) - 1), " +
+            "i -> substring(md5(concat(element_at(tk, i), ' ', element_at(tk, i + 1))), 1, 1))"))
+          .otherwise(array().cast("array<string>"))).as("b"))
+      // pc feeds BOTH the broadcast stats row and the per-doc pivot;
+      // localCheckpoint materializes the ≤16·|docs|-row count table once
+      // so the bigram explode isn't replayed for the stats branch
+      val pc = bg.groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val gAggs = hexd.zipWithIndex.map { case (h, j) =>
+        (sum(when(col("b") === h, col("c")).otherwise(0L)) + 1).as(s"r$j")
+      } ++ hexd.zipWithIndex.map { case (h, j) =>
+        (sum(when(col("lang") === "en" && col("b") === h, col("c"))
+          .otherwise(0L)) + 1).as(s"t$j")
+      }
+      val g = pc.agg(gAggs.head, gAggs.tail: _*)
+        .withColumn("tgtn", (0 until 16).map(j => col(s"t$j")).reduceLeft(_ + _))
+        .withColumn("rawn", (0 until 16).map(j => col(s"r$j")).reduceLeft(_ + _))
+      val dAggs = hexd.zipWithIndex.map { case (h, j) =>
+        sum(when(col("b") === h, col("c")).otherwise(0L)).as(s"c$j")
+      }
+      val d = pc.groupBy("doc_id").agg(dAggs.head, dAggs.tail: _*)
+      val score = (0 until 16).map { j =>
+        col(s"c$j").cast("double") *
+          ((col(s"t$j") * col("rawn") - col(s"r$j") * col("tgtn")).cast("double") /
+            (col(s"r$j") * col("tgtn")).cast("double"))
+      }.reduceLeft(_ + _)
+      d.crossJoin(broadcast(g))
+        .select(col("doc_id"), round(score, 6).as("importance"))
+        .orderBy("doc_id")
+    },
+
     // ---- SEMANTIC DEDUP (SemDeDup-style): coarse-quantize every
     //      embedding into one of 16 frozen seeded cells (the literal-
     //      centroid oracle pattern of q_ann_ivf — argmax dot, first-index
