@@ -457,7 +457,17 @@ object Planner {
         * selective position predicates through these (see pipelineFn
         * "filter").
         */
-      mutIndexes: Map[String, Map[String, SeqIndex]] = Map())
+      mutIndexes: Map[String, Map[String, SeqIndex]] = Map(),
+      /** table → versioned (delta-chain) table dir whose layers carry the
+        * `_stats` min/max sidecars. A `filter` whose input is the BARE
+        * table scan routes its first numeric between/equality conjunct
+        * through [[graft.sources.NdjsonIngest.readLatestRange]], so
+        * non-intersecting layers are pruned before their parquet footers
+        * are even opened (Delta-style file skipping at the layer
+        * granularity; every conjunct still applies row-wise afterwards —
+        * the pruned chain is a SUPERSET of the matching rows).
+        */
+      versionedDirs: Map[String, String] = Map())
 
   def plan(query: String, catalog: Catalog): DataFrame =
     new Planner(catalog).planTable(Parser.parse(query)).df
@@ -631,6 +641,34 @@ final class Planner(catalog: Planner.Catalog) {
     bound
   }
 
+  /** The (column, lo, hi) envelope when `e` is a numeric between/equality
+    * over literal bounds — the only conjunct shapes layer `_stats` can
+    * prune on. `null` bounds (half-open between) map to ∓∞. Matching is
+    * deliberately conservative: any non-literal or non-numeric shape just
+    * returns None and the filter stays a plain scan.
+    */
+  private def rangeConjunct(e: Expr,
+      df: DataFrame): Option[(String, Double, Double)] = {
+    def num(x: Expr): Option[Double] = x match {
+      case IntLit(v) => Some(v.toDouble)
+      case FloatLit(v) => Some(v)
+      case _ => None
+    }
+    def numericCol(c: String): Boolean =
+      df.columns.contains(c) &&
+        df.schema(c).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    e match {
+      case Call("between", Seq(Ident(c), lo, hi), Seq()) if numericCol(c) =>
+        val l = if (lo == NullLit) Some(Double.NegativeInfinity) else num(lo)
+        val h = if (hi == NullLit) Some(Double.PositiveInfinity) else num(hi)
+        for (a <- l; b <- h) yield (c, a, b)
+      case Binary("=", Ident(c), v) if numericCol(c) =>
+        num(v).map(x => (c, x, x))
+      case _ => None
+    }
+  }
+
   // ---------------------------------------------------------------- pipeline
   private def pipelineFn(fn: String, pos: Seq[Expr], named: Seq[(String, Expr)]): Tbl = {
     val sig = pipelineSigs.getOrElse(fn, err(s"unknown pipeline function '$fn'"))
@@ -654,18 +692,40 @@ final class Planner(catalog: Planner.Catalog) {
           case Binary("&&", l, r) => conjuncts(l) ++ conjuncts(r)
           case other => Seq(other)
         }
-        val idxCtx = for {
+        // layer (zone-map) routing: when the input is the BARE scan of a
+        // table registered with a versioned dir, the first top-level
+        // numeric between/equality conjunct swaps the scan for the
+        // stats-pruned layer chain. Layers whose recorded [min, max]
+        // can't intersect never open a footer; the chain is a SUPERSET of
+        // the matching rows and EVERY conjunct still applies row-wise
+        // below, so this is pure scan narrowing, never a semantic change.
+        val zoneIn: Tbl = (for {
           t <- in.origin
+          dir <- catalog.versionedDirs.get(t)
+          if catalog.tables.get(t).exists(_ eq in.df)
+          // upsert/tombstone layers need the merge-on-read reader; the
+          // raw pruned chain would un-merge them, so stay on the
+          // registered frame (conservative, always sound)
+          if graft.sources.NdjsonIngest.latestChainMergeFree(dir)
+          r <- conjuncts(pred).flatMap(rangeConjunct(_, in.df)).headOption
+        } yield {
+          val (c, lo, hi) = r
+          Tbl(graft.sources.NdjsonIngest
+            .readLatestRange(in.df.sparkSession, dir, c, lo, hi), in.origin)
+        }).getOrElse(in)
+        val idxCtx = for {
+          t <- zoneIn.origin
           m <- catalog.mutIndexes.get(t) if m.nonEmpty
           pk <- catalog.primaryKeys.get(t)
         } yield (m, pk)
+        val in2 = zoneIn
         val (base, rest) = idxCtx match {
-          case Some((indexes, pk)) if in.df.columns.contains(pk) =>
+          case Some((indexes, pk)) if in2.df.columns.contains(pk) =>
             val tagged = conjuncts(pred).map(c =>
               indexRoute(c, indexes, Ambiguity.ModeNone, in.origin) -> c)
             val routed = tagged.collect { case (Some(r), _) => r }
             val rowwise = tagged.collect { case (None, c) => c }
-            val df = routed.foldLeft(in.df) { (d, r) =>
+            val df = routed.foldLeft(in2.df) { (d, r) =>
               val si = indexes(r.seqName)
               val keys = (r match {
                 case MutRoute(_, p, symsOpt, _) =>
@@ -696,7 +756,7 @@ final class Planner(catalog: Planner.Catalog) {
               d.join(hinted, d(pk) === col("__idx_pk"), "left_semi")
             }
             (df, rowwise)
-          case _ => (in.df, conjuncts(pred))
+          case _ => (in2.df, conjuncts(pred))
         }
         val out =
           if (rest.isEmpty) base

@@ -327,6 +327,10 @@ object NdjsonIngest {
     * precise filter. At scale this skips whole layers (their parquet
     * footers are never even opened) when the chain is range-clustered,
     * e.g. time-ordered appends queried for a recent window.
+    *
+    * APPEND-ONLY chains only (like [[readLatest]]): a chain holding
+    * upsert or tombstone layers needs the merge-on-read readers; gate on
+    * [[latestChainMergeFree]] first.
     */
   def readLatestRange(spark: SparkSession, tableDir: String,
       column: String, lo: Double, hi: Double): DataFrame = {
@@ -692,6 +696,32 @@ object NdjsonIngest {
     val kind = toks.find(_.startsWith("#kind="))
       .map(_.stripPrefix("#kind=")).getOrElse("unknown")
     (chain, kind)
+  }
+
+  /** True when every layer of the CURRENT chain was introduced by a
+    * plain-union commit (snapshot/append/compact) and carries no
+    * tombstones — i.e. the layer-union readers ([[readChain]],
+    * [[readLatest]], [[readLatestRange]]) are exact for this chain.
+    * Upsert/delete commits leave superseded rows or tombstones that only
+    * the merge-on-read readers resolve, so their presence fails the
+    * check. A layer whose introducing commit was gc'd from the log also
+    * fails (conservative: callers fall back to the unpruned reader they
+    * were already using).
+    */
+  def latestChainMergeFree(tableDir: String): Boolean = {
+    val chain = latestLayers(tableDir)
+    if (chain.isEmpty) return true
+    val union = Set("snapshot", "append", "compact")
+    // a commit's chain ends with the layer it introduced, so later
+    // entries never re-claim an older layer; map build is last-wins but
+    // (layer → kind) is single-valued by construction
+    val intro = commits(tableDir).map(logEntry(tableDir, _)).flatMap {
+      case (c, kind) => c.lastOption.map(_ -> kind)
+    }.toMap
+    chain.forall { l =>
+      intro.get(l).exists(union) &&
+        !new java.io.File(s"$tableDir/$l/_tombstones").isDirectory
+    }
   }
 
   /** The CHANGE FEED over `(fromSeq, toSeq]`: every row the table gained

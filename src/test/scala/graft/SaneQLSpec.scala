@@ -413,4 +413,57 @@ class SaneQLSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(past === Set(("", 3L)))
   }
+
+  test("filter over a versioned table routes numeric range conjuncts " +
+    "through the stats-pruned layer chain") {
+    import graft.sources.NdjsonIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft").toString + "/vt"
+    // three time-ordered delta layers with disjoint id ranges
+    NdjsonIngest.appendVersion(
+      Seq((1L, "CH", 1.0), (9L, "DE", 2.0)).toDF("id", "country", "val"), dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((10L, "CH", 3.0), (19L, "DE", 4.0)).toDF("id", "country", "val"), dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((20L, "CH", 5.0), (29L, "DE", 6.0)).toDF("id", "country", "val"), dir, "id")
+    val cat = Catalog(
+      tables = Map("vt" -> NdjsonIngest.readLatest(spark, dir)),
+      versionedDirs = Map("vt" -> dir))
+    def files(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(input_file_name()).distinct().as[String].collect().toSeq
+
+    // between over the bare scan: only the middle layer's files are read,
+    // and the row-wise conjuncts (INCLUDING the routed one) still apply
+    val q = Planner.plan("vt.filter(between(id, 10, 12) && country = 'CH')", cat)
+    assert(q.collect().map(_.getLong(0)).toSeq === Seq(10L))
+    assert(files(q).forall(_.contains("/v2/")), "expected only v2 files")
+
+    // equality conjunct prunes the same way
+    assert(Planner.plan("vt.filter(id = 25)", cat).count() === 0)
+    val q3 = Planner.plan("vt.filter(id = 20)", cat)
+    assert(q3.collect().map(_.getLong(0)).toSeq === Seq(20L))
+    assert(files(q3).forall(_.contains("/v3/")))
+
+    // non-intersecting envelope: empty result, schema intact
+    val q4 = Planner.plan("vt.filter(between(id, 100, 200))", cat)
+    assert(q4.count() === 0 && q4.columns.toSeq === Seq("id", "country", "val"))
+
+    // NOT the bare scan (map() in between): no routing, still correct
+    val q5 = Planner.plan(
+      "vt.map({id2 := id}).filter(between(id, 12, 19))", cat)
+    assert(q5.collect().map(_.getLong(0)).toSeq.sorted === Seq(19L))
+    // string/non-literal conjuncts alone: no routing, full scan stays
+    assert(Planner.plan("vt.filter(country = 'CH')", cat).count() === 3)
+
+    // merge-on-read chain: an upsert supersedes a row; routing must NOT
+    // swap the registered (merged) frame for the raw pruned chain
+    NdjsonIngest.upsertDelta(
+      Seq((10L, "FR", 30.0)).toDF("id", "country", "val"), dir, "id")
+    assert(!NdjsonIngest.latestChainMergeFree(dir))
+    val mcat = Catalog(
+      tables = Map("vt" -> NdjsonIngest.readLatestMerged(spark, dir, "id")),
+      versionedDirs = Map("vt" -> dir))
+    val m = Planner.plan("vt.filter(between(id, 10, 12))", mcat)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(m === Seq((10L, "FR"))) // merged winner, not the raw v2 row
+  }
 }
