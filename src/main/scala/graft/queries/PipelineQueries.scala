@@ -2827,6 +2827,97 @@ object PipelineQueries {
         .orderBy("rk")
     },
 
+    // ---- MMR DIVERSIFIED TOP-K (maximal marginal relevance): rerank the
+    //      20 nearest candidates of probe vec 0 into a 5-result list that
+    //      trades relevance against redundancy — pick_i = argmax over the
+    //      unpicked of λ·rel(d) − (1−λ)·max_{s∈picked} sim(d, s), λ=0.5,
+    //      all similarities round-6 cosines so the greedy path is engine-
+    //      independent. The oracle UNROLLS the 5 greedy steps as CTEs (no
+    //      recursion). Scale split: candidate generation is the
+    //      DISTRIBUTED part (a brute top-k scan here; the persisted ANN
+    //      index is the production path), while the rerank touches only
+    //      the bounded 20-candidate set — collected like a probe set, the
+    //      same contract as q_ann_topk's fixed probes. ----
+    QDef("q_mmr", {
+      def step(i: Int): String = {
+        val sel = s"s${i - 1}"
+        s"""r$i AS (SELECT c.vec_id, round(0.5 * c.rel - 0.5 * max(p.s), 6) AS sc
+           |  FROM c JOIN p ON p.ia = c.vec_id AND p.ib IN (SELECT vec_id FROM $sel)
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM $sel)
+           |  GROUP BY c.vec_id, c.rel),
+           |pick$i AS (SELECT vec_id, sc FROM r$i ORDER BY sc DESC, vec_id LIMIT 1),
+           |s$i AS (SELECT vec_id FROM s${i - 1} UNION ALL SELECT vec_id FROM pick$i)"""
+          .stripMargin
+      }
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT vec_id, embedding,
+         |    ${cosSql("embedding", "qv")} AS rel
+         |  FROM embeddings, q WHERE vec_id <> 0
+         |  ORDER BY rel DESC, vec_id LIMIT 20),
+         |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |    ${cosSql("a.embedding", "b.embedding")} AS s
+         |  FROM c a JOIN c b ON a.vec_id <> b.vec_id),
+         |pick1 AS (SELECT vec_id, round(0.5 * rel, 6) AS sc
+         |  FROM c ORDER BY rel DESC, vec_id LIMIT 1),
+         |s1 AS (SELECT vec_id FROM pick1),
+         |${(2 to 5).map(step).mkString(",\n")}
+         |SELECT CAST(rk AS INTEGER) AS rk, vec_id, sc AS mmr FROM (
+         |  SELECT 1 AS rk, vec_id, sc FROM pick1
+         |  ${(2 to 5).map(i => s"UNION ALL SELECT $i AS rk, vec_id, sc FROM pick$i")
+            .mkString("\n  ")})
+         |ORDER BY rk""".stripMargin
+    }) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val qv: Seq[Double] = VF.collectProbes(
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding").head._2.toSeq
+      val qCol = array(qv.map(lit): _*)
+      // distributed candidate generation: brute round-6 cosine top-20
+      val cands = emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"),
+          round(VF.dot(col("embedding"), qCol) /
+            (VF.norm2(col("embedding")) * VF.norm2(qCol)), 6).as("rel"))
+        .orderBy(col("rel").desc, col("vec_id"))
+        .limit(20)
+        .collect()
+      // bounded driver-side rerank over the 20-candidate set, replicating
+      // VecDot's strict left fold and Spark round's HALF_UP exactly
+      def r6(x: Double): Double =
+        BigDecimal.valueOf(x)
+          .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      def fdot(a: Seq[Double], b: Seq[Double]): Double =
+        a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+      val cs = cands.map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toIndexedSeq
+        (r.getLong(0), v, r.getDouble(2))
+      }.toIndexedSeq
+      def cosR(a: Seq[Double], b: Seq[Double]): Double =
+        r6(fdot(a, b) / (math.sqrt(fdot(a, a)) * math.sqrt(fdot(b, b))))
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      val remaining = scala.collection.mutable.ArrayBuffer(cs: _*)
+      while (picked.size < 5 && remaining.nonEmpty) {
+        val scoredStep = remaining.map { case (id, v, rel) =>
+          val sc =
+            if (picked.isEmpty) r6(0.5 * rel)
+            else {
+              val maxSim = picked.map { case (pid, _) =>
+                cosR(v, cs.find(_._1 == pid).get._2)
+              }.max
+              r6(0.5 * rel - 0.5 * maxSim)
+            }
+          (id, sc)
+        }
+        val best = scoredStep.minBy { case (id, sc) => (-sc, id) }
+        picked += best
+        remaining --= remaining.filter(_._1 == best._1)
+      }
+      val spark = s
+      import spark.implicits._
+      picked.zipWithIndex
+        .map { case ((id, sc), i) => (i + 1, id, sc) }.toSeq
+        .toDF("rk", "vec_id", "mmr")
+        .orderBy("rk")
+    },
+
     // ---- IMPORTANCE REWEIGHTING (DSIR-style): score every document by
     //      how much more its hashed-bigram feature distribution looks
     //      like a TARGET slice (lang='en') than the raw corpus. Features
