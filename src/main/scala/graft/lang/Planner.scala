@@ -649,22 +649,34 @@ final class Planner(catalog: Planner.Catalog) {
     */
   private def rangeConjunct(e: Expr,
       df: DataFrame): Option[(String, Double, Double)] = {
-    def num(x: Expr): Option[Double] = x match {
-      case IntLit(v) => Some(v.toDouble)
-      case FloatLit(v) => Some(v)
-      case _ => None
-    }
-    def numericCol(c: String): Boolean =
-      df.columns.contains(c) &&
-        df.schema(c).dataType
-          .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    import org.apache.spark.sql.types.{DateType, NumericType}
+    // the literal must MATCH the column's type family — a mismatched pair
+    // would prune on a meaningless envelope (the row-wise filter would
+    // reject the query anyway, but pruning must never be the first to act)
+    def bound(c: String)(x: Expr): Option[Double] =
+      (df.schema(c).dataType, x) match {
+        case (_: NumericType, IntLit(v)) => Some(v.toDouble)
+        case (_: NumericType, FloatLit(v)) => Some(v)
+        // date literals compare as epoch-day doubles — the same encoding
+        // writeLayerStats records for DateType columns
+        case (DateType, Cast(StringLit(s), "date")) =>
+          try Some(java.time.LocalDate.parse(s).toEpochDay.toDouble)
+          catch { case _: java.time.format.DateTimeParseException => None }
+        case _ => None
+      }
+    def prunableCol(c: String): Boolean =
+      df.columns.contains(c) && (df.schema(c).dataType match {
+        case _: NumericType => true
+        case DateType => true
+        case _ => false
+      })
     e match {
-      case Call("between", Seq(Ident(c), lo, hi), Seq()) if numericCol(c) =>
-        val l = if (lo == NullLit) Some(Double.NegativeInfinity) else num(lo)
-        val h = if (hi == NullLit) Some(Double.PositiveInfinity) else num(hi)
+      case Call("between", Seq(Ident(c), lo, hi), Seq()) if prunableCol(c) =>
+        val l = if (lo == NullLit) Some(Double.NegativeInfinity) else bound(c)(lo)
+        val h = if (hi == NullLit) Some(Double.PositiveInfinity) else bound(c)(hi)
         for (a <- l; b <- h) yield (c, a, b)
-      case Binary("=", Ident(c), v) if numericCol(c) =>
-        num(v).map(x => (c, x, x))
+      case Binary("=", Ident(c), v) if prunableCol(c) =>
+        bound(c)(v).map(x => (c, x, x))
       case _ => None
     }
   }

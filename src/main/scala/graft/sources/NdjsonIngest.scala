@@ -291,13 +291,18 @@ object NdjsonIngest {
     */
   private def writeLayerStats(df: DataFrame, layerDir: String): Unit = {
     import org.apache.spark.sql.types._
+    // dates participate as epoch-day doubles — time-windowed reads over
+    // time-ordered appends are the canonical pruning win
     val numeric = df.schema.fields.collect {
       case f if f.dataType.isInstanceOf[NumericType] => f.name
+      case f if f.dataType == DateType => f.name
     }
     if (numeric.isEmpty) return
+    def statCol(c: String): Column =
+      if (df.schema(c).dataType == DateType) unix_date(col(c)) else col(c)
     val aggs = numeric.flatMap(c =>
-      Seq(min(col(c)).cast("double").as(s"min_$c"),
-        max(col(c)).cast("double").as(s"max_$c")))
+      Seq(min(statCol(c)).cast("double").as(s"min_$c"),
+        max(statCol(c)).cast("double").as(s"max_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val lines = numeric.zipWithIndex.flatMap { case (c, i) =>
       val lo = row.get(2 * i); val hi = row.get(2 * i + 1)

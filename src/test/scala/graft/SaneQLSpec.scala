@@ -466,4 +466,31 @@ class SaneQLSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(m === Seq((10L, "FR"))) // merged winner, not the raw v2 row
   }
+
+  test("date-typed range filters prune versioned layers by epoch-day stats") {
+    import graft.sources.NdjsonIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft").toString + "/dt"
+    def d(s: String) = java.sql.Date.valueOf(s)
+    NdjsonIngest.appendVersion(
+      Seq((1L, d("2021-01-05")), (2L, d("2021-01-20"))).toDF("id", "day"), dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((3L, d("2021-02-03")), (4L, d("2021-02-25"))).toDF("id", "day"), dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((5L, d("2021-03-10")), (6L, d("2021-03-28"))).toDF("id", "day"), dir, "id")
+    val cat = Catalog(
+      tables = Map("vt" -> NdjsonIngest.readLatest(spark, dir)),
+      versionedDirs = Map("vt" -> dir))
+    val q = Planner.plan(
+      "vt.filter(between(day, '2021-02-01'::date, '2021-02-28'::date))", cat)
+    assert(q.collect().map(_.getLong(0)).toSeq.sorted === Seq(3L, 4L))
+    val files = q.select(input_file_name()).distinct().as[String].collect()
+    assert(files.nonEmpty && files.forall(_.contains("/v2/")),
+      s"expected only v2 files, got ${files.mkString(", ")}")
+    // half-open between (null lower bound): conservative ∓∞ envelope
+    val q2 = Planner.plan(
+      "vt.filter(between(day, null, '2021-01-31'::date))", cat)
+    assert(q2.collect().map(_.getLong(0)).toSeq.sorted === Seq(1L, 2L))
+    assert(q2.select(input_file_name()).distinct().as[String].collect()
+      .forall(_.contains("/v1/")))
+  }
 }
