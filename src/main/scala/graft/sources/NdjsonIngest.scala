@@ -713,20 +713,28 @@ object NdjsonIngest {
     * fails (conservative: callers fall back to the unpruned reader they
     * were already using).
     */
+  private val mergeFreeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Boolean]()
+
   def latestChainMergeFree(tableDir: String): Boolean = {
     val chain = latestLayers(tableDir)
     if (chain.isEmpty) return true
-    val union = Set("snapshot", "append", "compact")
-    // a commit's chain ends with the layer it introduced, so later
-    // entries never re-claim an older layer; map build is last-wins but
-    // (layer → kind) is single-valued by construction
-    val intro = commits(tableDir).map(logEntry(tableDir, _)).flatMap {
-      case (c, kind) => c.lastOption.map(_ -> kind)
-    }.toMap
-    chain.forall { l =>
-      intro.get(l).exists(union) &&
-        !new java.io.File(s"$tableDir/$l/_tombstones").isDirectory
-    }
+    // the answer is a pure function of (dir, current chain): cache it so
+    // per-query planning doesn't re-walk the commit log (entries are
+    // immutable once written; a new commit changes the chain key)
+    if (mergeFreeCache.size > 1024) mergeFreeCache.clear() // stale-chain keys
+    mergeFreeCache.computeIfAbsent((tableDir, chain.mkString(",")), _ => {
+      val union = Set("snapshot", "append", "compact")
+      // a commit's chain ends with the layer it introduced, so
+      // (layer → kind) is single-valued by construction
+      val intro = commits(tableDir).map(logEntry(tableDir, _)).flatMap {
+        case (c, kind) => c.lastOption.map(_ -> kind)
+      }.toMap
+      chain.forall { l =>
+        intro.get(l).exists(union) &&
+          !new java.io.File(s"$tableDir/$l/_tombstones").isDirectory
+      }
+    })
   }
 
   /** The CHANGE FEED over `(fromSeq, toSeq]`: every row the table gained
