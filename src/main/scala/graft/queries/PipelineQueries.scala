@@ -2827,6 +2827,64 @@ object PipelineQueries {
         .orderBy("rk")
     },
 
+    // ---- COUNT-MIN SKETCH heavy hitters: estimate the exact top-10
+    //      tokens' frequencies from a 4×256 CMS (row r hashes a token to
+    //      bucket substr(md5('r|'||tok), 1, 2); estimate = min over rows
+    //      of the bucket counter). Integer-exact end to end, and the
+    //      output carries exact vs estimated side by side so the
+    //      overestimate-only property is hash-checked. Scale: the sketch
+    //      is a FIXED 1024-counter aggregate (map-side combinable — the
+    //      shuffle carries ≤4·256 partials per task, never the token
+    //      stream), and the probe is a 10-row broadcast against it. ----
+    QDef("q_cms_topk", {
+      s"""WITH tk AS (SELECT unnest(string_split($normSql, ' ')) AS tok FROM documents),
+         |t2 AS (SELECT tok FROM tk WHERE tok <> ''),
+         |cms AS (SELECT r, substr(md5(CAST(r AS VARCHAR) || '|' || tok), 1, 2) AS b,
+         |    count(*) AS c
+         |  FROM t2, range(0, 4) AS rr(r) GROUP BY 1, 2),
+         |exact AS (SELECT tok, count(*) AS exact_cnt FROM t2 GROUP BY 1),
+         |top AS (SELECT tok, exact_cnt,
+         |    row_number() OVER (ORDER BY exact_cnt DESC, tok) AS rk
+         |  FROM exact QUALIFY rk <= 10),
+         |est AS (SELECT t.tok, t.exact_cnt, t.rk, min(cms.c) AS cms_est
+         |  FROM top t, range(0, 4) AS rr(r)
+         |  JOIN cms ON cms.r = rr.r
+         |    AND cms.b = substr(md5(CAST(rr.r AS VARCHAR) || '|' || t.tok), 1, 2)
+         |  GROUP BY 1, 2, 3)
+         |SELECT CAST(rk AS INTEGER) AS rk, tok, exact_cnt, cms_est,
+         |  cms_est >= exact_cnt AS no_underestimate
+         |FROM est ORDER BY rk""".stripMargin
+    }) { (s, dir) =>
+      val tk = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(TF.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .localCheckpoint() // feeds the sketch AND the exact top-10
+      val cms = tk
+        .select(explode(array((0 until 4).map(r => struct(lit(r).as("r"),
+          substring(md5(concat(lit(s"$r|"), col("tok"))), 1, 2).as("b"))): _*))
+          .as("rb"))
+        .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val top = tk.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("exact_cnt").desc, col("tok"))))
+        .filter(col("rk") <= 10)
+      val probes = top
+        .select(col("tok"), col("exact_cnt"), col("rk"),
+          explode(array((0 until 4).map(r => struct(lit(r).as("r"),
+            substring(md5(concat(lit(s"$r|"), col("tok"))), 1, 2).as("b"))): _*))
+            .as("rb"))
+        .select(col("tok"), col("exact_cnt"), col("rk"),
+          col("rb.r").as("r"), col("rb.b").as("b"))
+      broadcast(probes).join(cms, Seq("r", "b"))
+        .groupBy("tok", "exact_cnt", "rk")
+        .agg(min(col("c")).as("cms_est"))
+        .select(col("rk").cast("int").as("rk"), col("tok"), col("exact_cnt"),
+          col("cms_est"), (col("cms_est") >= col("exact_cnt")).as("no_underestimate"))
+        .orderBy("rk")
+    },
+
     // ---- MMR DIVERSIFIED TOP-K (maximal marginal relevance): rerank the
     //      20 nearest candidates of probe vec 0 into a 5-result list that
     //      trades relevance against redundancy — pick_i = argmax over the
