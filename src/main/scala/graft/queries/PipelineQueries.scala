@@ -2827,6 +2827,62 @@ object PipelineQueries {
         .orderBy("rk")
     },
 
+    // ---- TOKEN CO-OCCURRENCE LIFT (association mining): top-10 token
+    //      pairs by lift = (c_xy · N) / (c_x · c_y) over document-level
+    //      co-occurrence, restricted to the top-32 vocabulary (count
+    //      desc, token tiebreak) with min support 5 — lift is the
+    //      rational surrogate of PMI (its log argument), so the score
+    //      stays exact-integer-ratio arithmetic. Scale: the vocab cap
+    //      bounds the pair space at V² regardless of corpus size; the
+    //      (doc, token) incidence list is DISTINCT per doc (combinable),
+    //      the vocab set rides as one broadcast, and the pair join is
+    //      doc-scoped equi over ≤V tokens per doc. ----
+    QDef("q_lift_pairs",
+      s"""WITH tk AS (SELECT DISTINCT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+         |    FROM documents) WHERE tok <> ''),
+         |n AS (SELECT count(DISTINCT doc_id) AS n FROM tk),
+         |voc AS (SELECT tok, count(*) AS cx FROM tk GROUP BY 1
+         |  ORDER BY cx DESC, tok LIMIT 32),
+         |inc AS (SELECT tk.doc_id, tk.tok, voc.cx FROM tk JOIN voc USING (tok)),
+         |pairs AS (SELECT a.tok AS t1, b.tok AS t2,
+         |    max(a.cx) AS cx1, max(b.cx) AS cx2, count(*) AS cxy
+         |  FROM inc a JOIN inc b ON a.doc_id = b.doc_id AND a.tok < b.tok
+         |  GROUP BY 1, 2 HAVING count(*) >= 5),
+         |scored AS (SELECT t1, t2, cxy,
+         |    round(CAST(cxy * n AS DOUBLE) / CAST(cx1 * cx2 AS DOUBLE), 6) AS lift
+         |  FROM pairs CROSS JOIN n)
+         |SELECT CAST(rk AS INTEGER) AS rk, t1, t2, cxy, lift FROM (
+         |  SELECT *, row_number() OVER (ORDER BY lift DESC, t1, t2) AS rk
+         |  FROM scored) WHERE rk <= 10 ORDER BY rk""".stripMargin) { (s, dir) =>
+      val tk = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .distinct()
+        .localCheckpoint() // feeds n, vocab, AND the incidence join
+      val n = tk.agg(countDistinct(col("doc_id")).as("n"))
+      val voc = tk.groupBy("tok").agg(count(lit(1)).as("cx"))
+        .orderBy(col("cx").desc, col("tok")).limit(32)
+      val inc = tk.join(broadcast(voc), "tok")
+      val a = inc.select(col("doc_id"), col("tok").as("t1"), col("cx").as("cx1"))
+      val b = inc.select(col("doc_id"), col("tok").as("t2"), col("cx").as("cx2"))
+      val pairs = a.join(b, Seq("doc_id"))
+        .filter(col("t1") < col("t2"))
+        .groupBy("t1", "t2")
+        .agg(max(col("cx1")).as("cx1"), max(col("cx2")).as("cx2"),
+          count(lit(1)).as("cxy"))
+        .filter(col("cxy") >= 5)
+      pairs.crossJoin(broadcast(n))
+        .withColumn("lift", round(
+          (col("cxy") * col("n")).cast("double") /
+            (col("cx1") * col("cx2")).cast("double"), 6))
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("lift").desc, col("t1"), col("t2"))).cast("int"))
+        .filter(col("rk") <= 10)
+        .select("rk", "t1", "t2", "cxy", "lift")
+        .orderBy("rk")
+    },
+
     // ---- COUNT-MIN SKETCH heavy hitters: estimate the exact top-10
     //      tokens' frequencies from a 4×256 CMS (row r hashes a token to
     //      bucket substr(md5('r|'||tok), 1, 2); estimate = min over rows
