@@ -42,6 +42,16 @@ final class Parser(tokens: Vector[Token]) {
   import Parser.ParseError
 
   private var i = 0
+  // recursion guard: a hostile deeply-nested input ("((((…") would
+  // otherwise blow the JVM stack as a StackOverflowError — an Error no
+  // NonFatal catch-all (e.g. the HTTP server's typed-400 handler)
+  // intercepts. 256 levels is far beyond any legitimate query.
+  private var depth = 0
+  private def descend[T](body: => T): T = {
+    depth += 1
+    if (depth > 256) throw ParseError("expression nested too deeply")
+    try body finally depth -= 1
+  }
   private def peek: Token = tokens(i)
   private def next(): Token = { val t = tokens(i); i += 1; t }
   private def accept(p: String): Boolean = peek match {
@@ -56,7 +66,7 @@ final class Parser(tokens: Vector[Token]) {
     case t => throw ParseError(s"trailing input at $t")
   }
 
-  def parseExpr(): Expr = parseOr()
+  def parseExpr(): Expr = descend(parseOr())
 
   private def parseOr(): Expr = {
     var l = parseAnd()
@@ -80,7 +90,7 @@ final class Parser(tokens: Vector[Token]) {
     }
   }
 
-  private def parseUnary(): Expr =
+  private def parseUnary(): Expr = descend {
     if (accept("!")) Not(parseUnary())
     else if (accept("-")) peek match {
       // negate at the token level so Long.MinValue (whose magnitude
@@ -94,6 +104,7 @@ final class Parser(tokens: Vector[Token]) {
       case _ => throw ParseError(s"cannot negate ${parseUnary()}")
     }
     else parsePostfix()
+  }
 
   private def parsePostfix(): Expr = {
     var e = parsePrimary()

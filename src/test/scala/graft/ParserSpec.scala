@@ -15,6 +15,48 @@ class ParserSpec extends AnyFunSuite {
 
   private def toks(s: String): Vector[Token] = Lexer.tokenize(s)
 
+  // ---- fuzz: arbitrary input must parse or raise the TYPED errors ----
+  //      (LexError / ParseError) — never a StackOverflow, MatchError, or
+  //      NumberFormatException escaping to the server's catch-all. The
+  //      generator mixes the whole token alphabet with raw junk so deep
+  //      nesting, dangling operators, unterminated quotes, and numeric
+  //      edge cases all appear.
+  test("fuzz: 2000 random inputs either parse or throw LexError/ParseError") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val atom: Gen[String] = Gen.oneOf(
+      Gen.identifier.map(_.take(8)),
+      Gen.choose(Long.MinValue, Long.MaxValue).map(_.toString),
+      Gen.oneOf("(", ")", "{", "}", ",", ".", "::", ":=", "&&", "||", "!",
+        "=", "<>", "<", "<=", ">", ">=", "'", "\"", "--", "\n", " ", "-",
+        "null", "true", "false", "between", "filter", "count", "0x", "1e9",
+        "9223372036854775808", "''", "'a", "", "€"),
+      Gen.choose(0, 0x7f).map(_.toChar.toString))
+    val inputGen: Gen[String] =
+      Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, atom)).map(_.mkString)
+    var parsed = 0; var rejected = 0
+    (0 until 2000).foreach { i =>
+      val s = inputGen(Gen.Parameters.default, Seed(1234L + i)).getOrElse("")
+      try { Parser.parse(s); parsed += 1 }
+      catch {
+        case _: Parser.ParseError => rejected += 1
+        case _: Lexer.LexError => rejected += 1
+      }
+    }
+    assert(parsed + rejected === 2000)
+    assert(parsed > 0 && rejected > 0) // the generator exercises both paths
+  }
+
+  test("fuzz: deep nesting fails typed, not with a stack overflow") {
+    for (deep <- Seq("(" * 5000 + "a" + ")" * 5000, "!" * 5000 + "a",
+        "f(" * 5000 + "a" + ")" * 5000, "{x := " * 2000 + "1" + "}" * 2000)) {
+      val e = intercept[Parser.ParseError](Parser.parse(deep))
+      assert(e.getMessage.contains("nested too deeply"))
+    }
+    // legitimate nesting well under the bound still parses
+    assert(Parser.parse("(" * 100 + "a" + ")" * 100) === Ident("a"))
+  }
+
   // ---- lexer: comments (lexer.test.cpp:253-261,401-408,492-531) ----
 
   test("line comments: mid-line, at EOF without newline, consecutive, comment-only") {
