@@ -364,6 +364,13 @@ final class QueryServer(catalogSupplier: () => (Catalog, String),
   }
 
   def start(): Unit = {
+    // catch-all 404 for unknown paths, mirroring the reference's
+    // NotFoundHandler JSON shape (app/src/not_found_handler.cpp:20-22) —
+    // the JDK server would otherwise close with a bodyless plain 404
+    server.createContext("/", (ex: HttpExchange) =>
+      respond(ex, 404, s"""{"error":"Not found","message":"Resource ${
+        jsonEscape(ex.getRequestURI.toString)} does not exist"}"""))
+
     server.createContext("/health", (ex: HttpExchange) =>
       respond(ex, 200, """{"status":"ok"}"""))
 

@@ -41,6 +41,15 @@ class QueryServerSpec extends SparkSpec {
     assert(info.body().contains("\"default\""))
   }
 
+  test("unknown path → reference-shaped JSON 404, not a bodyless close") {
+    val r = get("/no/such/resource")
+    assert(r.statusCode() === 404)
+    assert(r.body() ===
+      """{"error":"Not found","message":"Resource /no/such/resource does not exist"}""")
+    assert(r.headers().firstValue("Content-Type").orElse("")
+      .startsWith("application/json"))
+  }
+
   test("POST /query runs SaneQL and streams NDJSON with headers") {
     val r = post("/query",
       "default.filter(country = 'Switzerland').groupBy({count := count()})")
