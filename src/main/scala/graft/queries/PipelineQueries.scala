@@ -283,6 +283,28 @@ object PipelineQueries {
        |sh AS (SELECT doc_id, source, $shinglesSql AS sh FROM toks),
        |ex AS (SELECT doc_id, source, CAST(len(sh) AS INTEGER) AS n, unnest(sh) AS s FROM sh)""".stripMargin
 
+  /** Shared MinHash-LSH candidate skeleton: 12-slot sliced-md5 signatures,
+    * 4×3 bands, band equi-join candidates, exact shingle-intersection
+    * verify — the CTE chain both q_minhash_lsh (jaccard) and
+    * q_minhash_containment (asymmetric containment) select from.
+    */
+  private val minhashInterSql =
+    s"""$docBaseSql,
+       |mh AS (SELECT doc_id, i,
+       |    min(substr(md5(CAST(i // 4 AS VARCHAR) || '|' || s),
+       |      1 + 8 * (i % 4), 8)) AS h
+       |  FROM ex, range(0, 12) r(i) GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, i // 3 AS band, string_agg(h, ',' ORDER BY i) AS sig
+       |  FROM mh GROUP BY doc_id, i // 3),
+       |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |inter AS (SELECT c.a_id, c.b_id, max(a.n) AS na, max(b.n) AS nb, count(*) AS i
+       |  FROM cand c JOIN ex a ON a.doc_id = c.a_id
+       |    JOIN ex b ON b.doc_id = c.b_id AND a.s = b.s
+       |  GROUP BY 1, 2)""".stripMargin
+
   /** Shingles in more documents than this are dropped before near-dup
     * pairing (standard stop-shingle practice; keeps the pair join's
     * per-key fan-out bounded at scale).
@@ -359,6 +381,52 @@ object PipelineQueries {
     s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
   private def cosSql(a: String, b: String) =
     s"round(${dotSql(a, b)} / (${normSqlV(a)} * ${normSqlV(b)}), 6)"
+
+  /** Verified MinHash-LSH candidate intersections (a_id, b_id, na, nb, i)
+    * — the Spark twin of [[minhashInterSql]]: 12-slot sliced-md5
+    * signatures in ONE shuffle, 4×3 band self-join candidates, exact
+    * shingle-intersection verify over 64-bit hashed shingles.
+    */
+  private def minhashInter(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sh = docs.select(col("doc_id"), TF.shingles(col("text"), 3).as("sh"))
+    // materialize the shingle explode once — it feeds the signature agg,
+    // the band self-join, AND both verification sides; without this the
+    // subtree re-executes 4x (at scale this is a persisted shingle table)
+    val ex = sh.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+      .localCheckpoint()
+    // single-pass minhash: all 12 signature slots as aggregate columns in
+    // one shuffle of width-12 rows (vs. exploding ×12 then re-grouping).
+    // THREE md5s per shingle, each sliced into four independent 32-bit
+    // (8-hex-char) hash values — 12 slots at a quarter of the md5 work;
+    // lexicographic min over fixed-width hex == numeric min
+    val keyed = (0 until 3).foldLeft(ex) { (d, k) =>
+      d.withColumn(s"m$k", md5(concat(lit(s"$k|"), col("s"))))
+    }
+    val mh = keyed.groupBy("doc_id").agg(
+      min(substring(col("m0"), 1, 8)).as("h0"),
+      (1 to 11).map(i =>
+        min(substring(col(s"m${i / 4}"), 1 + 8 * (i % 4), 8)).as(s"h$i")): _*)
+    val bands = mh.select(col("doc_id"),
+      explode(array((0 to 3).map(bd => struct(lit(bd).as("band"),
+        concat_ws(",", col(s"h${3 * bd}"), col(s"h${3 * bd + 1}"),
+          col(s"h${3 * bd + 2}")).as("sig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val exh = ex.withColumn("s64", xxhash64(col("s"))).drop("s")
+    val a = exh.select(col("doc_id").as("a_id"), col("n").as("na"), col("s64").as("a_s"))
+    val b = exh.select(col("doc_id").as("b_id"), col("n").as("nb"), col("s64").as("b_s"))
+    // the a_s === b_s filter is merged into the join condition by
+    // Catalyst's PushPredicateThroughJoin, so this stays an equi-join
+    cand.join(a, Seq("a_id")).join(b, Seq("b_id"))
+      .filter(col("a_s") === col("b_s"))
+      .groupBy("a_id", "b_id")
+      .agg(max(col("na")).as("na"), max(col("nb")).as("nb"), count(lit(1)).as("i"))
+  }
 
   val defs: Seq[QDef] = Seq(
 
@@ -591,66 +659,37 @@ object PipelineQueries {
 
     // ---- near-dup at scale: MinHash + LSH banding, then exact verify ----
     QDef("q_minhash_lsh",
-      s"""$docBaseSql,
-         |mh AS (SELECT doc_id, i,
-         |    min(substr(md5(CAST(i // 4 AS VARCHAR) || '|' || s),
-         |      1 + 8 * (i % 4), 8)) AS h
-         |  FROM ex, range(0, 12) r(i) GROUP BY doc_id, i),
-         |bands AS (SELECT doc_id, i // 3 AS band, string_agg(h, ',' ORDER BY i) AS sig
-         |  FROM mh GROUP BY doc_id, i // 3),
-         |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-         |    AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |inter AS (SELECT c.a_id, c.b_id, max(a.n) AS na, max(b.n) AS nb, count(*) AS i
-         |  FROM cand c JOIN ex a ON a.doc_id = c.a_id
-         |    JOIN ex b ON b.doc_id = c.b_id AND a.s = b.s
-         |  GROUP BY 1, 2)
+      s"""$minhashInterSql
          |SELECT a_id, b_id, round(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
          |FROM inter WHERE round(CAST(i AS DOUBLE) / (na + nb - i), 4) >= 0.3
          |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val sh = docs.select(col("doc_id"), TF.shingles(col("text"), 3).as("sh"))
-      // materialize the shingle explode once — it feeds the signature agg,
-      // the band self-join, AND both verification sides; without this the
-      // subtree re-executes 4x (at scale this is a persisted shingle table)
-      val ex = sh.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
-        .localCheckpoint()
-      // single-pass minhash: all 12 signature slots as aggregate columns in
-      // one shuffle of width-12 rows (vs. exploding ×12 then re-grouping).
-      // THREE md5s per shingle, each sliced into four independent 32-bit
-      // (8-hex-char) hash values — 12 slots at a quarter of the md5 work;
-      // lexicographic min over fixed-width hex == numeric min
-      val keyed = (0 until 3).foldLeft(ex) { (d, k) =>
-        d.withColumn(s"m$k", md5(concat(lit(s"$k|"), col("s"))))
-      }
-      val mh = keyed.groupBy("doc_id").agg(
-        min(substring(col("m0"), 1, 8)).as("h0"),
-        (1 to 11).map(i =>
-          min(substring(col(s"m${i / 4}"), 1 + 8 * (i % 4), 8)).as(s"h$i")): _*)
-      val bands = mh.select(col("doc_id"),
-        explode(array((0 to 3).map(bd => struct(lit(bd).as("band"),
-          concat_ws(",", col(s"h${3 * bd}"), col(s"h${3 * bd + 1}"),
-            col(s"h${3 * bd + 2}")).as("sig"))): _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
-      val exh = ex.withColumn("s64", xxhash64(col("s"))).drop("s")
-      val a = exh.select(col("doc_id").as("a_id"), col("n").as("na"), col("s64").as("a_s"))
-      val b = exh.select(col("doc_id").as("b_id"), col("n").as("nb"), col("s64").as("b_s"))
-      // the a_s === b_s filter is merged into the join condition by
-      // Catalyst's PushPredicateThroughJoin, so this stays an equi-join
-      cand.join(a, Seq("a_id")).join(b, Seq("b_id"))
-        .filter(col("a_s") === col("b_s"))
-        .groupBy("a_id", "b_id")
-        .agg(max(col("na")).as("na"), max(col("nb")).as("nb"), count(lit(1)).as("i"))
+      minhashInter(s, dir)
         .withColumn("jaccard",
           round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4))
         .filter(col("jaccard") >= 0.3)
         .select("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    },
+
+    // ---- ASYMMETRIC CONTAINMENT over the same candidates: a short quote
+    //      embedded in a long document has low jaccard but high
+    //      containment i/na — the subset/quotation near-dup the symmetric
+    //      metric misses. Shares the signature/band/verify machinery with
+    //      q_minhash_lsh (one skeleton, no drift). ----
+    QDef("q_minhash_containment",
+      s"""$minhashInterSql
+         |SELECT a_id, b_id,
+         |  round(CAST(i AS DOUBLE) / na, 4) AS a_in_b,
+         |  round(CAST(i AS DOUBLE) / nb, 4) AS b_in_a
+         |FROM inter
+         |WHERE greatest(round(CAST(i AS DOUBLE) / na, 4),
+         |               round(CAST(i AS DOUBLE) / nb, 4)) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      minhashInter(s, dir)
+        .withColumn("a_in_b", round(col("i").cast("double") / col("na"), 4))
+        .withColumn("b_in_a", round(col("i").cast("double") / col("nb"), 4))
+        .filter(greatest(col("a_in_b"), col("b_in_a")) >= 0.5)
+        .select("a_id", "b_id", "a_in_b", "b_in_a")
         .orderBy("a_id", "b_id")
     },
 
@@ -2825,6 +2864,33 @@ object PipelineQueries {
         .filter(col("rk") <= 10)
         .select("doc_id", "rk", "bm25")
         .orderBy("rk")
+    },
+
+    // ---- CHAR-DISTRIBUTION CONCENTRATION (Gini impurity complement):
+    //      1 − Σ p_c² over the normalized text's character distribution —
+    //      the rational surrogate of character entropy (gibberish /
+    //      keyboard-mash / single-char-flood detection without a libm
+    //      log). Kept exact: Σ c_i² and n² are BIGINT, the score is the
+    //      integer ppm floor of (n² − Σc²)·10⁶ / n². One explode +
+    //      combinable (doc, char) count, one per-doc rollup. ----
+    QDef("q_char_gini",
+      s"""WITH ch AS (SELECT doc_id, unnest(string_split_regex($normSql, '')) AS c
+         |  FROM documents),
+         |cc AS (SELECT doc_id, c, count(*) AS k FROM ch WHERE c <> '' GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, sum(k) AS n, sum(k * k) AS s2 FROM cc GROUP BY 1)
+         |SELECT doc_id, n, (n * n - s2) * 1000000 // (n * n) AS gini_ppm
+         |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val ch = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(TF.normText(col("text")), "")).as("c"))
+        .filter(col("c") =!= "")
+      val cc = ch.groupBy("doc_id", "c").agg(count(lit(1)).as("k"))
+      cc.groupBy("doc_id")
+        .agg(sum(col("k")).as("n"), sum(col("k") * col("k")).as("s2"))
+        // `div` keeps the whole computation in BIGINT (Column `/` would
+        // detour through double); values are positive so div == floor
+        .select(col("doc_id"), col("n"),
+          expr("(n * n - s2) * 1000000 div (n * n)").as("gini_ppm"))
+        .orderBy("doc_id")
     },
 
     // ---- TOKEN CO-OCCURRENCE LIFT (association mining): top-10 token
