@@ -184,4 +184,58 @@ class CorpusIndexesSpec extends SparkSpec {
     assert(perId(SimHashIndex.load(spark, s"$state/simhash")) === Set(4L))
     assert(clusterMap(state) === Map(1L -> 1L, 3L -> 3L, 42L -> 1L, 43L -> 43L))
   }
+
+  test("a live file stream keeps the corpus indexes in lockstep end-to-end") {
+    // the full production wiring in one place: NDJSON drop dir → file
+    // stream → exactly-once delta commits on the versioned table →
+    // change feed → CorpusIndexes.sync advancing every persisted index
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("corpusstream").toString
+    val in = s"$root/in"; val tableDir = s"$root/docs"
+    val state = s"$root/state"; val ckpt = s"$root/ckpt"
+    new java.io.File(in).mkdirs()
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("source", StringType), StructField("text", StringType)))
+    def drop(name: String, rows: (Long, String)*): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(in, name),
+        rows.map { case (id, tx) =>
+          s"""{"doc_id":$id,"source":"s","text":"$tx"}"""
+        }.mkString("\n"))
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).json(in)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], id: Long) =>
+          val sid = graft.streaming.StreamingIngest.streamIdOf(ckpt)
+          val tag = s"$sid:batch$id"
+          if (!NdjsonIngest.latestTag(tableDir).contains(tag) && !b.isEmpty)
+            NdjsonIngest.appendDelta(b.toDF(), tableDir, "doc_id",
+              tag = Some(tag))
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    drop("a.ndjson", 1L -> base, 3L -> other)
+    runOnce()
+    assert(CorpusIndexes.sync(spark, tableDir, state).contains((0L, 1L)))
+    assert(clusterMap(state) === Map(1L -> 1L, 3L -> 3L))
+
+    // a later drop commits ONE delta layer; sync folds it as an
+    // O(batch) insert tick (layer count grows by exactly one per chain)
+    drop("b.ndjson", 42L -> nearDup)
+    runOnce()
+    assert(CorpusIndexes.sync(spark, tableDir, state).contains((1L, 2L)))
+    assert(clusterMap(state) === Map(1L -> 1L, 3L -> 3L, 42L -> 1L))
+    assert(DedupIndex.layers(s"$state/minhash").length === 2)
+    assert(SimHashIndex.layers(s"$state/simhash").length === 2)
+
+    // replaying the stream (same checkpoint, no new files) commits
+    // nothing and sync is a no-op — the feed cursor holds
+    runOnce()
+    assert(CorpusIndexes.sync(spark, tableDir, state).isEmpty)
+  }
 }
