@@ -681,6 +681,36 @@ final class Planner(catalog: Planner.Catalog) {
     }
   }
 
+  /** The layer chain a registered versioned frame actually reads,
+    * recovered from its resolved input files: every file must live
+    * directly under `dir/v<k>/` with no `_tombstones` segment (a merged
+    * frame's tombstone files, or any foreign path, disqualify routing).
+    * None = don't route.
+    */
+  private def frameLayers(df: DataFrame, dir: String): Option[Seq[String]] = {
+    def pathOf(f: String): Option[String] =
+      scala.util.Try(new java.io.File(new java.net.URI(f)).getPath)
+        .orElse(scala.util.Try(new java.io.File(f).getPath)).toOption
+    val root = new java.io.File(dir).getAbsolutePath.stripSuffix("/") + "/"
+    val layerName = "v\\d+".r
+    val files = df.inputFiles
+    if (files.isEmpty) return None
+    val segs = files.toSeq.map { f =>
+      pathOf(f).flatMap { p =>
+        if (!p.startsWith(root)) None
+        else {
+          val rel = p.stripPrefix(root)
+          val seg = rel.takeWhile(_ != '/')
+          if (layerName.pattern.matcher(seg).matches() &&
+            !rel.contains("_tombstones")) Some(seg)
+          else None
+        }
+      }
+    }
+    if (segs.exists(_.isEmpty)) None
+    else Some(segs.flatten.distinct.sortBy(_.drop(1).toLong))
+  }
+
   // ---------------------------------------------------------------- pipeline
   private def pipelineFn(fn: String, pos: Seq[Expr], named: Seq[(String, Expr)]): Tbl = {
     val sig = pipelineSigs.getOrElse(fn, err(s"unknown pipeline function '$fn'"))
@@ -706,31 +736,39 @@ final class Planner(catalog: Planner.Catalog) {
         }
         // layer (zone-map) routing: when the input is the BARE scan of a
         // table registered with a versioned dir, the first top-level
-        // numeric between/equality conjunct swaps the scan for the
+        // numeric/date between/equality conjunct swaps the scan for the
         // stats-pruned layer chain. Layers whose recorded [min, max]
         // can't intersect never open a footer; the chain is a SUPERSET of
         // the matching rows and EVERY conjunct still applies row-wise
         // below, so this is pure scan narrowing, never a semantic change.
-        val zoneIn: Tbl = (for {
+        // The chain is derived from the REGISTERED FRAME'S OWN input
+        // files (not re-resolved from the latest pointer), so a commit
+        // racing the plan can neither skew the routed read vs the
+        // unrouted one nor slip a new layer past the merge-free check —
+        // both run over the same captured chain. The pure conjunct-shape
+        // check runs FIRST; the filesystem checks only when something
+        // can actually route.
+        val in2: Tbl = (for {
           t <- in.origin
           dir <- catalog.versionedDirs.get(t)
           if catalog.tables.get(t).exists(_ eq in.df)
+          r <- conjuncts(pred).flatMap(rangeConjunct(_, in.df)).headOption
+          chain <- frameLayers(in.df, dir)
           // upsert/tombstone layers need the merge-on-read reader; the
           // raw pruned chain would un-merge them, so stay on the
           // registered frame (conservative, always sound)
-          if graft.sources.NdjsonIngest.latestChainMergeFree(dir)
-          r <- conjuncts(pred).flatMap(rangeConjunct(_, in.df)).headOption
+          if graft.sources.NdjsonIngest.chainMergeFree(dir, chain)
         } yield {
           val (c, lo, hi) = r
           Tbl(graft.sources.NdjsonIngest
-            .readLatestRange(in.df.sparkSession, dir, c, lo, hi), in.origin)
+            .readChainRange(in.df.sparkSession, dir, chain, c, lo, hi),
+            in.origin)
         }).getOrElse(in)
         val idxCtx = for {
-          t <- zoneIn.origin
+          t <- in2.origin
           m <- catalog.mutIndexes.get(t) if m.nonEmpty
           pk <- catalog.primaryKeys.get(t)
         } yield (m, pk)
-        val in2 = zoneIn
         val (base, rest) = idxCtx match {
           case Some((indexes, pk)) if in2.df.columns.contains(pk) =>
             val tagged = conjuncts(pred).map(c =>

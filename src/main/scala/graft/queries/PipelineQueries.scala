@@ -2857,6 +2857,10 @@ object PipelineQueries {
             (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
       }
       perdoc.crossJoin(broadcast(g))
+        // the oracle's tf CTE only contains docs with >=1 query term;
+        // rank the same population (a zero-score doc must never pad the
+        // top-10 when fewer than 10 docs match)
+        .filter(col("tf0") + col("tf1") + col("tf2") > 0)
         .withColumn("bm25",
           round(termScore(0) + termScore(1) + termScore(2), 6))
         .withColumn("rk", row_number()
@@ -2878,7 +2882,9 @@ object PipelineQueries {
          |  FROM documents),
          |cc AS (SELECT doc_id, c, count(*) AS k FROM ch WHERE c <> '' GROUP BY 1, 2),
          |agg AS (SELECT doc_id, sum(k) AS n, sum(k * k) AS s2 FROM cc GROUP BY 1)
-         |SELECT doc_id, n, (n * n - s2) * 1000000 // (n * n) AS gini_ppm
+         |SELECT doc_id, n,
+         |  ((n * n - s2) * 1000 // (n * n)) * 1000
+         |    + ((n * n - s2) * 1000 % (n * n)) * 1000 // (n * n) AS gini_ppm
          |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val ch = t(s, dir, "documents")
         .select(col("doc_id"), explode(split(TF.normText(col("text")), "")).as("c"))
@@ -2887,9 +2893,15 @@ object PipelineQueries {
       cc.groupBy("doc_id")
         .agg(sum(col("k")).as("n"), sum(col("k") * col("k")).as("s2"))
         // `div` keeps the whole computation in BIGINT (Column `/` would
-        // detour through double); values are positive so div == floor
+        // detour through double); values are positive so div == floor.
+        // The ppm scaling runs in TWO x1000 stages — floor(a*10^6/b) ==
+        // floor(a*10^3/b)*10^3 + floor((a*10^3 mod b)*10^3/b) exactly —
+        // so the largest intermediate is n^2*10^3, overflow-safe to
+        // ~96M-char documents instead of ~3M.
         .select(col("doc_id"), col("n"),
-          expr("(n * n - s2) * 1000000 div (n * n)").as("gini_ppm"))
+          expr("((n * n - s2) * 1000 div (n * n)) * 1000" +
+            " + ((n * n - s2) * 1000 % (n * n)) * 1000 div (n * n)")
+            .as("gini_ppm"))
         .orderBy("doc_id")
     },
 
@@ -2916,7 +2928,8 @@ object PipelineQueries {
          |  FROM inc a JOIN inc b ON a.doc_id = b.doc_id AND a.tok < b.tok
          |  GROUP BY 1, 2 HAVING count(*) >= 5),
          |scored AS (SELECT t1, t2, cxy,
-         |    round(CAST(cxy * n AS DOUBLE) / CAST(cx1 * cx2 AS DOUBLE), 6) AS lift
+         |    round((CAST(cxy AS DOUBLE) * CAST(n AS DOUBLE))
+         |      / (CAST(cx1 AS DOUBLE) * CAST(cx2 AS DOUBLE)), 6) AS lift
          |  FROM pairs CROSS JOIN n)
          |SELECT CAST(rk AS INTEGER) AS rk, t1, t2, cxy, lift FROM (
          |  SELECT *, row_number() OVER (ORDER BY lift DESC, t1, t2) AS rk
@@ -2939,9 +2952,12 @@ object PipelineQueries {
           count(lit(1)).as("cxy"))
         .filter(col("cxy") >= 5)
       pairs.crossJoin(broadcast(n))
+        // each factor casts to double BEFORE multiplying: a BIGINT
+        // cx1*cx2 (or cxy*n) product overflows at corpus scale; the
+        // double products are IEEE-identical in both engines
         .withColumn("lift", round(
-          (col("cxy") * col("n")).cast("double") /
-            (col("cx1") * col("cx2")).cast("double"), 6))
+          (col("cxy").cast("double") * col("n").cast("double")) /
+            (col("cx1").cast("double") * col("cx2").cast("double")), 6))
         .withColumn("rk", row_number()
           .over(Window.orderBy(col("lift").desc, col("t1"), col("t2"))).cast("int"))
         .filter(col("rk") <= 10)
@@ -3067,7 +3083,9 @@ object PipelineQueries {
       def fdot(a: Seq[Double], b: Seq[Double]): Double =
         a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
       val cs = cands.map { r =>
-        val v = r.getSeq[Float](1).map(_.toDouble).toIndexedSeq
+        // element-type-agnostic (same reason as VF.collectProbes): the
+        // parquet may carry float OR double elements
+        val v = r.getSeq[Number](1).map(_.doubleValue()).toIndexedSeq
         (r.getLong(0), v, r.getDouble(2))
       }.toIndexedSeq
       def cosR(a: Seq[Double], b: Seq[Double]): Double =

@@ -307,6 +307,11 @@ object NdjsonIngest {
     val lines = numeric.zipWithIndex.flatMap { case (c, i) =>
       val lo = row.get(2 * i); val hi = row.get(2 * i + 1)
       if (lo == null || hi == null) None
+      // a NaN in the column poisons min/max (Spark orders NaN greatest):
+      // a NaN envelope would fail EVERY intersection test and silently
+      // prune rows that match — omit the line so the layer is always
+      // conservatively included
+      else if (lo.asInstanceOf[Double].isNaN || hi.asInstanceOf[Double].isNaN) None
       else Some(s"$c ${lo.asInstanceOf[Double]} ${hi.asInstanceOf[Double]}")
     }
     java.nio.file.Files.writeString(
@@ -323,6 +328,9 @@ object NdjsonIngest {
       .collectFirst { case Array(c, lo, hi) if c == column =>
         (lo.toDouble, hi.toDouble)
       }
+      // legacy stats written before the NaN write-guard: treat a NaN
+      // envelope as no-stats (always include), never as prunable
+      .filterNot { case (lo, hi) => lo.isNaN || hi.isNaN }
   }
 
   /** The latest table restricted to layers whose `[min, max]` envelope
@@ -338,18 +346,29 @@ object NdjsonIngest {
     * [[latestChainMergeFree]] first.
     */
   def readLatestRange(spark: SparkSession, tableDir: String,
-      column: String, lo: Double, hi: Double): DataFrame = {
-    val layers = latestLayers(tableDir)
-    val kept = layers.filter { l =>
+      column: String, lo: Double, hi: Double): DataFrame =
+    readChainRange(spark, tableDir, latestLayers(tableDir), column, lo, hi)
+
+  /** [[readLatestRange]] over an EXPLICIT chain — callers that already
+    * hold a resolved chain (e.g. the planner's zone-map routing, which
+    * derives it from the registered frame's own input files) prune
+    * against exactly that snapshot, so a commit racing the read can
+    * neither skew the result vs the unrouted frame nor slip an
+    * upsert/tombstone layer past a merge-free check done on the same
+    * chain.
+    */
+  def readChainRange(spark: SparkSession, tableDir: String,
+      chain: Seq[String], column: String, lo: Double, hi: Double): DataFrame = {
+    val kept = chain.filter { l =>
       layerStats(tableDir, l, column) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None => true
       }
     }
-    // an empty pruned chain still needs the table schema: read the full
+    // an empty pruned chain still needs the table schema: read the given
     // chain's schema with an always-false filter
     if (kept.isEmpty)
-      readLatest(spark, tableDir).filter(lit(false))
+      readChain(spark, tableDir, chain, None).filter(lit(false))
     else readChain(spark, tableDir, kept, None)
   }
 
@@ -716,10 +735,15 @@ object NdjsonIngest {
   private val mergeFreeCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Boolean]()
 
-  def latestChainMergeFree(tableDir: String): Boolean = {
-    val chain = latestLayers(tableDir)
+  def latestChainMergeFree(tableDir: String): Boolean =
+    chainMergeFree(tableDir, latestLayers(tableDir))
+
+  /** [[latestChainMergeFree]] over an EXPLICIT chain (see
+    * [[readChainRange]] for why callers resolve the chain once).
+    */
+  def chainMergeFree(tableDir: String, chain: Seq[String]): Boolean = {
     if (chain.isEmpty) return true
-    // the answer is a pure function of (dir, current chain): cache it so
+    // the answer is a pure function of (dir, chain): cache it so
     // per-query planning doesn't re-walk the commit log (entries are
     // immutable once written; a new commit changes the chain key)
     if (mergeFreeCache.size > 1024) mergeFreeCache.clear() // stale-chain keys

@@ -134,6 +134,23 @@ class SourcesSpec extends SparkSpec {
     assert(NdjsonIngest.readLatestRange(spark, dir, "country", 0, 1).count() === 6)
   }
 
+  test("a NaN in a double column never poisons layer pruning") {
+    val dir = tmpDir() + "/t"
+    NdjsonIngest.appendVersion(
+      Seq((1L, 1.0), (2L, Double.NaN)).toDF("id", "val"), dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((3L, 5.0), (4L, 6.0)).toDF("id", "val"), dir, "id")
+    // the NaN layer writes NO stats line for `val` (a NaN envelope would
+    // fail every intersection test → silent row loss); it must always be
+    // conservatively included
+    val r = NdjsonIngest.readLatestRange(spark, dir, "val", 0.0, 2.0)
+    assert(r.filter(col("val") === 1.0).count() === 1)
+    // clean columns in the same layer still prune normally
+    assert(NdjsonIngest.readLatestRange(spark, dir, "id", 3, 4)
+      .select(input_file_name()).distinct().as[String].collect()
+      .forall(_.contains("/v2/")))
+  }
+
   test("commit log: every version addressable; gc retention bounds travel") {
     val dir = tmpDir() + "/t"
     NdjsonIngest.appendVersion(
