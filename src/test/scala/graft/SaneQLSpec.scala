@@ -493,4 +493,27 @@ class SaneQLSpec extends SparkSpec {
     assert(q2.select(input_file_name()).distinct().as[String].collect()
       .forall(_.contains("/v1/")))
   }
+
+  test("zone routing prunes the REGISTERED frame's chain, not the latest " +
+    "pointer — a commit racing the plan cannot skew routed vs unrouted") {
+    import graft.sources.NdjsonIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft").toString + "/rc"
+    NdjsonIngest.appendVersion(
+      Seq((1L, 10.0)).toDF("id", "v"), dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((2L, 20.0)).toDF("id", "v"), dir, "id")
+    val cat = Catalog(
+      tables = Map("vt" -> NdjsonIngest.readLatest(spark, dir)),
+      versionedDirs = Map("vt" -> dir))
+    // a third layer commits AFTER the catalog registered its frame —
+    // the routed read must see the registered snapshot (ids 1, 2), same
+    // as the unrouted filter would, NOT the newer chain
+    NdjsonIngest.appendDelta(Seq((3L, 30.0)).toDF("id", "v"), dir, "id")
+    val routed = Planner.plan("vt.filter(between(id, 1, 100))", cat)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(routed === Seq(1L, 2L))
+    val unrouted = Planner.plan("vt.filter(id > 0)", cat)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(unrouted === routed) // no skew between filter shapes
+  }
 }
