@@ -892,6 +892,58 @@ object RelationalQueries {
         .orderBy("event_type")
     },
 
+    // ---- WINSORIZATION (robust data cleaning): clip each event's value
+    //      to its type's exact-rank [p05, p95] window before aggregating —
+    //      the standard outlier-robust preprocessing for reward/metric
+    //      columns. Everything stays BIGINT cents: rank picks are the
+    //      deterministic ceil(q·n) row (the q_quantiles discipline), the
+    //      clip is least/greatest, and the output carries the clipped sum
+    //      so a single mis-clipped row breaks the hash. One window sort
+    //      per type + a broadcast threshold join. ----
+    QDef("q_winsorize",
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS x FROM events),
+        |r AS (SELECT event_type, x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY x, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |th AS (SELECT event_type,
+        |    max(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT) THEN x END) AS p05,
+        |    max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN x END) AS p95,
+        |    max(n) AS n FROM r GROUP BY event_type)
+        |SELECT e.event_type, max(th.n) AS n_events, max(th.p05) AS p05_cents,
+        |  max(th.p95) AS p95_cents,
+        |  CAST(sum(least(greatest(e.x, th.p05), th.p95)) AS BIGINT)
+        |    AS winsorized_sum_cents,
+        |  CAST(count(CASE WHEN e.x < th.p05 OR e.x > th.p95 THEN 1 END)
+        |    AS BIGINT) AS n_clipped
+        |FROM e JOIN th ON th.event_type = e.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 100).cast("bigint").as("x"))
+      val w = Window.partitionBy("event_type").orderBy("x", "event_id")
+      val wn = Window.partitionBy("event_type")
+      val r = e
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+      def pick(q: Double, name: String) =
+        max(when(col("rn") === ceil(lit(q) * col("n")).cast("bigint"),
+          col("x"))).as(name)
+      val th = r.groupBy("event_type")
+        .agg(pick(0.05, "p05"), pick(0.95, "p95"), max(col("n")).as("n"))
+      e.join(broadcast(th), "event_type")
+        .groupBy("event_type")
+        .agg(max(col("n")).as("n_events"),
+          max(col("p05")).as("p05_cents"),
+          max(col("p95")).as("p95_cents"),
+          sum(least(greatest(col("x"), col("p05")), col("p95")))
+            .cast("bigint").as("winsorized_sum_cents"),
+          count(when(col("x") < col("p05") || col("x") > col("p95"), 1))
+            .cast("bigint").as("n_clipped"))
+        .orderBy("event_type")
+    },
+
     // ---- merge-on-read resolution (row-level upsert/delete algebra) ----
     // The read-side algebra behind NdjsonIngest.readLatestMerged, run on a
     // synthetic 3-layer history derived deterministically from `documents`:
