@@ -681,6 +681,25 @@ final class Planner(catalog: Planner.Catalog) {
     }
   }
 
+  /** The (column, sought values) pair when `e` is a string equality or
+    * in-set conjunct over literals — the shapes string zone maps can
+    * prune on (lexicographic envelopes).
+    */
+  private def stringEqConjunct(e: Expr,
+      df: DataFrame): Option[(String, Seq[String])] = {
+    def strCol(c: String): Boolean =
+      df.columns.contains(c) &&
+        df.schema(c).dataType == org.apache.spark.sql.types.StringType
+    e match {
+      case Binary("=", Ident(c), StringLit(v)) if strCol(c) =>
+        Some((c, Seq(v)))
+      case Call("in", Seq(Ident(c), SetLit(items)), Seq()) if strCol(c) &&
+          items.forall(_.isInstanceOf[StringLit]) =>
+        Some((c, items.collect { case StringLit(v) => v }))
+      case _ => None
+    }
+  }
+
   /** The layer chain a registered versioned frame actually reads,
     * recovered from its resolved input files: every file must live
     * directly under `dir/v<k>/` with no `_tombstones` segment (a merged
@@ -752,18 +771,20 @@ final class Planner(catalog: Planner.Catalog) {
           t <- in.origin
           dir <- catalog.versionedDirs.get(t)
           if catalog.tables.get(t).exists(_ eq in.df)
-          r <- conjuncts(pred).flatMap(rangeConjunct(_, in.df)).headOption
+          // EVERY routable conjunct narrows the chain (a layer must
+          // intersect all of them), not just the first; string
+          // equality/in-set conjuncts prune on lexicographic envelopes
+          ranges = conjuncts(pred).flatMap(rangeConjunct(_, in.df))
+          strEqs = conjuncts(pred).flatMap(stringEqConjunct(_, in.df))
+          if ranges.nonEmpty || strEqs.nonEmpty
           chain <- frameLayers(in.df, dir)
           // upsert/tombstone layers need the merge-on-read reader; the
           // raw pruned chain would un-merge them, so stay on the
           // registered frame (conservative, always sound)
           if graft.sources.NdjsonIngest.chainMergeFree(dir, chain)
-        } yield {
-          val (c, lo, hi) = r
-          Tbl(graft.sources.NdjsonIngest
-            .readChainRange(in.df.sparkSession, dir, chain, c, lo, hi),
-            in.origin)
-        }).getOrElse(in)
+        } yield Tbl(graft.sources.NdjsonIngest
+          .readChainRanges(in.df.sparkSession, dir, chain, ranges, strEqs),
+          in.origin)).getOrElse(in)
         val idxCtx = for {
           t <- in2.origin
           m <- catalog.mutIndexes.get(t) if m.nonEmpty

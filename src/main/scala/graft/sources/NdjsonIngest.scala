@@ -297,14 +297,19 @@ object NdjsonIngest {
       case f if f.dataType.isInstanceOf[NumericType] => f.name
       case f if f.dataType == DateType => f.name
     }
-    if (numeric.isEmpty) return
+    val strings = df.schema.fields.collect {
+      case f if f.dataType == StringType => f.name
+    }
+    if (numeric.isEmpty && strings.isEmpty) return
     def statCol(c: String): Column =
       if (df.schema(c).dataType == DateType) unix_date(col(c)) else col(c)
     val aggs = numeric.flatMap(c =>
       Seq(min(statCol(c)).cast("double").as(s"min_$c"),
-        max(statCol(c)).cast("double").as(s"max_$c")))
+        max(statCol(c)).cast("double").as(s"max_$c"))) ++
+      strings.flatMap(c =>
+        Seq(min(col(c)).as(s"smin_$c"), max(col(c)).as(s"smax_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val lines = numeric.zipWithIndex.flatMap { case (c, i) =>
+    val numLines = numeric.zipWithIndex.flatMap { case (c, i) =>
       val lo = row.get(2 * i); val hi = row.get(2 * i + 1)
       if (lo == null || hi == null) None
       // a NaN in the column poisons min/max (Spark orders NaN greatest):
@@ -314,8 +319,30 @@ object NdjsonIngest {
       else if (lo.asInstanceOf[Double].isNaN || hi.asInstanceOf[Double].isNaN) None
       else Some(s"$c ${lo.asInstanceOf[Double]} ${hi.asInstanceOf[Double]}")
     }
+    // string bounds ride base64'd under an `s:` marker (format-safe for
+    // any column content) and only when BOTH bounds are short, non-empty
+    // pure-ASCII: ASCII is where Spark's UTF8String byte ordering and the
+    // driver's UTF-16 compare provably agree, so pruning can never
+    // disagree with the row-wise filter (mixed ASCII-bound vs non-ASCII
+    // probe comparisons also agree: a non-ASCII lead byte and its UTF-16
+    // unit both exceed every ASCII value)
+    def ascii(v: String): Boolean =
+      v.nonEmpty && v.length <= 64 && v.forall(ch => ch >= ' ' && ch < 0x7f)
+    val b64 = java.util.Base64.getEncoder
+    val strLines = strings.zipWithIndex.flatMap { case (c, i) =>
+      val lo = row.get(2 * numeric.length + 2 * i)
+      val hi = row.get(2 * numeric.length + 2 * i + 1)
+      (lo, hi) match {
+        case (l: String, h: String) if ascii(l) && ascii(h) =>
+          def e(v: String) = b64.encodeToString(
+            v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          Some(s"s:$c ${e(l)} ${e(h)}")
+        case _ => None
+      }
+    }
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(layerDir, "_stats"), lines.mkString("\n"))
+      java.nio.file.Paths.get(layerDir, "_stats"),
+      (numLines ++ strLines).mkString("\n"))
   }
 
   /** A layer's recorded (min, max) for `column`, when stats exist. */
@@ -331,6 +358,25 @@ object NdjsonIngest {
       // legacy stats written before the NaN write-guard: treat a NaN
       // envelope as no-stats (always include), never as prunable
       .filterNot { case (lo, hi) => lo.isNaN || hi.isNaN }
+  }
+
+  /** A layer's recorded lexicographic (min, max) for a STRING `column`,
+    * when stats exist (`s:`-marked, base64'd — see writeLayerStats).
+    */
+  private def layerStringStats(tableDir: String, layer: String,
+      column: String): Option[(String, String)] = {
+    val p = java.nio.file.Paths.get(tableDir, layer, "_stats")
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val d = java.util.Base64.getDecoder
+      def dec(v: String) = new String(d.decode(v),
+        java.nio.charset.StandardCharsets.UTF_8)
+      java.nio.file.Files.readString(p).linesIterator
+        .map(_.split(" "))
+        .collectFirst { case Array(c, lo, hi) if c == s"s:$column" =>
+          (dec(lo), dec(hi))
+        }
+    }
   }
 
   /** The latest table restricted to layers whose `[min, max]` envelope
@@ -358,11 +404,29 @@ object NdjsonIngest {
     * chain.
     */
   def readChainRange(spark: SparkSession, tableDir: String,
-      chain: Seq[String], column: String, lo: Double, hi: Double): DataFrame = {
+      chain: Seq[String], column: String, lo: Double, hi: Double): DataFrame =
+    readChainRanges(spark, tableDir, chain, Seq((column, lo, hi)))
+
+  /** [[readChainRange]] over SEVERAL envelopes at once: a layer survives
+    * only if it intersects EVERY asked range (conjunct semantics — each
+    * range further narrows the chain).
+    */
+  def readChainRanges(spark: SparkSession, tableDir: String,
+      chain: Seq[String], ranges: Seq[(String, Double, Double)],
+      strEquals: Seq[(String, Seq[String])] = Nil): DataFrame = {
     val kept = chain.filter { l =>
-      layerStats(tableDir, l, column) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None => true
+      ranges.forall { case (column, lo, hi) =>
+        layerStats(tableDir, l, column) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
+      } && strEquals.forall { case (column, values) =>
+        layerStringStats(tableDir, l, column) match {
+          // an equality/in-set conjunct keeps the layer iff SOME sought
+          // value can exist in its lexicographic envelope
+          case Some((mn, mx)) => values.exists(v => v >= mn && v <= mx)
+          case None => true
+        }
       }
     }
     // an empty pruned chain still needs the table schema: read the given

@@ -451,7 +451,8 @@ class SaneQLSpec extends SparkSpec {
     val q5 = Planner.plan(
       "vt.map({id2 := id}).filter(between(id, 12, 19))", cat)
     assert(q5.collect().map(_.getLong(0)).toSeq.sorted === Seq(19L))
-    // string/non-literal conjuncts alone: no routing, full scan stays
+    // a string equality routes through the lexicographic envelopes;
+    // every layer here spans CH..DE so nothing is (wrongly) pruned
     assert(Planner.plan("vt.filter(country = 'CH')", cat).count() === 3)
 
     // merge-on-read chain: an upsert supersedes a row; routing must NOT
@@ -492,6 +493,39 @@ class SaneQLSpec extends SparkSpec {
     assert(q2.collect().map(_.getLong(0)).toSeq.sorted === Seq(1L, 2L))
     assert(q2.select(input_file_name()).distinct().as[String].collect()
       .forall(_.contains("/v1/")))
+  }
+
+  test("string equality/in-set filters prune layers by lexicographic envelopes") {
+    import graft.sources.NdjsonIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft").toString + "/st"
+    // three layers clustered by country range (e.g. partitioned ingest)
+    NdjsonIngest.appendVersion(
+      Seq((1L, "AT"), (2L, "CH")).toDF("id", "country"), dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((3L, "DE"), (4L, "FR")).toDF("id", "country"), dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((5L, "IT"), (6L, "US")).toDF("id", "country"), dir, "id")
+    val cat = Catalog(
+      tables = Map("vt" -> NdjsonIngest.readLatest(spark, dir)),
+      versionedDirs = Map("vt" -> dir))
+    def files(q: String): Seq[String] =
+      Planner.plan(q, cat).select(input_file_name()).distinct()
+        .as[String].collect().toSeq
+    val eq = Planner.plan("vt.filter(country = 'FR')", cat)
+    assert(eq.collect().map(_.getLong(0)).toSeq === Seq(4L))
+    assert(files("vt.filter(country = 'FR')").forall(_.contains("/v2/")))
+    // in-set spanning two layers keeps exactly those two
+    val set = files("vt.filter(in(country, {'CH','IT'}))")
+    assert(set.nonEmpty && set.forall(f =>
+      f.contains("/v1/") || f.contains("/v3/")))
+    assert(Planner.plan("vt.filter(in(country, {'CH','IT'}))", cat)
+      .collect().map(_.getLong(0)).toSeq.sorted === Seq(2L, 5L))
+    // a sought value outside every envelope: empty result, schema intact
+    val none = Planner.plan("vt.filter(country = 'ZZ')", cat)
+    assert(none.count() === 0 && none.columns.toSeq === Seq("id", "country"))
+    // string range + numeric range conjuncts narrow TOGETHER
+    assert(Planner.plan(
+      "vt.filter(country = 'FR' && between(id, 1, 3))", cat).count() === 0)
   }
 
   test("zone routing prunes the REGISTERED frame's chain, not the latest " +
