@@ -677,6 +677,8 @@ final class Planner(catalog: Planner.Catalog) {
         for (a <- l; b <- h) yield (c, a, b)
       case Binary("=", Ident(c), v) if prunableCol(c) =>
         bound(c)(v).map(x => (c, x, x))
+      // no numeric in-set case: the reference's `in` is string-only
+      // (string_in_set.cpp) and the row-wise compile rejects int sets
       case _ => None
     }
   }

@@ -543,4 +543,52 @@ class PropertySpec extends SparkSpec {
           s"case $ci probed=$probed allowed=$allowed touched=$touched")
     }
   }
+
+  test("zone-map routed filters ALWAYS equal the unrouted filter " +
+    "(randomized layers, ranges, equality, in-sets)") {
+    import graft.lang.Planner
+    import graft.lang.Planner.Catalog
+    import graft.sources.NdjsonIngest
+    val countries = Vector("AT", "CH", "DE", "FR", "IT", "JP", "US")
+    val caseGen = for {
+      nLayers <- Gen.choose(1, 4)
+      rows <- Gen.listOfN(nLayers, Gen.choose(1, 6).flatMap(n =>
+        Gen.listOfN(n, for {
+          v <- Gen.choose(-50L, 50L)
+          c <- Gen.oneOf(countries)
+        } yield (v, c))))
+      lo <- Gen.choose(-60L, 60L)
+      w <- Gen.choose(0L, 40L)
+      eqv <- Gen.choose(-60L, 60L)
+      cs <- Gen.someOf(countries)
+    } yield (rows, lo, lo + w, eqv, cs.toList)
+    samples(caseGen, 12).zipWithIndex.foreach {
+      case ((layerRows, lo, hi, eqv, cs), ci) =>
+        val dir = java.nio.file.Files.createTempDirectory("zprop")
+          .toString + "/t"
+        layerRows.zipWithIndex.foreach { case (rs, li) =>
+          val df = rs.zipWithIndex.map { case ((v, c), ri) =>
+            (li * 100L + ri, v, c) }.toDF("id", "v", "country")
+          if (li == 0) NdjsonIngest.appendVersion(df, dir, "id")
+          else NdjsonIngest.appendDelta(df, dir, "id")
+        }
+        val frame = NdjsonIngest.readLatest(spark, dir)
+        val routed = Catalog(tables = Map("t" -> frame),
+          versionedDirs = Map("t" -> dir))
+        val unrouted = Catalog(tables = Map("t" -> frame))
+        val qs = Seq(
+          s"t.filter(between(v, $lo, $hi))",
+          s"t.filter(v = $eqv)",
+          s"t.filter(between(v, $lo, null))") ++
+          (if (cs.nonEmpty)
+            Seq(s"t.filter(in(country, {${cs.map(c => s"'$c'").mkString(",")}}))",
+              s"t.filter(country = '${cs.head}' && between(v, $lo, $hi))")
+          else Nil)
+        qs.foreach { q =>
+          def ids(cat: Catalog) = Planner.plan(q, cat)
+            .select("id").as[Long].collect().sorted.toSeq
+          assert(ids(routed) === ids(unrouted), s"case $ci query $q")
+        }
+    }
+  }
 }
