@@ -2870,6 +2870,37 @@ object PipelineQueries {
         .orderBy("rk")
     },
 
+    // ---- LEXICAL DIVERSITY (type-token ratio + hapax rate): per doc,
+    //      distinct-token and once-occurring-token shares in exact
+    //      integer basis points — the standard template/boilerplate
+    //      signals next to the Gopher rules (a low TTR marks generated
+    //      spam; a low hapax rate marks stitched boilerplate). One
+    //      (doc, token) count shuffle, one per-doc rollup, no floats. ----
+    QDef("q_lexical_diversity",
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+         |  FROM documents),
+         |tc AS (SELECT doc_id, tok, count(*) AS k FROM tk WHERE tok <> ''
+         |  GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, sum(k) AS n_tokens, count(*) AS n_types,
+         |    sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS n_hapax
+         |  FROM tc GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_types,
+         |  n_types * 10000 // n_tokens AS ttr_bp,
+         |  n_hapax * 10000 // n_tokens AS hapax_bp
+         |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val tc = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("k"))
+      tc.groupBy("doc_id")
+        .agg(sum(col("k")).as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(when(col("k") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          expr("n_types * 10000 div n_tokens").as("ttr_bp"),
+          expr("n_hapax * 10000 div n_tokens").as("hapax_bp"))
+        .orderBy("doc_id")
+    },
+
     // ---- CHAR-DISTRIBUTION CONCENTRATION (Gini impurity complement):
     //      1 − Σ p_c² over the normalized text's character distribution —
     //      the rational surrogate of character entropy (gibberish /
