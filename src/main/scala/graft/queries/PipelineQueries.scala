@@ -2870,6 +2870,69 @@ object PipelineQueries {
         .orderBy("rk")
     },
 
+    // ---- VOCABULARY DRIFT per source (χ² against the corpus): how far
+    //      each source's hashed-token distribution sits from the pooled
+    //      corpus distribution — the mix-auditing signal that flags a
+    //      mislabeled or contaminated source before a training mix
+    //      freezes. Tokens hash into 16 md5-hex buckets (the q_importance
+    //      feature space); per source, χ² = Σ_b d_b²/(tot_b·S·T) with
+    //      d_b = obs_b·T − tot_b·S kept EXACT in int64 before the double
+    //      square, and the 16 terms add in one fixed left-assoc chain.
+    //      Scale: one (source, bucket) count shuffle (≤16 rows per
+    //      source) + a single broadcast corpus row. ----
+    QDef("q_vocab_drift", {
+      val hexd = "0123456789abcdef".map(_.toString)
+      val oSums = hexd.zipWithIndex.map { case (h, j) =>
+        s"sum(CASE WHEN b = '$h' THEN c ELSE 0 END) + 1 AS o$j" }
+      val tSums = (0 until 16).map(j => s"sum(o$j) AS t$j")
+      val tot = (0 until 16).map(j => s"t$j").mkString(" + ")
+      val sTot = (0 until 16).map(j => s"o$j").mkString(" + ")
+      val chi = (0 until 16).map(j =>
+        s"""(CAST(o$j * tt - t$j * st AS DOUBLE) * CAST(o$j * tt - t$j * st AS DOUBLE)
+           |      / (CAST(t$j AS DOUBLE) * CAST(st AS DOUBLE) * CAST(tt AS DOUBLE)))"""
+          .stripMargin).mkString("\n         |    + ")
+      s"""WITH tk AS (SELECT source, substr(md5(tok), 1, 1) AS b FROM (
+         |    SELECT source, unnest(string_split($normSql, ' ')) AS tok
+         |    FROM documents) WHERE tok <> ''),
+         |pc AS (SELECT source, b, count(*) AS c FROM tk GROUP BY 1, 2),
+         |src AS (SELECT source, ${oSums.mkString(",\n         |    ")}
+         |  FROM pc GROUP BY 1),
+         |src2 AS (SELECT *, $sTot AS st FROM src),
+         |g AS (SELECT ${tSums.mkString(", ")} FROM src2),
+         |g2 AS (SELECT *, $tot AS tt FROM g)
+         |SELECT source, st AS n_tokens, round(
+         |    $chi, 6) AS chi2
+         |FROM src2 CROSS JOIN g2 ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      val hexd = "0123456789abcdef".map(_.toString)
+      val tk = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("source"), explode(TF.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .select(col("source"), substring(md5(col("tok")), 1, 1).as("b"))
+      val pc = tk.groupBy("source", "b").agg(count(lit(1)).as("c"))
+      val oAggs = hexd.zipWithIndex.map { case (h, j) =>
+        (sum(when(col("b") === h, col("c")).otherwise(0L)) + 1).as(s"o$j")
+      }
+      // src feeds BOTH the corpus totals and the per-source scoring;
+      // localCheckpoint materializes the ≤|sources|-row table once
+      val src = pc.groupBy("source").agg(oAggs.head, oAggs.tail: _*)
+        .withColumn("st", (0 until 16).map(j => col(s"o$j")).reduceLeft(_ + _))
+        .localCheckpoint()
+      val gAggs = (0 until 16).map(j => sum(col(s"o$j")).as(s"t$j"))
+      val g = src.agg(gAggs.head, gAggs.tail: _*)
+        .withColumn("tt", (0 until 16).map(j => col(s"t$j")).reduceLeft(_ + _))
+      val chi = (0 until 16).map { j =>
+        val d = (col(s"o$j") * col("tt") - col(s"t$j") * col("st")).cast("double")
+        d * d / (col(s"t$j").cast("double") * col("st").cast("double") *
+          col("tt").cast("double"))
+      }.reduceLeft(_ + _)
+      src.crossJoin(broadcast(g))
+        .select(col("source"), col("st").as("n_tokens"),
+          round(chi, 6).as("chi2"))
+        .orderBy("source")
+    },
+
     // ---- LEXICAL DIVERSITY (type-token ratio + hapax rate): per doc,
     //      distinct-token and once-occurring-token shares in exact
     //      integer basis points — the standard template/boilerplate

@@ -203,7 +203,7 @@ class PlanSpec extends SparkSpec {
     // row)
     val boundedBnlj = Set("q_ann_topk", "q_ann_recall", "q_ivf_recall", "q_tfidf_topk",
       "q_mix_weights", "q_mix_sample", "q_hard_negatives", "q_knn_classify",
-      "q_bm25", "q_importance", "q_lift_pairs")
+      "q_bm25", "q_importance", "q_lift_pairs", "q_vocab_drift")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"),
