@@ -64,4 +64,59 @@ object Similarity {
       .select("a_id", "b_id", "cos")
       .dropDuplicates("a_id", "b_id")
   }
+
+  /** SemDeDup (Abbas et al. 2023) within-cell marking: given vectors
+    * already tagged with a quantizer `cell`, mark a vector as a
+    * near-duplicate if ANY smaller-id cell-mate sits within cosine ≥
+    * `threshold` (round-before-threshold, so thresholds compare
+    * deterministically across platforms). The kept set is the greedy
+    * smallest-id representative per ε-ball — deterministic regardless of
+    * partitioning. The only pairwise work is the cell-scoped equi-join.
+    */
+  def semdedupInCells(
+      assigned: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val withN = assigned.select(col(idCol), col(vecCol), col("cell"),
+      VF.norm2(col(vecCol)).as("nrm"))
+    val a = withN.select(col(idCol).as("a_id"), col("cell"),
+      col(vecCol).as("av"), col("nrm").as("na"))
+    val b = withN.select(col(idCol), col("cell"),
+      col(vecCol).as("bv"), col("nrm").as("nb"))
+    val dup = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col(idCol))
+      .filter(round(VF.dot(col("av"), col("bv")) / (col("na") * col("nb")), 6)
+        >= threshold)
+      .groupBy(idCol).agg(min(col("a_id")).as("dup_of"))
+    assigned.select(col(idCol), col("cell"))
+      .join(dup, Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        col("dup_of").isNull.as("kept"), col("dup_of"))
+  }
+
+  /** SemDeDup production entry point: cells SCALE WITH THE CORPUS —
+    * `cells ≈ N / targetCellSize` — so the within-cell self-join stays
+    * O(N · targetCellSize) total pairs, LINEAR in corpus size (a fixed
+    * cell count would be O(N²/cells), quadratic). The quantizer is the
+    * trained IVF coarse quantizer ([[Ivf.train]]: sample-init + Lloyd
+    * passes, only the cells×dim model crosses the driver), the same
+    * model a persisted [[AnnIndex]] would hold, so at scale this routes
+    * through the index instead of retraining per run.
+    *
+    * Scale note: the centroid matrix is cells×dim ≈ (N/targetCellSize)×dim
+    * doubles and must stay broadcast-sized; past ~10⁵ cells use a
+    * two-level quantizer (assign to a coarse cell first, train/dedup per
+    * coarse shard) — the per-shard recipe is exactly this function.
+    */
+  def semdedup(
+      emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double = 0.35, targetCellSize: Long = 1024L,
+      iters: Int = 2, seed: Long = 11L): DataFrame = {
+    val n = emb.count()
+    val cells = math.max(1L, (n + targetCellSize - 1) / targetCellSize)
+    require(cells <= 65536,
+      s"$cells cells exceeds the broadcast-sized centroid budget; " +
+        "shard the corpus with a coarse quantizer first")
+    val cents = Ivf.train(emb, vecCol, dim, cells.toInt, iters, seed)
+    semdedupInCells(Ivf.assign(emb, vecCol, cents), idCol, vecCol, threshold)
+  }
 }

@@ -2900,7 +2900,7 @@ object PipelineQueries {
          |src2 AS (SELECT *, $sTot AS st FROM src),
          |g AS (SELECT ${tSums.mkString(", ")} FROM src2),
          |g2 AS (SELECT *, $tot AS tt FROM g)
-         |SELECT source, st AS n_tokens, round(
+         |SELECT source, CAST(st AS BIGINT) AS n_tokens, round(
          |    $chi, 6) AS chi2
          |FROM src2 CROSS JOIN g2 ORDER BY source""".stripMargin
     }) { (s, dir) =>
@@ -2947,9 +2947,9 @@ object PipelineQueries {
          |agg AS (SELECT doc_id, sum(k) AS n_tokens, count(*) AS n_types,
          |    sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS n_hapax
          |  FROM tc GROUP BY 1)
-         |SELECT doc_id, n_tokens, n_types,
-         |  n_types * 10000 // n_tokens AS ttr_bp,
-         |  n_hapax * 10000 // n_tokens AS hapax_bp
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, n_types,
+         |  CAST(n_types * 10000 // n_tokens AS BIGINT) AS ttr_bp,
+         |  CAST(n_hapax * 10000 // n_tokens AS BIGINT) AS hapax_bp
          |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val tc = t(s, dir, "documents")
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
@@ -2976,9 +2976,9 @@ object PipelineQueries {
          |  FROM documents),
          |cc AS (SELECT doc_id, c, count(*) AS k FROM ch WHERE c <> '' GROUP BY 1, 2),
          |agg AS (SELECT doc_id, sum(k) AS n, sum(k * k) AS s2 FROM cc GROUP BY 1)
-         |SELECT doc_id, n,
-         |  ((n * n - s2) * 1000 // (n * n)) * 1000
-         |    + ((n * n - s2) * 1000 % (n * n)) * 1000 // (n * n) AS gini_ppm
+         |SELECT doc_id, CAST(n AS BIGINT) AS n,
+         |  CAST(((n * n - s2) * 1000 // (n * n)) * 1000
+         |    + ((n * n - s2) * 1000 % (n * n)) * 1000 // (n * n) AS BIGINT) AS gini_ppm
          |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val ch = t(s, dir, "documents")
         .select(col("doc_id"), explode(split(TF.normText(col("text")), "")).as("c"))
@@ -3312,24 +3312,13 @@ object PipelineQueries {
          |FROM assigned s LEFT JOIN dup ON dup.vec_id = s.vec_id
          |ORDER BY s.vec_id""".stripMargin
     }) { (s, dir) =>
+      // frozen 16-cell seeded quantizer so the DuckDB oracle can embed the
+      // same centroids as literals; the PRODUCTION shape is
+      // Similarity.semdedup, which scales cells ≈ N/targetCellSize so the
+      // pair space stays linear in N (spec: SemDedupScaleSpec)
       val cents = graft.ann.Ivf.seedCentroids(64, 16, 11L)
-      val emb = t(s, dir, "embeddings")
-      val assigned = graft.ann.Ivf.assign(emb, "embedding", cents)
-        .select(col("vec_id"), col("embedding"), col("cell"),
-          VF.norm2(col("embedding")).as("nrm"))
-      val a = assigned.select(col("vec_id").as("a_id"), col("cell"),
-        col("embedding").as("av"), col("nrm").as("na"))
-      val b = assigned.select(col("vec_id").as("vec_id"), col("cell"),
-        col("embedding").as("bv"), col("nrm").as("nb"))
-      val dup = a.join(b, Seq("cell"))
-        .filter(col("a_id") < col("vec_id"))
-        .filter(round(VF.dot(col("av"), col("bv")) / (col("na") * col("nb")), 6)
-          >= 0.35)
-        .groupBy("vec_id").agg(min(col("a_id")).as("dup_of"))
-      assigned.select("vec_id", "cell")
-        .join(dup, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cell"),
-          col("dup_of").isNull.as("kept"), col("dup_of"))
+      val assigned = graft.ann.Ivf.assign(t(s, dir, "embeddings"), "embedding", cents)
+      graft.ann.Similarity.semdedupInCells(assigned, "vec_id", "embedding", 0.35)
         .orderBy("vec_id")
     },
 
@@ -3378,14 +3367,17 @@ object PipelineQueries {
           substring(md5(expr("substring(nt, int(pos), 40)")), 1, 16).as("h"))
       // "≥2 distinct docs" ⟺ min(doc) ≠ max(doc): one codegen'd
       // HashAggregate shuffle (24-byte rows) instead of a countDistinct
-      // expand or an object-mode collect_list, and the surviving dup-hash
-      // set is tiny, so the join back to the gram stream broadcasts —
-      // the grams themselves never shuffle.
+      // expand or an object-mode collect_list. No broadcast hint on the
+      // semi-join back to the gram stream: the dup-hash set is O(amount
+      // of duplicated text) — unbounded at web-corpus scale — so a forced
+      // driver broadcast is an OOM waiting to happen. AQE picks broadcast
+      // at small SF on its own and falls back to a shuffled semi-join
+      // when the set is big; both keep the gaps-and-islands shape intact.
       val dupg = g.groupBy("h")
         .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
         .filter(col("d0") =!= col("d1"))
         .select("h")
-      val hits = g.join(broadcast(dupg), Seq("h"), "left_semi")
+      val hits = g.join(dupg, Seq("h"), "left_semi")
         .select("doc_id", "pos")
       val ord = Window.partitionBy("doc_id").orderBy("pos")
       val isl = hits

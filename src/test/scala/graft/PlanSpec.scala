@@ -194,6 +194,25 @@ class PlanSpec extends SparkSpec {
       "budget-select prefix sum no longer sub-sharded")
   }
 
+  test("exact-substring dup-set semi-join is not a forced broadcast") {
+    // the dup-40-gram set is O(duplicated text) — unbounded on a web
+    // corpus — so a broadcast() HINT (driver-side, size-blind) is a
+    // latent OOM. AQE may still PICK a broadcast at this SF from observed
+    // sizes; that's fine — assert on the logical hint, not the physical
+    // plan.
+    val df = SparkEntry.queries("q_exact_substr")(spark, sfDir)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      assert(j.hint.leftHint.forall(_.strategy.isEmpty) &&
+        j.hint.rightHint.forall(_.strategy.isEmpty),
+        "exact-substr join carries a forced join-strategy hint — " +
+          "the dup-hash set is unbounded at corpus scale")
+    }
+  }
+
   test("no unbounded pairwise plans anywhere: CartesianProduct never, " +
     "BroadcastNestedLoopJoin only with a bounded-by-construction side") {
     // whitelist: queries whose BNLJ side is bounded regardless of data

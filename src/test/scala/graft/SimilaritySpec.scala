@@ -33,6 +33,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semdedup production shape: cells scale with the corpus, " +
+    "per-cell candidate pairs stay bounded") {
+    val t = 64L
+    val full = Similarity.semdedup(emb, "vec_id", "embedding", dim = 64,
+      threshold = 0.35, targetCellSize = t)
+    val n = emb.count()
+    assert(full.count() === n, "every vector gets a kept/dup verdict")
+    // cells ≈ N/targetCellSize: the quantizer must spread the corpus over
+    // ~n/t cells, and no single cell may hoard the corpus — the per-cell
+    // self-join candidate count is maxCell², which must stay
+    // O(targetCellSize²) for the total pair work to be linear in N
+    val sizes = full.groupBy("cell").count()
+      .collect().map(_.getLong(1))
+    assert(sizes.length >= (n / t / 2).toInt,
+      s"only ${sizes.length} cells for $n vectors at target $t")
+    val maxCell = sizes.max
+    assert(maxCell <= 4 * t,
+      s"cell of $maxCell rows → ${maxCell * maxCell} candidate pairs; " +
+        s"bound is ${4 * t} (4× target)")
+    // halving the corpus must shrink the cell count (scaling is monotone
+    // in N — the fixed-cell-count shape this replaces would not)
+    val half = emb.orderBy("vec_id").limit((n / 2).toInt)
+    val halfCells = Similarity.semdedup(half, "vec_id", "embedding", dim = 64,
+      threshold = 0.35, targetCellSize = t)
+      .select("cell").distinct().count()
+    assert(halfCells < sizes.length,
+      s"half corpus used $halfCells cells vs full ${sizes.length}")
+    // greedy-representative invariants: dup_of always points at a
+    // smaller id, and kept ⟺ dup_of is null
+    val bad = full.filter((col("kept") && col("dup_of").isNotNull) ||
+      (!col("kept") && (col("dup_of").isNull || col("dup_of") >= col("vec_id"))))
+    assert(bad.count() === 0)
+  }
+
   test("clustered append range-partitions files for row-group pruning") {
     val dir = java.nio.file.Files.createTempDirectory("clustered").toString + "/t"
     val df = spark.range(0, 1000)

@@ -12,8 +12,34 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     return df
 
+def dtype_sig(df: pd.DataFrame) -> str:
+    # Dtype-faithful signature so the hash is type-sensitive like the
+    # driver's gate: DuckDB HUGEINT (from sum(BIGINT) / BIGINT products)
+    # lands in pandas as float64 while Spark BIGINT reads back int64 —
+    # without this line in the hash, %.10g CSV text collapses the two and
+    # local green stops predicting driver green (bit us in round 11).
+    # datetime64 resolutions/timezones are normalized (parquet readers
+    # disagree on ns/us/ms); everything else hashes verbatim.
+    import datetime
+    parts = []
+    for c in df.columns:
+        d = str(df[c].dtype)
+        if d.startswith("datetime64"):
+            d = "datetime"
+        elif d == "object":
+            # Spark DATE reads back as object-of-datetime.date while DuckDB
+            # DATE converts to datetime64 — the driver treats those as equal
+            # (both print the same CSV text), so fold date-like objects into
+            # the same bucket instead of flagging a false dtype diff.
+            nn = df[c].dropna()
+            if len(nn) and isinstance(nn.iloc[0], (datetime.date, datetime.datetime)):
+                d = "datetime"
+        parts.append(f"{c}:{d}")
+    return ";".join(parts)
+
 def h(df: pd.DataFrame) -> str:
-    return hashlib.md5(df.to_csv(index=False, float_format="%.10g").encode()).hexdigest()
+    body = dtype_sig(df) + "\n" + df.to_csv(index=False, float_format="%.10g")
+    return hashlib.md5(body.encode()).hexdigest()
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -42,6 +68,10 @@ def main(sf_dir, out_dir):
             n_bad += 1
             print(f"FAIL {name}: schema={ok_schema} rows={len(sdf)}/{len(odf)} hash={ok_hash}")
             if ok_schema and ok_rows:
+                ds, do = dict(sdf.dtypes.astype(str)), dict(odf.dtypes.astype(str))
+                tdiff = {c: (ds[c], do[c]) for c in sdf.columns if ds[c] != do[c]}
+                if tdiff:
+                    print("  dtype diff (spark, duck):", tdiff)
                 neq = (sdf.reset_index(drop=True) != odf.reset_index(drop=True))
                 cols = [c for c in sdf.columns if neq[c].any()]
                 print("  diff cols:", cols)
