@@ -506,7 +506,22 @@ final class Planner(catalog: Planner.Catalog) {
     * is still "a table or direct filters of a table" (the reference's
     * validity precondition for mutations/insertions/MRCA/phyloSubtree).
     */
-  final case class Tbl(df: DataFrame, origin: Option[String])
+  final case class Tbl(df: DataFrame, origin: Option[String],
+      sortedScan: Option[SortedScan] = None)
+
+  /** The orderBy stage's note to an immediately-following limit: the sort
+    * was a single first key over the BARE registered versioned scan whose
+    * chain carries layer stats, so `limit(k)` may re-plan the whole
+    * prefix as a stats-bounded top-k chain read
+    * ([[graft.sources.NdjsonIngest.readChainTopK]] — the reference's
+    * RangeSelection over a sorted column, range_selection.h:15-40). Every
+    * other pipeline stage drops the note (the default None), so the
+    * rewrite only ever fires on the exact `table.orderBy(...).limit(k)`
+    * shape it is proven for.
+    */
+  final case class SortedScan(dir: String, chain: Seq[String],
+      column: String, descending: Boolean, tiebreak: Seq[String],
+      schema: org.apache.spark.sql.types.StructType)
 
   private def err(msg: String): Nothing = throw QueryError(msg)
 
@@ -785,7 +800,11 @@ final class Planner(catalog: Planner.Catalog) {
           // registered frame (conservative, always sound)
           if graft.sources.NdjsonIngest.chainMergeFree(dir, chain)
         } yield Tbl(graft.sources.NdjsonIngest
-          .readChainRanges(in.df.sparkSession, dir, chain, ranges, strEqs),
+          .readChainRanges(in.df.sparkSession, dir, chain, ranges, strEqs,
+            // schema pinned with the chain: a schema-evolution commit
+            // racing the plan must not give the routed scan columns the
+            // registered frame lacks
+            pinSchema = Some(in.df.schema)),
           in.origin)).getOrElse(in)
         val idxCtx = for {
           t <- in2.origin
@@ -900,13 +919,54 @@ final class Planner(catalog: Planner.Catalog) {
           case Call("desc", Seq(Ident(n)), _) => resolve(n, in.df).desc
           case other => err(s"orderBy field must be name/asc(name)/desc(name), got $other")
         }
-        Tbl(in.df.orderBy(sorts: _*), in.origin)
+        // top-k scan note for a following limit: the sort runs over the
+        // bare registered versioned scan, the FIRST key is a stats-
+        // prunable (numeric/date) column, the remaining keys are plain
+        // ascending tiebreaks, and the chain is merge-free with layer
+        // stats — then limit(k) can bound the read from metadata alone
+        val note: Option[SortedScan] = for {
+          t <- in.origin
+          dir <- catalog.versionedDirs.get(t)
+          if catalog.tables.get(t).exists(_ eq in.df)
+          if fields.nonEmpty
+          first <- fields.head match {
+            case Ident(n) => Some((n, false))
+            case Call("asc", Seq(Ident(n)), _) => Some((n, false))
+            case Call("desc", Seq(Ident(n)), _) => Some((n, true))
+            case _ => None
+          }
+          if in.df.columns.contains(first._1) &&
+            (in.df.schema(first._1).dataType match {
+              case _: org.apache.spark.sql.types.NumericType => true
+              case org.apache.spark.sql.types.DateType => true
+              case _ => false
+            })
+          ties <- fields.tail.foldLeft(Option(Seq.empty[String])) {
+            case (Some(acc), Ident(n)) if in.df.columns.contains(n) =>
+              Some(acc :+ n)
+            case (Some(acc), Call("asc", Seq(Ident(n)), _))
+                if in.df.columns.contains(n) => Some(acc :+ n)
+            case _ => None
+          }
+          chain <- frameLayers(in.df, dir)
+          if graft.sources.NdjsonIngest.chainMergeFree(dir, chain)
+        } yield SortedScan(dir, chain, first._1, first._2, ties, in.df.schema)
+        Tbl(in.df.orderBy(sorts: _*), in.origin, note)
 
       case "limit" =>
         val in = input
         val n = intArg(req("count"), "limit")
         if (n <= 0) err("limit must be positive")
-        Tbl(in.df.limit(n.toInt), in.origin)
+        in.sortedScan match {
+          case Some(ss) =>
+            // stats-bounded top-k: layers whose envelope provably cannot
+            // reach the k-th best row are never opened; the result is
+            // the same orderBy+limit, just over a narrowed scan
+            Tbl(graft.sources.NdjsonIngest.readChainTopK(
+              in.df.sparkSession, ss.dir, ss.chain, ss.column, n.toInt,
+              ss.descending, ss.tiebreak, Some(ss.schema)), in.origin)
+          case None => Tbl(in.df.limit(n.toInt), in.origin)
+        }
 
       case "offset" =>
         val in = input

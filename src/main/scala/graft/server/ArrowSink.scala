@@ -114,6 +114,10 @@ object ArrowSink {
   def write(df: DataFrame, out: OutputStream): Unit =
     writeChunked(df, out, () => ())
 
+  def writeChunked(df: DataFrame, out: OutputStream,
+      headersReady: () => Unit): Unit =
+    writeChunked(df, out, headersReady, BatchRows)
+
   /** [[write]] with a headers-ready callback for a CHUNKED HTTP response:
     * the first Spark batch is forced BEFORE any byte is written (runtime
     * failures surface while a clean 500 is still possible), then
@@ -122,7 +126,7 @@ object ArrowSink {
     * stream, so driver memory stays O(batch), never O(result).
     */
   def writeChunked(df: DataFrame, out: OutputStream,
-      headersReady: () => Unit): Unit = {
+      headersReady: () => Unit, batchRows: Int): Unit = {
     val schema = df.schema
     val arrowSchema = new Schema(
       schema.fields.toSeq.map(f => arrowField(f.name, f.dataType, f.nullable)).asJava)
@@ -134,7 +138,7 @@ object ArrowSink {
       val _ = it.hasNext // force the first Spark batch before any byte
       headersReady()
       writer.start()
-      val buf = new scala.collection.mutable.ArrayBuffer[Row](BatchRows)
+      val buf = new scala.collection.mutable.ArrayBuffer[Row](batchRows)
       def flush(): Unit = if (buf.nonEmpty) {
         root.allocateNew()
         buf.zipWithIndex.foreach { case (row, i) =>
@@ -148,7 +152,7 @@ object ArrowSink {
       }
       while (it.hasNext) {
         buf += it.next()
-        if (buf.size >= BatchRows) flush()
+        if (buf.size >= batchRows) flush()
       }
       flush()
       writer.end()

@@ -40,12 +40,21 @@ import graft.lang.{Lexer, Parser}
   * and keeps that snapshot for its whole response.
   */
 final class QueryServer(catalogSupplier: () => (Catalog, String),
-    port: Int, timeoutSeconds: Long) {
+    port: Int, config: QueryServer.ServerConfig) {
+
+  /** Pre-config signature kept for callers tuning only the timeout. */
+  def this(catalogSupplier: () => (Catalog, String), port: Int,
+      timeoutSeconds: Long) =
+    this(catalogSupplier, port,
+      QueryServer.ServerConfig(timeoutSeconds = timeoutSeconds))
 
   /** Fixed-catalog convenience (tests, static datasets). */
   def this(catalog: Catalog, dataVersion: String, port: Int = 0,
       timeoutSeconds: Long = 120) =
-    this(() => (catalog, dataVersion), port, timeoutSeconds)
+    this(() => (catalog, dataVersion), port,
+      QueryServer.ServerConfig(timeoutSeconds = timeoutSeconds))
+
+  private def timeoutSeconds: Long = config.timeoutSeconds
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val pool = Executors.newCachedThreadPool()
@@ -149,10 +158,11 @@ final class QueryServer(catalogSupplier: () => (Catalog, String),
     */
   private final class StreamAborted extends RuntimeException("stream aborted")
 
-  /** Chunk coalescing size for the streaming queue: 64 KiB × a 64-deep
-    * queue bounds buffered response data at 4 MiB per in-flight query.
+  /** Chunk coalescing size for the streaming queue: the default 64 KiB ×
+    * a 64-deep queue bounds buffered response data at 4 MiB per in-flight
+    * query; both knobs are runtime config ([[QueryServer.ServerConfig]]).
     */
-  private val ChunkBytes = 64 * 1024
+  private val ChunkBytes = config.chunkBytes
 
   private def setQueryHeaders(ex: HttpExchange, contentType: String,
       ordering: String, dataVersion: String): Unit = {
@@ -184,7 +194,8 @@ final class QueryServer(catalogSupplier: () => (Catalog, String),
       produce: (DataFrame, java.io.OutputStream, () => Unit) => Unit): Unit = {
     val spark = df.sparkSession
     val group = "http-query-" + java.util.UUID.randomUUID()
-    val queue = new java.util.concurrent.LinkedBlockingQueue[AnyRef](64)
+    val queue = new java.util.concurrent.LinkedBlockingQueue[AnyRef](
+      config.queueDepth)
     // writer-side abort signal: a disconnected client must unblock a
     // producer parked on a full queue (a plain put would leak the pool
     // thread AND the running Spark jobs forever)
@@ -312,7 +323,7 @@ final class QueryServer(catalogSupplier: () => (Catalog, String),
         // which every IPC reader reports
         streamChunked(ex, df, "application/vnd.apache.arrow.stream",
           ordering, dataVersion, midStreamErrorChunk = None)(
-          ArrowSink.writeChunked)
+          ArrowSink.writeChunked(_, _, _, config.arrowBatchRows))
       else
         streamChunked(ex, df, "application/x-ndjson", ordering, dataVersion,
           midStreamErrorChunk = Some(msg =>
@@ -407,6 +418,23 @@ final class QueryServer(catalogSupplier: () => (Catalog, String),
 }
 
 object QueryServer {
+
+  /** Runtime-tunable serving limits (reference: runtime_config.h:19-25 —
+    * the operator-facing materialization cutoff and soft memory limit).
+    * `chunkBytes × queueDepth` bounds the buffered response bytes per
+    * in-flight query (the soft-memory-limit analog); `arrowBatchRows` is
+    * the Arrow IPC materialization cutoff (rows per RecordBatch);
+    * `timeoutSeconds` is the per-batch-wait cancellation deadline
+    * (reference DEFAULT_TIMEOUT_TWO_MINUTES, query_plan.cpp:111-123).
+    */
+  final case class ServerConfig(
+      chunkBytes: Int = 64 * 1024,
+      queueDepth: Int = 64,
+      arrowBatchRows: Int = ArrowSink.BatchRows,
+      timeoutSeconds: Long = 120) {
+    require(chunkBytes > 0 && queueDepth > 0 && arrowBatchRows > 0 &&
+      timeoutSeconds >= 0, s"serving limits must be positive: $this")
+  }
 
   /** A catalog supplier that probes the data version per request (cheap:
     * a pointer read) but re-BUILDS the catalog only when the version

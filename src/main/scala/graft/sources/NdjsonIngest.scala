@@ -293,12 +293,19 @@ object NdjsonIngest {
     import org.apache.spark.sql.types._
     // dates participate as epoch-day doubles — time-windowed reads over
     // time-ordered appends are the canonical pruning win
+    // the sidecar format is space-delimited with the raw column name as
+    // the first token — a name containing whitespace (legal in Spark
+    // schemas) would write an ambiguous line the readers silently never
+    // match; skip such columns so the format stays unambiguous by
+    // construction (they just read as no-stats, always included)
+    def plainName(n: String): Boolean = !n.exists(_.isWhitespace)
     val numeric = df.schema.fields.collect {
-      case f if f.dataType.isInstanceOf[NumericType] => f.name
-      case f if f.dataType == DateType => f.name
+      case f if f.dataType.isInstanceOf[NumericType] && plainName(f.name) =>
+        f.name
+      case f if f.dataType == DateType && plainName(f.name) => f.name
     }
     val strings = df.schema.fields.collect {
-      case f if f.dataType == StringType => f.name
+      case f if f.dataType == StringType && plainName(f.name) => f.name
     }
     if (numeric.isEmpty && strings.isEmpty) return
     def statCol(c: String): Column =
@@ -307,7 +314,8 @@ object NdjsonIngest {
       Seq(min(statCol(c)).cast("double").as(s"min_$c"),
         max(statCol(c)).cast("double").as(s"max_$c"))) ++
       strings.flatMap(c =>
-        Seq(min(col(c)).as(s"smin_$c"), max(col(c)).as(s"smax_$c")))
+        Seq(min(col(c)).as(s"smin_$c"), max(col(c)).as(s"smax_$c"))) ++
+      Seq(count(lit(1)).as("_n"))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val numLines = numeric.zipWithIndex.flatMap { case (c, i) =>
       val lo = row.get(2 * i); val hi = row.get(2 * i + 1)
@@ -340,9 +348,14 @@ object NdjsonIngest {
         case _ => None
       }
     }
+    // the layer's row count rides under an `n:` marker (2 tokens — can
+    // never match the 3-token column-stat patterns): with per-layer
+    // counts AND envelopes, orderBy+limit can compute a value bound that
+    // provably contains the top-k from metadata alone (readChainTopK)
+    val nLine = Seq(s"n: ${row.getLong(aggs.length - 1)}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(layerDir, "_stats"),
-      (numLines ++ strLines).mkString("\n"))
+      (numLines ++ strLines ++ nLine).mkString("\n"))
   }
 
   /** A layer's recorded (min, max) for `column`, when stats exist. */
@@ -379,6 +392,75 @@ object NdjsonIngest {
     }
   }
 
+  /** A layer's recorded row count (`n:` stats line), when present. */
+  private def layerRowCount(tableDir: String, layer: String): Option[Long] = {
+    val p = java.nio.file.Paths.get(tableDir, layer, "_stats")
+    if (!java.nio.file.Files.exists(p)) None
+    else java.nio.file.Files.readString(p).linesIterator
+      .map(_.split(" "))
+      .collectFirst { case Array("n:", n) => n.toLong }
+  }
+
+  /** `orderBy(column) [desc] + limit(k)` over a layer chain with EARLY
+    * TERMINATION from the stats sidecars — the reference's RangeSelection
+    * over a sorted column (range_selection.h:15-40) at layer granularity.
+    *
+    * Metadata-only bound, no data read to plan: sort layers by their
+    * EXIT bound (max for ascending, min for descending) and accumulate
+    * recorded row counts until ≥ k — the k-th best value can be no worse
+    * than the last accumulated layer's exit bound B, so any layer whose
+    * ENTRY bound is strictly beyond B cannot contribute and its parquet
+    * footer is never opened. On a chain clustered by `column` (time-
+    * ordered appends ranked by recency, score-clustered corpora) this
+    * reads O(k/rows-per-layer) layers regardless of chain length. Layers
+    * missing stats or counts are conservatively always read. The final
+    * orderBy+limit over the kept layers still plans as
+    * TakeOrderedAndProject — a per-partition heap, never a full sort.
+    *
+    * APPEND-ONLY chains only (like [[readChainRange]]); `tiebreak`
+    * columns are appended to the sort for a deterministic result.
+    */
+  def readChainTopK(spark: SparkSession, tableDir: String,
+      chain: Seq[String], column: String, k: Int, descending: Boolean,
+      tiebreak: Seq[String] = Nil,
+      pinSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    def read(layers: Seq[String]): DataFrame = pinSchema match {
+      case Some(st) =>
+        spark.read.schema(st).parquet(layers.map(l => s"$tableDir/$l"): _*)
+      case None => readChain(spark, tableDir, layers, None)
+    }
+    val stats = chain.map(l =>
+      (l, layerStats(tableDir, l, column), layerRowCount(tableDir, l)))
+    val known = stats.collect { case (l, Some((mn, mx)), Some(n)) => (l, mn, mx, n) }
+    val unknown = stats.collect { case (l, mn, n) if mn.isEmpty || n.isEmpty => l }
+    val kept =
+      if (known.isEmpty) chain
+      else {
+        // exit bound per layer: the value by which the layer is fully
+        // consumed when scanning in result order
+        val byExit = known.sortBy(s => if (descending) -s._2 else s._3)
+        var acc = 0L
+        var bound: Option[Double] = None
+        byExit.foreach { s =>
+          if (bound.isEmpty) { acc += s._4; if (acc >= k) bound = Some(if (descending) s._2 else s._3) }
+        }
+        bound match {
+          case None => chain // fewer than k counted rows: read everything
+          case Some(b) =>
+            // strict exclusion: a skipped layer's whole envelope is
+            // strictly worse than k already-counted rows, so no tiebreak
+            // order can ever pull one of its rows into the top-k
+            known.filter(s => if (descending) s._3 >= b else s._2 <= b)
+              .map(_._1) ++ unknown
+        }
+      }
+    val keyCols = (column +: tiebreak).map(c =>
+      if (descending && c == column) col(c).desc else col(c).asc)
+    read(kept.sortBy(l => chain.indexOf(l)))
+      .orderBy(keyCols: _*).limit(k)
+  }
+
   /** The latest table restricted to layers whose `[min, max]` envelope
     * of `column` INTERSECTS `[lo, hi]` — layers without stats (or
     * without the column) are conservatively included, so the result is
@@ -410,10 +492,24 @@ object NdjsonIngest {
   /** [[readChainRange]] over SEVERAL envelopes at once: a layer survives
     * only if it intersects EVERY asked range (conjunct semantics — each
     * range further narrows the chain).
+    *
+    * `pinSchema` pins the OUTPUT schema along with the chain: without
+    * it the read re-resolves the newest `_log/<seq>.schema` sidecar at
+    * query time, so a schema-evolution commit racing the plan would give the
+    * routed scan extra (null) columns the caller's unrouted frame does
+    * not have. Callers holding a registered frame pass its schema so
+    * routed and unrouted paths stay column-identical under any race.
     */
   def readChainRanges(spark: SparkSession, tableDir: String,
       chain: Seq[String], ranges: Seq[(String, Double, Double)],
-      strEquals: Seq[(String, Seq[String])] = Nil): DataFrame = {
+      strEquals: Seq[(String, Seq[String])] = Nil,
+      pinSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    def read(layers: Seq[String]): DataFrame = pinSchema match {
+      case Some(st) =>
+        spark.read.schema(st).parquet(layers.map(l => s"$tableDir/$l"): _*)
+      case None => readChain(spark, tableDir, layers, None)
+    }
     val kept = chain.filter { l =>
       ranges.forall { case (column, lo, hi) =>
         layerStats(tableDir, l, column) match {
@@ -431,9 +527,8 @@ object NdjsonIngest {
     }
     // an empty pruned chain still needs the table schema: read the given
     // chain's schema with an always-false filter
-    if (kept.isEmpty)
-      readChain(spark, tableDir, chain, None).filter(lit(false))
-    else readChain(spark, tableDir, kept, None)
+    if (kept.isEmpty) read(chain).filter(lit(false))
+    else read(kept)
   }
 
   private def flipPointer(tableDir: String, chain: Seq[String],

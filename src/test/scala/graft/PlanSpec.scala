@@ -194,6 +194,28 @@ class PlanSpec extends SparkSpec {
       "budget-select prefix sum no longer sub-sharded")
   }
 
+  test("q_zone_prune reads only the asked window's layers (2 of 30)") {
+    val df = SparkEntry.queries("q_zone_prune")(spark, sfDir)
+    // the scan's resolved input files must sit in exactly the two layer
+    // dirs whose date envelope intersects Jan 7-8 — every other layer's
+    // parquet footer is never opened (the reference's chunk-skip win at
+    // layer granularity)
+    val layers = df.inputFiles.map { f =>
+      f.split("/").takeRight(2).head
+    }.distinct.sorted
+    assert(layers.length === 2, s"layers read: ${layers.mkString(",")}")
+  }
+
+  test("q_topk_chain bounds the scan to the newest layer and still " +
+    "plans a top-k, not a full sort") {
+    val df = SparkEntry.queries("q_topk_chain")(spark, sfDir)
+    val layers = df.inputFiles.map(_.split("/").takeRight(2).head).distinct
+    assert(layers.length === 1, s"layers read: ${layers.mkString(",")}")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+  }
+
   test("exact-substring dup-set semi-join is not a forced broadcast") {
     // the dup-40-gram set is O(duplicated text) — unbounded on a web
     // corpus — so a broadcast() HINT (driver-side, size-blind) is a

@@ -428,6 +428,61 @@ class QueryServerSpec extends SparkSpec {
     assert(unknown.body().contains("does not exist"))
   }
 
+  test("serving limits are runtime config: non-default cutoffs drive " +
+    "both response paths end-to-end") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.ipc.ArrowStreamReader
+    import org.apache.spark.sql.functions._
+    // tiny everything (reference runtime_config.h:19-25 — the operator
+    // tunes materialization cutoff + memory limit without a rebuild):
+    // 7-row Arrow batches, 256-byte chunks, a 2-deep queue
+    val cfg = QueryServer.ServerConfig(
+      chunkBytes = 256, queueDepth = 2, arrowBatchRows = 7,
+      timeoutSeconds = 60)
+    val rows = spark.range(100).select(
+      concat(lit("k"), col("id")).as("primary_key"),
+      col("id").cast("int").as("age"))
+    val s = new QueryServer(() => (Catalog(Map("default" -> rows)), "v-cfg"),
+      0, cfg)
+    s.start()
+    try {
+      // Arrow path: the IPC stream must arrive in ≤7-row batches
+      val r = http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${s.boundPort}/query"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          "default.project({primary_key, age}).orderBy({age})"))
+        .header("Accept", "application/vnd.apache.arrow.stream").build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(r.statusCode() === 200)
+      val alloc = new RootAllocator()
+      val reader = new ArrowStreamReader(
+        new java.io.ByteArrayInputStream(r.body()), alloc)
+      try {
+        val root = reader.getVectorSchemaRoot
+        var n = 0; var batches = 0
+        while (reader.loadNextBatch()) {
+          batches += 1
+          assert(root.getRowCount <= 7,
+            s"batch of ${root.getRowCount} rows exceeds the configured cutoff")
+          n += root.getRowCount
+        }
+        assert(n === 100)
+        assert(batches >= 15) // ceil(100/7)
+      } finally { reader.close(); alloc.close() }
+      // NDJSON path: 256-byte chunks through a 2-deep queue still deliver
+      // every row exactly once
+      val nd = http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${s.boundPort}/query"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          "default.project({age}).orderBy({age})")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(nd.statusCode() === 200)
+      val ages = nd.body().trim.split("\n").map(_.trim)
+      assert(ages.length === 100)
+      assert(ages.head === """{"age":0}""" && ages.last === """{"age":99}""")
+    } finally s.stop()
+  }
+
   test("query exceeding the timeout → 500, Spark jobs cancelled") {
     val s = new QueryServer(Catalog(Map("default" -> table)), "v42",
       timeoutSeconds = 0)

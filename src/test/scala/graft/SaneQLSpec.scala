@@ -550,4 +550,64 @@ class SaneQLSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq.sorted
     assert(unrouted === routed) // no skew between filter shapes
   }
+
+  test("orderBy+limit over a stats-bearing chain routes to a bounded " +
+    "top-k read; every other shape stays untouched") {
+    import graft.sources.NdjsonIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft").toString + "/tk"
+    NdjsonIngest.appendVersion(
+      Seq((1L, 5.0), (2L, 3.0)).toDF("id", "v"), dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((3L, 12.0), (4L, 11.0)).toDF("id", "v"), dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((5L, 25.0), (6L, 21.0)).toDF("id", "v"), dir, "id")
+    val cat = Catalog(
+      tables = Map("vt" -> NdjsonIngest.readLatest(spark, dir)),
+      versionedDirs = Map("vt" -> dir))
+    val q = "vt.orderBy({desc(v), id}).limit(2)"
+    val routed = Planner.plan(q, cat)
+    // the two largest v live in v3 alone (count 2 ≥ k) — v1/v2 never open
+    assert(routed.inputFiles.forall(_.contains("/v3/")),
+      routed.inputFiles.mkString(","))
+    val noRoute = Planner.plan(q, cat.copy(versionedDirs = Map()))
+    assert(routed.collect().map(_.getLong(0)).toSeq ===
+      noRoute.collect().map(_.getLong(0)).toSeq)
+    assert(routed.collect().map(_.getLong(0)).toSeq === Seq(5L, 6L))
+    // ascending needs only the OLDEST layer
+    val asc = Planner.plan("vt.orderBy({v, id}).limit(2)", cat)
+    assert(asc.inputFiles.forall(_.contains("/v1/")))
+    assert(asc.collect().map(_.getLong(0)).toSeq === Seq(2L, 1L))
+    // a filter between scan and orderBy drops the note: full chain read,
+    // same rows (conservative, never a semantic change)
+    val filtered = Planner.plan(
+      "vt.filter(id > 0).orderBy({desc(v), id}).limit(2)", cat)
+    assert(filtered.collect().map(_.getLong(0)).toSeq === Seq(5L, 6L))
+    // a string first key cannot prune (no numeric envelope): still correct
+    val sCat = Catalog(
+      tables = Map("vt" -> NdjsonIngest.readLatest(spark, dir)),
+      versionedDirs = Map("vt" -> dir))
+    val byId = Planner.plan("vt.orderBy({desc(id)}).limit(1)", sCat)
+    assert(byId.collect().map(_.getLong(0)).toSeq === Seq(6L))
+  }
+
+  test("zone routing pins the registered frame's SCHEMA too — a schema-" +
+    "evolving commit racing the plan cannot widen the routed output") {
+    import graft.sources.NdjsonIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft").toString + "/se"
+    NdjsonIngest.appendVersion(
+      Seq((1L, 10.0)).toDF("id", "v"), dir, "id")
+    val cat = Catalog(
+      tables = Map("vt" -> NdjsonIngest.readLatest(spark, dir)),
+      versionedDirs = Map("vt" -> dir))
+    // a schema-EVOLVING layer commits after the catalog registered its
+    // frame: the routed read re-resolving the newest schema sidecar
+    // would surface `extra` as a null column the unrouted frame lacks
+    NdjsonIngest.appendDeltaEvolve(
+      Seq((2L, 20.0, "x")).toDF("id", "v", "extra"), dir, "id")
+    val routed = Planner.plan("vt.filter(between(id, 1, 100))", cat)
+    val unrouted = Planner.plan("vt.filter(id > 0)", cat)
+    assert(routed.columns.toSeq === unrouted.columns.toSeq,
+      "routed and unrouted paths must share one schema under the race")
+    assert(routed.collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
 }

@@ -134,6 +134,47 @@ class SourcesSpec extends SparkSpec {
     assert(NdjsonIngest.readLatestRange(spark, dir, "country", 0, 1).count() === 6)
   }
 
+  test("readChainTopK: stats-bounded top-k opens only the layers that " +
+    "can reach the k-th row") {
+    val dir = tmpDir() + "/t"
+    // four layers clustered ascending by id, 3 rows each
+    NdjsonIngest.appendVersion(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((11L, "d"), (12L, "e"), (13L, "f")).toDF("id", "s"), dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((21L, "g"), (22L, "h"), (23L, "i")).toDF("id", "s"), dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((31L, "j"), (32L, "k"), (33L, "l")).toDF("id", "s"), dir, "id")
+    val chain = NdjsonIngest.latestLayers(dir)
+    // ascending top-4: needs layers v1+v2 (3+3 ≥ 4 rows), never v3/v4
+    val asc4 = NdjsonIngest.readChainTopK(spark, dir, chain, "id", 4,
+      descending = false)
+    val ascFiles = asc4.inputFiles.toSeq
+    assert(ascFiles.nonEmpty &&
+      ascFiles.forall(f => f.contains("/v1/") || f.contains("/v2/")),
+      s"expected only v1/v2, got ${ascFiles.mkString(", ")}")
+    assert(asc4.select("id").as[Long].collect().toSeq === Seq(1L, 2L, 3L, 11L))
+    // descending top-2: only the last layer can reach the 2nd-best row
+    val desc2 = NdjsonIngest.readChainTopK(spark, dir, chain, "id", 2,
+      descending = true)
+    assert(desc2.inputFiles.forall(_.contains("/v4/")))
+    assert(desc2.select("id").as[Long].collect().toSeq === Seq(33L, 32L))
+    // k past the row count: everything is read, full ordering intact
+    val all = NdjsonIngest.readChainTopK(spark, dir, chain, "id", 100,
+      descending = false)
+    assert(all.count() === 12)
+    // overlapping envelopes keep every intersecting layer (superset,
+    // never a row loss): top-1 desc over overlapping ids
+    val dir2 = tmpDir() + "/o"
+    NdjsonIngest.appendVersion(Seq((1L, 5.0), (2L, 9.0)).toDF("id", "v"), dir2, "id")
+    NdjsonIngest.appendDelta(Seq((3L, 8.0), (4L, 9.5)).toDF("id", "v"), dir2, "id")
+    val top1 = NdjsonIngest.readChainTopK(spark, dir2,
+      NdjsonIngest.latestLayers(dir2), "v", 1, descending = true,
+      tiebreak = Seq("id"))
+    assert(top1.select("id").as[Long].collect().toSeq === Seq(4L))
+  }
+
   test("a NaN in a double column never poisons layer pruning") {
     val dir = tmpDir() + "/t"
     NdjsonIngest.appendVersion(
