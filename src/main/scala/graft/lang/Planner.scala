@@ -521,7 +521,7 @@ final class Planner(catalog: Planner.Catalog) {
     */
   final case class SortedScan(dir: String, chain: Seq[String],
       column: String, descending: Boolean, tiebreak: Seq[String],
-      schema: org.apache.spark.sql.types.StructType)
+      schema: org.apache.spark.sql.types.StructType, skip: Long = 0)
 
   private def err(msg: String): Nothing = throw QueryError(msg)
 
@@ -858,20 +858,41 @@ final class Planner(catalog: Planner.Catalog) {
 
       case "groupBy" =>
         val in = input
-        val aggs = req("aggregates") match {
+        val aggItems = req("aggregates") match {
           case RecordLit(items) => items.map {
-            case (n, Call("count", Seq(), Seq())) => count(lit(1)).as(n)
+            case (n, Call("count", Seq(), Seq())) => n
             case (n, other) => err(s"unsupported aggregate for '$n': $other " +
               "(only count() is supported)")
           }
           case other => err(s"groupBy aggregates must be a record, got $other")
         }
+        val aggs = aggItems.map(n => count(lit(1)).as(n))
         val cols = a("columns")
           .map(identSet(_, "groupBy columns")).getOrElse(Nil)
         cols.foreach(c => resolve(c, in.df))
-        val out =
-          if (cols.isEmpty) in.df.agg(aggs.head, aggs.tail: _*)
-          else in.df.groupBy(cols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        // ungrouped count over the bare registered merge-free chain
+        // answers from the layers' recorded row counts alone — zero
+        // parquet footers, zero Spark jobs (the reference's
+        // CountFilterNode metadata fast path at layer granularity).
+        // Layers predating row-count stats → None → normal counting scan.
+        val metaCount: Option[Long] =
+          if (cols.nonEmpty) None
+          else for {
+            t <- in.origin
+            dir <- catalog.versionedDirs.get(t)
+            if catalog.tables.get(t).exists(_ eq in.df)
+            chain <- frameLayers(in.df, dir)
+            if graft.sources.NdjsonIngest.chainMergeFree(dir, chain)
+            total <- graft.sources.NdjsonIngest.chainRowCount(dir, chain)
+          } yield total
+        val out = metaCount match {
+          case Some(total) =>
+            in.df.sparkSession.range(1)
+              .select(aggItems.map(n => lit(total).as(n)): _*)
+          case None if cols.isEmpty => in.df.agg(aggs.head, aggs.tail: _*)
+          case None =>
+            in.df.groupBy(cols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        }
         Tbl(out, None)
 
       case "project" =>
@@ -958,14 +979,19 @@ final class Planner(catalog: Planner.Catalog) {
         val n = intArg(req("count"), "limit")
         if (n <= 0) err("limit must be positive")
         in.sortedScan match {
-          case Some(ss) =>
+          case Some(ss) if ss.skip + n <= Int.MaxValue =>
             // stats-bounded top-k: layers whose envelope provably cannot
-            // reach the k-th best row are never opened; the result is
-            // the same orderBy+limit, just over a narrowed scan
-            Tbl(graft.sources.NdjsonIngest.readChainTopK(
-              in.df.sparkSession, ss.dir, ss.chain, ss.column, n.toInt,
-              ss.descending, ss.tiebreak, Some(ss.schema)), in.origin)
-          case None => Tbl(in.df.limit(n.toInt), in.origin)
+            // reach the (skip+k)-th best row are never opened; the result
+            // is the same orderBy[+offset]+limit, just over a narrowed
+            // scan (an interposed offset(o) deepened the bound to o+k and
+            // re-applies below)
+            val top = graft.sources.NdjsonIngest.readChainTopK(
+              in.df.sparkSession, ss.dir, ss.chain, ss.column,
+              (ss.skip + n).toInt, ss.descending, ss.tiebreak,
+              Some(ss.schema))
+            Tbl(if (ss.skip > 0) top.offset(ss.skip.toInt).limit(n.toInt)
+                else top, in.origin)
+          case _ => Tbl(in.df.limit(n.toInt), in.origin)
         }
 
       case "offset" =>
@@ -973,7 +999,11 @@ final class Planner(catalog: Planner.Catalog) {
         val n = intArg(req("count"), "offset")
         // reference: offset is a uint32 (ast_to_query.cpp extractUnsigned)
         if (n < 0) err(s"Cannot cast $n to uint32. Value out of range")
-        Tbl(in.df.offset(n.toInt), in.origin)
+        // an offset between orderBy and limit deepens (not drops) the
+        // top-k note: limit(k) then reads the first skip+k rows and
+        // re-applies the skip
+        Tbl(in.df.offset(n.toInt), in.origin,
+          in.sortedScan.map(ss => ss.copy(skip = ss.skip + n)))
 
       case "randomize" =>
         val in = input

@@ -573,6 +573,20 @@ object RelationalQueries {
           |  .project({event_id, d, event_type})""".stripMargin, catalog)
     },
 
+    // ---- METADATA COUNT over the chain: ungrouped count() on the bare
+    //      registered merge-free chain answers from the layers' recorded
+    //      `n:` row counts — zero parquet footers, zero counting jobs
+    //      (the reference's CountFilterNode metadata fast path at layer
+    //      granularity). The oracle counts the flat table for real. ----
+    QDef("q_count_chain",
+      "SELECT count(*) AS c FROM events") { (s, dir) =>
+      val tableDir = memoEventsChain(s, dir)
+      val catalog = graft.lang.Planner.Catalog(
+        tables = Map("ev" -> graft.sources.NdjsonIngest.readLatest(s, tableDir)),
+        versionedDirs = Map("ev" -> tableDir))
+      graft.lang.Planner.plan("ev.groupBy({c := count()})", catalog)
+    },
+
     // ---- gap-based sessionization (streaming-shaped, batch-run) ----
     QDef("q_events_sessions",
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

@@ -401,6 +401,17 @@ object NdjsonIngest {
       .collectFirst { case Array("n:", n) => n.toLong }
   }
 
+  /** The chain's total row count from the `n:` stats lines alone — no
+    * parquet footer ever opens. None when any layer predates row-count
+    * stats (callers fall back to a counting scan). APPEND-ONLY chains
+    * only: an upsert/tombstone chain's readable count is a merge result,
+    * not a layer sum — gate on [[chainMergeFree]] first.
+    */
+  def chainRowCount(tableDir: String, chain: Seq[String]): Option[Long] = {
+    val counts = chain.map(l => layerRowCount(tableDir, l))
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+  }
+
   /** `orderBy(column) [desc] + limit(k)` over a layer chain with EARLY
     * TERMINATION from the stats sidecars — the reference's RangeSelection
     * over a sorted column (range_selection.h:15-40) at layer granularity.

@@ -588,6 +588,50 @@ class SaneQLSpec extends SparkSpec {
       versionedDirs = Map("vt" -> dir))
     val byId = Planner.plan("vt.orderBy({desc(id)}).limit(1)", sCat)
     assert(byId.collect().map(_.getLong(0)).toSeq === Seq(6L))
+    // an offset between orderBy and limit DEEPENS the bound (skip+k) and
+    // re-applies: rows 3-4 of the ascending stream need v1+v2, never v3
+    val off = Planner.plan("vt.orderBy({v, id}).offset(2).limit(2)", cat)
+    assert(off.inputFiles.nonEmpty &&
+      off.inputFiles.forall(f => f.contains("/v1/") || f.contains("/v2/")),
+      off.inputFiles.mkString(","))
+    assert(off.collect().map(_.getLong(0)).toSeq === Seq(4L, 3L))
+    assert(off.collect().map(_.getLong(0)).toSeq ===
+      Planner.plan("vt.orderBy({v, id}).offset(2).limit(2)",
+        cat.copy(versionedDirs = Map())).collect().map(_.getLong(0)).toSeq)
+  }
+
+  test("ungrouped count over a stats-bearing chain answers from layer " +
+    "metadata alone — no parquet scan") {
+    import graft.sources.NdjsonIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft").toString + "/mc"
+    NdjsonIngest.appendVersion(
+      Seq((1L, 5.0), (2L, 3.0)).toDF("id", "v"), dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((3L, 12.0), (4L, 11.0), (5L, 1.0)).toDF("id", "v"), dir, "id")
+    val cat = Catalog(
+      tables = Map("vt" -> NdjsonIngest.readLatest(spark, dir)),
+      versionedDirs = Map("vt" -> dir))
+    val c = Planner.plan("vt.groupBy({c := count()})", cat)
+    assert(c.inputFiles.isEmpty, "metadata count must not plan a file scan")
+    assert(c.collect().map(_.getLong(0)).toSeq === Seq(5L))
+    // value-identical to the counting scan
+    assert(Planner.plan("vt.groupBy({c := count()})",
+      cat.copy(versionedDirs = Map())).collect().head.getLong(0) === 5L)
+    // a filter in between drops the fast path: real counting scan
+    val f = Planner.plan("vt.filter(v > 4.0).groupBy({c := count()})", cat)
+    assert(f.collect().head.getLong(0) === 3L)
+    // grouped counts keep the scan too
+    val g = Planner.plan("vt.groupBy({c := count()}, {id})", cat)
+    assert(g.count() === 5L)
+    // an upsert layer disqualifies the layer-sum (merge-on-read counts
+    // differ from the sum): the fallback must count the MERGED rows
+    NdjsonIngest.upsertDelta(
+      Seq((5L, 99.0), (6L, 7.0)).toDF("id", "v"), dir, "id")
+    val cat2 = Catalog(
+      tables = Map("vt" -> NdjsonIngest.readLatestMerged(spark, dir, "id")),
+      versionedDirs = Map("vt" -> dir))
+    val m = Planner.plan("vt.groupBy({c := count()})", cat2)
+    assert(m.collect().head.getLong(0) === 6L)
   }
 
   test("zone routing pins the registered frame's SCHEMA too — a schema-" +
