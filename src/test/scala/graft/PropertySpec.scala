@@ -591,4 +591,46 @@ class PropertySpec extends SparkSpec {
         }
     }
   }
+
+  test("stats-bounded top-k and metadata count ALWAYS equal the " +
+    "unrouted plans (randomized layers, ties, offsets, k)") {
+    import graft.lang.Planner
+    import graft.lang.Planner.Catalog
+    import graft.sources.NdjsonIngest
+    val caseGen = for {
+      nLayers <- Gen.choose(1, 4)
+      // a narrow value range so duplicate sort keys (ties) are common —
+      // the unique id tiebreak must keep routed/unrouted byte-identical
+      rows <- Gen.listOfN(nLayers, Gen.choose(1, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(-8L, 8L))))
+      k <- Gen.choose(1, 8)
+      off <- Gen.choose(0, 4)
+      descend <- Gen.oneOf(true, false)
+    } yield (rows, k, off, descend)
+    samples(caseGen, 12).zipWithIndex.foreach {
+      case ((layerRows, k, off, desc), ci) =>
+        val dir = java.nio.file.Files.createTempDirectory("tkprop")
+          .toString + "/t"
+        layerRows.zipWithIndex.foreach { case (rs, li) =>
+          val df = rs.zipWithIndex.map { case (v, ri) =>
+            (li * 100L + ri, v) }.toDF("id", "v")
+          if (li == 0) NdjsonIngest.appendVersion(df, dir, "id")
+          else NdjsonIngest.appendDelta(df, dir, "id")
+        }
+        val frame = NdjsonIngest.readLatest(spark, dir)
+        val routed = Catalog(tables = Map("t" -> frame),
+          versionedDirs = Map("t" -> dir))
+        val unrouted = Catalog(tables = Map("t" -> frame))
+        val key = if (desc) "desc(v)" else "v"
+        Seq(s"t.orderBy({$key, id}).limit($k)",
+            s"t.orderBy({$key, id}).offset($off).limit($k)").foreach { q =>
+          def seqOf(cat: Catalog) = Planner.plan(q, cat)
+            .select("id").as[Long].collect().toSeq // ORDERED compare
+          assert(seqOf(routed) === seqOf(unrouted), s"case $ci query $q")
+        }
+        def cnt(cat: Catalog) = Planner.plan("t.groupBy({c := count()})", cat)
+          .collect().head.getLong(0)
+        assert(cnt(routed) === cnt(unrouted), s"case $ci count")
+    }
+  }
 }
