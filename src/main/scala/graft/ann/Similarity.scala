@@ -107,6 +107,39 @@ object Similarity {
     * two-level quantizer (assign to a coarse cell first, train/dedup per
     * coarse shard) — the per-shard recipe is exactly this function.
     */
+  /** SemDeDup off the PERSISTED IVF-PQ index ([[AnnIndex]]): the cell
+    * assignment comes from the committed codes layers — maintained
+    * O(batch) by the change feed (`AnnIndex.syncFromFeed`) — so dedup
+    * pays NO quantizer training or assignment pass per invocation; only
+    * the within-cell verify join runs. Exact embeddings come from the
+    * corpus table (codes hold lossy PQ bytes), and the inner join on id
+    * drops deleted vectors whose codes outlive them (append-only codes
+    * contract, same as `AnnIndex.search`'s live filter). An id
+    * re-encoded by a later layer (upsert) takes its NEWEST cell.
+    */
+  def semdedupFromIndex(h: AnnIndex.Handle, emb: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    if (h.layers.isEmpty)
+      // an all-row purge commits an empty chain: nothing is assigned,
+      // so nothing dedups — empty frame, schema intact
+      return semdedupInCells(
+        emb.select(col(idCol), col(vecCol), lit(0).as("cell")).limit(0),
+        idCol, vecCol, threshold)
+    val newestFirst = Window.partitionBy(col(idCol))
+      .orderBy(col("layer").cast("long").desc)
+    val cells = spark.read
+      .option("basePath", s"${h.indexDir}/codes")
+      .parquet(h.layers.map(l => s"${h.indexDir}/codes/layer=$l"): _*)
+      .select(col("id").as(idCol), col("cell"), col("layer"))
+      .withColumn("rk", row_number().over(newestFirst))
+      .filter(col("rk") === 1)
+      .select(col(idCol), col("cell"))
+    val assigned = emb.select(col(idCol), col(vecCol)).join(cells, Seq(idCol))
+    semdedupInCells(assigned, idCol, vecCol, threshold)
+  }
+
   def semdedup(
       emb: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double = 0.35, targetCellSize: Long = 1024L,

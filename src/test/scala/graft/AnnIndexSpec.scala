@@ -30,6 +30,40 @@ class AnnIndexSpec extends SparkSpec {
 
   private lazy val emb = vecs.toDF("vec_id", "embedding").localCheckpoint()
 
+  test("semdedupFromIndex reuses the persisted cells: equal to fresh " +
+    "assignment, skips deleted ids, tracks upserts to the newest layer") {
+    import graft.ann.{Ivf, Similarity}
+    val dir = Files.createTempDirectory("sdidx").toString + "/idx"
+    val h = AnnIndex.buildOrLoad(spark, emb, "vec_id", "embedding", dir,
+      dim = dim, cells = 4, m = 4, k = 4, iters = 2)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cell", "kept", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).sortBy(_._1).toSeq
+    val fromIdx = Similarity.semdedupFromIndex(h, emb, "vec_id", "embedding", 0.9)
+    val fresh = Similarity.semdedupInCells(
+      Ivf.assign(emb, "embedding", h.cents), "vec_id", "embedding", 0.9)
+    assert(key(fromIdx) === key(fresh))
+    assert(fromIdx.count() === 100)
+    // deleted vectors: codes outlive the rows, but the join on the live
+    // corpus drops them from BOTH sides (no kept verdict, no dup_of ref)
+    val live = emb.filter(col("vec_id") < 50)
+    val afterDel = Similarity.semdedupFromIndex(h, live, "vec_id", "embedding", 0.9)
+    assert(afterDel.count() === 50)
+    assert(afterDel.filter(col("dup_of") >= 50).count() === 0)
+    // an upserted id re-encodes in a later layer: its NEWEST cell wins
+    val moved = Seq((0L, Array.tabulate(dim)(i =>
+      if (i >= 6) 1.0f else 0.0f))).toDF("vec_id", "embedding")
+    AnnIndex.append(spark, moved, "vec_id", "embedding", dir)
+    val h2 = AnnIndex.load(spark, dir).get
+    val emb2 = emb.filter(col("vec_id") =!= 0L).union(moved)
+    val after = Similarity.semdedupFromIndex(h2, emb2, "vec_id", "embedding", 0.9)
+    val cell0 = after.filter(col("vec_id") === 0L).select("cell").head().getInt(0)
+    val cluster4 = Ivf.assign(moved, "embedding", h2.cents)
+      .select("cell").head().getInt(0)
+    assert(cell0 === cluster4, "upserted id must carry its newest cell")
+  }
+
   private def exhaustiveTop5(probeIds: Seq[Long]) = {
     val e = emb.select(col("vec_id"), col("embedding"),
       VF.norm2(col("embedding")).as("nrm"))
