@@ -57,7 +57,14 @@ final class QueryServer(catalogSupplier: () => (Catalog, String),
   private def timeoutSeconds: Long = config.timeoutSeconds
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  // producers get an UNBOUNDED pool, request dispatch a BOUNDED one
+  // (reference ApiOptions::max_connections, runtime_config.h:15): with one
+  // shared bounded pool, maxConnections parked handlers would starve the
+  // producers they wait on — requests past the bound queue at the HTTP
+  // layer instead, and each admitted request still gets its producer
+  // thread immediately.
   private val pool = Executors.newCachedThreadPool()
+  private val handlerPool = Executors.newFixedThreadPool(config.maxConnections)
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -409,12 +416,15 @@ final class QueryServer(catalogSupplier: () => (Catalog, String),
 
     // a null executor runs every exchange on the single dispatcher
     // thread — concurrent queries would serialize at the HTTP layer even
-    // though Spark-side work is pooled; dispatch handlers on the pool
-    server.setExecutor(pool)
+    // though Spark-side work is pooled; dispatch handlers on the bounded
+    // pool (maxConnections concurrent requests, the rest queue)
+    server.setExecutor(handlerPool)
     server.start()
   }
 
-  def stop(): Unit = { server.stop(0); pool.shutdownNow() }
+  def stop(): Unit = {
+    server.stop(0); handlerPool.shutdownNow(); pool.shutdownNow()
+  }
 }
 
 object QueryServer {
@@ -431,9 +441,11 @@ object QueryServer {
       chunkBytes: Int = 64 * 1024,
       queueDepth: Int = 64,
       arrowBatchRows: Int = ArrowSink.BatchRows,
-      timeoutSeconds: Long = 120) {
+      timeoutSeconds: Long = 120,
+      maxConnections: Int = 64) {
     require(chunkBytes > 0 && queueDepth > 0 && arrowBatchRows > 0 &&
-      timeoutSeconds >= 0, s"serving limits must be positive: $this")
+      timeoutSeconds >= 0 && maxConnections > 0,
+      s"serving limits must be positive: $this")
   }
 
   /** A catalog supplier that probes the data version per request (cheap:

@@ -483,6 +483,37 @@ class QueryServerSpec extends SparkSpec {
     } finally s.stop()
   }
 
+  test("maxConnections bounds concurrent dispatch without starving " +
+    "producers: every queued request still completes") {
+    import java.util.concurrent.{Executors, TimeUnit}
+    // 2 admitted requests at a time, 12 in flight: each admitted handler
+    // parks on its producer, which runs on the UNBOUNDED pool — a shared
+    // bounded pool would deadlock-then-timeout here
+    val s = new QueryServer(() => (Catalog(Map("default" -> table)), "v-mc"),
+      0, QueryServer.ServerConfig(maxConnections = 2))
+    s.start()
+    try {
+      val exec = Executors.newFixedThreadPool(12)
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      (1 to 12).foreach { _ =>
+        exec.submit(new Runnable {
+          def run(): Unit = {
+            val r = http.send(HttpRequest.newBuilder(
+              URI.create(s"http://127.0.0.1:${s.boundPort}/query"))
+              .POST(HttpRequest.BodyPublishers.ofString(
+                "default.groupBy({count := count()})")).build(),
+              HttpResponse.BodyHandlers.ofString())
+            results.add(r.body().trim)
+          }
+        })
+      }
+      exec.shutdown()
+      assert(exec.awaitTermination(120, TimeUnit.SECONDS))
+      assert(results.size === 12)
+      results.forEach(b => assert(b === """{"count":3}"""))
+    } finally s.stop()
+  }
+
   test("query exceeding the timeout → 500, Spark jobs cancelled") {
     val s = new QueryServer(Catalog(Map("default" -> table)), "v42",
       timeoutSeconds = 0)
