@@ -88,6 +88,23 @@ final class QueryServer(catalogSupplier: () => (Catalog, String),
     ex.close()
   }
 
+  /** 503 + Retry-After hint while the database is still loading
+    * (reference error_request_handler.cpp:30-44 + the
+    * computeRetryAfterHintForStartupTime shape).
+    */
+  private def respondUnavailable(ex: HttpExchange): Unit = {
+    val retry = config.estimatedStartupEnd.flatMap { end =>
+      val secs = java.time.Duration
+        .between(java.time.Instant.now(), end).getSeconds
+      if (secs > 0) Some(secs) else None
+    }
+    retry.foreach(s => ex.getResponseHeaders.set("Retry-After", s.toString))
+    val msg = "Database not initialized yet." +
+      retry.map(s => s" Please try again after $s seconds.").getOrElse("")
+    respond(ex, 503,
+      s"""{"error":"Service Temporarily Unavailable","message":"$msg"}""")
+  }
+
   private def jsonEscape(s: String): String = s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
@@ -337,6 +354,7 @@ final class QueryServer(catalogSupplier: () => (Catalog, String),
             (s"""{"__streamError":"${jsonEscape(msg)}"}""" + "\n")
               .getBytes(UTF_8)))(produceNdjson)
     } catch {
+      case _: QueryServer.UninitializedCatalog => respondUnavailable(ex)
       case e @ (_: QueryError | _: Parser.ParseError | _: Lexer.LexError) =>
         respond(ex, 400,
           s"""{"error":"Bad request","message":"${jsonEscape(e.getMessage)}"}""")
@@ -373,6 +391,7 @@ final class QueryServer(catalogSupplier: () => (Catalog, String),
           else bad(s"The column $column does not have a lineageIndex defined.")
       }
     } catch {
+      case _: QueryServer.UninitializedCatalog => respondUnavailable(ex)
       // a failing supplier must still produce a well-formed 500, not an
       // exception out of the handler (which closes the connection bodyless)
       case e: Throwable =>
@@ -401,6 +420,7 @@ final class QueryServer(catalogSupplier: () => (Catalog, String),
           s"""{"dataVersion":"$dataVersion","tables":$tables}""",
           dataVersion = Some(dataVersion))
       } catch {
+        case _: QueryServer.UninitializedCatalog => respondUnavailable(ex)
         // a failing supplier → well-formed 500, not a bodyless close
         case e: Throwable =>
           respond(ex, 500, s"""{"error":"Internal Server Error","message":"${
@@ -442,11 +462,20 @@ object QueryServer {
       queueDepth: Int = 64,
       arrowBatchRows: Int = ArrowSink.BatchRows,
       timeoutSeconds: Long = 120,
-      maxConnections: Int = 64) {
+      maxConnections: Int = 64,
+      estimatedStartupEnd: Option[java.time.Instant] = None) {
     require(chunkBytes > 0 && queueDepth > 0 && arrowBatchRows > 0 &&
       timeoutSeconds >= 0 && maxConnections > 0,
       s"serving limits must be positive: $this")
   }
+
+  /** Thrown by a `catalogSupplier` whose database is still loading: every
+    * endpoint answers 503 with the reference's body and a `Retry-After`
+    * hint from `estimatedStartupEnd` (error_request_handler.cpp:30-44,
+    * UninitializedDatabaseException → HTTP_SERVICE_UNAVAILABLE).
+    */
+  final class UninitializedCatalog extends
+    RuntimeException("Database not initialized yet.")
 
   /** A catalog supplier that probes the data version per request (cheap:
     * a pointer read) but re-BUILDS the catalog only when the version

@@ -483,6 +483,43 @@ class QueryServerSpec extends SparkSpec {
     } finally s.stop()
   }
 
+  test("uninitialized database → 503 with Retry-After until the catalog " +
+    "loads (reference startup contract)") {
+    val ready = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val supplier: () => (Catalog, String) = () =>
+      if (ready.get) (Catalog(Map("default" -> table)), "v-up")
+      else throw new QueryServer.UninitializedCatalog
+    val s = new QueryServer(supplier, 0, QueryServer.ServerConfig(
+      estimatedStartupEnd =
+        Some(java.time.Instant.now().plusSeconds(300))))
+    s.start()
+    try {
+      def query() = http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${s.boundPort}/query"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          "default.groupBy({count := count()})")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val r = query()
+      assert(r.statusCode() === 503)
+      assert(r.body().contains("\"error\":\"Service Temporarily Unavailable\""))
+      assert(r.body().contains("Database not initialized yet."))
+      val retry = r.headers().firstValue("Retry-After")
+      assert(retry.isPresent)
+      assert(retry.get().toLong > 0 && retry.get().toLong <= 300)
+      assert(r.body().contains(s"try again after ${retry.get()} seconds"))
+      // /info is 503 too while loading
+      val info = http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${s.boundPort}/info")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(info.statusCode() === 503)
+      // the catalog comes up: same server starts answering, no restart
+      ready.set(true)
+      val ok = query()
+      assert(ok.statusCode() === 200)
+      assert(ok.body().trim === """{"count":3}""")
+    } finally s.stop()
+  }
+
   test("maxConnections bounds concurrent dispatch without starving " +
     "producers: every queued request still completes") {
     import java.util.concurrent.{Executors, TimeUnit}
