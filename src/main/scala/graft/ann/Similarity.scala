@@ -93,20 +93,6 @@ object Similarity {
         col("dup_of").isNull.as("kept"), col("dup_of"))
   }
 
-  /** SemDeDup production entry point: cells SCALE WITH THE CORPUS —
-    * `cells ≈ N / targetCellSize` — so the within-cell self-join stays
-    * O(N · targetCellSize) total pairs, LINEAR in corpus size (a fixed
-    * cell count would be O(N²/cells), quadratic). The quantizer is the
-    * trained IVF coarse quantizer ([[Ivf.train]]: sample-init + Lloyd
-    * passes, only the cells×dim model crosses the driver), the same
-    * model a persisted [[AnnIndex]] would hold, so at scale this routes
-    * through the index instead of retraining per run.
-    *
-    * Scale note: the centroid matrix is cells×dim ≈ (N/targetCellSize)×dim
-    * doubles and must stay broadcast-sized; past ~10⁵ cells use a
-    * two-level quantizer (assign to a coarse cell first, train/dedup per
-    * coarse shard) — the per-shard recipe is exactly this function.
-    */
   /** SemDeDup off the PERSISTED IVF-PQ index ([[AnnIndex]]): the cell
     * assignment comes from the committed codes layers — maintained
     * O(batch) by the change feed (`AnnIndex.syncFromFeed`) — so dedup
@@ -116,6 +102,12 @@ object Similarity {
     * drops deleted vectors whose codes outlive them (append-only codes
     * contract, same as `AnnIndex.search`'s live filter). An id
     * re-encoded by a later layer (upsert) takes its NEWEST cell.
+    *
+    * The index must COVER the corpus: a corpus row with no committed
+    * code (the feed consumer lagging an append) has no cell and can
+    * get no verdict — that's an operational ordering error, so it
+    * throws instead of silently dropping the row (run
+    * `AnnIndex.syncFromFeed` first).
     */
   def semdedupFromIndex(h: AnnIndex.Handle, emb: DataFrame,
       idCol: String, vecCol: String, threshold: Double): DataFrame = {
@@ -136,10 +128,29 @@ object Similarity {
       .withColumn("rk", row_number().over(newestFirst))
       .filter(col("rk") === 1)
       .select(col(idCol), col("cell"))
+    val uncovered = emb.select(col(idCol))
+      .join(cells, Seq(idCol), "left_anti").count()
+    require(uncovered == 0,
+      s"$uncovered corpus vectors have no committed code entry — the " +
+        "index lags the corpus; run AnnIndex.syncFromFeed before dedup")
     val assigned = emb.select(col(idCol), col(vecCol)).join(cells, Seq(idCol))
     semdedupInCells(assigned, idCol, vecCol, threshold)
   }
 
+  /** SemDeDup production entry point: cells SCALE WITH THE CORPUS —
+    * `cells ≈ N / targetCellSize` — so the within-cell self-join stays
+    * O(N · targetCellSize) total pairs, LINEAR in corpus size (a fixed
+    * cell count would be O(N²/cells), quadratic). The quantizer is the
+    * trained IVF coarse quantizer ([[Ivf.train]]: sample-init + Lloyd
+    * passes, only the cells×dim model crosses the driver), the same
+    * model a persisted [[AnnIndex]] holds — a recurring dedup should use
+    * [[semdedupFromIndex]] instead of retraining per run.
+    *
+    * Scale note: the centroid matrix is cells×dim ≈ (N/targetCellSize)×dim
+    * doubles and must stay broadcast-sized; past ~10⁵ cells use a
+    * two-level quantizer (assign to a coarse cell first, train/dedup per
+    * coarse shard) — the per-shard recipe is exactly this function.
+    */
   def semdedup(
       emb: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double = 0.35, targetCellSize: Long = 1024L,

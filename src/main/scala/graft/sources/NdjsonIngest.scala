@@ -315,6 +315,11 @@ object NdjsonIngest {
         max(statCol(c)).cast("double").as(s"max_$c"))) ++
       strings.flatMap(c =>
         Seq(min(col(c)).as(s"smin_$c"), max(col(c)).as(s"smax_$c"))) ++
+      // per-column NON-NULL counts (c: lines): top-k pruning needs them —
+      // envelopes cover only non-null values while nulls sort FIRST under
+      // asc (Spark default), so a bound computed from total rows would
+      // silently misplace null rows
+      numeric.map(c => count(col(c)).as(s"nn_$c")) ++
       Seq(count(lit(1)).as("_n"))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val numLines = numeric.zipWithIndex.flatMap { case (c, i) =>
@@ -348,58 +353,62 @@ object NdjsonIngest {
         case _ => None
       }
     }
-    // the layer's row count rides under an `n:` marker (2 tokens — can
-    // never match the 3-token column-stat patterns): with per-layer
-    // counts AND envelopes, orderBy+limit can compute a value bound that
-    // provably contains the top-k from metadata alone (readChainTopK)
+    // the layer's row count rides under an `n:` marker and per-column
+    // non-null counts under `c:<col>` markers (both 2 tokens — can never
+    // match the 3-token column-stat patterns): with per-layer counts AND
+    // envelopes, orderBy+limit can compute a value bound that provably
+    // contains the top-k from metadata alone (readChainTopK)
+    val nnLines = numeric.zipWithIndex.map { case (c, i) =>
+      s"c:$c ${row.getLong(2 * numeric.length + 2 * strings.length + i)}"
+    }
     val nLine = Seq(s"n: ${row.getLong(aggs.length - 1)}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(layerDir, "_stats"),
-      (numLines ++ strLines ++ nLine).mkString("\n"))
+      (numLines ++ strLines ++ nnLines ++ nLine).mkString("\n"))
+  }
+
+  /** A layer's `_stats` sidecar, tokenized — ONE file read shared by all
+    * the per-column readers (a routed plan consults several stats per
+    * layer; re-reading the sidecar per lookup doubles plan-time metadata
+    * I/O on long chains).
+    */
+  private def statsLines(tableDir: String,
+      layer: String): Option[Seq[Array[String]]] = {
+    val p = java.nio.file.Paths.get(tableDir, layer, "_stats")
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(java.nio.file.Files.readString(p).linesIterator
+      .map(_.split(" ")).toSeq)
   }
 
   /** A layer's recorded (min, max) for `column`, when stats exist. */
   private def layerStats(tableDir: String, layer: String,
-      column: String): Option[(Double, Double)] = {
-    val p = java.nio.file.Paths.get(tableDir, layer, "_stats")
-    if (!java.nio.file.Files.exists(p)) None
-    else java.nio.file.Files.readString(p).linesIterator
-      .map(_.split(" "))
-      .collectFirst { case Array(c, lo, hi) if c == column =>
+      column: String): Option[(Double, Double)] =
+    statsLines(tableDir, layer).flatMap(
+      _.collectFirst { case Array(c, lo, hi) if c == column =>
         (lo.toDouble, hi.toDouble)
       }
       // legacy stats written before the NaN write-guard: treat a NaN
       // envelope as no-stats (always include), never as prunable
-      .filterNot { case (lo, hi) => lo.isNaN || hi.isNaN }
-  }
+      .filterNot { case (lo, hi) => lo.isNaN || hi.isNaN })
 
   /** A layer's recorded lexicographic (min, max) for a STRING `column`,
     * when stats exist (`s:`-marked, base64'd — see writeLayerStats).
     */
   private def layerStringStats(tableDir: String, layer: String,
       column: String): Option[(String, String)] = {
-    val p = java.nio.file.Paths.get(tableDir, layer, "_stats")
-    if (!java.nio.file.Files.exists(p)) None
-    else {
-      val d = java.util.Base64.getDecoder
-      def dec(v: String) = new String(d.decode(v),
-        java.nio.charset.StandardCharsets.UTF_8)
-      java.nio.file.Files.readString(p).linesIterator
-        .map(_.split(" "))
-        .collectFirst { case Array(c, lo, hi) if c == s"s:$column" =>
-          (dec(lo), dec(hi))
-        }
-    }
+    val d = java.util.Base64.getDecoder
+    def dec(v: String) = new String(d.decode(v),
+      java.nio.charset.StandardCharsets.UTF_8)
+    statsLines(tableDir, layer).flatMap(
+      _.collectFirst { case Array(c, lo, hi) if c == s"s:$column" =>
+        (dec(lo), dec(hi))
+      })
   }
 
   /** A layer's recorded row count (`n:` stats line), when present. */
-  private def layerRowCount(tableDir: String, layer: String): Option[Long] = {
-    val p = java.nio.file.Paths.get(tableDir, layer, "_stats")
-    if (!java.nio.file.Files.exists(p)) None
-    else java.nio.file.Files.readString(p).linesIterator
-      .map(_.split(" "))
-      .collectFirst { case Array("n:", n) => n.toLong }
-  }
+  private def layerRowCount(tableDir: String, layer: String): Option[Long] =
+    statsLines(tableDir, layer).flatMap(
+      _.collectFirst { case Array("n:", n) => n.toLong })
 
   /** The chain's total row count from the `n:` stats lines alone — no
     * parquet footer ever opens. None when any layer predates row-count
@@ -441,35 +450,84 @@ object NdjsonIngest {
         spark.read.schema(st).parquet(layers.map(l => s"$tableDir/$l"): _*)
       case None => readChain(spark, tableDir, layers, None)
     }
-    val stats = chain.map(l =>
-      (l, layerStats(tableDir, l, column), layerRowCount(tableDir, l)))
-    val known = stats.collect { case (l, Some((mn, mx)), Some(n)) => (l, mn, mx, n) }
-    val unknown = stats.collect { case (l, mn, n) if mn.isEmpty || n.isEmpty => l }
-    val kept =
+    // per layer (ONE sidecar read each): envelope over the NON-NULL
+    // values, total rows, non-null rows. Nulls need their own ledger —
+    // Spark sorts them FIRST under asc and LAST under desc, and the
+    // envelope says nothing about them.
+    final case class LS(layer: String, env: Option[(Double, Double)],
+        n: Long, nn: Long) {
+      def nulls: Long = n - nn
+    }
+    val (known, unknown) = chain.map { l =>
+      val lines = statsLines(tableDir, l)
+      val env = lines.flatMap(_.collectFirst {
+        case Array(c, lo, hi) if c == column => (lo.toDouble, hi.toDouble)
+      }.filterNot { case (lo, hi) => lo.isNaN || hi.isNaN })
+      val n = lines.flatMap(_.collectFirst { case Array("n:", v) => v.toLong })
+      val nn = lines.flatMap(_.collectFirst {
+        case Array(c, v) if c == s"c:$column" => v.toLong })
+      (l, env, n, nn)
+    }.partitionMap {
+      // "known": counts present, and the envelope either present or
+      // vacuously absent (no non-null values). A missing envelope WITH
+      // non-null rows is the NaN write-guard (or a legacy sidecar) —
+      // order unknowable, always read, contributes nothing to the bound.
+      case (l, env, Some(n), Some(nn)) if env.isDefined || nn == 0 =>
+        Left(LS(l, env, n, nn))
+      case (l, _, _, _) => Right(l)
+    }
+    val kept: Seq[String] =
       if (known.isEmpty) chain
-      else {
-        // exit bound per layer: the value by which the layer is fully
-        // consumed when scanning in result order
-        val byExit = known.sortBy(s => if (descending) -s._2 else s._3)
-        var acc = 0L
-        var bound: Option[Double] = None
-        byExit.foreach { s =>
-          if (bound.isEmpty) { acc += s._4; if (acc >= k) bound = Some(if (descending) s._2 else s._3) }
+      else if (descending) {
+        // nulls sort LAST: they only matter when the known non-null rows
+        // cannot fill k on their own (unknown layers are read either way)
+        if (known.map(_.nn).sum < k) chain
+        else {
+          val byExit = known.filter(_.env.isDefined).sortBy(-_.env.get._1)
+          var acc = 0L
+          var bound: Option[Double] = None
+          byExit.foreach { s =>
+            if (bound.isEmpty) {
+              acc += s.nn; if (acc >= k) bound = Some(s.env.get._1)
+            }
+          }
+          val b = bound.get // sum >= k above guarantees it
+          // strict exclusion: a pruned layer's every non-null value is
+          // < b while >= k non-null rows >= b exist, and its nulls sort
+          // after all of those — no tiebreak can promote either
+          known.filter(s => s.env.exists(_._2 >= b)).map(_.layer) ++ unknown
         }
-        bound match {
-          case None => chain // fewer than k counted rows: read everything
-          case Some(b) =>
-            // strict exclusion: a skipped layer's whole envelope is
-            // strictly worse than k already-counted rows, so no tiebreak
-            // order can ever pull one of its rows into the top-k
-            known.filter(s => if (descending) s._3 >= b else s._2 <= b)
-              .map(_._1) ++ unknown
+      } else {
+        // nulls sort FIRST: every null-bearing layer stays (which nulls
+        // make the cut is a tiebreak question), and they shrink the
+        // value budget; unknown layers may hide more nulls — using only
+        // the known null count keeps k' an over-estimate (conservative)
+        val nullLayers = known.filter(_.nulls > 0).map(_.layer)
+        val kPrime = k - known.map(_.nulls).sum
+        if (kPrime <= 0) nullLayers ++ unknown
+        else if (known.map(_.nn).sum < kPrime) chain
+        else {
+          val byExit = known.filter(_.env.isDefined).sortBy(_.env.get._2)
+          var acc = 0L
+          var bound: Option[Double] = None
+          byExit.foreach { s =>
+            if (bound.isEmpty) {
+              acc += s.nn; if (acc >= kPrime) bound = Some(s.env.get._2)
+            }
+          }
+          val b = bound.get
+          (known.filter(s => s.nulls > 0 || s.env.exists(_._1 <= b))
+            .map(_.layer) ++ unknown).distinct
         }
       }
     val keyCols = (column +: tiebreak).map(c =>
       if (descending && c == column) col(c).desc else col(c).asc)
-    read(kept.sortBy(l => chain.indexOf(l)))
-      .orderBy(keyCols: _*).limit(k)
+    val keptOrdered = chain.filter(kept.toSet)
+    if (keptOrdered.isEmpty)
+      // nothing can contribute (e.g. k rows of an empty chain): keep the
+      // schema, return no rows without opening a footer we said we skip
+      read(chain).filter(lit(false)).orderBy(keyCols: _*).limit(k)
+    else read(keptOrdered).orderBy(keyCols: _*).limit(k)
   }
 
   /** The latest table restricted to layers whose `[min, max]` envelope

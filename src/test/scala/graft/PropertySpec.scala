@@ -600,9 +600,13 @@ class PropertySpec extends SparkSpec {
     val caseGen = for {
       nLayers <- Gen.choose(1, 4)
       // a narrow value range so duplicate sort keys (ties) are common —
-      // the unique id tiebreak must keep routed/unrouted byte-identical
+      // the unique id tiebreak must keep routed/unrouted byte-identical —
+      // and NULLS mixed in (they sort first asc / last desc; the pruning
+      // ledger must place them on the right end)
       rows <- Gen.listOfN(nLayers, Gen.choose(1, 6).flatMap(n =>
-        Gen.listOfN(n, Gen.choose(-8L, 8L))))
+        Gen.listOfN(n, Gen.frequency(
+          4 -> Gen.choose(-8L, 8L).map(Option(_)),
+          1 -> Gen.const(Option.empty[Long])))))
       k <- Gen.choose(1, 8)
       off <- Gen.choose(0, 4)
       descend <- Gen.oneOf(true, false)

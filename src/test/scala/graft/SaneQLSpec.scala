@@ -582,12 +582,21 @@ class SaneQLSpec extends SparkSpec {
     val filtered = Planner.plan(
       "vt.filter(id > 0).orderBy({desc(v), id}).limit(2)", cat)
     assert(filtered.collect().map(_.getLong(0)).toSeq === Seq(5L, 6L))
-    // a string first key cannot prune (no numeric envelope): still correct
+    // a STRING first key fails the numeric/date routing gate: the plan
+    // stays the plain orderBy+limit over every layer, values intact
+    val sdir = java.nio.file.Files.createTempDirectory("graft").toString + "/sk"
+    NdjsonIngest.appendVersion(
+      Seq((1L, "m"), (2L, "a")).toDF("id", "s"), sdir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((3L, "z"), (4L, "b")).toDF("id", "s"), sdir, "id")
     val sCat = Catalog(
-      tables = Map("vt" -> NdjsonIngest.readLatest(spark, dir)),
-      versionedDirs = Map("vt" -> dir))
-    val byId = Planner.plan("vt.orderBy({desc(id)}).limit(1)", sCat)
-    assert(byId.collect().map(_.getLong(0)).toSeq === Seq(6L))
+      tables = Map("st" -> NdjsonIngest.readLatest(spark, sdir)),
+      versionedDirs = Map("st" -> sdir))
+    val byStr = Planner.plan("st.orderBy({desc(s), id}).limit(1)", sCat)
+    val sLayers = byStr.inputFiles.map(_.split("/").takeRight(2).head).distinct
+    assert(sLayers.sorted.toSeq === Seq("v1", "v2"),
+      "string key must not route; every layer stays in the scan")
+    assert(byStr.collect().map(_.getLong(0)).toSeq === Seq(3L))
     // an offset between orderBy and limit DEEPENS the bound (skip+k) and
     // re-applies: rows 3-4 of the ascending stream need v1+v2, never v3
     val off = Planner.plan("vt.orderBy({v, id}).offset(2).limit(2)", cat)

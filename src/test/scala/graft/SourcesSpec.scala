@@ -173,6 +173,26 @@ class SourcesSpec extends SparkSpec {
       NdjsonIngest.latestLayers(dir2), "v", 1, descending = true,
       tiebreak = Seq("id"))
     assert(top1.select("id").as[Long].collect().toSeq === Seq(4L))
+    // NULLS in the sort column: they sort FIRST under asc, so a pruned
+    // layer may never hide one — layer v2 here holds only a null and a
+    // big value, yet asc top-2 must surface the null ahead of v1's 1.0
+    val dir3 = tmpDir() + "/n"
+    NdjsonIngest.appendVersion(
+      Seq((1L, Option(1.0)), (2L, Option(2.0))).toDF("id", "v"), dir3, "id")
+    NdjsonIngest.appendDelta(
+      Seq((3L, Option.empty[Double]), (4L, Option(99.0))).toDF("id", "v"),
+      dir3, "id")
+    val chain3 = NdjsonIngest.latestLayers(dir3)
+    val ascNull = NdjsonIngest.readChainTopK(spark, dir3, chain3, "v", 2,
+      descending = false, tiebreak = Seq("id"))
+    assert(ascNull.select("id").as[Long].collect().toSeq === Seq(3L, 1L))
+    // desc: nulls sort LAST — with enough non-null rows the null layer's
+    // count must not fake coverage; and when k exceeds the non-null
+    // rows, the null still arrives at the tail
+    val descNull = NdjsonIngest.readChainTopK(spark, dir3, chain3, "v", 4,
+      descending = true, tiebreak = Seq("id"))
+    assert(descNull.select("id").as[Long].collect().toSeq ===
+      Seq(4L, 2L, 1L, 3L))
   }
 
   test("a NaN in a double column never poisons layer pruning") {

@@ -12,34 +12,38 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     return df
 
-def dtype_sig(df: pd.DataFrame) -> str:
-    # Dtype-faithful signature so the hash is type-sensitive like the
-    # driver's gate: DuckDB HUGEINT (from sum(BIGINT) / BIGINT products)
-    # lands in pandas as float64 while Spark BIGINT reads back int64 —
-    # without this line in the hash, %.10g CSV text collapses the two and
-    # local green stops predicting driver green (bit us in round 11).
-    # datetime64 resolutions/timezones are normalized (parquet readers
-    # disagree on ns/us/ms); everything else hashes verbatim.
+def norm_dtype(col: pd.Series) -> str:
+    # Normalized dtype kind so the gate is type-sensitive like the
+    # driver's: DuckDB HUGEINT (from sum(BIGINT) / BIGINT products) lands
+    # in pandas as float64 while Spark BIGINT reads back int64 — plain
+    # %.10g CSV text collapses the two and local green stops predicting
+    # driver green (bit us in round 11). datetime64 resolutions/timezones
+    # normalize (parquet readers disagree on ns/us/ms); Spark DATE reads
+    # back as object-of-datetime.date while DuckDB DATE converts to
+    # datetime64 — value-identical, folded together; an all-null object
+    # column carries no type evidence at all, so it is a wildcard
+    # (compatible with anything) rather than a false FAIL.
     import datetime
-    parts = []
-    for c in df.columns:
-        d = str(df[c].dtype)
-        if d.startswith("datetime64"):
-            d = "datetime"
-        elif d == "object":
-            # Spark DATE reads back as object-of-datetime.date while DuckDB
-            # DATE converts to datetime64 — the driver treats those as equal
-            # (both print the same CSV text), so fold date-like objects into
-            # the same bucket instead of flagging a false dtype diff.
-            nn = df[c].dropna()
-            if len(nn) and isinstance(nn.iloc[0], (datetime.date, datetime.datetime)):
-                d = "datetime"
-        parts.append(f"{c}:{d}")
-    return ";".join(parts)
+    d = str(col.dtype)
+    if d.startswith("datetime64"):
+        return "datetime"
+    if d == "object":
+        nn = col.dropna()
+        if len(nn) == 0:
+            return "*"
+        if isinstance(nn.iloc[0], (datetime.date, datetime.datetime)):
+            return "datetime"
+    return d
+
+def dtypes_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
+    for c in a.columns:
+        ka, kb = norm_dtype(a[c]), norm_dtype(b[c])
+        if ka != kb and ka != "*" and kb != "*":
+            return False
+    return True
 
 def h(df: pd.DataFrame) -> str:
-    body = dtype_sig(df) + "\n" + df.to_csv(index=False, float_format="%.10g")
-    return hashlib.md5(body.encode()).hexdigest()
+    return hashlib.md5(df.to_csv(index=False, float_format="%.10g").encode()).hexdigest()
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -61,7 +65,8 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: oracle error: {e}"); n_bad += 1; continue
         ok_schema = list(sdf.columns) == list(odf.columns)
         ok_rows = len(sdf) == len(odf)
-        ok_hash = ok_schema and ok_rows and h(sdf) == h(odf)
+        ok_hash = (ok_schema and ok_rows and dtypes_match(sdf, odf)
+                   and h(sdf) == h(odf))
         if ok_hash:
             print(f"ok   {name} rows={len(sdf)}"); n_ok += 1
         else:
