@@ -717,6 +717,25 @@ final class Planner(catalog: Planner.Catalog) {
     }
   }
 
+  /** The column when `e` is an `isNull`/`isNotNull` conjunct over a
+    * column carrying a non-null ledger (`c:` stats lines — numeric/date
+    * columns): isNull prunes layers recording zero nulls, isNotNull
+    * prunes all-null layers. String columns have no ledger and simply
+    * never prune (conservative).
+    */
+  private def nullConjunct(e: Expr,
+      df: DataFrame): Option[(String, Boolean)] = e match {
+    case Call("isNull", Seq(Ident(c)), Seq()) if df.columns.contains(c) =>
+      Some((c, true))
+    case Call("isNull", Seq(), Seq(("column", Ident(c))))
+        if df.columns.contains(c) => Some((c, true))
+    case Call("isNotNull", Seq(Ident(c)), Seq()) if df.columns.contains(c) =>
+      Some((c, false))
+    case Call("isNotNull", Seq(), Seq(("column", Ident(c))))
+        if df.columns.contains(c) => Some((c, false))
+    case _ => None
+  }
+
   /** The layer chain a registered versioned frame actually reads,
     * recovered from its resolved input files: every file must live
     * directly under `dir/v<k>/` with no `_tombstones` segment (a merged
@@ -793,7 +812,8 @@ final class Planner(catalog: Planner.Catalog) {
           // equality/in-set conjuncts prune on lexicographic envelopes
           ranges = conjuncts(pred).flatMap(rangeConjunct(_, in.df))
           strEqs = conjuncts(pred).flatMap(stringEqConjunct(_, in.df))
-          if ranges.nonEmpty || strEqs.nonEmpty
+          nullCs = conjuncts(pred).flatMap(nullConjunct(_, in.df))
+          if ranges.nonEmpty || strEqs.nonEmpty || nullCs.nonEmpty
           chain <- frameLayers(in.df, dir)
           // upsert/tombstone layers need the merge-on-read reader; the
           // raw pruned chain would un-merge them, so stay on the
@@ -804,7 +824,9 @@ final class Planner(catalog: Planner.Catalog) {
             // schema pinned with the chain: a schema-evolution commit
             // racing the plan must not give the routed scan columns the
             // registered frame lacks
-            pinSchema = Some(in.df.schema)),
+            pinSchema = Some(in.df.schema),
+            nullCols = nullCs.collect { case (c, true) => c },
+            notNullCols = nullCs.collect { case (c, false) => c }),
           in.origin)).getOrElse(in)
         val idxCtx = for {
           t <- in2.origin

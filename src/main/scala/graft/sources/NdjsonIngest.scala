@@ -410,6 +410,12 @@ object NdjsonIngest {
     statsLines(tableDir, layer).flatMap(
       _.collectFirst { case Array("n:", n) => n.toLong })
 
+  /** A layer's recorded NON-NULL count for `column` (`c:` stats line). */
+  private def layerNonNullCount(tableDir: String, layer: String,
+      column: String): Option[Long] =
+    statsLines(tableDir, layer).flatMap(
+      _.collectFirst { case Array(c, v) if c == s"c:$column" => v.toLong })
+
   /** The chain's total row count from the `n:` stats lines alone — no
     * parquet footer ever opens. None when any layer predates row-count
     * stats (callers fall back to a counting scan). APPEND-ONLY chains
@@ -572,7 +578,8 @@ object NdjsonIngest {
   def readChainRanges(spark: SparkSession, tableDir: String,
       chain: Seq[String], ranges: Seq[(String, Double, Double)],
       strEquals: Seq[(String, Seq[String])] = Nil,
-      pinSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      pinSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      nullCols: Seq[String] = Nil, notNullCols: Seq[String] = Nil)
       : DataFrame = {
     def read(layers: Seq[String]): DataFrame = pinSchema match {
       case Some(st) =>
@@ -590,6 +597,19 @@ object NdjsonIngest {
           // an equality/in-set conjunct keeps the layer iff SOME sought
           // value can exist in its lexicographic envelope
           case Some((mn, mx)) => values.exists(v => v >= mn && v <= mx)
+          case None => true
+        }
+      } && nullCols.forall { column =>
+        // isNull(column) keeps only rows where column IS null — a layer
+        // whose ledger records zero nulls can't contribute
+        (layerRowCount(tableDir, l), layerNonNullCount(tableDir, l, column)) match {
+          case (Some(n), Some(nn)) => n > nn
+          case _ => true
+        }
+      } && notNullCols.forall { column =>
+        // isNotNull(column): an all-null layer can't contribute
+        layerNonNullCount(tableDir, l, column) match {
+          case Some(nn) => nn > 0
           case None => true
         }
       }

@@ -609,6 +609,44 @@ class SaneQLSpec extends SparkSpec {
         cat.copy(versionedDirs = Map())).collect().map(_.getLong(0)).toSeq)
   }
 
+  test("isNull/isNotNull conjuncts prune layers via the null ledger") {
+    import graft.sources.NdjsonIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft").toString + "/nl"
+    NdjsonIngest.appendVersion(
+      Seq((1L, Option(1.0)), (2L, Option(2.0))).toDF("id", "v"), dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((3L, Option.empty[Double]), (4L, Option(4.0))).toDF("id", "v"),
+      dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((5L, Option.empty[Double]), (6L, Option.empty[Double]))
+        .toDF("id", "v"), dir, "id")
+    val cat = Catalog(
+      tables = Map("vt" -> NdjsonIngest.readLatest(spark, dir)),
+      versionedDirs = Map("vt" -> dir))
+    def layersOf(df: org.apache.spark.sql.DataFrame) =
+      df.inputFiles.map(_.split("/").takeRight(2).head).distinct.sorted.toSeq
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[Long].collect().sorted.toSeq
+    // isNull: the null-free layer v1 never opens
+    val nullQ = Planner.plan("vt.filter(isNull(v))", cat)
+    assert(layersOf(nullQ) === Seq("v2", "v3"), layersOf(nullQ).mkString(","))
+    assert(ids(nullQ) === Seq(3L, 5L, 6L))
+    // isNotNull: the all-null layer v3 never opens
+    val notNullQ = Planner.plan("vt.filter(isNotNull(v))", cat)
+    assert(layersOf(notNullQ) === Seq("v1", "v2"))
+    assert(ids(notNullQ) === Seq(1L, 2L, 4L))
+    // conjuncts narrow together: the range drops v1, the ledger drops v3
+    val both = Planner.plan("vt.filter(isNotNull(v) && between(v, 3, 10))", cat)
+    assert(layersOf(both) === Seq("v2"))
+    assert(ids(both) === Seq(4L))
+    // routed ≡ unrouted on all three
+    val bare = cat.copy(versionedDirs = Map())
+    Seq("vt.filter(isNull(v))", "vt.filter(isNotNull(v))",
+        "vt.filter(isNotNull(v) && between(v, 3, 10))").foreach { q =>
+      assert(ids(Planner.plan(q, cat)) === ids(Planner.plan(q, bare)), q)
+    }
+  }
+
   test("ungrouped count over a stats-bearing chain answers from layer " +
     "metadata alone — no parquet scan") {
     import graft.sources.NdjsonIngest
@@ -662,5 +700,10 @@ class SaneQLSpec extends SparkSpec {
     assert(routed.columns.toSeq === unrouted.columns.toSeq,
       "routed and unrouted paths must share one schema under the race")
     assert(routed.collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // the stats-bounded top-k path pins the schema the same way
+    val topk = Planner.plan("vt.orderBy({v, id}).limit(1)", cat)
+    assert(topk.columns.toSeq === unrouted.columns.toSeq,
+      "routed top-k must not widen under a schema-evolving race")
+    assert(topk.collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 }
