@@ -74,6 +74,14 @@ final class QueryServer(catalogSupplier: () => (Catalog, String),
   private def currentVersion: String =
     try catalogSupplier()._2 catch { case _: Throwable => "" }
 
+  /** The response's request id: the client's `X-Request-Id` when sent, a
+    * fresh UUID otherwise — EVERY response carries one (reference
+    * request_id_handler.cpp:24-32).
+    */
+  private def requestId(ex: HttpExchange): String =
+    Option(ex.getRequestHeaders.getFirst("X-Request-Id"))
+      .getOrElse(java.util.UUID.randomUUID().toString)
+
   private def respond(ex: HttpExchange, code: Int, body: String,
       contentType: String = "application/json",
       dataVersion: Option[String] = None): Unit = {
@@ -81,8 +89,7 @@ final class QueryServer(catalogSupplier: () => (Catalog, String),
     ex.getResponseHeaders.set("Content-Type", contentType)
     ex.getResponseHeaders.set("data-version",
       dataVersion.getOrElse(currentVersion))
-    Option(ex.getRequestHeaders.getFirst("X-Request-Id"))
-      .foreach(id => ex.getResponseHeaders.set("X-Request-Id", id))
+    ex.getResponseHeaders.set("X-Request-Id", requestId(ex))
     ex.sendResponseHeaders(code, bytes.length)
     ex.getResponseBody.write(bytes)
     ex.close()
@@ -193,8 +200,7 @@ final class QueryServer(catalogSupplier: () => (Catalog, String),
     ex.getResponseHeaders.set("Content-Type", contentType)
     ex.getResponseHeaders.set("data-version", dataVersion)
     ex.getResponseHeaders.set("result-ordering", ordering)
-    Option(ex.getRequestHeaders.getFirst("X-Request-Id"))
-      .foreach(id => ex.getResponseHeaders.set("X-Request-Id", id))
+    ex.getResponseHeaders.set("X-Request-Id", requestId(ex))
   }
 
   /** Stream a response body with CHUNKED transfer: a bounded queue of

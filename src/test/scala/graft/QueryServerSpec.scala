@@ -35,7 +35,13 @@ class QueryServerSpec extends SparkSpec {
       HttpResponse.BodyHandlers.ofString())
 
   test("health and info endpoints") {
-    assert(get("/health").body() === """{"status":"ok"}""")
+    val health = get("/health")
+    assert(health.body() === """{"status":"ok"}""")
+    // no client X-Request-Id → the server GENERATES one (reference
+    // request_id_handler.cpp:24-32 — every response carries an id)
+    val gen = health.headers().firstValue("X-Request-Id")
+    assert(gen.isPresent)
+    assert(java.util.UUID.fromString(gen.get()) != null)
     val info = get("/info")
     assert(info.body().contains("\"dataVersion\":\"v42\""))
     assert(info.body().contains("\"default\""))
