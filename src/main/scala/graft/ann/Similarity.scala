@@ -113,14 +113,23 @@ object Similarity {
       idCol: String, vecCol: String, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = emb.sparkSession
-    if (h.layers.isEmpty)
-      // an all-row purge commits an empty chain: nothing is assigned,
-      // so nothing dedups — empty frame, schema intact
+    if (h.layers.isEmpty) {
+      // an all-row purge commits an empty chain: valid only while the
+      // corpus is empty too — a non-empty corpus with no codes is the
+      // same lag error the coverage check below catches
+      require(emb.isEmpty,
+        "index has no committed codes but the corpus is non-empty — " +
+          "run AnnIndex.syncFromFeed before dedup")
       return semdedupInCells(
         emb.select(col(idCol), col(vecCol), lit(0).as("cell")).limit(0),
         idCol, vecCol, threshold)
+    }
     val newestFirst = Window.partitionBy(col(idCol))
       .orderBy(col("layer").cast("long").desc)
+    // localCheckpoint: the cells frame feeds BOTH the coverage count and
+    // the dedup join — without it the codes scan + per-id window run
+    // twice (and a concurrent gcCodes between the two jobs could fail
+    // the second scan on a deleted layer dir)
     val cells = spark.read
       .option("basePath", s"${h.indexDir}/codes")
       .parquet(h.layers.map(l => s"${h.indexDir}/codes/layer=$l"): _*)
@@ -128,6 +137,7 @@ object Similarity {
       .withColumn("rk", row_number().over(newestFirst))
       .filter(col("rk") === 1)
       .select(col(idCol), col("cell"))
+      .localCheckpoint()
     val uncovered = emb.select(col(idCol))
       .join(cells, Seq(idCol), "left_anti").count()
     require(uncovered == 0,

@@ -80,6 +80,7 @@ final class QueryServer(catalogSupplier: () => (Catalog, String),
     */
   private def requestId(ex: HttpExchange): String =
     Option(ex.getRequestHeaders.getFirst("X-Request-Id"))
+      .filter(_.nonEmpty) // an empty client header is as good as none
       .getOrElse(java.util.UUID.randomUUID().toString)
 
   private def respond(ex: HttpExchange, code: Int, body: String,

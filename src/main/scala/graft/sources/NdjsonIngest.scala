@@ -380,41 +380,51 @@ object NdjsonIngest {
       .map(_.split(" ")).toSeq)
   }
 
+  // ---- sidecar line decoders: every reader parses the SAME tokenized
+  // lines, so a `_stats` format change has exactly one writer and one
+  // decoder per line kind, and callers holding a parsed sidecar never
+  // re-read the file per lookup ----
+  private def envFromLines(lines: Seq[Array[String]],
+      column: String): Option[(Double, Double)] =
+    lines.collectFirst { case Array(c, lo, hi) if c == column =>
+      (lo.toDouble, hi.toDouble)
+    }
+    // legacy stats written before the NaN write-guard: treat a NaN
+    // envelope as no-stats (always include), never as prunable
+    .filterNot { case (lo, hi) => lo.isNaN || hi.isNaN }
+
+  private def strEnvFromLines(lines: Seq[Array[String]],
+      column: String): Option[(String, String)] = {
+    val d = java.util.Base64.getDecoder
+    def dec(v: String) = new String(d.decode(v),
+      java.nio.charset.StandardCharsets.UTF_8)
+    lines.collectFirst { case Array(c, lo, hi) if c == s"s:$column" =>
+      (dec(lo), dec(hi))
+    }
+  }
+
+  private def nFromLines(lines: Seq[Array[String]]): Option[Long] =
+    lines.collectFirst { case Array("n:", n) => n.toLong }
+
+  private def nnFromLines(lines: Seq[Array[String]],
+      column: String): Option[Long] =
+    lines.collectFirst { case Array(c, v) if c == s"c:$column" => v.toLong }
+
   /** A layer's recorded (min, max) for `column`, when stats exist. */
   private def layerStats(tableDir: String, layer: String,
       column: String): Option[(Double, Double)] =
-    statsLines(tableDir, layer).flatMap(
-      _.collectFirst { case Array(c, lo, hi) if c == column =>
-        (lo.toDouble, hi.toDouble)
-      }
-      // legacy stats written before the NaN write-guard: treat a NaN
-      // envelope as no-stats (always include), never as prunable
-      .filterNot { case (lo, hi) => lo.isNaN || hi.isNaN })
+    statsLines(tableDir, layer).flatMap(envFromLines(_, column))
 
   /** A layer's recorded lexicographic (min, max) for a STRING `column`,
     * when stats exist (`s:`-marked, base64'd — see writeLayerStats).
     */
   private def layerStringStats(tableDir: String, layer: String,
-      column: String): Option[(String, String)] = {
-    val d = java.util.Base64.getDecoder
-    def dec(v: String) = new String(d.decode(v),
-      java.nio.charset.StandardCharsets.UTF_8)
-    statsLines(tableDir, layer).flatMap(
-      _.collectFirst { case Array(c, lo, hi) if c == s"s:$column" =>
-        (dec(lo), dec(hi))
-      })
-  }
+      column: String): Option[(String, String)] =
+    statsLines(tableDir, layer).flatMap(strEnvFromLines(_, column))
 
   /** A layer's recorded row count (`n:` stats line), when present. */
   private def layerRowCount(tableDir: String, layer: String): Option[Long] =
-    statsLines(tableDir, layer).flatMap(
-      _.collectFirst { case Array("n:", n) => n.toLong })
-
-  /** A layer's recorded NON-NULL count for `column` (`c:` stats line). */
-  private def layerNonNullCount(tableDir: String, layer: String,
-      column: String): Option[Long] =
-    statsLines(tableDir, layer).flatMap(
-      _.collectFirst { case Array(c, v) if c == s"c:$column" => v.toLong })
+    statsLines(tableDir, layer).flatMap(nFromLines)
 
   /** The chain's total row count from the `n:` stats lines alone — no
     * parquet footer ever opens. None when any layer predates row-count
@@ -464,15 +474,11 @@ object NdjsonIngest {
         n: Long, nn: Long) {
       def nulls: Long = n - nn
     }
+    require(chain.nonEmpty, "readChainTopK needs a non-empty layer chain")
     val (known, unknown) = chain.map { l =>
-      val lines = statsLines(tableDir, l)
-      val env = lines.flatMap(_.collectFirst {
-        case Array(c, lo, hi) if c == column => (lo.toDouble, hi.toDouble)
-      }.filterNot { case (lo, hi) => lo.isNaN || hi.isNaN })
-      val n = lines.flatMap(_.collectFirst { case Array("n:", v) => v.toLong })
-      val nn = lines.flatMap(_.collectFirst {
-        case Array(c, v) if c == s"c:$column" => v.toLong })
-      (l, env, n, nn)
+      val lines = statsLines(tableDir, l).getOrElse(Seq.empty)
+      (l, envFromLines(lines, column), nFromLines(lines),
+        nnFromLines(lines, column))
     }.partitionMap {
       // "known": counts present, and the envelope either present or
       // vacuously absent (no non-null values). A missing envelope WITH
@@ -528,12 +534,9 @@ object NdjsonIngest {
       }
     val keyCols = (column +: tiebreak).map(c =>
       if (descending && c == column) col(c).desc else col(c).asc)
-    val keptOrdered = chain.filter(kept.toSet)
-    if (keptOrdered.isEmpty)
-      // nothing can contribute (e.g. k rows of an empty chain): keep the
-      // schema, return no rows without opening a footer we said we skip
-      read(chain).filter(lit(false)).orderBy(keyCols: _*).limit(k)
-    else read(keptOrdered).orderBy(keyCols: _*).limit(k)
+    // kept is non-empty by construction: every branch either returns the
+    // whole chain or retains at least the bound-defining layer
+    read(chain.filter(kept.toSet)).orderBy(keyCols: _*).limit(k)
   }
 
   /** The latest table restricted to layers whose `[min, max]` envelope
@@ -587,13 +590,18 @@ object NdjsonIngest {
       case None => readChain(spark, tableDir, layers, None)
     }
     val kept = chain.filter { l =>
+      // ONE sidecar read per layer shared by every conjunct below (a
+      // per-lookup re-read multiplies plan-time metadata I/O by the
+      // conjunct count on long chains); a missing sidecar → empty lines
+      // → every lookup misses → the layer is conservatively kept
+      val lines = statsLines(tableDir, l).getOrElse(Seq.empty)
       ranges.forall { case (column, lo, hi) =>
-        layerStats(tableDir, l, column) match {
+        envFromLines(lines, column) match {
           case Some((mn, mx)) => mx >= lo && mn <= hi
           case None => true
         }
       } && strEquals.forall { case (column, values) =>
-        layerStringStats(tableDir, l, column) match {
+        strEnvFromLines(lines, column) match {
           // an equality/in-set conjunct keeps the layer iff SOME sought
           // value can exist in its lexicographic envelope
           case Some((mn, mx)) => values.exists(v => v >= mn && v <= mx)
@@ -602,13 +610,13 @@ object NdjsonIngest {
       } && nullCols.forall { column =>
         // isNull(column) keeps only rows where column IS null — a layer
         // whose ledger records zero nulls can't contribute
-        (layerRowCount(tableDir, l), layerNonNullCount(tableDir, l, column)) match {
+        (nFromLines(lines), nnFromLines(lines, column)) match {
           case (Some(n), Some(nn)) => n > nn
           case _ => true
         }
       } && notNullCols.forall { column =>
         // isNotNull(column): an all-null layer can't contribute
-        layerNonNullCount(tableDir, l, column) match {
+        nnFromLines(lines, column) match {
           case Some(nn) => nn > 0
           case None => true
         }

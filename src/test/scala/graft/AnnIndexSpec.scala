@@ -62,6 +62,15 @@ class AnnIndexSpec extends SparkSpec {
     val cluster4 = Ivf.assign(moved, "embedding", h2.cents)
       .select("cell").head().getInt(0)
     assert(cell0 === cluster4, "upserted id must carry its newest cell")
+    // the index LAGGING the corpus (a row with no committed code) is an
+    // operational ordering error: loud throw, never a silent drop
+    val lagging = emb2.union(
+      Seq((999L, Array.fill(dim)(0.5f))).toDF("vec_id", "embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semdedupFromIndex(h2, lagging, "vec_id", "embedding", 0.9)
+        .count()
+    }
+    assert(e.getMessage.contains("index lags the corpus"))
   }
 
   private def exhaustiveTop5(probeIds: Seq[Long]) = {
