@@ -507,21 +507,41 @@ final class Planner(catalog: Planner.Catalog) {
     * validity precondition for mutations/insertions/MRCA/phyloSubtree).
     */
   final case class Tbl(df: DataFrame, origin: Option[String],
-      sortedScan: Option[SortedScan] = None)
+      sortedScan: Option[SortedScan] = None,
+      zone: Option[ZonePred] = None)
+
+  /** The filter stage's note to a following orderBy+limit: EVERY conjunct
+    * of the predicate was stats-decidable (range / string equality /
+    * null-ledger shapes) over the bare registered versioned scan, so a
+    * later `orderBy(col).limit(k)` can bound its read by BOTH the zone
+    * maps and the top-k accumulation — the most common real query shape,
+    * `table.filter(window).orderBy(score).limit(k)`, opens only the
+    * layers satisfying both (the reference intersects RangeSelection
+    * with other operators the same way, range_selection.h:15-40 +
+    * operator.h:11-37). `pred` is the ORIGINAL predicate expression —
+    * the rewrite recompiles it against the narrowed scan so routed and
+    * unrouted row-wise semantics are one code path.
+    */
+  final case class ZonePred(dir: String, chain: Seq[String],
+      schema: org.apache.spark.sql.types.StructType, pred: Expr,
+      ranges: Seq[(String, Double, Double)],
+      strEqs: Seq[(String, Seq[String])],
+      nullCs: Seq[(String, Boolean)])
 
   /** The orderBy stage's note to an immediately-following limit: the sort
     * was a single first key over the BARE registered versioned scan whose
-    * chain carries layer stats, so `limit(k)` may re-plan the whole
-    * prefix as a stats-bounded top-k chain read
+    * chain carries layer stats (or over a fully stats-decidable filter of
+    * one — `zone`), so `limit(k)` may re-plan the whole prefix as a
+    * stats-bounded top-k chain read
     * ([[graft.sources.NdjsonIngest.readChainTopK]] — the reference's
     * RangeSelection over a sorted column, range_selection.h:15-40). Every
     * other pipeline stage drops the note (the default None), so the
-    * rewrite only ever fires on the exact `table.orderBy(...).limit(k)`
-    * shape it is proven for.
+    * rewrite only ever fires on the exact shapes it is proven for.
     */
   final case class SortedScan(dir: String, chain: Seq[String],
       column: String, descending: Boolean, tiebreak: Seq[String],
-      schema: org.apache.spark.sql.types.StructType, skip: Long = 0)
+      schema: org.apache.spark.sql.types.StructType, skip: Long = 0,
+      zone: Option[ZonePred] = None)
 
   private def err(msg: String): Nothing = throw QueryError(msg)
 
@@ -688,7 +708,18 @@ final class Planner(catalog: Planner.Catalog) {
     e match {
       case Call("between", Seq(Ident(c), lo, hi), Seq()) if prunableCol(c) =>
         val l = if (lo == NullLit) Some(Double.NegativeInfinity) else bound(c)(lo)
-        val h = if (hi == NullLit) Some(Double.PositiveInfinity) else bound(c)(hi)
+        // float between is to-EXCLUSIVE (reference
+        // query_documentation.md:504; the row-wise compile below uses
+        // `<`): encode that in the envelope as the largest includable
+        // double, so BOTH the zone intersection test and the top-k
+        // containment test see exactly the rows the filter keeps
+        val exclusiveHi = df.schema(c).dataType match {
+          case FloatType | DoubleType => true
+          case _ => false
+        }
+        val h =
+          if (hi == NullLit) Some(Double.PositiveInfinity)
+          else bound(c)(hi).map(v => if (exclusiveHi) Math.nextDown(v) else v)
         for (a <- l; b <- h) yield (c, a, b)
       case Binary("=", Ident(c), v) if prunableCol(c) =>
         bound(c)(v).map(x => (c, x, x))
@@ -803,7 +834,7 @@ final class Planner(catalog: Planner.Catalog) {
         // both run over the same captured chain. The pure conjunct-shape
         // check runs FIRST; the filesystem checks only when something
         // can actually route.
-        val in2: Tbl = (for {
+        val zoned: Option[(Tbl, Option[ZonePred])] = for {
           t <- in.origin
           dir <- catalog.versionedDirs.get(t)
           if catalog.tables.get(t).exists(_ eq in.df)
@@ -819,15 +850,31 @@ final class Planner(catalog: Planner.Catalog) {
           // raw pruned chain would un-merge them, so stay on the
           // registered frame (conservative, always sound)
           if graft.sources.NdjsonIngest.chainMergeFree(dir, chain)
-        } yield Tbl(graft.sources.NdjsonIngest
-          .readChainRanges(in.df.sparkSession, dir, chain, ranges, strEqs,
-            // schema pinned with the chain: a schema-evolution commit
-            // racing the plan must not give the routed scan columns the
-            // registered frame lacks
-            pinSchema = Some(in.df.schema),
-            nullCols = nullCs.collect { case (c, true) => c },
-            notNullCols = nullCs.collect { case (c, false) => c }),
-          in.origin)).getOrElse(in)
+        } yield {
+          val routed = Tbl(graft.sources.NdjsonIngest
+            .readChainRanges(in.df.sparkSession, dir, chain, ranges, strEqs,
+              // schema pinned with the chain: a schema-evolution commit
+              // racing the plan must not give the routed scan columns the
+              // registered frame lacks
+              pinSchema = Some(in.df.schema),
+              nullCols = nullCs.collect { case (c, true) => c },
+              notNullCols = nullCs.collect { case (c, false) => c }),
+            in.origin)
+          // top-k composition note: only when EVERY conjunct is one of
+          // the stats-decidable shapes can a later orderBy+limit bound
+          // its read through this filter (an opaque conjunct would make
+          // per-layer qualifying counts unknowable)
+          val note =
+            if (conjuncts(pred).forall(c => rangeConjunct(c, in.df).isDefined ||
+                stringEqConjunct(c, in.df).isDefined ||
+                nullConjunct(c, in.df).isDefined))
+              Some(ZonePred(dir, chain, in.df.schema, pred,
+                ranges, strEqs, nullCs))
+            else None
+          (routed, note)
+        }
+        val in2: Tbl = zoned.map(_._1).getOrElse(in)
+        val zoneNote: Option[ZonePred] = zoned.flatMap(_._2)
         val idxCtx = for {
           t <- in2.origin
           m <- catalog.mutIndexes.get(t) if m.nonEmpty
@@ -876,7 +923,10 @@ final class Planner(catalog: Planner.Catalog) {
           if (rest.isEmpty) base
           else base.filter(rest
             .map(scalar(_, base, Ambiguity.ModeNone, in.origin)).reduce(_ && _))
-        Tbl(out, in.origin)
+        // the note survives the filter stage (decidable conjuncts can't
+        // also be index-routed — indexRoute matches only sequence
+        // predicate shapes — so zoneNote implies no semi-join was added)
+        Tbl(out, in.origin, zone = zoneNote)
 
       case "groupBy" =>
         val in = input
@@ -888,6 +938,11 @@ final class Planner(catalog: Planner.Catalog) {
           }
           case other => err(s"groupBy aggregates must be a record, got $other")
         }
+        // reject BEFORE choosing a path: the metadata fast path below
+        // would happily answer an empty record with a zero-column row
+        // while the counting scan throws — routed and unrouted must
+        // agree even on degenerate input
+        if (aggItems.isEmpty) err("groupBy requires at least one aggregate")
         val aggs = aggItems.map(n => count(lit(1)).as(n))
         val cols = a("columns")
           .map(identSet(_, "groupBy columns")).getOrElse(Nil)
@@ -962,16 +1017,14 @@ final class Planner(catalog: Planner.Catalog) {
           case Call("desc", Seq(Ident(n)), _) => resolve(n, in.df).desc
           case other => err(s"orderBy field must be name/asc(name)/desc(name), got $other")
         }
-        // top-k scan note for a following limit: the sort runs over the
-        // bare registered versioned scan, the FIRST key is a stats-
-        // prunable (numeric/date) column, the remaining keys are plain
-        // ascending tiebreaks, and the chain is merge-free with layer
-        // stats — then limit(k) can bound the read from metadata alone
-        val note: Option[SortedScan] = for {
-          t <- in.origin
-          dir <- catalog.versionedDirs.get(t)
-          if catalog.tables.get(t).exists(_ eq in.df)
-          if fields.nonEmpty
+        // top-k scan note for a following limit: the sort's FIRST key is
+        // a stats-prunable (numeric/date/string) column, the remaining
+        // keys are plain ascending tiebreaks, and the input is either the
+        // bare registered versioned scan (merge-free with layer stats) or
+        // a fully stats-decidable filter of one (the filter's ZonePred
+        // note) — then limit(k) can bound the read from metadata alone
+        def sortKey: Option[((String, Boolean), Seq[String])] = for {
+          _ <- Some(()) if fields.nonEmpty
           first <- fields.head match {
             case Ident(n) => Some((n, false))
             case Call("asc", Seq(Ident(n)), _) => Some((n, false))
@@ -982,6 +1035,7 @@ final class Planner(catalog: Planner.Catalog) {
             (in.df.schema(first._1).dataType match {
               case _: org.apache.spark.sql.types.NumericType => true
               case org.apache.spark.sql.types.DateType => true
+              case org.apache.spark.sql.types.StringType => true
               case _ => false
             })
           ties <- fields.tail.foldLeft(Option(Seq.empty[String])) {
@@ -991,9 +1045,24 @@ final class Planner(catalog: Planner.Catalog) {
                 if in.df.columns.contains(n) => Some(acc :+ n)
             case _ => None
           }
-          chain <- frameLayers(in.df, dir)
-          if graft.sources.NdjsonIngest.chainMergeFree(dir, chain)
-        } yield SortedScan(dir, chain, first._1, first._2, ties, in.df.schema)
+        } yield (first, ties)
+        val note: Option[SortedScan] = in.zone match {
+          // filter(stats-decidable).orderBy(...): the chain + merge-free
+          // checks already ran when the filter routed; the limit rewrite
+          // re-narrows and re-applies the predicate itself
+          case Some(zp) => sortKey.map { case (first, ties) =>
+            SortedScan(zp.dir, zp.chain, first._1, first._2, ties,
+              zp.schema, zone = Some(zp))
+          }
+          case None => for {
+            t <- in.origin
+            dir <- catalog.versionedDirs.get(t)
+            if catalog.tables.get(t).exists(_ eq in.df)
+            (first, ties) <- sortKey
+            chain <- frameLayers(in.df, dir)
+            if graft.sources.NdjsonIngest.chainMergeFree(dir, chain)
+          } yield SortedScan(dir, chain, first._1, first._2, ties, in.df.schema)
+        }
         Tbl(in.df.orderBy(sorts: _*), in.origin, note)
 
       case "limit" =>
@@ -1004,13 +1073,35 @@ final class Planner(catalog: Planner.Catalog) {
           case Some(ss) if ss.skip + n <= Int.MaxValue =>
             // stats-bounded top-k: layers whose envelope provably cannot
             // reach the (skip+k)-th best row are never opened; the result
-            // is the same orderBy[+offset]+limit, just over a narrowed
-            // scan (an interposed offset(o) deepened the bound to o+k and
-            // re-applies below)
-            val top = graft.sources.NdjsonIngest.readChainTopK(
-              in.df.sparkSession, ss.dir, ss.chain, ss.column,
-              (ss.skip + n).toInt, ss.descending, ss.tiebreak,
-              Some(ss.schema))
+            // is the same [filter+]orderBy[+offset]+limit, just over a
+            // narrowed scan (an interposed offset(o) deepened the bound
+            // to o+k and re-applies below)
+            val kTot = (ss.skip + n).toInt
+            val top = ss.zone match {
+              case Some(zp) =>
+                // filter+orderBy+limit: the kept set satisfies BOTH the
+                // zone intersection (a pruned layer has no qualifying
+                // rows) and the filtered top-k accumulation (per-layer
+                // qualifying-count lower bounds); the original predicate
+                // recompiles against the narrowed scan, so row-wise
+                // semantics are byte-identical to the unrouted plan
+                val kept = graft.sources.NdjsonIngest.chainTopKLayers(
+                  zp.dir, zp.chain, ss.column, kTot, ss.descending,
+                  zp.ranges, zp.strEqs,
+                  zp.nullCs.collect { case (c, true) => c },
+                  zp.nullCs.collect { case (c, false) => c })
+                val scan = graft.sources.NdjsonIngest.readChainSubset(
+                  in.df.sparkSession, zp.dir, zp.chain, kept, Some(ss.schema))
+                val keyCols = (ss.column +: ss.tiebreak).map(c =>
+                  if (ss.descending && c == ss.column) col(c).desc
+                  else col(c).asc)
+                scan.filter(scalar(zp.pred, scan, Ambiguity.ModeNone, in.origin))
+                  .orderBy(keyCols: _*).limit(kTot)
+              case None =>
+                graft.sources.NdjsonIngest.readChainTopK(
+                  in.df.sparkSession, ss.dir, ss.chain, ss.column,
+                  kTot, ss.descending, ss.tiebreak, Some(ss.schema))
+            }
             Tbl(if (ss.skip > 0) top.offset(ss.skip.toInt).limit(n.toInt)
                 else top, in.origin)
           case _ => Tbl(in.df.limit(n.toInt), in.origin)

@@ -45,6 +45,11 @@ object RelationalQueries {
     }
     eventChains.computeIfAbsent((s, dir), _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_zonechain")
+      // the live session's chain dir is otherwise only reclaimed when a
+      // LATER call observes the session stopped — a bench run's last
+      // chain would leak one temp dir per run without the exit hook
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)))
       val tableDir = tmp.toString + "/ev"
       val ev = t(s, dir, "events").withColumn("d", to_date(col("ts")))
       val days = ev.select(col("d")).distinct()
@@ -568,6 +573,32 @@ object RelationalQueries {
         versionedDirs = Map("ev" -> tableDir))
       graft.lang.Planner.plan(
         """ev
+          |  .orderBy({desc(d), event_id})
+          |  .limit(20)
+          |  .project({event_id, d, event_type})""".stripMargin, catalog)
+    },
+
+    // ---- FILTER + TOP-K COMPOSED over the chain: the most common real
+    //      query shape, `table.filter(window).orderBy(key).limit(k)`. The
+    //      filter's ZonePred note survives to the limit, whose rewrite
+    //      bounds the read by BOTH the zone intersection (layers outside
+    //      Jan 5-20 never open) and the filtered top-k accumulation (the
+    //      20 most-recent in-window rows provably live in the window's
+    //      newest layer): 1 of 30 footers (≙ the reference intersecting
+    //      RangeSelection with other filter operators,
+    //      range_selection.h:15-40 + operator.h:11-37). The routing-blind
+    //      oracle filters + sorts the flat table. ----
+    QDef("q_filter_topk",
+      """SELECT event_id, CAST(ts AS DATE) AS d, event_type FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-20'
+        |ORDER BY d DESC, event_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val tableDir = memoEventsChain(s, dir)
+      val catalog = graft.lang.Planner.Catalog(
+        tables = Map("ev" -> graft.sources.NdjsonIngest.readLatest(s, tableDir)),
+        versionedDirs = Map("ev" -> tableDir))
+      graft.lang.Planner.plan(
+        """ev
+          |  .filter(between(d, '2024-01-05'::date, '2024-01-20'::date))
           |  .orderBy({desc(d), event_id})
           |  .limit(20)
           |  .project({event_id, d, event_type})""".stripMargin, catalog)

@@ -318,8 +318,13 @@ object NdjsonIngest {
       // per-column NON-NULL counts (c: lines): top-k pruning needs them —
       // envelopes cover only non-null values while nulls sort FIRST under
       // asc (Spark default), so a bound computed from total rows would
-      // silently misplace null rows
+      // silently misplace null rows. STRING columns carry the ledger too:
+      // the lexicographic `s:` envelopes can bound a string-keyed top-k
+      // exactly like the numeric ones, but only with the same null
+      // accounting (layers written before this line read as no-ledger and
+      // are conservatively always kept)
       numeric.map(c => count(col(c)).as(s"nn_$c")) ++
+      strings.map(c => count(col(c)).as(s"nns_$c")) ++
       Seq(count(lit(1)).as("_n"))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val numLines = numeric.zipWithIndex.flatMap { case (c, i) =>
@@ -360,6 +365,9 @@ object NdjsonIngest {
     // contains the top-k from metadata alone (readChainTopK)
     val nnLines = numeric.zipWithIndex.map { case (c, i) =>
       s"c:$c ${row.getLong(2 * numeric.length + 2 * strings.length + i)}"
+    } ++ strings.zipWithIndex.map { case (c, i) =>
+      s"c:$c ${row.getLong(2 * numeric.length + 2 * strings.length +
+        numeric.length + i)}"
     }
     val nLine = Seq(s"n: ${row.getLong(aggs.length - 1)}")
     java.nio.file.Files.writeString(
@@ -461,82 +469,189 @@ object NdjsonIngest {
       tiebreak: Seq[String] = Nil,
       pinSchema: Option[org.apache.spark.sql.types.StructType] = None)
       : DataFrame = {
+    val kept = chainTopKLayers(tableDir, chain, column, k, descending)
+    val keyCols = (column +: tiebreak).map(c =>
+      if (descending && c == column) col(c).desc else col(c).asc)
+    // kept is non-empty by construction (no filter conjuncts): every
+    // branch either returns the whole chain or retains at least the
+    // bound-defining layer
+    readChainSubset(spark, tableDir, chain, kept, pinSchema)
+      .orderBy(keyCols: _*).limit(k)
+  }
+
+  /** Read the `kept` subset of a layer chain (an empty subset still
+    * surfaces the chain's schema via an always-false filter, so callers
+    * keep a column-identical frame). `pinSchema` as in
+    * [[readChainRanges]].
+    */
+  def readChainSubset(spark: SparkSession, tableDir: String,
+      chain: Seq[String], kept: Seq[String],
+      pinSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     def read(layers: Seq[String]): DataFrame = pinSchema match {
       case Some(st) =>
         spark.read.schema(st).parquet(layers.map(l => s"$tableDir/$l"): _*)
       case None => readChain(spark, tableDir, layers, None)
     }
-    // per layer (ONE sidecar read each): envelope over the NON-NULL
-    // values, total rows, non-null rows. Nulls need their own ledger —
-    // Spark sorts them FIRST under asc and LAST under desc, and the
-    // envelope says nothing about them.
-    final case class LS(layer: String, env: Option[(Double, Double)],
-        n: Long, nn: Long) {
-      def nulls: Long = n - nn
+    if (kept.isEmpty) read(chain).filter(lit(false))
+    else read(chain.filter(kept.toSet))
+  }
+
+  /** The layer subset that can contribute to
+    * `filter(conjuncts).orderBy(column [desc], ties).limit(k)` —
+    * metadata-only, COMPOSING the zone-map narrowing with the top-k
+    * bound (the reference intersects RangeSelection with other filter
+    * operators the same way, filter/operators/range_selection.h:15-40 +
+    * operator.h:11-37). With no conjuncts this is the bare stats-bounded
+    * top-k ([[readChainTopK]]); numeric/date sort keys use the numeric
+    * envelopes, string keys the lexicographic `s:` envelopes (detected
+    * from the sidecars themselves).
+    *
+    * Soundness with a filter: per-layer row counts can't be taken at
+    * face value (a counted row may fail the filter), so the accumulation
+    * uses a LOWER bound on each layer's qualifying rows — a layer whose
+    * envelope is FULLY contained in every range/equality conjunct (and
+    * whose ledgers are present) qualifies at least
+    * `rows − Σ per-conjunct failure upper bounds`; any layer that can't
+    * prove containment contributes 0 and is simply kept. Zone-pruned
+    * layers contain no qualifying rows at all and drop entirely. The
+    * result is always a superset of the layers holding the true top-k;
+    * the caller re-applies the full filter + sort + limit row-wise.
+    */
+  def chainTopKLayers(tableDir: String, chain: Seq[String], column: String,
+      k: Int, descending: Boolean,
+      ranges: Seq[(String, Double, Double)] = Nil,
+      strEquals: Seq[(String, Seq[String])] = Nil,
+      nullCols: Seq[String] = Nil, notNullCols: Seq[String] = Nil)
+      : Seq[String] = {
+    require(chain.nonEmpty, "chainTopKLayers needs a non-empty layer chain")
+    val withLines = chain.map(l =>
+      l -> statsLines(tableDir, l).getOrElse(Seq.empty))
+    val survivors = withLines.filter { case (_, lines) =>
+      zoneKeep(lines, ranges, strEquals, nullCols, notNullCols) }
+    if (survivors.isEmpty) return Nil
+    // isNull on the sort key: every qualifying row's key is null, so the
+    // envelopes order nothing — zone narrowing is the whole win
+    if (nullCols.contains(column)) return survivors.map(_._1)
+    // the sidecars say which envelope kind the column has (numeric
+    // columns write 3-token lines, strings `s:`-marked ones); neither
+    // present anywhere → no bound computable → read the survivors
+    if (survivors.exists(s => envFromLines(s._2, column).isDefined))
+      topKSelect[Double](survivors, envFromLines(_, column), column, k,
+        descending, ranges, strEquals, nullCols, notNullCols)
+    else if (survivors.exists(s => strEnvFromLines(s._2, column).isDefined))
+      topKSelect[String](survivors, strEnvFromLines(_, column), column, k,
+        descending, ranges, strEquals, nullCols, notNullCols)
+    else survivors.map(_._1)
+  }
+
+  /** Core of [[chainTopKLayers]], generic over the sort key's envelope
+    * ordering (Double for numeric/date, String for lexicographic — ASCII
+    * envelopes only, where Java and UTF8String byte order provably
+    * agree; see the writeLayerStats guard).
+    */
+  private def topKSelect[T](survivors: Seq[(String, Seq[Array[String]])],
+      envOf: Seq[Array[String]] => Option[(T, T)], column: String, k: Int,
+      descending: Boolean, ranges: Seq[(String, Double, Double)],
+      strEquals: Seq[(String, Seq[String])], nullCols: Seq[String],
+      notNullCols: Seq[String])(implicit ord: Ordering[T]): Seq[String] = {
+    // upper bound on this layer's rows FAILING the conjuncts (None =
+    // unbounded → the layer can't prove any qualifying rows): a conjunct
+    // whose envelope is fully contained fails at most the column's null
+    // rows; isNull/isNotNull fail exactly the ledger's complement
+    def failUB(lines: Seq[Array[String]], n: Long): Option[Long] = {
+      val parts: Seq[Option[Long]] =
+        ranges.map { case (c, lo, hi) =>
+          envFromLines(lines, c) match {
+            case Some((mn, mx)) if lo <= mn && mx <= hi =>
+              nnFromLines(lines, c).map(nn => n - nn)
+            case _ => None
+          }
+        } ++
+        strEquals.map { case (c, vs) =>
+          strEnvFromLines(lines, c) match {
+            case Some((mn, mx)) if mn == mx && vs.contains(mn) =>
+              nnFromLines(lines, c).map(nn => n - nn)
+            case _ => None
+          }
+        } ++
+        nullCols.map(c => nnFromLines(lines, c)) ++
+        notNullCols.map(c => nnFromLines(lines, c).map(nn => n - nn))
+      if (parts.exists(_.isEmpty)) None else Some(parts.flatten.sum)
     }
-    require(chain.nonEmpty, "readChainTopK needs a non-empty layer chain")
-    val (known, unknown) = chain.map { l =>
-      val lines = statsLines(tableDir, l).getOrElse(Seq.empty)
-      (l, envFromLines(lines, column), nFromLines(lines),
-        nnFromLines(lines, column))
+    // a conjunct on the sort key itself rejects its nulls globally
+    val sortKeyNotNull = notNullCols.contains(column) ||
+      ranges.exists(_._1 == column) || strEquals.exists(_._1 == column)
+    // per layer (sidecar already read): envelope over the NON-NULL sort
+    // keys, plus LOWER bounds on qualifying non-null/null rows. Nulls
+    // need their own accounting — Spark sorts them FIRST under asc and
+    // LAST under desc, and the envelope says nothing about them.
+    final case class LS(layer: String, env: Option[(T, T)],
+        qualNN: Long, qualNull: Long, mayQualNull: Boolean)
+    val (known, unknown) = survivors.map { case (l, lines) =>
+      (l, lines, envOf(lines), nFromLines(lines), nnFromLines(lines, column))
     }.partitionMap {
       // "known": counts present, and the envelope either present or
       // vacuously absent (no non-null values). A missing envelope WITH
       // non-null rows is the NaN write-guard (or a legacy sidecar) —
       // order unknowable, always read, contributes nothing to the bound.
-      case (l, env, Some(n), Some(nn)) if env.isDefined || nn == 0 =>
-        Left(LS(l, env, n, nn))
-      case (l, _, _, _) => Right(l)
+      case (l, lines, env, Some(n), Some(nn)) if env.isDefined || nn == 0 =>
+        val f = failUB(lines, n)
+        val nulls = n - nn
+        Left(LS(l, env,
+          qualNN = f.fold(0L)(x => math.max(0L, nn - x)),
+          qualNull =
+            if (sortKeyNotNull) 0L else f.fold(0L)(x => math.max(0L, nulls - x)),
+          mayQualNull = !sortKeyNotNull && nulls > 0))
+      case (l, _, _, _, _) => Right(l)
     }
-    val kept: Seq[String] =
-      if (known.isEmpty) chain
-      else if (descending) {
-        // nulls sort LAST: they only matter when the known non-null rows
-        // cannot fill k on their own (unknown layers are read either way)
-        if (known.map(_.nn).sum < k) chain
-        else {
-          val byExit = known.filter(_.env.isDefined).sortBy(-_.env.get._1)
-          var acc = 0L
-          var bound: Option[Double] = None
-          byExit.foreach { s =>
-            if (bound.isEmpty) {
-              acc += s.nn; if (acc >= k) bound = Some(s.env.get._1)
-            }
+    val all = survivors.map(_._1)
+    if (known.isEmpty) all
+    else if (descending) {
+      // nulls sort LAST: they only matter when the provable qualifying
+      // non-null rows cannot fill k (unknown layers are read either way)
+      if (known.map(_.qualNN).sum < k) all
+      else {
+        val byExit = known.filter(_.env.isDefined)
+          .sortBy(_.env.get._1)(ord.reverse)
+        var acc = 0L
+        var bound: Option[T] = None
+        byExit.foreach { s =>
+          if (bound.isEmpty) {
+            acc += s.qualNN; if (acc >= k) bound = Some(s.env.get._1)
           }
-          val b = bound.get // sum >= k above guarantees it
-          // strict exclusion: a pruned layer's every non-null value is
-          // < b while >= k non-null rows >= b exist, and its nulls sort
-          // after all of those — no tiebreak can promote either
-          known.filter(s => s.env.exists(_._2 >= b)).map(_.layer) ++ unknown
         }
-      } else {
-        // nulls sort FIRST: every null-bearing layer stays (which nulls
-        // make the cut is a tiebreak question), and they shrink the
-        // value budget; unknown layers may hide more nulls — using only
-        // the known null count keeps k' an over-estimate (conservative)
-        val nullLayers = known.filter(_.nulls > 0).map(_.layer)
-        val kPrime = k - known.map(_.nulls).sum
-        if (kPrime <= 0) nullLayers ++ unknown
-        else if (known.map(_.nn).sum < kPrime) chain
-        else {
-          val byExit = known.filter(_.env.isDefined).sortBy(_.env.get._2)
-          var acc = 0L
-          var bound: Option[Double] = None
-          byExit.foreach { s =>
-            if (bound.isEmpty) {
-              acc += s.nn; if (acc >= kPrime) bound = Some(s.env.get._2)
-            }
-          }
-          val b = bound.get
-          (known.filter(s => s.nulls > 0 || s.env.exists(_._1 <= b))
-            .map(_.layer) ++ unknown).distinct
-        }
+        val b = bound.get // qualNN sits on env-bearing layers only
+        // strict exclusion: a pruned layer's every non-null value is
+        // < b while >= k qualifying non-null rows >= b exist, and its
+        // nulls sort after all of those — no tiebreak can promote either
+        known.filter(s => s.env.exists(e => ord.gteq(e._2, b)))
+          .map(_.layer) ++ unknown
       }
-    val keyCols = (column +: tiebreak).map(c =>
-      if (descending && c == column) col(c).desc else col(c).asc)
-    // kept is non-empty by construction: every branch either returns the
-    // whole chain or retains at least the bound-defining layer
-    read(chain.filter(kept.toSet)).orderBy(keyCols: _*).limit(k)
+    } else {
+      // nulls sort FIRST: every layer that may hold a QUALIFYING null
+      // stays (which nulls make the cut is a tiebreak question), and the
+      // provable qualifying nulls shrink the value budget; unknown
+      // layers may hide more — counting only the provable ones keeps k'
+      // an over-estimate (conservative)
+      val nullLayers = known.filter(_.mayQualNull).map(_.layer)
+      val kPrime = k - known.map(_.qualNull).sum
+      if (kPrime <= 0) nullLayers ++ unknown
+      else if (known.map(_.qualNN).sum < kPrime) all
+      else {
+        val byExit = known.filter(_.env.isDefined).sortBy(_.env.get._2)(ord)
+        var acc = 0L
+        var bound: Option[T] = None
+        byExit.foreach { s =>
+          if (bound.isEmpty) {
+            acc += s.qualNN; if (acc >= kPrime) bound = Some(s.env.get._2)
+          }
+        }
+        val b = bound.get
+        (known.filter(s => s.mayQualNull || s.env.exists(e => ord.lteq(e._1, b)))
+          .map(_.layer) ++ unknown).distinct
+      }
+    }
   }
 
   /** The latest table restricted to layers whose `[min, max]` envelope
@@ -594,38 +709,55 @@ object NdjsonIngest {
       // per-lookup re-read multiplies plan-time metadata I/O by the
       // conjunct count on long chains); a missing sidecar → empty lines
       // → every lookup misses → the layer is conservatively kept
-      val lines = statsLines(tableDir, l).getOrElse(Seq.empty)
-      ranges.forall { case (column, lo, hi) =>
-        envFromLines(lines, column) match {
-          case Some((mn, mx)) => mx >= lo && mn <= hi
-          case None => true
-        }
-      } && strEquals.forall { case (column, values) =>
-        strEnvFromLines(lines, column) match {
-          // an equality/in-set conjunct keeps the layer iff SOME sought
-          // value can exist in its lexicographic envelope
-          case Some((mn, mx)) => values.exists(v => v >= mn && v <= mx)
-          case None => true
-        }
-      } && nullCols.forall { column =>
-        // isNull(column) keeps only rows where column IS null — a layer
-        // whose ledger records zero nulls can't contribute
-        (nFromLines(lines), nnFromLines(lines, column)) match {
-          case (Some(n), Some(nn)) => n > nn
-          case _ => true
-        }
-      } && notNullCols.forall { column =>
-        // isNotNull(column): an all-null layer can't contribute
-        nnFromLines(lines, column) match {
-          case Some(nn) => nn > 0
-          case None => true
-        }
-      }
+      zoneKeep(statsLines(tableDir, l).getOrElse(Seq.empty),
+        ranges, strEquals, nullCols, notNullCols)
     }
     // an empty pruned chain still needs the table schema: read the given
     // chain's schema with an always-false filter
     if (kept.isEmpty) read(chain).filter(lit(false))
     else read(kept)
+  }
+
+  /** Can a layer with these sidecar lines hold a row satisfying EVERY
+    * conjunct? (The zone-map intersection test shared by the range
+    * reader and the filtered top-k selector.) Missing stats always keep
+    * the layer; an all-null column ledger (`c: 0`) proves a range or
+    * equality conjunct over it unsatisfiable (SQL comparisons reject
+    * null), which the envelope alone can't (no envelope is written for
+    * an all-null column).
+    */
+  private def zoneKeep(lines: Seq[Array[String]],
+      ranges: Seq[(String, Double, Double)],
+      strEquals: Seq[(String, Seq[String])],
+      nullCols: Seq[String], notNullCols: Seq[String]): Boolean = {
+    def hasNonNull(column: String): Boolean =
+      nnFromLines(lines, column).forall(_ > 0)
+    ranges.forall { case (column, lo, hi) =>
+      envFromLines(lines, column) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => hasNonNull(column)
+      }
+    } && strEquals.forall { case (column, values) =>
+      strEnvFromLines(lines, column) match {
+        // an equality/in-set conjunct keeps the layer iff SOME sought
+        // value can exist in its lexicographic envelope
+        case Some((mn, mx)) => values.exists(v => v >= mn && v <= mx)
+        case None => hasNonNull(column)
+      }
+    } && nullCols.forall { column =>
+      // isNull(column) keeps only rows where column IS null — a layer
+      // whose ledger records zero nulls can't contribute
+      (nFromLines(lines), nnFromLines(lines, column)) match {
+        case (Some(n), Some(nn)) => n > nn
+        case _ => true
+      }
+    } && notNullCols.forall { column =>
+      // isNotNull(column): an all-null layer can't contribute
+      nnFromLines(lines, column) match {
+        case Some(nn) => nn > 0
+        case None => true
+      }
+    }
   }
 
   private def flipPointer(tableDir: String, chain: Seq[String],

@@ -216,6 +216,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(600))
   }
 
+  test("q_filter_topk composes both bounds: 1 of 30 layers AND a top-k " +
+    "plan, through the filter stage") {
+    val df = SparkEntry.queries("q_filter_topk")(spark, sfDir)
+    // the date window admits 16 layers; the top-20-by-recency bound then
+    // proves only the window's NEWEST layer can contribute — the filter
+    // no longer breaks the SortedScan note
+    val layers = df.inputFiles.map(_.split("/").takeRight(2).head).distinct
+    assert(layers.length === 1, s"layers read: ${layers.mkString(",")}")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+  }
+
   test("exact-substring dup-set semi-join is not a forced broadcast") {
     // the dup-40-gram set is O(duplicated text) — unbounded on a web
     // corpus — so a broadcast() HINT (driver-side, size-blind) is a

@@ -637,4 +637,77 @@ class PropertySpec extends SparkSpec {
         assert(cnt(routed) === cnt(unrouted), s"case $ci count")
     }
   }
+
+  test("FILTERED top-k (zone + top-k bounds composed) and STRING-keyed " +
+    "top-k ALWAYS equal the unrouted plans (randomized layers, nulls, " +
+    "ties, offsets, filters)") {
+    import graft.lang.Planner
+    import graft.lang.Planner.Catalog
+    import graft.sources.NdjsonIngest
+    val countries = Vector("AT", "CH", "DE", "FR", "IT", "JP", "US")
+    val caseGen = for {
+      nLayers <- Gen.choose(1, 4)
+      // narrow ranges so ties are common; nulls in BOTH the numeric and
+      // the string column (string envelopes + the new string ledger must
+      // place them on the right end of the sort)
+      rows <- Gen.listOfN(nLayers, Gen.choose(1, 6).flatMap(n =>
+        Gen.listOfN(n, for {
+          v <- Gen.frequency(
+            4 -> Gen.choose(-8L, 8L).map(Option(_)),
+            1 -> Gen.const(Option.empty[Long]))
+          c <- Gen.frequency(
+            4 -> Gen.oneOf(countries).map(Option(_)),
+            1 -> Gen.const(Option.empty[String]))
+        } yield (v, c))))
+      k <- Gen.choose(1, 8)
+      off <- Gen.choose(0, 4)
+      descend <- Gen.oneOf(true, false)
+      lo <- Gen.choose(-10L, 10L)
+      w <- Gen.choose(0L, 10L)
+      cs <- Gen.someOf(countries)
+    } yield (rows, k, off, descend, lo, lo + w, cs.toList)
+    samples(caseGen, 12).zipWithIndex.foreach {
+      case ((layerRows, k, off, desc, lo, hi, cs), ci) =>
+        val dir = java.nio.file.Files.createTempDirectory("ftkprop")
+          .toString + "/t"
+        layerRows.zipWithIndex.foreach { case (rs, li) =>
+          // x: a DOUBLE copy of v — float between is to-EXCLUSIVE, so
+          // this arm proves the envelopes encode that bound correctly
+          val df = rs.zipWithIndex.map { case ((v, c), ri) =>
+            (li * 100L + ri, v, c, v.map(_ * 0.5)) }.toDF("id", "v", "c", "x")
+          if (li == 0) NdjsonIngest.appendVersion(df, dir, "id")
+          else NdjsonIngest.appendDelta(df, dir, "id")
+        }
+        val frame = NdjsonIngest.readLatest(spark, dir)
+        val routed = Catalog(tables = Map("t" -> frame),
+          versionedDirs = Map("t" -> dir))
+        val unrouted = Catalog(tables = Map("t" -> frame))
+        val key = if (desc) "desc(v)" else "v"
+        val sKey = if (desc) "desc(c)" else "c"
+        val qs = Seq(
+          // filter + top-k composed, numeric sort key
+          s"t.filter(between(v, $lo, $hi)).orderBy({$key, id}).limit($k)",
+          s"t.filter(between(v, $lo, $hi)).orderBy({$key, id})" +
+            s".offset($off).limit($k)",
+          s"t.filter(isNotNull(v)).orderBy({$key, id}).limit($k)",
+          s"t.filter(isNull(v)).orderBy({$sKey, id}).limit($k)",
+          // string sort key, bare and filtered
+          s"t.orderBy({$sKey, id}).limit($k)",
+          s"t.filter(between(v, $lo, $hi)).orderBy({$sKey, id}).limit($k)",
+          // DOUBLE window (exclusive upper bound) + double sort key
+          s"t.filter(between(x, ${lo * 0.5}, ${hi * 0.5}))" +
+            s".orderBy({${if (desc) "desc(x)" else "x"}, id}).limit($k)") ++
+          (if (cs.nonEmpty) {
+            val set = cs.map(c => s"'$c'").mkString(",")
+            Seq(s"t.filter(in(c, {$set})).orderBy({$key, id}).limit($k)",
+              s"t.filter(c = '${cs.head}' && between(v, $lo, $hi))" +
+                s".orderBy({$sKey, id}).limit($k)")
+          } else Nil)
+        qs.foreach { q =>
+          def seqOf(cat: Catalog) = Planner.plan(q, cat)
+            .select("id").as[Long].collect().toSeq // ORDERED compare
+          assert(seqOf(routed) === seqOf(unrouted), s"case $ci query $q")
+        }
+    }
+  }
 }

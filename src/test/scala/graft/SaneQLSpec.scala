@@ -577,26 +577,35 @@ class SaneQLSpec extends SparkSpec {
     val asc = Planner.plan("vt.orderBy({v, id}).limit(2)", cat)
     assert(asc.inputFiles.forall(_.contains("/v1/")))
     assert(asc.collect().map(_.getLong(0)).toSeq === Seq(2L, 1L))
-    // a filter between scan and orderBy drops the note: full chain read,
-    // same rows (conservative, never a semantic change)
+    // an OPAQUE filter (not stats-decidable: bare comparison, no
+    // between/equality shape) between scan and orderBy drops the note:
+    // full chain read, same rows (conservative, never a semantic change)
     val filtered = Planner.plan(
       "vt.filter(id > 0).orderBy({desc(v), id}).limit(2)", cat)
     assert(filtered.collect().map(_.getLong(0)).toSeq === Seq(5L, 6L))
-    // a STRING first key fails the numeric/date routing gate: the plan
-    // stays the plain orderBy+limit over every layer, values intact
+    // a STRING first key routes through the lexicographic `s:` envelopes
+    // + the string non-null ledger: desc top-2 lives entirely in the
+    // z-side layer, so v1 never opens
     val sdir = java.nio.file.Files.createTempDirectory("graft").toString + "/sk"
     NdjsonIngest.appendVersion(
-      Seq((1L, "m"), (2L, "a")).toDF("id", "s"), sdir, "id")
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), sdir, "id")
     NdjsonIngest.appendDelta(
-      Seq((3L, "z"), (4L, "b")).toDF("id", "s"), sdir, "id")
+      Seq((3L, "y"), (4L, "z")).toDF("id", "s"), sdir, "id")
     val sCat = Catalog(
       tables = Map("st" -> NdjsonIngest.readLatest(spark, sdir)),
       versionedDirs = Map("st" -> sdir))
-    val byStr = Planner.plan("st.orderBy({desc(s), id}).limit(1)", sCat)
+    val byStr = Planner.plan("st.orderBy({desc(s), id}).limit(2)", sCat)
     val sLayers = byStr.inputFiles.map(_.split("/").takeRight(2).head).distinct
-    assert(sLayers.sorted.toSeq === Seq("v1", "v2"),
-      "string key must not route; every layer stays in the scan")
-    assert(byStr.collect().map(_.getLong(0)).toSeq === Seq(3L))
+    assert(sLayers.sorted.toSeq === Seq("v2"),
+      s"string top-k should open 1 of 2 layers, got ${sLayers.mkString(",")}")
+    assert(byStr.collect().map(_.getLong(0)).toSeq === Seq(4L, 3L))
+    assert(byStr.collect().map(_.getLong(0)).toSeq ===
+      Planner.plan("st.orderBy({desc(s), id}).limit(2)",
+        sCat.copy(versionedDirs = Map())).collect().map(_.getLong(0)).toSeq)
+    // ascending needs only the a/b layer
+    val sAsc = Planner.plan("st.orderBy({s, id}).limit(2)", sCat)
+    assert(sAsc.inputFiles.forall(_.contains("/v1/")))
+    assert(sAsc.collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
     // an offset between orderBy and limit DEEPENS the bound (skip+k) and
     // re-applies: rows 3-4 of the ascending stream need v1+v2, never v3
     val off = Planner.plan("vt.orderBy({v, id}).offset(2).limit(2)", cat)
@@ -607,6 +616,67 @@ class SaneQLSpec extends SparkSpec {
     assert(off.collect().map(_.getLong(0)).toSeq ===
       Planner.plan("vt.orderBy({v, id}).offset(2).limit(2)",
         cat.copy(versionedDirs = Map())).collect().map(_.getLong(0)).toSeq)
+  }
+
+  test("filter+orderBy+limit composes: the scan opens only layers " +
+    "satisfying BOTH the zone bound and the top-k bound") {
+    import graft.sources.NdjsonIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft").toString + "/ftk"
+    // four day-clustered layers, scores rising with the day — the
+    // canonical `table.filter(window).orderBy(score).limit(k)` shape
+    NdjsonIngest.appendVersion(
+      Seq((1L, 1L, 10.0), (2L, 1L, 11.0)).toDF("id", "day", "score"),
+      dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((3L, 2L, 20.0), (4L, 2L, 21.0)).toDF("id", "day", "score"),
+      dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((5L, 3L, 30.0), (6L, 3L, 31.0)).toDF("id", "day", "score"),
+      dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((7L, 4L, 40.0), (8L, 4L, 41.0)).toDF("id", "day", "score"),
+      dir, "id")
+    val cat = Catalog(
+      tables = Map("t" -> NdjsonIngest.readLatest(spark, dir)),
+      versionedDirs = Map("t" -> dir))
+    def layersOf(df: org.apache.spark.sql.DataFrame) =
+      df.inputFiles.map(_.split("/").takeRight(2).head).distinct.sorted.toSeq
+    val q = "t.filter(between(day, 2, 3)).orderBy({desc(score), id}).limit(2)"
+    val routed = Planner.plan(q, cat)
+    // the day window drops v1/v4 (zone bound); v3's fully-contained
+    // envelope proves 2 qualifying rows at score >= 30, so v2 drops too
+    // (top-k bound): 1 of 4 footers opens
+    assert(layersOf(routed) === Seq("v3"), layersOf(routed).mkString(","))
+    assert(routed.collect().map(_.getLong(0)).toSeq === Seq(6L, 5L))
+    assert(routed.collect().map(_.getLong(0)).toSeq ===
+      Planner.plan(q, cat.copy(versionedDirs = Map()))
+        .collect().map(_.getLong(0)).toSeq)
+    // an offset deepens the composed bound: rows 3-4 of the window's
+    // descending stream need v2 as well, but still never v1/v4
+    val off = Planner.plan("t.filter(between(day, 2, 3))" +
+      ".orderBy({desc(score), id}).offset(2).limit(2)", cat)
+    assert(layersOf(off) === Seq("v2", "v3"))
+    assert(off.collect().map(_.getLong(0)).toSeq === Seq(4L, 3L))
+    // a window matching no layer: empty result, schema kept
+    val none = Planner.plan(
+      "t.filter(between(day, 9, 10)).orderBy({desc(score), id}).limit(2)", cat)
+    assert(none.count() === 0)
+    assert(none.columns.toSeq === Seq("id", "day", "score"))
+    // a mixed conjunct set (string equality + range) still composes;
+    // routed == unrouted on a partially-contained window
+    val dir2 = java.nio.file.Files.createTempDirectory("graft").toString + "/ftk2"
+    NdjsonIngest.appendVersion(
+      Seq((1L, 1L, "A"), (2L, 2L, "B")).toDF("id", "v", "c"), dir2, "id")
+    NdjsonIngest.appendDelta(
+      Seq((3L, 3L, "A"), (4L, 4L, "B")).toDF("id", "v", "c"), dir2, "id")
+    val cat2 = Catalog(
+      tables = Map("t" -> NdjsonIngest.readLatest(spark, dir2)),
+      versionedDirs = Map("t" -> dir2))
+    val q2 = "t.filter(c = 'A' && between(v, 1, 3)).orderBy({desc(v), id}).limit(1)"
+    assert(Planner.plan(q2, cat2).collect().map(_.getLong(0)).toSeq ===
+      Planner.plan(q2, cat2.copy(versionedDirs = Map()))
+        .collect().map(_.getLong(0)).toSeq)
+    assert(Planner.plan(q2, cat2).collect().map(_.getLong(0)).toSeq === Seq(3L))
   }
 
   test("isNull/isNotNull conjuncts prune layers via the null ledger") {

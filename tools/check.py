@@ -31,8 +31,18 @@ def norm_dtype(col: pd.Series) -> str:
         nn = col.dropna()
         if len(nn) == 0:
             return "*"
-        if isinstance(nn.iloc[0], (datetime.date, datetime.datetime)):
+        # classify by a SAMPLE of values, not just the first: a mixed
+        # object column (str first, date later) must not masquerade as
+        # its first value's kind
+        kinds = set()
+        for v in nn.iloc[:32]:
+            kinds.add("datetime"
+                      if isinstance(v, (datetime.date, datetime.datetime))
+                      else type(v).__name__)
+        if kinds == {"datetime"}:
             return "datetime"
+        if len(kinds) > 1:
+            return "mixed:" + ",".join(sorted(kinds))
     return d
 
 def dtypes_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
