@@ -72,12 +72,98 @@ object AnnIndex {
   }
 
   private def writeCodesLayer(h: Handle, emb: DataFrame, idCol: String,
-      vecCol: String, layer: String): Unit =
+      vecCol: String, layer: String): Unit = {
     Pq.index(emb.select(col(idCol).as("id"), col(vecCol)), vecCol,
         h.cents, h.books)
       .select(col("id"), col("code"), col("cell"))
       .write.mode(SaveMode.ErrorIfExists).partitionBy("cell")
       .parquet(s"${h.indexDir}/codes/layer=$layer")
+    writeCellStats(h.indexDir, layer)
+  }
+
+  /** Per-layer (cell, cnt) sidecar, derived from the just-written layer
+    * (O(batch) read-back, written BEFORE the meta commit so a committed
+    * layer always has its stats). The chain's per-cell POPULATION — the
+    * watermark [[requireBalanced]] enforces — is the cells-bounded sum
+    * of these, so checking balance never scans the codes themselves.
+    */
+  private def writeCellStats(indexDir: String, layer: String): Unit = {
+    val spark = SparkSession.active
+    spark.read.parquet(s"$indexDir/codes/layer=$layer")
+      .groupBy("cell").count()
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/cellstats/layer=$layer")
+  }
+
+  /** The chain's max per-cell code population, or None when any committed
+    * layer predates the cellstats sidecars (legacy index — balance then
+    * unverifiable, checks skip).
+    */
+  def maxCellPopulation(spark: SparkSession, indexDir: String,
+      layers: Seq[String]): Option[Long] = {
+    if (layers.isEmpty) return Some(0L)
+    if (!layers.forall(l => new java.io.File(
+        s"$indexDir/cellstats/layer=$l").isDirectory)) return None
+    val stats = spark.read.option("basePath", s"$indexDir/cellstats")
+      .parquet(layers.map(l => s"$indexDir/cellstats/layer=$l"): _*)
+      .groupBy("cell").agg(sum("count").as("n"))
+      .agg(max("n")).collect()(0)
+    if (stats.isNullAt(0)) Some(0L) else Some(stats.getLong(0))
+  }
+
+  private def baselinePath(indexDir: String) =
+    java.nio.file.Paths.get(indexDir, "cellbase")
+
+  /** Build-time max cell population (the balance baseline), when the
+    * index recorded one.
+    */
+  def cellBaseline(indexDir: String): Option[Long] =
+    if (!java.nio.file.Files.exists(baselinePath(indexDir))) None
+    else scala.util.Try(java.nio.file.Files
+      .readString(baselinePath(indexDir)).trim.toLong).toOption
+
+  /** Enforce the cell-size watermark: the quantizer is FROZEN at build
+    * time while `syncFromFeed` appends into its cells forever, so a
+    * corpus grown far past the build-time size degrades the within-cell
+    * joins ([[graft.ann.Similarity.semdedupFromIndex]]) and the probe
+    * cost ([[search]]) toward quadratic. Throws once the current max
+    * cell population exceeds `factor` × the build-time baseline (floored
+    * at 64 rows so small indexes never trip on noise); the escape hatch
+    * is [[rebuild]] (retrain with a cell count sized to TODAY's corpus).
+    * Legacy indexes without the baseline/stats sidecars skip the check.
+    */
+  def requireBalanced(spark: SparkSession, indexDir: String,
+      layers: Seq[String], factor: Double = 4.0): Unit =
+    for {
+      base <- cellBaseline(indexDir)
+      pop <- maxCellPopulation(spark, indexDir, layers)
+    } {
+      val bound = (factor * math.max(base, 64L)).toLong
+      if (pop > bound) throw new IllegalStateException(
+        s"index at $indexDir is out of balance: max cell population $pop " +
+          s"exceeds $bound (${factor}x the build-time baseline $base) — " +
+          "the corpus outgrew the frozen quantizer; run AnnIndex.rebuild " +
+          "with a cell count sized to the current corpus")
+    }
+
+  /** Retrain IN PLACE with a fresh quantizer sized to TODAY's corpus —
+    * the watermark escape hatch. Drops the committed meta first (readers
+    * racing the rebuild see "no index", never a torn one), clears the
+    * model/codes/stats dirs, then runs the normal build. Call when
+    * in-flight readers of the old chain have drained (same contract as
+    * [[gcCodes]]); for zero-downtime swaps build into a fresh indexDir
+    * instead.
+    */
+  def rebuild(spark: SparkSession, emb: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, dim: Int, cells: Int, m: Int,
+      k: Int, iters: Int = 2, tag: Option[String] = None): Handle = {
+    java.nio.file.Files.deleteIfExists(metaPath(indexDir))
+    Seq("model", "codes", "cellstats", "cellbase").foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(indexDir, d)))
+    buildOrLoad(spark, emb, idCol, vecCol, indexDir, dim, cells, m, k,
+      iters, tag)
+  }
 
   private def commitMeta(indexDir: String, layers: Seq[String]): Unit = {
     val tmp = java.nio.file.Paths.get(indexDir, ".meta.tmp")
@@ -113,6 +199,11 @@ object AnnIndex {
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/model/codebooks")
       val h = Handle(indexDir, cents, books, Seq("1"))
       writeCodesLayer(h, emb, idCol, vecCol, "1")
+      // the balance baseline: the build-time max cell population, the
+      // yardstick requireBalanced measures later growth against (written
+      // before the meta commit, like the stats themselves)
+      maxCellPopulation(spark, indexDir, Seq("1")).foreach(p =>
+        java.nio.file.Files.writeString(baselinePath(indexDir), p.toString))
       commitMeta(indexDir,
         Seq(graft.operators.BandChain.entryOf("1", tag.toSeq)))
       h
@@ -184,12 +275,14 @@ object AnnIndex {
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(s"$indexDir/codes/layer=$next"))
       commitMeta(indexDir, Seq.empty)
-    } else
+    } else {
+      writeCellStats(indexDir, next)
       // the folded layer keeps only the newest feed tag (coverage is
       // monotone) — replay stays recognisable, meta stays bounded
       commitMeta(indexDir, Seq(graft.operators.BandChain.entryOf(next,
         graft.operators.BandChain.pruneFeedTags(
           entries(indexDir).flatMap(graft.operators.BandChain.tagsOf).distinct))))
+    }
     true
   }
 
@@ -205,8 +298,11 @@ object AnnIndex {
       throw new IllegalStateException(s"no committed index at $indexDir")
     // meta-only read: the committed layer names are all gc needs — loading
     // the model (two Spark jobs) here would tax every consumer tick
-    graft.operators.BandChain.gcLayerDirs(s"$indexDir/codes",
-      entries(indexDir).map(graft.operators.BandChain.nameOf))
+    val live = entries(indexDir).map(graft.operators.BandChain.nameOf)
+    // the stats sidecars of dropped layers go with them
+    if (new java.io.File(s"$indexDir/cellstats").isDirectory)
+      graft.operators.BandChain.gcLayerDirs(s"$indexDir/cellstats", live)
+    graft.operators.BandChain.gcLayerDirs(s"$indexDir/codes", live)
   }
 
   /** ONE-CALL change-feed maintenance for a persisted IVF-PQ index over
@@ -320,6 +416,10 @@ object AnnIndex {
           StructField("n_id", emb.schema(idCol).dataType),
           StructField("cos", DoubleType))))
     }
+    // probe cost is O(max cell population): refuse to serve an index the
+    // corpus has outgrown (the frozen quantizer can't split cells —
+    // rebuild does)
+    requireBalanced(spark, h.indexDir, h.layers)
     val m = h.books.length
     val pdf = probes.flatMap { case (qid, qv) =>
       val l = Pq.lut(qv, h.books)

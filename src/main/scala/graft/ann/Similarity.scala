@@ -124,6 +124,10 @@ object Similarity {
         emb.select(col(idCol), col(vecCol), lit(0).as("cell")).limit(0),
         idCol, vecCol, threshold)
     }
+    // the within-cell verify join is O(Σ cell²): refuse once the corpus
+    // has outgrown the frozen quantizer's cells (4x the build-time max —
+    // AnnIndex.rebuild with a corpus-sized cell count is the escape)
+    AnnIndex.requireBalanced(spark, h.indexDir, h.layers)
     val newestFirst = Window.partitionBy(col(idCol))
       .orderBy(col("layer").cast("long").desc)
     // localCheckpoint: the cells frame feeds BOTH the coverage count and
@@ -156,21 +160,63 @@ object Similarity {
     * model a persisted [[AnnIndex]] holds — a recurring dedup should use
     * [[semdedupFromIndex]] instead of retraining per run.
     *
-    * Scale note: the centroid matrix is cells×dim ≈ (N/targetCellSize)×dim
-    * doubles and must stay broadcast-sized; past ~10⁵ cells use a
-    * two-level quantizer (assign to a coarse cell first, train/dedup per
-    * coarse shard) — the per-shard recipe is exactly this function.
+    * Scale: the centroid matrix is cells×dim ≈ (N/targetCellSize)×dim
+    * doubles and must stay broadcast-sized, so past `maxCellsPerLevel`
+    * cells the quantizer goes TWO-LEVEL — assign every vector to one of
+    * ceil(cells / maxCellsPerLevel) coarse shards first, then run the
+    * single-level recipe per shard with cells sized to THAT shard.
+    * Each level's centroid matrix stays under the broadcast budget, pair
+    * work stays linear (every pair is still within one fine cell), and
+    * the default budget carries ~67M vectors per shard at the default
+    * targetCellSize. A pathologically skewed shard (identical vectors —
+    * no quantizer can split them) clamps its fine-cell count at the
+    * budget instead of recursing forever.
     */
   def semdedup(
       emb: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double = 0.35, targetCellSize: Long = 1024L,
-      iters: Int = 2, seed: Long = 11L): DataFrame = {
+      iters: Int = 2, seed: Long = 11L,
+      maxCellsPerLevel: Int = 65536): DataFrame = {
+    require(maxCellsPerLevel >= 1, "maxCellsPerLevel must be positive")
     val n = emb.count()
     val cells = math.max(1L, (n + targetCellSize - 1) / targetCellSize)
-    require(cells <= 65536,
-      s"$cells cells exceeds the broadcast-sized centroid budget; " +
-        "shard the corpus with a coarse quantizer first")
-    val cents = Ivf.train(emb, vecCol, dim, cells.toInt, iters, seed)
+    if (cells <= maxCellsPerLevel)
+      return semdedupLevel(emb, idCol, vecCol, dim, cells.toInt, threshold,
+        iters, seed)
+    val shards = math.min(
+      (cells + maxCellsPerLevel - 1) / maxCellsPerLevel,
+      maxCellsPerLevel.toLong).toInt
+    val coarse = Ivf.train(emb, vecCol, dim, shards, iters, seed ^ 0x5eedL)
+    // one assignment pass, checkpointed: every shard's sub-dedup filters
+    // this frame (without the cut each shard would re-run the scan+assign)
+    val tagged = Ivf.assign(emb, vecCol, coarse)
+      .withColumnRenamed("cell", "__shard").localCheckpoint()
+    val counts = tagged.groupBy("__shard").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val parts = (0 until shards).flatMap { s =>
+      counts.get(s).map { sn =>
+        val sub = tagged.filter(col("__shard") === s).drop("__shard")
+        val fine = math.min(
+          math.max(1L, (sn + targetCellSize - 1) / targetCellSize),
+          maxCellsPerLevel.toLong).toInt
+        semdedupLevel(sub, idCol, vecCol, dim, fine, threshold, iters,
+            seed + s)
+          // disambiguate cell ids across shards (the verdict columns are
+          // shard-local; kept/dup_of semantics don't depend on the id)
+          .withColumn("cell",
+            col("cell") + lit(s.toLong * maxCellsPerLevel))
+      }
+    }
+    parts.reduce(_ unionByName _)
+  }
+
+  /** One quantizer level: train `cells` centroids, assign, dedup within
+    * cells — the single-level recipe [[semdedup]] composes.
+    */
+  private def semdedupLevel(
+      emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      cells: Int, threshold: Double, iters: Int, seed: Long): DataFrame = {
+    val cents = Ivf.train(emb, vecCol, dim, cells, iters, seed)
     semdedupInCells(Ivf.assign(emb, vecCol, cents), idCol, vecCol, threshold)
   }
 }

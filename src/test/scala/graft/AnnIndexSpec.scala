@@ -123,6 +123,43 @@ class AnnIndexSpec extends SparkSpec {
     assert(ranks.forall(_.sorted == Seq(1, 2, 3, 4, 5)))
   }
 
+  test("cell-size watermark: a corpus grown far past the frozen " +
+    "quantizer trips search and dedup; rebuild resets the baseline") {
+    import graft.ann.Similarity
+    val dir = Files.createTempDirectory("wmidx").toString + "/idx"
+    AnnIndex.buildOrLoad(spark, emb, "vec_id", "embedding", dir,
+      dim, cells = 4, m = 2, k = 8, iters = 2)
+    // build-time baseline recorded: ~25 per cell here
+    assert(AnnIndex.cellBaseline(dir).exists(_ > 0))
+    // grow ONE cell 10x past the bound (300 copies of one direction —
+    // identical vectors always land in the same frozen cell, so the
+    // watermark must trip deterministically: bound = 4 × max(base, 64))
+    val grown = (1000L until 1300L).map(i =>
+      (i, Array.tabulate(dim)(j => if (j < 2) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    AnnIndex.append(spark, grown, "vec_id", "embedding", dir)
+    val h = AnnIndex.load(spark, dir).get
+    assert(AnnIndex.maxCellPopulation(spark, dir, h.layers).exists(_ >= 300))
+    val all = emb.union(grown).localCheckpoint()
+    val probes = Seq((0L, vecs.head._2.map(_.toDouble)))
+    val eSearch = intercept[IllegalStateException] {
+      AnnIndex.search(spark, h, all, "vec_id", "embedding", probes).count()
+    }
+    assert(eSearch.getMessage.contains("out of balance"))
+    val eDedup = intercept[IllegalStateException] {
+      Similarity.semdedupFromIndex(h, all, "vec_id", "embedding", 0.9).count()
+    }
+    assert(eDedup.getMessage.contains("out of balance"))
+    // the escape hatch: retrain against TODAY's corpus — the rebuilt
+    // baseline absorbs the growth and both paths serve again
+    val h2 = AnnIndex.rebuild(spark, all, "vec_id", "embedding", dir,
+      dim, cells = 4, m = 2, k = 8, iters = 2)
+    assert(AnnIndex.search(spark, h2, all, "vec_id", "embedding", probes)
+      .count() > 0)
+    assert(Similarity.semdedupFromIndex(h2, all, "vec_id", "embedding", 0.9)
+      .count() === all.count())
+  }
+
   test("append encodes with the frozen model and search sees the new layer") {
     val dir = Files.createTempDirectory("annidx").toString + "/idx"
     AnnIndex.buildOrLoad(spark, emb, "vec_id", "embedding", dir,

@@ -67,6 +67,42 @@ class SimilaritySpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("semdedup goes two-level past the per-level cell budget: >1 " +
+    "coarse shard, verdicts equal to single-level on the same data") {
+    // 12 groups of 5 EXACT copies on mutually orthogonal directions:
+    // identical vectors always share a cell under ANY quantizer and
+    // orthogonal pairs (cos 0) never pass the threshold, so the expected
+    // kept/dup_of verdicts are quantizer-independent — the one data shape
+    // where single-level and two-level MUST agree exactly
+    val dim = 16
+    val rows = for (g <- 0 until 12; j <- 0 until 5) yield {
+      val v = Array.fill(dim)(0.0); v(g % dim) = 1.0
+      (g * 10L + j, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    // n=60, targetCellSize=4 → 15 cells > budget 4 → 4 coarse shards
+    val sharded = Similarity.semdedup(df, "vec_id", "embedding", dim,
+      threshold = 0.35, targetCellSize = 4L, maxCellsPerLevel = 4)
+      .select("vec_id", "kept", "dup_of")
+      .as[(Long, Boolean, Option[Long])].collect().sortBy(_._1)
+    val single = Similarity.semdedup(df, "vec_id", "embedding", dim,
+      threshold = 0.35, targetCellSize = 4L)
+      .select("vec_id", "kept", "dup_of")
+      .as[(Long, Boolean, Option[Long])].collect().sortBy(_._1)
+    val expected = rows.map { case (id, _) =>
+      val rep = id / 10 * 10
+      (id, id == rep, if (id == rep) None else Some(rep))
+    }.sortBy(_._1)
+    assert(sharded.toSeq === expected)
+    assert(single.toSeq === expected)
+    // the sharded run really used >1 shard (cell ids are offset by
+    // shard × budget, so a second shard surfaces as cell >= budget)
+    val maxCell = Similarity.semdedup(df, "vec_id", "embedding", dim,
+      threshold = 0.35, targetCellSize = 4L, maxCellsPerLevel = 4)
+      .agg(max("cell")).collect()(0).getLong(0)
+    assert(maxCell >= 4L, s"two-level run stayed in one shard (max cell $maxCell)")
+  }
+
   test("clustered append range-partitions files for row-group pruning") {
     val dir = java.nio.file.Files.createTempDirectory("clustered").toString + "/t"
     val df = spark.range(0, 1000)
