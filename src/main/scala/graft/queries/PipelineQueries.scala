@@ -2090,10 +2090,14 @@ object PipelineQueries {
           array_min(slice(col("hs"), i, lit(4)))))
       val f = withHs.select(col("source"), explode(fps).as("fp")).distinct()
       val df = f.groupBy("fp").count().filter(col("count") <= 10).select("fp")
-      val pairs = f.select(col("source").as("s1"), col("fp"))
-        .join(f.select(col("source").as("s2"), col("fp")), "fp")
+      // the DF cap's whole point is to bound the SELF-JOIN'S INPUT: semi-
+      // join the hot fingerprints out of f BEFORE the pair join, so an
+      // fp shared by thousands of sources never fans out at all (capping
+      // after the join would bound the output but pay the fan-out)
+      val fCapped = f.join(df, Seq("fp"), "left_semi").localCheckpoint()
+      val pairs = fCapped.select(col("source").as("s1"), col("fp"))
+        .join(fCapped.select(col("source").as("s2"), col("fp")), "fp")
         .filter(col("s1") < col("s2"))
-        .join(df, "fp")
       pairs.groupBy("s1", "s2")
         .agg(count(lit(1)).cast("bigint").as("shared_fps"))
         .orderBy("s1", "s2")

@@ -76,12 +76,20 @@ final class QueryServer(catalogSupplier: () => (Catalog, String),
 
   /** The response's request id: the client's `X-Request-Id` when sent, a
     * fresh UUID otherwise — EVERY response carries one (reference
-    * request_id_handler.cpp:24-32).
+    * request_id_handler.cpp:24-32). Generated ONCE per exchange (memoized
+    * as an exchange attribute): respond(), header pre-set paths, and the
+    * access log must all see the SAME id for one request.
     */
   private def requestId(ex: HttpExchange): String =
-    Option(ex.getRequestHeaders.getFirst("X-Request-Id"))
-      .filter(_.nonEmpty) // an empty client header is as good as none
-      .getOrElse(java.util.UUID.randomUUID().toString)
+    ex.getAttribute("graft.requestId") match {
+      case s: String => s
+      case _ =>
+        val id = Option(ex.getRequestHeaders.getFirst("X-Request-Id"))
+          .filter(_.nonEmpty) // an empty client header is as good as none
+          .getOrElse(java.util.UUID.randomUUID().toString)
+        ex.setAttribute("graft.requestId", id)
+        id
+    }
 
   private def respond(ex: HttpExchange, code: Int, body: String,
       contentType: String = "application/json",
@@ -407,18 +415,76 @@ final class QueryServer(catalogSupplier: () => (Catalog, String),
     }
   }
 
+  /** Access-log decorator (reference logging_request_handler.cpp:20-32):
+    * wraps a handler so every completed exchange emits ONE line —
+    * `method path status durationMicros requestId` — on the configured
+    * sink. The id is the memoized per-exchange one, so the log line and
+    * the response header always agree.
+    */
+  private def logged(h: com.sun.net.httpserver.HttpHandler)
+      : com.sun.net.httpserver.HttpHandler = config.accessLog match {
+    case None => h
+    case Some(sink) => (ex: HttpExchange) => {
+      val t0 = System.nanoTime()
+      try h.handle(ex)
+      finally {
+        val us = (System.nanoTime() - t0) / 1000
+        // getResponseCode is -1 if the handler never sent headers (a
+        // hard handler crash) — log it as such rather than guessing
+        sink(s"${ex.getRequestMethod} ${ex.getRequestURI.getPath} " +
+          s"${ex.getResponseCode} ${us}us ${requestId(ex)}")
+      }
+    }
+  }
+
+  /** Linux RSS in MB via /proc/self/status (reference memory_monitor.cpp
+    * reads the same counter); None off-Linux or on read failure.
+    */
+  private def rssMb: Option[Long] = scala.util.Try {
+    val line = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get("/proc/self/status"))
+      .stream().filter(_.startsWith("VmRSS")).findFirst()
+    if (line.isPresent) Some(line.get.replaceAll("[^0-9]", "").toLong / 1024)
+    else None
+  }.toOption.flatten
+
+  private var monitor: Option[java.util.concurrent.ScheduledExecutorService] = None
+
+  private def startMemoryMonitor(): Unit = config.memoryMonitorSeconds.foreach { every =>
+    val sink = config.accessLog.getOrElse((s: String) => System.err.println(s))
+    val sched = Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-memory-monitor"); t.setDaemon(true); t
+    })
+    sched.scheduleAtFixedRate(() => {
+      val rt = Runtime.getRuntime
+      val heapUsed = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+      val heapMax = rt.maxMemory() / (1024 * 1024)
+      val tp = handlerPool.asInstanceOf[java.util.concurrent.ThreadPoolExecutor]
+      val rss = rssMb
+      val over = for (limit <- config.softMemoryLimitMb; r <- rss if r > limit)
+        yield limit
+      sink(s"memory heapUsedMb=$heapUsed heapMaxMb=$heapMax" +
+        rss.map(r => s" rssMb=$r").getOrElse("") +
+        s" activeRequests=${tp.getActiveCount} queuedRequests=${tp.getQueue.size}" +
+        over.map(l => s" softLimitMb=$l exceeded, requesting gc").getOrElse(""))
+      // the malloc_trim analog: give memory back when the soft limit is hit
+      if (over.isDefined) System.gc()
+    }, every, every, TimeUnit.SECONDS)
+    monitor = Some(sched)
+  }
+
   def start(): Unit = {
     // catch-all 404 for unknown paths, mirroring the reference's
     // NotFoundHandler JSON shape (app/src/not_found_handler.cpp:20-22) —
     // the JDK server would otherwise close with a bodyless plain 404
-    server.createContext("/", (ex: HttpExchange) =>
+    server.createContext("/", logged((ex: HttpExchange) =>
       respond(ex, 404, s"""{"error":"Not found","message":"Resource ${
-        jsonEscape(ex.getRequestURI.toString)} does not exist"}"""))
+        jsonEscape(ex.getRequestURI.toString)} does not exist"}""")))
 
-    server.createContext("/health", (ex: HttpExchange) =>
-      respond(ex, 200, """{"status":"ok"}"""))
+    server.createContext("/health", logged((ex: HttpExchange) =>
+      respond(ex, 200, """{"status":"ok"}""")))
 
-    server.createContext("/info", (ex: HttpExchange) =>
+    server.createContext("/info", logged((ex: HttpExchange) =>
       try {
         val (catalog, dataVersion) = catalogSupplier()
         val tables = catalog.tables.keys.toSeq.sorted
@@ -432,14 +498,14 @@ final class QueryServer(catalogSupplier: () => (Catalog, String),
         case e: Throwable =>
           respond(ex, 500, s"""{"error":"Internal Server Error","message":"${
             jsonEscape(Option(e.getMessage).getOrElse(e.getClass.getName))}"}""")
-      })
+      }))
 
-    server.createContext("/lineageDefinition", handleLineageDefinition(_))
+    server.createContext("/lineageDefinition", logged(handleLineageDefinition(_)))
 
-    server.createContext("/query", (ex: HttpExchange) => {
+    server.createContext("/query", logged((ex: HttpExchange) => {
       if (ex.getRequestMethod != "POST") respond(ex, 405, """{"error":"POST only"}""")
       else handleQuery(ex)
-    })
+    }))
 
     // a null executor runs every exchange on the single dispatcher
     // thread — concurrent queries would serialize at the HTTP layer even
@@ -447,10 +513,12 @@ final class QueryServer(catalogSupplier: () => (Catalog, String),
     // pool (maxConnections concurrent requests, the rest queue)
     server.setExecutor(handlerPool)
     server.start()
+    startMemoryMonitor()
   }
 
   def stop(): Unit = {
     server.stop(0); handlerPool.shutdownNow(); pool.shutdownNow()
+    monitor.foreach(_.shutdownNow())
   }
 }
 
@@ -464,15 +532,29 @@ object QueryServer {
     * `timeoutSeconds` is the per-batch-wait cancellation deadline
     * (reference DEFAULT_TIMEOUT_TWO_MINUTES, query_plan.cpp:111-123).
     */
+  /** `accessLog`, when set, receives one line per completed request —
+    * `method path status durationMicros requestId` (reference
+    * app/src/logging_request_handler.cpp:20-32: wraps every handler,
+    * logs method/URI/status/duration). `memoryMonitorSeconds` starts a
+    * periodic gauge of heap/RSS and request-pool depth on the same sink
+    * (reference app/src/memory_monitor.cpp); when `softMemoryLimitMb` is
+    * also set and the RSS exceeds it, the monitor requests a GC — the
+    * JVM analog of the reference's malloc_trim under its
+    * api.softMemoryLimit (runtime_config.cpp).
+    */
   final case class ServerConfig(
       chunkBytes: Int = 64 * 1024,
       queueDepth: Int = 64,
       arrowBatchRows: Int = ArrowSink.BatchRows,
       timeoutSeconds: Long = 120,
       maxConnections: Int = 64,
-      estimatedStartupEnd: Option[java.time.Instant] = None) {
+      estimatedStartupEnd: Option[java.time.Instant] = None,
+      accessLog: Option[String => Unit] = None,
+      memoryMonitorSeconds: Option[Long] = None,
+      softMemoryLimitMb: Option[Long] = None) {
     require(chunkBytes > 0 && queueDepth > 0 && arrowBatchRows > 0 &&
-      timeoutSeconds >= 0 && maxConnections > 0,
+      timeoutSeconds >= 0 && maxConnections > 0 &&
+      memoryMonitorSeconds.forall(_ > 0) && softMemoryLimitMb.forall(_ > 0),
       s"serving limits must be positive: $this")
   }
 

@@ -603,5 +603,113 @@ class QueryServerSpec extends SparkSpec {
     assert(r2.statusCode() === 400)
   }
 
+  test("access log: one line per request — method, path, status, " +
+    "duration, the SAME id the response carried; memory monitor gauges") {
+    val lines = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val s = new QueryServer(() => (Catalog(Map("default" -> table)), "v42"),
+      port = 0, QueryServer.ServerConfig(
+        accessLog = Some(l => { lines.add(l); () }),
+        memoryMonitorSeconds = Some(1L)))
+    s.start()
+    try {
+      def u(p: String) = URI.create(s"http://127.0.0.1:${s.boundPort}$p")
+      val h = http.send(HttpRequest.newBuilder(u("/health")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val q = http.send(HttpRequest.newBuilder(u("/query"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          "default.groupBy({c := count()})"))
+        .header("X-Request-Id", "log-me").build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(q.statusCode() === 200)
+      val bad = http.send(HttpRequest.newBuilder(u("/nope")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(bad.statusCode() === 404)
+      val deadline = System.nanoTime() + 15_000_000_000L
+      def snap() = { import scala.jdk.CollectionConverters._
+        lines.asScala.toSeq }
+      while (System.nanoTime() < deadline &&
+        (!snap().exists(_.startsWith("memory ")) || snap().count(!_.startsWith("memory ")) < 3))
+        Thread.sleep(100)
+      val access = snap().filterNot(_.startsWith("memory "))
+      // GET /health with the server-generated id (same one the header got)
+      val healthLine = access.find(_.startsWith("GET /health")).get
+      assert(healthLine.endsWith(h.headers().firstValue("X-Request-Id").get()))
+      assert(healthLine.matches("GET /health 200 \\d+us .+"), healthLine)
+      // POST /query echoes the client id
+      val queryLine = access.find(_.startsWith("POST /query")).get
+      assert(queryLine.matches("POST /query 200 \\d+us log-me"), queryLine)
+      // 404s log their status too
+      assert(access.exists(_.matches("GET /nope 404 \\d+us .+")))
+      // the periodic gauge (reference memory_monitor.cpp): heap + pool depth
+      val gauge = snap().find(_.startsWith("memory ")).get
+      assert(gauge.contains("heapUsedMb=") && gauge.contains("heapMaxMb=") &&
+        gauge.contains("activeRequests="), gauge)
+    } finally s.stop()
+  }
+
+  test("serve CLI: defaults < yaml < env < cli layering, then an " +
+    "end-to-end boot — 503 while loading, 200 after, access log on") {
+    import graft.tools.Serve
+    // ---- layering (pure) ----
+    assert(Serve.cliName("api.maxQueuedHttpConnections") ===
+      "--api-max-queued-http-connections")
+    assert(Serve.envName("api.maxQueuedHttpConnections") ===
+      "GRAFT_API_MAX_QUEUED_HTTP_CONNECTIONS")
+    val yaml = java.nio.file.Files.createTempFile("runtime", ".yaml")
+    java.nio.file.Files.writeString(yaml,
+      "api:\n  port: 9999\n  maxQueuedHttpConnections: 7\nquery:\n  timeoutInSeconds: 11\n")
+    val resolved = Serve.resolve(
+      Seq("--runtime-config", yaml.toString, "--api-port=0"),
+      Map("GRAFT_QUERY_TIMEOUT_IN_SECONDS" -> "22"))
+    assert(resolved("api.port") === "0") // cli beats yaml
+    assert(resolved("query.timeoutInSeconds") === "22") // env beats yaml
+    assert(resolved("api.maxQueuedHttpConnections") === "7") // yaml beats default
+    val cfg = Serve.serverConfig(resolved)
+    assert(cfg.maxConnections === 7 && cfg.timeoutSeconds === 22L)
+    intercept[RuntimeException](Serve.parseArgs(Seq("--no-such-option", "1")))
+    // ---- end-to-end boot from a data directory ----
+    val base = "/root/reference/testBaseData/unitTestDummyDataset"
+    val dataDir = java.nio.file.Files.createTempDirectory("servedata")
+    Seq("database_config.yaml", "reference_genomes.json", "input.ndjson",
+      "phylogenetic_tree.nwk", "test_lineage_definition.yaml").foreach(f =>
+      java.nio.file.Files.copy(java.nio.file.Paths.get(base, f),
+        dataDir.resolve(f)))
+    val lines = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val s = Serve.boot(spark, Map(
+      "dataDirectory" -> dataDir.toString,
+      "api.port" -> "0",
+      "api.accessLog" -> "true",
+      "api.estimatedStartupTimeInMinutes" -> "1"),
+      accessSink = l => { lines.add(l); () })
+    try {
+      def u(p: String) = URI.create(s"http://127.0.0.1:${s.boundPort}$p")
+      def postQ() = http.send(HttpRequest.newBuilder(u("/query"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          "default.groupBy({c := count()})")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      // the server listens IMMEDIATELY; until the background build commits
+      // every endpoint answers 503 + Retry-After (the build takes seconds,
+      // so the very first request reliably lands in the window)
+      val early = postQ()
+      assert(Seq(503, 200).contains(early.statusCode()))
+      if (early.statusCode() == 503) {
+        assert(early.body().contains("Database not initialized yet"))
+        assert(early.headers().firstValue("Retry-After").isPresent)
+      }
+      val deadline = System.nanoTime() + 120_000_000_000L
+      var r = postQ()
+      while (r.statusCode() == 503 && System.nanoTime() < deadline) {
+        Thread.sleep(250); r = postQ()
+      }
+      assert(r.statusCode() === 200, r.body())
+      assert(r.body().trim.startsWith("{\"c\":"))
+      // the CLI path wired the access log through ServerConfig
+      import scala.jdk.CollectionConverters._
+      assert(lines.asScala.exists(_.startsWith("POST /query")))
+    } finally s.stop()
+  }
+
   override def afterAll(): Unit = { srv.stop(); super.afterAll() }
 }
