@@ -467,7 +467,19 @@ object Planner {
         * granularity; every conjunct still applies row-wise afterwards —
         * the pruned chain is a SUPERSET of the matching rows).
         */
-      versionedDirs: Map[String, String] = Map())
+      versionedDirs: Map[String, String] = Map(),
+      /** table → versioned dir whose registered frame is the
+        * MERGE-ON-READ resolve (`NdjsonIngest.readLatestMerged` of that
+        * dir with the table's [[primaryKeys]] entry — registering a
+        * plain-union frame here would be a semantic error, which is why
+        * this is a separate map and never inferred). A `filter` over the
+        * bare merged frame routes stats-decidable conjuncts through
+        * [[graft.sources.NdjsonIngest.readChainRangesMerged]]: excluded
+        * layers degrade to pk-only shadow scans instead of full payload
+        * reads — tombstones/upserts keep resolving exactly, columns stop
+        * being decoded where the zone proves they can't matter.
+        */
+      mergedVersionedDirs: Map[String, String] = Map())
 
   def plan(query: String, catalog: Catalog): DataFrame =
     new Planner(catalog).planTable(Parser.parse(query)).df
@@ -797,6 +809,32 @@ final class Planner(catalog: Planner.Catalog) {
     else Some(segs.flatten.distinct.sortBy(_.drop(1).toLong))
   }
 
+  /** [[frameLayers]] for a MERGED frame: tombstone files are expected
+    * members of a merge-on-read chain (they resolve inside the merged
+    * read), so a `_tombstones` segment maps to its layer instead of
+    * disqualifying routing. Foreign paths still disqualify.
+    */
+  private def frameLayersMerged(df: DataFrame, dir: String): Option[Seq[String]] = {
+    def pathOf(f: String): Option[String] =
+      scala.util.Try(new java.io.File(new java.net.URI(f)).getPath)
+        .orElse(scala.util.Try(new java.io.File(f).getPath)).toOption
+    val root = new java.io.File(dir).getAbsolutePath.stripSuffix("/") + "/"
+    val layerName = "v\\d+".r
+    val files = df.inputFiles
+    if (files.isEmpty) return None
+    val segs = files.toSeq.map { f =>
+      pathOf(f).flatMap { p =>
+        if (!p.startsWith(root)) None
+        else {
+          val seg = p.stripPrefix(root).takeWhile(_ != '/')
+          if (layerName.pattern.matcher(seg).matches()) Some(seg) else None
+        }
+      }
+    }
+    if (segs.exists(_.isEmpty)) None
+    else Some(segs.flatten.distinct.sortBy(_.drop(1).toLong))
+  }
+
   // ---------------------------------------------------------------- pipeline
   private def pipelineFn(fn: String, pos: Seq[Expr], named: Seq[(String, Expr)]): Tbl = {
     val sig = pipelineSigs.getOrElse(fn, err(s"unknown pipeline function '$fn'"))
@@ -873,7 +911,30 @@ final class Planner(catalog: Planner.Catalog) {
             else None
           (routed, note)
         }
-        val in2: Tbl = zoned.map(_._1).getOrElse(in)
+        // merge-on-read zone routing: excluded layers degrade to pk-only
+        // shadow scans (readChainRangesMerged) instead of disqualifying
+        // every storage optimization. No top-k note forms here — under
+        // shadowing a layer's recorded row counts say nothing about its
+        // SURVIVING rows, so the qualifying-count accumulation readChain-
+        // TopK relies on is unsound; range narrowing alone is proven.
+        val zonedMerged: Option[Tbl] = for {
+          t <- in.origin
+          dir <- catalog.mergedVersionedDirs.get(t)
+          pk <- catalog.primaryKeys.get(t)
+          if catalog.tables.get(t).exists(_ eq in.df)
+          ranges = conjuncts(pred).flatMap(rangeConjunct(_, in.df))
+          strEqs = conjuncts(pred).flatMap(stringEqConjunct(_, in.df))
+          nullCs = conjuncts(pred).flatMap(nullConjunct(_, in.df))
+          if ranges.nonEmpty || strEqs.nonEmpty || nullCs.nonEmpty
+          chain <- frameLayersMerged(in.df, dir)
+        } yield Tbl(graft.sources.NdjsonIngest
+          .readChainRangesMerged(in.df.sparkSession, dir, chain, pk,
+            ranges, strEqs,
+            nullCols = nullCs.collect { case (c, true) => c },
+            notNullCols = nullCs.collect { case (c, false) => c },
+            pinSchema = Some(in.df.schema)),
+          in.origin)
+        val in2: Tbl = zoned.map(_._1).orElse(zonedMerged).getOrElse(in)
         val zoneNote: Option[ZonePred] = zoned.flatMap(_._2)
         val idxCtx = for {
           t <- in2.origin

@@ -718,6 +718,69 @@ object NdjsonIngest {
     else read(kept)
   }
 
+  /** Zone-pruned range read over a MERGE-ON-READ chain. A layer whose
+    * envelope excludes the asked conjuncts can't SUPPLY a matching row,
+    * but its rows still SHADOW same-key rows in older layers (and its
+    * tombstones still delete) — dropping it outright would resurrect
+    * superseded versions. So every layer keeps participating in the
+    * per-key argmax, but zone-EXCLUDED layers are read as a PK-ONLY
+    * column-pruned scan (payload columns null-padded) tagged
+    * non-candidate, and only winners from zone-SURVIVING layers are
+    * emitted. The result equals `merged.filter(conjuncts)` row-for-row
+    * (callers still apply the precise predicate), while excluded layers'
+    * payload columns are never decoded — on a wide table at 100 TB the
+    * scan narrows from every column of every layer to every column of
+    * the WINDOW's layers plus one pk column of the rest.
+    *
+    * Soundness: the argmax runs over the full chain with true layer
+    * ordinals, so the per-key winner is exactly the unpruned winner. A
+    * winner from an excluded layer either fails the conjuncts (its
+    * envelope excludes every row it holds) or is a tombstone — in both
+    * cases the unpruned plan emits nothing for that key.
+    */
+  def readChainRangesMerged(spark: SparkSession, tableDir: String,
+      chain: Seq[String], pk: String,
+      ranges: Seq[(String, Double, Double)],
+      strEquals: Seq[(String, Seq[String])] = Nil,
+      nullCols: Seq[String] = Nil, notNullCols: Seq[String] = Nil,
+      pinSchema: Option[StructType] = None): DataFrame = {
+    val indexed = chain.zipWithIndex
+    val dataLayers = indexed.filter { case (l, _) => layerHasData(tableDir, l) }
+    require(dataLayers.nonEmpty,
+      s"merged range read of $tableDir: chain ${chain.mkString(",")} has no data layers")
+    val schema = pinSchema
+      .orElse(schemaAsOf(tableDir, Long.MaxValue))
+      .getOrElse(spark.read.parquet(s"$tableDir/${dataLayers.head._1}").schema)
+    val payload = schema.fields.map(_.name).filter(_ != pk).toSeq
+    def nullPad(df: DataFrame): DataFrame = payload.foldLeft(df) { (d, c) =>
+      d.withColumn(c, lit(null).cast(schema(c).dataType))
+    }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val dataParts = dataLayers.map { case (l, i) =>
+      val full = spark.read.schema(schema).parquet(s"$tableDir/$l")
+      val cand = zoneKeep(statsLines(tableDir, l).getOrElse(Seq.empty),
+        ranges, strEquals, nullCols, notNullCols)
+      // non-candidate: select(pk) BEFORE the null-pad so the parquet scan
+      // decodes exactly one column (ReadSchema = pk)
+      val part = if (cand) full else nullPad(full.select(col(pk)))
+      part.withColumn("__layer", lit(i)).withColumn("__del", lit(false))
+        .withColumn("__cand", lit(cand))
+    }
+    val tombParts = indexed.flatMap { case (l, i) =>
+      val t = new java.io.File(s"$tableDir/$l/_tombstones")
+      if (!t.isDirectory) None
+      else Some(nullPad(spark.read.parquet(t.getPath).select(col(pk)))
+        .withColumn("__layer", lit(i)).withColumn("__del", lit(true))
+        .withColumn("__cand", lit(false)))
+    }
+    val events = (dataParts ++ tombParts).reduce(_.unionByName(_))
+    val winner = events.groupBy(col(pk)).agg(
+      max_by(struct((payload ++ Seq("__del", "__cand")).map(col): _*),
+        col("__layer")).as("__w"))
+    winner.filter(!col("__w.__del") && col("__w.__cand"))
+      .select(schema.fields.map(f =>
+        if (f.name == pk) col(pk) else col(s"__w.${f.name}").as(f.name)): _*)
+  }
+
   /** Can a layer with these sidecar lines hold a row satisfying EVERY
     * conjunct? (The zone-map intersection test shared by the range
     * reader and the filtered top-k selector.) Missing stats always keep

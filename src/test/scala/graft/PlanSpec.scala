@@ -229,6 +229,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(600))
   }
 
+  test("q_merged_zone narrows column decode: out-of-window layers are " +
+    "pk-only shadow scans, window layers read the payload") {
+    val df = SparkEntry.queries("q_merged_zone")(spark, sfDir)
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val scans = fmt.split("\n\n").filter(_.contains("Scan parquet")).toSeq
+    val pkOnly = scans.count(_.linesIterator.exists(l =>
+      l.trim.startsWith("ReadSchema") && l.contains("struct<event_id:bigint>")))
+    val full = scans.count(_.linesIterator.exists(l =>
+      l.trim.startsWith("ReadSchema") && l.contains("value")))
+    // 6 five-day layers + 1 upsert + 1 tombstone: the 4-day window keeps
+    // ONE day layer as candidate, the full-range upsert stays a candidate,
+    // the other 5 day layers + the tombstone scan degrade to pk-only
+    assert(full === 2, s"full-payload scans: $full of ${scans.size}\n$fmt")
+    assert(pkOnly === 6, s"pk-only scans: $pkOnly of ${scans.size}")
+  }
+
   test("exact-substring dup-set semi-join is not a forced broadcast") {
     // the dup-40-gram set is O(duplicated text) — unbounded on a web
     // corpus — so a broadcast() HINT (driver-side, size-blind) is a

@@ -638,6 +638,58 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("merge-on-read zone routing ALWAYS equals the unrouted merged " +
+    "filter (randomized upsert/delete/compact sequences and windows)") {
+    import graft.lang.Planner
+    import graft.lang.Planner.Catalog
+    import graft.sources.NdjsonIngest
+    sealed trait Op
+    case class Upsert(rows: Map[Long, Long]) extends Op
+    case class Delete(keys: Set[Long]) extends Op
+    case object Compact extends Op
+    val opGen: Gen[Op] = Gen.frequency(
+      5 -> (for {
+        n <- Gen.choose(1, 4)
+        ks <- Gen.listOfN(n, Gen.choose(1L, 12L))
+        vs <- Gen.listOfN(n, Gen.choose(0L, 99L))
+      } yield Upsert(ks.zip(vs).toMap)),
+      3 -> (for {
+        n <- Gen.choose(1, 3)
+        ks <- Gen.listOfN(n, Gen.choose(1L, 12L))
+      } yield Delete(ks.toSet)),
+      1 -> Gen.const(Compact))
+    val caseGen = for {
+      ops <- Gen.choose(3, 8).flatMap(n => Gen.listOfN(n, opGen))
+      lo <- Gen.choose(0L, 99L)
+      w <- Gen.choose(0L, 50L)
+    } yield (ops, lo, lo + w)
+    samples(caseGen, 10).zipWithIndex.foreach { case ((ops, lo, hi), ci) =>
+      val dir = java.nio.file.Files.createTempDirectory("mzprop")
+        .toString + "/t"
+      NdjsonIngest.appendVersion(Seq((100L, 50L)).toDF("id", "v"), dir, "id")
+      ops.foreach {
+        case Upsert(rows) =>
+          NdjsonIngest.upsertDelta(rows.toSeq.toDF("id", "v"), dir, "id")
+        case Delete(keys) =>
+          NdjsonIngest.deleteDelta(keys.toSeq.toDF("id"), dir, "id")
+        case Compact =>
+          NdjsonIngest.compactMerged(spark, dir, "id", maxLayers = 1)
+      }
+      val frame = NdjsonIngest.readLatestMerged(spark, dir, "id")
+      val routed = Catalog(tables = Map("t" -> frame),
+        primaryKeys = Map("t" -> "id"),
+        mergedVersionedDirs = Map("t" -> dir))
+      val unrouted = Catalog(tables = Map("t" -> frame))
+      Seq(s"t.filter(between(v, $lo, $hi))",
+          s"t.filter(v = $lo)",
+          s"t.filter(between(v, $lo, null))").foreach { q =>
+        def rows(cat: Catalog) = Planner.plan(q, cat)
+          .as[(Long, Long)].collect().sorted.toSeq
+        assert(rows(routed) === rows(unrouted), s"case $ci query $q")
+      }
+    }
+  }
+
   test("FILTERED top-k (zone + top-k bounds composed) and STRING-keyed " +
     "top-k ALWAYS equal the unrouted plans (randomized layers, nulls, " +
     "ties, offsets, filters)") {

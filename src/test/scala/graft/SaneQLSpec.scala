@@ -679,6 +679,55 @@ class SaneQLSpec extends SparkSpec {
     assert(Planner.plan(q2, cat2).collect().map(_.getLong(0)).toSeq === Seq(3L))
   }
 
+  test("merge-on-read zone routing: excluded layers shadow with pk-only " +
+    "scans — no resurrection, no leak, column decode provably narrowed") {
+    import graft.sources.NdjsonIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft").toString + "/mz"
+    // v1: ids 1,2 in the window        v2: id 1 upserted OUT of it
+    // v3: id 3 upserted INTO it        v4: id 2 tombstoned
+    NdjsonIngest.appendVersion(
+      Seq((1L, 10L, "a1"), (2L, 15L, "a2")).toDF("id", "v", "payload"),
+      dir, "id")
+    NdjsonIngest.upsertDelta(
+      Seq((1L, 100L, "b1")).toDF("id", "v", "payload"), dir, "id")
+    NdjsonIngest.upsertDelta(
+      Seq((3L, 12L, "c1")).toDF("id", "v", "payload"), dir, "id")
+    NdjsonIngest.deleteDelta(Seq(2L).toDF("id"), dir, "id")
+    val frame = NdjsonIngest.readLatestMerged(spark, dir, "id")
+    val cat = Catalog(
+      tables = Map("mt" -> frame),
+      primaryKeys = Map("mt" -> "id"),
+      mergedVersionedDirs = Map("mt" -> dir))
+    val q = "mt.filter(between(v, 10, 20))"
+    val routed = Planner.plan(q, cat)
+    // id 1's OLD version (v=10, in window) must NOT resurrect: v2 is
+    // zone-excluded (v=100) yet still shadows it; id 2 stays tombstoned;
+    // id 3 is the only survivor
+    assert(routed.select("id").as[Long].collect().sorted.toSeq === Seq(3L))
+    assert(routed.select("payload").as[String].collect().toSeq === Seq("c1"))
+    // routed ≡ unrouted (the plain merged frame + row-wise filter)
+    val unrouted = Planner.plan(q, cat.copy(mergedVersionedDirs = Map()))
+    assert(routed.collect().map(_.toString).sorted.toSeq ===
+      unrouted.collect().map(_.toString).sorted.toSeq)
+    // the zone-excluded layer v2 participates via a PK-ONLY scan: its
+    // parquet read decodes one column, candidates read all three
+    val fmt = routed.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val blocks = fmt.split("\n\n").filter(_.contains("Scan parquet"))
+    def readSchemaOf(layer: String): Seq[String] = blocks.toSeq
+      .filter(b => b.contains(s"/$layer]") || b.contains(s"/$layer/"))
+      .flatMap(_.linesIterator.find(_.trim.startsWith("ReadSchema")))
+    assert(readSchemaOf("v2").nonEmpty &&
+      readSchemaOf("v2").forall(_.contains("struct<id:bigint>")),
+      s"v2 must be pk-only: ${readSchemaOf("v2")}")
+    assert(readSchemaOf("v3").exists(_.contains("payload")),
+      s"candidate v3 must read the payload: ${readSchemaOf("v3")}")
+    // no-window-match: every data layer degrades to pk-only, result empty
+    val none = Planner.plan("mt.filter(between(v, 500, 600))", cat)
+    assert(none.count() === 0)
+    assert(none.columns.toSeq === Seq("id", "v", "payload"))
+  }
+
   test("isNull/isNotNull conjuncts prune layers via the null ledger") {
     import graft.sources.NdjsonIngest
     val dir = java.nio.file.Files.createTempDirectory("graft").toString + "/nl"
