@@ -132,19 +132,29 @@ object AnnIndex {
     * is [[rebuild]] (retrain with a cell count sized to TODAY's corpus).
     * Legacy indexes without the baseline/stats sidecars skip the check.
     */
+  // balance is a pure function of the COMMITTED chain (layers are
+  // immutable once written): cache per (dir, chain) so per-query checks
+  // (search runs one per call) don't re-scan the stats sidecars
+  private val balanceCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Option[String]]()
+
   def requireBalanced(spark: SparkSession, indexDir: String,
-      layers: Seq[String], factor: Double = 4.0): Unit =
-    for {
-      base <- cellBaseline(indexDir)
-      pop <- maxCellPopulation(spark, indexDir, layers)
-    } {
-      val bound = (factor * math.max(base, 64L)).toLong
-      if (pop > bound) throw new IllegalStateException(
-        s"index at $indexDir is out of balance: max cell population $pop " +
-          s"exceeds $bound (${factor}x the build-time baseline $base) — " +
-          "the corpus outgrew the frozen quantizer; run AnnIndex.rebuild " +
-          "with a cell count sized to the current corpus")
-    }
+      layers: Seq[String], factor: Double = 4.0): Unit = {
+    if (balanceCache.size > 1024) balanceCache.clear() // stale-chain keys
+    val verdict = balanceCache.computeIfAbsent(
+      (indexDir, s"$factor|${layers.mkString(",")}"), _ => {
+        for {
+          base <- cellBaseline(indexDir)
+          pop <- maxCellPopulation(spark, indexDir, layers)
+          bound = (factor * math.max(base, 64L)).toLong
+          if pop > bound
+        } yield s"index at $indexDir is out of balance: max cell " +
+          s"population $pop exceeds $bound (${factor}x the build-time " +
+          s"baseline $base) — the corpus outgrew the frozen quantizer; " +
+          "run AnnIndex.rebuild with a cell count sized to the current corpus"
+      })
+    verdict.foreach(msg => throw new IllegalStateException(msg))
+  }
 
   /** Retrain IN PLACE with a fresh quantizer sized to TODAY's corpus —
     * the watermark escape hatch. Drops the committed meta first (readers
@@ -161,6 +171,9 @@ object AnnIndex {
     Seq("model", "codes", "cellstats", "cellbase").foreach(d =>
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(indexDir, d)))
+    // a rebuilt generation may reuse layer names: drop this dir's cached
+    // balance verdicts (they described the old generation's sidecars)
+    balanceCache.keySet.removeIf(_._1 == indexDir)
     buildOrLoad(spark, emb, idCol, vecCol, indexDir, dim, cells, m, k,
       iters, tag)
   }
