@@ -1013,16 +1013,29 @@ final class Planner(catalog: Planner.Catalog) {
         // parquet footers, zero Spark jobs (the reference's
         // CountFilterNode metadata fast path at layer granularity).
         // Layers predating row-count stats → None → normal counting scan.
+        // A FILTERED count composes the same way through the ZonePred
+        // note: when the filter was fully stats-decidable, per-layer
+        // envelopes + null ledgers can pin the exact matching count
+        // (CountFilterNode ∩ RangeSelection) — zone-excluded layers
+        // contribute 0, fully-contained null-free layers their row
+        // count; any undecidable layer falls back to the zone-narrowed
+        // counting scan the filter already produced.
         val metaCount: Option[Long] =
           if (cols.nonEmpty) None
-          else for {
-            t <- in.origin
-            dir <- catalog.versionedDirs.get(t)
-            if catalog.tables.get(t).exists(_ eq in.df)
-            chain <- frameLayers(in.df, dir)
-            if graft.sources.NdjsonIngest.chainMergeFree(dir, chain)
-            total <- graft.sources.NdjsonIngest.chainRowCount(dir, chain)
-          } yield total
+          else in.zone match {
+            case Some(zp) => graft.sources.NdjsonIngest.chainMatchCount(
+              zp.dir, zp.chain, zp.ranges, zp.strEqs,
+              nullCols = zp.nullCs.collect { case (c, true) => c },
+              notNullCols = zp.nullCs.collect { case (c, false) => c })
+            case None => for {
+              t <- in.origin
+              dir <- catalog.versionedDirs.get(t)
+              if catalog.tables.get(t).exists(_ eq in.df)
+              chain <- frameLayers(in.df, dir)
+              if graft.sources.NdjsonIngest.chainMergeFree(dir, chain)
+              total <- graft.sources.NdjsonIngest.chainRowCount(dir, chain)
+            } yield total
+          }
         val out = metaCount match {
           case Some(total) =>
             in.df.sparkSession.range(1)

@@ -699,6 +699,28 @@ object RelationalQueries {
       graft.lang.Planner.plan("ev.groupBy({c := count()})", catalog)
     },
 
+    // ---- FILTERED METADATA COUNT: count() of a date window over the
+    //      day-clustered chain answers from the sidecars ALONE — the
+    //      window's layers are FULLY contained in the range (their date
+    //      envelope sits inside it, their date ledger records zero
+    //      nulls), every other layer is zone-excluded, so the exact
+    //      count is a metadata sum and zero parquet footers open (the
+    //      reference's CountFilterNode intersected with RangeSelection).
+    //      The routing-blind oracle counts the flat table for real. ----
+    QDef("q_count_window",
+      """SELECT count(*) AS c FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-07' AND DATE '2024-01-08'
+        |""".stripMargin) { (s, dir) =>
+      val tableDir = memoEventsChain(s, dir)
+      val catalog = graft.lang.Planner.Catalog(
+        tables = Map("ev" -> graft.sources.NdjsonIngest.readLatest(s, tableDir)),
+        versionedDirs = Map("ev" -> tableDir))
+      graft.lang.Planner.plan(
+        """ev
+          |  .filter(between(d, '2024-01-07'::date, '2024-01-08'::date))
+          |  .groupBy({c := count()})""".stripMargin, catalog)
+    },
+
     // ---- gap-based sessionization (streaming-shaped, batch-run) ----
     QDef("q_events_sessions",
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

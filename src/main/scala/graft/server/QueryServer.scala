@@ -76,20 +76,22 @@ final class QueryServer(catalogSupplier: () => (Catalog, String),
 
   /** The response's request id: the client's `X-Request-Id` when sent, a
     * fresh UUID otherwise — EVERY response carries one (reference
-    * request_id_handler.cpp:24-32). Generated ONCE per exchange (memoized
-    * as an exchange attribute): respond(), header pre-set paths, and the
-    * access log must all see the SAME id for one request.
+    * request_id_handler.cpp:24-32). Generated ONCE per exchange:
+    * respond(), header pre-set paths, and the access log must all see
+    * the SAME id for one request. NOT an exchange attribute — the JDK
+    * server's get/setAttribute delegates to the CONTEXT-wide map shared
+    * by every exchange on that path, so one request's id would leak to
+    * all of them (caught by HttpCorpusSpec's concurrency case). A weak
+    * identity map keyed by the exchange leaks nothing and crosses
+    * nothing.
     */
+  private val requestIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[HttpExchange, String]())
   private def requestId(ex: HttpExchange): String =
-    ex.getAttribute("graft.requestId") match {
-      case s: String => s
-      case _ =>
-        val id = Option(ex.getRequestHeaders.getFirst("X-Request-Id"))
-          .filter(_.nonEmpty) // an empty client header is as good as none
-          .getOrElse(java.util.UUID.randomUUID().toString)
-        ex.setAttribute("graft.requestId", id)
-        id
-    }
+    requestIds.computeIfAbsent(ex, _ =>
+      Option(ex.getRequestHeaders.getFirst("X-Request-Id"))
+        .filter(_.nonEmpty) // an empty client header is as good as none
+        .getOrElse(java.util.UUID.randomUUID().toString))
 
   private def respond(ex: HttpExchange, code: Int, body: String,
       contentType: String = "application/json",

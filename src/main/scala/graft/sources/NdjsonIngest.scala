@@ -718,6 +718,65 @@ object NdjsonIngest {
     else read(kept)
   }
 
+  /** EXACT count of rows matching the conjuncts, from the `_stats`
+    * sidecars alone — no parquet footer opens (the reference's
+    * CountFilterNode intersected with RangeSelection, at layer
+    * granularity). Per layer the count is decidable when:
+    *  - the zone test EXCLUDES the layer → 0 (no row can match);
+    *  - there is exactly ONE conjunct and its envelope/ledger pins the
+    *    pass count (range or string-equality fully contained → the
+    *    column's non-null count; isNotNull → non-null count; isNull →
+    *    the complement);
+    *  - EVERY conjunct is fully contained AND its column records zero
+    *    nulls → every row passes every conjunct → the layer's row count
+    *    (with several conjuncts and nulls the pass intersection is
+    *    unknowable from per-column ledgers).
+    * Any undecidable layer makes the whole answer None — callers fall
+    * back to the zone-narrowed counting scan they already had. APPEND-
+    * ONLY chains only (merge-on-read counts are argmax results, not
+    * layer sums) — gate on [[chainMergeFree]] first.
+    */
+  def chainMatchCount(tableDir: String, chain: Seq[String],
+      ranges: Seq[(String, Double, Double)],
+      strEquals: Seq[(String, Seq[String])] = Nil,
+      nullCols: Seq[String] = Nil, notNullCols: Seq[String] = Nil)
+      : Option[Long] = {
+    val nConjuncts =
+      ranges.size + strEquals.size + nullCols.size + notNullCols.size
+    if (nConjuncts == 0) return chainRowCount(tableDir, chain)
+    val perLayer = chain.map { l =>
+      val lines = statsLines(tableDir, l).getOrElse(Seq.empty)
+      if (!zoneKeep(lines, ranges, strEquals, nullCols, notNullCols))
+        Some(0L)
+      else nFromLines(lines).flatMap { n =>
+        // pass-count per conjunct: Some(exact) when the envelope/ledger
+        // pins it, None when only bounds are known
+        val passes: Seq[Option[Long]] =
+          ranges.map { case (c, lo, hi) =>
+            envFromLines(lines, c) match {
+              case Some((mn, mx)) if lo <= mn && mx <= hi =>
+                nnFromLines(lines, c)
+              case _ => None
+            }
+          } ++
+          strEquals.map { case (c, vs) =>
+            strEnvFromLines(lines, c) match {
+              case Some((mn, mx)) if mn == mx && vs.contains(mn) =>
+                nnFromLines(lines, c)
+              case _ => None
+            }
+          } ++
+          nullCols.map(c => nnFromLines(lines, c).map(nn => n - nn)) ++
+          notNullCols.map(c => nnFromLines(lines, c))
+        if (passes.exists(_.isEmpty)) None
+        else if (nConjuncts == 1) passes.head
+        else if (passes.flatten.forall(_ == n)) Some(n)
+        else None
+      }
+    }
+    if (perLayer.exists(_.isEmpty)) None else Some(perLayer.flatten.sum)
+  }
+
   /** Zone-pruned range read over a MERGE-ON-READ chain. A layer whose
     * envelope excludes the asked conjuncts can't SUPPLY a matching row,
     * but its rows still SHADOW same-key rows in older layers (and its

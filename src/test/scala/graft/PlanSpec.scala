@@ -246,6 +246,13 @@ class PlanSpec extends SparkSpec {
     assert(pkOnly === 6, s"pk-only scans: $pkOnly of ${scans.size}")
   }
 
+  test("q_count_window answers a filtered count from layer metadata " +
+    "alone — zero parquet footers") {
+    val df = SparkEntry.queries("q_count_window")(spark, sfDir)
+    assert(df.inputFiles.isEmpty,
+      "filtered metadata count must not plan a file scan")
+  }
+
   test("exact-substring dup-set semi-join is not a forced broadcast") {
     // the dup-40-gram set is O(duplicated text) — unbounded on a web
     // corpus — so a broadcast() HINT (driver-side, size-blind) is a

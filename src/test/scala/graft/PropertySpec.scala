@@ -760,6 +760,18 @@ class PropertySpec extends SparkSpec {
             .select("id").as[Long].collect().toSeq // ORDERED compare
           assert(seqOf(routed) === seqOf(unrouted), s"case $ci query $q")
         }
+        // filtered metadata counts: the same random windows/ledgers must
+        // agree with the real counting scan whichever path they take
+        Seq(s"t.filter(between(v, $lo, $hi)).groupBy({c := count()})",
+            s"t.filter(between(x, ${lo * 0.5}, ${hi * 0.5}))" +
+              ".groupBy({c := count()})",
+            "t.filter(isNotNull(v)).groupBy({c := count()})",
+            "t.filter(isNull(v)).groupBy({c := count()})",
+            s"t.filter(isNotNull(v) && between(v, $lo, $hi))" +
+              ".groupBy({c := count()})").foreach { q =>
+          def cnt(cat: Catalog) = Planner.plan(q, cat).collect().head.getLong(0)
+          assert(cnt(routed) === cnt(unrouted), s"case $ci query $q")
+        }
     }
   }
 }

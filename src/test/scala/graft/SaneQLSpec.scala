@@ -679,6 +679,54 @@ class SaneQLSpec extends SparkSpec {
     assert(Planner.plan(q2, cat2).collect().map(_.getLong(0)).toSeq === Seq(3L))
   }
 
+  test("filtered count composes with the zone note: decidable windows " +
+    "answer from metadata alone; partial layers and ledger gaps fall back") {
+    import graft.sources.NdjsonIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft").toString + "/fc"
+    NdjsonIngest.appendVersion(
+      Seq((1L, Option(1.0)), (2L, Option(2.0))).toDF("id", "v"), dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((3L, Option(5.0)), (4L, Option.empty[Double])).toDF("id", "v"),
+      dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((5L, Option(10.0)), (6L, Option(11.0))).toDF("id", "v"), dir, "id")
+    val cat = Catalog(
+      tables = Map("vt" -> NdjsonIngest.readLatest(spark, dir)),
+      versionedDirs = Map("vt" -> dir))
+    def q(pred: String) =
+      Planner.plan(s"vt.filter($pred).groupBy({c := count()})", cat)
+    def unrouted(pred: String) =
+      Planner.plan(s"vt.filter($pred).groupBy({c := count()})",
+        cat.copy(versionedDirs = Map())).collect().head.getLong(0)
+    // fully decidable: v1/v2 zone-excluded, v3 fully contained, no nulls
+    val w = q("between(v, 10, 20)")
+    assert(w.inputFiles.isEmpty, "window count must not plan a file scan")
+    assert(w.collect().head.getLong(0) === 2L)
+    assert(unrouted("between(v, 10, 20)") === 2L)
+    // still decidable WITH a null: single conjunct → the non-null ledger
+    // pins v2's pass count exactly (1 of 2 rows)
+    val all = q("between(v, 1, 20)")
+    assert(all.inputFiles.isEmpty)
+    assert(all.collect().head.getLong(0) === 5L)
+    assert(unrouted("between(v, 1, 20)") === 5L)
+    // several conjuncts + a null-bearing layer: the pass intersection is
+    // unknowable from per-column ledgers → real counting scan, same value
+    val multi = q("isNotNull(v) && between(v, 1, 20)")
+    assert(multi.inputFiles.nonEmpty,
+      "multi-conjunct with nulls must fall back to the counting scan")
+    assert(multi.collect().head.getLong(0) === 5L)
+    // partial containment: v1's envelope straddles the bound → scan
+    val part = q("between(v, 2, 20)")
+    assert(part.inputFiles.nonEmpty)
+    assert(part.collect().head.getLong(0) === 4L)
+    assert(unrouted("between(v, 2, 20)") === 4L)
+    // isNull / isNotNull counts are single-conjunct ledger sums
+    val nn = q("isNotNull(v)")
+    assert(nn.inputFiles.isEmpty && nn.collect().head.getLong(0) === 5L)
+    val nl = q("isNull(v)")
+    assert(nl.inputFiles.isEmpty && nl.collect().head.getLong(0) === 1L)
+  }
+
   test("merge-on-read zone routing: excluded layers shadow with pk-only " +
     "scans — no resurrection, no leak, column decode provably narrowed") {
     import graft.sources.NdjsonIngest
