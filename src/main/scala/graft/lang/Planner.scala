@@ -1036,12 +1036,65 @@ final class Planner(catalog: Planner.Catalog) {
               total <- graft.sources.NdjsonIngest.chainRowCount(dir, chain)
             } yield total
           }
-        val out = metaCount match {
-          case Some(total) =>
+        // single-column GROUPED count from the layer value histograms
+        // (the reference's Aggregated action over per-value bitmap
+        // cardinalities, at layer granularity): bare chain or a fully
+        // stats-decidable filter of one; group-col conjuncts apply
+        // entry-wise, other conjuncts must pass whole layers; any layer
+        // without a complete histogram → None → the normal grouping scan
+        val metaGroups: Option[DataFrame] =
+          if (cols.size != 1 || aggItems.size != 1) None
+          else {
+            val g = cols.head
+            val dt = in.df.schema(g).dataType
+            if (dt != org.apache.spark.sql.types.StringType &&
+                dt != org.apache.spark.sql.types.DateType) None
+            else {
+              val ctx: Option[(String, Seq[String], Seq[(String, Double, Double)],
+                  Seq[(String, Seq[String])], Seq[(String, Boolean)])] =
+                in.zone match {
+                  case Some(zp) =>
+                    Some((zp.dir, zp.chain, zp.ranges, zp.strEqs, zp.nullCs))
+                  case None => for {
+                    t <- in.origin
+                    dir <- catalog.versionedDirs.get(t)
+                    if catalog.tables.get(t).exists(_ eq in.df)
+                    chain <- frameLayers(in.df, dir)
+                    if graft.sources.NdjsonIngest.chainMergeFree(dir, chain)
+                  } yield (dir, chain, Nil, Nil, Nil)
+                }
+              ctx.flatMap { case (dir, chain, rs, ses, ncs) =>
+                graft.sources.NdjsonIngest.chainGroupCount(dir, chain, g,
+                  rs, ses,
+                  nullCols = ncs.collect { case (c, true) => c },
+                  notNullCols = ncs.collect { case (c, false) => c })
+              }.map { groups =>
+                val isDate = dt == org.apache.spark.sql.types.DateType
+                val rows: java.util.List[org.apache.spark.sql.Row] =
+                  new java.util.ArrayList()
+                groups.foreach { case (tok, cnt) =>
+                  val v: Any = tok.map { t =>
+                    if (isDate) java.sql.Date.valueOf(
+                      java.time.LocalDate.ofEpochDay(t.toDouble.toLong))
+                    else t
+                  }.orNull
+                  rows.add(org.apache.spark.sql.Row(v, cnt))
+                }
+                in.df.sparkSession.createDataFrame(rows,
+                  org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField(g, dt, nullable = true),
+                    org.apache.spark.sql.types.StructField(aggItems.head,
+                      org.apache.spark.sql.types.LongType, nullable = false))))
+              }
+            }
+          }
+        val out = (metaCount, metaGroups) match {
+          case (Some(total), _) =>
             in.df.sparkSession.range(1)
               .select(aggItems.map(n => lit(total).as(n)): _*)
-          case None if cols.isEmpty => in.df.agg(aggs.head, aggs.tail: _*)
-          case None =>
+          case (None, Some(grouped)) => grouped
+          case _ if cols.isEmpty => in.df.agg(aggs.head, aggs.tail: _*)
+          case _ =>
             in.df.groupBy(cols.map(col): _*).agg(aggs.head, aggs.tail: _*)
         }
         Tbl(out, None)

@@ -649,6 +649,43 @@ object RelationalQueries {
           |  .project({event_id, d, event_type})""".stripMargin, catalog)
     },
 
+    // ---- GROUPED METADATA COUNT: a single-column groupBy+count over
+    //      the chain sums the layers' complete value histograms (the
+    //      reference's Aggregated action over per-value bitmap
+    //      cardinalities, at layer granularity) — zero parquet footers.
+    //      The oracle groups the flat table for real. ----
+    QDef("q_group_chain",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val tableDir = memoEventsChain(s, dir)
+      val catalog = graft.lang.Planner.Catalog(
+        tables = Map("ev" -> graft.sources.NdjsonIngest.readLatest(s, tableDir)),
+        versionedDirs = Map("ev" -> tableDir))
+      graft.lang.Planner.plan(
+        "ev.groupBy({cnt := count()}, {event_type}).orderBy({event_type})",
+        catalog)
+    },
+
+    // ---- GROUPED METADATA COUNT UNDER A WINDOW: per-day counts of a
+    //      date window — the canonical time-series rollup — where the
+    //      filter is ON the group column, so it applies ENTRY-WISE to
+    //      each layer's date histogram: still zero footers. ----
+    QDef("q_group_window",
+      """SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS cnt
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-12'
+        |GROUP BY 1 ORDER BY d""".stripMargin) { (s, dir) =>
+      val tableDir = memoEventsChain(s, dir)
+      val catalog = graft.lang.Planner.Catalog(
+        tables = Map("ev" -> graft.sources.NdjsonIngest.readLatest(s, tableDir)),
+        versionedDirs = Map("ev" -> tableDir))
+      graft.lang.Planner.plan(
+        """ev
+          |  .filter(between(d, '2024-01-05'::date, '2024-01-12'::date))
+          |  .groupBy({cnt := count()}, {d})
+          |  .orderBy({d})""".stripMargin, catalog)
+    },
+
     // ---- MERGE-ON-READ ZONE ROUTING, measured end-to-end: a 4-day
     //      window over an upsert+tombstone chain. chainMergeFree fails
     //      (upserts/deletes present), so plain zone pruning is off the

@@ -307,6 +307,11 @@ object NdjsonIngest {
     val strings = df.schema.fields.collect {
       case f if f.dataType == StringType && plainName(f.name) => f.name
     }
+    // histogram candidates: string + date columns (dates tokenized as
+    // epoch-day doubles, same encoding as their envelopes)
+    val histCand = strings ++ df.schema.fields.collect {
+      case f if f.dataType == DateType && plainName(f.name) => f.name
+    }
     if (numeric.isEmpty && strings.isEmpty) return
     def statCol(c: String): Column =
       if (df.schema(c).dataType == DateType) unix_date(col(c)) else col(c)
@@ -325,6 +330,11 @@ object NdjsonIngest {
       // are conservatively always kept)
       numeric.map(c => count(col(c)).as(s"nn_$c")) ++
       strings.map(c => count(col(c)).as(s"nns_$c")) ++
+      // distinct estimates gate the VALUE HISTOGRAMS below: only low-
+      // cardinality string/date columns get one, so the histogram pass
+      // never touches a high-cardinality column (HLL never under-counts
+      // by more than a few percent, and the exact size re-checks)
+      histCand.map(c => approx_count_distinct(col(c)).as(s"ad_$c")) ++
       Seq(count(lit(1)).as("_n"))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val numLines = numeric.zipWithIndex.flatMap { case (c, i) =>
@@ -370,9 +380,45 @@ object NdjsonIngest {
         numeric.length + i)}"
     }
     val nLine = Seq(s"n: ${row.getLong(aggs.length - 1)}")
+    // COMPLETE per-layer value histograms for low-cardinality string/date
+    // columns — the layer-level analog of the reference's per-value
+    // bitmaps: `gh:<col> <k>` marks a complete histogram of k values,
+    // each `g:<col> <b64 token> <cnt>` one group's exact count. A single-
+    // column grouped count over the chain (or under a decidable filter)
+    // can then answer from metadata alone (chainGroupCount). Columns
+    // whose exact histogram exceeds 16 values write nothing.
+    val histBase = 2 * numeric.length + 2 * strings.length +
+      numeric.length + strings.length
+    val eligible = histCand.zipWithIndex
+      .filter { case (_, i) => row.getLong(histBase + i) <= 24 }
+      .map(_._1)
+    val histLines: Seq[String] =
+      if (eligible.isEmpty) Nil
+      else {
+        def tok(c: String): Column =
+          if (df.schema(c).dataType == DateType)
+            unix_date(col(c)).cast("double").cast("string")
+          else col(c)
+        val hist = df.select(explode(array(eligible.map(c =>
+            struct(lit(c).as("hc"), tok(c).as("hv"))): _*)).as("p"))
+          .select(col("p.hc").as("hc"), col("p.hv").as("hv"))
+          .filter(col("hv").isNotNull)
+          .groupBy("hc", "hv").count().collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .groupBy(_._1)
+        eligible.flatMap { c =>
+          val entries = hist.getOrElse(c, Array.empty[(String, String, Long)])
+          if (entries.length > 16) Nil // HLL under-estimated; stay out
+          else s"gh:$c ${entries.length}" +:
+            entries.sortBy(_._2).map { case (_, v, cnt) =>
+              s"g:$c ${b64.encodeToString(
+                v.getBytes(java.nio.charset.StandardCharsets.UTF_8))} $cnt"
+            }.toSeq
+        }
+      }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(layerDir, "_stats"),
-      (numLines ++ strLines ++ nnLines ++ nLine).mkString("\n"))
+      (numLines ++ strLines ++ nnLines ++ histLines ++ nLine).mkString("\n"))
   }
 
   /** A layer's `_stats` sidecar, tokenized — ONE file read shared by all
@@ -417,6 +463,24 @@ object NdjsonIngest {
   private def nnFromLines(lines: Seq[Array[String]],
       column: String): Option[Long] =
     lines.collectFirst { case Array(c, v) if c == s"c:$column" => v.toLong }
+
+  /** The layer's COMPLETE value histogram for `column` (token → count,
+    * tokens decoded from base64), or None when the layer recorded none
+    * (high cardinality, legacy sidecar). The `gh:` marker's count must
+    * match the entry count — a mismatch reads as no-histogram.
+    */
+  private def histFromLines(lines: Seq[Array[String]],
+      column: String): Option[Seq[(String, Long)]] =
+    lines.collectFirst { case Array(m, k) if m == s"gh:$column" => k.toInt }
+      .flatMap { k =>
+        val d = java.util.Base64.getDecoder
+        val entries = lines.collect {
+          case Array(m, v, cnt) if m == s"g:$column" =>
+            (new String(d.decode(v), java.nio.charset.StandardCharsets.UTF_8),
+              cnt.toLong)
+        }
+        if (entries.length == k) Some(entries.toSeq) else None
+      }
 
   /** A layer's recorded (min, max) for `column`, when stats exist. */
   private def layerStats(tableDir: String, layer: String,
@@ -775,6 +839,100 @@ object NdjsonIngest {
       }
     }
     if (perLayer.exists(_.isEmpty)) None else Some(perLayer.flatten.sum)
+  }
+
+  /** EXACT single-column GROUPED counts from the `_stats` sidecars alone
+    * — the layer-level analog of the reference's Aggregated action over
+    * per-value bitmap cardinalities: each layer's complete value
+    * histogram (written for low-cardinality string/date columns) sums
+    * across the chain, no parquet footer opens. Group tokens are the
+    * sidecar encoding (strings verbatim, dates as epoch-day doubles);
+    * None in the group slot is the null group.
+    *
+    * Filter conjuncts compose two ways:
+    *  - conjuncts ON the group column apply ENTRY-WISE to the histogram
+    *    (a range keeps entries inside [lo, hi], an in-set keeps members,
+    *    isNotNull drops the null group, isNull keeps ONLY it) — exact
+    *    for any layer with a histogram, no containment needed;
+    *  - every OTHER conjunct must provably pass ALL of the layer's rows
+    *    (envelope containment + zero nulls), else the per-group split is
+    *    unknowable and the layer decides the whole answer is None
+    *    (callers fall back to the zone-narrowed scan).
+    * Zone-excluded layers contribute nothing. APPEND-ONLY chains only —
+    * gate on [[chainMergeFree]] first.
+    */
+  def chainGroupCount(tableDir: String, chain: Seq[String],
+      groupCol: String,
+      ranges: Seq[(String, Double, Double)] = Nil,
+      strEquals: Seq[(String, Seq[String])] = Nil,
+      nullCols: Seq[String] = Nil, notNullCols: Seq[String] = Nil)
+      : Option[Seq[(Option[String], Long)]] = {
+    val gRanges = ranges.filter(_._1 == groupCol)
+    val gStrEqs = strEquals.filter(_._1 == groupCol)
+    val gIsNull = nullCols.contains(groupCol)
+    val gNotNull = notNullCols.contains(groupCol)
+    val oRanges = ranges.filterNot(_._1 == groupCol)
+    val oStrEqs = strEquals.filterNot(_._1 == groupCol)
+    val oNull = nullCols.filterNot(_ == groupCol)
+    val oNotNull = notNullCols.filterNot(_ == groupCol)
+    def entryPasses(tokenValue: String): Boolean = {
+      val rangesOk = gRanges.forall { case (_, lo, hi) =>
+        // ranges only form on numeric/date columns, so a group-col range
+        // implies a date group: tokens are epoch-day doubles
+        val v = tokenValue.toDouble; lo <= v && v <= hi
+      }
+      val strOk = gStrEqs.forall { case (_, vs) => vs.contains(tokenValue) }
+      rangesOk && strOk && !gIsNull // isNull(g) rejects every non-null group
+    }
+    val perLayer: Seq[Option[Seq[(Option[String], Long)]]] = chain.map { l =>
+      val lines = statsLines(tableDir, l).getOrElse(Seq.empty)
+      if (!zoneKeep(lines, ranges, strEquals, nullCols, notNullCols))
+        Some(Nil)
+      else nFromLines(lines).flatMap { n =>
+        // every non-group conjunct must pass ALL rows of this layer
+        val othersPassAll: Boolean = {
+          val passes: Seq[Option[Long]] =
+            oRanges.map { case (c, lo, hi) =>
+              envFromLines(lines, c) match {
+                case Some((mn, mx)) if lo <= mn && mx <= hi =>
+                  nnFromLines(lines, c)
+                case _ => None
+              }
+            } ++
+            oStrEqs.map { case (c, vs) =>
+              strEnvFromLines(lines, c) match {
+                case Some((mn, mx)) if mn == mx && vs.contains(mn) =>
+                  nnFromLines(lines, c)
+                case _ => None
+              }
+            } ++
+            oNull.map(c => nnFromLines(lines, c).map(nn => n - nn)) ++
+            oNotNull.map(c => nnFromLines(lines, c))
+          passes.forall(_.exists(_ == n))
+        }
+        if (!othersPassAll) None
+        else {
+          val nnG = nnFromLines(lines, groupCol)
+          val nullGroupWanted = !gNotNull && gRanges.isEmpty && gStrEqs.isEmpty
+          if (gIsNull) {
+            // only the null group survives; no histogram needed
+            if (gRanges.nonEmpty || gStrEqs.nonEmpty || gNotNull) Some(Nil)
+            else nnG.map(nn => if (n - nn > 0) Seq((None, n - nn)) else Nil)
+          } else histFromLines(lines, groupCol).flatMap { hist =>
+            val kept = hist.filter { case (tok, _) => entryPasses(tok) }
+              .map { case (tok, cnt) => (Option(tok), cnt) }
+            if (!nullGroupWanted) Some(kept)
+            else nnG.map(nn =>
+              if (n - nn > 0) kept :+ ((None: Option[String]), n - nn)
+              else kept)
+          }
+        }
+      }
+    }
+    if (perLayer.exists(_.isEmpty)) None
+    else Some(perLayer.flatten.flatten
+      .groupBy(_._1).toSeq
+      .map { case (g, xs) => (g, xs.map(_._2).sum) })
   }
 
   /** Zone-pruned range read over a MERGE-ON-READ chain. A layer whose

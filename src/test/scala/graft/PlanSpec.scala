@@ -253,6 +253,16 @@ class PlanSpec extends SparkSpec {
       "filtered metadata count must not plan a file scan")
   }
 
+  test("q_group_chain and q_group_window answer grouped counts from the " +
+    "layer histograms — zero parquet footers") {
+    val g = SparkEntry.queries("q_group_chain")(spark, sfDir)
+    assert(g.inputFiles.isEmpty,
+      "grouped metadata count must not plan a file scan")
+    val w = SparkEntry.queries("q_group_window")(spark, sfDir)
+    assert(w.inputFiles.isEmpty,
+      "windowed grouped metadata count must not plan a file scan")
+  }
+
   test("exact-substring dup-set semi-join is not a forced broadcast") {
     // the dup-40-gram set is O(duplicated text) — unbounded on a web
     // corpus — so a broadcast() HINT (driver-side, size-blind) is a

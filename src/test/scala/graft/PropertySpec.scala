@@ -772,6 +772,19 @@ class PropertySpec extends SparkSpec {
           def cnt(cat: Catalog) = Planner.plan(q, cat).collect().head.getLong(0)
           assert(cnt(routed) === cnt(unrouted), s"case $ci query $q")
         }
+        // GROUPED metadata counts (layer histograms) vs the grouping scan
+        (Seq("t.groupBy({n := count()}, {c})",
+            s"t.filter(between(v, $lo, $hi)).groupBy({n := count()}, {c})",
+            "t.filter(isNotNull(c)).groupBy({n := count()}, {c})",
+            "t.filter(isNull(c)).groupBy({n := count()}, {c})") ++
+          (if (cs.nonEmpty)
+            Seq(s"t.filter(in(c, {${cs.map(x => s"'$x'").mkString(",")}}))" +
+              ".groupBy({n := count()}, {c})")
+          else Nil)).foreach { q =>
+          def groupsOf(cat: Catalog) = Planner.plan(q, cat).collect()
+            .map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+          assert(groupsOf(routed) === groupsOf(unrouted), s"case $ci query $q")
+        }
     }
   }
 }

@@ -727,6 +727,65 @@ class SaneQLSpec extends SparkSpec {
     assert(nl.inputFiles.isEmpty && nl.collect().head.getLong(0) === 1L)
   }
 
+  test("grouped counts answer from the layer value histograms; entry " +
+    "filters, null groups, and undecidable shapes behave") {
+    import graft.sources.NdjsonIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft").toString + "/gc"
+    NdjsonIngest.appendVersion(
+      Seq((1L, 1.0, Option("a")), (2L, 1.0, Option("b")),
+        (3L, 1.0, Option.empty[String])).toDF("id", "w", "c"), dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((4L, 5.0, Option("a")), (5L, 6.0, Option("c")))
+        .toDF("id", "w", "c"), dir, "id")
+    val cat = Catalog(
+      tables = Map("t" -> NdjsonIngest.readLatest(spark, dir)),
+      versionedDirs = Map("t" -> dir))
+    def grouped(q: String) = Planner.plan(q, cat)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    def unrouted(q: String) = rowsOf(
+      Planner.plan(q, cat.copy(versionedDirs = Map())))
+    // bare grouped count: pure histogram sum, null group from the ledger
+    val bare = grouped("t.groupBy({n := count()}, {c})")
+    assert(bare.inputFiles.isEmpty, "grouped count must not plan a scan")
+    assert(rowsOf(bare) === Set((Some("a"), 2L), (Some("b"), 1L),
+      (Some("c"), 1L), (None, 1L)))
+    assert(rowsOf(bare) === unrouted("t.groupBy({n := count()}, {c})"))
+    // a group-col in-set applies ENTRY-WISE (null group drops with it)
+    val inset = grouped("t.filter(in(c, {'a','c'})).groupBy({n := count()}, {c})")
+    assert(inset.inputFiles.isEmpty)
+    assert(rowsOf(inset) === Set((Some("a"), 2L), (Some("c"), 1L)))
+    // isNull on the group column: only the null group, ledger-exact
+    val nulls = grouped("t.filter(isNull(c)).groupBy({n := count()}, {c})")
+    assert(nulls.inputFiles.isEmpty)
+    assert(rowsOf(nulls) === Set((None, 1L)))
+    // an OTHER conjunct that provably passes a whole layer keeps the
+    // metadata path (v1 zone-excluded, v2 fully contained, no nulls)
+    val oth = grouped("t.filter(between(w, 5, 9)).groupBy({n := count()}, {c})")
+    assert(oth.inputFiles.isEmpty)
+    assert(rowsOf(oth) === Set((Some("a"), 1L), (Some("c"), 1L)))
+    assert(rowsOf(oth) ===
+      unrouted("t.filter(between(w, 5, 9)).groupBy({n := count()}, {c})"))
+    // a PARTIALLY contained other conjunct is undecidable per group:
+    // real grouping scan, same rows (w in [1, 5.5) keeps only w=5 of v2)
+    val part = grouped("t.filter(between(w, 1, 5.5)).groupBy({n := count()}, {c})")
+    assert(part.inputFiles.nonEmpty,
+      "partial other-conjunct must fall back to the grouping scan")
+    assert(rowsOf(part) ===
+      unrouted("t.filter(between(w, 1, 5.5)).groupBy({n := count()}, {c})"))
+    // a high-cardinality group column writes no histogram: fallback scan
+    val dir2 = java.nio.file.Files.createTempDirectory("graft").toString + "/gc2"
+    NdjsonIngest.appendVersion(
+      (1L to 20L).map(i => (i, s"v$i")).toDF("id", "c"), dir2, "id")
+    val cat2 = Catalog(
+      tables = Map("t" -> NdjsonIngest.readLatest(spark, dir2)),
+      versionedDirs = Map("t" -> dir2))
+    val wide = Planner.plan("t.groupBy({n := count()}, {c})", cat2)
+    assert(wide.inputFiles.nonEmpty,
+      "17+ distinct values must not pretend to have a complete histogram")
+    assert(wide.count() === 20L)
+  }
+
   test("merge-on-read zone routing: excluded layers shadow with pk-only " +
     "scans — no resurrection, no leak, column decode provably narrowed") {
     import graft.sources.NdjsonIngest
