@@ -532,13 +532,18 @@ final class Planner(catalog: Planner.Catalog) {
     * with other operators the same way, range_selection.h:15-40 +
     * operator.h:11-37). `pred` is the ORIGINAL predicate expression —
     * the rewrite recompiles it against the narrowed scan so routed and
-    * unrouted row-wise semantics are one code path.
+    * unrouted row-wise semantics are one code path; None means no
+    * filter ran (a note carried through `project` off the bare scan).
+    * `proj` is the plain-column projection in force, re-applied after
+    * the filter in any rewrite — a projection never changes row
+    * membership, so counts and bounds are unaffected by it.
     */
   final case class ZonePred(dir: String, chain: Seq[String],
-      schema: org.apache.spark.sql.types.StructType, pred: Expr,
+      schema: org.apache.spark.sql.types.StructType, pred: Option[Expr],
       ranges: Seq[(String, Double, Double)],
       strEqs: Seq[(String, Seq[String])],
-      nullCs: Seq[(String, Boolean)])
+      nullCs: Seq[(String, Boolean)],
+      proj: Option[Seq[String]] = None)
 
   /** The orderBy stage's note to an immediately-following limit: the sort
     * was a single first key over the BARE registered versioned scan whose
@@ -906,7 +911,7 @@ final class Planner(catalog: Planner.Catalog) {
             if (conjuncts(pred).forall(c => rangeConjunct(c, in.df).isDefined ||
                 stringEqConjunct(c, in.df).isDefined ||
                 nullConjunct(c, in.df).isDefined))
-              Some(ZonePred(dir, chain, in.df.schema, pred,
+              Some(ZonePred(dir, chain, in.df.schema, Some(pred),
                 ranges, strEqs, nullCs))
             else None
           (routed, note)
@@ -1119,7 +1124,25 @@ final class Planner(catalog: Planner.Catalog) {
             case _ => resolve(c, in.df)
           }
         }
-        Tbl(in.df.select(exprs: _*), None)
+        // a PLAIN-column projection never changes row membership, so the
+        // zone note survives it (with the projection recorded for any
+        // later rewrite to re-apply): filter+project+orderBy+limit and
+        // project+groupBy-count keep their metadata bounds. Sequence
+        // reconstructions drop the note (they synthesize a column the
+        // scan schema lacks).
+        val plain = cols.forall(c => in.df.columns.contains(c) &&
+          !bindings.contains(c))
+        val note: Option[ZonePred] =
+          if (!plain) None
+          else in.zone.map(_.copy(proj = Some(cols))).orElse(for {
+            t <- in.origin
+            dir <- catalog.versionedDirs.get(t)
+            if catalog.tables.get(t).exists(_ eq in.df)
+            chain <- frameLayers(in.df, dir)
+            if graft.sources.NdjsonIngest.chainMergeFree(dir, chain)
+          } yield ZonePred(dir, chain, in.df.schema, None, Nil, Nil, Nil,
+            proj = Some(cols)))
+        Tbl(in.df.select(exprs: _*), None, zone = note)
 
       case "map" =>
         val in = input
@@ -1222,7 +1245,13 @@ final class Planner(catalog: Planner.Catalog) {
                 val keyCols = (ss.column +: ss.tiebreak).map(c =>
                   if (ss.descending && c == ss.column) col(c).desc
                   else col(c).asc)
-                scan.filter(scalar(zp.pred, scan, Ambiguity.ModeNone, in.origin))
+                val filtered = zp.pred.map(p =>
+                  scan.filter(scalar(p, scan, Ambiguity.ModeNone, in.origin)))
+                  .getOrElse(scan)
+                // a carried projection re-applies AFTER the filter and
+                // BEFORE the sort — exactly where the pipeline had it
+                zp.proj.map(cs => filtered.select(cs.map(col): _*))
+                  .getOrElse(filtered)
                   .orderBy(keyCols: _*).limit(kTot)
               case None =>
                 graft.sources.NdjsonIngest.readChainTopK(

@@ -748,7 +748,11 @@ class PropertySpec extends SparkSpec {
           s"t.filter(between(v, $lo, $hi)).orderBy({$sKey, id}).limit($k)",
           // DOUBLE window (exclusive upper bound) + double sort key
           s"t.filter(between(x, ${lo * 0.5}, ${hi * 0.5}))" +
-            s".orderBy({${if (desc) "desc(x)" else "x"}, id}).limit($k)") ++
+            s".orderBy({${if (desc) "desc(x)" else "x"}, id}).limit($k)",
+          // plain projections between the stages keep every bound
+          s"t.filter(between(v, $lo, $hi)).project({id, v})" +
+            s".orderBy({$key, id}).limit($k)",
+          s"t.project({id, v, c}).orderBy({$sKey, id}).limit($k)") ++
           (if (cs.nonEmpty) {
             val set = cs.map(c => s"'$c'").mkString(",")
             Seq(s"t.filter(in(c, {$set})).orderBy({$key, id}).limit($k)",

@@ -677,6 +677,29 @@ class SaneQLSpec extends SparkSpec {
       Planner.plan(q2, cat2.copy(versionedDirs = Map()))
         .collect().map(_.getLong(0)).toSeq)
     assert(Planner.plan(q2, cat2).collect().map(_.getLong(0)).toSeq === Seq(3L))
+    // a PLAIN projection between the filter and the sort keeps the
+    // composed bounds (row membership is projection-invariant): same
+    // 1-of-4 footprint, projected columns only
+    val proj = Planner.plan("t.filter(between(day, 2, 3))" +
+      ".project({id, score}).orderBy({desc(score), id}).limit(2)", cat)
+    assert(layersOf(proj) === Seq("v3"), layersOf(proj).mkString(","))
+    assert(proj.columns.toSeq === Seq("id", "score"))
+    assert(proj.collect().map(_.getLong(0)).toSeq === Seq(6L, 5L))
+    // projection off the BARE scan seeds a note too
+    val bareProj = Planner.plan(
+      "t.project({id, score}).orderBy({desc(score), id}).limit(2)", cat)
+    assert(layersOf(bareProj) === Seq("v4"))
+    assert(bareProj.collect().map(_.getLong(0)).toSeq === Seq(8L, 7L))
+    // projected metadata counts: row membership unchanged by projection
+    val projCount = Planner.plan("t.filter(between(day, 2, 3))" +
+      ".project({id}).groupBy({c := count()})", cat)
+    assert(projCount.inputFiles.isEmpty)
+    assert(projCount.collect().head.getLong(0) === 4L)
+    // a projection DROPPING the sort key cannot route (the orderBy
+    // rejects the unknown column, same as unrouted)
+    intercept[graft.lang.Planner.QueryError] {
+      Planner.plan("t.project({id}).orderBy({desc(score)}).limit(1)", cat)
+    }
   }
 
   test("filtered count composes with the zone note: decidable windows " +
