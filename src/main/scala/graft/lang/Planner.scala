@@ -533,17 +533,28 @@ final class Planner(catalog: Planner.Catalog) {
     * operator.h:11-37). `pred` is the ORIGINAL predicate expression —
     * the rewrite recompiles it against the narrowed scan so routed and
     * unrouted row-wise semantics are one code path; None means no
-    * filter ran (a note carried through `project` off the bare scan).
-    * `proj` is the plain-column projection in force, re-applied after
-    * the filter in any rewrite — a projection never changes row
-    * membership, so counts and bounds are unaffected by it.
+    * filter ran (a note carried through `project`/`map` off the bare
+    * scan). `post` is the ordered list of row-membership-INVARIANT
+    * stages that followed the filter — plain-column projections and
+    * column-ADDING maps — re-applied in order by any rewrite; neither
+    * changes which rows exist, so counts and bounds are unaffected.
+    * A map that would SHADOW a scan column drops the note (its values
+    * diverge from the sidecar stats under the same name).
     */
   final case class ZonePred(dir: String, chain: Seq[String],
       schema: org.apache.spark.sql.types.StructType, pred: Option[Expr],
       ranges: Seq[(String, Double, Double)],
       strEqs: Seq[(String, Seq[String])],
       nullCs: Seq[(String, Boolean)],
-      proj: Option[Seq[String]] = None)
+      post: Seq[PostStage] = Nil)
+
+  /** A pipeline stage after the routed filter that a rewrite must
+    * re-apply verbatim (both preserve row membership).
+    */
+  sealed trait PostStage
+  final case class PostProject(cols: Seq[String]) extends PostStage
+  final case class PostMap(items: Seq[(String, Expr)],
+      origin: Option[String]) extends PostStage
 
   /** The orderBy stage's note to an immediately-following limit: the sort
     * was a single first key over the BARE registered versioned scan whose
@@ -582,6 +593,19 @@ final class Planner(catalog: Planner.Catalog) {
   private[lang] def predicate(e: Expr, df: DataFrame,
       origin: Option[String] = None): Column =
     scalar(e, df, Ambiguity.ModeNone, origin)
+
+  /** A conjunct-free ZonePred for the BARE registered merge-free scan —
+    * what a row-membership-invariant stage (project/map) seeds when it
+    * runs directly off the table so a LATER orderBy+limit or count can
+    * still bound its read from the chain's metadata.
+    */
+  private def bareScanNote(in: Tbl): Option[ZonePred] = for {
+    t <- in.origin
+    dir <- catalog.versionedDirs.get(t)
+    if catalog.tables.get(t).exists(_ eq in.df)
+    chain <- frameLayers(in.df, dir)
+    if graft.sources.NdjsonIngest.chainMergeFree(dir, chain)
+  } yield ZonePred(dir, chain, in.df.schema, None, Nil, Nil, Nil)
 
   def planTable(e: Expr): Tbl = e match {
     case Ident(name) =>
@@ -1130,18 +1154,11 @@ final class Planner(catalog: Planner.Catalog) {
         // project+groupBy-count keep their metadata bounds. Sequence
         // reconstructions drop the note (they synthesize a column the
         // scan schema lacks).
-        val plain = cols.forall(c => in.df.columns.contains(c) &&
-          !bindings.contains(c))
+        val plain = cols.forall(c => in.df.columns.contains(c))
         val note: Option[ZonePred] =
           if (!plain) None
-          else in.zone.map(_.copy(proj = Some(cols))).orElse(for {
-            t <- in.origin
-            dir <- catalog.versionedDirs.get(t)
-            if catalog.tables.get(t).exists(_ eq in.df)
-            chain <- frameLayers(in.df, dir)
-            if graft.sources.NdjsonIngest.chainMergeFree(dir, chain)
-          } yield ZonePred(dir, chain, in.df.schema, None, Nil, Nil, Nil,
-            proj = Some(cols)))
+          else in.zone.map(zp => zp.copy(post = zp.post :+ PostProject(cols)))
+            .orElse(bareScanNote(in).map(_.copy(post = Seq(PostProject(cols)))))
         Tbl(in.df.select(exprs: _*), None, zone = note)
 
       case "map" =>
@@ -1153,7 +1170,23 @@ final class Planner(catalog: Planner.Catalog) {
         val out = items.foldLeft(in.df) { case (d, (n, v)) =>
           d.withColumn(n, scalar(v, d, Ambiguity.ModeNone, in.origin))
         }
-        Tbl(out, None)
+        // a map that only ADDS columns never changes row membership, so
+        // the zone note rides through it (re-applied by any rewrite); a
+        // map SHADOWING a scan column drops it — the sidecar stats under
+        // that name would no longer describe the column's values
+        val note: Option[ZonePred] = {
+          def noShadow(scanCols: Seq[String]): Boolean =
+            items.forall { case (n, _) => !scanCols.contains(n) }
+          in.zone match {
+            case Some(zp) if noShadow(zp.schema.fieldNames.toSeq) =>
+              Some(zp.copy(post = zp.post :+ PostMap(items, in.origin)))
+            case Some(_) => None
+            case None => bareScanNote(in)
+              .filter(zp => noShadow(zp.schema.fieldNames.toSeq))
+              .map(_.copy(post = Seq(PostMap(items, in.origin))))
+          }
+        }
+        Tbl(out, None, zone = note)
 
       case "orderBy" =>
         val in = input
@@ -1248,11 +1281,16 @@ final class Planner(catalog: Planner.Catalog) {
                 val filtered = zp.pred.map(p =>
                   scan.filter(scalar(p, scan, Ambiguity.ModeNone, in.origin)))
                   .getOrElse(scan)
-                // a carried projection re-applies AFTER the filter and
-                // BEFORE the sort — exactly where the pipeline had it
-                zp.proj.map(cs => filtered.select(cs.map(col): _*))
-                  .getOrElse(filtered)
-                  .orderBy(keyCols: _*).limit(kTot)
+                // carried row-membership-invariant stages re-apply IN
+                // ORDER after the filter — exactly where the pipeline
+                // had them
+                zp.post.foldLeft(filtered) {
+                  case (d, PostProject(cs)) => d.select(cs.map(col): _*)
+                  case (d, PostMap(items, org)) =>
+                    items.foldLeft(d) { case (dd, (n, v)) =>
+                      dd.withColumn(n, scalar(v, dd, Ambiguity.ModeNone, org))
+                    }
+                }.orderBy(keyCols: _*).limit(kTot)
               case None =>
                 graft.sources.NdjsonIngest.readChainTopK(
                   in.df.sparkSession, ss.dir, ss.chain, ss.column,

@@ -700,6 +700,29 @@ class SaneQLSpec extends SparkSpec {
     intercept[graft.lang.Planner.QueryError] {
       Planner.plan("t.project({id}).orderBy({desc(score)}).limit(1)", cat)
     }
+    // a column-ADDING map keeps the note too (row membership unchanged);
+    // the added column survives the rewrite
+    val mapped = Planner.plan("t.filter(between(day, 2, 3))" +
+      ".map({tag := 'x'}).orderBy({desc(score), id}).limit(2)", cat)
+    assert(layersOf(mapped) === Seq("v3"), layersOf(mapped).mkString(","))
+    assert(mapped.columns.toSeq === Seq("id", "day", "score", "tag"))
+    assert(mapped.collect().map(r => (r.getLong(0), r.getString(3))).toSeq ===
+      Seq((6L, "x"), (5L, "x")))
+    // bare map seeds a note; metadata count rides through it
+    val mCount = Planner.plan(
+      "t.map({tag := 'x'}).groupBy({c := count()})", cat)
+    assert(mCount.inputFiles.isEmpty)
+    assert(mCount.collect().head.getLong(0) === 8L)
+    // a map SHADOWING a scan column drops the note — the stats under
+    // that name no longer describe its values; plan stays unpruned and
+    // value-identical to the unrouted one
+    val shadowQ = "t.map({score := 1}).orderBy({desc(score), id}).limit(1)"
+    val shadow = Planner.plan(shadowQ, cat)
+    assert(layersOf(shadow).size === 4,
+      s"shadowing map must not prune: ${layersOf(shadow).mkString(",")}")
+    assert(shadow.collect().map(_.getLong(0)).toSeq ===
+      Planner.plan(shadowQ, cat.copy(versionedDirs = Map()))
+        .collect().map(_.getLong(0)).toSeq)
   }
 
   test("filtered count composes with the zone note: decidable windows " +
