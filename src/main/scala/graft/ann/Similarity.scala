@@ -183,9 +183,14 @@ object Similarity {
     if (cells <= maxCellsPerLevel)
       return semdedupLevel(emb, idCol, vecCol, dim, cells.toInt, threshold,
         iters, seed)
-    val shards = math.min(
+    // shard count capped so shard*budget+cell stays an INT — the output
+    // schema must not depend on corpus size (single-level cells are
+    // IntegerType); at the default budget the cap still addresses ~2e9
+    // fine cells (~2 trillion vectors at the default target)
+    val shards = Seq(
       (cells + maxCellsPerLevel - 1) / maxCellsPerLevel,
-      maxCellsPerLevel.toLong).toInt
+      maxCellsPerLevel.toLong,
+      (Int.MaxValue / maxCellsPerLevel).toLong).min.toInt
     val coarse = Ivf.train(emb, vecCol, dim, shards, iters, seed ^ 0x5eedL)
     // one assignment pass, checkpointed: every shard's sub-dedup filters
     // this frame (without the cut each shard would re-run the scan+assign)
@@ -202,9 +207,11 @@ object Similarity {
         semdedupLevel(sub, idCol, vecCol, dim, fine, threshold, iters,
             seed + s)
           // disambiguate cell ids across shards (the verdict columns are
-          // shard-local; kept/dup_of semantics don't depend on the id)
+          // shard-local; kept/dup_of semantics don't depend on the id);
+          // cast keeps the single-level IntegerType schema — the shard
+          // cap above guarantees the offset sum fits
           .withColumn("cell",
-            col("cell") + lit(s.toLong * maxCellsPerLevel))
+            (col("cell") + lit(s * maxCellsPerLevel)).cast("int"))
       }
     }
     parts.reduce(_ unionByName _)

@@ -814,7 +814,19 @@ final class Planner(catalog: Planner.Catalog) {
     * frame's tombstone files, or any foreign path, disqualify routing).
     * None = don't route.
     */
-  private def frameLayers(df: DataFrame, dir: String): Option[Seq[String]] = {
+  private def frameLayers(df: DataFrame, dir: String): Option[Seq[String]] =
+    frameLayersImpl(df, dir, allowTombstones = false)
+
+  /** [[frameLayers]] for a MERGED frame: tombstone files are expected
+    * members of a merge-on-read chain (they resolve inside the merged
+    * read), so a `_tombstones` segment maps to its layer instead of
+    * disqualifying routing. Foreign paths still disqualify.
+    */
+  private def frameLayersMerged(df: DataFrame, dir: String): Option[Seq[String]] =
+    frameLayersImpl(df, dir, allowTombstones = true)
+
+  private def frameLayersImpl(df: DataFrame, dir: String,
+      allowTombstones: Boolean): Option[Seq[String]] = {
     def pathOf(f: String): Option[String] =
       scala.util.Try(new java.io.File(new java.net.URI(f)).getPath)
         .orElse(scala.util.Try(new java.io.File(f).getPath)).toOption
@@ -829,34 +841,8 @@ final class Planner(catalog: Planner.Catalog) {
           val rel = p.stripPrefix(root)
           val seg = rel.takeWhile(_ != '/')
           if (layerName.pattern.matcher(seg).matches() &&
-            !rel.contains("_tombstones")) Some(seg)
+            (allowTombstones || !rel.contains("_tombstones"))) Some(seg)
           else None
-        }
-      }
-    }
-    if (segs.exists(_.isEmpty)) None
-    else Some(segs.flatten.distinct.sortBy(_.drop(1).toLong))
-  }
-
-  /** [[frameLayers]] for a MERGED frame: tombstone files are expected
-    * members of a merge-on-read chain (they resolve inside the merged
-    * read), so a `_tombstones` segment maps to its layer instead of
-    * disqualifying routing. Foreign paths still disqualify.
-    */
-  private def frameLayersMerged(df: DataFrame, dir: String): Option[Seq[String]] = {
-    def pathOf(f: String): Option[String] =
-      scala.util.Try(new java.io.File(new java.net.URI(f)).getPath)
-        .orElse(scala.util.Try(new java.io.File(f).getPath)).toOption
-    val root = new java.io.File(dir).getAbsolutePath.stripSuffix("/") + "/"
-    val layerName = "v\\d+".r
-    val files = df.inputFiles
-    if (files.isEmpty) return None
-    val segs = files.toSeq.map { f =>
-      pathOf(f).flatMap { p =>
-        if (!p.startsWith(root)) None
-        else {
-          val seg = p.stripPrefix(root).takeWhile(_ != '/')
-          if (layerName.pattern.matcher(seg).matches()) Some(seg) else None
         }
       }
     }

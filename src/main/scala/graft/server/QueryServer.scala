@@ -458,19 +458,24 @@ final class QueryServer(catalogSupplier: () => (Catalog, String),
       val t = new Thread(r, "graft-memory-monitor"); t.setDaemon(true); t
     })
     sched.scheduleAtFixedRate(() => {
-      val rt = Runtime.getRuntime
-      val heapUsed = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
-      val heapMax = rt.maxMemory() / (1024 * 1024)
-      val tp = handlerPool.asInstanceOf[java.util.concurrent.ThreadPoolExecutor]
-      val rss = rssMb
-      val over = for (limit <- config.softMemoryLimitMb; r <- rss if r > limit)
-        yield limit
-      sink(s"memory heapUsedMb=$heapUsed heapMaxMb=$heapMax" +
-        rss.map(r => s" rssMb=$r").getOrElse("") +
-        s" activeRequests=${tp.getActiveCount} queuedRequests=${tp.getQueue.size}" +
-        over.map(l => s" softLimitMb=$l exceeded, requesting gc").getOrElse(""))
-      // the malloc_trim analog: give memory back when the soft limit is hit
-      if (over.isDefined) System.gc()
+      // scheduleAtFixedRate CANCELS all later runs after an uncaught
+      // exception — one failing sink write (rotated log, closed stream)
+      // must not silently kill the gauge and the soft-limit GC forever
+      try {
+        val rt = Runtime.getRuntime
+        val heapUsed = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+        val heapMax = rt.maxMemory() / (1024 * 1024)
+        val tp = handlerPool.asInstanceOf[java.util.concurrent.ThreadPoolExecutor]
+        val rss = rssMb
+        val over = for (limit <- config.softMemoryLimitMb; r <- rss if r > limit)
+          yield limit
+        sink(s"memory heapUsedMb=$heapUsed heapMaxMb=$heapMax" +
+          rss.map(r => s" rssMb=$r").getOrElse("") +
+          s" activeRequests=${tp.getActiveCount} queuedRequests=${tp.getQueue.size}" +
+          over.map(l => s" softLimitMb=$l exceeded, requesting gc").getOrElse(""))
+        // the malloc_trim analog: give memory back when the soft limit is hit
+        if (over.isDefined) System.gc()
+      } catch { case scala.util.control.NonFatal(_) => () }
     }, every, every, TimeUnit.SECONDS)
     monitor = Some(sched)
   }

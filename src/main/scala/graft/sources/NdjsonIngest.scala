@@ -298,7 +298,12 @@ object NdjsonIngest {
     // schemas) would write an ambiguous line the readers silently never
     // match; skip such columns so the format stays unambiguous by
     // construction (they just read as no-stats, always included)
-    def plainName(n: String): Boolean = !n.exists(_.isWhitespace)
+    // ':' is the marker namespace separator (c:/s:/n:/g:/gh: lines) — a
+    // column whose NAME contains one could collide with a marker line of
+    // another column and crash a decoder on foreign tokens; exclude them
+    // like whitespace (they just read as no-stats, always included)
+    def plainName(n: String): Boolean =
+      !n.exists(ch => ch.isWhitespace || ch == ':')
     val numeric = df.schema.fields.collect {
       case f if f.dataType.isInstanceOf[NumericType] && plainName(f.name) =>
         f.name
@@ -441,8 +446,11 @@ object NdjsonIngest {
   private def envFromLines(lines: Seq[Array[String]],
       column: String): Option[(Double, Double)] =
     lines.collectFirst { case Array(c, lo, hi) if c == column =>
-      (lo.toDouble, hi.toDouble)
-    }
+      // a column NAME carrying a marker prefix (e.g. literally "g:d")
+      // can alias another column's marker line whose tokens aren't
+      // doubles — an undecodable match means no-stats, never a crash
+      scala.util.Try((lo.toDouble, hi.toDouble)).toOption
+    }.flatten
     // legacy stats written before the NaN write-guard: treat a NaN
     // envelope as no-stats (always include), never as prunable
     .filterNot { case (lo, hi) => lo.isNaN || hi.isNaN }
@@ -453,16 +461,18 @@ object NdjsonIngest {
     def dec(v: String) = new String(d.decode(v),
       java.nio.charset.StandardCharsets.UTF_8)
     lines.collectFirst { case Array(c, lo, hi) if c == s"s:$column" =>
-      (dec(lo), dec(hi))
-    }
+      scala.util.Try((dec(lo), dec(hi))).toOption
+    }.flatten
   }
 
   private def nFromLines(lines: Seq[Array[String]]): Option[Long] =
-    lines.collectFirst { case Array("n:", n) => n.toLong }
+    lines.collectFirst { case Array("n:", n) =>
+      scala.util.Try(n.toLong).toOption }.flatten
 
   private def nnFromLines(lines: Seq[Array[String]],
       column: String): Option[Long] =
-    lines.collectFirst { case Array(c, v) if c == s"c:$column" => v.toLong }
+    lines.collectFirst { case Array(c, v) if c == s"c:$column" =>
+      scala.util.Try(v.toLong).toOption }.flatten
 
   /** The layer's COMPLETE value histogram for `column` (token → count,
     * tokens decoded from base64), or None when the layer recorded none
@@ -471,13 +481,15 @@ object NdjsonIngest {
     */
   private def histFromLines(lines: Seq[Array[String]],
       column: String): Option[Seq[(String, Long)]] =
-    lines.collectFirst { case Array(m, k) if m == s"gh:$column" => k.toInt }
+    lines.collectFirst { case Array(m, k) if m == s"gh:$column" =>
+      scala.util.Try(k.toInt).toOption }.flatten
       .flatMap { k =>
         val d = java.util.Base64.getDecoder
-        val entries = lines.collect {
+        val entries = lines.flatMap {
           case Array(m, v, cnt) if m == s"g:$column" =>
-            (new String(d.decode(v), java.nio.charset.StandardCharsets.UTF_8),
-              cnt.toLong)
+            scala.util.Try((new String(d.decode(v),
+              java.nio.charset.StandardCharsets.UTF_8), cnt.toLong)).toOption
+          case _ => None
         }
         if (entries.length == k) Some(entries.toSeq) else None
       }
@@ -620,28 +632,14 @@ object NdjsonIngest {
       strEquals: Seq[(String, Seq[String])], nullCols: Seq[String],
       notNullCols: Seq[String])(implicit ord: Ordering[T]): Seq[String] = {
     // upper bound on this layer's rows FAILING the conjuncts (None =
-    // unbounded → the layer can't prove any qualifying rows): a conjunct
-    // whose envelope is fully contained fails at most the column's null
-    // rows; isNull/isNotNull fail exactly the ledger's complement
+    // unbounded → the layer can't prove any qualifying rows): each
+    // conjunct's exact pass count (shared containment rules,
+    // conjunctPassCounts) caps its failures at n − pass
     def failUB(lines: Seq[Array[String]], n: Long): Option[Long] = {
-      val parts: Seq[Option[Long]] =
-        ranges.map { case (c, lo, hi) =>
-          envFromLines(lines, c) match {
-            case Some((mn, mx)) if lo <= mn && mx <= hi =>
-              nnFromLines(lines, c).map(nn => n - nn)
-            case _ => None
-          }
-        } ++
-        strEquals.map { case (c, vs) =>
-          strEnvFromLines(lines, c) match {
-            case Some((mn, mx)) if mn == mx && vs.contains(mn) =>
-              nnFromLines(lines, c).map(nn => n - nn)
-            case _ => None
-          }
-        } ++
-        nullCols.map(c => nnFromLines(lines, c)) ++
-        notNullCols.map(c => nnFromLines(lines, c).map(nn => n - nn))
-      if (parts.exists(_.isEmpty)) None else Some(parts.flatten.sum)
+      val passes =
+        conjunctPassCounts(lines, n, ranges, strEquals, nullCols, notNullCols)
+      if (passes.exists(_.isEmpty)) None
+      else Some(passes.flatten.map(n - _).sum)
     }
     // a conjunct on the sort key itself rejects its nulls globally
     val sortKeyNotNull = notNullCols.contains(column) ||
@@ -813,25 +811,8 @@ object NdjsonIngest {
       if (!zoneKeep(lines, ranges, strEquals, nullCols, notNullCols))
         Some(0L)
       else nFromLines(lines).flatMap { n =>
-        // pass-count per conjunct: Some(exact) when the envelope/ledger
-        // pins it, None when only bounds are known
-        val passes: Seq[Option[Long]] =
-          ranges.map { case (c, lo, hi) =>
-            envFromLines(lines, c) match {
-              case Some((mn, mx)) if lo <= mn && mx <= hi =>
-                nnFromLines(lines, c)
-              case _ => None
-            }
-          } ++
-          strEquals.map { case (c, vs) =>
-            strEnvFromLines(lines, c) match {
-              case Some((mn, mx)) if mn == mx && vs.contains(mn) =>
-                nnFromLines(lines, c)
-              case _ => None
-            }
-          } ++
-          nullCols.map(c => nnFromLines(lines, c).map(nn => n - nn)) ++
-          notNullCols.map(c => nnFromLines(lines, c))
+        val passes =
+          conjunctPassCounts(lines, n, ranges, strEquals, nullCols, notNullCols)
         if (passes.exists(_.isEmpty)) None
         else if (nConjuncts == 1) passes.head
         else if (passes.flatten.forall(_ == n)) Some(n)
@@ -890,26 +871,9 @@ object NdjsonIngest {
         Some(Nil)
       else nFromLines(lines).flatMap { n =>
         // every non-group conjunct must pass ALL rows of this layer
-        val othersPassAll: Boolean = {
-          val passes: Seq[Option[Long]] =
-            oRanges.map { case (c, lo, hi) =>
-              envFromLines(lines, c) match {
-                case Some((mn, mx)) if lo <= mn && mx <= hi =>
-                  nnFromLines(lines, c)
-                case _ => None
-              }
-            } ++
-            oStrEqs.map { case (c, vs) =>
-              strEnvFromLines(lines, c) match {
-                case Some((mn, mx)) if mn == mx && vs.contains(mn) =>
-                  nnFromLines(lines, c)
-                case _ => None
-              }
-            } ++
-            oNull.map(c => nnFromLines(lines, c).map(nn => n - nn)) ++
-            oNotNull.map(c => nnFromLines(lines, c))
-          passes.forall(_.exists(_ == n))
-        }
+        val othersPassAll: Boolean =
+          conjunctPassCounts(lines, n, oRanges, oStrEqs, oNull, oNotNull)
+            .forall(_.exists(_ == n))
         if (!othersPassAll) None
         else {
           val nnG = nnFromLines(lines, groupCol)
@@ -997,6 +961,36 @@ object NdjsonIngest {
       .select(schema.fields.map(f =>
         if (f.name == pk) col(pk) else col(s"__w.${f.name}").as(f.name)): _*)
   }
+
+  /** Per-conjunct EXACT pass count for one layer: Some(p) when the
+    * envelope/ledger pins exactly how many of the layer's `n` rows
+    * satisfy the conjunct — a range/equality whose envelope is FULLY
+    * contained passes exactly the column's non-null rows, isNull passes
+    * exactly the complement, isNotNull exactly the non-null count —
+    * None when only bounds are known (partial containment, missing
+    * ledger). The single source of the containment rules shared by the
+    * filtered top-k (failure caps = n − pass), the filtered count, and
+    * the grouped count's whole-layer test.
+    */
+  private def conjunctPassCounts(lines: Seq[Array[String]], n: Long,
+      ranges: Seq[(String, Double, Double)],
+      strEquals: Seq[(String, Seq[String])],
+      nullCols: Seq[String], notNullCols: Seq[String]): Seq[Option[Long]] =
+    ranges.map { case (c, lo, hi) =>
+      envFromLines(lines, c) match {
+        case Some((mn, mx)) if lo <= mn && mx <= hi => nnFromLines(lines, c)
+        case _ => None
+      }
+    } ++
+    strEquals.map { case (c, vs) =>
+      strEnvFromLines(lines, c) match {
+        case Some((mn, mx)) if mn == mx && vs.contains(mn) =>
+          nnFromLines(lines, c)
+        case _ => None
+      }
+    } ++
+    nullCols.map(c => nnFromLines(lines, c).map(nn => n - nn)) ++
+    notNullCols.map(c => nnFromLines(lines, c))
 
   /** Can a layer with these sidecar lines hold a row satisfying EVERY
     * conjunct? (The zone-map intersection test shared by the range

@@ -90,7 +90,13 @@ object Serve {
             sys.error(s"unknown option '$name' (known: ${byCli.keys.toSeq.sorted.mkString(", ")})"))
           inline match {
             case Some(v) => loop(tail, acc + (key -> v))
-            case None if boolKeys(key) => loop(tail, acc + (key -> "true"))
+            case None if boolKeys(key) => tail match {
+              // boolean keys accept the space-separated value form too —
+              // '--api-access-log true' must not strand an orphan token
+              case v :: t2 if v == "true" || v == "false" =>
+                loop(t2, acc + (key -> v))
+              case _ => loop(tail, acc + (key -> "true"))
+            }
             case None => tail match {
               case v :: t2 => loop(t2, acc + (key -> v))
               case Nil => sys.error(s"option '$name' needs a value")
@@ -205,9 +211,22 @@ object Serve {
     val port = m.get("api.port").map(_.trim.toInt).getOrElse(8081)
     val server = new QueryServer(supplier, port, serverConfig(m, accessSink))
     server.start()
+    // the loader RETRIES until the first build commits: a transient
+    // failure (input still being copied, flaky storage) must not poison
+    // the server forever — each attempt's failure is surfaced on stderr
+    // AND through the supplier (500s carry the message) until a later
+    // attempt succeeds and the normal hot-swap takes over
     val loader = new Thread(() => {
-      try { inner(); ready = true }
-      catch { case t: Throwable => bootFailure = Some(t) }
+      while (!ready) {
+        try { inner(); bootFailure = None; ready = true }
+        catch {
+          case t: Throwable =>
+            bootFailure = Some(t)
+            System.err.println(s"[serve] database load failed " +
+              s"(retrying in 10s): ${t.getMessage}")
+            Thread.sleep(10000)
+        }
+      }
     }, "graft-serve-bootstrap")
     loader.setDaemon(true)
     loader.start()

@@ -96,11 +96,15 @@ class SimilaritySpec extends SparkSpec {
     assert(sharded.toSeq === expected)
     assert(single.toSeq === expected)
     // the sharded run really used >1 shard (cell ids are offset by
-    // shard × budget, so a second shard surfaces as cell >= budget)
-    val maxCell = Similarity.semdedup(df, "vec_id", "embedding", dim,
+    // shard × budget, so a second shard surfaces as cell >= budget) —
+    // and the output schema stays IntegerType like the single-level path
+    val shardedDf = Similarity.semdedup(df, "vec_id", "embedding", dim,
       threshold = 0.35, targetCellSize = 4L, maxCellsPerLevel = 4)
-      .agg(max("cell")).collect()(0).getLong(0)
-    assert(maxCell >= 4L, s"two-level run stayed in one shard (max cell $maxCell)")
+    assert(shardedDf.schema("cell").dataType ===
+      org.apache.spark.sql.types.IntegerType,
+      "sharded path must keep the single-level cell schema")
+    val maxCell = shardedDf.agg(max("cell")).collect()(0).getInt(0)
+    assert(maxCell >= 4, s"two-level run stayed in one shard (max cell $maxCell)")
   }
 
   test("clustered append range-partitions files for row-group pruning") {
