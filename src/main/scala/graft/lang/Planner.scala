@@ -949,8 +949,77 @@ final class Planner(catalog: Planner.Catalog) {
             notNullCols = nullCs.collect { case (c, false) => c },
             pinSchema = Some(in.df.schema)),
           in.origin)
-        val in2: Tbl = zoned.map(_._1).orElse(zonedMerged).getOrElse(in)
-        val zoneNote: Option[ZonePred] = zoned.flatMap(_._2)
+        // STACKED / POST-STAGE filter composition (≙ the reference's
+        // FilterPushdownPass folding EVERY filter into the scan
+        // regardless of interleaving, optimizer/filter_pushdown_pass.h:
+        // 22-49): when the input carries a ZonePred note — a previous
+        // fully-decidable filter, possibly followed by row-membership-
+        // invariant project/map stages — new stats-decidable conjuncts
+        // extend the note's conjunct lists and the whole prefix re-plans
+        // over the further-narrowed chain: scan → prior row-wise
+        // predicate → post-stage replay reproduces the input frame
+        // exactly, so the new predicate still applies row-wise below.
+        // Decidability here additionally requires the conjunct's column
+        // to be a field of the PINNED SCAN SCHEMA: a map-added column
+        // (or a post-projection alias) may share its name with a dead
+        // schema-evolution column some layers still carry stats for, and
+        // pruning on those stats would answer from the dead column's
+        // values. Conjuncts failing the test stay row-wise-only (the
+        // scan still narrows on the decidable ones; the note drops).
+        val rezoned: Option[(Tbl, Option[ZonePred])] =
+          if (zoned.isDefined) None
+          else in.zone.flatMap { zp =>
+            val scanCols = zp.schema.fieldNames.toSet
+            val cs = conjuncts(pred)
+            def dRange(c: Expr) =
+              rangeConjunct(c, in.df).filter(r => scanCols(r._1))
+            def dStr(c: Expr) =
+              stringEqConjunct(c, in.df).filter(s => scanCols(s._1))
+            def dNull(c: Expr) =
+              nullConjunct(c, in.df).filter(n => scanCols(n._1))
+            val ranges = cs.flatMap(dRange(_))
+            val strEqs = cs.flatMap(dStr(_))
+            val nullCs = cs.flatMap(dNull(_))
+            if (ranges.isEmpty && strEqs.isEmpty && nullCs.isEmpty) None
+            else {
+              val allR = zp.ranges ++ ranges
+              val allS = zp.strEqs ++ strEqs
+              val allN = zp.nullCs ++ nullCs
+              val scan = graft.sources.NdjsonIngest.readChainRanges(
+                in.df.sparkSession, zp.dir, zp.chain, allR, allS,
+                pinSchema = Some(zp.schema),
+                nullCols = allN.collect { case (c, true) => c },
+                notNullCols = allN.collect { case (c, false) => c })
+              val prior = zp.pred.map(p =>
+                scan.filter(scalar(p, scan, Ambiguity.ModeNone, in.origin)))
+                .getOrElse(scan)
+              val replayed = zp.post.foldLeft(prior) {
+                case (d, PostProject(cols)) => d.select(cols.map(col): _*)
+                case (d, PostMap(items, org)) =>
+                  items.foldLeft(d) { case (dd, (nm, v)) =>
+                    dd.withColumn(nm, scalar(v, dd, Ambiguity.ModeNone, org))
+                  }
+              }
+              // the combined note (count/top-k bounds) needs EVERY new
+              // conjunct decidable over scan columns; the combined
+              // predicate applies PRE-replay in any rewrite — sound
+              // because decidable conjuncts only touch scan columns,
+              // whose values no carried post stage can change
+              val note =
+                if (cs.forall(c => dRange(c).isDefined ||
+                    dStr(c).isDefined || dNull(c).isDefined))
+                  Some(zp.copy(
+                    pred = Some(zp.pred
+                      .map(p => Binary("&&", p, pred)).getOrElse(pred)),
+                    ranges = allR, strEqs = allS, nullCs = allN))
+                else None
+              Some((Tbl(replayed, in.origin), note))
+            }
+          }
+        val in2: Tbl = zoned.map(_._1).orElse(rezoned.map(_._1))
+          .orElse(zonedMerged).getOrElse(in)
+        val zoneNote: Option[ZonePred] =
+          zoned.flatMap(_._2).orElse(rezoned.flatMap(_._2))
         val idxCtx = for {
           t <- in2.origin
           m <- catalog.mutIndexes.get(t) if m.nonEmpty
@@ -1068,8 +1137,14 @@ final class Planner(catalog: Planner.Catalog) {
               val ctx: Option[(String, Seq[String], Seq[(String, Double, Double)],
                   Seq[(String, Seq[String])], Seq[(String, Boolean)])] =
                 in.zone match {
-                  case Some(zp) =>
+                  // the group column must be a field of the pinned scan
+                  // schema — a map-added group column could alias a dead
+                  // schema-evolution column's stale histograms (see the
+                  // orderBy note guard); map-added groups take the
+                  // normal grouping scan over the narrowed frame
+                  case Some(zp) if zp.schema.fieldNames.contains(g) =>
                     Some((zp.dir, zp.chain, zp.ranges, zp.strEqs, zp.nullCs))
+                  case Some(_) => None
                   case None => for {
                     t <- in.origin
                     dir <- catalog.versionedDirs.get(t)
@@ -1218,11 +1293,20 @@ final class Planner(catalog: Planner.Catalog) {
         val note: Option[SortedScan] = in.zone match {
           // filter(stats-decidable).orderBy(...): the chain + merge-free
           // checks already ran when the filter routed; the limit rewrite
-          // re-narrows and re-applies the predicate itself
-          case Some(zp) => sortKey.map { case (first, ties) =>
-            SortedScan(zp.dir, zp.chain, first._1, first._2, ties,
-              zp.schema, zone = Some(zp))
-          }
+          // re-narrows and re-applies the predicate itself. The sort key
+          // must be a field of the PINNED SCAN SCHEMA, not merely of the
+          // current frame: a map-added key may share its name with a
+          // dead schema-evolution column whose stale envelopes some
+          // layers still record — bounding on those would order the
+          // dead column's values, not the expression's. Map-added keys
+          // keep the zone narrowing the filter already did and simply
+          // sort the narrowed scan.
+          case Some(zp) => sortKey
+            .filter { case ((c, _), _) => zp.schema.fieldNames.contains(c) }
+            .map { case (first, ties) =>
+              SortedScan(zp.dir, zp.chain, first._1, first._2, ties,
+                zp.schema, zone = Some(zp))
+            }
           case None => for {
             t <- in.origin
             dir <- catalog.versionedDirs.get(t)

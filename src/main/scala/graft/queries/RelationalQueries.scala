@@ -758,6 +758,52 @@ object RelationalQueries {
           |  .groupBy({c := count()})""".stripMargin, catalog)
     },
 
+    // ---- STACKED FILTERS COMPOSE THE METADATA NOTES: two separate
+    //      .filter() stages (the reference folds every filter into the
+    //      scan regardless of interleaving, filter_pushdown_pass.h:22-49)
+    //      intersect their windows in the ZonePred note, so the filtered
+    //      count still answers from the sidecars alone — zero parquet
+    //      footers — exactly like the single-filter q_count_window. ----
+    QDef("q_filter_chain",
+      """SELECT count(*) AS c FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-20'
+        |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-07' AND DATE '2024-01-08'
+        |""".stripMargin) { (s, dir) =>
+      val tableDir = memoEventsChain(s, dir)
+      val catalog = graft.lang.Planner.Catalog(
+        tables = Map("ev" -> graft.sources.NdjsonIngest.readLatest(s, tableDir)),
+        versionedDirs = Map("ev" -> tableDir))
+      graft.lang.Planner.plan(
+        """ev
+          |  .filter(between(d, '2024-01-05'::date, '2024-01-20'::date))
+          |  .filter(between(d, '2024-01-07'::date, '2024-01-08'::date))
+          |  .groupBy({c := count()})""".stripMargin, catalog)
+    },
+
+    // ---- MAP BEFORE FILTER KEEPS THE NOTES: a column-adding map rides
+    //      the bare-scan note, the following filter extends it with its
+    //      decidable window, and the orderBy+limit still bounds the read
+    //      to 1 of 30 footers — the map's expression replays after the
+    //      narrowed scan. The routing-blind oracle computes the same
+    //      derived column on the flat table. ----
+    QDef("q_map_filter",
+      """SELECT event_id, CAST(weekofyear(ts) AS INTEGER) AS wk,
+        |  CAST(ts AS DATE) AS d, event_type FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-20'
+        |ORDER BY d DESC, event_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val tableDir = memoEventsChain(s, dir)
+      val catalog = graft.lang.Planner.Catalog(
+        tables = Map("ev" -> graft.sources.NdjsonIngest.readLatest(s, tableDir)),
+        versionedDirs = Map("ev" -> tableDir))
+      graft.lang.Planner.plan(
+        """ev
+          |  .map({wk := isoWeek(d)})
+          |  .filter(between(d, '2024-01-05'::date, '2024-01-20'::date))
+          |  .orderBy({desc(d), event_id})
+          |  .limit(20)
+          |  .project({event_id, wk, d, event_type})""".stripMargin, catalog)
+    },
+
     // ---- gap-based sessionization (streaming-shaped, batch-run) ----
     QDef("q_events_sessions",
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

@@ -263,6 +263,23 @@ class PlanSpec extends SparkSpec {
       "windowed grouped metadata count must not plan a file scan")
   }
 
+  test("q_filter_chain: STACKED filters intersect in the note — the " +
+    "filtered count still answers from metadata, zero parquet footers") {
+    val df = SparkEntry.queries("q_filter_chain")(spark, sfDir)
+    assert(df.inputFiles.isEmpty,
+      "stacked-filter metadata count must not plan a file scan")
+  }
+
+  test("q_map_filter: a column-adding map BEFORE the filter keeps both " +
+    "bounds — 1 of 30 layers and a top-k plan") {
+    val df = SparkEntry.queries("q_map_filter")(spark, sfDir)
+    val layers = df.inputFiles.map(_.split("/").takeRight(2).head).distinct
+    assert(layers.length === 1, s"layers read: ${layers.mkString(",")}")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+  }
+
   test("exact-substring dup-set semi-join is not a forced broadcast") {
     // the dup-40-gram set is O(duplicated text) — unbounded on a web
     // corpus — so a broadcast() HINT (driver-side, size-blind) is a

@@ -725,6 +725,123 @@ class SaneQLSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSeq)
   }
 
+  test("stacked and post-stage filters extend the zone note (≙ the " +
+    "reference folding every filter into the scan, " +
+    "filter_pushdown_pass.h:22-49)") {
+    import graft.sources.NdjsonIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft").toString + "/sf"
+    NdjsonIngest.appendVersion(
+      Seq((1L, 1L, 10.0), (2L, 1L, 11.0)).toDF("id", "day", "score"),
+      dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((3L, 2L, 20.0), (4L, 2L, 21.0)).toDF("id", "day", "score"),
+      dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((5L, 3L, 30.0), (6L, 3L, 31.0)).toDF("id", "day", "score"),
+      dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((7L, 4L, 40.0), (8L, 4L, 41.0)).toDF("id", "day", "score"),
+      dir, "id")
+    val cat = Catalog(
+      tables = Map("t" -> NdjsonIngest.readLatest(spark, dir)),
+      versionedDirs = Map("t" -> dir))
+    def layersOf(df: org.apache.spark.sql.DataFrame) =
+      df.inputFiles.map(_.split("/").takeRight(2).head).distinct.sorted.toSeq
+    def unrouted(q: String) = Planner.plan(q, cat.copy(versionedDirs = Map()))
+    // filter∘filter + orderBy + limit: the windows INTERSECT in the note,
+    // so the top-k bound still fires — 1 of 4 footers, like the
+    // single-filter form
+    val q1 = "t.filter(between(day, 2, 4)).filter(between(day, 2, 3))" +
+      ".orderBy({desc(score), id}).limit(2)"
+    val r1 = Planner.plan(q1, cat)
+    assert(layersOf(r1) === Seq("v3"), layersOf(r1).mkString(","))
+    assert(r1.collect().map(_.getLong(0)).toSeq === Seq(6L, 5L))
+    assert(r1.collect().map(_.getLong(0)).toSeq ===
+      unrouted(q1).collect().map(_.getLong(0)).toSeq)
+    // filter∘filter + count: still a pure metadata answer, zero footers
+    val c1 = Planner.plan("t.filter(between(day, 2, 4))" +
+      ".filter(between(day, 2, 3)).groupBy({c := count()})", cat)
+    assert(c1.inputFiles.isEmpty)
+    assert(c1.collect().head.getLong(0) === 4L)
+    // map∘filter: the column-adding map rides the bare-scan note, the
+    // filter EXTENDS it, the top-k bound still fires — and the mapped
+    // column replays after the narrowed scan
+    val q2 = "t.map({tag := 'x'}).filter(between(day, 2, 3))" +
+      ".orderBy({desc(score), id}).limit(2)"
+    val r2 = Planner.plan(q2, cat)
+    assert(layersOf(r2) === Seq("v3"), layersOf(r2).mkString(","))
+    assert(r2.columns.toSeq === Seq("id", "day", "score", "tag"))
+    assert(r2.collect().map(r => (r.getLong(0), r.getString(3))).toSeq ===
+      Seq((6L, "x"), (5L, "x")))
+    // project∘filter + count: zero footers through the projection
+    val c2 = Planner.plan("t.project({id, day}).filter(between(day, 2, 3))" +
+      ".groupBy({c := count()})", cat)
+    assert(c2.inputFiles.isEmpty)
+    assert(c2.collect().head.getLong(0) === 4L)
+    // an OPAQUE second filter drops the note (counts/top-k would be
+    // unsound) but KEEPS the first filter's zone narrowing
+    val q3 = "t.filter(between(day, 2, 3)).filter(score <> 20.0)" +
+      ".orderBy({desc(score), id}).limit(2)"
+    val r3 = Planner.plan(q3, cat)
+    assert(layersOf(r3) === Seq("v2", "v3"), layersOf(r3).mkString(","))
+    assert(r3.collect().map(_.getLong(0)).toSeq ===
+      unrouted(q3).collect().map(_.getLong(0)).toSeq)
+    // a MIXED second filter (decidable + opaque conjunct) narrows the
+    // scan on the decidable one but forms no note
+    val q4 = "t.filter(between(day, 2, 4))" +
+      ".filter(between(score, 25, 50) && score <> 30.0)" +
+      ".orderBy({desc(score), id}).limit(10)"
+    val r4 = Planner.plan(q4, cat)
+    assert(layersOf(r4) === Seq("v3", "v4"), layersOf(r4).mkString(","))
+    assert(r4.collect().map(_.getLong(0)).toSeq ===
+      unrouted(q4).collect().map(_.getLong(0)).toSeq)
+  }
+
+  test("stats-driven bounds require the sort/group column in the PINNED " +
+    "scan schema — a map-added name aliasing a dead column's stale stats " +
+    "must not prune") {
+    import graft.sources.NdjsonIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft").toString + "/ss"
+    NdjsonIngest.appendVersion(
+      Seq((1L, 10.0), (2L, 11.0)).toDF("id", "score"), dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((3L, 20.0), (4L, 21.0)).toDF("id", "score"), dir, "id")
+    // simulate schema-evolution name reuse: every layer's sidecar still
+    // records stats for a DEAD column `wk` (numeric envelope + ledger +
+    // a complete string histogram), as if `wk` once existed with very
+    // different values
+    val enc = java.util.Base64.getEncoder
+    def yB64 = enc.encodeToString("y".getBytes("UTF-8"))
+    Seq("v1" -> "wk 0.0 1.0", "v2" -> "wk 100.0 200.0").foreach {
+      case (l, env) =>
+        val p = java.nio.file.Paths.get(dir, l, "_stats")
+        java.nio.file.Files.writeString(p,
+          s"\n$env\nc:wk 2\ngh:wk 1\ng:wk $yB64 2",
+          java.nio.file.StandardOpenOption.APPEND)
+    }
+    val cat = Catalog(
+      tables = Map("t" -> NdjsonIngest.readLatest(spark, dir)),
+      versionedDirs = Map("t" -> dir))
+    def layersOf(df: org.apache.spark.sql.DataFrame) =
+      df.inputFiles.map(_.split("/").takeRight(2).head).distinct.sorted.toSeq
+    // top-k on the map-added `wk` (every row = 1): the stale envelopes
+    // would keep only v2 and answer id=3; the real top-1 under the id
+    // tiebreak is id=1
+    val topQ = "t.map({wk := 1}).orderBy({desc(wk), id}).limit(1)"
+    val top = Planner.plan(topQ, cat)
+    assert(layersOf(top).size === 2,
+      s"map-added sort key must not prune: ${layersOf(top).mkString(",")}")
+    assert(top.collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // grouped count on the map-added `wk` (every row = 'x'): the stale
+    // histograms would answer ('y', 4); the real answer is ('x', 4)
+    val grpQ = "t.map({wk := 'x'}).groupBy({cnt := count()}, {wk})"
+    val grp = Planner.plan(grpQ, cat)
+    assert(grp.inputFiles.nonEmpty,
+      "map-added group column must not answer from layer histograms")
+    assert(grp.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("x", 4L)))
+  }
+
   test("filtered count composes with the zone note: decidable windows " +
     "answer from metadata alone; partial layers and ledger gaps fall back") {
     import graft.sources.NdjsonIngest
