@@ -808,6 +808,47 @@ final class Planner(catalog: Planner.Catalog) {
     case _ => None
   }
 
+  /** A top-level DISJUNCTIVE conjunct (`a || b [|| …]`) as zone-prunable
+    * arms: each arm contributes its stats-decidable conjuncts (an arm may
+    * also hold opaque ones — the arm test is may-contain, so testing a
+    * subset only keeps more layers), but an arm with NO decidable
+    * conjunct makes the whole group unprunable → None. The layer-keep
+    * rule is the union of the arms' envelopes, exactly how the
+    * reference's Or operator unions its operands' bitmaps
+    * (filter/operators/or.cpp). `scanCols`, when given, restricts
+    * decidability to pinned-scan-schema columns (see the stacked-filter
+    * note). Disjunctions NEVER feed the count/top-k bounds — per-conjunct
+    * pass counts don't compose through OR — so callers use the result
+    * for scan narrowing only.
+    */
+  private def orArms(e: Expr, df: DataFrame,
+      scanCols: Option[Set[String]] = None)
+      : Option[Seq[graft.sources.NdjsonIngest.ZoneArm]] = {
+    def orList(x: Expr): Seq[Expr] = x match {
+      case Binary("||", l, r) => orList(l) ++ orList(r)
+      case o => Seq(o)
+    }
+    def andList(x: Expr): Seq[Expr] = x match {
+      case Binary("&&", l, r) => andList(l) ++ andList(r)
+      case o => Seq(o)
+    }
+    val arms = orList(e)
+    if (arms.size < 2) return None
+    val built = arms.map { arm =>
+      val cs = andList(arm)
+      val rs = cs.flatMap(c =>
+        rangeConjunct(c, df).filter(r => scanCols.forall(_(r._1))))
+      val ss = cs.flatMap(c =>
+        stringEqConjunct(c, df).filter(s => scanCols.forall(_(s._1))))
+      val ns = cs.flatMap(c =>
+        nullConjunct(c, df).filter(n => scanCols.forall(_(n._1))))
+      graft.sources.NdjsonIngest.ZoneArm(rs, ss,
+        ns.collect { case (c, true) => c },
+        ns.collect { case (c, false) => c })
+    }
+    if (built.exists(!_.nonEmpty)) None else Some(built)
+  }
+
   /** The layer chain a registered versioned frame actually reads,
     * recovered from its resolved input files: every file must live
     * directly under `dir/v<k>/` with no `_tombstones` segment (a merged
@@ -897,7 +938,11 @@ final class Planner(catalog: Planner.Catalog) {
           ranges = conjuncts(pred).flatMap(rangeConjunct(_, in.df))
           strEqs = conjuncts(pred).flatMap(stringEqConjunct(_, in.df))
           nullCs = conjuncts(pred).flatMap(nullConjunct(_, in.df))
-          if ranges.nonEmpty || strEqs.nonEmpty || nullCs.nonEmpty
+          // disjunctive conjuncts prune on the UNION of their arms'
+          // envelopes (scan narrowing only — they never join the note)
+          orGs = conjuncts(pred).flatMap(orArms(_, in.df))
+          if ranges.nonEmpty || strEqs.nonEmpty || nullCs.nonEmpty ||
+            orGs.nonEmpty
           chain <- frameLayers(in.df, dir)
           // upsert/tombstone layers need the merge-on-read reader; the
           // raw pruned chain would un-merge them, so stay on the
@@ -911,7 +956,8 @@ final class Planner(catalog: Planner.Catalog) {
               // registered frame lacks
               pinSchema = Some(in.df.schema),
               nullCols = nullCs.collect { case (c, true) => c },
-              notNullCols = nullCs.collect { case (c, false) => c }),
+              notNullCols = nullCs.collect { case (c, false) => c },
+              orGroups = orGs),
             in.origin)
           // top-k composition note: only when EVERY conjunct is one of
           // the stats-decidable shapes can a later orderBy+limit bound
@@ -940,14 +986,17 @@ final class Planner(catalog: Planner.Catalog) {
           ranges = conjuncts(pred).flatMap(rangeConjunct(_, in.df))
           strEqs = conjuncts(pred).flatMap(stringEqConjunct(_, in.df))
           nullCs = conjuncts(pred).flatMap(nullConjunct(_, in.df))
-          if ranges.nonEmpty || strEqs.nonEmpty || nullCs.nonEmpty
+          orGs = conjuncts(pred).flatMap(orArms(_, in.df))
+          if ranges.nonEmpty || strEqs.nonEmpty || nullCs.nonEmpty ||
+            orGs.nonEmpty
           chain <- frameLayersMerged(in.df, dir)
         } yield Tbl(graft.sources.NdjsonIngest
           .readChainRangesMerged(in.df.sparkSession, dir, chain, pk,
             ranges, strEqs,
             nullCols = nullCs.collect { case (c, true) => c },
             notNullCols = nullCs.collect { case (c, false) => c },
-            pinSchema = Some(in.df.schema)),
+            pinSchema = Some(in.df.schema),
+            orGroups = orGs),
           in.origin)
         // STACKED / POST-STAGE filter composition (≙ the reference's
         // FilterPushdownPass folding EVERY filter into the scan
@@ -980,7 +1029,9 @@ final class Planner(catalog: Planner.Catalog) {
             val ranges = cs.flatMap(dRange(_))
             val strEqs = cs.flatMap(dStr(_))
             val nullCs = cs.flatMap(dNull(_))
-            if (ranges.isEmpty && strEqs.isEmpty && nullCs.isEmpty) None
+            val orGs = cs.flatMap(orArms(_, in.df, Some(scanCols)))
+            if (ranges.isEmpty && strEqs.isEmpty && nullCs.isEmpty &&
+              orGs.isEmpty) None
             else {
               val allR = zp.ranges ++ ranges
               val allS = zp.strEqs ++ strEqs
@@ -989,7 +1040,8 @@ final class Planner(catalog: Planner.Catalog) {
                 in.df.sparkSession, zp.dir, zp.chain, allR, allS,
                 pinSchema = Some(zp.schema),
                 nullCols = allN.collect { case (c, true) => c },
-                notNullCols = allN.collect { case (c, false) => c })
+                notNullCols = allN.collect { case (c, false) => c },
+                orGroups = orGs)
               val prior = zp.pred.map(p =>
                 scan.filter(scalar(p, scan, Ambiguity.ModeNone, in.origin)))
                 .getOrElse(scan)

@@ -758,6 +758,30 @@ object RelationalQueries {
           |  .groupBy({c := count()})""".stripMargin, catalog)
     },
 
+    // ---- DISJUNCTIVE ZONE PRUNING: filter(a || b) prunes on the UNION
+    //      of the arms' envelopes — a layer survives iff it intersects
+    //      arm a OR arm b (the reference's Or operator unions bitmaps the
+    //      same way, filter/operators/or.cpp). Two disjoint 2-day windows
+    //      over the 30-layer chain open 4 of 30 footers. Count/top-k
+    //      bounds stay off for disjunctions (pass counts don't compose);
+    //      narrowing alone is proven by the routing-blind oracle. ----
+    QDef("q_zone_or",
+      """SELECT event_type, count(*) AS cnt FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-02' AND DATE '2024-01-03'
+        |   OR CAST(ts AS DATE) BETWEEN DATE '2024-01-09' AND DATE '2024-01-10'
+        |GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val tableDir = memoEventsChain(s, dir)
+      val catalog = graft.lang.Planner.Catalog(
+        tables = Map("ev" -> graft.sources.NdjsonIngest.readLatest(s, tableDir)),
+        versionedDirs = Map("ev" -> tableDir))
+      graft.lang.Planner.plan(
+        """ev
+          |  .filter(between(d, '2024-01-02'::date, '2024-01-03'::date)
+          |    || between(d, '2024-01-09'::date, '2024-01-10'::date))
+          |  .groupBy({cnt := count()}, {event_type})
+          |  .orderBy({event_type})""".stripMargin, catalog)
+    },
+
     // ---- STACKED FILTERS COMPOSE THE METADATA NOTES: two separate
     //      .filter() stages (the reference folds every filter into the
     //      scan regardless of interleaving, filter_pushdown_pass.h:22-49)

@@ -759,7 +759,8 @@ object NdjsonIngest {
       chain: Seq[String], ranges: Seq[(String, Double, Double)],
       strEquals: Seq[(String, Seq[String])] = Nil,
       pinSchema: Option[org.apache.spark.sql.types.StructType] = None,
-      nullCols: Seq[String] = Nil, notNullCols: Seq[String] = Nil)
+      nullCols: Seq[String] = Nil, notNullCols: Seq[String] = Nil,
+      orGroups: Seq[Seq[ZoneArm]] = Nil)
       : DataFrame = {
     def read(layers: Seq[String]): DataFrame = pinSchema match {
       case Some(st) =>
@@ -772,7 +773,7 @@ object NdjsonIngest {
       // conjunct count on long chains); a missing sidecar → empty lines
       // → every lookup misses → the layer is conservatively kept
       zoneKeep(statsLines(tableDir, l).getOrElse(Seq.empty),
-        ranges, strEquals, nullCols, notNullCols)
+        ranges, strEquals, nullCols, notNullCols, orGroups)
     }
     // an empty pruned chain still needs the table schema: read the given
     // chain's schema with an always-false filter
@@ -924,7 +925,8 @@ object NdjsonIngest {
       ranges: Seq[(String, Double, Double)],
       strEquals: Seq[(String, Seq[String])] = Nil,
       nullCols: Seq[String] = Nil, notNullCols: Seq[String] = Nil,
-      pinSchema: Option[StructType] = None): DataFrame = {
+      pinSchema: Option[StructType] = None,
+      orGroups: Seq[Seq[ZoneArm]] = Nil): DataFrame = {
     val indexed = chain.zipWithIndex
     val dataLayers = indexed.filter { case (l, _) => layerHasData(tableDir, l) }
     require(dataLayers.nonEmpty,
@@ -939,7 +941,7 @@ object NdjsonIngest {
     val dataParts = dataLayers.map { case (l, i) =>
       val full = spark.read.schema(schema).parquet(s"$tableDir/$l")
       val cand = zoneKeep(statsLines(tableDir, l).getOrElse(Seq.empty),
-        ranges, strEquals, nullCols, notNullCols)
+        ranges, strEquals, nullCols, notNullCols, orGroups)
       // non-candidate: select(pk) BEFORE the null-pad so the parquet scan
       // decodes exactly one column (ReadSchema = pk)
       val part = if (cand) full else nullPad(full.select(col(pk)))
@@ -992,14 +994,42 @@ object NdjsonIngest {
     nullCols.map(c => nnFromLines(lines, c).map(nn => n - nn)) ++
     notNullCols.map(c => nnFromLines(lines, c))
 
+  /** One arm of a DISJUNCTIVE zone conjunct (`filter(a || b)`): the
+    * stats-decidable conjuncts of that arm. A layer passes an or-group
+    * iff SOME arm's tests keep it — the union of the arms' envelopes,
+    * exactly how the reference's Or operator unions its operands'
+    * bitmaps (filter/operators/or.cpp). An arm testing only a SUBSET of
+    * its conjuncts (the decidable ones) stays sound: the test is already
+    * may-contain, and fewer conjuncts only keeps more layers.
+    */
+  final case class ZoneArm(ranges: Seq[(String, Double, Double)],
+      strEquals: Seq[(String, Seq[String])],
+      nullCols: Seq[String], notNullCols: Seq[String]) {
+    def nonEmpty: Boolean =
+      ranges.nonEmpty || strEquals.nonEmpty ||
+        nullCols.nonEmpty || notNullCols.nonEmpty
+  }
+
   /** Can a layer with these sidecar lines hold a row satisfying EVERY
     * conjunct? (The zone-map intersection test shared by the range
     * reader and the filtered top-k selector.) Missing stats always keep
     * the layer; an all-null column ledger (`c: 0`) proves a range or
     * equality conjunct over it unsatisfiable (SQL comparisons reject
     * null), which the envelope alone can't (no envelope is written for
-    * an all-null column).
+    * an all-null column). `orGroups` adds disjunctive conjuncts: the
+    * layer must additionally pass SOME arm of every group (pure
+    * narrowing only — disjunctions never feed count/top-k bounds, whose
+    * per-conjunct pass counts don't compose through OR).
     */
+  private def zoneKeep(lines: Seq[Array[String]],
+      ranges: Seq[(String, Double, Double)],
+      strEquals: Seq[(String, Seq[String])],
+      nullCols: Seq[String], notNullCols: Seq[String],
+      orGroups: Seq[Seq[ZoneArm]]): Boolean =
+    zoneKeep(lines, ranges, strEquals, nullCols, notNullCols) &&
+      orGroups.forall(_.exists(a =>
+        zoneKeep(lines, a.ranges, a.strEquals, a.nullCols, a.notNullCols)))
+
   private def zoneKeep(lines: Seq[Array[String]],
       ranges: Seq[(String, Double, Double)],
       strEquals: Seq[(String, Seq[String])],

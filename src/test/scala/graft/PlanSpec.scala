@@ -263,6 +263,14 @@ class PlanSpec extends SparkSpec {
       "windowed grouped metadata count must not plan a file scan")
   }
 
+  test("q_zone_or: a disjunctive window filter prunes on the UNION of " +
+    "the arms' envelopes — 4 of 30 layers") {
+    val df = SparkEntry.queries("q_zone_or")(spark, sfDir)
+    val layers = df.inputFiles.map(_.split("/").takeRight(2).head)
+      .distinct.sorted
+    assert(layers.length === 4, s"layers read: ${layers.mkString(",")}")
+  }
+
   test("q_filter_chain: STACKED filters intersect in the note — the " +
     "filtered count still answers from metadata, zero parquet footers") {
     val df = SparkEntry.queries("q_filter_chain")(spark, sfDir)

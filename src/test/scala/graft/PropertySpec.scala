@@ -682,7 +682,10 @@ class PropertySpec extends SparkSpec {
       val unrouted = Catalog(tables = Map("t" -> frame))
       Seq(s"t.filter(between(v, $lo, $hi))",
           s"t.filter(v = $lo)",
-          s"t.filter(between(v, $lo, null))").foreach { q =>
+          s"t.filter(between(v, $lo, null))",
+          // disjunctive windows over a merged chain: candidacy is the
+          // UNION of the arms, shadow/tombstone semantics unchanged
+          s"t.filter(between(v, $lo, $hi) || v = ${hi + 5})").foreach { q =>
         def rows(cat: Catalog) = Planner.plan(q, cat)
           .as[(Long, Long)].collect().sorted.toSeq
         assert(rows(routed) === rows(unrouted), s"case $ci query $q")
@@ -752,7 +755,23 @@ class PropertySpec extends SparkSpec {
           // plain projections between the stages keep every bound
           s"t.filter(between(v, $lo, $hi)).project({id, v})" +
             s".orderBy({$key, id}).limit($k)",
-          s"t.project({id, v, c}).orderBy({$sKey, id}).limit($k)") ++
+          s"t.project({id, v, c}).orderBy({$sKey, id}).limit($k)",
+          // STACKED filters must route exactly like their && forms
+          s"t.filter(between(v, $lo, $hi)).filter(isNotNull(c))" +
+            s".orderBy({$key, id}).limit($k)",
+          s"t.filter(isNotNull(v)).filter(between(v, $lo, $hi))" +
+            s".orderBy({$key, id}).limit($k)",
+          // a column-adding map BETWEEN the scan and the filter
+          s"t.map({tag := 'z'}).filter(between(v, $lo, $hi))" +
+            s".orderBy({$key, id}).limit($k)",
+          // disjunctive windows prune on the UNION of the arms
+          s"t.filter(between(v, $lo, $hi) || between(v, ${lo - 6}, ${lo - 3}))" +
+            s".orderBy({$key, id}).limit($k)",
+          s"t.filter(between(v, $lo, $hi) || isNull(v))" +
+            s".orderBy({$key, id}).limit($k)",
+          // an OR with an opaque arm must not prune at all (still equal)
+          s"t.filter(between(v, $lo, $hi) || v <> $lo)" +
+            s".orderBy({$key, id}).limit($k)") ++
           (if (cs.nonEmpty) {
             val set = cs.map(c => s"'$c'").mkString(",")
             Seq(s"t.filter(in(c, {$set})).orderBy({$key, id}).limit($k)",
@@ -772,6 +791,14 @@ class PropertySpec extends SparkSpec {
             "t.filter(isNotNull(v)).groupBy({c := count()})",
             "t.filter(isNull(v)).groupBy({c := count()})",
             s"t.filter(isNotNull(v) && between(v, $lo, $hi))" +
+              ".groupBy({c := count()})",
+            // stacked-filter counts compose in the note
+            s"t.filter(isNotNull(v)).filter(between(v, $lo, $hi))" +
+              ".groupBy({c := count()})",
+            s"t.filter(between(v, $lo, $hi))" +
+              s".filter(between(v, $lo, ${hi - 2})).groupBy({c := count()})",
+            // disjunctions narrow the scan but never the count bound
+            s"t.filter(between(v, $lo, $hi) || isNull(v))" +
               ".groupBy({c := count()})").foreach { q =>
           def cnt(cat: Catalog) = Planner.plan(q, cat).collect().head.getLong(0)
           assert(cnt(routed) === cnt(unrouted), s"case $ci query $q")

@@ -797,6 +797,56 @@ class SaneQLSpec extends SparkSpec {
       unrouted(q4).collect().map(_.getLong(0)).toSeq)
   }
 
+  test("disjunctive filters zone-prune on the UNION of the arms' " +
+    "envelopes (≙ Or unioning bitmaps, filter/operators/or.cpp)") {
+    import graft.sources.NdjsonIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft").toString + "/or"
+    NdjsonIngest.appendVersion(
+      Seq((1L, 1L, "A"), (2L, 1L, "B")).toDF("id", "day", "c"), dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((3L, 2L, "C"), (4L, 2L, "D")).toDF("id", "day", "c"), dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((5L, 3L, "E"), (6L, 3L, "F")).toDF("id", "day", "c"), dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((7L, 4L, "G"), (8L, 4L, "H")).toDF("id", "day", "c"), dir, "id")
+    val cat = Catalog(
+      tables = Map("t" -> NdjsonIngest.readLatest(spark, dir)),
+      versionedDirs = Map("t" -> dir))
+    def layersOf(df: org.apache.spark.sql.DataFrame) =
+      df.inputFiles.map(_.split("/").takeRight(2).head).distinct.sorted.toSeq
+    def unrouted(q: String) = Planner.plan(q, cat.copy(versionedDirs = Map()))
+    // two disjoint windows: the union keeps v1 and v4 only
+    val q1 = "t.filter(between(day, 1, 1) || between(day, 4, 4))"
+    val r1 = Planner.plan(q1, cat)
+    assert(layersOf(r1) === Seq("v1", "v4"), layersOf(r1).mkString(","))
+    assert(r1.collect().map(_.getLong(0)).sorted.toSeq ===
+      unrouted(q1).collect().map(_.getLong(0)).sorted.toSeq)
+    // an arm may carry an opaque conjunct (the arm still prunes on its
+    // decidable one); mixed range + string-equality arms union correctly
+    val q2 = "t.filter((between(day, 1, 1) && id <> 2) || c = 'G')"
+    val r2 = Planner.plan(q2, cat)
+    assert(layersOf(r2) === Seq("v1", "v4"), layersOf(r2).mkString(","))
+    assert(r2.collect().map(_.getLong(0)).sorted.toSeq ===
+      unrouted(q2).collect().map(_.getLong(0)).sorted.toSeq)
+    // an arm with NO decidable conjunct disables the group's pruning
+    val q3 = "t.filter(between(day, 1, 1) || id <> 3)"
+    val r3 = Planner.plan(q3, cat)
+    assert(layersOf(r3).size === 4,
+      s"opaque arm must not prune: ${layersOf(r3).mkString(",")}")
+    assert(r3.collect().map(_.getLong(0)).sorted.toSeq ===
+      unrouted(q3).collect().map(_.getLong(0)).sorted.toSeq)
+    // an OR conjunct ANDed with a decidable window: both narrow
+    val q4 = "t.filter(between(day, 1, 3) && (between(day, 1, 1) || between(day, 3, 4)))"
+    val r4 = Planner.plan(q4, cat)
+    assert(layersOf(r4) === Seq("v1", "v3"), layersOf(r4).mkString(","))
+    assert(r4.collect().map(_.getLong(0)).sorted.toSeq ===
+      unrouted(q4).collect().map(_.getLong(0)).sorted.toSeq)
+    // disjunctions never feed the metadata count (sound fallback: the
+    // narrowed counting scan) — the count is still correct
+    val c1 = Planner.plan(q1 + ".groupBy({c := count()})", cat)
+    assert(c1.collect().head.getLong(0) === 4L)
+  }
+
   test("stats-driven bounds require the sort/group column in the PINNED " +
     "scan schema — a map-added name aliasing a dead column's stale stats " +
     "must not prune") {
