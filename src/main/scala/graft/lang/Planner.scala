@@ -546,7 +546,13 @@ final class Planner(catalog: Planner.Catalog) {
       ranges: Seq[(String, Double, Double)],
       strEqs: Seq[(String, Seq[String])],
       nullCs: Seq[(String, Boolean)],
-      post: Seq[PostStage] = Nil)
+      post: Seq[PostStage] = Nil,
+      // Some(pk) marks a MERGE-ON-READ chain: rewrites must read through
+      // readChainRangesMerged (excluded layers as pk-only shadows) and
+      // the metadata count/group fast paths stay OFF (recorded layer
+      // counts are not merged-result counts); top-k bounds use the
+      // shadow-loss-aware chainTopKLayersMerged
+      mergedPk: Option[String] = None)
 
   /** A pipeline stage after the routed filter that a rewrite must
     * re-apply verbatim (both preserve row membership).
@@ -974,11 +980,12 @@ final class Planner(catalog: Planner.Catalog) {
         }
         // merge-on-read zone routing: excluded layers degrade to pk-only
         // shadow scans (readChainRangesMerged) instead of disqualifying
-        // every storage optimization. No top-k note forms here — under
-        // shadowing a layer's recorded row counts say nothing about its
-        // SURVIVING rows, so the qualifying-count accumulation readChain-
-        // TopK relies on is unsound; range narrowing alone is proven.
-        val zonedMerged: Option[Tbl] = for {
+        // every storage optimization. A fully-decidable predicate also
+        // leaves a MERGED note (mergedPk set): a later orderBy+limit can
+        // bound the supplying layers via the shadow-loss-aware
+        // chainTopKLayersMerged, while the metadata count/group paths
+        // stay off (recorded layer counts are not merged-result counts).
+        val zonedMerged: Option[(Tbl, Option[ZonePred])] = for {
           t <- in.origin
           dir <- catalog.mergedVersionedDirs.get(t)
           pk <- catalog.primaryKeys.get(t)
@@ -990,14 +997,24 @@ final class Planner(catalog: Planner.Catalog) {
           if ranges.nonEmpty || strEqs.nonEmpty || nullCs.nonEmpty ||
             orGs.nonEmpty
           chain <- frameLayersMerged(in.df, dir)
-        } yield Tbl(graft.sources.NdjsonIngest
-          .readChainRangesMerged(in.df.sparkSession, dir, chain, pk,
-            ranges, strEqs,
-            nullCols = nullCs.collect { case (c, true) => c },
-            notNullCols = nullCs.collect { case (c, false) => c },
-            pinSchema = Some(in.df.schema),
-            orGroups = orGs),
-          in.origin)
+        } yield {
+          val routed = Tbl(graft.sources.NdjsonIngest
+            .readChainRangesMerged(in.df.sparkSession, dir, chain, pk,
+              ranges, strEqs,
+              nullCols = nullCs.collect { case (c, true) => c },
+              notNullCols = nullCs.collect { case (c, false) => c },
+              pinSchema = Some(in.df.schema),
+              orGroups = orGs),
+            in.origin)
+          val note =
+            if (conjuncts(pred).forall(c => rangeConjunct(c, in.df).isDefined ||
+                stringEqConjunct(c, in.df).isDefined ||
+                nullConjunct(c, in.df).isDefined))
+              Some(ZonePred(dir, chain, in.df.schema, Some(pred),
+                ranges, strEqs, nullCs, mergedPk = Some(pk)))
+            else None
+          (routed, note)
+        }
         // STACKED / POST-STAGE filter composition (≙ the reference's
         // FilterPushdownPass folding EVERY filter into the scan
         // regardless of interleaving, optimizer/filter_pushdown_pass.h:
@@ -1017,7 +1034,9 @@ final class Planner(catalog: Planner.Catalog) {
         // scan still narrows on the decidable ones; the note drops).
         val rezoned: Option[(Tbl, Option[ZonePred])] =
           if (zoned.isDefined) None
-          else in.zone.flatMap { zp =>
+          // merged notes don't re-route: readChainRanges is append-only
+          // machinery; the first merged filter already narrowed the scan
+          else in.zone.filter(_.mergedPk.isEmpty).flatMap { zp =>
             val scanCols = zp.schema.fieldNames.toSet
             val cs = conjuncts(pred)
             def dRange(c: Expr) =
@@ -1069,9 +1088,10 @@ final class Planner(catalog: Planner.Catalog) {
             }
           }
         val in2: Tbl = zoned.map(_._1).orElse(rezoned.map(_._1))
-          .orElse(zonedMerged).getOrElse(in)
+          .orElse(zonedMerged.map(_._1)).getOrElse(in)
         val zoneNote: Option[ZonePred] =
           zoned.flatMap(_._2).orElse(rezoned.flatMap(_._2))
+            .orElse(zonedMerged.flatMap(_._2))
         val idxCtx = for {
           t <- in2.origin
           m <- catalog.mutIndexes.get(t) if m.nonEmpty
@@ -1159,6 +1179,9 @@ final class Planner(catalog: Planner.Catalog) {
         val metaCount: Option[Long] =
           if (cols.nonEmpty) None
           else in.zone match {
+            // merged chains never answer counts from layer metadata:
+            // recorded counts describe pre-merge rows, not survivors
+            case Some(zp) if zp.mergedPk.isDefined => None
             case Some(zp) => graft.sources.NdjsonIngest.chainMatchCount(
               zp.dir, zp.chain, zp.ranges, zp.strEqs,
               nullCols = zp.nullCs.collect { case (c, true) => c },
@@ -1194,7 +1217,8 @@ final class Planner(catalog: Planner.Catalog) {
                   // schema-evolution column's stale histograms (see the
                   // orderBy note guard); map-added groups take the
                   // normal grouping scan over the narrowed frame
-                  case Some(zp) if zp.schema.fieldNames.contains(g) =>
+                  case Some(zp) if zp.mergedPk.isEmpty &&
+                      zp.schema.fieldNames.contains(g) =>
                     Some((zp.dir, zp.chain, zp.ranges, zp.strEqs, zp.nullCs))
                   case Some(_) => None
                   case None => for {
@@ -1359,14 +1383,28 @@ final class Planner(catalog: Planner.Catalog) {
               SortedScan(zp.dir, zp.chain, first._1, first._2, ties,
                 zp.schema, zone = Some(zp))
             }
-          case None => for {
+          case None => (for {
             t <- in.origin
             dir <- catalog.versionedDirs.get(t)
             if catalog.tables.get(t).exists(_ eq in.df)
             (first, ties) <- sortKey
             chain <- frameLayers(in.df, dir)
             if graft.sources.NdjsonIngest.chainMergeFree(dir, chain)
-          } yield SortedScan(dir, chain, first._1, first._2, ties, in.df.schema)
+          } yield SortedScan(dir, chain, first._1, first._2, ties, in.df.schema))
+            // the bare MERGED scan sorts too: the note carries a
+            // conjunct-free merged ZonePred so the limit rewrite takes
+            // the shadow-aware path (pk-only non-suppliers, loss-capped
+            // qualifying counts) instead of the append-only one
+            .orElse(for {
+              t <- in.origin
+              dir <- catalog.mergedVersionedDirs.get(t)
+              pk <- catalog.primaryKeys.get(t)
+              if catalog.tables.get(t).exists(_ eq in.df)
+              (first, ties) <- sortKey
+              chain <- frameLayersMerged(in.df, dir)
+            } yield SortedScan(dir, chain, first._1, first._2, ties,
+              in.df.schema, zone = Some(ZonePred(dir, chain, in.df.schema,
+                None, Nil, Nil, Nil, mergedPk = Some(pk)))))
         }
         Tbl(in.df.orderBy(sorts: _*), in.origin, note)
 
@@ -1389,17 +1427,38 @@ final class Planner(catalog: Planner.Catalog) {
                 // rows) and the filtered top-k accumulation (per-layer
                 // qualifying-count lower bounds); the original predicate
                 // recompiles against the narrowed scan, so row-wise
-                // semantics are byte-identical to the unrouted plan
-                val kept = graft.sources.NdjsonIngest.chainTopKLayers(
-                  zp.dir, zp.chain, ss.column, kTot, ss.descending,
-                  zp.ranges, zp.strEqs,
-                  zp.nullCs.collect { case (c, true) => c },
-                  zp.nullCs.collect { case (c, false) => c })
-                val scan = graft.sources.NdjsonIngest.readChainSubset(
-                  in.df.sparkSession, zp.dir, zp.chain, kept, Some(ss.schema))
+                // semantics are byte-identical to the unrouted plan.
+                // Merged chains take the shadow-aware selector and
+                // reader: non-supplying layers stay in the argmax as
+                // pk-only shadows instead of dropping out.
                 val keyCols = (ss.column +: ss.tiebreak).map(c =>
                   if (ss.descending && c == ss.column) col(c).desc
                   else col(c).asc)
+                val scan = zp.mergedPk match {
+                  case Some(pk) =>
+                    val kept = graft.sources.NdjsonIngest
+                      .chainTopKLayersMerged(
+                        zp.dir, zp.chain, ss.column, kTot, ss.descending,
+                        zp.ranges, zp.strEqs,
+                        zp.nullCs.collect { case (c, true) => c },
+                        zp.nullCs.collect { case (c, false) => c })
+                    graft.sources.NdjsonIngest.readChainRangesMerged(
+                      in.df.sparkSession, zp.dir, zp.chain, pk,
+                      zp.ranges, zp.strEqs,
+                      nullCols = zp.nullCs.collect { case (c, true) => c },
+                      notNullCols = zp.nullCs.collect { case (c, false) => c },
+                      pinSchema = Some(ss.schema),
+                      keepLayers = Some(kept.toSet))
+                  case None =>
+                    val kept = graft.sources.NdjsonIngest.chainTopKLayers(
+                      zp.dir, zp.chain, ss.column, kTot, ss.descending,
+                      zp.ranges, zp.strEqs,
+                      zp.nullCs.collect { case (c, true) => c },
+                      zp.nullCs.collect { case (c, false) => c })
+                    graft.sources.NdjsonIngest.readChainSubset(
+                      in.df.sparkSession, zp.dir, zp.chain, kept,
+                      Some(ss.schema))
+                }
                 val filtered = zp.pred.map(p =>
                   scan.filter(scalar(p, scan, Ambiguity.ModeNone, in.origin)))
                   .getOrElse(scan)

@@ -722,6 +722,39 @@ object RelationalQueries {
         .orderBy("d", "event_type")
     },
 
+    // ---- MERGED TOP-K: filter + orderBy + limit over the upsert+
+    //      tombstone chain. The merged note routes the limit through the
+    //      shadow-loss-aware selector: a layer's qualifying-count lower
+    //      bound subtracts only the younger UPSERT rows and TOMBSTONES
+    //      (append layers are uniqueness-enforced — zero shadow
+    //      capacity), so the 20 most-recent in-window rows provably live
+    //      in the window's newest bucket + the upsert layer; every other
+    //      layer degrades to a pk-only shadow scan. The routing-blind
+    //      oracle reconstructs the merged state arithmetically. ----
+    QDef("q_merged_topk",
+      """WITH m AS (SELECT event_id, CAST(ts AS DATE) AS d, event_type,
+        |    CASE WHEN event_id % 31 = 0 THEN value + 1000 ELSE value END AS value
+        |  FROM events WHERE event_id % 41 <> 0)
+        |SELECT event_id, d, event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        |FROM m
+        |WHERE d BETWEEN DATE '2024-01-06' AND DATE '2024-01-15'
+        |ORDER BY d DESC, event_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val tableDir = memoMergedChain(s, dir)
+      val catalog = graft.lang.Planner.Catalog(
+        tables = Map("mt" ->
+          graft.sources.NdjsonIngest.readLatestMerged(s, tableDir, "event_id")),
+        primaryKeys = Map("mt" -> "event_id"),
+        mergedVersionedDirs = Map("mt" -> tableDir))
+      graft.lang.Planner.plan(
+        """mt
+          |  .filter(between(d, '2024-01-06'::date, '2024-01-15'::date))
+          |  .orderBy({desc(d), event_id})
+          |  .limit(20)""".stripMargin, catalog)
+        .select(col("event_id"), col("d"), col("event_type"),
+          round(col("value") * 100).cast("bigint").as("cents"))
+    },
+
     // ---- METADATA COUNT over the chain: ungrouped count() on the bare
     //      registered merge-free chain answers from the layers' recorded
     //      `n:` row counts — zero parquet footers, zero counting jobs

@@ -474,6 +474,15 @@ object NdjsonIngest {
     lines.collectFirst { case Array(c, v) if c == s"c:$column" =>
       scala.util.Try(v.toLong).toOption }.flatten
 
+  /** The layer's recorded TOMBSTONE count (`t:` stats line) — written by
+    * deleteDelta so merged-chain bounds can cap shadow losses from the
+    * sidecars alone. A layer without a `_tombstones` dir implicitly has
+    * zero; one WITH the dir but no line (legacy) reads as unknown.
+    */
+  private def tombFromLines(lines: Seq[Array[String]]): Option[Long] =
+    lines.collectFirst { case Array("t:", v) =>
+      scala.util.Try(v.toLong).toOption }.flatten
+
   /** The layer's COMPLETE value histogram for `column` (token → count,
     * tokens decoded from base64), or None when the layer recorded none
     * (high cardinality, legacy sidecar). The `gh:` marker's count must
@@ -621,6 +630,81 @@ object NdjsonIngest {
     else survivors.map(_._1)
   }
 
+  /** [[chainTopKLayers]] for a MERGE-ON-READ chain: the DATA layers that
+    * may still SUPPLY a row of `filter(conjuncts).orderBy(column
+    * [desc]).limit(k)` after merging. Layers not returned must keep
+    * participating as pk-only shadow scans
+    * ([[readChainRangesMerged]]`(keepLayers = …)`) — they can't supply a
+    * top-k row but still override older versions and carry tombstones.
+    *
+    * Soundness beyond the append-only case: a layer's recorded counts
+    * describe rows that younger layers may SHADOW (upserts) or DELETE
+    * (tombstones), so its qualifying-count lower bound additionally
+    * subtracts the TOTAL shadow capacity of all strictly-younger layers
+    * (each younger upsert row/tombstone kills at most one older row) —
+    * computable from the `n:`/`t:` sidecars plus the commit log's kinds.
+    * A layer introduced by a UNIQUENESS-ENFORCED commit (append — which
+    * aborts on any pk already present anywhere in its chain — or the
+    * chain-resetting snapshot/compact) has capacity ZERO: its rows
+    * provably override nothing older, so arbitrarily large appends cost
+    * the bound nothing; only upsert rows and tombstones count. A younger
+    * layer with unknown capacity (gc'd log entry, missing count) makes
+    * every older loss unknown (those layers prove no qualifying rows but
+    * are still envelope-excludable: a SURVIVING row is one of the
+    * layer's recorded rows, whole-row upsert semantics never mutate it
+    * in place, so the recorded envelope covers it). On upsert-light
+    * chains — the production norm — the bound stays close to the
+    * append-only one.
+    */
+  def chainTopKLayersMerged(tableDir: String, chain: Seq[String],
+      column: String, k: Int, descending: Boolean,
+      ranges: Seq[(String, Double, Double)] = Nil,
+      strEquals: Seq[(String, Seq[String])] = Nil,
+      nullCols: Seq[String] = Nil, notNullCols: Seq[String] = Nil)
+      : Seq[String] = {
+    require(chain.nonEmpty,
+      "chainTopKLayersMerged needs a non-empty layer chain")
+    val withLines = chain.map(l =>
+      l -> statsLines(tableDir, l).getOrElse(Seq.empty))
+    // (layer → introducing commit kind), single-valued: a commit's chain
+    // ends with the layer it introduced
+    val intro: Map[String, String] =
+      commits(tableDir).map(logEntry(tableDir, _)).flatMap {
+        case (c, kind) => c.lastOption.map(_ -> kind)
+      }.toMap
+    val zeroCap = Set("snapshot", "append", "compact")
+    val caps: Seq[Option[Long]] = withLines.map { case (l, lines) =>
+      val hasTombs = new java.io.File(s"$tableDir/$l/_tombstones").isDirectory
+      intro.get(l) match {
+        case Some(k) if zeroCap(k) && !hasTombs => Some(0L)
+        case Some("upsert") if !hasTombs =>
+          if (layerHasData(tableDir, l)) nFromLines(lines) else Some(0L)
+        case Some("delete") if !layerHasData(tableDir, l) =>
+          if (hasTombs) tombFromLines(lines) else Some(0L)
+        case _ => None // unknown kind / gc'd log / mixed layer
+      }
+    }
+    val losses: Map[String, Option[Long]] = chain.zipWithIndex.map {
+      case (l, i) =>
+        val younger = caps.drop(i + 1)
+        l -> (if (younger.exists(_.isEmpty)) None
+              else Some(younger.flatten.sum))
+    }.toMap
+    val survivors = withLines
+      .filter { case (l, _) => layerHasData(tableDir, l) }
+      .filter { case (_, lines) =>
+        zoneKeep(lines, ranges, strEquals, nullCols, notNullCols) }
+    if (survivors.isEmpty) return Nil
+    if (nullCols.contains(column)) return survivors.map(_._1)
+    if (survivors.exists(s => envFromLines(s._2, column).isDefined))
+      topKSelect[Double](survivors, envFromLines(_, column), column, k,
+        descending, ranges, strEquals, nullCols, notNullCols, losses(_))
+    else if (survivors.exists(s => strEnvFromLines(s._2, column).isDefined))
+      topKSelect[String](survivors, strEnvFromLines(_, column), column, k,
+        descending, ranges, strEquals, nullCols, notNullCols, losses(_))
+    else survivors.map(_._1)
+  }
+
   /** Core of [[chainTopKLayers]], generic over the sort key's envelope
     * ordering (Double for numeric/date, String for lexicographic — ASCII
     * envelopes only, where Java and UTF8String byte order provably
@@ -630,7 +714,15 @@ object NdjsonIngest {
       envOf: Seq[Array[String]] => Option[(T, T)], column: String, k: Int,
       descending: Boolean, ranges: Seq[(String, Double, Double)],
       strEquals: Seq[(String, Seq[String])], nullCols: Seq[String],
-      notNullCols: Seq[String])(implicit ord: Ordering[T]): Seq[String] = {
+      notNullCols: Seq[String],
+      // upper bound on the layer's rows LOST to younger layers (merge-on-
+      // read shadowing + tombstones) — None = unbounded, the layer proves
+      // no qualifying rows but its envelope still EXCLUDES soundly (a
+      // surviving row is always one of the layer's recorded rows, so the
+      // recorded envelope covers it). Append-only chains pass the default
+      // zero.
+      lossOf: String => Option[Long] = _ => Some(0L))
+      (implicit ord: Ordering[T]): Seq[String] = {
     // upper bound on this layer's rows FAILING the conjuncts (None =
     // unbounded → the layer can't prove any qualifying rows): each
     // conjunct's exact pass count (shared containment rules,
@@ -658,7 +750,10 @@ object NdjsonIngest {
       // non-null rows is the NaN write-guard (or a legacy sidecar) —
       // order unknowable, always read, contributes nothing to the bound.
       case (l, lines, env, Some(n), Some(nn)) if env.isDefined || nn == 0 =>
-        val f = failUB(lines, n)
+        // every deduction is an upper bound on rows REMOVED from the
+        // pool (conjunct failures, younger-layer shadowing/tombstones),
+        // so subtracting both keeps each qual a sound lower bound
+        val f = for (a <- failUB(lines, n); b <- lossOf(l)) yield a + b
         val nulls = n - nn
         Left(LS(l, env,
           qualNN = f.fold(0L)(x => math.max(0L, nn - x)),
@@ -926,7 +1021,12 @@ object NdjsonIngest {
       strEquals: Seq[(String, Seq[String])] = Nil,
       nullCols: Seq[String] = Nil, notNullCols: Seq[String] = Nil,
       pinSchema: Option[StructType] = None,
-      orGroups: Seq[Seq[ZoneArm]] = Nil): DataFrame = {
+      orGroups: Seq[Seq[ZoneArm]] = Nil,
+      // extra candidacy restriction (e.g. [[chainTopKLayersMerged]]):
+      // layers outside the set degrade to pk-only shadow scans exactly
+      // like zone-excluded ones — they can't supply an emitted row but
+      // still override older versions and carry tombstones
+      keepLayers: Option[Set[String]] = None): DataFrame = {
     val indexed = chain.zipWithIndex
     val dataLayers = indexed.filter { case (l, _) => layerHasData(tableDir, l) }
     require(dataLayers.nonEmpty,
@@ -940,8 +1040,9 @@ object NdjsonIngest {
     }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val dataParts = dataLayers.map { case (l, i) =>
       val full = spark.read.schema(schema).parquet(s"$tableDir/$l")
-      val cand = zoneKeep(statsLines(tableDir, l).getOrElse(Seq.empty),
-        ranges, strEquals, nullCols, notNullCols, orGroups)
+      val cand = keepLayers.forall(_.contains(l)) &&
+        zoneKeep(statsLines(tableDir, l).getOrElse(Seq.empty),
+          ranges, strEquals, nullCols, notNullCols, orGroups)
       // non-candidate: select(pk) BEFORE the null-pad so the parquet scan
       // decodes exactly one column (ReadSchema = pk)
       val part = if (cand) full else nullPad(full.select(col(pk)))
@@ -1318,6 +1419,15 @@ object NdjsonIngest {
     val next = if (existing.isEmpty) 1L else existing.max + 1
     keys.select(col(pk)).distinct()
       .write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/v$next/_tombstones")
+    // tombstone count + zero-row marker as a `_stats` sidecar: merged-
+    // chain top-k bounds cap an older layer's shadow losses by the sum
+    // of younger layers' rows and tombstones, all from sidecars alone
+    // (the count() here is parquet-footer metadata, no data pages read)
+    val tombs = keys.sparkSession.read
+      .parquet(s"$tableDir/v$next/_tombstones").count()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tableDir, s"v$next", "_stats"),
+      s"t: $tombs\nn: 0")
     flipPointer(tableDir, latestLayers(tableDir) :+ s"v$next", effectiveTag,
       kind = "delete")
     next

@@ -246,6 +246,27 @@ class PlanSpec extends SparkSpec {
     assert(pkOnly === 6, s"pk-only scans: $pkOnly of ${scans.size}")
   }
 
+  test("q_merged_topk bounds the SUPPLYING layers on a merged chain: " +
+    "2 full-payload scans (window bucket + upsert), the rest pk-only") {
+    val df = SparkEntry.queries("q_merged_topk")(spark, sfDir)
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val scans = fmt.split("\n\n").filter(_.contains("Scan parquet")).toSeq
+    val pkOnly = scans.count(_.linesIterator.exists(l =>
+      l.trim.startsWith("ReadSchema") && l.contains("struct<event_id:bigint>")))
+    val full = scans.count(_.linesIterator.exists(l =>
+      l.trim.startsWith("ReadSchema") && l.contains("value")))
+    // 6 five-day buckets + upsert + tombstone: the top-20-by-recency
+    // bound over the Jan 6-15 window keeps the days 11-15 bucket and the
+    // (full-range) upsert layer as suppliers; the other 5 buckets + the
+    // tombstone scan are pk-only shadows
+    assert(full === 2, s"full-payload scans: $full of ${scans.size}\n$fmt")
+    assert(pkOnly === 6, s"pk-only scans: $pkOnly of ${scans.size}")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+  }
+
   test("q_count_window answers a filtered count from layer metadata " +
     "alone — zero parquet footers") {
     val df = SparkEntry.queries("q_count_window")(spark, sfDir)

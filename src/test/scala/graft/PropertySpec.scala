@@ -690,6 +690,17 @@ class PropertySpec extends SparkSpec {
           .as[(Long, Long)].collect().sorted.toSeq
         assert(rows(routed) === rows(unrouted), s"case $ci query $q")
       }
+      // merged top-k: the shadow-loss-aware bound must stay a superset
+      // of the true suppliers under any upsert/delete/compact history
+      Seq("t.orderBy({desc(v), id}).limit(3)",
+          "t.orderBy({v, id}).limit(3)",
+          s"t.filter(between(v, $lo, $hi)).orderBy({desc(v), id}).limit(3)",
+          s"t.filter(between(v, $lo, $hi)).orderBy({v, id})" +
+            ".offset(1).limit(2)").foreach { q =>
+        def seqOf(cat: Catalog) = Planner.plan(q, cat)
+          .select("id").as[Long].collect().toSeq // ORDERED compare
+        assert(seqOf(routed) === seqOf(unrouted), s"case $ci query $q")
+      }
     }
   }
 
