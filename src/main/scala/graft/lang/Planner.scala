@@ -1202,23 +1202,23 @@ final class Planner(catalog: Planner.Catalog) {
         // entry-wise, other conjuncts must pass whole layers; any layer
         // without a complete histogram → None → the normal grouping scan
         val metaGroups: Option[DataFrame] =
-          if (cols.size != 1 || aggItems.size != 1) None
+          if (aggItems.size != 1 || cols.isEmpty || cols.size > 2) None
           else {
-            val g = cols.head
-            val dt = in.df.schema(g).dataType
-            if (dt != org.apache.spark.sql.types.StringType &&
-                dt != org.apache.spark.sql.types.DateType) None
+            val dts = cols.map(c => in.df.schema(c).dataType)
+            if (!dts.forall(dt =>
+                dt == org.apache.spark.sql.types.StringType ||
+                dt == org.apache.spark.sql.types.DateType)) None
             else {
               val ctx: Option[(String, Seq[String], Seq[(String, Double, Double)],
                   Seq[(String, Seq[String])], Seq[(String, Boolean)])] =
                 in.zone match {
-                  // the group column must be a field of the pinned scan
-                  // schema — a map-added group column could alias a dead
-                  // schema-evolution column's stale histograms (see the
-                  // orderBy note guard); map-added groups take the
+                  // every group column must be a field of the pinned
+                  // scan schema — a map-added group column could alias a
+                  // dead schema-evolution column's stale histograms (see
+                  // the orderBy note guard); map-added groups take the
                   // normal grouping scan over the narrowed frame
                   case Some(zp) if zp.mergedPk.isEmpty &&
-                      zp.schema.fieldNames.contains(g) =>
+                      cols.forall(zp.schema.fieldNames.contains) =>
                     Some((zp.dir, zp.chain, zp.ranges, zp.strEqs, zp.nullCs))
                   case Some(_) => None
                   case None => for {
@@ -1229,28 +1229,54 @@ final class Planner(catalog: Planner.Catalog) {
                     if graft.sources.NdjsonIngest.chainMergeFree(dir, chain)
                   } yield (dir, chain, Nil, Nil, Nil)
                 }
-              ctx.flatMap { case (dir, chain, rs, ses, ncs) =>
-                graft.sources.NdjsonIngest.chainGroupCount(dir, chain, g,
-                  rs, ses,
-                  nullCols = ncs.collect { case (c, true) => c },
-                  notNullCols = ncs.collect { case (c, false) => c })
-              }.map { groups =>
-                val isDate = dt == org.apache.spark.sql.types.DateType
-                val rows: java.util.List[org.apache.spark.sql.Row] =
-                  new java.util.ArrayList()
-                groups.foreach { case (tok, cnt) =>
-                  val v: Any = tok.map { t =>
-                    if (isDate) java.sql.Date.valueOf(
+              // sidecar tokens → typed group values (dates travel as
+              // epoch-day doubles, the histogram/envelope encoding)
+              def decode(tok: Option[String],
+                  dt: org.apache.spark.sql.types.DataType): Any =
+                tok.map { t =>
+                  if (dt == org.apache.spark.sql.types.DateType)
+                    java.sql.Date.valueOf(
                       java.time.LocalDate.ofEpochDay(t.toDouble.toLong))
-                    else t
-                  }.orNull
-                  rows.add(org.apache.spark.sql.Row(v, cnt))
-                }
+                  else t
+                }.orNull
+              def toDf(rows: java.util.List[org.apache.spark.sql.Row])
+                  : DataFrame =
                 in.df.sparkSession.createDataFrame(rows,
-                  org.apache.spark.sql.types.StructType(Seq(
-                    org.apache.spark.sql.types.StructField(g, dt, nullable = true),
-                    org.apache.spark.sql.types.StructField(aggItems.head,
-                      org.apache.spark.sql.types.LongType, nullable = false))))
+                  org.apache.spark.sql.types.StructType(
+                    cols.zip(dts).map { case (c, dt) =>
+                      org.apache.spark.sql.types.StructField(c, dt,
+                        nullable = true)
+                    } :+ org.apache.spark.sql.types.StructField(
+                      aggItems.head, org.apache.spark.sql.types.LongType,
+                      nullable = false)))
+              ctx.flatMap { case (dir, chain, rs, ses, ncs) =>
+                val nulls = ncs.collect { case (c, true) => c }
+                val notNulls = ncs.collect { case (c, false) => c }
+                if (cols.size == 1)
+                  graft.sources.NdjsonIngest.chainGroupCount(dir, chain,
+                    cols.head, rs, ses, nulls, notNulls).map { groups =>
+                    val rows: java.util.List[org.apache.spark.sql.Row] =
+                      new java.util.ArrayList()
+                    groups.foreach { case (tok, cnt) =>
+                      rows.add(org.apache.spark.sql.Row(
+                        decode(tok, dts.head), cnt))
+                    }
+                    toDf(rows)
+                  }
+                else
+                  // TWO group columns: decidable when one has a complete
+                  // histogram and the other is layer-constant (the day-
+                  // partitioned-chain × type case) — chainGroupCountTwo
+                  graft.sources.NdjsonIngest.chainGroupCountTwo(dir, chain,
+                    cols(0), cols(1), rs, ses, nulls, notNulls).map { gs =>
+                    val rows: java.util.List[org.apache.spark.sql.Row] =
+                      new java.util.ArrayList()
+                    gs.foreach { case ((ta, tb), cnt) =>
+                      rows.add(org.apache.spark.sql.Row(
+                        decode(ta, dts(0)), decode(tb, dts(1)), cnt))
+                    }
+                    toDf(rows)
+                  }
               }
             }
           }

@@ -666,6 +666,25 @@ object RelationalQueries {
         catalog)
     },
 
+    // ---- TWO-COLUMN GROUPED METADATA COUNT: groupBy(day, type) over
+    //      the day-clustered chain — day is CONSTANT per layer, type has
+    //      a complete per-layer histogram, so every histogram entry
+    //      pairs with the layer's day and the whole rollup is a metadata
+    //      sum: zero parquet footers (chainGroupCountTwo). ----
+    QDef("q_group_two",
+      """SELECT CAST(ts AS DATE) AS d, event_type,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY d, event_type""".stripMargin) { (s, dir) =>
+      val tableDir = memoEventsChain(s, dir)
+      val catalog = graft.lang.Planner.Catalog(
+        tables = Map("ev" -> graft.sources.NdjsonIngest.readLatest(s, tableDir)),
+        versionedDirs = Map("ev" -> tableDir))
+      graft.lang.Planner.plan(
+        """ev
+          |  .groupBy({cnt := count()}, {d, event_type})
+          |  .orderBy({d, event_type})""".stripMargin, catalog)
+    },
+
     // ---- GROUPED METADATA COUNT UNDER A WINDOW: per-day counts of a
     //      date window — the canonical time-series rollup — where the
     //      filter is ON the group column, so it applies ENTRY-WISE to

@@ -23,6 +23,13 @@ import org.apache.spark.sql.types.StructType
   */
 object NdjsonIngest {
 
+  /** Per-layer value-histogram cap: string/date columns with at most
+    * this many distinct values in a layer get a COMPLETE `g:` histogram
+    * (few-KB sidecar) — country/date/type-like columns at real scales —
+    * computed in the same single stats aggregation (BoundedHistogram).
+    */
+  val HistogramMaxEntries = 256
+
   final case class DuplicatePrimaryKey(keys: Seq[String])
     extends RuntimeException(s"duplicate primary keys: ${keys.mkString(", ")}")
 
@@ -320,6 +327,10 @@ object NdjsonIngest {
     if (numeric.isEmpty && strings.isEmpty) return
     def statCol(c: String): Column =
       if (df.schema(c).dataType == DateType) unix_date(col(c)) else col(c)
+    def histTok(c: String): Column =
+      if (df.schema(c).dataType == DateType)
+        unix_date(col(c)).cast("double").cast("string")
+      else col(c)
     val aggs = numeric.flatMap(c =>
       Seq(min(statCol(c)).cast("double").as(s"min_$c"),
         max(statCol(c)).cast("double").as(s"max_$c"))) ++
@@ -335,11 +346,12 @@ object NdjsonIngest {
       // are conservatively always kept)
       numeric.map(c => count(col(c)).as(s"nn_$c")) ++
       strings.map(c => count(col(c)).as(s"nns_$c")) ++
-      // distinct estimates gate the VALUE HISTOGRAMS below: only low-
-      // cardinality string/date columns get one, so the histogram pass
-      // never touches a high-cardinality column (HLL never under-counts
-      // by more than a few percent, and the exact size re-checks)
-      histCand.map(c => approx_count_distinct(col(c)).as(s"ad_$c")) ++
+      // COMPLETE value histograms ride the SAME single aggregation pass
+      // (BoundedHistogram: a size-capped native agg that nulls out past
+      // the cap with bounded memory) — no cardinality pre-estimate, no
+      // second job over the batch
+      histCand.map(c => graft.functions.BoundedHistogram
+        .boundedHist(histTok(c), HistogramMaxEntries).as(s"h_$c")) ++
       Seq(count(lit(1)).as("_n"))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val numLines = numeric.zipWithIndex.flatMap { case (c, i) =>
@@ -391,36 +403,23 @@ object NdjsonIngest {
     // each `g:<col> <b64 token> <cnt>` one group's exact count. A single-
     // column grouped count over the chain (or under a decidable filter)
     // can then answer from metadata alone (chainGroupCount). Columns
-    // whose exact histogram exceeds 16 values write nothing.
+    // whose exact histogram exceeds the cap came back null from the
+    // bounded aggregate and write nothing (a few-hundred-value histogram
+    // is still a few-KB sidecar; a high-cardinality column never
+    // accumulates past cap+1 entries per partial).
     val histBase = 2 * numeric.length + 2 * strings.length +
       numeric.length + strings.length
-    val eligible = histCand.zipWithIndex
-      .filter { case (_, i) => row.getLong(histBase + i) <= 24 }
-      .map(_._1)
-    val histLines: Seq[String] =
-      if (eligible.isEmpty) Nil
-      else {
-        def tok(c: String): Column =
-          if (df.schema(c).dataType == DateType)
-            unix_date(col(c)).cast("double").cast("string")
-          else col(c)
-        val hist = df.select(explode(array(eligible.map(c =>
-            struct(lit(c).as("hc"), tok(c).as("hv"))): _*)).as("p"))
-          .select(col("p.hc").as("hc"), col("p.hv").as("hv"))
-          .filter(col("hv").isNotNull)
-          .groupBy("hc", "hv").count().collect()
-          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-          .groupBy(_._1)
-        eligible.flatMap { c =>
-          val entries = hist.getOrElse(c, Array.empty[(String, String, Long)])
-          if (entries.length > 16) Nil // HLL under-estimated; stay out
-          else s"gh:$c ${entries.length}" +:
-            entries.sortBy(_._2).map { case (_, v, cnt) =>
+    val histLines: Seq[String] = histCand.zipWithIndex.flatMap {
+      case (c, i) =>
+        Option(row.getMap[String, Long](histBase + i)).toSeq.flatMap { m =>
+          val entries = m.toSeq
+          s"gh:$c ${entries.length}" +:
+            entries.sortBy(_._1).map { case (v, cnt) =>
               s"g:$c ${b64.encodeToString(
                 v.getBytes(java.nio.charset.StandardCharsets.UTF_8))} $cnt"
-            }.toSeq
+            }
         }
-      }
+    }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(layerDir, "_stats"),
       (numLines ++ strLines ++ nnLines ++ histLines ++ nLine).mkString("\n"))
@@ -989,6 +988,121 @@ object NdjsonIngest {
         }
       }
     }
+    if (perLayer.exists(_.isEmpty)) None
+    else Some(perLayer.flatten.flatten
+      .groupBy(_._1).toSeq
+      .map { case (g, xs) => (g, xs.map(_._2).sum) })
+  }
+
+  /** Per-column slice of the filter conjuncts as they apply to a group
+    * column's histogram tokens — shared by the one- and two-column
+    * grouped metadata counts. Ranges only form on numeric/date columns,
+    * so tokens under a range are epoch-day doubles by construction.
+    */
+  private final case class GroupPred(
+      ranges: Seq[(Double, Double)], strEqs: Seq[Seq[String]],
+      isNull: Boolean, notNull: Boolean) {
+    def entryPasses(tok: String): Boolean =
+      ranges.forall { case (lo, hi) =>
+        val v = tok.toDouble; lo <= v && v <= hi } &&
+        strEqs.forall(_.contains(tok)) && !isNull
+    def nullPasses: Boolean = !notNull && ranges.isEmpty && strEqs.isEmpty
+  }
+  private def groupPred(c: String, ranges: Seq[(String, Double, Double)],
+      strEquals: Seq[(String, Seq[String])], nullCols: Seq[String],
+      notNullCols: Seq[String]): GroupPred =
+    GroupPred(
+      ranges.collect { case (`c`, lo, hi) => (lo, hi) },
+      strEquals.collect { case (`c`, vs) => vs },
+      nullCols.contains(c), notNullCols.contains(c))
+
+  /** EXACT TWO-column grouped counts from the sidecars alone: a layer is
+    * decidable when ONE group column has a complete value histogram and
+    * the OTHER is provably layer-CONSTANT (all `n` rows share one value —
+    * envelope min==max with a full non-null ledger — or all rows null),
+    * so every histogram entry pairs with that constant. The canonical
+    * win is a day-partitioned chain grouped by (day, type): day is
+    * constant per layer, type has a complete histogram — zero footers.
+    * Conjuncts on a group column apply entry-wise (constant columns test
+    * their single value); every other conjunct must provably pass ALL
+    * rows. Any undecidable layer → None (callers fall back to the
+    * grouping scan). APPEND-ONLY chains only — gate on [[chainMergeFree]].
+    */
+  def chainGroupCountTwo(tableDir: String, chain: Seq[String],
+      colA: String, colB: String,
+      ranges: Seq[(String, Double, Double)] = Nil,
+      strEquals: Seq[(String, Seq[String])] = Nil,
+      nullCols: Seq[String] = Nil, notNullCols: Seq[String] = Nil)
+      : Option[Seq[((Option[String], Option[String]), Long)]] = {
+    val pA = groupPred(colA, ranges, strEquals, nullCols, notNullCols)
+    val pB = groupPred(colB, ranges, strEquals, nullCols, notNullCols)
+    val oRanges = ranges.filterNot(r => r._1 == colA || r._1 == colB)
+    val oStrEqs = strEquals.filterNot(s => s._1 == colA || s._1 == colB)
+    val oNull = nullCols.filterNot(c => c == colA || c == colB)
+    val oNotNull = notNullCols.filterNot(c => c == colA || c == colB)
+    // the column's single value across ALL n rows: Some(Some(tok)) when
+    // constant non-null, Some(None) when all-null, None when unprovable.
+    // Tokens use the histogram encoding (dates as epoch-day doubles), so
+    // envelope doubles stringify identically to histogram tokens.
+    def constToken(lines: Seq[Array[String]], n: Long,
+        c: String): Option[Option[String]] =
+      nnFromLines(lines, c) match {
+        case Some(0L) => Some(None)
+        case Some(nn) if nn == n =>
+          envFromLines(lines, c) match {
+            case Some((lo, hi)) if lo == hi => Some(Some(lo.toString))
+            case Some(_) => None
+            case None => strEnvFromLines(lines, c) match {
+              case Some((lo, hi)) if lo == hi => Some(Some(lo))
+              case _ => None
+            }
+          }
+        case _ => None
+      }
+    val perLayer: Seq[Option[Seq[((Option[String], Option[String]), Long)]]] =
+      chain.map { l =>
+        val lines = statsLines(tableDir, l).getOrElse(Seq.empty)
+        if (!zoneKeep(lines, ranges, strEquals, nullCols, notNullCols))
+          Some(Nil)
+        else nFromLines(lines).flatMap { n =>
+          val othersPassAll =
+            conjunctPassCounts(lines, n, oRanges, oStrEqs, oNull, oNotNull)
+              .forall(_.exists(_ == n))
+          if (!othersPassAll) None
+          else {
+            // (histogram column h, constant column c); emit pairs in
+            // (A, B) order via `swap`
+            def oneWay(h: String, ph: GroupPred, c: String, pc: GroupPred,
+                swap: Boolean)
+                : Option[Seq[((Option[String], Option[String]), Long)]] =
+              for {
+                hist <- histFromLines(lines, h)
+                ct <- constToken(lines, n, c)
+              } yield {
+                val cPasses = ct match {
+                  case Some(t) => pc.entryPasses(t)
+                  case None => pc.nullPasses
+                }
+                if (!cPasses) Nil
+                else {
+                  val nnH = nnFromLines(lines, h).getOrElse(
+                    hist.map(_._2).sum) // ledger implied by the histogram
+                  val kept = hist.filter { case (tok, _) =>
+                    ph.entryPasses(tok) }
+                    .map { case (tok, cnt) => (Option(tok), cnt) }
+                  val withNull =
+                    if (ph.nullPasses && n - nnH > 0)
+                      kept :+ ((None: Option[String]), n - nnH)
+                    else kept
+                  withNull.map { case (hv, cnt) =>
+                    (if (swap) (ct, hv) else (hv, ct)) -> cnt }
+                }
+              }
+            oneWay(colA, pA, colB, pB, swap = false)
+              .orElse(oneWay(colB, pB, colA, pA, swap = true))
+          }
+        }
+      }
     if (perLayer.exists(_.isEmpty)) None
     else Some(perLayer.flatten.flatten
       .groupBy(_._1).toSeq

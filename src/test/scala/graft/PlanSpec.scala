@@ -194,16 +194,23 @@ class PlanSpec extends SparkSpec {
       "budget-select prefix sum no longer sub-sharded")
   }
 
-  test("q_zone_prune reads only the asked window's layers (2 of 30)") {
+  test("q_zone_prune answers the windowed two-column rollup from layer " +
+    "metadata alone — zero parquet footers (was 2 of 30 before " +
+    "chainGroupCountTwo)") {
     val df = SparkEntry.queries("q_zone_prune")(spark, sfDir)
-    // the scan's resolved input files must sit in exactly the two layer
-    // dirs whose date envelope intersects Jan 7-8 — every other layer's
-    // parquet footer is never opened (the reference's chunk-skip win at
-    // layer granularity)
-    val layers = df.inputFiles.map { f =>
-      f.split("/").takeRight(2).head
-    }.distinct.sorted
-    assert(layers.length === 2, s"layers read: ${layers.mkString(",")}")
+    // the window's two layers are day-constant with complete event_type
+    // histograms, every other layer is zone-excluded — the grouped count
+    // is a pure sidecar sum, strictly better than the earlier 2-of-30
+    // scan narrowing (which q_zone_or / q_map_filter still gate)
+    assert(df.inputFiles.isEmpty,
+      "windowed (d, event_type) rollup must not plan a file scan")
+  }
+
+  test("q_group_two answers the (day, type) rollup from layer metadata " +
+    "alone — zero parquet footers") {
+    val df = SparkEntry.queries("q_group_two")(spark, sfDir)
+    assert(df.inputFiles.isEmpty,
+      "two-column grouped metadata count must not plan a file scan")
   }
 
   test("q_topk_chain bounds the scan to the newest layer and still " +

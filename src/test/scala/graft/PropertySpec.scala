@@ -739,8 +739,11 @@ class PropertySpec extends SparkSpec {
         layerRows.zipWithIndex.foreach { case (rs, li) =>
           // x: a DOUBLE copy of v — float between is to-EXCLUSIVE, so
           // this arm proves the envelopes encode that bound correctly
+          // lc: a per-LAYER-constant string — the two-column grouped
+          // metadata count (histogram × constant) must equal the scan
           val df = rs.zipWithIndex.map { case ((v, c), ri) =>
-            (li * 100L + ri, v, c, v.map(_ * 0.5)) }.toDF("id", "v", "c", "x")
+            (li * 100L + ri, v, c, v.map(_ * 0.5), s"L$li")
+          }.toDF("id", "v", "c", "x", "lc")
           if (li == 0) NdjsonIngest.appendVersion(df, dir, "id")
           else NdjsonIngest.appendDelta(df, dir, "id")
         }
@@ -825,6 +828,18 @@ class PropertySpec extends SparkSpec {
           else Nil)).foreach { q =>
           def groupsOf(cat: Catalog) = Planner.plan(q, cat).collect()
             .map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+          assert(groupsOf(routed) === groupsOf(unrouted), s"case $ci query $q")
+        }
+        // TWO-column grouped counts (histogram × layer-constant) in both
+        // column orders, bare / filtered / null-filtered
+        Seq("t.groupBy({n := count()}, {lc, c})",
+            "t.groupBy({n := count()}, {c, lc})",
+            s"t.filter(between(v, $lo, $hi)).groupBy({n := count()}, {lc, c})",
+            "t.filter(isNotNull(c)).groupBy({n := count()}, {c, lc})",
+            "t.filter(isNull(c)).groupBy({n := count()}, {lc, c})").foreach { q =>
+          def groupsOf(cat: Catalog) = Planner.plan(q, cat).collect()
+            .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+              r.getLong(2))).toSet
           assert(groupsOf(routed) === groupsOf(unrouted), s"case $ci query $q")
         }
     }
