@@ -84,6 +84,11 @@ object Database {
     */
   private[graft] def inputManifest(spark: SparkSession, path: String)
       : Map[String, String] = {
+    // comma-separated lists manifest as the union of their elements
+    // (the serve/append input layout)
+    if (path.contains(","))
+      return path.split(",").toSeq.filter(_.nonEmpty)
+        .map(inputManifest(spark, _)).foldLeft(Map.empty[String, String])(_ ++ _)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val roots = Option(fs.globStatus(p)).getOrElse(Array())
@@ -140,6 +145,25 @@ object Database {
   def build(spark: SparkSession, configDir: String, ndjsonPath: String): Catalog =
     build(spark, configDir, ndjsonPath, None)
 
+  /** The NDJSON input schema a config directory implies (metadata fields
+    * + one seq struct per bound sequence + unaligned nucleotide columns)
+    * and the declared primary key — shared by [[build]] and the append
+    * CLI's pre-commit validation.
+    */
+  def inputSchema(spark: SparkSession, configDir: String)
+      : (StructType, String) = {
+    val cfg = parseConfig(s"$configDir/database_config.yaml")
+    val (nucRefs, aaRefs) =
+      parseReferenceGenomes(spark, s"$configDir/reference_genomes.json")
+    val allRefs = nucRefs ++ aaRefs
+    (StructType(
+      cfg.metadata.map(f => StructField(f.name, sparkType(f.tpe))) ++
+        allRefs.keys.toSeq.sorted.map(n => StructField(n, seqStruct)) ++
+        nucRefs.keys.toSeq.sorted.map(n =>
+          StructField(s"unaligned_$n", StringType))),
+      cfg.primaryKey)
+  }
+
   /** As above; with `stateDir` the row-level posting indexes persist as
     * parquet index tables under `stateDir/index/<sequence>` — written once
     * at preprocessing, LOADED (not rebuilt) on every later build, the
@@ -157,7 +181,10 @@ object Database {
         allRefs.keys.toSeq.sorted.map(n => StructField(n, seqStruct)) ++
         nucRefs.keys.toSeq.sorted.map(n => StructField(s"unaligned_$n", StringType)))
 
-    val raw = graft.sources.NdjsonIngest.read(spark, ndjsonPath, schema)
+    // ndjsonPath may be a COMMA-SEPARATED list (the serve/append layout:
+    // the original input plus append-*.ndjson commits)
+    val raw = graft.sources.NdjsonIngest.read(spark,
+      ndjsonPath.split(",").toSeq.filter(_.nonEmpty), schema)
     // PK uniqueness is validated over the FULL input even on incremental
     // builds: an appended row duplicating an OLD key must abort
     graft.sources.NdjsonIngest.validatePrimaryKey(raw, cfg.primaryKey)

@@ -45,112 +45,24 @@ object Serve {
     "dataDirectory", "runtimeConfig", "defaultRuntimeConfig",
     "api.port", "api.maxQueuedHttpConnections",
     "api.estimatedStartupTimeInMinutes", "api.softMemoryLimit",
-    "api.accessLog", "api.memoryMonitorSeconds",
+    "api.accessLog", "api.accessLogFile", "api.accessLogMaxBytes",
+    "api.memoryMonitorSeconds",
     "query.materializationCutoff", "query.timeoutInSeconds")
 
-  /** camelCase segment → lower-case words (the reference splits key
-    * paths the same way for CLI/env rendering).
-    */
-  private def words(segment: String): Seq[String] =
-    segment.split("(?=[A-Z])").toSeq.map(_.toLowerCase)
+  private val config =
+    new KeyedConfig(Keys, boolKeys = Set("api.accessLog"))
 
-  /** `api.maxQueuedHttpConnections` → `--api-max-queued-http-connections`
-    * (reference CommandLineArguments::configKeyPathToString).
-    */
-  def cliName(key: String): String =
-    "--" + key.split('.').toSeq.flatMap(words).mkString("-")
-
-  /** `api.maxQueuedHttpConnections` → `GRAFT_API_MAX_QUEUED_HTTP_CONNECTIONS`
-    * (reference EnvironmentVariables::configKeyPathToString, GRAFT_ for
-    * SILO_).
-    */
-  def envName(key: String): String =
-    "GRAFT_" + key.split('.').toSeq.flatMap(words).map(_.toUpperCase)
-      .mkString("_")
-
-  private lazy val byCli = Keys.map(k => cliName(k) -> k).toMap
-  private lazy val byEnv = Keys.map(k => envName(k) -> k).toMap
-
-  /** Parse `--key value` / `--key=value` args onto dotted keys; boolean
-    * keys (`api.accessLog`) may omit the value. Unknown options fail
-    * loudly (the reference rejects unknown CLI keys too).
-    */
-  def parseArgs(args: Seq[String]): Map[String, String] = {
-    val boolKeys = Set("api.accessLog")
-    @annotation.tailrec
-    def loop(rest: List[String], acc: Map[String, String]): Map[String, String] =
-      rest match {
-        case Nil => acc
-        case arg :: tail if arg.startsWith("--") =>
-          val (name, inline) = arg.indexOf('=') match {
-            case -1 => (arg, None)
-            case i => (arg.take(i), Some(arg.drop(i + 1)))
-          }
-          val key = byCli.getOrElse(name,
-            sys.error(s"unknown option '$name' (known: ${byCli.keys.toSeq.sorted.mkString(", ")})"))
-          inline match {
-            case Some(v) => loop(tail, acc + (key -> v))
-            case None if boolKeys(key) => tail match {
-              // boolean keys accept the space-separated value form too —
-              // '--api-access-log true' must not strand an orphan token
-              case v :: t2 if v == "true" || v == "false" =>
-                loop(t2, acc + (key -> v))
-              case _ => loop(tail, acc + (key -> "true"))
-            }
-            case None => tail match {
-              case v :: t2 => loop(t2, acc + (key -> v))
-              case Nil => sys.error(s"option '$name' needs a value")
-            }
-          }
-        case other :: _ => sys.error(s"unexpected argument '$other'")
-      }
-    loop(args.toList, Map.empty)
-  }
-
-  /** Env-provided settings (GRAFT_-prefixed, reference ENV_VAR_PREFIX
-    * discipline); unknown GRAFT_ variables are ignored rather than fatal
-    * (the process env is a shared namespace).
-    */
+  def cliName(key: String): String = KeyedConfig.cliName(key)
+  def envName(key: String): String = KeyedConfig.envName(key)
+  def parseArgs(args: Seq[String]): Map[String, String] =
+    config.parseArgs(args)
   def parseEnv(env: Map[String, String]): Map[String, String] =
-    env.flatMap { case (k, v) => byEnv.get(k).map(_ -> v) }
+    config.parseEnv(env)
+  def parseYamlFile(path: String): Map[String, String] =
+    config.parseYamlFile(path)
 
-  /** Flatten a parsed YAML document into dotted keys. */
-  private def flattenYaml(node: Any, prefix: String = ""): Map[String, String] =
-    node match {
-      case m: java.util.Map[_, _] =>
-        import scala.jdk.CollectionConverters._
-        m.asScala.flatMap { case (k, v) =>
-          flattenYaml(v, if (prefix.isEmpty) k.toString else s"$prefix.$k")
-        }.toMap
-      case null => Map.empty
-      case v => Map(prefix -> v.toString)
-    }
-
-  def parseYamlFile(path: String): Map[String, String] = {
-    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
-    val parsed = new org.yaml.snakeyaml.Yaml().load[Any](txt)
-    val flat = flattenYaml(parsed)
-    flat.keys.find(k => !Keys.contains(k)).foreach(k =>
-      sys.error(s"unknown key '$k' in config file $path"))
-    flat
-  }
-
-  /** The effective settings: defaults < default-config file < config
-    * file < env < CLI — the reference's source order
-    * (runtime_config.cpp getConfigFilePaths + overwriteFrom sequence).
-    * The config-file PATHS themselves resolve from env/CLI first, like
-    * the reference's `--runtime-config` option.
-    */
-  def resolve(args: Seq[String], env: Map[String, String]): Map[String, String] = {
-    val cli = parseArgs(args)
-    val fromEnv = parseEnv(env)
-    val paths = fromEnv ++ cli
-    val defaults = Map("api.port" -> "8081")
-    val fileLayers =
-      paths.get("defaultRuntimeConfig").map(parseYamlFile).getOrElse(Map.empty) ++
-        paths.get("runtimeConfig").map(parseYamlFile).getOrElse(Map.empty)
-    defaults ++ fileLayers ++ fromEnv ++ cli
-  }
+  def resolve(args: Seq[String], env: Map[String, String]): Map[String, String] =
+    config.resolve(args, env, defaults = Map("api.port" -> "8081"))
 
   /** Map the resolved settings onto [[QueryServer.ServerConfig]];
     * `accessSink` receives access-log/monitor lines when enabled.
@@ -185,20 +97,66 @@ object Serve {
       .getOrElse(sys.error(
         s"no input.ndjson[.zst|.xz] under data directory $dataDir"))
 
+  /** The FULL current input set as a comma-separated list: the original
+    * input plus every `append-*.ndjson[.zst|.xz]` committed by the
+    * append CLI ([[Append]] — ≙ the reference's `rhydb append` writing a
+    * new data version next to the existing state). Resolved per
+    * fingerprint/build call so a running server picks appends up on its
+    * normal hot-swap path.
+    */
+  private[tools] def currentInput(dataDir: String): String =
+    (Seq(inputPath(dataDir)) ++
+      Option(new java.io.File(dataDir).list()).getOrElse(Array())
+        .filter(n => n.startsWith("append-") &&
+          (n.endsWith(".ndjson") || n.endsWith(".ndjson.zst") ||
+            n.endsWith(".ndjson.xz")))
+        .sorted.map(n => new java.io.File(dataDir, n).getPath))
+      .mkString(",")
+
   /** Boot the server from resolved settings: starts listening
     * immediately (503 + Retry-After until the first catalog build
     * commits), loads in the background, hot-swaps on input change.
     * Returns the running server; the caller owns `stop()`.
     */
+  /** A synchronized access-log sink appending to `path`, rotating to
+    * `path.1` once the live file reaches `maxBytes` (one rotated
+    * generation — bounded disk for the reference's long-running
+    * deployment shape; operators tail the live file). Writes are
+    * open-append-close per line: crash-safe, and access-log volume is
+    * request-bounded, never row-bounded.
+    */
+  def rotatingSink(path: String, maxBytes: Long): String => Unit = {
+    val lock = new Object
+    line => lock.synchronized {
+      val p = java.nio.file.Paths.get(path)
+      try {
+        if (java.nio.file.Files.exists(p) &&
+            java.nio.file.Files.size(p) >= maxBytes)
+          java.nio.file.Files.move(p, java.nio.file.Paths.get(path + ".1"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.writeString(p, line + "\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      } catch {
+        // the log must never take the server down
+        case t if scala.util.control.NonFatal(t) =>
+          System.err.println(s"[serve] access-log write failed: ${t.getMessage}")
+      }
+    }
+  }
+
   def boot(spark: SparkSession, m: Map[String, String],
       accessSink: String => Unit = line => println(s"[access] $line"))
       : QueryServer = {
     val dataDir = m.getOrElse("dataDirectory",
       sys.error("dataDirectory is required (--data-directory <dir>)"))
-    val ndjson = inputPath(dataDir)
+    inputPath(dataDir) // fail fast when the base input is missing
     val inner = QueryServer.cachedSupplier(
-      () => Database.inputFingerprint(spark, ndjson),
-      _ => Database.build(spark, dataDir, ndjson,
+      // the input set is re-resolved per fingerprint/build: an appended
+      // `append-*.ndjson` commit changes the fingerprint and hot-swaps
+      // exactly like an edited input file
+      () => Database.inputFingerprint(spark, currentInput(dataDir)),
+      _ => Database.build(spark, dataDir, currentInput(dataDir),
         stateDir = Some(new java.io.File(dataDir, "state").getPath)))
     @volatile var bootFailure: Option[Throwable] = None
     @volatile var ready = false
@@ -209,7 +167,15 @@ object Serve {
       inner()
     }
     val port = m.get("api.port").map(_.trim.toInt).getOrElse(8081)
-    val server = new QueryServer(supplier, port, serverConfig(m, accessSink))
+    // `api.accessLogFile` routes the access log to a size-rotated file
+    // instead of the caller's sink (stdout by default)
+    val sink: String => Unit = m.get("api.accessLogFile") match {
+      case Some(f) => rotatingSink(f,
+        m.get("api.accessLogMaxBytes").map(_.trim.toLong)
+          .getOrElse(10L * 1024 * 1024))
+      case None => accessSink
+    }
+    val server = new QueryServer(supplier, port, serverConfig(m, sink))
     server.start()
     // the loader RETRIES until the first build commits: a transient
     // failure (input still being copied, flaky storage) must not poison
@@ -217,15 +183,23 @@ object Serve {
     // AND through the supplier (500s carry the message) until a later
     // attempt succeeds and the normal hot-swap takes over
     val loader = new Thread(() => {
-      while (!ready) {
-        try { inner(); bootFailure = None; ready = true }
-        catch {
-          case t: Throwable =>
-            bootFailure = Some(t)
-            System.err.println(s"[serve] database load failed " +
-              s"(retrying in 10s): ${t.getMessage}")
-            Thread.sleep(10000)
+      try {
+        while (!ready) {
+          // NonFatal only: an OutOfMemoryError (or other fatal) must
+          // crash the loader loudly, not silently retry forever; an
+          // interrupt (shutdown) exits the loop instead of being
+          // swallowed by the catch
+          try { inner(); bootFailure = None; ready = true }
+          catch {
+            case t if scala.util.control.NonFatal(t) =>
+              bootFailure = Some(t)
+              System.err.println(s"[serve] database load failed " +
+                s"(retrying in 10s): ${t.getMessage}")
+              Thread.sleep(10000)
+          }
         }
+      } catch {
+        case _: InterruptedException => Thread.currentThread().interrupt()
       }
     }, "graft-serve-bootstrap")
     loader.setDaemon(true)

@@ -711,5 +711,109 @@ class QueryServerSpec extends SparkSpec {
     } finally s.stop()
   }
 
+  test("rotating access-log sink rolls to .1 at the size cap and never " +
+    "grows unbounded") {
+    import graft.tools.Serve
+    val f = java.nio.file.Files.createTempDirectory("alog")
+      .resolve("access.log")
+    val sink = Serve.rotatingSink(f.toString, 64)
+    (1 to 40).foreach(i => sink(s"POST /query 200 ${i}ms"))
+    assert(java.nio.file.Files.exists(f))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(f.toString + ".1")))
+    // live file stays under cap + one line; exactly one rotated gen
+    assert(java.nio.file.Files.size(f) < 64 + 32)
+    assert(java.nio.file.Files.readString(f).nonEmpty)
+  }
+
+  test("append CLI: batch validated then committed as append-<seq>; the " +
+    "live server hot-swaps; duplicate pks abort with state untouched") {
+    import graft.tools.{Append, Serve}
+    // CLI/env spellings derive mechanically, like Serve's
+    assert(Append.cliName("appendFile") === "--append-file")
+    assert(Append.envName("appendFile") === "GRAFT_APPEND_FILE")
+    assert(Append.resolve(Seq("--data-directory", "/x"),
+      Map("GRAFT_APPEND_FILE" -> "/y")) ===
+      Map("dataDirectory" -> "/x", "appendFile" -> "/y"))
+    val base = "/root/reference/testBaseData/unitTestDummyDataset"
+    val dataDir = java.nio.file.Files.createTempDirectory("appenddata")
+    Seq("database_config.yaml", "reference_genomes.json", "input.ndjson",
+      "phylogenetic_tree.nwk", "test_lineage_definition.yaml").foreach(f =>
+      java.nio.file.Files.copy(java.nio.file.Paths.get(base, f),
+        dataDir.resolve(f)))
+    // the batch: two fresh-pk clones of the dataset's first record
+    val first = java.nio.file.Files.readAllLines(
+      dataDir.resolve("input.ndjson")).get(0)
+    assert(first.contains("\"primaryKey\":\"key1\""))
+    val batch = java.nio.file.Files.createTempFile("batch", ".ndjson")
+    java.nio.file.Files.writeString(batch,
+      first.replace("\"primaryKey\":\"key1\"", "\"primaryKey\":\"keyA1\"") +
+        "\n" +
+        first.replace("\"primaryKey\":\"key1\"", "\"primaryKey\":\"keyA2\"") +
+        "\n")
+    val s = Serve.boot(spark, Map(
+      "dataDirectory" -> dataDir.toString, "api.port" -> "0"))
+    try {
+      def count(): (Int, Long) = {
+        val r = http.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${s.boundPort}/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            "default.groupBy({c := count()})")).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), if (r.statusCode() == 200)
+          r.body().trim.stripPrefix("{\"c\":").stripSuffix("}").toLong
+        else -1L)
+      }
+      val deadline = System.nanoTime() + 120_000_000_000L
+      var (code, n0) = count()
+      while (code == 503 && System.nanoTime() < deadline) {
+        Thread.sleep(250); val r = count(); code = r._1; n0 = r._2
+      }
+      assert(code === 200)
+      // append THROUGH THE CLI while the server is live
+      val (file, appended) = Append.run(spark, Map(
+        "dataDirectory" -> dataDir.toString,
+        "appendFile" -> batch.toString))
+      assert(appended === 2L)
+      assert(file === "append-000001.ndjson")
+      assert(java.nio.file.Files.exists(dataDir.resolve(file)))
+      // the server hot-swaps on its next fingerprint check — no restart
+      var (c2, n2) = count()
+      while ((c2 != 200 || n2 != n0 + 2) && System.nanoTime() < deadline) {
+        Thread.sleep(250); val r = count(); c2 = r._1; n2 = r._2
+      }
+      assert(n2 === n0 + 2, s"hot swap after append: $n2 vs ${n0 + 2}")
+      // a batch duplicating an EXISTING key (even one from a previous
+      // append) aborts BEFORE committing anything — reference abort
+      // semantics, incremental_preprocessing.md
+      val dup = java.nio.file.Files.createTempFile("dup", ".ndjson")
+      java.nio.file.Files.writeString(dup,
+        first.replace("\"primaryKey\":\"key1\"", "\"primaryKey\":\"keyB1\"") +
+          "\n" +
+          first.replace("\"primaryKey\":\"key1\"", "\"primaryKey\":\"keyA2\"") +
+          "\n")
+      intercept[graft.sources.NdjsonIngest.DuplicatePrimaryKey] {
+        Append.run(spark, Map("dataDirectory" -> dataDir.toString,
+          "appendFile" -> dup.toString))
+      }
+      assert(!java.nio.file.Files.exists(
+        dataDir.resolve("append-000002.ndjson")),
+        "aborted append must leave the state untouched")
+      assert(count()._2 === n0 + 2)
+      // stdin path (no --append-file), like the reference's pipe form
+      val (file2, n3) = Append.run(spark,
+        Map("dataDirectory" -> dataDir.toString),
+        stdin = () => new java.io.ByteArrayInputStream(
+          (first.replace("\"primaryKey\":\"key1\"",
+            "\"primaryKey\":\"keyC1\"") + "\n").getBytes("UTF-8")))
+      assert(n3 === 1L && file2 === "append-000002.ndjson")
+      var n4 = count()._2
+      while (n4 != n0 + 3 && System.nanoTime() < deadline) {
+        Thread.sleep(250); n4 = count()._2
+      }
+      assert(n4 === n0 + 3)
+    } finally s.stop()
+  }
+
   override def afterAll(): Unit = { srv.stop(); super.afterAll() }
 }
