@@ -41,6 +41,29 @@ object AnnIndex {
       books: Array[Array[Array[Double]]],
       layers: Seq[String])
 
+  /** GENERATION indirection for zero-downtime retrains: when
+    * `<root>/current` exists it names the live generation subdirectory
+    * (`gen-<n>`), and every public entry point resolves through it —
+    * [[rebuildSwap]] builds the next generation beside the live one and
+    * flips the pointer atomically, so a reader either sees the old
+    * generation (intact on disk) or the new one, never a torn index.
+    * Indexes without the pointer keep the flat layout (resolve is the
+    * identity, and a resolved generation dir never contains a pointer,
+    * so resolution is idempotent).
+    */
+  private def resolveDir(root: String): String = {
+    val p = java.nio.file.Paths.get(root, "current")
+    if (!java.nio.file.Files.exists(p)) root
+    else s"$root/${java.nio.file.Files.readString(p).trim}"
+  }
+
+  private def currentGen(root: String): Long = {
+    val p = java.nio.file.Paths.get(root, "current")
+    if (!java.nio.file.Files.exists(p)) 0L
+    else scala.util.Try(java.nio.file.Files.readString(p).trim
+      .stripPrefix("gen-").toLong).getOrElse(0L)
+  }
+
   private def metaPath(indexDir: String) =
     java.nio.file.Paths.get(indexDir, "meta")
 
@@ -54,11 +77,16 @@ object AnnIndex {
       .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
 
   /** Every feed tag committed on any codes layer. */
-  def tags(indexDir: String): Set[String] =
-    entries(indexDir).flatMap(graft.operators.BandChain.tagsOf).toSet
+  def tags(root: String): Set[String] =
+    entries(resolveDir(root)).flatMap(graft.operators.BandChain.tagsOf).toSet
 
-  /** The committed index, or None when nothing was ever committed. */
-  def load(spark: SparkSession, indexDir: String): Option[Handle] = {
+  /** The committed index, or None when nothing was ever committed. The
+    * returned Handle pins the RESOLVED generation dir: handle-driven
+    * reads keep working off the old generation's files across a
+    * concurrent [[rebuildSwap]].
+    */
+  def load(spark: SparkSession, root: String): Option[Handle] = {
+    val indexDir = resolveDir(root)
     if (!java.nio.file.Files.exists(metaPath(indexDir))) return None
     val layers = entries(indexDir).map(graft.operators.BandChain.nameOf)
     val cents = spark.read.parquet(s"$indexDir/model/centroids")
@@ -139,9 +167,19 @@ object AnnIndex {
     new java.util.concurrent.ConcurrentHashMap[(String, String), Option[String]]()
 
   def requireBalanced(spark: SparkSession, indexDir: String,
-      layers: Seq[String], factor: Double = 4.0): Unit = {
+      layers: Seq[String], factor: Double = 4.0): Unit =
+    imbalanceReason(spark, indexDir, layers, factor)
+      .foreach(msg => throw new IllegalStateException(msg))
+
+  /** The watermark verdict without the throw — Some(reason) when the
+    * corpus outgrew the frozen quantizer. [[syncFromFeed]]'s
+    * rebuildOnImbalance mode consults this to turn the loud failure into
+    * a zero-downtime [[rebuildSwap]].
+    */
+  def imbalanceReason(spark: SparkSession, indexDir: String,
+      layers: Seq[String], factor: Double = 4.0): Option[String] = {
     if (balanceCache.size > 1024) balanceCache.clear() // stale-chain keys
-    val verdict = balanceCache.computeIfAbsent(
+    balanceCache.computeIfAbsent(
       (indexDir, s"$factor|${layers.mkString(",")}"), _ => {
         for {
           base <- cellBaseline(indexDir)
@@ -153,7 +191,6 @@ object AnnIndex {
           s"baseline $base) — the corpus outgrew the frozen quantizer; " +
           "run AnnIndex.rebuild with a cell count sized to the current corpus"
       })
-    verdict.foreach(msg => throw new IllegalStateException(msg))
   }
 
   /** Retrain IN PLACE with a fresh quantizer sized to TODAY's corpus —
@@ -165,8 +202,9 @@ object AnnIndex {
     * instead.
     */
   def rebuild(spark: SparkSession, emb: DataFrame, idCol: String,
-      vecCol: String, indexDir: String, dim: Int, cells: Int, m: Int,
+      vecCol: String, root: String, dim: Int, cells: Int, m: Int,
       k: Int, iters: Int = 2, tag: Option[String] = None): Handle = {
+    val indexDir = resolveDir(root)
     java.nio.file.Files.deleteIfExists(metaPath(indexDir))
     Seq("model", "codes", "cellstats", "cellbase").foreach(d =>
       org.apache.commons.io.FileUtils.deleteQuietly(
@@ -174,8 +212,37 @@ object AnnIndex {
     // a rebuilt generation may reuse layer names: drop this dir's cached
     // balance verdicts (they described the old generation's sidecars)
     balanceCache.keySet.removeIf(_._1 == indexDir)
-    buildOrLoad(spark, emb, idCol, vecCol, indexDir, dim, cells, m, k,
-      iters, tag)
+    val h = buildOrLoad(spark, emb, idCol, vecCol, indexDir, dim, cells,
+      m, k, iters, tag)
+    // invalidate AGAIN after the build commits: a concurrent balance
+    // check racing the window between the deletion above and the new
+    // meta commit could have cached a vacuous verdict under a chain key
+    // the rebuilt generation reuses ("1"), silently disabling the
+    // watermark for the new index
+    balanceCache.keySet.removeIf(_._1 == indexDir)
+    h
+  }
+
+  /** ZERO-DOWNTIME retrain: build the NEXT GENERATION (`gen-<n+1>`)
+    * beside the live one with a fresh quantizer, then flip the
+    * `<root>/current` pointer atomically. Readers holding a loaded
+    * Handle keep working off the old generation's files (nothing of it
+    * is deleted); new loads resolve to the new generation. The first
+    * swap of a flat-layout index leaves the old flat files in place as
+    * orphans (reclaim manually once drained).
+    */
+  def rebuildSwap(spark: SparkSession, emb: DataFrame, idCol: String,
+      vecCol: String, root: String, dim: Int, cells: Int, m: Int,
+      k: Int, iters: Int = 2, tag: Option[String] = None): Handle = {
+    val next = s"gen-${currentGen(root) + 1}"
+    val h = buildOrLoad(spark, emb, idCol, vecCol, s"$root/$next",
+      dim, cells, m, k, iters, tag)
+    val tmp = java.nio.file.Paths.get(root, ".current.tmp")
+    java.nio.file.Files.writeString(tmp, next)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(root, "current"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    h
   }
 
   private def commitMeta(indexDir: String, layers: Seq[String]): Unit = {
@@ -229,8 +296,9 @@ object AnnIndex {
     * replay contract as the band chains).
     */
   def append(spark: SparkSession, newEmb: DataFrame, idCol: String,
-      vecCol: String, indexDir: String,
+      vecCol: String, root: String,
       tag: Option[String] = None): Handle = {
+    val indexDir = resolveDir(root)
     val h = load(spark, indexDir).getOrElse(
       throw new IllegalStateException(s"no committed index at $indexDir"))
     if (tag.exists(tags(indexDir))) return h
@@ -260,9 +328,10 @@ object AnnIndex {
     * layer bound — the physical half of the delete lifecycle
     * (search-time `live = …` filtering is the logical half).
     */
-  def compactCodes(spark: SparkSession, indexDir: String,
+  def compactCodes(spark: SparkSession, root: String,
       maxLayers: Int = 8,
       live: Option[org.apache.spark.sql.DataFrame] = None): Boolean = {
+    val indexDir = resolveDir(root)
     val h = load(spark, indexDir).getOrElse(
       throw new IllegalStateException(s"no committed index at $indexDir"))
     if (h.layers.isEmpty ||
@@ -306,7 +375,8 @@ object AnnIndex {
     * contract as `NdjsonIngest.gcVersions`: call once in-flight readers
     * of the superseded chain have drained. Returns deleted dir names.
     */
-  def gcCodes(indexDir: String): Seq[String] = {
+  def gcCodes(root: String): Seq[String] = {
+    val indexDir = resolveDir(root)
     if (!java.nio.file.Files.exists(metaPath(indexDir)))
       throw new IllegalStateException(s"no committed index at $indexDir")
     // meta-only read: the committed layer names are all gc needs — loading
@@ -337,7 +407,13 @@ object AnnIndex {
   def syncFromFeed(spark: SparkSession, tableDir: String, indexDir: String,
       stateDir: String, idCol: String, vecCol: String,
       dim: Int, cells: Int, m: Int, k: Int,
-      iters: Int = 2): Option[(Long, Long)] = {
+      iters: Int = 2,
+      // when set, a post-tick watermark trip triggers [[rebuildSwap]]
+      // (next generation sized to today's corpus, atomic pointer flip)
+      // instead of leaving the index to fail search loudly — turning
+      // the watermark into zero-downtime maintenance
+      rebuildOnImbalance: Boolean = false,
+      balanceFactor: Double = 4.0): Option[(Long, Long)] = {
     import graft.sources.{ChangeFeedConsumer, NdjsonIngest}
     // PINNED reads: the tick's live set is resolved as of the tick's head
     // commit, never "latest" — a commit landing mid-tick would otherwise be
@@ -358,8 +434,8 @@ object AnnIndex {
     // poll, not only ticks with new data, so a feed that goes idle after a
     // delete still reclaims the tombstoned vectors' codes one poll later
     gcCodes(indexDir)
-    ChangeFeedConsumer.processWithRange(spark, tableDir, idCol, stateDir) {
-      (feed, range) =>
+    val res = ChangeFeedConsumer.processWithRange(spark, tableDir, idCol,
+      stateDir) { (feed, range) =>
       // the chain may already cover the whole range (bootstrap-crash
       // replay: index + feed:0-N tag committed, cursor write lost) — skip
       // the work; processWithRange still advances the cursor. (A `return`
@@ -379,8 +455,10 @@ object AnnIndex {
         val miss =
           if (h.layers.isEmpty) live // purge emptied the chain: re-encode all
           else {
-            val have = spark.read.option("basePath", s"$indexDir/codes")
-              .parquet(h.layers.map(l => s"$indexDir/codes/layer=$l"): _*)
+            // h.indexDir, not the root: the handle pins the resolved
+            // generation the codes actually live in
+            val have = spark.read.option("basePath", s"${h.indexDir}/codes")
+              .parquet(h.layers.map(l => s"${h.indexDir}/codes/layer=$l"): _*)
               .select(col("id")).distinct()
             live.join(have.toDF("__have"),
               col(idCol) === col("__have"), "left_anti")
@@ -397,6 +475,25 @@ object AnnIndex {
             tag = Some(s"feed:$covered-${range._2}"))
       }
     }
+    // auto-retrain: once the tick is in, a tripped watermark builds the
+    // NEXT GENERATION with a cell count sized to TODAY's corpus (target
+    // rows/cell = the old build-time baseline) and swaps the pointer —
+    // searches against already-loaded handles keep working off the old
+    // generation; the new tag re-covers the whole feed so a replayed
+    // tick never re-encodes
+    if (rebuildOnImbalance) load(spark, indexDir).foreach { h =>
+      if (imbalanceReason(spark, h.indexDir, h.layers,
+          balanceFactor).isDefined) {
+        val head = NdjsonIngest.commits(tableDir).lastOption.getOrElse(0L)
+        val live = liveEmb(head).localCheckpoint()
+        val target = math.max(64L, cellBaseline(h.indexDir).getOrElse(64L))
+        val cellsNow = math.max(cells,
+          math.ceil(live.count().toDouble / target).toInt)
+        rebuildSwap(spark, live, idCol, vecCol, indexDir, dim, cellsNow,
+          m, k, iters, tag = Some(s"feed:0-$head"))
+      }
+    }
+    res
   }
 
   /** IVF-PQ search against the PERSISTED codes: partition-pruned scan of

@@ -418,6 +418,72 @@ class AnnIndexSpec extends SparkSpec {
     assert(afterWipe === Set(2000L))
   }
 
+  test("syncFromFeed(rebuildOnImbalance): a watermark trip swaps a fresh " +
+    "generation atomically; search stays correct throughout") {
+    import graft.sources.NdjsonIngest
+    val base = Files.createTempDirectory("annswap").toString
+    val tableDir = s"$base/emb"; val idxDir = s"$base/idx"
+    val cursorDir = s"$base/cursor"
+    def sync() = AnnIndex.syncFromFeed(spark, tableDir, idxDir, cursorDir,
+      "vec_id", "embedding", dim, cells = 4, m = 2, k = 8, iters = 3,
+      rebuildOnImbalance = true)
+    NdjsonIngest.appendVersion(vecs.toDF("vec_id", "embedding"),
+      tableDir, "vec_id") // c1
+    assert(sync().contains((0L, 1L)))
+    val h0 = AnnIndex.load(spark, idxDir).get
+    // grow ONE frozen cell past the 4×max(base,64) bound: identical
+    // vectors land in the same cell deterministically
+    NdjsonIngest.appendDelta((1000L until 1300L).map(i =>
+      (i, Array.tabulate(dim)(j => if (j < 2) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding"), tableDir, "vec_id") // c2
+    assert(sync().contains((1L, 2L)))
+    // the sync detected the imbalance and SWAPPED: a generation pointer
+    // now resolves loads, and the new handle passes the watermark
+    assert(Files.exists(java.nio.file.Paths.get(idxDir, "current")))
+    val h1 = AnnIndex.load(spark, idxDir).get
+    assert(h1.indexDir !== h0.indexDir)
+    assert(AnnIndex.imbalanceReason(spark, h1.indexDir, h1.layers).isEmpty)
+    // the OLD generation's files are untouched — a reader holding the
+    // pre-swap handle keeps serving (its own watermark would trip, which
+    // is exactly the pre-swap contract; its files still exist)
+    assert(Files.exists(java.nio.file.Paths.get(h0.indexDir, "meta")))
+    // search against the new generation matches exhaustive top-5
+    val all = (vecs ++ (1000L until 1300L).map(i =>
+      (i, Array.tabulate(dim)(j => if (j < 2) 1.0f else 0.0f))))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val probeIds = Seq(30L, 55L)
+    val probes = vecs.filter(v => probeIds.contains(v._1))
+      .map { case (id, v) => (id, v.map(_.toDouble)) }
+    val got = AnnIndex.search(spark, h1, all, "vec_id", "embedding",
+      probes, k = 5, nprobe = 2, refine = 40)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val exact = all.as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val want = probes.flatMap { case (qid, qv) =>
+      exact.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qv.map(_.toFloat), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5)
+        .map { case (id, _) => (qid, id) }
+    }.toSet
+    assert(got === want)
+    // later ticks keep syncing into the NEW generation (no re-encode of
+    // the already-covered feed)
+    NdjsonIngest.appendDelta(
+      Seq((2000L, vecs(30)._2.clone())).toDF("vec_id", "embedding"),
+      tableDir, "vec_id") // c3
+    assert(sync().contains((2L, 3L)))
+    val h2 = AnnIndex.load(spark, idxDir).get
+    assert(h2.indexDir === h1.indexDir)
+    val codes = spark.read.option("basePath", s"${h2.indexDir}/codes")
+      .parquet(h2.layers.map(l => s"${h2.indexDir}/codes/layer=$l"): _*)
+    assert(codes.groupBy("id").count().select("count").distinct()
+      .as[Long].collect().toSet === Set(1L))
+  }
+
   test("search prunes unprobed cell partitions at the scan") {
     val dir = Files.createTempDirectory("annidx").toString + "/idx"
     val h = AnnIndex.buildOrLoad(spark, emb, "vec_id", "embedding", dir,
