@@ -520,7 +520,10 @@ final class Planner(catalog: Planner.Catalog) {
     */
   final case class Tbl(df: DataFrame, origin: Option[String],
       sortedScan: Option[SortedScan] = None,
-      zone: Option[ZonePred] = None)
+      zone: Option[ZonePred] = None,
+      // a unionAll's (left, right) pipeline values: a following filter
+      // pushes into both children so each registered side keeps routing
+      union: Option[(Tbl, Tbl)] = None)
 
   /** The filter stage's note to a following orderBy+limit: EVERY conjunct
     * of the predicate was stats-decidable (range / string equality /
@@ -612,6 +615,264 @@ final class Planner(catalog: Planner.Catalog) {
     chain <- frameLayers(in.df, dir)
     if graft.sources.NdjsonIngest.chainMergeFree(dir, chain)
   } yield ZonePred(dir, chain, in.df.schema, None, Nil, Nil, Nil)
+
+  /** Apply filter(pred) to a pipeline value, pushing through
+    * unionAll children first (≙ the reference pushing filters into
+    * both union inputs, optimizer/filter_pushdown_pass.h:22-49): each
+    * registered side zone-routes independently, and the rebuilt
+    * union carries its routed children for further stacked filters.
+    */
+  private def filterStage(in: Tbl, pred: Expr): Tbl = in.union match {
+    case Some((l, r)) =>
+      val fl = filterStage(l, pred)
+      val fr = filterStage(r, pred)
+      Tbl(fl.df.union(fr.df), None, union = Some((fl, fr)))
+    case None => filterOne(in, pred)
+  }
+
+  /** The filter pipeline stage over one (non-union) input — the
+    * whole routing stack: zone maps, stacked-note extension,
+    * merge-on-read shadows, disjunction arms, posting indexes, and
+    * the residual row-wise predicate. [[filterStage]] recurses into
+    * union children before landing here.
+    */
+  private def filterOne(in: Tbl, pred: Expr): Tbl = {
+    // index routing (≙ the reference's IndexScan-vs-Selection choice,
+    // symbol_in_set.cpp:129-264): top-level AND-conjuncts that are
+    // PURE diff-match symbol tests — target symbols exclude the
+    // implied (local-reference) symbol and the missing symbol, so no
+    // complement/missing clause is needed — and whose posting
+    // cardinality is small route through the mut index as a pruned
+    // posting scan + pk semi-join; everything else stays row-wise
+    def conjuncts(e: Expr): Seq[Expr] = e match {
+      case Binary("&&", l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    // layer (zone-map) routing: when the input is the BARE scan of a
+    // table registered with a versioned dir, the first top-level
+    // numeric/date between/equality conjunct swaps the scan for the
+    // stats-pruned layer chain. Layers whose recorded [min, max]
+    // can't intersect never open a footer; the chain is a SUPERSET of
+    // the matching rows and EVERY conjunct still applies row-wise
+    // below, so this is pure scan narrowing, never a semantic change.
+    // The chain is derived from the REGISTERED FRAME'S OWN input
+    // files (not re-resolved from the latest pointer), so a commit
+    // racing the plan can neither skew the routed read vs the
+    // unrouted one nor slip a new layer past the merge-free check —
+    // both run over the same captured chain. The pure conjunct-shape
+    // check runs FIRST; the filesystem checks only when something
+    // can actually route.
+    val zoned: Option[(Tbl, Option[ZonePred])] = for {
+      t <- in.origin
+      dir <- catalog.versionedDirs.get(t)
+      if catalog.tables.get(t).exists(_ eq in.df)
+      // EVERY routable conjunct narrows the chain (a layer must
+      // intersect all of them), not just the first; string
+      // equality/in-set conjuncts prune on lexicographic envelopes
+      ranges = conjuncts(pred).flatMap(rangeConjunct(_, in.df))
+      strEqs = conjuncts(pred).flatMap(stringEqConjunct(_, in.df))
+      nullCs = conjuncts(pred).flatMap(nullConjunct(_, in.df))
+      // disjunctive conjuncts prune on the UNION of their arms'
+      // envelopes (scan narrowing only — they never join the note)
+      orGs = conjuncts(pred).flatMap(orArms(_, in.df))
+      if ranges.nonEmpty || strEqs.nonEmpty || nullCs.nonEmpty ||
+        orGs.nonEmpty
+      chain <- frameLayers(in.df, dir)
+      // upsert/tombstone layers need the merge-on-read reader; the
+      // raw pruned chain would un-merge them, so stay on the
+      // registered frame (conservative, always sound)
+      if graft.sources.NdjsonIngest.chainMergeFree(dir, chain)
+    } yield {
+      val routed = Tbl(graft.sources.NdjsonIngest
+        .readChainRanges(in.df.sparkSession, dir, chain, ranges, strEqs,
+          // schema pinned with the chain: a schema-evolution commit
+          // racing the plan must not give the routed scan columns the
+          // registered frame lacks
+          pinSchema = Some(in.df.schema),
+          nullCols = nullCs.collect { case (c, true) => c },
+          notNullCols = nullCs.collect { case (c, false) => c },
+          orGroups = orGs),
+        in.origin)
+      // top-k composition note: only when EVERY conjunct is one of
+      // the stats-decidable shapes can a later orderBy+limit bound
+      // its read through this filter (an opaque conjunct would make
+      // per-layer qualifying counts unknowable)
+      val note =
+        if (conjuncts(pred).forall(c => rangeConjunct(c, in.df).isDefined ||
+            stringEqConjunct(c, in.df).isDefined ||
+            nullConjunct(c, in.df).isDefined))
+          Some(ZonePred(dir, chain, in.df.schema, Some(pred),
+            ranges, strEqs, nullCs))
+        else None
+      (routed, note)
+    }
+    // merge-on-read zone routing: excluded layers degrade to pk-only
+    // shadow scans (readChainRangesMerged) instead of disqualifying
+    // every storage optimization. A fully-decidable predicate also
+    // leaves a MERGED note (mergedPk set): a later orderBy+limit can
+    // bound the supplying layers via the shadow-loss-aware
+    // chainTopKLayersMerged, while the metadata count/group paths
+    // stay off (recorded layer counts are not merged-result counts).
+    val zonedMerged: Option[(Tbl, Option[ZonePred])] = for {
+      t <- in.origin
+      dir <- catalog.mergedVersionedDirs.get(t)
+      pk <- catalog.primaryKeys.get(t)
+      if catalog.tables.get(t).exists(_ eq in.df)
+      ranges = conjuncts(pred).flatMap(rangeConjunct(_, in.df))
+      strEqs = conjuncts(pred).flatMap(stringEqConjunct(_, in.df))
+      nullCs = conjuncts(pred).flatMap(nullConjunct(_, in.df))
+      orGs = conjuncts(pred).flatMap(orArms(_, in.df))
+      if ranges.nonEmpty || strEqs.nonEmpty || nullCs.nonEmpty ||
+        orGs.nonEmpty
+      chain <- frameLayersMerged(in.df, dir)
+    } yield {
+      val routed = Tbl(graft.sources.NdjsonIngest
+        .readChainRangesMerged(in.df.sparkSession, dir, chain, pk,
+          ranges, strEqs,
+          nullCols = nullCs.collect { case (c, true) => c },
+          notNullCols = nullCs.collect { case (c, false) => c },
+          pinSchema = Some(in.df.schema),
+          orGroups = orGs),
+        in.origin)
+      val note =
+        if (conjuncts(pred).forall(c => rangeConjunct(c, in.df).isDefined ||
+            stringEqConjunct(c, in.df).isDefined ||
+            nullConjunct(c, in.df).isDefined))
+          Some(ZonePred(dir, chain, in.df.schema, Some(pred),
+            ranges, strEqs, nullCs, mergedPk = Some(pk)))
+        else None
+      (routed, note)
+    }
+    // STACKED / POST-STAGE filter composition (≙ the reference's
+    // FilterPushdownPass folding EVERY filter into the scan
+    // regardless of interleaving, optimizer/filter_pushdown_pass.h:
+    // 22-49): when the input carries a ZonePred note — a previous
+    // fully-decidable filter, possibly followed by row-membership-
+    // invariant project/map stages — new stats-decidable conjuncts
+    // extend the note's conjunct lists and the whole prefix re-plans
+    // over the further-narrowed chain: scan → prior row-wise
+    // predicate → post-stage replay reproduces the input frame
+    // exactly, so the new predicate still applies row-wise below.
+    // Decidability here additionally requires the conjunct's column
+    // to be a field of the PINNED SCAN SCHEMA: a map-added column
+    // (or a post-projection alias) may share its name with a dead
+    // schema-evolution column some layers still carry stats for, and
+    // pruning on those stats would answer from the dead column's
+    // values. Conjuncts failing the test stay row-wise-only (the
+    // scan still narrows on the decidable ones; the note drops).
+    val rezoned: Option[(Tbl, Option[ZonePred])] =
+      if (zoned.isDefined) None
+      // merged notes don't re-route: readChainRanges is append-only
+      // machinery; the first merged filter already narrowed the scan
+      else in.zone.filter(_.mergedPk.isEmpty).flatMap { zp =>
+        val scanCols = zp.schema.fieldNames.toSet
+        val cs = conjuncts(pred)
+        def dRange(c: Expr) =
+          rangeConjunct(c, in.df).filter(r => scanCols(r._1))
+        def dStr(c: Expr) =
+          stringEqConjunct(c, in.df).filter(s => scanCols(s._1))
+        def dNull(c: Expr) =
+          nullConjunct(c, in.df).filter(n => scanCols(n._1))
+        val ranges = cs.flatMap(dRange(_))
+        val strEqs = cs.flatMap(dStr(_))
+        val nullCs = cs.flatMap(dNull(_))
+        val orGs = cs.flatMap(orArms(_, in.df, Some(scanCols)))
+        if (ranges.isEmpty && strEqs.isEmpty && nullCs.isEmpty &&
+          orGs.isEmpty) None
+        else {
+          val allR = zp.ranges ++ ranges
+          val allS = zp.strEqs ++ strEqs
+          val allN = zp.nullCs ++ nullCs
+          val scan = graft.sources.NdjsonIngest.readChainRanges(
+            in.df.sparkSession, zp.dir, zp.chain, allR, allS,
+            pinSchema = Some(zp.schema),
+            nullCols = allN.collect { case (c, true) => c },
+            notNullCols = allN.collect { case (c, false) => c },
+            orGroups = orGs)
+          val prior = zp.pred.map(p =>
+            scan.filter(scalar(p, scan, Ambiguity.ModeNone, in.origin)))
+            .getOrElse(scan)
+          val replayed = zp.post.foldLeft(prior) {
+            case (d, PostProject(cols)) => d.select(cols.map(col): _*)
+            case (d, PostMap(items, org)) =>
+              items.foldLeft(d) { case (dd, (nm, v)) =>
+                dd.withColumn(nm, scalar(v, dd, Ambiguity.ModeNone, org))
+              }
+          }
+          // the combined note (count/top-k bounds) needs EVERY new
+          // conjunct decidable over scan columns; the combined
+          // predicate applies PRE-replay in any rewrite — sound
+          // because decidable conjuncts only touch scan columns,
+          // whose values no carried post stage can change
+          val note =
+            if (cs.forall(c => dRange(c).isDefined ||
+                dStr(c).isDefined || dNull(c).isDefined))
+              Some(zp.copy(
+                pred = Some(zp.pred
+                  .map(p => Binary("&&", p, pred)).getOrElse(pred)),
+                ranges = allR, strEqs = allS, nullCs = allN))
+            else None
+          Some((Tbl(replayed, in.origin), note))
+        }
+      }
+    val in2: Tbl = zoned.map(_._1).orElse(rezoned.map(_._1))
+      .orElse(zonedMerged.map(_._1)).getOrElse(in)
+    val zoneNote: Option[ZonePred] =
+      zoned.flatMap(_._2).orElse(rezoned.flatMap(_._2))
+        .orElse(zonedMerged.flatMap(_._2))
+    val idxCtx = for {
+      t <- in2.origin
+      m <- catalog.mutIndexes.get(t) if m.nonEmpty
+      pk <- catalog.primaryKeys.get(t)
+    } yield (m, pk)
+    val (base, rest) = idxCtx match {
+      case Some((indexes, pk)) if in2.df.columns.contains(pk) =>
+        val tagged = conjuncts(pred).map(c =>
+          indexRoute(c, indexes, Ambiguity.ModeNone, in.origin) -> c)
+        val routed = tagged.collect { case (Some(r), _) => r }
+        val rowwise = tagged.collect { case (None, c) => c }
+        val df = routed.foldLeft(in2.df) { (d, r) =>
+          val si = indexes(r.seqName)
+          val keys = (r match {
+            case MutRoute(_, p, symsOpt, _) =>
+              si.postings.filter(col("pos") === p &&
+                symsOpt.map(ss => col("sym").isin(ss: _*)).getOrElse(lit(true)))
+            case InsRoute(_, p, pat, _) =>
+              si.insPostings.get.filter(col("pos") === p &&
+                col("ins").rlike(SeqPredicates.anchoredInsertionRegex(pat)))
+            case InsKmerRoute(_, p, pat, kmers, _) =>
+              // pruned (pos partition) + pushed kmer equality scan →
+              // per-(pk, ins) intersection (candidate iff ALL pattern
+              // 3-mers present) → regex verify on the few candidates
+              si.insKmerPostings.get
+                .filter(col("pos") === p && col("kmer").isin(kmers: _*))
+                .groupBy(col("pk"), col("ins"))
+                .agg(countDistinct(col("kmer")).as("__nk"))
+                .filter(col("__nk") === kmers.size &&
+                  col("ins").rlike(SeqPredicates.anchoredInsertionRegex(pat)))
+          }).select(col("pk").as("__idx_pk"))
+          // the broadcast hint is size-gated, not just row-gated: near
+          // the 5M-row routing cap a pk list (especially string pks)
+          // builds a multi-hundred-MB hash relation on the driver and
+          // every executor; above the hint cap Spark plans the
+          // semi-join itself (shuffled or AQE-converted)
+          val hinted =
+            if (r.postings <= RouteBroadcastMaxRows) broadcast(keys)
+            else keys
+          d.join(hinted, d(pk) === col("__idx_pk"), "left_semi")
+        }
+        (df, rowwise)
+      case _ => (in2.df, conjuncts(pred))
+    }
+    val out =
+      if (rest.isEmpty) base
+      else base.filter(rest
+        .map(scalar(_, base, Ambiguity.ModeNone, in.origin)).reduce(_ && _))
+    // the note survives the filter stage (decidable conjuncts can't
+    // also be index-routed — indexRoute matches only sequence
+    // predicate shapes — so zoneNote implies no semi-join was added)
+    Tbl(out, in.origin, zone = zoneNote)
+  }
 
   def planTable(e: Expr): Tbl = e match {
     case Ident(name) =>
@@ -907,243 +1168,7 @@ final class Planner(catalog: Planner.Catalog) {
     def input: Tbl = planTable(req("input"))
     fn match {
       case "filter" =>
-        val in = input
-        val pred = req("predicate")
-        // index routing (≙ the reference's IndexScan-vs-Selection choice,
-        // symbol_in_set.cpp:129-264): top-level AND-conjuncts that are
-        // PURE diff-match symbol tests — target symbols exclude the
-        // implied (local-reference) symbol and the missing symbol, so no
-        // complement/missing clause is needed — and whose posting
-        // cardinality is small route through the mut index as a pruned
-        // posting scan + pk semi-join; everything else stays row-wise
-        def conjuncts(e: Expr): Seq[Expr] = e match {
-          case Binary("&&", l, r) => conjuncts(l) ++ conjuncts(r)
-          case other => Seq(other)
-        }
-        // layer (zone-map) routing: when the input is the BARE scan of a
-        // table registered with a versioned dir, the first top-level
-        // numeric/date between/equality conjunct swaps the scan for the
-        // stats-pruned layer chain. Layers whose recorded [min, max]
-        // can't intersect never open a footer; the chain is a SUPERSET of
-        // the matching rows and EVERY conjunct still applies row-wise
-        // below, so this is pure scan narrowing, never a semantic change.
-        // The chain is derived from the REGISTERED FRAME'S OWN input
-        // files (not re-resolved from the latest pointer), so a commit
-        // racing the plan can neither skew the routed read vs the
-        // unrouted one nor slip a new layer past the merge-free check —
-        // both run over the same captured chain. The pure conjunct-shape
-        // check runs FIRST; the filesystem checks only when something
-        // can actually route.
-        val zoned: Option[(Tbl, Option[ZonePred])] = for {
-          t <- in.origin
-          dir <- catalog.versionedDirs.get(t)
-          if catalog.tables.get(t).exists(_ eq in.df)
-          // EVERY routable conjunct narrows the chain (a layer must
-          // intersect all of them), not just the first; string
-          // equality/in-set conjuncts prune on lexicographic envelopes
-          ranges = conjuncts(pred).flatMap(rangeConjunct(_, in.df))
-          strEqs = conjuncts(pred).flatMap(stringEqConjunct(_, in.df))
-          nullCs = conjuncts(pred).flatMap(nullConjunct(_, in.df))
-          // disjunctive conjuncts prune on the UNION of their arms'
-          // envelopes (scan narrowing only — they never join the note)
-          orGs = conjuncts(pred).flatMap(orArms(_, in.df))
-          if ranges.nonEmpty || strEqs.nonEmpty || nullCs.nonEmpty ||
-            orGs.nonEmpty
-          chain <- frameLayers(in.df, dir)
-          // upsert/tombstone layers need the merge-on-read reader; the
-          // raw pruned chain would un-merge them, so stay on the
-          // registered frame (conservative, always sound)
-          if graft.sources.NdjsonIngest.chainMergeFree(dir, chain)
-        } yield {
-          val routed = Tbl(graft.sources.NdjsonIngest
-            .readChainRanges(in.df.sparkSession, dir, chain, ranges, strEqs,
-              // schema pinned with the chain: a schema-evolution commit
-              // racing the plan must not give the routed scan columns the
-              // registered frame lacks
-              pinSchema = Some(in.df.schema),
-              nullCols = nullCs.collect { case (c, true) => c },
-              notNullCols = nullCs.collect { case (c, false) => c },
-              orGroups = orGs),
-            in.origin)
-          // top-k composition note: only when EVERY conjunct is one of
-          // the stats-decidable shapes can a later orderBy+limit bound
-          // its read through this filter (an opaque conjunct would make
-          // per-layer qualifying counts unknowable)
-          val note =
-            if (conjuncts(pred).forall(c => rangeConjunct(c, in.df).isDefined ||
-                stringEqConjunct(c, in.df).isDefined ||
-                nullConjunct(c, in.df).isDefined))
-              Some(ZonePred(dir, chain, in.df.schema, Some(pred),
-                ranges, strEqs, nullCs))
-            else None
-          (routed, note)
-        }
-        // merge-on-read zone routing: excluded layers degrade to pk-only
-        // shadow scans (readChainRangesMerged) instead of disqualifying
-        // every storage optimization. A fully-decidable predicate also
-        // leaves a MERGED note (mergedPk set): a later orderBy+limit can
-        // bound the supplying layers via the shadow-loss-aware
-        // chainTopKLayersMerged, while the metadata count/group paths
-        // stay off (recorded layer counts are not merged-result counts).
-        val zonedMerged: Option[(Tbl, Option[ZonePred])] = for {
-          t <- in.origin
-          dir <- catalog.mergedVersionedDirs.get(t)
-          pk <- catalog.primaryKeys.get(t)
-          if catalog.tables.get(t).exists(_ eq in.df)
-          ranges = conjuncts(pred).flatMap(rangeConjunct(_, in.df))
-          strEqs = conjuncts(pred).flatMap(stringEqConjunct(_, in.df))
-          nullCs = conjuncts(pred).flatMap(nullConjunct(_, in.df))
-          orGs = conjuncts(pred).flatMap(orArms(_, in.df))
-          if ranges.nonEmpty || strEqs.nonEmpty || nullCs.nonEmpty ||
-            orGs.nonEmpty
-          chain <- frameLayersMerged(in.df, dir)
-        } yield {
-          val routed = Tbl(graft.sources.NdjsonIngest
-            .readChainRangesMerged(in.df.sparkSession, dir, chain, pk,
-              ranges, strEqs,
-              nullCols = nullCs.collect { case (c, true) => c },
-              notNullCols = nullCs.collect { case (c, false) => c },
-              pinSchema = Some(in.df.schema),
-              orGroups = orGs),
-            in.origin)
-          val note =
-            if (conjuncts(pred).forall(c => rangeConjunct(c, in.df).isDefined ||
-                stringEqConjunct(c, in.df).isDefined ||
-                nullConjunct(c, in.df).isDefined))
-              Some(ZonePred(dir, chain, in.df.schema, Some(pred),
-                ranges, strEqs, nullCs, mergedPk = Some(pk)))
-            else None
-          (routed, note)
-        }
-        // STACKED / POST-STAGE filter composition (≙ the reference's
-        // FilterPushdownPass folding EVERY filter into the scan
-        // regardless of interleaving, optimizer/filter_pushdown_pass.h:
-        // 22-49): when the input carries a ZonePred note — a previous
-        // fully-decidable filter, possibly followed by row-membership-
-        // invariant project/map stages — new stats-decidable conjuncts
-        // extend the note's conjunct lists and the whole prefix re-plans
-        // over the further-narrowed chain: scan → prior row-wise
-        // predicate → post-stage replay reproduces the input frame
-        // exactly, so the new predicate still applies row-wise below.
-        // Decidability here additionally requires the conjunct's column
-        // to be a field of the PINNED SCAN SCHEMA: a map-added column
-        // (or a post-projection alias) may share its name with a dead
-        // schema-evolution column some layers still carry stats for, and
-        // pruning on those stats would answer from the dead column's
-        // values. Conjuncts failing the test stay row-wise-only (the
-        // scan still narrows on the decidable ones; the note drops).
-        val rezoned: Option[(Tbl, Option[ZonePred])] =
-          if (zoned.isDefined) None
-          // merged notes don't re-route: readChainRanges is append-only
-          // machinery; the first merged filter already narrowed the scan
-          else in.zone.filter(_.mergedPk.isEmpty).flatMap { zp =>
-            val scanCols = zp.schema.fieldNames.toSet
-            val cs = conjuncts(pred)
-            def dRange(c: Expr) =
-              rangeConjunct(c, in.df).filter(r => scanCols(r._1))
-            def dStr(c: Expr) =
-              stringEqConjunct(c, in.df).filter(s => scanCols(s._1))
-            def dNull(c: Expr) =
-              nullConjunct(c, in.df).filter(n => scanCols(n._1))
-            val ranges = cs.flatMap(dRange(_))
-            val strEqs = cs.flatMap(dStr(_))
-            val nullCs = cs.flatMap(dNull(_))
-            val orGs = cs.flatMap(orArms(_, in.df, Some(scanCols)))
-            if (ranges.isEmpty && strEqs.isEmpty && nullCs.isEmpty &&
-              orGs.isEmpty) None
-            else {
-              val allR = zp.ranges ++ ranges
-              val allS = zp.strEqs ++ strEqs
-              val allN = zp.nullCs ++ nullCs
-              val scan = graft.sources.NdjsonIngest.readChainRanges(
-                in.df.sparkSession, zp.dir, zp.chain, allR, allS,
-                pinSchema = Some(zp.schema),
-                nullCols = allN.collect { case (c, true) => c },
-                notNullCols = allN.collect { case (c, false) => c },
-                orGroups = orGs)
-              val prior = zp.pred.map(p =>
-                scan.filter(scalar(p, scan, Ambiguity.ModeNone, in.origin)))
-                .getOrElse(scan)
-              val replayed = zp.post.foldLeft(prior) {
-                case (d, PostProject(cols)) => d.select(cols.map(col): _*)
-                case (d, PostMap(items, org)) =>
-                  items.foldLeft(d) { case (dd, (nm, v)) =>
-                    dd.withColumn(nm, scalar(v, dd, Ambiguity.ModeNone, org))
-                  }
-              }
-              // the combined note (count/top-k bounds) needs EVERY new
-              // conjunct decidable over scan columns; the combined
-              // predicate applies PRE-replay in any rewrite — sound
-              // because decidable conjuncts only touch scan columns,
-              // whose values no carried post stage can change
-              val note =
-                if (cs.forall(c => dRange(c).isDefined ||
-                    dStr(c).isDefined || dNull(c).isDefined))
-                  Some(zp.copy(
-                    pred = Some(zp.pred
-                      .map(p => Binary("&&", p, pred)).getOrElse(pred)),
-                    ranges = allR, strEqs = allS, nullCs = allN))
-                else None
-              Some((Tbl(replayed, in.origin), note))
-            }
-          }
-        val in2: Tbl = zoned.map(_._1).orElse(rezoned.map(_._1))
-          .orElse(zonedMerged.map(_._1)).getOrElse(in)
-        val zoneNote: Option[ZonePred] =
-          zoned.flatMap(_._2).orElse(rezoned.flatMap(_._2))
-            .orElse(zonedMerged.flatMap(_._2))
-        val idxCtx = for {
-          t <- in2.origin
-          m <- catalog.mutIndexes.get(t) if m.nonEmpty
-          pk <- catalog.primaryKeys.get(t)
-        } yield (m, pk)
-        val (base, rest) = idxCtx match {
-          case Some((indexes, pk)) if in2.df.columns.contains(pk) =>
-            val tagged = conjuncts(pred).map(c =>
-              indexRoute(c, indexes, Ambiguity.ModeNone, in.origin) -> c)
-            val routed = tagged.collect { case (Some(r), _) => r }
-            val rowwise = tagged.collect { case (None, c) => c }
-            val df = routed.foldLeft(in2.df) { (d, r) =>
-              val si = indexes(r.seqName)
-              val keys = (r match {
-                case MutRoute(_, p, symsOpt, _) =>
-                  si.postings.filter(col("pos") === p &&
-                    symsOpt.map(ss => col("sym").isin(ss: _*)).getOrElse(lit(true)))
-                case InsRoute(_, p, pat, _) =>
-                  si.insPostings.get.filter(col("pos") === p &&
-                    col("ins").rlike(SeqPredicates.anchoredInsertionRegex(pat)))
-                case InsKmerRoute(_, p, pat, kmers, _) =>
-                  // pruned (pos partition) + pushed kmer equality scan →
-                  // per-(pk, ins) intersection (candidate iff ALL pattern
-                  // 3-mers present) → regex verify on the few candidates
-                  si.insKmerPostings.get
-                    .filter(col("pos") === p && col("kmer").isin(kmers: _*))
-                    .groupBy(col("pk"), col("ins"))
-                    .agg(countDistinct(col("kmer")).as("__nk"))
-                    .filter(col("__nk") === kmers.size &&
-                      col("ins").rlike(SeqPredicates.anchoredInsertionRegex(pat)))
-              }).select(col("pk").as("__idx_pk"))
-              // the broadcast hint is size-gated, not just row-gated: near
-              // the 5M-row routing cap a pk list (especially string pks)
-              // builds a multi-hundred-MB hash relation on the driver and
-              // every executor; above the hint cap Spark plans the
-              // semi-join itself (shuffled or AQE-converted)
-              val hinted =
-                if (r.postings <= RouteBroadcastMaxRows) broadcast(keys)
-                else keys
-              d.join(hinted, d(pk) === col("__idx_pk"), "left_semi")
-            }
-            (df, rowwise)
-          case _ => (in2.df, conjuncts(pred))
-        }
-        val out =
-          if (rest.isEmpty) base
-          else base.filter(rest
-            .map(scalar(_, base, Ambiguity.ModeNone, in.origin)).reduce(_ && _))
-        // the note survives the filter stage (decidable conjuncts can't
-        // also be index-routed — indexRoute matches only sequence
-        // predicate shapes — so zoneNote implies no semi-join was added)
-        Tbl(out, in.origin, zone = zoneNote)
+        filterStage(input, req("predicate"))
 
       case "groupBy" =>
         val in = input
@@ -1565,7 +1590,7 @@ final class Planner(catalog: Planner.Catalog) {
         if (l.df.schema.map(f => (f.name, f.dataType)) !=
             r.df.schema.map(f => (f.name, f.dataType)))
           err("unionAll requires identical schemas (names, types, order)")
-        Tbl(l.df.union(r.df), None)
+        Tbl(l.df.union(r.df), None, union = Some((l, r)))
 
       case "join" =>
         val l = planTable(req("left"))

@@ -834,6 +834,29 @@ object RelationalQueries {
           |  .orderBy({event_type})""".stripMargin, catalog)
     },
 
+    // ---- FILTER PUSHES THROUGH UNIONALL: a unioned pair of registered
+    //      chains zone-prunes EACH side (the reference pushes filters
+    //      into both union inputs, filter_pushdown_pass.h:22-49) — the
+    //      2-day window opens 2 of 30 layer footers per side instead of
+    //      disabling routing at the union. ----
+    QDef("q_union_zone",
+      """WITH u AS (SELECT * FROM events UNION ALL SELECT * FROM events)
+        |SELECT event_type, count(*) AS cnt FROM u
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-07' AND DATE '2024-01-08'
+        |GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val tableDir = memoEventsChain(s, dir)
+      val frame = graft.sources.NdjsonIngest.readLatest(s, tableDir)
+      val catalog = graft.lang.Planner.Catalog(
+        tables = Map("ev1" -> frame, "ev2" -> frame),
+        versionedDirs = Map("ev1" -> tableDir, "ev2" -> tableDir))
+      graft.lang.Planner.plan(
+        """ev1
+          |  .unionAll(ev2)
+          |  .filter(between(d, '2024-01-07'::date, '2024-01-08'::date))
+          |  .groupBy({cnt := count()}, {event_type})
+          |  .orderBy({event_type})""".stripMargin, catalog)
+    },
+
     // ---- STACKED FILTERS COMPOSE THE METADATA NOTES: two separate
     //      .filter() stages (the reference folds every filter into the
     //      scan regardless of interleaving, filter_pushdown_pass.h:22-49)

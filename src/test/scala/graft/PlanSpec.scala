@@ -299,6 +299,14 @@ class PlanSpec extends SparkSpec {
     assert(layers.length === 4, s"layers read: ${layers.mkString(",")}")
   }
 
+  test("q_union_zone: the filter pushes through unionAll — both sides " +
+    "zone-prune to the window's 2 layers") {
+    val df = SparkEntry.queries("q_union_zone")(spark, sfDir)
+    val layers = df.inputFiles.map(_.split("/").takeRight(2).head)
+      .distinct.sorted
+    assert(layers.length === 2, s"layers read: ${layers.mkString(",")}")
+  }
+
   test("q_filter_chain: STACKED filters intersect in the note — the " +
     "filtered count still answers from metadata, zero parquet footers") {
     val df = SparkEntry.queries("q_filter_chain")(spark, sfDir)

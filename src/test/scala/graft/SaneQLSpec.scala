@@ -847,6 +847,49 @@ class SaneQLSpec extends SparkSpec {
     assert(c1.collect().head.getLong(0) === 4L)
   }
 
+  test("filters push through unionAll: both children zone-route " +
+    "independently, stacked filters keep pushing") {
+    import graft.sources.NdjsonIngest
+    val base = java.nio.file.Files.createTempDirectory("graft").toString
+    val dirA = s"$base/ua"; val dirB = s"$base/ub"
+    Seq(dirA, dirB).foreach { d =>
+      NdjsonIngest.appendVersion(
+        Seq((1L, 1L, 10.0), (2L, 1L, 11.0)).toDF("id", "day", "score"),
+        d, "id")
+      NdjsonIngest.appendDelta(
+        Seq((3L, 2L, 20.0), (4L, 2L, 21.0)).toDF("id", "day", "score"),
+        d, "id")
+      NdjsonIngest.appendDelta(
+        Seq((5L, 3L, 30.0), (6L, 3L, 31.0)).toDF("id", "day", "score"),
+        d, "id")
+    }
+    val cat = Catalog(
+      tables = Map("a" -> NdjsonIngest.readLatest(spark, dirA),
+        "b" -> NdjsonIngest.readLatest(spark, dirB)),
+      versionedDirs = Map("a" -> dirA, "b" -> dirB))
+    def files(df: org.apache.spark.sql.DataFrame) =
+      df.inputFiles.map(f => f.split("/").takeRight(3).mkString("/"))
+        .distinct.sorted.toSeq
+    def unrouted(q: String) = Planner.plan(q, cat.copy(versionedDirs = Map()))
+    // the window keeps only v2 of EACH side (4 of 12 footers total)
+    val q1 = "a.unionAll(b).filter(between(day, 2, 2))"
+    val r1 = Planner.plan(q1, cat)
+    assert(files(r1).map(_.split("/")(1)).distinct === Seq("v2"),
+      files(r1).mkString(","))
+    assert(files(r1).exists(_.startsWith("ua/")) &&
+      files(r1).exists(_.startsWith("ub/")), files(r1).mkString(","))
+    assert(r1.collect().map(_.getLong(0)).sorted.toSeq ===
+      unrouted(q1).collect().map(_.getLong(0)).sorted.toSeq)
+    assert(r1.count() === 4) // rows 3,4 from each side
+    // a SECOND filter keeps pushing through the rebuilt union
+    val q2 = "a.unionAll(b).filter(between(day, 2, 3)).filter(between(day, 3, 3))"
+    val r2 = Planner.plan(q2, cat)
+    assert(files(r2).map(_.split("/")(1)).distinct === Seq("v3"),
+      files(r2).mkString(","))
+    assert(r2.collect().map(_.getLong(0)).sorted.toSeq ===
+      unrouted(q2).collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("stats-driven bounds require the sort/group column in the PINNED " +
     "scan schema — a map-added name aliasing a dead column's stale stats " +
     "must not prune") {
