@@ -622,6 +622,157 @@ final class Planner(catalog: Planner.Catalog) {
     * registered side zone-routes independently, and the rebuilt
     * union carries its routed children for further stacked filters.
     */
+  /** Ungrouped metadata count for a pipeline value: the bare registered
+    * merge-free chain's recorded row counts, a fully-decidable filter's
+    * exact matching count (chainMatchCount), or — recursing — the SUM
+    * over a unionAll's children (both must answer from metadata or
+    * neither; the reference pushes the CountFilterNode into union
+    * children the same way its filters push). Merged chains never
+    * answer from metadata (recorded counts describe pre-merge rows).
+    */
+  private def metaCountOf(in: Tbl): Option[Long] = in.union match {
+    case Some((l, r)) =>
+      for (a <- metaCountOf(l); b <- metaCountOf(r)) yield a + b
+    case None => in.zone match {
+      case Some(zp) if zp.mergedPk.isDefined => None
+      case Some(zp) => graft.sources.NdjsonIngest.chainMatchCount(
+        zp.dir, zp.chain, zp.ranges, zp.strEqs,
+        nullCols = zp.nullCs.collect { case (c, true) => c },
+        notNullCols = zp.nullCs.collect { case (c, false) => c })
+      case None => for {
+        t <- in.origin
+        dir <- catalog.versionedDirs.get(t)
+        if catalog.tables.get(t).exists(_ eq in.df)
+        chain <- frameLayers(in.df, dir)
+        if graft.sources.NdjsonIngest.chainMergeFree(dir, chain)
+        total <- graft.sources.NdjsonIngest.chainRowCount(dir, chain)
+      } yield total
+    }
+  }
+
+  /** Grouped metadata counts (1 or 2 group columns) as sidecar TOKENS,
+    * recursing through unionAll children (group-wise sum). Every group
+    * column must be a field of the pinned scan schema (see the orderBy
+    * note guard — stale stats of a dead schema-evolution column must
+    * never answer for a map-added name).
+    */
+  private def metaGroupTokens(in: Tbl, cols: Seq[String])
+      : Option[Seq[(Seq[Option[String]], Long)]] = in.union match {
+    case Some((l, r)) =>
+      for (a <- metaGroupTokens(l, cols); b <- metaGroupTokens(r, cols))
+        yield (a ++ b).groupBy(_._1).toSeq
+          .map { case (g, xs) => (g, xs.map(_._2).sum) }
+    case None =>
+      val ctx: Option[(String, Seq[String], Seq[(String, Double, Double)],
+          Seq[(String, Seq[String])], Seq[(String, Boolean)])] =
+        in.zone match {
+          case Some(zp) if zp.mergedPk.isEmpty &&
+              cols.forall(zp.schema.fieldNames.contains) =>
+            Some((zp.dir, zp.chain, zp.ranges, zp.strEqs, zp.nullCs))
+          case Some(_) => None
+          case None => for {
+            t <- in.origin
+            dir <- catalog.versionedDirs.get(t)
+            if catalog.tables.get(t).exists(_ eq in.df)
+            chain <- frameLayers(in.df, dir)
+            if graft.sources.NdjsonIngest.chainMergeFree(dir, chain)
+          } yield (dir, chain, Nil, Nil, Nil)
+        }
+      ctx.flatMap { case (dir, chain, rs, ses, ncs) =>
+        val nulls = ncs.collect { case (c, true) => c }
+        val notNulls = ncs.collect { case (c, false) => c }
+        if (cols.size == 1)
+          graft.sources.NdjsonIngest.chainGroupCount(dir, chain,
+            cols.head, rs, ses, nulls, notNulls)
+            .map(_.map { case (tok, cnt) => (Seq(tok), cnt) })
+        else
+          // TWO group columns: decidable when one has a complete
+          // histogram and the other is layer-constant (the day-
+          // partitioned-chain × type case) — chainGroupCountTwo
+          graft.sources.NdjsonIngest.chainGroupCountTwo(dir, chain,
+            cols(0), cols(1), rs, ses, nulls, notNulls)
+            .map(_.map { case ((ta, tb), cnt) => (Seq(ta, tb), cnt) })
+      }
+  }
+
+  /** The project pipeline stage, recursing into unionAll children so
+    * the rebuilt union keeps routable children for later filters.
+    */
+  private def projectStage(in: Tbl, cols: Seq[String]): Tbl = in.union match {
+    case Some((l, r)) =>
+      val pl = projectStage(l, cols)
+      val pr = projectStage(r, cols)
+      Tbl(pl.df.union(pr.df), None, union = Some((pl, pr)))
+    case None => projectOne(in, cols)
+  }
+
+  private def projectOne(in: Tbl, cols: Seq[String]): Tbl = {
+    val bindings = in.origin.flatMap(catalog.sequences.get).getOrElse(Map())
+    val exprs = cols.map { c =>
+      bindings.get(c) match {
+        // aligned sequence column: reconstruct the FULL-length string
+        // from the diff representation — local reference + stored
+        // diffs, uncovered/missing positions as N/X (reference:
+        // table_scan.cpp:19-39 reconstructNonNullSequences); emitted
+        // decompress-last (≙ MapPullupPass motivation)
+        case Some(b) if !in.df.columns.contains(c) =>
+          // null sequence rows project as NULL, not an all-missing
+          // string (reference: appendSequences AppendNull on null rows)
+          when(col(s"${b.prefix}cov_start").isNull, lit(null).cast("string"))
+            .otherwise(graft.seq.SequenceModel.reconstructFull(b.stored,
+              if (b.isAminoAcid) "X" else "N", prefix = b.prefix)).as(c)
+        case _ => resolve(c, in.df)
+      }
+    }
+    // a PLAIN-column projection never changes row membership, so the
+    // zone note survives it (with the projection recorded for any
+    // later rewrite to re-apply): filter+project+orderBy+limit and
+    // project+groupBy-count keep their metadata bounds. Sequence
+    // reconstructions drop the note (they synthesize a column the
+    // scan schema lacks).
+    val plain = cols.forall(c => in.df.columns.contains(c))
+    val note: Option[ZonePred] =
+      if (!plain) None
+      else in.zone.map(zp => zp.copy(post = zp.post :+ PostProject(cols)))
+        .orElse(bareScanNote(in).map(_.copy(post = Seq(PostProject(cols)))))
+    Tbl(in.df.select(exprs: _*), None, zone = note)
+  }
+
+  /** The map pipeline stage, recursing into unionAll children like
+    * [[projectStage]].
+    */
+  private def mapStage(in: Tbl, items: Seq[(String, Expr)]): Tbl =
+    in.union match {
+      case Some((l, r)) =>
+        val ml = mapStage(l, items)
+        val mr = mapStage(r, items)
+        Tbl(ml.df.union(mr.df), None, union = Some((ml, mr)))
+      case None => mapOne(in, items)
+    }
+
+  private def mapOne(in: Tbl, items: Seq[(String, Expr)]): Tbl = {
+    val out = items.foldLeft(in.df) { case (d, (n, v)) =>
+      d.withColumn(n, scalar(v, d, Ambiguity.ModeNone, in.origin))
+    }
+    // a map that only ADDS columns never changes row membership, so
+    // the zone note rides through it (re-applied by any rewrite); a
+    // map SHADOWING a scan column drops it — the sidecar stats under
+    // that name would no longer describe the column's values
+    val note: Option[ZonePred] = {
+      def noShadow(scanCols: Seq[String]): Boolean =
+        items.forall { case (n, _) => !scanCols.contains(n) }
+      in.zone match {
+        case Some(zp) if noShadow(zp.schema.fieldNames.toSeq) =>
+          Some(zp.copy(post = zp.post :+ PostMap(items, in.origin)))
+        case Some(_) => None
+        case None => bareScanNote(in)
+          .filter(zp => noShadow(zp.schema.fieldNames.toSeq))
+          .map(_.copy(post = Seq(PostMap(items, in.origin))))
+      }
+    }
+    Tbl(out, None, zone = note)
+  }
+
   private def filterStage(in: Tbl, pred: Expr): Tbl = in.union match {
     case Some((l, r)) =>
       val fl = filterStage(l, pred)
@@ -1202,30 +1353,14 @@ final class Planner(catalog: Planner.Catalog) {
         // count; any undecidable layer falls back to the zone-narrowed
         // counting scan the filter already produced.
         val metaCount: Option[Long] =
-          if (cols.nonEmpty) None
-          else in.zone match {
-            // merged chains never answer counts from layer metadata:
-            // recorded counts describe pre-merge rows, not survivors
-            case Some(zp) if zp.mergedPk.isDefined => None
-            case Some(zp) => graft.sources.NdjsonIngest.chainMatchCount(
-              zp.dir, zp.chain, zp.ranges, zp.strEqs,
-              nullCols = zp.nullCs.collect { case (c, true) => c },
-              notNullCols = zp.nullCs.collect { case (c, false) => c })
-            case None => for {
-              t <- in.origin
-              dir <- catalog.versionedDirs.get(t)
-              if catalog.tables.get(t).exists(_ eq in.df)
-              chain <- frameLayers(in.df, dir)
-              if graft.sources.NdjsonIngest.chainMergeFree(dir, chain)
-              total <- graft.sources.NdjsonIngest.chainRowCount(dir, chain)
-            } yield total
-          }
-        // single-column GROUPED count from the layer value histograms
-        // (the reference's Aggregated action over per-value bitmap
-        // cardinalities, at layer granularity): bare chain or a fully
-        // stats-decidable filter of one; group-col conjuncts apply
-        // entry-wise, other conjuncts must pass whole layers; any layer
-        // without a complete histogram → None → the normal grouping scan
+          if (cols.nonEmpty) None else metaCountOf(in)
+        // GROUPED count from the layer value histograms (the reference's
+        // Aggregated action over per-value bitmap cardinalities, at
+        // layer granularity): bare chain, a fully stats-decidable filter
+        // of one, or a unionAll of such (children sum group-wise);
+        // group-col conjuncts apply entry-wise, other conjuncts must
+        // pass whole layers; any layer without a complete histogram →
+        // None → the normal grouping scan
         val metaGroups: Option[DataFrame] =
           if (aggItems.size != 1 || cols.isEmpty || cols.size > 2) None
           else {
@@ -1233,27 +1368,7 @@ final class Planner(catalog: Planner.Catalog) {
             if (!dts.forall(dt =>
                 dt == org.apache.spark.sql.types.StringType ||
                 dt == org.apache.spark.sql.types.DateType)) None
-            else {
-              val ctx: Option[(String, Seq[String], Seq[(String, Double, Double)],
-                  Seq[(String, Seq[String])], Seq[(String, Boolean)])] =
-                in.zone match {
-                  // every group column must be a field of the pinned
-                  // scan schema — a map-added group column could alias a
-                  // dead schema-evolution column's stale histograms (see
-                  // the orderBy note guard); map-added groups take the
-                  // normal grouping scan over the narrowed frame
-                  case Some(zp) if zp.mergedPk.isEmpty &&
-                      cols.forall(zp.schema.fieldNames.contains) =>
-                    Some((zp.dir, zp.chain, zp.ranges, zp.strEqs, zp.nullCs))
-                  case Some(_) => None
-                  case None => for {
-                    t <- in.origin
-                    dir <- catalog.versionedDirs.get(t)
-                    if catalog.tables.get(t).exists(_ eq in.df)
-                    chain <- frameLayers(in.df, dir)
-                    if graft.sources.NdjsonIngest.chainMergeFree(dir, chain)
-                  } yield (dir, chain, Nil, Nil, Nil)
-                }
+            else metaGroupTokens(in, cols).map { gs =>
               // sidecar tokens → typed group values (dates travel as
               // epoch-day doubles, the histogram/envelope encoding)
               def decode(tok: Option[String],
@@ -1264,45 +1379,21 @@ final class Planner(catalog: Planner.Catalog) {
                       java.time.LocalDate.ofEpochDay(t.toDouble.toLong))
                   else t
                 }.orNull
-              def toDf(rows: java.util.List[org.apache.spark.sql.Row])
-                  : DataFrame =
-                in.df.sparkSession.createDataFrame(rows,
-                  org.apache.spark.sql.types.StructType(
-                    cols.zip(dts).map { case (c, dt) =>
-                      org.apache.spark.sql.types.StructField(c, dt,
-                        nullable = true)
-                    } :+ org.apache.spark.sql.types.StructField(
-                      aggItems.head, org.apache.spark.sql.types.LongType,
-                      nullable = false)))
-              ctx.flatMap { case (dir, chain, rs, ses, ncs) =>
-                val nulls = ncs.collect { case (c, true) => c }
-                val notNulls = ncs.collect { case (c, false) => c }
-                if (cols.size == 1)
-                  graft.sources.NdjsonIngest.chainGroupCount(dir, chain,
-                    cols.head, rs, ses, nulls, notNulls).map { groups =>
-                    val rows: java.util.List[org.apache.spark.sql.Row] =
-                      new java.util.ArrayList()
-                    groups.foreach { case (tok, cnt) =>
-                      rows.add(org.apache.spark.sql.Row(
-                        decode(tok, dts.head), cnt))
-                    }
-                    toDf(rows)
-                  }
-                else
-                  // TWO group columns: decidable when one has a complete
-                  // histogram and the other is layer-constant (the day-
-                  // partitioned-chain × type case) — chainGroupCountTwo
-                  graft.sources.NdjsonIngest.chainGroupCountTwo(dir, chain,
-                    cols(0), cols(1), rs, ses, nulls, notNulls).map { gs =>
-                    val rows: java.util.List[org.apache.spark.sql.Row] =
-                      new java.util.ArrayList()
-                    gs.foreach { case ((ta, tb), cnt) =>
-                      rows.add(org.apache.spark.sql.Row(
-                        decode(ta, dts(0)), decode(tb, dts(1)), cnt))
-                    }
-                    toDf(rows)
-                  }
+              val rows: java.util.List[org.apache.spark.sql.Row] =
+                new java.util.ArrayList()
+              gs.foreach { case (toks, cnt) =>
+                rows.add(org.apache.spark.sql.Row(
+                  toks.zip(dts).map { case (t, dt) => decode(t, dt) } :+
+                    cnt: _*))
               }
+              in.df.sparkSession.createDataFrame(rows,
+                org.apache.spark.sql.types.StructType(
+                  cols.zip(dts).map { case (c, dt) =>
+                    org.apache.spark.sql.types.StructField(c, dt,
+                      nullable = true)
+                  } :+ org.apache.spark.sql.types.StructField(
+                    aggItems.head, org.apache.spark.sql.types.LongType,
+                    nullable = false)))
             }
           }
         val out = (metaCount, metaGroups) match {
@@ -1317,64 +1408,14 @@ final class Planner(catalog: Planner.Catalog) {
         Tbl(out, None)
 
       case "project" =>
-        val in = input
-        val cols = identSet(req("fields"), "project fields")
-        val bindings = in.origin.flatMap(catalog.sequences.get).getOrElse(Map())
-        val exprs = cols.map { c =>
-          bindings.get(c) match {
-            // aligned sequence column: reconstruct the FULL-length string
-            // from the diff representation — local reference + stored
-            // diffs, uncovered/missing positions as N/X (reference:
-            // table_scan.cpp:19-39 reconstructNonNullSequences); emitted
-            // decompress-last (≙ MapPullupPass motivation)
-            case Some(b) if !in.df.columns.contains(c) =>
-              // null sequence rows project as NULL, not an all-missing
-              // string (reference: appendSequences AppendNull on null rows)
-              when(col(s"${b.prefix}cov_start").isNull, lit(null).cast("string"))
-                .otherwise(graft.seq.SequenceModel.reconstructFull(b.stored,
-                  if (b.isAminoAcid) "X" else "N", prefix = b.prefix)).as(c)
-            case _ => resolve(c, in.df)
-          }
-        }
-        // a PLAIN-column projection never changes row membership, so the
-        // zone note survives it (with the projection recorded for any
-        // later rewrite to re-apply): filter+project+orderBy+limit and
-        // project+groupBy-count keep their metadata bounds. Sequence
-        // reconstructions drop the note (they synthesize a column the
-        // scan schema lacks).
-        val plain = cols.forall(c => in.df.columns.contains(c))
-        val note: Option[ZonePred] =
-          if (!plain) None
-          else in.zone.map(zp => zp.copy(post = zp.post :+ PostProject(cols)))
-            .orElse(bareScanNote(in).map(_.copy(post = Seq(PostProject(cols)))))
-        Tbl(in.df.select(exprs: _*), None, zone = note)
+        projectStage(input, identSet(req("fields"), "project fields"))
 
       case "map" =>
-        val in = input
         val items = req("expressions") match {
           case RecordLit(it) => it
           case other => err(s"map expects a record, got $other")
         }
-        val out = items.foldLeft(in.df) { case (d, (n, v)) =>
-          d.withColumn(n, scalar(v, d, Ambiguity.ModeNone, in.origin))
-        }
-        // a map that only ADDS columns never changes row membership, so
-        // the zone note rides through it (re-applied by any rewrite); a
-        // map SHADOWING a scan column drops it — the sidecar stats under
-        // that name would no longer describe the column's values
-        val note: Option[ZonePred] = {
-          def noShadow(scanCols: Seq[String]): Boolean =
-            items.forall { case (n, _) => !scanCols.contains(n) }
-          in.zone match {
-            case Some(zp) if noShadow(zp.schema.fieldNames.toSeq) =>
-              Some(zp.copy(post = zp.post :+ PostMap(items, in.origin)))
-            case Some(_) => None
-            case None => bareScanNote(in)
-              .filter(zp => noShadow(zp.schema.fieldNames.toSeq))
-              .map(_.copy(post = Seq(PostMap(items, in.origin))))
-          }
-        }
-        Tbl(out, None, zone = note)
+        mapStage(input, items)
 
       case "orderBy" =>
         val in = input

@@ -857,6 +857,26 @@ object RelationalQueries {
           |  .orderBy({event_type})""".stripMargin, catalog)
     },
 
+    // ---- METADATA COUNT THROUGH UNIONALL: the filtered count of a
+    //      unioned pair of registered chains sums the CHILDREN's exact
+    //      sidecar counts — zero parquet footers on either side. ----
+    QDef("q_union_count",
+      """WITH u AS (SELECT * FROM events UNION ALL SELECT * FROM events)
+        |SELECT count(*) AS c FROM u
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-12'
+        |""".stripMargin) { (s, dir) =>
+      val tableDir = memoEventsChain(s, dir)
+      val frame = graft.sources.NdjsonIngest.readLatest(s, tableDir)
+      val catalog = graft.lang.Planner.Catalog(
+        tables = Map("ev1" -> frame, "ev2" -> frame),
+        versionedDirs = Map("ev1" -> tableDir, "ev2" -> tableDir))
+      graft.lang.Planner.plan(
+        """ev1
+          |  .unionAll(ev2)
+          |  .filter(between(d, '2024-01-05'::date, '2024-01-12'::date))
+          |  .groupBy({c := count()})""".stripMargin, catalog)
+    },
+
     // ---- STACKED FILTERS COMPOSE THE METADATA NOTES: two separate
     //      .filter() stages (the reference folds every filter into the
     //      scan regardless of interleaving, filter_pushdown_pass.h:22-49)

@@ -880,14 +880,13 @@ object NdjsonIngest {
     * CountFilterNode intersected with RangeSelection, at layer
     * granularity). Per layer the count is decidable when:
     *  - the zone test EXCLUDES the layer → 0 (no row can match);
-    *  - there is exactly ONE conjunct and its envelope/ledger pins the
-    *    pass count (range or string-equality fully contained → the
-    *    column's non-null count; isNotNull → non-null count; isNull →
-    *    the complement);
-    *  - EVERY conjunct is fully contained AND its column records zero
-    *    nulls → every row passes every conjunct → the layer's row count
-    *    (with several conjuncts and nulls the pass intersection is
-    *    unknowable from per-column ledgers).
+    *  - every conjunct's pass count is pinned exactly AND AT MOST ONE
+    *    of them passes fewer than all `n` rows — rows failing the
+    *    conjunction then fail exactly that one conjunct, so the
+    *    intersection is its pass count (the all-pass and single-conjunct
+    *    cases fall out as the 0- and 1-loose specializations; with TWO
+    *    loose conjuncts the overlap of their failure sets is unknowable
+    *    from per-column ledgers).
     * Any undecidable layer makes the whole answer None — callers fall
     * back to the zone-narrowed counting scan they already had. APPEND-
     * ONLY chains only (merge-on-read counts are argmax results, not
@@ -909,9 +908,11 @@ object NdjsonIngest {
         val passes =
           conjunctPassCounts(lines, n, ranges, strEquals, nullCols, notNullCols)
         if (passes.exists(_.isEmpty)) None
-        else if (nConjuncts == 1) passes.head
-        else if (passes.flatten.forall(_ == n)) Some(n)
-        else None
+        else {
+          val loose = passes.flatten.filter(_ < n)
+          if (loose.size <= 1) Some(loose.headOption.getOrElse(n))
+          else None
+        }
       }
     }
     if (perLayer.exists(_.isEmpty)) None else Some(perLayer.flatten.sum)

@@ -299,12 +299,18 @@ class PlanSpec extends SparkSpec {
     assert(layers.length === 4, s"layers read: ${layers.mkString(",")}")
   }
 
-  test("q_union_zone: the filter pushes through unionAll — both sides " +
-    "zone-prune to the window's 2 layers") {
-    val df = SparkEntry.queries("q_union_zone")(spark, sfDir)
-    val layers = df.inputFiles.map(_.split("/").takeRight(2).head)
-      .distinct.sorted
-    assert(layers.length === 2, s"layers read: ${layers.mkString(",")}")
+  test("q_union_zone and q_union_count: filters and metadata counts push " +
+    "through unionAll — the grouped rollup and the filtered count answer " +
+    "from BOTH children's sidecars, zero parquet footers") {
+    // the grouped rollup sums each child's layer histograms (scan
+    // NARROWING through union is unit-gated in SaneQLSpec on columns
+    // with no metadata path)
+    val g = SparkEntry.queries("q_union_zone")(spark, sfDir)
+    assert(g.inputFiles.isEmpty,
+      "unioned grouped metadata count must not plan a file scan")
+    val c = SparkEntry.queries("q_union_count")(spark, sfDir)
+    assert(c.inputFiles.isEmpty,
+      "unioned filtered metadata count must not plan a file scan")
   }
 
   test("q_filter_chain: STACKED filters intersect in the note — the " +

@@ -888,6 +888,69 @@ class SaneQLSpec extends SparkSpec {
       files(r2).mkString(","))
     assert(r2.collect().map(_.getLong(0)).sorted.toSeq ===
       unrouted(q2).collect().map(_.getLong(0)).sorted.toSeq)
+    // project and map BETWEEN the union and the filter keep the
+    // children routable (both are row-membership-invariant per child)
+    val q3 = "a.unionAll(b).project({id, day}).filter(between(day, 2, 2))"
+    val r3 = Planner.plan(q3, cat)
+    assert(files(r3).map(_.split("/")(1)).distinct === Seq("v2"),
+      files(r3).mkString(","))
+    assert(r3.columns.toSeq === Seq("id", "day"))
+    assert(r3.collect().map(_.getLong(0)).sorted.toSeq ===
+      unrouted(q3).collect().map(_.getLong(0)).sorted.toSeq)
+    val q4 = "a.unionAll(b).map({tag := 'x'}).filter(between(day, 2, 2))"
+    val r4 = Planner.plan(q4, cat)
+    assert(files(r4).map(_.split("/")(1)).distinct === Seq("v2"),
+      files(r4).mkString(","))
+    assert(r4.collect().map(r => (r.getLong(0), r.getString(3))).sorted.toSeq
+      === Seq((3L, "x"), (3L, "x"), (4L, "x"), (4L, "x")))
+    // metadata counts SUM across the union's children — zero footers
+    val c1 = Planner.plan(
+      "a.unionAll(b).filter(between(day, 2, 2)).groupBy({c := count()})", cat)
+    assert(c1.inputFiles.isEmpty,
+      "unioned filtered count must not plan a file scan")
+    assert(c1.collect().head.getLong(0) === 4L)
+    val c2 = Planner.plan("a.unionAll(b).groupBy({c := count()})", cat)
+    assert(c2.inputFiles.isEmpty)
+    assert(c2.collect().head.getLong(0) === 12L)
+    // one UNREGISTERED side poisons the metadata sum (falls back to the
+    // counting scan) but never the answer
+    val half = cat.copy(versionedDirs = Map("a" -> dirA))
+    val c3 = Planner.plan(
+      "a.unionAll(b).filter(between(day, 2, 2)).groupBy({c := count()})", half)
+    assert(c3.collect().head.getLong(0) === 4L)
+  }
+
+  test("filtered counts stay exact with ONE loose conjunct: rows failing " +
+    "the conjunction fail exactly that conjunct") {
+    import graft.sources.NdjsonIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft").toString + "/lc"
+    NdjsonIngest.appendVersion(
+      Seq((1L, Option(1.0)), (2L, Option(2.0))).toDF("id", "v"), dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((3L, Option(5.0)), (4L, Option.empty[Double])).toDF("id", "v"),
+      dir, "id")
+    val cat = Catalog(
+      tables = Map("t" -> NdjsonIngest.readLatest(spark, dir)),
+      versionedDirs = Map("t" -> dir))
+    // between(id, …) passes ALL rows of every layer (full containment,
+    // no nulls); isNotNull(v) is the single loose conjunct — its exact
+    // pass count IS the conjunction's count, no footer opens
+    val q = "t.filter(between(id, 0, 100) && isNotNull(v))" +
+      ".groupBy({c := count()})"
+    val r = Planner.plan(q, cat)
+    assert(r.inputFiles.isEmpty,
+      "single-loose-conjunct count must answer from metadata")
+    assert(r.collect().head.getLong(0) === 3L)
+    assert(Planner.plan(q, cat.copy(versionedDirs = Map()))
+      .collect().head.getLong(0) === 3L)
+    // TWO loose conjuncts stay undecidable (failure overlap unknowable):
+    // fallback scan, same answer
+    val q2 = "t.filter(between(v, 1, 100) && isNotNull(v))" +
+      ".groupBy({c := count()})"
+    val r2 = Planner.plan(q2, cat)
+    assert(r2.collect().head.getLong(0) === 3L)
+    assert(Planner.plan(q2, cat.copy(versionedDirs = Map()))
+      .collect().head.getLong(0) === 3L)
   }
 
   test("stats-driven bounds require the sort/group column in the PINNED " +
