@@ -773,6 +773,175 @@ final class Planner(catalog: Planner.Catalog) {
     Tbl(out, None, zone = note)
   }
 
+  /** The top-k scan note for `orderBy(fields)` over `in` — the note
+    * logic shared by the parent pipeline value and each unionAll
+    * child: the sort's FIRST key is a stats-prunable column of the
+    * pinned scan schema, remaining keys plain ascending tiebreaks,
+    * and the input is a bare registered chain (merge-free, or merged
+    * with a pk) or a fully stats-decidable filter of one.
+    */
+  private def sortNote(in: Tbl, fields: Seq[Expr]): Option[SortedScan] = {
+    // top-k scan note for a following limit: the sort's FIRST key is
+    // a stats-prunable (numeric/date/string) column, the remaining
+    // keys are plain ascending tiebreaks, and the input is either the
+    // bare registered versioned scan (merge-free with layer stats) or
+    // a fully stats-decidable filter of one (the filter's ZonePred
+    // note) — then limit(k) can bound the read from metadata alone
+    def sortKey: Option[((String, Boolean), Seq[String])] = for {
+      _ <- Some(()) if fields.nonEmpty
+      first <- fields.head match {
+        case Ident(n) => Some((n, false))
+        case Call("asc", Seq(Ident(n)), _) => Some((n, false))
+        case Call("desc", Seq(Ident(n)), _) => Some((n, true))
+        case _ => None
+      }
+      if in.df.columns.contains(first._1) &&
+        (in.df.schema(first._1).dataType match {
+          case _: org.apache.spark.sql.types.NumericType => true
+          case org.apache.spark.sql.types.DateType => true
+          case org.apache.spark.sql.types.StringType => true
+          case _ => false
+        })
+      ties <- fields.tail.foldLeft(Option(Seq.empty[String])) {
+        case (Some(acc), Ident(n)) if in.df.columns.contains(n) =>
+          Some(acc :+ n)
+        case (Some(acc), Call("asc", Seq(Ident(n)), _))
+            if in.df.columns.contains(n) => Some(acc :+ n)
+        case _ => None
+      }
+    } yield (first, ties)
+in.zone match {
+      // filter(stats-decidable).orderBy(...): the chain + merge-free
+      // checks already ran when the filter routed; the limit rewrite
+      // re-narrows and re-applies the predicate itself. The sort key
+      // must be a field of the PINNED SCAN SCHEMA, not merely of the
+      // current frame: a map-added key may share its name with a
+      // dead schema-evolution column whose stale envelopes some
+      // layers still record — bounding on those would order the
+      // dead column's values, not the expression's. Map-added keys
+      // keep the zone narrowing the filter already did and simply
+      // sort the narrowed scan.
+      case Some(zp) => sortKey
+        .filter { case ((c, _), _) => zp.schema.fieldNames.contains(c) }
+        .map { case (first, ties) =>
+          SortedScan(zp.dir, zp.chain, first._1, first._2, ties,
+            zp.schema, zone = Some(zp))
+        }
+      case None => (for {
+        t <- in.origin
+        dir <- catalog.versionedDirs.get(t)
+        if catalog.tables.get(t).exists(_ eq in.df)
+        (first, ties) <- sortKey
+        chain <- frameLayers(in.df, dir)
+        if graft.sources.NdjsonIngest.chainMergeFree(dir, chain)
+      } yield SortedScan(dir, chain, first._1, first._2, ties, in.df.schema))
+        // the bare MERGED scan sorts too: the note carries a
+        // conjunct-free merged ZonePred so the limit rewrite takes
+        // the shadow-aware path (pk-only non-suppliers, loss-capped
+        // qualifying counts) instead of the append-only one
+        .orElse(for {
+          t <- in.origin
+          dir <- catalog.mergedVersionedDirs.get(t)
+          pk <- catalog.primaryKeys.get(t)
+          if catalog.tables.get(t).exists(_ eq in.df)
+          (first, ties) <- sortKey
+          chain <- frameLayersMerged(in.df, dir)
+        } yield SortedScan(dir, chain, first._1, first._2, ties,
+          in.df.schema, zone = Some(ZonePred(dir, chain, in.df.schema,
+            None, Nil, Nil, Nil, mergedPk = Some(pk)))))
+    }
+  }
+
+  /** The limit pipeline stage: the stats-bounded top-k rewrite over a
+    * sorted-scan note, recursing into unionAll children — when BOTH
+    * children carry a (skip-free) sort note for the same fields, each
+    * side bounds its own read to its top-n superset and the merged
+    * result re-sorts and cuts (the union's top-n is always within the
+    * union of the children's top-n).
+    */
+  private def limitStage(in: Tbl, n: Long): Tbl = in.union match {
+    case Some((l, r)) if l.sortedScan.exists(_.skip == 0) &&
+        r.sortedScan.exists(_.skip == 0) && n <= Int.MaxValue =>
+      val ll = limitStage(l, n)
+      val rr = limitStage(r, n)
+      // both notes derive from the SAME orderBy fields, so either
+      // spells the merge sort key
+      val ss = l.sortedScan.get
+      val keyCols = (ss.column +: ss.tiebreak).map(c =>
+        if (ss.descending && c == ss.column) col(c).desc else col(c).asc)
+      Tbl(ll.df.union(rr.df).orderBy(keyCols: _*).limit(n.toInt), None)
+    case _ =>
+      in.sortedScan match {
+        case Some(ss) if ss.skip + n <= Int.MaxValue =>
+          // stats-bounded top-k: layers whose envelope provably cannot
+          // reach the (skip+k)-th best row are never opened; the result
+          // is the same [filter+]orderBy[+offset]+limit, just over a
+          // narrowed scan (an interposed offset(o) deepened the bound
+          // to o+k and re-applies below)
+          val kTot = (ss.skip + n).toInt
+          val top = ss.zone match {
+            case Some(zp) =>
+              // filter+orderBy+limit: the kept set satisfies BOTH the
+              // zone intersection (a pruned layer has no qualifying
+              // rows) and the filtered top-k accumulation (per-layer
+              // qualifying-count lower bounds); the original predicate
+              // recompiles against the narrowed scan, so row-wise
+              // semantics are byte-identical to the unrouted plan.
+              // Merged chains take the shadow-aware selector and
+              // reader: non-supplying layers stay in the argmax as
+              // pk-only shadows instead of dropping out.
+              val keyCols = (ss.column +: ss.tiebreak).map(c =>
+                if (ss.descending && c == ss.column) col(c).desc
+                else col(c).asc)
+              val scan = zp.mergedPk match {
+                case Some(pk) =>
+                  val kept = graft.sources.NdjsonIngest
+                    .chainTopKLayersMerged(
+                      zp.dir, zp.chain, ss.column, kTot, ss.descending,
+                      zp.ranges, zp.strEqs,
+                      zp.nullCs.collect { case (c, true) => c },
+                      zp.nullCs.collect { case (c, false) => c })
+                  graft.sources.NdjsonIngest.readChainRangesMerged(
+                    in.df.sparkSession, zp.dir, zp.chain, pk,
+                    zp.ranges, zp.strEqs,
+                    nullCols = zp.nullCs.collect { case (c, true) => c },
+                    notNullCols = zp.nullCs.collect { case (c, false) => c },
+                    pinSchema = Some(ss.schema),
+                    keepLayers = Some(kept.toSet))
+                case None =>
+                  val kept = graft.sources.NdjsonIngest.chainTopKLayers(
+                    zp.dir, zp.chain, ss.column, kTot, ss.descending,
+                    zp.ranges, zp.strEqs,
+                    zp.nullCs.collect { case (c, true) => c },
+                    zp.nullCs.collect { case (c, false) => c })
+                  graft.sources.NdjsonIngest.readChainSubset(
+                    in.df.sparkSession, zp.dir, zp.chain, kept,
+                    Some(ss.schema))
+              }
+              val filtered = zp.pred.map(p =>
+                scan.filter(scalar(p, scan, Ambiguity.ModeNone, in.origin)))
+                .getOrElse(scan)
+              // carried row-membership-invariant stages re-apply IN
+              // ORDER after the filter — exactly where the pipeline
+              // had them
+              zp.post.foldLeft(filtered) {
+                case (d, PostProject(cs)) => d.select(cs.map(col): _*)
+                case (d, PostMap(items, org)) =>
+                  items.foldLeft(d) { case (dd, (n, v)) =>
+                    dd.withColumn(n, scalar(v, dd, Ambiguity.ModeNone, org))
+                  }
+              }.orderBy(keyCols: _*).limit(kTot)
+            case None =>
+              graft.sources.NdjsonIngest.readChainTopK(
+                in.df.sparkSession, ss.dir, ss.chain, ss.column,
+                kTot, ss.descending, ss.tiebreak, Some(ss.schema))
+          }
+          Tbl(if (ss.skip > 0) top.offset(ss.skip.toInt).limit(n.toInt)
+              else top, in.origin)
+        case _ => Tbl(in.df.limit(n.toInt), in.origin)
+      }
+  }
+
   private def filterStage(in: Tbl, pred: Expr): Tbl = in.union match {
     case Some((l, r)) =>
       val fl = filterStage(l, pred)
@@ -1429,150 +1598,20 @@ final class Planner(catalog: Planner.Catalog) {
           case Call("desc", Seq(Ident(n)), _) => resolve(n, in.df).desc
           case other => err(s"orderBy field must be name/asc(name)/desc(name), got $other")
         }
-        // top-k scan note for a following limit: the sort's FIRST key is
-        // a stats-prunable (numeric/date/string) column, the remaining
-        // keys are plain ascending tiebreaks, and the input is either the
-        // bare registered versioned scan (merge-free with layer stats) or
-        // a fully stats-decidable filter of one (the filter's ZonePred
-        // note) — then limit(k) can bound the read from metadata alone
-        def sortKey: Option[((String, Boolean), Seq[String])] = for {
-          _ <- Some(()) if fields.nonEmpty
-          first <- fields.head match {
-            case Ident(n) => Some((n, false))
-            case Call("asc", Seq(Ident(n)), _) => Some((n, false))
-            case Call("desc", Seq(Ident(n)), _) => Some((n, true))
-            case _ => None
-          }
-          if in.df.columns.contains(first._1) &&
-            (in.df.schema(first._1).dataType match {
-              case _: org.apache.spark.sql.types.NumericType => true
-              case org.apache.spark.sql.types.DateType => true
-              case org.apache.spark.sql.types.StringType => true
-              case _ => false
-            })
-          ties <- fields.tail.foldLeft(Option(Seq.empty[String])) {
-            case (Some(acc), Ident(n)) if in.df.columns.contains(n) =>
-              Some(acc :+ n)
-            case (Some(acc), Call("asc", Seq(Ident(n)), _))
-                if in.df.columns.contains(n) => Some(acc :+ n)
-            case _ => None
-          }
-        } yield (first, ties)
-        val note: Option[SortedScan] = in.zone match {
-          // filter(stats-decidable).orderBy(...): the chain + merge-free
-          // checks already ran when the filter routed; the limit rewrite
-          // re-narrows and re-applies the predicate itself. The sort key
-          // must be a field of the PINNED SCAN SCHEMA, not merely of the
-          // current frame: a map-added key may share its name with a
-          // dead schema-evolution column whose stale envelopes some
-          // layers still record — bounding on those would order the
-          // dead column's values, not the expression's. Map-added keys
-          // keep the zone narrowing the filter already did and simply
-          // sort the narrowed scan.
-          case Some(zp) => sortKey
-            .filter { case ((c, _), _) => zp.schema.fieldNames.contains(c) }
-            .map { case (first, ties) =>
-              SortedScan(zp.dir, zp.chain, first._1, first._2, ties,
-                zp.schema, zone = Some(zp))
-            }
-          case None => (for {
-            t <- in.origin
-            dir <- catalog.versionedDirs.get(t)
-            if catalog.tables.get(t).exists(_ eq in.df)
-            (first, ties) <- sortKey
-            chain <- frameLayers(in.df, dir)
-            if graft.sources.NdjsonIngest.chainMergeFree(dir, chain)
-          } yield SortedScan(dir, chain, first._1, first._2, ties, in.df.schema))
-            // the bare MERGED scan sorts too: the note carries a
-            // conjunct-free merged ZonePred so the limit rewrite takes
-            // the shadow-aware path (pk-only non-suppliers, loss-capped
-            // qualifying counts) instead of the append-only one
-            .orElse(for {
-              t <- in.origin
-              dir <- catalog.mergedVersionedDirs.get(t)
-              pk <- catalog.primaryKeys.get(t)
-              if catalog.tables.get(t).exists(_ eq in.df)
-              (first, ties) <- sortKey
-              chain <- frameLayersMerged(in.df, dir)
-            } yield SortedScan(dir, chain, first._1, first._2, ties,
-              in.df.schema, zone = Some(ZonePred(dir, chain, in.df.schema,
-                None, Nil, Nil, Nil, mergedPk = Some(pk)))))
+        // unionAll children carry their own per-child sort notes, so a
+        // following limit can bound EACH side's read and re-merge (the
+        // union's top-k is always within the union of the children's)
+        val kids = in.union.map { case (l, r) =>
+          (l.copy(sortedScan = sortNote(l, fields)),
+            r.copy(sortedScan = sortNote(r, fields)))
         }
-        Tbl(in.df.orderBy(sorts: _*), in.origin, note)
+        Tbl(in.df.orderBy(sorts: _*), in.origin, sortNote(in, fields),
+          union = kids)
 
       case "limit" =>
-        val in = input
         val n = intArg(req("count"), "limit")
         if (n <= 0) err("limit must be positive")
-        in.sortedScan match {
-          case Some(ss) if ss.skip + n <= Int.MaxValue =>
-            // stats-bounded top-k: layers whose envelope provably cannot
-            // reach the (skip+k)-th best row are never opened; the result
-            // is the same [filter+]orderBy[+offset]+limit, just over a
-            // narrowed scan (an interposed offset(o) deepened the bound
-            // to o+k and re-applies below)
-            val kTot = (ss.skip + n).toInt
-            val top = ss.zone match {
-              case Some(zp) =>
-                // filter+orderBy+limit: the kept set satisfies BOTH the
-                // zone intersection (a pruned layer has no qualifying
-                // rows) and the filtered top-k accumulation (per-layer
-                // qualifying-count lower bounds); the original predicate
-                // recompiles against the narrowed scan, so row-wise
-                // semantics are byte-identical to the unrouted plan.
-                // Merged chains take the shadow-aware selector and
-                // reader: non-supplying layers stay in the argmax as
-                // pk-only shadows instead of dropping out.
-                val keyCols = (ss.column +: ss.tiebreak).map(c =>
-                  if (ss.descending && c == ss.column) col(c).desc
-                  else col(c).asc)
-                val scan = zp.mergedPk match {
-                  case Some(pk) =>
-                    val kept = graft.sources.NdjsonIngest
-                      .chainTopKLayersMerged(
-                        zp.dir, zp.chain, ss.column, kTot, ss.descending,
-                        zp.ranges, zp.strEqs,
-                        zp.nullCs.collect { case (c, true) => c },
-                        zp.nullCs.collect { case (c, false) => c })
-                    graft.sources.NdjsonIngest.readChainRangesMerged(
-                      in.df.sparkSession, zp.dir, zp.chain, pk,
-                      zp.ranges, zp.strEqs,
-                      nullCols = zp.nullCs.collect { case (c, true) => c },
-                      notNullCols = zp.nullCs.collect { case (c, false) => c },
-                      pinSchema = Some(ss.schema),
-                      keepLayers = Some(kept.toSet))
-                  case None =>
-                    val kept = graft.sources.NdjsonIngest.chainTopKLayers(
-                      zp.dir, zp.chain, ss.column, kTot, ss.descending,
-                      zp.ranges, zp.strEqs,
-                      zp.nullCs.collect { case (c, true) => c },
-                      zp.nullCs.collect { case (c, false) => c })
-                    graft.sources.NdjsonIngest.readChainSubset(
-                      in.df.sparkSession, zp.dir, zp.chain, kept,
-                      Some(ss.schema))
-                }
-                val filtered = zp.pred.map(p =>
-                  scan.filter(scalar(p, scan, Ambiguity.ModeNone, in.origin)))
-                  .getOrElse(scan)
-                // carried row-membership-invariant stages re-apply IN
-                // ORDER after the filter — exactly where the pipeline
-                // had them
-                zp.post.foldLeft(filtered) {
-                  case (d, PostProject(cs)) => d.select(cs.map(col): _*)
-                  case (d, PostMap(items, org)) =>
-                    items.foldLeft(d) { case (dd, (n, v)) =>
-                      dd.withColumn(n, scalar(v, dd, Ambiguity.ModeNone, org))
-                    }
-                }.orderBy(keyCols: _*).limit(kTot)
-              case None =>
-                graft.sources.NdjsonIngest.readChainTopK(
-                  in.df.sparkSession, ss.dir, ss.chain, ss.column,
-                  kTot, ss.descending, ss.tiebreak, Some(ss.schema))
-            }
-            Tbl(if (ss.skip > 0) top.offset(ss.skip.toInt).limit(n.toInt)
-                else top, in.origin)
-          case _ => Tbl(in.df.limit(n.toInt), in.origin)
-        }
+        limitStage(input, n)
 
       case "offset" =>
         val in = input

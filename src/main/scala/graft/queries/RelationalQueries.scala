@@ -857,6 +857,30 @@ object RelationalQueries {
           |  .orderBy({event_type})""".stripMargin, catalog)
     },
 
+    // ---- TOP-K THROUGH UNIONALL: filter + orderBy + limit over a
+    //      unioned pair of registered chains bounds EACH side's read
+    //      (the union's top-k is always within the union of the
+    //      children's top-k) — 1 of 30 footers per side, then a merge
+    //      sort + cut of the two bounded frames. ----
+    QDef("q_union_topk",
+      """WITH u AS (SELECT * FROM events UNION ALL SELECT * FROM events)
+        |SELECT event_id, CAST(ts AS DATE) AS d, event_type FROM u
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-20'
+        |ORDER BY d DESC, event_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val tableDir = memoEventsChain(s, dir)
+      val frame = graft.sources.NdjsonIngest.readLatest(s, tableDir)
+      val catalog = graft.lang.Planner.Catalog(
+        tables = Map("ev1" -> frame, "ev2" -> frame),
+        versionedDirs = Map("ev1" -> tableDir, "ev2" -> tableDir))
+      graft.lang.Planner.plan(
+        """ev1
+          |  .unionAll(ev2)
+          |  .filter(between(d, '2024-01-05'::date, '2024-01-20'::date))
+          |  .orderBy({desc(d), event_id})
+          |  .limit(20)
+          |  .project({event_id, d, event_type})""".stripMargin, catalog)
+    },
+
     // ---- METADATA COUNT THROUGH UNIONALL: the filtered count of a
     //      unioned pair of registered chains sums the CHILDREN's exact
     //      sidecar counts — zero parquet footers on either side. ----

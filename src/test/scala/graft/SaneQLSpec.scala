@@ -918,6 +918,27 @@ class SaneQLSpec extends SparkSpec {
     val c3 = Planner.plan(
       "a.unionAll(b).filter(between(day, 2, 2)).groupBy({c := count()})", half)
     assert(c3.collect().head.getLong(0) === 4L)
+    // top-k through the union: each side bounds its own read (the day
+    // window admits v2+v3 per side; the top-2-by-day-desc bound keeps
+    // only v3), then the merged frames re-sort and cut
+    val q5 = "a.unionAll(b).filter(between(day, 2, 3))" +
+      ".orderBy({desc(day), id}).limit(2)"
+    val r5 = Planner.plan(q5, cat)
+    assert(files(r5).map(_.split("/")(1)).distinct === Seq("v3"),
+      files(r5).mkString(","))
+    assert(r5.collect().map(_.getLong(0)).toSeq === Seq(5L, 5L))
+    assert(r5.collect().map(_.getLong(0)).toSeq ===
+      unrouted(q5).collect().map(_.getLong(0)).toSeq)
+    // bare union top-k routes too; an offset over the union falls back
+    // (per-child bounds don't compose with a global skip) but stays
+    // value-identical
+    val q6 = "a.unionAll(b).orderBy({desc(day), id}).limit(2)"
+    val r6 = Planner.plan(q6, cat)
+    assert(files(r6).map(_.split("/")(1)).distinct === Seq("v3"))
+    assert(r6.collect().map(_.getLong(0)).toSeq === Seq(5L, 5L))
+    val q7 = "a.unionAll(b).orderBy({desc(day), id}).offset(1).limit(2)"
+    assert(Planner.plan(q7, cat).collect().map(_.getLong(0)).toSeq ===
+      unrouted(q7).collect().map(_.getLong(0)).toSeq)
   }
 
   test("filtered counts stay exact with ONE loose conjunct: rows failing " +
