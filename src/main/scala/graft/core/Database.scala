@@ -71,6 +71,25 @@ object Database {
     (grab("nucleotideSequences"), grab("genes"))
   }
 
+  /** Split a comma-separated input list into its elements — commas
+    * INSIDE Hadoop brace-globs (`/data/{a,b}/x.ndjson`) are not
+    * separators. Shared by every consumer of the serve/append
+    * comma-list convention so a braced glob path survives intact.
+    */
+  private[graft] def splitInputs(path: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    path.foreach {
+      case '{' => depth += 1; cur += '{'
+      case '}' => depth = math.max(0, depth - 1); cur += '}'
+      case ',' if depth == 0 => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    out += cur.result()
+    out.result().filter(_.nonEmpty)
+  }
+
   /** Cheap per-file input manifest: every LEAF file (recursive — Spark's
     * readers pick up part files at any depth, so a `date=X/part-N.ndjson`
     * partition layout must contribute; a top-level listing would be blind,
@@ -86,9 +105,10 @@ object Database {
       : Map[String, String] = {
     // comma-separated lists manifest as the union of their elements
     // (the serve/append input layout)
-    if (path.contains(","))
-      return path.split(",").toSeq.filter(_.nonEmpty)
-        .map(inputManifest(spark, _)).foldLeft(Map.empty[String, String])(_ ++ _)
+    val parts = splitInputs(path)
+    if (parts.size > 1)
+      return parts.map(inputManifest(spark, _))
+        .foldLeft(Map.empty[String, String])(_ ++ _)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val roots = Option(fs.globStatus(p)).getOrElse(Array())
@@ -155,13 +175,20 @@ object Database {
     val cfg = parseConfig(s"$configDir/database_config.yaml")
     val (nucRefs, aaRefs) =
       parseReferenceGenomes(spark, s"$configDir/reference_genomes.json")
+    (schemaFor(cfg, nucRefs, aaRefs), cfg.primaryKey)
+  }
+
+  /** The single source of the NDJSON input schema (build and the append
+    * CLI's validation must never drift apart).
+    */
+  private def schemaFor(cfg: Config, nucRefs: Map[String, String],
+      aaRefs: Map[String, String]): StructType = {
     val allRefs = nucRefs ++ aaRefs
-    (StructType(
+    StructType(
       cfg.metadata.map(f => StructField(f.name, sparkType(f.tpe))) ++
         allRefs.keys.toSeq.sorted.map(n => StructField(n, seqStruct)) ++
         nucRefs.keys.toSeq.sorted.map(n =>
-          StructField(s"unaligned_$n", StringType))),
-      cfg.primaryKey)
+          StructField(s"unaligned_$n", StringType)))
   }
 
   /** As above; with `stateDir` the row-level posting indexes persist as
@@ -176,15 +203,13 @@ object Database {
     val (nucRefs, aaRefs) = parseReferenceGenomes(spark, s"$configDir/reference_genomes.json")
     val allRefs = nucRefs ++ aaRefs
 
-    val schema = StructType(
-      cfg.metadata.map(f => StructField(f.name, sparkType(f.tpe))) ++
-        allRefs.keys.toSeq.sorted.map(n => StructField(n, seqStruct)) ++
-        nucRefs.keys.toSeq.sorted.map(n => StructField(s"unaligned_$n", StringType)))
+    val schema = schemaFor(cfg, nucRefs, aaRefs)
 
     // ndjsonPath may be a COMMA-SEPARATED list (the serve/append layout:
-    // the original input plus append-*.ndjson commits)
+    // the original input plus append-*.ndjson commits); brace-glob
+    // commas are not separators
     val raw = graft.sources.NdjsonIngest.read(spark,
-      ndjsonPath.split(",").toSeq.filter(_.nonEmpty), schema)
+      splitInputs(ndjsonPath), schema)
     // PK uniqueness is validated over the FULL input even on incremental
     // builds: an appended row duplicating an OLD key must abort
     graft.sources.NdjsonIngest.validatePrimaryKey(raw, cfg.primaryKey)

@@ -522,8 +522,14 @@ final class Planner(catalog: Planner.Catalog) {
       sortedScan: Option[SortedScan] = None,
       zone: Option[ZonePred] = None,
       // a unionAll's (left, right) pipeline values: a following filter
-      // pushes into both children so each registered side keeps routing
-      union: Option[(Tbl, Tbl)] = None)
+      // pushes into both children so each registered side keeps routing.
+      // INVARIANT: union is only set when df IS the children's plain
+      // union — an orderBy output must NOT carry it (a stage rebuilding
+      // from the children would silently discard the sort); the sorted
+      // union's per-child notes travel in sortedUnion instead, consumed
+      // ONLY by the limit rewrite.
+      union: Option[(Tbl, Tbl)] = None,
+      sortedUnion: Option[(Tbl, Tbl)] = None)
 
   /** The filter stage's note to a following orderBy+limit: EVERY conjunct
     * of the predicate was stats-decidable (range / string equality /
@@ -616,12 +622,6 @@ final class Planner(catalog: Planner.Catalog) {
     if graft.sources.NdjsonIngest.chainMergeFree(dir, chain)
   } yield ZonePred(dir, chain, in.df.schema, None, Nil, Nil, Nil)
 
-  /** Apply filter(pred) to a pipeline value, pushing through
-    * unionAll children first (≙ the reference pushing filters into
-    * both union inputs, optimizer/filter_pushdown_pass.h:22-49): each
-    * registered side zone-routes independently, and the rebuilt
-    * union carries its routed children for further stacked filters.
-    */
   /** Ungrouped metadata count for a pipeline value: the bare registered
     * merge-free chain's recorded row counts, a fully-decidable filter's
     * exact matching count (chainMatchCount), or — recursing — the SUM
@@ -859,7 +859,7 @@ in.zone match {
     * result re-sorts and cuts (the union's top-n is always within the
     * union of the children's top-n).
     */
-  private def limitStage(in: Tbl, n: Long): Tbl = in.union match {
+  private def limitStage(in: Tbl, n: Long): Tbl = in.sortedUnion match {
     case Some((l, r)) if l.sortedScan.exists(_.skip == 0) &&
         r.sortedScan.exists(_.skip == 0) && n <= Int.MaxValue =>
       val ll = limitStage(l, n)
@@ -942,6 +942,12 @@ in.zone match {
       }
   }
 
+  /** Apply filter(pred) to a pipeline value, pushing through
+    * unionAll children first (≙ the reference pushing filters into
+    * both union inputs, optimizer/filter_pushdown_pass.h:22-49): each
+    * registered side zone-routes independently, and the rebuilt
+    * union carries its routed children for further stacked filters.
+    */
   private def filterStage(in: Tbl, pred: Expr): Tbl = in.union match {
     case Some((l, r)) =>
       val fl = filterStage(l, pred)
@@ -1606,7 +1612,7 @@ in.zone match {
             r.copy(sortedScan = sortNote(r, fields)))
         }
         Tbl(in.df.orderBy(sorts: _*), in.origin, sortNote(in, fields),
-          union = kids)
+          sortedUnion = kids)
 
       case "limit" =>
         val n = intArg(req("count"), "limit")

@@ -675,7 +675,7 @@ object NdjsonIngest {
     val caps: Seq[Option[Long]] = withLines.map { case (l, lines) =>
       val hasTombs = new java.io.File(s"$tableDir/$l/_tombstones").isDirectory
       intro.get(l) match {
-        case Some(k) if zeroCap(k) && !hasTombs => Some(0L)
+        case Some(kind) if zeroCap(kind) && !hasTombs => Some(0L)
         case Some("upsert") if !hasTombs =>
           if (layerHasData(tableDir, l)) nFromLines(lines) else Some(0L)
         case Some("delete") if !layerHasData(tableDir, l) =>

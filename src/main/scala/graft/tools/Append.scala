@@ -82,50 +82,76 @@ object Append {
           finally in.close()
       }
 
-      // 2. VALIDATE before any commit: FAILFAST schema parse (the read
-      // mode aborts on malformed lines, ≙ table_inserter's per-record
-      // validation), batch-internal duplicate pks, then duplicates
-      // against every existing record — old keys must abort too
-      // (duplicate_primary_key_exception.h; Database.build re-checks the
-      // FULL input on every later build, so nothing unsound could slip
-      // through even without this, but the reference aborts BEFORE
-      // writing and so do we)
-      val batch = NdjsonIngest.read(spark, tmp.toString, schema)
-        .localCheckpoint() // parse once; reused by validate + count
-      NdjsonIngest.validatePrimaryKey(batch, pk)
-      val existing = NdjsonIngest.read(spark,
-        Serve.currentInput(dataDir).split(",").toSeq.filter(_.nonEmpty),
-        schema)
-      val clash = existing
-        .join(broadcast(batch.select(col(pk))), Seq(pk), "left_semi")
-        .select(col(pk).cast("string")).limit(10)
-        .collect().map(_.getString(0)).toSeq
-      if (clash.nonEmpty) throw NdjsonIngest.DuplicatePrimaryKey(clash)
-      val n = batch.count()
-      if (n == 0) return ("", 0L)
-
-      // 3. COMMIT: stage inside the data directory (same filesystem),
-      // then one atomic no-replace rename to the next append-<seq> name —
-      // concurrent appends race on the rename, the loser just retries
-      // with the next sequence number
-      var seq = nextSeq(dataDir)
-      val staged = java.nio.file.Files.createTempFile(
-        java.nio.file.Paths.get(dataDir), ".append-staged", suffix)
-      java.nio.file.Files.copy(tmp, staged,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      while (true) {
-        val target = java.nio.file.Paths.get(dataDir,
-          f"append-$seq%06d$suffix")
-        try {
-          java.nio.file.Files.move(staged, target,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          return (target.getFileName.toString, n)
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => seq += 1
+      // validation and commit run under an EXCLUSIVE cross-process lock:
+      // without it two racing appends could each validate against the
+      // pre-commit input, both pass, and both land files sharing a pk —
+      // poisoning every later build with DuplicatePrimaryKey (the
+      // reference's append is a single-writer CLI; the lock makes the
+      // accidental two-writer case safe rather than corrupting)
+      withLock(dataDir) {
+        // 2. VALIDATE before any commit: FAILFAST schema parse (the read
+        // mode aborts on malformed lines, ≙ table_inserter's per-record
+        // validation), batch-internal duplicate pks, then duplicates
+        // against every existing record — old keys must abort too
+        // (duplicate_primary_key_exception.h; Database.build re-checks
+        // the FULL input on every later build, so nothing unsound could
+        // slip through even without this, but the reference aborts
+        // BEFORE writing and so do we)
+        val batch = NdjsonIngest.read(spark, tmp.toString, schema)
+          .localCheckpoint() // parse once; reused by validate + count
+        NdjsonIngest.validatePrimaryKey(batch, pk)
+        val existing = NdjsonIngest.read(spark,
+          Database.splitInputs(Serve.currentInput(dataDir)), schema)
+        val clash = existing
+          .join(broadcast(batch.select(col(pk))), Seq(pk), "left_semi")
+          .select(col(pk).cast("string")).limit(10)
+          .collect().map(_.getString(0)).toSeq
+        if (clash.nonEmpty) throw NdjsonIngest.DuplicatePrimaryKey(clash)
+        val n = batch.count()
+        if (n == 0) ("", 0L)
+        else {
+          // 3. COMMIT: stage inside the data directory (same
+          // filesystem), then one atomic no-replace rename to the next
+          // append-<seq> name; a failed rename never leaks the staged
+          // copy
+          val staged = java.nio.file.Files.createTempFile(
+            java.nio.file.Paths.get(dataDir), ".append-staged", suffix)
+          try {
+            java.nio.file.Files.copy(tmp, staged,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            var seq = nextSeq(dataDir)
+            var out: Option[String] = None
+            while (out.isEmpty) {
+              val target = java.nio.file.Paths.get(dataDir,
+                f"append-$seq%06d$suffix")
+              try {
+                java.nio.file.Files.move(staged, target,
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                out = Some(target.getFileName.toString)
+              } catch {
+                case _: java.nio.file.FileAlreadyExistsException => seq += 1
+              }
+            }
+            (out.get, n)
+          } finally java.nio.file.Files.deleteIfExists(staged)
         }
       }
-      throw new IllegalStateException("unreachable")
     } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  /** Exclusive cross-process lock on `<dataDir>/.append.lock` held for
+    * the whole validate-then-commit window (FileChannel.lock — advisory,
+    * but every appender goes through this code path).
+    */
+  private def withLock[T](dataDir: String)(body: => T): T = {
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(dataDir, ".append.lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock()
+      try body finally lock.release()
+    } finally ch.close()
   }
 
   private def nextSeq(dataDir: String): Long = {

@@ -939,6 +939,21 @@ class SaneQLSpec extends SparkSpec {
     val q7 = "a.unionAll(b).orderBy({desc(day), id}).offset(1).limit(2)"
     assert(Planner.plan(q7, cat).collect().map(_.getLong(0)).toSeq ===
       unrouted(q7).collect().map(_.getLong(0)).toSeq)
+    // a row-membership stage BETWEEN the union's orderBy and the limit
+    // must keep the SORT (the per-child notes ride a separate slot —
+    // rebuilding the frame from the unsorted children here would return
+    // arbitrary rows): top-2 ids by day desc are 5,5 regardless of the
+    // interposed project/map/filter
+    val q8 = "a.unionAll(b).orderBy({desc(day), id}).project({id}).limit(2)"
+    assert(Planner.plan(q8, cat).collect().map(_.getLong(0)).toSeq ===
+      Seq(5L, 5L))
+    val q9 = "a.unionAll(b).orderBy({desc(day), id}).map({t := 'x'}).limit(2)"
+    assert(Planner.plan(q9, cat).collect().map(_.getLong(0)).toSeq ===
+      Seq(5L, 5L))
+    val q10 = "a.unionAll(b).orderBy({desc(day), id})" +
+      ".filter(between(day, 1, 3)).limit(2)"
+    assert(Planner.plan(q10, cat).collect().map(_.getLong(0)).toSeq ===
+      Seq(5L, 5L))
   }
 
   test("filtered counts stay exact with ONE loose conjunct: rows failing " +
