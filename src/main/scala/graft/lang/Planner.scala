@@ -584,7 +584,13 @@ final class Planner(catalog: Planner.Catalog) {
   final case class SortedScan(dir: String, chain: Seq[String],
       column: String, descending: Boolean, tiebreak: Seq[String],
       schema: org.apache.spark.sql.types.StructType, skip: Long = 0,
-      zone: Option[ZonePred] = None)
+      zone: Option[ZonePred] = None,
+      // stages interposed BETWEEN the orderBy and the limit (plain
+      // projections, maps — both order-preserving): the rewrite replays
+      // them AFTER its orderBy, so they may freely drop sort keys or
+      // shadow columns — the sort ran on pre-stage values, exactly like
+      // the pipeline
+      postSort: Seq[PostStage] = Nil)
 
   private def err(msg: String): Nothing = throw QueryError(msg)
 
@@ -735,7 +741,27 @@ final class Planner(catalog: Planner.Catalog) {
       if (!plain) None
       else in.zone.map(zp => zp.copy(post = zp.post :+ PostProject(cols)))
         .orElse(bareScanNote(in).map(_.copy(post = Seq(PostProject(cols)))))
-    Tbl(in.df.select(exprs: _*), None, zone = note)
+    // a plain projection BETWEEN an orderBy and its limit rides the sort
+    // note as a post-sort stage (replayed after the rewrite's own sort,
+    // so it may freely drop the sort keys). A sorted UNION additionally
+    // needs the keys KEPT — the limit's merge re-sorts the replayed
+    // child frames, so dropped keys would sink the merge.
+    Tbl(in.df.select(exprs: _*), None, zone = note,
+      sortedScan =
+        if (plain) in.sortedScan
+          .filter(_.zone.isDefined) // readChainTopK can't replay stages
+          .map(ss => ss.copy(postSort = ss.postSort :+ PostProject(cols)))
+        else None,
+      sortedUnion =
+        if (!plain) None
+        else in.sortedUnion.filter { case (l, r) =>
+          Seq(l, r).forall(_.sortedScan.exists(ss => ss.zone.isDefined &&
+            (ss.column +: ss.tiebreak).forall(cols.contains)))
+        }.map { case (l, r) =>
+          def add(t: Tbl) = t.copy(sortedScan = t.sortedScan.map(ss =>
+            ss.copy(postSort = ss.postSort :+ PostProject(cols))))
+          (add(l), add(r))
+        })
   }
 
   /** The map pipeline stage, recursing into unionAll children like
@@ -770,7 +796,25 @@ final class Planner(catalog: Planner.Catalog) {
           .map(_.copy(post = Seq(PostMap(items, in.origin))))
       }
     }
-    Tbl(out, None, zone = note)
+    // a map BETWEEN an orderBy and its limit rides the sort note as a
+    // post-sort stage — it may even shadow the sort keys (the rewrite
+    // sorts on pre-map values, exactly like the pipeline, and replays
+    // the map after). A sorted UNION is stricter: the limit's merge
+    // re-sorts the REPLAYED child frames, so the keys must stay
+    // unshadowed there.
+    Tbl(out, None, zone = note,
+      sortedScan = in.sortedScan
+        .filter(_.zone.isDefined)
+        .map(ss =>
+          ss.copy(postSort = ss.postSort :+ PostMap(items, in.origin))),
+      sortedUnion = in.sortedUnion.filter { case (l, r) =>
+        Seq(l, r).forall(_.sortedScan.exists(ss => ss.zone.isDefined &&
+          !(ss.column +: ss.tiebreak).exists(k => items.exists(_._1 == k))))
+      }.map { case (l, r) =>
+        def add(t: Tbl) = t.copy(sortedScan = t.sortedScan.map(ss =>
+          ss.copy(postSort = ss.postSort :+ PostMap(items, in.origin))))
+        (add(l), add(r))
+      })
   }
 
   /** The top-k scan note for `orderBy(fields)` over `in` — the note
@@ -834,7 +878,11 @@ in.zone match {
         (first, ties) <- sortKey
         chain <- frameLayers(in.df, dir)
         if graft.sources.NdjsonIngest.chainMergeFree(dir, chain)
-      } yield SortedScan(dir, chain, first._1, first._2, ties, in.df.schema))
+        // a conjunct-free zone note rides along so post-orderBy stages
+        // (project/map before the limit) can replay through the
+        // zone-branch rewrite
+      } yield SortedScan(dir, chain, first._1, first._2, ties, in.df.schema,
+        zone = Some(ZonePred(dir, chain, in.df.schema, None, Nil, Nil, Nil))))
         // the bare MERGED scan sorts too: the note carries a
         // conjunct-free merged ZonePred so the limit rewrite takes
         // the shadow-aware path (pk-only non-suppliers, loss-capped
@@ -860,16 +908,26 @@ in.zone match {
     * union of the children's top-n).
     */
   private def limitStage(in: Tbl, n: Long): Tbl = in.sortedUnion match {
-    case Some((l, r)) if l.sortedScan.exists(_.skip == 0) &&
-        r.sortedScan.exists(_.skip == 0) && n <= Int.MaxValue =>
-      val ll = limitStage(l, n)
-      val rr = limitStage(r, n)
+    case Some((l, r))
+        if l.sortedScan.isDefined && r.sortedScan.isDefined &&
+          l.sortedScan.get.skip == r.sortedScan.get.skip &&
+          l.sortedScan.get.skip + n <= Int.MaxValue =>
+      // an interposed offset deepened BOTH children's skip identically;
+      // each child reads its top-(skip+n) superset with NO child-level
+      // skip (the skip is global), and the merge re-applies it
+      val skip = l.sortedScan.get.skip
+      def flat(t: Tbl) =
+        t.copy(sortedScan = t.sortedScan.map(_.copy(skip = 0)))
+      val ll = limitStage(flat(l), skip + n)
+      val rr = limitStage(flat(r), skip + n)
       // both notes derive from the SAME orderBy fields, so either
       // spells the merge sort key
       val ss = l.sortedScan.get
       val keyCols = (ss.column +: ss.tiebreak).map(c =>
         if (ss.descending && c == ss.column) col(c).desc else col(c).asc)
-      Tbl(ll.df.union(rr.df).orderBy(keyCols: _*).limit(n.toInt), None)
+      val merged = ll.df.union(rr.df).orderBy(keyCols: _*)
+      Tbl(if (skip > 0) merged.offset(skip.toInt).limit(n.toInt)
+          else merged.limit(n.toInt), None)
     case _ =>
       in.sortedScan match {
         case Some(ss) if ss.skip + n <= Int.MaxValue =>
@@ -924,13 +982,23 @@ in.zone match {
               // carried row-membership-invariant stages re-apply IN
               // ORDER after the filter — exactly where the pipeline
               // had them
-              zp.post.foldLeft(filtered) {
+              val sorted = zp.post.foldLeft(filtered) {
                 case (d, PostProject(cs)) => d.select(cs.map(col): _*)
                 case (d, PostMap(items, org)) =>
                   items.foldLeft(d) { case (dd, (n, v)) =>
                     dd.withColumn(n, scalar(v, dd, Ambiguity.ModeNone, org))
                   }
-              }.orderBy(keyCols: _*).limit(kTot)
+              }.orderBy(keyCols: _*)
+              // stages interposed between the orderBy and the limit
+              // replay AFTER the sort (both are order-preserving, and
+              // the sort ran on pre-stage values like the pipeline's)
+              ss.postSort.foldLeft(sorted) {
+                case (d, PostProject(cs)) => d.select(cs.map(col): _*)
+                case (d, PostMap(items, org)) =>
+                  items.foldLeft(d) { case (dd, (n, v)) =>
+                    dd.withColumn(n, scalar(v, dd, Ambiguity.ModeNone, org))
+                  }
+              }.limit(kTot)
             case None =>
               graft.sources.NdjsonIngest.readChainTopK(
                 in.df.sparkSession, ss.dir, ss.chain, ss.column,
@@ -1626,9 +1694,18 @@ in.zone match {
         if (n < 0) err(s"Cannot cast $n to uint32. Value out of range")
         // an offset between orderBy and limit deepens (not drops) the
         // top-k note: limit(k) then reads the first skip+k rows and
-        // re-applies the skip
+        // re-applies the skip. A sorted UNION deepens each child's note
+        // the same way — the union's top-(skip+k) is always within the
+        // union of the children's top-(skip+k) — and limit re-applies
+        // the global skip after the merge sort.
         Tbl(in.df.offset(n.toInt), in.origin,
-          in.sortedScan.map(ss => ss.copy(skip = ss.skip + n)))
+          in.sortedScan.map(ss => ss.copy(skip = ss.skip + n)),
+          sortedUnion = in.sortedUnion.map { case (l, r) =>
+            def deepen(t: Tbl) =
+              t.copy(sortedScan = t.sortedScan.map(ss =>
+                ss.copy(skip = ss.skip + n)))
+            (deepen(l), deepen(r))
+          })
 
       case "randomize" =>
         val in = input

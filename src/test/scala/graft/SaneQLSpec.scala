@@ -797,6 +797,61 @@ class SaneQLSpec extends SparkSpec {
       unrouted(q4).collect().map(_.getLong(0)).toSeq)
   }
 
+  test("project/map between orderBy and limit ride the sort note as " +
+    "post-sort stages — keys may be dropped or shadowed, bounds keep") {
+    import graft.sources.NdjsonIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft").toString + "/ps"
+    NdjsonIngest.appendVersion(
+      Seq((1L, 1L, 10.0), (2L, 1L, 11.0)).toDF("id", "day", "score"),
+      dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((3L, 2L, 20.0), (4L, 2L, 21.0)).toDF("id", "day", "score"),
+      dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((5L, 3L, 30.0), (6L, 3L, 31.0)).toDF("id", "day", "score"),
+      dir, "id")
+    NdjsonIngest.appendDelta(
+      Seq((7L, 4L, 40.0), (8L, 4L, 41.0)).toDF("id", "day", "score"),
+      dir, "id")
+    val cat = Catalog(
+      tables = Map("t" -> NdjsonIngest.readLatest(spark, dir)),
+      versionedDirs = Map("t" -> dir))
+    def layersOf(df: org.apache.spark.sql.DataFrame) =
+      df.inputFiles.map(_.split("/").takeRight(2).head).distinct.sorted.toSeq
+    def unrouted(q: String) = Planner.plan(q, cat.copy(versionedDirs = Map()))
+    // a projection DROPPING the sort key between orderBy and limit: the
+    // rewrite sorts first, replays the projection after — 1 of 4 footers
+    val q1 = "t.orderBy({desc(score), id}).project({id}).limit(2)"
+    val r1 = Planner.plan(q1, cat)
+    assert(layersOf(r1) === Seq("v4"), layersOf(r1).mkString(","))
+    assert(r1.columns.toSeq === Seq("id"))
+    assert(r1.collect().map(_.getLong(0)).toSeq === Seq(8L, 7L))
+    assert(r1.collect().map(_.getLong(0)).toSeq ===
+      unrouted(q1).collect().map(_.getLong(0)).toSeq)
+    // a map SHADOWING the sort key post-sort: the pipeline sorts on the
+    // ORIGINAL values then overwrites — so must the rewrite
+    val q2 = "t.orderBy({desc(score), id}).map({score := 0}).limit(2)"
+    val r2 = Planner.plan(q2, cat)
+    assert(layersOf(r2) === Seq("v4"), layersOf(r2).mkString(","))
+    assert(r2.collect().map(r => (r.getLong(0), r.getInt(2))).toSeq ===
+      Seq((8L, 0), (7L, 0)))
+    assert(r2.collect().map(_.getLong(0)).toSeq ===
+      unrouted(q2).collect().map(_.getLong(0)).toSeq)
+    // composed with a decidable filter: both bounds + the post-sort stage
+    val q3 = "t.filter(between(day, 2, 3)).orderBy({desc(score), id})" +
+      ".project({id}).limit(2)"
+    val r3 = Planner.plan(q3, cat)
+    assert(layersOf(r3) === Seq("v3"), layersOf(r3).mkString(","))
+    assert(r3.collect().map(_.getLong(0)).toSeq === Seq(6L, 5L))
+    // an offset around the interposed stage deepens the bound
+    val q4 = "t.orderBy({desc(score), id}).project({id}).offset(2).limit(2)"
+    val r4 = Planner.plan(q4, cat)
+    assert(layersOf(r4) === Seq("v3", "v4"), layersOf(r4).mkString(","))
+    assert(r4.collect().map(_.getLong(0)).toSeq === Seq(6L, 5L))
+    assert(r4.collect().map(_.getLong(0)).toSeq ===
+      unrouted(q4).collect().map(_.getLong(0)).toSeq)
+  }
+
   test("disjunctive filters zone-prune on the UNION of the arms' " +
     "envelopes (≙ Or unioning bitmaps, filter/operators/or.cpp)") {
     import graft.sources.NdjsonIngest
@@ -929,15 +984,20 @@ class SaneQLSpec extends SparkSpec {
     assert(r5.collect().map(_.getLong(0)).toSeq === Seq(5L, 5L))
     assert(r5.collect().map(_.getLong(0)).toSeq ===
       unrouted(q5).collect().map(_.getLong(0)).toSeq)
-    // bare union top-k routes too; an offset over the union falls back
-    // (per-child bounds don't compose with a global skip) but stays
-    // value-identical
+    // bare union top-k routes too; an offset over the union DEEPENS
+    // each child's bound to skip+k and re-applies the skip after the
+    // merge sort — rows 2-3 of the descending stream need v2+v3 of each
+    // side, never v1
     val q6 = "a.unionAll(b).orderBy({desc(day), id}).limit(2)"
     val r6 = Planner.plan(q6, cat)
     assert(files(r6).map(_.split("/")(1)).distinct === Seq("v3"))
     assert(r6.collect().map(_.getLong(0)).toSeq === Seq(5L, 5L))
     val q7 = "a.unionAll(b).orderBy({desc(day), id}).offset(1).limit(2)"
-    assert(Planner.plan(q7, cat).collect().map(_.getLong(0)).toSeq ===
+    val r7 = Planner.plan(q7, cat)
+    assert(files(r7).map(_.split("/")(1)).distinct.sorted === Seq("v2", "v3"),
+      files(r7).mkString(","))
+    assert(r7.collect().map(_.getLong(0)).toSeq === Seq(5L, 6L))
+    assert(r7.collect().map(_.getLong(0)).toSeq ===
       unrouted(q7).collect().map(_.getLong(0)).toSeq)
     // a row-membership stage BETWEEN the union's orderBy and the limit
     // must keep the SORT (the per-child notes ride a separate slot —
@@ -954,6 +1014,15 @@ class SaneQLSpec extends SparkSpec {
       ".filter(between(day, 1, 3)).limit(2)"
     assert(Planner.plan(q10, cat).collect().map(_.getLong(0)).toSeq ===
       Seq(5L, 5L))
+    // a KEY-KEEPING projection between the union's orderBy and limit
+    // still routes both sides (the merge re-sorts the projected frames)
+    val q11 = "a.unionAll(b).orderBy({desc(day), id}).project({id, day})" +
+      ".limit(2)"
+    val r11 = Planner.plan(q11, cat)
+    assert(files(r11).map(_.split("/")(1)).distinct === Seq("v3"),
+      files(r11).mkString(","))
+    assert(r11.columns.toSeq === Seq("id", "day"))
+    assert(r11.collect().map(_.getLong(0)).toSeq === Seq(5L, 5L))
   }
 
   test("filtered counts stay exact with ONE loose conjunct: rows failing " +
