@@ -74,13 +74,18 @@ final class KeyedConfig(val keys: Seq[String],
     * the reference's `--runtime-config` option.
     */
   def resolve(args: Seq[String], env: Map[String, String],
-      defaults: Map[String, String] = Map.empty): Map[String, String] = {
+      defaults: Map[String, String] = Map.empty,
+      // which keys name LAYERED CONFIG FILES, weakest first (Serve/
+      // Append use the runtime-config pair; Initialize the reference's
+      // single `initializeConfig`)
+      fileKeys: Seq[String] = Seq("defaultRuntimeConfig", "runtimeConfig"))
+      : Map[String, String] = {
     val cli = parseArgs(args)
     val fromEnv = parseEnv(env)
     val paths = fromEnv ++ cli
-    val fileLayers =
-      paths.get("defaultRuntimeConfig").map(parseYamlFile).getOrElse(Map.empty) ++
-        paths.get("runtimeConfig").map(parseYamlFile).getOrElse(Map.empty)
+    val fileLayers = fileKeys.flatMap(k =>
+      paths.get(k).map(parseYamlFile).getOrElse(Map.empty))
+      .foldLeft(Map.empty[String, String])(_ + _)
     defaults ++ fileLayers ++ fromEnv ++ cli
   }
 }

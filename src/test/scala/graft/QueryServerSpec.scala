@@ -815,5 +815,66 @@ class QueryServerSpec extends SparkSpec {
     } finally s.stop()
   }
 
+  test("initialize → append → serve: an EMPTY validated data directory " +
+    "fills incrementally and serves, like the reference's four-" +
+    "subcommand workflow; preprocess warms the same state eagerly") {
+    import graft.tools.{Append, Initialize, Preprocess, Serve}
+    val base = "/root/reference/testBaseData/unitTestDummyDataset"
+    val outDir = java.nio.file.Files.createTempDirectory("initdata")
+      .resolve("d").toString
+    // initialize assembles + validates the directory from config inputs
+    // (reference key spellings; tree/lineage files keep their roles)
+    val out = Initialize.run(spark, Initialize.resolve(Seq(
+      "--input-directory", base,
+      "--output-directory", outDir,
+      "--lineage-definition-filenames", "test_lineage_definition.yaml",
+      "--phylo-tree-filename", "phylogenetic_tree.nwk"), Map.empty))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out, "database_config.yaml")))
+    assert(java.nio.file.Files.size(
+      java.nio.file.Paths.get(out, "input.ndjson")) === 0L)
+    // a bad config must fail the initialize itself, loudly
+    intercept[RuntimeException] {
+      Initialize.run(spark, Map(
+        "inputDirectory" -> base, "outputDirectory" -> (outDir + "2"),
+        "databaseConfig" -> "no_such_config.yaml"))
+    }
+    // append fills the empty directory (2 fresh records)
+    val first = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(base, "input.ndjson")).get(0)
+    val batch = java.nio.file.Files.createTempFile("initbatch", ".ndjson")
+    java.nio.file.Files.writeString(batch,
+      first.replace("\"primaryKey\":\"key1\"", "\"primaryKey\":\"keyI1\"") +
+        "\n" +
+        first.replace("\"primaryKey\":\"key1\"", "\"primaryKey\":\"keyI2\"") +
+        "\n")
+    val (_, appended) = Append.run(spark, Map(
+      "dataDirectory" -> out, "appendFile" -> batch.toString))
+    assert(appended === 2L)
+    // preprocess builds the state eagerly (2 rows visible)
+    val (rows, _) = Preprocess.run(spark, Map("dataDirectory" -> out))
+    assert(rows === 2L)
+    // and the server answers over the initialized + appended directory
+    val s = Serve.boot(spark, Map("dataDirectory" -> out, "api.port" -> "0"))
+    try {
+      def count(): (Int, Long) = {
+        val r = http.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${s.boundPort}/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            "default.groupBy({c := count()})")).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), if (r.statusCode() == 200)
+          r.body().trim.stripPrefix("{\"c\":").stripSuffix("}").toLong
+        else -1L)
+      }
+      val deadline = System.nanoTime() + 120_000_000_000L
+      var (code, n) = count()
+      while ((code != 200 || n != 2L) && System.nanoTime() < deadline) {
+        Thread.sleep(250); val r = count(); code = r._1; n = r._2
+      }
+      assert(code === 200 && n === 2L)
+    } finally s.stop()
+  }
+
   override def afterAll(): Unit = { srv.stop(); super.afterAll() }
 }
