@@ -785,7 +785,15 @@ class PropertySpec extends SparkSpec {
             s".orderBy({$key, id}).limit($k)",
           // an OR with an opaque arm must not prune at all (still equal)
           s"t.filter(between(v, $lo, $hi) || v <> $lo)" +
-            s".orderBy({$key, id}).limit($k)") ++
+            s".orderBy({$key, id}).limit($k)",
+          // post-sort stages: a key-dropping projection and a
+          // key-shadowing map between orderBy and limit replay AFTER
+          // the rewrite's sort
+          s"t.orderBy({$key, id}).project({id}).limit($k)",
+          s"t.filter(between(v, $lo, $hi)).orderBy({$key, id})" +
+            s".project({id}).limit($k)",
+          s"t.orderBy({$key, id}).map({v := 0}).limit($k)",
+          s"t.orderBy({$key, id}).project({id}).offset($off).limit($k)") ++
           (if (cs.nonEmpty) {
             val set = cs.map(c => s"'$c'").mkString(",")
             Seq(s"t.filter(in(c, {$set})).orderBy({$key, id}).limit($k)",
