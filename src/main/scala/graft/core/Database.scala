@@ -157,6 +157,17 @@ object Database {
     StructField("insertions", ArrayType(StringType)),
     StructField("offset", IntegerType)))
 
+  /** A lineage column's definition file: the config-referenced name as
+    * given, or with `.yaml` appended (both spellings appear in the
+    * reference's example configs).
+    */
+  private def lineagePathOf(configDir: String,
+      f: MetaField): java.nio.file.Path = {
+    val p1 = Paths.get(configDir, f.lineageFile.get)
+    if (Files.exists(p1)) p1
+    else Paths.get(configDir, f.lineageFile.get + ".yaml")
+  }
+
   /** Build a queryable Catalog from a config directory + input NDJSON.
     * Directory convention follows the reference's example datasets:
     * `database_config.yaml`, `reference_genomes.json`, optional
@@ -266,9 +277,24 @@ object Database {
     lazy val dataManifest = inputManifest(spark, ndjsonPath)
     // The postings depend on the CONFIG as much as on the data — a
     // reference-genome or primary-key edit changes every diff — so the
-    // fingerprint spans both the NDJSON input and the config dir. Lazy:
-    // builds without a stateDir never pay the listing.
-    lazy val cfgFp = inputFingerprint(spark, configDir)
+    // fingerprint spans both the NDJSON input and the CONFIG FILES.
+    // The config files are enumerated EXPLICITLY, never as the whole
+    // directory: in the serve/append layout the config dir IS the data
+    // dir, and a directory-wide fingerprint would fold in input.ndjson,
+    // append-* commits, and the state/ the build itself writes — every
+    // build would then invalidate the next one's persisted indexes and
+    // the Loaded/Append classifications could never fire. Lazy: builds
+    // without a stateDir never pay the listing.
+    lazy val cfgFp = {
+      val known = Seq("database_config.yaml", "reference_genomes.json",
+        "phylogenetic_tree.nwk", "phylogenetic_tree.json")
+        .map(n => Paths.get(configDir, n))
+      val lineages = cfg.metadata.filter(_.lineageFile.isDefined)
+        .map(lineagePathOf(configDir, _))
+      val files = (known ++ lineages).filter(Files.isRegularFile(_))
+        .map(_.toString).distinct
+      inputFingerprint(spark, files.mkString(","))
+    }
     lazy val inputFp = manifestFingerprint(dataManifest) + "|" + cfgFp
     val states: Map[String, IdxState] = allRefs.keys.map { name =>
       name -> (stateDir match {
@@ -334,10 +360,7 @@ object Database {
 
     // lineage definitions (column metadata and/or relation tables)
     val lineageCols = cfg.metadata.filter(_.lineageFile.isDefined)
-    def lineagePath(f: MetaField) = {
-      val p1 = Paths.get(configDir, f.lineageFile.get)
-      if (Files.exists(p1)) p1 else Paths.get(configDir, f.lineageFile.get + ".yaml")
-    }
+    def lineagePath(f: MetaField) = lineagePathOf(configDir, f)
     val lineageDefs = lineageCols.map { f =>
       f.name -> LineageTree.fromYamlFile(lineagePath(f).toString)
     }.toMap

@@ -900,6 +900,20 @@ in.zone match {
     }
   }
 
+  /** Re-apply carried pipeline stages verbatim — the single replay used
+    * by every rewrite (pre-sort zone stages, post-sort stages, and the
+    * stacked-filter re-plan), so a future PostStage variant has exactly
+    * one execution site.
+    */
+  private def replay(df: DataFrame, stages: Seq[PostStage]): DataFrame =
+    stages.foldLeft(df) {
+      case (d, PostProject(cs)) => d.select(cs.map(col): _*)
+      case (d, PostMap(items, org)) =>
+        items.foldLeft(d) { case (dd, (nm, v)) =>
+          dd.withColumn(nm, scalar(v, dd, Ambiguity.ModeNone, org))
+        }
+    }
+
   /** The limit pipeline stage: the stats-bounded top-k rewrite over a
     * sorted-scan note, recursing into unionAll children — when BOTH
     * children carry a (skip-free) sort note for the same fields, each
@@ -982,23 +996,12 @@ in.zone match {
               // carried row-membership-invariant stages re-apply IN
               // ORDER after the filter — exactly where the pipeline
               // had them
-              val sorted = zp.post.foldLeft(filtered) {
-                case (d, PostProject(cs)) => d.select(cs.map(col): _*)
-                case (d, PostMap(items, org)) =>
-                  items.foldLeft(d) { case (dd, (n, v)) =>
-                    dd.withColumn(n, scalar(v, dd, Ambiguity.ModeNone, org))
-                  }
-              }.orderBy(keyCols: _*)
-              // stages interposed between the orderBy and the limit
-              // replay AFTER the sort (both are order-preserving, and
-              // the sort ran on pre-stage values like the pipeline's)
-              ss.postSort.foldLeft(sorted) {
-                case (d, PostProject(cs)) => d.select(cs.map(col): _*)
-                case (d, PostMap(items, org)) =>
-                  items.foldLeft(d) { case (dd, (n, v)) =>
-                    dd.withColumn(n, scalar(v, dd, Ambiguity.ModeNone, org))
-                  }
-              }.limit(kTot)
+              // post-sort stages replay AFTER the sort (both are
+              // order-preserving, and the sort ran on pre-stage values
+              // like the pipeline's)
+              replay(
+                replay(filtered, zp.post).orderBy(keyCols: _*),
+                ss.postSort).limit(kTot)
             case None =>
               graft.sources.NdjsonIngest.readChainTopK(
                 in.df.sparkSession, ss.dir, ss.chain, ss.column,
@@ -1186,13 +1189,7 @@ in.zone match {
           val prior = zp.pred.map(p =>
             scan.filter(scalar(p, scan, Ambiguity.ModeNone, in.origin)))
             .getOrElse(scan)
-          val replayed = zp.post.foldLeft(prior) {
-            case (d, PostProject(cols)) => d.select(cols.map(col): _*)
-            case (d, PostMap(items, org)) =>
-              items.foldLeft(d) { case (dd, (nm, v)) =>
-                dd.withColumn(nm, scalar(v, dd, Ambiguity.ModeNone, org))
-              }
-          }
+          val replayed = replay(prior, zp.post)
           // the combined note (count/top-k bounds) needs EVERY new
           // conjunct decidable over scan columns; the combined
           // predicate applies PRE-replay in any rewrite — sound

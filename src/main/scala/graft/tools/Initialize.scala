@@ -61,18 +61,30 @@ object Initialize {
       "database_config.yaml")
     copyTo(inPath("referenceGenomeFilename", "reference_genomes.json"),
       "reference_genomes.json")
-    // lineage definitions keep their own (config-referenced) file names;
+    // lineage definitions keep their config-referenced RELATIVE paths
+    // (the config may say `lineages/foo.yaml`; flattening to the
+    // basename would break the build's configDir-relative resolution);
     // the key accepts a comma-separated list like the reference's plural
     m.get("lineageDefinitionFilenames").toSeq
       .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .foreach { f =>
         val p = inPath("", f)
-        copyTo(p, p.getFileName.toString)
+        val rel = if (java.nio.file.Paths.get(f).isAbsolute)
+          p.getFileName.toString
+        else f
+        Option(java.nio.file.Paths.get(outDir, rel).getParent)
+          .foreach(java.nio.file.Files.createDirectories(_))
+        copyTo(p, rel)
       }
-    // the tree keeps its extension (build dispatches .nwk vs .json)
+    // the tree keeps its extension — and only the two the build
+    // dispatches on are valid (fail HERE with a clear message, not in
+    // the validation build with a misleading missing-file error)
     m.get("phyloTreeFilename").foreach { f =>
       val p = inPath("", f)
-      val ext = p.getFileName.toString.split('.').last
+      val name = p.getFileName.toString
+      val ext = Seq("nwk", "json").find(e => name.endsWith(s".$e"))
+        .getOrElse(sys.error(
+          s"initialize: phylo tree must be a .nwk or .json file, got $name"))
       copyTo(p, s"phylogenetic_tree.$ext")
     }
     val empty = java.nio.file.Paths.get(outDir, "input.ndjson")
@@ -81,9 +93,10 @@ object Initialize {
     // VALIDATE: the empty catalog must build — parses the config,
     // reference genomes, lineage yamls, and the tree exactly like the
     // serving path will (reference: the Initializer constructs the empty
-    // database state, failing on any inconsistent input)
-    Database.build(spark, outDir, empty.toString,
-      stateDir = Some(new java.io.File(outDir, "state").getPath))
+    // database state, failing on any inconsistent input). No stateDir:
+    // an empty-input index generation would be dead weight the first
+    // append invalidates anyway.
+    Database.build(spark, outDir, empty.toString, stateDir = None)
     outDir
   }
 
@@ -99,6 +112,7 @@ object Initialize {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .appName("graft-initialize")
       .getOrCreate()

@@ -113,11 +113,6 @@ object Serve {
         .sorted.map(n => new java.io.File(dataDir, n).getPath))
       .mkString(",")
 
-  /** Boot the server from resolved settings: starts listening
-    * immediately (503 + Retry-After until the first catalog build
-    * commits), loads in the background, hot-swaps on input change.
-    * Returns the running server; the caller owns `stop()`.
-    */
   /** A synchronized access-log sink appending to `path`, rotating to
     * `path.1` once the live file reaches `maxBytes` (one rotated
     * generation — bounded disk for the reference's long-running
@@ -145,6 +140,11 @@ object Serve {
     }
   }
 
+  /** Boot the server from resolved settings: starts listening
+    * immediately (503 + Retry-After until the first catalog build
+    * commits), loads in the background, hot-swaps on input change.
+    * Returns the running server; the caller owns `stop()`.
+    */
   def boot(spark: SparkSession, m: Map[String, String],
       accessSink: String => Unit = line => println(s"[access] $line"))
       : QueryServer = {
@@ -219,6 +219,7 @@ object Serve {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .appName("graft-serve")
       .getOrCreate()

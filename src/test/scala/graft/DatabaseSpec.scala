@@ -191,6 +191,37 @@ class DatabaseSpec extends SparkSpec {
       Planner.plan(q, c1).select("primaryKey").collect().map(_.getString(0)).toSet)
   }
 
+  test("serve layout (state INSIDE the data directory) still LOADS on " +
+    "rebuild — the config fingerprint must not fold in input/state files") {
+    import java.nio.file.{Files, Paths}
+    // copy the dataset into a self-contained data dir, state inside it —
+    // exactly the Serve/Preprocess layout
+    val dataDir = Files.createTempDirectory("graft_selfstate")
+    Seq("database_config.yaml", "reference_genomes.json", "input.ndjson",
+      "phylogenetic_tree.nwk", "test_lineage_definition.yaml").foreach(f =>
+      Files.copy(Paths.get(dir, f), dataDir.resolve(f)))
+    val state = dataDir.resolve("state").toString
+    Database.build(spark, dataDir.toString,
+      dataDir.resolve("input.ndjson").toString, Some(state))
+    val meta = Paths.get(state, "index", "main", "meta.json")
+    val t0 = Files.getLastModifiedTime(meta)
+    // the FIRST build wrote state/ into the config dir; a directory-wide
+    // config fingerprint would now mismatch and force a fresh rebuild
+    // every time — the explicit config-file fingerprint must load
+    Database.build(spark, dataDir.toString,
+      dataDir.resolve("input.ndjson").toString, Some(state))
+    assert(Files.getLastModifiedTime(meta) === t0,
+      "second build in the serve layout must LOAD, not rebuild")
+    // editing an actual config file still invalidates
+    val cfgPath = dataDir.resolve("database_config.yaml")
+    Files.writeString(cfgPath,
+      Files.readString(cfgPath) + "\n# touched\n")
+    Database.build(spark, dataDir.toString,
+      dataDir.resolve("input.ndjson").toString, Some(state))
+    assert(Files.getLastModifiedTime(meta) !== t0,
+      "a config edit must invalidate the persisted index")
+  }
+
   test("persisted index invalidates when the input changes (fingerprint)") {
     import java.nio.file.{Files, Paths}
     val state = Files.createTempDirectory("graft_state_fp").toString
