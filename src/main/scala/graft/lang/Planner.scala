@@ -526,10 +526,25 @@ final class Planner(catalog: Planner.Catalog) {
       // INVARIANT: union is only set when df IS the children's plain
       // union — an orderBy output must NOT carry it (a stage rebuilding
       // from the children would silently discard the sort); the sorted
-      // union's per-child notes travel in sortedUnion instead, consumed
-      // ONLY by the limit rewrite.
+      // union's per-LEAF notes travel in sortedUnion instead, consumed
+      // ONLY by the limit rewrite. sortedUnion holds the FLATTENED leaf
+      // pipeline values of an arbitrarily-nested union tree (union is
+      // associative, so the flat list loses nothing), each carrying its
+      // own sort note — the same uniform push into union children the
+      // count paths already do (metaGroupTokens recurses to any depth;
+      // the reference pushes into union children uniformly,
+      // optimizer/filter_pushdown_pass.h:22-49).
       union: Option[(Tbl, Tbl)] = None,
-      sortedUnion: Option[(Tbl, Tbl)] = None)
+      sortedUnion: Option[Seq[Tbl]] = None)
+
+  /** The flattened leaves of a (possibly nested) unionAll tree — the
+    * Tbls whose frames the union concatenates, in order. A non-union
+    * input is its own single leaf.
+    */
+  private def unionLeaves(t: Tbl): Seq[Tbl] = t.union match {
+    case Some((l, r)) => unionLeaves(l) ++ unionLeaves(r)
+    case None => Seq(t)
+  }
 
   /** The filter stage's note to a following orderBy+limit: EVERY conjunct
     * of the predicate was stats-decidable (range / string equality /
@@ -754,14 +769,11 @@ final class Planner(catalog: Planner.Catalog) {
         else None,
       sortedUnion =
         if (!plain) None
-        else in.sortedUnion.filter { case (l, r) =>
-          Seq(l, r).forall(_.sortedScan.exists(ss => ss.zone.isDefined &&
+        else in.sortedUnion.filter { leaves =>
+          leaves.forall(_.sortedScan.exists(ss => ss.zone.isDefined &&
             (ss.column +: ss.tiebreak).forall(cols.contains)))
-        }.map { case (l, r) =>
-          def add(t: Tbl) = t.copy(sortedScan = t.sortedScan.map(ss =>
-            ss.copy(postSort = ss.postSort :+ PostProject(cols))))
-          (add(l), add(r))
-        })
+        }.map(_.map(t => t.copy(sortedScan = t.sortedScan.map(ss =>
+          ss.copy(postSort = ss.postSort :+ PostProject(cols)))))))
   }
 
   /** The map pipeline stage, recursing into unionAll children like
@@ -807,14 +819,11 @@ final class Planner(catalog: Planner.Catalog) {
         .filter(_.zone.isDefined)
         .map(ss =>
           ss.copy(postSort = ss.postSort :+ PostMap(items, in.origin))),
-      sortedUnion = in.sortedUnion.filter { case (l, r) =>
-        Seq(l, r).forall(_.sortedScan.exists(ss => ss.zone.isDefined &&
+      sortedUnion = in.sortedUnion.filter { leaves =>
+        leaves.forall(_.sortedScan.exists(ss => ss.zone.isDefined &&
           !(ss.column +: ss.tiebreak).exists(k => items.exists(_._1 == k))))
-      }.map { case (l, r) =>
-        def add(t: Tbl) = t.copy(sortedScan = t.sortedScan.map(ss =>
-          ss.copy(postSort = ss.postSort :+ PostMap(items, in.origin))))
-        (add(l), add(r))
-      })
+      }.map(_.map(t => t.copy(sortedScan = t.sortedScan.map(ss =>
+        ss.copy(postSort = ss.postSort :+ PostMap(items, in.origin)))))))
   }
 
   /** The top-k scan note for `orderBy(fields)` over `in` — the note
@@ -915,31 +924,31 @@ in.zone match {
     }
 
   /** The limit pipeline stage: the stats-bounded top-k rewrite over a
-    * sorted-scan note, recursing into unionAll children — when BOTH
-    * children carry a (skip-free) sort note for the same fields, each
-    * side bounds its own read to its top-n superset and the merged
-    * result re-sorts and cuts (the union's top-n is always within the
-    * union of the children's top-n).
+    * sorted-scan note, recursing into unionAll leaves — when EVERY
+    * leaf of the (arbitrarily nested, pre-flattened) union carries a
+    * sort note for the same fields, each leaf bounds its own read to
+    * its top-n superset and the merged result re-sorts and cuts (the
+    * union's top-n is always within the union of the leaves' top-n).
     */
   private def limitStage(in: Tbl, n: Long): Tbl = in.sortedUnion match {
-    case Some((l, r))
-        if l.sortedScan.isDefined && r.sortedScan.isDefined &&
-          l.sortedScan.get.skip == r.sortedScan.get.skip &&
-          l.sortedScan.get.skip + n <= Int.MaxValue =>
-      // an interposed offset deepened BOTH children's skip identically;
-      // each child reads its top-(skip+n) superset with NO child-level
+    case Some(leaves)
+        if leaves.forall(_.sortedScan.isDefined) &&
+          leaves.map(_.sortedScan.get.skip).distinct.size == 1 &&
+          leaves.head.sortedScan.get.skip + n <= Int.MaxValue =>
+      // an interposed offset deepened EVERY leaf's skip identically;
+      // each leaf reads its top-(skip+n) superset with NO leaf-level
       // skip (the skip is global), and the merge re-applies it
-      val skip = l.sortedScan.get.skip
-      def flat(t: Tbl) =
-        t.copy(sortedScan = t.sortedScan.map(_.copy(skip = 0)))
-      val ll = limitStage(flat(l), skip + n)
-      val rr = limitStage(flat(r), skip + n)
-      // both notes derive from the SAME orderBy fields, so either
+      val skip = leaves.head.sortedScan.get.skip
+      val bounded = leaves.map { t =>
+        limitStage(t.copy(
+          sortedScan = t.sortedScan.map(_.copy(skip = 0))), skip + n)
+      }
+      // every note derives from the SAME orderBy fields, so any one
       // spells the merge sort key
-      val ss = l.sortedScan.get
+      val ss = leaves.head.sortedScan.get
       val keyCols = (ss.column +: ss.tiebreak).map(c =>
         if (ss.descending && c == ss.column) col(c).desc else col(c).asc)
-      val merged = ll.df.union(rr.df).orderBy(keyCols: _*)
+      val merged = bounded.map(_.df).reduce(_ union _).orderBy(keyCols: _*)
       Tbl(if (skip > 0) merged.offset(skip.toInt).limit(n.toInt)
           else merged.limit(n.toInt), None)
     case _ =>
@@ -1669,13 +1678,14 @@ in.zone match {
           case Call("desc", Seq(Ident(n)), _) => resolve(n, in.df).desc
           case other => err(s"orderBy field must be name/asc(name)/desc(name), got $other")
         }
-        // unionAll children carry their own per-child sort notes, so a
-        // following limit can bound EACH side's read and re-merge (the
-        // union's top-k is always within the union of the children's)
-        val kids = in.union.map { case (l, r) =>
-          (l.copy(sortedScan = sortNote(l, fields)),
-            r.copy(sortedScan = sortNote(r, fields)))
-        }
+        // unionAll LEAVES carry their own per-leaf sort notes, so a
+        // following limit can bound EACH leaf's read and re-merge (the
+        // union's top-k is always within the union of the leaves'
+        // top-k) — flattening the nested union tree routes
+        // unionAll(unionAll(a, b), c) exactly like the binary case
+        val kids = in.union.map(_ =>
+          unionLeaves(in).map(leaf =>
+            leaf.copy(sortedScan = sortNote(leaf, fields))))
         Tbl(in.df.orderBy(sorts: _*), in.origin, sortNote(in, fields),
           sortedUnion = kids)
 
@@ -1691,18 +1701,15 @@ in.zone match {
         if (n < 0) err(s"Cannot cast $n to uint32. Value out of range")
         // an offset between orderBy and limit deepens (not drops) the
         // top-k note: limit(k) then reads the first skip+k rows and
-        // re-applies the skip. A sorted UNION deepens each child's note
+        // re-applies the skip. A sorted UNION deepens each leaf's note
         // the same way — the union's top-(skip+k) is always within the
-        // union of the children's top-(skip+k) — and limit re-applies
+        // union of the leaves' top-(skip+k) — and limit re-applies
         // the global skip after the merge sort.
         Tbl(in.df.offset(n.toInt), in.origin,
           in.sortedScan.map(ss => ss.copy(skip = ss.skip + n)),
-          sortedUnion = in.sortedUnion.map { case (l, r) =>
-            def deepen(t: Tbl) =
-              t.copy(sortedScan = t.sortedScan.map(ss =>
-                ss.copy(skip = ss.skip + n)))
-            (deepen(l), deepen(r))
-          })
+          sortedUnion = in.sortedUnion.map(_.map(t =>
+            t.copy(sortedScan = t.sortedScan.map(ss =>
+              ss.copy(skip = ss.skip + n))))))
 
       case "randomize" =>
         val in = input

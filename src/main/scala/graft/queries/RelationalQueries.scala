@@ -881,6 +881,35 @@ object RelationalQueries {
           |  .project({event_id, d, event_type})""".stripMargin, catalog)
     },
 
+    // ---- TOP-K THROUGH A NESTED UNION: unionAll(unionAll(a, b), c) —
+    //      the sorted-union note flattens the union TREE into its leaves
+    //      (union is associative), so a 3-table filter+orderBy+limit
+    //      bounds EVERY leaf's read — 1 of 30 footers per leaf — exactly
+    //      like the binary case, the same uniform push into union
+    //      children the reference's FilterPushdownPass does
+    //      (filter_pushdown_pass.h:22-49). ----
+    QDef("q_union3_topk",
+      """WITH u AS (SELECT * FROM events UNION ALL SELECT * FROM events
+        |           UNION ALL SELECT * FROM events)
+        |SELECT event_id, CAST(ts AS DATE) AS d, event_type FROM u
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-20'
+        |ORDER BY d DESC, event_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val tableDir = memoEventsChain(s, dir)
+      val frame = graft.sources.NdjsonIngest.readLatest(s, tableDir)
+      val catalog = graft.lang.Planner.Catalog(
+        tables = Map("ev1" -> frame, "ev2" -> frame, "ev3" -> frame),
+        versionedDirs = Map("ev1" -> tableDir, "ev2" -> tableDir,
+          "ev3" -> tableDir))
+      graft.lang.Planner.plan(
+        """ev1
+          |  .unionAll(ev2)
+          |  .unionAll(ev3)
+          |  .filter(between(d, '2024-01-05'::date, '2024-01-20'::date))
+          |  .orderBy({desc(d), event_id})
+          |  .limit(20)
+          |  .project({event_id, d, event_type})""".stripMargin, catalog)
+    },
+
     // ---- METADATA COUNT THROUGH UNIONALL: the filtered count of a
     //      unioned pair of registered chains sums the CHILDREN's exact
     //      sidecar counts — zero parquet footers on either side. ----

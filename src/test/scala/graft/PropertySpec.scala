@@ -704,6 +704,77 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("NESTED-union top-k, count, and grouped count ALWAYS equal the " +
+    "unrouted plans (random union shapes, filters, offsets)") {
+    import graft.lang.Planner
+    import graft.lang.Planner.Catalog
+    import graft.sources.NdjsonIngest
+    // random union TREES over three registered chains: the flattened
+    // sorted-union note must bound every leaf regardless of nesting
+    val shapes = Seq(
+      "t1.unionAll(t2).unionAll(t3)",
+      "t1.unionAll(t2.unionAll(t3))",
+      "t1.unionAll(t2).unionAll(t3).unionAll(t1)",
+      "t1.unionAll(t2.unionAll(t3).unionAll(t1))")
+    val caseGen = for {
+      nLayers <- Gen.choose(1, 3)
+      rows <- Gen.listOfN(nLayers, Gen.choose(1, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.frequency(
+          4 -> Gen.choose(-8L, 8L).map(Option(_)),
+          1 -> Gen.const(Option.empty[Long])))))
+      k <- Gen.choose(1, 8)
+      off <- Gen.choose(0, 3)
+      descend <- Gen.oneOf(true, false)
+      lo <- Gen.choose(-10L, 10L)
+      w <- Gen.choose(0L, 10L)
+      shape <- Gen.oneOf(shapes)
+    } yield (rows, k, off, descend, lo, lo + w, shape)
+    samples(caseGen, 10).zipWithIndex.foreach {
+      case ((layerRows, k, off, desc, lo, hi, shape), ci) =>
+        val dir = java.nio.file.Files.createTempDirectory("nuprop")
+          .toString + "/t"
+        layerRows.zipWithIndex.foreach { case (rs, li) =>
+          val df = rs.zipWithIndex.map { case (v, ri) =>
+            (li * 100L + ri, v, s"g${ri % 2}") }.toDF("id", "v", "g")
+          if (li == 0) NdjsonIngest.appendVersion(df, dir, "id")
+          else NdjsonIngest.appendDelta(df, dir, "id")
+        }
+        val frame = NdjsonIngest.readLatest(spark, dir)
+        val names = Seq("t1", "t2", "t3")
+        val routed = Catalog(
+          tables = names.map(_ -> frame).toMap,
+          versionedDirs = names.map(_ -> dir).toMap)
+        val unrouted = Catalog(tables = names.map(_ -> frame).toMap)
+        val key = if (desc) "desc(v)" else "v"
+        Seq(
+          s"$shape.orderBy({$key, id}).limit($k)",
+          s"$shape.filter(between(v, $lo, $hi)).orderBy({$key, id}).limit($k)",
+          s"$shape.filter(between(v, $lo, $hi)).orderBy({$key, id})" +
+            s".offset($off).limit($k)",
+          s"$shape.filter(between(v, $lo, $hi)).project({id, v})" +
+            s".orderBy({$key, id}).limit($k)").foreach { q =>
+          // ORDERED compare on the full sort key (id alone is not
+          // total here: the same chain registers under all three
+          // names, so ids repeat across leaves)
+          def seqOf(cat: Catalog) = Planner.plan(q, cat)
+            .select("v", "id").as[(Option[Long], Long)].collect().toSeq
+          assert(seqOf(routed) === seqOf(unrouted), s"case $ci query $q")
+        }
+        Seq(s"$shape.filter(between(v, $lo, $hi)).groupBy({c := count()})",
+            s"$shape.groupBy({c := count()})").foreach { q =>
+          def cnt(cat: Catalog) = Planner.plan(q, cat).collect().head.getLong(0)
+          assert(cnt(routed) === cnt(unrouted), s"case $ci query $q")
+        }
+        Seq(s"$shape.groupBy({n := count()}, {g})",
+            s"$shape.filter(between(v, $lo, $hi))" +
+              ".groupBy({n := count()}, {g})").foreach { q =>
+          def groupsOf(cat: Catalog) = Planner.plan(q, cat).collect()
+            .map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+          assert(groupsOf(routed) === groupsOf(unrouted), s"case $ci query $q")
+        }
+    }
+  }
+
   test("FILTERED top-k (zone + top-k bounds composed) and STRING-keyed " +
     "top-k ALWAYS equal the unrouted plans (randomized layers, nulls, " +
     "ties, offsets, filters)") {
