@@ -1613,20 +1613,29 @@ in.zone match {
         val metaGroups: Option[DataFrame] =
           if (aggItems.size != 1 || cols.isEmpty || cols.size > 2) None
           else {
+            import org.apache.spark.sql.types.{ByteType, DateType,
+              IntegerType, ShortType, StringType}
             val dts = cols.map(c => in.df.schema(c).dataType)
             if (!dts.forall(dt =>
-                dt == org.apache.spark.sql.types.StringType ||
-                dt == org.apache.spark.sql.types.DateType)) None
+                dt == StringType || dt == DateType || dt == ByteType ||
+                dt == ShortType || dt == IntegerType)) None
             else metaGroupTokens(in, cols).map { gs =>
-              // sidecar tokens → typed group values (dates travel as
-              // epoch-day doubles, the histogram/envelope encoding)
+              // sidecar tokens → typed group values (dates and narrow
+              // integers travel as doubles, the histogram/envelope
+              // encoding — see writeLayerStats histTok)
               def decode(tok: Option[String],
                   dt: org.apache.spark.sql.types.DataType): Any =
                 tok.map { t =>
-                  if (dt == org.apache.spark.sql.types.DateType)
-                    java.sql.Date.valueOf(
+                  dt match {
+                    case DateType => java.sql.Date.valueOf(
                       java.time.LocalDate.ofEpochDay(t.toDouble.toLong))
-                  else t
+                    case ByteType => java.lang.Byte.valueOf(t.toDouble.toByte)
+                    case ShortType =>
+                      java.lang.Short.valueOf(t.toDouble.toShort)
+                    case IntegerType =>
+                      java.lang.Integer.valueOf(t.toDouble.toInt)
+                    case _ => t
+                  }
                 }.orNull
               val rows: java.util.List[org.apache.spark.sql.Row] =
                 new java.util.ArrayList()

@@ -51,7 +51,11 @@ object RelationalQueries {
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)))
       val tableDir = tmp.toString + "/ev"
+      // status: a low-cardinality INT derived column — the status-code /
+      // category-id group key shape — so the chain's sidecars carry
+      // integer value histograms (q_group_int / q_group_intdate)
       val ev = t(s, dir, "events").withColumn("d", to_date(col("ts")))
+        .withColumn("status", (col("event_id") % 7).cast("int"))
       val days = ev.select(col("d")).distinct()
         .collect().map(_.getDate(0)).sortBy(_.getTime)
       days.zipWithIndex.foreach { case (day, i) =>
@@ -683,6 +687,46 @@ object RelationalQueries {
         """ev
           |  .groupBy({cnt := count()}, {d, event_type})
           |  .orderBy({d, event_type})""".stripMargin, catalog)
+    },
+
+    // ---- INTEGER-COLUMN GROUPED METADATA COUNT: groupBy on a low-
+    //      cardinality INT column (the status-code / category-id shape,
+    //      the most common group key in event data) sums the layers'
+    //      integer value histograms — tokens are doubles, the same
+    //      encoding as the envelopes — zero parquet footers. ----
+    QDef("q_group_int",
+      """SELECT CAST(event_id % 7 AS INT) AS status,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1 ORDER BY status""".stripMargin) { (s, dir) =>
+      val tableDir = memoEventsChain(s, dir)
+      val catalog = graft.lang.Planner.Catalog(
+        tables = Map("ev" -> graft.sources.NdjsonIngest.readLatest(s, tableDir)),
+        versionedDirs = Map("ev" -> tableDir))
+      graft.lang.Planner.plan(
+        "ev.groupBy({cnt := count()}, {status}).orderBy({status})", catalog)
+    },
+
+    // ---- INT × DATE TWO-COLUMN GROUPED METADATA COUNT: groupBy(day,
+    //      status) over the day-clustered chain — day is CONSTANT per
+    //      layer, status has a complete integer histogram, so the whole
+    //      rollup is a metadata sum (chainGroupCountTwo): zero parquet
+    //      footers, with a date window applying entry-wise to the
+    //      constant day. ----
+    QDef("q_group_intdate",
+      """SELECT CAST(ts AS DATE) AS d, CAST(event_id % 7 AS INT) AS status,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-12'
+        |GROUP BY 1, 2 ORDER BY d, status""".stripMargin) { (s, dir) =>
+      val tableDir = memoEventsChain(s, dir)
+      val catalog = graft.lang.Planner.Catalog(
+        tables = Map("ev" -> graft.sources.NdjsonIngest.readLatest(s, tableDir)),
+        versionedDirs = Map("ev" -> tableDir))
+      graft.lang.Planner.plan(
+        """ev
+          |  .filter(between(d, '2024-01-05'::date, '2024-01-12'::date))
+          |  .groupBy({cnt := count()}, {d, status})
+          |  .orderBy({d, status})""".stripMargin, catalog)
     },
 
     // ---- GROUPED METADATA COUNT UNDER A WINDOW: per-day counts of a

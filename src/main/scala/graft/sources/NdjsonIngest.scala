@@ -319,18 +319,27 @@ object NdjsonIngest {
     val strings = df.schema.fields.collect {
       case f if f.dataType == StringType && plainName(f.name) => f.name
     }
-    // histogram candidates: string + date columns (dates tokenized as
-    // epoch-day doubles, same encoding as their envelopes)
+    // histogram candidates: string, date, and NARROW-integer columns —
+    // the status-code / category-id / bucket-number group keys event
+    // data is most often rolled up by. Non-string tokens stringify as
+    // DOUBLES ("5.0"), the same encoding their envelopes use, so the
+    // histogram and envelope (constToken) paths of the grouped counts
+    // can never disagree on a token. Byte/Short/Int are exact in a
+    // double; LONG columns are deliberately excluded — two distinct
+    // longs past 2^53 would collide into one double token and silently
+    // merge their groups (and a long group key is almost always an id,
+    // not a rollup dimension).
     val histCand = strings ++ df.schema.fields.collect {
-      case f if f.dataType == DateType && plainName(f.name) => f.name
+      case f if (f.dataType == DateType || f.dataType == ByteType ||
+        f.dataType == ShortType || f.dataType == IntegerType) &&
+        plainName(f.name) => f.name
     }
     if (numeric.isEmpty && strings.isEmpty) return
     def statCol(c: String): Column =
       if (df.schema(c).dataType == DateType) unix_date(col(c)) else col(c)
     def histTok(c: String): Column =
-      if (df.schema(c).dataType == DateType)
-        unix_date(col(c)).cast("double").cast("string")
-      else col(c)
+      if (df.schema(c).dataType == StringType) col(c)
+      else statCol(c).cast("double").cast("string")
     val aggs = numeric.flatMap(c =>
       Seq(min(statCol(c)).cast("double").as(s"min_$c"),
         max(statCol(c)).cast("double").as(s"max_$c"))) ++

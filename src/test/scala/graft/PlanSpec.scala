@@ -291,6 +291,16 @@ class PlanSpec extends SparkSpec {
       "windowed grouped metadata count must not plan a file scan")
   }
 
+  test("q_group_int and q_group_intdate answer INT-keyed grouped counts " +
+    "from the integer layer histograms — zero parquet footers") {
+    val g = SparkEntry.queries("q_group_int")(spark, sfDir)
+    assert(g.inputFiles.isEmpty,
+      "int grouped metadata count must not plan a file scan")
+    val two = SparkEntry.queries("q_group_intdate")(spark, sfDir)
+    assert(two.inputFiles.isEmpty,
+      "int×date grouped metadata count must not plan a file scan")
+  }
+
   test("q_zone_or: a disjunctive window filter prunes on the UNION of " +
     "the arms' envelopes — 4 of 30 layers") {
     val df = SparkEntry.queries("q_zone_or")(spark, sfDir)

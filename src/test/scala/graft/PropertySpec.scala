@@ -812,9 +812,11 @@ class PropertySpec extends SparkSpec {
           // this arm proves the envelopes encode that bound correctly
           // lc: a per-LAYER-constant string — the two-column grouped
           // metadata count (histogram × constant) must equal the scan
+          // s: a low-cardinality INT — integer layer histograms must
+          // group-count exactly like the string/date ones
           val df = rs.zipWithIndex.map { case ((v, c), ri) =>
-            (li * 100L + ri, v, c, v.map(_ * 0.5), s"L$li")
-          }.toDF("id", "v", "c", "x", "lc")
+            (li * 100L + ri, v, c, v.map(_ * 0.5), s"L$li", ri % 3)
+          }.toDF("id", "v", "c", "x", "lc", "s")
           if (li == 0) NdjsonIngest.appendVersion(df, dir, "id")
           else NdjsonIngest.appendDelta(df, dir, "id")
         }
@@ -907,6 +909,24 @@ class PropertySpec extends SparkSpec {
           else Nil)).foreach { q =>
           def groupsOf(cat: Catalog) = Planner.plan(q, cat).collect()
             .map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+          assert(groupsOf(routed) === groupsOf(unrouted), s"case $ci query $q")
+        }
+        // INT-keyed grouped counts (integer layer histograms): bare,
+        // under an unrelated window, and under a range ON the int group
+        // column (applies entry-wise to the integer tokens)
+        Seq("t.groupBy({n := count()}, {s})",
+            s"t.filter(between(v, $lo, $hi)).groupBy({n := count()}, {s})",
+            "t.filter(between(s, 0, 1)).groupBy({n := count()}, {s})",
+            "t.filter(s = 2).groupBy({n := count()}, {s})").foreach { q =>
+          def groupsOf(cat: Catalog) = Planner.plan(q, cat).collect()
+            .map(r => (r.getInt(0), r.getLong(1))).toSet
+          assert(groupsOf(routed) === groupsOf(unrouted), s"case $ci query $q")
+        }
+        // INT histogram × layer-constant string, both column orders
+        Seq("t.groupBy({n := count()}, {lc, s})",
+            "t.groupBy({n := count()}, {s, lc})").foreach { q =>
+          def groupsOf(cat: Catalog) = Planner.plan(q, cat).collect()
+            .map(r => (r.get(0), r.get(1), r.getLong(2))).toSet
           assert(groupsOf(routed) === groupsOf(unrouted), s"case $ci query $q")
         }
         // TWO-column grouped counts (histogram × layer-constant) in both
