@@ -570,6 +570,13 @@ final class Planner(catalog: Planner.Catalog) {
       ranges: Seq[(String, Double, Double)],
       strEqs: Seq[(String, Seq[String])],
       nullCs: Seq[(String, Boolean)],
+      // disjunctive conjuncts as zone arms: every rewrite consuming the
+      // note must thread these — they narrow the scan everywhere, and
+      // feed the count/top-k bounds only in the provably-exact shapes
+      // (orGroupPassCount: a complete arm passing all rows, all arms
+      // excluded, or same-column complete range arms with a contained
+      // envelope)
+      orGroups: Seq[Seq[graft.sources.NdjsonIngest.ZoneArm]] = Nil,
       post: Seq[PostStage] = Nil,
       // Some(pk) marks a MERGE-ON-READ chain: rewrites must read through
       // readChainRangesMerged (excluded layers as pk-only shadows) and
@@ -659,7 +666,8 @@ final class Planner(catalog: Planner.Catalog) {
       case Some(zp) => graft.sources.NdjsonIngest.chainMatchCount(
         zp.dir, zp.chain, zp.ranges, zp.strEqs,
         nullCols = zp.nullCs.collect { case (c, true) => c },
-        notNullCols = zp.nullCs.collect { case (c, false) => c })
+        notNullCols = zp.nullCs.collect { case (c, false) => c },
+        orGroups = zp.orGroups)
       case None => for {
         t <- in.origin
         dir <- catalog.versionedDirs.get(t)
@@ -685,11 +693,13 @@ final class Planner(catalog: Planner.Catalog) {
           .map { case (g, xs) => (g, xs.map(_._2).sum) }
     case None =>
       val ctx: Option[(String, Seq[String], Seq[(String, Double, Double)],
-          Seq[(String, Seq[String])], Seq[(String, Boolean)])] =
+          Seq[(String, Seq[String])], Seq[(String, Boolean)],
+          Seq[Seq[graft.sources.NdjsonIngest.ZoneArm]])] =
         in.zone match {
           case Some(zp) if zp.mergedPk.isEmpty &&
               cols.forall(zp.schema.fieldNames.contains) =>
-            Some((zp.dir, zp.chain, zp.ranges, zp.strEqs, zp.nullCs))
+            Some((zp.dir, zp.chain, zp.ranges, zp.strEqs, zp.nullCs,
+              zp.orGroups))
           case Some(_) => None
           case None => for {
             t <- in.origin
@@ -697,21 +707,21 @@ final class Planner(catalog: Planner.Catalog) {
             if catalog.tables.get(t).exists(_ eq in.df)
             chain <- frameLayers(in.df, dir)
             if graft.sources.NdjsonIngest.chainMergeFree(dir, chain)
-          } yield (dir, chain, Nil, Nil, Nil)
+          } yield (dir, chain, Nil, Nil, Nil, Nil)
         }
-      ctx.flatMap { case (dir, chain, rs, ses, ncs) =>
+      ctx.flatMap { case (dir, chain, rs, ses, ncs, ogs) =>
         val nulls = ncs.collect { case (c, true) => c }
         val notNulls = ncs.collect { case (c, false) => c }
         if (cols.size == 1)
           graft.sources.NdjsonIngest.chainGroupCount(dir, chain,
-            cols.head, rs, ses, nulls, notNulls)
+            cols.head, rs, ses, nulls, notNulls, ogs)
             .map(_.map { case (tok, cnt) => (Seq(tok), cnt) })
         else
           // TWO group columns: decidable when one has a complete
           // histogram and the other is layer-constant (the day-
           // partitioned-chain × type case) — chainGroupCountTwo
           graft.sources.NdjsonIngest.chainGroupCountTwo(dir, chain,
-            cols(0), cols(1), rs, ses, nulls, notNulls)
+            cols(0), cols(1), rs, ses, nulls, notNulls, ogs)
             .map(_.map { case ((ta, tb), cnt) => (Seq(ta, tb), cnt) })
       }
   }
@@ -981,20 +991,23 @@ in.zone match {
                       zp.dir, zp.chain, ss.column, kTot, ss.descending,
                       zp.ranges, zp.strEqs,
                       zp.nullCs.collect { case (c, true) => c },
-                      zp.nullCs.collect { case (c, false) => c })
+                      zp.nullCs.collect { case (c, false) => c },
+                      zp.orGroups)
                   graft.sources.NdjsonIngest.readChainRangesMerged(
                     in.df.sparkSession, zp.dir, zp.chain, pk,
                     zp.ranges, zp.strEqs,
                     nullCols = zp.nullCs.collect { case (c, true) => c },
                     notNullCols = zp.nullCs.collect { case (c, false) => c },
                     pinSchema = Some(ss.schema),
+                    orGroups = zp.orGroups,
                     keepLayers = Some(kept.toSet))
                 case None =>
                   val kept = graft.sources.NdjsonIngest.chainTopKLayers(
                     zp.dir, zp.chain, ss.column, kTot, ss.descending,
                     zp.ranges, zp.strEqs,
                     zp.nullCs.collect { case (c, true) => c },
-                    zp.nullCs.collect { case (c, false) => c })
+                    zp.nullCs.collect { case (c, false) => c },
+                    zp.orGroups)
                   graft.sources.NdjsonIngest.readChainSubset(
                     in.df.sparkSession, zp.dir, zp.chain, kept,
                     Some(ss.schema))
@@ -1100,15 +1113,19 @@ in.zone match {
           orGroups = orGs),
         in.origin)
       // top-k composition note: only when EVERY conjunct is one of
-      // the stats-decidable shapes can a later orderBy+limit bound
-      // its read through this filter (an opaque conjunct would make
-      // per-layer qualifying counts unknowable)
+      // the stats-decidable shapes — a plain range/equality/null test
+      // or a DISJUNCTION whose arms all carry decidable tests — can a
+      // later orderBy+limit or count bound its read through this
+      // filter (an opaque conjunct would make per-layer qualifying
+      // counts unknowable; or-groups contribute bounds only in
+      // orGroupPassCount's provably-exact shapes and read as
+      // undecidable otherwise)
       val note =
         if (conjuncts(pred).forall(c => rangeConjunct(c, in.df).isDefined ||
             stringEqConjunct(c, in.df).isDefined ||
-            nullConjunct(c, in.df).isDefined))
+            nullConjunct(c, in.df).isDefined || orArms(c, in.df).isDefined))
           Some(ZonePred(dir, chain, in.df.schema, Some(pred),
-            ranges, strEqs, nullCs))
+            ranges, strEqs, nullCs, orGroups = orGs))
         else None
       (routed, note)
     }
@@ -1143,9 +1160,9 @@ in.zone match {
       val note =
         if (conjuncts(pred).forall(c => rangeConjunct(c, in.df).isDefined ||
             stringEqConjunct(c, in.df).isDefined ||
-            nullConjunct(c, in.df).isDefined))
+            nullConjunct(c, in.df).isDefined || orArms(c, in.df).isDefined))
           Some(ZonePred(dir, chain, in.df.schema, Some(pred),
-            ranges, strEqs, nullCs, mergedPk = Some(pk)))
+            ranges, strEqs, nullCs, orGroups = orGs, mergedPk = Some(pk)))
         else None
       (routed, note)
     }
@@ -1189,12 +1206,13 @@ in.zone match {
           val allR = zp.ranges ++ ranges
           val allS = zp.strEqs ++ strEqs
           val allN = zp.nullCs ++ nullCs
+          val allO = zp.orGroups ++ orGs
           val scan = graft.sources.NdjsonIngest.readChainRanges(
             in.df.sparkSession, zp.dir, zp.chain, allR, allS,
             pinSchema = Some(zp.schema),
             nullCols = allN.collect { case (c, true) => c },
             notNullCols = allN.collect { case (c, false) => c },
-            orGroups = orGs)
+            orGroups = allO)
           val prior = zp.pred.map(p =>
             scan.filter(scalar(p, scan, Ambiguity.ModeNone, in.origin)))
             .getOrElse(scan)
@@ -1206,11 +1224,13 @@ in.zone match {
           // whose values no carried post stage can change
           val note =
             if (cs.forall(c => dRange(c).isDefined ||
-                dStr(c).isDefined || dNull(c).isDefined))
+                dStr(c).isDefined || dNull(c).isDefined ||
+                orArms(c, in.df, Some(scanCols)).isDefined))
               Some(zp.copy(
                 pred = Some(zp.pred
                   .map(p => Binary("&&", p, pred)).getOrElse(pred)),
-                ranges = allR, strEqs = allS, nullCs = allN))
+                ranges = allR, strEqs = allS, nullCs = allN,
+                orGroups = allO))
             else None
           Some((Tbl(replayed, in.origin), note))
         }
@@ -1509,9 +1529,14 @@ in.zone match {
         stringEqConjunct(c, df).filter(s => scanCols.forall(_(s._1))))
       val ns = cs.flatMap(c =>
         nullConjunct(c, df).filter(n => scanCols.forall(_(n._1))))
+      // complete: the recorded tests ARE the arm's entire predicate —
+      // every conjunct decidable (and inside the pinned scan schema,
+      // when restricted). Only complete arms may feed exact pass
+      // counts; incomplete ones still narrow (may-contain).
       graft.sources.NdjsonIngest.ZoneArm(rs, ss,
         ns.collect { case (c, true) => c },
-        ns.collect { case (c, false) => c })
+        ns.collect { case (c, false) => c },
+        complete = rs.size + ss.size + ns.size == cs.size)
     }
     if (built.exists(!_.nonEmpty)) None else Some(built)
   }

@@ -878,6 +878,51 @@ object RelationalQueries {
           |  .orderBy({event_type})""".stripMargin, catalog)
     },
 
+    // ---- EXACT COUNT OF A DISJUNCTIVE WINDOW FILTER: count(*) under
+    //      two same-column date windows answers from the sidecars ALONE
+    //      — each surviving layer's envelope sits wholly inside ONE
+    //      arm (pass = the date ledger), every other layer fails both
+    //      arms (pass = 0), so the disjunction's per-layer pass count
+    //      is exact (orGroupPassCount) and zero parquet footers open —
+    //      the reference's Or unions disjoint per-value bitmaps the
+    //      same way (filter/operators/or.cpp). ----
+    QDef("q_or_count",
+      """SELECT count(*) AS c FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-02' AND DATE '2024-01-03'
+        |   OR CAST(ts AS DATE) BETWEEN DATE '2024-01-09' AND DATE '2024-01-10'
+        |""".stripMargin) { (s, dir) =>
+      val tableDir = memoEventsChain(s, dir)
+      val catalog = graft.lang.Planner.Catalog(
+        tables = Map("ev" -> graft.sources.NdjsonIngest.readLatest(s, tableDir)),
+        versionedDirs = Map("ev" -> tableDir))
+      graft.lang.Planner.plan(
+        """ev
+          |  .filter(between(d, '2024-01-02'::date, '2024-01-03'::date)
+          |    || between(d, '2024-01-09'::date, '2024-01-10'::date))
+          |  .groupBy({c := count()})""".stripMargin, catalog)
+    },
+
+    // ---- DISJUNCTIVE NARROWING ON A ROW-LEVEL READ: the same two
+    //      windows feeding a row SELECT — the scan opens exactly the
+    //      4 of 30 layers intersecting either arm's envelope; the
+    //      routing-blind oracle filters the flat table. ----
+    QDef("q_or_scan",
+      """SELECT event_id, CAST(ts AS DATE) AS d, event_type FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-02' AND DATE '2024-01-03'
+        |   OR CAST(ts AS DATE) BETWEEN DATE '2024-01-09' AND DATE '2024-01-10'
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val tableDir = memoEventsChain(s, dir)
+      val catalog = graft.lang.Planner.Catalog(
+        tables = Map("ev" -> graft.sources.NdjsonIngest.readLatest(s, tableDir)),
+        versionedDirs = Map("ev" -> tableDir))
+      graft.lang.Planner.plan(
+        """ev
+          |  .filter(between(d, '2024-01-02'::date, '2024-01-03'::date)
+          |    || between(d, '2024-01-09'::date, '2024-01-10'::date))
+          |  .project({event_id, d, event_type})
+          |  .orderBy({event_id})""".stripMargin, catalog)
+    },
+
     // ---- FILTER PUSHES THROUGH UNIONALL: a unioned pair of registered
     //      chains zone-prunes EACH side (the reference pushes filters
     //      into both union inputs, filter_pushdown_pass.h:22-49) — the

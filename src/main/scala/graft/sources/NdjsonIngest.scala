@@ -615,13 +615,14 @@ object NdjsonIngest {
       k: Int, descending: Boolean,
       ranges: Seq[(String, Double, Double)] = Nil,
       strEquals: Seq[(String, Seq[String])] = Nil,
-      nullCols: Seq[String] = Nil, notNullCols: Seq[String] = Nil)
+      nullCols: Seq[String] = Nil, notNullCols: Seq[String] = Nil,
+      orGroups: Seq[Seq[ZoneArm]] = Nil)
       : Seq[String] = {
     require(chain.nonEmpty, "chainTopKLayers needs a non-empty layer chain")
     val withLines = chain.map(l =>
       l -> statsLines(tableDir, l).getOrElse(Seq.empty))
     val survivors = withLines.filter { case (_, lines) =>
-      zoneKeep(lines, ranges, strEquals, nullCols, notNullCols) }
+      zoneKeep(lines, ranges, strEquals, nullCols, notNullCols, orGroups) }
     if (survivors.isEmpty) return Nil
     // isNull on the sort key: every qualifying row's key is null, so the
     // envelopes order nothing — zone narrowing is the whole win
@@ -631,10 +632,10 @@ object NdjsonIngest {
     // present anywhere → no bound computable → read the survivors
     if (survivors.exists(s => envFromLines(s._2, column).isDefined))
       topKSelect[Double](survivors, envFromLines(_, column), column, k,
-        descending, ranges, strEquals, nullCols, notNullCols)
+        descending, ranges, strEquals, nullCols, notNullCols, orGroups)
     else if (survivors.exists(s => strEnvFromLines(s._2, column).isDefined))
       topKSelect[String](survivors, strEnvFromLines(_, column), column, k,
-        descending, ranges, strEquals, nullCols, notNullCols)
+        descending, ranges, strEquals, nullCols, notNullCols, orGroups)
     else survivors.map(_._1)
   }
 
@@ -668,7 +669,8 @@ object NdjsonIngest {
       column: String, k: Int, descending: Boolean,
       ranges: Seq[(String, Double, Double)] = Nil,
       strEquals: Seq[(String, Seq[String])] = Nil,
-      nullCols: Seq[String] = Nil, notNullCols: Seq[String] = Nil)
+      nullCols: Seq[String] = Nil, notNullCols: Seq[String] = Nil,
+      orGroups: Seq[Seq[ZoneArm]] = Nil)
       : Seq[String] = {
     require(chain.nonEmpty,
       "chainTopKLayersMerged needs a non-empty layer chain")
@@ -701,15 +703,17 @@ object NdjsonIngest {
     val survivors = withLines
       .filter { case (l, _) => layerHasData(tableDir, l) }
       .filter { case (_, lines) =>
-        zoneKeep(lines, ranges, strEquals, nullCols, notNullCols) }
+        zoneKeep(lines, ranges, strEquals, nullCols, notNullCols, orGroups) }
     if (survivors.isEmpty) return Nil
     if (nullCols.contains(column)) return survivors.map(_._1)
     if (survivors.exists(s => envFromLines(s._2, column).isDefined))
       topKSelect[Double](survivors, envFromLines(_, column), column, k,
-        descending, ranges, strEquals, nullCols, notNullCols, losses(_))
+        descending, ranges, strEquals, nullCols, notNullCols, orGroups,
+        losses(_))
     else if (survivors.exists(s => strEnvFromLines(s._2, column).isDefined))
       topKSelect[String](survivors, strEnvFromLines(_, column), column, k,
-        descending, ranges, strEquals, nullCols, notNullCols, losses(_))
+        descending, ranges, strEquals, nullCols, notNullCols, orGroups,
+        losses(_))
     else survivors.map(_._1)
   }
 
@@ -723,6 +727,7 @@ object NdjsonIngest {
       descending: Boolean, ranges: Seq[(String, Double, Double)],
       strEquals: Seq[(String, Seq[String])], nullCols: Seq[String],
       notNullCols: Seq[String],
+      orGroups: Seq[Seq[ZoneArm]] = Nil,
       // upper bound on the layer's rows LOST to younger layers (merge-on-
       // read shadowing + tombstones) — None = unbounded, the layer proves
       // no qualifying rows but its envelope still EXCLUDES soundly (a
@@ -734,10 +739,11 @@ object NdjsonIngest {
     // upper bound on this layer's rows FAILING the conjuncts (None =
     // unbounded → the layer can't prove any qualifying rows): each
     // conjunct's exact pass count (shared containment rules,
-    // conjunctPassCounts) caps its failures at n − pass
+    // conjunctPassCounts — or-groups included, where decidable) caps
+    // its failures at n − pass
     def failUB(lines: Seq[Array[String]], n: Long): Option[Long] = {
-      val passes =
-        conjunctPassCounts(lines, n, ranges, strEquals, nullCols, notNullCols)
+      val passes = conjunctPassCounts(lines, n, ranges, strEquals,
+        nullCols, notNullCols, orGroups)
       if (passes.exists(_.isEmpty)) None
       else Some(passes.flatten.map(n - _).sum)
     }
@@ -904,18 +910,20 @@ object NdjsonIngest {
   def chainMatchCount(tableDir: String, chain: Seq[String],
       ranges: Seq[(String, Double, Double)],
       strEquals: Seq[(String, Seq[String])] = Nil,
-      nullCols: Seq[String] = Nil, notNullCols: Seq[String] = Nil)
+      nullCols: Seq[String] = Nil, notNullCols: Seq[String] = Nil,
+      orGroups: Seq[Seq[ZoneArm]] = Nil)
       : Option[Long] = {
-    val nConjuncts =
-      ranges.size + strEquals.size + nullCols.size + notNullCols.size
+    val nConjuncts = ranges.size + strEquals.size + nullCols.size +
+      notNullCols.size + orGroups.size
     if (nConjuncts == 0) return chainRowCount(tableDir, chain)
     val perLayer = chain.map { l =>
       val lines = statsLines(tableDir, l).getOrElse(Seq.empty)
-      if (!zoneKeep(lines, ranges, strEquals, nullCols, notNullCols))
+      if (!zoneKeep(lines, ranges, strEquals, nullCols, notNullCols,
+          orGroups))
         Some(0L)
       else nFromLines(lines).flatMap { n =>
-        val passes =
-          conjunctPassCounts(lines, n, ranges, strEquals, nullCols, notNullCols)
+        val passes = conjunctPassCounts(lines, n, ranges, strEquals,
+          nullCols, notNullCols, orGroups)
         if (passes.exists(_.isEmpty)) None
         else {
           val loose = passes.flatten.filter(_ < n)
@@ -951,7 +959,12 @@ object NdjsonIngest {
       groupCol: String,
       ranges: Seq[(String, Double, Double)] = Nil,
       strEquals: Seq[(String, Seq[String])] = Nil,
-      nullCols: Seq[String] = Nil, notNullCols: Seq[String] = Nil)
+      nullCols: Seq[String] = Nil, notNullCols: Seq[String] = Nil,
+      // disjunctive conjuncts: zone-narrow per layer, and must provably
+      // pass ALL of a layer's rows (orGroupPassCount == n) for the
+      // per-group split to stay knowable — entry-wise OR application is
+      // deliberately not attempted
+      orGroups: Seq[Seq[ZoneArm]] = Nil)
       : Option[Seq[(Option[String], Long)]] = {
     val gRanges = ranges.filter(_._1 == groupCol)
     val gStrEqs = strEquals.filter(_._1 == groupCol)
@@ -972,13 +985,16 @@ object NdjsonIngest {
     }
     val perLayer: Seq[Option[Seq[(Option[String], Long)]]] = chain.map { l =>
       val lines = statsLines(tableDir, l).getOrElse(Seq.empty)
-      if (!zoneKeep(lines, ranges, strEquals, nullCols, notNullCols))
+      if (!zoneKeep(lines, ranges, strEquals, nullCols, notNullCols,
+          orGroups))
         Some(Nil)
       else nFromLines(lines).flatMap { n =>
         // every non-group conjunct must pass ALL rows of this layer
+        // (or-groups too — even one ON the group column is fine when it
+        // passes all rows: it then can't change the per-group split)
         val othersPassAll: Boolean =
-          conjunctPassCounts(lines, n, oRanges, oStrEqs, oNull, oNotNull)
-            .forall(_.exists(_ == n))
+          conjunctPassCounts(lines, n, oRanges, oStrEqs, oNull, oNotNull,
+            orGroups).forall(_.exists(_ == n))
         if (!othersPassAll) None
         else {
           val nnG = nnFromLines(lines, groupCol)
@@ -1042,7 +1058,8 @@ object NdjsonIngest {
       colA: String, colB: String,
       ranges: Seq[(String, Double, Double)] = Nil,
       strEquals: Seq[(String, Seq[String])] = Nil,
-      nullCols: Seq[String] = Nil, notNullCols: Seq[String] = Nil)
+      nullCols: Seq[String] = Nil, notNullCols: Seq[String] = Nil,
+      orGroups: Seq[Seq[ZoneArm]] = Nil)
       : Option[Seq[((Option[String], Option[String]), Long)]] = {
     val pA = groupPred(colA, ranges, strEquals, nullCols, notNullCols)
     val pB = groupPred(colB, ranges, strEquals, nullCols, notNullCols)
@@ -1072,12 +1089,13 @@ object NdjsonIngest {
     val perLayer: Seq[Option[Seq[((Option[String], Option[String]), Long)]]] =
       chain.map { l =>
         val lines = statsLines(tableDir, l).getOrElse(Seq.empty)
-        if (!zoneKeep(lines, ranges, strEquals, nullCols, notNullCols))
+        if (!zoneKeep(lines, ranges, strEquals, nullCols, notNullCols,
+            orGroups))
           Some(Nil)
         else nFromLines(lines).flatMap { n =>
           val othersPassAll =
-            conjunctPassCounts(lines, n, oRanges, oStrEqs, oNull, oNotNull)
-              .forall(_.exists(_ == n))
+            conjunctPassCounts(lines, n, oRanges, oStrEqs, oNull, oNotNull,
+              orGroups).forall(_.exists(_ == n))
           if (!othersPassAll) None
           else {
             // (histogram column h, constant column c); emit pairs in
@@ -1202,7 +1220,8 @@ object NdjsonIngest {
   private def conjunctPassCounts(lines: Seq[Array[String]], n: Long,
       ranges: Seq[(String, Double, Double)],
       strEquals: Seq[(String, Seq[String])],
-      nullCols: Seq[String], notNullCols: Seq[String]): Seq[Option[Long]] =
+      nullCols: Seq[String], notNullCols: Seq[String],
+      orGroups: Seq[Seq[ZoneArm]] = Nil): Seq[Option[Long]] =
     ranges.map { case (c, lo, hi) =>
       envFromLines(lines, c) match {
         case Some((mn, mx)) if lo <= mn && mx <= hi => nnFromLines(lines, c)
@@ -1217,19 +1236,72 @@ object NdjsonIngest {
       }
     } ++
     nullCols.map(c => nnFromLines(lines, c).map(nn => n - nn)) ++
-    notNullCols.map(c => nnFromLines(lines, c))
+    notNullCols.map(c => nnFromLines(lines, c)) ++
+    orGroups.map(orGroupPassCount(lines, n, _))
+
+  /** EXACT pass count of ONE disjunctive conjunct over a layer, when
+    * the sidecars pin it. Disjunctions CAN feed counts in three provable
+    * shapes (everything else stays None — pure narrowing only, as
+    * before):
+    *  - some COMPLETE arm provably passes ALL `n` rows (each of its
+    *    conjuncts does) → the disjunction passes all `n`;
+    *  - EVERY arm is zone-excluded (may-contain test fails even on the
+    *    decidable subset) → 0;
+    *  - all arms are COMPLETE single ranges on ONE common column — the
+    *    two-disjoint-windows shape users actually write — and some
+    *    arm's interval CONTAINS the envelope: every non-null value
+    *    passes that arm, and no null passes ANY arm (SQL range
+    *    comparisons reject null), so the count is exactly the column's
+    *    non-null ledger. The reference's Or unions disjoint per-value
+    *    bitmaps the same way (filter/operators/or.cpp).
+    * `complete` gates the positive rules: an arm that dropped an opaque
+    * conjunct could pass fewer rows than its recorded tests admit, and
+    * an overcount here would be a wrong answer, not a missed
+    * optimization.
+    */
+  private def orGroupPassCount(lines: Seq[Array[String]], n: Long,
+      arms: Seq[ZoneArm]): Option[Long] = {
+    def armPassesAll(a: ZoneArm): Boolean = a.complete &&
+      conjunctPassCounts(lines, n, a.ranges, a.strEquals, a.nullCols,
+        a.notNullCols).forall(_.exists(_ == n))
+    def armExcluded(a: ZoneArm): Boolean =
+      !zoneKeep(lines, a.ranges, a.strEquals, a.nullCols, a.notNullCols)
+    if (arms.exists(armPassesAll)) Some(n)
+    else if (arms.forall(armExcluded)) Some(0L)
+    else {
+      val armRanges: Seq[Option[(String, Double, Double)]] = arms.map {
+        case a if a.complete && a.strEquals.isEmpty && a.nullCols.isEmpty &&
+            a.notNullCols.isEmpty && a.ranges.size == 1 =>
+          Some(a.ranges.head)
+        case _ => None
+      }
+      for {
+        rs <- if (armRanges.forall(_.isDefined) &&
+            armRanges.flatten.map(_._1).distinct.size == 1)
+          Some(armRanges.flatten) else None
+        (mn, mx) <- envFromLines(lines, rs.head._1)
+        nn <- nnFromLines(lines, rs.head._1)
+        if rs.exists { case (_, lo, hi) => lo <= mn && mx <= hi }
+      } yield nn
+    }
+  }
 
   /** One arm of a DISJUNCTIVE zone conjunct (`filter(a || b)`): the
     * stats-decidable conjuncts of that arm. A layer passes an or-group
     * iff SOME arm's tests keep it — the union of the arms' envelopes,
     * exactly how the reference's Or operator unions its operands'
     * bitmaps (filter/operators/or.cpp). An arm testing only a SUBSET of
-    * its conjuncts (the decidable ones) stays sound: the test is already
-    * may-contain, and fewer conjuncts only keeps more layers.
+    * its conjuncts (the decidable ones) stays sound for NARROWING: the
+    * test is already may-contain, and fewer conjuncts only keeps more
+    * layers. `complete` marks an arm whose recorded tests are the arm's
+    * ENTIRE predicate (no opaque conjunct was dropped) — only complete
+    * arms may feed the EXACT pass counts ([[conjunctPassCounts]]'s
+    * or-group rules), where an unseen conjunct would overcount.
     */
   final case class ZoneArm(ranges: Seq[(String, Double, Double)],
       strEquals: Seq[(String, Seq[String])],
-      nullCols: Seq[String], notNullCols: Seq[String]) {
+      nullCols: Seq[String], notNullCols: Seq[String],
+      complete: Boolean = false) {
     def nonEmpty: Boolean =
       ranges.nonEmpty || strEquals.nonEmpty ||
         nullCols.nonEmpty || notNullCols.nonEmpty

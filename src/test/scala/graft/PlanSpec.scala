@@ -301,9 +301,24 @@ class PlanSpec extends SparkSpec {
       "int×date grouped metadata count must not plan a file scan")
   }
 
-  test("q_zone_or: a disjunctive window filter prunes on the UNION of " +
-    "the arms' envelopes — 4 of 30 layers") {
+  test("q_zone_or: a disjunctive-window GROUPED count now answers from " +
+    "the layer histograms — each surviving layer sits wholly in one " +
+    "arm — zero parquet footers") {
     val df = SparkEntry.queries("q_zone_or")(spark, sfDir)
+    assert(df.inputFiles.isEmpty,
+      "disjoint-window grouped count must not plan a file scan")
+  }
+
+  test("q_or_count: two disjoint same-column windows count from the " +
+    "sidecars alone — zero parquet footers") {
+    val df = SparkEntry.queries("q_or_count")(spark, sfDir)
+    assert(df.inputFiles.isEmpty,
+      "disjoint-window metadata count must not plan a file scan")
+  }
+
+  test("q_or_scan: a disjunctive window filter still prunes the ROW " +
+    "read on the UNION of the arms' envelopes — 4 of 30 layers") {
+    val df = SparkEntry.queries("q_or_scan")(spark, sfDir)
     val layers = df.inputFiles.map(_.split("/").takeRight(2).head)
       .distinct.sorted
     assert(layers.length === 4, s"layers read: ${layers.mkString(",")}")

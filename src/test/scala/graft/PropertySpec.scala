@@ -892,15 +892,32 @@ class PropertySpec extends SparkSpec {
               ".groupBy({c := count()})",
             s"t.filter(between(v, $lo, $hi))" +
               s".filter(between(v, $lo, ${hi - 2})).groupBy({c := count()})",
-            // disjunctions narrow the scan but never the count bound
+            // disjunctions feed the count bound ONLY in the provably-
+            // exact shapes (orGroupPassCount): disjoint same-column
+            // windows, overlapping ones, a window beside isNull, an
+            // opaque arm (must fall back), and an OR stacked under a
+            // plain window — all must equal the counting scan
             s"t.filter(between(v, $lo, $hi) || isNull(v))" +
-              ".groupBy({c := count()})").foreach { q =>
+              ".groupBy({c := count()})",
+            s"t.filter(between(v, ${lo - 9}, ${lo - 5}) || " +
+              s"between(v, $lo, $hi)).groupBy({c := count()})",
+            s"t.filter(between(v, $lo, $hi) || " +
+              s"between(v, ${lo + 1}, ${hi + 3})).groupBy({c := count()})",
+            s"t.filter(between(v, $lo, $hi) || v <> $lo)" +
+              ".groupBy({c := count()})",
+            s"t.filter(isNotNull(v))" +
+              s".filter(between(v, ${lo - 9}, ${lo - 5}) || " +
+              s"between(v, $lo, $hi)).groupBy({c := count()})").foreach { q =>
           def cnt(cat: Catalog) = Planner.plan(q, cat).collect().head.getLong(0)
           assert(cnt(routed) === cnt(unrouted), s"case $ci query $q")
         }
         // GROUPED metadata counts (layer histograms) vs the grouping scan
         (Seq("t.groupBy({n := count()}, {c})",
             s"t.filter(between(v, $lo, $hi)).groupBy({n := count()}, {c})",
+            // a disjunctive window under a grouped count: decidable only
+            // when the or-group provably passes a whole layer
+            s"t.filter(between(v, ${lo - 9}, ${lo - 5}) || " +
+              s"between(v, $lo, $hi)).groupBy({n := count()}, {c})",
             "t.filter(isNotNull(c)).groupBy({n := count()}, {c})",
             "t.filter(isNull(c)).groupBy({n := count()}, {c})") ++
           (if (cs.nonEmpty)
