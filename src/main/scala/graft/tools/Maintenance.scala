@@ -1,0 +1,197 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.sources.NdjsonIngest
+
+/** Periodic self-tending for a long-running serve deployment — the
+  * analog of the reference's directory-watcher sidecar
+  * (app/src/silo_directory_watcher.cpp: the long-running server watches
+  * its data directory and swaps new data versions in), extended to the
+  * storage this engine actually accumulates: version chains grow one
+  * layer per append, superseded layers linger after compaction, and a
+  * feed-maintained ANN index drifts toward its imbalance watermark. An
+  * operator should not have to cron three CLIs around the server; the
+  * server tends its own state.
+  *
+  * One [[tick]] does, in order, for every discovered target under the
+  * maintenance root:
+  *  - COMPACT: a merge-free version chain longer than `maxLayers`
+  *    rewrites as one snapshot layer ([[NdjsonIngest.compactVersions]]).
+  *    Upsert/tombstone chains are SKIPPED (compacting them needs the
+  *    primary key, which the chain does not record — run
+  *    `compactMerged` out-of-band for those);
+  *  - GC: version dirs unreferenced by the latest pointer, the retained
+  *    commit window, or a frozen snapshot pin are deleted
+  *    ([[NdjsonIngest.gcVersions]] with [[graft.core.Snapshot.pins]] —
+  *    `retainCommits` doubles as the drain window for in-flight readers
+  *    of just-superseded pointers, so keep it ≥ 2 while serving);
+  *  - ANN SYNC: every feed registration `<root>/ann-feeds/<name>.json`
+  *    runs [[graft.ann.AnnIndex.syncFromFeed]] with
+  *    `rebuildOnImbalance = true` — new vectors append as codes, and a
+  *    tripped balance watermark retrains the NEXT GENERATION beside the
+  *    live one with an atomic pointer flip (zero downtime).
+  *
+  * Every target is isolated: one failing table or index logs and moves
+  * on — maintenance must never take the server down, and the next tick
+  * retries naturally. All work happens between requests on a daemon
+  * thread; readers keep whatever pointer they resolved (generation /
+  * layer isolation), so queries stay correct across every swap.
+  */
+object Maintenance {
+
+  /** A feed-maintained ANN index registration: everything
+    * [[graft.ann.AnnIndex.syncFromFeed]] needs, as one JSON file under
+    * `<root>/ann-feeds/`. Written once by whoever provisions the index
+    * ([[register]]); read every tick.
+    */
+  final case class AnnFeedSpec(tableDir: String, indexDir: String,
+      stateDir: String, idCol: String, vecCol: String,
+      dim: Int, cells: Int, m: Int, k: Int,
+      balanceFactor: Double = 4.0)
+
+  /** Register an ANN feed for periodic maintenance (tmp+rename: a
+    * crashed write never leaves a torn spec for the tick to trip on).
+    */
+  def register(root: String, name: String, spec: AnnFeedSpec): Unit = {
+    val dir = java.nio.file.Paths.get(root, "ann-feeds")
+    java.nio.file.Files.createDirectories(dir)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("tableDir", spec.tableDir)
+    node.put("indexDir", spec.indexDir)
+    node.put("stateDir", spec.stateDir)
+    node.put("idCol", spec.idCol)
+    node.put("vecCol", spec.vecCol)
+    node.put("dim", spec.dim)
+    node.put("cells", spec.cells)
+    node.put("m", spec.m)
+    node.put("k", spec.k)
+    node.put("balanceFactor", spec.balanceFactor)
+    val tmp = dir.resolve(s".$name.json.tmp")
+    java.nio.file.Files.writeString(tmp, mapper.writeValueAsString(node))
+    java.nio.file.Files.move(tmp, dir.resolve(s"$name.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def readSpec(p: java.nio.file.Path): Option[AnnFeedSpec] =
+    try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(p))
+      if (node == null || !node.has("tableDir")) None
+      else Some(AnnFeedSpec(
+        node.get("tableDir").asText, node.get("indexDir").asText,
+        node.get("stateDir").asText, node.get("idCol").asText,
+        node.get("vecCol").asText, node.get("dim").asInt,
+        node.get("cells").asInt, node.get("m").asInt, node.get("k").asInt,
+        Option(node.get("balanceFactor")).map(_.asDouble).getOrElse(4.0)))
+    } catch { case _: java.io.IOException => None }
+
+  /** Version-chain table dirs under `root` (bounded walk): a chain dir
+    * carries a `latest` pointer file and a `_log` dir. The walk never
+    * descends into a discovered chain (its `v*` layer dirs can be
+    * arbitrarily wide) or into `_`-prefixed internals.
+    */
+  def discoverChains(root: String, maxDepth: Int = 4): Seq[String] = {
+    def walk(dir: java.io.File, depth: Int): Seq[String] = {
+      if (depth > maxDepth || !dir.isDirectory) Nil
+      else if (new java.io.File(dir, "latest").isFile &&
+          new java.io.File(dir, "_log").isDirectory) Seq(dir.getPath)
+      else Option(dir.listFiles()).getOrElse(Array())
+        .filter(f => f.isDirectory && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .sortBy(_.getName).toSeq
+        .flatMap(walk(_, depth + 1))
+    }
+    walk(new java.io.File(root), 0)
+  }
+
+  /** What one tick did — sizes only, for the access/maintenance log. */
+  final case class Report(compacted: Seq[String], gced: Map[String, Int],
+      annSynced: Seq[String], failed: Seq[(String, String)])
+
+  /** One maintenance pass over `root` (see the object doc for the
+    * per-target semantics). Never throws: per-target failures land in
+    * `Report.failed` and on `log`.
+    */
+  def tick(spark: SparkSession, root: String, maxLayers: Int = 8,
+      retainCommits: Int = 2,
+      log: String => Unit = l => System.err.println(s"[maintenance] $l"))
+      : Report = {
+    val compacted = Seq.newBuilder[String]
+    val gced = Map.newBuilder[String, Int]
+    val synced = Seq.newBuilder[String]
+    val failed = Seq.newBuilder[(String, String)]
+    def guard[T](what: String)(body: => T): Option[T] =
+      try Some(body) catch {
+        case t if scala.util.control.NonFatal(t) =>
+          failed += what -> t.getMessage
+          log(s"$what failed: ${t.getMessage}")
+          None
+      }
+    discoverChains(root).foreach { dir =>
+      val chain = NdjsonIngest.latestLayers(dir)
+      if (chain.length > maxLayers) {
+        if (NdjsonIngest.chainMergeFree(dir, chain))
+          guard(s"compact $dir") {
+            if (NdjsonIngest.compactVersions(spark, dir, maxLayers))
+              compacted += dir
+          }
+        else log(s"skip compact $dir: merge-on-read chain " +
+          "(needs the pk — run compactMerged out-of-band)")
+      }
+      guard(s"gc $dir") {
+        val dead = NdjsonIngest.gcVersions(dir, retainCommits,
+          pinned = graft.core.Snapshot.pins(root, dir))
+        if (dead.nonEmpty) gced += dir -> dead.length
+      }
+    }
+    val feedDir = java.nio.file.Paths.get(root, "ann-feeds")
+    if (java.nio.file.Files.isDirectory(feedDir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(feedDir).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".json")).sorted
+        .foreach { p =>
+          readSpec(p).foreach { s =>
+            guard(s"ann-sync ${p.getFileName}") {
+              graft.ann.AnnIndex.syncFromFeed(spark, s.tableDir, s.indexDir,
+                s.stateDir, s.idCol, s.vecCol, s.dim, s.cells, s.m, s.k,
+                rebuildOnImbalance = true, balanceFactor = s.balanceFactor)
+              synced += p.getFileName.toString.stripSuffix(".json")
+            }
+          }
+        }
+    }
+    Report(compacted.result(), gced.result(), synced.result(),
+      failed.result())
+  }
+
+  /** Run [[tick]] every `intervalSeconds` on a daemon thread until the
+    * returned handle closes. The first tick runs one full interval after
+    * start (boot I/O should not compete with the catalog load).
+    */
+  def start(spark: SparkSession, root: String, intervalSeconds: Long,
+      maxLayers: Int = 8, retainCommits: Int = 2,
+      log: String => Unit = l => System.err.println(s"[maintenance] $l"))
+      : AutoCloseable = {
+    require(intervalSeconds > 0, "maintenance interval must be positive")
+    @volatile var closed = false
+    val t = new Thread(() => {
+      try {
+        while (!closed) {
+          Thread.sleep(intervalSeconds * 1000)
+          if (!closed) {
+            val r = tick(spark, root, maxLayers, retainCommits, log)
+            if (r.compacted.nonEmpty || r.gced.nonEmpty ||
+                r.annSynced.nonEmpty)
+              log(s"tick: compacted=${r.compacted.size} " +
+                s"gc=${r.gced.values.sum} ann=${r.annSynced.size}")
+          }
+        }
+      } catch { case _: InterruptedException => }
+    }, "graft-maintenance")
+    t.setDaemon(true)
+    t.start()
+    () => { closed = true; t.interrupt() }
+  }
+}

@@ -47,7 +47,13 @@ object Serve {
     "api.estimatedStartupTimeInMinutes", "api.softMemoryLimit",
     "api.accessLog", "api.accessLogFile", "api.accessLogMaxBytes",
     "api.memoryMonitorSeconds",
-    "query.materializationCutoff", "query.timeoutInSeconds")
+    "query.materializationCutoff", "query.timeoutInSeconds",
+    // periodic self-tending (≙ the reference's directory-watcher
+    // sidecar, app/src/silo_directory_watcher.cpp): compact long
+    // version chains, gc unreferenced layers, sync registered ANN
+    // feeds — see [[Maintenance]]
+    "maintenance.intervalSeconds", "maintenance.maxLayers",
+    "maintenance.retainCommits")
 
   private val config =
     new KeyedConfig(Keys, boolKeys = Set("api.accessLog"))
@@ -177,6 +183,16 @@ object Serve {
     }
     val server = new QueryServer(supplier, port, serverConfig(m, sink))
     server.start()
+    // periodic maintenance rides the server's lifetime on a daemon
+    // thread; a tick failure logs and retries next interval — it can
+    // never take the server down (Maintenance.tick guards per target)
+    m.get("maintenance.intervalSeconds").map(_.trim.toLong).foreach { iv =>
+      Maintenance.start(spark, dataDir, iv,
+        maxLayers = m.get("maintenance.maxLayers").map(_.trim.toInt)
+          .getOrElse(8),
+        retainCommits = m.get("maintenance.retainCommits")
+          .map(_.trim.toInt).getOrElse(2))
+    }
     // the loader RETRIES until the first build commits: a transient
     // failure (input still being copied, flaky storage) must not poison
     // the server forever — each attempt's failure is surfaced on stderr

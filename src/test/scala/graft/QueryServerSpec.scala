@@ -351,6 +351,105 @@ class QueryServerSpec extends SparkSpec {
     } finally s.stop()
   }
 
+  test("maintenance: a long chain compacts and gcs WHILE SERVING — " +
+    "results stay correct across the swap; merged chains are skipped") {
+    import graft.sources.NdjsonIngest
+    import graft.tools.Maintenance
+    val root = java.nio.file.Files.createTempDirectory("srvmaint").toString
+    val dir = s"$root/tables/t"
+    (1 to 10).foreach { i =>
+      val df = Seq((s"k$i", i * 10)).toDF("primary_key", "age")
+      if (i == 1) NdjsonIngest.appendVersion(df, dir, "primary_key")
+      else NdjsonIngest.appendDelta(df, dir, "primary_key")
+    }
+    // a merge-on-read sibling: compaction must SKIP it (needs the pk)
+    // but gc must still tend it
+    val mdir = s"$root/tables/m"
+    NdjsonIngest.appendVersion(Seq(("a", 1)).toDF("pk", "v"), mdir, "pk")
+    NdjsonIngest.upsertDelta(Seq(("a", 2)).toDF("pk", "v"), mdir, "pk")
+    val supplier = () => (
+      Catalog(Map("default" -> NdjsonIngest.readLatest(spark, dir))),
+      "commit-" + NdjsonIngest.commits(dir).last)
+    val s = new QueryServer(supplier, 0, 120)
+    s.start()
+    try {
+      def query() = http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${s.boundPort}/query"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """default.groupBy({count := count()})""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val before = query()
+      assert(before.body().trim === """{"count":10}""")
+      assert(before.headers().firstValue("data-version").get()
+        === "commit-10")
+      assert(Maintenance.discoverChains(root).toSet === Set(dir, mdir))
+      val report = Maintenance.tick(spark, root,
+        maxLayers = 4, retainCommits = 1)
+      assert(report.failed.isEmpty, report.failed.toString)
+      assert(report.compacted === Seq(dir))
+      assert(NdjsonIngest.latestLayers(dir).length === 1)
+      // gc reclaimed the superseded append layers (10 dead under t;
+      // the merged sibling keeps both its live layers)
+      assert(report.gced.getOrElse(dir, 0) === 10)
+      assert(NdjsonIngest.latestLayers(mdir).length === 2)
+      // the server swapped to the compacted commit and answers
+      // identically — readers never saw a torn chain
+      val after = query()
+      assert(after.body().trim === """{"count":10}""")
+      assert(after.headers().firstValue("data-version").get()
+        === "commit-11")
+      // the TIMER path: more appends re-grow the chain past the cap;
+      // the background loop compacts it within a few intervals
+      (11 to 16).foreach { i =>
+        NdjsonIngest.appendDelta(
+          Seq((s"k$i", i * 10)).toDF("primary_key", "age"),
+          dir, "primary_key")
+      }
+      val handle = Maintenance.start(spark, root, intervalSeconds = 1,
+        maxLayers = 4, retainCommits = 1)
+      try {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (NdjsonIngest.latestLayers(dir).length > 1 &&
+            System.nanoTime() < deadline)
+          Thread.sleep(250)
+        assert(NdjsonIngest.latestLayers(dir).length === 1)
+        assert(query().body().trim === """{"count":16}""")
+      } finally handle.close()
+    } finally s.stop()
+  }
+
+  test("maintenance: a registered ANN feed syncs on tick (bootstrap + " +
+    "append visible to search)") {
+    import graft.ann.AnnIndex
+    import graft.sources.NdjsonIngest
+    import graft.tools.Maintenance
+    val root = java.nio.file.Files.createTempDirectory("srvmaintann").toString
+    val tableDir = s"$root/emb"; val idxDir = s"$root/idx"
+    val stateDir = s"$root/feedstate"
+    val dim = 4
+    def vec(id: Long): Array[Float] =
+      Array.tabulate(dim)(i => math.sin(id * 7.0 + i).toFloat)
+    def rows(ids: Seq[Long]) =
+      ids.map(id => (id, vec(id))).toDF("vec_id", "embedding")
+    NdjsonIngest.appendVersion(rows(1L to 6L), tableDir, "vec_id")
+    Maintenance.register(root, "emb", Maintenance.AnnFeedSpec(
+      tableDir, idxDir, stateDir, "vec_id", "embedding",
+      dim, cells = 2, m = 2, k = 4))
+    val r1 = Maintenance.tick(spark, root)
+    assert(r1.failed.isEmpty, r1.failed.toString)
+    assert(r1.annSynced === Seq("emb"))
+    // feed append → next tick encodes it → searchable
+    NdjsonIngest.appendDelta(rows(Seq(7L)), tableDir, "vec_id")
+    val r2 = Maintenance.tick(spark, root)
+    assert(r2.failed.isEmpty, r2.failed.toString)
+    val h = AnnIndex.load(spark, idxDir).get
+    val emb = NdjsonIngest.readLatest(spark, tableDir)
+    val probes = Seq((0L, vec(7L).map(_.toDouble)))
+    val hits = AnnIndex.search(spark, h, emb, "vec_id", "embedding",
+      probes, k = 1, nprobe = 2).select("n_id").collect()
+    assert(hits.nonEmpty && hits.head.getLong(0) === 7L)
+  }
+
   test("cachedSupplier rebuilds the catalog only when the version changes") {
     import graft.sources.NdjsonIngest
     val dir = java.nio.file.Files.createTempDirectory("srvcache").toString + "/t"
