@@ -235,6 +235,18 @@ object AnnIndex {
       vecCol: String, root: String, dim: Int, cells: Int, m: Int,
       k: Int, iters: Int = 2, tag: Option[String] = None): Handle = {
     val next = s"gen-${currentGen(root) + 1}"
+    // a CRASHED earlier swap may have left gen-<n+1> fully committed
+    // (meta written) with the pointer never flipped — buildOrLoad would
+    // then LOAD that stale generation (trained on the older corpus) and
+    // flip the pointer to it instead of retraining. The pointer still
+    // names gen-<n>, so gen-<n+1> is unreferenced by construction:
+    // delete it and train fresh (and drop its cached balance verdicts —
+    // they described the dead partial generation).
+    if (new java.io.File(root, next).exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(root, next))
+      balanceCache.keySet.removeIf(_._1 == s"$root/$next")
+    }
     val h = buildOrLoad(spark, emb, idCol, vecCol, s"$root/$next",
       dim, cells, m, k, iters, tag)
     val tmp = java.nio.file.Paths.get(root, ".current.tmp")

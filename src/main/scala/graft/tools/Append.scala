@@ -42,7 +42,17 @@ object Append {
   val Keys: Seq[String] = Seq(
     "dataDirectory", "appendFile", "runtimeConfig", "defaultRuntimeConfig")
 
-  private val config = new KeyedConfig(Keys)
+  /** Broadcast the batch's pk column into the duplicate check only below
+    * this row count — same rationale as the planner's
+    * RouteBroadcastMaxRows (a forced hint is driver-size-blind).
+    */
+  private val BroadcastMaxRows = 1_000_000L
+
+  // one runtime_config.yaml serves the whole deployment: the server's
+  // api.*/query.*/maintenance.* keys are tolerated (skipped), like the
+  // reference giving each subcommand its own view of a shared config
+  private val config = new KeyedConfig(Keys,
+    tolerate = Serve.Keys.toSet ++ Preprocess.Keys.toSet)
 
   def cliName(key: String): String = KeyedConfig.cliName(key)
   def envName(key: String): String = KeyedConfig.envName(key)
@@ -100,14 +110,23 @@ object Append {
         val batch = NdjsonIngest.read(spark, tmp.toString, schema)
           .localCheckpoint() // parse once; reused by validate + count
         NdjsonIngest.validatePrimaryKey(batch, pk)
+        val n = batch.count()
         val existing = NdjsonIngest.read(spark,
           Database.splitInputs(Serve.currentInput(dataDir)), schema)
+        // the broadcast hint is size-gated like the planner's posting
+        // semi-joins (RouteBroadcastMaxRows discipline): a bulk
+        // incremental load's pk column would otherwise build an
+        // unbounded hash relation on the driver and every executor —
+        // above the cap Spark plans the semi-join itself (shuffled or
+        // AQE-converted)
+        val batchPks = batch.select(col(pk))
+        val hinted =
+          if (n <= BroadcastMaxRows) broadcast(batchPks) else batchPks
         val clash = existing
-          .join(broadcast(batch.select(col(pk))), Seq(pk), "left_semi")
+          .join(hinted, Seq(pk), "left_semi")
           .select(col(pk).cast("string")).limit(10)
           .collect().map(_.getString(0)).toSeq
         if (clash.nonEmpty) throw NdjsonIngest.DuplicatePrimaryKey(clash)
-        val n = batch.count()
         if (n == 0) ("", 0L)
         else {
           // 3. COMMIT: stage inside the data directory (same

@@ -8,10 +8,22 @@ package graft.tools
   * EnvironmentVariables `configKeyPathToString` pair
   * (config/source/yaml_file.cpp:140, environment_variables.cpp:45).
   */
+/** `tolerate` (by-name — the CLI objects reference each other's key
+  * sets, and eager evaluation at construction would cycle their object
+  * initializers): keys a SHARED config file may legitimately carry for
+  * OTHER subcommands. One runtime_config.yaml typically serves a whole
+  * deployment — `rhydb append` pointed at the server's config (api.*
+  * keys and all) must skip those keys, not die on them — while a key NO
+  * subcommand knows still fails loudly (it is a typo, not a sibling's
+  * setting). Tolerated keys never enter the parse result: only this
+  * subcommand's own keys do.
+  */
 final class KeyedConfig(val keys: Seq[String],
-    boolKeys: Set[String] = Set.empty) {
+    boolKeys: Set[String] = Set.empty,
+    tolerate: => Set[String] = Set.empty) {
   import KeyedConfig._
 
+  private lazy val tolerated = tolerate
   private lazy val byCli = keys.map(k => cliName(k) -> k).toMap
   private lazy val byEnv = keys.map(k => envName(k) -> k).toMap
 
@@ -62,9 +74,9 @@ final class KeyedConfig(val keys: Seq[String],
     val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
     val parsed = new org.yaml.snakeyaml.Yaml().load[Any](txt)
     val flat = flattenYaml(parsed)
-    flat.keys.find(k => !keys.contains(k)).foreach(k =>
-      sys.error(s"unknown key '$k' in config file $path"))
-    flat
+    flat.keys.find(k => !keys.contains(k) && !tolerated.contains(k))
+      .foreach(k => sys.error(s"unknown key '$k' in config file $path"))
+    flat.filter { case (k, _) => keys.contains(k) }
   }
 
   /** The effective settings: defaults < default-config file < config

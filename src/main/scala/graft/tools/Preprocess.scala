@@ -23,7 +23,10 @@ object Preprocess {
   val Keys: Seq[String] =
     Seq("dataDirectory", "runtimeConfig", "defaultRuntimeConfig")
 
-  private val config = new KeyedConfig(Keys)
+  // a shared runtime_config.yaml may carry serve/append keys — skip
+  // them instead of failing (see KeyedConfig.tolerate)
+  private val config = new KeyedConfig(Keys,
+    tolerate = Serve.Keys.toSet ++ Append.Keys.toSet)
 
   def cliName(key: String): String = KeyedConfig.cliName(key)
   def envName(key: String): String = KeyedConfig.envName(key)

@@ -55,8 +55,11 @@ object Serve {
     "maintenance.intervalSeconds", "maintenance.maxLayers",
     "maintenance.retainCommits")
 
-  private val config =
-    new KeyedConfig(Keys, boolKeys = Set("api.accessLog"))
+  // a shared runtime_config.yaml may carry append/preprocess keys —
+  // skip them instead of failing (see KeyedConfig.tolerate)
+  private val config = new KeyedConfig(Keys,
+    boolKeys = Set("api.accessLog"),
+    tolerate = Append.Keys.toSet ++ Preprocess.Keys.toSet)
 
   def cliName(key: String): String = KeyedConfig.cliName(key)
   def envName(key: String): String = KeyedConfig.envName(key)
@@ -110,14 +113,23 @@ object Serve {
     * fingerprint/build call so a running server picks appends up on its
     * normal hot-swap path.
     */
-  private[tools] def currentInput(dataDir: String): String =
+  private[tools] def currentInput(dataDir: String): String = {
+    val pat = "append-(\\d+)\\.ndjson(\\.zst|\\.xz)?".r
     (Seq(inputPath(dataDir)) ++
       Option(new java.io.File(dataDir).list()).getOrElse(Array())
-        .filter(n => n.startsWith("append-") &&
-          (n.endsWith(".ndjson") || n.endsWith(".ndjson.zst") ||
-            n.endsWith(".ndjson.xz")))
-        .sorted.map(n => new java.io.File(dataDir, n).getPath))
+        .flatMap {
+          case n @ pat(d, _) => Some((d.toLong, n))
+          case _ => None
+        }
+        // NUMERIC order by the parsed sequence (with the name as a
+        // tiebreak for same-seq different-suffix leftovers): a
+        // lexicographic sort would place append-1000000 before
+        // append-999999 once seq outgrows the %06d padding, silently
+        // breaking the naming's implied chronological order
+        .sortBy { case (seq, n) => (seq, n) }
+        .map { case (_, n) => new java.io.File(dataDir, n).getPath })
       .mkString(",")
+  }
 
   /** A synchronized access-log sink appending to `path`, rotating to
     * `path.1` once the live file reaches `maxBytes` (one rotated

@@ -484,6 +484,33 @@ class AnnIndexSpec extends SparkSpec {
       .as[Long].collect().toSet === Set(1L))
   }
 
+  test("rebuildSwap after a CRASHED swap (next-gen meta committed, " +
+    "pointer never flipped) retrains fresh instead of adopting the " +
+    "stale generation") {
+    val root = Files.createTempDirectory("annswapcrash").toString + "/idx"
+    AnnIndex.buildOrLoad(spark, emb, "vec_id", "embedding", root,
+      dim, cells = 4, m = 2, k = 8, iters = 3)
+    // simulate the crash window: gen-1 fully commits (trained on a
+    // 2-vector stale corpus so adoption is detectable) but the process
+    // dies before `current` flips — the pointer still resolves the flat
+    // layout
+    val stale = vecs.take(2).toDF("vec_id", "embedding")
+    AnnIndex.buildOrLoad(spark, stale, "vec_id", "embedding",
+      s"$root/gen-1", dim, cells = 2, m = 2, k = 4, iters = 1)
+    assert(!Files.exists(java.nio.file.Paths.get(root, "current")))
+    // the retry must DELETE the unreferenced partial generation and
+    // train on today's corpus — adopting the stale one would serve an
+    // index missing most vectors
+    val h = AnnIndex.rebuildSwap(spark, emb, "vec_id", "embedding", root,
+      dim, cells = 4, m = 2, k = 8, iters = 3)
+    assert(h.indexDir === s"$root/gen-1")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "current")).trim === "gen-1")
+    val codes = spark.read.option("basePath", s"${h.indexDir}/codes")
+      .parquet(h.layers.map(l => s"${h.indexDir}/codes/layer=$l"): _*)
+    assert(codes.select("id").distinct().count() === vecs.length.toLong)
+  }
+
   test("search prunes unprobed cell partitions at the scan") {
     val dir = Files.createTempDirectory("annidx").toString + "/idx"
     val h = AnnIndex.buildOrLoad(spark, emb, "vec_id", "embedding", dir,
