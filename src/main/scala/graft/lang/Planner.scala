@@ -604,7 +604,11 @@ final class Planner(catalog: Planner.Catalog) {
     * rewrite only ever fires on the exact shapes it is proven for.
     */
   final case class SortedScan(dir: String, chain: Seq[String],
-      column: String, descending: Boolean, tiebreak: Seq[String],
+      column: String, descending: Boolean,
+      // (name, descending) per tiebreak key — the BOUND logic is
+      // tiebreak-agnostic (strict exclusion never depends on how ties
+      // order), so mixed-direction tiebreaks route like ascending ones
+      tiebreak: Seq[(String, Boolean)],
       schema: org.apache.spark.sql.types.StructType, skip: Long = 0,
       zone: Option[ZonePred] = None,
       // stages interposed BETWEEN the orderBy and the limit (plain
@@ -781,7 +785,7 @@ final class Planner(catalog: Planner.Catalog) {
         if (!plain) None
         else in.sortedUnion.filter { leaves =>
           leaves.forall(_.sortedScan.exists(ss => ss.zone.isDefined &&
-            (ss.column +: ss.tiebreak).forall(cols.contains)))
+            (ss.column +: ss.tiebreak.map(_._1)).forall(cols.contains)))
         }.map(_.map(t => t.copy(sortedScan = t.sortedScan.map(ss =>
           ss.copy(postSort = ss.postSort :+ PostProject(cols)))))))
   }
@@ -831,7 +835,8 @@ final class Planner(catalog: Planner.Catalog) {
           ss.copy(postSort = ss.postSort :+ PostMap(items, in.origin))),
       sortedUnion = in.sortedUnion.filter { leaves =>
         leaves.forall(_.sortedScan.exists(ss => ss.zone.isDefined &&
-          !(ss.column +: ss.tiebreak).exists(k => items.exists(_._1 == k))))
+          !(ss.column +: ss.tiebreak.map(_._1))
+            .exists(k => items.exists(_._1 == k))))
       }.map(_.map(t => t.copy(sortedScan = t.sortedScan.map(ss =>
         ss.copy(postSort = ss.postSort :+ PostMap(items, in.origin)))))))
   }
@@ -839,18 +844,21 @@ final class Planner(catalog: Planner.Catalog) {
   /** The top-k scan note for `orderBy(fields)` over `in` — the note
     * logic shared by the parent pipeline value and each unionAll
     * child: the sort's FIRST key is a stats-prunable column of the
-    * pinned scan schema, remaining keys plain ascending tiebreaks,
-    * and the input is a bare registered chain (merge-free, or merged
-    * with a pk) or a fully stats-decidable filter of one.
+    * pinned scan schema, remaining keys plain-column tiebreaks in
+    * EITHER direction (the bound reasons only about the first key;
+    * tie order can never promote a row past a strict first-key
+    * exclusion), and the input is a bare registered chain (merge-free,
+    * or merged with a pk) or a fully stats-decidable filter of one.
     */
   private def sortNote(in: Tbl, fields: Seq[Expr]): Option[SortedScan] = {
     // top-k scan note for a following limit: the sort's FIRST key is
     // a stats-prunable (numeric/date/string) column, the remaining
-    // keys are plain ascending tiebreaks, and the input is either the
-    // bare registered versioned scan (merge-free with layer stats) or
-    // a fully stats-decidable filter of one (the filter's ZonePred
-    // note) — then limit(k) can bound the read from metadata alone
-    def sortKey: Option[((String, Boolean), Seq[String])] = for {
+    // keys are plain-column tiebreaks (asc or desc), and the input is
+    // either the bare registered versioned scan (merge-free with layer
+    // stats) or a fully stats-decidable filter of one (the filter's
+    // ZonePred note) — then limit(k) can bound the read from metadata
+    // alone
+    def sortKey: Option[((String, Boolean), Seq[(String, Boolean)])] = for {
       _ <- Some(()) if fields.nonEmpty
       first <- fields.head match {
         case Ident(n) => Some((n, false))
@@ -865,11 +873,13 @@ final class Planner(catalog: Planner.Catalog) {
           case org.apache.spark.sql.types.StringType => true
           case _ => false
         })
-      ties <- fields.tail.foldLeft(Option(Seq.empty[String])) {
+      ties <- fields.tail.foldLeft(Option(Seq.empty[(String, Boolean)])) {
         case (Some(acc), Ident(n)) if in.df.columns.contains(n) =>
-          Some(acc :+ n)
+          Some(acc :+ (n -> false))
         case (Some(acc), Call("asc", Seq(Ident(n)), _))
-            if in.df.columns.contains(n) => Some(acc :+ n)
+            if in.df.columns.contains(n) => Some(acc :+ (n -> false))
+        case (Some(acc), Call("desc", Seq(Ident(n)), _))
+            if in.df.columns.contains(n) => Some(acc :+ (n -> true))
         case _ => None
       }
     } yield (first, ties)
@@ -956,8 +966,8 @@ in.zone match {
       // every note derives from the SAME orderBy fields, so any one
       // spells the merge sort key
       val ss = leaves.head.sortedScan.get
-      val keyCols = (ss.column +: ss.tiebreak).map(c =>
-        if (ss.descending && c == ss.column) col(c).desc else col(c).asc)
+      val keyCols = ((ss.column, ss.descending) +: ss.tiebreak).map {
+        case (c, d) => if (d) col(c).desc else col(c).asc }
       val merged = bounded.map(_.df).reduce(_ union _).orderBy(keyCols: _*)
       Tbl(if (skip > 0) merged.offset(skip.toInt).limit(n.toInt)
           else merged.limit(n.toInt), None)
@@ -981,9 +991,9 @@ in.zone match {
               // Merged chains take the shadow-aware selector and
               // reader: non-supplying layers stay in the argmax as
               // pk-only shadows instead of dropping out.
-              val keyCols = (ss.column +: ss.tiebreak).map(c =>
-                if (ss.descending && c == ss.column) col(c).desc
-                else col(c).asc)
+              val keyCols =
+                ((ss.column, ss.descending) +: ss.tiebreak).map {
+                  case (c, d) => if (d) col(c).desc else col(c).asc }
               val scan = zp.mergedPk match {
                 case Some(pk) =>
                   val kept = graft.sources.NdjsonIngest

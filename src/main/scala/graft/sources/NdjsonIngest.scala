@@ -555,16 +555,18 @@ object NdjsonIngest {
     * TakeOrderedAndProject — a per-partition heap, never a full sort.
     *
     * APPEND-ONLY chains only (like [[readChainRange]]); `tiebreak`
-    * columns are appended to the sort for a deterministic result.
+    * `(column, descending)` keys are appended to the sort for a
+    * deterministic result (either direction — the layer bound depends
+    * only on the first key).
     */
   def readChainTopK(spark: SparkSession, tableDir: String,
       chain: Seq[String], column: String, k: Int, descending: Boolean,
-      tiebreak: Seq[String] = Nil,
+      tiebreak: Seq[(String, Boolean)] = Nil,
       pinSchema: Option[org.apache.spark.sql.types.StructType] = None)
       : DataFrame = {
     val kept = chainTopKLayers(tableDir, chain, column, k, descending)
-    val keyCols = (column +: tiebreak).map(c =>
-      if (descending && c == column) col(c).desc else col(c).asc)
+    val keyCols = ((column, descending) +: tiebreak).map {
+      case (c, d) => if (d) col(c).desc else col(c).asc }
     // kept is non-empty by construction (no filter conjuncts): every
     // branch either returns the whole chain or retains at least the
     // bound-defining layer
@@ -676,24 +678,7 @@ object NdjsonIngest {
       "chainTopKLayersMerged needs a non-empty layer chain")
     val withLines = chain.map(l =>
       l -> statsLines(tableDir, l).getOrElse(Seq.empty))
-    // (layer → introducing commit kind), single-valued: a commit's chain
-    // ends with the layer it introduced
-    val intro: Map[String, String] =
-      commits(tableDir).map(logEntry(tableDir, _)).flatMap {
-        case (c, kind) => c.lastOption.map(_ -> kind)
-      }.toMap
-    val zeroCap = Set("snapshot", "append", "compact")
-    val caps: Seq[Option[Long]] = withLines.map { case (l, lines) =>
-      val hasTombs = new java.io.File(s"$tableDir/$l/_tombstones").isDirectory
-      intro.get(l) match {
-        case Some(kind) if zeroCap(kind) && !hasTombs => Some(0L)
-        case Some("upsert") if !hasTombs =>
-          if (layerHasData(tableDir, l)) nFromLines(lines) else Some(0L)
-        case Some("delete") if !layerHasData(tableDir, l) =>
-          if (hasTombs) tombFromLines(lines) else Some(0L)
-        case _ => None // unknown kind / gc'd log / mixed layer
-      }
-    }
+    val caps = shadowCaps(tableDir, withLines)
     val losses: Map[String, Option[Long]] = chain.zipWithIndex.map {
       case (l, i) =>
         val younger = caps.drop(i + 1)
@@ -715,6 +700,74 @@ object NdjsonIngest {
         descending, ranges, strEquals, nullCols, notNullCols, orGroups,
         losses(_))
     else survivors.map(_._1)
+  }
+
+  /** Per-layer SHADOW CAPACITY: an upper bound on how many OLDER rows
+    * this layer can kill in the merged result — upsert rows and
+    * tombstones count (each overrides/deletes at most ONE older row per
+    * pk, and killers map injectively onto the dead rows they are
+    * nearest-younger to); layers from UNIQUENESS-ENFORCED commits
+    * (append — which aborts on any in-chain pk — and the chain-resetting
+    * snapshot/compact) have capacity ZERO. None = unknowable (gc'd log
+    * entry, unknown kind, missing count). Shared by the merged top-k
+    * bound and the merged count bracket.
+    */
+  private def shadowCaps(tableDir: String,
+      withLines: Seq[(String, Seq[Array[String]])]): Seq[Option[Long]] = {
+    // (layer → introducing commit kind), single-valued: a commit's chain
+    // ends with the layer it introduced
+    val intro: Map[String, String] =
+      commits(tableDir).map(logEntry(tableDir, _)).flatMap {
+        case (c, kind) => c.lastOption.map(_ -> kind)
+      }.toMap
+    val zeroCap = Set("snapshot", "append", "compact")
+    withLines.map { case (l, lines) =>
+      val hasTombs = new java.io.File(s"$tableDir/$l/_tombstones").isDirectory
+      intro.get(l) match {
+        case Some(kind) if zeroCap(kind) && !hasTombs => Some(0L)
+        case Some("upsert") if !hasTombs =>
+          if (layerHasData(tableDir, l)) nFromLines(lines) else Some(0L)
+        case Some("delete") if !layerHasData(tableDir, l) =>
+          if (hasTombs) tombFromLines(lines) else Some(0L)
+        case _ => None // unknown kind / gc'd log / mixed layer
+      }
+    }
+  }
+
+  /** `[lower, upper]` BRACKET on a merge-on-read chain's merged row
+    * count, from the sidecars + commit log alone (no parquet footer
+    * opens). The exact merged count is unknowable from per-layer
+    * metadata — recorded rows may be shadowed or tombstoned — but two
+    * bounds are provable:
+    *  - UPPER: Σ n over data layers. Every live merged row is one of
+    *    some layer's recorded rows (whole-row upsert semantics never
+    *    mutate in place), so the merged count can only be smaller.
+    *  - LOWER: upper − Σ shadow capacities ([[shadowCaps]]): each dead
+    *    recorded row is killed by its nearest-younger same-pk upsert
+    *    row or tombstone, and that mapping is injective — so the dead
+    *    count is at most the total capacity.
+    * An unknown capacity (gc'd log) collapses the lower bound to 0;
+    * a data layer without a row count makes the whole bracket None.
+    * An approxCount surface and the optimizer's own routing choices
+    * (e.g. "is this merged chain upsert-light enough to bother
+    * bounding?") both read from this. APPEND-ONLY chains bracket
+    * degenerately as `[total, total]` (all capacities zero).
+    */
+  def chainMergedCountBracket(tableDir: String,
+      chain: Seq[String]): Option[(Long, Long)] = {
+    if (chain.isEmpty) return None
+    val withLines = chain.map(l =>
+      l -> statsLines(tableDir, l).getOrElse(Seq.empty))
+    val ns = withLines
+      .filter { case (l, _) => layerHasData(tableDir, l) }
+      .map { case (_, lines) => nFromLines(lines) }
+    if (ns.exists(_.isEmpty)) return None
+    val upper = ns.flatten.sum
+    val caps = shadowCaps(tableDir, withLines)
+    val lower =
+      if (caps.exists(_.isEmpty)) 0L
+      else math.max(0L, upper - caps.flatten.sum)
+    Some((lower, upper))
   }
 
   /** Core of [[chainTopKLayers]], generic over the sort key's envelope

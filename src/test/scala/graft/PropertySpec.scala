@@ -626,8 +626,12 @@ class PropertySpec extends SparkSpec {
           versionedDirs = Map("t" -> dir))
         val unrouted = Catalog(tables = Map("t" -> frame))
         val key = if (desc) "desc(v)" else "v"
+        // mixed-direction tiebreaks route too: the layer bound depends
+        // only on the first key, tie order never crosses an exclusion
         Seq(s"t.orderBy({$key, id}).limit($k)",
-            s"t.orderBy({$key, id}).offset($off).limit($k)").foreach { q =>
+            s"t.orderBy({$key, id}).offset($off).limit($k)",
+            s"t.orderBy({$key, desc(id)}).limit($k)",
+            s"t.orderBy({$key, desc(id)}).offset($off).limit($k)").foreach { q =>
           def seqOf(cat: Catalog) = Planner.plan(q, cat)
             .select("id").as[Long].collect().toSeq // ORDERED compare
           assert(seqOf(routed) === seqOf(unrouted), s"case $ci query $q")
@@ -689,6 +693,18 @@ class PropertySpec extends SparkSpec {
         def rows(cat: Catalog) = Planner.plan(q, cat)
           .as[(Long, Long)].collect().sorted.toSeq
         assert(rows(routed) === rows(unrouted), s"case $ci query $q")
+      }
+      // the metadata count BRACKET must contain the true merged count
+      // under any upsert/delete/compact history (and collapse to the
+      // exact count right after a compact resets the chain)
+      NdjsonIngest.chainMergedCountBracket(
+          dir, NdjsonIngest.latestLayers(dir)).foreach { case (lo2, hi2) =>
+        val truth = frame.count()
+        assert(lo2 <= truth && truth <= hi2,
+          s"case $ci bracket [$lo2, $hi2] misses true count $truth")
+        if (ops.lastOption.contains(Compact))
+          assert(lo2 === truth && hi2 === truth,
+            s"case $ci post-compact bracket [$lo2, $hi2] not exact ($truth)")
       }
       // merged top-k: the shadow-loss-aware bound must stay a superset
       // of the true suppliers under any upsert/delete/compact history
@@ -827,8 +843,11 @@ class PropertySpec extends SparkSpec {
         val key = if (desc) "desc(v)" else "v"
         val sKey = if (desc) "desc(c)" else "c"
         val qs = Seq(
-          // filter + top-k composed, numeric sort key
+          // filter + top-k composed, numeric sort key (and a DESC
+          // tiebreak — the note is tiebreak-direction-agnostic)
           s"t.filter(between(v, $lo, $hi)).orderBy({$key, id}).limit($k)",
+          s"t.filter(between(v, $lo, $hi)).orderBy({$key, desc(id)})" +
+            s".limit($k)",
           s"t.filter(between(v, $lo, $hi)).orderBy({$key, id})" +
             s".offset($off).limit($k)",
           s"t.filter(isNotNull(v)).orderBy({$key, id}).limit($k)",

@@ -171,7 +171,7 @@ class SourcesSpec extends SparkSpec {
     NdjsonIngest.appendDelta(Seq((3L, 8.0), (4L, 9.5)).toDF("id", "v"), dir2, "id")
     val top1 = NdjsonIngest.readChainTopK(spark, dir2,
       NdjsonIngest.latestLayers(dir2), "v", 1, descending = true,
-      tiebreak = Seq("id"))
+      tiebreak = Seq("id" -> false))
     assert(top1.select("id").as[Long].collect().toSeq === Seq(4L))
     // NULLS in the sort column: they sort FIRST under asc, so a pruned
     // layer may never hide one — layer v2 here holds only a null and a
@@ -184,13 +184,13 @@ class SourcesSpec extends SparkSpec {
       dir3, "id")
     val chain3 = NdjsonIngest.latestLayers(dir3)
     val ascNull = NdjsonIngest.readChainTopK(spark, dir3, chain3, "v", 2,
-      descending = false, tiebreak = Seq("id"))
+      descending = false, tiebreak = Seq("id" -> false))
     assert(ascNull.select("id").as[Long].collect().toSeq === Seq(3L, 1L))
     // desc: nulls sort LAST — with enough non-null rows the null layer's
     // count must not fake coverage; and when k exceeds the non-null
     // rows, the null still arrives at the tail
     val descNull = NdjsonIngest.readChainTopK(spark, dir3, chain3, "v", 4,
-      descending = true, tiebreak = Seq("id"))
+      descending = true, tiebreak = Seq("id" -> false))
     assert(descNull.select("id").as[Long].collect().toSeq ===
       Seq(4L, 2L, 1L, 3L))
   }
