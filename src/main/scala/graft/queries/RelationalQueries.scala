@@ -902,6 +902,30 @@ object RelationalQueries {
           |  .groupBy({c := count()})""".stripMargin, catalog)
     },
 
+    // ---- DISJUNCTIVE WINDOWS + TOP-K COMPOSED: the OR filter's note
+    //      now survives to the limit, whose rewrite bounds the read by
+    //      BOTH the union-of-arms zone test and the or-aware qualifying
+    //      counts (orGroupPassCount): the 20 most-recent rows of two
+    //      disjoint windows provably live in the newer window's newest
+    //      layer — 1 of 30 footers. ----
+    QDef("q_or_topk",
+      """SELECT event_id, CAST(ts AS DATE) AS d, event_type FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-02' AND DATE '2024-01-03'
+        |   OR CAST(ts AS DATE) BETWEEN DATE '2024-01-09' AND DATE '2024-01-10'
+        |ORDER BY d DESC, event_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val tableDir = memoEventsChain(s, dir)
+      val catalog = graft.lang.Planner.Catalog(
+        tables = Map("ev" -> graft.sources.NdjsonIngest.readLatest(s, tableDir)),
+        versionedDirs = Map("ev" -> tableDir))
+      graft.lang.Planner.plan(
+        """ev
+          |  .filter(between(d, '2024-01-02'::date, '2024-01-03'::date)
+          |    || between(d, '2024-01-09'::date, '2024-01-10'::date))
+          |  .orderBy({desc(d), event_id})
+          |  .limit(20)
+          |  .project({event_id, d, event_type})""".stripMargin, catalog)
+    },
+
     // ---- DISJUNCTIVE NARROWING ON A ROW-LEVEL READ: the same two
     //      windows feeding a row SELECT — the scan opens exactly the
     //      4 of 30 layers intersecting either arm's envelope; the

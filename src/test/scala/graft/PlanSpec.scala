@@ -316,6 +316,16 @@ class PlanSpec extends SparkSpec {
       "disjoint-window metadata count must not plan a file scan")
   }
 
+  test("q_or_topk: disjoint OR windows compose with the top-k bound — " +
+    "1 of 30 layers, still a top-k plan") {
+    val df = SparkEntry.queries("q_or_topk")(spark, sfDir)
+    val layers = df.inputFiles.map(_.split("/").takeRight(2).head).distinct
+    assert(layers.length === 1, s"layers read: ${layers.mkString(",")}")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+  }
+
   test("q_or_scan: a disjunctive window filter still prunes the ROW " +
     "read on the UNION of the arms' envelopes — 4 of 30 layers") {
     val df = SparkEntry.queries("q_or_scan")(spark, sfDir)
