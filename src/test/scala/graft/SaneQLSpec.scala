@@ -1197,9 +1197,11 @@ class SaneQLSpec extends SparkSpec {
       "partial other-conjunct must fall back to the grouping scan")
     assert(rowsOf(part) ===
       unrouted("t.filter(between(w, 1, 5.5)).groupBy({n := count()}, {c})"))
-    // a mid-cardinality column (20 ≤ 256 cap) still answers from the
+    // a mid-cardinality column (20 ≤ the cap) still answers from the
     // histogram; past the cap the bounded aggregate nulls out and the
-    // plan falls back to the grouping scan
+    // plan falls back to the grouping scan (cardinalities derived from
+    // the CONSTANT so a cap retune can't silently invert the test)
+    val cap = NdjsonIngest.HistogramMaxEntries
     val dir2 = java.nio.file.Files.createTempDirectory("graft").toString + "/gc2"
     NdjsonIngest.appendVersion(
       (1L to 20L).map(i => (i, s"v$i")).toDF("id", "c"), dir2, "id")
@@ -1208,18 +1210,20 @@ class SaneQLSpec extends SparkSpec {
       versionedDirs = Map("t" -> dir2))
     val mid = Planner.plan("t.groupBy({n := count()}, {c})", cat2)
     assert(mid.inputFiles.isEmpty,
-      "20 distinct values sit under the 256-entry cap: metadata answer")
+      s"20 distinct values sit under the $cap-entry cap: metadata answer")
     assert(mid.count() === 20L)
+    val over = cap + 44L
     val dir3 = java.nio.file.Files.createTempDirectory("graft").toString + "/gc3"
     NdjsonIngest.appendVersion(
-      (1L to 300L).map(i => (i, s"v$i")).toDF("id", "c"), dir3, "id")
+      (1L to over).map(i => (i, s"v$i")).toDF("id", "c"), dir3, "id")
     val cat3 = Catalog(
       tables = Map("t" -> NdjsonIngest.readLatest(spark, dir3)),
       versionedDirs = Map("t" -> dir3))
     val wide = Planner.plan("t.groupBy({n := count()}, {c})", cat3)
     assert(wide.inputFiles.nonEmpty,
-      "257+ distinct values must not pretend to have a complete histogram")
-    assert(wide.count() === 300L)
+      s"${cap + 1}+ distinct values must not pretend to have a " +
+        "complete histogram")
+    assert(wide.count() === over)
   }
 
   test("merge-on-read zone routing: excluded layers shadow with pk-only " +
