@@ -1497,9 +1497,18 @@ object NdjsonIngest {
     val layers = latestLayers(tableDir)
     if (layers.length <= maxLayers) return false
     val read = readChain(spark, tableDir, layers, None)
-    val full = clusterBy match {
-      case Some(c) =>
-        read.repartitionByRange(numRanges, col(c)).sortWithinPartitions(c)
+    // no explicit clusterBy → fall back to the chain's own recorded
+    // clustering breadcrumb (appendClusteredVersion), so layout-blind
+    // callers — the serve maintenance loop above all — can never
+    // destroy the clustering the ingest paid for; a dropped/renamed
+    // column makes the hint vacuous
+    val effective: Option[(String, Int)] =
+      clusterBy.map(_ -> numRanges)
+        .orElse(clusteringOf(tableDir)
+          .filter { case (c, _) => read.columns.contains(c) })
+    val full = effective match {
+      case Some((c, n)) =>
+        read.repartitionByRange(n, col(c)).sortWithinPartitions(c)
       case None => read
     }
     val fs = new java.io.File(tableDir)
@@ -1903,7 +1912,36 @@ object NdjsonIngest {
     val clustered = df
       .repartitionByRange(numRanges, col(rangeCol))
       .sortWithinPartitions(rangeCol)
-    appendVersion(clustered, tableDir, pk)
+    val v = appendVersion(clustered, tableDir, pk)
+    // self-describing clustering breadcrumb (tmp+rename): compaction —
+    // including the serve maintenance loop, which knows nothing about
+    // the table's layout — re-clusters on the recorded column instead
+    // of silently interleaving the chain into every output file.
+    // Written AFTER the commit: a crash in between leaves a clustered
+    // chain without the hint (a later clustered append repairs it),
+    // never a hint pointing at nothing.
+    val tmp = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(tableDir), ".clustering", ".tmp")
+    java.nio.file.Files.writeString(tmp, s"$rangeCol $numRanges")
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(tableDir, "_clustering"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
+  /** The chain's recorded clustering `(rangeCol, numRanges)`, when a
+    * clustered append left its breadcrumb. Callers re-clustering on it
+    * must check the column still exists in the frame they compact (a
+    * rename/drop makes the hint vacuous, never an error).
+    */
+  def clusteringOf(tableDir: String): Option[(String, Int)] = {
+    val p = java.nio.file.Paths.get(tableDir, "_clustering")
+    if (!java.nio.file.Files.exists(p)) None
+    else java.nio.file.Files.readString(p).trim.split("\\s+").toSeq match {
+      case Seq(c, n) => scala.util.Try(n.toInt).toOption.map(c -> _)
+      case _ => None
+    }
   }
 
   /** Resolve the current version directory for reads — only valid for a

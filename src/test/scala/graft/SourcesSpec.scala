@@ -443,6 +443,39 @@ class SourcesSpec extends SparkSpec {
     assert(NdjsonIngest.readLatest(spark, dir).count() === 40)
   }
 
+  test("layout-blind compaction preserves clustering via the " +
+    "_clustering breadcrumb (the maintenance-loop path)") {
+    val root = tmpDir()
+    val dir = root + "/t"
+    // clustered ingest leaves the breadcrumb; later plain deltas grow
+    // the chain
+    NdjsonIngest.appendClusteredVersion(
+      (1L to 40L by 2).map(i => (i, i.toDouble)).toDF("id", "val"),
+      dir, "id", rangeCol = "id", numRanges = 4)
+    Seq(2L, 4L).foreach { off =>
+      NdjsonIngest.appendDelta(
+        (off to 40L by 4).map(i => (i, i.toDouble)).toDF("id", "val"),
+        dir, "id")
+    }
+    assert(NdjsonIngest.clusteringOf(dir) === Some(("id", 4)))
+    // a caller that knows NOTHING about the layout (Maintenance.tick)
+    // still compacts clustered: per-file ranges stay pairwise disjoint
+    val r = graft.tools.Maintenance.tick(spark, root, maxLayers = 2)
+    assert(r.failed.isEmpty, r.failed.toString)
+    assert(r.compacted === Seq(dir))
+    val spans = NdjsonIngest.readLatest(spark, dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("id").as("lo"), max("id").as("hi"))
+      .select("lo", "hi").as[(Long, Long)].collect().sortBy(_._1)
+    assert(spans.length > 1)
+    spans.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"overlap: ${spans.toSeq}")
+      case _ => ()
+    }
+    assert(NdjsonIngest.readLatest(spark, dir).count() === 40)
+  }
+
   test("pk bloom filters: point lookups prune row groups without touching data") {
     import graft.sources.ParquetBloom
     val dir = tmpDir() + "/t"
