@@ -791,6 +791,69 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("MIXED-storage union top-k (append-only leaf + merge-on-read " +
+    "leaf) ALWAYS equals the unrouted plans") {
+    import graft.lang.Planner
+    import graft.lang.Planner.Catalog
+    import graft.sources.NdjsonIngest
+    val caseGen = for {
+      nLayers <- Gen.choose(1, 3)
+      rows <- Gen.listOfN(nLayers, Gen.choose(1, 5).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(-8L, 8L))))
+      ups <- Gen.listOfN(3, Gen.zip(Gen.choose(0L, 20L), Gen.choose(-8L, 8L)))
+      dels <- Gen.listOfN(2, Gen.choose(0L, 20L))
+      k <- Gen.choose(1, 6)
+      descend <- Gen.oneOf(true, false)
+      lo <- Gen.choose(-10L, 10L)
+      w <- Gen.choose(0L, 10L)
+    } yield (rows, ups, dels, k, descend, lo, lo + w)
+    samples(caseGen, 8).zipWithIndex.foreach {
+      case ((layerRows, ups, dels, k, desc, lo, hi), ci) =>
+        val base = java.nio.file.Files.createTempDirectory("muprop").toString
+        val aDir = s"$base/a"; val mDir = s"$base/m"
+        // append-only leaf
+        layerRows.zipWithIndex.foreach { case (rs, li) =>
+          val df = rs.zipWithIndex.map { case (v, ri) =>
+            (1000L + li * 100L + ri, v) }.toDF("id", "v")
+          if (li == 0) NdjsonIngest.appendVersion(df, aDir, "id")
+          else NdjsonIngest.appendDelta(df, aDir, "id")
+        }
+        // merge-on-read leaf with upserts + deletes over ids 0-20
+        NdjsonIngest.appendVersion(
+          (0L to 20L by 3).map(i => (i, i - 8)).toDF("id", "v"), mDir, "id")
+        NdjsonIngest.upsertDelta(ups.toDF("id", "v"), mDir, "id")
+        NdjsonIngest.deleteDelta(dels.toDF("id"), mDir, "id")
+        val aFrame = NdjsonIngest.readLatest(spark, aDir)
+        val mFrame = NdjsonIngest.readLatestMerged(spark, mDir, "id")
+        val routed = Catalog(
+          tables = Map("ta" -> aFrame, "tm" -> mFrame),
+          versionedDirs = Map("ta" -> aDir),
+          primaryKeys = Map("tm" -> "id"),
+          mergedVersionedDirs = Map("tm" -> mDir))
+        val unrouted = Catalog(tables = Map("ta" -> aFrame, "tm" -> mFrame))
+        val key = if (desc) "desc(v)" else "v"
+        Seq(
+          s"ta.unionAll(tm).orderBy({$key, id}).limit($k)",
+          s"tm.unionAll(ta).filter(between(v, $lo, $hi))" +
+            s".orderBy({$key, id}).limit($k)",
+          s"ta.unionAll(tm).filter(between(v, $lo, $hi))" +
+            s".orderBy({$key, id}).offset(1).limit($k)").foreach { q =>
+          def seqOf(cat: Catalog) = Planner.plan(q, cat)
+            .select("v", "id").as[(Long, Long)].collect().toSeq
+          assert(seqOf(routed) === seqOf(unrouted), s"case $ci query $q")
+        }
+        // the filtered count through the mixed union must stay exact
+        // (the merged leaf can't answer from metadata — the union
+        // count path must fall back WHOLE, never sum a scan count
+        // with a wrong metadata count)
+        Seq(s"ta.unionAll(tm).filter(between(v, $lo, $hi))" +
+            ".groupBy({c := count()})").foreach { q =>
+          def cnt(cat: Catalog) = Planner.plan(q, cat).collect().head.getLong(0)
+          assert(cnt(routed) === cnt(unrouted), s"case $ci query $q")
+        }
+    }
+  }
+
   test("FILTERED top-k (zone + top-k bounds composed) and STRING-keyed " +
     "top-k ALWAYS equal the unrouted plans (randomized layers, nulls, " +
     "ties, offsets, filters)") {
