@@ -768,7 +768,10 @@ class PropertySpec extends SparkSpec {
           s"$shape.filter(between(v, $lo, $hi)).orderBy({$key, id})" +
             s".offset($off).limit($k)",
           s"$shape.filter(between(v, $lo, $hi)).project({id, v})" +
-            s".orderBy({$key, id}).limit($k)").foreach { q =>
+            s".orderBy({$key, id}).limit($k)",
+          // a key-keeping projection BETWEEN the union's orderBy and
+          // its limit replays per leaf after the rewrite's sort
+          s"$shape.orderBy({$key, id}).project({id, v}).limit($k)").foreach { q =>
           // ORDERED compare on the full sort key (id alone is not
           // total here: the same chain registers under all three
           // names, so ids repeat across leaves)
