@@ -29,7 +29,12 @@ import graft.sources.NdjsonIngest
   *    runs [[graft.ann.AnnIndex.syncFromFeed]] with
   *    `rebuildOnImbalance = true` — new vectors append as codes, and a
   *    tripped balance watermark retrains the NEXT GENERATION beside the
-  *    live one with an atomic pointer flip (zero downtime).
+  *    live one with an atomic pointer flip (zero downtime);
+  *  - CORPUS SYNC: every registration `<root>/corpus-feeds/<name>.json`
+  *    runs [[graft.core.CorpusIndexes.sync]] — the text twin: MinHash +
+  *    SimHash band chains and the materialized dedup cluster table stay
+  *    in lockstep with the document table's change feed, O(batch) per
+  *    tick with cluster-scoped delete repair.
   *
   * Every target is isolated: one failing table or index logs and moves
   * on — maintenance must never take the server down, and the next tick
@@ -74,6 +79,46 @@ object Maintenance {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** A feed-maintained document-corpus index registration — everything
+    * [[graft.core.CorpusIndexes.sync]] needs, as one JSON file under
+    * `<root>/corpus-feeds/`.
+    */
+  final case class CorpusFeedSpec(tableDir: String, stateDir: String,
+      idCol: String = "doc_id", srcCol: String = "source",
+      textCol: String = "text")
+
+  /** Register a document corpus for periodic index maintenance. */
+  def registerCorpus(root: String, name: String,
+      spec: CorpusFeedSpec): Unit = {
+    val dir = java.nio.file.Paths.get(root, "corpus-feeds")
+    java.nio.file.Files.createDirectories(dir)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("tableDir", spec.tableDir)
+    node.put("stateDir", spec.stateDir)
+    node.put("idCol", spec.idCol)
+    node.put("srcCol", spec.srcCol)
+    node.put("textCol", spec.textCol)
+    val tmp = dir.resolve(s".$name.json.tmp")
+    java.nio.file.Files.writeString(tmp, mapper.writeValueAsString(node))
+    java.nio.file.Files.move(tmp, dir.resolve(s"$name.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def readCorpusSpec(
+      p: java.nio.file.Path): Option[CorpusFeedSpec] =
+    try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(p))
+      if (node == null || !node.has("tableDir")) None
+      else Some(CorpusFeedSpec(
+        node.get("tableDir").asText, node.get("stateDir").asText,
+        Option(node.get("idCol")).map(_.asText).getOrElse("doc_id"),
+        Option(node.get("srcCol")).map(_.asText).getOrElse("source"),
+        Option(node.get("textCol")).map(_.asText).getOrElse("text")))
+    } catch { case _: java.io.IOException => None }
+
   private def readSpec(p: java.nio.file.Path): Option[AnnFeedSpec] =
     try {
       val node = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -108,7 +153,8 @@ object Maintenance {
 
   /** What one tick did — sizes only, for the access/maintenance log. */
   final case class Report(compacted: Seq[String], gced: Map[String, Int],
-      annSynced: Seq[String], failed: Seq[(String, String)])
+      annSynced: Seq[String], failed: Seq[(String, String)],
+      corpusSynced: Seq[String] = Nil)
 
   /** One maintenance pass over `root` (see the object doc for the
     * per-target semantics). Never throws: per-target failures land in
@@ -129,6 +175,17 @@ object Maintenance {
           log(s"$what failed: ${t.getMessage}")
           None
       }
+    // a registered feed's SOURCE table must never lose commits its
+    // consumer has not read (readChanges over a gc'd range would fail
+    // forever): gc retention widens to keep every commit past the
+    // lowest registered cursor for that dir. Compaction stays safe
+    // unconditionally — compact commits contribute nothing to the feed.
+    val feedFloor: Map[String, Long] =
+      (annFeedSpecs(root).map { case (_, s) => s.tableDir ->
+          graft.sources.ChangeFeedConsumer.cursor(s.stateDir) } ++
+        corpusFeedSpecs(root).map { case (_, s) => s.tableDir ->
+          graft.sources.ChangeFeedConsumer.cursor(s"${s.stateDir}/feed") })
+        .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).min }
     discoverChains(root).foreach { dir =>
       val chain = NdjsonIngest.latestLayers(dir)
       if (chain.length > maxLayers) {
@@ -141,30 +198,57 @@ object Maintenance {
           "(needs the pk — run compactMerged out-of-band)")
       }
       guard(s"gc $dir") {
-        val dead = NdjsonIngest.gcVersions(dir, retainCommits,
+        val canon = new java.io.File(dir).getCanonicalPath
+        // >= (not >): readChanges(cursor, head] reads each commit's
+        // layer diff against its PREDECESSOR's chain, so the cursor
+        // commit's own log entry must survive too
+        val retain = feedFloor.collect {
+          case (fd, cur) if new java.io.File(fd).getCanonicalPath == canon =>
+            NdjsonIngest.commits(dir).count(_ >= cur)
+        }.foldLeft(retainCommits)(math.max)
+        val dead = NdjsonIngest.gcVersions(dir, retain,
           pinned = graft.core.Snapshot.pins(root, dir))
         if (dead.nonEmpty) gced += dir -> dead.length
       }
     }
-    val feedDir = java.nio.file.Paths.get(root, "ann-feeds")
-    if (java.nio.file.Files.isDirectory(feedDir)) {
+    annFeedSpecs(root).foreach { case (name, s) =>
+      guard(s"ann-sync $name") {
+        graft.ann.AnnIndex.syncFromFeed(spark, s.tableDir, s.indexDir,
+          s.stateDir, s.idCol, s.vecCol, s.dim, s.cells, s.m, s.k,
+          rebuildOnImbalance = true, balanceFactor = s.balanceFactor)
+        synced += name
+      }
+    }
+    val corpusSynced = Seq.newBuilder[String]
+    corpusFeedSpecs(root).foreach { case (name, s) =>
+      guard(s"corpus-sync $name") {
+        graft.core.CorpusIndexes.sync(spark, s.tableDir, s.stateDir,
+          s.idCol, s.srcCol, s.textCol)
+        corpusSynced += name
+      }
+    }
+    Report(compacted.result(), gced.result(), synced.result(),
+      failed.result(), corpusSynced.result())
+  }
+
+  private def feedFiles(root: String,
+      sub: String): Seq[java.nio.file.Path] = {
+    val feedDir = java.nio.file.Paths.get(root, sub)
+    if (!java.nio.file.Files.isDirectory(feedDir)) Nil
+    else {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.list(feedDir).iterator().asScala.toSeq
         .filter(_.getFileName.toString.endsWith(".json")).sorted
-        .foreach { p =>
-          readSpec(p).foreach { s =>
-            guard(s"ann-sync ${p.getFileName}") {
-              graft.ann.AnnIndex.syncFromFeed(spark, s.tableDir, s.indexDir,
-                s.stateDir, s.idCol, s.vecCol, s.dim, s.cells, s.m, s.k,
-                rebuildOnImbalance = true, balanceFactor = s.balanceFactor)
-              synced += p.getFileName.toString.stripSuffix(".json")
-            }
-          }
-        }
     }
-    Report(compacted.result(), gced.result(), synced.result(),
-      failed.result())
   }
+
+  private def annFeedSpecs(root: String): Seq[(String, AnnFeedSpec)] =
+    feedFiles(root, "ann-feeds").flatMap(p => readSpec(p)
+      .map(p.getFileName.toString.stripSuffix(".json") -> _))
+
+  private def corpusFeedSpecs(root: String): Seq[(String, CorpusFeedSpec)] =
+    feedFiles(root, "corpus-feeds").flatMap(p => readCorpusSpec(p)
+      .map(p.getFileName.toString.stripSuffix(".json") -> _))
 
   /** Run [[tick]] every `intervalSeconds` on a daemon thread until the
     * returned handle closes. The first tick runs one full interval after

@@ -1,0 +1,63 @@
+package graft.tools
+
+import graft.SparkSpec
+import graft.sources.{ChangeFeedConsumer, NdjsonIngest}
+
+/** The serve maintenance loop's feed-awareness: registered corpus
+  * indexes sync per tick, and gc NEVER reclaims commits a registered
+  * feed's cursor has not consumed — even when plain retention would.
+  */
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("corpus feed syncs on tick; gc retention respects the feed " +
+    "cursor, then reclaims once the feed catches up") {
+    val root = java.nio.file.Files.createTempDirectory("maintcorpus")
+      .toString
+    val dir = s"$root/docs"
+    def docs(ids: Range) = ids.map(i =>
+      (i.toLong, s"src${i % 2}", s"document text number $i with words " +
+        s"shared across near neighbors ${i / 2}")).toDF(
+      "doc_id", "source", "text")
+    docs(0 until 4).collect() // force schema resolution outside timing
+    NdjsonIngest.appendVersion(docs(0 until 4), dir, "doc_id")
+    (1 to 9).foreach(b =>
+      NdjsonIngest.appendDelta(docs(b * 4 until b * 4 + 4), dir, "doc_id"))
+    val stateDir = s"$root/corpus-state"
+    Maintenance.registerCorpus(root, "docs",
+      Maintenance.CorpusFeedSpec(dir, stateDir))
+    // tick 1: compacts the 10-layer chain (commit 11), bootstraps the
+    // corpus indexes (cursor → 11) — and although plain retainCommits=1
+    // would reclaim v1..v10 right here, the pre-sync cursor was 0, so
+    // the feed-aware retention keeps every commit
+    val r1 = Maintenance.tick(spark, root, maxLayers = 4,
+      retainCommits = 1)
+    assert(r1.failed.isEmpty, r1.failed.toString)
+    assert(r1.compacted === Seq(dir))
+    assert(r1.corpusSynced === Seq("docs"))
+    assert(r1.gced.isEmpty,
+      "gc must not reclaim commits the feed had not consumed")
+    assert(new java.io.File(dir, "v1").isDirectory,
+      "pre-compact layers must survive while the feed cursor is behind")
+    assert(ChangeFeedConsumer.cursor(s"$stateDir/feed") ===
+      NdjsonIngest.commits(dir).last)
+    // one more append; tick 2's gc now sees cursor == 11 < head == 12
+    // but commits ≤ 11 are consumed → v1..v10 reclaim, v11 (compact
+    // snapshot, the live chain base) and v12 stay; the sync then
+    // consumes commit 12
+    NdjsonIngest.appendDelta(docs(40 until 44), dir, "doc_id")
+    val r2 = Maintenance.tick(spark, root, maxLayers = 4,
+      retainCommits = 1)
+    assert(r2.failed.isEmpty, r2.failed.toString)
+    assert(r2.gced.getOrElse(dir, 0) === 10, r2.gced.toString)
+    assert(!new java.io.File(dir, "v1").exists())
+    assert(NdjsonIngest.latestLayers(dir) === Seq("v11", "v12"))
+    assert(ChangeFeedConsumer.cursor(s"$stateDir/feed") ===
+      NdjsonIngest.commits(dir).last)
+    // the maintained index state answers: near-dup candidates for the
+    // last batch resolve against the persisted band chains
+    assert(graft.operators.SimHashIndex
+      .candidatesForIds(spark, Seq(40L, 41L).toDF("id"),
+        s"$stateDir/simhash").columns.nonEmpty)
+  }
+}
