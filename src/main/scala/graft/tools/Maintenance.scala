@@ -211,11 +211,18 @@ object Maintenance {
         if (dead.nonEmpty) gced += dir -> dead.length
       }
     }
+    // after each sync, LENGTH-compact the index chains (no-ops under
+    // the layer bound): an insert-only production feed otherwise grows
+    // one layer per tick forever — the delete/upsert paths purge-
+    // compact on their own, but nothing else bounds the happy path's
+    // union width. Physical reclaim of the folded layers happens on
+    // each consumer's own next-poll gc (their drain contract).
     annFeedSpecs(root).foreach { case (name, s) =>
       guard(s"ann-sync $name") {
         graft.ann.AnnIndex.syncFromFeed(spark, s.tableDir, s.indexDir,
           s.stateDir, s.idCol, s.vecCol, s.dim, s.cells, s.m, s.k,
           rebuildOnImbalance = true, balanceFactor = s.balanceFactor)
+        graft.ann.AnnIndex.compactCodes(spark, s.indexDir)
         synced += name
       }
     }
@@ -224,6 +231,8 @@ object Maintenance {
       guard(s"corpus-sync $name") {
         graft.core.CorpusIndexes.sync(spark, s.tableDir, s.stateDir,
           s.idCol, s.srcCol, s.textCol)
+        graft.operators.DedupIndex.compact(spark, s"${s.stateDir}/minhash")
+        graft.operators.SimHashIndex.compact(spark, s"${s.stateDir}/simhash")
         corpusSynced += name
       }
     }

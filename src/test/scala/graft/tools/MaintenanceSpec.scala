@@ -60,4 +60,32 @@ class MaintenanceSpec extends SparkSpec {
       .candidatesForIds(spark, Seq(40L, 41L).toDF("id"),
         s"$stateDir/simhash").columns.nonEmpty)
   }
+
+  test("insert-only feed ticks keep the band chains LENGTH-bounded " +
+    "(the happy path must not grow one layer per tick forever)") {
+    val root = java.nio.file.Files.createTempDirectory("maintbound")
+      .toString
+    val dir = s"$root/docs"
+    def docs(ids: Range) = ids.map(i =>
+      (i.toLong, s"src${i % 2}", s"short document $i")).toDF(
+      "doc_id", "source", "text")
+    NdjsonIngest.appendVersion(docs(0 until 3), dir, "doc_id")
+    Maintenance.registerCorpus(root, "docs",
+      Maintenance.CorpusFeedSpec(dir, s"$root/state"))
+    (1 to 10).foreach { b =>
+      NdjsonIngest.appendDelta(docs(b * 3 until b * 3 + 3), dir, "doc_id")
+      val r = Maintenance.tick(spark, root, maxLayers = 100)
+      assert(r.failed.isEmpty, r.failed.toString)
+    }
+    // 1 bootstrap + 10 insert ticks would be 11 layers without the
+    // tick-side length compact; the >8 fold keeps the union bounded
+    assert(graft.operators.DedupIndex.layers(s"$root/state/minhash")
+      .length <= 9)
+    assert(graft.operators.SimHashIndex.layers(s"$root/state/simhash")
+      .length <= 9)
+    // and the folded index still answers
+    assert(graft.operators.SimHashIndex
+      .candidatesForIds(spark, Seq(30L).toDF("id"),
+        s"$root/state/simhash").columns.nonEmpty)
+  }
 }
