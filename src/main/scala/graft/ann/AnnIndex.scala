@@ -387,6 +387,48 @@ object AnnIndex {
     * contract as `NdjsonIngest.gcVersions`: call once in-flight readers
     * of the superseded chain have drained. Returns deleted dir names.
     */
+  /** Delete SUPERSEDED GENERATIONS left by [[rebuildSwap]]: every
+    * `gen-<k>` with `k ≤ current − keepLatest + 1 − 1` goes, as does
+    * the pre-generation FLAT layout (meta/model/codes/… at the root —
+    * logically generation 0) once enough newer generations exist. The
+    * current generation and its `keepLatest − 1` predecessors stay: a
+    * reader that loaded a Handle just before a swap keeps serving the
+    * previous generation for its lifetime, so `keepLatest = 2` is the
+    * standard one-swap drain window (same contract as
+    * `NdjsonIngest.gcVersions` retention). A root with no `current`
+    * pointer is untouched. Returns what was deleted.
+    */
+  def gcGenerations(root: String, keepLatest: Int = 2): Seq[String] = {
+    require(keepLatest >= 1, "gcGenerations must keep the live generation")
+    val cur = currentGen(root)
+    if (cur == 0L) return Nil // flat layout or no index: nothing swapped
+    val floor = cur - keepLatest + 1 // lowest generation kept
+    val genDirs = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+      .flatMap(f => scala.util.Try(
+        f.getName.stripPrefix("gen-").toLong).toOption.map(f -> _))
+      .filter { case (_, k) => k < floor }
+    val deadGens = genDirs.map { case (f, _) =>
+      org.apache.commons.io.FileUtils.deleteQuietly(f)
+      balanceCache.keySet.removeIf(_._1 == f.getPath)
+      f.getName
+    }.toSeq
+    // the flat layout is generation 0: reclaim its artifacts once the
+    // drain window has moved past it
+    val flatDead =
+      if (0L >= floor) Nil
+      else Seq("meta", "model", "codes", "cellstats", "cellbase")
+        .filter { d =>
+          val f = new java.io.File(root, d)
+          val existed = f.exists()
+          if (existed) org.apache.commons.io.FileUtils.deleteQuietly(f)
+          existed
+        }
+    if (flatDead.nonEmpty) balanceCache.keySet.removeIf(_._1 == root)
+    deadGens ++ flatDead
+  }
+
   def gcCodes(root: String): Seq[String] = {
     val indexDir = resolveDir(root)
     if (!java.nio.file.Files.exists(metaPath(indexDir)))

@@ -223,6 +223,9 @@ object Maintenance {
           s.stateDir, s.idCol, s.vecCol, s.dim, s.cells, s.m, s.k,
           rebuildOnImbalance = true, balanceFactor = s.balanceFactor)
         graft.ann.AnnIndex.compactCodes(spark, s.indexDir)
+        // generations superseded by ≥2 swaps have outlived any
+        // pre-swap reader; reclaim them (keepLatest=2 drain window)
+        graft.ann.AnnIndex.gcGenerations(s.indexDir)
         synced += name
       }
     }

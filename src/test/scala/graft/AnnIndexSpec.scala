@@ -511,6 +511,40 @@ class AnnIndexSpec extends SparkSpec {
     assert(codes.select("id").distinct().count() === vecs.length.toLong)
   }
 
+  test("gcGenerations reclaims generations two swaps old; the live and " +
+    "previous generations (and an unswapped flat layout) survive") {
+    val root = Files.createTempDirectory("anngens").toString + "/idx"
+    AnnIndex.buildOrLoad(spark, emb, "vec_id", "embedding", root,
+      dim, cells = 4, m = 2, k = 8, iters = 3)
+    // flat layout, no pointer: gc must not touch anything
+    assert(AnnIndex.gcGenerations(root) === Nil)
+    assert(Files.exists(java.nio.file.Paths.get(root, "meta")))
+    // swap 1 (flat → gen-1): flat is the previous generation, still in
+    // the drain window
+    AnnIndex.rebuildSwap(spark, emb, "vec_id", "embedding", root,
+      dim, cells = 4, m = 2, k = 8, iters = 3)
+    assert(AnnIndex.gcGenerations(root) === Nil)
+    assert(Files.exists(java.nio.file.Paths.get(root, "meta")))
+    // swap 2 (gen-1 → gen-2): the flat layout (generation 0) is now two
+    // swaps old — reclaimed; gen-1 stays as the drain window
+    AnnIndex.rebuildSwap(spark, emb, "vec_id", "embedding", root,
+      dim, cells = 4, m = 2, k = 8, iters = 3)
+    val dead2 = AnnIndex.gcGenerations(root)
+    assert(dead2.contains("meta") && dead2.contains("codes"), dead2)
+    assert(!Files.exists(java.nio.file.Paths.get(root, "meta")))
+    assert(Files.exists(java.nio.file.Paths.get(root, "gen-1")))
+    // swap 3: gen-1 goes, gen-2 stays, gen-3 serves
+    AnnIndex.rebuildSwap(spark, emb, "vec_id", "embedding", root,
+      dim, cells = 4, m = 2, k = 8, iters = 3)
+    assert(AnnIndex.gcGenerations(root) === Seq("gen-1"))
+    assert(Files.exists(java.nio.file.Paths.get(root, "gen-2")))
+    val h = AnnIndex.load(spark, root).get
+    assert(h.indexDir === s"$root/gen-3")
+    val got = AnnIndex.search(spark, h, emb, "vec_id", "embedding",
+      Seq((0L, vecs.head._2.map(_.toDouble))), k = 3, nprobe = 2)
+    assert(got.count() === 3)
+  }
+
   test("search prunes unprobed cell partitions at the scan") {
     val dir = Files.createTempDirectory("annidx").toString + "/idx"
     val h = AnnIndex.buildOrLoad(spark, emb, "vec_id", "embedding", dir,
