@@ -38,8 +38,16 @@ object Preprocess {
     val dataDir = m.getOrElse("dataDirectory",
       sys.error("dataDirectory is required (--data-directory <dir>)"))
     val input = Serve.currentInput(dataDir)
+    val stateDir = new java.io.File(dataDir, "state").getPath
     val catalog = Database.build(spark, dataDir, input,
-      stateDir = Some(new java.io.File(dataDir, "state").getPath))
+      stateDir = Some(stateDir))
+    // preprocessing is the one guaranteed COLD START in the lifecycle —
+    // no reader can hold a pre-rebuild index generation — so this is
+    // where superseded posting-index generations reclaim (SeqIndex.gc's
+    // stated contract); a serve-time gc could race a live reader
+    Option(new java.io.File(stateDir, "index").listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory)
+      .foreach(d => graft.lang.Planner.SeqIndex.gc(spark, d.getPath))
     val rows = catalog.tables("default").count()
     (rows, Database.inputFingerprint(spark, input))
   }

@@ -953,6 +953,19 @@ class QueryServerSpec extends SparkSpec {
     // preprocess builds the state eagerly (2 rows visible)
     val (rows, _) = Preprocess.run(spark, Map("dataDirectory" -> out))
     assert(rows === 2L)
+    // preprocess is the lifecycle's cold start: superseded/orphaned
+    // posting-index generations reclaim here (SeqIndex.gc contract) —
+    // plant a crashed-rebuild orphan next to a committed generation
+    // and re-run
+    val idxDirs = Option(new java.io.File(out, "state/index").listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory)
+    assert(idxDirs.nonEmpty, "preprocess should persist posting indexes")
+    val orphan = new java.io.File(idxDirs.head, "genDEADBEEF0000")
+    assert(orphan.mkdir())
+    val (rows2, _) = Preprocess.run(spark, Map("dataDirectory" -> out))
+    assert(rows2 === 2L)
+    assert(!orphan.exists(),
+      "cold-start preprocess must reclaim unreferenced index generations")
     // and the server answers over the initialized + appended directory
     val s = Serve.boot(spark, Map("dataDirectory" -> out, "api.port" -> "0"))
     try {
