@@ -227,9 +227,10 @@ object AnnIndex {
     * beside the live one with a fresh quantizer, then flip the
     * `<root>/current` pointer atomically. Readers holding a loaded
     * Handle keep working off the old generation's files (nothing of it
-    * is deleted); new loads resolve to the new generation. The first
-    * swap of a flat-layout index leaves the old flat files in place as
-    * orphans (reclaim manually once drained).
+    * is deleted); new loads resolve to the new generation. Superseded
+    * generations — including the pre-swap flat layout — reclaim via
+    * [[gcGenerations]] once they leave the drain window (the serve
+    * maintenance loop runs it after each sync).
     */
   def rebuildSwap(spark: SparkSession, emb: DataFrame, idCol: String,
       vecCol: String, root: String, dim: Int, cells: Int, m: Int,

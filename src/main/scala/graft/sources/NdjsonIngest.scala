@@ -273,6 +273,35 @@ object NdjsonIngest {
         else Some(unified.json))
   }
 
+  /** Record the chain's primary key as a `_pk` breadcrumb (write-once,
+    * tmp+rename): every writer already receives the pk, and recording
+    * it makes the chain SELF-DESCRIBING for layout-blind operators —
+    * above all the serve maintenance loop, which can then run the
+    * merge-on-read compaction ([[compactMerged]]) without out-of-band
+    * configuration. Write-once: the pk of a chain never changes
+    * (every writer validates against the existing layers).
+    */
+  private def writePkBreadcrumb(tableDir: String, pk: String): Unit = {
+    val p = java.nio.file.Paths.get(tableDir, "_pk")
+    if (java.nio.file.Files.exists(p)) return
+    val tmp = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(tableDir), ".pk", ".tmp")
+    java.nio.file.Files.writeString(tmp, pk)
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The chain's recorded primary key, when a writer left the `_pk`
+    * breadcrumb (chains created before it read as None — a later
+    * commit of any kind records it).
+    */
+  def pkOf(tableDir: String): Option[String] = {
+    val p = java.nio.file.Paths.get(tableDir, "_pk")
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(java.nio.file.Files.readString(p).trim).filter(_.nonEmpty)
+  }
+
   /** Write `df` to the next `v<N>` dir and atomically flip the `latest`
     * pointer. Pointer format: `<layer,layer,...> [tag]` — one line, one
     * rename, so layer list + replay tag commit together.
@@ -293,6 +322,9 @@ object NdjsonIngest {
       .options(bloomCol.map(c => ParquetBloom.options(Seq(c))).getOrElse(Map.empty))
       .parquet(s"$tableDir/v$next")
     writeLayerStats(df, s"$tableDir/v$next")
+    // every commitLayer caller passes the chain's pk as the bloom
+    // column — record it once so the chain is self-describing
+    bloomCol.foreach(writePkBreadcrumb(tableDir, _))
     val chain =
       if (resetChain) Seq(s"v$next") else latestLayers(tableDir) :+ s"v$next"
     flipPointer(tableDir, chain, effectiveTag, kind, schemaJson)
@@ -1682,6 +1714,7 @@ object NdjsonIngest {
       tag: Option[String] = None): Long = {
     val fs = new java.io.File(tableDir)
     fs.mkdirs()
+    writePkBreadcrumb(tableDir, pk) // tombstone commits skip commitLayer
     val effectiveTag = tag.orElse(latestTag(tableDir))
     val existing = Option(fs.list()).getOrElse(Array())
       .filter(_.startsWith("v")).map(_.drop(1).toLong)

@@ -15,11 +15,13 @@ import graft.sources.NdjsonIngest
   *
   * One [[tick]] does, in order, for every discovered target under the
   * maintenance root:
-  *  - COMPACT: a merge-free version chain longer than `maxLayers`
-  *    rewrites as one snapshot layer ([[NdjsonIngest.compactVersions]]).
-  *    Upsert/tombstone chains are SKIPPED (compacting them needs the
-  *    primary key, which the chain does not record — run
-  *    `compactMerged` out-of-band for those);
+  *  - COMPACT: a version chain longer than `maxLayers` folds into one
+  *    snapshot layer — merge-free chains through
+  *    [[NdjsonIngest.compactVersions]] (re-clustering on the chain's
+  *    recorded `_clustering` breadcrumb), upsert/tombstone chains
+  *    through the pk-aware [[NdjsonIngest.compactMerged]] (the pk comes
+  *    from the chain's own `_pk` breadcrumb; only a chain predating the
+  *    breadcrumb is skipped, until any later commit records it);
   *  - GC: version dirs unreferenced by the latest pointer, the retained
   *    commit window, or a frozen snapshot pin are deleted
   *    ([[NdjsonIngest.gcVersions]] with [[graft.core.Snapshot.pins]] —
@@ -194,8 +196,17 @@ object Maintenance {
             if (NdjsonIngest.compactVersions(spark, dir, maxLayers))
               compacted += dir
           }
-        else log(s"skip compact $dir: merge-on-read chain " +
-          "(needs the pk — run compactMerged out-of-band)")
+        else NdjsonIngest.pkOf(dir) match {
+          // a merge-on-read chain folds through the pk-aware compactor
+          // — the chain records its own pk (`_pk` breadcrumb), so the
+          // loop needs no out-of-band configuration
+          case Some(pk) => guard(s"compact-merged $dir") {
+            if (NdjsonIngest.compactMerged(spark, dir, pk, maxLayers))
+              compacted += dir
+          }
+          case None => log(s"skip compact $dir: merge-on-read chain " +
+            "predating the _pk breadcrumb (any later commit records it)")
+        }
       }
       guard(s"gc $dir") {
         val canon = new java.io.File(dir).getCanonicalPath

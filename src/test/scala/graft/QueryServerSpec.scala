@@ -351,8 +351,9 @@ class QueryServerSpec extends SparkSpec {
     } finally s.stop()
   }
 
-  test("maintenance: a long chain compacts and gcs WHILE SERVING — " +
-    "results stay correct across the swap; merged chains are skipped") {
+  test("maintenance: long chains (plain AND merged, via the _pk " +
+    "breadcrumb) compact and gc WHILE SERVING — results stay correct " +
+    "across the swap") {
     import graft.sources.NdjsonIngest
     import graft.tools.Maintenance
     val root = java.nio.file.Files.createTempDirectory("srvmaint").toString
@@ -362,11 +363,19 @@ class QueryServerSpec extends SparkSpec {
       if (i == 1) NdjsonIngest.appendVersion(df, dir, "primary_key")
       else NdjsonIngest.appendDelta(df, dir, "primary_key")
     }
-    // a merge-on-read sibling: compaction must SKIP it (needs the pk)
-    // but gc must still tend it
+    // a merge-on-read sibling under the layer cap: left alone by
+    // compact (too short) but still tended by gc
     val mdir = s"$root/tables/m"
     NdjsonIngest.appendVersion(Seq(("a", 1)).toDF("pk", "v"), mdir, "pk")
     NdjsonIngest.upsertDelta(Seq(("a", 2)).toDF("pk", "v"), mdir, "pk")
+    // a LONG merge-on-read sibling: the chain's _pk breadcrumb lets the
+    // layout-blind loop fold it through the pk-aware merged compactor
+    val ldir = s"$root/tables/lm"
+    NdjsonIngest.appendVersion(
+      Seq(("x", 0), ("y", 0)).toDF("pk", "v"), ldir, "pk")
+    (1 to 6).foreach(i => NdjsonIngest.upsertDelta(
+      Seq(("x", i)).toDF("pk", "v"), ldir, "pk"))
+    NdjsonIngest.deleteDelta(Seq("y").toDF("pk"), ldir, "pk")
     val supplier = () => (
       Catalog(Map("default" -> NdjsonIngest.readLatest(spark, dir))),
       "commit-" + NdjsonIngest.commits(dir).last)
@@ -382,16 +391,21 @@ class QueryServerSpec extends SparkSpec {
       assert(before.body().trim === """{"count":10}""")
       assert(before.headers().firstValue("data-version").get()
         === "commit-10")
-      assert(Maintenance.discoverChains(root).toSet === Set(dir, mdir))
+      assert(Maintenance.discoverChains(root).toSet === Set(ldir, mdir, dir))
       val report = Maintenance.tick(spark, root,
         maxLayers = 4, retainCommits = 1)
       assert(report.failed.isEmpty, report.failed.toString)
-      assert(report.compacted === Seq(dir))
+      assert(report.compacted.toSet === Set(dir, ldir))
       assert(NdjsonIngest.latestLayers(dir).length === 1)
       // gc reclaimed the superseded append layers (10 dead under t;
-      // the merged sibling keeps both its live layers)
+      // the short merged sibling keeps both its live layers)
       assert(report.gced.getOrElse(dir, 0) === 10)
       assert(NdjsonIngest.latestLayers(mdir).length === 2)
+      // the long merged chain folded to one tombstone-free snapshot
+      // holding exactly the merged state
+      assert(NdjsonIngest.latestLayers(ldir).length === 1)
+      assert(NdjsonIngest.readLatest(spark, ldir)
+        .as[(String, Int)].collect().toSet === Set(("x", 6)))
       // the server swapped to the compacted commit and answers
       // identically — readers never saw a torn chain
       val after = query()
