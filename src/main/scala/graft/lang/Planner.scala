@@ -1195,9 +1195,7 @@ in.zone match {
     // scan still narrows on the decidable ones; the note drops).
     val rezoned: Option[(Tbl, Option[ZonePred])] =
       if (zoned.isDefined) None
-      // merged notes don't re-route: readChainRanges is append-only
-      // machinery; the first merged filter already narrowed the scan
-      else in.zone.filter(_.mergedPk.isEmpty).flatMap { zp =>
+      else in.zone.flatMap { zp =>
         val scanCols = zp.schema.fieldNames.toSet
         val cs = conjuncts(pred)
         def dRange(c: Expr) =
@@ -1217,12 +1215,24 @@ in.zone match {
           val allS = zp.strEqs ++ strEqs
           val allN = zp.nullCs ++ nullCs
           val allO = zp.orGroups ++ orGs
-          val scan = graft.sources.NdjsonIngest.readChainRanges(
-            in.df.sparkSession, zp.dir, zp.chain, allR, allS,
-            pinSchema = Some(zp.schema),
-            nullCols = allN.collect { case (c, true) => c },
-            notNullCols = allN.collect { case (c, false) => c },
-            orGroups = allO)
+          // a MERGED note re-plans through the shadow-aware reader (the
+          // further-narrowed conjuncts only shrink CANDIDACY — excluded
+          // layers keep participating as pk-only shadows, so the merge
+          // semantics are untouched and the replay proof is identical)
+          val scan = zp.mergedPk match {
+            case Some(pk) => graft.sources.NdjsonIngest.readChainRangesMerged(
+              in.df.sparkSession, zp.dir, zp.chain, pk, allR, allS,
+              nullCols = allN.collect { case (c, true) => c },
+              notNullCols = allN.collect { case (c, false) => c },
+              pinSchema = Some(zp.schema),
+              orGroups = allO)
+            case None => graft.sources.NdjsonIngest.readChainRanges(
+              in.df.sparkSession, zp.dir, zp.chain, allR, allS,
+              pinSchema = Some(zp.schema),
+              nullCols = allN.collect { case (c, true) => c },
+              notNullCols = allN.collect { case (c, false) => c },
+              orGroups = allO)
+          }
           val prior = zp.pred.map(p =>
             scan.filter(scalar(p, scan, Ambiguity.ModeNone, in.origin)))
             .getOrElse(scan)

@@ -689,7 +689,13 @@ class PropertySpec extends SparkSpec {
           s"t.filter(between(v, $lo, null))",
           // disjunctive windows over a merged chain: candidacy is the
           // UNION of the arms, shadow/tombstone semantics unchanged
-          s"t.filter(between(v, $lo, $hi) || v = ${hi + 5})").foreach { q =>
+          s"t.filter(between(v, $lo, $hi) || v = ${hi + 5})",
+          // STACKED filters on a merged chain: the second filter
+          // extends the merged note and re-plans through the shadow-
+          // aware reader with the combined conjuncts
+          s"t.filter(between(v, $lo, null)).filter(between(v, null, $hi))",
+          s"t.filter(between(v, $lo, $hi))" +
+            s".filter(between(v, ${lo + 1}, $hi))").foreach { q =>
         def rows(cat: Catalog) = Planner.plan(q, cat)
           .as[(Long, Long)].collect().sorted.toSeq
         assert(rows(routed) === rows(unrouted), s"case $ci query $q")
@@ -712,7 +718,10 @@ class PropertySpec extends SparkSpec {
           "t.orderBy({v, id}).limit(3)",
           s"t.filter(between(v, $lo, $hi)).orderBy({desc(v), id}).limit(3)",
           s"t.filter(between(v, $lo, $hi)).orderBy({v, id})" +
-            ".offset(1).limit(2)").foreach { q =>
+            ".offset(1).limit(2)",
+          // stacked merged filters compose with the merged top-k bound
+          s"t.filter(between(v, $lo, null)).filter(between(v, null, $hi))" +
+            ".orderBy({desc(v), id}).limit(3)").foreach { q =>
         def seqOf(cat: Catalog) = Planner.plan(q, cat)
           .select("id").as[Long].collect().toSeq // ORDERED compare
         assert(seqOf(routed) === seqOf(unrouted), s"case $ci query $q")
