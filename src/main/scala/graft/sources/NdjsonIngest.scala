@@ -173,7 +173,7 @@ object NdjsonIngest {
       // not (parquet round-trips widen it).
       if (existing.schema.simpleString != df.schema.simpleString)
         throw SchemaMismatch(existing.schema.simpleString, df.schema.simpleString)
-      val clash = existing
+      val clash = existingForClash(df.sparkSession, tableDir, layers, df, pk)
         .join(broadcast(df.select(col(pk))), Seq(pk), "left_semi")
         .select(col(pk).cast("string")).limit(10)
         .collect().map(_.getString(0)).toSeq
@@ -181,6 +181,38 @@ object NdjsonIngest {
     }
     commitLayer(df, tableDir, tag, resetChain = false, kind = "append",
       bloomCol = Some(pk))
+  }
+
+  /** The existing-chain side of the append duplicate-pk check,
+    * ZONE-PRUNED on the batch's pk envelope: a layer whose recorded pk
+    * [min, max] cannot intersect the batch's can hold no clashing key,
+    * so only intersecting layers open — on the monotone-id production
+    * shape (each append's keys above every prior layer's) the check
+    * reads ~one layer instead of the whole chain, turning O(table) per
+    * commit into O(recent). Sound because zoneKeep is may-contain and
+    * the batch envelope COVERS every batch key; non-numeric pks (or
+    * missing stats) fall back to the full chain. One extra O(batch)
+    * min/max aggregation pays for the pruning.
+    */
+  private[graft] def existingForClash(spark: SparkSession,
+      tableDir: String, layers: Seq[String], batch: DataFrame,
+      pk: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val prunable = batch.schema(pk).dataType match {
+      case _: NumericType => true
+      case DateType => true
+      case _ => false
+    }
+    if (!prunable) return readChain(spark, tableDir, layers, None)
+    val statCol =
+      if (batch.schema(pk).dataType == DateType) unix_date(col(pk))
+      else col(pk)
+    val row = batch.agg(min(statCol).cast("double"),
+      max(statCol).cast("double")).collect()(0)
+    if (row.isNullAt(0) || row.isNullAt(1))
+      return readChain(spark, tableDir, layers, None)
+    readChainRanges(spark, tableDir, layers,
+      Seq((pk, row.getDouble(0), row.getDouble(1))))
   }
 
   /** [[appendDelta]] with INGEST-TIME CONTENT DEDUP: batch rows whose
@@ -261,7 +293,8 @@ object NdjsonIngest {
       if (batchByName.contains(f.name)) d
       else d.withColumn(f.name, lit(null).cast(f.dataType))
     }.select(unified.fieldNames.map(col).toIndexedSeq: _*)
-    val clash = existing
+    val clash = existingForClash(df.sparkSession, tableDir, layers,
+        aligned, pk)
       .join(broadcast(aligned.select(col(pk))), Seq(pk), "left_semi")
       .select(col(pk).cast("string")).limit(10)
       .collect().map(_.getString(0)).toSeq

@@ -443,6 +443,44 @@ class SourcesSpec extends SparkSpec {
     assert(NdjsonIngest.readLatest(spark, dir).count() === 40)
   }
 
+  test("append duplicate-pk check zone-prunes on the batch's pk " +
+    "envelope — monotone-id appends validate against ~one layer, " +
+    "clashes are still caught across the pruned path") {
+    val dir = tmpDir() + "/t"
+    NdjsonIngest.appendVersion(
+      (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "val"), dir, "id")
+    NdjsonIngest.appendDelta(
+      (101L to 200L).map(i => (i, i.toDouble)).toDF("id", "val"), dir, "id")
+    NdjsonIngest.appendDelta(
+      (201L to 300L).map(i => (i, i.toDouble)).toDF("id", "val"), dir, "id")
+    val layers = NdjsonIngest.latestLayers(dir)
+    // the clash-side scan for a batch above every layer's envelope
+    // opens NO layer at all
+    val above = Seq((400L, 0.0)).toDF("id", "val")
+    assert(NdjsonIngest.existingForClash(spark, dir, layers, above, "id")
+      .inputFiles.isEmpty)
+    // a batch inside v2's range opens exactly v2
+    val mid = Seq((150L, 0.0)).toDF("id", "val")
+    val read = NdjsonIngest.existingForClash(spark, dir, layers, mid, "id")
+      .inputFiles.map(_.split("/").takeRight(2).head).distinct
+    assert(read.toSeq === Seq("v2"), read.mkString(","))
+    // correctness through the pruned path: the clash aborts, the clean
+    // append commits
+    intercept[NdjsonIngest.DuplicatePrimaryKey] {
+      NdjsonIngest.appendDelta(mid, dir, "id")
+    }
+    NdjsonIngest.appendDelta(above, dir, "id")
+    assert(NdjsonIngest.readLatest(spark, dir).count() === 301L)
+    // a string-pk chain falls back to the full chain (no envelope form
+    // for batched string ranges) and still catches clashes
+    val sdir = tmpDir() + "/s"
+    NdjsonIngest.appendVersion(
+      Seq(("a", 1), ("b", 2)).toDF("k", "v"), sdir, "k")
+    intercept[NdjsonIngest.DuplicatePrimaryKey] {
+      NdjsonIngest.appendDelta(Seq(("b", 9)).toDF("k", "v"), sdir, "k")
+    }
+  }
+
   test("layout-blind compaction preserves clustering via the " +
     "_clustering breadcrumb (the maintenance-loop path)") {
     val root = tmpDir()
