@@ -1308,10 +1308,50 @@ in.zone match {
       if (rest.isEmpty) base
       else base.filter(rest
         .map(scalar(_, base, Ambiguity.ModeNone, in.origin)).reduce(_ && _))
+    // a filter BETWEEN an orderBy and its limit can be absorbed into
+    // the sort note (≙ the reference's FilterPushdownPass pushing
+    // filters below sorts): sort→filter→limit(k) emits the same rows
+    // in the same order as filter→sort→limit(k), so the rewrite's
+    // scan→predicate→sort→postSort→limit plan stays exact — PROVIDED
+    // every conjunct is stats-decidable over the PINNED SCAN SCHEMA
+    // and touches no column a carried post-sort map SHADOWED (the
+    // filter ran on post-map values; folding it pre-replay would test
+    // the scan's). Any opaque/shadowed conjunct drops the note (the
+    // row-wise filter above is always applied regardless).
+    val keptSort: Option[SortedScan] = in.sortedScan
+      // skip == 0: an OFFSET between the sort and this filter cut rows
+      // by POSITION before the filter ran — offset∘filter does not
+      // commute, so a deepened note must drop here
+      .filter(ss => ss.zone.isDefined && ss.skip == 0)
+      .flatMap { ss =>
+        val zp = ss.zone.get
+        val shadowed: Set[String] = ss.postSort.collect {
+          case PostMap(items, _) => items.map(_._1)
+        }.flatten.toSet
+        val okCols = zp.schema.fieldNames.toSet -- shadowed
+        val cs = conjuncts(pred)
+        def dRange(c: Expr) =
+          rangeConjunct(c, in.df).filter(r => okCols(r._1))
+        def dStr(c: Expr) =
+          stringEqConjunct(c, in.df).filter(s => okCols(s._1))
+        def dNull(c: Expr) =
+          nullConjunct(c, in.df).filter(n => okCols(n._1))
+        def dOr(c: Expr) = orArms(c, in.df, Some(okCols))
+        if (!cs.forall(c => dRange(c).isDefined || dStr(c).isDefined ||
+            dNull(c).isDefined || dOr(c).isDefined)) None
+        else Some(ss.copy(zone = Some(zp.copy(
+          pred = Some(zp.pred.map(p => Binary("&&", p, pred))
+            .getOrElse(pred)),
+          ranges = zp.ranges ++ cs.flatMap(dRange(_)),
+          strEqs = zp.strEqs ++ cs.flatMap(dStr(_)),
+          nullCs = zp.nullCs ++ cs.flatMap(dNull(_)),
+          orGroups = zp.orGroups ++ cs.flatMap(dOr(_))))))
+      }
     // the note survives the filter stage (decidable conjuncts can't
     // also be index-routed — indexRoute matches only sequence
-    // predicate shapes — so zoneNote implies no semi-join was added)
-    Tbl(out, in.origin, zone = zoneNote)
+    // predicate shapes — so zoneNote implies no semi-join was added;
+    // likewise keptSort implies rest == conjuncts(pred))
+    Tbl(out, in.origin, zone = zoneNote, sortedScan = keptSort)
   }
 
   def planTable(e: Expr): Tbl = e match {

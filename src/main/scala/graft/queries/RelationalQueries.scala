@@ -653,6 +653,27 @@ object RelationalQueries {
           |  .project({event_id, d, event_type})""".stripMargin, catalog)
     },
 
+    // ---- FILTER AFTER THE SORT, before the limit: sort∘filter
+    //      commutes for the limit's output, so the filter is ABSORBED
+    //      into the sort note (≙ FilterPushdownPass pushing filters
+    //      below sorts) and the limit still bounds the read by zone ∩
+    //      top-k — 1 of 30 footers, same as the filter-first shape. ----
+    QDef("q_filter_after_sort",
+      """SELECT event_id, CAST(ts AS DATE) AS d, event_type FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-20'
+        |ORDER BY d DESC, event_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val tableDir = memoEventsChain(s, dir)
+      val catalog = graft.lang.Planner.Catalog(
+        tables = Map("ev" -> graft.sources.NdjsonIngest.readLatest(s, tableDir)),
+        versionedDirs = Map("ev" -> tableDir))
+      graft.lang.Planner.plan(
+        """ev
+          |  .orderBy({desc(d), event_id})
+          |  .filter(between(d, '2024-01-05'::date, '2024-01-20'::date))
+          |  .limit(20)
+          |  .project({event_id, d, event_type})""".stripMargin, catalog)
+    },
+
     // ---- GROUPED METADATA COUNT: a single-column groupBy+count over
     //      the chain sums the layers' complete value histograms (the
     //      reference's Aggregated action over per-value bitmap

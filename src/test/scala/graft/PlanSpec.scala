@@ -358,6 +358,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(600))
   }
 
+  test("q_filter_after_sort: a filter BETWEEN orderBy and limit is " +
+    "absorbed into the sort note — 1 of 30 layers, still a top-k plan") {
+    val df = SparkEntry.queries("q_filter_after_sort")(spark, sfDir)
+    val layers = df.inputFiles.map(_.split("/").takeRight(2).head).distinct
+    assert(layers.length === 1, s"layers read: ${layers.mkString(",")}")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+  }
+
   test("q_union3_topk: filter+orderBy+limit bounds EVERY leaf of a " +
     "NESTED union — 1 of 30 layers per leaf, still a top-k plan") {
     val df = SparkEntry.queries("q_union3_topk")(spark, sfDir)

@@ -953,6 +953,21 @@ class PropertySpec extends SparkSpec {
           // an OR with an opaque arm must not prune at all (still equal)
           s"t.filter(between(v, $lo, $hi) || v <> $lo)" +
             s".orderBy({$key, id}).limit($k)",
+          // filter BETWEEN orderBy and limit: absorbed into the note
+          // when decidable (sort∘filter commutes for the limit's
+          // output); shadowed conjuncts and offset-before-filter must
+          // fall back — and still equal the unrouted plan
+          s"t.orderBy({$key, id}).filter(between(v, $lo, $hi)).limit($k)",
+          s"t.orderBy({$key, id}).filter(between(v, $lo, $hi))" +
+            s".offset($off).limit($k)",
+          s"t.orderBy({$key, id}).project({id, v})" +
+            s".filter(between(v, $lo, $hi)).limit($k)",
+          s"t.filter(isNotNull(c)).orderBy({$key, id})" +
+            s".filter(between(v, $lo, $hi)).limit($k)",
+          s"t.orderBy({$key, id}).map({v := 0})" +
+            s".filter(between(v, 0, 0)).limit($k)",
+          s"t.orderBy({$key, id}).offset($off)" +
+            s".filter(between(v, $lo, $hi)).limit($k)",
           // post-sort stages: a key-dropping projection and a
           // key-shadowing map between orderBy and limit replay AFTER
           // the rewrite's sort
