@@ -721,7 +721,10 @@ class PropertySpec extends SparkSpec {
             ".offset(1).limit(2)",
           // stacked merged filters compose with the merged top-k bound
           s"t.filter(between(v, $lo, null)).filter(between(v, null, $hi))" +
-            ".orderBy({desc(v), id}).limit(3)").foreach { q =>
+            ".orderBy({desc(v), id}).limit(3)",
+          // filter AFTER the sort absorbs into the merged note too
+          s"t.orderBy({desc(v), id}).filter(between(v, $lo, $hi))" +
+            ".limit(3)").foreach { q =>
         def seqOf(cat: Catalog) = Planner.plan(q, cat)
           .select("id").as[Long].collect().toSeq // ORDERED compare
         assert(seqOf(routed) === seqOf(unrouted), s"case $ci query $q")
