@@ -211,8 +211,13 @@ object NdjsonIngest {
       max(statCol).cast("double")).collect()(0)
     if (row.isNullAt(0) || row.isNullAt(1))
       return readChain(spark, tableDir, layers, None)
+    // schema PINNED to the batch's (the callers just validated them
+    // equal / aligned): the pruned subset can be all tombstone-only
+    // layers — zero parquet footers — where schema inference would
+    // throw; with an explicit schema they simply read as zero rows
     readChainRanges(spark, tableDir, layers,
-      Seq((pk, row.getDouble(0), row.getDouble(1))))
+      Seq((pk, row.getDouble(0), row.getDouble(1))),
+      pinSchema = Some(batch.schema))
   }
 
   /** [[appendDelta]] with INGEST-TIME CONTENT DEDUP: batch rows whose

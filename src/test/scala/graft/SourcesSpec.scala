@@ -471,6 +471,13 @@ class SourcesSpec extends SparkSpec {
     }
     NdjsonIngest.appendDelta(above, dir, "id")
     assert(NdjsonIngest.readLatest(spark, dir).count() === 301L)
+    // a pruned subset of only TOMBSTONE layers (no parquet footers)
+    // must read as zero rows under the pinned schema, never a
+    // schema-inference crash
+    NdjsonIngest.deleteDelta(Seq(250L).toDF("id"), dir, "id")
+    NdjsonIngest.appendDelta(Seq((500L, 0.0)).toDF("id", "val"), dir, "id")
+    assert(NdjsonIngest.readLatestMerged(spark, dir, "id")
+      .count() === 301L) // 301 + 1 appended − 1 tombstoned
     // a string-pk chain falls back to the full chain (no envelope form
     // for batched string ranges) and still catches clashes
     val sdir = tmpDir() + "/s"
