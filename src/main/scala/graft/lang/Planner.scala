@@ -1318,12 +1318,12 @@ in.zone match {
     // filter ran on post-map values; folding it pre-replay would test
     // the scan's). Any opaque/shadowed conjunct drops the note (the
     // row-wise filter above is always applied regardless).
-    val keptSort: Option[SortedScan] = in.sortedScan
-      // skip == 0: an OFFSET between the sort and this filter cut rows
-      // by POSITION before the filter ran — offset∘filter does not
-      // commute, so a deepened note must drop here
-      .filter(ss => ss.zone.isDefined && ss.skip == 0)
-      .flatMap { ss =>
+    // skip == 0: an OFFSET between the sort and this filter cut rows
+    // by POSITION before the filter ran — offset∘filter does not
+    // commute, so a deepened note must drop here
+    def absorbFilter(ss: SortedScan): Option[SortedScan] =
+      if (ss.zone.isEmpty || ss.skip != 0) None
+      else {
         val zp = ss.zone.get
         val shadowed: Set[String] = ss.postSort.collect {
           case PostMap(items, _) => items.map(_._1)
@@ -1347,11 +1347,23 @@ in.zone match {
           nullCs = zp.nullCs ++ cs.flatMap(dNull(_)),
           orGroups = zp.orGroups ++ cs.flatMap(dOr(_))))))
       }
+    val keptSort: Option[SortedScan] = in.sortedScan.flatMap(absorbFilter)
+    // a sorted UNION absorbs the filter per LEAF (each leaf's pinned
+    // schema and post-sort shadows gate its own absorption; ONE
+    // unabsorbable leaf drops the whole note — the merge needs every
+    // side bounded)
+    val keptSortedUnion: Option[Seq[Tbl]] = in.sortedUnion.flatMap { ls =>
+      val absorbed = ls.map(t => t.sortedScan.flatMap(absorbFilter))
+      if (absorbed.exists(_.isEmpty)) None
+      else Some(ls.zip(absorbed).map { case (t, s) =>
+        t.copy(sortedScan = s) })
+    }
     // the note survives the filter stage (decidable conjuncts can't
     // also be index-routed — indexRoute matches only sequence
     // predicate shapes — so zoneNote implies no semi-join was added;
     // likewise keptSort implies rest == conjuncts(pred))
-    Tbl(out, in.origin, zone = zoneNote, sortedScan = keptSort)
+    Tbl(out, in.origin, zone = zoneNote, sortedScan = keptSort,
+      sortedUnion = keptSortedUnion)
   }
 
   def planTable(e: Expr): Tbl = e match {

@@ -783,7 +783,14 @@ class PropertySpec extends SparkSpec {
             s".orderBy({$key, id}).limit($k)",
           // a key-keeping projection BETWEEN the union's orderBy and
           // its limit replays per leaf after the rewrite's sort
-          s"$shape.orderBy({$key, id}).project({id, v}).limit($k)").foreach { q =>
+          s"$shape.orderBy({$key, id}).project({id, v}).limit($k)",
+          // a filter BETWEEN the union's orderBy and its limit absorbs
+          // into every leaf's note (one unabsorbable leaf would drop
+          // the whole bound); offset-before-filter must fall back
+          s"$shape.orderBy({$key, id}).filter(between(v, $lo, $hi))" +
+            s".limit($k)",
+          s"$shape.orderBy({$key, id}).offset($off)" +
+            s".filter(between(v, $lo, $hi)).limit($k)").foreach { q =>
           // ORDERED compare on the full sort key (id alone is not
           // total here: the same chain registers under all three
           // names, so ids repeat across leaves)
