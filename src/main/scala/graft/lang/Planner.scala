@@ -1711,11 +1711,15 @@ in.zone match {
           if (aggItems.size != 1 || cols.isEmpty || cols.size > 2) None
           else {
             import org.apache.spark.sql.types.{ByteType, DateType,
-              IntegerType, ShortType, StringType}
+              IntegerType, LongType, ShortType, StringType}
             val dts = cols.map(c => in.df.schema(c).dataType)
+            // LongType answers too: layers whose envelope leaves ±2^53
+            // wrote no histogram (collision guard) and simply fall
+            // back to the grouping scan
             if (!dts.forall(dt =>
                 dt == StringType || dt == DateType || dt == ByteType ||
-                dt == ShortType || dt == IntegerType)) None
+                dt == ShortType || dt == IntegerType || dt == LongType))
+              None
             else metaGroupTokens(in, cols).map { gs =>
               // sidecar tokens → typed group values (dates and narrow
               // integers travel as doubles, the histogram/envelope
@@ -1731,6 +1735,7 @@ in.zone match {
                       java.lang.Short.valueOf(t.toDouble.toShort)
                     case IntegerType =>
                       java.lang.Integer.valueOf(t.toDouble.toInt)
+                    case LongType => java.lang.Long.valueOf(t.toDouble.toLong)
                     case _ => t
                   }
                 }.orNull

@@ -400,19 +400,22 @@ object NdjsonIngest {
     val strings = df.schema.fields.collect {
       case f if f.dataType == StringType && plainName(f.name) => f.name
     }
-    // histogram candidates: string, date, and NARROW-integer columns —
-    // the status-code / category-id / bucket-number group keys event
-    // data is most often rolled up by. Non-string tokens stringify as
+    // histogram candidates: string, date, and integer columns — the
+    // status-code / category-id / bucket-number group keys event data
+    // is most often rolled up by. Non-string tokens stringify as
     // DOUBLES ("5.0"), the same encoding their envelopes use, so the
     // histogram and envelope (constToken) paths of the grouped counts
     // can never disagree on a token. Byte/Short/Int are exact in a
-    // double; LONG columns are deliberately excluded — two distinct
-    // longs past 2^53 would collide into one double token and silently
-    // merge their groups (and a long group key is almost always an id,
-    // not a rollup dimension).
+    // double; LONG columns (pandas-written parquet makes EVERY integer
+    // an int64) are included but their histogram lines are SUPPRESSED
+    // below unless the layer's envelope sits inside ±2^53 — past that,
+    // two distinct longs can collide into one double token and
+    // silently merge their groups. Envelope-bounded suppression is
+    // exact: values inside ±2^53 round-trip the double cast.
     val histCand = strings ++ df.schema.fields.collect {
       case f if (f.dataType == DateType || f.dataType == ByteType ||
-        f.dataType == ShortType || f.dataType == IntegerType) &&
+        f.dataType == ShortType || f.dataType == IntegerType ||
+        f.dataType == LongType) &&
         plainName(f.name) => f.name
     }
     if (numeric.isEmpty && strings.isEmpty) return
@@ -499,9 +502,21 @@ object NdjsonIngest {
     // accumulates past cap+1 entries per partial).
     val histBase = 2 * numeric.length + 2 * strings.length +
       numeric.length + strings.length
+    // the ±2^53 long guard (see histCand): the envelope is already in
+    // hand from the same aggregation row — suppress the histogram when
+    // any value could have collided in the double cast
+    def longSafe(c: String): Boolean =
+      df.schema(c).dataType != LongType || {
+        val i = numeric.indexOf(c)
+        val lo = row.get(2 * i); val hi = row.get(2 * i + 1)
+        lo != null && hi != null &&
+          math.abs(lo.asInstanceOf[Double]) <= (1L << 53).toDouble &&
+          math.abs(hi.asInstanceOf[Double]) <= (1L << 53).toDouble
+      }
     val histLines: Seq[String] = histCand.zipWithIndex.flatMap {
       case (c, i) =>
-        Option(row.getMap[String, Long](histBase + i)).toSeq.flatMap { m =>
+        if (!longSafe(c)) Nil
+        else Option(row.getMap[String, Long](histBase + i)).toSeq.flatMap { m =>
           val entries = m.toSeq
           s"gh:$c ${entries.length}" +:
             entries.sortBy(_._1).map { case (v, cnt) =>

@@ -915,9 +915,13 @@ class PropertySpec extends SparkSpec {
           // metadata count (histogram × constant) must equal the scan
           // s: a low-cardinality INT — integer layer histograms must
           // group-count exactly like the string/date ones
+          // bl: a LONG beyond ±2^53 — its histogram is SUPPRESSED (the
+          // double-token collision guard), so grouping on it must fall
+          // back to the scan and still agree
           val df = rs.zipWithIndex.map { case ((v, c), ri) =>
-            (li * 100L + ri, v, c, v.map(_ * 0.5), s"L$li", ri % 3)
-          }.toDF("id", "v", "c", "x", "lc", "s")
+            (li * 100L + ri, v, c, v.map(_ * 0.5), s"L$li", ri % 3,
+              (1L << 53) * 2 + ri)
+          }.toDF("id", "v", "c", "x", "lc", "s", "bl")
           if (li == 0) NdjsonIngest.appendVersion(df, dir, "id")
           else NdjsonIngest.appendDelta(df, dir, "id")
         }
@@ -1065,6 +1069,19 @@ class PropertySpec extends SparkSpec {
             .map(r => (r.get(0), r.get(1), r.getLong(2))).toSet
           assert(groupsOf(routed) === groupsOf(unrouted), s"case $ci query $q")
         }
+        // LONG group keys: v (nullable, small — histogram answers) and
+        // bl (beyond ±2^53 — histogram suppressed, scan fallback)
+        Seq("t.groupBy({n := count()}, {v})",
+            s"t.filter(between(v, $lo, $hi)).groupBy({n := count()}, {v})",
+            "t.groupBy({n := count()}, {bl})").foreach { q =>
+          def groupsOf(cat: Catalog) = Planner.plan(q, cat).collect()
+            .map(r => (Option(r.get(0)), r.getLong(1))).toSet
+          assert(groupsOf(routed) === groupsOf(unrouted), s"case $ci query $q")
+        }
+        // the suppression itself: the over-range long must plan a scan
+        assert(Planner.plan("t.groupBy({n := count()}, {bl})", routed)
+          .inputFiles.nonEmpty,
+          s"case $ci: over-2^53 long histogram must not answer from metadata")
         // TWO-column grouped counts (histogram × layer-constant) in both
         // column orders, bare / filtered / null-filtered
         Seq("t.groupBy({n := count()}, {lc, c})",
