@@ -20,7 +20,9 @@ object OneQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val reps = args.find(_.startsWith("--n=")).map(_.drop(4).toInt).getOrElse(2)
+    // default 3 reps: with 2, the min is a single post-JIT sample and
+    // first-rep codegen noise still skews quick eyeball comparisons
+    val reps = args.find(_.startsWith("--n=")).map(_.drop(4).toInt).getOrElse(3)
     val fn = graft.SparkEntry.queries(name)
     if (explain) fn(spark, sfDir).explain("formatted")
     var rows = 0L
