@@ -504,14 +504,20 @@ object NdjsonIngest {
       numeric.length + strings.length
     // the ±2^53 long guard (see histCand): the envelope is already in
     // hand from the same aggregation row — suppress the histogram when
-    // any value could have collided in the double cast
+    // any value could have collided in the double cast. STRICTLY inside
+    // the window: a true max of 2^53+1 rounds DOWN to exactly 2^53
+    // under round-half-even, so an envelope TOUCHING the edge may
+    // already be a collision (a layer holding {2^53, 2^53+1} records
+    // max 2^53 and would merge both into one token) — rejecting the
+    // legit all-2^53 boundary layer costs a fallback scan, accepting a
+    // collapsed one is a wrong answer
     def longSafe(c: String): Boolean =
       df.schema(c).dataType != LongType || {
         val i = numeric.indexOf(c)
         val lo = row.get(2 * i); val hi = row.get(2 * i + 1)
         lo != null && hi != null &&
-          math.abs(lo.asInstanceOf[Double]) <= (1L << 53).toDouble &&
-          math.abs(hi.asInstanceOf[Double]) <= (1L << 53).toDouble
+          exactVal(lo.asInstanceOf[Double]) &&
+          exactVal(hi.asInstanceOf[Double])
       }
     val histLines: Seq[String] = histCand.zipWithIndex.flatMap {
       case (c, i) =>
@@ -606,6 +612,49 @@ object NdjsonIngest {
         }
         if (entries.length == k) Some(entries.toSeq) else None
       }
+
+  // ---- the double-exactness window -----------------------------------
+  //
+  // Every sidecar stat and every range-literal bound travels as a
+  // Double, but LONG column values (and long query literals) past ±2^53
+  // can collapse: two distinct longs round to the same double. Zone
+  // NARROWING stays sound under that rounding — round-to-nearest is
+  // monotone, so a strict comparison of two ROUNDED values implies the
+  // same strict comparison of the true values, and a may-contain test
+  // that keeps too much is merely conservative. Every EXACT proof
+  // (per-conjunct pass counts, constant-column detection, histogram
+  // tokens) must instead REFUSE values at or past the window edge: a
+  // true 2^53+1 rounds down to exactly 2^53 (round-half-even), so even
+  // an envelope TOUCHING the edge may be a collision. The gate is
+  // VALUE-based, not type-based, on purpose — sidecar lines don't
+  // record column types, and the same gate also rejects a rounded long
+  // LITERAL bound applied to an exactly-stored double column (where
+  // "envelope ⊆ interval" in rounded doubles would not imply every true
+  // value passes the true predicate). Declining costs a fallback scan;
+  // accepting a collapsed value is a wrong answer.
+  private val ExactWindow = (1L << 53).toDouble
+
+  /** A finite stat value provably uncollided in the double encoding. */
+  private def exactVal(v: Double): Boolean = math.abs(v) < ExactWindow
+
+  /** A range-literal bound: ±Infinity encodes "unbounded" (a half-open
+    * between), not a rounded value, and stays exact.
+    */
+  private def exactBound(v: Double): Boolean = v.isInfinite || exactVal(v)
+
+  /** [[histFromLines]] restricted to histograms whose tokens are
+    * provably uncollided: layers written by the pre-strict guard
+    * (which accepted envelopes touching ±2^53) may carry a histogram
+    * with one collapsed token — decline those at READ time so the exact
+    * grouped paths never consume one. A column without a numeric
+    * envelope (strings) never rounded and always qualifies.
+    */
+  private def histExactFromLines(lines: Seq[Array[String]],
+      column: String): Option[Seq[(String, Long)]] =
+    histFromLines(lines, column).filter { _ =>
+      envFromLines(lines, column).forall { case (lo, hi) =>
+        exactVal(lo) && exactVal(hi) }
+    }
 
   /** A layer's recorded (min, max) for `column`, when stats exist. */
   private def layerStats(tableDir: String, layer: String,
@@ -1152,7 +1201,7 @@ object NdjsonIngest {
             // only the null group survives; no histogram needed
             if (gRanges.nonEmpty || gStrEqs.nonEmpty || gNotNull) Some(Nil)
             else nnG.map(nn => if (n - nn > 0) Seq((None, n - nn)) else Nil)
-          } else histFromLines(lines, groupCol).flatMap { hist =>
+          } else histExactFromLines(lines, groupCol).flatMap { hist =>
             val kept = hist.filter { case (tok, _) => entryPasses(tok) }
               .map { case (tok, cnt) => (Option(tok), cnt) }
             if (!nullGroupWanted) Some(kept)
@@ -1226,7 +1275,11 @@ object NdjsonIngest {
         case Some(0L) => Some(None)
         case Some(nn) if nn == n =>
           envFromLines(lines, c) match {
-            case Some((lo, hi)) if lo == hi => Some(Some(lo.toString))
+            // min==max proves a constant only inside the exactness
+            // window: a long column holding {2^60, 2^60+1} records a
+            // collapsed lo==hi envelope and is NOT constant (exactVal)
+            case Some((lo, hi)) if lo == hi && exactVal(lo) =>
+              Some(Some(lo.toString))
             case Some(_) => None
             case None => strEnvFromLines(lines, c) match {
               case Some((lo, hi)) if lo == hi => Some(Some(lo))
@@ -1253,7 +1306,7 @@ object NdjsonIngest {
                 swap: Boolean)
                 : Option[Seq[((Option[String], Option[String]), Long)]] =
               for {
-                hist <- histFromLines(lines, h)
+                hist <- histExactFromLines(lines, h)
                 ct <- constToken(lines, n, c)
               } yield {
                 val cPasses = ct match {
@@ -1373,7 +1426,14 @@ object NdjsonIngest {
       orGroups: Seq[Seq[ZoneArm]] = Nil): Seq[Option[Long]] =
     ranges.map { case (c, lo, hi) =>
       envFromLines(lines, c) match {
-        case Some((mn, mx)) if lo <= mn && mx <= hi => nnFromLines(lines, c)
+        // containment is only an EXACT proof inside the double-exactness
+        // window: a rounded long envelope or literal can make
+        // "envelope ⊆ interval" hold in doubles while a true row fails
+        // the true predicate (see exactVal) — past the window, decline
+        case Some((mn, mx)) if lo <= mn && mx <= hi &&
+            exactVal(mn) && exactVal(mx) &&
+            exactBound(lo) && exactBound(hi) =>
+          nnFromLines(lines, c)
         case _ => None
       }
     } ++
@@ -1429,8 +1489,10 @@ object NdjsonIngest {
             armRanges.flatten.map(_._1).distinct.size == 1)
           Some(armRanges.flatten) else None
         (mn, mx) <- envFromLines(lines, rs.head._1)
+        if exactVal(mn) && exactVal(mx) // exact proof — see exactVal
         nn <- nnFromLines(lines, rs.head._1)
-        if rs.exists { case (_, lo, hi) => lo <= mn && mx <= hi }
+        if rs.exists { case (_, lo, hi) =>
+          lo <= mn && mx <= hi && exactBound(lo) && exactBound(hi) }
       } yield nn
     }
   }
