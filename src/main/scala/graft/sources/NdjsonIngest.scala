@@ -162,6 +162,7 @@ object NdjsonIngest {
   def appendDelta(df: DataFrame, tableDir: String, pk: String,
       tag: Option[String] = None): Long = {
     validatePrimaryKey(df, pk)
+    withTableLock(tableDir) {
     val layers = latestLayers(tableDir)
     if (layers.nonEmpty) {
       val existing = readChain(df.sparkSession, tableDir, layers, None)
@@ -181,6 +182,7 @@ object NdjsonIngest {
     }
     commitLayer(df, tableDir, tag, resetChain = false, kind = "append",
       bloomCol = Some(pk))
+    }
   }
 
   /** The existing-chain side of the append duplicate-pk check,
@@ -239,6 +241,7 @@ object NdjsonIngest {
       .partitionBy(fpCol).orderBy(col(pk))
     val inBatch = df.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1).drop("__rk")
+    withTableLock(tableDir) {
     val layers = latestLayers(tableDir)
     val fresh =
       if (layers.isEmpty) inBatch
@@ -253,6 +256,7 @@ object NdjsonIngest {
     val n = kept.count()
     if (n == 0) (-1L, 0L)
     else (appendDelta(kept, tableDir, pk, tag), n)
+    }
   }
 
   /** [[appendDelta]] with ADDITIVE SCHEMA EVOLUTION: the batch may carry
@@ -271,6 +275,7 @@ object NdjsonIngest {
   def appendDeltaEvolve(df: DataFrame, tableDir: String, pk: String,
       tag: Option[String] = None): Long = {
     validatePrimaryKey(df, pk)
+    withTableLock(tableDir) {
     val layers = latestLayers(tableDir)
     if (layers.isEmpty)
       return commitLayer(df, tableDir, tag, resetChain = true,
@@ -309,6 +314,7 @@ object NdjsonIngest {
       schemaJson =
         if (unified.simpleString == exSchema.simpleString) None
         else Some(unified.json))
+    }
   }
 
   /** Record the chain's primary key as a `_pk` breadcrumb (write-once,
@@ -347,7 +353,7 @@ object NdjsonIngest {
   private def commitLayer(df: DataFrame, tableDir: String,
       tag: Option[String], resetChain: Boolean, kind: String,
       bloomCol: Option[String] = None,
-      schemaJson: Option[String] = None): Long = {
+      schemaJson: Option[String] = None): Long = withTableLock(tableDir) {
     val fs = new java.io.File(tableDir)
     fs.mkdirs()
     val effectiveTag = tag.orElse(latestTag(tableDir))
@@ -1572,6 +1578,67 @@ object NdjsonIngest {
     }
   }
 
+  // ---- the per-table commit lock --------------------------------------
+  //
+  // Every pointer-flipping writer is a read-modify-write: read `latest`
+  // (or the existing v-numbers), write new dirs, flip the pointer. None
+  // of that is atomic, and since the serve maintenance loop started
+  // firing compaction on a timer inside live deployments, the unlocked
+  // window is real: a delta committed between a compactor's chain read
+  // and its flip would vanish from `latest` (its log entry survives,
+  // but the serving pointer no longer includes it — and the next gc may
+  // reclaim it). An advisory lock serializes all of them, cheaply:
+  // commits are O(batch) and compaction O(table)-but-rare, so writers
+  // queueing behind each other is the intended semantics (the same
+  // single-writer-at-a-time contract Append's `.append.lock` already
+  // enforces for the NDJSON path). READERS never take the lock —
+  // pointer flips stay atomic renames and readers keep whatever chain
+  // they resolved (layer isolation).
+  //
+  // Two layers, both required: a JVM-level ReentrantLock per canonical
+  // table path (JDK file locks are held per-process — a second lock()
+  // on the same file from another thread throws instead of blocking)
+  // plus an OS `FileChannel` lock on `<tableDir>/.commit.lock` for
+  // cross-process writers (a library appender racing a serve process).
+  // Reentrant: appendDelta's clash check and the commitLayer it calls
+  // nest under one acquisition (depth-counted; the file lock is taken
+  // at depth 0 only).
+  private final class TableLock {
+    val mu = new java.util.concurrent.locks.ReentrantLock()
+    var depth = 0
+    var ch: java.nio.channels.FileChannel = null
+    var fl: java.nio.channels.FileLock = null
+  }
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, TableLock]()
+
+  private def withTableLock[A](tableDir: String)(body: => A): A = {
+    val dir = new java.io.File(tableDir)
+    dir.mkdirs()
+    val tl = tableLocks.computeIfAbsent(dir.getCanonicalPath,
+      _ => new TableLock)
+    tl.mu.lock()
+    try {
+      if (tl.depth == 0) {
+        tl.ch = java.nio.channels.FileChannel.open(
+          new java.io.File(dir, ".commit.lock").toPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try tl.fl = tl.ch.lock()
+        catch { case t: Throwable => tl.ch.close(); tl.ch = null; throw t }
+      }
+      tl.depth += 1
+      try body
+      finally {
+        tl.depth -= 1
+        if (tl.depth == 0) {
+          try tl.fl.release() finally tl.ch.close()
+          tl.fl = null; tl.ch = null
+        }
+      }
+    } finally tl.mu.unlock()
+  }
+
   private def flipPointer(tableDir: String, chain: Seq[String],
       tag: Option[String], kind: String,
       schemaJson: Option[String] = None): Unit = {
@@ -1640,7 +1707,7 @@ object NdjsonIngest {
     */
   def compactVersions(spark: SparkSession, tableDir: String,
       maxLayers: Int = 8, clusterBy: Option[String] = None,
-      numRanges: Int = 8): Boolean = {
+      numRanges: Int = 8): Boolean = withTableLock(tableDir) {
     val layers = latestLayers(tableDir)
     if (layers.length <= maxLayers) return false
     val read = readChain(spark, tableDir, layers, None)
@@ -1676,7 +1743,7 @@ object NdjsonIngest {
     * in-flight readers of dropped pointers have drained.
     */
   def gcVersions(tableDir: String, retainCommits: Int = 1,
-      pinned: Seq[Long] = Nil): Seq[String] = {
+      pinned: Seq[Long] = Nil): Seq[String] = withTableLock(tableDir) {
     val all = commits(tableDir)
     val (dropWindow, keep) = all.splitAt(math.max(all.length - retainCommits, 0))
     val drop = dropWindow.filterNot(pinned.contains)
@@ -1779,6 +1846,7 @@ object NdjsonIngest {
   def upsertDelta(df: DataFrame, tableDir: String, pk: String,
       tag: Option[String] = None): Long = {
     validatePrimaryKey(df, pk)
+    withTableLock(tableDir) {
     val dataLayers = latestLayers(tableDir).filter(layerHasData(tableDir, _))
     if (dataLayers.nonEmpty) {
       val existing = readChain(df.sparkSession, tableDir, dataLayers, None)
@@ -1787,6 +1855,7 @@ object NdjsonIngest {
     }
     commitLayer(df, tableDir, tag, resetChain = false, kind = "upsert",
       bloomCol = Some(pk))
+    }
   }
 
   /** Commit a DELETE batch: a layer carrying ONLY tombstones for the given
@@ -1826,7 +1895,7 @@ object NdjsonIngest {
   }
 
   def deleteDelta(keys: DataFrame, tableDir: String, pk: String,
-      tag: Option[String] = None): Long = {
+      tag: Option[String] = None): Long = withTableLock(tableDir) {
     val fs = new java.io.File(tableDir)
     fs.mkdirs()
     writePkBreadcrumb(tableDir, pk) // tombstone commits skip commitLayer
@@ -1915,7 +1984,7 @@ object NdjsonIngest {
     * once here instead of on every read.
     */
   def compactMerged(spark: SparkSession, tableDir: String, pk: String,
-      maxLayers: Int = 8): Boolean = {
+      maxLayers: Int = 8): Boolean = withTableLock(tableDir) {
     val layers = latestLayers(tableDir)
     if (layers.length <= maxLayers) return false
     val resolved = resolveChainMerged(spark, tableDir, layers, pk)
