@@ -234,7 +234,17 @@ object AnnIndex {
     */
   def rebuildSwap(spark: SparkSession, emb: DataFrame, idCol: String,
       vecCol: String, root: String, dim: Int, cells: Int, m: Int,
-      k: Int, iters: Int = 2, tag: Option[String] = None): Handle = {
+      k: Int, iters: Int = 2, tag: Option[String] = None): Handle =
+    // swaps are serialized per index root (an advisory DirLock, same
+    // mechanism as the table commit lock): the crash-debris deletion
+    // below reasons "gen-<n+1> exists but the pointer still names
+    // gen-<n>, so it is an abandoned partial build" — only sound when
+    // no OTHER writer (a second serve process, a manual rebuild racing
+    // the maintenance tick) can be mid-build in that dir. Under the
+    // lock a concurrent rebuild simply queues and then retrains the
+    // generation AFTER the first one's swap; a crashed holder's OS
+    // lock releases with its process, so the debris rule still fires.
+    graft.core.DirLock.withLock(root, ".swap.lock") {
     val next = s"gen-${currentGen(root) + 1}"
     // a CRASHED earlier swap may have left gen-<n+1> fully committed
     // (meta written) with the pointer never flipped — buildOrLoad would
@@ -256,7 +266,7 @@ object AnnIndex {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     h
-  }
+    }
 
   private def commitMeta(indexDir: String, layers: Seq[String]): Unit = {
     val tmp = java.nio.file.Paths.get(indexDir, ".meta.tmp")

@@ -496,8 +496,11 @@ final class QueryServer(catalogSupplier: () => (Catalog, String),
         val (catalog, dataVersion) = catalogSupplier()
         val tables = catalog.tables.keys.toSeq.sorted
           .map(t => "\"" + t + "\"").mkString("[", ",", "]")
+        val maint = config.infoExtra.flatMap(f =>
+          try f() catch { case scala.util.control.NonFatal(_) => None })
+          .map(v => s""","maintenance":$v""").getOrElse("")
         respond(ex, 200,
-          s"""{"dataVersion":"$dataVersion","tables":$tables}""",
+          s"""{"dataVersion":"$dataVersion","tables":$tables$maint}""",
           dataVersion = Some(dataVersion))
       } catch {
         case _: QueryServer.UninitializedCatalog => respondUnavailable(ex)
@@ -558,7 +561,13 @@ object QueryServer {
       estimatedStartupEnd: Option[java.time.Instant] = None,
       accessLog: Option[String => Unit] = None,
       memoryMonitorSeconds: Option[Long] = None,
-      softMemoryLimitMb: Option[Long] = None) {
+      softMemoryLimitMb: Option[Long] = None,
+      // extra /info payload, resolved per request: a JSON VALUE string
+      // (object/string/number) surfaced under "maintenance" — serve
+      // wires the newest persisted maintenance-tick report here so an
+      // operator can see whether compaction keeps up without shell
+      // access. None (or a throwing supplier) omits the field.
+      infoExtra: Option[() => Option[String]] = None) {
     require(chunkBytes > 0 && queueDepth > 0 && arrowBatchRows > 0 &&
       timeoutSeconds >= 0 && maxConnections > 0 &&
       memoryMonitorSeconds.forall(_ > 0) && softMemoryLimitMb.forall(_ > 0),

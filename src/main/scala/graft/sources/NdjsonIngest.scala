@@ -1595,49 +1595,11 @@ object NdjsonIngest {
   // pointer flips stay atomic renames and readers keep whatever chain
   // they resolved (layer isolation).
   //
-  // Two layers, both required: a JVM-level ReentrantLock per canonical
-  // table path (JDK file locks are held per-process — a second lock()
-  // on the same file from another thread throws instead of blocking)
-  // plus an OS `FileChannel` lock on `<tableDir>/.commit.lock` for
-  // cross-process writers (a library appender racing a serve process).
-  // Reentrant: appendDelta's clash check and the commitLayer it calls
-  // nest under one acquisition (depth-counted; the file lock is taken
-  // at depth 0 only).
-  private final class TableLock {
-    val mu = new java.util.concurrent.locks.ReentrantLock()
-    var depth = 0
-    var ch: java.nio.channels.FileChannel = null
-    var fl: java.nio.channels.FileLock = null
-  }
-  private val tableLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, TableLock]()
-
-  private def withTableLock[A](tableDir: String)(body: => A): A = {
-    val dir = new java.io.File(tableDir)
-    dir.mkdirs()
-    val tl = tableLocks.computeIfAbsent(dir.getCanonicalPath,
-      _ => new TableLock)
-    tl.mu.lock()
-    try {
-      if (tl.depth == 0) {
-        tl.ch = java.nio.channels.FileChannel.open(
-          new java.io.File(dir, ".commit.lock").toPath,
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.WRITE)
-        try tl.fl = tl.ch.lock()
-        catch { case t: Throwable => tl.ch.close(); tl.ch = null; throw t }
-      }
-      tl.depth += 1
-      try body
-      finally {
-        tl.depth -= 1
-        if (tl.depth == 0) {
-          try tl.fl.release() finally tl.ch.close()
-          tl.fl = null; tl.ch = null
-        }
-      }
-    } finally tl.mu.unlock()
-  }
+  // The mechanics (JVM ReentrantLock over an OS FileChannel lock on
+  // `<tableDir>/.commit.lock`, reentrant via depth counting) live in
+  // [[graft.core.DirLock]], shared with the ANN generation swap.
+  private def withTableLock[A](tableDir: String)(body: => A): A =
+    graft.core.DirLock.withLock(tableDir, ".commit.lock")(body)
 
   private def flipPointer(tableDir: String, chain: Seq[String],
       tag: Option[String], kind: String,

@@ -182,30 +182,40 @@ object Maintenance {
     // forever): gc retention widens to keep every commit past the
     // lowest registered cursor for that dir. Compaction stays safe
     // unconditionally — compact commits contribute nothing to the feed.
+    // The floor computation sits inside guard() like everything else:
+    // one unreadable cursor file must degrade to "no extra retention
+    // this tick" (gc still honors retainCommits and pins), never
+    // escape tick and kill the maintenance thread.
     val feedFloor: Map[String, Long] =
-      (annFeedSpecs(root).map { case (_, s) => s.tableDir ->
-          graft.sources.ChangeFeedConsumer.cursor(s.stateDir) } ++
-        corpusFeedSpecs(root).map { case (_, s) => s.tableDir ->
-          graft.sources.ChangeFeedConsumer.cursor(s"${s.stateDir}/feed") })
-        .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).min }
+      guard("feed-floor")(
+        (annFeedSpecs(root).map { case (_, s) => s.tableDir ->
+            graft.sources.ChangeFeedConsumer.cursor(s.stateDir) } ++
+          corpusFeedSpecs(root).map { case (_, s) => s.tableDir ->
+            graft.sources.ChangeFeedConsumer.cursor(s"${s.stateDir}/feed") })
+          .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).min })
+        .getOrElse(Map.empty)
     discoverChains(root).foreach { dir =>
-      val chain = NdjsonIngest.latestLayers(dir)
-      if (chain.length > maxLayers) {
-        if (NdjsonIngest.chainMergeFree(dir, chain))
-          guard(s"compact $dir") {
+      // the WHOLE per-target body guards, chain discovery included: a
+      // corrupt latest pointer or a chain dir deleted between discovery
+      // and read must fail THIS target only — 'never throws, next tick
+      // retries' is the loop's contract
+      guard(s"compact $dir") {
+        val chain = NdjsonIngest.latestLayers(dir)
+        if (chain.length > maxLayers) {
+          if (NdjsonIngest.chainMergeFree(dir, chain)) {
             if (NdjsonIngest.compactVersions(spark, dir, maxLayers))
               compacted += dir
           }
-        else NdjsonIngest.pkOf(dir) match {
-          // a merge-on-read chain folds through the pk-aware compactor
-          // — the chain records its own pk (`_pk` breadcrumb), so the
-          // loop needs no out-of-band configuration
-          case Some(pk) => guard(s"compact-merged $dir") {
-            if (NdjsonIngest.compactMerged(spark, dir, pk, maxLayers))
-              compacted += dir
+          else NdjsonIngest.pkOf(dir) match {
+            // a merge-on-read chain folds through the pk-aware compactor
+            // — the chain records its own pk (`_pk` breadcrumb), so the
+            // loop needs no out-of-band configuration
+            case Some(pk) =>
+              if (NdjsonIngest.compactMerged(spark, dir, pk, maxLayers))
+                compacted += dir
+            case None => log(s"skip compact $dir: merge-on-read chain " +
+              "predating the _pk breadcrumb (any later commit records it)")
           }
-          case None => log(s"skip compact $dir: merge-on-read chain " +
-            "predating the _pk breadcrumb (any later commit records it)")
         }
       }
       guard(s"gc $dir") {
@@ -250,8 +260,59 @@ object Maintenance {
         corpusSynced += name
       }
     }
-    Report(compacted.result(), gced.result(), synced.result(),
+    val report = Report(compacted.result(), gced.result(), synced.result(),
       failed.result(), corpusSynced.result())
+    // tick history persists as one JSON line per tick in
+    // `<root>/_maintenance.log` (size-rotated, one generation — the
+    // access-log policy), so an operator can see whether compaction is
+    // keeping up without scraping stderr; the serve /info endpoint
+    // surfaces the newest line (the reference's watcher surfaces
+    // data-version progression through the API header the same way).
+    // Best-effort: a log-write failure must not fail the tick.
+    try appendReportLine(root, reportJson(report))
+    catch {
+      case t if scala.util.control.NonFatal(t) =>
+        log(s"maintenance-log write failed: ${t.getMessage}")
+    }
+    report
+  }
+
+  /** One tick Report as a single JSON line (stamped with wall time). */
+  private[tools] def reportJson(r: Report): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("at", java.time.Instant.now().toString)
+    node.put("compacted", r.compacted.size)
+    node.put("gced", r.gced.values.sum)
+    node.put("annSynced", r.annSynced.size)
+    node.put("corpusSynced", r.corpusSynced.size)
+    val fails = node.putArray("failed")
+    r.failed.foreach { case (what, msg) =>
+      fails.add(s"$what: ${Option(msg).getOrElse("")}") }
+    mapper.writeValueAsString(node)
+  }
+
+  private def appendReportLine(root: String, line: String): Unit = {
+    val p = java.nio.file.Paths.get(root, "_maintenance.log")
+    if (java.nio.file.Files.exists(p) &&
+        java.nio.file.Files.size(p) >= 1024 * 1024)
+      java.nio.file.Files.move(p,
+        java.nio.file.Paths.get(root, "_maintenance.log.1"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.writeString(p, line + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  /** The newest persisted tick report line under `root`, if any ticks
+    * ran — what serve's /info surfaces as `maintenance`.
+    */
+  def lastReportLine(root: String): Option[String] = {
+    val p = java.nio.file.Paths.get(root, "_maintenance.log")
+    if (!java.nio.file.Files.exists(p)) None
+    else java.nio.file.Files.readString(p).linesIterator
+      .foldLeft(Option.empty[String])((_, l) => Some(l))
+      .filter(_.nonEmpty)
   }
 
   private def feedFiles(root: String,
@@ -288,11 +349,20 @@ object Maintenance {
         while (!closed) {
           Thread.sleep(intervalSeconds * 1000)
           if (!closed) {
-            val r = tick(spark, root, maxLayers, retainCommits, log)
-            if (r.compacted.nonEmpty || r.gced.nonEmpty ||
-                r.annSynced.nonEmpty)
-              log(s"tick: compacted=${r.compacted.size} " +
-                s"gc=${r.gced.values.sum} ann=${r.annSynced.size}")
+            // belt to tick's guard-everything braces: whatever still
+            // escapes a tick (a bug in tick itself) must not kill the
+            // maintenance thread permanently and silently — log and let
+            // the next interval retry, the documented contract
+            try {
+              val r = tick(spark, root, maxLayers, retainCommits, log)
+              if (r.compacted.nonEmpty || r.gced.nonEmpty ||
+                  r.annSynced.nonEmpty)
+                log(s"tick: compacted=${r.compacted.size} " +
+                  s"gc=${r.gced.values.sum} ann=${r.annSynced.size}")
+            } catch {
+              case t if scala.util.control.NonFatal(t) =>
+                log(s"tick failed (retrying next interval): ${t.getMessage}")
+            }
           }
         }
       } catch { case _: InterruptedException => }

@@ -114,18 +114,31 @@ object Serve {
     * normal hot-swap path.
     */
   private[tools] def currentInput(dataDir: String): String = {
-    val pat = "append-(\\d+)\\.ndjson(\\.zst|\\.xz)?".r
+    val numbered = "append-(\\d+)\\.ndjson(\\.zst|\\.xz)?".r
     (Seq(inputPath(dataDir)) ++
       Option(new java.io.File(dataDir).list()).getOrElse(Array())
         .flatMap {
-          case n @ pat(d, _) => Some((d.toLong, n))
+          // NUMERIC order by the parsed sequence (with the name as a
+          // tiebreak for same-seq different-suffix leftovers): a
+          // lexicographic sort would place append-1000000 before
+          // append-999999 once seq outgrows the %06d padding, silently
+          // breaking the naming's implied chronological order
+          case n @ numbered(d, _) => Some((d.toLong, n))
+          // the pre-round-15 loose shape (append-backfill.ndjson,
+          // append-1-fix.ndjson.zst): an existing deployment's data
+          // must keep serving on upgrade, never silently vanish from
+          // the input set — loose names order AFTER every numbered
+          // commit (they predate the numeric contract), lexicographic
+          // among themselves, with a warning so the operator renames
+          case n if n.startsWith("append-") &&
+              (n.endsWith(".ndjson") || n.endsWith(".ndjson.zst") ||
+                n.endsWith(".ndjson.xz")) =>
+            System.err.println(s"[serve] append file '$n' does not match " +
+              "append-<seq>.ndjson[.zst|.xz]; serving it after all " +
+              "numbered commits (rename to restore explicit ordering)")
+            Some((Long.MaxValue, n))
           case _ => None
         }
-        // NUMERIC order by the parsed sequence (with the name as a
-        // tiebreak for same-seq different-suffix leftovers): a
-        // lexicographic sort would place append-1000000 before
-        // append-999999 once seq outgrows the %06d padding, silently
-        // breaking the naming's implied chronological order
         .sortBy { case (seq, n) => (seq, n) }
         .map { case (_, n) => new java.io.File(dataDir, n).getPath })
       .mkString(",")
@@ -193,7 +206,13 @@ object Serve {
           .getOrElse(10L * 1024 * 1024))
       case None => accessSink
     }
-    val server = new QueryServer(supplier, port, serverConfig(m, sink))
+    // /info surfaces the newest persisted maintenance-tick report (the
+    // reference's watcher surfaces data-version progression through the
+    // API header the same way) — present whenever any tick ever ran,
+    // whether by this server's timer or an operator's manual pass
+    val server = new QueryServer(supplier, port,
+      serverConfig(m, sink).copy(
+        infoExtra = Some(() => Maintenance.lastReportLine(dataDir))))
     server.start()
     // periodic maintenance rides the server's lifetime on a daemon
     // thread; a tick failure logs and retries next interval — it can

@@ -379,7 +379,10 @@ class QueryServerSpec extends SparkSpec {
     val supplier = () => (
       Catalog(Map("default" -> NdjsonIngest.readLatest(spark, dir))),
       "commit-" + NdjsonIngest.commits(dir).last)
-    val s = new QueryServer(supplier, 0, 120)
+    // wired like Serve.boot: /info surfaces the newest persisted tick
+    val s = new QueryServer(supplier, 0,
+      QueryServer.ServerConfig(timeoutSeconds = 120,
+        infoExtra = Some(() => Maintenance.lastReportLine(root))))
     s.start()
     try {
       def query() = http.send(HttpRequest.newBuilder(
@@ -387,14 +390,24 @@ class QueryServerSpec extends SparkSpec {
         .POST(HttpRequest.BodyPublishers.ofString(
           """default.groupBy({count := count()})""")).build(),
         HttpResponse.BodyHandlers.ofString())
+      def info() = http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${s.boundPort}/info")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
       val before = query()
       assert(before.body().trim === """{"count":10}""")
       assert(before.headers().firstValue("data-version").get()
         === "commit-10")
+      // no tick has ever run: /info carries no maintenance field yet
+      assert(!info().body().contains("\"maintenance\""))
       assert(Maintenance.discoverChains(root).toSet === Set(ldir, mdir, dir))
       val report = Maintenance.tick(spark, root,
         maxLayers = 4, retainCommits = 1)
       assert(report.failed.isEmpty, report.failed.toString)
+      // the forced tick persisted a report line, and /info surfaces it
+      assert(Maintenance.lastReportLine(root).isDefined)
+      val infoBody = info().body()
+      assert(infoBody.contains("\"maintenance\":{"), infoBody)
+      assert(infoBody.contains("\"compacted\":2"), infoBody)
       assert(report.compacted.toSet === Set(dir, ldir))
       assert(NdjsonIngest.latestLayers(dir).length === 1)
       // gc reclaimed the superseded append layers (10 dead under t;

@@ -61,4 +61,19 @@ class CliConfigSpec extends SparkSpec {
     assert(got === Seq("input.ndjson", "append-000002.ndjson",
       "append-999999.ndjson", "append-1000000.ndjson"))
   }
+
+  test("currentInput keeps serving LOOSE append-* names (pre-numeric " +
+    "deployments) — after every numbered commit, never dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("apploose")
+    java.nio.file.Files.writeString(dir.resolve("input.ndjson"), "")
+    Seq("append-000002.ndjson", "append-backfill.ndjson",
+      "append-1-fix.ndjson.zst", "append-notes.txt").foreach(n =>
+      java.nio.file.Files.writeString(dir.resolve(n), ""))
+    val got = Serve.currentInput(dir.toString).split(",").toSeq
+      .map(p => new java.io.File(p).getName)
+    // append-notes.txt is not an ndjson input and stays excluded; the
+    // loose ndjson names order lexicographically after the numbered one
+    assert(got === Seq("input.ndjson", "append-000002.ndjson",
+      "append-1-fix.ndjson.zst", "append-backfill.ndjson"))
+  }
 }

@@ -61,6 +61,60 @@ class MaintenanceSpec extends SparkSpec {
         s"$stateDir/simhash").columns.nonEmpty)
   }
 
+  test("a corrupt target fails ITS guard only — healthy chains still " +
+    "compact, the tick never throws, and the report records the failure") {
+    val root = java.nio.file.Files.createTempDirectory("maintcorrupt")
+      .toString
+    // a healthy over-long chain
+    val good = s"$root/tables/good"
+    NdjsonIngest.appendVersion(Seq((1L, "a")).toDF("id", "t"), good, "id")
+    (2 to 6).foreach(i => NdjsonIngest.appendDelta(
+      Seq((i.toLong, "a")).toDF("id", "t"), good, "id"))
+    // a corrupt sibling: discovery sees latest + _log, but the log
+    // entry is a DIRECTORY, so the chain reads explode mid-body —
+    // exactly the shape that used to escape tick and kill the thread
+    val bad = s"$root/tables/bad"
+    NdjsonIngest.appendVersion(Seq((1L, "a")).toDF("id", "t"), bad, "id")
+    (2 to 6).foreach(i => NdjsonIngest.appendDelta(
+      Seq((i.toLong, "a")).toDF("id", "t"), bad, "id"))
+    val entry = NdjsonIngest.commits(bad).head
+    val p = java.nio.file.Paths.get(bad, "_log", entry.toString)
+    java.nio.file.Files.delete(p)
+    java.nio.file.Files.createDirectory(p)
+    val r = Maintenance.tick(spark, root, maxLayers = 3, retainCommits = 1)
+    assert(r.compacted.contains(good),
+      "the healthy chain must still compact")
+    assert(NdjsonIngest.latestLayers(good).length === 1)
+    assert(r.failed.exists(_._1.contains(bad)),
+      s"the corrupt target must land in Report.failed: ${r.failed}")
+  }
+
+  test("tick reports persist to _maintenance.log and lastReportLine " +
+    "surfaces the newest one") {
+    val root = java.nio.file.Files.createTempDirectory("maintlog").toString
+    val dir = s"$root/tables/t"
+    NdjsonIngest.appendVersion(Seq((1L, "a")).toDF("id", "t"), dir, "id")
+    (2 to 6).foreach(i => NdjsonIngest.appendDelta(
+      Seq((i.toLong, "a")).toDF("id", "t"), dir, "id"))
+    assert(Maintenance.lastReportLine(root).isEmpty)
+    Maintenance.tick(spark, root, maxLayers = 3, retainCommits = 1)
+    Maintenance.tick(spark, root, maxLayers = 3, retainCommits = 1)
+    val lines = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(root, "_maintenance.log"))
+      .linesIterator.toSeq
+    assert(lines.length === 2, "one JSON line per tick")
+    val last = Maintenance.lastReportLine(root)
+    assert(last === Some(lines.last))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(last.get)
+    assert(node.get("at") != null && node.get("compacted") != null &&
+      node.get("gced") != null && node.get("failed") != null,
+      s"report line must be self-describing JSON: $last")
+    // tick 1 compacted the 6-layer chain; tick 2 had nothing to do
+    assert(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(lines.head).get("compacted").asInt === 1)
+  }
+
   test("insert-only feed ticks keep the band chains LENGTH-bounded " +
     "(the happy path must not grow one layer per tick forever)") {
     val root = java.nio.file.Files.createTempDirectory("maintbound")
