@@ -923,6 +923,52 @@ object RelationalQueries {
           |  .groupBy({c := count()})""".stripMargin, catalog)
     },
 
+    // ---- EXACT COUNT OF A LAYER-SPLITTING DISJUNCTION: two windows on
+    //      the status column SPLIT every layer (each day's layer holds
+    //      all 7 statuses — the envelope straddles both windows, so no
+    //      arm contains it and no arm excludes it). The or-group's pass
+    //      count comes from the layer's complete integer histogram —
+    //      Σ counts of values passing EITHER window, pass(a)+pass(b) —
+    //      exactly how the reference's Or unions per-value bitmaps
+    //      (filter/operators/or.cpp). Zero parquet footers. ----
+    QDef("q_or_count_split",
+      """SELECT count(*) AS c FROM events
+        |WHERE (event_id % 7) BETWEEN 1 AND 2
+        |   OR (event_id % 7) BETWEEN 4 AND 5""".stripMargin) { (s, dir) =>
+      val tableDir = memoEventsChain(s, dir)
+      val catalog = graft.lang.Planner.Catalog(
+        tables = Map("ev" -> graft.sources.NdjsonIngest.readLatest(s, tableDir)),
+        versionedDirs = Map("ev" -> tableDir))
+      graft.lang.Planner.plan(
+        """ev
+          |  .filter(between(status, 1, 2) || between(status, 4, 5))
+          |  .groupBy({c := count()})""".stripMargin, catalog)
+    },
+
+    // ---- GROUPED COUNT UNDER A DISJUNCTION ON THE GROUP COLUMN: the
+    //      two-window OR constrains only the GROUP column, so it applies
+    //      ENTRY-WISE to the histogram tokens (a token survives iff it
+    //      passes some window) — exactly as sound as the plain group-
+    //      column range test, no whole-layer pass needed. Zero parquet
+    //      footers even though every layer is split by the windows. ----
+    QDef("q_group_or",
+      """SELECT CAST(event_id % 7 AS INT) AS status,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM events
+        |WHERE (event_id % 7) BETWEEN 1 AND 2
+        |   OR (event_id % 7) BETWEEN 4 AND 5
+        |GROUP BY 1 ORDER BY status""".stripMargin) { (s, dir) =>
+      val tableDir = memoEventsChain(s, dir)
+      val catalog = graft.lang.Planner.Catalog(
+        tables = Map("ev" -> graft.sources.NdjsonIngest.readLatest(s, tableDir)),
+        versionedDirs = Map("ev" -> tableDir))
+      graft.lang.Planner.plan(
+        """ev
+          |  .filter(between(status, 1, 2) || between(status, 4, 5))
+          |  .groupBy({cnt := count()}, {status})
+          |  .orderBy({status})""".stripMargin, catalog)
+    },
+
     // ---- DISJUNCTIVE WINDOWS + TOP-K COMPOSED: the OR filter's note
     //      now survives to the limit, whose rewrite bounds the read by
     //      BOTH the union-of-arms zone test and the or-aware qualifying

@@ -1164,10 +1164,13 @@ object NdjsonIngest {
       ranges: Seq[(String, Double, Double)] = Nil,
       strEquals: Seq[(String, Seq[String])] = Nil,
       nullCols: Seq[String] = Nil, notNullCols: Seq[String] = Nil,
-      // disjunctive conjuncts: zone-narrow per layer, and must provably
-      // pass ALL of a layer's rows (orGroupPassCount == n) for the
-      // per-group split to stay knowable — entry-wise OR application is
-      // deliberately not attempted
+      // disjunctive conjuncts: zone-narrow per layer; a group whose
+      // arms are all COMPLETE and constrain ONLY the group column
+      // applies ENTRY-WISE to the histogram tokens (the disjunction is
+      // then a function of the group value — exactly as sound as the
+      // plain group-column range test); every OTHER group must provably
+      // pass ALL of a layer's rows (orGroupPassCount == n), since its
+      // per-group split is unknowable from per-column ledgers
       orGroups: Seq[Seq[ZoneArm]] = Nil)
       : Option[Seq[(Option[String], Long)]] = {
     val gRanges = ranges.filter(_._1 == groupCol)
@@ -1178,6 +1181,8 @@ object NdjsonIngest {
     val oStrEqs = strEquals.filterNot(_._1 == groupCol)
     val oNull = nullCols.filterNot(_ == groupCol)
     val oNotNull = notNullCols.filterNot(_ == groupCol)
+    val (gOgs, oOgs) = orGroups.partition(
+      orGroupSingleColumn(_).contains(groupCol))
     def entryPasses(tokenValue: String): Boolean = {
       val rangesOk = gRanges.forall { case (_, lo, hi) =>
         // ranges only form on numeric/date columns, so a group-col range
@@ -1185,7 +1190,8 @@ object NdjsonIngest {
         val v = tokenValue.toDouble; lo <= v && v <= hi
       }
       val strOk = gStrEqs.forall { case (_, vs) => vs.contains(tokenValue) }
-      rangesOk && strOk && !gIsNull // isNull(g) rejects every non-null group
+      val orOk = gOgs.forall(_.exists(armPassesToken(_, tokenValue)))
+      rangesOk && strOk && orOk && !gIsNull // isNull(g) rejects non-nulls
     }
     val perLayer: Seq[Option[Seq[(Option[String], Long)]]] = chain.map { l =>
       val lines = statsLines(tableDir, l).getOrElse(Seq.empty)
@@ -1194,18 +1200,23 @@ object NdjsonIngest {
         Some(Nil)
       else nFromLines(lines).flatMap { n =>
         // every non-group conjunct must pass ALL rows of this layer
-        // (or-groups too — even one ON the group column is fine when it
-        // passes all rows: it then can't change the per-group split)
+        // (or-groups not entirely on the group column included — their
+        // per-group split is unknowable unless they pass everything)
         val othersPassAll: Boolean =
           conjunctPassCounts(lines, n, oRanges, oStrEqs, oNull, oNotNull,
-            orGroups).forall(_.exists(_ == n))
+            oOgs).forall(_.exists(_ == n))
         if (!othersPassAll) None
         else {
           val nnG = nnFromLines(lines, groupCol)
-          val nullGroupWanted = !gNotNull && gRanges.isEmpty && gStrEqs.isEmpty
+          // the null group survives only when NO conjunct rejects null
+          // rows: ranges/equalities/isNotNull do, and a group-column
+          // or-group keeps it only via a null-accepting arm
+          val nullGroupWanted = !gNotNull && gRanges.isEmpty &&
+            gStrEqs.isEmpty && gOgs.forall(_.exists(armPassesNull))
           if (gIsNull) {
             // only the null group survives; no histogram needed
-            if (gRanges.nonEmpty || gStrEqs.nonEmpty || gNotNull) Some(Nil)
+            if (gRanges.nonEmpty || gStrEqs.nonEmpty || gNotNull ||
+                !gOgs.forall(_.exists(armPassesNull))) Some(Nil)
             else nnG.map(nn => if (n - nn > 0) Seq((None, n - nn)) else Nil)
           } else histExactFromLines(lines, groupCol).flatMap { hist =>
             val kept = hist.filter { case (tok, _) => entryPasses(tok) }
@@ -1455,7 +1466,7 @@ object NdjsonIngest {
     orGroups.map(orGroupPassCount(lines, n, _))
 
   /** EXACT pass count of ONE disjunctive conjunct over a layer, when
-    * the sidecars pin it. Disjunctions CAN feed counts in three provable
+    * the sidecars pin it. Disjunctions CAN feed counts in four provable
     * shapes (everything else stays None — pure narrowing only, as
     * before):
     *  - some COMPLETE arm provably passes ALL `n` rows (each of its
@@ -1468,7 +1479,15 @@ object NdjsonIngest {
     *    passes that arm, and no null passes ANY arm (SQL range
     *    comparisons reject null), so the count is exactly the column's
     *    non-null ledger. The reference's Or unions disjoint per-value
-    *    bitmaps the same way (filter/operators/or.cpp).
+    *    bitmaps the same way (filter/operators/or.cpp);
+    *  - all arms are COMPLETE and constrain ONE common column that
+    *    carries an exact complete histogram: the pass count is the SUM
+    *    of the counts of tokens passing ANY arm, plus the null ledger
+    *    when some arm accepts nulls (a pure isNull arm) — exact for
+    *    ANY window layout, including a layer whose envelope STRADDLES
+    *    two disjoint windows (pass = pass(a) + pass(b)), the per-value
+    *    granularity the reference's Or gets from unioning per-value
+    *    bitmaps.
     * `complete` gates the positive rules: an arm that dropped an opaque
     * conjunct could pass fewer rows than its recorded tests admit, and
     * an overcount here would be a wrong answer, not a missed
@@ -1483,7 +1502,7 @@ object NdjsonIngest {
       !zoneKeep(lines, a.ranges, a.strEquals, a.nullCols, a.notNullCols)
     if (arms.exists(armPassesAll)) Some(n)
     else if (arms.forall(armExcluded)) Some(0L)
-    else {
+    else orGroupHistCount(lines, n, arms).orElse {
       val armRanges: Seq[Option[(String, Double, Double)]] = arms.map {
         case a if a.complete && a.strEquals.isEmpty && a.nullCols.isEmpty &&
             a.notNullCols.isEmpty && a.ranges.size == 1 =>
@@ -1502,6 +1521,64 @@ object NdjsonIngest {
       } yield nn
     }
   }
+
+  /** The single column an or-group's arms all constrain, when every
+    * arm is COMPLETE and touches exactly one common column — the gate
+    * for entry-wise application of the disjunction to that column's
+    * histogram tokens (the whole predicate is then a function of the
+    * one column, so per-value counts decide it exactly).
+    */
+  private def orGroupSingleColumn(arms: Seq[ZoneArm]): Option[String] = {
+    val perArm = arms.map { a =>
+      if (!a.complete) Set.empty[String]
+      else (a.ranges.map(_._1) ++ a.strEquals.map(_._1) ++
+        a.nullCols ++ a.notNullCols).toSet
+    }
+    perArm.flatten.distinct match {
+      case Seq(c) if perArm.forall(_ == Set(c)) && arms.forall(_.complete) =>
+        Some(c)
+      case _ => None
+    }
+  }
+
+  /** Does a NON-NULL histogram token pass this (single-column) arm?
+    * Ranges compare the token's double (tokens are exact — see
+    * [[histExactFromLines]] — and strict rounded comparisons against a
+    * possibly-rounded literal imply the true ones, monotonicity), sets
+    * test membership, isNull rejects every non-null value.
+    */
+  private def armPassesToken(a: ZoneArm, tok: String): Boolean =
+    a.nullCols.isEmpty &&
+      a.ranges.forall { case (_, lo, hi) =>
+        val v = tok.toDouble; lo <= v && v <= hi } &&
+      a.strEquals.forall { case (_, vs) => vs.contains(tok) }
+
+  /** Does a NULL row pass this (single-column) arm? Every conjunct must
+    * accept null: ranges, equalities and isNotNull reject it; a pure
+    * isNull arm accepts.
+    */
+  private def armPassesNull(a: ZoneArm): Boolean =
+    a.ranges.isEmpty && a.strEquals.isEmpty && a.notNullCols.isEmpty
+
+  /** [[orGroupPassCount]]'s histogram shape: all arms complete on ONE
+    * common column with an exact complete histogram → Σ counts of
+    * tokens passing any arm, plus the null complement when some arm
+    * accepts nulls. Exact for any window layout — disjoint, contained,
+    * overlapping, or straddling a layer's envelope.
+    */
+  private def orGroupHistCount(lines: Seq[Array[String]], n: Long,
+      arms: Seq[ZoneArm]): Option[Long] =
+    for {
+      c <- orGroupSingleColumn(arms)
+      hist <- histExactFromLines(lines, c)
+      nn <- nnFromLines(lines, c)
+    } yield {
+      val tokPass = hist.collect {
+        case (tok, cnt) if arms.exists(armPassesToken(_, tok)) => cnt
+      }.sum
+      val nullPass = if (arms.exists(armPassesNull)) n - nn else 0L
+      tokPass + nullPass
+    }
 
   /** One arm of a DISJUNCTIVE zone conjunct (`filter(a || b)`): the
     * stats-decidable conjuncts of that arm. A layer passes an or-group

@@ -316,6 +316,22 @@ class PlanSpec extends SparkSpec {
       "disjoint-window metadata count must not plan a file scan")
   }
 
+  test("q_or_count_split: windows that SPLIT every layer (envelope " +
+    "straddles both arms) still count from the layer histograms — " +
+    "pass(a)+pass(b) per layer, zero parquet footers") {
+    val df = SparkEntry.queries("q_or_count_split")(spark, sfDir)
+    assert(df.inputFiles.isEmpty,
+      "layer-splitting disjunction count must not plan a file scan")
+  }
+
+  test("q_group_or: a disjunction ON the group column applies entry-" +
+    "wise to the histogram tokens — zero parquet footers even though " +
+    "every layer is split by the windows") {
+    val df = SparkEntry.queries("q_group_or")(spark, sfDir)
+    assert(df.inputFiles.isEmpty,
+      "group-column disjunction grouped count must not plan a file scan")
+  }
+
   test("q_or_topk: disjoint OR windows compose with the top-k bound — " +
     "1 of 30 layers, still a top-k plan") {
     val df = SparkEntry.queries("q_or_topk")(spark, sfDir)

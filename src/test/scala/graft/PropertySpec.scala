@@ -1030,7 +1030,27 @@ class PropertySpec extends SparkSpec {
               ".groupBy({c := count()})",
             s"t.filter(isNotNull(v))" +
               s".filter(between(v, ${lo - 9}, ${lo - 5}) || " +
-              s"between(v, $lo, $hi)).groupBy({c := count()})").foreach { q =>
+              s"between(v, $lo, $hi)).groupBy({c := count()})",
+            // windows SPLITTING a layer decide via the value histogram
+            // (pass(a)+pass(b) per layer — orGroupHistCount); narrow
+            // windows over the tight v range make straddles common
+            s"t.filter(between(v, -2, 0) || between(v, 2, 4))" +
+              ".groupBy({c := count()})",
+            s"t.filter(between(v, -2, 0) || v = 3)" +
+              ".groupBy({c := count()})",
+            // THREE arms, still one column
+            s"t.filter(between(v, $lo, $hi) || " +
+              s"between(v, ${lo - 9}, ${lo - 5}) || v = ${hi + 2})" +
+              ".groupBy({c := count()})",
+            // arms on DIFFERENT columns: no single-column histogram
+            // shape — must fall back (or pass-all) and still agree
+            s"t.filter(between(v, -2, 0) || isNotNull(c))" +
+              ".groupBy({c := count()})",
+            s"t.filter(between(v, -2, 0) || in(c, {'AT','DE'}))" +
+              ".groupBy({c := count()})",
+            // single-column INT arms splitting every layer (s ∈ 0..2)
+            "t.filter(between(s, 0, 0) || s = 2).groupBy({c := count()})")
+          .foreach { q =>
           def cnt(cat: Catalog) = Planner.plan(q, cat).collect().head.getLong(0)
           assert(cnt(routed) === cnt(unrouted), s"case $ci query $q")
         }
@@ -1042,7 +1062,17 @@ class PropertySpec extends SparkSpec {
             s"t.filter(between(v, ${lo - 9}, ${lo - 5}) || " +
               s"between(v, $lo, $hi)).groupBy({n := count()}, {c})",
             "t.filter(isNotNull(c)).groupBy({n := count()}, {c})",
-            "t.filter(isNull(c)).groupBy({n := count()}, {c})") ++
+            "t.filter(isNull(c)).groupBy({n := count()}, {c})",
+            // disjunction ON the string group column (in-set arms,
+            // one null-accepting arm): entry-wise, null group kept
+            "t.filter(in(c, {'AT','DE'}) || isNull(c))" +
+              ".groupBy({n := count()}, {c})",
+            "t.filter(in(c, {'AT','DE'}) || c = 'JP')" +
+              ".groupBy({n := count()}, {c})",
+            // a layer-splitting or-group NOT on the group column can't
+            // split per group — must fall back and still agree
+            s"t.filter(between(v, -2, 0) || between(v, 2, 4))" +
+              ".groupBy({n := count()}, {c})") ++
           (if (cs.nonEmpty)
             Seq(s"t.filter(in(c, {${cs.map(x => s"'$x'").mkString(",")}}))" +
               ".groupBy({n := count()}, {c})")
@@ -1052,12 +1082,17 @@ class PropertySpec extends SparkSpec {
           assert(groupsOf(routed) === groupsOf(unrouted), s"case $ci query $q")
         }
         // INT-keyed grouped counts (integer layer histograms): bare,
-        // under an unrelated window, and under a range ON the int group
-        // column (applies entry-wise to the integer tokens)
+        // under an unrelated window, under a range ON the int group
+        // column, and under a DISJUNCTION on the group column (applies
+        // entry-wise to the integer tokens — every layer is split by
+        // the windows, no whole-layer pass exists)
         Seq("t.groupBy({n := count()}, {s})",
             s"t.filter(between(v, $lo, $hi)).groupBy({n := count()}, {s})",
             "t.filter(between(s, 0, 1)).groupBy({n := count()}, {s})",
-            "t.filter(s = 2).groupBy({n := count()}, {s})").foreach { q =>
+            "t.filter(s = 2).groupBy({n := count()}, {s})",
+            "t.filter(between(s, 0, 0) || s = 2).groupBy({n := count()}, {s})",
+            "t.filter(between(s, 0, 0) || between(s, 2, 2))" +
+              ".groupBy({n := count()}, {s})").foreach { q =>
           def groupsOf(cat: Catalog) = Planner.plan(q, cat).collect()
             .map(r => (r.getInt(0), r.getLong(1))).toSet
           assert(groupsOf(routed) === groupsOf(unrouted), s"case $ci query $q")
