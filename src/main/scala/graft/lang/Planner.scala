@@ -1407,6 +1407,7 @@ in.zone match {
   private val pipelineSigs: Map[String, Seq[Param]] = Map(
     "filter" -> Seq(P("input"), P("predicate")),
     "schema" -> Seq(P("input")),
+    "approxCount" -> Seq(P("input")),
     "groupBy" -> Seq(P("input"), P("aggregates"), P("columns", req = false)),
     "project" -> Seq(P("input"), P("fields")),
     "map" -> Seq(P("input"), P("expressions")),
@@ -1838,6 +1839,39 @@ in.zone match {
           case None    => xxhash64(in.df.columns.map(col) :+ lit(seed): _*)
         }
         Tbl(in.df.orderBy(k), in.origin)
+
+      case "approxCount" =>
+        // `[lo, hi]` bracket on the row count, metadata-first (zero
+        // parquet footers): merge-free chains — filtered, unioned, or
+        // bare — pin it EXACTLY from the recorded layer counts
+        // (metaCountOf, so lo == hi); a bare registered MERGE-ON-READ
+        // chain answers the provable bracket (recorded rows minus total
+        // shadow capacity, chainMergedCountBracket — the same bracket
+        // the merged top-k routing heuristic consumes); anything else
+        // falls back to ONE exact counting pass (lo == hi == count).
+        // The user-facing answer is always a true bracket: the real
+        // count provably lies in [lo, hi].
+        val in = input
+        val spark = in.df.sparkSession
+        def two(lo: Long, hi: Long): Tbl =
+          Tbl(spark.range(1).select(lit(lo).as("lo"), lit(hi).as("hi")),
+            None)
+        metaCountOf(in) match {
+          case Some(total) => two(total, total)
+          case None =>
+            val bracket = for {
+              t <- in.origin
+              dir <- catalog.mergedVersionedDirs.get(t)
+              if catalog.tables.get(t).exists(_ eq in.df)
+              chain <- frameLayersMerged(in.df, dir)
+              b <- graft.sources.NdjsonIngest
+                .chainMergedCountBracket(dir, chain)
+            } yield b
+            bracket match {
+              case Some((lo, hi)) => two(lo, hi)
+              case None => val c = in.df.count(); two(c, c)
+            }
+        }
 
       case "schema" =>
         // Sequence-bound tables present each bound sequence as ONE `STRING`

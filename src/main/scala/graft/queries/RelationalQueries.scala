@@ -875,6 +875,23 @@ object RelationalQueries {
           |  .groupBy({c := count()})""".stripMargin, catalog)
     },
 
+    // ---- APPROX COUNT BRACKET: approxCount() answers `[lo, hi]` from
+    //      the sidecars alone — exact (lo == hi) on a merge-free chain
+    //      (recorded layer counts), the provable shadow bracket on a
+    //      merged one (chainMergedCountBracket; the same bracket the
+    //      merged top-k routing heuristic consumes). Zero footers; the
+    //      oracle counts the flat table for real. ----
+    QDef("q_approx_count",
+      """SELECT CAST(count(*) AS BIGINT) AS lo,
+        |  CAST(count(*) AS BIGINT) AS hi FROM events""".stripMargin) {
+      (s, dir) =>
+      val tableDir = memoEventsChain(s, dir)
+      val catalog = graft.lang.Planner.Catalog(
+        tables = Map("ev" -> graft.sources.NdjsonIngest.readLatest(s, tableDir)),
+        versionedDirs = Map("ev" -> tableDir))
+      graft.lang.Planner.plan("ev.approxCount()", catalog)
+    },
+
     // ---- DISJUNCTIVE ZONE PRUNING: filter(a || b) prunes on the UNION
     //      of the arms' envelopes — a layer survives iff it intersects
     //      arm a OR arm b (the reference's Or operator unions bitmaps the

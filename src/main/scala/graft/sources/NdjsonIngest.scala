@@ -829,6 +829,27 @@ object NdjsonIngest {
       "chainTopKLayersMerged needs a non-empty layer chain")
     val withLines = chain.map(l =>
       l -> statsLines(tableDir, l).getOrElse(Seq.empty))
+    val survivors = withLines
+      .filter { case (l, _) => layerHasData(tableDir, l) }
+      .filter { case (_, lines) =>
+        zoneKeep(lines, ranges, strEquals, nullCols, notNullCols, orGroups) }
+    if (survivors.isEmpty) return Nil
+    if (nullCols.contains(column)) return survivors.map(_._1)
+    // Routing heuristic — [[chainMergedCountBracket]]'s optimizer-side
+    // consumer ("is this merged chain upsert-light enough to bother
+    // bounding?"): when total shadow capacity reaches half the recorded
+    // rows (bracket lower·2 < upper) or is unknowable, the per-layer
+    // loss subtraction zeroes almost every qualifying lower bound and
+    // the bound walk buys nothing — return the zone survivors directly
+    // (a SUPERSET is always sound; the caller re-applies
+    // filter+sort+limit row-wise). The rare prunable tail on such a
+    // chain (a fresh append atop heavy upserts) is transient:
+    // maintenance compaction resets every capacity to zero at the next
+    // fold. Upsert-light chains — the production norm — keep the
+    // bounded path.
+    val upsertLight = chainMergedCountBracket(tableDir, chain)
+      .exists { case (lo, up) => lo * 2 >= up }
+    if (!upsertLight) return survivors.map(_._1)
     val caps = shadowCaps(tableDir, withLines)
     val losses: Map[String, Option[Long]] = chain.zipWithIndex.map {
       case (l, i) =>
@@ -836,12 +857,6 @@ object NdjsonIngest {
         l -> (if (younger.exists(_.isEmpty)) None
               else Some(younger.flatten.sum))
     }.toMap
-    val survivors = withLines
-      .filter { case (l, _) => layerHasData(tableDir, l) }
-      .filter { case (_, lines) =>
-        zoneKeep(lines, ranges, strEquals, nullCols, notNullCols, orGroups) }
-    if (survivors.isEmpty) return Nil
-    if (nullCols.contains(column)) return survivors.map(_._1)
     if (survivors.exists(s => envFromLines(s._2, column).isDefined))
       topKSelect[Double](survivors, envFromLines(_, column), column, k,
         descending, ranges, strEquals, nullCols, notNullCols, orGroups,

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.NdjsonIngest
+import graft.lang.Planner
+
+/** The merged-count bracket's two consumers: the top-k routing
+  * heuristic in [[NdjsonIngest.chainTopKLayersMerged]] (skip the bound
+  * walk on shadow-heavy chains — the per-layer loss subtraction zeroes
+  * every qualifying lower bound) and the `approxCount()` user surface.
+  */
+class BracketRoutingSpec extends SparkSpec {
+
+  private def tmpDir(): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bracket")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)))
+    s"$tmp/t"
+  }
+
+  test("merged top-k routing FLIPS on the bracket: an upsert-light " +
+      "chain bounds its read, a shadow-heavy chain skips the bound") {
+    val session = spark
+    import session.implicits._
+    val n = 20
+    // LIGHT: snapshot + three appends with ascending v ranges + one
+    // 1-row upsert — shadow capacity 1 of 80 recorded rows
+    val light = tmpDir()
+    NdjsonIngest.appendVersion(
+      (0 until n).map(i => (i.toLong, i.toLong)).toDF("id", "v"),
+      light, "id")
+    (1 to 3).foreach(b => NdjsonIngest.appendDelta(
+      (0 until n).map(i => ((b * n + i).toLong, (b * 1000 + i).toLong))
+        .toDF("id", "v"), light, "id"))
+    NdjsonIngest.upsertDelta(Seq((0L, 5L)).toDF("id", "v"), light, "id")
+    val lightChain = NdjsonIngest.latestLayers(light)
+    val keptLight = NdjsonIngest.chainTopKLayersMerged(
+      light, lightChain, "v", 3, descending = true)
+    assert(keptLight.length < lightChain.length,
+      s"upsert-light chain must bound its read: kept $keptLight " +
+        s"of $lightChain")
+    // HEAVY: snapshot + three FULL-REWRITE upserts (capacity 3n of 4n
+    // recorded rows → bracket lower·2 < upper) — even though the newest
+    // layer's envelope alone could bound a desc top-k, the heuristic
+    // skips the walk and returns every surviving data layer
+    val heavy = tmpDir()
+    NdjsonIngest.appendVersion(
+      (0 until n).map(i => (i.toLong, i.toLong)).toDF("id", "v"),
+      heavy, "id")
+    (1 to 3).foreach(b => NdjsonIngest.upsertDelta(
+      (0 until n).map(i => (i.toLong, (b * 1000 + i).toLong))
+        .toDF("id", "v"), heavy, "id"))
+    val heavyChain = NdjsonIngest.latestLayers(heavy)
+    val (lo, up) = NdjsonIngest.chainMergedCountBracket(heavy, heavyChain).get
+    assert(lo * 2 < up, s"chain must read shadow-heavy: [$lo, $up]")
+    val keptHeavy = NdjsonIngest.chainTopKLayersMerged(
+      heavy, heavyChain, "v", 3, descending = true)
+    assert(keptHeavy.toSet === heavyChain.toSet,
+      s"shadow-heavy chain must skip the bound: kept $keptHeavy")
+    // the skipped bound is a SUPERSET read — results stay correct
+    val frame = NdjsonIngest.readLatestMerged(spark, heavy, "id")
+    val routed = Planner.plan("t.orderBy({desc(v), id}).limit(3)",
+      Planner.Catalog(tables = Map("t" -> frame),
+        primaryKeys = Map("t" -> "id"),
+        mergedVersionedDirs = Map("t" -> heavy)))
+      .select("id").as[Long].collect().toSeq
+    val unrouted = frame.orderBy(col("v").desc, col("id")).limit(3)
+      .select("id").as[Long].collect().toSeq
+    assert(routed === unrouted)
+  }
+
+  test("approxCount(): exact [c, c] from metadata on merge-free chains, " +
+      "a true bracket with lo < hi on an upsert-heavy merged chain") {
+    val session = spark
+    import session.implicits._
+    // merge-free: zero-footer exact answer
+    val plain = tmpDir()
+    NdjsonIngest.appendVersion(
+      (0 until 10).map(i => (i.toLong, i.toLong)).toDF("id", "v"),
+      plain, "id")
+    NdjsonIngest.appendDelta(
+      (10 until 25).map(i => (i.toLong, i.toLong)).toDF("id", "v"),
+      plain, "id")
+    val pf = Planner.plan("t.approxCount()",
+      Planner.Catalog(
+        tables = Map("t" -> NdjsonIngest.readLatest(spark, plain)),
+        versionedDirs = Map("t" -> plain)))
+    assert(pf.inputFiles.isEmpty,
+      "merge-free approxCount must not plan a file scan")
+    assert(pf.collect().head === org.apache.spark.sql.Row(25L, 25L))
+    // merged: the bracket is strict (upserts may or may not shadow),
+    // still zero footers, still containing the truth
+    val merged = tmpDir()
+    NdjsonIngest.appendVersion(
+      (0 until 10).map(i => (i.toLong, 0L)).toDF("id", "v"), merged, "id")
+    NdjsonIngest.upsertDelta(
+      (0 until 6).map(i => (i.toLong, 1L)).toDF("id", "v"), merged, "id")
+    NdjsonIngest.deleteDelta(Seq(9L).toDF("id"), merged, "id")
+    val frame = NdjsonIngest.readLatestMerged(spark, merged, "id")
+    val mf = Planner.plan("t.approxCount()",
+      Planner.Catalog(tables = Map("t" -> frame),
+        primaryKeys = Map("t" -> "id"),
+        mergedVersionedDirs = Map("t" -> merged)))
+    assert(mf.inputFiles.isEmpty,
+      "merged approxCount must answer from the sidecars alone")
+    val row = mf.collect().head
+    val truth = frame.count()
+    assert(row.getLong(0) < row.getLong(1), s"bracket must be strict: $row")
+    assert(row.getLong(0) <= truth && truth <= row.getLong(1))
+    // an UNREGISTERED frame still answers — one exact counting pass
+    val uf = Planner.plan("t.approxCount()",
+      Planner.Catalog(tables = Map("t" -> frame)))
+    assert(uf.collect().head === org.apache.spark.sql.Row(truth, truth))
+  }
+}

@@ -316,6 +316,13 @@ class PlanSpec extends SparkSpec {
       "disjoint-window metadata count must not plan a file scan")
   }
 
+  test("q_approx_count: the [lo, hi] bracket answers from the sidecars " +
+    "alone — exact on the merge-free chain, zero parquet footers") {
+    val df = SparkEntry.queries("q_approx_count")(spark, sfDir)
+    assert(df.inputFiles.isEmpty,
+      "approxCount on a merge-free chain must not plan a file scan")
+  }
+
   test("q_or_count_split: windows that SPLIT every layer (envelope " +
     "straddles both arms) still count from the layer histograms — " +
     "pass(a)+pass(b) per layer, zero parquet footers") {

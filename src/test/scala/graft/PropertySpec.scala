@@ -712,6 +712,17 @@ class PropertySpec extends SparkSpec {
           assert(lo2 === truth && hi2 === truth,
             s"case $ci post-compact bracket [$lo2, $hi2] not exact ($truth)")
       }
+      // the approxCount() surface rides the same bracket: routed must
+      // bracket the truth from metadata; unrouted counts exactly
+      locally {
+        val truth = frame.count()
+        val ac = Planner.plan("t.approxCount()", routed).collect().head
+        assert(ac.getLong(0) <= truth && truth <= ac.getLong(1),
+          s"case $ci approxCount [${ac.getLong(0)}, ${ac.getLong(1)}] " +
+            s"misses $truth")
+        val acU = Planner.plan("t.approxCount()", unrouted).collect().head
+        assert(acU.getLong(0) === truth && acU.getLong(1) === truth)
+      }
       // merged top-k: the shadow-loss-aware bound must stay a superset
       // of the true suppliers under any upsert/delete/compact history
       Seq("t.orderBy({desc(v), id}).limit(3)",
