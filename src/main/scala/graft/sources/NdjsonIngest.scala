@@ -41,6 +41,21 @@ object NdjsonIngest {
   val HistogramMaxEntries: Int =
     sys.props.get("graft.histogramMaxEntries").map(_.toInt).getOrElse(1024)
 
+  /** Per-layer byte budget for the HISTOGRAM portion of a `_stats`
+    * sidecar. The per-column cap bounds one histogram (~32 KB at cap
+    * 1024, measured by tools/HistogramCapAudit), but a 500-column table
+    * would still write ~16 MB of sidecar per layer — parsed by EVERY
+    * plan over the chain. Past the budget the WIDEST histograms drop
+    * first (fewest-groups-per-byte — the narrow status/category columns
+    * that actually serve grouped counts always survive); a dropped
+    * histogram only costs a fallback to the grouping scan, never an
+    * answer. Envelopes/ledgers are O(columns) and never dropped.
+    * Override per-JVM with `-Dgraft.histogramBudgetBytes=N`.
+    */
+  val HistogramBudgetBytes: Long =
+    sys.props.get("graft.histogramBudgetBytes").map(_.toLong)
+      .getOrElse(256L * 1024)
+
   final case class DuplicatePrimaryKey(keys: Seq[String])
     extends RuntimeException(s"duplicate primary keys: ${keys.mkString(", ")}")
 
@@ -525,10 +540,10 @@ object NdjsonIngest {
           exactVal(lo.asInstanceOf[Double]) &&
           exactVal(hi.asInstanceOf[Double])
       }
-    val histLines: Seq[String] = histCand.zipWithIndex.flatMap {
+    val histBlocks: Seq[Seq[String]] = histCand.zipWithIndex.flatMap {
       case (c, i) =>
-        if (!longSafe(c)) Nil
-        else Option(row.getMap[String, Long](histBase + i)).toSeq.flatMap { m =>
+        if (!longSafe(c)) None
+        else Option(row.getMap[String, Long](histBase + i)).map { m =>
           val entries = m.toSeq
           s"gh:$c ${entries.length}" +:
             entries.sortBy(_._1).map { case (v, cnt) =>
@@ -536,6 +551,19 @@ object NdjsonIngest {
                 v.getBytes(java.nio.charset.StandardCharsets.UTF_8))} $cnt"
             }
         }
+    }
+    // the per-LAYER histogram byte budget (HistogramBudgetBytes):
+    // narrowest-first keeps the low-cardinality group keys that grouped
+    // counts actually consult; the widest blocks drop once the running
+    // total passes the budget. Stable: ties keep histCand order, so the
+    // same batch always writes the same sidecar.
+    val histLines: Seq[String] = {
+      var spent = 0L
+      histBlocks.sortBy(b => b.map(_.length + 1L).sum).flatMap { b =>
+        val sz = b.map(_.length + 1L).sum
+        if (spent + sz <= HistogramBudgetBytes) { spent += sz; b }
+        else Nil
+      }
     }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(layerDir, "_stats"),
