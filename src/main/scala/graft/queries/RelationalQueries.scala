@@ -986,6 +986,29 @@ object RelationalQueries {
           |  .orderBy({status})""".stripMargin, catalog)
     },
 
+    // ---- TWO-COLUMN ROLLUP UNDER A GROUP-COLUMN DISJUNCTION: the
+    //      (day × status) rollup with a two-window OR on status — day is
+    //      layer-constant, status applies the or-group ENTRY-WISE to its
+    //      integer histogram tokens (chainGroupCountTwo), so the whole
+    //      filtered rollup stays a metadata sum. Zero parquet footers. ----
+    QDef("q_group_two_or",
+      """SELECT CAST(ts AS DATE) AS d, CAST(event_id % 7 AS INT) AS status,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM events
+        |WHERE (event_id % 7) BETWEEN 1 AND 2
+        |   OR (event_id % 7) BETWEEN 4 AND 5
+        |GROUP BY 1, 2 ORDER BY d, status""".stripMargin) { (s, dir) =>
+      val tableDir = memoEventsChain(s, dir)
+      val catalog = graft.lang.Planner.Catalog(
+        tables = Map("ev" -> graft.sources.NdjsonIngest.readLatest(s, tableDir)),
+        versionedDirs = Map("ev" -> tableDir))
+      graft.lang.Planner.plan(
+        """ev
+          |  .filter(between(status, 1, 2) || between(status, 4, 5))
+          |  .groupBy({cnt := count()}, {d, status})
+          |  .orderBy({d, status})""".stripMargin, catalog)
+    },
+
     // ---- DISJUNCTIVE WINDOWS + TOP-K COMPOSED: the OR filter's note
     //      now survives to the limit, whose rewrite bounds the read by
     //      BOTH the union-of-arms zone test and the or-aware qualifying

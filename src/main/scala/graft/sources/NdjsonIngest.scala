@@ -1285,20 +1285,29 @@ object NdjsonIngest {
     */
   private final case class GroupPred(
       ranges: Seq[(Double, Double)], strEqs: Seq[Seq[String]],
-      isNull: Boolean, notNull: Boolean) {
+      isNull: Boolean, notNull: Boolean,
+      // or-groups whose arms ALL constrain this column (complete arms
+      // only — orGroupSingleColumn): the disjunction is then a function
+      // of the group value and applies entry-wise, exactly like the
+      // plain range/set conjuncts above
+      ogs: Seq[Seq[ZoneArm]] = Nil) {
     def entryPasses(tok: String): Boolean =
       ranges.forall { case (lo, hi) =>
         val v = tok.toDouble; lo <= v && v <= hi } &&
-        strEqs.forall(_.contains(tok)) && !isNull
-    def nullPasses: Boolean = !notNull && ranges.isEmpty && strEqs.isEmpty
+        strEqs.forall(_.contains(tok)) &&
+        ogs.forall(_.exists(armPassesToken(_, tok))) && !isNull
+    def nullPasses: Boolean = !notNull && ranges.isEmpty &&
+      strEqs.isEmpty && ogs.forall(_.exists(armPassesNull))
   }
   private def groupPred(c: String, ranges: Seq[(String, Double, Double)],
       strEquals: Seq[(String, Seq[String])], nullCols: Seq[String],
-      notNullCols: Seq[String]): GroupPred =
+      notNullCols: Seq[String],
+      orGroups: Seq[Seq[ZoneArm]] = Nil): GroupPred =
     GroupPred(
       ranges.collect { case (`c`, lo, hi) => (lo, hi) },
       strEquals.collect { case (`c`, vs) => vs },
-      nullCols.contains(c), notNullCols.contains(c))
+      nullCols.contains(c), notNullCols.contains(c),
+      orGroups.filter(orGroupSingleColumn(_).contains(c)))
 
   /** EXACT TWO-column grouped counts from the sidecars alone: a layer is
     * decidable when ONE group column has a complete value histogram and
@@ -1308,9 +1317,11 @@ object NdjsonIngest {
     * win is a day-partitioned chain grouped by (day, type): day is
     * constant per layer, type has a complete histogram — zero footers.
     * Conjuncts on a group column apply entry-wise (constant columns test
-    * their single value); every other conjunct must provably pass ALL
-    * rows. Any undecidable layer → None (callers fall back to the
-    * grouping scan). APPEND-ONLY chains only — gate on [[chainMergeFree]].
+    * their single value) — or-groups whose arms all constrain ONE group
+    * column included, exactly like the one-column rollup; every other
+    * conjunct must provably pass ALL rows. Any undecidable layer → None
+    * (callers fall back to the grouping scan). APPEND-ONLY chains only —
+    * gate on [[chainMergeFree]].
     */
   def chainGroupCountTwo(tableDir: String, chain: Seq[String],
       colA: String, colB: String,
@@ -1319,12 +1330,19 @@ object NdjsonIngest {
       nullCols: Seq[String] = Nil, notNullCols: Seq[String] = Nil,
       orGroups: Seq[Seq[ZoneArm]] = Nil)
       : Option[Seq[((Option[String], Option[String]), Long)]] = {
-    val pA = groupPred(colA, ranges, strEquals, nullCols, notNullCols)
-    val pB = groupPred(colB, ranges, strEquals, nullCols, notNullCols)
+    val pA = groupPred(colA, ranges, strEquals, nullCols, notNullCols,
+      orGroups)
+    val pB = groupPred(colB, ranges, strEquals, nullCols, notNullCols,
+      orGroups)
     val oRanges = ranges.filterNot(r => r._1 == colA || r._1 == colB)
     val oStrEqs = strEquals.filterNot(s => s._1 == colA || s._1 == colB)
     val oNull = nullCols.filterNot(c => c == colA || c == colB)
     val oNotNull = notNullCols.filterNot(c => c == colA || c == colB)
+    // or-groups entirely on ONE group column ride pA/pB entry-wise;
+    // the rest must pass whole layers (their per-group split is
+    // unknowable from per-column ledgers)
+    val oOgs = orGroups.filterNot(g =>
+      orGroupSingleColumn(g).exists(c => c == colA || c == colB))
     // the column's single value across ALL n rows: Some(Some(tok)) when
     // constant non-null, Some(None) when all-null, None when unprovable.
     // Tokens use the histogram encoding (dates as epoch-day doubles), so
@@ -1357,7 +1375,7 @@ object NdjsonIngest {
         else nFromLines(lines).flatMap { n =>
           val othersPassAll =
             conjunctPassCounts(lines, n, oRanges, oStrEqs, oNull, oNotNull,
-              orGroups).forall(_.exists(_ == n))
+              oOgs).forall(_.exists(_ == n))
           if (!othersPassAll) None
           else {
             // (histogram column h, constant column c); emit pairs in

@@ -339,6 +339,14 @@ class PlanSpec extends SparkSpec {
       "group-column disjunction grouped count must not plan a file scan")
   }
 
+  test("q_group_two_or: the two-column rollup applies a group-column " +
+    "disjunction entry-wise (constant day × status histogram) — zero " +
+    "parquet footers") {
+    val df = SparkEntry.queries("q_group_two_or")(spark, sfDir)
+    assert(df.inputFiles.isEmpty,
+      "two-column rollup under a group-column OR must not plan a file scan")
+  }
+
   test("q_or_topk: disjoint OR windows compose with the top-k bound — " +
     "1 of 30 layers, still a top-k plan") {
     val df = SparkEntry.queries("q_or_topk")(spark, sfDir)

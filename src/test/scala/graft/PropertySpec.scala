@@ -1108,9 +1108,15 @@ class PropertySpec extends SparkSpec {
             .map(r => (r.getInt(0), r.getLong(1))).toSet
           assert(groupsOf(routed) === groupsOf(unrouted), s"case $ci query $q")
         }
-        // INT histogram × layer-constant string, both column orders
+        // INT histogram × layer-constant string, both column orders,
+        // plus a group-column DISJUNCTION applied entry-wise to the
+        // histogram side and one the const side must veto per layer
         Seq("t.groupBy({n := count()}, {lc, s})",
-            "t.groupBy({n := count()}, {s, lc})").foreach { q =>
+            "t.groupBy({n := count()}, {s, lc})",
+            "t.filter(between(s, 0, 0) || s = 2)" +
+              ".groupBy({n := count()}, {lc, s})",
+            "t.filter(lc = 'L0' || lc = 'L2')" +
+              ".groupBy({n := count()}, {lc, s})").foreach { q =>
           def groupsOf(cat: Catalog) = Planner.plan(q, cat).collect()
             .map(r => (r.get(0), r.get(1), r.getLong(2))).toSet
           assert(groupsOf(routed) === groupsOf(unrouted), s"case $ci query $q")
