@@ -288,6 +288,11 @@ object AnnIndex {
   def buildOrLoad(spark: SparkSession, emb: DataFrame, idCol: String,
       vecCol: String, indexDir: String, dim: Int, cells: Int, m: Int,
       k: Int, iters: Int = 2, tag: Option[String] = None): Handle =
+    // double-checked under the per-dir commit lock: loads stay
+    // lock-free (readers never serialize), two concurrent builders
+    // train once — the second re-loads what the first committed
+    load(spark, indexDir).getOrElse(
+      graft.core.DirLock.withLock(indexDir, ".commit.lock") {
     load(spark, indexDir).getOrElse {
       import spark.implicits._
       val cents = Ivf.train(emb, vecCol, dim, cells, iters)
@@ -311,6 +316,7 @@ object AnnIndex {
         Seq(graft.operators.BandChain.entryOf("1", tag.toSeq)))
       h
     }
+      })
 
   /** Encode `newEmb` with the frozen model and commit it as a new codes
     * layer — O(batch) work, the model files are never touched. `tag`,
@@ -322,6 +328,7 @@ object AnnIndex {
       vecCol: String, root: String,
       tag: Option[String] = None): Handle = {
     val indexDir = resolveDir(root)
+    graft.core.DirLock.withLock(indexDir, ".commit.lock") {
     val h = load(spark, indexDir).getOrElse(
       throw new IllegalStateException(s"no committed index at $indexDir"))
     if (tag.exists(tags(indexDir))) return h
@@ -338,6 +345,7 @@ object AnnIndex {
     commitMeta(indexDir, entries(indexDir) :+
       graft.operators.BandChain.entryOf(next, tag.toSeq))
     h.copy(layers = h.layers :+ next)
+    }
   }
 
   /** Fold a codes chain longer than `maxLayers` into ONE layer — codes are
@@ -355,6 +363,7 @@ object AnnIndex {
       maxLayers: Int = 8,
       live: Option[org.apache.spark.sql.DataFrame] = None): Boolean = {
     val indexDir = resolveDir(root)
+    graft.core.DirLock.withLock(indexDir, ".commit.lock") {
     val h = load(spark, indexDir).getOrElse(
       throw new IllegalStateException(s"no committed index at $indexDir"))
     if (h.layers.isEmpty ||
@@ -389,6 +398,7 @@ object AnnIndex {
           entries(indexDir).flatMap(graft.operators.BandChain.tagsOf).distinct))))
     }
     true
+    }
   }
 
   /** Delete on-disk code layers not in the committed meta — the PHYSICAL
@@ -411,6 +421,10 @@ object AnnIndex {
     */
   def gcGenerations(root: String, keepLatest: Int = 2): Seq[String] = {
     require(keepLatest >= 1, "gcGenerations must keep the live generation")
+    // the swap lock serializes generation reclaim against rebuildSwap:
+    // a builder's in-progress gen-<n+1> is newer than any reclaim floor,
+    // but the pointer read + delete walk must not interleave with a flip
+    graft.core.DirLock.withLock(root, ".swap.lock") {
     val cur = currentGen(root)
     if (cur == 0L) return Nil // flat layout or no index: nothing swapped
     val floor = cur - keepLatest + 1 // lowest generation kept
@@ -438,12 +452,17 @@ object AnnIndex {
         }
     if (flatDead.nonEmpty) balanceCache.keySet.removeIf(_._1 == root)
     deadGens ++ flatDead
+    }
   }
 
   def gcCodes(root: String): Seq[String] = {
     val indexDir = resolveDir(root)
     if (!java.nio.file.Files.exists(metaPath(indexDir)))
       throw new IllegalStateException(s"no committed index at $indexDir")
+    // under the per-dir commit lock: an appender's freshly-written
+    // layer dir is not in meta until its commit — an unlocked gc racing
+    // it would reclaim the layer mid-write
+    graft.core.DirLock.withLock(indexDir, ".commit.lock") {
     // meta-only read: the committed layer names are all gc needs — loading
     // the model (two Spark jobs) here would tax every consumer tick
     val live = entries(indexDir).map(graft.operators.BandChain.nameOf)
@@ -451,6 +470,7 @@ object AnnIndex {
     if (new java.io.File(s"$indexDir/cellstats").isDirectory)
       graft.operators.BandChain.gcLayerDirs(s"$indexDir/cellstats", live)
     graft.operators.BandChain.gcLayerDirs(s"$indexDir/codes", live)
+    }
   }
 
   /** ONE-CALL change-feed maintenance for a persisted IVF-PQ index over

@@ -91,7 +91,8 @@ object DedupIndex {
     * every bootstrapped doc as duplicates.
     */
   def build(spark: SparkSession, docs: DataFrame, idCol: String,
-      textCol: String, dir: String, tag: Option[String] = None): Unit = {
+      textCol: String, dir: String, tag: Option[String] = None): Unit =
+    graft.core.DirLock.withLock(dir, ".commit.lock") {
     require(layers(dir).isEmpty, s"committed dedup index already at $dir")
     new java.io.File(dir).mkdirs()
     writeLayer(spark, docs, idCol, textCol, dir, "1")
@@ -106,7 +107,8 @@ object DedupIndex {
     * the guard the same batch would accumulate as duplicate signatures.
     */
   def append(spark: SparkSession, newDocs: DataFrame, idCol: String,
-      textCol: String, dir: String, tag: Option[String] = None): Boolean = {
+      textCol: String, dir: String, tag: Option[String] = None): Boolean =
+    graft.core.DirLock.withLock(dir, ".commit.lock") {
     val es = chain.entries(dir)
     require(es.nonEmpty, s"no committed dedup index at $dir")
     if (tag.exists(chain.tags(dir))) return false
@@ -173,7 +175,8 @@ object DedupIndex {
     * explicitly.
     */
   def compact(spark: SparkSession, dir: String, maxLayers: Int = 8,
-      live: Option[DataFrame] = None): Boolean = {
+      live: Option[DataFrame] = None): Boolean =
+    graft.core.DirLock.withLock(dir, ".commit.lock") {
     val es = chain.entries(dir)
     val ls = es.map(chain.nameOf)
     require(ls.nonEmpty, s"no committed dedup index at $dir")
@@ -200,5 +203,7 @@ object DedupIndex {
     * consumer runs it at the start of every POLL. Returns the deleted
     * dir names.
     */
-  def gc(dir: String): Seq[String] = chain.gcLayers(dir, layers(dir))
+  def gc(dir: String): Seq[String] =
+    graft.core.DirLock.withLock(dir, ".commit.lock")(
+      chain.gcLayers(dir, layers(dir)))
 }

@@ -107,7 +107,8 @@ object SimHashIndex {
   /** Index `docs` from scratch as layer 1. */
   def build(spark: SparkSession, docs: DataFrame, idCol: String,
       srcCol: String, textCol: String, dir: String,
-      tag: Option[String] = None): Unit = {
+      tag: Option[String] = None): Unit =
+    graft.core.DirLock.withLock(dir, ".commit.lock") {
     require(layers(dir).isEmpty, s"committed simhash index already at $dir")
     new java.io.File(dir).mkdirs()
     writeLayer(docs, idCol, srcCol, textCol, dir, "1")
@@ -126,7 +127,8 @@ object SimHashIndex {
     */
   def append(spark: SparkSession, newDocs: DataFrame, idCol: String,
       srcCol: String, textCol: String, dir: String,
-      tag: Option[String] = None): Boolean = {
+      tag: Option[String] = None): Boolean =
+    graft.core.DirLock.withLock(dir, ".commit.lock") {
     val es = chain.entries(dir)
     require(es.nonEmpty, s"no committed simhash index at $dir")
     if (tag.exists(chain.tags(dir))) return false
@@ -205,7 +207,8 @@ object SimHashIndex {
     * (probe-time `candidates(live = …)` is the logical half).
     */
   def compact(spark: SparkSession, dir: String, maxLayers: Int = 8,
-      live: Option[DataFrame] = None): Boolean = {
+      live: Option[DataFrame] = None): Boolean =
+    graft.core.DirLock.withLock(dir, ".commit.lock") {
     val es = chain.entries(dir)
     val ls = es.map(chain.nameOf)
     require(ls.nonEmpty, s"no committed simhash index at $dir")
@@ -237,5 +240,7 @@ object SimHashIndex {
     * included), giving a full poll interval of grace. Returns the deleted
     * dir names.
     */
-  def gc(dir: String): Seq[String] = chain.gcLayers(dir, layers(dir))
+  def gc(dir: String): Seq[String] =
+    graft.core.DirLock.withLock(dir, ".commit.lock")(
+      chain.gcLayers(dir, layers(dir)))
 }

@@ -94,6 +94,37 @@ class CommitLockSpec extends SparkSpec {
       s"merged state diverged: ${state.toSeq.sorted} vs ${expected.toSeq.sorted}")
   }
 
+  test("a band-index compact+gc loop racing an appender never loses a " +
+      "committed signature layer (same lock, index chains)") {
+    val dir = s"${tmpDir()}/minhash"
+    val session = spark
+    import session.implicits._
+    def docs(b: Int) = (0 until 3).map(i =>
+      ((b * 3 + i).toLong, s"document text number ${b * 3 + i} with " +
+        s"shared words ${(b * 3 + i) / 2}")).toDF("doc_id", "text")
+    graft.operators.DedupIndex.build(spark, docs(0), "doc_id", "text", dir)
+    @volatile var writerErr: Option[Throwable] = None
+    val batches = 12
+    val writer = new Thread(() => {
+      try (1 until batches).foreach { b =>
+        graft.operators.DedupIndex.append(spark, docs(b), "doc_id",
+          "text", dir)
+      } catch { case t: Throwable => writerErr = Some(t) }
+    }, "race-index-appender")
+    writer.start()
+    while (writer.isAlive) {
+      graft.operators.DedupIndex.compact(spark, dir, maxLayers = 2)
+      graft.operators.DedupIndex.gc(dir)
+    }
+    writer.join()
+    writerErr.foreach(t => fail(s"index appender died: $t", t))
+    graft.operators.DedupIndex.compact(spark, dir, maxLayers = 1)
+    val ids = graft.operators.DedupIndex.load(spark, dir)
+      .select("id").distinct().collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until (batches * 3).toLong),
+      s"signatures lost: ${ids.length} of ${batches * 3} ids survive")
+  }
+
   test("gc racing a committing thread never reclaims a layer the " +
       "final pointer references") {
     val dir = tmpDir()
