@@ -573,14 +573,39 @@ object NdjsonIngest {
   /** A layer's `_stats` sidecar, tokenized — ONE file read shared by all
     * the per-column readers (a routed plan consults several stats per
     * layer; re-reading the sidecar per lookup doubles plan-time metadata
-    * I/O on long chains).
+    * I/O on long chains), and cached ACROSS plans keyed by
+    * (path, mtime, size): sidecars are written once per layer dir (or
+    * appended, which changes the size), so a matching stamp proves the
+    * cached parse current — a serving process stops re-reading and
+    * re-tokenizing the same ~30 immutable files on every query, and on
+    * object storage the per-plan GET-per-layer becomes a HEAD-per-layer.
+    * Bounded: the cache clears wholesale past a generous cap (layer
+    * dirs a long-running server touches are bounded by compaction+gc;
+    * the cap only guards pathological many-table test JVMs).
     */
+  private val sidecarCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (java.nio.file.attribute.FileTime, Long, Seq[Array[String]])]()
+  private val SidecarCacheMax = 8192
+
   private def statsLines(tableDir: String,
       layer: String): Option[Seq[Array[String]]] = {
     val p = java.nio.file.Paths.get(tableDir, layer, "_stats")
-    if (!java.nio.file.Files.exists(p)) None
-    else Some(java.nio.file.Files.readString(p).linesIterator
-      .map(_.split(" ")).toSeq)
+    val attrs =
+      try java.nio.file.Files.readAttributes(p,
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      catch { case _: java.io.IOException => return None }
+    val key = p.toAbsolutePath.toString
+    val cached = sidecarCache.get(key)
+    if (cached != null && cached._1 == attrs.lastModifiedTime &&
+        cached._2 == attrs.size)
+      Some(cached._3)
+    else {
+      val lines = java.nio.file.Files.readString(p).linesIterator
+        .map(_.split(" ")).toVector
+      if (sidecarCache.size >= SidecarCacheMax) sidecarCache.clear()
+      sidecarCache.put(key, (attrs.lastModifiedTime, attrs.size, lines))
+      Some(lines)
+    }
   }
 
   // ---- sidecar line decoders: every reader parses the SAME tokenized

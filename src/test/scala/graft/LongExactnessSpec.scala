@@ -157,7 +157,8 @@ class LongExactnessSpec extends SparkSpec {
 
   test("randomized boundary property: grouped/filtered counts and top-k " +
       "agree with the unrouted plan across boundary-heavy layer mixes") {
-    val pool = Seq(P53 - 1, P53, P53 + 1, P60, P60 + 1, 3L, 12L, 47L)
+    val pool = Seq(P53 - 1, P53, P53 + 1, P60, P60 + 1, 3L, 12L, 47L,
+      -(P53 - 1), -P53, -(P53 + 1), -P60, -(P60 + 1), -5L)
     val rnd = new scala.util.Random(4242)
     (1 to 4).foreach { _ =>
       var id = 0L
