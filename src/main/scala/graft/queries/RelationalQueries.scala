@@ -940,6 +940,24 @@ object RelationalQueries {
           |  .groupBy({c := count()})""".stripMargin, catalog)
     },
 
+    // ---- EXACT COUNT OF A LAYER-SPLITTING WINDOW: a single status
+    //      window splits EVERY layer (each day's layer holds all 7
+    //      statuses — no envelope containment exists anywhere), yet the
+    //      count answers from the complete integer histograms: Σ counts
+    //      of in-window values per layer (histRangeCount), zero parquet
+    //      footers — per-value exactness where the envelope proof needs
+    //      full containment. ----
+    QDef("q_count_split",
+      """SELECT count(*) AS c FROM events
+        |WHERE (event_id % 7) BETWEEN 2 AND 4""".stripMargin) { (s, dir) =>
+      val tableDir = memoEventsChain(s, dir)
+      val catalog = graft.lang.Planner.Catalog(
+        tables = Map("ev" -> graft.sources.NdjsonIngest.readLatest(s, tableDir)),
+        versionedDirs = Map("ev" -> tableDir))
+      graft.lang.Planner.plan(
+        "ev.filter(between(status, 2, 4)).groupBy({c := count()})", catalog)
+    },
+
     // ---- EXACT COUNT OF A LAYER-SPLITTING DISJUNCTION: two windows on
     //      the status column SPLIT every layer (each day's layer holds
     //      all 7 statuses — the envelope straddles both windows, so no

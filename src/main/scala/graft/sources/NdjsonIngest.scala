@@ -1528,7 +1528,7 @@ object NdjsonIngest {
       nullCols: Seq[String], notNullCols: Seq[String],
       orGroups: Seq[Seq[ZoneArm]] = Nil): Seq[Option[Long]] =
     ranges.map { case (c, lo, hi) =>
-      envFromLines(lines, c) match {
+      (envFromLines(lines, c) match {
         // containment is only an EXACT proof inside the double-exactness
         // window: a rounded long envelope or literal can make
         // "envelope ⊆ interval" hold in doubles while a true row fails
@@ -1538,18 +1538,38 @@ object NdjsonIngest {
             exactBound(lo) && exactBound(hi) =>
           nnFromLines(lines, c)
         case _ => None
-      }
+      }).orElse(histRangeCount(lines, c, lo, hi))
     } ++
     strEquals.map { case (c, vs) =>
-      strEnvFromLines(lines, c) match {
+      (strEnvFromLines(lines, c) match {
         case Some((mn, mx)) if mn == mx && vs.contains(mn) =>
           nnFromLines(lines, c)
         case _ => None
-      }
+      }).orElse(histExactFromLines(lines, c).map(
+        _.collect { case (t, cnt) if vs.contains(t) => cnt }.sum))
     } ++
     nullCols.map(c => nnFromLines(lines, c).map(nn => n - nn)) ++
     notNullCols.map(c => nnFromLines(lines, c)) ++
     orGroups.map(orGroupPassCount(lines, n, _))
+
+  /** EXACT pass count of one range conjunct from a COMPLETE histogram:
+    * Σ counts of tokens inside the window — exact for ANY overlap shape
+    * (a window splitting the layer included), where the envelope proof
+    * needs full containment. Token-vs-literal compares are rounding-
+    * safe: tokens are strictly inside ±2^53 ([[histExactFromLines]]),
+    * and a literal the rounding moved lies beyond the window edge where
+    * no token can sit on the wrong side. Nulls pass no range, and the
+    * histogram covers exactly the non-null values. An undecodable token
+    * (stale alias sidecar) declines.
+    */
+  private def histRangeCount(lines: Seq[Array[String]], c: String,
+      lo: Double, hi: Double): Option[Long] =
+    histExactFromLines(lines, c).flatMap { hist =>
+      val toks = hist.map { case (t, cnt) => (t.toDoubleOption, cnt) }
+      if (toks.exists(_._1.isEmpty)) None
+      else Some(toks.collect {
+        case (Some(v), cnt) if lo <= v && v <= hi => cnt }.sum)
+    }
 
   /** EXACT pass count of ONE disjunctive conjunct over a layer, when
     * the sidecars pin it. Disjunctions CAN feed counts in four provable
@@ -1714,16 +1734,41 @@ object NdjsonIngest {
     def hasNonNull(column: String): Boolean =
       nnFromLines(lines, column).forall(_ > 0)
     ranges.forall { case (column, lo, hi) =>
-      envFromLines(lines, column) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None => hasNonNull(column)
+      // a COMPLETE histogram decides may-contain per VALUE — the layer-
+      // granularity analog of the reference's per-value bitmaps
+      // (string_in_set.cpp, lineage_index.h): a layer whose sparse value
+      // set skips the window entirely is excluded even when its min/max
+      // envelope straddles it. EXACT exclusion, not just heuristic: the
+      // histogram lists every non-null value (equality/ranges reject
+      // nulls), and token-vs-literal compares are rounding-safe — tokens
+      // are inside ±2^53 (histExactFromLines) while a literal the
+      // rounding moved sits beyond it, where no token can match anyway.
+      histExactFromLines(lines, column) match {
+        case Some(hist) =>
+          val toks = hist.map(_._1.toDoubleOption)
+          // an undecodable token (a column whose name aliases a stale
+          // sidecar line of another type) means the histogram can't be
+          // reasoned about — keep the layer, never exclude on it
+          if (toks.exists(_.isEmpty)) true
+          else toks.flatten.exists(v => v >= lo && v <= hi)
+        case None => envFromLines(lines, column) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => hasNonNull(column)
+        }
       }
     } && strEquals.forall { case (column, values) =>
-      strEnvFromLines(lines, column) match {
-        // an equality/in-set conjunct keeps the layer iff SOME sought
-        // value can exist in its lexicographic envelope
-        case Some((mn, mx)) => values.exists(v => v >= mn && v <= mx)
-        case None => hasNonNull(column)
+      histExactFromLines(lines, column) match {
+        // per-value membership: kept iff SOME sought value is actually
+        // present (string histogram tokens are verbatim values)
+        case Some(hist) =>
+          val present = hist.map(_._1).toSet
+          values.exists(present.contains)
+        case None => strEnvFromLines(lines, column) match {
+          // an equality/in-set conjunct keeps the layer iff SOME sought
+          // value can exist in its lexicographic envelope
+          case Some((mn, mx)) => values.exists(v => v >= mn && v <= mx)
+          case None => hasNonNull(column)
+        }
       }
     } && nullCols.forall { column =>
       // isNull(column) keeps only rows where column IS null — a layer

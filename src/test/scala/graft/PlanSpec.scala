@@ -323,6 +323,14 @@ class PlanSpec extends SparkSpec {
       "approxCount on a merge-free chain must not plan a file scan")
   }
 
+  test("q_count_split: a single window splitting every layer counts " +
+    "from the complete histograms (per-value pass counts) — zero " +
+    "parquet footers") {
+    val df = SparkEntry.queries("q_count_split")(spark, sfDir)
+    assert(df.inputFiles.isEmpty,
+      "layer-splitting window count must not plan a file scan")
+  }
+
   test("q_or_count_split: windows that SPLIT every layer (envelope " +
     "straddles both arms) still count from the layer histograms — " +
     "pass(a)+pass(b) per layer, zero parquet footers") {
