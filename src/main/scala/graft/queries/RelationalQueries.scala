@@ -875,6 +875,26 @@ object RelationalQueries {
           |  .groupBy({c := count()})""".stripMargin, catalog)
     },
 
+    // ---- POINT LOOKUP ON THE PRIMARY KEY: `event_id = k` routes
+    //      through the pk envelopes — time-ordered appends give each
+    //      layer a near-contiguous id range, so the probe opens ~1 of 30
+    //      footers, and inside the surviving layer the parquet pk bloom
+    //      (ParquetBloom) skips row groups. The production uuid-lookup
+    //      shape at layer granularity. ----
+    QDef("q_point_pk",
+      """SELECT event_id, event_type, CAST(value AS DOUBLE) AS v
+        |FROM events WHERE event_id = 500""".stripMargin) { (s, dir) =>
+      val tableDir = memoEventsChain(s, dir)
+      val catalog = graft.lang.Planner.Catalog(
+        tables = Map("ev" -> graft.sources.NdjsonIngest.readLatest(s, tableDir)),
+        versionedDirs = Map("ev" -> tableDir))
+      graft.lang.Planner.plan(
+        "ev.filter(event_id = 500).project({event_id, event_type, value})",
+        catalog)
+        .select(col("event_id"), col("event_type"),
+          col("value").cast("double").as("v"))
+    },
+
     // ---- APPROX COUNT BRACKET: approxCount() answers `[lo, hi]` from
     //      the sidecars alone — exact (lo == hi) on a merge-free chain
     //      (recorded layer counts), the provable shadow bracket on a

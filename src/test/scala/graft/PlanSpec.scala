@@ -323,6 +323,13 @@ class PlanSpec extends SparkSpec {
       "approxCount on a merge-free chain must not plan a file scan")
   }
 
+  test("q_point_pk: a primary-key point lookup routes through the pk " +
+    "envelopes — at most 2 of 30 layers open") {
+    val df = SparkEntry.queries("q_point_pk")(spark, sfDir)
+    val layers = df.inputFiles.map(_.split("/").takeRight(2).head).distinct
+    assert(layers.length <= 2, s"layers read: ${layers.mkString(",")}")
+  }
+
   test("q_count_split: a single window splitting every layer counts " +
     "from the complete histograms (per-value pass counts) — zero " +
     "parquet footers") {
