@@ -120,13 +120,19 @@ class SourcesSpec extends SparkSpec {
     NdjsonIngest.appendDelta(
       Seq((20L, "CH", 5.0), (29L, "DE", 6.0)).toDF("id", "country", "val"), dir, "id")
     // the pruned read touches ONLY the middle layer's files
-    val pruned = NdjsonIngest.readLatestRange(spark, dir, "id", 12, 15)
+    val pruned = NdjsonIngest.readLatestRange(spark, dir, "id", 10, 15)
     val files = pruned.select(input_file_name()).distinct()
       .as[String].collect()
     assert(files.nonEmpty && files.forall(_.contains("/v2/")),
       s"expected only v2 files, got ${files.mkString(", ")}")
     // superset contract: precise filter on the pruned read == full read
     assert(pruned.filter(col("id").between(10, 19)).count() === 2)
+    // PER-VALUE exclusion: [12, 15] sits inside v2's envelope but
+    // matches none of its actual values {10, 19} — the complete layer
+    // histogram excludes the layer entirely (envelope pruning alone
+    // would have read it)
+    assert(NdjsonIngest.readLatestRange(spark, dir, "id", 12, 15)
+      .select(input_file_name()).distinct().as[String].collect().isEmpty)
     // untouched range prunes everything but keeps the schema
     assert(NdjsonIngest.readLatestRange(spark, dir, "id", 100, 200)
       .filter(col("id") > 0).count() === 0)
