@@ -888,22 +888,30 @@ object NdjsonIngest {
         zoneKeep(lines, ranges, strEquals, nullCols, notNullCols, orGroups) }
     if (survivors.isEmpty) return Nil
     if (nullCols.contains(column)) return survivors.map(_._1)
-    // Routing heuristic — [[chainMergedCountBracket]]'s optimizer-side
-    // consumer ("is this merged chain upsert-light enough to bother
-    // bounding?"): when total shadow capacity reaches half the recorded
-    // rows (bracket lower·2 < upper) or is unknowable, the per-layer
-    // loss subtraction zeroes almost every qualifying lower bound and
-    // the bound walk buys nothing — return the zone survivors directly
-    // (a SUPERSET is always sound; the caller re-applies
+    // Routing heuristic — the optimizer-side "is this merged chain
+    // upsert-light enough to bother bounding?" choice: when the KNOWN
+    // total shadow capacity reaches half the recorded rows, the
+    // per-layer loss subtraction zeroes almost every qualifying lower
+    // bound and the bound walk buys nothing — return the zone survivors
+    // directly (a SUPERSET is always sound; the caller re-applies
     // filter+sort+limit row-wise). The rare prunable tail on such a
     // chain (a fresh append atop heavy upserts) is transient:
     // maintenance compaction resets every capacity to zero at the next
-    // fold. Upsert-light chains — the production norm — keep the
-    // bounded path.
-    val upsertLight = chainMergedCountBracket(tableDir, chain)
-      .exists { case (lo, up) => lo * 2 >= up }
-    if (!upsertLight) return survivors.map(_._1)
+    // fold. An UNKNOWN capacity or row count (gc'd log entry, a legacy
+    // tombstone layer without a `t:` line) is NOT "heavy" — it attempts
+    // the walk: topKSelect already degrades those layers conservatively
+    // (an unknown loss proves no qualifying rows but the layer stays
+    // envelope-excludable, a missing count reads as always-kept), so a
+    // fresh append's tight envelope can still prune the legacy tail.
+    // Upsert-light chains — the production norm — keep the bounded path.
     val caps = shadowCaps(tableDir, withLines)
+    val recorded = withLines
+      .filter { case (l, _) => layerHasData(tableDir, l) }
+      .map { case (_, lines) => nFromLines(lines) }
+    val knownHeavy = caps.forall(_.isDefined) &&
+      recorded.forall(_.isDefined) &&
+      caps.flatten.sum * 2 > recorded.flatten.sum
+    if (knownHeavy) return survivors.map(_._1)
     val losses: Map[String, Option[Long]] = chain.zipWithIndex.map {
       case (l, i) =>
         val younger = caps.drop(i + 1)
@@ -1251,15 +1259,24 @@ object NdjsonIngest {
     val oNotNull = notNullCols.filterNot(_ == groupCol)
     val (gOgs, oOgs) = orGroups.partition(
       orGroupSingleColumn(_).contains(groupCol))
-    def entryPasses(tokenValue: String): Boolean = {
-      val rangesOk = gRanges.forall { case (_, lo, hi) =>
-        // ranges only form on numeric/date columns, so a group-col range
-        // implies a date group: tokens are epoch-day doubles
-        val v = tokenValue.toDouble; lo <= v && v <= hi
-      }
-      val strOk = gStrEqs.forall { case (_, vs) => vs.contains(tokenValue) }
-      val orOk = gOgs.forall(_.exists(armPassesToken(_, tokenValue)))
-      rangesOk && strOk && orOk && !gIsNull // isNull(g) rejects non-nulls
+    def entryPasses(tokenValue: String): Option[Boolean] = {
+      // isNull(g) rejects non-nulls; a failed set test decides false
+      // even when a sibling range token is undecodable
+      if (gIsNull ||
+          !gStrEqs.forall { case (_, vs) => vs.contains(tokenValue) })
+        return Some(false)
+      // ranges only form on numeric/date columns, so a group-col range
+      // implies a date group: tokens are epoch-day doubles — an
+      // UNDECODABLE token (stale alias sidecar) is unknowable, and the
+      // caller declines the layer to the scan (histEntriesWhere)
+      val rangesOk: Option[Boolean] =
+        if (gRanges.isEmpty) Some(true)
+        else tokenValue.toDoubleOption.map(v =>
+          gRanges.forall { case (_, lo, hi) => lo <= v && v <= hi })
+      val all = rangesOk +: gOgs.map(anyArmPassesToken(_, tokenValue))
+      if (all.contains(Some(false))) Some(false)
+      else if (all.forall(_.contains(true))) Some(true)
+      else None
     }
     val perLayer: Seq[Option[Seq[(Option[String], Long)]]] = chain.map { l =>
       val lines = statsLines(tableDir, l).getOrElse(Seq.empty)
@@ -1287,12 +1304,12 @@ object NdjsonIngest {
                 !gOgs.forall(_.exists(armPassesNull))) Some(Nil)
             else nnG.map(nn => if (n - nn > 0) Seq((None, n - nn)) else Nil)
           } else histExactFromLines(lines, groupCol).flatMap { hist =>
-            val kept = hist.filter { case (tok, _) => entryPasses(tok) }
-              .map { case (tok, cnt) => (Option(tok), cnt) }
-            if (!nullGroupWanted) Some(kept)
-            else nnG.map(nn =>
-              if (n - nn > 0) kept :+ ((None: Option[String]), n - nn)
-              else kept)
+            histEntriesWhere(hist, entryPasses).flatMap { kept =>
+              if (!nullGroupWanted) Some(kept)
+              else nnG.map(nn =>
+                if (n - nn > 0) kept :+ ((None: Option[String]), n - nn)
+                else kept)
+            }
           }
         }
       }
@@ -1316,11 +1333,21 @@ object NdjsonIngest {
       // of the group value and applies entry-wise, exactly like the
       // plain range/set conjuncts above
       ogs: Seq[Seq[ZoneArm]] = Nil) {
-    def entryPasses(tok: String): Boolean =
-      ranges.forall { case (lo, hi) =>
-        val v = tok.toDouble; lo <= v && v <= hi } &&
-        strEqs.forall(_.contains(tok)) &&
-        ogs.forall(_.exists(armPassesToken(_, tok))) && !isNull
+    // None = the token is undecodable under a range test (stale alias
+    // sidecar) — callers decline the layer, never throw (armPassesToken
+    // doc has the full rule)
+    def entryPasses(tok: String): Option[Boolean] =
+      if (isNull || !strEqs.forall(_.contains(tok))) Some(false)
+      else {
+        val rangesOk: Option[Boolean] =
+          if (ranges.isEmpty) Some(true)
+          else tok.toDoubleOption.map(v =>
+            ranges.forall { case (lo, hi) => lo <= v && v <= hi })
+        val all = rangesOk +: ogs.map(anyArmPassesToken(_, tok))
+        if (all.contains(Some(false))) Some(false)
+        else if (all.forall(_.contains(true))) Some(true)
+        else None
+      }
     def nullPasses: Boolean = !notNull && ranges.isEmpty &&
       strEqs.isEmpty && ogs.forall(_.exists(armPassesNull))
   }
@@ -1411,18 +1438,20 @@ object NdjsonIngest {
               for {
                 hist <- histExactFromLines(lines, h)
                 ct <- constToken(lines, n, c)
-              } yield {
-                val cPasses = ct match {
+                // an undecidable constant-column test (undecodable
+                // token under a range) declines the layer — never throw
+                cPasses <- ct match {
                   case Some(t) => pc.entryPasses(t)
-                  case None => pc.nullPasses
+                  case None => Some(pc.nullPasses)
                 }
+                kept <-
+                  if (!cPasses) Some(Nil)
+                  else histEntriesWhere(hist, ph.entryPasses)
+              } yield {
                 if (!cPasses) Nil
                 else {
                   val nnH = nnFromLines(lines, h).getOrElse(
                     hist.map(_._2).sum) // ledger implied by the histogram
-                  val kept = hist.filter { case (tok, _) =>
-                    ph.entryPasses(tok) }
-                    .map { case (tok, cnt) => (Option(tok), cnt) }
                   val withNull =
                     if (ph.nullPasses && n - nnH > 0)
                       kept :+ ((None: Option[String]), n - nnH)
@@ -1651,13 +1680,49 @@ object NdjsonIngest {
     * Ranges compare the token's double (tokens are exact — see
     * [[histExactFromLines]] — and strict rounded comparisons against a
     * possibly-rounded literal imply the true ones, monotonicity), sets
-    * test membership, isNull rejects every non-null value.
+    * test membership, isNull rejects every non-null value. None when a
+    * range test meets an UNDECODABLE token (a stale/aliased sidecar
+    * line of another column type) — the same defensive rule zoneKeep
+    * applies: such a histogram can't be reasoned about, and callers
+    * must DECLINE to the fallback scan rather than throw (or silently
+    * count the token as failing, which would UNDERCOUNT — a wrong
+    * answer, not a missed optimization).
     */
-  private def armPassesToken(a: ZoneArm, tok: String): Boolean =
-    a.nullCols.isEmpty &&
-      a.ranges.forall { case (_, lo, hi) =>
-        val v = tok.toDouble; lo <= v && v <= hi } &&
-      a.strEquals.forall { case (_, vs) => vs.contains(tok) }
+  private def armPassesToken(a: ZoneArm, tok: String): Option[Boolean] =
+    if (a.nullCols.nonEmpty ||
+        !a.strEquals.forall { case (_, vs) => vs.contains(tok) })
+      Some(false)
+    else if (a.ranges.isEmpty) Some(true)
+    else tok.toDoubleOption.map(v =>
+      a.ranges.forall { case (_, lo, hi) => lo <= v && v <= hi })
+
+  /** Does a token pass SOME arm of a disjunction, three-valued: a
+    * decided-true arm decides the whole OR true even when a sibling arm
+    * is undecidable; all-decided-false is false; otherwise unknowable.
+    */
+  private def anyArmPassesToken(arms: Seq[ZoneArm],
+      tok: String): Option[Boolean] = {
+    val rs = arms.map(armPassesToken(_, tok))
+    if (rs.contains(Some(true))) Some(true)
+    else if (rs.forall(_.isDefined)) Some(false)
+    else None
+  }
+
+  /** Keep a histogram's entries passing `pass`, DECLINING the whole
+    * histogram when any token is undecidable (None from the predicate):
+    * the exact grouped/count paths must never consume a histogram they
+    * can't fully reason about. Shared by the one- and two-column
+    * grouped metadata counts.
+    */
+  private def histEntriesWhere(hist: Seq[(String, Long)],
+      pass: String => Option[Boolean])
+      : Option[Seq[(Option[String], Long)]] = {
+    val decided = hist.map { case (tok, cnt) =>
+      pass(tok).map(p => (tok, cnt, p)) }
+    if (decided.exists(_.isEmpty)) None
+    else Some(decided.flatten.collect { case (tok, cnt, true) =>
+      (Option(tok), cnt) })
+  }
 
   /** Does a NULL row pass this (single-column) arm? Every conjunct must
     * accept null: ranges, equalities and isNotNull reject it; a pure
@@ -1678,10 +1743,12 @@ object NdjsonIngest {
       c <- orGroupSingleColumn(arms)
       hist <- histExactFromLines(lines, c)
       nn <- nnFromLines(lines, c)
+      // an undecodable token under a range arm declines the whole
+      // histogram (histEntriesWhere) — fall back to the scan, never
+      // throw or undercount
+      kept <- histEntriesWhere(hist, anyArmPassesToken(arms, _))
     } yield {
-      val tokPass = hist.collect {
-        case (tok, cnt) if arms.exists(armPassesToken(_, tok)) => cnt
-      }.sum
+      val tokPass = kept.map(_._2).sum
       val nullPass = if (arms.exists(armPassesNull)) n - nn else 0L
       tokPass + nullPass
     }

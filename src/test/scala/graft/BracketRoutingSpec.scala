@@ -69,6 +69,47 @@ class BracketRoutingSpec extends SparkSpec {
     assert(routed === unrouted)
   }
 
+  test("LEGACY merged chain — a tombstone layer without a `t:` line " +
+      "(unknown capacity) still attempts the bound walk: a fresh " +
+      "append's tight envelope prunes the old layers") {
+    val session = spark
+    import session.implicits._
+    val n = 20
+    val dir = tmpDir()
+    NdjsonIngest.appendVersion(
+      (0 until n).map(i => (i.toLong, i.toLong)).toDF("id", "v"),
+      dir, "id")
+    NdjsonIngest.deleteDelta(Seq(3L, 7L).toDF("id"), dir, "id")
+    // forge the legacy shape: strip the `t:` capacity line the modern
+    // deleteDelta records, leaving a tombstone dir with unknown capacity
+    val tombLayer = NdjsonIngest.latestLayers(dir).last
+    val stats = java.nio.file.Paths.get(dir, tombLayer, "_stats")
+    java.nio.file.Files.writeString(stats,
+      java.nio.file.Files.readString(stats).linesIterator
+        .filterNot(_.startsWith("t:")).mkString("\n"))
+    NdjsonIngest.appendDelta(
+      (0 until n).map(i => ((n + i).toLong, (1000 + i).toLong))
+        .toDF("id", "v"), dir, "id")
+    val chain = NdjsonIngest.latestLayers(dir)
+    // unknown capacity → the bracket's lower bound collapses, but the
+    // walk must still run: the newest append (loss 0 — nothing younger)
+    // proves k qualifying rows and its envelope excludes the old layers
+    val kept = NdjsonIngest.chainTopKLayersMerged(
+      dir, chain, "v", 3, descending = true)
+    assert(kept.nonEmpty && !kept.contains(chain.head),
+      s"the snapshot layer's envelope is excludable: kept $kept of $chain")
+    // the pruned read stays correct end-to-end
+    val frame = NdjsonIngest.readLatestMerged(spark, dir, "id")
+    val routed = Planner.plan("t.orderBy({desc(v), id}).limit(3)",
+      Planner.Catalog(tables = Map("t" -> frame),
+        primaryKeys = Map("t" -> "id"),
+        mergedVersionedDirs = Map("t" -> dir)))
+      .select("id").as[Long].collect().toSeq
+    val unrouted = frame.orderBy(col("v").desc, col("id")).limit(3)
+      .select("id").as[Long].collect().toSeq
+    assert(routed === unrouted)
+  }
+
   test("approxCount(): exact [c, c] from metadata on merge-free chains, " +
       "a true bracket with lo < hi on an upsert-heavy merged chain") {
     val session = spark
