@@ -41,11 +41,13 @@ object Bench {
     // q_zone_prune: its 30-layer day-clustered chain ingests here
     // (preprocessing); the timed run measures the stats-pruned scan.
     // q_merged_zone: its upsert+tombstone chain ingests here likewise.
+    // q_point_uuid: its 30-layer uuid-pk chain ingests here likewise
+    // (the _miss variant shares the memoized chain).
     Seq("q_count_star", "q_seq_mutations", "q_simhash",
         "q_seq_idxroute", "q_seq_insroute", "q_seq_ins3route",
         "q_ann_index", "q_dedup_index", "q_simhash_index",
         "q_dedup_canonical", "q_dedup_refresh", "q_dedup_repair",
-        "q_zone_prune", "q_merged_zone").foreach(n =>
+        "q_zone_prune", "q_merged_zone", "q_point_uuid").foreach(n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try fn(spark, sfDir).count()
         // warmup failures surface below when the query is timed for real;

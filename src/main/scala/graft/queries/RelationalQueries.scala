@@ -114,6 +114,51 @@ object RelationalQueries {
     })._1
   }
 
+  /** Memoized UUID-PK chain per (session, sf-dir): documents re-keyed by
+    * `md5('doc-' || doc_id)` — a RANDOM (hash-distributed) string pk, the
+    * production uuid shape whose per-layer lexicographic envelopes all
+    * span the whole key space — committed as 30 delta layers bucketed by
+    * `doc_id % 30` (so no layer is value-clustered either). Point
+    * lookups over this chain can only prune per VALUE: the complete
+    * string histogram at test scale, the `bl:` pk bloom past the
+    * histogram cap (BloomSpec drives that regime). Preprocessing, like
+    * [[memoEventsChain]] (Bench WARMUP).
+    */
+  private val uuidChains =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (String, java.io.File)]()
+  private def memoUuidChain(s: SparkSession, dir: String): String = {
+    val it = uuidChains.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1.sparkContext.isStopped) {
+        org.apache.commons.io.FileUtils.deleteQuietly(e.getValue._2)
+        it.remove()
+      }
+    }
+    uuidChains.computeIfAbsent((s, dir), _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_uuidchain")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)))
+      val tableDir = tmp.toString + "/du"
+      val docs = t(s, dir, "documents")
+        .withColumn("pk",
+          md5(concat(lit("doc-"), col("doc_id").cast("string"))))
+        .select("pk", "doc_id", "lang", "n_chars")
+      (0 until 30).foreach { b =>
+        val batch = docs.filter(col("doc_id") % 30 === b)
+        if (b == 0) graft.sources.NdjsonIngest.appendVersion(batch, tableDir, "pk")
+        else graft.sources.NdjsonIngest.appendDelta(batch, tableDir, "pk")
+      }
+      (tableDir, tmp.toFile)
+    })._1
+  }
+
+  private def md5Hex(v: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
   val defs: Seq[QDef] = Seq(
 
     // ---- scan + project (TableScanNode / ProjectNode) ----
@@ -893,6 +938,47 @@ object RelationalQueries {
         catalog)
         .select(col("event_id"), col("event_type"),
           col("value").cast("double").as("v"))
+    },
+
+    // ---- UUID POINT LOOKUP: `pk = <random md5>` over a 30-layer chain
+    //      whose pks are hash-distributed — every layer's lexicographic
+    //      envelope spans the whole key space, so only PER-VALUE layer
+    //      metadata can prune (the complete string histogram here; the
+    //      `bl:` pk bloom past the histogram cap — BloomSpec). The
+    //      reference answers the same shape from per-value StringInSet
+    //      bitmaps regardless of key distribution (string_in_set.cpp:64,
+    //      equals.cpp:143-148). The routing-blind oracle derives the
+    //      same keys on the flat table. ----
+    QDef("q_point_uuid",
+      s"""SELECT pk, doc_id, lang FROM (
+        |  SELECT md5('doc-' || CAST(doc_id AS VARCHAR)) AS pk, doc_id, lang
+        |  FROM documents) WHERE pk = '${md5Hex("doc-137")}'""".stripMargin) {
+      (s, dir) =>
+      val tableDir = memoUuidChain(s, dir)
+      val catalog = graft.lang.Planner.Catalog(
+        tables = Map("du" -> graft.sources.NdjsonIngest.readLatest(s, tableDir)),
+        versionedDirs = Map("du" -> tableDir))
+      graft.lang.Planner.plan(
+        s"du.filter(pk = '${md5Hex("doc-137")}').project({pk, doc_id, lang})",
+        catalog)
+    },
+
+    // ---- UUID POINT MISS: the absent-key probe — per-value metadata
+    //      excludes EVERY layer, so the plan collapses to an empty
+    //      relation (zero footers, zero rows) while staying
+    //      row-equivalent to the oracle's flat-table filter. ----
+    QDef("q_point_uuid_miss",
+      s"""SELECT pk, doc_id, lang FROM (
+        |  SELECT md5('doc-' || CAST(doc_id AS VARCHAR)) AS pk, doc_id, lang
+        |  FROM documents) WHERE pk = '${md5Hex("doc--1")}'""".stripMargin) {
+      (s, dir) =>
+      val tableDir = memoUuidChain(s, dir)
+      val catalog = graft.lang.Planner.Catalog(
+        tables = Map("du" -> graft.sources.NdjsonIngest.readLatest(s, tableDir)),
+        versionedDirs = Map("du" -> tableDir))
+      graft.lang.Planner.plan(
+        s"du.filter(pk = '${md5Hex("doc--1")}').project({pk, doc_id, lang})",
+        catalog)
     },
 
     // ---- APPROX COUNT BRACKET: approxCount() answers `[lo, hi]` from

@@ -380,7 +380,7 @@ object NdjsonIngest {
     df.write.mode(SaveMode.ErrorIfExists)
       .options(bloomCol.map(c => ParquetBloom.options(Seq(c))).getOrElse(Map.empty))
       .parquet(s"$tableDir/v$next")
-    writeLayerStats(df, s"$tableDir/v$next")
+    writeLayerStats(df, s"$tableDir/v$next", bloomCol)
     // every commitLayer caller passes the chain's pk as the bloom
     // column — record it once so the chain is self-describing
     bloomCol.foreach(writePkBreadcrumb(tableDir, _))
@@ -398,7 +398,8 @@ object NdjsonIngest {
     * Delta-style file statistics applied at the layer granularity the
     * chain already has.
     */
-  private def writeLayerStats(df: DataFrame, layerDir: String): Unit = {
+  private def writeLayerStats(df: DataFrame, layerDir: String,
+      bloomCol: Option[String] = None): Unit = {
     import org.apache.spark.sql.types._
     // dates participate as epoch-day doubles — time-windowed reads over
     // time-ordered appends are the canonical pruning win
@@ -445,6 +446,21 @@ object NdjsonIngest {
     def histTok(c: String): Column =
       if (df.schema(c).dataType == StringType) col(c)
       else statCol(c).cast("double").cast("string")
+    // the chain's pk gets a per-layer BLOOM (`bl:` line) so point
+    // lookups prune layers a random key distribution denies the
+    // envelopes and the >cap cardinality denies the histograms —
+    // string pks hash their verbatim value (what a strEquals probe
+    // holds), numeric/date pks their canonical double (what a lo==hi
+    // range probe holds; insert and probe share ONE double cast, so
+    // exclusion can never disagree with the row-wise filter)
+    val bloomTarget: Option[(String, Char, Column)] = bloomCol
+      .filter(c => df.columns.contains(c) && plainName(c))
+      .flatMap(c => df.schema(c).dataType match {
+        case StringType => Some((c, 's', col(c)))
+        case t if t.isInstanceOf[NumericType] || t == DateType =>
+          Some((c, 'd', statCol(c).cast("double")))
+        case _ => None
+      })
     val aggs = numeric.flatMap(c =>
       Seq(min(statCol(c)).cast("double").as(s"min_$c"),
         max(statCol(c)).cast("double").as(s"max_$c"))) ++
@@ -466,6 +482,10 @@ object NdjsonIngest {
       // second job over the batch
       histCand.map(c => graft.functions.BoundedHistogram
         .boundedHist(histTok(c), HistogramMaxEntries).as(s"h_$c")) ++
+      // the pk bloom rides the same pass (BloomSketch folds itself to
+      // ~10 bits/key at eval; an over-full filter evals null)
+      bloomTarget.map { case (_, _, bc) =>
+        graft.functions.BloomSketch.bloomSketch(bc).as("_bl") }.toSeq ++
       Seq(count(lit(1)).as("_n"))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val numLines = numeric.zipWithIndex.flatMap { case (c, i) =>
@@ -552,13 +572,26 @@ object NdjsonIngest {
             }
         }
     }
+    // the pk bloom line: `bl:<col> <numHashes> <kind> <b64 bits>` —
+    // ≤ ~11 KB (8 KB of bits base64'd), spent FIRST inside the shared
+    // HistogramBudgetBytes (a point lookup is the one production shape
+    // no other sidecar stat serves; see bloomTarget above). NULL from
+    // the aggregate (empty layer, or saturated past usefulness) writes
+    // nothing — readers treat absence as conservative keep.
+    val bloomLine: Option[String] = bloomTarget.flatMap { case (c, kind, _) =>
+      Option(row.get(histBase + histCand.length))
+        .map(_.asInstanceOf[Array[Byte]])
+        .map(bytes => s"bl:$c ${graft.functions.BloomSketch.NumHashes} " +
+          s"$kind ${b64.encodeToString(bytes)}")
+        .filter(_.length + 1L <= HistogramBudgetBytes)
+    }
     // the per-LAYER histogram byte budget (HistogramBudgetBytes):
     // narrowest-first keeps the low-cardinality group keys that grouped
     // counts actually consult; the widest blocks drop once the running
     // total passes the budget. Stable: ties keep histCand order, so the
     // same batch always writes the same sidecar.
     val histLines: Seq[String] = {
-      var spent = 0L
+      var spent = bloomLine.map(_.length + 1L).getOrElse(0L)
       histBlocks.sortBy(b => b.map(_.length + 1L).sum).flatMap { b =>
         val sz = b.map(_.length + 1L).sum
         if (spent + sz <= HistogramBudgetBytes) { spent += sz; b }
@@ -567,7 +600,8 @@ object NdjsonIngest {
     }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(layerDir, "_stats"),
-      (numLines ++ strLines ++ nnLines ++ histLines ++ nLine).mkString("\n"))
+      (numLines ++ strLines ++ nnLines ++ bloomLine.toSeq ++ histLines ++
+        nLine).mkString("\n"))
   }
 
   /** A layer's `_stats` sidecar, tokenized — ONE file read shared by all
@@ -642,6 +676,56 @@ object NdjsonIngest {
       column: String): Option[Long] =
     lines.collectFirst { case Array(c, v) if c == s"c:$column" =>
       scala.util.Try(v.toLong).toOption }.flatten
+
+  /** The layer's pk BLOOM (`bl:<col> <numHashes> <kind> <b64 bits>`,
+    * written by [[writeLayerStats]] for the chain's pk): kind 's' hashes
+    * verbatim string values, 'd' the canonical double encoding
+    * numeric/date range probes already use. None on absence, a foreign
+    * kind char, or undecodable bits — all conservative keep.
+    */
+  private def bloomFromLines(lines: Seq[Array[String]],
+      column: String): Option[(Int, Char, Array[Long])] =
+    lines.collectFirst {
+      case Array(m, k, kind, bits) if m == s"bl:$column" &&
+          (kind == "s" || kind == "d") =>
+        scala.util.Try {
+          val bytes = java.util.Base64.getDecoder.decode(bits)
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+          val words = new Array[Long](bytes.length / 8)
+          var i = 0
+          while (i < words.length) { words(i) = bb.getLong; i += 1 }
+          (k.toInt, kind.head, words)
+        }.toOption.filter { case (k, _, words) =>
+          k > 0 && words.nonEmpty &&
+            java.lang.Long.bitCount(words.length) == 1 // power-of-two fold
+        }
+    }.flatten
+
+  /** May `column` hold one of `values` (string equality probe) per its
+    * bloom? Absent/foreign-kind bloom → true (keep).
+    */
+  private def bloomKeepsString(lines: Seq[Array[String]], column: String,
+      values: Seq[String]): Boolean =
+    bloomFromLines(lines, column) match {
+      case Some((k, 's', words)) => values.exists(v =>
+        graft.functions.BloomSketch.maybeContainsString(words, k, v))
+      case _ => true
+    }
+
+  /** May `column` hold double-encoded value `v` (a lo==hi point probe)
+    * per its bloom? Sound without any exactness window: the writer
+    * inserted CAST(value AS DOUBLE) and the planner derived `v` by the
+    * same cast of the literal, so "v not in bloom" proves no row's
+    * double encoding matches — and a row satisfies the exact row-wise
+    * equality only if its double encoding equals the literal's.
+    */
+  private def bloomKeepsDouble(lines: Seq[Array[String]], column: String,
+      v: Double): Boolean =
+    bloomFromLines(lines, column) match {
+      case Some((k, 'd', words)) =>
+        graft.functions.BloomSketch.maybeContainsDouble(words, k, v)
+      case _ => true
+    }
 
   /** The layer's recorded TOMBSTONE count (`t:` stats line) — written by
     * deleteDelta so merged-chain bounds can cap shadow losses from the
@@ -1818,10 +1902,16 @@ object NdjsonIngest {
           // reasoned about — keep the layer, never exclude on it
           if (toks.exists(_.isEmpty)) true
           else toks.flatten.exists(v => v >= lo && v <= hi)
-        case None => envFromLines(lines, column) match {
-          case Some((mn, mx)) => mx >= lo && mn <= hi
-          case None => hasNonNull(column)
-        }
+        case None =>
+          val envOk = envFromLines(lines, column) match {
+            case Some((mn, mx)) => mx >= lo && mn <= hi
+            case None => hasNonNull(column)
+          }
+          // POINT probe (lo == hi — a numeric/date pk equality): the
+          // pk bloom decides per VALUE what the envelope only bounds —
+          // a random-id chain whose every envelope straddles the probe
+          // still prunes to the layers that actually hold the key
+          envOk && (lo != hi || bloomKeepsDouble(lines, column, lo))
       }
     } && strEquals.forall { case (column, values) =>
       histExactFromLines(lines, column) match {
@@ -1830,12 +1920,17 @@ object NdjsonIngest {
         case Some(hist) =>
           val present = hist.map(_._1).toSet
           values.exists(present.contains)
-        case None => strEnvFromLines(lines, column) match {
-          // an equality/in-set conjunct keeps the layer iff SOME sought
-          // value can exist in its lexicographic envelope
-          case Some((mn, mx)) => values.exists(v => v >= mn && v <= mx)
-          case None => hasNonNull(column)
-        }
+        case None =>
+          val envOk = strEnvFromLines(lines, column) match {
+            // an equality/in-set conjunct keeps the layer iff SOME
+            // sought value can exist in its lexicographic envelope
+            case Some((mn, mx)) => values.exists(v => v >= mn && v <= mx)
+            case None => hasNonNull(column)
+          }
+          // uuid-shaped pks: the per-layer bloom is the only per-value
+          // metadata a >cap-cardinality string column has (reference
+          // bar: per-value StringInSet bitmaps, string_in_set.cpp:64)
+          envOk && bloomKeepsString(lines, column, values)
       }
     } && nullCols.forall { column =>
       // isNull(column) keeps only rows where column IS null — a layer
@@ -1967,7 +2062,8 @@ object NdjsonIngest {
       .filter(_.startsWith("v")).map(_.drop(1).toLong)
     val next = if (existing.isEmpty) 1L else existing.max + 1
     full.write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/v$next")
-    writeLayerStats(full, s"$tableDir/v$next")
+    // the chain's recorded pk keeps the compacted layer's bloom line
+    writeLayerStats(full, s"$tableDir/v$next", pkOf(tableDir))
     flipPointer(tableDir, Seq(s"v$next"), latestTag(tableDir), kind = "compact")
     true
   }
@@ -2230,7 +2326,8 @@ object NdjsonIngest {
       .filter(_.startsWith("v")).map(_.drop(1).toLong)
     val next = if (existing.isEmpty) 1L else existing.max + 1
     resolved.write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/v$next")
-    writeLayerStats(spark.read.parquet(s"$tableDir/v$next"), s"$tableDir/v$next")
+    writeLayerStats(spark.read.parquet(s"$tableDir/v$next"),
+      s"$tableDir/v$next", Some(pk))
     flipPointer(tableDir, Seq(s"v$next"), latestTag(tableDir), kind = "compact")
     true
   }

@@ -330,6 +330,26 @@ class PlanSpec extends SparkSpec {
     assert(layers.length <= 2, s"layers read: ${layers.mkString(",")}")
   }
 
+  test("q_point_uuid: a RANDOM (hash-distributed) string pk probe — " +
+    "every layer's envelope spans the key space — prunes per VALUE " +
+    "to the holding layer") {
+    val df = SparkEntry.queries("q_point_uuid")(spark, sfDir)
+    val layers = df.inputFiles.map(_.split("/").takeRight(2).head).distinct
+    assert(layers.length <= 2,
+      s"uuid hit must open ≤2 of 30 layers: ${layers.mkString(",")}")
+    assert(df.count() === 1)
+  }
+
+  test("q_point_uuid_miss: the absent uuid excludes EVERY layer from " +
+    "per-value metadata — zero footers, zero rows") {
+    val df = SparkEntry.queries("q_point_uuid_miss")(spark, sfDir)
+    val layers = df.inputFiles.map(_.split("/").takeRight(2).head).distinct
+    assert(layers.length <= 1,
+      s"uuid miss must open at most a false-positive layer: " +
+        layers.mkString(","))
+    assert(df.count() === 0)
+  }
+
   test("q_count_split: a single window splitting every layer counts " +
     "from the complete histograms (per-value pass counts) — zero " +
     "parquet footers") {
