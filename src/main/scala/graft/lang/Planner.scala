@@ -1844,33 +1844,46 @@ in.zone match {
         // `[lo, hi]` bracket on the row count, metadata-first (zero
         // parquet footers): merge-free chains — filtered, unioned, or
         // bare — pin it EXACTLY from the recorded layer counts
-        // (metaCountOf, so lo == hi); a bare registered MERGE-ON-READ
-        // chain answers the provable bracket (recorded rows minus total
-        // shadow capacity, chainMergedCountBracket — the same bracket
-        // the merged top-k routing heuristic consumes); anything else
-        // falls back to ONE exact counting pass (lo == hi == count).
-        // The user-facing answer is always a true bracket: the real
-        // count provably lies in [lo, hi].
+        // (metaCountOf, so lo == hi); MERGE-ON-READ chains answer the
+        // provable shadow bracket — recorded rows minus total shadow
+        // capacity bare (chainMergedCountBracket, the same bracket the
+        // merged top-k routing heuristic consumes), per-conjunct pass
+        // bounds under a fully-decidable filter
+        // (chainMergedMatchBracket) — and a unionAll sums its leaves'
+        // brackets (ends compose: the union's count is the sum of leaf
+        // counts). Anything else falls back to ONE exact counting pass
+        // (lo == hi == count). The user-facing answer is always a true
+        // bracket: the real count provably lies in [lo, hi].
         val in = input
         val spark = in.df.sparkSession
         def two(lo: Long, hi: Long): Tbl =
           Tbl(spark.range(1).select(lit(lo).as("lo"), lit(hi).as("hi")),
             None)
-        metaCountOf(in) match {
-          case Some(total) => two(total, total)
-          case None =>
-            val bracket = for {
-              t <- in.origin
-              dir <- catalog.mergedVersionedDirs.get(t)
-              if catalog.tables.get(t).exists(_ eq in.df)
-              chain <- frameLayersMerged(in.df, dir)
+        def bracketOf(t: Tbl): Option[(Long, Long)] = t.union match {
+          case Some((l, r)) =>
+            for (a <- bracketOf(l); b <- bracketOf(r))
+              yield (a._1 + b._1, a._2 + b._2)
+          case None => metaCountOf(t).map(c => (c, c)).orElse(t.zone match {
+            case Some(zp) if zp.mergedPk.isDefined =>
+              graft.sources.NdjsonIngest.chainMergedMatchBracket(
+                zp.dir, zp.chain, zp.ranges, zp.strEqs,
+                nullCols = zp.nullCs.collect { case (c, true) => c },
+                notNullCols = zp.nullCs.collect { case (c, false) => c },
+                orGroups = zp.orGroups)
+            case Some(_) => None // merge-free zones answered above
+            case None => for {
+              t0 <- t.origin
+              dir <- catalog.mergedVersionedDirs.get(t0)
+              if catalog.tables.get(t0).exists(_ eq t.df)
+              chain <- frameLayersMerged(t.df, dir)
               b <- graft.sources.NdjsonIngest
                 .chainMergedCountBracket(dir, chain)
             } yield b
-            bracket match {
-              case Some((lo, hi)) => two(lo, hi)
-              case None => val c = in.df.count(); two(c, c)
-            }
+          })
+        }
+        bracketOf(in) match {
+          case Some((lo, hi)) => two(lo, hi)
+          case None => val c = in.df.count(); two(c, c)
         }
 
       case "schema" =>

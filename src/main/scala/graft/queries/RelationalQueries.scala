@@ -998,6 +998,28 @@ object RelationalQueries {
       graft.lang.Planner.plan("ev.approxCount()", catalog)
     },
 
+    // ---- FILTERED APPROX COUNT: approxCount() composes through a
+    //      decidable filter — on the merge-free day-clustered chain the
+    //      window's exact metadata count answers (lo == hi, zero
+    //      footers; metaCountOf ∘ chainMatchCount); filtered MERGED
+    //      chains bracket per-conjunct pass bounds minus shadow
+    //      capacity (chainMergedMatchBracket — property-armed in
+    //      BracketRoutingSpec), and unions sum leaf brackets. ----
+    QDef("q_approx_count_filtered",
+      """SELECT CAST(count(*) AS BIGINT) AS lo,
+        |  CAST(count(*) AS BIGINT) AS hi FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-07' AND DATE '2024-01-12'
+        |""".stripMargin) { (s, dir) =>
+      val tableDir = memoEventsChain(s, dir)
+      val catalog = graft.lang.Planner.Catalog(
+        tables = Map("ev" -> graft.sources.NdjsonIngest.readLatest(s, tableDir)),
+        versionedDirs = Map("ev" -> tableDir))
+      graft.lang.Planner.plan(
+        """ev
+          |  .filter(between(d, '2024-01-07'::date, '2024-01-12'::date))
+          |  .approxCount()""".stripMargin, catalog)
+    },
+
     // ---- DISJUNCTIVE ZONE PRUNING: filter(a || b) prunes on the UNION
     //      of the arms' envelopes — a layer survives iff it intersects
     //      arm a OR arm b (the reference's Or operator unions bitmaps the

@@ -1081,6 +1081,63 @@ object NdjsonIngest {
     Some((lower, upper))
   }
 
+  /** `[lo, hi]` BRACKET on a merge-on-read chain's FILTERED merged row
+    * count — [[chainMergedCountBracket]] composed with filter conjuncts,
+    * still sidecars + commit log only (zero parquet footers):
+    *  - UPPER: Σ per-layer hi-pass, where a zone-EXCLUDED layer passes 0
+    *    and a kept layer at most its tightest exact per-conjunct pass
+    *    count ([[conjunctPassCounts]]; an undecidable conjunct caps at
+    *    `n`). Sound: every matching merged row is one of exactly one
+    *    layer's recorded rows and passes every conjunct there —
+    *    shadowing only shrinks the true count further.
+    *  - LOWER: max(0, Σ per-layer lo-pass − total shadow capacity):
+    *    a layer provably holds ≥ `n − Σ(n − pass)` qualifying rows when
+    *    EVERY conjunct's pass count is exact (else 0 — can't prove any),
+    *    and across the chain at most [[shadowCaps]]' total of them die
+    *    to younger upserts/tombstones (injective kill mapping; a dead
+    *    row that wasn't qualifying only makes the subtraction more
+    *    conservative). Any unknown capacity collapses the lower to 0.
+    * None when a data layer lacks a row count (the upper is then
+    * unknowable — callers fall back to one exact counting pass). The
+    * `approxCount()` surface reads this for filtered merged chains and
+    * sums it leaf-wise across unions.
+    */
+  def chainMergedMatchBracket(tableDir: String, chain: Seq[String],
+      ranges: Seq[(String, Double, Double)],
+      strEquals: Seq[(String, Seq[String])] = Nil,
+      nullCols: Seq[String] = Nil, notNullCols: Seq[String] = Nil,
+      orGroups: Seq[Seq[ZoneArm]] = Nil): Option[(Long, Long)] = {
+    if (chain.isEmpty) return None
+    val withLines = chain.map(l =>
+      l -> statsLines(tableDir, l).getOrElse(Seq.empty))
+    val caps = shadowCaps(tableDir, withLines)
+    val capsTotal =
+      if (caps.exists(_.isEmpty)) None else Some(caps.flatten.sum)
+    val perLayer: Seq[Option[(Long, Long)]] = withLines
+      .filter { case (l, _) => layerHasData(tableDir, l) }
+      .map { case (_, lines) =>
+        if (!zoneKeep(lines, ranges, strEquals, nullCols, notNullCols,
+            orGroups))
+          Some((0L, 0L))
+        else nFromLines(lines).map { n =>
+          val passes = conjunctPassCounts(lines, n, ranges, strEquals,
+            nullCols, notNullCols, orGroups)
+          val hi = (n +: passes.flatten).min
+          val lo =
+            if (passes.exists(_.isEmpty)) 0L
+            else math.max(0L, n - passes.flatten.map(n - _).sum)
+          (lo, hi)
+        }
+      }
+    if (perLayer.exists(_.isEmpty)) None
+    else {
+      val hi = perLayer.flatten.map(_._2).sum
+      val lo = capsTotal.fold(0L)(ct =>
+        math.max(0L, perLayer.flatten.map(_._1).sum - ct))
+      Some((lo, hi))
+    }
+  }
+
   /** Core of [[chainTopKLayers]], generic over the sort key's envelope
     * ordering (Double for numeric/date, String for lexicographic — ASCII
     * envelopes only, where Java and UTF8String byte order provably

@@ -153,4 +153,91 @@ class BracketRoutingSpec extends SparkSpec {
       Planner.Catalog(tables = Map("t" -> frame)))
     assert(uf.collect().head === org.apache.spark.sql.Row(truth, truth))
   }
+
+  test("filtered approxCount on random merged histories: the routed " +
+      "bracket always contains the exact count, zero footers") {
+    val session = spark
+    import session.implicits._
+    // deterministic pseudo-random per seed (Date.now-free)
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 7919)
+      val dir = tmpDir()
+      val n = 40
+      NdjsonIngest.appendVersion(
+        (0 until n).map(i => (i.toLong, rnd.nextInt(100).toLong))
+          .toDF("id", "v"), dir, "id")
+      // a random history of appends / upserts / deletes / compactions
+      (0 until 5).foreach { step =>
+        rnd.nextInt(4) match {
+          case 0 => NdjsonIngest.appendDelta(
+            (0 until 10).map(i =>
+              ((1000 + seed * 100 + step * 10 + i).toLong,
+                rnd.nextInt(100).toLong)).toDF("id", "v"), dir, "id")
+          case 1 => NdjsonIngest.upsertDelta(
+            rnd.shuffle((0 until n).toList).take(8)
+              .map(i => (i.toLong, rnd.nextInt(100).toLong))
+              .toDF("id", "v"), dir, "id")
+          case 2 => NdjsonIngest.deleteDelta(
+            (0 until 3).map(_ => rnd.nextInt(n).toLong).distinct.toDF("id"),
+            dir, "id")
+          case 3 =>
+            NdjsonIngest.compactMerged(spark, dir, "id", maxLayers = 2)
+            ()
+        }
+      }
+      val frame = NdjsonIngest.readLatestMerged(spark, dir, "id")
+      val catalog = Planner.Catalog(tables = Map("t" -> frame),
+        primaryKeys = Map("t" -> "id"),
+        mergedVersionedDirs = Map("t" -> dir))
+      val routed = Planner.plan(
+        "t.filter(between(v, 20, 60)).approxCount()", catalog)
+      assert(routed.inputFiles.isEmpty,
+        s"seed $seed: filtered merged approxCount must answer from sidecars")
+      val row = routed.collect().head
+      val truth = frame.filter(col("v").between(20, 60)).count()
+      assert(row.getLong(0) <= truth && truth <= row.getLong(1),
+        s"seed $seed: bracket $row must contain $truth")
+      // the planner's answer IS the metadata bracket (not a disguised
+      // exact counting fallback)
+      val direct = NdjsonIngest.chainMergedMatchBracket(
+        dir, NdjsonIngest.latestLayers(dir), Seq(("v", 20.0, 60.0)))
+      direct.foreach { case (lo, hi) =>
+        assert(row.getLong(0) === lo && row.getLong(1) === hi,
+          s"seed $seed: planner must surface the routed bracket " +
+            s"($lo, $hi), got $row") }
+    }
+  }
+
+  test("approxCount through unionAll: leaf brackets sum — a merge-free " +
+      "leaf contributes exactly, a merged leaf its shadow bracket") {
+    val session = spark
+    import session.implicits._
+    val plain = tmpDir()
+    NdjsonIngest.appendVersion(
+      (0 until 12).map(i => (i.toLong, i.toLong)).toDF("id", "v"),
+      plain, "id")
+    val merged = tmpDir()
+    NdjsonIngest.appendVersion(
+      (0 until 10).map(i => (i.toLong, 0L)).toDF("id", "v"), merged, "id")
+    NdjsonIngest.upsertDelta(
+      (0 until 4).map(i => (i.toLong, 1L)).toDF("id", "v"), merged, "id")
+    val pFrame = NdjsonIngest.readLatest(spark, plain)
+    val mFrame = NdjsonIngest.readLatestMerged(spark, merged, "id")
+    val catalog = Planner.Catalog(
+      tables = Map("p" -> pFrame, "m" -> mFrame),
+      versionedDirs = Map("p" -> plain),
+      primaryKeys = Map("m" -> "id"),
+      mergedVersionedDirs = Map("m" -> merged))
+    val routed = Planner.plan("p.unionAll(m).approxCount()", catalog)
+    assert(routed.inputFiles.isEmpty,
+      "union approxCount must answer from the leaves' sidecars")
+    val row = routed.collect().head
+    val truth = pFrame.count() + mFrame.count()
+    assert(row.getLong(0) <= truth && truth <= row.getLong(1),
+      s"union bracket $row must contain $truth")
+    // 12 exact + merged [14−4, 14]: a counting fallback would emit
+    // (22, 22) — the strict upper proves the leaf-wise bracket sum
+    assert(row === org.apache.spark.sql.Row(22L, 26L),
+      s"leaf-wise sum expected (22, 26): $row")
+  }
 }

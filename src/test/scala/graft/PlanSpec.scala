@@ -323,6 +323,16 @@ class PlanSpec extends SparkSpec {
       "approxCount on a merge-free chain must not plan a file scan")
   }
 
+  test("q_approx_count_filtered: approxCount composed through a " +
+    "decidable window filter answers exactly from the sidecars") {
+    val df = SparkEntry.queries("q_approx_count_filtered")(spark, sfDir)
+    assert(df.inputFiles.isEmpty,
+      "filtered approxCount on a merge-free chain must not plan a file scan")
+    val row = df.collect().head
+    assert(row.getLong(0) === row.getLong(1),
+      s"merge-free filtered bracket must be exact: $row")
+  }
+
   test("q_point_pk: a primary-key point lookup routes through the pk " +
     "envelopes — at most 2 of 30 layers open") {
     val df = SparkEntry.queries("q_point_pk")(spark, sfDir)
