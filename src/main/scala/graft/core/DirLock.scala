@@ -16,6 +16,19 @@ package graft.core
   *
   * READERS never take these locks — writers keep their commit protocol
   * of atomic pointer renames, so readers always see a complete state.
+  *
+  * ==Supported deployment envelope==
+  * Multi-process WRITE coordination assumes every writer sees ONE
+  * shared POSIX filesystem (local disk, or an NFS mount with working
+  * advisory locks): `FileChannel` locks, atomic renames, and directory
+  * listings are the primitives the commit protocol is built on —
+  * matching the reference's single-node deployment shape. On OBJECT
+  * STORAGE none of these exist (no advisory locks, no atomic rename):
+  * two serve processes pointed at the same s3/gcs-backed chain would
+  * silently race their pointer flips again, so chains there need a
+  * conditional-PUT (compare-and-swap) coordination layer this library
+  * does not provide. READERS are safe on any storage — they only ever
+  * resolve a complete pointer file and immutable layer dirs.
   */
 object DirLock {
 

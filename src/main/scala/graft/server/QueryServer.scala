@@ -498,6 +498,12 @@ final class QueryServer(catalogSupplier: () => (Catalog, String),
           .map(t => "\"" + t + "\"").mkString("[", ",", "]")
         val maint = config.infoExtra.flatMap(f =>
           try f() catch { case scala.util.control.NonFatal(_) => None })
+          // the supplier's value is spliced VERBATIM into the response —
+          // a torn maintenance-log line (crash mid-append, rotation race)
+          // must drop the field, not corrupt the whole /info JSON
+          .filter(v => scala.util.Try(
+            new com.fasterxml.jackson.databind.ObjectMapper()
+              .readTree(v)).isSuccess)
           .map(v => s""","maintenance":$v""").getOrElse("")
         respond(ex, 200,
           s"""{"dataVersion":"$dataVersion","tables":$tables$maint}""",

@@ -611,15 +611,32 @@ object NdjsonIngest {
     * (path, mtime, size): sidecars are written once per layer dir (or
     * appended, which changes the size), so a matching stamp proves the
     * cached parse current — a serving process stops re-reading and
-    * re-tokenizing the same ~30 immutable files on every query, and on
-    * object storage the per-plan GET-per-layer becomes a HEAD-per-layer.
-    * Bounded: the cache clears wholesale past a generous cap (layer
-    * dirs a long-running server touches are bounded by compaction+gc;
-    * the cap only guards pathological many-table test JVMs).
+    * re-tokenizing the same ~30 immutable files on every query — this
+    * applies on any shared filesystem where a stat call is cheaper than
+    * a full read (the supported deployment envelope — see the
+    * [[graft.core.DirLock]] scaladoc; stamp-validated caching would need
+    * a conditional-GET protocol on object storage, where this library's
+    * chains don't run).
+    * Bounded + access-ordered: an LRU past the cap evicts the coldest
+    * ENTRY (a long-lived multi-tenant JVM keeps its hot chains parsed;
+    * the previous wholesale clear dropped everything at once), and
+    * [[gcVersions]] invalidates reclaimed layers' entries eagerly so a
+    * table dir wiped and re-ingested at the same path can never serve a
+    * stale parse through a (mtime, size) stamp collision.
     */
-  private val sidecarCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (java.nio.file.attribute.FileTime, Long, Seq[Array[String]])]()
+  private val sidecarCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String,
+        (java.nio.file.attribute.FileTime, Long, Seq[Array[String]])](
+        256, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String,
+          (java.nio.file.attribute.FileTime, Long, Seq[Array[String]])])
+          : Boolean = size() > SidecarCacheMax
+    })
   private val SidecarCacheMax = 8192
+
+  private def sidecarCacheKey(tableDir: String, layer: String): String =
+    java.nio.file.Paths.get(tableDir, layer, "_stats")
+      .toAbsolutePath.toString
 
   private def statsLines(tableDir: String,
       layer: String): Option[Seq[Array[String]]] = {
@@ -628,7 +645,7 @@ object NdjsonIngest {
       try java.nio.file.Files.readAttributes(p,
         classOf[java.nio.file.attribute.BasicFileAttributes])
       catch { case _: java.io.IOException => return None }
-    val key = p.toAbsolutePath.toString
+    val key = sidecarCacheKey(tableDir, layer)
     val cached = sidecarCache.get(key)
     if (cached != null && cached._1 == attrs.lastModifiedTime &&
         cached._2 == attrs.size)
@@ -636,7 +653,6 @@ object NdjsonIngest {
     else {
       val lines = java.nio.file.Files.readString(p).linesIterator
         .map(_.split(" ")).toVector
-      if (sidecarCache.size >= SidecarCacheMax) sidecarCache.clear()
       sidecarCache.put(key, (attrs.lastModifiedTime, attrs.size, lines))
       Some(lines)
     }
@@ -2152,6 +2168,10 @@ object NdjsonIngest {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(java.nio.file.Files.delete)
+      // eager sidecar-cache invalidation: a later re-ingest reusing the
+      // layer name must never hit a stale parse through an (mtime, size)
+      // stamp collision within filesystem timestamp granularity
+      sidecarCache.remove(sidecarCacheKey(tableDir, n))
     }
     drop.foreach(seq => java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(tableDir, "_log", seq.toString)))

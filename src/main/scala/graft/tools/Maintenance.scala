@@ -43,6 +43,16 @@ import graft.sources.NdjsonIngest
   * retries naturally. All work happens between requests on a daemon
   * thread; readers keep whatever pointer they resolved (generation /
   * layer isolation), so queries stay correct across every swap.
+  *
+  * Deployment envelope: the tick's compactors and gc are pointer-
+  * flipping WRITERS — they serialize against concurrent committers
+  * through [[graft.core.DirLock]]'s advisory file locks, which assumes
+  * every writer shares one POSIX filesystem (see that scaladoc for the
+  * object-storage caveat). Failure posture is asymmetric on purpose:
+  * thread-safety fails OPEN (any target's failure logs and moves on),
+  * data-retention fails CLOSED (an unreadable feed cursor or registry
+  * SKIPS gc for the affected dirs this tick rather than risk reclaiming
+  * commits a registered consumer has not read).
   */
 object Maintenance {
 
@@ -182,18 +192,29 @@ object Maintenance {
     // forever): gc retention widens to keep every commit past the
     // lowest registered cursor for that dir. Compaction stays safe
     // unconditionally — compact commits contribute nothing to the feed.
-    // The floor computation sits inside guard() like everything else:
-    // one unreadable cursor file must degrade to "no extra retention
-    // this tick" (gc still honors retainCommits and pins), never
-    // escape tick and kill the maintenance thread.
-    val feedFloor: Map[String, Long] =
-      guard("feed-floor")(
-        (annFeedSpecs(root).map { case (_, s) => s.tableDir ->
-            graft.sources.ChangeFeedConsumer.cursor(s.stateDir) } ++
-          corpusFeedSpecs(root).map { case (_, s) => s.tableDir ->
-            graft.sources.ChangeFeedConsumer.cursor(s"${s.stateDir}/feed") })
-          .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).min })
-        .getOrElse(Map.empty)
+    // Failures FAIL CLOSED for the data (never the thread): each
+    // cursor read sits in its own guard(), and an unreadable cursor
+    // marks ITS table dir's floor unknown — gc for that dir SKIPS this
+    // tick (an unknown floor can't bound retention; proceeding with
+    // only retainCommits could permanently reclaim commits the
+    // consumer has not read, and the table's own doc says a gc'd feed
+    // range fails forever). Other dirs gc normally; an unreadable feed
+    // REGISTRY (the spec listing itself) skips gc for every dir this
+    // tick. The next tick retries — 'never throws, next tick retries'
+    // stays the loop's contract.
+    val feedFloor: Option[Map[String, Option[Long]]] =
+      guard("feed-registry")(
+        annFeedSpecs(root).map { case (n, s) =>
+          (s"feed-cursor ann/$n", s.tableDir, s.stateDir) } ++
+          corpusFeedSpecs(root).map { case (n, s) =>
+            (s"feed-cursor corpus/$n", s.tableDir, s"${s.stateDir}/feed") })
+        .map(_.map { case (what, dir, stateDir) =>
+          dir -> guard(what)(
+            graft.sources.ChangeFeedConsumer.cursor(stateDir))
+        }.groupBy(_._1).map { case (d, xs) =>
+          d -> (if (xs.exists(_._2.isEmpty)) None
+                else Some(xs.flatMap(_._2).min))
+        })
     discoverChains(root).foreach { dir =>
       // the WHOLE per-target body guards, chain discovery included: a
       // corrupt latest pointer or a chain dir deleted between discovery
@@ -220,16 +241,29 @@ object Maintenance {
       }
       guard(s"gc $dir") {
         val canon = new java.io.File(dir).getCanonicalPath
-        // >= (not >): readChanges(cursor, head] reads each commit's
-        // layer diff against its PREDECESSOR's chain, so the cursor
-        // commit's own log entry must survive too
-        val retain = feedFloor.collect {
-          case (fd, cur) if new java.io.File(fd).getCanonicalPath == canon =>
-            NdjsonIngest.commits(dir).count(_ >= cur)
-        }.foldLeft(retainCommits)(math.max)
-        val dead = NdjsonIngest.gcVersions(dir, retain,
-          pinned = graft.core.Snapshot.pins(root, dir))
-        if (dead.nonEmpty) gced += dir -> dead.length
+        val floors: Option[Seq[Option[Long]]] = feedFloor.map(_.collect {
+          case (fd, cur)
+              if new java.io.File(fd).getCanonicalPath == canon => cur
+        }.toSeq)
+        floors match {
+          case None =>
+            // feed registry unreadable → which dirs have consumers is
+            // unknown → fail closed for every dir this tick
+            log(s"skip gc $dir: feed registry unreadable (fail closed)")
+          case Some(fl) if fl.contains(None) =>
+            log(s"skip gc $dir: a registered feed's cursor is " +
+              "unreadable (fail closed — retention can't be bounded)")
+          case Some(fl) =>
+            // >= (not >): readChanges(cursor, head] reads each commit's
+            // layer diff against its PREDECESSOR's chain, so the cursor
+            // commit's own log entry must survive too
+            val retain = fl.flatten
+              .map(cur => NdjsonIngest.commits(dir).count(_ >= cur))
+              .foldLeft(retainCommits)(math.max)
+            val dead = NdjsonIngest.gcVersions(dir, retain,
+              pinned = graft.core.Snapshot.pins(root, dir))
+            if (dead.nonEmpty) gced += dir -> dead.length
+        }
       }
     }
     // after each sync, LENGTH-compact the index chains (no-ops under

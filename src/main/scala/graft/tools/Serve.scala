@@ -37,6 +37,13 @@ import graft.server.QueryServer
   * hot-swaps when the input files change (the directory-watcher
   * contract: the supplier re-fingerprints the input per request and
   * rebuilds only on change).
+  *
+  * Deployment envelope: a serve process and any concurrent WRITERS
+  * (another serve, a library appender, the maintenance loop) must share
+  * one POSIX filesystem — the commit coordination is advisory file
+  * locks plus atomic renames ([[graft.core.DirLock]] has the full
+  * contract and the object-storage caveat). Read-only replicas may
+  * point anywhere the layer dirs are visible.
   */
 object Serve {
 
@@ -113,6 +120,9 @@ object Serve {
     * fingerprint/build call so a running server picks appends up on its
     * normal hot-swap path.
     */
+  private val warnedLooseAppend =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private[tools] def currentInput(dataDir: String): String = {
     val numbered = "append-(\\d+)\\.ndjson(\\.zst|\\.xz)?".r
     (Seq(inputPath(dataDir)) ++
@@ -133,9 +143,13 @@ object Serve {
           case n if n.startsWith("append-") &&
               (n.endsWith(".ndjson") || n.endsWith(".ndjson.zst") ||
                 n.endsWith(".ndjson.xz")) =>
-            System.err.println(s"[serve] append file '$n' does not match " +
-              "append-<seq>.ndjson[.zst|.xz]; serving it after all " +
-              "numbered commits (rename to restore explicit ordering)")
+            // warn ONCE per distinct name: currentInput runs on every
+            // hot-swap poll, and a deployment keeping a legacy-named
+            // file would otherwise spam one line per poll forever
+            if (warnedLooseAppend.add(n))
+              System.err.println(s"[serve] append file '$n' does not " +
+                "match append-<seq>.ndjson[.zst|.xz]; serving it after " +
+                "all numbered commits (rename to restore explicit ordering)")
             Some((Long.MaxValue, n))
           case _ => None
         }

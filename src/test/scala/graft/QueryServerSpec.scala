@@ -1035,5 +1035,24 @@ class QueryServerSpec extends SparkSpec {
     } finally s.stop()
   }
 
+  test("a TORN maintenance log line (crash mid-append / rotation race) " +
+    "drops the /info maintenance field instead of corrupting the JSON") {
+    val torn = new QueryServer(
+      () => (Catalog(Map("default" -> table)), "v1"), 0,
+      QueryServer.ServerConfig(timeoutSeconds = 120,
+        infoExtra = Some(() => Some("""{"at":"2026-08-1"""))))
+    torn.start()
+    try {
+      val r = http.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${torn.boundPort}/info")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 200)
+      assert(!r.body().contains("maintenance"), r.body())
+      // the response still parses as JSON
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(r.body())
+      ()
+    } finally torn.stop()
+  }
+
   override def afterAll(): Unit = { srv.stop(); super.afterAll() }
 }

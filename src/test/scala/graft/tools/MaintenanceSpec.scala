@@ -142,4 +142,53 @@ class MaintenanceSpec extends SparkSpec {
       .candidatesForIds(spark, Seq(30L).toDF("id"),
         s"$root/state/simhash").columns.nonEmpty)
   }
+
+  test("an UNREADABLE feed cursor fails CLOSED: its table's gc skips " +
+    "the tick (commits survive) while other dirs still gc; a readable " +
+    "cursor restores reclamation next tick") {
+    val root = java.nio.file.Files.createTempDirectory("maintclosed")
+      .toString
+    def docs(ids: Range) = ids.map(i =>
+      (i.toLong, s"src${i % 2}", s"short document $i")).toDF(
+      "doc_id", "source", "text")
+    // dir A: registered feed whose cursor file is CORRUPT
+    val a = s"$root/tables/a"
+    NdjsonIngest.appendVersion(docs(0 until 3), a, "doc_id")
+    (1 to 3).foreach(b =>
+      NdjsonIngest.appendDelta(docs(b * 3 until b * 3 + 3), a, "doc_id"))
+    val stateDir = s"$root/corpus-state"
+    Maintenance.registerCorpus(root, "a",
+      Maintenance.CorpusFeedSpec(a, stateDir))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$stateDir/feed"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$stateDir/feed", "cursor"), "not-a-number")
+    // dir B: no feed — gc must proceed normally
+    val b = s"$root/tables/b"
+    NdjsonIngest.appendVersion(docs(0 until 3), b, "doc_id")
+    (1 to 3).foreach(n =>
+      NdjsonIngest.appendDelta(docs(n * 3 until n * 3 + 3), b, "doc_id"))
+    val r1 = Maintenance.tick(spark, root, maxLayers = 2,
+      retainCommits = 1)
+    // the corrupt cursor lands in failed (its own guard), the tick
+    // survives, and A's pre-compact layers are NOT reclaimed — the old
+    // fail-open behavior gc'd them with plain retainCommits, breaking
+    // the consumer's readChanges forever
+    assert(r1.failed.exists(_._1.startsWith("feed-cursor corpus/a")),
+      r1.failed.toString)
+    assert(!r1.gced.contains(a),
+      s"gc must skip the dir with an unreadable feed cursor: ${r1.gced}")
+    assert(new java.io.File(a, "v1").isDirectory,
+      "commits a consumer may not have read must survive")
+    assert(r1.gced.getOrElse(b, 0) > 0,
+      s"dirs without feeds must still gc: ${r1.gced}")
+    // recovery: a readable cursor at the head restores reclamation
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$stateDir/feed", "cursor"),
+      NdjsonIngest.commits(a).last.toString)
+    val r2 = Maintenance.tick(spark, root, maxLayers = 2,
+      retainCommits = 1)
+    assert(r2.gced.getOrElse(a, 0) > 0, s"gc must resume: ${r2.gced}")
+    assert(!new java.io.File(a, "v1").exists())
+  }
 }
