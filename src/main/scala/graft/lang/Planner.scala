@@ -1408,6 +1408,7 @@ in.zone match {
     "filter" -> Seq(P("input"), P("predicate")),
     "schema" -> Seq(P("input")),
     "approxCount" -> Seq(P("input")),
+    "approxGroupCount" -> Seq(P("input"), P("column")),
     "groupBy" -> Seq(P("input"), P("aggregates"), P("columns", req = false)),
     "project" -> Seq(P("input"), P("fields")),
     "map" -> Seq(P("input"), P("expressions")),
@@ -1884,6 +1885,77 @@ in.zone match {
         bracketOf(in) match {
           case Some((lo, hi)) => two(lo, hi)
           case None => val c = in.df.count(); two(c, c)
+        }
+
+      case "approxGroupCount" =>
+        // per-GROUP `[lo, hi]` brackets, metadata-first — the grouped
+        // face of approxCount(): merge-free chains (bare, decidably
+        // filtered, or unioned) answer EXACTLY from the layer value
+        // histograms (metaGroupTokens, lo == hi); a bare registered
+        // MERGE-ON-READ chain answers the provable per-group shadow
+        // bracket (chainMergedGroupBracket — grouped exactness on a
+        // merged chain is unknowable from per-column ledgers, so this
+        // is surfaced as an explicit bracket, never silent routing);
+        // unions sum leaf brackets group-wise. Anything else — filtered
+        // merged chains included — runs ONE exact grouping pass
+        // (lo == hi). Output: (column, lo, hi), null group included.
+        val in = input
+        val c = req("column") match {
+          case Ident(n) => n
+          case other => err(s"approxGroupCount expects a column name, got $other")
+        }
+        if (!in.df.columns.contains(c))
+          err(s"approxGroupCount: unknown column $c")
+        val spark = in.df.sparkSession
+        import org.apache.spark.sql.types.{ByteType, DateType, IntegerType,
+          LongType, ShortType, StringType, StructField, StructType}
+        val dt = in.df.schema(c).dataType
+        val histable = dt == StringType || dt == DateType || dt == ByteType ||
+          dt == ShortType || dt == IntegerType || dt == LongType
+        def groupBracketOf(t: Tbl)
+            : Option[Seq[(Option[String], Long, Long)]] = t.union match {
+          case Some((l, r)) =>
+            for (a <- groupBracketOf(l); b <- groupBracketOf(r)) yield
+              (a ++ b).groupBy(_._1).toSeq.map { case (g, xs) =>
+                (g, xs.map(_._2).sum, xs.map(_._3).sum) }
+          case None =>
+            metaGroupTokens(t, Seq(c))
+              .map(_.map { case (toks, cnt) => (toks.head, cnt, cnt) })
+              .orElse(t.zone match {
+                case Some(_) => None // filtered merged → exact pass below
+                case None => for {
+                  t0 <- t.origin
+                  dir <- catalog.mergedVersionedDirs.get(t0)
+                  if catalog.tables.get(t0).exists(_ eq t.df)
+                  chain <- frameLayersMerged(t.df, dir)
+                  b <- graft.sources.NdjsonIngest
+                    .chainMergedGroupBracket(dir, chain, c)
+                } yield b
+              })
+        }
+        def decode(tok: Option[String]): Any = tok.map { t =>
+          dt match {
+            case DateType => java.sql.Date.valueOf(
+              java.time.LocalDate.ofEpochDay(t.toDouble.toLong))
+            case ByteType => java.lang.Byte.valueOf(t.toDouble.toByte)
+            case ShortType => java.lang.Short.valueOf(t.toDouble.toShort)
+            case IntegerType => java.lang.Integer.valueOf(t.toDouble.toInt)
+            case LongType => java.lang.Long.valueOf(t.toDouble.toLong)
+            case _ => t
+          }
+        }.orNull
+        val schema = StructType(Seq(StructField(c, dt, nullable = true),
+          StructField("lo", LongType, nullable = false),
+          StructField("hi", LongType, nullable = false)))
+        (if (histable) groupBracketOf(in) else None) match {
+          case Some(gs) =>
+            val rows: java.util.List[org.apache.spark.sql.Row] =
+              new java.util.ArrayList()
+            gs.foreach { case (g, lo, hi) =>
+              rows.add(org.apache.spark.sql.Row(decode(g), lo, hi)) }
+            Tbl(spark.createDataFrame(rows, schema), None)
+          case None => Tbl(in.df.groupBy(col(c)).agg(count(lit(1)).as("c"))
+            .select(col(c), col("c").as("lo"), col("c").as("hi")), None)
         }
 
       case "schema" =>

@@ -940,6 +940,26 @@ object RelationalQueries {
           col("value").cast("double").as("v"))
     },
 
+    // ---- GROUPED APPROX COUNT: approxGroupCount(g) answers per-group
+    //      `[lo, hi]` brackets metadata-first — EXACT (lo == hi) on the
+    //      merge-free chain from the complete layer value histograms
+    //      (metaGroupTokens), the provable per-group shadow bracket on
+    //      a bare merged chain (chainMergedGroupBracket — property-
+    //      armed in BracketRoutingSpec, since grouped exactness on a
+    //      merged chain is unknowable from per-column ledgers). Zero
+    //      footers; the routing-blind oracle groups the flat table. ----
+    QDef("q_approx_group",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS lo,
+        |  CAST(count(*) AS BIGINT) AS hi FROM events
+        |GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val tableDir = memoEventsChain(s, dir)
+      val catalog = graft.lang.Planner.Catalog(
+        tables = Map("ev" -> graft.sources.NdjsonIngest.readLatest(s, tableDir)),
+        versionedDirs = Map("ev" -> tableDir))
+      graft.lang.Planner.plan(
+        "ev.approxGroupCount(event_type).orderBy({event_type})", catalog)
+    },
+
     // ---- UUID POINT LOOKUP: `pk = <random md5>` over a 30-layer chain
     //      whose pks are hash-distributed — every layer's lexicographic
     //      envelope spans the whole key space, so only PER-VALUE layer

@@ -1154,6 +1154,58 @@ object NdjsonIngest {
     }
   }
 
+  /** Per-GROUP `[lo, hi]` brackets on a merge-on-read chain's merged
+    * grouped counts, from the sidecars + commit log alone — the grouped
+    * face of [[chainMergedCountBracket]]. Exact grouped counts on a
+    * merged chain are genuinely unknowable from per-column ledgers
+    * (younger layers shadow unknown groups), but per group two bounds
+    * are provable when EVERY data layer carries a complete exact
+    * histogram of the group column:
+    *  - hi(g) = Σ per-layer histogram counts of g: a live merged row
+    *    carries the group value its SUPPLYING layer recorded (whole-row
+    *    upsert semantics — a re-grouped row is a younger layer's
+    *    recorded row), so every live g-row counts toward some layer's
+    *    g-entry;
+    *  - lo(g) = max(0, hi(g) − total shadow capacity): at most
+    *    [[shadowCaps]]' total of recorded rows die chain-wide (injective
+    *    kill mapping), and every dead g-row subtracts from g alone —
+    *    subtracting the whole capacity from each group individually is
+    *    conservative. Unknown capacity → lo collapses to 0.
+    * The null group rides the `n:`/`c:` ledgers (n − nn per layer).
+    * None when any data layer lacks a histogram/count — callers fall
+    * back to an exact grouping pass. The `approxGroupCount()` surface
+    * consumes this; nothing routes through it silently.
+    */
+  def chainMergedGroupBracket(tableDir: String, chain: Seq[String],
+      groupCol: String): Option[Seq[(Option[String], Long, Long)]] = {
+    if (chain.isEmpty) return None
+    val withLines = chain.map(l =>
+      l -> statsLines(tableDir, l).getOrElse(Seq.empty))
+    val caps = shadowCaps(tableDir, withLines)
+    val capsTotal =
+      if (caps.exists(_.isEmpty)) None else Some(caps.flatten.sum)
+    val perLayer: Seq[Option[Seq[(Option[String], Long)]]] = withLines
+      .filter { case (l, _) => layerHasData(tableDir, l) }
+      .map { case (_, lines) =>
+        for {
+          hist <- histExactFromLines(lines, groupCol)
+          n <- nFromLines(lines)
+        } yield {
+          val nn = nnFromLines(lines, groupCol).getOrElse(hist.map(_._2).sum)
+          val entries = hist.map { case (tok, cnt) => (Option(tok), cnt) }
+          if (n - nn > 0) entries :+ ((None: Option[String]), n - nn)
+          else entries
+        }
+      }
+    if (perLayer.exists(_.isEmpty)) None
+    else Some(perLayer.flatten.flatten
+      .groupBy(_._1).toSeq
+      .map { case (g, xs) =>
+        val hi = xs.map(_._2).sum
+        (g, capsTotal.fold(0L)(ct => math.max(0L, hi - ct)), hi)
+      })
+  }
+
   /** Core of [[chainTopKLayers]], generic over the sort key's envelope
     * ordering (Double for numeric/date, String for lexicographic — ASCII
     * envelopes only, where Java and UTF8String byte order provably

@@ -240,4 +240,66 @@ class BracketRoutingSpec extends SparkSpec {
     assert(row === org.apache.spark.sql.Row(22L, 26L),
       s"leaf-wise sum expected (22, 26): $row")
   }
+
+  test("approxGroupCount on a merged chain: per-group brackets contain " +
+      "each group's exact merged count, exact on merge-free, zero footers") {
+    val session = spark
+    import session.implicits._
+    // merge-free: exact per group (lo == hi), including the null group
+    val plain = tmpDir()
+    NdjsonIngest.appendVersion(
+      (0 until 12).map(i => (i.toLong,
+        if (i % 5 == 4) null else s"g${i % 3}")).toDF("id", "g"),
+      plain, "id")
+    NdjsonIngest.appendDelta(
+      (12 until 20).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "g"),
+      plain, "id")
+    val pFrame = NdjsonIngest.readLatest(spark, plain)
+    val pf = Planner.plan("t.approxGroupCount(g)",
+      Planner.Catalog(tables = Map("t" -> pFrame),
+        versionedDirs = Map("t" -> plain)))
+    assert(pf.inputFiles.isEmpty,
+      "merge-free grouped bracket must answer from the sidecars")
+    val exact = pFrame.groupBy("g").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val got = pf.collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+    assert(got.map(g => g._1 -> g._2).toMap === exact)
+    assert(got.forall { case (_, lo, hi) => lo === hi })
+    // merged: upserts RE-GROUP rows (g0 → moved) and a delete removes
+    // one — per-group brackets must contain each group's merged truth
+    val merged = tmpDir()
+    NdjsonIngest.appendVersion(
+      (0 until 15).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "g"),
+      merged, "id")
+    NdjsonIngest.upsertDelta(
+      (0 until 4).map(i => (i.toLong, "g2")).toDF("id", "g"), merged, "id")
+    NdjsonIngest.deleteDelta(Seq(14L).toDF("id"), merged, "id")
+    val mFrame = NdjsonIngest.readLatestMerged(spark, merged, "id")
+    val mf = Planner.plan("t.approxGroupCount(g)",
+      Planner.Catalog(tables = Map("t" -> mFrame),
+        primaryKeys = Map("t" -> "id"),
+        mergedVersionedDirs = Map("t" -> merged)))
+    assert(mf.inputFiles.isEmpty,
+      "merged grouped bracket must answer from the sidecars")
+    val truth = mFrame.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val brackets = mf.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    brackets.foreach { case (g, lo, hi) =>
+      val t = truth.getOrElse(g, 0L)
+      assert(lo <= t && t <= hi, s"group $g: bracket [$lo, $hi] vs $t")
+    }
+    // every live group is bracketed, and hi is the histogram sum
+    // (15 recorded + 4 upsert rows, capacity 5 — a counting fallback
+    // would emit lo == hi everywhere)
+    assert(truth.keySet.subsetOf(brackets.map(_._1).toSet))
+    assert(brackets.exists { case (_, lo, hi) => lo < hi },
+      s"merged brackets must be strict somewhere: ${brackets.toSeq}")
+    // the planner's answer IS the metadata bracket
+    val direct = NdjsonIngest.chainMergedGroupBracket(
+      merged, NdjsonIngest.latestLayers(merged), "g").get
+      .map { case (g, lo, hi) => (g.orNull, lo, hi) }.toSet
+    assert(brackets.toSet === direct)
+  }
 }

@@ -333,6 +333,15 @@ class PlanSpec extends SparkSpec {
       s"merge-free filtered bracket must be exact: $row")
   }
 
+  test("q_approx_group: per-group brackets answer from the layer value " +
+    "histograms — exact on the merge-free chain, zero parquet footers") {
+    val df = SparkEntry.queries("q_approx_group")(spark, sfDir)
+    assert(df.inputFiles.isEmpty,
+      "merge-free approxGroupCount must not plan a file scan")
+    assert(df.collect().forall(r => r.getLong(1) === r.getLong(2)),
+      "merge-free grouped brackets must be exact")
+  }
+
   test("q_point_pk: a primary-key point lookup routes through the pk " +
     "envelopes — at most 2 of 30 layers open") {
     val df = SparkEntry.queries("q_point_pk")(spark, sfDir)
