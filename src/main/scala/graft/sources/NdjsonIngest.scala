@@ -220,6 +220,52 @@ object NdjsonIngest {
       case DateType => true
       case _ => false
     }
+    // STRING pks (the uuid production shape, where no envelope ever
+    // prunes) use the per-layer `bl:` blooms instead: one distributed
+    // pass ORs a per-row bitmask of "which layers may contain this
+    // key", and layers no batch key hits are skipped. Sound because a
+    // bloom has no false negatives — a layer actually holding a batch
+    // key always keeps its bit — and layers without a (string-kind)
+    // bloom line are unconditionally read. This gives string-pk appends
+    // the same O(recent-layers) commit cost the numeric envelope shape
+    // has, instead of one full-chain scan per commit.
+    if (!prunable && batch.schema(pk).dataType == StringType) {
+      val blooms: Seq[(String, Option[(Int, Array[Long])])] = layers.map {
+        l => l -> statsLines(tableDir, l)
+          .flatMap(bloomFromLines(_, pk))
+          .collect { case (k, 's', words) => (k, words) }
+      }
+      val probed = blooms.collect { case (l, Some(b)) => (l, b) }
+      // > 64 bloom-bearing layers can't fit the bitmask — compaction
+      // keeps real chains far shorter; fall back to the full read
+      if (probed.isEmpty || probed.length > 64)
+        return readChain(spark, tableDir, layers, None)
+      val probeArr = probed.map(_._2).toArray
+      val mask = udf { (key: String) =>
+        if (key == null) 0L
+        else {
+          var m = 0L
+          var i = 0
+          while (i < probeArr.length) {
+            val (k, words) = probeArr(i)
+            if (graft.functions.BloomSketch.maybeContainsString(words, k, key))
+              m |= 1L << i
+            i += 1
+          }
+          m
+        }
+      }
+      val maskRow = batch.select(mask(col(pk)).as("m"))
+        .agg(expr("bit_or(m)")).collect()(0)
+      val hitMask = if (maskRow.isNullAt(0)) 0L else maskRow.getLong(0)
+      val hits = probed.zipWithIndex.collect {
+        case ((l, _), i) if (hitMask & (1L << i)) != 0L => l
+      }.toSet
+      val kept = layers.filter(l =>
+        hits.contains(l) || blooms.find(_._1 == l).exists(_._2.isEmpty))
+      return readChainSubset(spark, tableDir, layers, kept,
+        pinSchema = Some(batch.schema))
+    }
     if (!prunable) return readChain(spark, tableDir, layers, None)
     val statCol =
       if (batch.schema(pk).dataType == DateType) unix_date(col(pk))

@@ -136,6 +136,39 @@ class BloomSpec extends SparkSpec {
     assert(routed.filter(col("pk") === probe).count() === 1)
   }
 
+  test("string-pk append clash check prunes through the layer blooms: " +
+      "a fresh-keys batch reads no layer, an overlapping batch reads " +
+      "only the holding layer, a true duplicate still aborts") {
+    val session = spark
+    import session.implicits._
+    val (dir, key) = uuidChain()
+    val chain = NdjsonIngest.latestLayers(dir)
+    // all-fresh keys: every layer's bloom excludes the whole batch —
+    // the dup-pk check reads ZERO layers (was: one full-chain scan per
+    // commit for any non-numeric pk)
+    val fresh = (0 until 50).map(i => (md5(s"new-$i"), 100000 + i))
+      .toDF("pk", "n")
+    val freshScan = NdjsonIngest.existingForClash(
+      spark, dir, chain, fresh, "pk")
+    val freshLayers = freshScan.inputFiles
+      .map(_.split("/").takeRight(2).head).distinct
+    assert(freshLayers.length <= 1,
+      s"fresh batch must skip (almost) every layer: ${freshLayers.toSeq}")
+    NdjsonIngest.appendDelta(fresh, dir, "pk") // and the commit works
+    // a batch overlapping layer 1 keeps (at least) layer 1
+    val overlap = Seq((key(1 * 1500 + 9), -1)).toDF("pk", "n")
+    val overlapLayers = NdjsonIngest.existingForClash(
+        spark, dir, chain, overlap, "pk")
+      .inputFiles.map(_.split("/").takeRight(2).head).distinct
+    assert(overlapLayers.contains(chain(1)) && overlapLayers.length <= 2,
+      s"overlap batch must read the holding layer: ${overlapLayers.toSeq}")
+    // and the pruned check still ENFORCES uniqueness
+    intercept[NdjsonIngest.DuplicatePrimaryKey] {
+      NdjsonIngest.appendDelta(overlap, dir, "pk")
+    }
+    ()
+  }
+
   test("forged over-full bloom (all bits set): every probe is a " +
       "'maybe' — pure conservative keep, rows stay exact") {
     val (dir, key) = uuidChain()
