@@ -38,8 +38,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * Hashing is double-hashing over two [[XxHash64Function]] seeds — the
   * same function the probe side uses, so writer and reader can never
   * disagree on a key's bit positions. Double-typed children hash the
-  * IEEE bits (Spark normalizes -0.0 and NaN), string children the
-  * UTF-8 bytes.
+  * IEEE bits via `doubleToLongBits`, which canonicalizes NaN but NOT
+  * the zero sign — and zero-sign equality is PATH-DEPENDENT in Spark
+  * (codegen's IEEE `==` treats -0.0 = 0.0 as equal; the parquet
+  * pushdown comparator's total order does not) — so both [[update]]
+  * and [[maybeContainsDouble]] canonicalize -0.0 to +0.0 before
+  * hashing: a layer holding -0.0 stays INCLUDABLE for a `pk = 0.0`
+  * probe (and vice versa) under whichever semantics the row-wise scan
+  * exhibits; the cost is at most one conservatively-read footer.
+  * String children hash the UTF-8 bytes verbatim.
   */
 case class BloomSketch(child: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
@@ -54,8 +61,16 @@ case class BloomSketch(child: Expression,
   override def createAggregationBuffer(): Buffer = new Buffer()
 
   override def update(buf: Buffer, input: InternalRow): Buffer = {
-    val v = child.eval(input)
-    if (v != null) {
+    val v0 = child.eval(input)
+    if (v0 != null) {
+      // -0.0 = 0.0 row-wise but doubleToLongBits distinguishes them:
+      // canonicalize so a sign-flipped zero can never make the probe
+      // side wrongly exclude the layer (see class doc)
+      val v = v0 match {
+        case d: Double if d == 0.0d => 0.0d
+        case f: Float if f == 0.0f => 0.0f
+        case x => x
+      }
       val h1 = XxHash64Function.hash(v, child.dataType, Seed1)
       val h2 = XxHash64Function.hash(v, child.dataType, Seed2) | 1L
       insert(buf.words, h1, h2)
@@ -182,7 +197,9 @@ object BloomSketch {
   }
 
   def maybeContainsDouble(words: Array[Long], k: Int, v: Double): Boolean = {
-    val d = java.lang.Double.valueOf(v)
+    // canonicalize -0.0 like the insert side (class doc): the planner
+    // may carry a -0.0 literal whose row-wise equality matches +0.0
+    val d = java.lang.Double.valueOf(if (v == 0.0d) 0.0d else v)
     maybeContains(words, k,
       XxHash64Function.hash(d, org.apache.spark.sql.types.DoubleType, Seed1),
       XxHash64Function.hash(d, org.apache.spark.sql.types.DoubleType, Seed2) | 1L)

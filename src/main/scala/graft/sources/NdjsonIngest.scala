@@ -56,6 +56,13 @@ object NdjsonIngest {
     sys.props.get("graft.histogramBudgetBytes").map(_.toLong)
       .getOrElse(256L * 1024)
 
+  /** Max BLOOM aggregates per commit (the pk + id-shaped extras, see
+    * writeLayerStats): each partial buffer is 2^BuildLogBits bits =
+    * 128 KB regardless of batch size, so the cap bounds the stats
+    * pass's per-task memory and its shuffle payload on wide tables.
+    */
+  val MaxBloomColumns: Int = 8
+
   final case class DuplicatePrimaryKey(keys: Seq[String])
     extends RuntimeException(s"duplicate primary keys: ${keys.mkString(", ")}")
 
@@ -492,21 +499,48 @@ object NdjsonIngest {
     def histTok(c: String): Column =
       if (df.schema(c).dataType == StringType) col(c)
       else statCol(c).cast("double").cast("string")
-    // the chain's pk gets a per-layer BLOOM (`bl:` line) so point
-    // lookups prune layers a random key distribution denies the
-    // envelopes and the >cap cardinality denies the histograms —
-    // string pks hash their verbatim value (what a strEquals probe
-    // holds), numeric/date pks their canonical double (what a lo==hi
-    // range probe holds; insert and probe share ONE double cast, so
-    // exclusion can never disagree with the row-wise filter)
-    val bloomTarget: Option[(String, Char, Column)] = bloomCol
-      .filter(c => df.columns.contains(c) && plainName(c))
-      .flatMap(c => df.schema(c).dataType match {
+    // Per-layer BLOOMs (`bl:` lines) — per-value membership for columns
+    // whose cardinality denies the complete histograms and whose value
+    // distribution denies the envelopes:
+    //  - the chain's pk ALWAYS gets one (a point lookup is the shape no
+    //    other sidecar stat serves; a uuid pk spans every envelope);
+    //  - other id-shaped columns (string + integer-family — the
+    //    foreign-key / session-id production shapes) get one IFF their
+    //    complete histogram is not written: a bloom is strictly weaker
+    //    than a complete histogram, so writing both is dead sidecar
+    //    weight, and zoneKeep consults blooms exactly in its
+    //    histogram-absent branch — write side and read side agree by
+    //    construction. Reference bar: per-value StringInSet bitmaps
+    //    exist for EVERY string column, not just the key
+    //    (string_in_set.cpp:64, equals.cpp:143-148).
+    // String targets hash verbatim values (what a strEquals probe
+    // holds), numeric/date targets the canonical double a lo==hi range
+    // probe holds — insert and probe share ONE encoding, so exclusion
+    // can never disagree with the row-wise filter. Capped at
+    // MaxBloomColumns aggregates per commit: each partial buffer is
+    // 2^BuildLogBits bits = 128 KB, so the cap bounds the stats pass's
+    // per-task memory and shuffle payload on wide tables.
+    def bloomable(c: String): Option[(String, Char, Column)] =
+      df.schema(c).dataType match {
         case StringType => Some((c, 's', col(c)))
         case t if t.isInstanceOf[NumericType] || t == DateType =>
           Some((c, 'd', statCol(c).cast("double")))
         case _ => None
-      })
+      }
+    val pkTarget: Option[(String, Char, Column)] = bloomCol
+      .filter(c => df.columns.contains(c) && plainName(c))
+      .flatMap(bloomable)
+    val extraTargets: Seq[(String, Char, Column)] = df.schema.fields
+      .iterator
+      .filter(f => plainName(f.name) && !bloomCol.contains(f.name) &&
+        (f.dataType == StringType || f.dataType == ByteType ||
+          f.dataType == ShortType || f.dataType == IntegerType ||
+          f.dataType == LongType))
+      .take(MaxBloomColumns - pkTarget.size)
+      .flatMap(f => bloomable(f.name))
+      .toSeq
+    val bloomTargets: Seq[(String, Char, Column)] =
+      pkTarget.toSeq ++ extraTargets
     val aggs = numeric.flatMap(c =>
       Seq(min(statCol(c)).cast("double").as(s"min_$c"),
         max(statCol(c)).cast("double").as(s"max_$c"))) ++
@@ -528,10 +562,10 @@ object NdjsonIngest {
       // second job over the batch
       histCand.map(c => graft.functions.BoundedHistogram
         .boundedHist(histTok(c), HistogramMaxEntries).as(s"h_$c")) ++
-      // the pk bloom rides the same pass (BloomSketch folds itself to
+      // the blooms ride the same pass (BloomSketch folds itself to
       // ~10 bits/key at eval; an over-full filter evals null)
-      bloomTarget.map { case (_, _, bc) =>
-        graft.functions.BloomSketch.bloomSketch(bc).as("_bl") }.toSeq ++
+      bloomTargets.zipWithIndex.map { case ((_, _, bc), i) =>
+        graft.functions.BloomSketch.bloomSketch(bc).as(s"_bl$i") } ++
       Seq(count(lit(1)).as("_n"))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val numLines = numeric.zipWithIndex.flatMap { case (c, i) =>
@@ -606,48 +640,67 @@ object NdjsonIngest {
           exactVal(lo.asInstanceOf[Double]) &&
           exactVal(hi.asInstanceOf[Double])
       }
-    val histBlocks: Seq[Seq[String]] = histCand.zipWithIndex.flatMap {
+    val histBlocks: Seq[(String, Seq[String])] = histCand.zipWithIndex.flatMap {
       case (c, i) =>
         if (!longSafe(c)) None
         else Option(row.getMap[String, Long](histBase + i)).map { m =>
           val entries = m.toSeq
-          s"gh:$c ${entries.length}" +:
+          c -> (s"gh:$c ${entries.length}" +:
             entries.sortBy(_._1).map { case (v, cnt) =>
               s"g:$c ${b64.encodeToString(
                 v.getBytes(java.nio.charset.StandardCharsets.UTF_8))} $cnt"
-            }
+            })
         }
     }
-    // the pk bloom line: `bl:<col> <numHashes> <kind> <b64 bits>` —
-    // ≤ ~11 KB (8 KB of bits base64'd), spent FIRST inside the shared
-    // HistogramBudgetBytes (a point lookup is the one production shape
-    // no other sidecar stat serves; see bloomTarget above). NULL from
-    // the aggregate (empty layer, or saturated past usefulness) writes
-    // nothing — readers treat absence as conservative keep.
-    val bloomLine: Option[String] = bloomTarget.flatMap { case (c, kind, _) =>
-      Option(row.get(histBase + histCand.length))
+    // a bloom line: `bl:<col> <numHashes> <kind> <b64 bits>` — ≤ ~11 KB
+    // (8 KB of bits base64'd). NULL from the aggregate (empty layer, or
+    // saturated past usefulness) writes nothing — readers treat absence
+    // as conservative keep.
+    def bloomLineAt(i: Int): Option[String] = {
+      val (c, kind, _) = bloomTargets(i)
+      Option(row.get(histBase + histCand.length + i))
         .map(_.asInstanceOf[Array[Byte]])
         .map(bytes => s"bl:$c ${graft.functions.BloomSketch.NumHashes} " +
           s"$kind ${b64.encodeToString(bytes)}")
-        .filter(_.length + 1L <= HistogramBudgetBytes)
     }
+    // the PK bloom spends FIRST inside the shared HistogramBudgetBytes
+    // (a point lookup on the key is the one production shape no other
+    // sidecar stat serves; see bloomTargets above)
+    val pkBloomLine: Option[String] =
+      if (pkTarget.isEmpty) None
+      else bloomLineAt(0).filter(_.length + 1L <= HistogramBudgetBytes)
+    var spent = pkBloomLine.map(_.length + 1L).getOrElse(0L)
     // the per-LAYER histogram byte budget (HistogramBudgetBytes):
     // narrowest-first keeps the low-cardinality group keys that grouped
     // counts actually consult; the widest blocks drop once the running
     // total passes the budget. Stable: ties keep histCand order, so the
     // same batch always writes the same sidecar.
-    val histLines: Seq[String] = {
-      var spent = bloomLine.map(_.length + 1L).getOrElse(0L)
-      histBlocks.sortBy(b => b.map(_.length + 1L).sum).flatMap { b =>
+    val writtenHist = scala.collection.mutable.Set[String]()
+    val histLines: Seq[String] =
+      histBlocks.sortBy(_._2.map(_.length + 1L).sum).flatMap { case (c, b) =>
         val sz = b.map(_.length + 1L).sum
-        if (spent + sz <= HistogramBudgetBytes) { spent += sz; b }
-        else Nil
+        if (spent + sz <= HistogramBudgetBytes) {
+          spent += sz; writtenHist += c; b
+        } else Nil
       }
-    }
+    // id-shaped EXTRA blooms fill the remaining budget in schema order
+    // (stable), and only where no complete histogram was written — the
+    // histogram answers strictly more, and zoneKeep consults blooms
+    // exactly in its histogram-absent branch
+    val extraBloomLines: Seq[String] = bloomTargets.zipWithIndex
+      .drop(pkTarget.size)
+      .flatMap { case ((c, _, _), i) =>
+        if (writtenHist(c)) None
+        else bloomLineAt(i).flatMap { l =>
+          if (spent + l.length + 1L <= HistogramBudgetBytes) {
+            spent += l.length + 1L; Some(l)
+          } else None
+        }
+      }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(layerDir, "_stats"),
-      (numLines ++ strLines ++ nnLines ++ bloomLine.toSeq ++ histLines ++
-        nLine).mkString("\n"))
+      (numLines ++ strLines ++ nnLines ++ pkBloomLine.toSeq ++ histLines ++
+        extraBloomLines ++ nLine).mkString("\n"))
   }
 
   /** A layer's `_stats` sidecar, tokenized — ONE file read shared by all
@@ -778,8 +831,13 @@ object NdjsonIngest {
     * per its bloom? Sound without any exactness window: the writer
     * inserted CAST(value AS DOUBLE) and the planner derived `v` by the
     * same cast of the literal, so "v not in bloom" proves no row's
-    * double encoding matches — and a row satisfies the exact row-wise
-    * equality only if its double encoding equals the literal's.
+    * double encoding EQUALS the literal's — and both sides canonicalize
+    * -0.0 to +0.0 before hashing (BloomSketch class doc): zero-sign
+    * equality is path-dependent in Spark (IEEE == in codegen vs the
+    * parquet pushdown comparator's total order), so the bloom keeps the
+    * layer whenever EITHER semantic could match, and the row-wise scan
+    * decides. (NaN point probes never reach here: NaN != NaN fails the
+    * lo==hi gate.)
     */
   private def bloomKeepsDouble(lines: Seq[Array[String]], column: String,
       v: Double): Boolean =

@@ -25,6 +25,12 @@ class BloomSpec extends SparkSpec {
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map(b => f"$b%02x").mkString
 
+  // self-contained (no `this` capture → serializable closure)
+  private val md5udf = udf((s: String) =>
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString)
+
   /** 5 layers × 1500 rows of md5-hex pks (uuid-shaped: random-looking,
     * > histogram cap per layer, every layer's lexicographic envelope
     * spans ~the whole key space).
@@ -167,6 +173,106 @@ class BloomSpec extends SparkSpec {
       NdjsonIngest.appendDelta(overlap, dir, "pk")
     }
     ()
+  }
+
+  test("NON-pk id-shaped columns get blooms too (iff their complete " +
+      "histogram is not written): a uuid-shaped session column prunes " +
+      "point probes, a low-cardinality category column does not waste " +
+      "bloom bytes next to its histogram") {
+    val session = spark
+    import session.implicits._
+    val dir = tmpDir()
+    // numeric pk (tight envelopes), a >cap-cardinality session string
+    // (histogram poisons → bloom written), a 3-value status string
+    // (complete histogram written → NO bloom)
+    (0 until 5).foreach { b =>
+      val df = (0 until 1500).map { i =>
+        val n = b * 1500 + i
+        (n, md5(s"sess-$n"), s"st${n % 3}")
+      }.toDF("id", "session", "status")
+      if (b == 0) NdjsonIngest.appendVersion(df, dir, "id")
+      else NdjsonIngest.appendDelta(df, dir, "id")
+    }
+    val chain = NdjsonIngest.latestLayers(dir)
+    chain.foreach { l =>
+      val stats = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, l, "_stats"))
+      assert(stats.linesIterator.exists(_.startsWith("bl:session ")),
+        s"poisoned-histogram session column must carry a bloom in $l")
+      assert(!stats.linesIterator.exists(_.startsWith("bl:status ")),
+        s"a complete histogram answers strictly more — no status bloom in $l")
+      assert(stats.linesIterator.exists(_.startsWith("gh:status ")))
+    }
+    // a session point probe prunes to the holding layer via the bloom
+    // (every layer's lexicographic envelope spans the md5 space)
+    val hit = md5(s"sess-${3 * 1500 + 21}")
+    val routed = NdjsonIngest.readChainRanges(spark, dir, chain, Nil,
+      strEquals = Seq(("session", Seq(hit))))
+    val layers = routed.inputFiles.map(_.split("/").takeRight(2).head)
+      .distinct.toSeq
+    assert(layers.contains(chain(3)) && layers.length <= 2,
+      s"non-pk point probe must prune via the session bloom: $layers")
+    assert(routed.filter(col("session") === hit).count() === 1)
+    // and a miss excludes (almost) everything
+    val missLayers = NdjsonIngest.readChainRanges(spark, dir, chain, Nil,
+      strEquals = Seq(("session", Seq(md5("sess-absent")))))
+      .inputFiles.map(_.split("/").takeRight(2).head).distinct
+    assert(missLayers.length <= 1,
+      s"a session miss must open (almost) no layer: ${missLayers.toSeq}")
+  }
+
+  test("bloom aggregates cap at MaxBloomColumns on wide id tables") {
+    val session = spark
+    import session.implicits._
+    val dir = tmpDir()
+    // 12 uuid-shaped string columns + the pk: at most MaxBloomColumns
+    // blooms total (pk first, then schema order)
+    val base = (0 until 1500).map(i => i).toDF("id")
+    val df = (0 until 12).foldLeft(base) { (d, j) =>
+      d.withColumn(s"u$j", md5udf(concat(lit(s"c$j-"), col("id"))))
+    }
+    NdjsonIngest.appendVersion(df, dir, "id")
+    val stats = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "v1", "_stats"))
+    val blCount = stats.linesIterator.count(_.startsWith("bl:"))
+    assert(blCount <= NdjsonIngest.MaxBloomColumns,
+      s"bloom lines must cap at ${NdjsonIngest.MaxBloomColumns}: $blCount")
+    assert(stats.linesIterator.exists(_.startsWith("bl:id ")),
+      "the pk bloom always comes first")
+  }
+
+  test("signed zero: a layer holding -0.0 stays INCLUDABLE for a " +
+      "pk = 0.0 point probe — zero-sign equality is path-dependent in " +
+      "Spark (IEEE == in codegen treats -0.0 = 0.0 as equal; the " +
+      "parquet pushdown comparator's total order does not), so the " +
+      "bloom canonicalizes both sides and conservatively keeps") {
+    val session = spark
+    import session.implicits._
+    val dir = tmpDir()
+    // double pks never get complete histograms (histCand excludes
+    // float/double), so the point probe consults the bloom directly
+    NdjsonIngest.appendVersion(
+      (1 to 100).map(i => (i * 1.5, i)).toDF("pk", "n"), dir, "pk")
+    NdjsonIngest.appendDelta(
+      ((-0.0, 0) +: (1 to 99).map(i => (-i * 2.5, i))).toDF("pk", "n"),
+      dir, "pk")
+    val chain = NdjsonIngest.latestLayers(dir)
+    val routed = NdjsonIngest.readChainRanges(spark, dir, chain,
+      Seq(("pk", 0.0, 0.0)))
+    // the conservative-keep contract: whichever equality semantics the
+    // row-wise path exhibits, the sign-flipped-zero layer must be READ,
+    // never bloom-pruned (under doubleToLongBits hashing without
+    // canonicalization it would be silently excluded)
+    assert(routed.inputFiles.exists(_.contains("/v2/")),
+      s"the -0.0 layer must stay includable: ${routed.inputFiles.toSeq}")
+    // routed ≡ unrouted under the SAME row-wise filter
+    val full = spark.read.parquet(chain.map(l => s"$dir/$l"): _*)
+    assert(routed.filter(col("pk") === 0.0).count() ===
+      full.filter(col("pk") === 0.0).count())
+    // and the stored -0.0 stays reachable through its own point probe
+    val routedNeg = NdjsonIngest.readChainRanges(spark, dir, chain,
+      Seq(("pk", -0.0, -0.0)))
+    assert(routedNeg.filter(col("pk") === -0.0).count() === 1)
   }
 
   test("forged over-full bloom (all bits set): every probe is a " +
