@@ -144,7 +144,13 @@ object RelationalQueries {
       val docs = t(s, dir, "documents")
         .withColumn("pk",
           md5(concat(lit("doc-"), col("doc_id").cast("string"))))
-        .select("pk", "doc_id", "lang", "n_chars")
+        // a NON-pk uuid-shaped column: the same hash-distributed shape
+        // on a column that is NOT the chain's key — per-value layer
+        // metadata (complete histogram under the cap, `bl:` bloom past
+        // it) is the only thing that can prune its point probes
+        .withColumn("session",
+          md5(concat(lit("sess-"), col("doc_id").cast("string"))))
+        .select("pk", "session", "doc_id", "lang", "n_chars")
       (0 until 30).foreach { b =>
         val batch = docs.filter(col("doc_id") % 30 === b)
         if (b == 0) graft.sources.NdjsonIngest.appendVersion(batch, tableDir, "pk")
@@ -998,6 +1004,29 @@ object RelationalQueries {
         versionedDirs = Map("du" -> tableDir))
       graft.lang.Planner.plan(
         s"du.filter(pk = '${md5Hex("doc--1")}').project({pk, doc_id, lang})",
+        catalog)
+    },
+
+    // ---- NON-PK UUID POINT LOOKUP: the same hash-distributed point
+    //      probe on a column that is NOT the chain's key — the layer
+    //      envelopes all span, so only per-value metadata prunes (the
+    //      complete histogram under the cap; the id-shaped EXTRA `bl:`
+    //      bloom past it — BloomSpec's non-pk arm). The reference keeps
+    //      per-value StringInSet bitmaps for EVERY string column, not
+    //      just the key (string_in_set.cpp:64). ----
+    QDef("q_point_session",
+      s"""SELECT session, doc_id, lang FROM (
+        |  SELECT md5('sess-' || CAST(doc_id AS VARCHAR)) AS session,
+        |         doc_id, lang
+        |  FROM documents) WHERE session = '${md5Hex("sess-137")}'""".stripMargin) {
+      (s, dir) =>
+      val tableDir = memoUuidChain(s, dir)
+      val catalog = graft.lang.Planner.Catalog(
+        tables = Map("du" -> graft.sources.NdjsonIngest.readLatest(s, tableDir)),
+        versionedDirs = Map("du" -> tableDir))
+      graft.lang.Planner.plan(
+        s"du.filter(session = '${md5Hex("sess-137")}')" +
+          ".project({session, doc_id, lang})",
         catalog)
     },
 

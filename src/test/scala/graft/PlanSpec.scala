@@ -359,6 +359,16 @@ class PlanSpec extends SparkSpec {
     assert(df.count() === 1)
   }
 
+  test("q_point_session: a NON-pk uuid-shaped point probe prunes per " +
+    "VALUE through the column's own layer metadata (histogram under " +
+    "the cap, extra bloom past it)") {
+    val df = SparkEntry.queries("q_point_session")(spark, sfDir)
+    val layers = df.inputFiles.map(_.split("/").takeRight(2).head).distinct
+    assert(layers.length <= 2,
+      s"non-pk uuid hit must open ≤2 of 30 layers: ${layers.mkString(",")}")
+    assert(df.count() === 1)
+  }
+
   test("q_point_uuid_miss: the absent uuid excludes EVERY layer from " +
     "per-value metadata — zero footers, zero rows") {
     val df = SparkEntry.queries("q_point_uuid_miss")(spark, sfDir)
