@@ -730,6 +730,30 @@ final class Planner(catalog: Planner.Catalog) {
       }
   }
 
+  /** Sidecar histogram token → typed group value (dates and narrow
+    * integers travel as canonical doubles — writeLayerStats histTok).
+    * None when the token does not decode under the column's type (a
+    * stale ALIASED sidecar line of another type — the scenario
+    * ForgedSidecarSpec forges): callers must DECLINE the whole
+    * metadata path to the exact scan, the same three-valued contract
+    * as armPassesToken / histEntriesWhere — treating an undecodable
+    * token as absent would drop its group, a wrong answer; throwing
+    * would fail a query a plain scan answers fine.
+    */
+  private def decodeToken(t: String,
+      dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case DateType => t.toDoubleOption.map(d =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.toLong)))
+      case ByteType => t.toDoubleOption.map(d => java.lang.Byte.valueOf(d.toByte))
+      case ShortType => t.toDoubleOption.map(d => java.lang.Short.valueOf(d.toShort))
+      case IntegerType => t.toDoubleOption.map(d => java.lang.Integer.valueOf(d.toInt))
+      case LongType => t.toDoubleOption.map(d => java.lang.Long.valueOf(d.toLong))
+      case _ => Some(t)
+    }
+  }
+
   /** The project pipeline stage, recursing into unionAll children so
     * the rebuilt union keeps routable children for later filters.
     */
@@ -1722,31 +1746,28 @@ in.zone match {
                 dt == StringType || dt == DateType || dt == ByteType ||
                 dt == ShortType || dt == IntegerType || dt == LongType))
               None
-            else metaGroupTokens(in, cols).map { gs =>
-              // sidecar tokens → typed group values (dates and narrow
-              // integers travel as doubles, the histogram/envelope
-              // encoding — see writeLayerStats histTok)
-              def decode(tok: Option[String],
-                  dt: org.apache.spark.sql.types.DataType): Any =
-                tok.map { t =>
-                  dt match {
-                    case DateType => java.sql.Date.valueOf(
-                      java.time.LocalDate.ofEpochDay(t.toDouble.toLong))
-                    case ByteType => java.lang.Byte.valueOf(t.toDouble.toByte)
-                    case ShortType =>
-                      java.lang.Short.valueOf(t.toDouble.toShort)
-                    case IntegerType =>
-                      java.lang.Integer.valueOf(t.toDouble.toInt)
-                    case LongType => java.lang.Long.valueOf(t.toDouble.toLong)
-                    case _ => t
+            else metaGroupTokens(in, cols).flatMap { gs =>
+              // sidecar tokens → typed group values via decodeToken; an
+              // UNDECODABLE token (stale aliased sidecar line) declines
+              // the WHOLE histogram path to the grouping scan — it
+              // reaches here when the group column carries no range
+              // conjunct (entry tests then never parsed the tokens)
+              val decoded: Option[Seq[Seq[Any]]] =
+                gs.foldLeft(Option(Vector.empty[Seq[Any]])) {
+                  case (accOpt, (toks, cnt)) => accOpt.flatMap { acc =>
+                    val vs: Seq[Option[Any]] = toks.zip(dts).map {
+                      case (None, _) => Some(null: Any)
+                      case (Some(t), dt) => decodeToken(t, dt)
+                    }
+                    if (vs.exists(_.isEmpty)) None
+                    else Some(acc :+ (vs.map(_.get) :+ (cnt: Any)))
                   }
-                }.orNull
+                }
+              decoded.map { rs =>
               val rows: java.util.List[org.apache.spark.sql.Row] =
                 new java.util.ArrayList()
-              gs.foreach { case (toks, cnt) =>
-                rows.add(org.apache.spark.sql.Row(
-                  toks.zip(dts).map { case (t, dt) => decode(t, dt) } :+
-                    cnt: _*))
+              rs.foreach { vals =>
+                rows.add(org.apache.spark.sql.Row(vals: _*))
               }
               in.df.sparkSession.createDataFrame(rows,
                 org.apache.spark.sql.types.StructType(
@@ -1756,6 +1777,7 @@ in.zone match {
                   } :+ org.apache.spark.sql.types.StructField(
                     aggItems.head, org.apache.spark.sql.types.LongType,
                     nullable = false)))
+              }
             }
           }
         val out = (metaCount, metaGroups) match {
@@ -1933,29 +1955,36 @@ in.zone match {
                 } yield b
               })
         }
-        def decode(tok: Option[String]): Any = tok.map { t =>
-          dt match {
-            case DateType => java.sql.Date.valueOf(
-              java.time.LocalDate.ofEpochDay(t.toDouble.toLong))
-            case ByteType => java.lang.Byte.valueOf(t.toDouble.toByte)
-            case ShortType => java.lang.Short.valueOf(t.toDouble.toShort)
-            case IntegerType => java.lang.Integer.valueOf(t.toDouble.toInt)
-            case LongType => java.lang.Long.valueOf(t.toDouble.toLong)
-            case _ => t
-          }
-        }.orNull
         val schema = StructType(Seq(StructField(c, dt, nullable = true),
           StructField("lo", LongType, nullable = false),
           StructField("hi", LongType, nullable = false)))
-        (if (histable) groupBracketOf(in) else None) match {
-          case Some(gs) =>
+        // decodeToken three-valued: an UNDECODABLE sidecar token (stale
+        // aliased line) declines the whole metadata path to the exact
+        // grouping pass instead of throwing out of plan construction
+        val metaRows: Option[Seq[org.apache.spark.sql.Row]] =
+          (if (histable) groupBracketOf(in) else None).flatMap { gs =>
+            gs.foldLeft(Option(Vector.empty[org.apache.spark.sql.Row])) {
+              case (accOpt, (g, lo, hi)) => accOpt.flatMap { acc =>
+                g match {
+                  case None => Some(acc :+ org.apache.spark.sql.Row(null, lo, hi))
+                  case Some(t) => decodeToken(t, dt).map(v =>
+                    acc :+ org.apache.spark.sql.Row(v, lo, hi))
+                }
+              }
+            }
+          }
+        metaRows match {
+          case Some(rs) =>
             val rows: java.util.List[org.apache.spark.sql.Row] =
               new java.util.ArrayList()
-            gs.foreach { case (g, lo, hi) =>
-              rows.add(org.apache.spark.sql.Row(decode(g), lo, hi)) }
+            rs.foreach(rows.add)
             Tbl(spark.createDataFrame(rows, schema), None)
-          case None => Tbl(in.df.groupBy(col(c)).agg(count(lit(1)).as("c"))
-            .select(col(c), col("c").as("lo"), col("c").as("hi")), None)
+          case None =>
+            // collision-proof internal alias: the group column itself
+            // may be named "c"
+            Tbl(in.df.groupBy(col(c)).agg(count(lit(1)).as("__approx_cnt"))
+              .select(col(c), col("__approx_cnt").as("lo"),
+                col("__approx_cnt").as("hi")), None)
         }
 
       case "schema" =>

@@ -24,18 +24,21 @@ object RelationalQueries {
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
   private def money(c: Column): Column = round(sum(dec(c)).cast("double"), 2)
 
-  /** Memoized VERSIONED events chain per (session, sf-dir): events land
-    * one layer per calendar day — the canonical time-ordered production
-    * ingest — so every layer's `_stats` sidecar carries a disjoint date
-    * envelope and a date-window query can skip all but the asked days.
-    * Building the chain is preprocessing (Database.build territory; in
-    * the Bench WARMUP list), not part of the timed query.
+  /** ONE memoized-fixture-chain lifecycle shared by every chain cache
+    * below: sweep entries of stopped sessions (reclaiming their temp
+    * dirs), build at most once per live (session, sf-dir), and register
+    * a JVM shutdown hook per build — the live session's chain dir is
+    * otherwise only reclaimed when a LATER call observes the session
+    * stopped, so a bench run's last chain would leak one temp dir per
+    * run. Building a chain is preprocessing (Database.build territory;
+    * in the Bench WARMUP list), never part of a timed query.
     */
-  private val eventChains =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      (String, java.io.File)]()
-  private def memoEventsChain(s: SparkSession, dir: String): String = {
-    val it = eventChains.entrySet().iterator()
+  private def memoChain(
+      cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+        (String, java.io.File)],
+      prefix: String, sub: String)(build: String => Unit)(
+      s: SparkSession, dir: String): String = {
+    val it = cache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey._1.sparkContext.isStopped) {
@@ -43,14 +46,26 @@ object RelationalQueries {
         it.remove()
       }
     }
-    eventChains.computeIfAbsent((s, dir), _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_zonechain")
-      // the live session's chain dir is otherwise only reclaimed when a
-      // LATER call observes the session stopped — a bench run's last
-      // chain would leak one temp dir per run without the exit hook
+    cache.computeIfAbsent((s, dir), _ => {
+      val tmp = java.nio.file.Files.createTempDirectory(prefix)
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)))
-      val tableDir = tmp.toString + "/ev"
+      val tableDir = tmp.toString + "/" + sub
+      build(tableDir)
+      (tableDir, tmp.toFile)
+    })._1
+  }
+
+  /** Memoized VERSIONED events chain per (session, sf-dir): events land
+    * one layer per calendar day — the canonical time-ordered production
+    * ingest — so every layer's `_stats` sidecar carries a disjoint date
+    * envelope and a date-window query can skip all but the asked days.
+    */
+  private val eventChains =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (String, java.io.File)]()
+  private def memoEventsChain(s: SparkSession, dir: String): String =
+    memoChain(eventChains, "graft_zonechain", "ev") { tableDir =>
       // status: a low-cardinality INT derived column — the status-code /
       // category-id group key shape — so the chain's sidecars carry
       // integer value histograms (q_group_int / q_group_intdate)
@@ -65,9 +80,7 @@ object RelationalQueries {
         else
           graft.sources.NdjsonIngest.appendDelta(batch, tableDir, "event_id")
       }
-      (tableDir, tmp.toFile)
-    })._1
-  }
+    }(s, dir)
 
   /** Memoized MERGE-ON-READ events chain per (session, sf-dir): six
     * 5-day snapshot/append layers, then one full-range UPSERT (every
@@ -78,20 +91,8 @@ object RelationalQueries {
   private val mergedChains =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       (String, java.io.File)]()
-  private def memoMergedChain(s: SparkSession, dir: String): String = {
-    val it = mergedChains.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._1.sparkContext.isStopped) {
-        org.apache.commons.io.FileUtils.deleteQuietly(e.getValue._2)
-        it.remove()
-      }
-    }
-    mergedChains.computeIfAbsent((s, dir), _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_mergedchain")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)))
-      val tableDir = tmp.toString + "/ev"
+  private def memoMergedChain(s: SparkSession, dir: String): String =
+    memoChain(mergedChains, "graft_mergedchain", "ev") { tableDir =>
       val ev = t(s, dir, "events").withColumn("d", to_date(col("ts")))
         .select("event_id", "d", "event_type", "value")
       val days = ev.select(col("d")).distinct()
@@ -110,9 +111,8 @@ object RelationalQueries {
       graft.sources.NdjsonIngest.deleteDelta(
         ev.filter(col("event_id") % 41 === 0).select("event_id"),
         tableDir, "event_id")
-      (tableDir, tmp.toFile)
-    })._1
-  }
+      ()
+    }(s, dir)
 
   /** Memoized UUID-PK chain per (session, sf-dir): documents re-keyed by
     * `md5('doc-' || doc_id)` — a RANDOM (hash-distributed) string pk, the
@@ -127,20 +127,8 @@ object RelationalQueries {
   private val uuidChains =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       (String, java.io.File)]()
-  private def memoUuidChain(s: SparkSession, dir: String): String = {
-    val it = uuidChains.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._1.sparkContext.isStopped) {
-        org.apache.commons.io.FileUtils.deleteQuietly(e.getValue._2)
-        it.remove()
-      }
-    }
-    uuidChains.computeIfAbsent((s, dir), _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_uuidchain")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)))
-      val tableDir = tmp.toString + "/du"
+  private def memoUuidChain(s: SparkSession, dir: String): String =
+    memoChain(uuidChains, "graft_uuidchain", "du") { tableDir =>
       val docs = t(s, dir, "documents")
         .withColumn("pk",
           md5(concat(lit("doc-"), col("doc_id").cast("string"))))
@@ -156,9 +144,7 @@ object RelationalQueries {
         if (b == 0) graft.sources.NdjsonIngest.appendVersion(batch, tableDir, "pk")
         else graft.sources.NdjsonIngest.appendDelta(batch, tableDir, "pk")
       }
-      (tableDir, tmp.toFile)
-    })._1
-  }
+    }(s, dir)
 
   private def md5Hex(v: String): String =
     java.security.MessageDigest.getInstance("MD5")

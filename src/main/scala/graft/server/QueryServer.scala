@@ -500,10 +500,16 @@ final class QueryServer(catalogSupplier: () => (Catalog, String),
           try f() catch { case scala.util.control.NonFatal(_) => None })
           // the supplier's value is spliced VERBATIM into the response —
           // a torn maintenance-log line (crash mid-append, rotation race)
-          // must drop the field, not corrupt the whole /info JSON
+          // must drop the field, not corrupt the whole /info JSON.
+          // FAIL_ON_TRAILING_TOKENS: without it a torn line that is a
+          // valid JSON prefix plus garbage (`{"a":1}{"a":` from two
+          // interleaved writers) parses as the first object and the raw
+          // string still corrupts the splice; readTree also returns a
+          // non-throwing MissingNode for whitespace-only input, so
+          // require a concrete value node too
           .filter(v => scala.util.Try(
-            new com.fasterxml.jackson.databind.ObjectMapper()
-              .readTree(v)).isSuccess)
+            QueryServer.strictJsonMapper.readTree(v))
+            .toOption.exists(n => !n.isMissingNode))
           .map(v => s""","maintenance":$v""").getOrElse("")
         respond(ex, 200,
           s"""{"dataVersion":"$dataVersion","tables":$tables$maint}""",
@@ -539,6 +545,19 @@ final class QueryServer(catalogSupplier: () => (Catalog, String),
 }
 
 object QueryServer {
+
+  /** Shared strict JSON validator for values spliced verbatim into
+    * server responses: one immutable-after-config ObjectMapper (thread-
+    * safe for reads; also avoids a per-request construction) with
+    * FAIL_ON_TRAILING_TOKENS so a valid-prefix-plus-garbage torn line
+    * is rejected whole.
+    */
+  private[server] val strictJsonMapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.enable(com.fasterxml.jackson.databind.DeserializationFeature
+      .FAIL_ON_TRAILING_TOKENS)
+    m
+  }
 
   /** Runtime-tunable serving limits (reference: runtime_config.h:19-25 —
     * the operator-facing materialization cutoff and soft memory limit).

@@ -716,22 +716,42 @@ object NdjsonIngest {
     * [[graft.core.DirLock]] scaladoc; stamp-validated caching would need
     * a conditional-GET protocol on object storage, where this library's
     * chains don't run).
-    * Bounded + access-ordered: an LRU past the cap evicts the coldest
-    * ENTRY (a long-lived multi-tenant JVM keeps its hot chains parsed;
-    * the previous wholesale clear dropped everything at once), and
-    * [[gcVersions]] invalidates reclaimed layers' entries eagerly so a
-    * table dir wiped and re-ingested at the same path can never serve a
-    * stale parse through a (mtime, size) stamp collision.
+    * Bounded + recency-evicting WITHOUT a global lock on the hit path
+    * (statsLines sits on the planner's hottest metadata path — a
+    * synchronized LRU would serialize every concurrent plan behind one
+    * mutex): hits are plain ConcurrentHashMap gets plus one volatile
+    * access-stamp write; past the cap an amortized sweep (single-
+    * threaded behind its own lock, once per ~cap/8 inserts) drops the
+    * coldest eighth by stamp (a long-lived multi-tenant JVM keeps its
+    * hot chains parsed; the previous wholesale clear dropped everything
+    * at once). [[gcVersions]] invalidates reclaimed layers' entries
+    * eagerly so a table dir wiped and re-ingested at the same path can
+    * never serve a stale parse through a (mtime, size) stamp collision.
     */
-  private val sidecarCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String,
-        (java.nio.file.attribute.FileTime, Long, Seq[Array[String]])](
-        256, 0.75f, /* accessOrder = */ true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[String,
-          (java.nio.file.attribute.FileTime, Long, Seq[Array[String]])])
-          : Boolean = size() > SidecarCacheMax
-    })
+  private final class SidecarEntry(
+      val mtime: java.nio.file.attribute.FileTime,
+      val size: Long, val lines: Seq[Array[String]]) {
+    @volatile var touched: Long = 0L
+  }
+  private val sidecarCache =
+    new java.util.concurrent.ConcurrentHashMap[String, SidecarEntry]()
+  private val sidecarTick = new java.util.concurrent.atomic.AtomicLong()
+  private val sidecarEvictLock = new Object
   private val SidecarCacheMax = 8192
+
+  /** Amortized cold-entry sweep — called after an insert pushes the map
+    * past the cap. O(n) once per ~cap/8 inserts; a racing re-insert of
+    * an evicted key just re-reads one sidecar (conservative).
+    */
+  private def sidecarEvictColdest(): Unit = sidecarEvictLock.synchronized {
+    val over = sidecarCache.size - (SidecarCacheMax - SidecarCacheMax / 8)
+    if (over <= 0) return
+    val it = sidecarCache.entrySet().iterator()
+    val snap = Vector.newBuilder[(String, Long)]
+    while (it.hasNext) { val e = it.next(); snap += e.getKey -> e.getValue.touched }
+    snap.result().sortBy(_._2).take(over)
+      .foreach { case (k, _) => sidecarCache.remove(k) }
+  }
 
   private def sidecarCacheKey(tableDir: String, layer: String): String =
     java.nio.file.Paths.get(tableDir, layer, "_stats")
@@ -746,13 +766,17 @@ object NdjsonIngest {
       catch { case _: java.io.IOException => return None }
     val key = sidecarCacheKey(tableDir, layer)
     val cached = sidecarCache.get(key)
-    if (cached != null && cached._1 == attrs.lastModifiedTime &&
-        cached._2 == attrs.size)
-      Some(cached._3)
-    else {
+    if (cached != null && cached.mtime == attrs.lastModifiedTime &&
+        cached.size == attrs.size) {
+      cached.touched = sidecarTick.incrementAndGet()
+      Some(cached.lines)
+    } else {
       val lines = java.nio.file.Files.readString(p).linesIterator
         .map(_.split(" ")).toVector
-      sidecarCache.put(key, (attrs.lastModifiedTime, attrs.size, lines))
+      val e = new SidecarEntry(attrs.lastModifiedTime, attrs.size, lines)
+      e.touched = sidecarTick.incrementAndGet()
+      sidecarCache.put(key, e)
+      if (sidecarCache.size > SidecarCacheMax) sidecarEvictColdest()
       Some(lines)
     }
   }
@@ -1086,8 +1110,11 @@ object NdjsonIngest {
       "chainTopKLayersMerged needs a non-empty layer chain")
     val withLines = chain.map(l =>
       l -> statsLines(tableDir, l).getOrElse(Seq.empty))
-    val survivors = withLines
+    // ONE data-layer pass shared below (layerHasData lists the layer
+    // dir; re-filtering would re-list every layer per use)
+    val dataLayers = withLines
       .filter { case (l, _) => layerHasData(tableDir, l) }
+    val survivors = dataLayers
       .filter { case (_, lines) =>
         zoneKeep(lines, ranges, strEquals, nullCols, notNullCols, orGroups) }
     if (survivors.isEmpty) return Nil
@@ -1109,9 +1136,7 @@ object NdjsonIngest {
     // fresh append's tight envelope can still prune the legacy tail.
     // Upsert-light chains — the production norm — keep the bounded path.
     val caps = shadowCaps(tableDir, withLines)
-    val recorded = withLines
-      .filter { case (l, _) => layerHasData(tableDir, l) }
-      .map { case (_, lines) => nFromLines(lines) }
+    val recorded = dataLayers.map { case (_, lines) => nFromLines(lines) }
     val knownHeavy = caps.forall(_.isDefined) &&
       recorded.forall(_.isDefined) &&
       caps.flatten.sum * 2 > recorded.flatten.sum

@@ -88,6 +88,29 @@ class ForgedSidecarSpec extends SparkSpec {
     assert(routed.select("c").collect().head.getLong(0) === 30L)
   }
 
+  test("BARE grouped count (no conjunct parses the tokens): the Planner " +
+      "token DECODE declines the histogram path to the scan instead of " +
+      "throwing NumberFormatException") {
+    val dir = forgedChain()
+    // no range conjunct → entryPasses never parses the tokens, so the
+    // bogus token first meets the decoder that types the group values
+    val routed = Planner.plan(
+      "t.groupBy({c := count()}, {g}).orderBy({g})", catalogOf(dir))
+    val rows = routed.select("g", "c").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(rows === (0 until 5).map(g => (g, 15L)))
+  }
+
+  test("approxGroupCount on the forged column: the bracket decode " +
+      "declines to the exact grouping pass, brackets stay exact") {
+    val dir = forgedChain()
+    val routed = Planner.plan(
+      "t.approxGroupCount(g).orderBy({g})", catalogOf(dir))
+    val rows = routed.select("g", "lo", "hi").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows === (0 until 5).map(g => (g, 15L, 15L)))
+  }
+
   test("two-column grouped count: GroupPred.entryPasses declines on the " +
       "forged token, the grouping scan answers") {
     val dir = forgedChain()
