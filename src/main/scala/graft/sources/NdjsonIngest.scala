@@ -277,6 +277,57 @@ object NdjsonIngest {
     val statCol =
       if (batch.schema(pk).dataType == DateType) unix_date(col(pk))
       else col(pk)
+    // NUMERIC/DATE pks get the same bloom bitmask as strings where the
+    // layers carry 'd'-kind blooms — a RANDOM-id batch (snowflake /
+    // bit-scattered shape) spans every layer's envelope, so the
+    // envelope alone reads the full chain per commit. ONE O(batch)
+    // pass computes the bitmask AND the batch envelope; a bloom-less
+    // layer (saturated snapshot, pre-bloom legacy) falls back to its
+    // envelope test; bloom hits are intersected with nothing further
+    // (a hit is may-contain, the semi-join stays exact).
+    val withLines = layers.map(l => l -> statsLines(tableDir, l))
+    val blooms: Seq[(String, Option[(Int, Array[Long])])] = withLines.map {
+      case (l, lines) => l -> lines
+        .flatMap(bloomFromLines(_, pk))
+        .collect { case (k, 'd', words) => (k, words) }
+    }
+    val probed = blooms.collect { case (l, Some(b)) => (l, b) }
+    if (probed.nonEmpty && probed.length <= 64) {
+      val probeArr = probed.map(_._2).toArray
+      val mask = udf { (key: java.lang.Double) =>
+        if (key == null) 0L
+        else {
+          var m = 0L
+          var i = 0
+          while (i < probeArr.length) {
+            val (k, words) = probeArr(i)
+            if (graft.functions.BloomSketch
+                .maybeContainsDouble(words, k, key.doubleValue))
+              m |= 1L << i
+            i += 1
+          }
+          m
+        }
+      }
+      val d = statCol.cast("double")
+      val row = batch.select(mask(d).as("m"), d.as("v"))
+        .agg(expr("bit_or(m)"), min(col("v")), max(col("v"))).collect()(0)
+      if (row.isNullAt(1) || row.isNullAt(2))
+        return readChain(spark, tableDir, layers, None)
+      val hitMask = if (row.isNullAt(0)) 0L else row.getLong(0)
+      val (bmin, bmax) = (row.getDouble(1), row.getDouble(2))
+      val hits = probed.zipWithIndex.collect {
+        case ((l, _), i) if (hitMask & (1L << i)) != 0L => l
+      }.toSet
+      val kept = withLines.collect {
+        case (l, _) if hits.contains(l) => l
+        case (l, lines) if blooms.find(_._1 == l).exists(_._2.isEmpty) &&
+            zoneKeep(lines.getOrElse(Seq.empty),
+              Seq((pk, bmin, bmax)), Nil, Nil, Nil) => l
+      }
+      return readChainSubset(spark, tableDir, layers, kept,
+        pinSchema = Some(batch.schema))
+    }
     val row = batch.agg(min(statCol).cast("double"),
       max(statCol).cast("double")).collect()(0)
     if (row.isNullAt(0) || row.isNullAt(1))

@@ -275,6 +275,46 @@ class BloomSpec extends SparkSpec {
     assert(routedNeg.filter(col("pk") === -0.0).count() === 1)
   }
 
+  test("numeric-pk append clash check prunes through the 'd'-kind " +
+      "layer blooms: random-id batches (every envelope spans) read " +
+      "(almost) no layer fresh, the holding layer on overlap, and a " +
+      "true duplicate still aborts") {
+    val session = spark
+    import session.implicits._
+    val dir = tmpDir()
+    def id(b: Int, i: Int): Long =
+      java.lang.Long.reverse(b * 1500L + i + 1) >>> 12
+    (0 until 5).foreach { b =>
+      val df = (0 until 1500).map(i => (id(b, i), i)).toDF("id", "n")
+      if (b == 0) NdjsonIngest.appendVersion(df, dir, "id")
+      else NdjsonIngest.appendDelta(df, dir, "id")
+    }
+    val chain = NdjsonIngest.latestLayers(dir)
+    // all-fresh random ids: the batch envelope spans every layer (the
+    // old path read the whole chain); the bloom bitmask reads ~none
+    val fresh = (0 until 50).map(i => (id(9, i), -i)).toDF("id", "n")
+    val freshLayers = NdjsonIngest.existingForClash(
+        spark, dir, chain, fresh, "id")
+      .inputFiles.map(_.split("/").takeRight(2).head).distinct
+    // 50 keys × 5 layers = 250 probes at ~1% FP — a couple of
+    // false-positive layers are expected; the win is 5 → ≤2 reads
+    assert(freshLayers.length <= 2,
+      s"fresh random-id batch must skip (almost) every layer: " +
+        freshLayers.toSeq)
+    NdjsonIngest.appendDelta(fresh, dir, "id")
+    // an overlapping batch keeps (at least) the holding layer
+    val overlap = Seq((id(2, 7), -1)).toDF("id", "n")
+    val overlapLayers = NdjsonIngest.existingForClash(
+        spark, dir, chain, overlap, "id")
+      .inputFiles.map(_.split("/").takeRight(2).head).distinct
+    assert(overlapLayers.contains(chain(2)) && overlapLayers.length <= 2,
+      s"overlap batch must read the holding layer: ${overlapLayers.toSeq}")
+    intercept[NdjsonIngest.DuplicatePrimaryKey] {
+      NdjsonIngest.appendDelta(overlap, dir, "id")
+    }
+    ()
+  }
+
   test("forged over-full bloom (all bits set): every probe is a " +
       "'maybe' — pure conservative keep, rows stay exact") {
     val (dir, key) = uuidChain()
