@@ -315,6 +315,53 @@ class BloomSpec extends SparkSpec {
     ()
   }
 
+  test("property: routed point probes ≡ the full-chain scan over a " +
+      "seeded random long-pk chain — hits, misses, and the ±2^53 " +
+      "double-collision boundary stay conservative") {
+    val session = spark
+    import session.implicits._
+    val dir = tmpDir()
+    val rnd = new scala.util.Random(20260816)
+    // 3 layers × 1200 rows of random longs (distinct by construction:
+    // disjoint strides + jitter), plus the 2^53 boundary pair in layer 1
+    // — insert and probe share the canonical double cast, so two longs
+    // that collide in a double stay MUTUALLY conservative (the bloom
+    // keeps the layer; the row-wise filter stays exact)
+    val p53 = 1L << 53
+    // materialized ONCE (the jitter draw must match between insert and
+    // probe); distinct by construction: disjoint strides + jitter < gap
+    val layerKeys: Map[Int, Seq[Long]] = (0 until 3).map(b =>
+      b -> (0 until 1200).map(i =>
+        b * 4000000L + i * 3000L + rnd.nextInt(2000))).toMap
+    val extra = Seq(p53, p53 + 1) // both round to 2^53.0
+    (0 until 3).foreach { b =>
+      val ks = if (b == 1) layerKeys(b) ++ extra else layerKeys(b)
+      val df = ks.map(k => (k, b)).toDF("pk", "n")
+      if (b == 0) NdjsonIngest.appendVersion(df, dir, "pk")
+      else NdjsonIngest.appendDelta(df, dir, "pk")
+    }
+    val chain = NdjsonIngest.latestLayers(dir)
+    val full = spark.read.parquet(chain.map(l => s"$dir/$l"): _*)
+    val rnd2 = new scala.util.Random(7)
+    val hitProbes = (0 until 6).map(_ =>
+      layerKeys(rnd2.nextInt(3))(rnd2.nextInt(1200)))
+    val missProbes = (0 until 6).map(_ => -1L - rnd2.nextInt(1 << 20))
+    (hitProbes ++ missProbes ++ extra).foreach { k =>
+      val v = k.toDouble
+      val routed = NdjsonIngest.readChainRanges(spark, dir, chain,
+        Seq(("pk", v, v)))
+      assert(routed.filter(col("pk") === k).count() ===
+        full.filter(col("pk") === k).count(),
+        s"routed ≢ unrouted for pk = $k")
+    }
+    // the boundary pair: each probe finds exactly its own row
+    extra.foreach { k =>
+      val routed = NdjsonIngest.readChainRanges(spark, dir, chain,
+        Seq(("pk", k.toDouble, k.toDouble)))
+      assert(routed.filter(col("pk") === k).count() === 1)
+    }
+  }
+
   test("forged over-full bloom (all bits set): every probe is a " +
       "'maybe' — pure conservative keep, rows stay exact") {
     val (dir, key) = uuidChain()
