@@ -743,13 +743,32 @@ final class Planner(catalog: Planner.Catalog) {
   private def decodeToken(t: String,
       dt: org.apache.spark.sql.types.DataType): Option[Any] = {
     import org.apache.spark.sql.types._
+    // genuine tokens are exact doubles of in-range integral values
+    // (writeLayerStats histTok + the ±2^53 long gate), so a parseable
+    // token that is NON-integral or out of the target type's range is
+    // just as foreign as an unparseable one — truncating it (d.toInt)
+    // would emit forged counts under a wrapped group value instead of
+    // declining
+    def intTok(lo: Long, hi: Long): Option[Long] =
+      t.toDoubleOption.collect {
+        case d if d == Math.rint(d) && d >= lo && d <= hi => d.toLong
+      }
     dt match {
-      case DateType => t.toDoubleOption.map(d =>
-        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.toLong)))
-      case ByteType => t.toDoubleOption.map(d => java.lang.Byte.valueOf(d.toByte))
-      case ShortType => t.toDoubleOption.map(d => java.lang.Short.valueOf(d.toShort))
-      case IntegerType => t.toDoubleOption.map(d => java.lang.Integer.valueOf(d.toInt))
-      case LongType => t.toDoubleOption.map(d => java.lang.Long.valueOf(d.toLong))
+      case DateType =>
+        // LocalDate.ofEpochDay's own domain
+        intTok(-365243219162L, 365241780471L).map(e =>
+          java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(e)))
+      case ByteType =>
+        intTok(Byte.MinValue, Byte.MaxValue).map(v => java.lang.Byte.valueOf(v.toByte))
+      case ShortType =>
+        intTok(Short.MinValue, Short.MaxValue).map(v => java.lang.Short.valueOf(v.toShort))
+      case IntegerType =>
+        intTok(Int.MinValue, Int.MaxValue).map(v => java.lang.Integer.valueOf(v.toInt))
+      case LongType =>
+        // genuine long tokens sit STRICTLY inside ±2^53 (writeLayerStats
+        // suppresses the histogram otherwise) — anything outside is a
+        // foreign line
+        intTok(-((1L << 53) - 1), (1L << 53) - 1).map(java.lang.Long.valueOf)
       case _ => Some(t)
     }
   }
@@ -1533,6 +1552,14 @@ in.zone match {
       })
     e match {
       case Call("between", Seq(Ident(c), lo, hi), Seq()) if prunableCol(c) =>
+        // BOTH-null bounds compile row-wise to lit(true) && lit(true) —
+        // vacuously TRUE for every row INCLUDING null-column rows —
+        // while the whole zone machinery (zoneKeep, conjunctPassCounts,
+        // topKSelect's not-null sort key) treats a range as
+        // null-REJECTING: deriving a (-Inf, +Inf) range here would drop
+        // null rows from routed counts/scans and misplace them in top-k
+        // bounds. Not a range conjunct at all — it constrains nothing.
+        if (lo == NullLit && hi == NullLit) return None
         val l = if (lo == NullLit) Some(Double.NegativeInfinity) else bound(c)(lo)
         // float between is to-EXCLUSIVE (reference
         // query_documentation.md:504; the row-wise compile below uses
@@ -1827,13 +1854,24 @@ in.zone match {
       case "limit" =>
         val n = intArg(req("count"), "limit")
         if (n <= 0) err("limit must be positive")
+        // reference: limit is a uint32 (ast_to_query.cpp
+        // extractUnsigned) — and the Spark limit takes an Int, so an
+        // unchecked .toInt would silently wrap (limit(2^32) → limit(0),
+        // an empty result instead of a typed error). Int.MaxValue is
+        // the supported ceiling; anything above gets the typed error,
+        // never a wrapped count.
+        if (n > Int.MaxValue)
+          err(s"Cannot cast $n to uint32. Value out of range")
         limitStage(input, n)
 
       case "offset" =>
         val in = input
         val n = intArg(req("count"), "offset")
-        // reference: offset is a uint32 (ast_to_query.cpp extractUnsigned)
-        if (n < 0) err(s"Cannot cast $n to uint32. Value out of range")
+        // reference: offset is a uint32 (ast_to_query.cpp
+        // extractUnsigned); the same wrap guard as limit — offset(2^32)
+        // would silently .toInt to offset(0), a no-op
+        if (n < 0 || n > Int.MaxValue)
+          err(s"Cannot cast $n to uint32. Value out of range")
         // an offset between orderBy and limit deepens (not drops) the
         // top-k note: limit(k) then reads the first skip+k rows and
         // re-applies the skip. A sorted UNION deepens each leaf's note

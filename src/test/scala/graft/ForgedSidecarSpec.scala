@@ -111,6 +111,41 @@ class ForgedSidecarSpec extends SparkSpec {
     assert(rows === (0 until 5).map(g => (g, 15L, 15L)))
   }
 
+  test("a PARSEABLE but non-integral forged token ('2.5' under an int " +
+      "group column) declines like an unparseable one — truncating " +
+      "would emit forged counts under a wrapped group value") {
+    val session = spark
+    import session.implicits._
+    val dir = tmpDir()
+    (0 until 3).foreach { b =>
+      val df = (0 until 25).map(i =>
+        ((b * 25 + i).toLong, i % 5)).toDF("id", "g")
+      if (b == 0) NdjsonIngest.appendVersion(df, dir, "id")
+      else NdjsonIngest.appendDelta(df, dir, "id")
+    }
+    val frac = java.util.Base64.getEncoder.encodeToString(
+      "2.5".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    NdjsonIngest.latestLayers(dir).foreach { l =>
+      val p = java.nio.file.Paths.get(dir, l, "_stats")
+      var replaced = false
+      val lines = java.nio.file.Files.readString(p).linesIterator.map {
+        case line if line.startsWith("g:g ") && !replaced =>
+          replaced = true
+          s"g:g $frac ${line.split(" ")(2)}"
+        case line => line
+      }.mkString("\n")
+      assert(replaced)
+      java.nio.file.Files.writeString(p, lines)
+    }
+    val routed = Planner.plan(
+      "t.groupBy({c := count()}, {g}).orderBy({g})", catalogOf(dir))
+    val rows = routed.select("g", "c").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // truncation would have folded the forged 2.5-token count into
+    // group 2; the decline path re-groups from the scan instead
+    assert(rows === (0 until 5).map(g => (g, 15L)))
+  }
+
   test("two-column grouped count: GroupPred.entryPasses declines on the " +
       "forged token, the grouping scan answers") {
     val dir = forgedChain()
