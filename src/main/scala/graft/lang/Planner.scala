@@ -1546,6 +1546,17 @@ in.zone match {
       }
     def prunableCol(c: String): Boolean =
       df.columns.contains(c) && (df.schema(c).dataType match {
+        // DECIMALS past double precision derive NO range conjunct: a
+        // decimal(30,20) value 4.99999999999999999999 records an
+        // envelope of exactly 5.0, the value-based exactness gates
+        // can't tell it from an exact 5.0, and the containment pass
+        // proof would then count rows the exact decimal row-wise
+        // comparison rejects. Precision ≤ 15 round-trips through a
+        // double (injective + order-preserving), so its envelope tests
+        // and exact proofs coincide with the decimal comparisons.
+        // Gating the READER covers sidecars of any age; the filter
+        // still applies row-wise, only the pruning/bounding declines.
+        case d: org.apache.spark.sql.types.DecimalType => d.precision <= 15
         case _: NumericType => true
         case DateType => true
         case _ => false

@@ -136,6 +136,16 @@ object NdjsonIngest {
 
   /** Validate PK uniqueness; throws DuplicatePrimaryKey listing a sample. */
   def validatePrimaryKey(df: DataFrame, pk: String): Unit = {
+    // NULL pks are rejected outright, not just deduplicated: the
+    // append clash check is an equality semi-join that can never match
+    // a NULL key, so one-null-per-batch would accumulate one null row
+    // PER COMMIT — and merged reads group nulls together, so those
+    // rows silently shadow each other while shadowCaps still credits
+    // append layers with zero capacity (an unsound merged count lower
+    // bound and top-k loss cap). A key that can't be compared for
+    // equality can't be a key.
+    if (df.filter(col(pk).isNull).limit(1).count() > 0)
+      throw DuplicatePrimaryKey(Seq("NULL (primary keys must be non-null)"))
     val dups = df.groupBy(col(pk)).count().filter(col("count") > 1)
       .select(col(pk).cast("string")).limit(10)
       .collect().map(_.getString(0)).toSeq
@@ -356,10 +366,17 @@ object NdjsonIngest {
   def appendDeltaDedup(df: DataFrame, tableDir: String, pk: String,
       fpCol: String, tag: Option[String] = None): (Long, Long) = {
     val spark = df.sparkSession
+    // a NULL fingerprint means "no fingerprint", NOT "equal to every
+    // other null": the window groups nulls into ONE partition, so
+    // without the isNull escape two distinct null-fp rows would
+    // silently collapse to the lowest pk — ingest data loss. The
+    // cross-table half below already treats nulls as matching nothing
+    // (equality joins never match null keys); keep both halves
+    // consistent.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(fpCol).orderBy(col(pk))
     val inBatch = df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1).drop("__rk")
+      .filter(col(fpCol).isNull || col("__rk") === 1).drop("__rk")
     withTableLock(tableDir) {
     val layers = latestLayers(tableDir)
     val fresh =
@@ -518,6 +535,16 @@ object NdjsonIngest {
     // like whitespace (they just read as no-stats, always included)
     def plainName(n: String): Boolean =
       !n.exists(ch => ch.isWhitespace || ch == ':')
+    // DECIMAL envelopes past double precision are still WRITTEN — their
+    // monotone uses (sort-key ordering, top-k strict bound comparisons)
+    // stay sound under round-to-nearest — but the PLANNER refuses to
+    // derive range conjuncts from such columns (rangeConjunct's
+    // prunableCol), because the read-side exactness gates (exactVal —
+    // built for the ±2^53 long window) cannot tell a rounded
+    // decimal(30,20) envelope from an exact one, and the containment
+    // pass proof would count rows the exact decimal row-wise comparison
+    // rejects. Gating at the READER also covers sidecars written before
+    // this rule existed.
     val numeric = df.schema.fields.collect {
       case f if f.dataType.isInstanceOf[NumericType] && plainName(f.name) =>
         f.name
@@ -2289,6 +2316,44 @@ object NdjsonIngest {
     // data-version idea the reference exposes in its API header.
     val logDir = new java.io.File(tableDir, "_log")
     logDir.mkdirs()
+    // CRASH RECONCILIATION (under the table lock every caller holds): a
+    // crash between the entry write and the pointer rename leaves
+    // trailing entries describing chains that were never pointed. Left
+    // alone they are PHANTOM commits — readChanges would emit their
+    // layers as inserts no later diff retracts (the next commit's chain
+    // builds from the stale pointer, and removed-layer diffs are
+    // compaction-shaped no-ops), and readCommit would address a version
+    // that never served. Rewrite each trailing unpointed entry to the
+    // pointed content with kind=compact (a content-preserving no-op:
+    // the feed skips it, diffs against it stay correct) and drop its
+    // schema sidecar (a phantom evolution must not widen later reads);
+    // the orphaned layer dirs fall out of gc's live set. Guarded: only
+    // when SOME entry matches the pointer — an unknown layout is left
+    // untouched. The race of a reader observing a phantom entry in the
+    // instants before the original crash is inherent to log-then-flip
+    // ordering; reconciliation bounds the damage to that window instead
+    // of forever.
+    locally {
+      val latestF = new java.io.File(tableDir, "latest")
+      if (latestF.isFile) {
+        val pointed = java.nio.file.Files.readString(latestF.toPath).trim
+        val pointedChain = pointed.split("\\s+").head
+        val seqs = commits(tableDir)
+        def chainOf(s: Long): String =
+          scala.util.Try(java.nio.file.Files.readString(
+            new java.io.File(logDir, s.toString).toPath)
+            .trim.split("\\s+").head).getOrElse("")
+        if (seqs.exists(chainOf(_) == pointedChain)) {
+          seqs.reverse.takeWhile(chainOf(_) != pointedChain).foreach { s =>
+            java.nio.file.Files.writeString(
+              new java.io.File(logDir, s.toString).toPath,
+              s"$pointed #kind=compact")
+            java.nio.file.Files.deleteIfExists(
+              new java.io.File(logDir, s"$s.schema").toPath)
+          }
+        }
+      }
+    }
     val seq = commits(tableDir).lastOption.getOrElse(0L) + 1
     // a schema-evolving commit records the new UNIFIED schema as a
     // `<seq>.schema` sidecar next to its log entry (written first, so
@@ -2307,7 +2372,16 @@ object NdjsonIngest {
       new java.io.File(logDir, seq.toString).toPath, s"$content #kind=$kind")
     val tmp = new java.io.File(tableDir, ".latest.tmp")
     java.nio.file.Files.writeString(tmp.toPath, content)
-    tmp.renameTo(new java.io.File(tableDir, "latest"))
+    // Files.move THROWS on failure where File.renameTo returns false: a
+    // silently-failed pointer flip would report the commit as succeeded
+    // while `latest` never advances — the committed batch vanishes from
+    // every later chain (and its layer becomes gc-bait once its log
+    // entry ages out). ATOMIC_MOVE matches the readers' atomic-rename
+    // assumption on the supported POSIX envelope.
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(tableDir, "latest").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     ()
   }
 
@@ -2664,7 +2738,8 @@ object NdjsonIngest {
     * were already using).
     */
   private val mergeFreeCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      (java.nio.file.attribute.FileTime, Long, Boolean)]()
 
   def latestChainMergeFree(tableDir: String): Boolean =
     chainMergeFree(tableDir, latestLayers(tableDir))
@@ -2674,11 +2749,41 @@ object NdjsonIngest {
     */
   def chainMergeFree(tableDir: String, chain: Seq[String]): Boolean = {
     if (chain.isEmpty) return true
-    // the answer is a pure function of (dir, chain): cache it so
-    // per-query planning doesn't re-walk the commit log (entries are
-    // immutable once written; a new commit changes the chain key)
-    if (mergeFreeCache.size > 1024) mergeFreeCache.clear() // stale-chain keys
-    mergeFreeCache.computeIfAbsent((tableDir, chain.mkString(",")), _ => {
+    // cached per (dir, chain) so per-query planning doesn't re-walk the
+    // commit log — but STAMP-validated by the newest log entry's
+    // (mtime, size), like sidecarCache: a table dir wiped and
+    // re-ingested at the same path can reproduce the same layer NAMES
+    // under different commit KINDS, and serving a stale merge-free=true
+    // for what is now an upsert chain would resurrect superseded rows
+    // through the plain union readers.
+    val stamp: Option[(java.nio.file.attribute.FileTime, Long)] =
+      commits(tableDir).lastOption.flatMap { s =>
+        scala.util.Try {
+          val a = java.nio.file.Files.readAttributes(
+            java.nio.file.Paths.get(tableDir, "_log", s.toString),
+            classOf[java.nio.file.attribute.BasicFileAttributes])
+          (a.lastModifiedTime, a.size)
+        }.toOption
+      }
+    def compute(): Boolean = mergeFreeWalk(tableDir, chain)
+    stamp match {
+      case None => compute() // no/unreadable log: never cache
+      case Some((mt, sz)) =>
+        if (mergeFreeCache.size > 1024) mergeFreeCache.clear() // stale keys
+        val key = (tableDir, chain.mkString(","))
+        val c = mergeFreeCache.get(key)
+        if (c != null && c._1 == mt && c._2 == sz) c._3
+        else {
+          val v = compute()
+          mergeFreeCache.put(key, (mt, sz, v))
+          v
+        }
+    }
+  }
+
+  private def mergeFreeWalk(tableDir: String, chain: Seq[String])
+      : Boolean = {
+    {
       val union = Set("snapshot", "append", "compact")
       // a commit's chain ends with the layer it introduced, so
       // (layer → kind) is single-valued by construction
@@ -2689,7 +2794,7 @@ object NdjsonIngest {
         intro.get(l).exists(union) &&
           !new java.io.File(s"$tableDir/$l/_tombstones").isDirectory
       }
-    })
+    }
   }
 
   /** The CHANGE FEED over `(fromSeq, toSeq]`: every row the table gained

@@ -67,6 +67,36 @@ class RoutingSoundnessSpec extends SparkSpec {
     assert(oneSided.collect()(0).getLong(0) === 3L)
   }
 
+  test("wide-decimal conjuncts decline the metadata proofs: a " +
+      "decimal(38,18) value just under 5 records an envelope of exactly " +
+      "5.0, and the containment pass proof must not count it for d = 5") {
+    val session = spark
+    import session.implicits._
+    val dir = tmpDir()
+    // 4.999999999999999999 (18 nines) is exact in decimal(38,18) but
+    // rounds to exactly 5.0 as a double — min == max == 5.0 in the
+    // sidecar, indistinguishable from a true constant-5 layer to the
+    // value-based exactness gates
+    val df = Seq(
+      (1L, new java.math.BigDecimal("4.999999999999999999")),
+      (2L, new java.math.BigDecimal("3.500000000000000000")))
+      .toDF("id", "d")
+    NdjsonIngest.appendVersion(df, dir, "id")
+    val catalog = catalogOf(dir)
+    // row-wise: exact decimal comparison → 0 rows; the pre-fix routed
+    // metadata count answered 1 from the rounded envelope containment
+    val cnt = Planner.plan(
+      "t.filter(between(d, 5, 5)).groupBy({c := count()})", catalog)
+    assert(cnt.collect()(0).getLong(0) === 0L,
+      "the rounded decimal envelope must not feed an exact pass proof")
+    val eq = Planner.plan("t.filter(d = 5).project({id})", catalog)
+    assert(eq.collect().isEmpty)
+    // and the row a double-space probe CAN express still answers
+    val half = Planner.plan(
+      "t.filter(between(d, 3, 4)).project({id})", catalog)
+    assert(half.collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
   test("limit/offset counts past Int.MaxValue raise the uint32 typed " +
       "error instead of silently wrapping to 0") {
     val session = spark
