@@ -55,7 +55,12 @@ object DedupIndex {
     */
   def bandSignatures(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val ex = docs.select(col(idCol).as("id"),
+    // rebalance the narrow doc rows before the shingle fan-out + minhash
+    // aggregate: a batch (or the one-file test table) often sits in a
+    // single scan split, which would run the whole signing pass one-task
+    val ex = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
         explode(TF.shingles(col(textCol), 3)).as("s"))
     // three md5s per shingle, each sliced into four independent 32-bit
     // (8-hex-char) hash values — 12 slots at a quarter of the md5 work,

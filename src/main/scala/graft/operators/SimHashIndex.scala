@@ -58,16 +58,23 @@ object SimHashIndex {
     val withH = toks
       .withColumn("h0", md5(concat(lit("0|"), col("tok"))))
       .withColumn("h1", md5(concat(lit("1|"), col("tok"))))
-    val withChunks = (0 until 16).foldLeft(withH) { (d, c) =>
-      val h = if (c < 8) "h0" else "h1"
-      val off = (c % 8) * 4
-      d.withColumn(s"c$c",
-        conv(substring(col(h), 1 + off, 4), 16, 10).cast("long"))
-    }
+    // each md5 half (16 hex chars = 64 bits) parses as ONE signed long
+    // (conv toBase -10 = signed read, so the full 64-bit range round-trips
+    // through cast("long")); plane bits then come from plain shifts — the
+    // former per-token 16×(substring+conv+cast) chunk decode was the
+    // dominant non-md5 cost of signing. Bit j of hex char p (1-based) =
+    // (value >> (63 - 4(p-1))) & 1: top bit of nibble p ⇔ hex digit ≥ 8,
+    // exactly the substr-IN-('8'..'f') vote the SQL oracle computes.
+    val withChunks = Seq(
+      ("l0", "h0", 1), ("l1", "h0", 17), ("l2", "h1", 1), ("l3", "h1", 17))
+      .foldLeft(withH) { case (d, (l, h, off)) =>
+        d.withColumn(l, conv(substring(col(h), off, 16), 16, -10).cast("long"))
+      }
     val sums = (1 to 64).map { j =>
-      val c = (j - 1) / 4                  // 16-bit chunk 0..15
-      val shift = 15 - ((j - 1) % 4) * 4   // nibble top-bit within chunk
-      sum(shiftright(col(s"c$c"), shift).bitwiseAND(1)).as(s"b$j")
+      val p = (j - 1) % 32                 // char index 0..31 within its md5
+      val l = (if (j <= 32) 0 else 2) + p / 16
+      val shift = 63 - 4 * (p % 16)        // nibble top-bit within the long
+      sum(shiftright(col(s"l$l"), shift).bitwiseAND(1)).as(s"b$j")
     } :+ count(lit(1)).as("n")
     withChunks.groupBy(groupCols.map(col): _*).agg(sums.head, sums.tail: _*)
       .select(groupCols.map(col) :+
@@ -81,7 +88,11 @@ object SimHashIndex {
     */
   def bandRows(docs: DataFrame, idCol: String, srcCol: String,
       textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"), col(srcCol).as("source"),
+    // rebalance the narrow doc rows before the token fan-out + 64-sum
+    // signature aggregate (single-split batches would sign one-task)
+    val toks = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), col(srcCol).as("source"),
       explode(TF.tokens(col(textCol))).as("tok"))
     val packed = signature(toks, Seq("id", "source")).select(
       col("id") +: col("source") +:

@@ -190,7 +190,13 @@ object PipelineQueries {
     * list) and `q_dedup_clusters` (the edges of the dedup graph).
     */
   private def simhashPairs(docs: DataFrame): DataFrame = {
+    // rebalance the narrow doc rows BEFORE the token fan-out + signature
+    // aggregation: the test tables are one parquet file, so without this
+    // the whole tokenize+md5+64-sum pass runs in a single scan task (the
+    // established q_vocab_drift/q_bm25 pattern; also the right 100 TB
+    // shape - fan-out stages follow a rebalance, not the input split)
     val toks = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("source"),
         explode(TF.tokens(col("text"))).as("tok"))
     // pack the 4 bands as 16-bit ints: band equality joins hash an int
@@ -201,6 +207,11 @@ object PipelineQueries {
         (0 until 4).map(b =>
           conv(substring(col("sh"), 1 + 16 * b, 16), 2, 10).cast("int")
             .as(s"p$b")): _*)
+      // 1 narrow row per doc; pin it — BOTH sides of the band self-join
+      // reference this subtree, and the broadcast side breaks exchange
+      // reuse, so without the cut the whole tokenize+md5+signature pass
+      // runs twice per pairing (it was the top cost of q_simhash_pairs)
+      .localCheckpoint()
     val bands = packed.select(
       col("doc_id") +: col("source") +: (0 until 4).map(b => col(s"p$b")) :+
         explode(array((0 until 4).map { bi =>
@@ -340,7 +351,11 @@ object PipelineQueries {
     * between the ground truth and the cluster edges).
     */
   private def exactCosinePairs(sample: DataFrame, threshold: Double): DataFrame = {
-    val e = sample.select(col("vec_id"), col("embedding"),
+    // the bounded sample usually sits in 1-2 blocks; spread the stream
+    // side so the O(sample^2) cosine verify uses every core
+    val e = sample
+      .repartition(sample.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"),
       VF.norm2(col("embedding")).as("nrm"))
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"),
       col("nrm").as("na"))
@@ -389,6 +404,7 @@ object PipelineQueries {
     */
   private def minhashInter(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism) // single-file scan; rebalance before shingle fan-out
     val sh = docs.select(col("doc_id"), TF.shingles(col("text"), 3).as("sh"))
     // materialize the shingle explode once — it feeds the signature agg,
     // the band self-join, AND both verification sides; without this the
@@ -407,6 +423,10 @@ object PipelineQueries {
       min(substring(col("m0"), 1, 8)).as("h0"),
       (1 to 11).map(i =>
         min(substring(col(s"m${i / 4}"), 1 + 8 * (i % 4), 8)).as(s"h$i")): _*)
+      // 1 narrow row per doc; both band self-join sides reference this
+      // aggregate and the broadcast side defeats exchange reuse — pin it
+      // so the 3-md5-per-shingle signature pass runs once, not twice
+      .localCheckpoint()
     val bands = mh.select(col("doc_id"),
       explode(array((0 to 3).map(bd => struct(lit(bd).as("band"),
         concat_ws(",", col(s"h${3 * bd}"), col(s"h${3 * bd + 1}"),
@@ -587,6 +607,7 @@ object PipelineQueries {
          |FROM inter WHERE round(CAST(i AS DOUBLE) / (na + nb - i), 4) >= 0.3
          |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism) // rebalance before shingle fan-out
       // join on a 64-bit shingle hash instead of the string: same match
       // semantics (collisions are ~2^-40 at this cardinality), much smaller
       // shuffle payload at scale
@@ -643,6 +664,7 @@ object PipelineQueries {
          |  CAST(eval_docs AS INTEGER) AS eval_docs
          |FROM ov WHERE shared >= 3 ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val ex = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism) // rebalance before shingle fan-out
         .select(col("doc_id"), explode(TF.shingles(col("text"), 3)).as("s"))
         .withColumn("s64", xxhash64(col("s"))).drop("s")
       val ev = ex.filter(col("doc_id") % 97 === 0)
@@ -701,6 +723,7 @@ object PipelineQueries {
          |SELECT doc_id, $shBitsSql AS simhash FROM s ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
       val toks = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism) // single-file scan; rebalance before token fan-out
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
       simhashSig(toks, Seq("doc_id"))
         .select(col("doc_id"), col("sh").as("simhash"))
@@ -977,10 +1000,12 @@ object PipelineQueries {
       val sample = t(s, dir, "embeddings").filter(col("vec_id") < 500)
         .localCheckpoint()
       val truth = exactCosinePairs(sample, 0.4)
+        .localCheckpoint() // consumed by three actions; compute once
       val lsh = graft.ann.Similarity.lshNearDupPairs(
         sample, "vec_id", "embedding", dim = 64,
         k = 4, tables = 8, threshold = 0.4)
         .select("a_id", "b_id")
+        .localCheckpoint() // three counting actions below; compute once
       val falsePairs = lsh.join(truth, Seq("a_id", "b_id"), "left_anti").count()
       val found = lsh.join(truth, Seq("a_id", "b_id"), "left_semi").count()
       val total = truth.count()
@@ -1160,6 +1185,7 @@ object PipelineQueries {
          |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
       val toks = docs
+        .repartition(s.sparkContext.defaultParallelism) // rebalance before token fan-out
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
         .filter(col("term") =!= "")
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -1241,6 +1267,10 @@ object PipelineQueries {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select("q_id", "n_id")
+        // ≤ probes×5 rows, but its subtree is a full exhaustive-cosine
+        // pass: pin it so the hit semi-join and the total count read the
+        // 50-row result instead of recomputing the pass per action
+        .localCheckpoint()
       val hit = ivf.join(truth, Seq("q_id", "n_id"), "left_semi").count()
       val total = truth.count()
       val spark = s
@@ -1838,6 +1868,10 @@ object PipelineQueries {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select("q_id", "n_id")
+        // ≤ probes×5 rows, but its subtree is a full exhaustive-cosine
+        // pass: pin it so the hit semi-join and the total count read the
+        // 50-row result instead of recomputing the pass per action
+        .localCheckpoint()
       val hit = pq.join(truth, Seq("q_id", "n_id"), "left_semi").count()
       val total = truth.count()
       val spark = s
@@ -1877,6 +1911,10 @@ object PipelineQueries {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select("q_id", "n_id")
+        // ≤ probes×5 rows, but its subtree is a full exhaustive-cosine
+        // pass: pin it so the hit semi-join and the total count read the
+        // 50-row result instead of recomputing the pass per action
+        .localCheckpoint()
       val hit = got.join(truth, Seq("q_id", "n_id"), "left_semi").count()
       val total = truth.count()
       val spark = s
@@ -2026,6 +2064,7 @@ object PipelineQueries {
         |  CAST(list_max(fps) AS BIGINT) AS max_fp
         |FROM wn ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism) // rebalance before the per-row hash pass
         .select(col("doc_id"), col("text"))
         .filter(length(col("text")) >= 8)
       // O(n) codegen'd rolling hashes (RollingHash Expression) — value-
@@ -2078,6 +2117,7 @@ object PipelineQueries {
         |SELECT s1, s2, CAST(count(*) AS BIGINT) AS shared_fps
         |FROM p GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism) // rebalance before the per-row rolling-hash pass
         .select(col("doc_id"), col("source"), col("text"))
         .filter(length(col("text")) >= 8)
       val hs = TF.rollingHashes(col("text"), 8, 257, 1000003)
@@ -2088,17 +2128,25 @@ object PipelineQueries {
       val fps = array_distinct(
         transform(sequence(lit(1), size(col("hs")) - 3), i =>
           array_min(slice(col("hs"), i, lit(4)))))
-      val f = withHs.select(col("source"), explode(fps).as("fp")).distinct()
-      val df = f.groupBy("fp").count().filter(col("count") <= 10).select("fp")
-      // the DF cap's whole point is to bound the SELF-JOIN'S INPUT: semi-
-      // join the hot fingerprints out of f BEFORE the pair join, so an
-      // fp shared by thousands of sources never fans out at all (capping
-      // after the join would bound the output but pay the fan-out)
-      val fCapped = f.join(df, Seq("fp"), "left_semi").localCheckpoint()
-      val pairs = fCapped.select(col("source").as("s1"), col("fp"))
-        .join(fCapped.select(col("source").as("s2"), col("fp")), "fp")
-        .filter(col("s1") < col("s2"))
-      pairs.groupBy("s1", "s2")
+      // ONE aggregation builds the distinct source set per fingerprint
+      // (sources are a bounded dimension — the output is the #sources²
+      // matrix — so collect_set is broadcast-sized per key); the DF cap is
+      // size(set) ≤ 10 and the s1 < s2 pairs expand MAP-SIDE from each
+      // capped set. This replaces the former distinct shuffle + df-count
+      // shuffle + semi-join + posting self-join (4 exchanges) with one
+      // exchange + a Generate — and the cap still bounds the fan-out at
+      // ≤ cap²/2 pairs per fingerprint BEFORE anything shuffles again.
+      val srcSets = withHs.select(col("source"), explode(fps).as("fp"))
+        .groupBy("fp").agg(collect_set(col("source")).as("ss"))
+        .filter(size(col("ss")) <= 10)
+        .select(array_sort(col("ss")).as("ss"))
+      // array_sort + string < agree (both binary UTF8 order), so the pair
+      // orientation matches the former s1 < s2 join filter exactly
+      val pairsCol = flatten(transform(col("ss"), (s1, i) =>
+        transform(slice(col("ss"), i + 2, size(col("ss"))), s2 =>
+          struct(s1.as("s1"), s2.as("s2")))))
+      srcSets.select(explode(pairsCol).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
         .agg(count(lit(1)).cast("bigint").as("shared_fps"))
         .orderBy("s1", "s2")
     },
@@ -2168,6 +2216,7 @@ object PipelineQueries {
         |FROM ck JOIN cnt ON cnt.chash = ck.chash
         |GROUP BY ck.doc_id ORDER BY ck.doc_id""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism) // rebalance before the per-row hash pass
         .select(col("doc_id"), col("text"))
         .filter(length(col("text")) >= 8)
       val hs = TF.rollingHashes(col("text"), 8, 257, 1000003)
@@ -2242,10 +2291,15 @@ object PipelineQueries {
       import s.implicits._
       val SEP = "\u0001"
       var joined = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism) // rebalance before the per-char pair fan-out
         .filter(length(col("text")) >= 2)
         // split-by-empty-regex keeps a trailing "" (limit -1); rtrim the
         // SEP it would leave so both engines tokenize identically
         .select(rtrim(array_join(split(col("text"), ""), SEP), SEP).as("j"))
+        // each round reads the previous round's corpus — pin per round so
+        // round r's pair count re-reads materialized strings instead of
+        // replaying r-1 chained replace passes from the scan
+        .localCheckpoint()
       val merges = (1 to 3).map { r =>
         val toks = split(col("j"), SEP)
         val top = joined
@@ -2260,6 +2314,7 @@ object PipelineQueries {
         val cnt = top.getLong(2)
         joined = joined.select(
           replace(col("j"), lit(a + SEP + b), lit(a + b)).as("j"))
+          .localCheckpoint()
         (r, a, b, a + b, cnt)
       }
       merges.toDF("round", "pair_a", "pair_b", "merged", "cnt")
@@ -2308,9 +2363,11 @@ object PipelineQueries {
         |FROM c3 GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
       val SEP = "\u0001"
       var joined = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism) // rebalance before the per-char pair fan-out
         .filter(length(col("text")) >= 2)
         .select(col("source"), length(col("text")).cast("long").as("nchars"),
           rtrim(array_join(split(col("text"), ""), SEP), SEP).as("j"))
+        .localCheckpoint() // per-round pin, as in q_bpe_train
       (1 to 3).foreach { _ =>
         val toks = split(col("j"), SEP)
         val top = joined
@@ -2324,6 +2381,7 @@ object PipelineQueries {
         val a = top.getString(0); val b = top.getString(1)
         joined = joined.withColumn("j",
           replace(col("j"), lit(a + SEP + b), lit(a + b)))
+          .localCheckpoint()
       }
       joined.groupBy("source")
         .agg(count(lit(1)).as("docs"),

@@ -66,8 +66,11 @@ object SeqQueries {
   private def diffedDocs(s: SparkSession, dir: String, langFilter: Option[String]): DataFrame = {
     val base = t(s, dir, "documents")
     val f = langFilter.map(l => base.filter(col("lang") === l)).getOrElse(base)
+    // rebalance the one-file scan before the per-row regex+zip_with diff
+    // derivation (the established narrow-input-before-heavy-map pattern)
     SequenceModel.diff(
-      f.select(col("doc_id"), seqCol.as("seq")), "seq", REF)
+      f.repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), seqCol.as("seq")), "seq", REF)
   }
 
   val defs: Seq[QDef] = Seq(
@@ -125,7 +128,8 @@ object SeqQueries {
       // and the 6 aggregation passes of adapt+mutations() re-evaluate it
       // per row — 20s instead of ~2s at sf0.1.
       val raw = SequenceModel.diff(
-        base.select(col("doc_id"), seqCol.as("seq")), "seq", aRef)
+        base.repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), seqCol.as("seq")), "seq", aRef)
         .localCheckpoint()
       val (adapted0, localRef) = SequenceModel.adaptLocalReference(
         raw, aRef, symbolOrder = "abcdefghijklmnopqrstuvwxyz",
@@ -192,7 +196,8 @@ object SeqQueries {
       val seq = translate(md5(col("doc_id").cast("string")),
         "0123456789abcdef", NUC_ALPHABET)
       val diffed = SequenceModel.diff(
-        t(s, dir, "documents").select(col("doc_id"), seq.as("seq")),
+        t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), seq.as("seq")),
         "seq", REF_AMBIG)
       diffed
         .withColumn("dist", SeqPredicates.profileDistance(
@@ -489,7 +494,8 @@ object SeqQueries {
       val seq = translate(md5(col("doc_id").cast("string")),
         "0123456789abcdef", NUC_ALPHABET)
       val diffed = SequenceModel.diff(
-        t(s, dir, "documents").select(col("doc_id"), seq.as("seq")),
+        t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), seq.as("seq")),
         "seq", REF_AMBIG)
       Planner.Catalog(
         tables = Map("seqs" -> diffed),
