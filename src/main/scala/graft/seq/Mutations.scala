@@ -29,18 +29,75 @@ object Mutations {
     * count nor the position-axis length ever funnels through a single
     * partition.
     */
+  /** Grouped per-position event counts from ONE pass over the filtered
+    * rows: (pos, tag, sym, cnt) with tag 0 = stored diff (sym set),
+    * 1 = interior-missing position, 2 = coverage start (+1 delta),
+    * 3 = coverage end + 1 (−1 delta).
+    *
+    * Every per-row input mutations() needs — the coverage interval
+    * deltas, the missing counts, and (when no vertical index supplies it)
+    * the diff multiset — derives from this ONE scan + ONE shuffle. The
+    * grouped result is tiny (O(position axis × symbols)) and is
+    * materialized with localCheckpoint so the downstream consumers
+    * (deltas / miss / mut / ambig splits) are narrow block reads: without
+    * the cut, Catalyst pushes each consumer's tag filter below the
+    * aggregate (tag is a grouping column) and the expensive upstream
+    * derivation — a regex + zip_with diff chain when sequences are diffed
+    * in-query, or 4 full fact-table scans at 100 TB — re-executes per
+    * consumer (the q_seq_mutations plan read its parquet input 12×).
+    *
+    * Null sequences carry null muts/missing/cov bounds: the concat of a
+    * null event array is null and explodes to nothing, exactly matching
+    * the old per-side `pos.isNotNull` filters.
+    */
+  private[seq] def eventCounts(filtered: DataFrame, prefix: String,
+      withMuts: Boolean): DataFrame = {
+    val mutEv = transform(col(s"${prefix}muts"), m =>
+      struct(m.getField("pos").cast("int").as("pos"), lit(0).as("tag"),
+        m.getField("sym").cast("string").as("sym")))
+    val missEv = transform(col(s"${prefix}missing"), p =>
+      struct(p.cast("int").as("pos"), lit(1).as("tag"),
+        lit(null).cast("string").as("sym")))
+    val covEv = array(
+      struct(col(s"${prefix}cov_start").cast("int").as("pos"),
+        lit(2).as("tag"), lit(null).cast("string").as("sym")),
+      struct((col(s"${prefix}cov_end") + 1).cast("int").as("pos"),
+        lit(3).as("tag"), lit(null).cast("string").as("sym")))
+    // coalesce each side to a typed empty array: a null muts/missing array
+    // must not null the whole concat (the old per-side explodes were
+    // independent — a row with null diffs still contributed coverage)
+    val empty = array().cast("array<struct<pos:int,tag:int,sym:string>>")
+    val events = if (withMuts)
+        concat(coalesce(mutEv, empty), coalesce(missEv, empty), covEv)
+      else concat(coalesce(missEv, empty), covEv)
+    filtered.select(explode(events).as("e"))
+      .filter(col("e.pos").isNotNull)
+      .groupBy(col("e.pos").as("pos"), col("e.tag").as("tag"),
+        col("e.sym").as("sym"))
+      .agg(count(lit(1)).as("cnt"))
+      // LAZY checkpoint: the first consuming action materializes the tiny
+      // grouped result and the rest read its blocks — no extra eager job
+      // (measured: an eager cut here cost more than it saved at bench
+      // scale), while still cutting the plan so the tag filters cannot be
+      // pushed below the aggregate into per-consumer re-scans
+      .localCheckpoint(eager = false)
+  }
+
   /** Per-position raw coverage (prefix-sum over [cov_start, cov_end]
     * deltas) and interior-missing counts: (pos, covraw, miss). Shared by
     * `mutations()` and ingest-time local-reference adaptation.
     */
   def positionCoverage(filtered: DataFrame, genomeLength: Int,
-      prefix: String = ""): DataFrame = {
-    val spark = filtered.sparkSession
+      prefix: String = ""): DataFrame =
+    coverageFromEvents(filtered.sparkSession,
+      eventCounts(filtered, prefix, withMuts = false), genomeLength)
+
+  private[seq] def coverageFromEvents(spark: org.apache.spark.sql.SparkSession,
+      ev: DataFrame, genomeLength: Int): DataFrame = {
     // null sequences have null coverage bounds — they contribute nothing
-    val deltas = filtered.select(col(s"${prefix}cov_start").as("pos"), lit(1L).as("d"))
-      .union(filtered.select((col(s"${prefix}cov_end") + 1).as("pos"), lit(-1L).as("d")))
-      .filter(col("pos").isNotNull)
-      .groupBy("pos").agg(sum("d").as("d"))
+    val deltas = ev.filter(col("tag").isin(2, 3))
+      .groupBy("pos")
+      .agg(sum(when(col("tag") === 2, col("cnt")).otherwise(-col("cnt"))).as("d"))
 
     val positions = spark.range(1, genomeLength + 1)
       .select(col("id").cast("int").as("pos"))
@@ -66,8 +123,8 @@ object Mutations {
       .join(broadcast(bucketOffsets), Seq("bucket"))
       .withColumn("covraw", col("incum") + col("offset"))
 
-    val missCounts = filtered.select(explode(col(s"${prefix}missing")).as("pos"))
-      .groupBy("pos").agg(count(lit(1)).as("miss"))
+    val missCounts = ev.filter(col("tag") === 1)
+      .select(col("pos"), col("cnt").as("miss"))
 
     covRaw.join(missCounts, Seq("pos"), "left")
       .na.fill(0, Seq("miss"))
@@ -94,23 +151,32 @@ object Mutations {
     // reference (addMutationsToOutput, mutations_node.cpp:325-328)
     val lr = if (localRef.isEmpty) ref else localRef
 
+    // ONE pass over the filtered rows feeds coverage AND (without a
+    // vertical index) the diff multiset — see eventCounts. With diffRows
+    // supplied, the events still collapse coverage's former 3 scans
+    // (2 delta sides + missing explode) into 1.
+    val ev = eventCounts(filtered, prefix, withMuts = diffRows.isEmpty)
+    // grouped diff multiset: (position, sym, dcnt)
+    val diffCounts = diffRows match {
+      case Some(dr) => dr.groupBy(col("position"), col("sym"))
+        .agg(count(lit(1)).as("dcnt"))
+      case None => ev.filter(col("tag") === 0)
+        .select(col("pos").as("position"), col("sym"), col("cnt").as("dcnt"))
+    }
     // ambiguity codes (R, Y, … / B, J, Z) are INVALID_MUTATION_SYMBOLS in
     // the reference: they are excluded from the emitted mutations AND from
     // the coverage denominator (mutations_node.cpp:303-307 sums only
     // VALID_MUTATION_SYMBOLS counts into `total`)
-    val exploded = diffRows.getOrElse(
-      filtered.select(explode(col(s"${prefix}muts")).as("m"))
-        .select(col("m.pos").as("position"), col("m.sym").as("sym")))
     val isAmbig =
       if (invalidSyms.isEmpty) lit(false)
       else col("sym").isin(invalidSyms.toSeq.sorted: _*)
-    val mutCounts = exploded.filter(!isAmbig)
-      .groupBy(col("position"), col("sym").as("mutation_to"))
-      .agg(count(lit(1)).as("count"))
-    val ambigCounts = exploded.filter(isAmbig)
-      .groupBy(col("position").as("apos")).agg(count(lit(1)).as("amb"))
+    val mutCounts = diffCounts.filter(!isAmbig)
+      .select(col("position"), col("sym").as("mutation_to"),
+        col("dcnt").as("count"))
+    val ambigCounts = diffCounts.filter(isAmbig)
+      .groupBy(col("position").as("apos")).agg(sum(col("dcnt")).as("amb"))
 
-    val cov = positionCoverage(filtered, genomeLength, prefix)
+    val cov = coverageFromEvents(filtered.sparkSession, ev, genomeLength)
       .join(ambigCounts, col("pos") === col("apos"), "left")
       .na.fill(0, Seq("amb"))
       .select(col("pos"),
@@ -127,8 +193,8 @@ object Mutations {
         // (two O(1) substrings per position row) instead of an In-list
         // literal, so plan size and filter cost stay O(1) even when most of
         // a 30k genome adapts (the motivating divergent-dataset case)
-        val diffTotals = exploded.groupBy(col("position").as("dpos"))
-          .agg(count(lit(1)).as("dtot"))
+        val diffTotals = diffCounts.groupBy(col("position").as("dpos"))
+          .agg(sum(col("dcnt")).as("dtot"))
         val residual = cov
           .filter(SequenceModel.refAt(lr, col("pos")) =!=
             SequenceModel.refAt(ref, col("pos")))

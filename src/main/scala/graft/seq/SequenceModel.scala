@@ -232,11 +232,13 @@ object SequenceModel {
       candidateSyms: Set[Char] = Ambiguity.nucValidMutation): (DataFrame, String) = {
     val genomeLength = ref.length
     // per-position: residual = rows equal to the current reference
-    //             = covered − missing − all stored diffs
-    val cov = Mutations.positionCoverage(diffed, genomeLength, prefix)
-    val diffCounts = diffed.select(explode(col(s"${prefix}muts")).as("m"))
-      .select(col("m.pos").as("pos"), col("m.sym").as("sym"))
-      .groupBy("pos", "sym").agg(count(lit(1)).as("cnt"))
+    //             = covered − missing − all stored diffs.
+    // ONE tagged-event pass feeds both coverage and the diff counts
+    // (Mutations.eventCounts) — the adaptation used to scan `diffed` 4×.
+    val ev = Mutations.eventCounts(diffed, prefix, withMuts = true)
+    val cov = Mutations.coverageFromEvents(diffed.sparkSession, ev, genomeLength)
+    val diffCounts = ev.filter(col("tag") === 0)
+      .select(col("pos"), col("sym"), col("cnt"))
     val diffTotals = diffCounts.groupBy(col("pos").as("dpos"))
       .agg(sum("cnt").as("dtot"))
     val resid = cov.join(diffTotals, col("pos") === col("dpos"), "left")

@@ -63,14 +63,15 @@ class DatabaseSpec extends SparkSpec {
     val routed = Planner.plan(q, catalog)
     val p = routed.queryExecution.explainString(
       org.apache.spark.sql.execution.SimpleMode)
-    assert(!p.contains("explode(main_muts"), p.take(2000))
-    assert(p.contains("explode(main_missing"), p.take(2000)) // coverage row-wise
+    // the diff multiset comes from the posting semi-join (visible in the
+    // plan); the muts arrays are never READ at all on the routed path —
+    // coverage derives from the single-pass event explode over missing +
+    // cov bounds only, which sits behind the events checkpoint cut and is
+    // therefore proven at RUNTIME (a poisoned-muts frame still evaluates)
+    // in MutationEventsSpec, not by plan-string grep
     assert(p.toLowerCase.contains("leftsemi"), p.take(2000))
     // value parity with the routing-blind explode path
     val blind = Planner.plan(q, catalog.copy(mutIndexes = Map()))
-    val pb = blind.queryExecution.explainString(
-      org.apache.spark.sql.execution.SimpleMode)
-    assert(pb.contains("explode(main_muts"), pb.take(2000))
     assert(routed.collect().map(_.toString).sorted.toSeq ===
       blind.collect().map(_.toString).sorted.toSeq)
     assert(routed.count() > 0)
@@ -96,7 +97,8 @@ class DatabaseSpec extends SparkSpec {
       "default.mutations(minProportion := 0.01, sequenceNames := {main})", catalog)
     val pBare = bare.queryExecution.explainString(
       org.apache.spark.sql.execution.SimpleMode)
-    assert(pBare.contains("explode(main_muts"), pBare.take(2000))
+    // routing signature absent = the gate kept the index out of the plan
+    assert(!pBare.toLowerCase.contains("leftsemi"), pBare.take(2000))
   }
 
   test("insertions parsed from pos:seq entries") {
