@@ -39,37 +39,37 @@ object Ivf {
     }
   }
 
-  /** argmax-dot cell assignment against the centroid matrix.
-    *
-    * One `array_max` over (dot, -index) structs — struct ordering gives the
-    * max dot with smallest-index tie-break, in an expression LINEAR in the
-    * cell count (a when/otherwise fold duplicates the accumulator 4× per
-    * level: 4^cells nodes, analyzer OOM by 16 cells). Unit centroids, so
-    * argmax dot == argmax cosine (|v| is constant across candidates).
-    *
-    * The matrix ships as ONE typedLit — an object REFERENCE in the
-    * generated code, not source text — so the Janino-compiled source is
-    * identical across Lloyd passes (per-centroid `array(lit...)` baked
-    * every value into the source and recompiled each pass; measured ~5×
-    * slower on the first pass) while each per-cell dot stays inside the
-    * codegen'd VecDot kernel.
+  /** argmax-dot cell assignment against the centroid matrix: one
+    * [[graft.functions.ArgmaxDot]] kernel (max dot, smallest-index
+    * tie-break — value-identical to the `array_max` over (dot, -index)
+    * structs it replaces, see the kernel's scaladoc for the proof
+    * obligations). Unit centroids, so argmax dot == argmax cosine (|v| is
+    * constant across candidates). The matrix rides as a codegen REFERENCE
+    * object, so the compiled source is identical across Lloyd passes and
+    * plans — the struct-forest formulation generated tens of KB of source
+    * per plan and re-paid Janino compilation on every action.
     */
   private def assignExpr(vec: Column, cents: Array[Array[Double]]): Column = {
-    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
-    val scored = array(cents.indices.map { i =>
-      struct(VF.dot(vec, element_at(centsLit, i + 1)).as("d"),
-        lit(-i).as("ni"))
-    }: _*)
-    (-array_max(scored).getField("ni")).cast("int")
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(graft.functions.ArgmaxDot(
+      GraftShims.expression(vec), cents, null, 0))
   }
 
   /** Train the coarse quantizer: farthest-point init on a deterministic
-    * bounded sample, then `iters` distributed Lloyd passes of spherical
-    * k-means. Returns the centroid matrix (cells × dim).
+    * bounded sample, then `iters` Lloyd passes of spherical k-means over a
+    * BOUNDED, hash-ordered (= deterministic, data-dependent) training
+    * sample — the same quantizer-training contract as [[Pq.train]]: the
+    * model trains on a sample, only assignment/encoding touches every
+    * row. The sample is localCheckpoint-pinned, so training reads the
+    * full table ONCE (the sampling top-K) instead of once per Lloyd pass.
+    * `sampleRows` scales with the cell count (≥ 64 sample points per
+    * requested cell, ≥ 4096) so cells stay well-estimated as callers ask
+    * for more of them. Returns the centroid matrix (cells × dim).
     */
   def train(
       emb: DataFrame, vecCol: String,
       dim: Int, cells: Int, iters: Int = 3, seed: Long = 7L): Array[Array[Double]] = {
+    val sampleRows = math.max(4096, cells * 64)
     // norm as its own column first: an expression referenced INSIDE a
     // higher-order-function lambda re-evaluates per element — norm2 inline
     // would redo the full dot product dim times per row. Zero-norm vectors
@@ -80,16 +80,22 @@ object Ivf {
       .select(transform(col("v"),
         x => coalesce(x.cast("double") / nullif(col("n"), lit(0.0)), lit(0.0)))
         .as("uv"))
-    // init: greedy farthest-point (k-means++-style) over a bounded,
-    // hash-ordered (= deterministic, data-dependent) sample — standard IVF
-    // practice: the quantizer trains on a sample, only the cells×dim model
-    // crosses the driver. Data-blind random init can split one dense region
-    // across cells while merging two others; farthest-point cannot.
-    // NOT a total sort: orderBy+limit(512) compiles to
-    // TakeOrderedAndProject (plan-checked) — a per-partition top-K heap
-    // over one linear scan, merged on the driver.
-    val sample: Array[Array[Double]] = unit
+    // the Lloyd training sample: NOT a total sort — orderBy+limit compiles
+    // to TakeOrderedAndProject (plan-checked), a per-partition top-K heap
+    // over one linear scan, merged on the driver. Pinned so each Lloyd
+    // pass re-reads the sample, not the table.
+    val trainSet = unit
       .withColumn("h", xxhash64(col("uv")))
+      .orderBy("h").limit(sampleRows)
+      .localCheckpoint()
+    // init: greedy farthest-point (k-means++-style) over a bounded,
+    // hash-ordered prefix of the training sample (identical rows to the
+    // pre-sample-training code: the first `cells*32` by hash order) —
+    // standard IVF practice: the quantizer trains on a sample, only the
+    // cells×dim model crosses the driver. Data-blind random init can
+    // split one dense region across cells while merging two others;
+    // farthest-point cannot.
+    val sample: Array[Array[Double]] = trainSet
       .orderBy("h").limit(math.max(cells * 32, 256))
       .select("uv").collect().map(_.getSeq[Double](0).toArray)
     var cents: Array[Array[Double]] =
@@ -114,7 +120,7 @@ object Ivf {
       // only the cells×(dim+1) result crosses to the driver
       val aggs = count(lit(1)).as("n") +:
         (0 until dim).map(i => sum(element_at(col("uv"), i + 1)).as(s"d$i"))
-      val sums = unit
+      val sums = trainSet
         .select(assignExpr(col("uv"), cents).as("cell"), col("uv"))
         .groupBy("cell").agg(aggs.head, aggs.tail: _*)
         .collect()

@@ -48,18 +48,19 @@ object Pq {
   }
 
   /** argmin-L2 sub-centroid for one subspace, as argmax of
-    * `dot(x_j, c) - ||c||²/2` — linear in k (struct array_max with the
-    * (score, -index) tie-break, same shape as Ivf.assignExpr).
+    * `dot(x_j, c) - ||c||²/2` — one [[graft.functions.ArgmaxDot]] kernel
+    * per subspace (max score, smallest-index tie-break; the -||c||²/2
+    * terms ride as the kernel's bias array, computed with the identical
+    * Scala fold as the struct-forest formulation it replaces, and the
+    * subspace slice becomes the kernel's offset — no per-centroid slice
+    * allocation). Codegen source is ~20 lines per subspace vs tens of KB,
+    * so Janino compilation stops dominating every encode-touching action.
     */
   private def codeExpr(vec: Column, book: Array[Array[Double]], off: Int): Column = {
-    val sub = book(0).length
-    val slice0 = slice(vec, off + 1, sub)
-    val scored = array(book.zipWithIndex.map { case (c, i) =>
-      val halfNsq = c.map(x => x * x).sum / 2
-      struct((VF.dot(slice0, typedLit(c.toSeq)) - halfNsq).as("d"),
-        lit(-i).as("ni"))
-    }: _*)
-    (-array_max(scored).getField("ni")).cast("int")
+    import org.apache.spark.sql.GraftShims
+    val bias = book.map(c => -(c.map(x => x * x).sum / 2))
+    GraftShims.column(graft.functions.ArgmaxDot(
+      GraftShims.expression(vec), book, bias, off))
   }
 
   /** The PQ code column: array<int> of length m (one sub-centroid id per
