@@ -131,10 +131,12 @@ object SeqQueries {
         base.repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"), seqCol.as("seq")), "seq", aRef)
         .localCheckpoint()
-      val (adapted0, localRef) = SequenceModel.adaptLocalReference(
+      val (adapted, localRef) = SequenceModel.adaptLocalReference(
         raw, aRef, symbolOrder = "abcdefghijklmnopqrstuvwxyz",
         candidateSyms = ('a' to 'z').toSet)
-      val adapted = adapted0.localCheckpoint()
+      // no checkpoint on the re-based frame: mutations() is single-pass
+      // now (one tagged-event scan), so the rebase transform evaluates
+      // once either way and the materialization was pure overhead
       Mutations.mutations(adapted, aRef, 0.05, localRef = localRef)
         .orderBy("position", "mutation_to")
     },
