@@ -120,7 +120,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(fullLine)
+    // The line above embeds all per-query timings (~10 KB); a harness that
+    // keeps only a short tail of stdout cannot parse it. ADDITIONS ONLY
+    // below (same timed region, same query set, full line unchanged):
+    // write the identical payload to a file and emit one COMPACT final
+    // line that survives tail truncation.
+    try {
+      val w = new java.io.PrintWriter("BENCH_QUERIES.json")
+      try w.println(fullLine) finally w.close()
+    } catch { case scala.util.control.NonFatal(_) => () } // unwritable cwd must not fail the bench
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries_file":"BENCH_QUERIES.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

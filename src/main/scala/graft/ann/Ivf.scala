@@ -88,6 +88,18 @@ object Ivf {
       .withColumn("h", xxhash64(col("uv")))
       .orderBy("h").limit(sampleRows)
       .localCheckpoint()
+    try {
+      trainInner(trainSet, dim, cells, iters, seed)
+    } finally {
+      // the pinned sample is consumed entirely inside this call — release
+      // its blocks so repeated train() calls in one session don't leak
+      org.apache.spark.sql.GraftShims.unpersistLocalCheckpoint(trainSet)
+    }
+  }
+
+  private def trainInner(
+      trainSet: DataFrame,
+      dim: Int, cells: Int, iters: Int, seed: Long): Array[Array[Double]] = {
     // init: greedy farthest-point (k-means++-style) over a bounded,
     // hash-ordered prefix of the training sample (identical rows to the
     // pre-sample-training code: the first `cells*32` by hash order) —

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
@@ -51,6 +52,39 @@ case class ArgmaxDot(
 
   override def nullable: Boolean = false
 
+  // a wrong input type must surface at analysis time, not as a runtime
+  // IllegalArgumentException out of elemFloat
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ArgmaxDot requires array<float> or array<double> input, " +
+        s"got ${other.catalogString}")
+  }
+
+  // case-class equality on Array params is reference-based, which defeats
+  // semanticEquals / subexpression elimination / ReuseExchange for
+  // structurally equal kernels — compare array CONTENTS instead. The
+  // planner calls equals/hashCode on every expression-map lookup and the
+  // optimizer churns out fresh copies per rule pass, so BOTH must stay
+  // O(1) on the hot path: hashCode deliberately folds in only the matrix
+  // SHAPE (content-equal matrices agree, so the contract holds), and
+  // equals fast-paths on shared instances (Pq/Ivf reuse one matrix object
+  // across a whole plan) before falling back to a content compare.
+  override def equals(other: Any): Boolean = other match {
+    case a: ArgmaxDot =>
+      child == a.child && offset == a.offset &&
+        ((cents eq a.cents) || java.util.Arrays.deepEquals(
+          cents.asInstanceOf[Array[AnyRef]], a.cents.asInstanceOf[Array[AnyRef]])) &&
+        ((bias eq a.bias) || java.util.Arrays.equals(bias, a.bias))
+    case _ => false
+  }
+
+  override def hashCode(): Int = java.util.Objects.hash(
+    child, Integer.valueOf(offset),
+    Integer.valueOf(cents.length),
+    Integer.valueOf(if (bias == null) -1 else bias.length))
+
   private lazy val elemFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case ArrayType(DoubleType, _) => false
@@ -100,6 +134,7 @@ case class ArgmaxDot(
     val j = ctx.freshName("j")
     val n = ctx.freshName("n")
     val s = ctx.freshName("s")
+    val c = ctx.freshName("c")
     val biasAdd = if (biasRef == null) "" else s"$s += $biasRef[$i];"
     ev.copy(isNull = FalseLiteral, code = code"""
       ${childGen.code}
@@ -108,11 +143,11 @@ case class ArgmaxDot(
         org.apache.spark.sql.catalyst.util.ArrayData $arr = ${childGen.value};
         double $bestScore = 0.0;
         for (int $i = 0; $i < $centsRef.length; $i++) {
-          double[] c = $centsRef[$i];
+          double[] $c = $centsRef[$i];
           double $s = 0.0;
-          int $n = Math.min(c.length, $arr.numElements() - $offset);
+          int $n = Math.min($c.length, $arr.numElements() - $offset);
           for (int $j = 0; $j < $n; $j++) {
-            $s += $getX($offset + $j) * c[$j];
+            $s += $getX($offset + $j) * $c[$j];
           }
           $biasAdd
           if ($i == 0 ||

@@ -722,8 +722,13 @@ object PipelineQueries {
          |s AS (SELECT doc_id, $shSumsSql FROM tk GROUP BY doc_id)
          |SELECT doc_id, $shBitsSql AS simhash FROM s ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
+      // NO rebalance here (unlike simhashPairs): the token fan-out feeds
+      // straight into the per-doc signature groupBy, whose partial
+      // aggregation runs map-side and whose exchange spreads the work
+      // anyway — the extra round-robin exchange was measured pure cost
+      // (0.49 → 0.83 s in round 17), and at 100 TB the scan's own splits
+      // already parallelize the map side
       val toks = t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism) // single-file scan; rebalance before token fan-out
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
       simhashSig(toks, Seq("doc_id"))
         .select(col("doc_id"), col("sh").as("simhash"))
@@ -3094,15 +3099,35 @@ object PipelineQueries {
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
         .filter(col("tok") =!= "")
         .distinct()
-        .localCheckpoint() // feeds n, vocab, AND the incidence join
+        .localCheckpoint() // feeds n, vocab, AND the per-doc vocab sets
       val n = tk.agg(countDistinct(col("doc_id")).as("n"))
       val voc = tk.groupBy("tok").agg(count(lit(1)).as("cx"))
         .orderBy(col("cx").desc, col("tok")).limit(32)
-      val inc = tk.join(broadcast(voc), "tok")
-      val a = inc.select(col("doc_id"), col("tok").as("t1"), col("cx").as("cx1"))
-      val b = inc.select(col("doc_id"), col("tok").as("t2"), col("cx").as("cx2"))
-      val pairs = a.join(b, Seq("doc_id"))
-        .filter(col("t1") < col("t2"))
+      // ONE collect_set per doc + map-side pair expansion over the ≤32-
+      // token sorted vocab set replaces the doc-keyed incidence self-join
+      // (guide §2.4/§3: the pair space is bounded by the vocab cap, so
+      // pairs expand without a join — the old shape shuffled the whole
+      // incidence list TWICE by doc_id for the self-join, which AQE only
+      // rescues at toy scale by broadcasting one side). sort_array over
+      // (tok, cx) structs orders by tok — pairs are unique per tok, so
+      // the (i, j>i) expansion reproduces `t1 < t2` exactly (both binary
+      // UTF8 order), and count(*) per (t1,t2) still counts co-occurring
+      // DOCS because tk is distinct per (doc, tok). cx rides inside the
+      // set so the downstream agg is unchanged from the join shape.
+      val sets = tk.join(broadcast(voc), "tok")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_set(struct(col("tok"), col("cx")))).as("ts"))
+      // pair expansion as TWO codegen'd Generates (posexplode + explode
+      // over the tail slice) — a nested transform/flatten lambda does the
+      // same thing but evaluates interpreted per element (measured 2x the
+      // whole query)
+      val pairs = sets
+        .select(col("ts"), posexplode(col("ts")).as(Seq("i", "x")))
+        .select(col("x.tok").as("t1"), col("x.cx").as("cx1"),
+          explode(slice(col("ts"), col("i") + lit(2),
+            size(col("ts")) - col("i") - lit(1))).as("y"))
+        .select(col("t1"), col("y.tok").as("t2"),
+          col("cx1"), col("y.cx").as("cx2"))
         .groupBy("t1", "t2")
         .agg(max(col("cx1")).as("cx1"), max(col("cx2")).as("cx2"),
           count(lit(1)).as("cxy"))
@@ -3149,18 +3174,28 @@ object PipelineQueries {
          |  cms_est >= exact_cnt AS no_underestimate
          |FROM est ORDER BY rk""".stripMargin
     }) { (s, dir) =>
-      val tk = t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+      // aggregate FIRST (guide §2.3 "aggregate before you shuffle"): the
+      // sketch's bucket counters are sums over whole tokens, so the 4×
+      // md5+explode fan-out runs over the DISTINCT-token count table, not
+      // the raw token stream — count(*) per bucket over all instances
+      // ≡ sum(exact_cnt) over the tokens hashing there, integer-exact.
+      // The vocab-sized table then feeds the sketch AND the exact top-10,
+      // so the checkpoint pins O(vocab) rows instead of the token stream,
+      // and no rebalance exchange is needed (the count groupBy's partial
+      // aggregation spreads map-side; its exchange carries vocab partials)
+      val exact = t(s, dir, "documents")
         .select(explode(TF.tokens(col("text"))).as("tok"))
         .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
         .localCheckpoint() // feeds the sketch AND the exact top-10
-      val cms = tk
-        .select(explode(array((0 until 4).map(r => struct(lit(r).as("r"),
-          substring(md5(concat(lit(s"$r|"), col("tok"))), 1, 2).as("b"))): _*))
-          .as("rb"))
+      val cms = exact
+        .select(col("exact_cnt"),
+          explode(array((0 until 4).map(r => struct(lit(r).as("r"),
+            substring(md5(concat(lit(s"$r|"), col("tok"))), 1, 2).as("b"))): _*))
+            .as("rb"))
         .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
-        .agg(count(lit(1)).as("c"))
-      val top = tk.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+        .agg(sum(col("exact_cnt")).as("c"))
+      val top = exact
         .withColumn("rk", row_number()
           .over(Window.orderBy(col("exact_cnt").desc, col("tok"))))
         .filter(col("rk") <= 10)

@@ -45,6 +45,43 @@ object SequenceModel {
       missingSyms: Set[String] = Set(),
       offset: Column = lit(0),
       prefix: String = ""): DataFrame = {
+    // The dominant case — a literal int 0 offset (every in-query diff and
+    // the streaming-ingest path) — runs the single-pass SeqDiff codegen
+    // kernel: the HOF chain below evaluates interpreted per CHARACTER
+    // (regex split, per-element literal substr, array_contains), which
+    // made the diff derivation the top cost of every in-query diffed
+    // table. A non-trivial offset (Database ingest with input_format
+    // offsets, where a wider offset type even changes the struct's pos
+    // type) keeps the legacy chain; SeqDiffSpec pins kernel ≡ chain on
+    // adversarial UTF-8.
+    // strict Int 0 (a Long 0L would widen the struct's pos type — legacy)
+    val zeroIntOffset =
+      org.apache.spark.sql.GraftShims.literalValue(offset).contains(0)
+    if (zeroIntOffset) {
+      val d = org.apache.spark.sql.GraftShims.column(graft.functions.SeqDiff(
+        org.apache.spark.sql.GraftShims.expression(col(seqCol)),
+        ref, missingSyms.toSeq.sorted))
+      df.withColumn(s"${prefix}cov_start",
+          when(col(seqCol).isNotNull, (offset + 1).cast("int")))
+        .withColumn(s"${prefix}cov_end", (offset + length(col(seqCol))).cast("int"))
+        .withColumn("__seqdiff", d)
+        .withColumn(s"${prefix}muts", col("__seqdiff").getField("muts"))
+        .withColumn(s"${prefix}missing", col("__seqdiff").getField("missing"))
+        .drop("__seqdiff")
+        .drop(seqCol)
+    } else diffLegacy(df, seqCol, ref, missingSyms, offset, prefix)
+  }
+
+  /** The higher-order-function diff chain — the offset-general path, and
+    * the executable spec the SeqDiff kernel is property-tested against.
+    */
+  private[graft] def diffLegacy(
+      df: DataFrame,
+      seqCol: String,
+      ref: String,
+      missingSyms: Set[String],
+      offset: Column,
+      prefix: String): DataFrame = {
     val chars = split(col(seqCol), "")
     val zipped = zip_with(chars, sequence(lit(1), size(chars)),
       (s, p) => struct((p + offset).as("pos"), s.as("sym")))
@@ -256,6 +293,10 @@ object SequenceModel {
       .select(col("pos"), col("best.sym").as("newSym"))
       .collect()                       // ≤ genome-length rows, driver-side
       .map(r => r.getInt(0) -> r.getString(1)).toMap
+    // the tagged-event table is consumed entirely by the collect above —
+    // release its lazily-checkpointed blocks so adaptation in a long-lived
+    // ingest session doesn't accumulate pinned RDDs
+    org.apache.spark.sql.GraftShims.unpersistLocalCheckpoint(ev)
 
     if (winners.isEmpty) (diffed, ref)
     else {
