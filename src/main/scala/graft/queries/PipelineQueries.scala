@@ -3099,35 +3099,23 @@ object PipelineQueries {
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
         .filter(col("tok") =!= "")
         .distinct()
-        .localCheckpoint() // feeds n, vocab, AND the per-doc vocab sets
+        .localCheckpoint() // feeds n, vocab, AND the incidence join
       val n = tk.agg(countDistinct(col("doc_id")).as("n"))
       val voc = tk.groupBy("tok").agg(count(lit(1)).as("cx"))
         .orderBy(col("cx").desc, col("tok")).limit(32)
-      // ONE collect_set per doc + map-side pair expansion over the ≤32-
-      // token sorted vocab set replaces the doc-keyed incidence self-join
-      // (guide §2.4/§3: the pair space is bounded by the vocab cap, so
-      // pairs expand without a join — the old shape shuffled the whole
-      // incidence list TWICE by doc_id for the self-join, which AQE only
-      // rescues at toy scale by broadcasting one side). sort_array over
-      // (tok, cx) structs orders by tok — pairs are unique per tok, so
-      // the (i, j>i) expansion reproduces `t1 < t2` exactly (both binary
-      // UTF8 order), and count(*) per (t1,t2) still counts co-occurring
-      // DOCS because tk is distinct per (doc, tok). cx rides inside the
-      // set so the downstream agg is unchanged from the join shape.
-      val sets = tk.join(broadcast(voc), "tok")
-        .groupBy("doc_id")
-        .agg(sort_array(collect_set(struct(col("tok"), col("cx")))).as("ts"))
-      // pair expansion as TWO codegen'd Generates (posexplode + explode
-      // over the tail slice) — a nested transform/flatten lambda does the
-      // same thing but evaluates interpreted per element (measured 2x the
-      // whole query)
-      val pairs = sets
-        .select(col("ts"), posexplode(col("ts")).as(Seq("i", "x")))
-        .select(col("x.tok").as("t1"), col("x.cx").as("cx1"),
-          explode(slice(col("ts"), col("i") + lit(2),
-            size(col("ts")) - col("i") - lit(1))).as("y"))
-        .select(col("t1"), col("y.tok").as("t2"),
-          col("cx1"), col("y.cx").as("cx2"))
+      // NOTE (round 18): a per-doc collect_set + codegen'd Generate pair
+      // expansion was built and MEASURED against this self-join
+      // (tools/LiftProbe): the set-agg variant lost ~0.2 s locally and
+      // 0.6 s in the closing bench, because this query's floor is the
+      // shared tokenize+distinct checkpoint (~0.9 s), not the pair join —
+      // both self-join sides are already vocab-capped at ≤32 rows per doc
+      // after the broadcast semi-join, so the joined fan-out is bounded
+      // at V²/doc at ANY corpus scale. Kept the measured-faster shape.
+      val inc = tk.join(broadcast(voc), "tok")
+      val a = inc.select(col("doc_id"), col("tok").as("t1"), col("cx").as("cx1"))
+      val b = inc.select(col("doc_id"), col("tok").as("t2"), col("cx").as("cx2"))
+      val pairs = a.join(b, Seq("doc_id"))
+        .filter(col("t1") < col("t2"))
         .groupBy("t1", "t2")
         .agg(max(col("cx1")).as("cx1"), max(col("cx2")).as("cx2"),
           count(lit(1)).as("cxy"))
